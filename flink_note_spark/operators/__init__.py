@@ -1,0 +1,40 @@
+"""Operator library — reusable DataFrame → DataFrame transformations.
+
+Each operator is a *composition of built-in Spark operators* wherever the
+semantics allow (SURVEY.md §7.2); pandas-UDF paths exist only where bit
+manipulation per document genuinely can't be expressed relationally
+(SimHash) or where the work is opaque-binary decoding (multimodal stubs).
+"""
+
+from flink_note_spark.operators.joins import asof_join, range_join
+from flink_note_spark.operators.windows import sessionize, topk_per_group
+from flink_note_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from flink_note_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_note_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_stats,
+)
+
+__all__ = [
+    "asof_join",
+    "range_join",
+    "sessionize",
+    "topk_per_group",
+    "exact_dedup",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "doc_fingerprint",
+    "language_id",
+    "text_quality",
+    "token_stats",
+]

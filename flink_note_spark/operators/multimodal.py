@@ -1,0 +1,112 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (SURVEY.md §2.2 "Multimodal columns"): media payloads are opaque
+``binary`` columns accompanied by a typed metadata struct. Decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so each task
+processes a bounded batch of blobs; partitioning, schema, and batch shape
+are real and tested here, while the codec itself is stubbed (no
+image/audio libraries in this container — driver environment contract).
+
+At 100 TB the pattern is: keep blobs in their own parquet column chunk
+(columnar pruning skips them unless selected), repartition by size before
+decode so tasks are even, and emit fixed-schema features, never raw
+decoded frames, across a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Feature schema produced by the (stubbed) image decoder.
+IMAGE_FEATURES_SCHEMA = (
+    "id long, n_bytes int, format string, width int, height int, ok boolean"
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",
+    b"GIF8": "gif",
+}
+
+
+def _sniff_format(blob: bytes | None) -> str:
+    if not blob:
+        return "empty"
+    for magic, name in _MAGIC.items():
+        if blob[: len(magic)] == magic:
+            return name
+    return "unknown"
+
+
+def _decode_image(blob: bytes) -> tuple[int, int]:
+    """Real decode requires an imaging library not present in this
+    container; deterministic-fake dimensions derive from the payload so
+    the full distributed pipeline (schema, batching, joins downstream)
+    is exercised end-to-end. Swap this single function for PIL/ffmpeg in
+    a real deployment."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _fake_dims(blob: bytes) -> tuple[int, int]:
+    h = 0
+    for byte in blob[:64]:
+        h = (h * 131 + byte) & 0xFFFFFFFF
+    return 64 + h % 1024, 64 + (h >> 16) % 1024
+
+
+def attach_binary_column(
+    df: DataFrame, source_col: str, binary_col: str = "payload"
+) -> DataFrame:
+    """Materialize an opaque binary column + typed metadata struct from a
+    source column (for the fixtures we encode text; for real media this
+    is the raw file payload)."""
+    blob = F.col(source_col).cast("binary")
+    meta = F.struct(
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha256"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return df.withColumn(binary_col, blob).withColumn("media_meta", meta)
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str = "id",
+    binary_col: str = "payload",
+    use_fake_decoder: bool = True,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Decode-and-featurize over ``mapInPandas`` (Arrow batches).
+
+    ``use_fake_decoder=True`` (default here) uses deterministic fake
+    dimensions; ``False`` calls the real decoder stub, which raises
+    ``NotImplementedError`` in this container by design.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+    if batch_partitions:
+        # Even out task sizes before the expensive decode stage.
+        src = src.repartition(batch_partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf["id"], pdf["payload"]):
+                blob = bytes(blob) if blob is not None else b""
+                fmt = _sniff_format(blob)
+                try:
+                    w, h = _fake_dims(blob) if use_fake_decoder else _decode_image(blob)
+                    ok = True
+                except NotImplementedError:
+                    w = h = -1
+                    ok = False
+                rows.append((rid, len(blob), fmt, w, h, ok))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_bytes", "format", "width", "height", "ok"]
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operator (SURVEY.md §2.2): brute-force cosine top-k as the
+exact baseline, plus an LSH-bucketed variant (random hyperplane /
+signed-random-projection) as the 100 TB scale path — candidates meet in a
+bucket equi-join, never a full cross join.
+
+All vector math is JVM-side (``zip_with`` / ``aggregate`` in double); no
+Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from flink_note_spark.functions.scalar import l2_norm_sq, vec_dot
+from flink_note_spark.operators.dedup import _lcg
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast (the small side by contract — at scale you
+    batch queries); the corpus streams through one pass, so cost is
+    O(|corpus| · |queries| · d) flops with **no shuffle of the corpus**.
+    The per-query top-k is a window sort on the (tiny) scored result.
+
+    Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    joined = c.join(broadcast(q), F.lit(True))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+
+    sim = vec_dot("__qv", "__cv") / (
+        F.sqrt(l2_norm_sq("__qv")) * F.sqrt(l2_norm_sq("__cv"))
+    )
+    scored = joined.select("query_id", "neighbor_id", sim.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def _srp_bits(vec_col: str, dim: int, n_bits: int, seed: int):
+    """Signed-random-projection bit columns for a vector column.
+
+    Hyperplanes are deterministic (seed-derived LCG, values in [-1, 1)),
+    generated once on the driver and folded into the plan as literals —
+    cheap for n_bits·dim ≤ a few thousand.
+    """
+    rnd = _lcg(seed)
+    bits = []
+    for b in range(n_bits):
+        plane = [((next(rnd) % 2_000_001) / 1_000_000.0) - 1.0 for _ in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0).alias(f"__bit{b}"))
+    return bits
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    Each vector gets ``n_tables`` bucket keys (each = ``n_bits`` sign
+    bits); query and corpus meet through a bucket equi-join, then exact
+    cosine re-ranks candidates. Recall rises with n_tables; cost is
+    bounded by bucket occupancy instead of |corpus|·|queries|. This is
+    the plan shape that survives 100 TB: shuffle on bucket key, broadcast
+    nothing big, never cross-join.
+    """
+    def with_buckets(df: DataFrame, idname: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias(f"__v_{idname}")
+        )
+        buckets = []
+        for t in range(n_tables):
+            bits = _srp_bits(f"__v_{idname}", dim, n_bits, seed + 7919 * t)
+            key = F.concat_ws(
+                "", *[b.cast("string") for b in bits]
+            )
+            buckets.append(
+                F.struct(F.lit(t).alias("table_id"), key.alias("bucket_key"))
+            )
+        return out.select(
+            idname,
+            f"__v_{idname}",
+            F.explode(F.array(*buckets)).alias("b"),
+        ).select(idname, f"__v_{idname}", "b.table_id", "b.bucket_key")
+
+    qb = with_buckets(queries, "query_id")
+    cb = with_buckets(corpus, "neighbor_id")
+    cand = (
+        cb.join(broadcast(qb), ["table_id", "bucket_key"])
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+
+    sim = vec_dot("__v_query_id", "__v_neighbor_id") / (
+        F.sqrt(l2_norm_sq("__v_query_id")) * F.sqrt(l2_norm_sq("__v_neighbor_id"))
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

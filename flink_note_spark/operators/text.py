@@ -1,0 +1,95 @@
+"""Text-analysis operators over document tables.
+
+North-star LLM-pipeline text ops (SURVEY.md §2.2): token counting,
+quality scoring, heuristic language ID, content fingerprinting. All pure
+Catalyst expressions — these run at scan speed and fold into the same
+stage as the parquet read (filter/projection pushdown applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_note_spark.functions.scalar import words
+
+#: Tiny function-word list used for quality/stopword ratios (the fixture
+#: corpus vocabulary includes these — FIXTURES.md "documents").
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+#: BPE-ish token regex: runs of letters, runs of digits, or single
+#: non-space symbols — a deterministic proxy for subword tokenization.
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds token-count columns: whitespace tokens and regex tokens."""
+    w = words(text_col)
+    return df.withColumn("n_ws_tokens", F.size(w)).withColumn(
+        "n_re_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    )
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Quality-signal expressions for a text column (length, word stats,
+    stopword ratio, alpha ratio) — compose into select/agg freely."""
+    w = words(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    return {
+        "n_words": n_words,
+        "n_chars": n_chars,
+        "avg_word_len": (n_chars - (n_words - 1)) / n_words,
+        "stopword_ratio": n_stop / n_words,
+        "alpha_ratio": n_alpha / n_chars,
+    }
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach per-document quality-signal columns."""
+    cols = quality_columns(text_col)
+    out = df
+    for name, expr in cols.items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+#: Heuristic n-gram/charset profiles per language. Real language ID needs
+#: a trained model; this is the deterministic, SQL-expressible stand-in
+#: (the fixture corpus is synthetic word soup — FIXTURES.md).
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred``: charset/function-word heuristic language guess.
+
+    Order of tests: CJK charset → language-specific function words →
+    default 'en'. Pure expressions, so it runs in the scan stage.
+    """
+    t = F.col(text_col)
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    words_arr = words(text_col)
+
+    def has_any(ws: tuple[str, ...]) -> Column:
+        return F.size(F.filter(words_arr, lambda x: x.isin(*ws))) > 0
+
+    pred = (
+        F.when(has_cjk, "zh")
+        .when(has_any(("el", "la", "los", "las", "es", "un", "una")), "es")
+        .when(has_any(("le", "les", "des", "est", "une", "et")), "fr")
+        .when(has_any(("der", "die", "das", "und", "ist", "ein")), "de")
+        .otherwise("en")
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Adds ``fingerprint``: hex content fingerprint (prefix of SHA-256 of
+    normalized text). 64 bits default — collision-safe into the trillions
+    of documents (birthday bound ~2^32)."""
+    hexchars = bits // 4
+    return df.withColumn(
+        "fingerprint",
+        F.substring(F.sha2(F.lower(F.trim(F.col(text_col))), 256), 1, hexchars),
+    )

@@ -1,0 +1,56 @@
+"""Window-function operators: top-k per group and batch sessionization.
+
+SURVEY.md §2.2 "Window functions" / "Sorts / limits / top-k". These are
+shuffle-once patterns: one hash partition on the group key, sort within
+partitions, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via ``row_number`` + filter.
+
+    ``order_cols`` must include a unique tiebreaker for deterministic
+    output. At scale this is the canonical top-k: the window sort is
+    per-partition after one shuffle; no ``orderBy().limit()`` global sort.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch session assignment (gaps-and-islands): a new session starts
+    when the gap to the previous event of the same key exceeds
+    ``gap_seconds``. Adds a ``session_id`` column (1-based per key).
+
+    This is the bounded-data twin of Structured Streaming's
+    ``session_window`` (SURVEY.md §2.2 Streaming table); the streaming
+    path lives in ``flink_note_spark.streaming``. Single shuffle on key.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_us = F.lag(F.unix_micros(F.col(ts).cast("timestamp"))).over(w)
+    cur_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    is_new = F.when(
+        prev_us.isNull() | (cur_us - prev_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn("session_id", F.sum(is_new).over(run))

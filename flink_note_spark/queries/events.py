@@ -1,0 +1,266 @@
+"""Event-table queries: JSON extraction, event-time windows (batch
+renderings of the streaming semantics — the streaming twins live in
+``flink_note_spark.streaming`` and are exercised by the pytest streaming
+suite), sessionization, dedup, as-of join.
+
+Batch/stream duality is the reference's own framing: the same ``readFile``
+path serves PROCESS_ONCE and PROCESS_CONTINUOUSLY (``NOTES:3-9``;
+SURVEY.md §2.1 S2), so each windowed query here is the bounded rendering
+of a streaming op with identical results on bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_note_spark.functions.scalar import epoch_us, fmt_date, json_int
+from flink_note_spark.operators.joins import asof_join
+from flink_note_spark.operators.windows import sessionize
+from flink_note_spark.session import load_table as _t
+
+
+def q22_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction from events.props (SURVEY.md §2.2 JSON
+    surface — get_json_object ≈ DuckDB json_extract_string)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.select("event_type", json_int("props", "$.k", "k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       count(*)                                                          AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q23_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily tumbling windows via ``F.window`` (epoch-aligned, = calendar
+    days in UTC). Streaming twin: streaming.tumbling_window_agg."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            fmt_date(F.col("w.start"), "day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_Q23_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q24_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """2-day windows sliding by 1 day: each event lands in exactly two
+    windows. Streaming twin: streaming.sliding_window_agg."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(fmt_date(F.col("w.start"), "win_start"), "n_events", "sum_value")
+    )
+
+
+_Q24_SQL = """
+SELECT strftime(ws, '%Y-%m-%d') AS win_start,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (
+  SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws,
+         value
+  FROM events
+)
+GROUP BY ws
+"""
+
+
+def q25_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gap = 6h) — gaps-and-islands; the streaming
+    twin is session_window_agg / stateful_sessionize."""
+    e = _t(spark, sf, "events")
+    s = sessionize(e, key="user_id", ts="ts", gap_seconds=6 * 3600, tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(epoch_us("ts")).alias("session_start_us"),
+        F.max(epoch_us("ts")).alias("session_end_us"),
+    )
+
+
+_Q25_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*)          AS n_events,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q26_dedup_first_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first dedup per key ordered by event time — the batch
+    rendering of streaming ``dropDuplicates`` with watermark
+    (SURVEY.md §2.2 'Deduplication')."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            epoch_us("ts", "first_ts_us"),
+            "event_type",
+        )
+    )
+
+
+_Q26_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS first_ts_us, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q27_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior-or-equal
+    click (union + running last_value — operators.joins.asof_join;
+    SURVEY.md §2.2 'As-of')."""
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        right_cols=["click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts", "purchase_ts_us"),
+        epoch_us("click_ts", "last_click_ts_us"),
+    )
+
+
+_Q27_SQL = """
+WITH merged AS (
+  SELECT user_id, ts, event_id, NULL::TIMESTAMP AS click_ts, 1 AS side, value
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, NULL::BIGINT AS event_id, ts AS click_ts, 0 AS side, NULL::DOUBLE
+  FROM events WHERE event_type = 'click'
+), filled AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(click_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side
+           ROWS UNBOUNDED PRECEDING) AS last_click
+  FROM merged
+)
+SELECT event_id, user_id,
+       epoch_us(ts)         AS purchase_ts_us,
+       epoch_us(last_click) AS last_click_ts_us
+FROM filled WHERE side = 1
+"""
+
+
+def q28_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user funnel: first view → first purchase conversion lag, a
+    conditional-aggregation pattern (stateful-processing batch twin)."""
+    e = _t(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        epoch_us("first_view", "first_view_us"),
+        epoch_us("first_purchase", "first_purchase_us"),
+        F.when(
+            F.col("first_purchase").isNotNull() & F.col("first_view").isNotNull(),
+            (epoch_us("first_purchase") - epoch_us("first_view")) / 1_000_000,
+        ).alias("view_to_purchase_sec"),
+    )
+
+
+_Q28_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       epoch_us(min(CASE WHEN event_type = 'view'     THEN ts END)) AS first_view_us,
+       epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END)) AS first_purchase_us,
+       CASE WHEN min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+             AND min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+            THEN (epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END))
+                - epoch_us(min(CASE WHEN event_type = 'view' THEN ts END))) / 1000000.0
+       END AS view_to_purchase_sec
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q22_json_extract": q22_json_extract,
+    "q23_tumbling_window": q23_tumbling_window,
+    "q24_sliding_window": q24_sliding_window,
+    "q25_sessionize": q25_sessionize,
+    "q26_dedup_first_event": q26_dedup_first_event,
+    "q27_asof_join": q27_asof_join,
+    "q28_event_funnel": q28_event_funnel,
+}
+
+ORACLES = {
+    "q22_json_extract": _Q22_SQL,
+    "q23_tumbling_window": _Q23_SQL,
+    "q24_sliding_window": _Q24_SQL,
+    "q25_sessionize": _Q25_SQL,
+    "q26_dedup_first_event": _Q26_SQL,
+    "q27_asof_join": _Q27_SQL,
+    "q28_event_funnel": _Q28_SQL,
+}

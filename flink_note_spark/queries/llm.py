@@ -1,0 +1,324 @@
+"""LLM training-data pipeline queries over documents/embeddings
+(north-star operators, SURVEY.md §2.2; BASELINE.json:north_star).
+
+Oracle-checked where the algorithm is SQL-expressible (exact dedup,
+n-gram Jaccard, brute-force cosine top-k, text analysis). MinHash/SimHash/
+LSH variants have no DuckDB oracle (they hinge on engine-specific hash
+functions) — the driver records rows-only checks, and the pytest suite
+validates them against the exact operators (recall/precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from flink_note_spark.operators.multimodal import (
+    attach_binary_column,
+    extract_image_features,
+)
+from flink_note_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_note_spark.operators.text import (
+    STOPWORDS,
+    TOKEN_RE,
+    doc_fingerprint,
+    language_id,
+)
+from flink_note_spark.functions.scalar import words
+from flink_note_spark.session import load_table as _t
+
+JACCARD_THRESHOLD = 0.4
+
+
+def q29_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return exact_dedup(d, "text", "doc_id").select(
+        "content_hash", "keep_doc_id", "n_copies"
+    )
+
+
+_Q29_SQL = """
+SELECT sha256(lower(trim(text))) AS content_hash,
+       min(doc_id)               AS keep_doc_id,
+       count(*)                  AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q30_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs — the verification-path dedup
+    (shingle equi-join, no cross join)."""
+    d = _t(spark, sf, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+
+
+_Q30_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS wlist FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(wlist) - 2),
+                               i -> array_to_string(wlist[i+1:i+3], ' '))) AS shingle
+  FROM w WHERE len(wlist) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_int
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(n_int / (s1.sz + s2.sz - n_int), 6) AS jaccard
+FROM pair_inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE n_int / (s1.sz + s2.sz - n_int) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q31_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard. No SQL
+    oracle (xxhash64-based signatures); rows-only driver check + pytest
+    recall test vs q30."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=JACCARD_THRESHOLD, verify=True,
+    )
+
+
+def q32_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3, pigeonhole band join). No SQL
+    oracle (blake2b bit-voting); rows-only check + pytest."""
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q33_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors vec_id < 10 —
+    the ANN baseline (SURVEY.md §2.2 'Similarity search')."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk(q, e, k=5, id_col="vec_id", vec_col="embedding").withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+_Q33_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+         AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rnk
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+def q34_lsh_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN variant: random-hyperplane LSH bucket join then exact re-rank.
+    No SQL oracle (bucket keys are seed-derived); pytest measures recall
+    against q33."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(
+        q, e, k=5, id_col="vec_id", vec_col="embedding",
+        dim=64, n_bits=8, n_tables=8,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q35_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-signal aggregates per language (length/stopword stats)."""
+    d = _t(spark, sf, "documents")
+    w = words("text")
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    per_doc = d.select(
+        "lang",
+        n_words.alias("n_words"),
+        F.length("text").alias("n_chars_calc"),
+        n_stop.alias("n_stop"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg("n_chars_calc"), 4).alias("avg_chars"),
+        F.round(F.sum("n_stop") / F.sum("n_words"), 6).alias("stop_ratio"),
+    )
+
+
+_Q35_SQL = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+       round(avg(length(text)), 4)                 AS avg_chars,
+       round(sum(len(list_filter(string_split(text, ' '),
+                                 x -> x IN {STOPWORDS})))
+             / sum(len(string_split(text, ' '))), 6) AS stop_ratio
+FROM documents GROUP BY lang
+"""
+
+
+def q36_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting per source: whitespace + BPE-ish regex tokens."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            "source",
+            F.size(words("text")).alias("ws"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias("re_"),
+            F.col("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("re_").alias("n_re_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+_Q36_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)                AS n_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS n_re_tokens,
+       round(avg(n_chars), 4)                             AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
+def q37_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID → confusion matrix vs the labeled lang."""
+    d = _t(spark, sf, "documents")
+    return (
+        language_id(d, "text")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_Q37_SQL = """
+SELECT lang,
+       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+            WHEN len(list_filter(string_split(text, ' '),
+                 x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
+            WHEN len(list_filter(string_split(text, ' '),
+                 x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
+            WHEN len(list_filter(string_split(text, ' '),
+                 x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
+            ELSE 'en' END AS lang_pred,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q38_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit content fingerprints (hex) per document."""
+    d = _t(spark, sf, "documents")
+    return doc_fingerprint(d, "text", "doc_id").select("doc_id", "fingerprint")
+
+
+_Q38_SQL = """
+SELECT doc_id, substring(sha256(lower(trim(text))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+def q39_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's canonical job (WordCount — flink_arch-yarn per job
+    启动流程.png box 1; SURVEY.md §2.1 O2): top-20 words."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_Q39_SQL = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
+"""
+
+
+def q40_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: opaque binary payload
+    + typed metadata (byte length, digest) — SURVEY.md §2.2 'Multimodal'."""
+    d = _t(spark, sf, "documents")
+    b = attach_binary_column(d, "text", "payload")
+    return b.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha"),
+    )
+
+
+_Q40_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text)               AS payload_sha
+FROM documents
+"""
+
+
+def q41_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """mapInPandas decode/feature-extract pipeline over binary payloads
+    (deterministic fake codec — real decode stubbed per environment
+    contract). Rows-only driver check; schema/batching are the test."""
+    d = _t(spark, sf, "documents")
+    b = attach_binary_column(d, "text", "payload").withColumnRenamed("doc_id", "id")
+    return extract_image_features(b, id_col="id", binary_col="payload")
+
+
+QUERIES = {
+    "q29_exact_dedup": q29_exact_dedup,
+    "q30_jaccard_pairs": q30_jaccard_pairs,
+    "q31_minhash_lsh": q31_minhash_lsh,
+    "q32_simhash_pairs": q32_simhash_pairs,
+    "q33_cosine_topk": q33_cosine_topk,
+    "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
+    "q35_text_quality": q35_text_quality,
+    "q36_token_stats": q36_token_stats,
+    "q37_language_id": q37_language_id,
+    "q38_fingerprint": q38_fingerprint,
+    "q39_wordcount": q39_wordcount,
+    "q40_binary_meta": q40_binary_meta,
+    "q41_multimodal_features": q41_multimodal_features,
+}
+
+# LSH/SimHash/multimodal entries intentionally absent: non-SQL-expressible
+# (driver records rows-only checks; pytest covers semantics).
+ORACLES = {
+    "q29_exact_dedup": _Q29_SQL,
+    "q30_jaccard_pairs": _Q30_SQL,
+    "q33_cosine_topk": _Q33_SQL,
+    "q35_text_quality": _Q35_SQL,
+    "q36_token_stats": _Q36_SQL,
+    "q37_language_id": _Q37_SQL,
+    "q38_fingerprint": _Q38_SQL,
+    "q39_wordcount": _Q39_SQL,
+    "q40_binary_meta": _Q40_SQL,
+}

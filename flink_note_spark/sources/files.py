@@ -1,0 +1,119 @@
+"""File sources and sinks (batch + streaming).
+
+Reference semantics being re-expressed (SURVEY.md §2.1):
+
+- S1 ``readTextFile`` → :func:`read_text` / :func:`read_text_stream`.
+- S2 ``readFile(format, path, mode, interval, typeInfo)``
+  (``NOTES:3-9``) → :func:`read_file` (PROCESS_ONCE ≈ batch read or
+  ``Trigger.AvailableNow``) and :func:`read_file_stream`
+  (PROCESS_CONTINUOUSLY ≈ file stream source; the poll ``interval``
+  becomes ``Trigger.ProcessingTime`` at ``writeStream`` time).
+- S3 monitor/reader split (``ContinuousFileMonitoringFunction``,
+  ``NOTES:23-25``) is built into Spark's FileStreamSource: the driver
+  lists new files per micro-batch, executors read splits.
+- K1 sinks → :func:`write_sink` / :func:`write_stream_sink`
+  (exactly-once on files via the manifest the file sink writes under
+  ``_spark_metadata`` + checkpointing, SURVEY.md §2.2).
+
+``TypeInformation`` (``NOTES:3-7``) maps to an explicit schema: streaming
+reads REQUIRE one (Spark contract), batch reads accept one — matching the
+survey's declared-schema policy (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded line-by-line text scan (reference S1/S4, ``NOTES:53-101``).
+    Splits + per-partition open-once are Spark's FilePartition machinery."""
+    return spark.read.text(path)
+
+
+def read_text_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Unbounded text source watching a directory (reference S1 streaming
+    flavor; PROCESS_CONTINUOUSLY, ``NOTES:3-9``)."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path)
+
+
+def read_file(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Bounded read of any format (reference S2, PROCESS_ONCE mode)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_file_stream(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Unbounded directory-watch source (reference S2 PROCESS_CONTINUOUSLY;
+    S3's monitor/reader split is internal to Spark's FileStreamSource).
+
+    Schema is mandatory — the streaming analogue of the reference passing
+    ``TypeInformation`` at source creation (``NOTES:3-7``).
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "overwrite",
+               partition_by: list[str] | None = None) -> None:
+    """Batch sink (reference K1). ``partition_by`` = directory-layout
+    partitioning for downstream partition pruning at scale."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_stream_sink(
+    df: DataFrame,
+    fmt: str,
+    path: str | None,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger_once: bool = False,
+    processing_time: str | None = None,
+    query_name: str | None = None,
+) -> DataStreamWriter:
+    """Streaming sink with checkpointing (reference C2 savepoint-restore ≈
+    restart from checkpoint dir, ``NOTES:382-389``). Returns the
+    configured writer; caller invokes ``.start()``/``.toTable()``."""
+    writer = df.writeStream.format(fmt).outputMode(output_mode).option(
+        "checkpointLocation", checkpoint
+    )
+    if path:
+        writer = writer.option("path", path)
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer

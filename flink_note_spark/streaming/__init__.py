@@ -1,0 +1,27 @@
+"""Structured Streaming operators — the reference's core value-add
+(Flink DataStream semantics) on Spark's micro-batch engine.
+
+SURVEY.md §2.2 "Streaming-only" table: event-time windows + watermarks,
+streaming dedup, stream–static and stream–stream joins, stateful per-key
+processing (the ``KeyedProcessFunction`` analogue), checkpoint restore.
+"""
+
+from flink_note_spark.streaming.ops import (
+    session_window_agg,
+    sliding_window_agg,
+    stateful_sessionize,
+    stream_dedup,
+    stream_static_join,
+    stream_stream_join,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "session_window_agg",
+    "sliding_window_agg",
+    "stateful_sessionize",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stream_join",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,169 @@
+"""Streaming operator builders.
+
+Each function takes an unbounded DataFrame (``isStreaming=True``) and
+returns the transformed unbounded DataFrame; sinks/triggers are attached
+by the caller (``sources.files.write_stream_sink``).
+
+Watermarks bound state (late rows beyond the delay are dropped) — the
+Spark rendering of Flink's event-time/watermark contract the reference
+runtime carries through its operator chain (SURVEY.md §2.2 Streaming).
+All state goes to the RocksDB state store configured in ``session.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    watermark: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Fixed windows (reference: Flink tumbling event-time windows)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(*aggs)
+    )
+
+
+def sliding_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    watermark: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Overlapping windows of ``window`` length every ``slide``."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), *keys)
+        .agg(*aggs)
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    watermark: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Data-driven session windows with inactivity ``gap`` (builtin
+    ``session_window`` — preferred over custom state, SURVEY.md §7.3)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(*aggs)
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with watermark-bounded state
+    (``dropDuplicates`` keeps the first arrival; state for keys older
+    than the watermark is evicted — unbounded-stream safe)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        keys + [ts_col]
+    )
+
+
+def stream_static_join(
+    stream: DataFrame, static: DataFrame, on: list[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Enrich a stream against a bounded table — planned per micro-batch,
+    broadcast when the static side is small."""
+    return stream.join(static, on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    equi: Column,
+    time_bound: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream join: watermarks on both sides + a time-range
+    conjunct so the engine can evict buffered state (SURVEY.md §2.2)."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    return lw.join(rw, equi & time_bound, how)
+
+
+#: Output schema of :func:`stateful_sessionize`.
+SESSION_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events int, closed boolean"
+)
+_STATE_SCHEMA = "start long, last long, n int"
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key session accumulator (the ``KeyedProcessFunction`` analogue,
+    SURVEY.md §2.2 "Stateful per-key processing"): extends the open
+    session with each batch; a processing-time timeout closes it."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, start, last, n, True)],
+            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+        )
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        ts_us = (pdf["ts"].astype("int64")).tolist()
+        for t in ts_us:
+            if start is None:
+                start = last = t
+                n = 1
+            else:
+                start = min(start, t)
+                last = max(last, t)
+                n += 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(30_000)
+    yield pd.DataFrame(
+        [(user_id, start, last, n, False)],
+        columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+    )
+
+
+def stateful_sessionize(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``
+    (timeout-closed sessions; emits open-session snapshots per batch).
+
+    Demonstrates arbitrary per-key state — the escape hatch matching the
+    reference's ``transform(operatorName, typeInfo, operator)``
+    (``NOTES:29-32``; SURVEY.md §2.1 M6) on the streaming path.
+    """
+    return stream.groupBy(key).applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
