@@ -62,7 +62,11 @@ def _shingle_rows(
 ) -> DataFrame:
     """(id, shingle) rows, distinct per doc; optionally drop shingles with
     document frequency > max_df (boilerplate guard — the 100 TB skew
-    mitigation, SURVEY.md §7.3)."""
+    mitigation, SURVEY.md §7.3).
+
+    The frequency cap is a window count over the shingle key — one shuffle
+    shared with nothing else, instead of a groupBy + equi-join back
+    (two shuffles plus a join fan-in)."""
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
         .distinct()
@@ -70,9 +74,9 @@ def _shingle_rows(
     if max_df is not None:
         from pyspark.sql import Window
 
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        w = Window.partitionBy("shingle")
         sh = (
-            sh.join(freq, "shingle")
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
@@ -98,7 +102,9 @@ def jaccard_pairs(
     those. ``max_df`` drops ultra-common shingles, bounding the join
     fan-out per shingle.
     """
-    sh = _shingle_rows(df, id_col, text_col, n, max_df)
+    # Shingles feed three plan branches (sizes + both self-join sides) —
+    # persist so explode+distinct runs once, not three times.
+    sh = _shingle_rows(df, id_col, text_col, n, max_df).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -134,18 +140,24 @@ def minhash_signatures(
     num_hashes: int = 32,
     seed: int = 42,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: (id, signature array<int>).
 
     Universal hash family h_i(x) = (a_i·xxhash64(x) + b_i) mod (2^31-1)
     with deterministic (seed-derived) a_i, b_i — all JVM expressions.
     ``num_hashes`` min-aggregates are one map-side-combinable groupBy.
+
+    ``shingles`` lets the caller pass precomputed (persisted)
+    ``_shingle_rows`` output so LSH + verification share one scan.
     """
     rnd = _lcg(seed)
     params = [(next(rnd) % (_MERSENNE31 - 1) + 1, next(rnd) % _MERSENNE31)
               for _ in range(num_hashes)]
 
-    sh = _shingle_rows(df, id_col, text_col, n, max_df)
+    sh = shingles if shingles is not None else _shingle_rows(
+        df, id_col, text_col, n, max_df
+    )
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
     hashed = sh.select(
         id_col,
@@ -189,7 +201,15 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, max_df)
+    # One shingle scan for the whole operator: signatures, doc sizes and
+    # the verification join all read this persisted frame (previously the
+    # explode+distinct ran twice — ~2× of q31's wall time).
+    sh = _shingle_rows(df, id_col, text_col, n, max_df)
+    if verify:
+        sh = sh.persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
+    )
 
     band_rows = sig.select(
         id_col,
@@ -215,12 +235,13 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "signature", "band.band_id", "band.band_key")
 
-    # Hot-bucket cap: count bucket membership, drop floods.
-    bucket_sz = band_rows.groupBy("band_id", "band_key").agg(
-        F.count(F.lit(1)).alias("__bsz")
-    )
+    # Hot-bucket cap: window count over the bucket key (one shuffle that
+    # the pair join below reuses — no aggregate + join-back), drop floods.
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("band_id", "band_key")
     band_rows = (
-        band_rows.join(bucket_sz, ["band_id", "band_key"])
+        band_rows.withColumn("__bsz", F.count(F.lit(1)).over(bw))
         .filter(F.col("__bsz") <= max_bucket)
         .drop("__bsz")
     )
@@ -254,7 +275,7 @@ def minhash_lsh_pairs(
 
     # Verify candidates with exact shingle Jaccard (only candidate pairs
     # are scored — the LSH join has already bounded the pair count).
-    sh = _shingle_rows(df, id_col, text_col, n, max_df)
+    # ``sh`` is the persisted shingle frame computed above.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("d1"), F.col("shingle").alias("s1"))
     sb = sh.select(F.col(id_col).alias("d2"), F.col("shingle").alias("s2"))
@@ -352,11 +373,11 @@ def simhash_pairs(
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_key")
 
-    bucket_sz = bands.groupBy("chunk_id", "chunk_key").agg(
-        F.count(F.lit(1)).alias("__bsz")
-    )
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("chunk_id", "chunk_key")
     bands = (
-        bands.join(bucket_sz, ["chunk_id", "chunk_key"])
+        bands.withColumn("__bsz", F.count(F.lit(1)).over(bw))
         .filter(F.col("__bsz") <= max_bucket)
         .drop("__bsz")
     )

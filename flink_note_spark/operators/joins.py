@@ -42,6 +42,15 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     rcols = right_cols or [c for c in right.columns if c not in (on, right_time)]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        # unionByName would merge same-named columns, silently feeding
+        # left-side values into the last(..., ignorenulls) fill — refuse
+        # instead of corrupting (rename on the right before calling).
+        raise ValueError(
+            f"asof_join: right_cols {sorted(clash)} collide with left columns; "
+            "rename them on the right side first"
+        )
     t = "__asof_t"
     side = "__asof_side"
 

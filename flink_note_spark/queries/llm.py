@@ -35,6 +35,14 @@ from flink_note_spark.session import load_table as _t
 
 JACCARD_THRESHOLD = 0.4
 
+#: Document-frequency cap for shingles in the dedup entry queries — the
+#: 100 TB skew guard (SURVEY.md §7.3): one boilerplate shingle shared by
+#: millions of docs would otherwise make the shingle self-join quadratic.
+#: Any shingle on more than this fraction-independent absolute number of
+#: docs carries no near-dup signal and is dropped BEFORE the join. The
+#: oracle SQL applies the identical cap so results still hash-match.
+SHINGLE_MAX_DF = 5000
+
 
 def q29_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
@@ -55,16 +63,25 @@ def q30_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs — the verification-path dedup
     (shingle equi-join, no cross join)."""
     d = _t(spark, sf, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    return jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
+        max_df=SHINGLE_MAX_DF,
+    )
 
 
 _Q30_SQL = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS wlist FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, len(wlist) - 2),
                                i -> array_to_string(wlist[i+1:i+3], ' '))) AS shingle
   FROM w WHERE len(wlist) >= 3
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM sh0
+  ) WHERE df <= {SHINGLE_MAX_DF}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 pair_inter AS (
@@ -83,12 +100,12 @@ WHERE n_int / (s1.sz + s2.sz - n_int) >= {JACCARD_THRESHOLD}
 
 def q31_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by exact Jaccard. No SQL
-    oracle (xxhash64-based signatures); rows-only driver check + pytest
-    recall test vs q30."""
+    oracle (xxhash64-based signatures); rows-only driver check +
+    ``tests/test_lsh_recall.py`` recall/precision assertions vs q30."""
     d = _t(spark, sf, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8,
-        threshold=JACCARD_THRESHOLD, verify=True,
+        threshold=JACCARD_THRESHOLD, verify=True, max_df=SHINGLE_MAX_DF,
     )
 
 

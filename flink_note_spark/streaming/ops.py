@@ -74,12 +74,14 @@ def session_window_agg(
 def stream_dedup(
     stream: DataFrame, keys: list[str], ts_col: str, watermark: str
 ) -> DataFrame:
-    """Streaming exact dedup on ``keys`` with watermark-bounded state
-    (``dropDuplicates`` keeps the first arrival; state for keys older
-    than the watermark is evicted — unbounded-stream safe)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(
-        keys + [ts_col]
-    )
+    """Streaming exact dedup on ``keys`` alone: the first arrival per key
+    survives, later events with the same key are dropped while the key's
+    state lives. ``dropDuplicatesWithinWatermark`` bounds that state by the
+    watermark delay (unbounded-stream safe) without adding ``ts_col`` to
+    the dedup key — two events for one key at different timestamps still
+    collapse to one, matching the batch twin (q26 keeps one row per
+    user_id)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_static_join(
@@ -135,7 +137,9 @@ def _session_fn(
 
     start, last, n = state.get if state.exists else (None, None, 0)
     for pdf in pdfs:
-        ts_us = (pdf["ts"].astype("int64")).tolist()
+        # datetime64[ns] → int64 gives NANOseconds; emit epoch-MICROs to
+        # match the batch sessionization surface (q25 session_*_us).
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
         for t in ts_us:
             if start is None:
                 start = last = t
