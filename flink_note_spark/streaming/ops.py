@@ -117,57 +117,92 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "start long, last long, n int"
 
 
-def _session_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-key session accumulator (the ``KeyedProcessFunction`` analogue,
-    SURVEY.md §2.2 "Stateful per-key processing"): extends the open
-    session with each batch; a processing-time timeout closes it."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        start, last, n = state.get
-        state.remove()
+def _make_session_fn(gap_ms: int):
+    """Build the per-key session accumulator (the ``KeyedProcessFunction``
+    analogue, SURVEY.md §2.2 "Stateful per-key processing").
+
+    Each batch extends the open session and re-arms an EVENT-time timer at
+    ``last_event + gap`` — exactly Flink's
+    ``ctx.timerService().registerEventTimeTimer``. When the watermark
+    passes the timer, the session closes deterministically (a
+    processing-time timeout here would make results wall-clock dependent
+    and, with continuous no-data batches, unbounded — event time is the
+    reproducible-at-scale choice)."""
+
+    def _session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start, last, n, True)],
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events", "closed",
+                ],
+            )
+            return
+
+        start, last, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            # datetime64[ns] → int64 gives NANOseconds; emit epoch-MICROs
+            # to match the batch sessionization surface (q25 session_*_us).
+            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+            for t in ts_us:
+                if start is None:
+                    start = last = t
+                    n = 1
+                else:
+                    start = min(start, t)
+                    last = max(last, t)
+                    n += 1
+        state.update((start, last, n))
+        # event-time timer: close when the watermark passes last + gap
+        state.setTimeoutTimestamp(last // 1_000 + gap_ms)
         yield pd.DataFrame(
-            [(user_id, start, last, n, True)],
+            [(user_id, start, last, n, False)],
             columns=["user_id", "session_start", "session_end", "n_events", "closed"],
         )
-        return
 
-    start, last, n = state.get if state.exists else (None, None, 0)
-    for pdf in pdfs:
-        # datetime64[ns] → int64 gives NANOseconds; emit epoch-MICROs to
-        # match the batch sessionization surface (q25 session_*_us).
-        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-        for t in ts_us:
-            if start is None:
-                start = last = t
-                n = 1
-            else:
-                start = min(start, t)
-                last = max(last, t)
-                n += 1
-    state.update((start, last, n))
-    state.setTimeoutDuration(30_000)
-    yield pd.DataFrame(
-        [(user_id, start, last, n, False)],
-        columns=["user_id", "session_start", "session_end", "n_events", "closed"],
-    )
+    return _session_fn
 
 
-def stateful_sessionize(stream: DataFrame, key: str = "user_id") -> DataFrame:
-    """Custom stateful sessionization via ``applyInPandasWithState``
-    (timeout-closed sessions; emits open-session snapshots per batch).
+def stateful_sessionize(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "6 minutes",
+    watermark: str = "5 minutes",
+    gap_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``:
+    emits open-session snapshots per batch (``closed=false``) and a final
+    ``closed=true`` row once the watermark passes ``last_event + gap``.
 
     Demonstrates arbitrary per-key state — the escape hatch matching the
     reference's ``transform(operatorName, typeInfo, operator)``
-    (``NOTES:29-32``; SURVEY.md §2.1 M6) on the streaming path.
+    (``NOTES:29-32``; SURVEY.md §2.1 M6) on the streaming path. State is
+    O(1) per live key in the RocksDB store; watermark-driven timers bound
+    its lifetime, so this survives unbounded streams.
     """
-    return stream.groupBy(key).applyInPandasWithState(
-        _session_fn,
-        outputStructType=SESSION_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    if gap_ms is None:
+        qty, unit = gap.split()
+        gap_ms = int(qty) * {
+            "second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[unit]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            _make_session_fn(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

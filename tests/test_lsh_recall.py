@@ -1,0 +1,89 @@
+"""Recall/precision assertions for the approximate dedup & ANN operators
+(SURVEY.md §5; VERDICT round-1 item 2).
+
+The exact operators (q30 shingle Jaccard, q33 brute-force cosine) are the
+ground truth; the approximate ones (q31 MinHash-LSH, q32 SimHash, q34
+SRP-LSH ANN) must recover ≥90% of it — and, where they verify
+candidates exactly, with perfect precision.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_note_spark.operators.dedup import simhash_fingerprints, simhash_pairs
+from flink_note_spark.queries.llm import (
+    q30_jaccard_pairs,
+    q31_minhash_lsh,
+    q33_cosine_topk,
+    q34_lsh_cosine_topk,
+)
+from flink_note_spark.session import load_table
+
+
+def _pair_set(df, c1="d1", c2="d2"):
+    return {(int(r[c1]), int(r[c2])) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    """q31 (MinHash + banded LSH + exact verification) vs q30 (exact
+    all-shared-shingle Jaccard): the verified output must be a SUBSET of
+    the exact pairs (precision 1.0 — verification recomputes true
+    Jaccard) and recover at least 90% of them (recall via 8 bands × 4
+    rows at threshold 0.4)."""
+    exact = _pair_set(q30_jaccard_pairs(spark, sf_dir))
+    approx = _pair_set(q31_minhash_lsh(spark, sf_dir))
+    assert exact, "fixture corpus must contain near-duplicate pairs"
+
+    false_pos = approx - exact
+    assert not false_pos, f"verified LSH pairs not in exact set: {false_pos}"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} < 0.9"
+
+
+def test_lsh_cosine_topk_recall(spark, sf_dir):
+    """q34 (SRP-LSH ANN) vs q33 (exact brute-force cosine): ≥90% of the
+    true top-5 neighbor pairs must be recovered."""
+    exact = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in q33_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in q34_lsh_cosine_topk(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
+
+def test_simhash_pigeonhole_completeness(spark, sf_dir):
+    """Pigeonhole guarantee: every document pair whose 64-bit SimHash
+    fingerprints differ in ≤ max_hamming bits MUST appear in
+    simhash_pairs output (banding into max_hamming+1 chunks means some
+    chunk matches exactly). Brute-force all-pairs hamming over the
+    fixture corpus is the oracle."""
+    max_hamming = 3
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, "doc_id", "text").toPandas()
+
+    ids = fp["doc_id"].to_numpy()
+    sigs = fp["simhash"].to_numpy().astype(np.uint64)
+    # all-pairs hamming distance via XOR + popcount (fixture-sized corpus)
+    xor = sigs[:, None] ^ sigs[None, :]
+    ham = np.vectorize(lambda v: bin(int(v)).count("1"))(xor)
+    iu = np.triu_indices(len(ids), k=1)
+    want = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b, h in zip(ids[iu[0]], ids[iu[1]], ham[iu])
+        if h <= max_hamming
+    }
+    assert want, "fixture corpus must contain SimHash-close pairs"
+
+    got = _pair_set(simhash_pairs(docs, "doc_id", "text", max_hamming=max_hamming))
+    missing = want - got
+    assert not missing, f"pigeonhole-guaranteed pairs missing: {missing}"
+    # and nothing beyond the hamming bound sneaks in
+    extra = got - want
+    assert not extra, f"pairs beyond hamming bound: {extra}"

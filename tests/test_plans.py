@@ -1,0 +1,56 @@
+"""Physical-plan shape assertions (SURVEY.md "optimize for scale";
+VERDICT round-1 item 7): regressions in pushdown, broadcast choice or
+shuffle count fail CI, not just slow down the bench.
+"""
+
+from __future__ import annotations
+
+from flink_note_spark.plans.inspect import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+)
+from flink_note_spark.queries import QUERIES
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    """The shipdate predicate must reach the parquet scan (PushedFilters),
+    and the scan must NOT read columns the query never touches."""
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert "l_shipdate" in pushed, f"no pushed shipdate filter: {pushed}"
+    cols = scan_columns(df)
+    assert "l_comment" not in cols, f"unpruned scan reads l_comment: {cols}"
+
+
+def test_q09_broadcasts_dim(spark, sf_dir):
+    """Explicit broadcast hint on the part dim must yield a broadcast
+    join — no shuffle of the lineitem fact for the join itself."""
+    df = QUERIES["q09_broadcast_join"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q03_broadcasts_customer(spark, sf_dir):
+    df = QUERIES["q03_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q27_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is union + one keyed window: at most 2 exchanges
+    (the window shuffle + AQE final coalesce) — never a join explosion."""
+    df = QUERIES["q27_asof_join"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, f"asof plan shuffles {shuffle_count(df)}×"
+
+
+def test_q29_exact_dedup_single_shuffle(spark, sf_dir):
+    """Exact dedup is one map-side-combinable groupBy on the digest."""
+    df = QUERIES["q29_exact_dedup"](spark, sf_dir)
+    assert shuffle_count(df) <= 1, f"dedup plan shuffles {shuffle_count(df)}×"
+
+
+def test_q33_corpus_not_shuffled(spark, sf_dir):
+    """Brute-force cosine: queries broadcast, corpus streams through one
+    pass — the join itself must be broadcast, not a corpus shuffle."""
+    df = QUERIES["q33_cosine_topk"](spark, sf_dir)
+    assert has_broadcast_join(df)

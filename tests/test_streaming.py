@@ -1,0 +1,456 @@
+"""End-to-end streaming correctness suite (SURVEY.md §5.4).
+
+Drives every declared streaming capability (SURVEY.md §2.2 "Streaming-
+only") through a real micro-batch pipeline: timestamped chunk files →
+``sources.files.read_file_stream`` (one file per trigger, so watermarks
+advance batch-by-batch like a live stream) → the operator under test →
+memory or file sink — then asserts the result equals the batch twin on
+the same bounded input.
+
+Covers: tumbling/sliding/session windows, watermark late-data drop,
+streaming dedup, stream–static join, stream–stream join, stateful
+sessionization (applyInPandasWithState), and checkpoint → restart
+resume without duplicates (reference C2 savepoint semantics).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from flink_note_spark.sources.files import read_file_stream, write_stream_sink
+from flink_note_spark.streaming.ops import (
+    session_window_agg,
+    sliding_window_agg,
+    stateful_sessionize,
+    stream_dedup,
+    stream_static_join,
+    stream_stream_join,
+    tumbling_window_agg,
+)
+
+EVENT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, event_type string, value double"
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def _ts(minute: float) -> dt.datetime:
+    """Event time `minute` minutes after a fixed UTC epoch."""
+    return dt.datetime(2024, 3, 1, 0, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _write_chunk(dirpath, name: str, rows: list[tuple]) -> None:
+    """One parquet chunk file = one source micro-batch (maxFilesPerTrigger=1)."""
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
+    )
+    table = pa.Table.from_pandas(pdf, schema=_ARROW_SCHEMA, preserve_index=False)
+    pq.write_table(table, str(dirpath / name))
+
+
+def _run_to_memory(df, name: str, output_mode: str, tmp_path) -> None:
+    """Start → drain all available input → stop. ``name`` becomes the
+    in-memory table."""
+    q = (
+        write_stream_sink(
+            df, "memory", path=None,
+            checkpoint=str(tmp_path / f"ckpt_{name}"),
+            output_mode=output_mode, query_name=name,
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+@pytest.fixture()
+def chunk_dir(tmp_path):
+    d = tmp_path / f"stream_src_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    return d
+
+
+# --- windowed aggregations (streaming twin == batch twin) ---------------
+
+
+def _window_fixture(chunk_dir):
+    """Three micro-batches spanning three 10-minute windows."""
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(4), "view", 2.0),
+        (1, 3, _ts(9), "click", 3.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (2, 4, _ts(12), "view", 4.0),
+        (1, 5, _ts(18), "view", 5.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [
+        (3, 6, _ts(25), "view", 6.0),
+    ])
+
+
+def test_tumbling_window_stream_equals_batch(spark, chunk_dir, tmp_path):
+    _window_fixture(chunk_dir)
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ]
+    out = tumbling_window_agg(
+        stream, "ts", "10 minutes", "5 minutes", keys=["event_type"], aggs=aggs
+    ).select(
+        F.col("window.start").alias("win_start"), "event_type",
+        "n_events", "sum_value",
+    )
+    _run_to_memory(out, "tumbling_out", "complete", tmp_path)
+
+    got = spark.sql("SELECT * FROM tumbling_out").toPandas()
+    want = (
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+        .groupBy(F.window("ts", "10 minutes").alias("window"), "event_type")
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("win_start"), "event_type",
+            "n_events", "sum_value",
+        )
+        .toPandas()
+    )
+    key = ["win_start", "event_type"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True),
+        want.sort_values(key, ignore_index=True),
+        check_dtype=False,
+    )
+
+
+def test_sliding_window_stream_equals_batch(spark, chunk_dir, tmp_path):
+    _window_fixture(chunk_dir)
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out = sliding_window_agg(
+        stream, "ts", "10 minutes", "5 minutes", "5 minutes", keys=[], aggs=aggs
+    ).select(F.col("window.start").alias("win_start"), "n_events")
+    _run_to_memory(out, "sliding_out", "complete", tmp_path)
+
+    got = spark.sql("SELECT * FROM sliding_out").toPandas()
+    want = (
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("window"))
+        .agg(*aggs)
+        .select(F.col("window.start").alias("win_start"), "n_events")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("win_start", ignore_index=True),
+        want.sort_values("win_start", ignore_index=True),
+        check_dtype=False,
+    )
+
+
+def test_session_window_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """Per-user sessions with a 6-minute inactivity gap: user 1's events at
+    0/9/18 chain into ONE session only if gaps < 6 min — here 9→18 splits."""
+    _window_fixture(chunk_dir)
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out = session_window_agg(
+        stream, "ts", "6 minutes", "5 minutes", keys=["user_id"], aggs=aggs
+    ).select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        "n_events",
+    )
+    _run_to_memory(out, "session_out", "complete", tmp_path)
+
+    got = spark.sql("SELECT * FROM session_out").toPandas()
+    want = (
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+        .groupBy(F.session_window("ts", "6 minutes").alias("session_window"), "user_id")
+        .agg(*aggs)
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    key = ["user_id", "sess_start"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True),
+        want.sort_values(key, ignore_index=True),
+        check_dtype=False,
+    )
+    # sanity: the 6-min gap split user 1 into >= 2 sessions
+    assert (got["user_id"] == 1).sum() >= 2
+
+
+# --- watermark late-data handling ---------------------------------------
+
+
+def test_watermark_drops_late_row(spark, chunk_dir, tmp_path):
+    """Append-mode tumbling count with a 5-minute watermark, fed like a
+    live stream (files arrive BETWEEN drain cycles, so no-data batches
+    finalize windows the moment the watermark passes them).
+
+    Chunk 1 fills window [00:00, 00:10). Chunk 2 jumps event time to
+    00:30, pushing the watermark (30 - 5 = 00:25) past that window's end —
+    the window is finalized and emitted with count 2. Chunk 3 then
+    delivers a LATE row stamped 00:02:30, far below the watermark: Spark
+    guarantees it cannot touch the finalized window (state already
+    evicted) — no second emission, no recount.
+    """
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (1, 2, _ts(2), "view", 1.0),
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = tumbling_window_agg(
+        stream, "ts", "10 minutes", "5 minutes", keys=[],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    ).select(F.col("window.start").alias("win_start"), "n_events")
+    q = (
+        write_stream_sink(
+            out, "memory", path=None, checkpoint=str(tmp_path / "ckpt_late"),
+            output_mode="append", query_name="late_out",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time → watermark 00:25 finalizes [00:00, 00:10)
+        _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(30), "view", 1.0)])
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT n_events FROM late_out WHERE win_start = timestamp'2024-03-01 00:00:00'"
+        ).collect()
+        assert [r.n_events for r in emitted] == [2]
+
+        # late row arrives AFTER finalization → dropped, never re-emitted
+        _write_chunk(chunk_dir, "c3.parquet", [
+            (1, 4, _ts(2.5), "view", 1.0),
+            (1, 5, _ts(35), "view", 1.0),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT * FROM late_out").toPandas()
+    first = got[got["win_start"] == _ts(0)]
+    assert len(first) == 1
+    assert int(first["n_events"].iloc[0]) == 2
+
+
+# --- streaming dedup ----------------------------------------------------
+
+
+def test_stream_dedup_keeps_one_row_per_key(spark, chunk_dir, tmp_path):
+    """Keys-only dedup: the same user_id at DIFFERENT timestamps still
+    collapses to one row (the q26 batch-twin contract)."""
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "view", 1.0),
+        (1, 3, _ts(2), "click", 1.0),   # dup key, later ts — must drop
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (2, 4, _ts(3), "view", 1.0),    # dup key in a later batch — drop
+        (3, 5, _ts(4), "view", 1.0),
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = stream_dedup(stream, keys=["user_id"], ts_col="ts", watermark="10 minutes")
+    _run_to_memory(out, "dedup_out", "append", tmp_path)
+
+    got = spark.sql("SELECT * FROM dedup_out").toPandas()
+    assert sorted(got["user_id"].tolist()) == [1, 2, 3]
+    # first arrival survives
+    assert set(got["event_id"]) == {1, 2, 5}
+
+
+# --- joins --------------------------------------------------------------
+
+
+def test_stream_static_join(spark, chunk_dir, tmp_path):
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "view", 2.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (3, 3, _ts(2), "view", 3.0),
+    ])
+    static = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = stream_static_join(stream, static, on=["user_id"], how="inner").select(
+        "user_id", "event_id", "tier"
+    )
+    _run_to_memory(out, "ssj_out", "append", tmp_path)
+
+    got = spark.sql("SELECT * FROM ssj_out").toPandas()
+    assert sorted(got["user_id"].tolist()) == [1, 2]
+    assert set(got["tier"]) == {"gold", "silver"}
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Two live streams (views ⋈ clicks within 10 minutes after the view),
+    both watermarked so join state is evictable."""
+    vdir = tmp_path / "views_src"
+    cdir = tmp_path / "clicks_src"
+    vdir.mkdir()
+    cdir.mkdir()
+    _write_chunk(vdir, "v1.parquet", [
+        (1, 10, _ts(0), "view", 1.0),
+        (2, 11, _ts(5), "view", 1.0),
+    ])
+    _write_chunk(cdir, "c1.parquet", [
+        (1, 20, _ts(4), "click", 1.0),    # within 10 min of view@0 → match
+        (2, 21, _ts(30), "click", 1.0),   # 25 min after view@5 → no match
+    ])
+
+    views = read_file_stream(spark, "parquet", str(vdir), EVENT_SCHEMA).select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = read_file_stream(spark, "parquet", str(cdir), EVENT_SCHEMA).select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = stream_stream_join(
+        views, clicks,
+        left_ts="view_ts", right_ts="click_ts",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        equi=F.col("v_user") == F.col("c_user"),
+        time_bound=(
+            (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES"))
+        ),
+    ).select("v_user", "view_id", "click_id")
+    _run_to_memory(out, "ssj2_out", "append", tmp_path)
+
+    got = spark.sql("SELECT * FROM ssj2_out").toPandas()
+    assert got[["v_user", "view_id", "click_id"]].values.tolist() == [[1, 10, 20]]
+
+
+# --- stateful per-key processing (applyInPandasWithState) ---------------
+
+
+def test_stateful_sessionize_event_time_close(spark, chunk_dir, tmp_path):
+    """Sessions extend across micro-batches and close deterministically
+    when the watermark passes last_event + gap (event-time timers — the
+    KeyedProcessFunction pattern)."""
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (1, 2, _ts(3), "view", 1.0),
+        (2, 3, _ts(1), "view", 1.0),
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = stateful_sessionize(
+        stream, key="user_id", ts_col="ts", gap="6 minutes", watermark="5 minutes"
+    )
+    q = (
+        write_stream_sink(
+            out, "memory", path=None, checkpoint=str(tmp_path / "ckpt_sess"),
+            output_mode="update", query_name="sess_state_out",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # session for user 1 still open, extended within one batch
+        snap = spark.sql(
+            "SELECT * FROM sess_state_out WHERE user_id = 1"
+        ).toPandas()
+        assert int(snap["n_events"].max()) == 2
+        assert not snap["closed"].any()
+
+        # another event extends user 1's session in a later batch
+        _write_chunk(chunk_dir, "c2.parquet", [(1, 4, _ts(6), "view", 1.0)])
+        q.processAllAvailable()
+
+        # sentinel far in the future: watermark (60-5=55 min) passes every
+        # timer (last+gap ≤ 12 min) → closed=true rows fire
+        _write_chunk(chunk_dir, "c3.parquet", [(99, 5, _ts(60), "view", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.sql("SELECT * FROM sess_state_out").toPandas()
+    closed = got[got["closed"]]
+    us = lambda m: int(_ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    u1 = closed[closed["user_id"] == 1].iloc[0]
+    assert int(u1["n_events"]) == 3          # 0, 3 and 6-minute events
+    assert int(u1["session_start"]) == us(0)
+    assert int(u1["session_end"]) == us(6)
+    u2 = closed[closed["user_id"] == 2].iloc[0]
+    assert int(u2["n_events"]) == 1
+
+
+# --- checkpoint → restart resume (reference C2 savepoint semantics) -----
+
+
+def test_checkpoint_restart_no_duplicates(spark, chunk_dir, tmp_path):
+    """Run → stop → add input → restart from the SAME checkpoint: the
+    second run must process only the new file; the exactly-once file sink
+    (manifest under _spark_metadata) never shows duplicates."""
+    sink = tmp_path / "restart_sink"
+    ckpt = tmp_path / "restart_ckpt"
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "view", 1.0),
+    ])
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+        ).select("user_id", "event_id", "ts", "event_type", "value")
+        q = write_stream_sink(
+            stream, "parquet", str(sink), checkpoint=str(ckpt),
+            output_mode="append",
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(str(sink))
+    assert first.count() == 2
+
+    # new data lands while the query is DOWN; restart resumes from offsets
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (3, 3, _ts(2), "view", 1.0),
+    ])
+    run_once()
+    final = spark.read.parquet(str(sink)).toPandas()
+    assert sorted(final["event_id"].tolist()) == [1, 2, 3]  # no dupes, no loss
+    assert (tmp_path / "restart_sink" / "_spark_metadata").exists()
