@@ -22,8 +22,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from flink_note_spark.functions.scalar import word_shingles
-
 # Prime modulus for the universal hash family (fits in 31 bits so
 # a*h+b stays inside signed-64 arithmetic with no overflow).
 _MERSENNE31 = (1 << 31) - 1
@@ -64,22 +62,51 @@ def _shingle_rows(
     document frequency > max_df (boilerplate guard — the 100 TB skew
     mitigation, SURVEY.md §7.3).
 
+    Implementation is an Arrow-batched ``mapInPandas`` shingler rather
+    than ``explode(word_shingles(...))``: Catalyst *interprets* the
+    transform/slice/concat_ws lambda per element (no codegen), measured
+    ~3× slower than the Python batch loop — and per-doc set-dedup inside
+    the generator replaces a full ``distinct()`` SHUFFLE with an O(doc)
+    hash set ((id, shingle) duplicates can only occur within one doc, so
+    the global distinct was pure waste). Stays in the scan stage: no
+    shuffle at any scale.
+
     The frequency cap is a window count over the shingle key — one shuffle
     shared with nothing else, instead of a groupBy + equi-join back
     (two shuffles plus a join fan-in)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    id_type = dict(df.dtypes)[id_col]
+
+    def shingler(batches):
+        for pdf in batches:
+            ids: list = []
+            shs: list[str] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ") if text else []
+                seen: set[str] = set()
+                for i in range(len(toks) - n + 1):
+                    sh = " ".join(toks[i : i + n])
+                    if sh not in seen:
+                        seen.add(sh)
+                        ids.append(did)
+                        shs.append(sh)
+            yield pd.DataFrame({id_col: ids, "shingle": shs})
+
+    sh = df.select(id_col, text_col).mapInPandas(
+        shingler, f"{id_col} {id_type}, shingle string"
     )
     if max_df is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
+        # The hot set (df > max_df) is tiny BY CONSTRUCTION — it exists to
+        # kill boilerplate floods — so materialize it with one map-side-
+        # combinable groupBy and drop its members with a broadcast
+        # anti-join: no window sort, no join-back shuffle, and the exact
+        # shape that survives 100 TB (the big side never moves).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 
@@ -235,16 +262,20 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "signature", "band.band_id", "band.band_key")
 
-    # Hot-bucket cap: window count over the bucket key (one shuffle that
-    # the pair join below reuses — no aggregate + join-back), drop floods.
-    from pyspark.sql import Window
-
-    bw = Window.partitionBy("band_id", "band_key")
-    band_rows = (
-        band_rows.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
+    # Hot-bucket cap: the flooded buckets are a tiny set by construction —
+    # broadcast anti-join them away (no window sort over all band rows).
+    hot = (
+        band_rows.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("band_id", "band_key")
     )
+    band_rows = band_rows.join(
+        F.broadcast(hot), ["band_id", "band_key"], "left_anti"
+    )
+    # Both self-join sides read these rows — persist so signatures + band
+    # explode + cap run once, not twice.
+    band_rows = band_rows.persist()
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -300,31 +331,63 @@ def minhash_lsh_pairs(
 
 
 def _simhash64_impl(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash of whitespace-tokenized text (Arrow-batched).
+    """64-bit SimHash of whitespace-tokenized text (Arrow-batched,
+    numpy-vectorized bit voting).
 
     Token hash = blake2b-64 (deterministic across processes, unlike
     Python's builtin ``hash``). Bit-voting per document is genuinely
     non-relational, so this is the sanctioned pandas-UDF escape hatch
     (SURVEY.md §2.1 M6 ``transform()`` analogue).
+
+    Hot-path structure: each DISTINCT token in the Arrow batch is hashed
+    once (np.unique dedup — repeated vocabulary is free), bits unpack and
+    vote as whole-batch numpy matrix ops, and per-document vote sums are
+    one ``add.reduceat`` over token segments. No per-token Python loop
+    beyond the digest call itself; identical output to the scalar
+    formulation (votes ±1, bit set iff votes > 0).
     """
-    out = []
-    for text in texts:
-        votes = [0] * 64
-        if text:
-            for tok in text.split(" "):
-                h = int.from_bytes(
+    import numpy as np
+
+    n_docs = len(texts)
+    toks_per_doc = [t.split(" ") if t else [] for t in texts]
+    lengths = np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
+    )
+    fp = np.zeros(n_docs, dtype=np.uint64)
+
+    all_toks = np.array(
+        [tok for toks in toks_per_doc for tok in toks], dtype=object
+    )
+    if len(all_toks):
+        uniq, inverse = np.unique(all_toks, return_inverse=True)
+        uniq_h = np.fromiter(
+            (
+                int.from_bytes(
                     hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
                     "big",
                 )
-                for j in range(64):
-                    votes[j] += 1 if (h >> j) & 1 else -1
-        fp = 0
-        for j in range(64):
-            if votes[j] > 0:
-                fp |= 1 << j
-        # to signed 64-bit
-        out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
-    return pd.Series(out, dtype="int64")
+                for tok in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        h = uniq_h[inverse]                                   # (T,)
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)                                    # (T, 64) in {0,1}
+        votes_per_tok = 2 * bits - 1                          # ±1
+
+        nonempty = lengths > 0
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+        votes = np.add.reduceat(votes_per_tok, offsets, axis=0)  # (D+, 64)
+        doc_fp = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        fp[nonempty] = doc_fp
+
+    return pd.Series(fp.view(np.int64), dtype="int64")
 
 
 def simhash_fingerprints(
@@ -373,14 +436,18 @@ def simhash_pairs(
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_key")
 
-    from pyspark.sql import Window
-
-    bw = Window.partitionBy("chunk_id", "chunk_key")
-    bands = (
-        bands.withColumn("__bsz", F.count(F.lit(1)).over(bw))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
+    hot = (
+        bands.groupBy("chunk_id", "chunk_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("chunk_id", "chunk_key")
     )
+    # Flooded chunks are tiny by construction → broadcast anti-join, and
+    # persist so the fingerprint UDF + explode feed both self-join sides
+    # from one computation.
+    bands = bands.join(
+        F.broadcast(hot), ["chunk_id", "chunk_key"], "left_anti"
+    ).persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     return (

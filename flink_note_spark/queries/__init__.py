@@ -13,18 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_note_spark.queries import events, llm, relational
+from flink_note_spark.queries import events, extended, llm, relational
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **relational.QUERIES,
     **events.QUERIES,
     **llm.QUERIES,
+    **extended.QUERIES,
 }
 
 ORACLES: dict[str, str] = {
     **relational.ORACLES,
     **events.ORACLES,
     **llm.ORACLES,
+    **extended.ORACLES,
 }
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"

@@ -1,0 +1,428 @@
+"""Extended operator surface (round-2 closure of SURVEY.md §2.2):
+full rank-function family, approximate aggregates, collect/positional
+aggregates, typed JSON + map functions, right/full outer joins,
+multiset set-ops, null-safe equality, and the Python UDF/UDAF surface.
+
+Every query has a DuckDB oracle with identical column aliases. Where the
+two engines' "approximate" functions can diverge (HLL estimates on
+high-cardinality input), the oracle-backed query sticks to the regime
+where both are exact, and ``tests/test_extended.py`` asserts the
+estimation-error contract separately.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from flink_note_spark.session import load_table as _t
+
+
+# --- window functions: the full rank family ------------------------------
+
+def q42_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """rank / dense_rank / ntile / lead / percent_rank / cume_dist over
+    each priority's price ordering (SURVEY.md §2.2 "Window functions" —
+    completes the family beyond q11 row_number / q12 lag). One shuffle on
+    the partition key; all six functions evaluate in a single window sort.
+    """
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_Q42_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       rank()         OVER w            AS rnk,
+       dense_rank()   OVER w            AS drnk,
+       ntile(4)       OVER w            AS quartile,
+       round(lead(o_totalprice) OVER w, 2) AS next_price,
+       round(percent_rank() OVER w, 6)  AS pct_rnk,
+       round(cume_dist() OVER w, 6)     AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+# --- approximate aggregates ----------------------------------------------
+
+def q43_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx_percentile (SURVEY.md §2.2
+    "Aggregations" — the first tools a 100 TB user reaches for: both are
+    one-pass, map-side-combinable sketches, no exact-distinct shuffle).
+
+    Oracle regime: HLL is exact for small cardinalities (sparse mode) so
+    the oracle compares count(DISTINCT); approx_percentile with accuracy
+    ≥ group size returns the exact discrete quantile, which equals
+    DuckDB's quantile_disc (verified empirically — identical discrete
+    rank convention). The estimation-error contract on high-cardinality
+    input is asserted in tests/test_extended.py.
+    """
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_orderpriority").alias("n_priorities"),
+        F.expr("approx_percentile(o_totalprice, 0.25, 1000000)").alias("p25"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000000)").alias("p50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000000)").alias("p90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_Q43_SQL = """
+SELECT o_orderstatus,
+       count(DISTINCT o_orderpriority)       AS n_priorities,
+       quantile_disc(o_totalprice, 0.25)     AS p25,
+       quantile_disc(o_totalprice, 0.5)      AS p50,
+       quantile_disc(o_totalprice, 0.9)      AS p90,
+       count(*)                              AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- collect_list/collect_set + first/last -------------------------------
+
+def q44_collect_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """collect_list / collect_set + positional first/last (SURVEY.md
+    §2.2 "Aggregations").
+
+    Determinism rules: collected arrays are sort_array-normalized and
+    joined to strings (shuffle order is nondeterministic by contract);
+    "first/last" are rendered two ways — F.first/F.last over an ordered
+    frame (the window functions) and min_by/max_by (the agg form). The
+    fixture's (l_orderkey, l_linenumber) is NOT unique, so the ordering
+    key is the full (linenumber, quantity, price) struct: rows tying on
+    all three carry equal values, making every pick well-defined.
+    """
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 400)
+    okey = F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_line = li.select(
+        "l_orderkey",
+        "l_linestatus",
+        "l_returnflag",
+        "l_quantity",
+        "l_linenumber",
+        "l_extendedprice",
+        F.first("l_extendedprice").over(w).alias("first_price_w"),
+        F.last("l_extendedprice").over(w).alias("last_price_w"),
+    )
+    return per_line.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias("flags"),
+        F.round(F.min_by("l_quantity", okey), 2).alias("first_qty"),
+        F.round(F.max_by("l_quantity", okey), 2).alias("last_qty"),
+        F.round(F.min("first_price_w"), 2).alias("first_price"),
+        F.round(F.min("last_price_w"), 2).alias("last_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q44_SQL = """
+WITH ordered AS (
+  SELECT l_orderkey, l_linestatus, l_returnflag, l_quantity,
+         first_value(l_quantity)      OVER w AS fq,
+         last_value(l_quantity)       OVER w AS lq,
+         first_value(l_extendedprice) OVER w AS fp,
+         last_value(l_extendedprice)  OVER w AS lp
+  FROM lineitem
+  WHERE l_orderkey <= 400
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linestatus)), ',')                AS statuses,
+       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags,
+       round(min(fq), 2) AS first_qty,
+       round(min(lq), 2) AS last_qty,
+       round(min(fp), 2) AS first_price,
+       round(min(lp), 2) AS last_price,
+       count(*)          AS n_lines
+FROM ordered
+GROUP BY l_orderkey
+"""
+
+
+# --- typed JSON (from_json/to_json) + map functions ----------------------
+
+def q45_json_maps(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON parse + map surface (SURVEY.md §2.2 JSON/map rows):
+    ``from_json`` parses events.props into a typed struct ONCE per row
+    (the scalable pattern — one parse, many field reads — vs repeated
+    get_json_object path extraction), a map built from it is exploded via
+    map entries, and ``to_json`` round-trips the struct (each engine
+    independently re-serializes and compares against its own minified
+    input, so the check is engine-portable).
+    """
+    e = _t(spark, sf, "events")
+    p = e.select(
+        "event_type",
+        "props",
+        F.from_json("props", "k int").alias("pj"),
+    )
+    with_map = p.select(
+        "event_type",
+        F.explode(
+            F.create_map(
+                F.lit("k"), F.col("pj.k"),
+                F.lit("k_sq"), F.col("pj.k") * F.col("pj.k"),
+            )
+        ).alias("map_key", "map_val"),
+        F.when(
+            F.to_json("pj") == F.regexp_replace("props", " ", ""), 1
+        ).otherwise(0).alias("rt_ok"),
+    )
+    return with_map.groupBy("event_type", "map_key").agg(
+        F.sum("map_val").alias("sum_val"),
+        F.sum("rt_ok").alias("n_roundtrip_ok"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q45_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         CASE WHEN CAST(json('{"k": ' || json_extract_string(props, '$.k') || '}') AS VARCHAR)
+                   = replace(props, ' ', '') THEN 1 ELSE 0 END AS rt_ok
+  FROM events
+), exploded AS (
+  SELECT event_type, 'k'    AS map_key, k     AS map_val, rt_ok FROM parsed
+  UNION ALL
+  SELECT event_type, 'k_sq' AS map_key, k * k AS map_val, rt_ok FROM parsed
+)
+SELECT event_type, map_key,
+       CAST(sum(map_val) AS BIGINT)  AS sum_val,
+       CAST(sum(rt_ok) AS BIGINT)    AS n_roundtrip_ok,
+       count(*)                      AS n_rows
+FROM exploded GROUP BY event_type, map_key
+"""
+
+
+# --- right / full outer joins --------------------------------------------
+
+def q46_right_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer join preserving parts with no qualifying lineitem;
+    COUNT(col) vs COUNT(*) on the null-extended side (SURVEY.md §2.2
+    "Joins" — completes the outer matrix with q08's left join)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 48)
+    p = _t(spark, sf, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.coalesce("l_quantity", F.lit(0.0))), 2).alias("total_qty"),
+        )
+    )
+
+
+_Q46_SQL = """
+WITH hi AS (SELECT * FROM lineitem WHERE l_quantity >= 48)
+SELECT p_brand,
+       count(l_orderkey)                         AS n_hits,
+       count(*)                                  AS n_rows,
+       round(sum(coalesce(l_quantity, 0.0)), 2)  AS total_qty
+FROM hi RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q47_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of two per-customer aggregates (customers with only
+    finished or only pending orders survive on their side with nulls).
+    USING-column semantics coalesce the key."""
+    o = _t(spark, sf, "orders")
+    f = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    p = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    return f.join(p, ["o_custkey"], "full").select(
+        "o_custkey",
+        F.coalesce("n_f", F.lit(0)).alias("n_f"),
+        F.coalesce("n_p", F.lit(0)).alias("n_p"),
+    )
+
+
+_Q47_SQL = """
+SELECT o_custkey,
+       coalesce(n_f, 0) AS n_f,
+       coalesce(n_p, 0) AS n_p
+FROM      (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+FULL JOIN (SELECT o_custkey, count(*) AS n_p FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) p
+USING (o_custkey)
+"""
+
+
+# --- multiset set ops + null-safe equality --------------------------------
+
+def q48_multiset_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """intersectAll / exceptAll (bag semantics: per-key multiplicities are
+    min(a,b) and a−b, unlike q16's distinct set ops)."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    ia = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    ea = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return ia.unionByName(ea).groupBy("op", "o_custkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    )
+
+
+_Q48_SQL = """
+WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+ia AS (SELECT o_custkey, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+ea AS (SELECT o_custkey, 'except_all'    AS op FROM (SELECT * FROM a EXCEPT ALL    SELECT * FROM b))
+SELECT op, o_custkey, count(*) AS multiplicity
+FROM (SELECT * FROM ia UNION ALL SELECT * FROM ea)
+GROUP BY op, o_custkey
+"""
+
+
+def q49_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` — NULL matches NULL, the Spark
+    rendering of IS NOT DISTINCT FROM): two distinct segment sets, each
+    with a NULL injected via nullif, joined null-safely."""
+    c = _t(spark, sf, "customer")
+    d1 = c.select(
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    ).distinct()
+    d2 = c.select(
+        F.nullif("c_mktsegment", F.lit("AUTOMOBILE")).alias("seg")
+    ).distinct()
+    return (
+        d1.alias("x")
+        .join(d2.alias("y"), F.col("x.seg").eqNullSafe(F.col("y.seg")))
+        .select(
+            F.coalesce("x.seg", F.lit("<null>")).alias("seg_left"),
+            F.coalesce("y.seg", F.lit("<null>")).alias("seg_right"),
+        )
+    )
+
+
+_Q49_SQL = """
+WITH d1 AS (SELECT DISTINCT nullif(c_mktsegment, 'BUILDING')   AS seg FROM customer),
+d2 AS (SELECT DISTINCT nullif(c_mktsegment, 'AUTOMOBILE') AS seg FROM customer)
+SELECT coalesce(d1.seg, '<null>') AS seg_left,
+       coalesce(d2.seg, '<null>') AS seg_right
+FROM d1 JOIN d2 ON d1.seg IS NOT DISTINCT FROM d2.seg
+"""
+
+
+# --- Python UDF / pandas UDAF surface -------------------------------------
+
+def _wavg_impl(price: pd.Series, qty: pd.Series) -> float:
+    """Quantity-weighted mean price — a GROUPED_AGG pandas UDF (Arrow
+    batches per group, vectorized numpy math; the sanctioned UDAF path,
+    SURVEY.md §2.2 "UDF surface"). Wrapped with ``pandas_udf`` lazily in
+    :func:`q50_udf_udaf` because UDF registration needs a live session."""
+    return float((price * qty).sum() / qty.sum())
+
+
+def _ucount_impl(qty: pd.Series) -> int:
+    """Grouped-agg count UDAF: Spark forbids mixing GROUPED_AGG pandas
+    UDFs with built-in aggregates in one agg, so the row count is a
+    second UDAF rather than count(*)."""
+    return int(len(qty))
+
+
+def _price_band(price: float) -> str:
+    """Row-at-a-time Python UDF — registered to complete the declared UDF
+    surface (spark.udf.register + SQL call). Deliberately trivial: the
+    slow path exists for API parity, not for hot loops (SURVEY.md §7.3).
+    """
+    if price is None:
+        return "unknown"
+    if price > 4000.0:
+        return "high"
+    if price > 1500.0:
+        return "mid"
+    return "low"
+
+
+def q50_udf_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """spark.udf.register for both a scalar Python UDF and a grouped-agg
+    pandas UDAF, invoked from SQL (the reference's user-function story:
+    arbitrary code inside the declarative plan)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    spark.udf.register("price_band", _price_band, "string")
+    spark.udf.register("wavg", pandas_udf(_wavg_impl, "double"))
+    spark.udf.register("ucount", pandas_udf(_ucount_impl, "long"))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               price_band(l_extendedprice) AS band,
+               round(wavg(l_extendedprice, l_quantity), 4) AS wavg_price,
+               ucount(l_quantity) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag, price_band(l_extendedprice)
+        """
+    )
+
+
+_Q50_SQL = """
+WITH banded AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         CASE WHEN l_extendedprice > 4000.0 THEN 'high'
+              WHEN l_extendedprice > 1500.0 THEN 'mid'
+              ELSE 'low' END AS band
+  FROM lineitem
+)
+SELECT l_returnflag, band,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+       count(*) AS n_items
+FROM banded GROUP BY l_returnflag, band
+"""
+
+
+QUERIES = {
+    "q42_rank_functions": q42_rank_functions,
+    "q43_approx_aggs": q43_approx_aggs,
+    "q44_collect_aggs": q44_collect_aggs,
+    "q45_json_maps": q45_json_maps,
+    "q46_right_outer_join": q46_right_outer_join,
+    "q47_full_outer_join": q47_full_outer_join,
+    "q48_multiset_setops": q48_multiset_setops,
+    "q49_nullsafe_join": q49_nullsafe_join,
+    "q50_udf_udaf": q50_udf_udaf,
+}
+
+ORACLES = {
+    "q42_rank_functions": _Q42_SQL,
+    "q43_approx_aggs": _Q43_SQL,
+    "q44_collect_aggs": _Q44_SQL,
+    "q45_json_maps": _Q45_SQL,
+    "q46_right_outer_join": _Q46_SQL,
+    "q47_full_outer_join": _Q47_SQL,
+    "q48_multiset_setops": _Q48_SQL,
+    "q49_nullsafe_join": _Q49_SQL,
+    "q50_udf_udaf": _Q50_SQL,
+}

@@ -82,6 +82,46 @@ def read_file_stream(
     return reader.load(path)
 
 
+def read_rate(
+    spark: SparkSession,
+    rows_per_second: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Unbounded synthetic source emitting (timestamp, value) rows at a
+    fixed rate — the test/benchmark source (reference closure: Flink's
+    datagen/rate source, SURVEY.md §2.2 sources table). Useful for
+    load-testing operator chains without any input files."""
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    fn,
+    checkpoint: str,
+    trigger_once: bool = False,
+    processing_time: str | None = None,
+):
+    """Arbitrary per-micro-batch sink: ``fn(batch_df, batch_id)`` runs the
+    full batch DataFrame API (upserts, multi-table writes, JDBC...) —
+    Spark's rendering of a custom SinkFunction (SURVEY.md §2.2
+    sources/sinks). Exactly-once requires ``fn`` to be idempotent on
+    ``batch_id`` replay; the checkpoint guarantees each id is replayed
+    with identical data."""
+    writer = df.writeStream.foreachBatch(fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer
+
+
 def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "overwrite",
                partition_by: list[str] | None = None) -> None:
     """Batch sink (reference K1). ``partition_by`` = directory-layout
