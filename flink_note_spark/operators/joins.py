@@ -104,6 +104,36 @@ def range_join(
     filters — the 100 TB-safe shape (SURVEY.md §2.2 "Range/interval join").
     A pure range condition with no equi key would degrade to
     BroadcastNestedLoopJoin; callers who need that must opt in explicitly
-    via plain ``df.join``.
+    via :func:`theta_join`.
     """
     return left.join(right, equi & lo & hi)
+
+
+def theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    max_right_rows: int | None = 100_000,
+) -> DataFrame:
+    """Explicit opt-in theta (arbitrary-predicate) join.
+
+    With no equality conjunct Spark can only plan a nested-loop join:
+    the right side is broadcast and every left row evaluates the
+    predicate against it — O(|L|·|R|) by nature. That is fine when the
+    right side is genuinely small and catastrophic otherwise, so this
+    wrapper (a) exists to make the choice visible at call sites, and
+    (b) refuses right sides above ``max_right_rows`` (pass ``None`` to
+    disable the guard) instead of silently melting a 100 TB cluster.
+    """
+    if max_right_rows is not None:
+        n = right.limit(max_right_rows + 1).count()
+        if n > max_right_rows:
+            raise ValueError(
+                f"theta_join: right side has >{max_right_rows} rows; a "
+                "nested-loop join at this size is a plan error — add an "
+                "equality conjunct (range_join) or pass max_right_rows=None"
+            )
+    from pyspark.sql.functions import broadcast
+
+    return left.join(broadcast(right), condition, how)

@@ -97,6 +97,119 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cos ≥ threshold).
+
+    The whole corpus matrix is collected once (small-corpus / per-bucket
+    regime; at 100 TB this exact kernel runs INSIDE LSH buckets via
+    :func:`lsh_embedding_near_dup_pairs`, never corpus-wide) and each
+    partition scores its rows against it with one numpy matmul, emitting
+    only pairs ``d1 < d2`` above the threshold — a blocked O(n²/P)
+    all-pairs with no Spark cross join and no shuffle of the corpus.
+
+    Output: d1, d2, cos_sim (rounded 6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).collect()
+    all_ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+    m = np.array([r["__v"] for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["__id"].to_numpy()
+            cm = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ m.T                                  # (b, n)
+            bi, bj = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "d1": ids[bi],
+                    "d2": all_ids[bj],
+                    "cos_sim": np.round(sims[bi, bj], 6),
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return c.mapInPandas(score, "d1 long, d2 long, cos_sim double")
+
+
+def lsh_embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 12,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: SRP-LSH bucket self-join →
+    exact cosine verification on candidates only — the 100 TB scale path
+    (candidates meet in a bucket equi-join, hot buckets are dropped by a
+    broadcast anti-join, the full n² matrix is never formed).
+
+    ``tests/test_lsh_recall.py`` asserts recall vs the exact operator.
+    Output: d1, d2, cos_sim (rounded 6) — verified exact values.
+    """
+    b = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    buckets = []
+    for t in range(n_tables):
+        bits = _srp_bits("__v", dim, n_bits, seed + 7919 * t)
+        key = F.concat_ws("", *[x.cast("string") for x in bits])
+        buckets.append(F.struct(F.lit(t).alias("table_id"), key.alias("bucket_key")))
+    banded = b.select(
+        "__id", "__v", F.explode(F.array(*buckets)).alias("bk")
+    ).select("__id", "__v", "bk.table_id", "bk.bucket_key")
+
+    hot = (
+        banded.groupBy("table_id", "bucket_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("table_id", "bucket_key")
+    )
+    banded = banded.join(
+        broadcast(hot), ["table_id", "bucket_key"], "left_anti"
+    ).persist()
+
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.bucket_key") == F.col("y.bucket_key"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("d1"),
+            F.col("y.__id").alias("d2"),
+            F.col("x.__v").alias("v1"),
+            F.col("y.__v").alias("v2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    sim = vec_dot("v1", "v2") / (F.sqrt(l2_norm_sq("v1")) * F.sqrt(l2_norm_sq("v2")))
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )
+
+
 def _srp_bits(vec_col: str, dim: int, n_bits: int, seed: int):
     """Signed-random-projection bit columns for a vector column.
 

@@ -23,7 +23,12 @@ from flink_note_spark.operators.multimodal import (
     attach_binary_column,
     extract_image_features,
 )
-from flink_note_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_note_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+    lsh_embedding_near_dup_pairs,
+)
 from flink_note_spark.operators.text import (
     STOPWORDS,
     TOKEN_RE,
@@ -169,6 +174,55 @@ def q34_lsh_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         q, e, k=5, id_col="vec_id", vec_col="embedding",
         dim=64, n_bits=4, n_tables=24,
     ).withColumnRenamed("rank", "rnk")
+
+
+#: Cosine threshold for the embedding near-dup entry queries. The fixture
+#: embeddings are near-uniform (max pairwise cosine ≈ 0.5), so the
+#: threshold exercises the operator on a non-empty pair set; a real
+#: near-dup corpus would run the same plan at ~0.9.
+EMBED_DUP_THRESHOLD = 0.4
+
+
+def q51_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (blocked numpy all-pairs;
+    the per-bucket exact kernel of the scale path)."""
+    e = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(
+        e, threshold=EMBED_DUP_THRESHOLD, id_col="vec_id", vec_col="embedding"
+    )
+
+
+_Q51_SQL = f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= {EMBED_DUP_THRESHOLD}
+"""
+
+
+def q52_lsh_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """SRP-LSH bucketed embedding near-dup: candidates meet in a bucket
+    equi-join, exact cosine verifies. No SQL oracle (seed-derived bucket
+    keys); ``tests/test_lsh_recall.py`` asserts recall vs q51.
+
+    Band sizing for the near-uniform fixture (pair cosine ≈ 0.4 →
+    p_bit ≈ 0.63): 3 bits × 24 tables ⇒ recall ≈ 1 − (1 − 0.63³)²⁴ ≈
+    0.999. A true near-dup corpus (cos ≥ 0.9 → p_bit ≈ 0.93) gets the
+    same recall from far cheaper 8–16-bit keys."""
+    e = _t(spark, sf, "embeddings")
+    return lsh_embedding_near_dup_pairs(
+        e, threshold=EMBED_DUP_THRESHOLD, id_col="vec_id",
+        vec_col="embedding", dim=64, n_bits=3, n_tables=24,
+    )
 
 
 def q35_text_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -326,6 +380,8 @@ QUERIES = {
     "q32_simhash_pairs": q32_simhash_pairs,
     "q33_cosine_topk": q33_cosine_topk,
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
+    "q51_embedding_near_dup": q51_embedding_near_dup,
+    "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q35_text_quality": q35_text_quality,
     "q36_token_stats": q36_token_stats,
     "q37_language_id": q37_language_id,
@@ -341,6 +397,7 @@ ORACLES = {
     "q29_exact_dedup": _Q29_SQL,
     "q30_jaccard_pairs": _Q30_SQL,
     "q33_cosine_topk": _Q33_SQL,
+    "q51_embedding_near_dup": _Q51_SQL,
     "q35_text_quality": _Q35_SQL,
     "q36_token_stats": _Q36_SQL,
     "q37_language_id": _Q37_SQL,

@@ -18,6 +18,8 @@ from flink_note_spark.queries.llm import (
     q31_minhash_lsh,
     q33_cosine_topk,
     q34_lsh_cosine_topk,
+    q51_embedding_near_dup,
+    q52_lsh_embedding_near_dup,
 )
 from flink_note_spark.session import load_table
 
@@ -56,6 +58,20 @@ def test_lsh_cosine_topk_recall(spark, sf_dir):
     assert exact
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
+
+def test_embedding_near_dup_recall_and_precision(spark, sf_dir):
+    """q52 (SRP-LSH bucketed + exact verification) vs q51 (exact blocked
+    all-pairs): verified pairs are a subset of the exact set (precision
+    1.0) with ≥90% recall."""
+    exact = _pair_set(q51_embedding_near_dup(spark, sf_dir))
+    approx = _pair_set(q52_lsh_embedding_near_dup(spark, sf_dir))
+    assert exact, "fixture corpus must contain similar embedding pairs"
+
+    false_pos = approx - exact
+    assert not false_pos, f"verified pairs not in exact set: {false_pos}"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"embedding LSH recall {recall:.3f} < 0.9"
 
 
 def test_simhash_pigeonhole_completeness(spark, sf_dir):

@@ -1,0 +1,76 @@
+"""Batch source/sink surface tests (SURVEY.md §2.1 S1/S2/S4/K1 — flagged
+implemented-but-untested in round 1) plus the opt-in theta join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.joins import theta_join
+from flink_note_spark.sources.files import read_file, read_text, write_sink
+
+
+def test_read_text_lines(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = read_text(spark, str(p))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_read_file_csv_with_schema(spark, tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("id,name,score\n1,ann,2.5\n2,bob,3.5\n")
+    df = read_file(
+        spark, "csv", str(p), schema="id int, name string, score double",
+        header="true",
+    )
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("ann", 2.5), 2: ("bob", 3.5)}
+
+
+def test_read_file_json(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "tag": "x"}\n{"id": 2, "tag": "y"}\n')
+    df = read_file(spark, "json", str(p), schema="id long, tag string")
+    assert {(r.id, r.tag) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_write_sink_partitioned_roundtrip(spark, tmp_path):
+    """Partitioned parquet sink → directory layout enables partition
+    pruning downstream; read-back equals what was written."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, grp string, v double",
+    )
+    out = tmp_path / "sink"
+    write_sink(df, "parquet", str(out), partition_by=["grp"])
+    assert (out / "grp=a").exists() and (out / "grp=b").exists()
+    back = spark.read.parquet(str(out))
+    assert {(r.id, r.grp, r.v) for r in back.collect()} == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0),
+    }
+
+
+def test_theta_join_small_right(spark):
+    """Arbitrary predicate (no equi key) joins via explicit broadcast
+    nested loop."""
+    left = spark.createDataFrame([(1, 5), (2, 15), (3, 25)], "id long, v long")
+    bands = spark.createDataFrame(
+        [(0, 10, "low"), (10, 20, "mid"), (20, 30, "high")],
+        "lo long, hi long, band string",
+    )
+    out = theta_join(
+        left, bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    assert {(r.id, r.band) for r in out.collect()} == {
+        (1, "low"), (2, "mid"), (3, "high"),
+    }
+
+
+def test_theta_join_guard_refuses_big_right(spark):
+    left = spark.range(10)
+    right = spark.range(1000).withColumnRenamed("id", "rid")
+    with pytest.raises(ValueError, match="nested-loop"):
+        theta_join(left, right, F.col("id") < F.col("rid"), max_right_rows=100)
