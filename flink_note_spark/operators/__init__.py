@@ -6,7 +6,11 @@ manipulation per document genuinely can't be expressed relationally
 (SimHash) or where the work is opaque-binary decoding (multimodal stubs).
 """
 
-from flink_note_spark.operators.joins import asof_join, range_join
+from flink_note_spark.operators.joins import (
+    asof_join,
+    range_join,
+    theta_join,
+)
 from flink_note_spark.operators.windows import sessionize, topk_per_group
 from flink_note_spark.operators.dedup import (
     exact_dedup,
@@ -14,7 +18,17 @@ from flink_note_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from flink_note_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from flink_note_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from flink_note_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+    lsh_embedding_near_dup_pairs,
+)
 from flink_note_spark.operators.text import (
     doc_fingerprint,
     language_id,
@@ -25,14 +39,20 @@ from flink_note_spark.operators.text import (
 __all__ = [
     "asof_join",
     "range_join",
+    "theta_join",
     "sessionize",
     "topk_per_group",
     "exact_dedup",
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "bucketed_join",
+    "salted_join",
+    "write_bucketed",
     "cosine_topk",
+    "embedding_near_dup_pairs",
     "lsh_cosine_topk",
+    "lsh_embedding_near_dup_pairs",
     "doc_fingerprint",
     "language_id",
     "text_quality",

@@ -31,6 +31,17 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         )
 
 
+def test_schema_of_json_inference(spark, sf_dir):
+    """schema_of_json infers the events.props schema that q45's typed
+    from_json parse relies on (SURVEY.md §2.2 JSON surface)."""
+    e = load_table(spark, sf_dir, "events")
+    sample = e.select("props").first().props
+    inferred = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).first().s
+    assert "k" in inferred and "INT" in inferred.upper()
+
+
 def test_approx_percentile_is_exact_under_accuracy(spark, sf_dir):
     """approx_percentile with accuracy ≥ group size returns the exact
     discrete quantile — the invariant q43's oracle equality rests on."""

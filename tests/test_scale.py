@@ -1,0 +1,87 @@
+"""Scale-layout operator tests: bucketed co-located joins (zero-exchange
+plan) and skew-salting correctness (SURVEY.md §7.3 watch list).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from flink_note_spark.plans.inspect import shuffle_count
+from flink_note_spark.session import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key/count join WITHOUT any
+    shuffle: the exchange was paid once at write time — the co-located
+    join that makes repeated fact⋈fact joins affordable at 100 TB."""
+    suffix = uuid.uuid4().hex[:8]
+    lt, rt = f"li_b_{suffix}", f"or_b_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(
+        li, lt, buckets=8, keys=["l_orderkey"], sort_cols=["l_orderkey"],
+        path=str(tmp_path / lt),
+    )
+    write_bucketed(
+        o, rt, buckets=8, keys=["l_orderkey"], sort_cols=["l_orderkey"],
+        path=str(tmp_path / rt),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, on=["l_orderkey"])
+        assert shuffle_count(joined) == 0, "bucketed join still shuffles"
+        # and it's still correct
+        expect = li.join(o, "l_orderkey").count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change results: every (lineitem, orders) match
+    survives exactly once, including under a deliberately skewed key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        # collapse most keys onto one hot key to simulate skew
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    plain = li.join(o, "k").groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2).alias("s"),
+    ).collect()[0]
+    salted = salted_join(li, o, on="k", salt_buckets=8).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2).alias("s"),
+    ).collect()[0]
+    assert salted.n == plain.n
+    assert salted.s == plain.s
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k long, lv string")
+    right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, rv double")
+    out = salted_join(left, right, on="k", how="left", salt_buckets=4)
+    rows = {(r.k, r.lv, r.rv) for r in out.collect()}
+    assert rows == {(1, "a", 10.0), (2, "b", 20.0), (9, "z", None)}

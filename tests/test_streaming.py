@@ -422,6 +422,49 @@ def test_stateful_sessionize_event_time_close(spark, chunk_dir, tmp_path):
     assert int(u2["n_events"]) == 1
 
 
+def test_streaming_document_dedup(spark, tmp_path):
+    """LLM-pipeline × streaming: exact content-hash dedup over a document
+    STREAM — arriving duplicates (same normalized text, different ids /
+    arrival times) are dropped with watermark-bounded state, mirroring
+    the batch operator q29 builds on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ddir = tmp_path / "docs_src"
+    ddir.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("ts", pa.timestamp("us"))]
+    )
+
+    def chunk(name, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            str(ddir / name),
+        )
+
+    chunk("c1.parquet", [
+        (1, "the quick fox", _ts(0)),
+        (2, "lazy dog", _ts(1)),
+        (3, "The Quick Fox ", _ts(2)),   # dup of 1 after normalization
+    ])
+    chunk("c2.parquet", [
+        (4, "lazy dog", _ts(3)),         # dup of 2, later batch
+        (5, "fresh text", _ts(4)),
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(ddir), "doc_id long, text string, ts timestamp",
+        max_files_per_trigger=1,
+    ).withColumn("content_hash", F.sha2(F.lower(F.trim("text")), 256))
+    out = stream_dedup(
+        stream, keys=["content_hash"], ts_col="ts", watermark="10 minutes"
+    )
+    _run_to_memory(out, "docdedup_out", "append", tmp_path)
+
+    got = spark.sql("SELECT doc_id FROM docdedup_out").toPandas()
+    assert sorted(got["doc_id"].tolist()) == [1, 2, 5]
+
+
 # --- rate source + foreachBatch sink ------------------------------------
 
 
