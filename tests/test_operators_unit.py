@@ -1,0 +1,167 @@
+"""Per-operator unit tests on small inline DataFrames (SURVEY.md §5.3):
+null, empty-input, duplicate-key and boundary edge cases that the
+fixture-driven differential suite can't isolate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.dedup import exact_dedup, jaccard_pairs
+from flink_note_spark.operators.joins import asof_join, range_join
+from flink_note_spark.operators.windows import sessionize, topk_per_group
+
+
+def _ts(m: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+# --- asof_join -----------------------------------------------------------
+
+def _asof_frames(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), 101.0), (2, _ts(15), 200.0)],
+        "sym long, t timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(9), 99.5), (1, _ts(10), 99.9), (1, _ts(19), 100.5),
+         (2, _ts(30), 201.0)],
+        "sym long, qt timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_exact_match_and_no_match(spark):
+    trades, quotes = _asof_frames(spark)
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_cols=["bid"],
+    )
+    rows = {(r.sym, r.t.minute, r.bid) for r in out.collect()}
+    # trade@10 sees quote@10 (equal timestamps match backward);
+    # trade@20 sees quote@19; sym 2's only quote is in the FUTURE → null
+    assert rows == {(1, 10, 99.9), (1, 20, 100.5), (2, 15, None)}
+
+
+def test_asof_forward(spark):
+    trades, quotes = _asof_frames(spark)
+    out = asof_join(
+        trades, quotes, on="sym", left_time="t", right_time="qt",
+        right_cols=["bid"], direction="forward",
+    )
+    rows = {(r.sym, r.t.minute, r.bid) for r in out.collect()}
+    assert rows == {(1, 10, 99.9), (1, 20, None), (2, 15, 201.0)}
+
+
+def test_asof_rejects_colliding_columns(spark):
+    trades, quotes = _asof_frames(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades, quotes.withColumnRenamed("bid", "px"),
+            on="sym", left_time="t", right_time="qt", right_cols=["px"],
+        )
+
+
+def test_asof_empty_right(spark):
+    trades, quotes = _asof_frames(spark)
+    out = asof_join(
+        trades, quotes.filter(F.lit(False)), on="sym",
+        left_time="t", right_time="qt", right_cols=["bid"],
+    )
+    assert out.count() == 3
+    assert all(r.bid is None for r in out.collect())
+
+
+# --- range_join ----------------------------------------------------------
+
+def test_range_join_boundaries(spark):
+    """lo is inclusive, hi exclusive — exactly as composed by the caller."""
+    left = spark.createDataFrame([(1, 10), (1, 20), (1, 30)], "k long, v long")
+    right = spark.createDataFrame([(1, 10, 20)], "k long, lo long, hi long")
+    out = range_join(
+        left, right,
+        equi=left.k == right.k,
+        lo=F.col("v") >= F.col("lo"),
+        hi=F.col("v") < F.col("hi"),
+    )
+    assert [r.v for r in out.collect()] == [10]
+
+
+# --- sessionize ----------------------------------------------------------
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of EXACTLY gap_seconds does not split; one microsecond more
+    does."""
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(20.0000001))],
+        "uid long, ts timestamp",
+    )
+    out = sessionize(df, key="uid", ts="ts", gap_seconds=600)
+    sess = [r.session_id for r in out.orderBy("ts").collect()]
+    assert sess == [1, 1, 2]
+
+
+def test_sessionize_single_and_empty(spark):
+    one = spark.createDataFrame([(1, _ts(0))], "uid long, ts timestamp")
+    assert sessionize(one, "uid", "ts", 60).collect()[0].session_id == 1
+    empty = one.filter(F.lit(False))
+    assert sessionize(empty, "uid", "ts", 60).count() == 0
+
+
+# --- topk_per_group ------------------------------------------------------
+
+def test_topk_deterministic_under_ties(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0), ("b", 4, 1.0)],
+        "g string, id long, score double",
+    )
+    out = topk_per_group(
+        df, ["g"], [F.desc("score"), F.asc("id")], k=2
+    )
+    got = {(r.g, r.id, r.rn) for r in out.collect()}
+    assert got == {("a", 1, 1), ("a", 2, 2), ("b", 4, 1)}
+
+
+# --- exact_dedup ---------------------------------------------------------
+
+def test_exact_dedup_normalization_toggle(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello "), (2, "hello"), (3, "other")], "doc_id long, text string"
+    )
+    norm = exact_dedup(df, "text", "doc_id", normalize=True)
+    assert {(r.keep_doc_id, r.n_copies) for r in norm.collect()} == {(1, 2), (3, 1)}
+    raw = exact_dedup(df, "text", "doc_id", normalize=False)
+    assert raw.count() == 3  # no rows collapse without normalization
+
+
+def test_exact_dedup_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = exact_dedup(df, "text", "doc_id").collect()
+    by_hash = {r.content_hash: r.n_copies for r in out}
+    # two empty strings collapse; NULL text hashes to NULL (its own row)
+    assert sorted(by_hash.values()) == [1, 2]
+
+
+# --- jaccard_pairs -------------------------------------------------------
+
+def test_jaccard_short_docs_produce_no_shingles(spark):
+    """Documents shorter than n words generate nothing — no crash, no
+    pairs."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "")], "doc_id long, text string"
+    )
+    assert jaccard_pairs(df, n=3, threshold=0.1).count() == 0
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string",
+    )
+    rows = jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in rows] == [(1, 2, 1.0)]
