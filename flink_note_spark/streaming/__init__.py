@@ -6,6 +6,14 @@ streaming dedup, stream–static and stream–stream joins, stateful per-key
 processing (the ``KeyedProcessFunction`` analogue), checkpoint restore.
 """
 
+from flink_note_spark.streaming.control import (
+    cancel_query,
+    get_query,
+    last_progress,
+    list_queries,
+    query_status,
+    stop_query,
+)
 from flink_note_spark.streaming.ops import (
     session_window_agg,
     sliding_window_agg,
@@ -17,6 +25,12 @@ from flink_note_spark.streaming.ops import (
 )
 
 __all__ = [
+    "cancel_query",
+    "get_query",
+    "last_progress",
+    "list_queries",
+    "query_status",
+    "stop_query",
     "session_window_agg",
     "sliding_window_agg",
     "stateful_sessionize",

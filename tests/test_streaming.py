@@ -422,6 +422,58 @@ def test_stateful_sessionize_event_time_close(spark, chunk_dir, tmp_path):
     assert int(u2["n_events"]) == 1
 
 
+def test_job_control_verbs(spark, chunk_dir, tmp_path):
+    """run / list / status / graceful stop / resume — the reference's CLI
+    job verbs on the Structured Streaming lifecycle (C1/C2)."""
+    from flink_note_spark.streaming.control import (
+        get_query,
+        last_progress,
+        list_queries,
+        query_status,
+        stop_query,
+    )
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "view", 1.0)])
+    sink = tmp_path / "ctl_sink"
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    ).select("user_id", "event_id")
+
+    def launch():
+        return (
+            write_stream_sink(
+                stream, "parquet", str(sink),
+                checkpoint=str(tmp_path / "ckpt_ctl"),
+                output_mode="append", query_name="ctl_job",
+            )
+            .start()
+        )
+
+    q = launch()
+    try:
+        q.processAllAvailable()
+        listed = list_queries(spark)
+        assert any(j["name"] == "ctl_job" and j["is_active"] for j in listed)
+        assert get_query(spark, "ctl_job").id == q.id
+        assert "message" in query_status(q)
+        prog = last_progress(q)
+        assert prog is not None and "batchId" in prog
+    finally:
+        stop_query(spark, "ctl_job")
+    assert not any(j["name"] == "ctl_job" for j in list_queries(spark))
+
+    # resume from the same checkpoint picks up new input only (C2):
+    # the sink gains exactly the new file's rows, never a replay
+    _write_chunk(chunk_dir, "c2.parquet", [(2, 2, _ts(1), "view", 1.0)])
+    q2 = launch()
+    try:
+        q2.processAllAvailable()
+        got = spark.read.parquet(str(sink)).toPandas()
+        assert sorted(got["event_id"].tolist()) == [1, 2]
+    finally:
+        q2.stop()
+
+
 def test_streaming_document_dedup(spark, tmp_path):
     """LLM-pipeline × streaming: exact content-hash dedup over a document
     STREAM — arriving duplicates (same normalized text, different ids /
