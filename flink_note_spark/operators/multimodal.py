@@ -15,6 +15,7 @@ decoded frames, across a shuffle.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -141,3 +142,151 @@ def extract_image_features(
             )
 
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+#: Schema of :func:`resize_images` output — fixed-size thumbnail payloads.
+RESIZED_SCHEMA = "id long, thumb binary, thumb_w int, thumb_h int, ok boolean"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """Image resize over ``mapInPandas``: emits a fixed-size thumbnail
+    payload per image. The real decoder/resampler is the same stubbed
+    codec seam as :func:`extract_image_features`; the deterministic fake
+    derives ``target_w·target_h`` bytes from a rolling hash of the
+    source, so downstream schema/size/partitioning behavior (the thing a
+    100 TB resize job actually stresses — output is CONSTANT bytes/row
+    regardless of input size, so repartition by count not size) is
+    exercised end-to-end.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+    n_out = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            thumbs = []
+            oks = []
+            for b in pdf["payload"]:
+                blob = bytes(b) if b is not None else b""
+                if not blob:
+                    thumbs.append(b"")
+                    oks.append(False)
+                    continue
+                seed = np.frombuffer(
+                    blob[:64].ljust(64, b"\0"), dtype=np.uint8
+                ).astype(np.uint64)
+                # deterministic pseudo-pixels: tiled rolling mix of the head
+                reps = -(-n_out // 64)
+                px = (np.tile(seed, reps)[:n_out] * np.uint64(131)
+                      + np.arange(n_out, dtype=np.uint64)) & np.uint64(0xFF)
+                thumbs.append(px.astype(np.uint8).tobytes())
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "thumb": thumbs,
+                    "thumb_w": target_w,
+                    "thumb_h": target_h,
+                    "ok": oks,
+                }
+            )
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+#: Schema of :func:`extract_audio_features` output.
+AUDIO_FEATURES_SCHEMA = (
+    "id long, n_bytes int, est_duration_ms int, rms double, ok boolean"
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    binary_col: str = "payload",
+    bytes_per_ms: int = 16,
+) -> DataFrame:
+    """Audio feature extraction plumbing: byte-length duration estimate +
+    a deterministic RMS over the raw bytes (stand-in for a real PCM
+    decode — same seam, swap for soundfile/ffmpeg in deployment)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n_bytes, dur, rms, ok = [], [], [], []
+            for b in pdf["payload"]:
+                blob = bytes(b) if b is not None else b""
+                n = len(blob)
+                n_bytes.append(n)
+                dur.append(n // bytes_per_ms)
+                if n:
+                    arr = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                    rms.append(float(np.sqrt(np.mean((arr - 128.0) ** 2))))
+                    ok.append(True)
+                else:
+                    rms.append(0.0)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n_bytes,
+                    "est_duration_ms": dur,
+                    "rms": rms,
+                    "ok": ok,
+                }
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+#: Schema of :func:`sample_video_frames` output — one ROW PER FRAME.
+VIDEO_FRAMES_SCHEMA = "id long, frame_idx int, ts_ms int, frame binary"
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_interval_ms: int = 1000,
+    id_col: str = "id",
+    binary_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling: one input video row fans out to ``n_frames``
+    frame rows — the N-out-per-row generator shape (``flatMap``) that
+    makes video pipelines explode in volume. Real decode is the stubbed
+    codec seam; fake frames are deterministic slices re-hashed per
+    index. At 100 TB the operative design is here, not in the codec:
+    frames carry (id, frame_idx) so downstream joins/aggregations key on
+    the video while the blobs stay columnar-prunable.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, frames = [], [], [], []
+            for vid, b in zip(pdf["id"], pdf["payload"]):
+                blob = bytes(b) if b is not None else b""
+                if not blob:
+                    continue
+                for i in range(n_frames):
+                    ids.append(vid)
+                    idxs.append(i)
+                    ts.append(i * frame_interval_ms)
+                    frames.append(
+                        hashlib.blake2b(
+                            blob[:64] + i.to_bytes(4, "big"), digest_size=32
+                        ).digest()
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_ms": ts, "frame": frames}
+            )
+
+    return src.mapInPandas(run, schema=VIDEO_FRAMES_SCHEMA)

@@ -1,0 +1,7 @@
+"""Composed pipelines: end-to-end flows built purely from the operator
+library — the way a training-data user actually consumes the engine.
+"""
+
+from flink_note_spark.pipelines.curate import CurationConfig, curate_corpus
+
+__all__ = ["CurationConfig", "curate_corpus"]

@@ -183,6 +183,61 @@ def q34_lsh_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 EMBED_DUP_THRESHOLD = 0.4
 
 
+def q53_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data flow (pipelines.curate): exact dedup →
+    language allowlist → quality gates, then per-language corpus stats.
+    One scan stage + one dedup shuffle at any scale."""
+    from flink_note_spark.pipelines.curate import CurationConfig, curate_corpus
+
+    d = _t(spark, sf, "documents")
+    cur = curate_corpus(
+        d, "text", "doc_id",
+        CurationConfig(min_words=5, lang_allow=("en", "es", "fr", "de", "zh"),
+                       max_stop_ratio=0.9),
+    )
+    return cur.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_Q53_SQL = """
+WITH sig AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              WHEN len(list_filter(string_split(text, ' '),
+                   x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
+              WHEN len(list_filter(string_split(text, ' '),
+                   x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
+              WHEN len(list_filter(string_split(text, ' '),
+                   x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
+              ELSE 'en' END AS lang_pred,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to')))
+           / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stop_ratio,
+         sha256(lower(trim(text))) AS h
+  FROM documents
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM sig
+  ) WHERE rn = 1
+)
+SELECT lang_pred,
+       count(*)                          AS n_docs,
+       CAST(sum(n_words) AS BIGINT)      AS total_words,
+       round(avg(stop_ratio), 6)         AS avg_stop_ratio,
+       min(doc_id)                       AS first_doc
+FROM deduped
+WHERE lang_pred IN ('en','es','fr','de','zh')
+  AND n_words BETWEEN 5 AND 100000
+  AND stop_ratio <= 0.9
+GROUP BY lang_pred
+"""
+
+
 def q51_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (blocked numpy all-pairs;
     the per-bucket exact kernel of the scale path)."""
@@ -382,6 +437,7 @@ QUERIES = {
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
+    "q53_curation_pipeline": q53_curation_pipeline,
     "q35_text_quality": q35_text_quality,
     "q36_token_stats": q36_token_stats,
     "q37_language_id": q37_language_id,
@@ -398,6 +454,7 @@ ORACLES = {
     "q30_jaccard_pairs": _Q30_SQL,
     "q33_cosine_topk": _Q33_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
+    "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,
     "q36_token_stats": _Q36_SQL,
     "q37_language_id": _Q37_SQL,

@@ -1,0 +1,43 @@
+"""Curation pipeline tests: composition semantics on inline frames plus
+the two-stage plan contract (SURVEY.md §2.2 ledger: composed pipeline).
+"""
+
+from __future__ import annotations
+
+from flink_note_spark.pipelines.curate import CurationConfig, curate_corpus
+from flink_note_spark.plans.inspect import shuffle_count
+from flink_note_spark.queries import QUERIES
+
+
+def test_curate_dedup_keeps_smallest_id_and_filters(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "the quick brown fox jumps clean"),     # en, keeps (dup winner)
+            (9, "The Quick Brown Fox Jumps Clean "),    # dup of 5 → dropped
+            (2, "too short"),                           # < min_words → dropped
+            (3, "la casa es un lugar muy bonito hoy"),  # es, kept
+            (4, "the the the the the the"),             # stop_ratio 1.0 → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        df, config=CurationConfig(min_words=5, max_stop_ratio=0.9)
+    )
+    rows = {r.doc_id: r.lang_pred for r in out.collect()}
+    assert rows == {5: "en", 3: "es"}
+
+
+def test_curate_no_dedup_mode(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    assert curate_corpus(df, config=CurationConfig(dedup=False)).count() == 2
+    assert curate_corpus(df, config=CurationConfig(dedup=True)).count() == 1
+
+
+def test_q53_pipeline_is_two_stages(spark, sf_dir):
+    """The whole composed pipeline = scan stage + dedup-window shuffle +
+    final agg shuffle: Catalyst fuses every filter/signal into the scan."""
+    df = QUERIES["q53_curation_pipeline"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, f"pipeline shuffles {shuffle_count(df)}×"
