@@ -403,6 +403,46 @@ FROM banded GROUP BY l_returnflag, band
 """
 
 
+# --- correlated + scalar subqueries ---------------------------------------
+
+def q54_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery (decorrelated by
+    Catalyst into a left-semi join — same SQL text runs on both engines,
+    so the surface under test is the subquery rewrite itself)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q54_SQL)
+
+
+_Q54_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q55_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    gating the outer scan — Catalyst rewrites it into an aggregate +
+    join; identical SQL both engines."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q55_SQL)
+
+
+_Q55_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -413,6 +453,8 @@ QUERIES = {
     "q48_multiset_setops": q48_multiset_setops,
     "q49_nullsafe_join": q49_nullsafe_join,
     "q50_udf_udaf": q50_udf_udaf,
+    "q54_correlated_exists": q54_correlated_exists,
+    "q55_scalar_subquery": q55_scalar_subquery,
 }
 
 ORACLES = {
@@ -425,4 +467,6 @@ ORACLES = {
     "q48_multiset_setops": _Q48_SQL,
     "q49_nullsafe_join": _Q49_SQL,
     "q50_udf_udaf": _Q50_SQL,
+    "q54_correlated_exists": _Q54_SQL,
+    "q55_scalar_subquery": _Q55_SQL,
 }
