@@ -11,7 +11,7 @@ Measurement plan (BASELINE.md):
 
 - SparkSession startup is excluded; every headline query runs once as
   warm-up (JIT, file listing, parquet footers, codegen caches) before
-  the timed best-of-2 loop.
+  the timed best-of-3 loop.
 - Table DataFrames are plan-cached per session (``session.load_table``),
   so the timed region never re-lists files or re-reads footers.
 - Queries are forced with a ``noop``-format write: full materialization
@@ -112,6 +112,9 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # operators that persist() intermediates (LSH dedup families)
+        # would otherwise pin one cached copy per invocation
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -62,18 +62,18 @@ def _shingle_rows(
     document frequency > max_df (boilerplate guard — the 100 TB skew
     mitigation, SURVEY.md §7.3).
 
+    PRECONDITION: one input row per ``id_col`` value. Per-doc set-dedup
+    inside the generator replaces the old global ``distinct()`` SHUFFLE
+    with an O(doc) hash set; that is only equivalent when (id, shingle)
+    duplicates cannot span rows — run :func:`exact_dedup` (or
+    ``dropDuplicates``) first if the corpus may contain repeated ids.
+
     Implementation is an Arrow-batched ``mapInPandas`` shingler rather
     than ``explode(word_shingles(...))``: Catalyst *interprets* the
     transform/slice/concat_ws lambda per element (no codegen), measured
-    ~3× slower than the Python batch loop — and per-doc set-dedup inside
-    the generator replaces a full ``distinct()`` SHUFFLE with an O(doc)
-    hash set ((id, shingle) duplicates can only occur within one doc, so
-    the global distinct was pure waste). Stays in the scan stage: no
-    shuffle at any scale.
-
-    The frequency cap is a window count over the shingle key — one shuffle
-    shared with nothing else, instead of a groupBy + equi-join back
-    (two shuffles plus a join fan-in)."""
+    ~3× slower than the Python batch loop. Stays in the scan stage: no
+    shuffle at any scale. The frequency cap is a groupBy + anti-join of
+    the (small-in-expectation) hot set — see inline comment."""
     id_type = dict(df.dtypes)[id_col]
 
     def shingler(batches):
@@ -95,18 +95,21 @@ def _shingle_rows(
         shingler, f"{id_col} {id_type}, shingle string"
     )
     if max_df is not None:
-        # The hot set (df > max_df) is tiny BY CONSTRUCTION — it exists to
-        # kill boilerplate floods — so materialize it with one map-side-
-        # combinable groupBy and drop its members with a broadcast
-        # anti-join: no window sort, no join-back shuffle, and the exact
-        # shape that survives 100 TB (the big side never moves).
+        # The hot set (df > max_df) is SMALL in the expected case — it
+        # exists to kill boilerplate floods — so materialize it with one
+        # map-side-combinable groupBy and drop its members with an
+        # anti-join. No forced broadcast hint: a pathological corpus
+        # could make the hot set itself large, and AQE already converts
+        # the anti-join to broadcast at runtime when the measured size
+        # allows (degrading to a shuffle join instead of OOMing when
+        # it doesn't).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     return sh
 
 
@@ -262,17 +265,17 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "signature", "band.band_id", "band.band_key")
 
-    # Hot-bucket cap: the flooded buckets are a tiny set by construction —
-    # broadcast anti-join them away (no window sort over all band rows).
+    # Hot-bucket cap: anti-join away the flooded buckets (no window sort
+    # over all band rows; AQE broadcasts the hot set at runtime when it
+    # is actually small — no forced hint, so a flood of floods degrades
+    # to a shuffle join instead of an OOM).
     hot = (
         band_rows.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") > max_bucket)
         .select("band_id", "band_key")
     )
-    band_rows = band_rows.join(
-        F.broadcast(hot), ["band_id", "band_key"], "left_anti"
-    )
+    band_rows = band_rows.join(hot, ["band_id", "band_key"], "left_anti")
     # Both self-join sides read these rows — persist so signatures + band
     # explode + cap run once, not twice.
     band_rows = band_rows.persist()
@@ -442,12 +445,12 @@ def simhash_pairs(
         .filter(F.col("__bsz") > max_bucket)
         .select("chunk_id", "chunk_key")
     )
-    # Flooded chunks are tiny by construction → broadcast anti-join, and
-    # persist so the fingerprint UDF + explode feed both self-join sides
-    # from one computation.
-    bands = bands.join(
-        F.broadcast(hot), ["chunk_id", "chunk_key"], "left_anti"
-    ).persist()
+    # Anti-join away flooded chunks (AQE broadcasts the hot set when
+    # small — unhinted so it degrades gracefully), and persist so the
+    # fingerprint UDF + explode feed both self-join sides from one
+    # computation (lifetime: until Spark's LRU evicts it; callers doing
+    # many independent runs can spark.catalog.clearCache()).
+    bands = bands.join(hot, ["chunk_id", "chunk_key"], "left_anti").persist()
 
     a, b = bands.alias("a"), bands.alias("b")
     return (

@@ -5,8 +5,17 @@ exact baseline, plus an LSH-bucketed variant (random hyperplane /
 signed-random-projection) as the 100 TB scale path — candidates meet in a
 bucket equi-join, never a full cross join.
 
-All vector math is JVM-side (``zip_with`` / ``aggregate`` in double); no
-Python executes per row.
+Two execution styles, chosen per operator from measurement:
+
+- The brute-force kernels (:func:`cosine_topk`,
+  :func:`embedding_near_dup_pairs`) collect the SMALL side to the driver
+  once and run Arrow-batched numpy matmuls over the streaming corpus —
+  vectorized BLAS beats Catalyst's interpreted higher-order functions
+  ~3× on this shape, at the cost of the small side fitting in driver
+  memory (the contract; batch your queries).
+- The LSH variants stay JVM-side (``zip_with``/``aggregate`` in double)
+  because their per-candidate arrays are short and the bucket join
+  dominates.
 """
 
 from __future__ import annotations
@@ -40,14 +49,21 @@ def cosine_topk(
     any scale.
 
     Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
+    Works for any orderable id type (the output schema inherits it).
     """
     import numpy as np
     import pandas as pd
 
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, __sim double"
+    empty_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
+
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).collect()
-    q_ids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    if not qrows:
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    q_ids = np.array([r["query_id"] for r in qrows])
     qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
     qm_unit = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     nq = len(q_ids)
@@ -79,9 +95,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    scored = c.mapInPandas(
-        score, "query_id long, neighbor_id long, __sim double"
-    )
+    scored = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
     )
@@ -112,15 +126,20 @@ def embedding_near_dup_pairs(
     only pairs ``d1 < d2`` above the threshold — a blocked O(n²/P)
     all-pairs with no Spark cross join and no shuffle of the corpus.
 
-    Output: d1, d2, cos_sim (rounded 6).
+    Output: d1, d2, cos_sim (rounded 6). Any orderable id type.
     """
     import numpy as np
     import pandas as pd
 
+    id_type = dict(corpus.dtypes)[id_col]
+    out_schema = f"d1 {id_type}, d2 {id_type}, cos_sim double"
+
     rows = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).collect()
-    all_ids = np.array([r["__id"] for r in rows], dtype=np.int64)
+    if not rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    all_ids = np.array([r["__id"] for r in rows])
     m = np.array([r["__v"] for r in rows], dtype=np.float64)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
 
@@ -144,7 +163,7 @@ def embedding_near_dup_pairs(
             )
 
     c = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    return c.mapInPandas(score, "d1 long, d2 long, cos_sim double")
+    return c.mapInPandas(score, out_schema)
 
 
 def lsh_embedding_near_dup_pairs(
@@ -160,8 +179,8 @@ def lsh_embedding_near_dup_pairs(
 ) -> DataFrame:
     """Approximate embedding near-dup pairs: SRP-LSH bucket self-join →
     exact cosine verification on candidates only — the 100 TB scale path
-    (candidates meet in a bucket equi-join, hot buckets are dropped by a
-    broadcast anti-join, the full n² matrix is never formed).
+    (candidates meet in a bucket equi-join, hot buckets are dropped by an
+    anti-join, the full n² matrix is never formed).
 
     ``tests/test_lsh_recall.py`` asserts recall vs the exact operator.
     Output: d1, d2, cos_sim (rounded 6) — verified exact values.
@@ -182,9 +201,9 @@ def lsh_embedding_near_dup_pairs(
         .filter(F.col("__bsz") > max_bucket)
         .select("table_id", "bucket_key")
     )
-    banded = banded.join(
-        broadcast(hot), ["table_id", "bucket_key"], "left_anti"
-    ).persist()
+    # unhinted anti-join: AQE broadcasts the hot set only when it is
+    # actually small; persist because both self-join sides read this.
+    banded = banded.join(hot, ["table_id", "bucket_key"], "left_anti").persist()
 
     x, y = banded.alias("x"), banded.alias("y")
     cand = (

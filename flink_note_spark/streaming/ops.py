@@ -129,6 +129,9 @@ def _make_session_fn(gap_ms: int):
     and, with continuous no-data batches, unbounded — event time is the
     reproducible-at-scale choice)."""
 
+    gap_us = gap_ms * 1_000
+    cols = ["user_id", "session_start", "session_end", "n_events", "closed"]
+
     def _session_fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -138,34 +141,42 @@ def _make_session_fn(gap_ms: int):
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                [(user_id, start, last, n, True)],
-                columns=[
-                    "user_id", "session_start", "session_end", "n_events", "closed",
-                ],
-            )
+            yield pd.DataFrame([(user_id, start, last, n, True)], columns=cols)
             return
 
         start, last, n = state.get if state.exists else (None, None, 0)
+        # datetime64[ns] → int64 gives NANOseconds; work in epoch-MICROs
+        # to match the batch sessionization surface (q25 session_*_us).
+        ts_us: list[int] = []
         for pdf in pdfs:
-            # datetime64[ns] → int64 gives NANOseconds; emit epoch-MICROs
-            # to match the batch sessionization surface (q25 session_*_us).
-            ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
-            for t in ts_us:
-                if start is None:
-                    start = last = t
-                    n = 1
-                else:
-                    start = min(start, t)
-                    last = max(last, t)
-                    n += 1
+            ts_us.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+        ts_us.sort()
+
+        # Walk events in event-time order, SPLITTING whenever the gap is
+        # exceeded — an in-batch gap closes the old session immediately
+        # (the timer only handles the final open session). Events older
+        # than the open session's start are watermark-bounded stragglers;
+        # they extend the open session backwards (best effort) rather
+        # than resurrecting closed ones.
+        closed_rows = []
+        for t in ts_us:
+            if start is None:
+                start = last = t
+                n = 1
+            elif t - last > gap_us:
+                closed_rows.append((user_id, start, last, n, True))
+                start = last = t
+                n = 1
+            else:
+                start = min(start, t)
+                last = max(last, t)
+                n += 1
+        if closed_rows:
+            yield pd.DataFrame(closed_rows, columns=cols)
         state.update((start, last, n))
         # event-time timer: close when the watermark passes last + gap
         state.setTimeoutTimestamp(last // 1_000 + gap_ms)
-        yield pd.DataFrame(
-            [(user_id, start, last, n, False)],
-            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
-        )
+        yield pd.DataFrame([(user_id, start, last, n, False)], columns=cols)
 
     return _session_fn
 

@@ -149,6 +149,26 @@ def test_exact_dedup_null_and_empty_text(spark):
 
 # --- jaccard_pairs -------------------------------------------------------
 
+def test_cosine_topk_string_ids_and_empty_queries(spark):
+    """The numpy-backed scorer inherits the id type (not hardcoded long)
+    and returns an empty frame for an empty query set instead of
+    crashing."""
+    from flink_note_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = cosine_topk(
+        corpus.filter(F.col("vec_id") == "a"), corpus, k=1
+    ).collect()
+    assert [(r.query_id, r.neighbor_id) for r in out] == [("a", "b")]
+
+    empty = cosine_topk(corpus.filter(F.lit(False)), corpus, k=1)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
 def test_jaccard_short_docs_produce_no_shingles(spark):
     """Documents shorter than n words generate nothing — no crash, no
     pairs."""

@@ -474,6 +474,37 @@ def test_job_control_verbs(spark, chunk_dir, tmp_path):
         q2.stop()
 
 
+def test_stateful_sessionize_splits_in_batch_gap(spark, chunk_dir, tmp_path):
+    """Two events separated by more than the gap INSIDE one micro-batch
+    must close the first session immediately — not merge into one (the
+    timer only owns the final open session)."""
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (1, 2, _ts(2), "view", 1.0),
+        (1, 3, _ts(30), "view", 1.0),   # 28-min gap > 6-min session gap
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = stateful_sessionize(
+        stream, key="user_id", ts_col="ts", gap="6 minutes", watermark="5 minutes"
+    )
+    _run_to_memory(out, "sess_split_out", "update", tmp_path)
+
+    got = spark.sql(
+        "SELECT * FROM sess_split_out WHERE closed ORDER BY session_start"
+    ).toPandas()
+    us = lambda m: int(_ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert len(got) == 1  # first session closed by the in-batch split
+    assert int(got["session_start"].iloc[0]) == us(0)
+    assert int(got["session_end"].iloc[0]) == us(2)
+    assert int(got["n_events"].iloc[0]) == 2
+    open_snap = spark.sql(
+        "SELECT * FROM sess_split_out WHERE NOT closed ORDER BY session_start DESC"
+    ).toPandas()
+    assert int(open_snap["session_start"].iloc[0]) == us(30)
+
+
 def test_streaming_document_dedup(spark, tmp_path):
     """LLM-pipeline × streaming: exact content-hash dedup over a document
     STREAM — arriving duplicates (same normalized text, different ids /
