@@ -82,6 +82,32 @@ def read_file_stream(
     return reader.load(path)
 
 
+def read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    **options: str,
+) -> DataFrame:
+    """Kafka unbounded source (SURVEY.md §2.2 sources table) — returns the
+    standard (key, value, topic, partition, offset, timestamp) frame.
+
+    Requires the ``spark-sql-kafka-0-10`` connector package on the
+    session classpath (not bundled in this environment — declared
+    out-of-scope for the t1/t2 test tiers, SURVEY.md §2.2); without it
+    Spark raises its standard missing-data-source error at load time.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_rate(
     spark: SparkSession,
     rows_per_second: int = 10,

@@ -1,5 +1,8 @@
 """Streaming job control — the reference's CLI job verbs re-expressed on
-Structured Streaming's query lifecycle (SURVEY.md §2.1 C1/C2).
+Structured Streaming's query lifecycle (SURVEY.md §2.1 C1/C2; the
+reference traces ``cancel``/``stop``/``savepoint`` dispatch in its
+CliFrontend walk-through,
+``ExecutionEnviromentreadTextFile创建DataSource分析.md:365-371``).
 
 Mapping (Flink verb → here):
 
