@@ -443,6 +443,48 @@ WHERE p_brand = 'Brand#1'
 """
 
 
+# --- grouped-map applyInPandas (UDTF-like N-in/N-out per group) -----------
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score — arbitrary pandas logic over one whole group
+    (the grouped-map ``applyInPandas`` shape: N rows in, N rows out,
+    schema change allowed)."""
+    mu = pdf["l_extendedprice"].mean()
+    sd = pdf["l_extendedprice"].std(ddof=1)
+    return pd.DataFrame(
+        {
+            "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"],
+            "l_returnflag": pdf["l_returnflag"],
+            "price_z": ((pdf["l_extendedprice"] - mu) / sd).round(6),
+        }
+    )
+
+
+def q56_grouped_map_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """groupBy().applyInPandas (SURVEY.md §2.2 UDF surface — the grouped
+    MAP shape, vs q50's grouped AGG): z-score every lineitem price
+    within its returnflag group. Each group arrives as one pandas frame;
+    at scale this is one shuffle on the group key with Arrow transport.
+    Oracle: the same math via window functions (stddev_samp matches
+    pandas ddof=1)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 400)
+    return li.groupBy("l_returnflag").applyInPandas(
+        _zscore_group,
+        "l_orderkey long, l_linenumber int, l_returnflag string, price_z double",
+    )
+
+
+_Q56_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round((l_extendedprice - avg(l_extendedprice) OVER w)
+             / stddev_samp(l_extendedprice) OVER w, 6) AS price_z
+FROM lineitem
+WHERE l_orderkey <= 400
+WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -455,6 +497,7 @@ QUERIES = {
     "q50_udf_udaf": q50_udf_udaf,
     "q54_correlated_exists": q54_correlated_exists,
     "q55_scalar_subquery": q55_scalar_subquery,
+    "q56_grouped_map_zscore": q56_grouped_map_zscore,
 }
 
 ORACLES = {
@@ -469,4 +512,5 @@ ORACLES = {
     "q50_udf_udaf": _Q50_SQL,
     "q54_correlated_exists": _Q54_SQL,
     "q55_scalar_subquery": _Q55_SQL,
+    "q56_grouped_map_zscore": _Q56_SQL,
 }
