@@ -309,22 +309,26 @@ def minhash_lsh_pairs(
 
     # Verify candidates with exact shingle Jaccard (only candidate pairs
     # are scored — the LSH join has already bounded the pair count).
-    # ``sh`` is the persisted shingle frame computed above.
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col(id_col).alias("d1"), F.col("shingle").alias("s1"))
-    sb = sh.select(F.col(id_col).alias("d2"), F.col("shingle").alias("s2"))
-    inter = (
-        cand.join(sa, "d1")
-        .join(sb, "d2")
-        .filter(F.col("s1") == F.col("s2"))
-        .groupBy("d1", "d2", "est_jaccard")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Each doc's shingles collapse to ONE set row (groupBy over the
+    # persisted ``sh``), and the intersection is a JVM array_intersect
+    # per candidate pair — two candidate-sized joins instead of the old
+    # candidates × shingles explode-join + re-aggregate (two shuffles
+    # whose fan-out grows with document length; this shape's verify cost
+    # is O(|candidates| · doc_len) flat).
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("S"), F.count(F.lit(1)).alias("sz")
     )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    s1 = sets.select(
+        F.col(id_col).alias("d1"), F.col("S").alias("S1"), F.col("sz").alias("sz1")
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("d2"), F.col("S").alias("S2"), F.col("sz").alias("sz2")
+    )
+    inter = F.size(F.array_intersect("S1", "S2"))
     return (
-        inter.join(s1, "d1")
+        cand.join(s1, "d1")
         .join(s2, "d2")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
         )
