@@ -99,6 +99,61 @@ def test_exact_dedup_copies_partition_input(spark, rows):
 
 
 @given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1, max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(-99, 99)),
+        min_size=0, max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join agrees with pandas.merge_asof (an INDEPENDENT reference
+    implementation) on arbitrary keyed event sequences — backward
+    direction, equal timestamps match."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flink_note_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    # dedupe (key, ts) on the right: with ties merge_asof picks the last
+    # row, asof_join picks via last() — make the reference unambiguous
+    rmap = {(k, s): v for k, s, v in right}
+    ldf = spark.createDataFrame(
+        [(k, t(s)) for k, s in left], "k long, lt timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(s), float(v)) for (k, s), v in rmap.items()],
+        "k long, rt timestamp, rv double",
+    ) if rmap else spark.createDataFrame([], "k long, rt timestamp, rv double")
+
+    got = asof_join(ldf, rdf, on="k", left_time="lt", right_time="rt",
+                    right_cols=["rv"]).toPandas()
+    got = got.sort_values(["k", "lt"], ignore_index=True)[["k", "lt", "rv"]]
+
+    lp = pd.DataFrame([(k, t(s)) for k, s in left], columns=["k", "lt"]).sort_values(
+        ["lt", "k"], ignore_index=True
+    )
+    rp = pd.DataFrame(
+        [(k, t(s), float(v)) for (k, s), v in rmap.items()],
+        columns=["k", "rt", "rv"],
+    ).sort_values(["rt", "k"], ignore_index=True)
+    if len(rp):
+        want = pd.merge_asof(
+            lp, rp, left_on="lt", right_on="rt", by="k", direction="backward"
+        )[["k", "lt", "rv"]]
+    else:
+        want = lp.assign(rv=float("nan"))[["k", "lt", "rv"]]
+    want = want.sort_values(["k", "lt"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@given(
     offsets=st.lists(
         st.integers(min_value=0, max_value=10_000), min_size=1, max_size=20
     )

@@ -548,6 +548,48 @@ def test_streaming_document_dedup(spark, tmp_path):
     assert sorted(got["doc_id"].tolist()) == [1, 2, 5]
 
 
+def test_streaming_json_parse_agg_equals_batch(spark, tmp_path):
+    """Typed from_json parse + keyed aggregation on a LIVE stream equals
+    the batch twin — the q45 surface under streaming execution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    jdir = tmp_path / "json_src"
+    jdir.mkdir()
+    schema = pa.schema(
+        [("event_type", pa.string()), ("props", pa.string()), ("ts", pa.timestamp("us"))]
+    )
+
+    def chunk(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_type", "props", "ts"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            str(jdir / name),
+        )
+
+    chunk("c1.parquet", [
+        ("view", '{"k": 3}', _ts(0)),
+        ("click", '{"k": 5}', _ts(1)),
+    ])
+    chunk("c2.parquet", [
+        ("view", '{"k": 7}', _ts(2)),
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(jdir),
+        "event_type string, props string, ts timestamp", max_files_per_trigger=1,
+    )
+    parsed = stream.select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    ).groupBy("event_type").agg(F.sum("p.k").alias("sum_k"))
+    _run_to_memory(parsed, "json_stream_out", "complete", tmp_path)
+
+    got = {
+        r.event_type: r.sum_k
+        for r in spark.sql("SELECT * FROM json_stream_out").collect()
+    }
+    assert got == {"view": 10, "click": 5}
+
+
 # --- rate source + foreachBatch sink ------------------------------------
 
 
