@@ -43,7 +43,7 @@ HEADLINE = [
     "q10_range_join",
     "q11_topk_per_group",
     "q12_window_analytics",
-    "q13_cube",
+    "q13_cube_rollup_gsets",
     "q16_set_ops",
     "q22_json_extract",
     "q23_tumbling_window",

@@ -221,60 +221,66 @@ FROM exploded GROUP BY event_type, map_key
 
 # --- right / full outer joins --------------------------------------------
 
-def q46_right_outer_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Right outer join preserving parts with no qualifying lineitem;
-    COUNT(col) vs COUNT(*) on the null-extended side (SURVEY.md §2.2
-    "Joins" — completes the outer matrix with q08's left join)."""
+def q46_outer_join_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Right + full outer joins as one tagged union (merged q46/q47 in
+    round 4 — registry ≤50 so every query is driver-checked).
+
+    Right branch: parts with no qualifying lineitem survive, exercising
+    COUNT(col) vs COUNT(*) on the null-extended side (completes the outer
+    matrix with q08's left join). Full branch: two per-customer aggregates
+    full-outer-joined USING the key (customers with only finished or only
+    pending orders survive on their side with nulls)."""
     li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 48)
     p = _t(spark, sf, "part")
-    return (
+    right = (
         li.join(p, li.l_partkey == p.p_partkey, "right")
         .groupBy("p_brand")
         .agg(
-            F.count("l_orderkey").alias("n_hits"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.coalesce("l_quantity", F.lit(0.0))), 2).alias("total_qty"),
+            F.count("l_orderkey").alias("n_a"),
+            F.count(F.lit(1)).alias("n_b"),
+            F.round(F.sum(F.coalesce("l_quantity", F.lit(0.0))), 2).alias("measure"),
+        )
+        .select(
+            F.lit("right").alias("join_side"),
+            F.col("p_brand").alias("grp_key"),
+            "n_a",
+            "n_b",
+            "measure",
         )
     )
-
-
-_Q46_SQL = """
-WITH hi AS (SELECT * FROM lineitem WHERE l_quantity >= 48)
-SELECT p_brand,
-       count(l_orderkey)                         AS n_hits,
-       count(*)                                  AS n_rows,
-       round(sum(coalesce(l_quantity, 0.0)), 2)  AS total_qty
-FROM hi RIGHT JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
-"""
-
-
-def q47_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Full outer join of two per-customer aggregates (customers with only
-    finished or only pending orders survive on their side with nulls).
-    USING-column semantics coalesce the key."""
     o = _t(spark, sf, "orders")
     f = (
         o.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_f"))
     )
-    p = (
+    pend = (
         o.filter(F.col("o_orderstatus") == "P")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_p"))
     )
-    return f.join(p, ["o_custkey"], "full").select(
-        "o_custkey",
-        F.coalesce("n_f", F.lit(0)).alias("n_f"),
-        F.coalesce("n_p", F.lit(0)).alias("n_p"),
+    full = f.join(pend, ["o_custkey"], "full").select(
+        F.lit("full").alias("join_side"),
+        F.col("o_custkey").cast("string").alias("grp_key"),
+        F.coalesce("n_f", F.lit(0)).alias("n_a"),
+        F.coalesce("n_p", F.lit(0)).alias("n_b"),
+        F.lit(None).cast("double").alias("measure"),
     )
+    return right.unionByName(full)
 
 
-_Q47_SQL = """
-SELECT o_custkey,
-       coalesce(n_f, 0) AS n_f,
-       coalesce(n_p, 0) AS n_p
+_Q46_SQL = """
+WITH hi AS (SELECT * FROM lineitem WHERE l_quantity >= 48)
+SELECT 'right' AS join_side,
+       p_brand AS grp_key,
+       count(l_orderkey)                         AS n_a,
+       count(*)                                  AS n_b,
+       round(sum(coalesce(l_quantity, 0.0)), 2)  AS measure
+FROM hi RIGHT JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+UNION ALL
+SELECT 'full', CAST(o_custkey AS VARCHAR),
+       coalesce(n_f, 0), coalesce(n_p, 0), CAST(NULL AS DOUBLE)
 FROM      (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
 FULL JOIN (SELECT o_custkey, count(*) AS n_p FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) p
 USING (o_custkey)
@@ -490,8 +496,7 @@ QUERIES = {
     "q43_approx_aggs": q43_approx_aggs,
     "q44_collect_aggs": q44_collect_aggs,
     "q45_json_maps": q45_json_maps,
-    "q46_right_outer_join": q46_right_outer_join,
-    "q47_full_outer_join": q47_full_outer_join,
+    "q46_outer_join_matrix": q46_outer_join_matrix,
     "q48_multiset_setops": q48_multiset_setops,
     "q49_nullsafe_join": q49_nullsafe_join,
     "q50_udf_udaf": q50_udf_udaf,
@@ -505,8 +510,7 @@ ORACLES = {
     "q43_approx_aggs": _Q43_SQL,
     "q44_collect_aggs": _Q44_SQL,
     "q45_json_maps": _Q45_SQL,
-    "q46_right_outer_join": _Q46_SQL,
-    "q47_full_outer_join": _Q47_SQL,
+    "q46_outer_join_matrix": _Q46_SQL,
     "q48_multiset_setops": _Q48_SQL,
     "q49_nullsafe_join": _Q49_SQL,
     "q50_udf_udaf": _Q50_SQL,

@@ -32,8 +32,28 @@ def test_q09_broadcasts_dim(spark, sf_dir):
 
 
 def test_q03_broadcasts_customer(spark, sf_dir):
+    """q03 carries NO forced broadcast hint (customer grows with SF —
+    VERDICT r2 item 2); at test scale the stats-based planner must still
+    choose a broadcast join on its own, proving the hint was redundant."""
     df = QUERIES["q03_shipping_priority"](spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_no_forced_broadcast_of_sf_scaled_tables():
+    """Broadcast hints may target only fixed-size dims (nation/region) —
+    never tables that grow with scale factor. Source-level contract check
+    so a hint regression fails CI before it melts a 100 TB run."""
+    import inspect as _inspect
+
+    from flink_note_spark.queries import relational
+
+    src = _inspect.getsource(relational)
+    import re
+
+    for m in re.finditer(r"broadcast\((\w+)\)", src):
+        assert m.group(1) in ("n", "r"), (
+            f"forced broadcast of SF-scaled table alias {m.group(1)!r}"
+        )
 
 
 def test_q27_asof_join_single_shuffle(spark, sf_dir):
