@@ -28,6 +28,25 @@ from flink_note_spark.functions.scalar import l2_norm_sq, vec_dot
 from flink_note_spark.operators.dedup import _lcg
 
 
+def _guard_driver_collect(
+    df: DataFrame, what: str, max_rows: int | None, alternative: str
+) -> None:
+    """Refuse to collect an unbounded side to the driver (same contract
+    as ``theta_join``'s size guard, ``operators/joins.py``): a silent
+    driver OOM at 100 TB is a plan error, not a runtime hiccup. ``limit``
+    short-circuits the count, so the probe costs one partial scan."""
+    if max_rows is None:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: the side collected to the driver has >{max_rows} "
+            f"rows; at this size a driver-collect kernel is a plan error "
+            f"— {alternative}, or pass max_collect_rows=None if the rows "
+            "are known to fit in driver memory"
+        )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -35,14 +54,17 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_collect_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     The query matrix (small side by contract — at scale you batch
-    queries) is collected once and shipped inside the task closure; the
-    corpus streams through ONE ``mapInPandas`` pass doing a blocked numpy
-    matmul — vectorized BLAS instead of Catalyst's per-element
-    *interpreted* higher-order functions (measured ~3× on this shape).
+    queries; ``max_collect_rows`` refuses bigger, like theta_join's size
+    guard) is collected once and shipped via ``sparkContext.broadcast``
+    (one block-manager transfer per executor, NOT re-pickled into every
+    task closure); the corpus streams through ONE ``mapInPandas`` pass
+    doing a blocked numpy matmul — vectorized BLAS instead of Catalyst's
+    per-element *interpreted* higher-order functions (measured ~3×).
     Each partition emits only its LOCAL top-k per query, so the shuffle
     carries O(partitions · |queries| · k) rows — never O(|corpus|·|q|) —
     before the global window picks the true top-k. No corpus shuffle at
@@ -58,6 +80,12 @@ def cosine_topk(
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, __sim double"
     empty_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
 
+    _guard_driver_collect(
+        queries,
+        "cosine_topk",
+        max_collect_rows,
+        "batch the query set, or bucket both sides with lsh_cosine_topk",
+    )
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     ).collect()
@@ -65,10 +93,13 @@ def cosine_topk(
         return queries.sparkSession.createDataFrame([], empty_schema)
     q_ids = np.array([r["query_id"] for r in qrows])
     qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
-    qm_unit = qm / np.linalg.norm(qm, axis=1, keepdims=True)
     nq = len(q_ids)
+    bc = queries.sparkSession.sparkContext.broadcast(
+        (q_ids, qm / np.linalg.norm(qm, axis=1, keepdims=True))
+    )
 
     def score(batches):
+        q_ids, qm_unit = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -116,15 +147,19 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (cos ≥ threshold).
 
     The whole corpus matrix is collected once (small-corpus / per-bucket
     regime; at 100 TB this exact kernel runs INSIDE LSH buckets via
-    :func:`lsh_embedding_near_dup_pairs`, never corpus-wide) and each
-    partition scores its rows against it with one numpy matmul, emitting
-    only pairs ``d1 < d2`` above the threshold — a blocked O(n²/P)
-    all-pairs with no Spark cross join and no shuffle of the corpus.
+    :func:`lsh_embedding_near_dup_pairs`, never corpus-wide —
+    ``max_collect_rows`` enforces that contract instead of trusting the
+    docstring) and shipped via ``sparkContext.broadcast`` (one transfer
+    per executor, not per task); each partition scores its rows against
+    it with one numpy matmul, emitting only pairs ``d1 < d2`` above the
+    threshold — a blocked O(n²/P) all-pairs with no Spark cross join and
+    no shuffle of the corpus.
 
     Output: d1, d2, cos_sim (rounded 6). Any orderable id type.
     """
@@ -134,6 +169,13 @@ def embedding_near_dup_pairs(
     id_type = dict(corpus.dtypes)[id_col]
     out_schema = f"d1 {id_type}, d2 {id_type}, cos_sim double"
 
+    _guard_driver_collect(
+        corpus,
+        "embedding_near_dup_pairs",
+        max_collect_rows,
+        "use lsh_embedding_near_dup_pairs (bucketed candidates + exact "
+        "verify) for corpus-wide near-dup at scale",
+    )
     rows = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).collect()
@@ -141,9 +183,12 @@ def embedding_near_dup_pairs(
         return corpus.sparkSession.createDataFrame([], out_schema)
     all_ids = np.array([r["__id"] for r in rows])
     m = np.array([r["__v"] for r in rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (all_ids, m / np.linalg.norm(m, axis=1, keepdims=True))
+    )
 
     def score(batches):
+        all_ids, m = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue

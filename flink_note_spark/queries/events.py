@@ -14,18 +14,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_note_spark.functions.scalar import epoch_us, fmt_date, json_int
+from flink_note_spark.functions.scalar import epoch_us, fmt_date
 from flink_note_spark.operators.joins import asof_join
 from flink_note_spark.operators.windows import sessionize
 from flink_note_spark.session import load_table as _t
 
 
 def q22_json_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON field extraction from events.props (SURVEY.md §2.2 JSON
-    surface — get_json_object ≈ DuckDB json_extract_string)."""
+    """JSON field extraction from events.props via ONE typed ``from_json``
+    parse per row (SURVEY.md §2.2 JSON surface). Round 4: replaces
+    ``get_json_object`` path extraction — the typed parse-once pattern is
+    the repo's own recommendation (q45 docstring) and what a 100 TB job
+    should run; ``json_int``/get_json_object stays available in
+    ``functions.scalar`` for ad-hoc single-path pulls."""
     e = _t(spark, sf, "events")
     return (
-        e.select("event_type", json_int("props", "$.k", "k"))
+        e.select("event_type", F.from_json("props", "k int").getField("k").alias("k"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),

@@ -71,13 +71,19 @@ def q43_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB's quantile_disc (verified empirically — identical discrete
     rank convention). The estimation-error contract on high-cardinality
     input is asserted in tests/test_extended.py.
+
+    Accuracy is 20 000, not 10⁶ (VERDICT r2 item 4c): the biggest
+    o_orderstatus group is ~7 500 rows at sf0.1, so the GK sketch is
+    still exact through every fixture SF while the merge buffers are 50×
+    smaller. At real scale a user picks accuracy for their error budget,
+    not for oracle equality.
     """
     o = _t(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_orderpriority").alias("n_priorities"),
-        F.expr("approx_percentile(o_totalprice, 0.25, 1000000)").alias("p25"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 1000000)").alias("p50"),
-        F.expr("approx_percentile(o_totalprice, 0.9, 1000000)").alias("p90"),
+        F.expr("approx_percentile(o_totalprice, 0.25, 20000)").alias("p25"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 20000)").alias("p50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 20000)").alias("p90"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -170,14 +176,16 @@ def q45_json_maps(spark: SparkSession, sf: str) -> DataFrame:
     ``from_json`` parses events.props into a typed struct ONCE per row
     (the scalable pattern — one parse, many field reads — vs repeated
     get_json_object path extraction), a map built from it is exploded via
-    map entries, and ``to_json`` round-trips the struct (each engine
-    independently re-serializes and compares against its own minified
-    input, so the check is engine-portable).
+    map entries, and ``to_json`` serializes the group key struct AFTER
+    aggregation (O(groups), not O(rows)). Round 4: the per-row
+    to_json-round-trip predicate moved to pytest
+    (test_extended.test_to_json_roundtrips_minified_props) — it was a
+    serialize-and-compare correctness check, not query work, and cost
+    0.44 s of the sf0.1 bench (VERDICT r2 item 4a).
     """
     e = _t(spark, sf, "events")
     p = e.select(
         "event_type",
-        "props",
         F.from_json("props", "k int").alias("pj"),
     )
     with_map = p.select(
@@ -188,33 +196,34 @@ def q45_json_maps(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("k_sq"), F.col("pj.k") * F.col("pj.k"),
             )
         ).alias("map_key", "map_val"),
-        F.when(
-            F.to_json("pj") == F.regexp_replace("props", " ", ""), 1
-        ).otherwise(0).alias("rt_ok"),
     )
-    return with_map.groupBy("event_type", "map_key").agg(
+    agg = with_map.groupBy("event_type", "map_key").agg(
         F.sum("map_val").alias("sum_val"),
-        F.sum("rt_ok").alias("n_roundtrip_ok"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "event_type",
+        "map_key",
+        "sum_val",
+        "n_rows",
+        F.to_json(F.struct("event_type", "map_key")).alias("grp_json"),
     )
 
 
 _Q45_SQL = """
 WITH parsed AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-         CASE WHEN CAST(json('{"k": ' || json_extract_string(props, '$.k') || '}') AS VARCHAR)
-                   = replace(props, ' ', '') THEN 1 ELSE 0 END AS rt_ok
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
   FROM events
 ), exploded AS (
-  SELECT event_type, 'k'    AS map_key, k     AS map_val, rt_ok FROM parsed
+  SELECT event_type, 'k'    AS map_key, k     AS map_val FROM parsed
   UNION ALL
-  SELECT event_type, 'k_sq' AS map_key, k * k AS map_val, rt_ok FROM parsed
+  SELECT event_type, 'k_sq' AS map_key, k * k AS map_val FROM parsed
 )
 SELECT event_type, map_key,
        CAST(sum(map_val) AS BIGINT)  AS sum_val,
-       CAST(sum(rt_ok) AS BIGINT)    AS n_roundtrip_ok,
-       count(*)                      AS n_rows
+       count(*)                      AS n_rows,
+       '{"event_type":"' || event_type || '","map_key":"' || map_key || '"}' AS grp_json
 FROM exploded GROUP BY event_type, map_key
 """
 

@@ -44,12 +44,14 @@ def test_schema_of_json_inference(spark, sf_dir):
 
 def test_approx_percentile_is_exact_under_accuracy(spark, sf_dir):
     """approx_percentile with accuracy ≥ group size returns the exact
-    discrete quantile — the invariant q43's oracle equality rests on."""
+    discrete quantile — the invariant q43's oracle equality rests on.
+    Asserted at q43's production accuracy (20 000) against the maxed-out
+    sketch (10⁶): both exact in the fixture regime, so they must agree."""
     o = load_table(spark, sf_dir, "orders")
     rows = (
         o.groupBy("o_orderstatus")
         .agg(
-            F.expr("approx_percentile(o_totalprice, 0.5, 1000000)").alias("ap"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 20000)").alias("ap"),
             F.expr(
                 "percentile_approx(o_totalprice, 0.5, 1000000)"
             ).alias("pa"),  # alias spelling of the same sketch
@@ -58,3 +60,24 @@ def test_approx_percentile_is_exact_under_accuracy(spark, sf_dir):
     )
     for r in rows:
         assert r.ap == r.pa
+
+
+def test_to_json_roundtrips_minified_props(spark, sf_dir):
+    """to_json(from_json(props)) must equal the minified input on every
+    event row — the serialize/parse inverse contract. Lives here, not in
+    q45's hot path: it is a correctness invariant, not query work
+    (VERDICT r2 item 4a moved it out of the bench). Also pins the
+    get_json_object single-path pull (functions.scalar.json_int) that
+    q22 no longer uses."""
+    from flink_note_spark.functions.scalar import json_int
+
+    e = load_table(spark, sf_dir, "events")
+    bad = e.select(
+        "props",
+        F.from_json("props", "k int").alias("pj"),
+        json_int("props", "$.k", "k_path"),
+    ).filter(
+        (F.to_json("pj") != F.regexp_replace("props", " ", ""))
+        | (F.col("k_path") != F.col("pj.k"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
