@@ -110,14 +110,20 @@ def stream_stream_join(
     return lw.join(rw, equi & time_bound, how)
 
 
-#: Output schema of :func:`stateful_sessionize`.
-SESSION_SCHEMA = (
-    "user_id long, session_start long, session_end long, n_events int, closed boolean"
-)
+def _session_schema(key_name: str, key_type: str) -> str:
+    """Output schema of :func:`stateful_sessionize` — the key column
+    inherits the INPUT's name and type (ADVICE r2 #5: a hardcoded
+    ``user_id long`` silently mislabels string/other keys)."""
+    return (
+        f"{key_name} {key_type}, session_start long, session_end long, "
+        "n_events int, closed boolean"
+    )
+
+
 _STATE_SCHEMA = "start long, last long, n int"
 
 
-def _make_session_fn(gap_ms: int):
+def _make_session_fn(gap_ms: int, key_name: str, ts_col: str):
     """Build the per-key session accumulator (the ``KeyedProcessFunction``
     analogue, SURVEY.md §2.2 "Stateful per-key processing").
 
@@ -130,7 +136,7 @@ def _make_session_fn(gap_ms: int):
     reproducible-at-scale choice)."""
 
     gap_us = gap_ms * 1_000
-    cols = ["user_id", "session_start", "session_end", "n_events", "closed"]
+    cols = [key_name, "session_start", "session_end", "n_events", "closed"]
 
     def _session_fn(
         key: tuple[Any, ...],
@@ -149,7 +155,7 @@ def _make_session_fn(gap_ms: int):
         # to match the batch sessionization surface (q25 session_*_us).
         ts_us: list[int] = []
         for pdf in pdfs:
-            ts_us.extend((pdf["ts"].astype("int64") // 1_000).tolist())
+            ts_us.extend((pdf[ts_col].astype("int64") // 1_000).tolist())
         ts_us.sort()
 
         # Walk events in event-time order, SPLITTING whenever the gap is
@@ -206,12 +212,13 @@ def stateful_sessionize(
             "minute": 60_000, "minutes": 60_000,
             "hour": 3_600_000, "hours": 3_600_000,
         }[unit]
+    key_type = dict(stream.dtypes)[key]
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(key)
         .applyInPandasWithState(
-            _make_session_fn(gap_ms),
-            outputStructType=SESSION_SCHEMA,
+            _make_session_fn(gap_ms, key, ts_col),
+            outputStructType=_session_schema(key, key_type),
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

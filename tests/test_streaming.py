@@ -505,6 +505,29 @@ def test_stateful_sessionize_splits_in_batch_gap(spark, chunk_dir, tmp_path):
     assert int(open_snap["session_start"].iloc[0]) == us(30)
 
 
+def test_stateful_sessionize_string_key(spark, chunk_dir, tmp_path):
+    """ADVICE r2 #5: the output schema must inherit the INPUT key's name
+    and type — a string-keyed stream sessionizes under its own column
+    name, not a hardcoded ``user_id long``."""
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (1, 2, _ts(3), "view", 1.0),
+        (2, 3, _ts(1), "view", 1.0),
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    ).select(F.concat(F.lit("u"), F.col("user_id")).alias("uname"), "ts")
+    out = stateful_sessionize(
+        stream, key="uname", ts_col="ts", gap="6 minutes", watermark="5 minutes"
+    )
+    assert dict(out.dtypes)["uname"] == "string"
+    _run_to_memory(out, "sess_str_out", "update", tmp_path)
+
+    got = spark.sql("SELECT * FROM sess_str_out").toPandas()
+    assert set(got["uname"]) == {"u1", "u2"}
+    assert int(got.loc[got["uname"] == "u1", "n_events"].max()) == 2
+
+
 def test_streaming_document_dedup(spark, tmp_path):
     """LLM-pipeline × streaming: exact content-hash dedup over a document
     STREAM — arriving duplicates (same normalized text, different ids /
@@ -695,3 +718,79 @@ def test_checkpoint_restart_no_duplicates(spark, chunk_dir, tmp_path):
     final = spark.read.parquet(str(sink)).toPandas()
     assert sorted(final["event_id"].tolist()) == [1, 2, 3]  # no dupes, no loss
     assert (tmp_path / "restart_sink" / "_spark_metadata").exists()
+
+
+def test_savepoint_restore_no_duplicates(spark, chunk_dir, tmp_path):
+    """C1 savepoint verbs: savepoint() gracefully stops a running
+    file-stream query and snapshots its checkpoint; restore_from()
+    materializes the snapshot as a fresh checkpoint dir; restarting the
+    writer against it resumes exactly-once — new input is processed,
+    nothing from before the savepoint is duplicated or lost."""
+    import time as _time
+
+    from flink_note_spark.streaming.control import restore_from, savepoint
+
+    sink = tmp_path / "sp_sink"
+    ckpt1 = tmp_path / "sp_ckpt1"
+    ckpt2 = tmp_path / "sp_ckpt2"
+    spdir = tmp_path / "sp_snap"
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "view", 1.0),
+    ])
+
+    def launch(ckpt):
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+        ).select("user_id", "event_id", "ts", "event_type", "value")
+        return write_stream_sink(
+            stream, "parquet", str(sink), checkpoint=str(ckpt),
+            output_mode="append", query_name="sp_job",
+        ).start()
+
+    q = launch(ckpt1)
+    q.processAllAvailable()  # c1 fully committed before the savepoint
+    savepoint(spark, "sp_job", str(ckpt1), str(spdir), timeout_sec=30.0)
+    assert not q.isActive  # savepoint stopped the query
+    assert (spdir / "offsets").is_dir()  # snapshot carries the offsets log
+
+    # "new deployment": data lands while the job is down; the restore
+    # seeds a FRESH checkpoint dir from the immutable snapshot
+    _write_chunk(chunk_dir, "c2.parquet", [(3, 3, _ts(2), "view", 1.0)])
+    restored = restore_from(str(spdir), str(ckpt2))
+    q2 = launch(restored)
+    q2.processAllAvailable()
+    q2.stop()
+
+    final = spark.read.parquet(str(sink)).toPandas()
+    assert sorted(final["event_id"].tolist()) == [1, 2, 3]  # no dupes, no loss
+
+    # the snapshot is reusable and refuses to clobber a live checkpoint
+    with pytest.raises(FileExistsError):
+        restore_from(str(spdir), str(ckpt2))
+
+
+def test_stop_query_bounded_on_rate_source(spark, tmp_path):
+    """stop_query must return within its deadline on a CONTINUOUS source
+    (rate) — the shape where processAllAvailable() never returns
+    (ADVICE r2 #1): the drain poll gives up at the deadline and stops."""
+    import time as _time
+
+    from flink_note_spark.streaming.control import stop_query
+
+    rate = read_rate(spark, rows_per_second=1_000_000)
+    q = (
+        rate.writeStream.format("noop")
+        .queryName("rate_job")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        t0 = _time.monotonic()
+        stop_query(spark, "rate_job", timeout_sec=3.0)
+        elapsed = _time.monotonic() - t0
+        assert not q.isActive
+        assert elapsed < 20.0, f"stop_query took {elapsed:.1f}s on a rate source"
+    finally:
+        if q.isActive:
+            q.stop()
