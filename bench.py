@@ -22,6 +22,7 @@ Measurement plan (BASELINE.md):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -112,8 +113,11 @@ def main() -> None:
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
-        # operators that persist() intermediates (LSH dedup families)
-        # would otherwise pin one cached copy per invocation
+        # Release per-invocation localCheckpoint blocks (LSH dedup
+        # families) promptly: they free on GC of the DataFrame object,
+        # so collect now rather than letting block buildup skew the
+        # next query's timing.
+        gc.collect()
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)

@@ -27,6 +27,56 @@ from pyspark.sql.functions import pandas_udf
 _MERSENNE31 = (1 << 31) - 1
 
 
+def _one_row_per_id(
+    df: DataFrame, id_col: str, text_col: str, ids_unique: bool
+) -> DataFrame:
+    """Enforce the one-row-per-id precondition the pairwise operators
+    rest on (ADVICE r2 #2: duplicate ids silently corrupt shingle sets
+    and pair counts). Default is a defensive ``dropDuplicates`` — one
+    extra keyed shuffle, projected down to the two columns the operators
+    read so the shuffle never carries unrelated payload columns; callers
+    that KNOW ids are unique (e.g. they ran :func:`exact_dedup` upstream,
+    or the id is the table's primary key) pass ``ids_unique=True`` to
+    skip it. Which row survives a duplicate id is arbitrary — resolve
+    duplicates content-aware with :func:`exact_dedup` first if that
+    matters."""
+    df = df.select(id_col, text_col)
+    return df if ids_unique else df.dropDuplicates([id_col])
+
+
+def _spread_for_python_stage(df: DataFrame) -> DataFrame:
+    """Give the Arrow/pandas-UDF stage real parallelism. A parquet file
+    with one row group scans as ONE task, which funnels the whole corpus
+    through a single Python worker — measured as the dominant (and
+    bimodal, when the task lands on a cold fork) cost of the SimHash and
+    shingling stages at sf0.1. Only repartitions when the input has
+    fewer partitions than the cluster has slots: at real scale the scan
+    already carries thousands of partitions and this is a no-op, so no
+    gratuitous full shuffle is added to a 100 TB run."""
+    spark = df.sparkSession
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _computed_once(df: DataFrame) -> DataFrame:
+    """Compute an intermediate frame exactly once and back it with
+    executor-stored blocks (eager ``localCheckpoint``): every downstream
+    plan branch (self-join sides, size lookups, verification joins) reads
+    the blocks instead of re-running the lineage. Unlike ``persist()``
+    this registers nothing in the CacheManager — the blocks are
+    ContextCleaner-owned and free when the frame is GC'd — so nothing
+    outlives the operator and there is no ``unpersist()`` lifetime to
+    manage (ADVICE r2 #3). The operator's OUTPUT stays lazy: the caller's
+    action pays for the final joins once, with no extra materialization
+    pass."""
+    return df.localCheckpoint(eager=True)
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -91,7 +141,7 @@ def _shingle_rows(
                         shs.append(sh)
             yield pd.DataFrame({id_col: ids, "shingle": shs})
 
-    sh = df.select(id_col, text_col).mapInPandas(
+    sh = _spread_for_python_stage(df.select(id_col, text_col)).mapInPandas(
         shingler, f"{id_col} {id_type}, shingle string"
     )
     if max_df is not None:
@@ -120,6 +170,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Exact n-gram (word shingle) Jaccard similarity pairs ≥ threshold.
 
@@ -133,8 +184,9 @@ def jaccard_pairs(
     fan-out per shingle.
     """
     # Shingles feed three plan branches (sizes + both self-join sides) —
-    # persist so explode+distinct runs once, not three times.
-    sh = _shingle_rows(df, id_col, text_col, n, max_df).persist()
+    # compute once so the shingler runs once, not three times.
+    df = _one_row_per_id(df, id_col, text_col, ids_unique)
+    sh = _computed_once(_shingle_rows(df, id_col, text_col, n, max_df))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -150,7 +202,7 @@ def jaccard_pairs(
     )
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
-    return (
+    out = (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .withColumn(
@@ -160,6 +212,7 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
+    return out
 
 
 def minhash_signatures(
@@ -218,6 +271,7 @@ def minhash_lsh_pairs(
     max_df: int | None = None,
     max_bucket: int = 1000,
     verify: bool = True,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -231,12 +285,13 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    df = _one_row_per_id(df, id_col, text_col, ids_unique)
     # One shingle scan for the whole operator: signatures, doc sizes and
-    # the verification join all read this persisted frame (previously the
-    # explode+distinct ran twice — ~2× of q31's wall time).
+    # the verification join all read this materialized frame (previously
+    # the explode+distinct ran twice — ~2× of q31's wall time).
     sh = _shingle_rows(df, id_col, text_col, n, max_df)
     if verify:
-        sh = sh.persist()
+        sh = _computed_once(sh)
     sig = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
     )
@@ -275,10 +330,11 @@ def minhash_lsh_pairs(
         .filter(F.col("__bsz") > max_bucket)
         .select("band_id", "band_key")
     )
-    band_rows = band_rows.join(hot, ["band_id", "band_key"], "left_anti")
-    # Both self-join sides read these rows — persist so signatures + band
-    # explode + cap run once, not twice.
-    band_rows = band_rows.persist()
+    # Both self-join sides read these rows — compute once so signatures +
+    # band explode + cap run once, not twice.
+    band_rows = _computed_once(
+        band_rows.join(hot, ["band_id", "band_key"], "left_anti")
+    )
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -325,7 +381,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("d2"), F.col("S").alias("S2"), F.col("sz").alias("sz2")
     )
     inter = F.size(F.array_intersect("S1", "S2"))
-    return (
+    out = (
         cand.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("inter", inter)
@@ -335,6 +391,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
     )
+    return out
 
 
 def _simhash64_impl(texts: pd.Series) -> pd.Series:
@@ -403,6 +460,7 @@ def simhash_fingerprints(
     """(id, simhash int64) per document."""
     # pandas_udf registration requires an active session → wrap lazily.
     udf = pandas_udf(_simhash64_impl, "long")
+    df = _spread_for_python_stage(df.select(id_col, text_col))
     return df.select(F.col(id_col), udf(F.col(text_col)).alias("simhash"))
 
 
@@ -412,6 +470,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    ids_unique: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -422,7 +481,9 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(
+        _one_row_per_id(df, id_col, text_col, ids_unique), id_col, text_col
+    )
 
     bands = fp.select(
         id_col,
@@ -450,14 +511,13 @@ def simhash_pairs(
         .select("chunk_id", "chunk_key")
     )
     # Anti-join away flooded chunks (AQE broadcasts the hot set when
-    # small — unhinted so it degrades gracefully), and persist so the
+    # small — unhinted so it degrades gracefully), and compute once so the
     # fingerprint UDF + explode feed both self-join sides from one
-    # computation (lifetime: until Spark's LRU evicts it; callers doing
-    # many independent runs can spark.catalog.clearCache()).
-    bands = bands.join(hot, ["chunk_id", "chunk_key"], "left_anti").persist()
+    # computation.
+    bands = _computed_once(bands.join(hot, ["chunk_id", "chunk_key"], "left_anti"))
 
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
@@ -474,6 +534,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["d1", "d2"])
     )
+    return out
 
 
 def _lcg(seed: int):

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from flink_note_spark.functions.scalar import l2_norm_sq, vec_dot
-from flink_note_spark.operators.dedup import _lcg
+from flink_note_spark.operators.dedup import _computed_once, _lcg
 
 
 def _guard_driver_collect(
@@ -247,8 +247,9 @@ def lsh_embedding_near_dup_pairs(
         .select("table_id", "bucket_key")
     )
     # unhinted anti-join: AQE broadcasts the hot set only when it is
-    # actually small; persist because both self-join sides read this.
-    banded = banded.join(hot, ["table_id", "bucket_key"], "left_anti").persist()
+    # actually small; computed once because both self-join sides read it
+    # (localCheckpoint blocks, freed on GC — no CacheManager entry).
+    banded = _computed_once(banded.join(hot, ["table_id", "bucket_key"], "left_anti"))
 
     x, y = banded.alias("x"), banded.alias("y")
     cand = (

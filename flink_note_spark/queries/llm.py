@@ -71,6 +71,9 @@ def q30_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD,
         max_df=SHINGLE_MAX_DF,
+        # doc_id is the documents table's primary key — skip the
+        # defensive one-row-per-id shuffle the operator defaults to.
+        ids_unique=True,
     )
 
 
@@ -111,6 +114,7 @@ def q31_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8,
         threshold=JACCARD_THRESHOLD, verify=True, max_df=SHINGLE_MAX_DF,
+        ids_unique=True,  # doc_id is the table's primary key
     )
 
 
@@ -118,7 +122,8 @@ def q32_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3, pigeonhole band join). No SQL
     oracle (blake2b bit-voting); rows-only check + pytest."""
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    # ids_unique: doc_id is the table's primary key
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, ids_unique=True)
 
 
 def q33_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -191,6 +191,51 @@ def test_cosine_topk_guard_refuses_big_query_side(spark):
     assert out.count() > 0
 
 
+def test_pairwise_dedup_defends_against_duplicate_ids(spark):
+    """ADVICE r2 #2: a corpus with a repeated doc id must not corrupt
+    pair scores — the public entry points collapse to one row per id by
+    default (ids_unique=True skips the defensive shuffle)."""
+    from flink_note_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    txt = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [("a", txt), ("a", txt), ("b", txt)],  # id "a" appears twice
+        "doc_id string, text string",
+    )
+    jp = jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in jp] == [("a", "b", 1.0)]
+    mh = minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.5).collect()
+    assert [(r.d1, r.d2) for r in mh] == [("a", "b")]
+    sp = simhash_pairs(df, max_hamming=3).collect()
+    assert [(r.d1, r.d2, r.hamming) for r in sp] == [("a", "b", 0)]
+
+
+def test_pairwise_ops_leave_no_cached_frames(spark):
+    """ADVICE r2 #3: the persisted intermediates (shingles, band rows,
+    LSH buckets) must be unpersisted before the operator returns — a
+    long-lived session running many dedup jobs must not accumulate
+    CacheManager entries."""
+    from flink_note_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from flink_note_spark.operators.similarity import lsh_embedding_near_dup_pairs
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 3 + "w1 w2 w3 w4 w5") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.1]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    jaccard_pairs(docs, threshold=0.5).collect()
+    minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold=0.5).collect()
+    simhash_pairs(docs).collect()
+    lsh_embedding_near_dup_pairs(vecs, threshold=0.9, dim=4, n_bits=4).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a pairwise operator left a persisted frame behind"
+    )
+
+
 def test_jaccard_short_docs_produce_no_shingles(spark):
     """Documents shorter than n words generate nothing — no crash, no
     pairs."""
