@@ -35,9 +35,14 @@ from flink_note_spark.session import get_spark, load_table  # noqa: E402
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def replicate(df, k: int, id_col: str, out_path: str, id_stride: int,
+def replicate(df, k: int, shifts: dict[str, int], out_path: str,
               salt_text: bool = False):
     """K copies with disjoint ids, written as 32 files (parallel scans).
+
+    ``shifts`` maps each key column to its per-replica stride; shifting
+    every key column of every table by the SAME per-replica offsets keeps
+    foreign keys consistent WITHIN a replica and disjoint ACROSS replicas,
+    so join outputs grow linearly with K (the real-corpus-growth model).
 
     ``salt_text`` suffixes every WORD with the replica index: documents
     inside one replica keep their near-dup relationships, documents
@@ -50,7 +55,11 @@ def replicate(df, k: int, id_col: str, out_path: str, id_stride: int,
         F.broadcast(
             df.sparkSession.range(k).withColumnRenamed("id", "__rep")
         )
-    ).withColumn(id_col, F.col(id_col) + F.col("__rep") * id_stride)
+    )
+    for col, stride in shifts.items():
+        reps = reps.withColumn(
+            col, (F.col(col) + F.col("__rep") * stride).cast(dict(df.dtypes)[col])
+        )
     if salt_text:
         reps = reps.withColumn(
             "text",
@@ -86,16 +95,81 @@ def main() -> None:
     docs1 = load_table(spark, SF_DIR, "documents")
     emb1 = load_table(spark, SF_DIR, "embeddings")
     docs_k = spark.read.parquet(
-        replicate(docs1, k, "doc_id", f"{tmp}/docs_k", 10_000_000, salt_text=True)
+        replicate(docs1, k, {"doc_id": 10_000_000}, f"{tmp}/docs_k", salt_text=True)
     )
     emb_k = spark.read.parquet(
-        replicate(emb1, k, "vec_id", f"{tmp}/emb_k", 10_000_000)
+        replicate(emb1, k, {"vec_id": 10_000_000}, f"{tmp}/emb_k")
+    )
+    # TPC-H relational trio for the join/window/agg probes — key columns
+    # shift together so FKs stay intra-replica (join output grows ~K×).
+    STRIDE = 10_000_000
+    cust1 = load_table(spark, SF_DIR, "customer")
+    ord1 = load_table(spark, SF_DIR, "orders")
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    cust_k = spark.read.parquet(
+        replicate(cust1, k, {"c_custkey": STRIDE}, f"{tmp}/cust_k")
+    )
+    ord_k = spark.read.parquet(
+        replicate(
+            ord1, k, {"o_orderkey": STRIDE, "o_custkey": STRIDE}, f"{tmp}/ord_k"
+        )
+    )
+    li_k = spark.read.parquet(
+        replicate(li1, k, {"l_orderkey": STRIDE}, f"{tmp}/li_k")
     )
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    def join_probe(cust, orders, li):
+        """q03-shaped: filtered dim → two FK equi-joins → grouped agg.
+        No broadcast hint — AQE decides from measured sizes (the same
+        contract queries/relational.py q03 follows since round 4)."""
+        return (
+            cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).alias("revenue")
+            )
+        )
+
+    def window_probe(li):
+        """q42-shaped: six analytic functions sharing one
+        partitionBy(l_orderkey) sort."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_linenumber")
+        )
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lead("l_extendedprice", 1).over(w).alias("next_price"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+
+    def agg_probe(li):
+        """q01-shaped: full-scan groupBy with map-side-combinable aggs."""
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
     t: dict[str, float] = {}
+    for tag, c, o, l in (("x1", cust1, ord1, li1), (f"x{k}", cust_k, ord_k, li_k)):
+        bench(f"join_{tag}", lambda c=c, o=o, l=l: noop(join_probe(c, o, l)), t)
+        bench(f"window_{tag}", lambda l=l: noop(window_probe(l)), t)
+        bench(f"agg_{tag}", lambda l=l: noop(agg_probe(l)), t)
     for tag, d, e in (("x1", docs1, emb1), (f"x{k}", docs_k, emb_k)):
         bench(f"exact_dedup_{tag}", lambda d=d: noop(exact_dedup(d, "text", "doc_id")), t)
         bench(
@@ -121,7 +195,10 @@ def main() -> None:
 
     ratios = {
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
-        for op in ("exact_dedup", "minhash_lsh", "simhash", "language_id", "cosine_topk")
+        for op in (
+            "join", "window", "agg",
+            "exact_dedup", "minhash_lsh", "simhash", "language_id", "cosine_topk",
+        )
     }
     print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
 
