@@ -152,7 +152,10 @@ def _shingle_rows(
         # could make the hot set itself large, and AQE already converts
         # the anti-join to broadcast at runtime when the measured size
         # allows (degrading to a shuffle join instead of OOMing when
-        # it doesn't).
+        # it doesn't). The hot branch re-runs the shingler stage; an
+        # eager checkpoint of the raw shingle rows was MEASURED SLOWER
+        # at 32× data (block-storing every raw shingle string costs more
+        # than the second Arrow pass) — don't "fix" this without timing.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -330,8 +333,10 @@ def minhash_lsh_pairs(
         .filter(F.col("__bsz") > max_bucket)
         .select("band_id", "band_key")
     )
-    # Both self-join sides read these rows — compute once so signatures +
-    # band explode + cap run once, not twice.
+    # Both self-join sides read these rows — materialize once so the
+    # signature groupBy + band explode + cap run once, not per side
+    # (measured at 32× data: re-deriving them lazily from signature
+    # blocks costs +37%; the compact band blocks win at every scale).
     band_rows = _computed_once(
         band_rows.join(hot, ["band_id", "band_key"], "left_anti")
     )
@@ -481,8 +486,14 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    fp = simhash_fingerprints(
-        _one_row_per_id(df, id_col, text_col, ids_unique), id_col, text_col
+    # Fingerprints are one (id, int64) row per doc — materialize this
+    # smallest-possible frame so the pandas-UDF voting stage runs ONCE;
+    # the chunk explode, hot-bucket cap and both self-join sides all
+    # re-derive from the blocks with cheap JVM expressions.
+    fp = _computed_once(
+        simhash_fingerprints(
+            _one_row_per_id(df, id_col, text_col, ids_unique), id_col, text_col
+        )
     )
 
     bands = fp.select(
@@ -511,10 +522,10 @@ def simhash_pairs(
         .select("chunk_id", "chunk_key")
     )
     # Anti-join away flooded chunks (AQE broadcasts the hot set when
-    # small — unhinted so it degrades gracefully), and compute once so the
-    # fingerprint UDF + explode feed both self-join sides from one
-    # computation.
-    bands = _computed_once(bands.join(hot, ["chunk_id", "chunk_key"], "left_anti"))
+    # small — unhinted so it degrades gracefully). Lazy: consumers
+    # re-explode from the fingerprint blocks; the hot-set exchange is
+    # reused within the final execution.
+    bands = bands.join(hot, ["chunk_id", "chunk_key"], "left_anti")
 
     a, b = bands.alias("a"), bands.alias("b")
     out = (
