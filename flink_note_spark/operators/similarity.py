@@ -365,3 +365,175 @@ def lsh_cosine_topk(
             "rank",
         )
     )
+
+
+def _ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    seed: int,
+):
+    """Train unit-normalized IVF centroids with distributed Lloyd steps.
+
+    Init picks ``n_cells`` corpus vectors by deterministic pseudo-random
+    order (``xxhash64(id, seed)`` — no ``random`` module, reproducible
+    across processes). Each refinement iteration is one Spark pass:
+    assign every vector to its nearest centroid (Arrow-batched numpy
+    argmax against the broadcast centroid matrix — the centroids are
+    tiny, the corpus never moves) and re-average per cell with
+    ``applyInPandas`` (shuffle keyed on cell_id; ``n_cells`` output rows
+    come back to the driver — the ONLY driver-side data is the
+    (n_cells, dim) matrix, never the corpus). Empty cells keep their
+    previous centroid.
+    """
+    import numpy as np
+
+    init = (
+        corpus.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r["__v"] for r in init], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    spark = corpus.sparkSession
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        assigned = _ivf_assign_cells(vecs, cents, "__v")
+
+        def cell_mean(pdf):
+            import pandas as pd
+
+            m = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            return pd.DataFrame(
+                {
+                    "cell_id": [int(pdf["__cell"].iloc[0])],
+                    "centroid": [m.mean(axis=0).tolist()],
+                }
+            )
+
+        rows = (
+            assigned.groupBy("__cell")
+            .applyInPandas(cell_mean, "cell_id int, centroid array<double>")
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["cell_id"]] = r["centroid"]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return cents
+
+
+def _ivf_assign_cells(df: DataFrame, cents, vec_col: str) -> DataFrame:
+    """Append ``__cell`` = argmax cosine(centroid, vec). One Arrow pass;
+    the (n_cells, dim) centroid matrix rides a broadcast variable."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(np.asarray(cents))
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", __cell int"
+
+    def assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["__cell"] = np.argmax(v @ cm.T, axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file)
+    index: k-means cells over the corpus, each query probes only its
+    ``n_probe`` nearest cells, exact cosine re-ranks inside them.
+
+    The 100 TB shape: the corpus is partitioned by cell assignment (one
+    Arrow pass against broadcast centroids — at scale you persist this
+    as a bucketed table and amortize it across queries), candidates meet
+    in a ``cell_id`` equi-join, and the scored set is bounded by
+    ``n_probe``/``n_cells`` of the corpus instead of |corpus|·|queries|.
+    Recall rises with ``n_probe``; ``n_probe == n_cells`` degenerates to
+    exhaustive exact search (asserted in tests/test_lsh_recall.py).
+
+    Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
+    """
+    import numpy as np
+
+    cents = _ivf_centroids(corpus, n_cells, id_col, vec_col, iters, seed)
+    n_probe = min(n_probe, len(cents))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = _ivf_assign_cells(c, cents, "__cv").withColumnRenamed("__cell", "cell_id")
+
+    # Each query probes its n_probe nearest cells: one Arrow pass over
+    # the (small-by-contract) query side, emitting n_probe rows per
+    # query for the cell equi-join. Unhinted — AQE broadcasts the query
+    # side when its measured size allows.
+    bc = queries.sparkSession.sparkContext.broadcast(np.asarray(cents))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    q_schema = (
+        f"query_id {dict(corpus.dtypes)[id_col]}, __qv array<double>, cell_id int"
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["__qv"].tolist(), dtype=np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(vn @ cm.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().repeat(n_probe),
+                    "__qv": [row for row, cells in zip(v.tolist(), order) for _ in cells],
+                    "cell_id": order.ravel().astype("int32"),
+                }
+            )
+            yield out
+
+    qp = q.mapInPandas(probe, q_schema)
+
+    cand = qp.join(c, "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = vec_dot("__qv", "__cv") / (
+        F.sqrt(l2_norm_sq("__qv")) * F.sqrt(l2_norm_sq("__cv"))
+    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

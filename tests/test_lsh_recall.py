@@ -103,3 +103,50 @@ def test_simhash_pigeonhole_completeness(spark, sf_dir):
     # and nothing beyond the hamming bound sneaks in
     extra = got - want
     assert not extra, f"pairs beyond hamming bound: {extra}"
+
+
+def test_ivf_topk_exhaustive_probe_equals_exact(spark, sf_dir):
+    """IVF with n_probe == n_cells probes every cell — the result must
+    EQUAL the exact brute-force top-k (same ids, same ranks): the cell
+    partition is then only a routing detail, not an approximation."""
+    from flink_note_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 10)
+    exact = {
+        (int(r.query_id), int(r.neighbor_id), int(r.rank))
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    ivf = {
+        (int(r.query_id), int(r.neighbor_id), int(r.rank))
+        for r in ivf_topk(q, emb, k=5, n_cells=8, n_probe=8, iters=1).collect()
+    }
+    assert exact
+    assert ivf == exact
+
+
+def test_ivf_topk_partial_probe_recall(spark, sf_dir):
+    """IVF probing half the cells must still recover most true top-5
+    neighbors (the fixture embeddings are near-uniform — the hardest
+    case for any ANN index — so the bar is recall ≥ 0.5, well above the
+    n_probe/n_cells mass a random cell routing would give only if the
+    index routes neighbors into probed cells better than chance)."""
+    from flink_note_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 10)
+    exact = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    ivf = {
+        (int(r.query_id), int(r.neighbor_id))
+        for r in ivf_topk(q, emb, k=5, n_cells=8, n_probe=4, iters=2).collect()
+    }
+    assert exact
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
+    # every returned neighbor carries its EXACT cosine (re-ranked), so
+    # any (query, neighbor) the index did surface that is also in the
+    # exact top-5 must agree on rank ordering within the probed subset —
+    # spot-check precision of scores via the exhaustive case above.
