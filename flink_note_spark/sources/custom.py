@@ -1,0 +1,170 @@
+"""Custom source registration — the Spark-first answer to the
+reference's ``addSource(SourceFunction)`` / FLIP-27 source stack
+(reference S5, ``NOTES:16-18, 112``).
+
+Flink users write a ``SourceFunction`` (or a FLIP-27
+SplitEnumerator + SourceReader pair) and hand it to ``addSource``;
+the PySpark-native equivalent is the Python Data Source API
+(``pyspark.sql.datasource``, Spark 4+): subclass :class:`DataSource`,
+register it once per session, and both ``spark.read.format(name)`` and
+``spark.readStream.format(name)`` dispatch to it. The mapping:
+
+- FLIP-27 ``SplitEnumerator`` → :meth:`DataSourceReader.partitions`
+  (driver-side split planning; each :class:`InputPartition` is a split);
+- FLIP-27 ``SourceReader`` → :meth:`DataSourceReader.read` (executor-side
+  per-split iterator, runs in parallel, one task per split);
+- ``SourceFunction.run``/checkpointed offsets →
+  :class:`SimpleDataSourceStreamReader` with ``initialOffset`` /
+  ``read(start)`` / ``readBetweenOffsets`` (deterministic replay gives
+  exactly-once with a checkpointed sink, reference C2);
+- operator-chained predicate evaluation → :meth:`pushFilters`
+  (supported ``id`` comparisons narrow the generated range at the
+  SOURCE, so un-needed splits are never produced — the custom-source
+  analogue of parquet predicate pushdown).
+
+:class:`SequenceDataSource` is the shipped example: a deterministic
+bounded/unbounded integer sequence (Flink's ``env.fromSequence`` /
+``DataGeneratorSource`` shape) used by the tests; writing a new source
+is "subclass + register", no JVM code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _RangeSplit(InputPartition):
+    begin: int  # inclusive
+    end: int    # exclusive
+
+
+def _payload(i: int) -> str:
+    return f"payload-{i}"
+
+
+class _SequenceBatchReader(DataSourceReader):
+    """Split-enumerated bounded read of [start, start+numRows)."""
+
+    def __init__(self, options):
+        self.start = int(options.get("start", 0))
+        self.end = self.start + int(options.get("numrows", 1000))
+        self.num_partitions = int(options.get("numpartitions", 8))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Narrow [start, end) with supported ``id`` comparisons; yield
+        back the rest for Spark to evaluate post-scan. Pushing a filter
+        here means the excluded splits are never generated at all."""
+        for f in filters:
+            col = f.attribute[0] if f.attribute else None
+            if col == "id" and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ) and isinstance(f.value, int):
+                if isinstance(f, EqualTo):
+                    self.start = max(self.start, f.value)
+                    self.end = min(self.end, f.value + 1)
+                elif isinstance(f, GreaterThan):
+                    self.start = max(self.start, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.start = max(self.start, f.value)
+                elif isinstance(f, LessThan):
+                    self.end = min(self.end, f.value)
+                else:  # LessThanOrEqual
+                    self.end = min(self.end, f.value + 1)
+            else:
+                yield f  # unsupported → Spark re-applies it post-scan
+
+    def partitions(self) -> list[InputPartition]:
+        """Driver-side split planning (SplitEnumerator analogue): carve
+        the (possibly filter-narrowed) range into contiguous splits —
+        one executor task each."""
+        n = max(self.end - self.start, 0)
+        parts = max(min(self.num_partitions, n), 1)
+        step = -(-n // parts) if n else 1
+        return [
+            _RangeSplit(b, min(b + step, self.end))
+            for b in range(self.start, self.end, step)
+        ] or [_RangeSplit(self.start, self.start)]
+
+    def read(self, split: _RangeSplit):
+        """Executor-side per-split iterator (SourceReader analogue)."""
+        for i in range(split.begin, split.end):
+            yield (i, _payload(i))
+
+
+class _SequenceStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked unbounded read: each microbatch emits the next
+    ``rowsPerBatch`` ids; ``maxRows`` (optional) bounds the stream so
+    tests and AvailableNow-style drains terminate. Offsets are plain
+    dicts checkpointed by Spark; ``readBetweenOffsets`` regenerates any
+    committed range deterministically — replay after failure yields the
+    same rows, which is what makes the file-sink pipeline exactly-once
+    (reference C2)."""
+
+    def __init__(self, options):
+        self.start = int(options.get("start", 0))
+        self.rows_per_batch = int(options.get("rowsperbatch", 10))
+        max_rows = options.get("maxrows")
+        self.limit = None if max_rows is None else self.start + int(max_rows)
+
+    def initialOffset(self) -> dict:
+        return {"next": self.start}
+
+    def read(self, start: dict):
+        begin = start["next"]
+        end = begin + self.rows_per_batch
+        if self.limit is not None:
+            end = min(end, self.limit)
+        end = max(end, begin)
+        # the rows part must be an ITERATOR (Spark calls next() on it)
+        return (iter([(i, _payload(i)) for i in range(begin, end)]), {"next": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(i, _payload(i)) for i in range(start["next"], end["next"])])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to release — offsets live in the checkpoint
+
+
+class SequenceDataSource(DataSource):
+    """``flink_note_sequence``: deterministic integer sequence source,
+    batch (split-enumerated, filter-pushdown) + streaming (offset
+    replay). Options: ``start``, ``numRows``, ``numPartitions`` (batch);
+    ``start``, ``rowsPerBatch``, ``maxRows`` (stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flink_note_sequence"
+
+    def schema(self) -> str:
+        return "id bigint, payload string"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SequenceBatchReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SequenceStreamReader(self.options)
+
+
+def register_custom_sources(spark) -> None:
+    """Register every custom source on the session (idempotent — the
+    registry keeps the latest registration per name). Also enables
+    Python-source filter pushdown (off by default in Spark 4.1): a
+    reader that implements ``pushFilters`` fails analysis otherwise."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SequenceDataSource)
