@@ -44,6 +44,9 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -168,3 +171,96 @@ def register_custom_sources(spark) -> None:
     reader that implements ``pushFilters`` fails analysis otherwise."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SequenceDataSource)
+    spark.dataSource.register(MeterSinkDataSource)
+
+
+@dataclass
+class _CountCommit(WriterCommitMessage):
+    rows: int
+    bytes_approx: int
+
+
+class _MeterWriter(DataSourceWriter):
+    """Executor-side: drain the iterator, count rows/bytes, report via
+    the commit message — the task writes nothing, so it measures the
+    upstream plan exactly (the ``noop`` format with observability)."""
+
+    def write(self, iterator) -> _CountCommit:
+        rows = 0
+        size = 0
+        for row in iterator:
+            rows += 1
+            size += sum(len(str(v)) for v in row)
+        return _CountCommit(rows=rows, bytes_approx=size)
+
+
+class _MeterBatchWriter(_MeterWriter):
+    def __init__(self, options):
+        self.path = options.get("path") or options.get("manifest")
+
+    def commit(self, messages) -> None:
+        _write_manifest(self.path, messages, batch_id=None)
+
+    def abort(self, messages) -> None:
+        pass
+
+
+class _MeterStreamWriter(_MeterWriter, DataSourceStreamWriter):
+    """Streaming commit is per-microbatch and exactly-once: the manifest
+    for a batch id is written atomically (tmp + rename), so a replayed
+    batch overwrites its own manifest instead of double-counting — the
+    idempotent-sink contract the reference reaches with
+    ``TwoPhaseCommitSinkFunction`` (C2)."""
+
+    def __init__(self, options):
+        self.path = options.get("path") or options.get("manifest")
+
+    def commit(self, messages, batchId: int) -> None:
+        _write_manifest(self.path, messages, batch_id=batchId)
+
+    def abort(self, messages, batchId: int) -> None:
+        pass
+
+
+def _write_manifest(path, messages, batch_id) -> None:
+    """Driver-side commit: aggregate task counts into one JSON manifest
+    (atomic rename — a torn file is never observable)."""
+    if not path:
+        return
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    name = "manifest.json" if batch_id is None else f"manifest-{batch_id}.json"
+    out = {
+        "rows": sum(m.rows for m in messages if m),
+        "bytes_approx": sum(m.bytes_approx for m in messages if m),
+        "tasks": sum(1 for m in messages if m),
+    }
+    if batch_id is not None:
+        out["batch_id"] = batch_id
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, os.path.join(path, name))
+
+
+class MeterSinkDataSource(DataSource):
+    """``flink_note_meter``: measuring blackhole sink (batch + stream).
+
+    The custom-SINK half of the S5/K1 story (Flink ``addSink``): tasks
+    count what flows through, the driver-side commit writes one JSON
+    manifest per batch. Option ``path`` = manifest directory (omit for a
+    pure blackhole). Exactly-once under retry: task messages from failed
+    attempts are dropped by Spark; the per-batch manifest rename is
+    idempotent on replay."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "flink_note_meter"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _MeterBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _MeterStreamWriter(self.options)

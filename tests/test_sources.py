@@ -170,3 +170,56 @@ def test_custom_sequence_source_stream_offsets(spark, tmp_path):
         q.stop()
     got = sorted(r.id for r in spark.sql("select id from seq_stream").collect())
     assert got == list(range(37))
+
+
+def test_custom_meter_sink_batch_manifest(spark, tmp_path):
+    """K1/S5 sink half: the custom writer counts per task, the driver
+    commit aggregates into one atomic JSON manifest."""
+    import json
+
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    out = tmp_path / "meter"
+    (
+        spark.range(123)
+        .selectExpr("id", "repeat('x', 4) as payload")
+        .write.format("flink_note_meter")
+        .option("path", str(out))
+        .mode("append")
+        .save()
+    )
+    m = json.loads((out / "manifest.json").read_text())
+    assert m["rows"] == 123
+    assert m["tasks"] >= 1
+    assert m["bytes_approx"] > 0
+
+
+def test_custom_meter_sink_streaming_per_batch(spark, tmp_path):
+    """Streaming commit is per-microbatch: source (custom) to sink
+    (custom) end-to-end — per-batch manifests sum to exactly the bounded
+    input, committed through Spark's offset protocol."""
+    import json
+
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    out = tmp_path / "meter_stream"
+    q = (
+        spark.readStream.format("flink_note_sequence")
+        .option("rowsPerBatch", 10)
+        .option("maxRows", 25)
+        .load()
+        .writeStream.format("flink_note_meter")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    manifests = sorted(out.glob("manifest-*.json"))
+    assert manifests, "streaming commit wrote no manifests"
+    total = sum(json.loads(p.read_text())["rows"] for p in manifests)
+    assert total == 25
