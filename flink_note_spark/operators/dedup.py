@@ -108,9 +108,22 @@ def exact_dedup(
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per doc; optionally drop shingles with
+    """(id, shingle) rows, distinct per doc, where ``shingle`` is the
+    64-bit ``xxhash64`` of the n-gram; optionally drop shingles with
     document frequency > max_df (boilerplate guard — the 100 TB skew
     mitigation, SURVEY.md §7.3).
+
+    Every consumer (MinHash signatures, LSH verification, exact Jaccard)
+    needs only equality / set-intersection / counting over shingles, so
+    the string n-gram is hashed to a LONG in the same stage that
+    produces it (a JVM projection right after the Arrow batch — the
+    strings never reach a shuffle, a checkpoint, or a collect_set).
+    8-byte keys instead of ~n-word strings shrink every downstream
+    exchange and make the self-joins long-equality instead of string
+    comparison. Set semantics are exact up to 64-bit hash collisions
+    (expected collisions ≈ m²/2⁶⁴ over m distinct shingles — negligible
+    below ~10⁸ shingles; the MinHash signature path is bit-identical to
+    before, which already keyed off ``xxhash64(shingle)``).
 
     PRECONDITION: one input row per ``id_col`` value. Per-doc set-dedup
     inside the generator replaces the old global ``distinct()`` SHUFFLE
@@ -143,8 +156,15 @@ def _shingle_rows(
 
     sh = _spread_for_python_stage(df.select(id_col, text_col)).mapInPandas(
         shingler, f"{id_col} {id_type}, shingle string"
-    )
+    ).select(id_col, F.xxhash64("shingle").alias("shingle"))
     if max_df is not None:
+        # Materialize the raw (id, hash) rows so the hot-set groupBy and
+        # the anti-join left side read blocks instead of each re-running
+        # the Python shingler. Only worthwhile BECAUSE the rows are
+        # 8-byte longs: the same checkpoint over string shingles was
+        # measured SLOWER at 32× data than the second Arrow pass, while
+        # the long version is the fastest variant at both sf0.1 and 32×.
+        sh = _computed_once(sh)
         # The hot set (df > max_df) is SMALL in the expected case — it
         # exists to kill boilerplate floods — so materialize it with one
         # map-side-combinable groupBy and drop its members with an
@@ -152,10 +172,7 @@ def _shingle_rows(
         # could make the hot set itself large, and AQE already converts
         # the anti-join to broadcast at runtime when the measured size
         # allows (degrading to a shuffle join instead of OOMing when
-        # it doesn't). The hot branch re-runs the shingler stage; an
-        # eager checkpoint of the raw shingle rows was MEASURED SLOWER
-        # at 32× data (block-storing every raw shingle string costs more
-        # than the second Arrow pass) — don't "fix" this without timing.
+        # it doesn't).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -244,7 +261,9 @@ def minhash_signatures(
     sh = shingles if shingles is not None else _shingle_rows(
         df, id_col, text_col, n, max_df
     )
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    # ``shingle`` is already the xxhash64 long (see _shingle_rows) —
+    # identical signature values to the old hash-the-string formulation.
+    base = F.pmod(F.col("shingle"), F.lit(_MERSENNE31))
     hashed = sh.select(
         id_col,
         *[
