@@ -52,12 +52,26 @@ def _spread_for_python_stage(df: DataFrame) -> DataFrame:
     shingling stages at sf0.1. Only repartitions when the input has
     fewer partitions than the cluster has slots: at real scale the scan
     already carries thousands of partitions and this is a no-op, so no
-    gratuitous full shuffle is added to a 100 TB run."""
+    gratuitous full shuffle is added to a 100 TB run.
+
+    A plan that already contains an Exchange is returned UNTOUCHED, for
+    two reasons: its post-shuffle side arrives with
+    ``spark.sql.shuffle.partitions`` partitions (and AQE's
+    ``parallelismFirst`` coalescing keeps parallelism around the default
+    parallelism), and — the sharp edge — probing ``.rdd`` on an adaptive
+    plan forces ``getFinalPhysicalPlan()``, which EXECUTES the shuffle
+    stages at plan-construction time; the upstream shuffle would then
+    run twice (once for the probe, once in the real job). The static
+    ``sparkPlan`` string inspection below costs analysis only; the
+    ``.rdd`` partition probe is reached only for scan-shaped plans,
+    where it is a plan conversion with no stages to materialize."""
     spark = df.sparkSession
     target = min(
         spark.sparkContext.defaultParallelism,
         int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

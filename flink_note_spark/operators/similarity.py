@@ -396,6 +396,8 @@ def _ivf_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not init:
+        return None  # empty corpus — caller returns a typed empty frame
     cents = np.array([r["__v"] for r in init], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
@@ -481,6 +483,11 @@ def ivf_topk(
     import numpy as np
 
     cents = _ivf_centroids(corpus, n_cells, id_col, vec_col, iters, seed)
+    if cents is None:  # empty corpus: typed empty result, like cosine_topk
+        id_type = dict(corpus.dtypes)[id_col]
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
+        )
     n_probe = min(n_probe, len(cents))
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))

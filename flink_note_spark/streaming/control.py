@@ -64,9 +64,16 @@ def stop_query(
     Deliberately not ``processAllAvailable()``: that call never returns
     on continuous sources (rate, Kafka), so a "graceful stop" built on it
     hangs forever (ADVICE r2 #1). Here ``timeout_sec`` bounds the WHOLE
-    verb — drain poll plus post-stop wait. Stopping at the deadline is
-    safe: every committed micro-batch is exactly-once; undrained input
-    replays on restart from the checkpoint."""
+    verb — drain poll, ``stop()`` itself (Spark's default
+    ``spark.sql.streaming.stopTimeout=0`` waits FOREVER for the
+    execution thread, so the remaining budget is installed for the call
+    and restored after), and the termination wait, whose result is
+    checked rather than discarded. Raises ``TimeoutError`` if the query
+    has not confirmed termination by the deadline — callers like
+    :func:`savepoint` depend on stop-has-completed, so an unconfirmed
+    stop must be loud, not silent. Stopping at the deadline is safe:
+    every committed micro-batch is exactly-once; undrained input replays
+    on restart from the checkpoint."""
     q = get_query(spark, name)
     deadline = time.monotonic() + timeout_sec
     while time.monotonic() < deadline:
@@ -74,8 +81,26 @@ def stop_query(
         if not st.get("isDataAvailable") and not st.get("isTriggerActive"):
             break
         time.sleep(poll_interval_sec)
-    q.stop()
-    q.awaitTermination(max(1.0, deadline - time.monotonic()))
+    stop_budget_ms = str(int(max(1.0, deadline - time.monotonic()) * 1000))
+    prev = spark.conf.get("spark.sql.streaming.stopTimeout", None)
+    spark.conf.set("spark.sql.streaming.stopTimeout", stop_budget_ms)
+    try:
+        q.stop()
+    except Exception as e:  # Spark raises when the thread outlives the budget
+        raise TimeoutError(
+            f"stop_query({name!r}): execution thread did not stop within "
+            f"{timeout_sec}s"
+        ) from e
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stopTimeout")
+        else:
+            spark.conf.set("spark.sql.streaming.stopTimeout", prev)
+    if not q.awaitTermination(max(1.0, deadline - time.monotonic())):
+        raise TimeoutError(
+            f"stop_query({name!r}): termination not confirmed within "
+            f"{timeout_sec}s"
+        )
 
 
 def cancel_query(spark: SparkSession, name: str) -> None:
@@ -107,8 +132,20 @@ def savepoint(
         raise FileNotFoundError(f"savepoint: checkpoint dir {src} does not exist")
     if dst.exists():
         raise FileExistsError(f"savepoint: target {dst} already exists")
-    shutil.copytree(src, dst)
+    _copytree_atomic(src, dst)
     return str(dst)
+
+
+def _copytree_atomic(src: Path, dst: Path) -> None:
+    """Copy into a sibling temp dir, then rename into place: a process
+    killed mid-copy leaves only the temp dir (reclaimed on retry), never
+    a torn snapshot that ``dst.exists()`` would mistake for a valid
+    savepoint while also blocking the retry."""
+    tmp = dst.parent / f".{dst.name}.__tmp__"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    shutil.copytree(src, tmp)
+    tmp.replace(dst)
 
 
 def restore_from(savepoint_dir: str, checkpoint_dir: str) -> str:
@@ -125,7 +162,7 @@ def restore_from(savepoint_dir: str, checkpoint_dir: str) -> str:
             f"restore_from: checkpoint target {dst} already exists — "
             "restores must not clobber a live checkpoint"
         )
-    shutil.copytree(src, dst)
+    _copytree_atomic(src, dst)
     return str(dst)
 
 

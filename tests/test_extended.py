@@ -81,3 +81,25 @@ def test_to_json_roundtrips_minified_props(spark, sf_dir):
         | (F.col("k_path") != F.col("pj.k"))
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_q45_fixture_contract_event_type_json_safe(spark, sf_dir):
+    """q45's driver-checked grp_json column is built by Spark's to_json
+    but by hand-rolled string concatenation in the DuckDB oracle; the
+    two diverge on NULL event_type (Spark omits the field, SQL yields
+    NULL) and on embedded double quotes (Spark escapes, SQL does not).
+    The oracle therefore encodes a fixture contract — event_type is
+    non-null and quote-free — which this test makes explicit so a
+    fixture change fails HERE with a message instead of as an opaque
+    driver hash mismatch."""
+    from flink_note_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bad = ev.filter(
+        F.col("event_type").isNull() | F.col("event_type").contains('"')
+    ).count()
+    assert bad == 0, (
+        "events.event_type now contains NULLs or double quotes - q45's "
+        "hand-rolled JSON oracle (queries/extended.py _Q45_SQL) no longer "
+        "matches Spark's to_json; rewrite the oracle before trusting q45"
+    )

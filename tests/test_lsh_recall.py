@@ -126,11 +126,12 @@ def test_ivf_topk_exhaustive_probe_equals_exact(spark, sf_dir):
 
 
 def test_ivf_topk_partial_probe_recall(spark, sf_dir):
-    """IVF probing half the cells must still recover most true top-5
-    neighbors (the fixture embeddings are near-uniform — the hardest
-    case for any ANN index — so the bar is recall ≥ 0.5, well above the
-    n_probe/n_cells mass a random cell routing would give only if the
-    index routes neighbors into probed cells better than chance)."""
+    """IVF probing half the cells must recover well MORE than half the
+    true top-5 neighbors: chance-level routing (degenerate centroids,
+    e.g. all identical) would land recall ≈ n_probe/n_cells = 0.5 on the
+    near-uniform fixture, so the bar sits above that — the operator is
+    fully seeded/deterministic and measures 0.74 on this fixture, so
+    0.65 passes with margin while chance-level routing fails."""
     from flink_note_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -145,8 +146,4 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     }
     assert exact
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.5, f"IVF recall {recall:.3f} < 0.5"
-    # every returned neighbor carries its EXACT cosine (re-ranked), so
-    # any (query, neighbor) the index did surface that is also in the
-    # exact top-5 must agree on rank ordering within the probed subset —
-    # spot-check precision of scores via the exhaustive case above.
+    assert recall >= 0.65, f"IVF recall {recall:.3f} < 0.65 (chance is 0.5)"

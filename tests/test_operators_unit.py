@@ -252,3 +252,45 @@ def test_jaccard_identical_docs_score_one(spark):
     )
     rows = jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert [(r.d1, r.d2, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_ivf_topk_empty_corpus_returns_typed_empty(spark):
+    """Empty corpus → typed empty result (same contract as cosine_topk),
+    not a numpy AxisError from centroid training."""
+    from flink_note_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = ivf_topk(q, emb, k=3, n_cells=4, n_probe=2)
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert out.count() == 0
+
+
+def test_python_stage_spread_skips_rdd_probe_on_shuffled_input(spark):
+    """Probing .rdd on an adaptive plan with an upstream Exchange forces
+    AQE to EXECUTE the shuffle stages at plan-construction time (the
+    dropDuplicates would run twice). The spread helper must therefore
+    never touch .rdd when the plan already shuffles — asserted by making
+    the probe explode."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from flink_note_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (1, "a b c d e"), (2, "a b c d f")],
+        "doc_id long, text string",
+    )
+
+    def _boom(self):
+        raise AssertionError(".rdd probed on a shuffled plan")
+
+    with mock.patch.object(DataFrame, "rdd", property(_boom)):
+        # ids_unique=False adds a dropDuplicates Exchange upstream of the
+        # Python stage in both operators — the probe must be skipped.
+        minhash_lsh_pairs(
+            df, "doc_id", "text", n=2, num_hashes=8, bands=4,
+            threshold=0.1, verify=False, ids_unique=False,
+        )
+        simhash_pairs(df, "doc_id", "text", ids_unique=False)

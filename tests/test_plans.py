@@ -44,16 +44,17 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
     never tables that grow with scale factor. Source-level contract check
     so a hint regression fails CI before it melts a 100 TB run."""
     import inspect as _inspect
-
-    from flink_note_spark.queries import relational
-
-    src = _inspect.getsource(relational)
     import re
 
-    for m in re.finditer(r"broadcast\((\w+)\)", src):
-        assert m.group(1) in ("n", "r"), (
-            f"forced broadcast of SF-scaled table alias {m.group(1)!r}"
-        )
+    from flink_note_spark.queries import events, extended, llm, relational
+
+    for mod in (relational, events, llm, extended):
+        src = _inspect.getsource(mod)
+        for m in re.finditer(r"(?<!\.)broadcast\((\w+)\)", src):
+            assert m.group(1) in ("n", "r"), (
+                f"forced broadcast of SF-scaled table alias {m.group(1)!r} "
+                f"in {mod.__name__}"
+            )
 
 
 def test_q27_asof_join_single_shuffle(spark, sf_dir):
