@@ -1,0 +1,79 @@
+"""Facade wiring tests for the Flink-style ExecutionEnvironment
+(reference entry-point parity; semantics are tested with the delegated
+implementations — these tests pin only the verb wiring)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_note_spark.environment import (
+    PROCESS_CONTINUOUSLY,
+    PROCESS_ONCE,
+    ExecutionEnvironment,
+)
+
+
+@pytest.fixture()
+def env(spark):
+    return ExecutionEnvironment(spark)
+
+
+def test_read_text_file_and_modes(env, tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.txt").write_text("x\ny\n")
+    assert env.read_text_file(str(p)).count() == 2
+
+    batch = env.read_file("text", str(p), mode=PROCESS_ONCE)
+    assert batch.count() == 2
+    stream = env.read_file(
+        "text", str(p), schema="value string", mode=PROCESS_CONTINUOUSLY
+    )
+    assert stream.isStreaming
+
+    with pytest.raises(ValueError, match="TypeInformation"):
+        env.read_file("text", str(p), mode=PROCESS_CONTINUOUSLY)
+    with pytest.raises(ValueError, match="FileProcessingMode"):
+        env.read_file("text", str(p), mode="SOMETIMES")
+
+
+def test_from_sequence_and_collection(env):
+    assert env.from_sequence(7, start=3).agg({"id": "sum"}).collect()[0][0] == sum(
+        range(3, 10)
+    )
+    df = env.from_collection([(1, "a"), (2, "b")], "k int, v string")
+    assert df.count() == 2
+
+
+def test_add_source_and_sink_roundtrip(env, tmp_path):
+    from flink_note_spark.sources.custom import SequenceDataSource
+
+    df = env.add_source(SequenceDataSource, numRows=5)
+    assert [r.id for r in df.orderBy("id").collect()] == [0, 1, 2, 3, 4]
+
+    out = tmp_path / "out"
+    env.add_sink(df, "parquet", str(out))
+    assert env.read_file("parquet", str(out)).count() == 5
+
+
+def test_streaming_job_verbs_through_env(env, tmp_path):
+    from flink_note_spark.sources.custom import SequenceDataSource
+
+    stream = env.add_source(
+        SequenceDataSource, stream=True, rowsPerBatch=5, maxRows=10
+    )
+    q = env.add_sink(
+        stream,
+        "parquet",
+        str(tmp_path / "sink"),
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="env_verbs",
+    )
+    try:
+        assert any(j["name"] == "env_verbs" for j in env.list_jobs())
+        assert "message" in env.job_status("env_verbs")
+        q.processAllAvailable()
+    finally:
+        env.stop_job("env_verbs", timeout_sec=30)
+    assert env.read_file("parquet", str(tmp_path / "sink")).count() == 10
+    env.execute("parity-no-op")
