@@ -11,6 +11,8 @@ Spark scheduler (SURVEY.md §2.3, §4).
 Layout
 ------
 - ``session``    — tuned SparkSession factory + table loaders
+- ``environment``— Flink-style ``ExecutionEnvironment`` facade (entry-point
+  parity: readTextFile / readFile+mode / addSource / addSink / job verbs)
 - ``sources``    — batch & streaming (file-watch) sources (reference
   ``ExecutionEnviromentreadTextFile创建DataSource分析.md:3-9`` readFile modes)
 - ``operators``  — joins (as-of / range), dedup (exact, MinHash-LSH,

@@ -26,6 +26,7 @@ from flink_note_spark.operators.scale import (
 from flink_note_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_cosine_topk,
     lsh_embedding_near_dup_pairs,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "write_bucketed",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "ivf_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",
     "doc_fingerprint",
