@@ -72,18 +72,24 @@ def q43_approx_aggs(spark: SparkSession, sf: str) -> DataFrame:
     rank convention). The estimation-error contract on high-cardinality
     input is asserted in tests/test_extended.py.
 
-    Accuracy is 20 000, not 10⁶ (VERDICT r2 item 4c): the biggest
-    o_orderstatus group is ~7 500 rows at sf0.1, so the GK sketch is
-    still exact through every fixture SF while the merge buffers are 50×
-    smaller. At real scale a user picks accuracy for their error budget,
-    not for oracle equality.
+    Accuracy is 500 000, not 10⁶ (VERDICT r2 item 4c, resized in round
+    4): exactness does NOT follow from accuracy ≥ group size — the GK
+    summary compresses on a multiple of the buffer, and the ~50 200-row
+    sf0.1 groups measured approximate at accuracy 64 000 and 100 000,
+    exact from 250 000 up; 500 000 keeps a 2× margin at half the
+    original buffer. (The first trim to 20 000 was sized to the sf0.01
+    groups the driver checks and went silently approximate at sf0.1 —
+    caught by running the oracle-parity suite with
+    SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1, the regression recipe
+    for any accuracy change here.) At real scale a user picks accuracy
+    for their error budget, not for oracle equality.
     """
     o = _t(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_orderpriority").alias("n_priorities"),
-        F.expr("approx_percentile(o_totalprice, 0.25, 20000)").alias("p25"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 20000)").alias("p50"),
-        F.expr("approx_percentile(o_totalprice, 0.9, 20000)").alias("p90"),
+        F.expr("approx_percentile(o_totalprice, 0.25, 500000)").alias("p25"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 500000)").alias("p50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 500000)").alias("p90"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
