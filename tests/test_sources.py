@@ -223,3 +223,74 @@ def test_custom_meter_sink_streaming_per_batch(spark, tmp_path):
     assert manifests, "streaming commit wrote no manifests"
     total = sum(json.loads(p.read_text())["rows"] for p in manifests)
     assert total == 25
+
+
+def _write_topic(path, partitions):
+    import json
+
+    path.mkdir(parents=True, exist_ok=True)
+    for pid, recs in partitions.items():
+        with open(path / f"part-{pid}.jsonl", "a") as f:
+            for k, v in recs:
+                f.write(json.dumps({"key": k, "value": v}) + "\n")
+
+
+def test_file_topic_batch_read(spark, tmp_path):
+    """Kafka-analogue batch read: one split per partition file, offsets
+    are line numbers ordered within each partition."""
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    topic = tmp_path / "topic"
+    _write_topic(topic, {0: [("a", "1"), ("b", "2")], 1: [("c", "3")]})
+    rows = (
+        spark.read.format("flink_note_topic")
+        .option("path", str(topic))
+        .load()
+        .orderBy("partition", "offset")
+        .collect()
+    )
+    assert [(r.key, r.value, r.partition, r.offset) for r in rows] == [
+        ("a", "1", 0, 0),
+        ("b", "2", 0, 1),
+        ("c", "3", 1, 0),
+    ]
+
+
+def test_file_topic_stream_tails_incrementally(spark, tmp_path):
+    """Kafka-shaped streaming: per-partition consumer offsets advance as
+    the log grows — the second batch carries ONLY the appended records,
+    with per-partition offset order preserved, through the partitioned
+    (executor-read) stream API."""
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    topic = tmp_path / "topic"
+    _write_topic(topic, {0: [("a", "1")], 1: [("b", "2")]})
+    q = (
+        spark.readStream.format("flink_note_topic")
+        .option("path", str(topic))
+        .load()
+        .writeStream.format("memory")
+        .queryName("topic_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.key, r.partition, r.offset)
+            for r in spark.sql("select * from topic_stream").collect()
+        }
+        assert first == {("a", 0, 0), ("b", 1, 0)}
+
+        _write_topic(topic, {0: [("c", "3")], 2: [("d", "4")]})
+        q.processAllAvailable()
+        allrows = {
+            (r.key, r.partition, r.offset)
+            for r in spark.sql("select * from topic_stream").collect()
+        }
+        # only the appended lines arrived, new partition picked up
+        assert allrows == first | {("c", 0, 1), ("d", 2, 0)}
+    finally:
+        q.stop()
