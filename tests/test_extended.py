@@ -43,15 +43,20 @@ def test_schema_of_json_inference(spark, sf_dir):
 
 
 def test_approx_percentile_is_exact_under_accuracy(spark, sf_dir):
-    """approx_percentile with accuracy ≥ group size returns the exact
-    discrete quantile — the invariant q43's oracle equality rests on.
-    Asserted at q43's production accuracy (20 000) against the maxed-out
-    sketch (10⁶): both exact in the fixture regime, so they must agree."""
+    """q43's production accuracy (500 000) returns the exact discrete
+    quantile on every shipped fixture — the invariant its oracle
+    equality rests on. NOTE exactness does NOT follow from accuracy ≥
+    group size (the sketch compresses on a buffer multiple): 50k-row
+    sf0.1 groups measured approximate at accuracy 64k/100k, exact from
+    250k — so this asserts the PRODUCTION setting against the maxed-out
+    sketch (10⁶), and must be re-run at sf0.1
+    (SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1) whenever the
+    accuracy changes."""
     o = load_table(spark, sf_dir, "orders")
     rows = (
         o.groupBy("o_orderstatus")
         .agg(
-            F.expr("approx_percentile(o_totalprice, 0.5, 20000)").alias("ap"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 500000)").alias("ap"),
             F.expr(
                 "percentile_approx(o_totalprice, 0.5, 1000000)"
             ).alias("pa"),  # alias spelling of the same sketch
