@@ -294,3 +294,40 @@ def test_file_topic_stream_tails_incrementally(spark, tmp_path):
         assert allrows == first | {("c", 0, 1), ("d", 2, 0)}
     finally:
         q.stop()
+
+
+def test_file_topic_restart_exactly_once(spark, tmp_path):
+    """The exactly-once claim end-to-end: drain, stop, append, restart
+    from the SAME checkpoint into the same parquet sink — every record
+    lands exactly once (offsets resume from the checkpoint; the replayed
+    range, if any, rewrites its own batch deterministically)."""
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    topic, sink, ckpt = tmp_path / "topic", tmp_path / "sink", tmp_path / "ckpt"
+    _write_topic(topic, {0: [("a", "1")], 1: [("b", "2")]})
+
+    def run_and_drain():
+        q = (
+            spark.readStream.format("flink_note_topic")
+            .option("path", str(topic))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_and_drain()
+    _write_topic(topic, {0: [("c", "3")], 1: [("d", "4")]})
+    run_and_drain()
+
+    rows = sorted(
+        (r.key, r.partition, r.offset)
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert rows == [("a", 0, 0), ("b", 1, 0), ("c", 0, 1), ("d", 1, 1)]
