@@ -331,3 +331,42 @@ def test_file_topic_restart_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     )
     assert rows == [("a", 0, 0), ("b", 1, 0), ("c", 0, 1), ("d", 1, 1)]
+
+
+def test_file_topic_torn_tail_not_committed(spark, tmp_path):
+    """A partial trailing line (producer crashed mid-write) is NOT a
+    record: it is invisible until its newline lands, then arrives intact
+    exactly once — offsets never name half-written bytes."""
+    import json
+
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    topic = tmp_path / "topic"
+    _write_topic(topic, {0: [("a", "1")]})
+    part0 = topic / "part-0.jsonl"
+    # torn append: record bytes land, newline does not
+    with open(part0, "a") as f:
+        f.write(json.dumps({"key": "b", "value": "2"}))
+
+    q = (
+        spark.readStream.format("flink_note_topic")
+        .option("path", str(topic))
+        .load()
+        .writeStream.format("memory")
+        .queryName("torn_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.key, r.offset) for r in spark.sql("select * from torn_tail").collect()}
+        assert got == {("a", 0)}, "torn line must be invisible"
+
+        with open(part0, "a") as f:
+            f.write("\n" + json.dumps({"key": "c", "value": "3"}) + "\n")
+        q.processAllAvailable()
+        got = {(r.key, r.offset) for r in spark.sql("select * from torn_tail").collect()}
+        assert got == {("a", 0), ("b", 1), ("c", 2)}
+    finally:
+        q.stop()
