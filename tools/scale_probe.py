@@ -28,7 +28,11 @@ from flink_note_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from flink_note_spark.operators.similarity import cosine_topk  # noqa: E402
+from flink_note_spark.operators.scale import salted_join  # noqa: E402
+from flink_note_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_topk,
+)
 from flink_note_spark.operators.text import language_id  # noqa: E402
 from flink_note_spark.session import get_spark, load_table  # noqa: E402
 
@@ -165,11 +169,35 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"),
         )
 
+    def salted_probe(li, orders):
+        """Skew-mitigation shape: force EVERY lineitem row onto one hot
+        orderkey (worst case even AQE splitting can't fix when the key
+        is hot on both shuffle sides), then salt it across 16 sub-keys.
+        Output size = |li| × matches for the hot key — bounded by taking
+        one orders row per key on the small side."""
+        hot = li.withColumn("l_orderkey", F.lit(1).cast("long"))
+        one = (
+            orders.limit(200)
+            .withColumn("l_orderkey", F.lit(1).cast("long"))
+            .dropDuplicates(["l_orderkey"])
+            .drop("o_orderkey")
+        )
+        return (
+            salted_join(hot, one, "l_orderkey", salt_buckets=16)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+
+    def ivf_probe(emb):
+        q = emb.filter(F.col("vec_id") < 10)
+        return ivf_topk(q, emb, k=5, n_cells=16, n_probe=4, iters=1)
+
     t: dict[str, float] = {}
     for tag, c, o, l in (("x1", cust1, ord1, li1), (f"x{k}", cust_k, ord_k, li_k)):
         bench(f"join_{tag}", lambda c=c, o=o, l=l: noop(join_probe(c, o, l)), t)
         bench(f"window_{tag}", lambda l=l: noop(window_probe(l)), t)
         bench(f"agg_{tag}", lambda l=l: noop(agg_probe(l)), t)
+        bench(f"salted_{tag}", lambda l=l, o=o: noop(salted_probe(l, o)), t)
     for tag, d, e in (("x1", docs1, emb1), (f"x{k}", docs_k, emb_k)):
         bench(f"exact_dedup_{tag}", lambda d=d: noop(exact_dedup(d, "text", "doc_id")), t)
         bench(
@@ -192,12 +220,14 @@ def main() -> None:
             lambda q=q, e=e: noop(cosine_topk(q, e, k=5)),
             t,
         )
+        bench(f"ivf_topk_{tag}", lambda e=e: noop(ivf_probe(e)), t)
 
     ratios = {
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
         for op in (
-            "join", "window", "agg",
-            "exact_dedup", "minhash_lsh", "simhash", "language_id", "cosine_topk",
+            "join", "window", "agg", "salted",
+            "exact_dedup", "minhash_lsh", "simhash", "language_id",
+            "cosine_topk", "ivf_topk",
         )
     }
     print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
