@@ -80,7 +80,24 @@ def replicate(df, k: int, shifts: dict[str, int], out_path: str,
     return out_path
 
 
+_SPARK = None  # set in main(); lets bench() reach the JVM for GC
+
+
+def _drop_dead_blocks():
+    """Free executor blocks owned by already-GC'd localCheckpoint frames
+    (ContextCleaner only releases them after a GC notices the dead
+    references): without this, ops benched later in the run inherit the
+    earlier ops' block-manager pressure and measure slower — observed as
+    up to ±45% drift on the last probes of a run."""
+    import gc
+
+    gc.collect()
+    if _SPARK is not None:
+        _SPARK.sparkContext._jvm.System.gc()
+
+
 def bench(label, fn, timings, runs=2):
+    _drop_dead_blocks()
     fn()  # warm
     best = float("inf")
     for _ in range(runs):
@@ -91,8 +108,9 @@ def bench(label, fn, timings, runs=2):
 
 
 def main() -> None:
+    global _SPARK
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    spark = get_spark("scale-probe")
+    spark = _SPARK = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
 
