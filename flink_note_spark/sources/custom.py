@@ -295,40 +295,67 @@ def _topic_files(path: str) -> list[tuple[int, str]]:
     return out
 
 
+_CHUNK = 4 << 20  # 4 MiB: bounds memory for scans and slice reads
+
+
 def _scan_terminated(path: str, from_byte: int) -> tuple[int, int]:
     """Count newline-TERMINATED records from ``from_byte`` on; return
     (n_records, end_byte) where ``end_byte`` sits just past the last
     newline. A torn trailing line (producer crashed or flushed mid-write)
     is NOT counted — it only becomes a record once its newline lands, so
     offsets never name half-written bytes and a checkpointed range
-    replays identically even if the line is completed in between."""
+    replays identically even if the line is completed in between.
+    Scans in fixed-size chunks — O(_CHUNK) memory however large the
+    file (the catch-up scan after a restart walks the whole log)."""
+    n = 0
+    end = from_byte
+    pos = from_byte
     with open(path, "rb") as f:
         f.seek(from_byte)
-        data = f.read()
-    n = data.count(b"\n")
-    if n == 0:
-        return 0, from_byte
-    return n, from_byte + data.rfind(b"\n") + 1
+        while True:
+            data = f.read(_CHUNK)
+            if not data:
+                break
+            c = data.count(b"\n")
+            if c:
+                n += c
+                end = pos + data.rfind(b"\n") + 1
+            pos += len(data)
+    return n, end
 
 
 def _read_slice(sl: _TopicSlice):
+    """Yield (key, value, partition, record-index) for a byte range.
+    Streams the range in fixed-size chunks carrying the partial line
+    across chunk boundaries — O(_CHUNK + one line) memory even when one
+    slice covers a whole large log (the first batch over an existing
+    topic)."""
     import json
 
+    rec = sl.begin_rec
+    remaining = sl.end_byte - sl.begin_byte
+    carry = b""
     with open(sl.path, "rb") as f:
         f.seek(sl.begin_byte)
-        data = f.read(sl.end_byte - sl.begin_byte)
-    rec = sl.begin_rec
-    for line in data.split(b"\n"):
-        if rec >= sl.end_rec:
-            break
-        if line.strip():
-            obj = json.loads(line)
-            yield (obj.get("key"), obj.get("value"), sl.pid, rec)
-            rec += 1
-        else:
-            # blank line: still a terminated line in the count — keep the
-            # record numbering aligned with the scan
-            rec += 1
+        while remaining > 0 and rec < sl.end_rec:
+            data = f.read(min(_CHUNK, remaining))
+            if not data:
+                break
+            remaining -= len(data)
+            carry += data
+            lines = carry.split(b"\n")
+            carry = lines.pop()  # partial line (or b"") continues next chunk
+            for line in lines:
+                if rec >= sl.end_rec:
+                    return
+                if line.strip():
+                    obj = json.loads(line)
+                    yield (obj.get("key"), obj.get("value"), sl.pid, rec)
+                    rec += 1
+                else:
+                    # blank line: still a terminated line in the count —
+                    # keep record numbering aligned with the scan
+                    rec += 1
 
 
 _EMPTY_SLICE = _TopicSlice("", -1, 0, 0, 0, 0)
@@ -342,6 +369,16 @@ class _TopicBatchReader(DataSourceReader):
         self.path = options["path"]
 
     def partitions(self):
+        import os
+
+        if not os.path.isdir(self.path):
+            # A STREAM may start before its topic exists (empty batches
+            # until the producer creates it), but a bounded read of a
+            # missing directory is a caller error — surface the typo'd
+            # path instead of returning empty-but-successful output.
+            raise FileNotFoundError(
+                f"flink_note_topic: topic directory {self.path!r} does not exist"
+            )
         parts = []
         for pid, fpath in _topic_files(self.path):
             n, end = _scan_terminated(fpath, 0)
@@ -389,16 +426,48 @@ class _TopicStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {pid: [0, 0] for pid in dict(_topic_files(self.path))}
+        return {str(pid): [0, 0] for pid, _ in _topic_files(self.path)}
 
     def latestOffset(self) -> dict:
         return self._advance()
 
+    @staticmethod
+    def _norm(val, fpath: str | None):
+        """Accept both offset shapes: ``[records, bytes]`` (current) and a
+        bare record count (earlier format, possibly still in a
+        checkpoint) — for the latter the byte position is recovered by
+        scanning the file to that record."""
+        if isinstance(val, (list, tuple)):
+            return int(val[0]), int(val[1])
+        rec = int(val)
+        if rec == 0 or fpath is None:
+            return rec, 0
+        pos = 0
+        seen = 0
+        with open(fpath, "rb") as f:
+            while seen < rec:
+                data = f.read(_CHUNK)
+                if not data:
+                    break
+                for i, b in enumerate(data):
+                    if b == 0x0A:
+                        seen += 1
+                        if seen == rec:
+                            pos += i + 1
+                            break
+                else:
+                    pos += len(data)
+                    continue
+                break
+        return rec, pos
+
     def partitions(self, start: dict, end: dict):
         by_pid = dict(_topic_files(self.path))
         out = []
-        for pid_s, (end_rec, end_byte) in end.items():
-            start_rec, start_byte = start.get(pid_s, [0, 0])
+        for pid_s, end_val in end.items():
+            fpath = by_pid.get(int(pid_s))
+            end_rec, end_byte = self._norm(end_val, fpath)
+            start_rec, start_byte = self._norm(start.get(pid_s, [0, 0]), fpath)
             if end_rec <= start_rec:
                 continue
             pid = int(pid_s)

@@ -370,3 +370,59 @@ def test_file_topic_torn_tail_not_committed(spark, tmp_path):
         assert got == {("a", 0), ("b", 1), ("c", 2)}
     finally:
         q.stop()
+
+
+def test_file_topic_replay_is_byte_identical(spark, tmp_path):
+    """The invariant behind crash recovery (offset WAL written, commit
+    missing, batch replayed): re-reading the SAME checkpointed
+    [records, bytes] range must yield identical records even after the
+    log grew in between — driven at the reader level, where the replay
+    path is reachable deterministically. Also covers the legacy
+    bare-record-count offset shape (pre-[records, bytes] checkpoints)."""
+    from flink_note_spark.sources.custom import FileTopicDataSource
+
+    topic = tmp_path / "topic"
+    _write_topic(topic, {0: [("a", "1"), ("b", "2")]})
+
+    def reader():
+        return FileTopicDataSource({"path": str(topic)}).streamReader(None)
+
+    r1 = reader()
+    start = r1.initialOffset()
+    end = r1.latestOffset()
+    slices = r1.partitions(start, end)
+    first = [row for sl in slices for row in r1.read(sl)]
+    assert [r[0] for r in first] == ["a", "b"]
+
+    # log grows AFTER the offsets were checkpointed...
+    _write_topic(topic, {0: [("c", "3")]})
+    # ...a fresh reader (post-crash restart: empty tip cache) replays the
+    # same (start, end) range — byte-identical result, no bleed from "c"
+    r2 = reader()
+    replay = [row for sl in r2.partitions(start, end) for row in r2.read(sl)]
+    assert replay == first
+
+    # legacy int-shaped offsets (old checkpoints) resolve to the same rows
+    legacy = [
+        row
+        for sl in r2.partitions({"0": 0}, {"0": 2})
+        for row in r2.read(sl)
+    ]
+    assert legacy == first
+
+
+def test_file_topic_batch_missing_dir_raises(spark, tmp_path):
+    """A bounded read of a nonexistent topic is a caller error (typo'd
+    path), not an empty success."""
+    import pytest as _pytest
+
+    from flink_note_spark.sources.custom import register_custom_sources
+
+    register_custom_sources(spark)
+    with _pytest.raises(Exception, match="does not exist"):
+        (
+            spark.read.format("flink_note_topic")
+            .option("path", str(tmp_path / "nope"))
+            .load()
+            .collect()
+        )

@@ -195,9 +195,9 @@ def main() -> None:
         one orders row per key on the small side."""
         hot = li.withColumn("l_orderkey", F.lit(1).cast("long"))
         one = (
-            orders.limit(200)
+            orders.orderBy("o_orderkey")
+            .limit(1)
             .withColumn("l_orderkey", F.lit(1).cast("long"))
-            .dropDuplicates(["l_orderkey"])
             .drop("o_orderkey")
         )
         return (
