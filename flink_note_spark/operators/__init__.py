@@ -6,6 +6,11 @@ manipulation per document genuinely can't be expressed relationally
 (SimHash) or where the work is opaque-binary decoding (multimodal stubs).
 """
 
+from flink_note_spark.operators.components import (
+    canonical_docs,
+    connected_components,
+    dedup_clusters,
+)
 from flink_note_spark.operators.joins import (
     asof_join,
     range_join,
@@ -38,6 +43,9 @@ from flink_note_spark.operators.text import (
 )
 
 __all__ = [
+    "canonical_docs",
+    "connected_components",
+    "dedup_clusters",
     "asof_join",
     "range_join",
     "theta_join",
