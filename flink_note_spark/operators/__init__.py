@@ -23,6 +23,12 @@ from flink_note_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from flink_note_spark.operators.sampling import (
+    hash_split,
+    mixture_sample,
+    reservoir_per_key,
+    stratified_sample,
+)
 from flink_note_spark.operators.scale import (
     bucketed_join,
     salted_join,
@@ -55,6 +61,10 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "hash_split",
+    "mixture_sample",
+    "reservoir_per_key",
+    "stratified_sample",
     "bucketed_join",
     "salted_join",
     "write_bucketed",

@@ -1,0 +1,123 @@
+"""Sampling operators: determinism under repartitioning, split
+stability, exact reservoir counts, mixture proportions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.sampling import (
+    hash_split,
+    mixture_sample,
+    reservoir_per_key,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, source string").cache()
+
+
+def test_hash_split_partitions_everything_once(corpus):
+    out = hash_split(corpus, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 3000
+    assert set(counts) == {"train", "val", "test"}
+    assert 2200 <= counts["train"] <= 2600  # Binomial around 2400
+
+
+def test_hash_split_stable_under_repartition(corpus):
+    a = {r.doc_id: r.split for r in hash_split(corpus).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(corpus.repartition(17)).collect()
+    }
+    assert a == b
+
+
+def test_hash_split_new_rows_never_move_old_ones(spark):
+    """Accretion safety: adding documents must not reassign existing ids
+    (the property rand()-based splits lack)."""
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: r.split for r in hash_split(small, fractions={"train": 0.9, "test": 0.1}).collect()}
+    b = {r.doc_id: r.split for r in hash_split(big, fractions={"train": 0.9, "test": 0.1}).collect()}
+    assert all(b[i] == a[i] for i in a)
+
+
+def test_hash_split_rejects_bad_fractions(corpus):
+    with pytest.raises(ValueError):
+        hash_split(corpus, fractions={"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_rates_and_determinism(corpus):
+    out = stratified_sample(corpus, "source", {"web": 0.5, "books": 0.1})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"web", "books"}  # code dropped (default 0)
+    assert 400 <= counts["web"] <= 600      # ~500 of 1000
+    assert 60 <= counts["books"] <= 140     # ~100 of 1000
+    again = stratified_sample(corpus.repartition(13), "source", {"web": 0.5, "books": 0.1})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_reservoir_exact_k_per_key(corpus):
+    out = reservoir_per_key(corpus, ["source"], k=7)
+    counts = [r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert counts == [7, 7, 7]
+    # keys with fewer than k rows return all of them
+    tiny = corpus.filter(F.col("doc_id") < 2)
+    assert reservoir_per_key(tiny, ["source"], k=7).count() == 2
+
+
+def test_reservoir_deterministic_and_uniformish(corpus):
+    a = sorted(r.doc_id for r in reservoir_per_key(corpus, ["source"], 50).collect())
+    b = sorted(
+        r.doc_id
+        for r in reservoir_per_key(corpus.repartition(11), ["source"], 50).collect()
+    )
+    assert a == b
+    # different seed -> different sample (sanity that seed matters)
+    c = sorted(
+        r.doc_id for r in reservoir_per_key(corpus, ["source"], 50, seed=7).collect()
+    )
+    assert a != c
+
+
+def test_mixture_sample_hits_target_shares(corpus):
+    """3000 rows at 1000/source; weights 3:1 between web and books →
+    books binds: take all 1000 books and ~ web at 3000 target... web
+    has only 1000 < 3000 share → web binds instead: total = 1000/0.75
+    = 1333 → books ≈ 333."""
+    out = mixture_sample(corpus, "source", {"web": 0.75, "books": 0.25})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"web", "books"}
+    assert counts["web"] == 1000              # binding source: fraction 1.0 keeps all
+    assert 260 <= counts["books"] <= 420      # ~333 Binomial
+
+
+def test_mixture_sample_empty_weights_value_error(corpus):
+    with pytest.raises(ValueError):
+        mixture_sample(corpus, "source", {"web": 0.0})
+
+
+def test_mixture_sample_unknown_sources_only(corpus):
+    out = mixture_sample(corpus, "source", {"nonexistent": 1.0})
+    assert out.count() == 0
+
+
+def test_sampling_predicates_are_narrow(corpus):
+    """Scale guard: hash_split and stratified_sample must add no
+    Exchange — pure projection/filter over the scan."""
+    for df in (
+        hash_split(corpus),
+        stratified_sample(corpus, "source", {"web": 0.5}),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
