@@ -23,6 +23,7 @@ from flink_note_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from flink_note_spark.operators.packing import pack_sequences, packing_stats
 from flink_note_spark.operators.sampling import (
     hash_split,
     mixture_sample,
@@ -61,6 +62,8 @@ __all__ = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "pack_sequences",
+    "packing_stats",
     "hash_split",
     "mixture_sample",
     "reservoir_per_key",
