@@ -2,6 +2,10 @@
 library — the way a training-data user actually consumes the engine.
 """
 
-from flink_note_spark.pipelines.curate import CurationConfig, curate_corpus
+from flink_note_spark.pipelines.curate import (
+    CurationConfig,
+    curate_corpus,
+    prepare_training_corpus,
+)
 
-__all__ = ["CurationConfig", "curate_corpus"]
+__all__ = ["CurationConfig", "curate_corpus", "prepare_training_corpus"]

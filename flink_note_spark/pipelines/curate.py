@@ -70,3 +70,54 @@ def curate_corpus(
         & F.col("n_words").between(config.min_words, config.max_words)
         & (F.col("stop_ratio") <= config.max_stop_ratio)
     )
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: CurationConfig = CurationConfig(),
+    near_dup_threshold: float | None = 0.7,
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The full corpus-preparation flow: curate (exact dedup + language +
+    quality) → near-dup cluster collapse → deterministic train/val/test
+    split.
+
+    Near-dup removal pairs documents with :func:`minhash_lsh_pairs` at
+    ``near_dup_threshold`` (None skips the stage), groups them
+    transitively with :func:`connected_components`, and keeps one
+    representative per cluster (``canonical_docs``). The split column is
+    :func:`hash_split` — reproducible under repartitioning and corpus
+    accretion. Callers chain :func:`~flink_note_spark.operators.packing.
+    pack_sequences` per split if they need token-budget bins.
+
+    Stage shuffles at scale: one content-hash window (exact dedup), the
+    LSH band pipeline (bounded by its bucket caps), the components
+    rounds (O(log n), edge-list sized), and ZERO for the split (narrow
+    hash predicate). Document payloads cross a shuffle only in the exact
+    dedup window; every later stage ships ids.
+    """
+    from flink_note_spark.operators.components import canonical_docs
+    from flink_note_spark.operators.dedup import minhash_lsh_pairs
+    from flink_note_spark.operators.sampling import hash_split
+
+    cur = curate_corpus(df, text_col, id_col, config)
+    if near_dup_threshold is not None:
+        # ids are unique after curate_corpus' keep-first dedup window.
+        pairs = minhash_lsh_pairs(
+            cur,
+            id_col,
+            text_col,
+            threshold=near_dup_threshold,
+            seed=seed,
+            ids_unique=True,
+        )
+        cur = canonical_docs(cur, pairs, id_col)
+    return hash_split(
+        cur,
+        id_col,
+        fractions=splits or {"train": 0.98, "val": 0.01, "test": 0.01},
+        seed=seed,
+    )

@@ -41,3 +41,49 @@ def test_q53_pipeline_is_two_stages(spark, sf_dir):
     final agg shuffle: Catalyst fuses every filter/signal into the scan."""
     df = QUERIES["q53_curation_pipeline"](spark, sf_dir)
     assert shuffle_count(df) <= 2, f"pipeline shuffles {shuffle_count(df)}×"
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """curate -> near-dup collapse -> split: the near-identical pair
+    collapses to its min id, every surviving doc gets a split, and the
+    assignment is stable under repartitioning."""
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),                      # near-dup of 1
+            (3, "an entirely different document about spark and flink engines"),
+            (4, "ein deutscher satz der lang genug ist um zu bestehen hier"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        df,
+        config=CurationConfig(min_words=5, lang_allow=("en", "de")),
+        near_dup_threshold=0.4,
+        splits={"train": 0.8, "test": 0.2},
+    )
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows) == {1, 3, 4}          # 2 collapsed into 1's cluster
+    assert set(rows.values()) <= {"train", "test"}
+
+    again = prepare_training_corpus(
+        df.repartition(7),
+        config=CurationConfig(min_words=5, lang_allow=("en", "de")),
+        near_dup_threshold=0.4,
+        splits={"train": 0.8, "test": 0.2},
+    )
+    assert {r.doc_id: r.split for r in again.collect()} == rows
+
+
+def test_prepare_training_corpus_skips_near_dup_stage(spark):
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail")], "doc_id long, text string"
+    )
+    out = prepare_training_corpus(df, near_dup_threshold=None)
+    assert out.count() == 2                # both survive without the stage
