@@ -43,6 +43,7 @@ from flink_note_spark.operators.similarity import (
     lsh_embedding_near_dup_pairs,
 )
 from flink_note_spark.operators.text import (
+    clean_text,
     doc_fingerprint,
     language_id,
     text_quality,
@@ -76,6 +77,7 @@ __all__ = [
     "ivf_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",
+    "clean_text",
     "doc_fingerprint",
     "language_id",
     "text_quality",

@@ -294,3 +294,41 @@ def test_python_stage_spread_skips_rdd_probe_on_shuffled_input(spark):
             threshold=0.1, verify=False, ids_unique=False,
         )
         simhash_pairs(df, "doc_id", "text", ids_unique=False)
+
+
+def test_clean_text_redacts_and_collapses(spark):
+    from flink_note_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://example.com/x?q=1 and mail bob@test.org  now"),
+            (2, "tabs\tand\x00control\x07chars   here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.text for r in clean_text(df).collect()}
+    assert rows[1] == "see <url> and mail <email> now"
+    assert rows[2] == "tabs and control chars here"
+    assert rows[3] is None
+
+
+def test_clean_text_is_scan_stage_only(spark):
+    from flink_note_spark.operators.text import clean_text
+
+    df = spark.createDataFrame([(1, "a  b")], "doc_id long, text string")
+    plan = clean_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_clean_text_out_col_and_toggles(spark):
+    from flink_note_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "keep https://u.rl here")], "doc_id long, text string"
+    )
+    out = clean_text(df, out_col="cleaned", redact_urls=False).collect()[0]
+    assert out.text == "keep https://u.rl here"
+    assert out.cleaned == "keep https://u.rl here"
+    red = clean_text(df, out_col="cleaned").collect()[0]
+    assert red.cleaned == "keep <url> here"
