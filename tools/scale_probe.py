@@ -28,6 +28,8 @@ from flink_note_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from flink_note_spark.operators.components import connected_components  # noqa: E402
+from flink_note_spark.operators.packing import pack_sequences  # noqa: E402
 from flink_note_spark.operators.scale import salted_join  # noqa: E402
 from flink_note_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -210,6 +212,27 @@ def main() -> None:
         q = emb.filter(F.col("vec_id") < 10)
         return ivf_topk(q, emb, k=5, n_cells=16, n_probe=4, iters=1)
 
+    def components_probe(d):
+        """Pure clustering cost, decoupled from pair generation: a
+        synthetic edge list with 8-node chains (so the star rounds do
+        real transitive work) plus cross-replica islands — edge count
+        scales linearly with the corpus."""
+        ids = d.select(F.col("doc_id").alias("d1"))
+        edges = ids.withColumn(
+            "d2",
+            F.when(F.pmod("d1", F.lit(8)) != 0, F.col("d1") - 1).otherwise(
+                F.col("d1")
+            ),
+        ).filter(F.col("d1") != F.col("d2"))
+        return connected_components(edges)
+
+    def packing_probe(d):
+        return pack_sequences(
+            d.withColumn("n_tokens", F.size(F.split("text", " "))),
+            tokens_col="n_tokens",
+            budget=2048,
+        )
+
     t: dict[str, float] = {}
     for tag, c, o, l in (("x1", cust1, ord1, li1), (f"x{k}", cust_k, ord_k, li_k)):
         bench(f"join_{tag}", lambda c=c, o=o, l=l: noop(join_probe(c, o, l)), t)
@@ -229,6 +252,8 @@ def main() -> None:
             t,
         )
         bench(f"simhash_{tag}", lambda d=d: noop(simhash_pairs(d, "doc_id", "text")), t)
+        bench(f"components_{tag}", lambda d=d: noop(components_probe(d)), t)
+        bench(f"packing_{tag}", lambda d=d: noop(packing_probe(d)), t)
         bench(f"language_id_{tag}", lambda d=d: noop(
             language_id(d, "text").groupBy("lang_pred").count()
         ), t)
@@ -244,8 +269,8 @@ def main() -> None:
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
         for op in (
             "join", "window", "agg", "salted",
-            "exact_dedup", "minhash_lsh", "simhash", "language_id",
-            "cosine_topk", "ivf_topk",
+            "exact_dedup", "minhash_lsh", "simhash", "components",
+            "packing", "language_id", "cosine_topk", "ivf_topk",
         )
     }
     print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
