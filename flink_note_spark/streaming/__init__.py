@@ -16,6 +16,7 @@ from flink_note_spark.streaming.control import (
 )
 from flink_note_spark.streaming.ops import (
     session_window_agg,
+    side_outputs,
     sliding_window_agg,
     stateful_sessionize,
     stream_dedup,
@@ -32,6 +33,7 @@ __all__ = [
     "query_status",
     "stop_query",
     "session_window_agg",
+    "side_outputs",
     "sliding_window_agg",
     "stateful_sessionize",
     "stream_dedup",

@@ -224,3 +224,38 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def side_outputs(
+    df: DataFrame,
+    tags: dict[str, Column],
+    main: str = "main",
+) -> dict[str, DataFrame]:
+    """Flink side-output analogue (``OutputTag`` routing, a DataStream
+    v1.12 capability the notes' API surface implies — SURVEY.md §2.2):
+    route one input into named outputs by predicate.
+
+    Returns ``{tag: DataFrame}`` plus a ``main`` entry holding every row
+    matching NO tag. Tags are evaluated independently — a row can reach
+    several tags, matching Flink's semantics where a ProcessFunction may
+    emit one element to multiple OutputTags. Works identically on batch
+    and streaming frames (each returned stream attaches its own sink;
+    Spark plans each independently, and a shared upstream should be
+    ``foreachBatch``-fanned-out or persisted by the caller if recompute
+    matters — the returned frames are filters over the INPUT's lineage,
+    so Catalyst pushes each predicate into its own scan).
+
+    The Spark-first translation of Flink's imperative
+    ``ctx.output(tag, value)`` is declarative: the predicate IS the
+    routing decision, so the optimizer sees it (pushdown, pruning)
+    instead of an opaque process function.
+    """
+    if main in tags:
+        raise ValueError(f"tag name {main!r} collides with the main output")
+    out = {name: df.filter(cond) for name, cond in tags.items()}
+    none_match = None
+    for cond in tags.values():
+        neg = ~cond
+        none_match = neg if none_match is None else (none_match & neg)
+    out[main] = df if none_match is None else df.filter(none_match)
+    return out

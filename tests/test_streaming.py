@@ -794,3 +794,72 @@ def test_stop_query_bounded_on_rate_source(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+# --- side outputs (OutputTag routing) -----------------------------------
+
+
+def test_side_outputs_batch_routing(spark):
+    from flink_note_spark.streaming.ops import side_outputs
+
+    df = spark.createDataFrame(
+        [(1, "view", 10.0), (2, "click", 5.0), (3, "error", 0.0), (4, "view", 99.0)],
+        "user_id long, event_type string, value double",
+    )
+    outs = side_outputs(
+        df,
+        {
+            "errors": F.col("event_type") == "error",
+            "big": F.col("value") > 50,
+        },
+    )
+    assert sorted(r.user_id for r in outs["errors"].collect()) == [3]
+    assert sorted(r.user_id for r in outs["big"].collect()) == [4]
+    # main = rows matching NO tag
+    assert sorted(r.user_id for r in outs["main"].collect()) == [1, 2]
+
+
+def test_side_outputs_row_can_reach_multiple_tags(spark):
+    from flink_note_spark.streaming.ops import side_outputs
+
+    df = spark.createDataFrame(
+        [(1, "error", 99.0)], "user_id long, event_type string, value double"
+    )
+    outs = side_outputs(
+        df,
+        {"errors": F.col("event_type") == "error", "big": F.col("value") > 50},
+    )
+    assert outs["errors"].count() == 1 and outs["big"].count() == 1
+    assert outs["main"].count() == 0
+
+
+def test_side_outputs_tag_name_collision(spark):
+    from flink_note_spark.streaming.ops import side_outputs
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError):
+        side_outputs(df, {"main": F.lit(True)})
+
+
+def test_side_outputs_streaming_twin(spark, chunk_dir, tmp_path):
+    """Each tagged output runs as its own streaming query over the same
+    file source and lands the rows its predicate selects."""
+    from flink_note_spark.streaming.ops import side_outputs
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "error", 2.0),
+        (3, 3, _ts(2), "view", 80.0),
+    ])
+    stream = read_file_stream(spark, "parquet", str(chunk_dir), EVENT_SCHEMA)
+    outs = side_outputs(
+        stream,
+        {"errors": F.col("event_type") == "error", "big": F.col("value") > 50},
+    )
+    assert all(df.isStreaming for df in outs.values())
+    _run_to_memory(outs["errors"], "so_errors", "append", tmp_path)
+    _run_to_memory(outs["main"], "so_main", "append", tmp_path)
+    errs = spark.sql("select user_id from so_errors").collect()
+    mains = spark.sql("select user_id from so_main").collect()
+    assert sorted(r.user_id for r in errs) == [2]
+    assert sorted(r.user_id for r in mains) == [1]
