@@ -11,6 +11,7 @@ from flink_note_spark.operators.components import (
     connected_components,
     dedup_clusters,
 )
+from flink_note_spark.operators.cogroup import cogroup_apply
 from flink_note_spark.operators.joins import (
     asof_join,
     range_join,
@@ -54,6 +55,7 @@ __all__ = [
     "canonical_docs",
     "connected_components",
     "dedup_clusters",
+    "cogroup_apply",
     "asof_join",
     "range_join",
     "theta_join",

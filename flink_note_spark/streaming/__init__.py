@@ -22,6 +22,7 @@ from flink_note_spark.streaming.ops import (
     stream_dedup,
     stream_static_join,
     stream_stream_join,
+    tagged_union,
     tumbling_window_agg,
 )
 
@@ -39,5 +40,6 @@ __all__ = [
     "stream_dedup",
     "stream_static_join",
     "stream_stream_join",
+    "tagged_union",
     "tumbling_window_agg",
 ]

@@ -259,3 +259,26 @@ def side_outputs(
         none_match = neg if none_match is None else (none_match & neg)
     out[main] = df if none_match is None else df.filter(none_match)
     return out
+
+
+def tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    tag_col: str = "__source",
+    left_tag: str = "left",
+    right_tag: str = "right",
+) -> DataFrame:
+    """Flink ``connect``-pattern front half: merge two schemas into one
+    tagged stream for shared keyed processing.
+
+    Flink's ``ConnectedStreams`` + ``CoProcessFunction`` lets two typed
+    streams share keyed state; Structured Streaming has no two-input
+    stateful operator, so the Spark-first pattern is tag → unionByName
+    (missing columns null-filled) → ``applyInPandasWithState`` keyed on
+    the shared key, dispatching on the tag column inside the function —
+    state is shared because the union IS one stream. Works on batch
+    frames too (same dispatch, no state).
+    """
+    lt = left.withColumn(tag_col, F.lit(left_tag))
+    rt = right.withColumn(tag_col, F.lit(right_tag))
+    return lt.unionByName(rt, allowMissingColumns=True)

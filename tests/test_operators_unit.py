@@ -332,3 +332,48 @@ def test_clean_text_out_col_and_toggles(spark):
     assert out.cleaned == "keep https://u.rl here"
     red = clean_text(df, out_col="cleaned").collect()[0]
     assert red.cleaned == "keep <url> here"
+
+
+def test_cogroup_apply_outer_groups(spark):
+    """Keys on only one side still fire with an empty opposite group —
+    Flink CoGroupFunction semantics. The example computes per-key
+    set-difference sizes, which a join cannot express without double
+    aggregation."""
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import cogroup_apply
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, "b"), (3, "z")], "k long, v string"
+    )
+
+    def diff_sizes(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        k = (lg if len(lg) else rg)["k"].iloc[0]
+        ls, rs = set(lg["v"]), set(rg["v"])
+        return pd.DataFrame(
+            {"k": [k], "only_left": [len(ls - rs)], "only_right": [len(rs - ls)]}
+        )
+
+    out = {
+        r.k: (r.only_left, r.only_right)
+        for r in cogroup_apply(
+            left, right, ["k"], diff_sizes, "k long, only_left int, only_right int"
+        ).collect()
+    }
+    assert out == {1: (1, 0), 2: (1, 0), 3: (0, 1)}
+
+
+def test_tagged_union_connect_pattern(spark):
+    from flink_note_spark.streaming.ops import tagged_union
+
+    orders = spark.createDataFrame([(1, 10.0)], "user_id long, amount double")
+    clicks = spark.createDataFrame([(1, "home")], "user_id long, page string")
+    merged = tagged_union(orders, clicks)
+    rows = sorted(
+        ((r.user_id, r["__source"], r.amount, r.page) for r in merged.collect()),
+        key=lambda t: t[1],
+    )
+    assert rows == [(1, "left", 10.0, None), (1, "right", None, "home")]
