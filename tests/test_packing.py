@@ -102,3 +102,15 @@ def test_single_partition_matches_python_bfd(spark):
 def test_budget_validation(spark, docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+def test_packing_is_shuffle_free(spark, docs):
+    """Scale guard: presort is within partitions and the packer is
+    mapInPandas — the whole operator must add no Exchange."""
+    plan = (
+        pack_sequences(docs, budget=2048)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
