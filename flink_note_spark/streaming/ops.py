@@ -255,7 +255,10 @@ def side_outputs(
     out = {name: df.filter(cond) for name, cond in tags.items()}
     none_match = None
     for cond in tags.values():
-        neg = ~cond
+        # NULL-predicate rows match no tag, so they belong to MAIN —
+        # but ~NULL is NULL and filter() drops it (three-valued logic),
+        # silently losing the row. Coalesce to false before negating.
+        neg = ~F.coalesce(cond, F.lit(False))
         none_match = neg if none_match is None else (none_match & neg)
     out[main] = df if none_match is None else df.filter(none_match)
     return out

@@ -863,3 +863,17 @@ def test_side_outputs_streaming_twin(spark, chunk_dir, tmp_path):
     mains = spark.sql("select user_id from so_main").collect()
     assert sorted(r.user_id for r in errs) == [2]
     assert sorted(r.user_id for r in mains) == [1]
+
+
+def test_side_outputs_null_predicate_rows_reach_main(spark):
+    """A row whose tag predicate evaluates to NULL (e.g. NULL column)
+    matches no tag and must land in main — not vanish to three-valued
+    logic."""
+    from flink_note_spark.streaming.ops import side_outputs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 99.0)], "user_id long, value double"
+    )
+    outs = side_outputs(df, {"big": F.col("value") > 50})
+    assert sorted(r.user_id for r in outs["big"].collect()) == [2]
+    assert sorted(r.user_id for r in outs["main"].collect()) == [1]
