@@ -15,6 +15,11 @@ scan pushdown).
 
 Reference anchor: the notes' runtime has no sampling surface — these
 are north-star additions (SURVEY.md §2.2, LLM-pipeline operators).
+
+NULL ids: ``xxhash64(NULL, seed)`` is a constant, so every NULL-id row
+lands in the same split/sample decision. Ids are expected non-null
+(they are the corpus primary key); run ``exact_dedup`` or filter NULLs
+upstream if that does not hold.
 """
 
 from __future__ import annotations

@@ -280,7 +280,8 @@ def tagged_union(
     (missing columns null-filled) → ``applyInPandasWithState`` keyed on
     the shared key, dispatching on the tag column inside the function —
     state is shared because the union IS one stream. Works on batch
-    frames too (same dispatch, no state).
+    frames too (same dispatch, no state). A ``tag_col`` already present
+    on either input is overwritten — pick an unused name.
     """
     lt = left.withColumn(tag_col, F.lit(left_tag))
     rt = right.withColumn(tag_col, F.lit(right_tag))
