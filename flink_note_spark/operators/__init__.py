@@ -46,6 +46,7 @@ from flink_note_spark.operators.similarity import (
 from flink_note_spark.operators.text import (
     clean_text,
     doc_fingerprint,
+    frequent_tokens,
     language_id,
     text_quality,
     token_stats,
@@ -81,6 +82,7 @@ __all__ = [
     "lsh_embedding_near_dup_pairs",
     "clean_text",
     "doc_fingerprint",
+    "frequent_tokens",
     "language_id",
     "text_quality",
     "token_stats",

@@ -132,3 +132,32 @@ def clean_text(
     if collapse_whitespace:
         t = F.trim(F.regexp_replace(t, "\\s+", " "))
     return df.withColumn(out_col, t)
+
+
+def frequent_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-k most frequent whitespace tokens across the corpus —
+    the boilerplate/stopword discovery pass that feeds ``max_df``-style
+    caps in the dedup operators.
+
+    Exact, one wide aggregation: explode feeds a map-side-combinable
+    count (the shuffle carries one row per DISTINCT token per partition,
+    not per occurrence), then a single ordered limit. At 100 TB the
+    distinct-token set, not the corpus, bounds the shuffle; ``k`` bounds
+    the result. For sketch-based per-ROW frequent items over arbitrary
+    columns, Spark's native ``df.freqItems(cols, support)`` is already
+    the public surface — this operator exists for the token-level case
+    it cannot express.
+    """
+    return (
+        df.select(F.explode(words(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -377,3 +377,20 @@ def test_tagged_union_connect_pattern(spark):
         key=lambda t: t[1],
     )
     assert rows == [(1, "left", 10.0, None), (1, "right", None, "home")]
+
+
+def test_frequent_tokens_orders_and_caps(spark):
+    from flink_note_spark.operators.text import frequent_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog and the bird"),
+            (2, "the dog runs"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = frequent_tokens(df, k=3, min_count=2).collect()
+    assert [(r.token, r.n) for r in rows] == [("the", 4), ("and", 2), ("dog", 2)]
+    # min_count filters singletons even within k
+    all_rows = frequent_tokens(df, k=100, min_count=2).collect()
+    assert all(r.n >= 2 for r in all_rows)
