@@ -147,25 +147,57 @@ def _shingle_rows(
     Implementation is an Arrow-batched ``mapInPandas`` shingler rather
     than ``explode(word_shingles(...))``: Catalyst *interprets* the
     transform/slice/concat_ws lambda per element (no codegen), measured
-    ~3× slower than the Python batch loop. Stays in the scan stage: no
-    shuffle at any scale. The frequency cap is a groupBy + anti-join of
-    the (small-in-expectation) hot set — see inline comment."""
+    ~3× slower than even the old Python batch loop. The kernel itself is
+    numpy-vectorized (r5, the same treatment that bought 20× on the
+    SimHash kernel): one flat token array per batch, n-gram positions
+    built with ``repeat``/``cumsum`` index arithmetic, string assembly
+    as C-looped object-array concatenation, and per-doc set-dedup via
+    ``DataFrame.drop_duplicates`` (hash-table in C) instead of a Python
+    ``set`` per document. Output rows — and therefore every downstream
+    hash/signature — are bit-identical to the loop version. Stays in
+    the scan stage: no shuffle at any scale. The frequency cap is a
+    groupBy + anti-join of the (small-in-expectation) hot set — see
+    inline comment."""
     id_type = dict(df.dtypes)[id_col]
 
     def shingler(batches):
+        import numpy as np
+
         for pdf in batches:
-            ids: list = []
-            shs: list[str] = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = text.split(" ") if text else []
-                seen: set[str] = set()
-                for i in range(len(toks) - n + 1):
-                    sh = " ".join(toks[i : i + n])
-                    if sh not in seen:
-                        seen.add(sh)
-                        ids.append(did)
-                        shs.append(sh)
-            yield pd.DataFrame({id_col: ids, "shingle": shs})
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            # None/"" → no tokens (parity with `text.split(" ") if text`)
+            toks_per_doc = [t.split(" ") if t else [] for t in pdf[text_col]]
+            lengths = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
+            )
+            counts = np.maximum(lengths - (n - 1), 0)
+            total = int(counts.sum())
+            if not total:
+                continue
+            all_toks = np.array(
+                [tok for toks in toks_per_doc for tok in toks], dtype=object
+            )
+            # Global flat position of each shingle's first token: doc
+            # start offset + within-doc shingle index.
+            doc_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+            sh_csum = np.concatenate(([0], np.cumsum(counts)))
+            offset = np.arange(total) - np.repeat(sh_csum[:-1], counts)
+            pos = np.repeat(doc_starts, counts) + offset
+            sh = all_toks[pos]
+            for j in range(1, n):
+                sh = sh + " " + all_toks[pos + j]
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(counts),
+                    "shingle": sh,
+                }
+            )
+            # Per-doc first-occurrence dedup (ids are unique per row by
+            # the operator precondition, so (id, shingle) dedup == the
+            # old per-document `seen` set).
+            yield out.drop_duplicates(ignore_index=True)
 
     sh = _spread_for_python_stage(df.select(id_col, text_col)).mapInPandas(
         shingler, f"{id_col} {id_type}, shingle string"
