@@ -105,6 +105,39 @@ def test_simhash_pigeonhole_completeness(spark, sf_dir):
     assert not extra, f"pairs beyond hamming bound: {extra}"
 
 
+def test_srp_kernel_matches_expressions(spark, sf_dir):
+    """The vectorized SRP matmul kernel (_srp_bucket_rows) must assign
+    every vector the SAME bucket keys as the legacy interpreted
+    zip_with/aggregate expression formulation (_srp_bits) — same LCG
+    hyperplane draws, same sign convention, key = bits packed at 2^b."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import _srp_bits, _srp_bucket_rows
+
+    dim, n_bits, n_tables, seed = 64, 4, 6, 42
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    got = {
+        (int(r.vid), int(r.table_id)): int(r.bucket_key)
+        for r in _srp_bucket_rows(
+            emb, "vec_id", "embedding", dim, n_bits, n_tables, seed, id_out="vid"
+        ).collect()
+    }
+
+    legacy = emb.select(F.col("vec_id"), F.col("embedding").alias("__v"))
+    want = {}
+    for t in range(n_tables):
+        bits = _srp_bits("__v", dim, n_bits, seed + 7919 * t)
+        key = None
+        for b, bit in enumerate(bits):
+            term = bit.cast("long") * F.lit(1 << b)
+            key = term if key is None else key + term
+        for r in legacy.select("vec_id", key.alias("k")).collect():
+            want[(int(r.vec_id), t)] = int(r.k)
+
+    assert got == want
+
+
 def test_ivf_topk_exhaustive_probe_equals_exact(spark, sf_dir):
     """IVF with n_probe == n_cells probes every cell — the result must
     EQUAL the exact brute-force top-k (same ids, same ranks): the cell
