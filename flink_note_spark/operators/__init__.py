@@ -39,6 +39,9 @@ from flink_note_spark.operators.scale import (
 from flink_note_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    IvfIndex,
+    ivf_build,
+    ivf_query,
     ivf_topk,
     lsh_cosine_topk,
     lsh_embedding_near_dup_pairs,
@@ -77,6 +80,9 @@ __all__ = [
     "write_bucketed",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "IvfIndex",
+    "ivf_build",
+    "ivf_query",
     "ivf_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",

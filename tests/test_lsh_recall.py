@@ -158,6 +158,40 @@ def test_ivf_topk_exhaustive_probe_equals_exact(spark, sf_dir):
     assert ivf == exact
 
 
+def test_ivf_index_reuse_no_retraining(spark, sf_dir):
+    """ivf_build materializes the cell-assigned corpus ONCE: the index's
+    ``assigned`` frame must be a localCheckpoint block scan (LogicalRDD
+    — no mapInPandas/training lineage left to re-execute), and two
+    different query batches against the same index must both match the
+    exact operator under exhaustive probing without rebuilding."""
+    from flink_note_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = ivf_build(emb, n_cells=8, iters=1)
+
+    # Lineage truncated: re-reading `assigned` cannot re-run training or
+    # assignment (LogicalRDD = executor-stored blocks, nothing upstream).
+    plan = index.assigned._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan, plan
+    assert "mapInPandas" not in plan.lower()
+
+    for lo, hi in ((0, 10), (10, 20)):
+        q = emb.filter((emb.vec_id >= lo) & (emb.vec_id < hi))
+        exact = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in cosine_topk(q, emb, k=5).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(index, q, k=5, n_probe=8).collect()
+        }
+        assert exact and got == exact
+
+
 def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     """IVF probing half the cells must recover well MORE than half the
     true top-5 neighbors: chance-level routing (degenerate centroids,
