@@ -54,6 +54,21 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def _row_salt(cols: list[str], salt_buckets: int, seed: int):
+    """Deterministic salt in ``[0, salt_buckets)`` from row content:
+    ``pmod(xxhash64(cols..., seed), n)``. Unlike ``F.rand(seed)`` — whose
+    draws depend on partition id and intra-partition row order — this is
+    a pure function of the row, so the salt survives repartitioning,
+    AQE re-planning and task retries bit-for-bit (the same determinism
+    doctrine as ``operators/sampling``). Rows identical in ``cols``
+    share a salt; salt over columns with per-row entropy (default: all
+    of them)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)),
+        F.lit(salt_buckets),
+    ).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -61,16 +76,24 @@ def salted_join(
     how: str = "inner",
     salt_buckets: int = 16,
     seed: int = 42,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with hot-key salting.
 
-    The (large, skewed) ``left`` side gets a uniform salt in
-    ``[0, salt_buckets)``; the ``right`` side is replicated once per salt
-    value (explode over a sequence — cost = |right| · salt_buckets rows,
-    so keep the smaller side right). The shuffle key becomes
-    (key, salt), spreading a mega-key over ``salt_buckets`` reducers.
-    Results are identical to the plain join for inner/left joins (every
-    left row still meets every matching right row exactly once).
+    The (large, skewed) ``left`` side gets a deterministic row-content
+    salt in ``[0, salt_buckets)`` (see :func:`_row_salt` — retry- and
+    repartition-stable, unlike ``F.rand``); the ``right`` side is
+    replicated once per salt value (explode over a sequence — cost =
+    |right| · salt_buckets rows, so keep the smaller side right). The
+    shuffle key becomes (key, salt), spreading a mega-key over
+    ``salt_buckets`` reducers. Results are identical to the plain join
+    for inner/left joins (every left row still meets every matching
+    right row exactly once).
+
+    ``salt_on`` picks the columns hashed for the salt (default: every
+    left column). Rows identical in those columns land on one reducer —
+    pass a high-entropy subset (e.g. a unique id) when the left side
+    carries many fully-duplicate rows.
 
     Reach for this only when AQE skew splitting
     (``spark.sql.adaptive.skewJoin``) can't break the skew — i.e. the
@@ -82,7 +105,7 @@ def salted_join(
             f"salted_join supports inner/left (got {how!r}): other kinds "
             "change null-extension semantics under replication"
         )
-    salt = (F.rand(seed) * salt_buckets).cast("int")
+    salt = _row_salt(salt_on or left.columns, salt_buckets, seed)
     lhs = left.withColumn("__salt", salt)
     rhs = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -79,6 +79,37 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted.s == plain.s
 
 
+def test_salt_is_repartition_stable(spark, sf_dir):
+    """The salt is a pure function of row content — the SAME row must
+    get the SAME salt regardless of partition layout (F.rand-based
+    salting fails this: its draw depends on partition id and row
+    order, so retries/AQE re-plans reshuffle rows between reducers)."""
+    from flink_note_spark.operators.scale import _row_salt
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.lit(0).alias("hot_key"),  # everyone shares one join key
+        (F.col("id") % 97).alias("payload"),
+    )
+    cols = ["id", "hot_key", "payload"]
+
+    def salts(d):
+        return {
+            r.id: r.s
+            for r in d.withColumn("s", _row_salt(cols, 16, seed=42)).collect()
+        }
+
+    a = salts(df)
+    b = salts(df.repartition(7, "payload"))
+    c = salts(df.repartition(3))
+    assert a == b == c
+    # and it actually spreads: a hot key's rows cover many salt buckets
+    import collections
+
+    spread = collections.Counter(a.values())
+    assert len(spread) == 16
+
+
 def test_salted_left_join_preserves_unmatched(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k long, lv string")
     right = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, rv double")
