@@ -5,12 +5,12 @@ Training consumes fixed-size context windows; feeding one short document
 per window wastes most of the tokens. Packing assigns documents to bins
 whose token totals approach the budget. Optimal bin packing is NP-hard
 and needs global coordination — at 100 TB the correct trade is
-first-fit-decreasing WITHIN each partition: embarrassingly parallel (no
+best-fit-decreasing WITHIN each partition: embarrassingly parallel (no
 shuffle beyond an optional spread), deterministic for a fixed
-partitioning, and FFD's classic guarantee (≤ 11/9·OPT + 1 bins per
-partition) bounds the waste. Cross-partition waste is at most one
-underfull bin per partition — negligible when partitions hold thousands
-of documents.
+partitioning, and BFD shares FFD's classic asymptotic guarantee
+(≤ 11/9·OPT + O(1) bins per partition), bounding the waste. Cross-
+partition waste is at most one underfull bin per partition — negligible
+when partitions hold thousands of documents.
 
 North-star addition (SURVEY.md §2.2); no analogue in the reference
 notes' surface.
@@ -24,12 +24,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_note_spark.operators.runtime import _spread_for_python_stage
+
 
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     budget: int = 4096,
+    spread: bool = True,
 ) -> DataFrame:
     """Assign each document to a bin with sum(tokens) ≤ ``budget``.
 
@@ -54,11 +57,25 @@ def pack_sequences(
     of the data (ties broken by id). Callers wanting cross-run stability
     should pre-``repartition(n, id_col)`` so the partition assignment
     itself is hash-determined rather than split-determined.
+
+    Parallelism: a single-row-group parquet input scans as ONE task, so
+    the input is routed through ``_spread_for_python_stage`` first —
+    already-parallel (or already-shuffled) inputs pass through untouched
+    and the plan stays shuffle-free (both shapes asserted in
+    tests/test_packing.py). Pass ``spread=False`` to pack exactly the
+    input's partitioning (e.g. a deliberate ``coalesce(1)`` for one
+    globally-packed bin set). Rows with NULL or negative token counts
+    are rejected with an explicit error: a NULL would otherwise surface
+    as a NaN-cast crash deep in the pandas stage, and a negative count
+    silently INFLATES bin capacity (ADVICE r4).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
 
-    src = df.select(id_col, tokens_col).sortWithinPartitions(
+    src = df.select(id_col, tokens_col)
+    if spread:
+        src = _spread_for_python_stage(src)
+    src = src.sortWithinPartitions(
         F.col(tokens_col).desc(), F.col(id_col).asc()
     )
     out_schema = (
@@ -81,6 +98,20 @@ def pack_sequences(
         for pdf in batches:
             ids = pdf[id_col]
             toks = pdf[tokens_col]
+            if toks.isnull().any():
+                bad = ids[toks.isnull()].head(3).tolist()
+                raise ValueError(
+                    f"pack_sequences: NULL {tokens_col!r} for "
+                    f"{id_col}={bad} — filter or impute token counts "
+                    "before packing"
+                )
+            if (toks < 0).any():
+                bad = ids[toks < 0].head(3).tolist()
+                raise ValueError(
+                    f"pack_sequences: negative {tokens_col!r} for "
+                    f"{id_col}={bad} — negative counts would inflate "
+                    "bin capacity"
+                )
             bin_ids = []
             oversize = []
             for t in toks:

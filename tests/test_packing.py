@@ -73,7 +73,7 @@ def test_single_partition_matches_python_bfd(spark):
     df = spark.createDataFrame(rows, "doc_id long, n_tokens int").coalesce(1)
     got = {
         r.doc_id: r.bin_id - (r.bin_id >> 32 << 32)
-        for r in pack_sequences(df, budget=1024).collect()
+        for r in pack_sequences(df, budget=1024, spread=False).collect()
     }
 
     from bisect import bisect_left, insort
@@ -106,7 +106,8 @@ def test_budget_validation(spark, docs):
 
 def test_packing_is_shuffle_free(spark, docs):
     """Scale guard: presort is within partitions and the packer is
-    mapInPandas — the whole operator must add no Exchange."""
+    mapInPandas — on an already-parallel input the whole operator must
+    add no Exchange."""
     plan = (
         pack_sequences(docs, budget=2048)
         ._jdf.queryExecution()
@@ -114,3 +115,35 @@ def test_packing_is_shuffle_free(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_packing_spreads_single_partition_input(spark, docs):
+    """A one-task input (single-row-group parquet shape) must be spread
+    across cores before packing — all slots pack, not one — while the
+    BFD invariants (completeness, budget) still hold."""
+    one = docs.coalesce(1)
+    packed = pack_sequences(one, budget=2048)
+    pids = {
+        r.p
+        for r in packed.select(
+            F.shiftrightunsigned("bin_id", 32).alias("p")
+        ).distinct().collect()
+    }
+    assert len(pids) > 1, "input was not spread across partitions"
+    assert packed.count() == 2000
+    # spread=False keeps the exact input partitioning
+    solo = pack_sequences(one, budget=2048, spread=False)
+    assert solo.select(F.shiftrightunsigned("bin_id", 32)).distinct().count() == 1
+
+
+def test_packing_rejects_null_and_negative_tokens(spark):
+    bad_null = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL 'n_tokens'"):
+        pack_sequences(bad_null, budget=1024).collect()
+    bad_neg = spark.createDataFrame(
+        [(1, 100), (2, -7)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(Exception, match="negative 'n_tokens'"):
+        pack_sequences(bad_neg, budget=1024).collect()
