@@ -507,8 +507,6 @@ def simhash_pairs(
     so a chunk-key equi-join finds all such pairs with no cross join.
     Hamming distance is JVM ``bit_count(a XOR b)``.
     """
-    chunks = max_hamming + 1
-    width = 64 // chunks
     # Fingerprints are one (id, int64) row per doc — materialize this
     # smallest-possible frame so the pandas-UDF voting stage runs ONCE;
     # the chunk explode, hot-bucket cap and both self-join sides all
@@ -518,56 +516,121 @@ def simhash_pairs(
             _one_row_per_id(df, id_col, text_col, ids_unique), id_col, text_col
         )
     )
+    return simhash_pairs_from_fingerprints(
+        fp, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket
+    )
 
-    bands = fp.select(
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pair discovery half of :func:`simhash_pairs`, over a
+    (id, 64-bit fingerprint) frame — exposed separately so flood-cap
+    semantics are testable against constructed fingerprints, and so a
+    precomputed/persisted fingerprint table can be re-paired cheaply.
+
+    Flood handling (r5, ADVICE r4 #1): each doc carries a bitmask of
+    its SURVIVING (non-flood-capped) chunks, built from ``chunks``
+    left joins of the one-row-per-doc frame against the small hot set
+    (AQE broadcasts it; the joins replace the old band anti-join at
+    the same cost shape). A pair is kept exactly where the FIRST chunk
+    that (a) agrees and (b) survived the cap IN BOTH docs equals the
+    current join chunk — a row-local predicate, so multi-chunk
+    agreement needs no dedup shuffle, and a pair whose first agreeing
+    chunk was flooded is still found through its first surviving one
+    (the old code attributed such pairs to the flood and lost them —
+    a recall hole under boilerplate floods). Pairs agreeing ONLY on
+    capped chunks remain dropped: that is the cap's job.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+
+    def chunk_key(i: int):
+        return F.shiftright(fp_col, i * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    raw_bands = fp.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        (
-                            F.shiftright("simhash", i * width)
-                            .bitwiseAND(F.lit((1 << width) - 1))
-                        ).alias("chunk_key"),
+                        chunk_key(i).alias("chunk_key"),
                     )
                     for i in range(chunks)
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_key")
+    ).select(id_col, fp_col, "c.chunk_id", "c.chunk_key")
 
     hot = (
-        bands.groupBy("chunk_id", "chunk_key")
+        raw_bands.groupBy("chunk_id", "chunk_key")
         .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") > max_bucket)
         .select("chunk_id", "chunk_key")
     )
-    # Anti-join away flooded chunks (AQE broadcasts the hot set when
-    # small — unhinted so it degrades gracefully). Lazy: consumers
-    # re-explode from the fingerprint blocks; the hot-set exchange is
-    # reused within the final execution.
-    bands = bands.join(hot, ["chunk_id", "chunk_key"], "left_anti")
+
+    # Per-chunk hot membership on the ONE-ROW-PER-DOC frame: `chunks`
+    # left joins against the (small in expectation, unhinted — AQE
+    # broadcasts when measured size allows) hot set. The big side never
+    # shuffles; the null-ness of each marker is both the per-chunk
+    # survival filter AND the doc's surviving-chunk bitmask.
+    masked = fp
+    for i in range(chunks):
+        hot_i = hot.filter(F.col("chunk_id") == i).select(
+            F.col("chunk_key").alias(f"__hk{i}"), F.lit(True).alias(f"__hot{i}")
+        )
+        masked = masked.join(
+            hot_i, chunk_key(i) == F.col(f"__hk{i}"), "left"
+        ).drop(f"__hk{i}")
+    mask = None
+    for i in range(chunks):
+        bit = F.when(F.col(f"__hot{i}").isNull(), F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+
+    bands = (
+        masked.select(
+            id_col,
+            fp_col,
+            mask.alias("__mask"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk_id"),
+                            chunk_key(i).alias("chunk_key"),
+                            F.col(f"__hot{i}").isNull().alias("keep"),
+                        )
+                        for i in range(chunks)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .filter(F.col("c.keep"))
+        .select(id_col, fp_col, "__mask", "c.chunk_id", "c.chunk_key")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    # Pairs agreeing on several chunks are deduplicated WITHOUT a
-    # shuffle: both join rows carry the fingerprints, so a pair is kept
-    # only where its FIRST agreeing chunk (the xor's first all-zero
-    # window; array_min skips non-agreeing chunks' NULLs) equals the
-    # current chunk — a row-local predicate replacing ``dropDuplicates``
-    # over a corpus-dependent candidate set (r4). Intended interaction
-    # with the cap: a pair whose first agreeing chunk was flood-capped
-    # is attributed to the flood and dropped with it.
+    xor = F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))
+    # First agreeing chunk that SURVIVED in both docs (array_min skips
+    # the NULLs of chunks that disagree or were capped on either side).
     first_agree = F.array_min(
         F.array(
             *[
                 F.when(
-                    F.shiftright(xor, i * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
+                    (
+                        F.shiftright(xor, i * width).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        )
+                        == 0
                     )
-                    == 0,
+                    & (F.col("a.__mask").bitwiseAND(F.lit(1 << i)) != 0)
+                    & (F.col("b.__mask").bitwiseAND(F.lit(1 << i)) != 0),
                     F.lit(i),
                 )
                 for i in range(chunks)

@@ -157,7 +157,16 @@ def mixture_sample(
     Example: counts {web: 90, books: 10}, weights {web: 0.5,
     books: 0.5} → books binds (10 / 0.5 = 20 total), output ≈ 10 web +
     10 books.
+
+    Degenerate corners (ADVICE r4 #3): if no POSITIVE-weight source has
+    any rows the result is empty (zero-weight sources are excluded by
+    definition and can't carry the mixture). A positive-weight source
+    with ZERO rows gets a ``UserWarning`` — the mixture it binds is the
+    empty one, so the output silently shrinking to nothing is almost
+    always a data/config mismatch the caller wants to hear about.
     """
+    import warnings
+
     wtotal = float(sum(weights.values()))
     if wtotal <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -169,10 +178,27 @@ def mixture_sample(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    if not counts:
+    absent = [s for s, v in shares.items() if v > 0 and s not in counts]
+    if absent:
+        warnings.warn(
+            f"mixture_sample: positive-weight source(s) {absent} have no "
+            f"rows in {source_col!r}; they bind the mixture, so the "
+            "output is empty",
+            UserWarning,
+            stacklevel=2,
+        )
+    if not counts or absent:
+        # Without every positive-weight source present, the largest
+        # mixture-respecting sample is the empty one (sampling is
+        # without replacement — nothing can stand in for the missing
+        # source).
+        return df.filter(F.lit(False))
+    positive = [s for s in counts if shares[s] > 0]
+    if not positive:
+        # Every PRESENT source has weight zero: excluded by definition.
         return df.filter(F.lit(False))
     # Largest total where every source can supply its share.
-    total = min(counts[s] / shares[s] for s in counts if shares[s] > 0)
+    total = min(counts[s] / shares[s] for s in positive)
     fractions = {
         s: min(1.0, (shares[s] * total) / counts[s]) for s in counts
     }

@@ -152,9 +152,18 @@ def frequent_tokens(
     columns, Spark's native ``df.freqItems(cols, support)`` is already
     the public surface — this operator exists for the token-level case
     it cannot express.
+
+    Tokenization splits on WHITESPACE RUNS (``\\s+``) and drops empty
+    tokens (ADVICE r4: the single-space ``words()`` primitive — kept
+    as-is for WordCount oracle parity — turns double spaces into ""
+    tokens and never splits on tabs/newlines, so raw corpora made the
+    top-k list lead with "" and newline-glued pseudo-tokens).
     """
     return (
-        df.select(F.explode(words(text_col)).alias("token"))
+        df.select(
+            F.explode(F.split(F.col(text_col), "\\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)

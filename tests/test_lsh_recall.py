@@ -138,6 +138,35 @@ def test_srp_kernel_matches_expressions(spark, sf_dir):
     assert got == want
 
 
+def test_simhash_flooded_chunk_does_not_hide_pairs(spark):
+    """ADVICE r4 #1: a close pair whose FIRST agreeing chunk sits in a
+    flood-capped bucket must still be found through a later surviving
+    agreeing chunk (the old row-local dedup attributed it to the flood
+    and dropped it). Constructed fingerprints, max_hamming=3 → 4 chunks
+    of 16 bits: 1200 flood docs share chunk0=0 (bucket capped at
+    max_bucket=1000); the target pair also has chunk0=0 but agrees on
+    chunk1 (unique value) and chunk2, differing by 1 bit in chunk3."""
+    from flink_note_spark.operators.dedup import simhash_pairs_from_fingerprints
+
+    V, A = 0xBEEF, 0x1234
+    pair1 = (V << 16) | (A << 32) | (0x00F0 << 48)
+    pair2 = (V << 16) | (A << 32) | (0x00F1 << 48)
+    rows = [(1, pair1), (2, pair2)]
+    # flood: chunk0 = 0 for everyone; chunks 1-3 distinct per doc and
+    # disjoint from the pair's values, so no other buckets collide.
+    for i in range(3, 1203):
+        rows.append((i, (i << 16) | (i << 32) | (i << 48)))
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    got = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_pairs_from_fingerprints(
+            fp, max_hamming=3, max_bucket=1000
+        ).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
 def test_ivf_topk_exhaustive_probe_equals_exact(spark, sf_dir):
     """IVF with n_probe == n_cells probes every cell — the result must
     EQUAL the exact brute-force top-k (same ids, same ranks): the cell

@@ -394,3 +394,23 @@ def test_frequent_tokens_orders_and_caps(spark):
     # min_count filters singletons even within k
     all_rows = frequent_tokens(df, k=100, min_count=2).collect()
     assert all(r.n >= 2 for r in all_rows)
+
+
+def test_frequent_tokens_raw_whitespace(spark):
+    """ADVICE r4 #2: whitespace runs must not yield "" tokens, and
+    tabs/newlines must split — raw (uncleaned) corpora previously put
+    "" and newline-glued pseudo-tokens at the top of the list."""
+    from flink_note_spark.operators.text import frequent_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the  cat\tthe dog\nthe bird"),
+            (2, "  the fox  "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = frequent_tokens(df, k=10, min_count=1).collect()
+    toks = {r.token: r.n for r in rows}
+    assert "" not in toks
+    assert toks["the"] == 4
+    assert not any("\n" in t or "\t" in t for t in toks)

@@ -108,7 +108,29 @@ def test_mixture_sample_empty_weights_value_error(corpus):
 
 
 def test_mixture_sample_unknown_sources_only(corpus):
-    out = mixture_sample(corpus, "source", {"nonexistent": 1.0})
+    with pytest.warns(UserWarning, match="nonexistent"):
+        out = mixture_sample(corpus, "source", {"nonexistent": 1.0})
+    assert out.count() == 0
+
+
+def test_mixture_sample_zero_weight_present_positive_absent(corpus):
+    """ADVICE r4 #3: positive weight ONLY on an absent source used to
+    crash with an opaque `min() arg is an empty sequence`; now it warns
+    (the absent source binds the mixture) and returns empty."""
+    with pytest.warns(UserWarning, match="ghost"):
+        out = mixture_sample(
+            corpus, "source", {"web": 0.0, "ghost": 1.0}
+        )
+    assert out.count() == 0
+
+
+def test_mixture_sample_all_present_sources_zero_weight(corpus):
+    """Zero-weight sources are excluded by definition — all-zero on the
+    present ones (positive elsewhere) must be empty, not a crash."""
+    with pytest.warns(UserWarning):
+        out = mixture_sample(
+            corpus, "source", {"web": 0.0, "books": 0.0, "ghost": 2.0}
+        )
     assert out.count() == 0
 
 

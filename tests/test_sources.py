@@ -4,6 +4,8 @@ implemented-but-untested in round 1) plus the opt-in theta join.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -83,6 +85,50 @@ def test_kafka_source_surface(spark):
     else:
         # connector present: the standard kafka schema must be exposed
         assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP_SERVERS"),
+    reason="no Kafka broker in this environment (set KAFKA_BOOTSTRAP_SERVERS "
+    "to run the real round-trip; requires the spark-sql-kafka-0-10 "
+    "connector on the session classpath)",
+)
+def test_kafka_round_trip(spark, tmp_path):
+    """Env-gated real-broker round-trip (VERDICT r4 task 9): write a
+    batch to a topic via the kafka sink format, read it back with
+    read_kafka + availableNow, and compare payloads. Runs only where a
+    broker (and the connector jar) actually exist; the in-container
+    semantics are covered by the FileTopicDataSource analogue."""
+    import uuid
+
+    from flink_note_spark.sources.files import read_kafka
+
+    servers = os.environ["KAFKA_BOOTSTRAP_SERVERS"]
+    topic = f"fns_rt_{uuid.uuid4().hex[:8]}"
+    payload = [(str(i), f"msg-{i}") for i in range(50)]
+    (
+        spark.createDataFrame(payload, "key string, value string")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .save()
+    )
+    stream = read_kafka(spark, servers, topic, starting_offsets="earliest")
+    out = str(tmp_path / "sink")
+    q = (
+        stream.selectExpr("CAST(key AS STRING) k", "CAST(value AS STRING) v")
+        .writeStream.format("memory")
+        .queryName(f"kafka_rt_{topic}")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.v)
+        for r in spark.sql(f"SELECT * FROM kafka_rt_{topic}").collect()
+    }
+    assert got == set(payload)
 
 
 def test_theta_join_guard_refuses_big_right(spark):
