@@ -865,6 +865,77 @@ def test_side_outputs_streaming_twin(spark, chunk_dir, tmp_path):
     assert sorted(r.user_id for r in mains) == [1]
 
 
+def test_route_to_sinks_single_materialization_no_loss(spark, chunk_dir, tmp_path):
+    """route_to_sinks must (a) deliver every row to exactly the sinks
+    whose predicates match — same routing as batch side_outputs,
+    including rows matching several tags and NULL→main — and (b)
+    materialize each micro-batch ONCE for all sinks: an accumulator
+    bumped per evaluated row must equal the row count, not
+    n_sinks × rows (the naive per-tag-query fan-out pays the latter)."""
+    from flink_note_spark.streaming.ops import route_to_sinks, side_outputs
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "error", 2.0),
+        (3, 3, _ts(2), "error", 80.0),   # matches BOTH tags
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (4, 4, _ts(3), "view", 99.0),
+        (5, 5, _ts(4), "view", None),    # NULL predicate → main
+    ])
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("double")
+    def probe(v):
+        acc.add(1)
+        return v
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    ).withColumn("value", probe(F.col("value")))
+
+    tags = {"errors": F.col("event_type") == "error", "big": F.col("value") > 50}
+    got: dict[str, list] = {"errors": [], "big": [], "main": []}
+
+    def make_sink(name):
+        def sink(batch_df, batch_id):
+            got[name].extend(r.event_id for r in batch_df.collect())
+        return sink
+
+    q = route_to_sinks(
+        stream, tags, {n: make_sink(n) for n in got},
+        checkpoint=str(tmp_path / "ckpt_route"),
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # routing equals the batch side_outputs oracle on the same data
+    static = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    oracle = side_outputs(static, tags)
+    for name in got:
+        want = sorted(r.event_id for r in oracle[name].collect())
+        assert sorted(got[name]) == want, name
+    assert sorted(got["errors"]) == [2, 3]
+    assert sorted(got["big"]) == [3, 4]
+    assert sorted(got["main"]) == [1, 5]
+    # one materialization per batch: 5 rows evaluated once each
+    assert acc.value == 5
+
+
+def test_route_to_sinks_rejects_unknown_tag_sink(spark, chunk_dir):
+    from flink_note_spark.streaming.ops import route_to_sinks
+
+    stream = read_file_stream(spark, "parquet", str(chunk_dir), EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="unknown tags"):
+        route_to_sinks(
+            stream, {"errors": F.col("event_type") == "error"},
+            {"nope": lambda df, bid: None},
+        )
+
+
 def test_side_outputs_null_predicate_rows_reach_main(spark):
     """A row whose tag predicate evaluates to NULL (e.g. NULL column)
     matches no tag and must land in main — not vanish to three-valued
