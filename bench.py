@@ -18,6 +18,20 @@ Measurement plan (BASELINE.md):
   of every output column. (A ``count()`` would let Catalyst prune the
   aggregate expressions themselves — ColumnPruning rewrites the final
   Aggregate to grouping keys only — undertiming agg-heavy queries.)
+
+Interleaved A/B mode (``--compare <git-ref> [--pairs N]``): this box
+swings ±20–50% between sessions (BASELINE.md "box variance"; three
+consecutive same-binary runs measured 9.96/12.69/10.58 s), so absolute
+numbers from different runs — including different rounds' BENCH_r*.json
+— are NOT comparable. The only trustworthy delta is old-vs-new
+alternated per query inside ONE session: ``--compare`` checks the ref
+out into a temp worktree, imports its query registry under sys.modules
+isolation, alternates ref/worktree executions per query (order swapped
+every round to cancel drift), and reports paired medians. If a
+``BENCH_PAIRED.json`` produced this way is committed at the repo root,
+the normal driver run embeds it under a ``paired`` key so the round's
+BENCH_r{N}.json carries comparable deltas alongside the raw (noisy)
+absolutes.
 """
 
 from __future__ import annotations
@@ -89,6 +103,117 @@ def _shuffle_partitions_for(sf_dir: str) -> int:
     return max(8, min(64, total // (4 * 1024 * 1024)))
 
 
+def _load_queries_from(repo_dir: str) -> dict:
+    """Import another checkout's ``flink_note_spark.queries.QUERIES``
+    under full ``sys.modules`` isolation: the current package's modules
+    are parked, the checkout is imported from its own path, then module
+    state is restored. The returned callables keep references to THEIR
+    OWN module objects (and the package registers itself for cloudpickle
+    by-value, so worker-side UDFs stay self-contained) — both registries
+    can run side by side in one SparkSession."""
+    import importlib
+
+    saved = {
+        k: v for k, v in sys.modules.items()
+        if k.split(".")[0] == "flink_note_spark"
+    }
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, repo_dir)
+    try:
+        mod = importlib.import_module("flink_note_spark.queries")
+        queries = dict(mod.QUERIES)
+    finally:
+        sys.path.remove(repo_dir)
+        for k in [
+            k for k in sys.modules if k.split(".")[0] == "flink_note_spark"
+        ]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+    return queries
+
+
+def compare_main(ref: str, pairs: int, only: list[str] | None = None) -> None:
+    """Interleaved A/B: ref (old) vs working tree (new), paired per
+    query in one session. Prints one JSON line of paired medians."""
+    import statistics
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    wt = tempfile.mkdtemp(prefix="bench_cmp_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", "--force", wt, ref],
+        check=True, cwd=repo, capture_output=True,
+    )
+    try:
+        old_queries = _load_queries_from(wt)
+        spark = get_spark(
+            app_name="flink-note-spark-bench-compare",
+            shuffle_partitions=_shuffle_partitions_for(sf_dir),
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+
+        pool = only if only else HEADLINE
+        names = [n for n in pool if n in old_queries and n in QUERIES]
+        skipped = [n for n in pool if n not in names]
+        results: dict[str, dict] = {}
+        for name in names:
+            sides = {"old": old_queries[name], "new": QUERIES[name]}
+            for fn in sides.values():  # warm both plans
+                _force(fn(spark, sf_dir))
+            t: dict[str, list[float]] = {"old": [], "new": []}
+            for i in range(pairs):
+                order = ("old", "new") if i % 2 == 0 else ("new", "old")
+                for side in order:
+                    gc.collect()
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    _force(sides[side](spark, sf_dir))
+                    t[side].append(time.perf_counter() - t0)
+            om = statistics.median(t["old"])
+            nm = statistics.median(t["new"])
+            # Paired MIN alongside the median: per-run timings on this
+            # box are bimodal (cold Python-worker forks, GC pauses), so
+            # the min — the same estimator the driver bench's best-of-3
+            # uses — is the more stable readout of true plan cost; the
+            # median carries the contention tail.
+            results[name] = {
+                "old": round(om, 4),
+                "new": round(nm, 4),
+                "delta_pct": round((nm - om) / om * 100, 1),
+                "old_min": round(min(t["old"]), 4),
+                "new_min": round(min(t["new"]), 4),
+                "delta_min_pct": round(
+                    (min(t["new"]) - min(t["old"])) / min(t["old"]) * 100, 1
+                ),
+            }
+        total_old = round(sum(r["old"] for r in results.values()), 4)
+        total_new = round(sum(r["new"] for r in results.values()), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "paired_compare_sec",
+                    "ref": ref,
+                    "pairs": pairs,
+                    "total_old": total_old,
+                    "total_new": total_new,
+                    "total_delta_pct": round(
+                        (total_new - total_old) / total_old * 100, 1
+                    ),
+                    "queries": results,
+                    "skipped": skipped,
+                }
+            )
+        )
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, capture_output=True,
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -121,18 +246,39 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Committed paired-comparison results (see module docstring): ride
+    # along so the round's BENCH_r{N}.json carries comparable deltas.
+    paired_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PAIRED.json"
     )
+    if os.path.exists(paired_path):
+        try:
+            with open(paired_path) as f:
+                out["paired"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--compare":
+        if len(argv) < 2:
+            print("usage: bench.py --compare <git-ref> [--pairs N]",
+                  file=sys.stderr)
+            sys.exit(2)
+        n_pairs = 5
+        if "--pairs" in argv:
+            n_pairs = int(argv[argv.index("--pairs") + 1])
+        only = None
+        if "--only" in argv:
+            only = argv[argv.index("--only") + 1].split(",")
+        sys.exit(compare_main(argv[1], n_pairs, only))
     sys.exit(main())

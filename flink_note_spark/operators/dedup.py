@@ -575,68 +575,89 @@ def simhash_pairs_from_fingerprints(
         .select("chunk_id", "chunk_key")
     )
 
-    # Per-chunk hot membership on the ONE-ROW-PER-DOC frame: `chunks`
-    # left joins against the (small in expectation, unhinted — AQE
-    # broadcasts when measured size allows) hot set. The big side never
-    # shuffles; the null-ness of each marker is both the per-chunk
-    # survival filter AND the doc's surviving-chunk bitmask.
-    masked = fp
-    for i in range(chunks):
-        hot_i = hot.filter(F.col("chunk_id") == i).select(
-            F.col("chunk_key").alias(f"__hk{i}"), F.lit(True).alias(f"__hot{i}")
-        )
-        masked = masked.join(
-            hot_i, chunk_key(i) == F.col(f"__hk{i}"), "left"
-        ).drop(f"__hk{i}")
-    mask = None
-    for i in range(chunks):
-        bit = F.when(F.col(f"__hot{i}").isNull(), F.lit(1 << i)).otherwise(F.lit(0))
-        mask = bit if mask is None else mask + bit
+    # Common case first: NO bucket is flooded (the cap exists for
+    # pathological boilerplate, not the steady state). One bounded
+    # action over the checkpointed fingerprint blocks (explode +
+    # map-side-combinable count, short-circuited by the limit) decides
+    # it; when empty, the whole cap apparatus — anti-join OR mask
+    # joins — vanishes from the plan, which is FASTER than the old
+    # unconditional anti-join (paired A/B: q32 0.77→0.65 s median).
+    # This is the same runtime-adaptivity trade AQE makes: one cheap
+    # probe buys the right plan.
+    has_hot = hot.limit(1).count() > 0
 
-    bands = (
-        masked.select(
-            id_col,
-            fp_col,
-            mask.alias("__mask"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("chunk_id"),
-                            chunk_key(i).alias("chunk_key"),
-                            F.col(f"__hot{i}").isNull().alias("keep"),
-                        )
-                        for i in range(chunks)
-                    ]
-                )
-            ).alias("c"),
+    if not has_hot:
+        bands = raw_bands
+        survive_a = survive_b = None
+    else:
+        # Per-chunk hot membership on the ONE-ROW-PER-DOC frame:
+        # `chunks` left joins against the (small in expectation,
+        # unhinted — AQE broadcasts when measured size allows) hot set.
+        # The big side never shuffles; the null-ness of each marker is
+        # both the per-chunk survival filter AND the doc's
+        # surviving-chunk bitmask.
+        masked = fp
+        for i in range(chunks):
+            hot_i = hot.filter(F.col("chunk_id") == i).select(
+                F.col("chunk_key").alias(f"__hk{i}"),
+                F.lit(True).alias(f"__hot{i}"),
+            )
+            masked = masked.join(
+                hot_i, chunk_key(i) == F.col(f"__hk{i}"), "left"
+            ).drop(f"__hk{i}")
+        mask = None
+        for i in range(chunks):
+            bit = F.when(
+                F.col(f"__hot{i}").isNull(), F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            mask = bit if mask is None else mask + bit
+
+        bands = (
+            masked.select(
+                id_col,
+                fp_col,
+                mask.alias("__mask"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("chunk_id"),
+                                chunk_key(i).alias("chunk_key"),
+                                F.col(f"__hot{i}").isNull().alias("keep"),
+                            )
+                            for i in range(chunks)
+                        ]
+                    )
+                ).alias("c"),
+            )
+            .filter(F.col("c.keep"))
+            .select(id_col, fp_col, "__mask", "c.chunk_id", "c.chunk_key")
         )
-        .filter(F.col("c.keep"))
-        .select(id_col, fp_col, "__mask", "c.chunk_id", "c.chunk_key")
-    )
+        survive_a = [
+            F.col("a.__mask").bitwiseAND(F.lit(1 << i)) != 0
+            for i in range(chunks)
+        ]
+        survive_b = [
+            F.col("b.__mask").bitwiseAND(F.lit(1 << i)) != 0
+            for i in range(chunks)
+        ]
 
     a, b = bands.alias("a"), bands.alias("b")
     xor = F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))
     # First agreeing chunk that SURVIVED in both docs (array_min skips
-    # the NULLs of chunks that disagree or were capped on either side).
-    first_agree = F.array_min(
-        F.array(
-            *[
-                F.when(
-                    (
-                        F.shiftright(xor, i * width).bitwiseAND(
-                            F.lit((1 << width) - 1)
-                        )
-                        == 0
-                    )
-                    & (F.col("a.__mask").bitwiseAND(F.lit(1 << i)) != 0)
-                    & (F.col("b.__mask").bitwiseAND(F.lit(1 << i)) != 0),
-                    F.lit(i),
-                )
-                for i in range(chunks)
-            ]
+    # the NULLs of chunks that disagree or were capped on either side);
+    # with no hot buckets every chunk survives and the predicate is the
+    # pure xor-window test.
+    def eligible(i: int):
+        agree = (
+            F.shiftright(xor, i * width).bitwiseAND(F.lit((1 << width) - 1))
+            == 0
         )
-    )
+        if survive_a is not None:
+            agree = agree & survive_a[i] & survive_b[i]
+        return F.when(agree, F.lit(i))
+
+    first_agree = F.array_min(F.array(*[eligible(i) for i in range(chunks)]))
     out = (
         a.join(
             b,
