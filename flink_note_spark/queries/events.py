@@ -249,8 +249,57 @@ FROM events GROUP BY user_id
 """
 
 
+def q59_side_output_routing(spark: SparkSession, sf: str) -> DataFrame:
+    """OutputTag routing audit (streaming/ops.side_outputs semantics,
+    batch rendering): per-tag row counts and value sums over events,
+    where tags are independent predicates (a row may reach several) and
+    rows matching NO tag — including NULL-predicate rows, per the
+    operator's three-valued-logic contract — land in main. The union of
+    per-tag aggregates is one DataFrame, so the exact routing semantics
+    are oracle-checkable; the fan-out/sink half is pytest-gated
+    (tests/test_streaming.py route_to_sinks)."""
+    from flink_note_spark.streaming.ops import side_outputs
+
+    e = _t(spark, sf, "events")
+    outs = side_outputs(
+        e,
+        {
+            "errors": F.col("event_type") == "error",
+            "whales": F.col("value") > 300,
+        },
+    )
+    parts = [
+        df.agg(
+            F.lit(tag).alias("tag"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        for tag, df in sorted(outs.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tag")
+
+
+_Q59_SQL = """
+SELECT 'errors' AS tag, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'main' AS tag, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+FROM events
+WHERE NOT coalesce(event_type = 'error', FALSE)
+  AND NOT coalesce(value > 300, FALSE)
+UNION ALL
+SELECT 'whales' AS tag, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+FROM events WHERE value > 300
+ORDER BY tag
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
+    "q59_side_output_routing": q59_side_output_routing,
     "q23_tumbling_window": q23_tumbling_window,
     "q24_sliding_window": q24_sliding_window,
     "q25_sessionize": q25_sessionize,
@@ -261,6 +310,7 @@ QUERIES = {
 
 ORACLES = {
     "q22_json_extract": _Q22_SQL,
+    "q59_side_output_routing": _Q59_SQL,
     "q23_tumbling_window": _Q23_SQL,
     "q24_sliding_window": _Q24_SQL,
     "q25_sessionize": _Q25_SQL,

@@ -433,6 +433,44 @@ def q41_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_image_features(b, id_col="id", binary_col="payload")
 
 
+def q57_ivf_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with ``n_probe == n_cells`` (exhaustive probing): the cell
+    partition becomes pure routing, so the result must EQUAL exact
+    brute-force top-k — which makes the IVF pipeline (shuffle-free Lloyd
+    training, broadcast-centroid assignment, cell equi-join, re-rank)
+    fully ORACLE-CHECKABLE against DuckDB, not just recall-tested.
+    Partial-probe recall is pytest-gated (tests/test_lsh_recall.py)."""
+    from flink_note_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        q, e, k=5, id_col="vec_id", vec_col="embedding",
+        n_cells=8, n_probe=8, iters=1,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q58_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus split audit: per-split row counts and id
+    checksum from ``sampling.hash_split``. Values are a pure function of
+    (doc_id, seed) — stable across partitionings, reruns and corpus
+    accretion — but the hash family is Spark's xxhash64, which DuckDB
+    cannot reproduce: rows-only driver check; determinism and fraction
+    properties are pytest-gated (tests/test_sampling.py)."""
+    from flink_note_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    split = hash_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -440,6 +478,8 @@ QUERIES = {
     "q32_simhash_pairs": q32_simhash_pairs,
     "q33_cosine_topk": q33_cosine_topk,
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
+    "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
+    "q58_hash_split": q58_hash_split,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q53_curation_pipeline": q53_curation_pipeline,
@@ -458,6 +498,8 @@ ORACLES = {
     "q29_exact_dedup": _Q29_SQL,
     "q30_jaccard_pairs": _Q30_SQL,
     "q33_cosine_topk": _Q33_SQL,
+    # exhaustive probe == exact brute force, so the q33 oracle applies
+    "q57_ivf_exhaustive_topk": _Q33_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,

@@ -28,7 +28,9 @@ from flink_note_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from flink_note_spark.operators.cogroup import cogroup_apply  # noqa: E402
 from flink_note_spark.operators.components import connected_components  # noqa: E402
+from flink_note_spark.operators.joins import asof_join  # noqa: E402
 from flink_note_spark.operators.packing import pack_sequences  # noqa: E402
 from flink_note_spark.operators.scale import salted_join  # noqa: E402
 from flink_note_spark.operators.similarity import (  # noqa: E402
@@ -233,12 +235,122 @@ def main() -> None:
             budget=2048,
         )
 
+    def asof_probe(ev):
+        """q27-shape at probe scale: every event picks up the latest
+        'reference' event (every 10th) for its user — one keyed window,
+        no join explosion."""
+        left = ev.select("user_id", "ts", "event_id", "value")
+        right = (
+            ev.filter(F.pmod("event_id", F.lit(10)) == 0)
+            .select("user_id", "ts", F.col("value").alias("ref_value"))
+        )
+        return asof_join(
+            left, right, on="user_id", left_time="ts", right_time="ts"
+        )
+
+    def cogroup_probe(cust, orders):
+        """CoGroupFunction shape: whole per-key groups from both sides
+        meet in one pandas call (outer groups included). Key cardinality
+        is FIXED at 1024 buckets so the probe scales the axis that
+        matters at 100 TB — rows per group crossing the Arrow boundary —
+        not the per-call Python overhead (which is linear in key count
+        by construction: 15 k raw keys measured 23 s at x1, pure
+        function-call mass)."""
+        import pandas as pd
+
+        left = cust.select(
+            F.pmod("c_custkey", F.lit(1024)).alias("k"), "c_acctbal"
+        )
+        right = orders.select(
+            F.pmod("o_custkey", F.lit(1024)).alias("k"), "o_totalprice"
+        )
+
+        def summarize(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+            key = lg["k"].iloc[0] if len(lg) else rg["k"].iloc[0]
+            return pd.DataFrame(
+                {
+                    "k": [key],
+                    "n_orders": [len(rg)],
+                    "acctbal": [float(lg["c_acctbal"].sum())],
+                    "spend": [float(rg["o_totalprice"].sum())],
+                }
+            )
+
+        return cogroup_apply(
+            left, right, ["k"], summarize,
+            "k long, n_orders long, acctbal double, spend double",
+        )
+
+    def sessionize_probe(events_dir):
+        """Streaming stateful sessionization (applyInPandasWithState)
+        end-to-end: availableNow over the replicated events parquet,
+        fresh checkpoint per run so every invocation re-processes the
+        corpus; timed to sink-drain."""
+        import uuid
+
+        from flink_note_spark.streaming.ops import stateful_sessionize
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(events_dir)
+        )
+        sess = stateful_sessionize(
+            stream, key="user_id", ts_col="ts", gap="6 minutes",
+            watermark="5 minutes",
+        )
+        q = (
+            sess.writeStream.format("noop")
+            .option(
+                "checkpointLocation",
+                f"{tmp}/sess_ckpt_{uuid.uuid4().hex[:8]}",
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def corpus_probe(d):
+        """The composed prepare_training_corpus pipeline: curate →
+        MinHash-LSH near-dup collapse (connected components) → hash
+        split — the full multi-stage flow, not one operator."""
+        from flink_note_spark.pipelines.curate import (
+            CurationConfig,
+            prepare_training_corpus,
+        )
+
+        return prepare_training_corpus(
+            d, "text", "doc_id",
+            CurationConfig(min_words=5, max_stop_ratio=0.9),
+            near_dup_threshold=0.4,
+        )
+
+    # Events for the asof/sessionize probes: the x1 side is ALSO written
+    # through replicate (k=1) so both scales stream probe-written parquet
+    # with identical (micro-truncated) timestamp encoding and multi-file
+    # layout.
+    ev = load_table(spark, SF_DIR, "events")
+    ev1_dir = replicate(
+        ev, 1, {"event_id": STRIDE, "user_id": STRIDE}, f"{tmp}/ev_1"
+    )
+    ev_k_dir = replicate(
+        ev, k, {"event_id": STRIDE, "user_id": STRIDE}, f"{tmp}/ev_k"
+    )
+    ev1x = spark.read.parquet(ev1_dir)
+    ev_kx = spark.read.parquet(ev_k_dir)
+
     t: dict[str, float] = {}
     for tag, c, o, l in (("x1", cust1, ord1, li1), (f"x{k}", cust_k, ord_k, li_k)):
         bench(f"join_{tag}", lambda c=c, o=o, l=l: noop(join_probe(c, o, l)), t)
         bench(f"window_{tag}", lambda l=l: noop(window_probe(l)), t)
         bench(f"agg_{tag}", lambda l=l: noop(agg_probe(l)), t)
         bench(f"salted_{tag}", lambda l=l, o=o: noop(salted_probe(l, o)), t)
+        bench(f"cogroup_{tag}", lambda c=c, o=o: noop(cogroup_probe(c, o)), t)
+    for tag, evdf, evdir in (("x1", ev1x, ev1_dir), (f"x{k}", ev_kx, ev_k_dir)):
+        bench(f"asof_{tag}", lambda e=evdf: noop(asof_probe(e)), t)
+        bench(f"sessionize_{tag}", lambda d=evdir: sessionize_probe(d), t)
     for tag, d, e in (("x1", docs1, emb1), (f"x{k}", docs_k, emb_k)):
         bench(f"exact_dedup_{tag}", lambda d=d: noop(exact_dedup(d, "text", "doc_id")), t)
         bench(
@@ -264,13 +376,15 @@ def main() -> None:
             t,
         )
         bench(f"ivf_topk_{tag}", lambda e=e: noop(ivf_probe(e)), t)
+        bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
 
     ratios = {
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
         for op in (
-            "join", "window", "agg", "salted",
+            "join", "window", "agg", "salted", "cogroup",
+            "asof", "sessionize",
             "exact_dedup", "minhash_lsh", "simhash", "components",
-            "packing", "language_id", "cosine_topk", "ivf_topk",
+            "packing", "language_id", "cosine_topk", "ivf_topk", "corpus",
         )
     }
     print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
