@@ -41,7 +41,9 @@ from flink_note_spark.operators.similarity import (
     embedding_near_dup_pairs,
     IvfIndex,
     ivf_build,
+    ivf_load,
     ivf_query,
+    ivf_save,
     ivf_topk,
     lsh_cosine_topk,
     lsh_embedding_near_dup_pairs,
@@ -82,7 +84,9 @@ __all__ = [
     "embedding_near_dup_pairs",
     "IvfIndex",
     "ivf_build",
+    "ivf_load",
     "ivf_query",
+    "ivf_save",
     "ivf_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",

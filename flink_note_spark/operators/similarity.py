@@ -13,9 +13,15 @@ Two execution styles, chosen per operator from measurement:
   vectorized BLAS beats Catalyst's interpreted higher-order functions
   ~3× on this shape, at the cost of the small side fitting in driver
   memory (the contract; batch your queries).
-- The LSH variants stay JVM-side (``zip_with``/``aggregate`` in double)
-  because their per-candidate arrays are short and the bucket join
-  dominates.
+- The bulk per-vector kernels — SRP-LSH bucket assignment
+  (:func:`_srp_bucket_rows`) and IVF cell assignment/training
+  (:func:`_ivf_assign_cells`, :func:`_ivf_train_centroids`) — are ONE
+  Arrow-batched matmul pass against a broadcast matrix (r5: the old
+  per-hyperplane interpreted ``zip_with``/``aggregate`` chains measured
+  4.6× slower on the q52 shape). Only the short per-CANDIDATE exact
+  re-scoring after a bucket join stays in JVM expressions
+  (``vec_dot``), where the candidate count, not the corpus, bounds the
+  work.
 """
 
 from __future__ import annotations
@@ -597,6 +603,50 @@ def ivf_build(
     )
     if materialize:
         assigned = _computed_once(assigned)
+    return IvfIndex(cents, assigned, id_type)
+
+
+def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
+             path: str | None = None, mode: str = "overwrite") -> None:
+    """Persist a built IVF index across sessions: the cell-assigned
+    corpus goes to a table BUCKETED on ``cell_id``
+    (``operators/scale.write_bucketed``) and the centroid matrix to a
+    ``<table>__centroids`` side table (n_cells tiny rows). Bucketing is
+    the 100 TB move: the corpus is hash-laid-out by cell ONCE at write
+    time, so every future session's query joins read co-located buckets
+    instead of re-assigning (Python pass) and re-shuffling the corpus.
+    """
+    from flink_note_spark.operators.scale import write_bucketed
+
+    if index.centroids is None:
+        raise ValueError("ivf_save: empty index (corpus had no rows)")
+    spark = index.assigned.sparkSession
+    write_bucketed(
+        index.assigned, table, buckets, ["cell_id"], path=path, mode=mode
+    )
+    cent_rows = [
+        (i, [float(x) for x in row]) for i, row in enumerate(index.centroids)
+    ]
+    (
+        spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>")
+        .write.mode(mode)
+        .saveAsTable(f"{table}__centroids")
+    )
+
+
+def ivf_load(spark, table: str) -> IvfIndex:
+    """Rebuild an :class:`IvfIndex` from :func:`ivf_save` output —
+    no training, no assignment pass; ``assigned`` is the bucketed table
+    scan, so downstream ``cell_id`` joins skip the corpus-side
+    exchange."""
+    import numpy as np
+
+    rows = spark.table(f"{table}__centroids").collect()
+    cents = np.empty((len(rows), len(rows[0]["centroid"])), dtype=np.float64)
+    for r in rows:
+        cents[r["cell_id"]] = r["centroid"]
+    assigned = spark.table(table)
+    id_type = dict(assigned.dtypes)["neighbor_id"]
     return IvfIndex(cents, assigned, id_type)
 
 

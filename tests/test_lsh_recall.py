@@ -221,6 +221,45 @@ def test_ivf_index_reuse_no_retraining(spark, sf_dir):
         assert exact and got == exact
 
 
+def test_ivf_save_load_round_trip(spark, sf_dir, tmp_path):
+    """Cross-session index persistence: ivf_save writes the
+    cell-assigned corpus bucketed on cell_id + a centroid side table;
+    ivf_load rebuilds the index with NO training or assignment pass
+    (assigned = bucketed table scan), and queries against the loaded
+    index equal queries against the built one."""
+    from flink_note_spark.operators.similarity import (
+        ivf_build,
+        ivf_load,
+        ivf_query,
+        ivf_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    built = ivf_build(emb, n_cells=8, iters=1)
+    table = "ivf_rt_test"
+    try:
+        ivf_save(built, table, buckets=4, path=str(tmp_path / "ivf"))
+        loaded = ivf_load(spark, table)
+
+        assert np.allclose(loaded.centroids, built.centroids)
+        plan = loaded.assigned._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" not in plan.lower()  # pure table scan
+
+        q = emb.filter(emb.vec_id < 10)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(built, q, k=5, n_probe=4).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(loaded, q, k=5, n_probe=4).collect()
+        }
+        assert want and got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__centroids")
+
+
 def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     """IVF probing half the cells must recover well MORE than half the
     true top-5 neighbors: chance-level routing (degenerate centroids,
