@@ -138,6 +138,28 @@ def test_srp_kernel_matches_expressions(spark, sf_dir):
     assert got == want
 
 
+def test_minhash_flood_path_caps_boilerplate_keeps_real_pairs(spark):
+    """Exercise the rare (has_hot) branch of minhash_lsh_pairs: a
+    boilerplate flood (identical docs ≫ max_bucket) floods every band
+    it occupies and is capped away producing NO pairs, while a distinct
+    near-dup pair outside the flood is still found and verified."""
+    from flink_note_spark.operators.dedup import minhash_lsh_pairs
+
+    flood = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(30)]
+    realA = (100, "the quick brown fox jumps over the lazy dog tonight")
+    realB = (101, "the quick brown fox jumps over the lazy dog today")
+    df = spark.createDataFrame(flood + [realA, realB], "doc_id long, text string")
+
+    got = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", n=2, num_hashes=32, bands=8,
+            threshold=0.4, max_bucket=8, ids_unique=True,
+        ).collect()
+    }
+    assert got == {(100, 101)}
+
+
 def test_simhash_flooded_chunk_does_not_hide_pairs(spark):
     """ADVICE r4 #1: a close pair whose FIRST agreeing chunk sits in a
     flood-capped bucket must still be found through a later surviving
