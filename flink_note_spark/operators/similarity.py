@@ -378,6 +378,14 @@ def _srp_bucket_rows(
             if not nrows:
                 continue
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if v.ndim != 2 or v.shape[1] != planes.shape[1]:
+                got = v.shape[1] if v.ndim == 2 else "ragged"
+                raise ValueError(
+                    f"srp bucket kernel: vectors in {vec_col!r} have "
+                    f"dim {got}, hyperplanes expect {planes.shape[1]} — "
+                    "pass the column's true dim (and fix ragged rows "
+                    "upstream)"
+                )
             bits = (v @ planes.T) >= 0                       # (n, T·B)
             keys = bits.reshape(nrows, T, B).astype(np.int64) @ weights
             data = {id_out: pdf[id_col].to_numpy().repeat(T)}

@@ -80,3 +80,41 @@ def test_q33_corpus_not_shuffled(spark, sf_dir):
     from flink_note_spark.plans.inspect import explain_str
 
     assert "CartesianProduct" not in explain_str(df, "simple")
+
+
+def test_q34_srp_lsh_no_cartesian_one_kernel_pass_per_side(spark, sf_dir):
+    """SRP-LSH ANN: candidates must meet in a bucket equi-join — no
+    CartesianProduct / BroadcastNestedLoop anywhere — and each side's
+    bucket assignment must be exactly ONE Arrow kernel pass (the r5
+    matmul kernel), not a per-hyperplane expression chain."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q34_lsh_cosine_topk"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") == 2, plan  # one per joined side
+
+
+def test_q52_lsh_near_dup_no_cartesian(spark, sf_dir):
+    """SRP-LSH embedding near-dup: band self-join only; the corpus-wide
+    n² matrix must never appear in the plan."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q52_lsh_embedding_near_dup"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q57_ivf_query_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """IVF query path: probe rows meet the assigned corpus in a cell_id
+    equi-join; no cross join, and the post-build plan stays within the
+    equi-join + top-k window exchange budget."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q57_ivf_exhaustive_topk"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 3, f"ivf query shuffles {shuffle_count(df)}×"
