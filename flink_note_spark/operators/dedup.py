@@ -507,14 +507,12 @@ def simhash_pairs(
     so a chunk-key equi-join finds all such pairs with no cross join.
     Hamming distance is JVM ``bit_count(a XOR b)``.
     """
-    # Fingerprints are one (id, int64) row per doc — materialize this
-    # smallest-possible frame so the pandas-UDF voting stage runs ONCE;
-    # the chunk explode, hot-bucket cap and both self-join sides all
-    # re-derive from the blocks with cheap JVM expressions.
-    fp = _computed_once(
-        simhash_fingerprints(
-            _one_row_per_id(df, id_col, text_col, ids_unique), id_col, text_col
-        )
+    # Fingerprints are one (id, int64) row per doc; the pair finder
+    # checkpoints them lazily and its hot-bucket probe action doubles as
+    # the materialization job, so the pandas-UDF voting stage runs ONCE
+    # with no extra job (see simhash_pairs_from_fingerprints).
+    fp = simhash_fingerprints(
+        _one_row_per_id(df, id_col, text_col, ids_unique), id_col, text_col
     )
     return simhash_pairs_from_fingerprints(
         fp, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket
@@ -548,6 +546,14 @@ def simhash_pairs_from_fingerprints(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
+
+    # LAZY localCheckpoint: the hot-bucket probe below is the first
+    # action, so ONE job both materializes the (id, int64) fingerprint
+    # blocks (pandas-UDF voting runs once) and answers the probe —
+    # an eager checkpoint + separate probe was two sequential jobs,
+    # measured +7% on q32 (BENCH_PAIRED r5). Every later branch (mask
+    # joins, band explode, both self-join sides) reads the blocks.
+    fp = fp.localCheckpoint(eager=False)
 
     def chunk_key(i: int):
         return F.shiftright(fp_col, i * width).bitwiseAND(F.lit((1 << width) - 1))
