@@ -496,6 +496,78 @@ class _TopicStreamReader(DataSourceStreamReader):
         pass
 
 
+def topic_produce(
+    df,
+    path: str,
+    n_partitions: int = 4,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> None:
+    """Producer half of the ``flink_note_topic`` analogue (r5): append a
+    DataFrame's (key, value) rows to the topic directory in the exact
+    format the reader consumes — keyed partitioning
+    (``pmod(xxhash64(key), n_partitions)``, so one key's records always
+    land in, and stay ordered within, one partition), newline-terminated
+    JSONL appends (the reader's torn-tail scan never sees a half
+    record), and an fcntl exclusive lock per append batch so concurrent
+    producer tasks interleave at record granularity, never mid-line.
+
+    Kafka-parity notes: delivery is at-least-once (a retried task
+    re-appends its batch — same as a non-transactional Kafka producer;
+    consumers dedup by key or by (key, value) content when it matters);
+    NULL keys all hash to one partition (Kafka round-robins them — a
+    deterministic analogue has no per-producer sticky state to
+    round-robin with); record order ACROSS concurrent producer tasks is
+    arbitrary, order WITHIN a task's batch is preserved. The file
+    appends require the topic directory on a filesystem shared by the
+    executors — the analogue is a single-host test double by design
+    (the real connector speaks to a broker instead).
+
+    Partition files are pre-created so the topic's partition count is
+    fixed at first produce and every consumer sees all partitions even
+    before each has data.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    for p in range(n_partitions):
+        fp = os.path.join(path, f"part-{p}.jsonl")
+        if not os.path.exists(fp):
+            open(fp, "a").close()
+
+    rows = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(value_col).cast("string").alias("v"),
+        F.pmod(
+            F.xxhash64(F.col(key_col).cast("string")), F.lit(n_partitions)
+        ).alias("p"),
+    )
+
+    def append_partition(it) -> None:
+        import fcntl
+        import json as _json
+        from collections import defaultdict
+
+        bufs: dict[int, list[str]] = defaultdict(list)
+        for r in it:
+            bufs[int(r["p"])].append(
+                _json.dumps({"key": r["k"], "value": r["v"]})
+            )
+        for p, lines in bufs.items():
+            data = ("\n".join(lines) + "\n").encode()
+            with open(os.path.join(path, f"part-{p}.jsonl"), "ab") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    f.write(data)
+                    f.flush()
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+    rows.foreachPartition(append_partition)
+
+
 class FileTopicDataSource(DataSource):
     """``flink_note_topic``: broker-free Kafka analogue over an
     append-only directory of ``part-<N>.jsonl`` files (one JSON record

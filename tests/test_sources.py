@@ -303,6 +303,60 @@ def test_file_topic_batch_read(spark, tmp_path):
     ]
 
 
+def test_topic_produce_consume_round_trip(spark, tmp_path):
+    """Producer half (r5): topic_produce appends a DataFrame to the
+    topic in reader format — every record comes back exactly once via
+    the batch reader, one key's records stay in one partition in
+    produce order, and a SECOND produce appends (offsets continue)
+    rather than truncates."""
+    from flink_note_spark.sources.custom import (
+        register_custom_sources,
+        topic_produce,
+    )
+
+    register_custom_sources(spark)
+    topic = str(tmp_path / "topic_rt")
+    batch1 = [(f"k{i % 7}", f"v{i}") for i in range(50)]
+    # coalesce(1) = ONE producer task: per-key order is guaranteed only
+    # within a producer task's batch (same as Kafka across producers)
+    topic_produce(
+        spark.createDataFrame(batch1, "key string, value string").coalesce(1),
+        topic, n_partitions=4,
+    )
+
+    def read_all():
+        return (
+            spark.read.format("flink_note_topic")
+            .option("path", topic)
+            .load()
+            .collect()
+        )
+
+    rows = read_all()
+    assert sorted((r.key, r.value) for r in rows) == sorted(batch1)
+    # keyed partitioning: each key lives in exactly one partition, and
+    # its values appear in produce order within that partition
+    by_key_parts = {}
+    for r in rows:
+        by_key_parts.setdefault(r.key, set()).add(r.partition)
+    assert all(len(p) == 1 for p in by_key_parts.values())
+    for key in {k for k, _ in batch1}:
+        seq = [
+            int(r.value[1:])
+            for r in sorted(rows, key=lambda r: r.offset)
+            if r.key == key
+        ]
+        assert seq == sorted(seq), f"produce order lost for {key}"
+
+    batch2 = [("k0", "v100"), ("k1", "v101")]
+    topic_produce(
+        spark.createDataFrame(batch2, "key string, value string"),
+        topic, n_partitions=4,
+    )
+    rows2 = read_all()
+    assert sorted((r.key, r.value) for r in rows2) == sorted(batch1 + batch2)
+
+
 def test_file_topic_stream_tails_incrementally(spark, tmp_path):
     """Kafka-shaped streaming: per-partition consumer offsets advance as
     the log grows — the second batch carries ONLY the appended records,
