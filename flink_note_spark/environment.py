@@ -114,6 +114,44 @@ class ExecutionEnvironment:
             reader = reader.option(k, str(v))
         return reader.load()
 
+    def from_topic(self, path: str, stream: bool = True) -> DataFrame:
+        """Kafka-consumer parity (``env.addSource(new FlinkKafkaConsumer
+        (...))``) over the broker-free ``flink_note_topic`` analogue:
+        (key, value, partition, offset) rows, per-partition consumer
+        offsets as stream state. ``stream=False`` reads the whole topic
+        as a bounded frame."""
+        from flink_note_spark.sources.custom import FileTopicDataSource
+
+        return self.add_source(FileTopicDataSource, stream=stream, path=path)
+
+    def to_topic(
+        self,
+        df: DataFrame,
+        path: str,
+        n_partitions: int = 4,
+        key_col: str = "key",
+        value_col: str = "value",
+        checkpoint: str | None = None,
+    ):
+        """Kafka-producer parity (``addSink(new FlinkKafkaProducer
+        (...))``): bounded frames append once; unbounded frames produce
+        per micro-batch through ``foreachBatch`` (at-least-once, like a
+        non-transactional Kafka producer — pass ``checkpoint`` for
+        restart dedup at the source side)."""
+        from flink_note_spark.sources.custom import topic_produce
+
+        if not df.isStreaming:
+            topic_produce(df, path, n_partitions, key_col, value_col)
+            return None
+        writer = df.writeStream.foreachBatch(
+            lambda batch_df, _bid: topic_produce(
+                batch_df, path, n_partitions, key_col, value_col
+            )
+        )
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        return writer.start()
+
     def socket_text_stream(self, host: str, port: int) -> DataFrame:
         """``env.socketTextStream`` → Spark's built-in socket source."""
         return (

@@ -77,3 +77,43 @@ def test_streaming_job_verbs_through_env(env, tmp_path):
         env.stop_job("env_verbs", timeout_sec=30)
     assert env.read_file("parquet", str(tmp_path / "sink")).count() == 10
     env.execute("parity-no-op")
+
+
+def test_topic_source_sink_through_env(env, tmp_path):
+    """Kafka consumer/producer parity verbs: to_topic on a bounded frame
+    appends to the topic, from_topic(stream=False) reads it back; the
+    streaming producer drains a file stream into the topic per batch."""
+    spark = env.spark
+    topic = str(tmp_path / "env_topic")
+    env.to_topic(
+        spark.createDataFrame(
+            [("a", "1"), ("b", "2"), ("a", "3")], "key string, value string"
+        ).coalesce(1),
+        topic,
+        n_partitions=2,
+    )
+    back = env.from_topic(topic, stream=False)
+    assert not back.isStreaming
+    assert sorted((r.key, r.value) for r in back.collect()) == [
+        ("a", "1"), ("a", "3"), ("b", "2"),
+    ]
+
+    # streaming produce: rows flow source -> foreachBatch -> topic
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [("c", "9")], "key string, value string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1"))
+    stream = spark.readStream.schema("key string, value string").parquet(
+        str(src_dir / "*")
+    )
+    q = env.to_topic(
+        stream, topic, n_partitions=2,
+        checkpoint=str(tmp_path / "ckpt_topic"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vals = {(r.key, r.value) for r in env.from_topic(topic, stream=False).collect()}
+    assert ("c", "9") in vals
