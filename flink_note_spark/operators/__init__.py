@@ -20,6 +20,7 @@ from flink_note_spark.operators.joins import (
 from flink_note_spark.operators.windows import sessionize, topk_per_group
 from flink_note_spark.operators.dedup import (
     exact_dedup,
+    exact_dedup_rows,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -68,6 +69,7 @@ __all__ = [
     "sessionize",
     "topk_per_group",
     "exact_dedup",
+    "exact_dedup_rows",
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",

@@ -80,6 +80,38 @@ def exact_dedup(
     )
 
 
+def exact_dedup_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Row-preserving exact dedup: keep the FULL row with the smallest
+    ``id_col`` per distinct (normalized) content — the payload-keeping
+    twin of :func:`exact_dedup`, which returns only the cluster summary
+    (hash, keep-id, count) and makes the caller join survivors back.
+
+    One keyed window shuffle on the 256-bit content digest. The window
+    carries the whole row, so at 100 TB prefer :func:`exact_dedup` +
+    an id semi-join when rows are wide and duplication is rare — this
+    operator is the right shape when the output IS the surviving corpus
+    (the curation-pipeline case, ``pipelines/curate.py``).
+    Deterministic: same input set → same output set, independent of
+    partitioning (ties broken by id).
+    """
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    if normalize:
+        txt = F.lower(F.trim(txt))
+    keep = Window.partitionBy(F.sha2(txt, 256)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(keep))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:

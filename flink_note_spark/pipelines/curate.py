@@ -57,13 +57,9 @@ def curate_corpus(
     )
 
     if config.dedup:
-        h = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-        keep = Window.partitionBy(h).orderBy(F.col(id_col).asc())
-        out = (
-            out.withColumn("__rn", F.row_number().over(keep))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        from flink_note_spark.operators.dedup import exact_dedup_rows
+
+        out = exact_dedup_rows(out, text_col, id_col)
 
     return out.filter(
         F.col("lang_pred").isin(*config.lang_allow)

@@ -414,3 +414,28 @@ def test_frequent_tokens_raw_whitespace(spark):
     assert "" not in toks
     assert toks["the"] == 4
     assert not any("\n" in t or "\t" in t for t in toks)
+
+
+def test_exact_dedup_rows_keeps_smallest_id_full_row(spark):
+    from flink_note_spark.operators.dedup import exact_dedup_rows
+
+    df = spark.createDataFrame(
+        [
+            (3, "Hello World ", "a"),
+            (1, "hello world", "b"),     # same normalized content, min id
+            (2, "other", "c"),
+            (9, "HELLO WORLD", "d"),
+        ],
+        "doc_id long, text string, payload string",
+    )
+    rows = {(r.doc_id, r.payload) for r in exact_dedup_rows(df).collect()}
+    assert rows == {(1, "b"), (2, "c")}
+    # normalize=False treats the variants as distinct
+    raw = exact_dedup_rows(df, normalize=False)
+    assert raw.count() == 4
+    # partitioning-independent
+    rows2 = {
+        (r.doc_id, r.payload)
+        for r in exact_dedup_rows(df.repartition(5)).collect()
+    }
+    assert rows2 == rows
