@@ -471,6 +471,145 @@ def q58_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key reservoir sampling, driver-checkable invariant: the
+    sample is EXACTLY min(k, n) rows per key (the property that
+    distinguishes the reservoir from Bernoulli sampling), which the
+    oracle computes directly from the raw table — the xxhash64 pick
+    order itself has no DuckDB twin and is pinned by golden/pytest."""
+    from flink_note_spark.operators.sampling import reservoir_per_key
+
+    d = _t(spark, sf, "documents")
+    s = reservoir_per_key(d, ["lang"], k=20, id_col="doc_id")
+    return (
+        s.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+_Q60_SQL = """
+SELECT lang, CAST(least(20, count(*)) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q61_packing_invariants(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing conservation audit: packing must move every
+    document into exactly one bin (doc and token totals conserved) and
+    no non-oversize bin may exceed the budget — the bin assignment
+    itself is partition-dependent (pytest BFD differential), but these
+    invariants are corpus-level facts the oracle states directly."""
+    from flink_note_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(words("text"))
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=2048)
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bt"),
+        F.max(F.col("oversize").cast("int")).alias("ov"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    return per_bin.agg(
+        F.sum("nd").cast("long").alias("n_docs"),
+        F.sum("bt").cast("long").alias("total_tokens"),
+        F.sum(
+            F.when((F.col("ov") == 0) & (F.col("bt") > 2048), 1).otherwise(0)
+        ).cast("long").alias("over_budget_bins"),
+    )
+
+
+_Q61_SQL = """
+SELECT CAST(count(*) AS BIGINT)                              AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
+       CAST(0 AS BIGINT)                                     AS over_budget_bins
+FROM documents
+"""
+
+
+def q62_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over a deterministic synthetic edge list
+    (doc i links i−1 except every 8th: consecutive-id chains), so the
+    component STRUCTURE — count, node total, size histogram extremes —
+    is oracle-computable arithmetically while the Spark side actually
+    runs the large-star/small-star rounds. Labels are component minima;
+    the summary is label-free so both sides agree."""
+    from flink_note_spark.operators.components import connected_components
+
+    d = _t(spark, sf, "documents")
+    edges = (
+        d.select(F.col("doc_id").alias("d1"))
+        .filter(F.pmod("d1", F.lit(8)) != 0)
+        .withColumn("d2", F.col("d1") - 1)
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+        F.min("sz").cast("long").alias("min_size"),
+        F.max("sz").cast("long").alias("max_size"),
+    )
+
+
+_Q62_SQL = """
+WITH nodes AS (
+  SELECT DISTINCT x FROM (
+    SELECT doc_id AS x FROM documents WHERE doc_id % 8 <> 0
+    UNION ALL
+    SELECT doc_id - 1 AS x FROM documents WHERE doc_id % 8 <> 0
+  )
+), blocks AS (
+  SELECT x // 8 AS blk, count(*) AS sz FROM nodes GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT)  AS n_components,
+       CAST(sum(sz) AS BIGINT)   AS n_nodes,
+       CAST(min(sz) AS BIGINT)   AS min_size,
+       CAST(max(sz) AS BIGINT)   AS max_size
+FROM blocks
+"""
+
+
+def q63_cogroup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CoGroupFunction through the driver gate: per-key whole groups
+    from customer and orders meet in one pandas call that emits both
+    sides' group sizes — outer groups included (a key present on one
+    side only still fires, with 0 for the absent side), which is
+    exactly a full-outer join of grouped counts in the oracle."""
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import cogroup_apply
+
+    c = _t(spark, sf, "customer").select(
+        F.pmod("c_custkey", F.lit(64)).alias("k")
+    )
+    o = _t(spark, sf, "orders").select(
+        F.pmod("o_custkey", F.lit(64)).alias("k")
+    )
+
+    def sizes(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        key = lg["k"].iloc[0] if len(lg) else rg["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [int(key)], "n_cust": [len(lg)], "n_ord": [len(rg)]}
+        )
+
+    return cogroup_apply(
+        c, o, ["k"], sizes, "k long, n_cust long, n_ord long"
+    ).orderBy("k")
+
+
+_Q63_SQL = """
+WITH c AS (SELECT c_custkey % 64 AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+     o AS (SELECT o_custkey % 64 AS k, count(*) AS n_ord FROM orders GROUP BY 1)
+SELECT COALESCE(c.k, o.k)                 AS k,
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(n_ord, 0) AS BIGINT)  AS n_ord
+FROM c FULL OUTER JOIN o ON c.k = o.k
+ORDER BY k
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -480,6 +619,10 @@ QUERIES = {
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
     "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
+    "q60_reservoir_exact_k": q60_reservoir_exact_k,
+    "q61_packing_invariants": q61_packing_invariants,
+    "q62_connected_components": q62_connected_components,
+    "q63_cogroup_counts": q63_cogroup_counts,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q53_curation_pipeline": q53_curation_pipeline,
@@ -500,6 +643,10 @@ ORACLES = {
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,
+    "q60_reservoir_exact_k": _Q60_SQL,
+    "q61_packing_invariants": _Q61_SQL,
+    "q62_connected_components": _Q62_SQL,
+    "q63_cogroup_counts": _Q63_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,
