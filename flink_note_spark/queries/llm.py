@@ -610,6 +610,49 @@ ORDER BY k
 """
 
 
+def q64_theta_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Opt-in theta (arbitrary-predicate, no equi-conjunct) join through
+    the driver gate: nation × region on a strict inequality — the
+    guarded broadcast nested-loop the wrapper makes explicit."""
+    from flink_note_spark.operators.joins import theta_join
+
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return theta_join(
+        n.select("n_name", "n_regionkey"),
+        r.select("r_name", "r_regionkey"),
+        F.col("n_regionkey") < F.col("r_regionkey"),
+    ).select("n_name", "r_name").orderBy("n_name", "r_name")
+
+
+_Q64_SQL = """
+SELECT n_name, r_name
+FROM nation JOIN region ON n_regionkey < r_regionkey
+ORDER BY n_name, r_name
+"""
+
+
+def q66_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter token discovery (the boilerplate pass feeding
+    max_df-style caps): exact corpus-wide counts, whitespace-run
+    tokenization, empty tokens dropped, top-20 with a deterministic
+    tie order."""
+    from flink_note_spark.operators.text import frequent_tokens
+
+    d = _t(spark, sf, "documents")
+    return frequent_tokens(d, "text", k=20, min_count=2)
+
+
+_Q66_SQL = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token HAVING count(*) >= 2
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -623,6 +666,8 @@ QUERIES = {
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
     "q63_cogroup_counts": q63_cogroup_counts,
+    "q64_theta_join": q64_theta_join,
+    "q66_frequent_tokens": q66_frequent_tokens,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q53_curation_pipeline": q53_curation_pipeline,
@@ -647,6 +692,8 @@ ORACLES = {
     "q61_packing_invariants": _Q61_SQL,
     "q62_connected_components": _Q62_SQL,
     "q63_cogroup_counts": _Q63_SQL,
+    "q64_theta_join": _Q64_SQL,
+    "q66_frequent_tokens": _Q66_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,
