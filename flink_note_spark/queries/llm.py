@@ -632,6 +632,50 @@ ORDER BY n_name, r_name
 """
 
 
+def q65_clean_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-hygiene cleaning through the driver gate. The fixture text
+    is already clean (no URLs/emails/control chars/whitespace runs), so
+    both sides first append a deterministic dirty suffix — URL with
+    query string, dotted-local email at a hyphenated domain, a tab, a
+    double space — and the oracle replays the same regexp_replace chain
+    (control strip → URL → email → whitespace collapse) in DuckDB's RE2
+    dialect. Hash-match proves the two dialects agree on the chain, not
+    just that cleaning is idempotent on clean text."""
+    from flink_note_spark.operators.text import clean_text
+
+    d = _t(spark, sf, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Visit https://ex.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?a=1 or mail a.b"),
+            F.col("doc_id").cast("string"),
+            F.lit("@c-d.de"),
+            F.lit("\t"),
+            F.lit("end  here"),
+        ).alias("text"),
+    )
+    return clean_text(dirty, "text", out_col="cleaned").select("doc_id", "cleaned")
+
+
+_Q65_SQL = r"""
+SELECT doc_id,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          text || ' Visit https://ex.com/' || doc_id || '?a=1 or mail a.b'
+               || doc_id || '@c-d.de' || chr(9) || 'end  here',
+          '[[:cntrl:]]', ' ', 'g'),
+        '(?i)\bhttps?://\S+', '<url>', 'g'),
+      '(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b', '<email>', 'g'),
+    '\s+', ' ', 'g')) AS cleaned
+FROM documents
+"""
+
+
 def q66_frequent_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Heavy-hitter token discovery (the boilerplate pass feeding
     max_df-style caps): exact corpus-wide counts, whitespace-run
@@ -667,6 +711,7 @@ QUERIES = {
     "q62_connected_components": q62_connected_components,
     "q63_cogroup_counts": q63_cogroup_counts,
     "q64_theta_join": q64_theta_join,
+    "q65_clean_text": q65_clean_text,
     "q66_frequent_tokens": q66_frequent_tokens,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
@@ -693,6 +738,7 @@ ORACLES = {
     "q62_connected_components": _Q62_SQL,
     "q63_cogroup_counts": _Q63_SQL,
     "q64_theta_join": _Q64_SQL,
+    "q65_clean_text": _Q65_SQL,
     "q66_frequent_tokens": _Q66_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
