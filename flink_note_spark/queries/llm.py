@@ -697,6 +697,58 @@ LIMIT 20
 """
 
 
+def q67_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew salting through the driver gate: the salted inner join must
+    be RESULT-IDENTICAL to the plain join (every left row meets every
+    matching right row exactly once, salt spread notwithstanding), so
+    the oracle is simply the unsalted join — run here over a key
+    deliberately collapsed onto a hot value to exercise the spread."""
+    from flink_note_spark.operators.scale import salted_join
+
+    # 2% of keys collapse onto one hot value; the aggregate is an
+    # integer-valued sum (quantities are whole numbers) so it is EXACT
+    # in both engines regardless of summation order — a float product
+    # sum over the hot key's join blowup cannot hash-match to any
+    # rounding (summation-order error grows with match count).
+    li = _t(spark, sf, "lineitem").select(
+        F.when(F.pmod("l_orderkey", F.lit(50)) == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    o = _t(spark, sf, "orders").select(
+        F.when(F.pmod("o_orderkey", F.lit(50)) == 0, F.lit(0))
+        .otherwise(F.col("o_orderkey"))
+        .alias("k"),
+    )
+    return (
+        salted_join(li, o, on="k", salt_buckets=8)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("l_quantity").cast("long").alias("qty_sum"),
+        )
+        .orderBy("k")
+    )
+
+
+_Q67_SQL = """
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 50 = 0 THEN 0 ELSE l_orderkey END AS k,
+         l_quantity
+  FROM lineitem
+), o AS (
+  SELECT CASE WHEN o_orderkey % 50 = 0 THEN 0 ELSE o_orderkey END AS k
+  FROM orders
+)
+SELECT li.k AS k,
+       CAST(count(*) AS BIGINT)        AS n_matches,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+FROM li JOIN o ON li.k = o.k
+GROUP BY li.k ORDER BY li.k
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -713,6 +765,7 @@ QUERIES = {
     "q64_theta_join": q64_theta_join,
     "q65_clean_text": q65_clean_text,
     "q66_frequent_tokens": q66_frequent_tokens,
+    "q67_salted_join": q67_salted_join,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q53_curation_pipeline": q53_curation_pipeline,
@@ -740,6 +793,7 @@ ORACLES = {
     "q64_theta_join": _Q64_SQL,
     "q65_clean_text": _Q65_SQL,
     "q66_frequent_tokens": _Q66_SQL,
+    "q67_salted_join": _Q67_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,
