@@ -243,9 +243,15 @@ def jaccard_pairs(
     fan-out per shingle.
     """
     # Shingles feed three plan branches (sizes + both self-join sides) —
-    # compute once so the shingler runs once, not three times.
+    # compute once so the shingler runs once, not three times. Lazy
+    # checkpoint: the first consuming stage materializes the blocks
+    # (with max_df set the raw hash rows are already eagerly
+    # materialized inside _shingle_rows — an eager checkpoint here
+    # would be a redundant extra job barrier).
     df = _one_row_per_id(df, id_col, text_col, ids_unique)
-    sh = _computed_once(_shingle_rows(df, id_col, text_col, n, max_df))
+    sh = _shingle_rows(df, id_col, text_col, n, max_df).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.alias("a")
@@ -349,10 +355,15 @@ def minhash_lsh_pairs(
     df = _one_row_per_id(df, id_col, text_col, ids_unique)
     # One shingle scan for the whole operator: signatures, doc sizes and
     # the verification join all read this materialized frame (previously
-    # the explode+distinct ran twice — ~2× of q31's wall time).
+    # the explode+distinct ran twice — ~2× of q31's wall time). LAZY
+    # checkpoint (r5): with max_df set, _shingle_rows has already
+    # materialized the raw hash rows eagerly, so these anti-joined rows
+    # persist as a side effect of the band-rows materialization job
+    # that first reads them — an eager checkpoint here was a third
+    # sequential job barrier for the same blocks.
     sh = _shingle_rows(df, id_col, text_col, n, max_df)
     if verify:
-        sh = _computed_once(sh)
+        sh = sh.localCheckpoint(eager=False)
     sig = minhash_signatures(
         df, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
     )
