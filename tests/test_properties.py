@@ -172,3 +172,117 @@ def test_sessionize_partitions_events(spark, offsets):
     assert sum(r["count"] for r in per) == len(offsets)
     ids = sorted(r.session_id for r in per)
     assert ids == list(range(1, len(ids) + 1))
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-10, max_value=10,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_srp_kernel_matches_numpy_reference(spark, vecs):
+    """The distributed SRP bucket kernel must equal an independent pure-
+    numpy reimplementation (same LCG hyperplanes, sign-bit packing at
+    2^b) for ANY vector set — differential beyond the fixture corpus."""
+    import numpy as np
+
+    from flink_note_spark.operators.similarity import (
+        _srp_bucket_rows,
+        _srp_planes,
+    )
+
+    dim, n_bits, n_tables, seed = 4, 3, 2, 7
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (int(r.vid), int(r.table_id)): int(r.bucket_key)
+        for r in _srp_bucket_rows(
+            df, "vec_id", "embedding", dim, n_bits, n_tables, seed, id_out="vid"
+        ).collect()
+    }
+
+    planes = _srp_planes(dim, n_bits, n_tables, seed)  # (T*B, dim)
+    m = np.array(vecs, dtype=np.float32).astype(np.float64)
+    bits = (m @ planes.T) >= 0
+    keys = bits.reshape(len(vecs), n_tables, n_bits).astype(np.int64) @ (
+        1 << np.arange(n_bits, dtype=np.int64)
+    )
+    want = {
+        (i, t): int(keys[i, t])
+        for i in range(len(vecs))
+        for t in range(n_tables)
+    }
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=3000), min_size=0, max_size=40),
+    budget=st.integers(min_value=100, max_value=2500),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_invariants_hold_for_any_input(spark, toks, budget):
+    """For ANY token distribution and budget: every doc lands in exactly
+    one bin, non-oversize bins respect the budget, and oversize flags
+    appear exactly on docs with tokens > budget (solo bins)."""
+    from flink_note_spark.operators.packing import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, n_tokens int")
+        if rows
+        else spark.createDataFrame([], "doc_id long, n_tokens int")
+    )
+    out = pack_sequences(df, budget=budget).collect()
+    assert sorted(r.doc_id for r in out) == sorted(i for i, _ in rows)
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+        assert r.oversize == (r.n_tokens > budget)
+    for rows_in_bin in by_bin.values():
+        if any(r.oversize for r in rows_in_bin):
+            assert len(rows_in_bin) == 1
+        else:
+            assert sum(r.n_tokens for r in rows_in_bin) <= budget
+
+
+@given(
+    records=st.lists(
+        st.tuples(
+            st.text(min_size=0, max_size=8),
+            st.text(min_size=0, max_size=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_topic_round_trip_any_strings(spark, records, tmp_path_factory):
+    """Producer→consumer round trip must survive ANY string payload —
+    newlines, tabs, quotes, unicode — because records are JSON-encoded
+    one per line (the newline-framed log format never sees raw payload
+    newlines)."""
+    from flink_note_spark.sources.custom import (
+        register_custom_sources,
+        topic_produce,
+    )
+
+    register_custom_sources(spark)
+    topic = str(tmp_path_factory.mktemp("topics") / "t")
+    df = spark.createDataFrame(records, "key string, value string")
+    topic_produce(df, topic, n_partitions=2)
+    back = (
+        spark.read.format("flink_note_topic")
+        .option("path", topic)
+        .load()
+        .collect()
+    )
+    assert sorted((r.key, r.value) for r in back) == sorted(records)
