@@ -128,7 +128,7 @@ class ExecutionEnvironment:
         self,
         df: DataFrame,
         path: str,
-        n_partitions: int = 4,
+        n_partitions: int | None = None,
         key_col: str = "key",
         value_col: str = "value",
         checkpoint: str | None = None,

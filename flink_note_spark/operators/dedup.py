@@ -96,8 +96,15 @@ def exact_dedup_rows(
     an id semi-join when rows are wide and duplication is rare — this
     operator is the right shape when the output IS the surviving corpus
     (the curation-pipeline case, ``pipelines/curate.py``).
-    Deterministic: same input set → same output set, independent of
-    partitioning (ties broken by id).
+
+    NULL ``text_col`` rows are absent content, not duplicate content:
+    they all pass through untouched (``sha2(NULL)`` is NULL, which
+    would otherwise gather every NULL-text row into one window
+    partition and drop all but one). Deterministic — same input set →
+    same output set, independent of partitioning — PROVIDED ids are
+    unique; with repeated ids the id tie-break is vacuous and which
+    duplicate-id row survives is shuffle-order-dependent (run
+    ``dropDuplicates([id_col])`` or :func:`exact_dedup` first).
     """
     from pyspark.sql import Window
 
@@ -107,7 +114,7 @@ def exact_dedup_rows(
     keep = Window.partitionBy(F.sha2(txt, 256)).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(keep))
-        .filter(F.col("__rn") == 1)
+        .filter((F.col("__rn") == 1) | F.col(text_col).isNull())
         .drop("__rn")
     )
 
@@ -573,6 +580,14 @@ def simhash_pairs_from_fingerprints(
     (id, 64-bit fingerprint) frame — exposed separately so flood-cap
     semantics are testable against constructed fingerprints, and so a
     precomputed/persisted fingerprint table can be re-paired cheaply.
+
+    EAGERNESS NOTE: unlike the package's other operators this function
+    runs bounded Spark jobs AT CONSTRUCTION (the lazy-checkpoint
+    materialization + the hot-bucket probe below) — the returned frame
+    reads a snapshot of the input taken now, and the plan shape is
+    data-dependent (runtime adaptivity, same trade AQE makes). Callers
+    wanting a fully lazy pipeline should not construct it until they
+    mean to run it.
 
     Flood handling (r5, ADVICE r4 #1): each doc carries a bitmask of
     its SURVIVING (non-flood-capped) chunks, built from ``chunks``

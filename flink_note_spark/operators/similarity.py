@@ -615,7 +615,7 @@ def ivf_build(
 
 
 def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
-             path: str | None = None, mode: str = "overwrite") -> None:
+             path: str | None = None) -> None:
     """Persist a built IVF index across sessions: the cell-assigned
     corpus goes to a table BUCKETED on ``cell_id``
     (``operators/scale.write_bucketed``) and the centroid matrix to a
@@ -623,6 +623,11 @@ def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
     the 100 TB move: the corpus is hash-laid-out by cell ONCE at write
     time, so every future session's query joins read co-located buckets
     instead of re-assigning (Python pass) and re-shuffling the corpus.
+
+    ``path`` keeps BOTH tables external (corpus at ``path``, centroids
+    at ``path + "__centroids"``) so the index travels as one unit.
+    Always overwrites: appending would accumulate duplicate ``cell_id``
+    centroid rows that load silently last-wins.
     """
     from flink_note_spark.operators.scale import write_bucketed
 
@@ -630,16 +635,18 @@ def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
         raise ValueError("ivf_save: empty index (corpus had no rows)")
     spark = index.assigned.sparkSession
     write_bucketed(
-        index.assigned, table, buckets, ["cell_id"], path=path, mode=mode
+        index.assigned, table, buckets, ["cell_id"], path=path,
+        mode="overwrite",
     )
     cent_rows = [
         (i, [float(x) for x in row]) for i, row in enumerate(index.centroids)
     ]
-    (
-        spark.createDataFrame(cent_rows, "cell_id int, centroid array<double>")
-        .write.mode(mode)
-        .saveAsTable(f"{table}__centroids")
-    )
+    writer = spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>"
+    ).write.mode("overwrite")
+    if path:
+        writer = writer.option("path", f"{path}__centroids")
+    writer.saveAsTable(f"{table}__centroids")
 
 
 def ivf_load(spark, table: str) -> IvfIndex:

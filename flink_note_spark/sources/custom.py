@@ -499,7 +499,7 @@ class _TopicStreamReader(DataSourceStreamReader):
 def topic_produce(
     df,
     path: str,
-    n_partitions: int = 4,
+    n_partitions: int | None = None,
     key_col: str = "key",
     value_col: str = "value",
 ) -> None:
@@ -525,13 +525,29 @@ def topic_produce(
 
     Partition files are pre-created so the topic's partition count is
     fixed at first produce and every consumer sees all partitions even
-    before each has data.
+    before each has data. An EXISTING topic's file count is
+    authoritative: ``n_partitions=None`` (default) adopts it (4 for a
+    new topic), and an explicit mismatching value raises — re-keying
+    ``pmod(hash, n)`` with a different ``n`` would silently split a
+    key across partitions and break the keyed-ordering contract above.
     """
     import os
 
     from pyspark.sql import functions as F
 
     os.makedirs(path, exist_ok=True)
+    existing = len(_topic_files(path))
+    if existing:
+        if n_partitions is not None and n_partitions != existing:
+            raise ValueError(
+                f"topic_produce: topic at {path!r} has {existing} "
+                f"partitions; producing with n_partitions={n_partitions} "
+                "would re-key records across partitions and break keyed "
+                "ordering — omit n_partitions to adopt the existing count"
+            )
+        n_partitions = existing
+    elif n_partitions is None:
+        n_partitions = 4
     for p in range(n_partitions):
         fp = os.path.join(path, f"part-{p}.jsonl")
         if not os.path.exists(fp):

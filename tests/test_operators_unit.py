@@ -439,3 +439,17 @@ def test_exact_dedup_rows_keeps_smallest_id_full_row(spark):
         for r in exact_dedup_rows(df.repartition(5)).collect()
     }
     assert rows2 == rows
+
+
+def test_exact_dedup_rows_null_text_rows_all_pass_through(spark):
+    """NULL text is absent content, not duplicate content: every
+    NULL-text row survives (sha2(NULL) is NULL and would otherwise
+    gather them into one window partition and drop all but one)."""
+    from flink_note_spark.operators.dedup import exact_dedup_rows
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "x", "c"), (4, "x", "d")],
+        "doc_id long, text string, payload string",
+    )
+    rows = {(r.doc_id, r.payload) for r in exact_dedup_rows(df).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}

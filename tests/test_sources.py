@@ -351,10 +351,18 @@ def test_topic_produce_consume_round_trip(spark, tmp_path):
     batch2 = [("k0", "v100"), ("k1", "v101")]
     topic_produce(
         spark.createDataFrame(batch2, "key string, value string"),
-        topic, n_partitions=4,
+        topic,  # partition count adopted from the existing topic
     )
     rows2 = read_all()
     assert sorted((r.key, r.value) for r in rows2) == sorted(batch1 + batch2)
+
+    # re-keying an existing topic with a different partition count would
+    # split keys across partitions — refused explicitly
+    with pytest.raises(ValueError, match="4 partitions"):
+        topic_produce(
+            spark.createDataFrame(batch2, "key string, value string"),
+            topic, n_partitions=8,
+        )
 
 
 def test_file_topic_stream_tails_incrementally(spark, tmp_path):
