@@ -657,6 +657,11 @@ def ivf_load(spark, table: str) -> IvfIndex:
     import numpy as np
 
     rows = spark.table(f"{table}__centroids").collect()
+    if not rows:
+        raise ValueError(
+            f"ivf_load: centroid table {table}__centroids is empty — "
+            "not an ivf_save output (or the save was interrupted)"
+        )
     cents = np.empty((len(rows), len(rows[0]["centroid"])), dtype=np.float64)
     for r in rows:
         cents[r["cell_id"]] = r["centroid"]
