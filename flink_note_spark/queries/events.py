@@ -297,6 +297,91 @@ ORDER BY tag
 """
 
 
+def q68_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP strict contiguity (Flink ``Pattern.begin().next().next()
+    .within()``, SURVEY.md §2.2 CEP): view→click→purchase as ADJACENT
+    events per user within 7 days — one lead() window pass, one shuffle
+    on the key. ``event_id`` breaks equal-timestamp ties for a total
+    order (determinism doctrine)."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    return (
+        match_pattern(
+            e,
+            ["view", "click", "purchase"],
+            within="7 days",
+            contiguity="strict",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_3").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q68_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type,1) OVER w AS t1, lead(event_type,2) OVER w AS t2,
+         lead(ts,2) OVER w AS ts2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS start_ts, ts2 AS end_ts
+FROM e
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 <= ts + INTERVAL 7 DAY
+ORDER BY user_id, start_ts
+"""
+
+
+def q69_event_pattern_relaxed(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP relaxed contiguity (Flink ``followedBy`` under
+    skip-till-next-match): for each 'view', the earliest later 'click',
+    then the earliest 'purchase' after that, within 7 days — rendered as
+    union + running-min window passes (no correlated per-row subquery,
+    no join explosion; the oracle uses DuckDB's correlated form as an
+    independent formulation)."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    return (
+        match_pattern(
+            e,
+            ["view", "click", "purchase"],
+            within="7 days",
+            contiguity="relaxed",
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("click_ts"),
+            F.col("ts_3").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q69_SQL = """
+WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+b AS (SELECT a.user_id, a.ts AS t0,
+        (SELECT min(e.ts) FROM events e
+         WHERE e.user_id = a.user_id AND e.event_type = 'click'
+           AND e.ts > a.ts) AS t1
+      FROM a),
+c AS (SELECT user_id, t0, t1,
+        (SELECT min(e.ts) FROM events e
+         WHERE e.user_id = b.user_id AND e.event_type = 'purchase'
+           AND e.ts > b.t1) AS t2
+      FROM b WHERE t1 IS NOT NULL)
+SELECT user_id, t0 AS start_ts, t1 AS click_ts, t2 AS end_ts
+FROM c WHERE t2 IS NOT NULL AND t2 <= t0 + INTERVAL 7 DAY
+ORDER BY user_id, start_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -306,6 +391,8 @@ QUERIES = {
     "q26_dedup_first_event": q26_dedup_first_event,
     "q27_asof_join": q27_asof_join,
     "q28_event_funnel": q28_event_funnel,
+    "q68_event_pattern": q68_event_pattern,
+    "q69_event_pattern_relaxed": q69_event_pattern_relaxed,
 }
 
 ORACLES = {
@@ -317,4 +404,6 @@ ORACLES = {
     "q26_dedup_first_event": _Q26_SQL,
     "q27_asof_join": _Q27_SQL,
     "q28_event_funnel": _Q28_SQL,
+    "q68_event_pattern": _Q68_SQL,
+    "q69_event_pattern_relaxed": _Q69_SQL,
 }
