@@ -287,6 +287,51 @@ def jaccard_pairs(
     return out
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    ids_unique: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing at least
+    one word ``n``-gram with the benchmark/eval set — the standard
+    train-set hygiene pass of LLM data pipelines (13-gram overlap in
+    the GPT-3/PaLM writeups; ``n`` is a knob because the right value is
+    tokenizer- and corpus-dependent).
+
+    Plan shape (the 100 TB posture): both sides shingle in the scan
+    stage via the shared vectorized kernel (:func:`_shingle_rows`,
+    64-bit hashed n-grams — the join key is an 8-byte long, never a
+    string), the benchmark side collapses to DISTINCT shingles (small
+    by nature: eval sets are orders of magnitude smaller than the
+    corpus), contaminated ids are found with a shingle equi-SEMI-join
+    (no fan-out: the semi-join short-circuits per shingle) and removed
+    with an id ANTI-join. No cross join, no Python in the join path,
+    and AQE broadcasts the benchmark shingle set when its measured size
+    allows — on a 1000-executor cluster the corpus never shuffles: both
+    joins stream map-side against the broadcast benchmark.
+
+    Returns the surviving ``docs`` rows (schema unchanged).
+    """
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    docs1 = _one_row_per_id(docs, id_col, text_col, ids_unique)
+    bench_sh = (
+        _shingle_rows(benchmark.select(bid, btx), bid, btx, n, None)
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = _shingle_rows(docs1, id_col, text_col, n, None)
+    contaminated = (
+        doc_sh.join(bench_sh, "shingle", "left_semi").select(id_col).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -8,7 +8,7 @@ stage as the parquet read (filter/projection pushdown applies).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_note_spark.functions.scalar import words
@@ -132,6 +132,167 @@ def clean_text(
     if collapse_whitespace:
         t = F.trim(F.regexp_replace(t, "\\s+", " "))
     return df.withColumn(out_col, t)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    ``tf · ln((N+1)/(df+1))`` with whitespace-run tokenization (empty
+    tokens dropped, same contract as :func:`frequent_tokens`).
+
+    Three map-side-combinable aggregations and one token-keyed join —
+    all shuffles carry (doc, token) / (token) rows bounded by the
+    corpus's distinct-token structure, never raw text. The corpus size
+    ``N`` rides in on a one-row cross join (broadcast by AQE), not a
+    driver constant, so the plan stays a single lazy DAG. Ties break on
+    token order; ``rank`` makes the output deterministic.
+
+    Output: id_col, token, tf (long), tfidf (rounded 4), rank.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("__n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        score.desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(n)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(score, 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+#: PII patterns — RE2-compatible (no lookaround/backrefs) so the same
+#: pattern runs verbatim in Spark (Java regex) and the DuckDB oracle.
+#: Order of redaction is fixed: URL first (may embed digits/@), then
+#: email, phone, IPv4.
+PII_PATTERNS = {
+    "url": r"(?i)\bhttps?://\S+",
+    "email": r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    redact: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Detect (and optionally redact) PII spans: URLs, emails,
+    NNN-NNN-NNNN phone numbers, dotted-quad IPs.
+
+    Adds ``n_<kind>`` counts per row and, with ``redact=True``, a
+    redacted text column where each span becomes a stable ``<kind>``
+    placeholder token (placeholders, not deletion — the
+    :func:`clean_text` doctrine: token counts and shingles must stay
+    aligned with document structure). Counts are taken BEFORE any
+    redaction so overlapping kinds (an email inside a URL query string)
+    are counted as written.
+
+    Everything is a codegen ``regexp_count`` / ``regexp_replace``
+    chain fused into the scan stage — scanning 100 TB for PII costs one
+    pass over the text column, no shuffle, no Python.
+    """
+    out_col = out_col or text_col
+    t = F.col(text_col)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(t, F.lit(pat)))
+    if redact:
+        red = t
+        for kind, pat in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, f"<{kind}>")
+        out = out.withColumn(out_col, red)
+    return out
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher/RefinedWeb-style
+    repetitious-text filters, word-level so they work on corpora
+    without line structure):
+
+    - ``n_words`` / ``n_distinct_words`` and ``dup_word_ratio`` =
+      ``1 - distinct/total`` — how much of the document is repeated
+      vocabulary;
+    - ``top_word_frac`` — occurrence share of the single most frequent
+      word (a high value ⇒ degenerate repetition);
+    - ``top_bigram_frac`` — share of word bigrams taken by the most
+      frequent bigram (catches looping phrases single-word stats miss).
+
+    Tokenization: whitespace runs, empty tokens dropped. Plan shape:
+    one explode feeding two map-side-combinable aggregations keyed on
+    the document id (bigrams come from a ``lead`` over the in-document
+    position — the same key, so the window sort and both groupBys share
+    one partitioning). Shuffles carry (doc, word) count rows, never
+    the text. Ratios round to 6.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\\s+")).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = (
+        tok.withColumn("__next", F.lead("word").over(w))
+        .filter(F.col("__next").isNotNull())
+        .withColumn("bigram", F.concat_ws(" ", F.col("word"), F.col("__next")))
+    )
+
+    word_counts = tok.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    word_stats = word_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("__top_word"),
+    )
+    bi_stats = (
+        bi.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("__n_bi"), F.max("c").alias("__top_bi"))
+    )
+    return (
+        word_stats.join(bi_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                1 - F.col("n_distinct_words") / F.col("n_words"), 6
+            ).alias("dup_word_ratio"),
+            F.round(F.col("__top_word") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(F.col("__top_bi") / F.col("__n_bi"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
 
 
 def frequent_tokens(

@@ -749,6 +749,179 @@ GROUP BY li.k ORDER BY li.k
 """
 
 
+def q70_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document characteristic terms by smoothed TF-IDF (top-3):
+    corpus df/N statistics via map-side-combinable aggs, token-keyed
+    join, windowed top-k with token tie-break."""
+    from flink_note_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", k=3).orderBy("doc_id", "rank")
+
+
+_Q70_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS s,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) DESC,
+                    tf.token ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       round(s, 4) AS tfidf, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def q71_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction through the driver gate. The fixture
+    text is clean, so both sides append the same deterministic dirty
+    suffix (URL with query string, doc-id-derived email, phone,
+    dotted-quad IP) and the oracle replays the identical
+    regexp_count/regexp_replace chain in DuckDB's RE2 dialect —
+    hash-match proves the two dialects agree on patterns AND
+    redaction order, not just that clean text scans to zero."""
+    from flink_note_spark.operators.text import pii_scan
+
+    d = _t(spark, sf, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" call 555-"),
+            F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-1234 from 10.0."),
+            F.pmod("doc_id", F.lit(256)).cast("string"),
+            F.lit(".7 mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org see https://x.io/p?q="),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return pii_scan(dirty, "text", redact=True, out_col="redacted").select(
+        "doc_id", "n_url", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+_Q71_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 mail u'
+              || CAST(doc_id AS VARCHAR) || '@ex.org see https://x.io/p?q='
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '(?i)\bhttps?://\S+')) AS INT) AS n_url,
+  CAST(len(regexp_extract_all(text, '(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '(?i)\bhttps?://\S+', '<url>', 'g'),
+        '(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b', '<email>', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '<phone>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ipv4>', 'g') AS redacted
+FROM dirty
+"""
+
+
+def q72_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    ratio, top-word share, top-bigram share — one explode, two
+    doc-keyed aggregations sharing a partitioning."""
+    from flink_note_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return repetition_stats(d, "text", "doc_id").orderBy("doc_id")
+
+
+_Q72_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, token AS word, pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\s+')) AS token,
+           generate_subscripts(regexp_split_to_array(text, '\s+'), 1) AS pos
+    FROM documents
+  ) WHERE token <> ''
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         max(c) AS top_word
+  FROM wc GROUP BY 1
+), bi AS (
+  SELECT doc_id, word || ' ' || lead(word) OVER (
+           PARTITION BY doc_id ORDER BY pos
+         ) AS bigram
+  FROM tok
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bi WHERE bigram IS NOT NULL
+  GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY 1
+)
+SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
+       round(1 - ws.n_distinct_words / CAST(ws.n_words AS DOUBLE), 6)
+         AS dup_word_ratio,
+       round(ws.top_word / CAST(ws.n_words AS DOUBLE), 6) AS top_word_frac,
+       round(bs.top_bi / CAST(bs.n_bi AS DOUBLE), 6) AS top_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+ORDER BY ws.doc_id
+"""
+
+
+def q73_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination through the driver gate: every 50th
+    document plays the eval set; any document sharing a word 5-gram
+    with it (the benchmark docs themselves, plus their near-duplicates
+    planted in the fixture) is dropped. Shingle semi-join + id
+    anti-join — the corpus-side plan is broadcast-joinable at scale."""
+    from flink_note_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.pmod("doc_id", F.lit(50)) == 0).select("doc_id", "text")
+    return (
+        decontaminate(d, bench, n=5)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_Q73_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i.i:i.i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) AS i(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -766,6 +939,10 @@ QUERIES = {
     "q65_clean_text": q65_clean_text,
     "q66_frequent_tokens": q66_frequent_tokens,
     "q67_salted_join": q67_salted_join,
+    "q70_tfidf_top_terms": q70_tfidf_top_terms,
+    "q71_pii_scan": q71_pii_scan,
+    "q72_repetition_stats": q72_repetition_stats,
+    "q73_decontaminate": q73_decontaminate,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q53_curation_pipeline": q53_curation_pipeline,
@@ -794,6 +971,10 @@ ORACLES = {
     "q65_clean_text": _Q65_SQL,
     "q66_frequent_tokens": _Q66_SQL,
     "q67_salted_join": _Q67_SQL,
+    "q70_tfidf_top_terms": _Q70_SQL,
+    "q71_pii_scan": _Q71_SQL,
+    "q72_repetition_stats": _Q72_SQL,
+    "q73_decontaminate": _Q73_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,

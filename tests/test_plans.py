@@ -118,3 +118,37 @@ def test_q57_ivf_query_no_cartesian_bounded_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert shuffle_count(df) <= 3, f"ivf query shuffles {shuffle_count(df)}×"
+
+
+def test_q73_decontaminate_semi_anti_no_cartesian(spark, sf_dir):
+    """Decontamination: benchmark shingles meet the corpus in a shingle
+    SEMI-join and ids leave via an ANTI-join — never a cross join, and
+    the only Python stages are the two shingle kernels (one per side)."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q73_decontaminate"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert plan.count("MapInPandas") == 2, plan
+
+
+def test_q70_tfidf_no_text_past_explode(spark, sf_dir):
+    """TF-IDF: the scan reads only (doc_id, text); every shuffle carries
+    (doc, token) aggregates, so the raw text column must not survive any
+    Exchange (no full-text shuffle at 100 TB)."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q70_tfidf_top_terms"](spark, sf_dir)
+    cols = scan_columns(df)
+    assert "lang" not in cols and "source" not in cols, cols
+    plan = explain_str(df, "formatted")
+    # hashpartitioning arguments never mention the text column
+    assert "hashpartitioning(text" not in plan
+
+
+def test_q68_cep_strict_single_shuffle(spark, sf_dir):
+    """Strict-contiguity CEP is one window pass: exactly one exchange on
+    the key (plus the driver-facing orderBy's range exchange)."""
+    df = QUERIES["q68_event_pattern"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, f"cep strict shuffles {shuffle_count(df)}×"

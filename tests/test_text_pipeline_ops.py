@@ -1,0 +1,140 @@
+"""Unit tests for the round-5 text-pipeline operators: TF-IDF top
+terms, PII scan/redaction, repetition stats, benchmark decontamination.
+(Fixture-scale oracle parity runs in test_oracle_parity via q70–q73;
+these tests pin the operator semantics on crafted corners.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.dedup import decontaminate
+from flink_note_spark.operators.text import (
+    pii_scan,
+    repetition_stats,
+    tfidf_top_terms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_unique_term_wins(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat zyzzyva"),
+            (2, "the cat sat"),
+            (3, "the dog ran"),
+        ],
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 1's corpus-unique word dominates its common ones
+    assert by_doc[1]["token"] == "zyzzyva"
+    # score check: tf=1, N=3, df=1 → ln(4/2)
+    assert by_doc[1]["tfidf"] == round(math.log(2.0), 4)
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_tfidf_tie_breaks_on_token(spark):
+    df = _docs(spark, [(1, "b a"), (2, "x y")])
+    out = tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 1).collect()
+    # equal tf and df for both tokens → alphabetical order
+    assert [r["token"] for r in sorted(out, key=lambda r: r["rank"])] == ["a", "b"]
+
+
+def test_pii_counts_and_redaction(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a.b@ex.org or c@d.io, call 555-123-4567, "
+                "host 10.0.0.1 and https://x.io/p?u=e@f.gg end",
+            ),
+            (2, "clean text only"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df, "text", out_col="red").collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (3, 1, 1)
+    assert r1["n_url"] == 1
+    red = r1["red"]
+    assert "<email>" in red and "<phone>" in red and "<ipv4>" in red
+    assert "<url>" in red
+    # URL redacts FIRST, so the embedded e@f.gg vanished inside <url>
+    assert "e@f.gg" not in red and "a.b@ex.org" not in red
+    assert "555-123-4567" not in red and "10.0.0.1" not in red
+    r2 = out[2]
+    assert (r2["n_url"], r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
+    assert r2["red"] == "clean text only"
+
+
+def test_pii_no_redact_keeps_text(spark):
+    df = _docs(spark, [(1, "mail a@b.cc now")])
+    r = pii_scan(df, "text", redact=False).collect()[0]
+    assert r["n_email"] == 1 and r["text"] == "mail a@b.cc now"
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "x y z"), (3, "solo")])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_distinct_words"]) == (4, 2)
+    assert r1["dup_word_ratio"] == 0.5
+    assert r1["top_word_frac"] == 0.75
+    # bigrams: "a a" ×2, "a b" ×1 → 2/3
+    assert r1["top_bigram_frac"] == round(2 / 3, 6)
+    r2 = out[2]
+    # "x y z": bigrams "x y","y z" → max 1 of 2
+    assert r2["dup_word_ratio"] == 0.0 and r2["top_bigram_frac"] == 0.5
+    # single-word doc: no bigrams → NULL share, not a crash
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["top_bigram_frac"] is None
+
+
+def test_decontaminate_drops_overlap(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),       # shares 3-gram w/ bench
+            (2, "one two three four five"),              # clean
+            (3, "beta gamma delta unrelated tail"),      # shares 3-gram
+            (4, "al be"),                                # shorter than n → safe
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma yy"), (101, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()
+    )
+    assert kept == [2, 4]
+
+
+def test_decontaminate_custom_bench_columns(spark):
+    docs = _docs(spark, [(1, "p q r s"), (2, "t u v w")])
+    bench = spark.createDataFrame(
+        [("b1", "zz p q r zz")], "bid string, btext string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, n=3, bench_id_col="bid", bench_text_col="btext"
+        ).collect()
+    )
+    assert kept == [2]
+
+
+def test_decontaminate_keeps_schema(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en")], "doc_id long, text string, lang string"
+    )
+    bench = _docs(spark, [(9, "nothing shared here at all")])
+    out = decontaminate(docs, bench, n=3)
+    assert out.columns == ["doc_id", "text", "lang"]
+    assert out.count() == 1
