@@ -206,12 +206,7 @@ def stateful_sessionize(
     its lifetime, so this survives unbounded streams.
     """
     if gap_ms is None:
-        qty, unit = gap.split()
-        gap_ms = int(qty) * {
-            "second": 1_000, "seconds": 1_000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-        }[unit]
+        gap_ms = _parse_duration_ms(gap)
     key_type = dict(stream.dtypes)[key]
     return (
         stream.withWatermark(ts_col, watermark)
@@ -220,6 +215,152 @@ def stateful_sessionize(
             _make_session_fn(gap_ms, key, ts_col),
             outputStructType=_session_schema(key, key_type),
             stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_duration_ms(text: str) -> int:
+    qty, unit = text.split()
+    return int(qty) * {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+
+
+def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
+                 type_col: str, within_us: int | None, k: int):
+    """Per-key incremental strict-contiguity matcher (the Flink-CEP NFA
+    rendered as a sorted event buffer + event-time finality):
+
+    A strict match is final exactly when its LAST element's time is at
+    or below the watermark: any not-yet-arrived event is younger than
+    the watermark, so it cannot land between (or after) the match's
+    elements and break adjacency. Each invocation merges the batch into
+    the key's sorted buffer, emits every final match, then evicts the
+    finalized region KEEPING the trailing ``k-1`` events — they may
+    still be the prefix of a match completed by future (younger) data,
+    while a full match among kept events alone is impossible, which is
+    what makes emission exactly-once without bookkeeping. State per key
+    is O(events within one watermark delay + k), watermark-bounded.
+    """
+    cols = [key_name] + [f"ts_{i}" for i in range(1, k + 1)]
+
+    def _find_and_trim(ts_buf: list[int], tp_buf: list[str], wm_us: int):
+        rows = []
+        for j in range(len(ts_buf) - k + 1):
+            if ts_buf[j + k - 1] > wm_us:
+                break  # sorted: later windows end even younger
+            if all(tp_buf[j + d] == pattern[d] for d in range(k)):
+                if within_us is None or ts_buf[j + k - 1] - ts_buf[j] <= within_us:
+                    rows.append([ts_buf[j + d] for d in range(k)])
+        # evict the finalized (≤ wm) region, keep its trailing k-1 events
+        n_final = 0
+        while n_final < len(ts_buf) and ts_buf[n_final] <= wm_us:
+            n_final += 1
+        cut = max(0, n_final - (k - 1))
+        return rows, ts_buf[cut:], tp_buf[cut:]
+
+    def _cep_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        if state.hasTimedOut:
+            ts_buf, tp_buf = state.get
+            ts_buf, tp_buf = list(ts_buf), list(tp_buf)
+            rows, ts_buf, tp_buf = _find_and_trim(ts_buf, tp_buf, wm_us)
+            if rows:
+                yield pd.DataFrame(
+                    [[key_val, *r] for r in rows], columns=cols
+                )
+            if ts_buf:
+                # no timer re-arm: everything ≤ the watermark was just
+                # finalized; the kept k-1 tail can only complete with
+                # NEW events, whose batch re-arms the timer.
+                state.update((ts_buf, tp_buf))
+            else:
+                state.remove()
+            return
+
+        ts_buf, tp_buf = ([], [])
+        if state.exists:
+            prev_ts, prev_tp = state.get
+            ts_buf, tp_buf = list(prev_ts), list(prev_tp)
+        new = []
+        for pdf in pdfs:
+            # datetime64[ns] → epoch MICROseconds (sessionize convention)
+            for t, y in zip(
+                (pdf[ts_col].astype("int64") // 1_000).tolist(),
+                pdf[type_col].tolist(),
+            ):
+                new.append((t, y))
+        merged = sorted(
+            list(zip(ts_buf, tp_buf)) + new
+        )  # (ts, type): type is the equal-ts tiebreak, same as the
+        #    batch twin called with tiebreak=[type_col]
+        ts_buf = [t for t, _ in merged]
+        tp_buf = [y for _, y in merged]
+
+        rows, ts_buf, tp_buf = _find_and_trim(ts_buf, tp_buf, wm_us)
+        if rows:
+            yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
+        if ts_buf:
+            state.update((ts_buf, tp_buf))
+            # fire once the watermark passes the youngest buffered event
+            state.setTimeoutTimestamp(
+                max(ts_buf[-1] // 1_000 + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+
+    return _cep_fn
+
+
+def match_pattern_stream(
+    stream: DataFrame,
+    pattern: list[str],
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming strict-contiguity CEP (Flink ``CEP.pattern(stream,
+    Pattern.begin().next()...)``): incremental, exactly-once match
+    emission driven by event-time finality — the streaming twin of
+    ``operators/cep.match_pattern(contiguity='strict')``, equality-
+    tested against it in tests/test_streaming.py.
+
+    Emits one row per match, ``(key, ts_1 .. ts_k)`` with step times in
+    epoch MICROseconds (the ``stateful_sessionize`` output convention),
+    once the watermark passes the match's last event. Equal-timestamp
+    events order by event type (use unique timestamps per key for a
+    total order). State per key is bounded by the watermark delay plus
+    ``k-1`` events; late events beyond the watermark are dropped by the
+    engine before they reach the operator.
+    """
+    k = len(pattern)
+    if k < 1:
+        raise ValueError("pattern must name at least one event type")
+    key_type = dict(stream.dtypes)[key_col]
+    within_us = None if within is None else _parse_duration_ms(within) * 1_000
+    out_schema = f"{key_col} {key_type}, " + ", ".join(
+        f"ts_{i} long" for i in range(1, k + 1)
+    )
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _make_cep_fn(pattern, key_col, time_col, type_col, within_us, k),
+            outputStructType=out_schema,
+            stateStructType="ts array<long>, tp array<string>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -948,3 +948,109 @@ def test_side_outputs_null_predicate_rows_reach_main(spark):
     outs = side_outputs(df, {"big": F.col("value") > 50})
     assert sorted(r.user_id for r in outs["big"].collect()) == [2]
     assert sorted(r.user_id for r in outs["main"].collect()) == [1]
+
+
+# --- streaming CEP (strict contiguity) ----------------------------------
+
+
+def test_cep_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """Strict-contiguity pattern matches emit exactly once, across
+    micro-batch boundaries, equal to the batch operator on the same
+    bounded input; a too-slow sequence is excluded by within()."""
+    from flink_note_spark.operators.cep import match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    # key 1: A(0) B(2) in batch 1, C(4) in batch 2  → one cross-batch match
+    # key 2: A(0) X(2) B(4) C(6)                    → noise breaks adjacency
+    # key 3: A(0) B(30) C(31)                       → breaches within=20min
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(2), "B", 1.0),
+        (2, 3, _ts(0), "A", 1.0),
+        (2, 4, _ts(2), "X", 1.0),
+        (3, 5, _ts(0), "A", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 6, _ts(4), "C", 1.0),
+        (2, 7, _ts(4), "B", 1.0),
+        (2, 8, _ts(6), "C", 1.0),
+        (3, 9, _ts(30), "B", 1.0),
+        (3, 10, _ts(31), "C", 1.0),
+    ])
+    # sentinel pushes the watermark past every buffered event + timer
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 11, _ts(120), "Z", 1.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(
+        stream, ["A", "B", "C"], within="20 minutes", watermark="5 minutes"
+    )
+    _run_to_memory(out, "cep_stream_out", "update", tmp_path)
+    got = spark.sql("SELECT * FROM cep_stream_out").toPandas()
+
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
+        ["A", "B", "C"],
+        within="20 minutes",
+        contiguity="strict",
+        tiebreak=["event_type"],
+    ).toPandas()
+
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    got_rows = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]), int(r["ts_3"]))
+        for _, r in got.iterrows()
+    )
+    batch_rows = sorted(
+        (
+            int(r["user_id"]),
+            int(r["ts_1"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+            int(r["ts_2"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+            int(r["ts_3"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+        )
+        for _, r in batch.iterrows()
+    )
+    assert got_rows == batch_rows == [(1, us(0), us(2), us(4))]
+
+
+def test_cep_stream_no_reemission_on_overlap(spark, chunk_dir, tmp_path):
+    """Overlapping matches all emit, each exactly once, even when the
+    watermark finalizes them across several batches."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    # A B A B A B → strict A-B matches at (0,1) (4,5) (8,9)
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(1), "B", 1.0),
+        (1, 3, _ts(4), "A", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 4, _ts(5), "B", 1.0),
+        (1, 5, _ts(8), "A", 1.0),
+        (1, 6, _ts(9), "B", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 7, _ts(60), "Z", 1.0)])
+    _write_chunk(chunk_dir, "c4.parquet", [(99, 8, _ts(120), "Z", 1.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(stream, ["A", "B"], watermark="2 minutes")
+    _run_to_memory(out, "cep_overlap_out", "update", tmp_path)
+    got = spark.sql("SELECT * FROM cep_overlap_out").toPandas()
+
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    rows = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for _, r in got.iterrows()
+    )
+    assert rows == [
+        (1, us(0), us(1)),
+        (1, us(4), us(5)),
+        (1, us(8), us(9)),
+    ]
