@@ -73,6 +73,10 @@ HEADLINE = [
     "q42_rank_functions",
     "q43_approx_aggs",
     "q45_json_maps",
+    # New in round 5 — cross-round headline TOTALS are not comparable
+    # before/after this round (per-query deltas and --compare pairs are).
+    "q68_event_pattern",
+    "q73_decontaminate",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

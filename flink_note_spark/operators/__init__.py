@@ -12,6 +12,7 @@ from flink_note_spark.operators.components import (
     dedup_clusters,
 )
 from flink_note_spark.operators.cogroup import cogroup_apply
+from flink_note_spark.operators.cep import match_pattern
 from flink_note_spark.operators.joins import (
     asof_join,
     range_join,
@@ -19,6 +20,7 @@ from flink_note_spark.operators.joins import (
 )
 from flink_note_spark.operators.windows import sessionize, topk_per_group
 from flink_note_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     exact_dedup_rows,
     jaccard_pairs,
@@ -54,7 +56,10 @@ from flink_note_spark.operators.text import (
     doc_fingerprint,
     frequent_tokens,
     language_id,
+    pii_scan,
+    repetition_stats,
     text_quality,
+    tfidf_top_terms,
     token_stats,
 )
 
@@ -63,11 +68,13 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "cogroup_apply",
+    "match_pattern",
     "asof_join",
     "range_join",
     "theta_join",
     "sessionize",
     "topk_per_group",
+    "decontaminate",
     "exact_dedup",
     "exact_dedup_rows",
     "jaccard_pairs",
@@ -96,6 +103,9 @@ __all__ = [
     "doc_fingerprint",
     "frequent_tokens",
     "language_id",
+    "pii_scan",
+    "repetition_stats",
     "text_quality",
+    "tfidf_top_terms",
     "token_stats",
 ]

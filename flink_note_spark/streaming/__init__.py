@@ -15,6 +15,8 @@ from flink_note_spark.streaming.control import (
     stop_query,
 )
 from flink_note_spark.streaming.ops import (
+    match_pattern_stream,
+    route_to_sinks,
     session_window_agg,
     side_outputs,
     sliding_window_agg,
@@ -33,6 +35,8 @@ __all__ = [
     "list_queries",
     "query_status",
     "stop_query",
+    "match_pattern_stream",
+    "route_to_sinks",
     "session_window_agg",
     "side_outputs",
     "sliding_window_agg",

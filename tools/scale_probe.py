@@ -248,6 +248,29 @@ def main() -> None:
             left, right, on="user_id", left_time="ts", right_time="ts"
         )
 
+    def decontaminate_probe(d):
+        """q73-shape: every 50th doc plays the eval set; the corpus is
+        scrubbed of any 5-gram overlap. Both shingle kernels and the
+        semi/anti joins scale with the corpus; the benchmark side stays
+        2% of it (the realistic regime — eval sets don't grow with the
+        training corpus)."""
+        from flink_note_spark.operators.dedup import decontaminate
+
+        bench_docs = d.filter(F.pmod("doc_id", F.lit(50)) == 0).select(
+            "doc_id", "text"
+        )
+        return decontaminate(d, bench_docs, n=5).select("doc_id")
+
+    def cep_probe(ev):
+        """q68-shape strict-contiguity CEP over the events stream: one
+        lead() window pass per key."""
+        from flink_note_spark.operators.cep import match_pattern
+
+        return match_pattern(
+            ev, ["view", "click", "purchase"], within="7 days",
+            contiguity="strict", tiebreak=["event_id"],
+        )
+
     def cogroup_probe(cust, orders):
         """CoGroupFunction shape: whole per-key groups from both sides
         meet in one pandas call (outer groups included). Key cardinality
@@ -377,6 +400,9 @@ def main() -> None:
         )
         bench(f"ivf_topk_{tag}", lambda e=e: noop(ivf_probe(e)), t)
         bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
+        bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
+    for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
+        bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
 
     ratios = {
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
@@ -385,6 +411,7 @@ def main() -> None:
             "asof", "sessionize",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk", "corpus",
+            "decontaminate", "cep_strict",
         )
     }
     print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
