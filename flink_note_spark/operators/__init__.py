@@ -13,6 +13,7 @@ from flink_note_spark.operators.components import (
 )
 from flink_note_spark.operators.cogroup import cogroup_apply
 from flink_note_spark.operators.cep import match_pattern
+from flink_note_spark.operators.enrich import batched_enrich
 from flink_note_spark.operators.joins import (
     asof_join,
     range_join,
@@ -69,6 +70,7 @@ __all__ = [
     "dedup_clusters",
     "cogroup_apply",
     "match_pattern",
+    "batched_enrich",
     "asof_join",
     "range_join",
     "theta_join",

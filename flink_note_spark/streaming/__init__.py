@@ -20,6 +20,7 @@ from flink_note_spark.streaming.ops import (
     session_window_agg,
     side_outputs,
     sliding_window_agg,
+    tag_late_data,
     stateful_sessionize,
     stream_dedup,
     stream_static_join,
@@ -39,6 +40,7 @@ __all__ = [
     "route_to_sinks",
     "session_window_agg",
     "side_outputs",
+    "tag_late_data",
     "sliding_window_agg",
     "stateful_sessionize",
     "stream_dedup",

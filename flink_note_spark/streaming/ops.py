@@ -367,6 +367,75 @@ def match_pattern_stream(
     )
 
 
+def tag_late_data(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Flink ``sideOutputLateData`` analogue: pass every row through
+    with an ``is_late`` flag set from the ENGINE's current watermark,
+    instead of silently dropping late rows the way Spark's stateful
+    operators do.
+
+    Structured Streaming exposes the watermark only inside stateful
+    operators, so this rides a stateLESS ``applyInPandasWithState``
+    pass (no state is ever written — the GroupState is used purely as
+    the watermark oracle; state store stays empty, keys cost nothing).
+    A row is late when its event time is at or below the watermark the
+    engine computed from the PREVIOUS batch — the same cutoff at which
+    downstream aggregations would discard it, so routing
+    ``is_late`` through :func:`side_outputs` / :func:`route_to_sinks`
+    captures exactly the rows a windowed agg would lose. Note Spark
+    pre-filters rows later than the watermark DELAY at the source of
+    stateful ops; tag BEFORE any aggregation (this operator is the
+    first stateful op in its lineage, so everything reaches it).
+
+    Output: the input columns (in order) + ``is_late boolean``. Column
+    types flow through Arrow; the event-time column is emitted as epoch
+    MICROseconds (``stateful_sessionize`` convention) to keep the
+    pass-through deterministic.
+    """
+    in_cols = [c for c in stream.columns]
+    types = dict(stream.dtypes)
+    out_fields = []
+    for c in in_cols:
+        t = "long" if c == time_col else types[c]
+        out_fields.append(f"{c} {t}")
+    out_schema = ", ".join(out_fields) + ", is_late boolean"
+
+    def tagger(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timers are set
+            state.remove()
+            return
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            ts_us = out[time_col].astype("int64") // 1_000
+            out[time_col] = ts_us
+            out["is_late"] = ts_us <= wm_us if wm_us > 0 else False
+            yield out[in_cols + ["is_late"]]
+        # no state.update: nothing persists, the store stays empty
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            tagger,
+            outputStructType=out_schema,
+            stateStructType="unused byte",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def side_outputs(
     df: DataFrame,
     tags: dict[str, Column],

@@ -1054,3 +1054,28 @@ def test_cep_stream_no_reemission_on_overlap(spark, chunk_dir, tmp_path):
         (1, us(4), us(5)),
         (1, us(8), us(9)),
     ]
+
+
+def test_tag_late_data_flags_late_rows(spark, chunk_dir, tmp_path):
+    """sideOutputLateData analogue: rows older than the engine watermark
+    surface with is_late=true instead of disappearing."""
+    from flink_note_spark.streaming.ops import tag_late_data
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (1, 2, _ts(30), "view", 1.0),   # advances watermark to 30-5=25
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 3, _ts(10), "view", 1.0),   # ts 10 <= wm 25 → late
+        (1, 4, _ts(40), "view", 1.0),   # on time
+    ])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = tag_late_data(stream, "user_id", "ts", watermark="5 minutes")
+    _run_to_memory(out, "late_tag_out", "update", tmp_path)
+    got = spark.sql("SELECT event_id, is_late FROM late_tag_out").toPandas()
+    flags = dict(zip(got["event_id"].astype(int), got["is_late"]))
+    assert len(flags) == 4, f"late rows were dropped, not tagged: {flags}"
+    assert flags[3] is True or flags[3] == True  # noqa: E712
+    assert not flags[1] and not flags[2] and not flags[4]
