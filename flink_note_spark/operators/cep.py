@@ -142,10 +142,14 @@ def _match_relaxed(
         matches = _earliest_after(
             matches, step, key_col, prev_col=cols[i - 1], out_col=cols[i]
         ).filter(F.col(cols[i]).isNotNull())
-    if within is not None:
-        matches = matches.filter(
-            F.col(cols[-1]) <= F.col(cols[0]) + F.expr(f"INTERVAL {within}")
-        )
+        if within is not None:
+            # prune per step, not only at the end: ts_i is monotone in i,
+            # so a partial match already past the horizon can never
+            # complete — dropping it here keeps the next union pass from
+            # carrying doomed anchors (the state-eviction bound at scale)
+            matches = matches.filter(
+                F.col(cols[i]) <= F.col(cols[0]) + F.expr(f"INTERVAL {within}")
+            )
     return matches
 
 

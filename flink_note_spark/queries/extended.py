@@ -424,6 +424,59 @@ FROM banded GROUP BY l_returnflag, band
 """
 
 
+class _WordSpansUDTF:
+    """Python UDTF (Spark ≥3.5 `@udtf` API): one input row → N output
+    rows, registered into SQL and invoked with LATERAL — the true
+    user-defined TABLE function surface (SURVEY.md §2.2 "UDF/UDAF/UDTF";
+    mapInPandas covers the vectorized N-in/N-out case, this covers the
+    SQL-addressable row-expanding one). Row-at-a-time Python — a surface
+    demo like q50, deliberately excluded from the bench headline."""
+
+    def eval(self, doc_id: int, text: str):
+        if text is None:
+            return
+        for pos, word in enumerate(text.split(" ")):
+            if word:
+                yield doc_id, pos, word, len(word)
+
+
+def q74_udtf_word_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Register a Python UDTF and drive it from SQL with LATERAL,
+    aggregating its row expansion back per document."""
+    from pyspark.sql.functions import udtf
+
+    _t(spark, sf, "documents").createOrReplaceTempView("documents")
+    spark.udtf.register(
+        "word_spans",
+        udtf(_WordSpansUDTF, returnType="doc_id long, pos int, word string, wlen int"),
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id,
+               count(*)                    AS n_words,
+               max(s.wlen)                 AS max_wlen,
+               min(s.word)                 AS first_word_alpha
+        FROM documents d, LATERAL word_spans(d.doc_id, d.text) s
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+        """
+    )
+
+
+_Q74_SQL = """
+WITH s AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(max(length(word)) AS INT) AS max_wlen,
+       min(word) AS first_word_alpha
+FROM s WHERE word <> ''
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- correlated + scalar subqueries ---------------------------------------
 
 def q54_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
@@ -518,6 +571,7 @@ QUERIES = {
     "q54_correlated_exists": q54_correlated_exists,
     "q55_scalar_subquery": q55_scalar_subquery,
     "q56_grouped_map_zscore": q56_grouped_map_zscore,
+    "q74_udtf_word_spans": q74_udtf_word_spans,
 }
 
 ORACLES = {
@@ -532,4 +586,5 @@ ORACLES = {
     "q54_correlated_exists": _Q54_SQL,
     "q55_scalar_subquery": _Q55_SQL,
     "q56_grouped_map_zscore": _Q56_SQL,
+    "q74_udtf_word_spans": _Q74_SQL,
 }
