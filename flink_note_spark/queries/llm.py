@@ -10,7 +10,7 @@ validates them against the exact operators (recall/precision).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_note_spark.operators.dedup import (
@@ -922,6 +922,99 @@ ORDER BY doc_id
 """
 
 
+def q75_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, dim, c):
+    one posexplode feeding a map-side-combinable (label, dim) average —
+    the shuffle carries n_labels·dim aggregate rows, never vectors.
+    Long format keeps the oracle compare scalar (array stringification
+    differs between engines). ``dim`` is 1-based to match DuckDB's
+    ``generate_subscripts``."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .orderBy("label", "dim")
+    )
+
+
+_Q75_SQL = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 6) AS c
+FROM e GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+def q76_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid classification confusion counts: per-label
+    centroids rebuilt as ARRAYS (sorted struct collect), broadcast-
+    crossed with the corpus (n_labels rows — AQE broadcasts), cosine via
+    JVM ``vec_dot``, argmax per vector by window. The 100 TB shape: the
+    corpus never explodes per-dimension for scoring and never shuffles —
+    only (vec, label-count) aggregates do. Oracle recomputes everything
+    in exploded SQL — two independent formulations hash-matching."""
+    from flink_note_spark.functions.scalar import l2_norm_sq, vec_dot
+
+    e = _t(spark, sf, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.c,
+            ).alias("centroid")
+        )
+    )
+    sim = vec_dot("embedding", "centroid") / (
+        F.sqrt(l2_norm_sq("embedding")) * F.sqrt(l2_norm_sq("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cos").desc(), F.col("clabel").asc()
+    )
+    return (
+        e.select("vec_id", "label", "embedding")
+        .crossJoin(cent)
+        .withColumn("__cos", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .groupBy("label", F.col("clabel").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred_label")
+    )
+
+
+_Q76_SQL = """
+WITH e AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, dim, avg(v) AS c FROM e GROUP BY 1, 2
+), scored AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+         sum(e.v * cent.c)
+           / (sqrt(sum(e.v * e.v)) * sqrt(sum(cent.c * cent.c))) AS cos
+  FROM e JOIN cent ON e.dim = cent.dim
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos DESC, clabel ASC
+         ) AS r
+  FROM scored
+)
+SELECT label, clabel AS pred_label, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -943,6 +1036,8 @@ QUERIES = {
     "q71_pii_scan": q71_pii_scan,
     "q72_repetition_stats": q72_repetition_stats,
     "q73_decontaminate": q73_decontaminate,
+    "q75_label_centroids": q75_label_centroids,
+    "q76_centroid_classify": q76_centroid_classify,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
     "q53_curation_pipeline": q53_curation_pipeline,
@@ -975,6 +1070,8 @@ ORACLES = {
     "q71_pii_scan": _Q71_SQL,
     "q72_repetition_stats": _Q72_SQL,
     "q73_decontaminate": _Q73_SQL,
+    "q75_label_centroids": _Q75_SQL,
+    "q76_centroid_classify": _Q76_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
     "q35_text_quality": _Q35_SQL,
