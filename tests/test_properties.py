@@ -286,3 +286,76 @@ def test_topic_round_trip_any_strings(spark, records, tmp_path_factory):
         .collect()
     )
     assert sorted((r.key, r.value) for r in back) == sorted(records)
+
+
+# --- CEP pattern matching differential -----------------------------------
+
+_cep_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=50),   # seconds offset
+        st.sampled_from(["A", "B", "C"]),         # event type
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_cep_events, pattern=st.sampled_from(
+    [["A", "B"], ["A", "B", "C"], ["B", "B"], ["C"]]
+))
+@settings(**_SETTINGS)
+def test_cep_matches_naive_reference(spark, rows, pattern):
+    """Both contiguity modes equal a brute-force Python matcher on
+    arbitrary event soups (duplicate timestamps included — event_id
+    tie-break totalizes the order for strict)."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    epoch = dt.datetime(2024, 6, 1)
+    data = [
+        (k, epoch + dt.timedelta(seconds=s), t, i)
+        for i, (k, s, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    k = len(pattern)
+    cols = ["user_id"] + [f"ts_{i}" for i in range(1, k + 1)]
+
+    def collect(out):
+        return sorted(
+            tuple([r["user_id"]] + [(r[c] - epoch).total_seconds() for c in cols[1:]])
+            for r in out.select(*cols).collect()
+        )
+
+    # strict: adjacent in (ts, event_id) order
+    naive_strict = []
+    naive_relaxed = []
+    for key in {r[0] for r in rows}:
+        seq = sorted(
+            [(s, t, i) for i, (kk, s, t) in enumerate(rows) if kk == key],
+            key=lambda r: (r[0], r[2]),
+        )
+        for j in range(len(seq) - k + 1):
+            if all(seq[j + d][1] == pattern[d] for d in range(k)):
+                naive_strict.append((key, *[float(seq[j + d][0]) for d in range(k)]))
+        for s0, t0, _ in seq:
+            if t0 != pattern[0]:
+                continue
+            times, cur, ok = [float(s0)], s0, True
+            for want in pattern[1:]:
+                nxt = [s for (s, t, _) in seq if t == want and s > cur]
+                if not nxt:
+                    ok = False
+                    break
+                cur = min(nxt)
+                times.append(float(cur))
+            if ok:
+                naive_relaxed.append((key, *times))
+
+    got_strict = collect(
+        match_pattern(df, pattern, contiguity="strict", tiebreak=["event_id"])
+    )
+    assert got_strict == sorted(naive_strict)
+    got_relaxed = collect(match_pattern(df, pattern, contiguity="relaxed"))
+    assert got_relaxed == sorted(naive_relaxed)
