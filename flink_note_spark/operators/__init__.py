@@ -22,6 +22,7 @@ from flink_note_spark.operators.joins import (
 from flink_note_spark.operators.windows import sessionize, topk_per_group
 from flink_note_spark.operators.dedup import (
     decontaminate,
+    decontaminate_splits,
     exact_dedup,
     exact_dedup_rows,
     jaccard_pairs,
@@ -56,6 +57,7 @@ from flink_note_spark.operators.text import (
     clean_text,
     doc_fingerprint,
     frequent_tokens,
+    frequent_tokens_sketch,
     language_id,
     pii_scan,
     repetition_stats,
@@ -77,6 +79,7 @@ __all__ = [
     "sessionize",
     "topk_per_group",
     "decontaminate",
+    "decontaminate_splits",
     "exact_dedup",
     "exact_dedup_rows",
     "jaccard_pairs",
@@ -104,6 +107,7 @@ __all__ = [
     "clean_text",
     "doc_fingerprint",
     "frequent_tokens",
+    "frequent_tokens_sketch",
     "language_id",
     "pii_scan",
     "repetition_stats",

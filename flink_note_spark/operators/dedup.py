@@ -332,6 +332,40 @@ def decontaminate(
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_splits(
+    df: DataFrame,
+    split_col: str = "split",
+    protect: tuple[str, ...] = ("val", "test"),
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ids_unique: bool = False,
+) -> DataFrame:
+    """In-corpus split decontamination: after train/val/test assignment
+    (e.g. ``operators/sampling.hash_split``), drop every NON-protected
+    (train) row that shares a word ``n``-gram with any PROTECTED row —
+    the "don't train on your own eval set" hygiene pass. Protected rows
+    pass through unchanged.
+
+    Pure composition of :func:`decontaminate` over the split predicate:
+    the two sides are DISJOINT row sets of one table, so the total
+    shingle-kernel work is a single pass over the corpus (unlike
+    decontaminating a table against a benchmark that is also a subset
+    of it, which shingles the overlap twice), and Catalyst pushes the
+    split predicate into both scans.
+    """
+    prot = F.col(split_col).isin(*protect)
+    kept_train = decontaminate(
+        df.filter(~prot),
+        df.filter(prot),
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        ids_unique=ids_unique,
+    )
+    return kept_train.unionByName(df.filter(prot))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -134,6 +134,78 @@ def clean_text(
     return df.withColumn(out_col, t)
 
 
+def frequent_tokens_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    min_count: int = 2,
+    summary_size: int = 4096,
+) -> DataFrame:
+    """Heavy-hitter tokens via per-partition Misra–Gries summaries +
+    an exact verification pass — the sketch-path twin of
+    :func:`frequent_tokens` for corpora whose DISTINCT-token set is too
+    large to shuffle (the regime where the exact operator's
+    one-row-per-distinct-token-per-partition exchange stops being
+    "small"; at 100 TB of web text that set is billions of n-gram-ish
+    tokens).
+
+    Stage 1 (candidates): each partition streams its tokens through a
+    Misra–Gries summary of ``summary_size`` counters (batch counts via
+    pandas ``value_counts`` in C, merged with the standard
+    subtract-the-overflow-quantile decrement). MG guarantees every
+    token with partition frequency > n_p/(summary_size+1) survives, so
+    every token with CORPUS frequency > n/(summary_size+1) survives in
+    at least one partition — completeness for true heavy hitters. The
+    shuffle carries at most partitions × summary_size candidate rows,
+    independent of vocabulary size.
+
+    Stage 2 (verify): candidates get EXACT corpus counts via a second
+    scan whose aggregation is semi-joined to the (small, broadcastable)
+    candidate set — the same candidates-then-verify doctrine as the
+    MinHash/LSH dedup family. Output is therefore EXACT counts in exact
+    order, identical to :func:`frequent_tokens` whenever the top-k all
+    clear the MG threshold (asserted in tests); the sketch only decides
+    WHICH tokens get counted.
+
+    Output: token, n (exact), ordered (n desc, token asc), limit k.
+    """
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+    m = summary_size
+
+    def mg_partials(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for token, c in pdf["token"].value_counts().items():
+                counters[token] = counters.get(token, 0) + int(c)
+            if len(counters) > m:
+                # subtract the overflow quantile from everything and
+                # drop non-positive — (len-m) decrement steps at once
+                vals = sorted(counters.values())
+                d = vals[len(counters) - m - 1]
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    cand = tok.mapInPandas(mg_partials, "token string").distinct()
+    return (
+        tok.join(cand, "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

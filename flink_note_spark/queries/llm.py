@@ -922,6 +922,61 @@ ORDER BY doc_id
 """
 
 
+def q77_split_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """In-corpus split decontamination through the driver gate: docs are
+    assigned train/val/test by a modulo rule (deterministic in BOTH
+    engines — hash_split's xxhash64 has no DuckDB twin), then train rows
+    leaking a val/test 5-gram are dropped while val/test pass through.
+    Output counts per split plus the surviving id checksum so the hash
+    compare pins WHICH rows survived, not just how many."""
+    from flink_note_spark.operators.dedup import decontaminate_splits
+
+    d = _t(spark, sf, "documents")
+    split = (
+        F.when(F.pmod("doc_id", F.lit(20)) == 0, "val")
+        .when(F.pmod("doc_id", F.lit(20)) == 1, "test")
+        .otherwise("train")
+    )
+    out = decontaminate_splits(
+        d.withColumn("split", split), split_col="split", n=5
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+_Q77_SQL = """
+WITH labeled AS (
+  SELECT *, CASE WHEN doc_id % 20 = 0 THEN 'val'
+                 WHEN doc_id % 20 = 1 THEN 'test'
+                 ELSE 'train' END AS split
+  FROM documents
+),
+toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM labeled),
+grams AS (
+  SELECT doc_id, split, array_to_string(t[i.i:i.i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) AS i(i)
+),
+prot AS (SELECT DISTINCT g FROM grams WHERE split <> 'train'),
+leaky AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split = 'train' AND g IN (SELECT g FROM prot)
+),
+kept AS (
+  SELECT * FROM labeled
+  WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM leaky)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY split ORDER BY split
+"""
+
+
 def q75_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, dim, c):
     one posexplode feeding a map-side-combinable (label, dim) average —
@@ -1037,6 +1092,7 @@ QUERIES = {
     "q72_repetition_stats": q72_repetition_stats,
     "q73_decontaminate": q73_decontaminate,
     "q75_label_centroids": q75_label_centroids,
+    "q77_split_decontaminate": q77_split_decontaminate,
     "q76_centroid_classify": q76_centroid_classify,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
@@ -1071,6 +1127,7 @@ ORACLES = {
     "q72_repetition_stats": _Q72_SQL,
     "q73_decontaminate": _Q73_SQL,
     "q75_label_centroids": _Q75_SQL,
+    "q77_split_decontaminate": _Q77_SQL,
     "q76_centroid_classify": _Q76_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,

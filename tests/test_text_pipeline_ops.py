@@ -138,3 +138,64 @@ def test_decontaminate_keeps_schema(spark):
     out = decontaminate(docs, bench, n=3)
     assert out.columns == ["doc_id", "text", "lang"]
     assert out.count() == 1
+
+
+def test_decontaminate_splits_protects_eval(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "train"),   # leaks val 3-gram → dropped
+            (2, "one two three", "train"),      # clean → kept
+            (3, "alpha beta gamma", "val"),     # protected, passes through
+            (4, "four five six", "test"),       # protected, passes through
+            (5, "four five six", "train"),      # leaks test 3-gram → dropped
+        ],
+        "doc_id long, text string, split string",
+    )
+    from flink_note_spark.operators.dedup import decontaminate_splits
+
+    out = decontaminate_splits(docs, split_col="split", n=3)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [2, 3, 4]
+    # schema passes through unchanged
+    assert out.columns == ["doc_id", "text", "split"]
+
+
+def test_frequent_tokens_sketch_equals_exact_when_roomy(spark, sf_dir):
+    """With a summary far larger than the vocabulary, the MG candidate
+    set is lossless and the sketch output must equal the exact operator
+    bit-for-bit."""
+    from flink_note_spark.operators.text import (
+        frequent_tokens,
+        frequent_tokens_sketch,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = [tuple(r) for r in frequent_tokens(d, "text", k=20, min_count=2).collect()]
+    sketch = [
+        tuple(r)
+        for r in frequent_tokens_sketch(
+            d, "text", k=20, min_count=2, summary_size=100_000
+        ).collect()
+    ]
+    assert sketch == exact
+
+
+def test_frequent_tokens_sketch_finds_hitters_under_pressure(spark):
+    """Tiny summary (8 counters) over a skewed stream: the guaranteed
+    heavy hitters (freq > n/(m+1)) must all survive with EXACT counts,
+    even though the long tail can't fit."""
+    from flink_note_spark.operators.text import frequent_tokens_sketch
+
+    # 400 "hot" tokens vs a 200-token distinct tail, single partition so
+    # n/(m+1) is easy to reason about: n = 600, m = 8 → threshold 66.7
+    rows = [(i, "hot_a hot_b") for i in range(200)] + [
+        (1000 + i, f"tail{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {
+        r["token"]: r["n"]
+        for r in frequent_tokens_sketch(
+            df, "text", k=5, min_count=1, summary_size=8
+        ).collect()
+    }
+    assert got.get("hot_a") == 200 and got.get("hot_b") == 200
