@@ -977,6 +977,69 @@ FROM kept GROUP BY split ORDER BY split
 """
 
 
+def q78_frequent_tokens_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """The Misra–Gries heavy-hitter sketch through the driver gate,
+    summary sized so the candidate set is lossless at this scale — the
+    exact verify pass then makes the output identical to q66, so the
+    SAME oracle applies (what's under test is that the sketch's
+    candidate stage loses nothing it shouldn't)."""
+    from flink_note_spark.operators.text import frequent_tokens_sketch
+
+    d = _t(spark, sf, "documents")
+    return frequent_tokens_sketch(
+        d, "text", k=20, min_count=2, summary_size=100_000
+    )
+
+
+def q79_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean unigram
+    log-probability under the corpus's own token distribution (the
+    model-free stand-in for a KenLM-style LM filter — no model files in
+    this container). Two map-side-combinable aggregations (corpus token
+    counts, per-doc means over a token-keyed join); the shuffle carries
+    (token) and (doc, token) aggregate rows, never text. Output: the 5
+    lowest-scoring (most atypical) documents — the filter's natural
+    consumers are tail reviews."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.col("__n"))), 6).alias(
+                "mean_logp"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(F.col("mean_logp").asc(), F.col("doc_id").asc())
+        .limit(5)
+    )
+
+
+_Q79_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY 1
+), total AS (SELECT count(*) AS n FROM tok)
+SELECT doc_id,
+       round(avg(ln(freq.c / CAST(total.n AS DOUBLE))), 6) AS mean_logp,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tok JOIN freq USING (token) CROSS JOIN total
+GROUP BY doc_id
+ORDER BY mean_logp ASC, doc_id ASC
+LIMIT 5
+"""
+
+
 def q75_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, dim, c):
     one posexplode feeding a map-side-combinable (label, dim) average —
@@ -1093,6 +1156,8 @@ QUERIES = {
     "q73_decontaminate": q73_decontaminate,
     "q75_label_centroids": q75_label_centroids,
     "q77_split_decontaminate": q77_split_decontaminate,
+    "q78_frequent_tokens_sketch": q78_frequent_tokens_sketch,
+    "q79_unigram_logprob": q79_unigram_logprob,
     "q76_centroid_classify": q76_centroid_classify,
     "q51_embedding_near_dup": q51_embedding_near_dup,
     "q52_lsh_embedding_near_dup": q52_lsh_embedding_near_dup,
@@ -1128,6 +1193,9 @@ ORACLES = {
     "q73_decontaminate": _Q73_SQL,
     "q75_label_centroids": _Q75_SQL,
     "q77_split_decontaminate": _Q77_SQL,
+    # sketch's exact verify stage makes it equal the exact operator here
+    "q78_frequent_tokens_sketch": _Q66_SQL,
+    "q79_unigram_logprob": _Q79_SQL,
     "q76_centroid_classify": _Q76_SQL,
     "q51_embedding_near_dup": _Q51_SQL,
     "q53_curation_pipeline": _Q53_SQL,
