@@ -353,8 +353,13 @@ def decontaminate_splits(
     decontaminating a table against a benchmark that is also a subset
     of it, which shingles the overlap twice), and Catalyst pushes the
     split predicate into both scans.
+
+    A NULL ``split_col`` value counts as NON-protected (the row is
+    treated as train and decontaminated normally) — without the
+    coalesce, three-valued logic would make such rows fail BOTH side
+    predicates and vanish silently.
     """
-    prot = F.col(split_col).isin(*protect)
+    prot = F.coalesce(F.col(split_col).isin(*protect), F.lit(False))
     kept_train = decontaminate(
         df.filter(~prot),
         df.filter(prot),

@@ -148,13 +148,14 @@ def batched_enrich(
 
 
 def _split_ddl_fields(ddl: str) -> list[str]:
-    """Split a DDL field list on TOP-LEVEL commas (``map<string,int>``
-    commas stay inside their field)."""
+    """Split a DDL field list on TOP-LEVEL commas — commas inside
+    generic brackets (``map<string,int>``) AND inside parentheses
+    (``decimal(10,2)``, ``varchar(8)``) stay within their field."""
     fields, depth, cur = [], 0, []
     for ch in ddl:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             fields.append("".join(cur))

@@ -285,8 +285,19 @@ def pii_scan(
     Everything is a codegen ``regexp_count`` / ``regexp_replace``
     chain fused into the scan stage — scanning 100 TB for PII costs one
     pass over the text column, no shuffle, no Python.
+
+    Input columns named ``n_<kind>`` would be silently overwritten by
+    the counts — refused instead (same contract as
+    ``operators/enrich.batched_enrich``).
     """
     out_col = out_col or text_col
+    clash = {f"n_{kind}" for kind in PII_PATTERNS} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"pii_scan: count columns {sorted(clash)} already exist on "
+            "the input — rename them first (they would be silently "
+            "overwritten)"
+        )
     t = F.col(text_col)
     out = df
     for kind, pat in PII_PATTERNS.items():

@@ -107,3 +107,21 @@ def test_split_ddl_fields_nested_generics():
         "a map<string,int>",
         " b int",
     ]
+
+
+def test_split_ddl_fields_parenthesized_types():
+    assert _split_ddl_fields("price decimal(10,2), n int") == [
+        "price decimal(10,2)",
+        " n int",
+    ]
+
+
+def test_enrich_decimal_added_schema(spark):
+    import pandas as pd
+
+    def fn(batch):
+        return pd.DataFrame({"price": [float(k) for k in batch["k"]]})
+
+    out = batched_enrich(_src(spark, 3), fn, "price decimal(10,2)")
+    got = sorted((r["k"], float(r["price"])) for r in out.collect())
+    assert got == [(0, 0.0), (1, 1.0), (2, 2.0)]

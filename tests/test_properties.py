@@ -328,34 +328,14 @@ def test_cep_matches_naive_reference(spark, rows, pattern):
             for r in out.select(*cols).collect()
         )
 
-    # strict: adjacent in (ts, event_id) order
-    naive_strict = []
-    naive_relaxed = []
-    for key in {r[0] for r in rows}:
-        seq = sorted(
-            [(s, t, i) for i, (kk, s, t) in enumerate(rows) if kk == key],
-            key=lambda r: (r[0], r[2]),
-        )
-        for j in range(len(seq) - k + 1):
-            if all(seq[j + d][1] == pattern[d] for d in range(k)):
-                naive_strict.append((key, *[float(seq[j + d][0]) for d in range(k)]))
-        for s0, t0, _ in seq:
-            if t0 != pattern[0]:
-                continue
-            times, cur, ok = [float(s0)], s0, True
-            for want in pattern[1:]:
-                nxt = [s for (s, t, _) in seq if t == want and s > cur]
-                if not nxt:
-                    ok = False
-                    break
-                cur = min(nxt)
-                times.append(float(cur))
-            if ok:
-                naive_relaxed.append((key, *times))
+    # single source of truth for the reference semantics: the naive
+    # matchers defined next to the CEP unit tests
+    from tests.test_cep import _naive_relaxed, _naive_strict
 
+    rows4 = [(kk, s, t, i) for i, (kk, s, t) in enumerate(rows)]
     got_strict = collect(
         match_pattern(df, pattern, contiguity="strict", tiebreak=["event_id"])
     )
-    assert got_strict == sorted(naive_strict)
+    assert got_strict == sorted(_naive_strict(rows4, pattern))
     got_relaxed = collect(match_pattern(df, pattern, contiguity="relaxed"))
-    assert got_relaxed == sorted(naive_relaxed)
+    assert got_relaxed == sorted(_naive_relaxed(rows4, pattern))

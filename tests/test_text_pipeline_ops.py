@@ -199,3 +199,33 @@ def test_frequent_tokens_sketch_finds_hitters_under_pressure(spark):
         ).collect()
     }
     assert got.get("hot_a") == 200 and got.get("hot_b") == 200
+
+
+def test_pii_scan_rejects_count_column_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "x", 9)], "doc_id long, text string, n_url int"
+    )
+    with pytest.raises(ValueError, match="n_url"):
+        pii_scan(df, "text")
+
+
+def test_decontaminate_splits_null_split_is_train(spark):
+    """NULL split rows must be decontaminated as train, not silently
+    dropped by three-valued logic."""
+    from flink_note_spark.operators.dedup import decontaminate_splits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", None),   # NULL split, leaks val → dropped
+            (2, "one two three", None),      # NULL split, clean → KEPT
+            (3, "alpha beta gamma", "val"),  # protected
+        ],
+        "doc_id long, text string, split string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate_splits(docs, split_col="split", n=3).collect()
+    )
+    assert kept == [2, 3]
