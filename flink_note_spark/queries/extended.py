@@ -477,6 +477,111 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q80_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (long → wide): order counts per status × priority via
+    ``groupBy().pivot(values)``. Explicit value list for a deterministic
+    column set (an unlisted pivot would scan once to discover values —
+    an extra job AND an unstable schema at 100 TB); spelled-out aliases
+    keep the wide column names oracle-portable."""
+    o = _t(spark, sf, "orders")
+    pr = {
+        "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "unspec", "5-LOW": "low",
+    }
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(pr.keys()))
+        .agg(F.count(F.lit(1)))
+    )
+    sel = [F.col("o_orderstatus")] + [
+        F.coalesce(F.col(f"`{k}`"), F.lit(0)).cast("long").alias(v)
+        for k, v in pr.items()
+    ]
+    return wide.select(*sel).orderBy("o_orderstatus")
+
+
+_Q80_SQL = """
+SELECT o_orderstatus,
+  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS unspec,
+  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q81_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt (wide → long): the inverse surface, via
+    ``DataFrame.unpivot`` (Spark ≥3.4) over a computed wide frame —
+    round-trips q80's shape back to (status, priority_bucket, n)."""
+    wide = q80_pivot(spark, sf)
+    return (
+        wide.unpivot(
+            ids=["o_orderstatus"],
+            values=["urgent", "high", "medium", "unspec", "low"],
+            variableColumnName="priority_bucket",
+            valueColumnName="n",
+        )
+        .orderBy("o_orderstatus", "priority_bucket")
+    )
+
+
+_Q81_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus,
+    CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+    CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+    CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+    CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS unspec,
+    CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, priority_bucket, n FROM wide
+UNPIVOT (n FOR priority_bucket IN (urgent, high, medium, unspec, low))
+ORDER BY o_orderstatus, priority_bucket
+"""
+
+
+def q82_time_range_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE over-window (Flink SQL ``OVER (... RANGE BETWEEN
+    INTERVAL '7' DAY PRECEDING ...)``, SURVEY.md §2.2 windows): per-user
+    trailing-7-day rolling sum and count on event time. Spark's RANGE
+    frame needs a numeric ordering column, so the frame runs over epoch
+    MICROseconds (exact integers — seconds truncation could disagree
+    with the oracle's µs-exact interval frame on boundary pairs).
+    One shuffle on the key; state per row is the frame scan."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ→TZ: UTC session, lossless
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.sum("value").over(w), 4).alias("w7_sum"),
+            F.count(F.lit(1)).over(w).alias("w7_n"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_Q82_SQL = """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER w, 4) AS w7_sum,
+       CAST(count(*) OVER w AS BIGINT) AS w7_n
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+)
+ORDER BY user_id, ts, event_id
+"""
+
+
 # --- correlated + scalar subqueries ---------------------------------------
 
 def q54_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
@@ -572,6 +677,9 @@ QUERIES = {
     "q55_scalar_subquery": q55_scalar_subquery,
     "q56_grouped_map_zscore": q56_grouped_map_zscore,
     "q74_udtf_word_spans": q74_udtf_word_spans,
+    "q80_pivot": q80_pivot,
+    "q81_unpivot": q81_unpivot,
+    "q82_time_range_window": q82_time_range_window,
 }
 
 ORACLES = {
@@ -587,4 +695,7 @@ ORACLES = {
     "q55_scalar_subquery": _Q55_SQL,
     "q56_grouped_map_zscore": _Q56_SQL,
     "q74_udtf_word_spans": _Q74_SQL,
+    "q80_pivot": _Q80_SQL,
+    "q81_unpivot": _Q81_SQL,
+    "q82_time_range_window": _Q82_SQL,
 }
