@@ -534,3 +534,27 @@ def test_file_topic_batch_missing_dir_raises(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic (the warehouse INSERT OVERWRITE
+    PARTITION contract): rewriting one partition's rows must leave the
+    other partitions' files intact — static mode would wipe them."""
+    out = str(tmp_path / "dynsink")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id long, grp string, v double",
+    )
+    write_sink(base, "parquet", out, partition_by=["grp"])
+
+    update = spark.createDataFrame([(9, "a", 99.0)], "id long, grp string, v double")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        update.write.mode("overwrite").partitionBy("grp").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = {(r.id, r.grp, r.v) for r in spark.read.parquet(out).collect()}
+    # grp=a replaced wholesale; grp=b untouched
+    assert back == {(9, "a", 99.0), (2, "b", 20.0)}

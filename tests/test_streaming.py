@@ -1079,3 +1079,84 @@ def test_tag_late_data_flags_late_rows(spark, chunk_dir, tmp_path):
     assert len(flags) == 4, f"late rows were dropped, not tagged: {flags}"
     assert flags[3] is True or flags[3] == True  # noqa: E712
     assert not flags[1] and not flags[2] and not flags[4]
+
+
+def test_stream_static_join_picks_up_rule_updates(spark, chunk_dir, tmp_path):
+    """Flink broadcast-state analogue, Spark idiom: dynamic rule
+    distribution = a fresh read of the rules table INSIDE foreachBatch
+    (a static DataFrame captures its file listing at plan time, so
+    overwriting the directory under a long-lived plan is a
+    FAILED_READ_FILE, not an update — re-reading per batch is the
+    documented pattern for slowly-changing enrichment)."""
+    rules_dir = str(tmp_path / "rules")
+    spark.createDataFrame(
+        [("view", "low")], "event_type string, severity string"
+    ).write.mode("overwrite").parquet(rules_dir)
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "view", 1.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    seen: list[tuple[int, str]] = []
+
+    def enrich(batch_df, batch_id):
+        rules = batch_df.sparkSession.read.parquet(rules_dir)
+        for r in batch_df.join(rules, "event_type", "left").collect():
+            seen.append((int(r["event_id"]), r["severity"]))
+
+    q = (
+        foreach_batch_sink(
+            stream, enrich, checkpoint=str(tmp_path / "ckpt_rules")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # rule flip between batches: view is now HIGH severity
+        spark.createDataFrame(
+            [("view", "high")], "event_type string, severity string"
+        ).write.mode("overwrite").parquet(rules_dir)
+        _write_chunk(chunk_dir, "c2.parquet", [(1, 2, _ts(1), "view", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(seen) == [(1, "low"), (2, "high")]
+
+
+def test_session_window_dynamic_gap(spark, chunk_dir, tmp_path):
+    """Per-row dynamic session gaps (Flink's session windows with a gap
+    extractor): purchase events hold sessions open 3x longer than other
+    types, so the same inter-event spacing merges for purchases and
+    splits for views. One query; the sentinel chunk advances the
+    watermark in a later micro-batch of the same drain so append mode
+    emits the closed sessions."""
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "view", 1.0),
+        (1, 2, _ts(8), "view", 1.0),
+        (2, 3, _ts(0), "purchase", 1.0),
+        (2, 4, _ts(8), "purchase", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 9, _ts(120), "view", 1.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    gap = F.when(F.col("event_type") == "purchase", "15 minutes").otherwise(
+        "5 minutes"
+    )
+    out = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(out, "dyn_gap_out", "append", tmp_path)
+    rows = spark.sql(
+        "SELECT user_id, n FROM dyn_gap_out WHERE user_id < 99"
+    ).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(int(r["user_id"]), []).append(int(r["n"]))
+    # user 1: 8-minute spacing beats the 5-minute view gap -> two sessions
+    assert sorted(per_user[1]) == [1, 1]
+    # user 2: the 15-minute purchase gap bridges the same spacing -> one
+    assert per_user[2] == [2]
