@@ -232,24 +232,36 @@ def _parse_duration_ms(text: str) -> int:
 
 
 def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
-                 type_col: str, within_us: int | None, k: int):
-    """Per-key incremental strict-contiguity matcher (the Flink-CEP NFA
-    rendered as a sorted event buffer + event-time finality):
+                 type_col: str, within_us: int | None, k: int,
+                 contiguity: str):
+    """Per-key incremental pattern matcher (the Flink-CEP NFA rendered
+    as a sorted event buffer + event-time finality), both contiguity
+    modes:
 
-    A strict match is final exactly when its LAST element's time is at
-    or below the watermark: any not-yet-arrived event is younger than
-    the watermark, so it cannot land between (or after) the match's
-    elements and break adjacency. Each invocation merges the batch into
-    the key's sorted buffer, emits every final match, then evicts the
-    finalized region KEEPING the trailing ``k-1`` events — they may
-    still be the prefix of a match completed by future (younger) data,
-    while a full match among kept events alone is impossible, which is
-    what makes emission exactly-once without bookkeeping. State per key
-    is O(events within one watermark delay + k), watermark-bounded.
+    **strict**: a match is final exactly when its LAST element's time is
+    at or below the watermark — any not-yet-arrived event is younger
+    than the watermark, so it cannot land between the match's elements
+    and break adjacency. Eviction keeps the trailing ``k-1`` events of
+    the finalized region (they may prefix a future-completed match; a
+    full match among them alone is impossible), which makes emission
+    exactly-once with no bookkeeping. State is O(watermark delay + k).
+
+    **relaxed** (skip-till-next-match): each step binds the EARLIEST
+    later event of its type. The same finality rule holds — a chosen
+    successor at or below the watermark cannot be displaced, because a
+    displacing event would need a SMALLER time yet arrive in the
+    future (> watermark). But eviction cannot keep a fixed tail:
+    events stay matchable as successors for any start within the
+    ``within`` horizon, so ``within`` is REQUIRED (it bounds state to
+    the horizon) and exactly-once needs explicit bookkeeping — the
+    previous watermark rides in state and only matches with
+    ``wm_prev < ts_k ≤ wm`` emit. (New events always have
+    ``ts > wm_prev``, so no match is both old and new.)
     """
     cols = [key_name] + [f"ts_{i}" for i in range(1, k + 1)]
 
-    def _find_and_trim(ts_buf: list[int], tp_buf: list[str], wm_us: int):
+    def _find_strict(ts_buf: list[int], tp_buf: list[str], wm_us: int,
+                     wm_prev_us: int):
         rows = []
         for j in range(len(ts_buf) - k + 1):
             if ts_buf[j + k - 1] > wm_us:
@@ -264,6 +276,42 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
         cut = max(0, n_final - (k - 1))
         return rows, ts_buf[cut:], tp_buf[cut:]
 
+    def _find_relaxed(ts_buf: list[int], tp_buf: list[str], wm_us: int,
+                      wm_prev_us: int):
+        rows = []
+        for j, y0 in enumerate(tp_buf):
+            if y0 != pattern[0]:
+                continue
+            times = [ts_buf[j]]
+            cur = ts_buf[j]
+            ok = True
+            for want in pattern[1:]:
+                nxt = next(
+                    (t for t, y in zip(ts_buf, tp_buf) if y == want and t > cur),
+                    None,  # buffer sorted → first hit is the earliest
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+                times.append(nxt)
+            if (
+                ok
+                and times[-1] - times[0] <= within_us
+                and wm_prev_us < times[-1] <= wm_us
+            ):
+                rows.append(times)
+        # an event older than wm - within can only serve starts that are
+        # older still, and those starts' candidate successors are all
+        # ≤ wm → their matches are final (emitted or dead) — evict it
+        horizon = wm_us - within_us
+        cut = 0
+        while cut < len(ts_buf) and ts_buf[cut] <= horizon:
+            cut += 1
+        return rows, ts_buf[cut:], tp_buf[cut:]
+
+    find = _find_strict if contiguity == "strict" else _find_relaxed
+
     def _cep_fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -273,25 +321,26 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
         wm_us = state.getCurrentWatermarkMs() * 1_000
 
         if state.hasTimedOut:
-            ts_buf, tp_buf = state.get
-            ts_buf, tp_buf = list(ts_buf), list(tp_buf)
-            rows, ts_buf, tp_buf = _find_and_trim(ts_buf, tp_buf, wm_us)
+            ts_buf, tp_buf, wm_prev = state.get
+            rows, ts_buf, tp_buf = find(
+                list(ts_buf), list(tp_buf), wm_us, wm_prev
+            )
             if rows:
                 yield pd.DataFrame(
                     [[key_val, *r] for r in rows], columns=cols
                 )
             if ts_buf:
                 # no timer re-arm: everything ≤ the watermark was just
-                # finalized; the kept k-1 tail can only complete with
-                # NEW events, whose batch re-arms the timer.
-                state.update((ts_buf, tp_buf))
+                # finalized; the kept tail can only emit with NEW
+                # events, whose batch re-arms the timer.
+                state.update((ts_buf, tp_buf, wm_us))
             else:
                 state.remove()
             return
 
-        ts_buf, tp_buf = ([], [])
+        ts_buf, tp_buf, wm_prev = [], [], 0
         if state.exists:
-            prev_ts, prev_tp = state.get
+            prev_ts, prev_tp, wm_prev = state.get
             ts_buf, tp_buf = list(prev_ts), list(prev_tp)
         new = []
         for pdf in pdfs:
@@ -308,11 +357,11 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
         ts_buf = [t for t, _ in merged]
         tp_buf = [y for _, y in merged]
 
-        rows, ts_buf, tp_buf = _find_and_trim(ts_buf, tp_buf, wm_us)
+        rows, ts_buf, tp_buf = find(ts_buf, tp_buf, wm_us, wm_prev)
         if rows:
             yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
         if ts_buf:
-            state.update((ts_buf, tp_buf))
+            state.update((ts_buf, tp_buf, wm_us))
             # fire once the watermark passes the youngest buffered event
             state.setTimeoutTimestamp(
                 max(ts_buf[-1] // 1_000 + 1, state.getCurrentWatermarkMs() + 1)
@@ -331,24 +380,38 @@ def match_pattern_stream(
     type_col: str = "event_type",
     within: str | None = None,
     watermark: str = "5 minutes",
+    contiguity: str = "strict",
 ) -> DataFrame:
-    """Streaming strict-contiguity CEP (Flink ``CEP.pattern(stream,
-    Pattern.begin().next()...)``): incremental, exactly-once match
+    """Streaming CEP (Flink ``CEP.pattern(stream, Pattern.begin()
+    .next()/.followedBy()...)``): incremental, exactly-once match
     emission driven by event-time finality — the streaming twin of
-    ``operators/cep.match_pattern(contiguity='strict')``, equality-
-    tested against it in tests/test_streaming.py.
+    ``operators/cep.match_pattern``, equality-tested against it in
+    tests/test_streaming.py for both contiguity modes.
 
     Emits one row per match, ``(key, ts_1 .. ts_k)`` with step times in
     epoch MICROseconds (the ``stateful_sessionize`` output convention),
     once the watermark passes the match's last event. Equal-timestamp
     events order by event type (use unique timestamps per key for a
-    total order). State per key is bounded by the watermark delay plus
-    ``k-1`` events; late events beyond the watermark are dropped by the
-    engine before they reach the operator.
+    total order). Strict state per key is bounded by the watermark
+    delay plus ``k-1`` events; relaxed (``followedBy``,
+    skip-till-next-match) REQUIRES ``within`` — it is both the match
+    horizon and the state bound (events older than
+    ``watermark − within`` can no longer bind to any live start). Late
+    events beyond the watermark are dropped by the engine before they
+    reach the operator.
     """
     k = len(pattern)
     if k < 1:
         raise ValueError("pattern must name at least one event type")
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(
+            f"contiguity must be strict|relaxed, got {contiguity!r}"
+        )
+    if contiguity == "relaxed" and within is None:
+        raise ValueError(
+            "relaxed streaming CEP requires within= — it bounds both the "
+            "match horizon and the per-key state"
+        )
     key_type = dict(stream.dtypes)[key_col]
     within_us = None if within is None else _parse_duration_ms(within) * 1_000
     out_schema = f"{key_col} {key_type}, " + ", ".join(
@@ -358,9 +421,11 @@ def match_pattern_stream(
         stream.withWatermark(time_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
-            _make_cep_fn(pattern, key_col, time_col, type_col, within_us, k),
+            _make_cep_fn(
+                pattern, key_col, time_col, type_col, within_us, k, contiguity
+            ),
             outputStructType=out_schema,
-            stateStructType="ts array<long>, tp array<string>",
+            stateStructType="ts array<long>, tp array<string>, wm long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

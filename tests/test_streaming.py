@@ -1160,3 +1160,83 @@ def test_session_window_dynamic_gap(spark, chunk_dir, tmp_path):
     assert sorted(per_user[1]) == [1, 1]
     # user 2: the 15-minute purchase gap bridges the same spacing -> one
     assert per_user[2] == [2]
+
+
+def test_cep_stream_relaxed_equals_batch(spark, chunk_dir, tmp_path):
+    """Relaxed (followedBy) streaming CEP equals the batch operator on
+    the same bounded input, across micro-batch boundaries: noise between
+    steps is skipped, each step binds the earliest later event, matches
+    emit exactly once as the watermark passes them."""
+    from flink_note_spark.operators.cep import match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    # key 1: A X B noise sequence completing across batches
+    # key 2: two As sharing the same (earliest) B and C
+    # key 3: sequence breaches within=20min
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(2), "X", 1.0),
+        (1, 3, _ts(4), "B", 1.0),
+        (2, 4, _ts(0), "A", 1.0),
+        (2, 5, _ts(1), "A", 1.0),
+        (3, 6, _ts(0), "A", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 7, _ts(6), "C", 1.0),
+        (2, 8, _ts(3), "B", 1.0),
+        (2, 9, _ts(5), "C", 1.0),
+        (3, 10, _ts(30), "B", 1.0),
+        (3, 11, _ts(31), "C", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 12, _ts(120), "Z", 1.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(
+        stream, ["A", "B", "C"], within="20 minutes",
+        watermark="5 minutes", contiguity="relaxed",
+    )
+    _run_to_memory(out, "cep_relaxed_out", "update", tmp_path)
+    got = spark.sql("SELECT * FROM cep_relaxed_out").toPandas()
+
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
+        ["A", "B", "C"],
+        within="20 minutes",
+        contiguity="relaxed",
+    ).toPandas()
+
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    got_rows = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]), int(r["ts_3"]))
+        for _, r in got.iterrows()
+    )
+    batch_rows = sorted(
+        (
+            int(r["user_id"]),
+            int(r["ts_1"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+            int(r["ts_2"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+            int(r["ts_3"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+        )
+        for _, r in batch.iterrows()
+    )
+    # noise-skipping match for key 1; BOTH key-2 starts complete with
+    # the shared earliest successors; key 3 excluded by within
+    assert got_rows == batch_rows == [
+        (1, us(0), us(4), us(6)),
+        (2, us(0), us(3), us(5)),
+        (2, us(1), us(3), us(5)),
+    ]
+
+
+def test_cep_stream_relaxed_requires_within(spark, chunk_dir):
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    with pytest.raises(ValueError, match="within"):
+        match_pattern_stream(stream, ["A", "B"], contiguity="relaxed")
