@@ -582,6 +582,36 @@ ORDER BY user_id, ts, event_id
 """
 
 
+def q83_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT interpolated percentiles + median (the companion to q43's
+    approx sketches): ``percentile()`` is an exact sort-based aggregate
+    — the right tool below the approx threshold, and the correctness
+    anchor the approx path is regression-pinned against."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("median(l_quantity)"), 4).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "price_p90"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q83_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(median(l_quantity), 4) AS q50,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --- correlated + scalar subqueries ---------------------------------------
 
 def q54_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
@@ -680,6 +710,7 @@ QUERIES = {
     "q80_pivot": q80_pivot,
     "q81_unpivot": q81_unpivot,
     "q82_time_range_window": q82_time_range_window,
+    "q83_exact_percentiles": q83_exact_percentiles,
 }
 
 ORACLES = {
@@ -698,4 +729,5 @@ ORACLES = {
     "q80_pivot": _Q80_SQL,
     "q81_unpivot": _Q81_SQL,
     "q82_time_range_window": _Q82_SQL,
+    "q83_exact_percentiles": _Q83_SQL,
 }
