@@ -76,10 +76,28 @@ def prepare_training_corpus(
     near_dup_threshold: float | None = 0.7,
     splits: dict[str, float] | None = None,
     seed: int = 42,
+    pii_redact: bool = False,
+    max_dup_word_ratio: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 5,
 ) -> DataFrame:
-    """The full corpus-preparation flow: curate (exact dedup + language +
-    quality) → near-dup cluster collapse → deterministic train/val/test
-    split.
+    """The full corpus-preparation flow: [PII redaction →] curate (exact
+    dedup + language + quality) → [repetition gate →] near-dup cluster
+    collapse → [benchmark decontamination →] deterministic
+    train/val/test split. Bracketed stages are opt-in (r5) and default
+    OFF, preserving the original flow.
+
+    ``pii_redact`` rewrites ``text_col`` through the
+    :func:`~flink_note_spark.operators.text.pii_scan` codegen chain
+    BEFORE anything hashes it (redaction must precede dedup/shingling so
+    placeholders, not raw PII, define content identity); the ``n_<kind>``
+    count columns ride along. ``max_dup_word_ratio`` drops documents
+    whose :func:`~flink_note_spark.operators.text.repetition_stats`
+    duplicate-word ratio (rounded 6) exceeds the gate. ``benchmark``
+    (any (id, text) frame) removes docs sharing a ``decontaminate_n``
+    word-gram with it — the don't-train-on-eval pass, placed AFTER
+    near-dup collapse so the (cheap) shingle semi-join sees the already
+    shrunken corpus.
 
     Near-dup removal pairs documents with :func:`minhash_lsh_pairs` at
     ``near_dup_threshold`` (None skips the stage), groups them
@@ -89,17 +107,31 @@ def prepare_training_corpus(
     accretion. Callers chain :func:`~flink_note_spark.operators.packing.
     pack_sequences` per split if they need token-budget bins.
 
-    Stage shuffles at scale: one content-hash window (exact dedup), the
+    Stage shuffles at scale: one content-hash window (exact dedup), one
+    doc-keyed aggregation + id join for the repetition gate, the
     LSH band pipeline (bounded by its bucket caps), the components
-    rounds (O(log n), edge-list sized), and ZERO for the split (narrow
-    hash predicate). Document payloads cross a shuffle only in the exact
-    dedup window; every later stage ships ids.
+    rounds (O(log n), edge-list sized), the decontamination shingle
+    semi-join (benchmark side broadcastable), and ZERO for the split
+    (narrow hash predicate). Document payloads cross a shuffle only in
+    the exact dedup window; every later stage ships ids. PII redaction
+    and curation fuse into the scan stage.
     """
     from flink_note_spark.operators.components import canonical_docs
-    from flink_note_spark.operators.dedup import minhash_lsh_pairs
+    from flink_note_spark.operators.dedup import decontaminate, minhash_lsh_pairs
     from flink_note_spark.operators.sampling import hash_split
+    from flink_note_spark.operators.text import pii_scan, repetition_stats
 
-    cur = curate_corpus(df, text_col, id_col, config)
+    src = df
+    if pii_redact:
+        src = pii_scan(src, text_col, redact=True)
+    cur = curate_corpus(src, text_col, id_col, config)
+    if max_dup_word_ratio is not None:
+        rep = repetition_stats(
+            cur.select(id_col, text_col), text_col, id_col
+        ).select(id_col, "dup_word_ratio")
+        cur = cur.join(rep, id_col).filter(
+            F.col("dup_word_ratio") <= max_dup_word_ratio
+        )
     if near_dup_threshold is not None:
         # ids are unique after curate_corpus' keep-first dedup window.
         pairs = minhash_lsh_pairs(
@@ -111,6 +143,11 @@ def prepare_training_corpus(
             ids_unique=True,
         )
         cur = canonical_docs(cur, pairs, id_col)
+    if benchmark is not None:
+        cur = decontaminate(
+            cur, benchmark, n=decontaminate_n, id_col=id_col,
+            text_col=text_col, ids_unique=True,
+        )
     return hash_split(
         cur,
         id_col,

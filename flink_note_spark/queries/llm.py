@@ -1040,6 +1040,98 @@ LIMIT 5
 """
 
 
+def q84_full_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The EXTENDED composed corpus-preparation flow through the driver
+    gate: PII redaction → curate (exact dedup + language + quality) →
+    repetition gate → 5-gram decontamination against an eval subset →
+    corpus summary. The LSH near-dup stage is disabled here (its hash
+    functions have no DuckDB twin — covered by q31/q53's composition
+    path and rows-only checks); PII redaction runs but is a no-op on
+    the clean fixture, so the oracle replays every OTHER stage
+    faithfully: the composition contract under test is that five
+    chained operators produce exactly the documents the independent SQL
+    formulation keeps."""
+    from flink_note_spark.pipelines.curate import (
+        CurationConfig,
+        prepare_training_corpus,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.pmod("doc_id", F.lit(50)) == 0).select("doc_id", "text")
+    out = prepare_training_corpus(
+        d,
+        "text",
+        "doc_id",
+        CurationConfig(min_words=5, max_stop_ratio=0.9),
+        near_dup_threshold=None,
+        pii_redact=True,
+        max_dup_word_ratio=0.9,
+        benchmark=bench,
+        decontaminate_n=5,
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+
+
+_Q84_SQL = """
+WITH sig AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              WHEN len(list_filter(string_split(text, ' '),
+                   x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
+              WHEN len(list_filter(string_split(text, ' '),
+                   x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
+              WHEN len(list_filter(string_split(text, ' '),
+                   x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
+              ELSE 'en' END AS lang_pred,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','a','of','and','to')))
+           / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stop_ratio,
+         sha256(lower(trim(text))) AS h
+  FROM documents
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM sig
+  ) WHERE rn = 1
+), cur AS (
+  SELECT * FROM deduped
+  WHERE lang_pred IN ('en','es','fr','de','zh')
+    AND n_words BETWEEN 5 AND 100000 AND stop_ratio <= 0.9
+), rep AS (
+  SELECT doc_id,
+         round(1 - count(DISTINCT w) / CAST(count(*) AS DOUBLE), 6)
+           AS dup_word_ratio
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM cur)
+  WHERE w <> '' GROUP BY doc_id
+), gated AS (
+  SELECT cur.* FROM cur JOIN rep USING (doc_id)
+  WHERE rep.dup_word_ratio <= 0.9
+), grams AS (
+  SELECT g.doc_id, array_to_string(g.t[i.i:i.i+4], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM gated) g,
+       LATERAL (SELECT unnest(range(1, len(g.t) - 3)) AS i) AS i(i)
+), bgrams AS (
+  SELECT DISTINCT array_to_string(t[i.i:i.i+4], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 50 = 0) b,
+       LATERAL (SELECT unnest(range(1, len(b.t) - 3)) AS i) AS i(i)
+), leaky AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE gram IN (SELECT gram FROM bgrams)
+), final AS (
+  SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM leaky)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM final
+"""
+
+
 def q75_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, dim, c):
     one posexplode feeding a map-side-combinable (label, dim) average —
@@ -1157,6 +1249,7 @@ QUERIES = {
     "q75_label_centroids": q75_label_centroids,
     "q77_split_decontaminate": q77_split_decontaminate,
     "q78_frequent_tokens_sketch": q78_frequent_tokens_sketch,
+    "q84_full_corpus_prep": q84_full_corpus_prep,
     "q79_unigram_logprob": q79_unigram_logprob,
     "q76_centroid_classify": q76_centroid_classify,
     "q51_embedding_near_dup": q51_embedding_near_dup,
@@ -1195,6 +1288,7 @@ ORACLES = {
     "q77_split_decontaminate": _Q77_SQL,
     # sketch's exact verify stage makes it equal the exact operator here
     "q78_frequent_tokens_sketch": _Q66_SQL,
+    "q84_full_corpus_prep": _Q84_SQL,
     "q79_unigram_logprob": _Q79_SQL,
     "q76_centroid_classify": _Q76_SQL,
     "q51_embedding_near_dup": _Q51_SQL,

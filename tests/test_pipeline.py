@@ -87,3 +87,45 @@ def test_prepare_training_corpus_skips_near_dup_stage(spark):
     )
     out = prepare_training_corpus(df, near_dup_threshold=None)
     assert out.count() == 2                # both survive without the stage
+
+
+def test_prepare_training_corpus_extended_stages(spark):
+    """The r5 opt-in stages compose: PII redaction rewrites text before
+    hashing, the repetition gate drops degenerate docs, and benchmark
+    decontamination removes n-gram leaks — while default-off keeps the
+    original flow byte-identical."""
+    from flink_note_spark.pipelines import CurationConfig, prepare_training_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spam spam spam spam spam spam ham"),            # repetitive
+            (3, "alpha beta gamma delta epsilon zeta eta"),      # leaks bench
+            (4, "mail me at a.b@ex.org for the quick details now"),  # PII
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "xx alpha beta gamma delta epsilon yy")], "doc_id long, text string"
+    )
+    out = prepare_training_corpus(
+        df,
+        config=CurationConfig(min_words=3),
+        near_dup_threshold=None,
+        pii_redact=True,
+        max_dup_word_ratio=0.5,
+        benchmark=bench,
+        decontaminate_n=5,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 (dup ratio 5/7 > 0.5) and doc 3 (5-gram leak) are gone
+    assert sorted(rows) == [1, 4]
+    # doc 4's email was redacted BEFORE any downstream hashing
+    assert "<email>" in rows[4]["text"] and "a.b@ex.org" not in rows[4]["text"]
+    assert rows[4]["n_email"] == 1
+
+    # defaults leave the original flow untouched: all four docs survive
+    legacy = prepare_training_corpus(
+        df, config=CurationConfig(min_words=3), near_dup_threshold=None
+    )
+    assert legacy.count() == 4
