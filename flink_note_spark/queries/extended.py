@@ -612,6 +612,57 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _q85_band_lookup(batch):
+    """Deterministic stand-in for an external enrichment service
+    (module-level so it pickles to executor workers)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "band": [
+                "high" if p > 4000.0 else ("mid" if p > 1500.0 else "low")
+                for p in batch["l_extendedprice"]
+            ]
+        }
+    )
+
+
+def q85_batched_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """AsyncDataStream-analogue enrichment through the driver gate: an
+    injected batch lookup (deterministic local fn standing in for the
+    external service — environment contract) classifies each lineitem,
+    with bounded in-flight concurrency per partition; the aggregate
+    proves the Arrow plumbing and the concurrency window lose/duplicate
+    nothing. Python-path surface demo like q50 — correctness-gated,
+    excluded from the bench headline."""
+    from flink_note_spark.operators.enrich import batched_enrich
+
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = batched_enrich(
+        li, _q85_band_lookup, "band string",
+        max_concurrency=4, ordered=False, batch_rows=10_000,
+    )
+    return (
+        out.groupBy("l_returnflag", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "band")
+    )
+
+
+_Q85_SQL = """
+SELECT l_returnflag,
+       CASE WHEN l_extendedprice > 4000.0 THEN 'high'
+            WHEN l_extendedprice > 1500.0 THEN 'mid'
+            ELSE 'low' END AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- correlated + scalar subqueries ---------------------------------------
 
 def q54_correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
@@ -711,6 +762,7 @@ QUERIES = {
     "q81_unpivot": q81_unpivot,
     "q82_time_range_window": q82_time_range_window,
     "q83_exact_percentiles": q83_exact_percentiles,
+    "q85_batched_enrich": q85_batched_enrich,
 }
 
 ORACLES = {
@@ -730,4 +782,5 @@ ORACLES = {
     "q81_unpivot": _Q81_SQL,
     "q82_time_range_window": _Q82_SQL,
     "q83_exact_percentiles": _Q83_SQL,
+    "q85_batched_enrich": _Q85_SQL,
 }
