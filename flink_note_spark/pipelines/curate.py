@@ -126,11 +126,21 @@ def prepare_training_corpus(
         src = pii_scan(src, text_col, redact=True)
     cur = curate_corpus(src, text_col, id_col, config)
     if max_dup_word_ratio is not None:
+        # internal alias + LEFT join + drop: the gate must not clash
+        # with a caller's own dup_word_ratio column, must not leak a new
+        # column into the output schema, and must not silently drop
+        # zero-token docs (repetition_stats emits no row for them — no
+        # repetition signal means KEEP, not discard).
         rep = repetition_stats(
             cur.select(id_col, text_col), text_col, id_col
-        ).select(id_col, "dup_word_ratio")
-        cur = cur.join(rep, id_col).filter(
-            F.col("dup_word_ratio") <= max_dup_word_ratio
+        ).select(id_col, F.col("dup_word_ratio").alias("__dup_ratio"))
+        cur = (
+            cur.join(rep, id_col, "left")
+            .filter(
+                F.coalesce(F.col("__dup_ratio"), F.lit(0.0))
+                <= max_dup_word_ratio
+            )
+            .drop("__dup_ratio")
         )
     if near_dup_threshold is not None:
         # ids are unique after curate_corpus' keep-first dedup window.

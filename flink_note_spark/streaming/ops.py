@@ -278,23 +278,30 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
 
     def _find_relaxed(ts_buf: list[int], tp_buf: list[str], wm_us: int,
                       wm_prev_us: int):
+        from bisect import bisect_right
+
+        # per-type sorted timestamp lists once per invocation: successor
+        # lookup becomes bisect (O(S·k·log N) per key, not a full-buffer
+        # rescan per start and step)
+        by_type: dict[str, list[int]] = {}
+        for t, y in zip(ts_buf, tp_buf):
+            by_type.setdefault(y, []).append(t)
         rows = []
-        for j, y0 in enumerate(tp_buf):
-            if y0 != pattern[0]:
-                continue
-            times = [ts_buf[j]]
-            cur = ts_buf[j]
+        for t0 in by_type.get(pattern[0], ()):
+            times = [t0]
+            cur = t0
             ok = True
             for want in pattern[1:]:
-                nxt = next(
-                    (t for t, y in zip(ts_buf, tp_buf) if y == want and t > cur),
-                    None,  # buffer sorted → first hit is the earliest
-                )
-                if nxt is None:
+                cand = by_type.get(want)
+                if not cand:
                     ok = False
                     break
-                cur = nxt
-                times.append(nxt)
+                i = bisect_right(cand, cur)
+                if i == len(cand):
+                    ok = False
+                    break
+                cur = cand[i]
+                times.append(cur)
             if (
                 ok
                 and times[-1] - times[0] <= within_us
@@ -387,6 +394,12 @@ def match_pattern_stream(
     emission driven by event-time finality — the streaming twin of
     ``operators/cep.match_pattern``, equality-tested against it in
     tests/test_streaming.py for both contiguity modes.
+
+    State-schema note: the per-key state is
+    ``(ts array, tp array, wm long)`` and is versioned WITH this
+    operator — restoring a checkpoint written by an older build (r5
+    added the ``wm`` field for relaxed-mode bookkeeping) is not
+    supported; restart such a query from a fresh checkpoint.
 
     Emits one row per match, ``(key, ts_1 .. ts_k)`` with step times in
     epoch MICROseconds (the ``stateful_sessionize`` output convention),

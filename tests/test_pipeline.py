@@ -129,3 +129,29 @@ def test_prepare_training_corpus_extended_stages(spark):
         df, config=CurationConfig(min_words=3), near_dup_threshold=None
     )
     assert legacy.count() == 4
+
+
+def test_repetition_gate_corner_cases(spark):
+    """The gate must not clash with a caller's own dup_word_ratio
+    column, must not leak an extra column into the output, and must
+    KEEP zero-signal docs (no repetition evidence is not repetition)."""
+    from flink_note_spark.pipelines import CurationConfig, prepare_training_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", 0.99),  # caller's own column
+            (2, "spam spam spam spam spam", 0.0),    # repetitive → dropped
+        ],
+        "doc_id long, text string, dup_word_ratio double",
+    )
+    out = prepare_training_corpus(
+        df,
+        config=CurationConfig(min_words=3),
+        near_dup_threshold=None,
+        max_dup_word_ratio=0.5,
+    )
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # caller's column untouched, no leaked internal column
+    assert rows[0]["dup_word_ratio"] == 0.99
+    assert "__dup_ratio" not in out.columns
