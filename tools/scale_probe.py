@@ -350,6 +350,35 @@ def main() -> None:
             near_dup_threshold=0.4,
         )
 
+    def corpus_full_probe(d):
+        """The r5 five-stage flow: PII redaction → curate → repetition
+        gate → LSH collapse → 5-gram decontamination vs a 2% eval
+        subset → hash split (the q84 composition plus LSH)."""
+        from flink_note_spark.pipelines.curate import (
+            CurationConfig,
+            prepare_training_corpus,
+        )
+
+        bench_docs = d.filter(F.pmod("doc_id", F.lit(50)) == 0).select(
+            "doc_id", "text"
+        )
+        return prepare_training_corpus(
+            d, "text", "doc_id",
+            CurationConfig(min_words=5, max_stop_ratio=0.9),
+            near_dup_threshold=0.4,
+            pii_redact=True,
+            max_dup_word_ratio=0.9,
+            benchmark=bench_docs,
+        )
+
+    def tfidf_probe(d):
+        """Corpus-statistics join shape: per-doc TF-IDF top terms — two
+        map-side-combinable aggs + a token-keyed join + per-doc
+        window."""
+        from flink_note_spark.operators.text import tfidf_top_terms
+
+        return tfidf_top_terms(d, "text", "doc_id", k=3)
+
     # Events for the asof/sessionize probes: the x1 side is ALSO written
     # through replicate (k=1) so both scales stream probe-written parquet
     # with identical (micro-truncated) timestamp encoding and multi-file
@@ -401,6 +430,8 @@ def main() -> None:
         bench(f"ivf_topk_{tag}", lambda e=e: noop(ivf_probe(e)), t)
         bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
         bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
+        bench(f"tfidf_{tag}", lambda d=d: noop(tfidf_probe(d)), t)
+        bench(f"corpus_full_{tag}", lambda d=d: noop(corpus_full_probe(d)), t)
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
 
@@ -411,7 +442,7 @@ def main() -> None:
             "asof", "sessionize",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk", "corpus",
-            "decontaminate", "cep_strict",
+            "decontaminate", "cep_strict", "tfidf", "corpus_full",
         )
     }
     print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
