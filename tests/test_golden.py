@@ -29,6 +29,9 @@ def test_golden_snapshot(name, spark):
     got = QUERIES[name](spark, "/root/testdata/sf0.001").toPandas()
     got = got[sorted(got.columns)]
     got = got.sort_values(by=list(got.columns), ignore_index=True, na_position="first")
+    # Spark object columns carry None where the CSV round-trip has NaN;
+    # pandas will soon treat those as not-matching — normalize first
+    got = got.where(got.notna(), other=float("nan"))
     want = pd.read_csv(GOLDEN_DIR / f"{name}.csv")
     assert list(got.columns) == list(want.columns), name
     pd.testing.assert_frame_equal(
