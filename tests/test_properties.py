@@ -339,3 +339,50 @@ def test_cep_matches_naive_reference(spark, rows, pattern):
     assert got_strict == sorted(_naive_strict(rows4, pattern))
     got_relaxed = collect(match_pattern(df, pattern, contiguity="relaxed"))
     assert got_relaxed == sorted(_naive_relaxed(rows4, pattern))
+
+
+# --- decontamination invariants ------------------------------------------
+
+_decon_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),                  # doc id
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),  # words
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(docs=_decon_docs, bench=_decon_docs)
+@settings(**_SETTINGS)
+def test_decontaminate_invariants(spark, docs, bench):
+    """For ANY corpus/benchmark: output ⊆ input (schema and rows), a doc
+    survives iff it shares no word n-gram with the benchmark (checked
+    against a set-based Python reference), and docs shorter than n
+    always survive."""
+    from flink_note_spark.operators.dedup import decontaminate
+
+    n = 2
+    ddf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in docs] or [(99_999, "placeholder x")],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in bench] or [(88_888, "zz qq")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(ddf, bdf, n=n).collect())
+
+    def grams(ws):
+        return {tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_grams = set()
+    for _, ws in bench or [(0, ["zz", "qq"])]:
+        bench_grams |= grams(ws)
+    expect = sorted(
+        i
+        for i, ws in (docs or [(99_999, ["placeholder", "x"])])
+        if not (grams(ws) & bench_grams)
+    )
+    assert kept == expect
