@@ -131,16 +131,26 @@ def foreach_batch_sink(
     checkpoint: str,
     trigger_once: bool = False,
     processing_time: str | None = None,
+    output_mode: str | None = None,
 ):
     """Arbitrary per-micro-batch sink: ``fn(batch_df, batch_id)`` runs the
     full batch DataFrame API (upserts, multi-table writes, JDBC...) —
     Spark's rendering of a custom SinkFunction (SURVEY.md §2.2
     sources/sinks). Exactly-once requires ``fn`` to be idempotent on
     ``batch_id`` replay; the checkpoint guarantees each id is replayed
-    with identical data."""
+    with identical data.
+
+    ``output_mode`` matters even though foreachBatch itself writes
+    nothing: the engine validates it against upstream operators, and a
+    stream through ``applyInPandasWithState`` (sessionize, streaming
+    CEP) REQUIRES ``"update"`` — the default append is rejected at
+    analysis time.
+    """
     writer = df.writeStream.foreachBatch(fn).option(
         "checkpointLocation", checkpoint
     )
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     elif processing_time:

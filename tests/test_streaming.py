@@ -1240,3 +1240,66 @@ def test_cep_stream_relaxed_requires_within(spark, chunk_dir):
     )
     with pytest.raises(ValueError, match="within"):
         match_pattern_stream(stream, ["A", "B"], contiguity="relaxed")
+
+
+def test_cep_stream_survives_checkpoint_restart(spark, chunk_dir, tmp_path):
+    """Streaming CEP state (event buffer + watermark bookkeeping) must
+    survive a stop/restart from the checkpoint: a match whose prefix
+    arrived BEFORE the stop and whose completion arrives AFTER must
+    emit exactly once, with no duplicate of matches already emitted."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_restart_sink"
+    ckpt = tmp_path / "cep_restart_ckpt"
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, ["A", "B"], within="30 minutes",
+            watermark="2 minutes", contiguity="relaxed",
+        )
+
+        # update-mode stateful op → append file sink is rejected; write
+        # each micro-batch's (final, exactly-once) matches via
+        # foreachBatch instead
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: a completed match (0,1) finalized by the sentinel's
+    # watermark, plus a dangling A at minute 10 awaiting its B
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(1), "B", 1.0),
+        (1, 3, _ts(10), "A", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 4, _ts(20), "Z", 1.0)])
+    run_once()
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    first = spark.read.parquet(str(sink))
+    assert sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for r in first.collect()
+    ) == [(1, us(0), us(1))]
+
+    # while DOWN: the dangling A's B arrives, plus a fresh sentinel
+    _write_chunk(chunk_dir, "c3.parquet", [(1, 5, _ts(21), "B", 1.0)])
+    _write_chunk(chunk_dir, "c4.parquet", [(99, 6, _ts(60), "Z", 1.0)])
+    run_once()
+    final = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    # restored buffer completed (10 -> 21); run-1 match NOT re-emitted
+    assert final == [(1, us(0), us(1)), (1, us(10), us(21))]
