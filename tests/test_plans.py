@@ -152,3 +152,30 @@ def test_q68_cep_strict_single_shuffle(spark, sf_dir):
     the key (plus the driver-facing orderBy's range exchange)."""
     df = QUERIES["q68_event_pattern"](spark, sf_dir)
     assert shuffle_count(df) <= 2, f"cep strict shuffles {shuffle_count(df)}×"
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """Directory-layout partitioning must turn an equality filter into a
+    PartitionFilter (scan planning skips the other directories) — the
+    data-skipping half of the 100 TB write contract, complementing the
+    dynamic-overwrite test in test_sources."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.plans.inspect import explain_str
+    from flink_note_spark.sources.files import write_sink
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id long, grp string, v double",
+    )
+    out = str(tmp_path / "parts")
+    write_sink(df, "parquet", out, partition_by=["grp"])
+
+    q = spark.read.parquet(out).filter(F.col("grp") == "a").select("id")
+    plan = explain_str(q, "formatted")
+    assert "PartitionFilters" in plan and "grp" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # the partition column never appears as a pushed DATA filter — it was
+    # resolved at planning time, not scan time
+    assert q.count() == 50
