@@ -580,7 +580,10 @@ def route_to_sinks(
 
     Returns the un-started ``DataStreamWriter`` — attach a trigger and
     ``.start()`` it (same convention as ``sources.files``'s
-    ``foreach_batch_sink``). Exactly-once notes: foreachBatch is
+    ``foreach_batch_sink``). A stateful upstream
+    (``applyInPandasWithState`` — sessionize, streaming CEP) requires
+    ``.outputMode("update")`` on the returned writer; the engine rejects
+    the default append at analysis time. Exactly-once notes: foreachBatch is
     at-least-once on retry; idempotent/transactional sinks should key
     on ``batch_id`` (e.g. the manifest pattern in
     ``sources/files.write_stream_sink``).
