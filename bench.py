@@ -259,16 +259,29 @@ def main() -> None:
     }
     # Committed paired-comparison results (see module docstring): ride
     # along so the round's BENCH_r{N}.json carries comparable deltas.
+    # TOTALS ONLY — round 5 embedded the full per-query payload (~4.4 KB)
+    # and the driver's bounded stdout tail truncated the line's FRONT,
+    # leaving BENCH_r05 "parsed": null. The compact headline line must
+    # stay small and must be the FINAL stdout line; per-query paired
+    # detail lives in the committed BENCH_PAIRED.json.
     paired_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_PAIRED.json"
     )
     if os.path.exists(paired_path):
         try:
             with open(paired_path) as f:
-                out["paired"] = json.load(f)
+                p = json.load(f)
+            out["paired"] = {
+                k: p[k]
+                for k in ("ref", "pairs", "total_old", "total_new",
+                          "total_delta_pct")
+                if k in p
+            }
+            out["paired"]["detail"] = "BENCH_PAIRED.json"
         except (OSError, ValueError):
             pass
-    print(json.dumps(out))
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
