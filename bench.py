@@ -218,6 +218,100 @@ def compare_main(ref: str, pairs: int, only: list[str] | None = None) -> None:
         )
 
 
+def oracle_main() -> None:
+    """Per-query Spark-vs-DuckDB envelope table (``--oracle``): runs
+    every ORACLE-backed headline query in both engines (same parquet,
+    warm, best-of-3), measures this session's scheduling floor with a
+    scan→groupBy→noop probe, and prints a markdown table of
+    ``duckdb_sec / spark_sec / raw_ratio / floor_adj_ratio`` plus one
+    JSON line — making BASELINE.md's floor-envelope argument auditable
+    per query per round. Queries whose floor-adjusted ratio exceeds 2×
+    are flagged."""
+    import duckdb
+
+    from flink_note_spark.queries import ORACLES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="flink-note-spark-bench-oracle",
+        shuffle_partitions=_shuffle_partitions_for(sf_dir),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    duck = duckdb.connect()
+    duck.execute(f"SET threads TO {os.cpu_count() or 32}")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = [n for n in HEADLINE if n in ORACLES]
+    skipped = [n for n in HEADLINE if n not in ORACLES]
+
+    # session floor probe: the cheapest realistic query shape (scan →
+    # groupBy → noop over one small table), best-of-3 after warm-up —
+    # every headline query carries at least this much local-mode cost
+    probe = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    probe_q = probe.groupBy("n_regionkey").count()
+    _force(probe_q)
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(probe_q)
+        floor = min(floor, time.perf_counter() - t0)
+
+    for name in names:  # warm both engines
+        _force(QUERIES[name](spark, sf_dir))
+        duck.execute(ORACLES[name]).fetchall()
+
+    rows = []
+    for name in names:
+        s_best = d_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(QUERIES[name](spark, sf_dir))
+            s_best = min(s_best, time.perf_counter() - t0)
+            gc.collect()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            duck.execute(ORACLES[name]).fetchall()
+            d_best = min(d_best, time.perf_counter() - t0)
+        raw = s_best / d_best
+        adj = max(s_best - floor, 1e-9) / d_best
+        rows.append((name, round(d_best, 3), round(s_best, 3),
+                     round(raw, 1), round(adj, 1)))
+
+    print(f"\nfloor (scan→groupBy→noop, best-of-3): {floor:.3f} s; "
+          f"sf_dir={sf_dir}; no-oracle skipped: {skipped}\n")
+    print("| query | duckdb_sec | spark_sec | raw_ratio | "
+          "floor_adj_ratio |")
+    print("|---|---|---|---|---|")
+    flagged = []
+    for name, d, s, raw, adj in rows:
+        mark = " ⚑" if adj > 2 else ""
+        if adj > 2:
+            flagged.append(name)
+        print(f"| {name} | {d} | {s} | {raw}× | {adj}×{mark} |")
+    tot_d = round(sum(r[1] for r in rows), 3)
+    tot_s = round(sum(r[2] for r in rows), 3)
+    tot_adj = round(
+        max(tot_s - floor * len(rows), 1e-9) / tot_d, 1
+    )
+    print(f"| **total** | {tot_d} | {tot_s} | "
+          f"{round(tot_s / tot_d, 1)}× | {tot_adj}× |")
+    print(json.dumps({
+        "metric": "oracle_envelope",
+        "floor_sec": round(floor, 3),
+        "total_duckdb": tot_d,
+        "total_spark": tot_s,
+        "total_floor_adj_ratio": tot_adj,
+        "flagged_over_2x": flagged,
+        "sf_dir": sf_dir,
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -298,4 +392,6 @@ if __name__ == "__main__":
         if "--only" in argv:
             only = argv[argv.index("--only") + 1].split(",")
         sys.exit(compare_main(argv[1], n_pairs, only))
+    if argv and argv[0] == "--oracle":
+        sys.exit(oracle_main())
     sys.exit(main())

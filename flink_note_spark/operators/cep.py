@@ -4,42 +4,229 @@ Flink v1.12 ships the CEP library on top of exactly the DataStream
 runtime the reference notes trace (keyed state + event-time timers —
 SURVEY.md §2.2 "Stateful per-key processing"): ``Pattern.begin("a")
 .next("b").followedBy("c").within(Time...)`` compiles to an NFA operator
-over a keyed stream. This module re-expresses the two core contiguity
-modes Spark-first, as declarative plans Catalyst can optimize, instead
-of an imperative NFA:
+over a keyed stream. This module re-expresses the CEP pattern surface
+Spark-first, as declarative plans Catalyst can optimize, instead of an
+imperative NFA:
 
 - **strict contiguity** (Flink ``next``): the pattern's steps are
   ADJACENT events of the key's event-time-ordered stream. One window
   pass: ``lead(type, i)`` per step over (key, time) — a single shuffle
-  on the key, no joins, no Python.
+  on the key, no joins, no Python. Quantified loop steps
+  (``one_or_more``) split the pattern into fixed-offset segments glued
+  by (key, position) equi-joins over precomputed run metadata
+  (gaps-and-islands) — one extra co-partitioned join per loop step,
+  never a cross join.
 - **relaxed contiguity** (Flink ``followedBy``, skip-till-next-match):
   each step matches the EARLIEST event of its type strictly after the
   previous step's event. One union + running-``min`` window pass per
   step — every pass shuffles on the same key, so AQE/exchange reuse
   keeps it one physical repartition; no correlated per-row subqueries,
-  no cross join, no per-key Python. State per key inside a window frame
-  is O(1), so both shapes survive 100 TB the same way the as-of join
-  does (``operators/joins.py``).
+  no cross join, no per-key Python. Loop steps use one (key) equi-join
+  + group-agg whose fan-out is bounded by the actual run length (the
+  honest output size); per-key skew is bounded by the ``within``
+  horizon pruning applied at every step.
 
-The streaming twin (``streaming/ops.match_pattern_stream``) runs the
-same strict-contiguity semantics incrementally with
-``applyInPandasWithState`` + event-time timers and is equality-tested
-against the batch operator in tests/test_streaming.py.
+Quantifier / negation surface (round 6; Flink CEP pattern API closure):
+
+- ``times(n)`` — exact-n repetition of a step. Strict: n CONSECUTIVE
+  events (Flink ``times(n).consecutive()``); relaxed: n successive
+  earliest-after bindings. Pure pattern expansion in both modes.
+- ``one_or_more()`` — GREEDY loop (Flink ``oneOrMore().greedy()``):
+  strict = the maximal consecutive run of the type (``consecutive()``);
+  relaxed = every matching event before the stop bound (``until`` event
+  and/or the ``within`` horizon; unbounded = to the end of the key's
+  stream). Deterministic: one match per start, no per-prefix emission
+  (Flink's default non-greedy emits every prefix — documented
+  deviation; the greedy reading is the deterministic batch semantics).
+- ``until(t)`` — stop condition for a RELAXED loop (a strict run ends
+  at the first non-matching event by construction, so ``until`` raises
+  there, mirroring Flink's ``consecutive()`` + ``until`` interplay).
+- ``not_next(t)`` (strict) — the event at the current position is NOT
+  of the given type (or the stream ended). Asserts, does not consume:
+  ``A.not_next(X).next(B)`` requires the event after A to be B and not
+  X, exactly Flink's ``notNext``.
+- ``not_followed_by(t)`` (relaxed) — NO event of the type strictly
+  between the previous step's event and the next step's event. As the
+  LAST step it requires ``within`` (Flink's rule: a terminal
+  ``notFollowedBy`` needs a window) and asserts absence up to the
+  pattern horizon. Boundary: an event of the negated type at exactly
+  the next step's timestamp does NOT break the match (open interval).
+
+The streaming twin (``streaming/ops.match_pattern_stream``) runs
+strict-contiguity patterns (plain + ``times``-expanded) incrementally
+with ``applyInPandasWithState`` + event-time timers and is
+equality-tested against the batch operator in tests/test_streaming.py;
+loop/negation steps are batch-only (raise there).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _step_cols(k: int) -> list[str]:
-    return [f"ts_{i}" for i in range(1, k + 1)]
+@dataclass(frozen=True)
+class PatternStep:
+    """One normalized pattern step (see module docstring for semantics)."""
+
+    event_type: str
+    negate: bool = False
+    times: int = 1
+    loop: bool = False
+    until: str | None = None
+
+    def validate(self) -> None:
+        if self.times < 1:
+            raise ValueError("times must be >= 1")
+        if self.negate and (self.times != 1 or self.loop or self.until):
+            raise ValueError("a negated step cannot be quantified")
+        if self.loop and self.times != 1:
+            raise ValueError("one_or_more and times are mutually exclusive")
+        if self.until is not None and not self.loop:
+            raise ValueError("until applies only to one_or_more steps")
+
+
+class Pattern:
+    """Fluent Flink-style CEP pattern builder.
+
+    ``Pattern.begin("view").followed_by("click").one_or_more()
+    .until("purchase").followed_by("purchase").within("7 days")``
+
+    Contiguity is a property of the WHOLE pattern here (one declarative
+    plan per mode); mixing ``next`` and ``followed_by`` steps raises —
+    a documented deviation from Flink's per-step contiguity, matching
+    the two plan families ``match_pattern`` compiles to.
+    """
+
+    def __init__(self) -> None:
+        self.steps: list[PatternStep] = []
+        self.contiguity: str | None = None
+        self.within_: str | None = None
+
+    @classmethod
+    def begin(cls, event_type: str) -> "Pattern":
+        p = cls()
+        p.steps.append(PatternStep(event_type))
+        return p
+
+    def _set_mode(self, mode: str) -> None:
+        if self.contiguity is None:
+            self.contiguity = mode
+        elif self.contiguity != mode:
+            raise ValueError(
+                "mixed contiguity (next + followed_by in one pattern) is "
+                "not supported: pick strict (next/not_next) or relaxed "
+                "(followed_by/not_followed_by) for the whole pattern"
+            )
+
+    def _append(self, step: PatternStep, mode: str) -> "Pattern":
+        self._set_mode(mode)
+        self.steps.append(step)
+        return self
+
+    def next(self, event_type: str) -> "Pattern":
+        return self._append(PatternStep(event_type), "strict")
+
+    def followed_by(self, event_type: str) -> "Pattern":
+        return self._append(PatternStep(event_type), "relaxed")
+
+    def not_next(self, event_type: str) -> "Pattern":
+        return self._append(PatternStep(event_type, negate=True), "strict")
+
+    def not_followed_by(self, event_type: str) -> "Pattern":
+        return self._append(PatternStep(event_type, negate=True), "relaxed")
+
+    def _mod_last(self, **kw) -> "Pattern":
+        if not self.steps:
+            raise ValueError("no step to quantify")
+        last = self.steps[-1]
+        new = PatternStep(
+            last.event_type,
+            negate=last.negate,
+            times=kw.get("times", last.times),
+            loop=kw.get("loop", last.loop),
+            until=kw.get("until", last.until),
+        )
+        new.validate()
+        self.steps[-1] = new
+        return self
+
+    def times(self, n: int) -> "Pattern":
+        return self._mod_last(times=n)
+
+    def one_or_more(self) -> "Pattern":
+        return self._mod_last(loop=True)
+
+    def until(self, event_type: str) -> "Pattern":
+        return self._mod_last(until=event_type)
+
+    def within(self, duration: str) -> "Pattern":
+        self.within_ = duration
+        return self
+
+
+def _normalize(pattern) -> list[PatternStep]:
+    if isinstance(pattern, Pattern):
+        pattern = pattern.steps
+    steps: list[PatternStep] = []
+    for p in pattern:
+        if isinstance(p, PatternStep):
+            s = p
+        elif isinstance(p, str):
+            s = PatternStep(p)
+        elif isinstance(p, dict):
+            s = PatternStep(
+                p["type"],
+                negate=bool(p.get("negate", False)),
+                times=int(p.get("times", 1)),
+                loop=bool(p.get("one_or_more", p.get("loop", False))),
+                until=p.get("until"),
+            )
+        else:
+            raise TypeError(f"bad pattern step: {p!r}")
+        s.validate()
+        steps.append(s)
+    if not any(not s.negate for s in steps):
+        raise ValueError("pattern must name at least one positive event type")
+    return steps
+
+
+def expand_simple(pattern) -> list[str]:
+    """Expand a pattern into a plain type list IF it contains only
+    positive plain/``times`` steps (the surface the incremental
+    streaming matcher supports); raise otherwise."""
+    steps = _normalize(pattern)
+    out: list[str] = []
+    for s in steps:
+        if s.negate or s.loop:
+            raise ValueError(
+                "streaming CEP supports plain and times() steps only; "
+                "one_or_more/negation are batch-only"
+            )
+        out.extend([s.event_type] * s.times)
+    return out
+
+
+def _out_cols(steps: list[PatternStep]) -> list[str]:
+    cols: list[str] = []
+    i = 0
+    for s in steps:
+        if s.negate:
+            continue
+        i += 1
+        cols.append(f"ts_{i}")
+        if s.loop:
+            cols += [f"ts_{i}_last", f"n_{i}"]
+        elif s.times > 1:
+            cols.append(f"ts_{i}_last")
+    return cols
 
 
 def match_pattern(
     events: DataFrame,
-    pattern: list[str],
+    pattern,
     key_col: str = "user_id",
     time_col: str = "ts",
     type_col: str = "event_type",
@@ -47,110 +234,309 @@ def match_pattern(
     contiguity: str = "strict",
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Match an event-type sequence per key; one output row per match.
+    """Match an event-type pattern per key; one output row per match.
 
-    Output schema: ``key_col, ts_1 .. ts_k`` — the event time of each
-    matched step (``ts_1`` = pattern start, ``ts_k`` = completion).
+    ``pattern`` is a :class:`Pattern`, or a list whose entries are type
+    strings, :class:`PatternStep`, or dicts
+    (``{"type": ..., "times": n, "one_or_more": True, "until": ...,
+    "negate": True}``). A :class:`Pattern` carries its own contiguity
+    and ``within`` (explicit arguments win when passed).
 
-    ``contiguity='strict'`` is Flink's ``next()``: steps are adjacent in
-    the key's stream ordered by ``(time_col, *tiebreak)`` — every event
-    between ``ts_1`` and ``ts_k`` belongs to the match. Emitted for
-    every starting position (Flink's default no-skip behavior: matches
-    may overlap).
+    Output schema: ``key_col`` then, per positive step ``i`` (1-based),
+    ``ts_i`` = event time of the step's FIRST event; quantified steps
+    add ``ts_i_last`` (last event) and, for loops, ``n_i`` (count).
+    Negated steps emit no column.
 
-    ``contiguity='relaxed'`` is ``followedBy()`` under
-    skip-till-next-match: for EACH occurrence of ``pattern[0]``, each
-    later step binds to the earliest event of its type STRICTLY after
-    the previous step's time. Deterministic (no ambiguity to resolve:
-    "earliest completion per start") and the standard CEP reading of
-    ``followedBy`` with greedy-minimal continuation.
-
-    ``within`` (e.g. ``"7 days"``) bounds ``ts_k <= ts_1 + within`` —
-    Flink's ``Pattern.within``. For relaxed contiguity it is ALSO the
-    state-eviction horizon at scale: steps further apart can never
-    complete.
+    ``within`` bounds the LAST matched event at
+    ``<= ts_1 + within`` — Flink's ``Pattern.within``. For relaxed
+    contiguity it is also the state-eviction horizon at scale (pruned
+    per step, not only at the end).
 
     ``tiebreak`` columns break equal-timestamp ordering for strict
     contiguity (pass the event id for a total, reproducible order —
     same doctrine as ``operators/sampling``'s determinism contract).
+    Relaxed contiguity is pure event-time (ties documented in the
+    module docstring).
     """
+    if isinstance(pattern, Pattern):
+        if pattern.contiguity is not None:
+            contiguity = pattern.contiguity
+        if within is None:
+            within = pattern.within_
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(
             f"contiguity must be strict|relaxed, got {contiguity!r}"
         )
-    if len(pattern) < 1:
-        raise ValueError("pattern must name at least one event type")
-    k = len(pattern)
-    cols = _step_cols(k)
+    steps = _normalize(pattern)
 
     if contiguity == "strict":
-        return _match_strict(
-            events, pattern, key_col, time_col, type_col, within,
-            tiebreak or [], cols,
+        if any(s.until for s in steps):
+            raise ValueError(
+                "until applies to relaxed loops only (a strict/consecutive "
+                "run ends at the first non-matching event by construction)"
+            )
+        if any(s.loop for s in steps):
+            return _strict_segments(
+                events, steps, key_col, time_col, type_col, within,
+                tiebreak or [],
+            )
+        return _strict_leadchain(
+            events, steps, key_col, time_col, type_col, within,
+            tiebreak or [],
         )
     return _match_relaxed(
-        events, pattern, key_col, time_col, type_col, within, cols
+        events, steps, key_col, time_col, type_col, within
     )
 
 
-def _match_strict(
+def _within_expr(within: str) -> Column:
+    return F.expr(f"INTERVAL {within}")
+
+
+# ---------------------------------------------------------------------------
+# strict contiguity
+
+
+def _strict_leadchain(
     events: DataFrame,
-    pattern: list[str],
+    steps: list[PatternStep],
     key_col: str,
     time_col: str,
     type_col: str,
     within: str | None,
     tiebreak: list[str],
-    cols: list[str],
 ) -> DataFrame:
-    k = len(pattern)
+    """Loop-free strict pattern: ONE window pass, fixed lead offsets.
+    Negated steps assert at the current offset without consuming it."""
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
-
     df = events.select(key_col, time_col, type_col, *tiebreak)
-    sel = [F.col(key_col), F.col(time_col).alias(cols[0])]
-    cond = F.col(type_col) == pattern[0]
-    for i in range(1, k):
-        cond = cond & (F.lead(type_col, i).over(w) == pattern[i])
-        sel.append(F.lead(time_col, i).over(w).alias(cols[i]))
-    out = df.select(*sel, cond.alias("__m")).filter(F.col("__m")).drop("__m")
+
+    sel: list[Column] = [F.col(key_col)]
+    cond = F.lit(True)
+    off = 0
+    last_expr: Column | None = None
+    i = 0
+    for s in steps:
+        lt = F.lead(type_col, off).over(w)
+        if s.negate:
+            cond = cond & (lt.isNull() | (lt != s.event_type))
+            continue
+        i += 1
+        for r in range(s.times):
+            lt = F.lead(type_col, off).over(w)
+            lts = F.lead(time_col, off).over(w)
+            cond = cond & (lt == s.event_type)
+            if r == 0:
+                sel.append(lts.alias(f"ts_{i}"))
+            if s.times > 1 and r == s.times - 1:
+                sel.append(lts.alias(f"ts_{i}_last"))
+            last_expr = lts
+            off += 1
+    out = (
+        df.select(*sel, cond.alias("__m"), last_expr.alias("__last"))
+        .filter(F.col("__m"))
+        .drop("__m")
+    )
     if within is not None:
         out = out.filter(
-            F.col(cols[-1]) <= F.col(cols[0]) + F.expr(f"INTERVAL {within}")
+            F.col("__last") <= F.col("ts_1") + _within_expr(within)
         )
-    return out
+    return out.drop("__last")
 
 
-def _match_relaxed(
+def _split_segments(
+    steps: list[PatternStep],
+) -> list[tuple[str, list[PatternStep] | PatternStep]]:
+    """Alternate ('seg', [fixed-offset steps]) and ('loop', step)."""
+    groups: list[tuple[str, list[PatternStep] | PatternStep]] = []
+    cur: list[PatternStep] = []
+    for s in steps:
+        if s.loop:
+            groups.append(("seg", cur))
+            groups.append(("loop", s))
+            cur = []
+        else:
+            cur.append(s)
+    groups.append(("seg", cur))
+    return groups
+
+
+def _strict_segments(
     events: DataFrame,
-    pattern: list[str],
+    steps: list[PatternStep],
     key_col: str,
     time_col: str,
     type_col: str,
     within: str | None,
-    cols: list[str],
+    tiebreak: list[str],
 ) -> DataFrame:
-    k = len(pattern)
-    base = events.select(key_col, time_col, type_col)
-    matches = base.filter(F.col(type_col) == pattern[0]).select(
-        key_col, F.col(time_col).alias(cols[0])
-    )
-    for i in range(1, k):
-        step = base.filter(F.col(type_col) == pattern[i]).select(
-            key_col, F.col(time_col).alias("__step_t")
+    """Strict pattern WITH greedy consecutive-run loops: fixed-offset
+    segments matched with lead chains, glued by (key, position)
+    equi-joins against precomputed run metadata (gaps-and-islands).
+    All window passes and joins share the key partitioning; the number
+    of joins equals the number of loop steps."""
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    w_run_sum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    base = events.select(key_col, time_col, type_col, *tiebreak)
+    lagt = F.lag(type_col).over(w)
+    base = (
+        base.withColumn("__pos", F.row_number().over(w))
+        .withColumn(
+            "__chg",
+            F.when(lagt.isNull() | (lagt != F.col(type_col)), 1).otherwise(0),
         )
-        matches = _earliest_after(
-            matches, step, key_col, prev_col=cols[i - 1], out_col=cols[i]
-        ).filter(F.col(cols[i]).isNotNull())
-        if within is not None:
-            # prune per step, not only at the end: ts_i is monotone in i,
-            # so a partial match already past the horizon can never
-            # complete — dropping it here keeps the next union pass from
-            # carrying doomed anchors (the state-eviction bound at scale)
-            matches = matches.filter(
-                F.col(cols[i]) <= F.col(cols[0]) + F.expr(f"INTERVAL {within}")
+        .withColumn("__grp", F.sum("__chg").over(w_run_sum))
+    )
+    w_run = (
+        Window.partitionBy(key_col, "__grp")
+        .orderBy("__pos")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    base = (
+        base.withColumn("__rem", F.count(F.lit(1)).over(w_run))
+        .withColumn("__runlast", F.max(time_col).over(w_run))
+        .drop("__chg")
+    )
+
+    def seg_df(seg: list[PatternStep], start_i: int):
+        """Compile a fixed-offset segment anchored at each row: returns
+        (df with key, __pos, captured ts cols, __eLast), consumed
+        length, #positive steps. None when the segment has no positive
+        steps (pure-negation segments are folded by the caller)."""
+        if not any(not s.negate for s in seg):
+            return None, 0, 0
+        sel = [F.col(key_col), F.col("__pos")]
+        cond = F.lit(True)
+        off = 0
+        i = start_i
+        last_expr = None
+        for s in seg:
+            lt = F.lead(type_col, off).over(w)
+            if s.negate:
+                cond = cond & (lt.isNull() | (lt != s.event_type))
+                continue
+            i += 1
+            for r in range(s.times):
+                lt = F.lead(type_col, off).over(w)
+                lts = F.lead(time_col, off).over(w)
+                cond = cond & (lt == s.event_type)
+                if r == 0:
+                    sel.append(lts.alias(f"ts_{i}"))
+                if s.times > 1 and r == s.times - 1:
+                    sel.append(lts.alias(f"ts_{i}_last"))
+                last_expr = lts
+                off += 1
+        df = (
+            base.select(
+                *sel, cond.alias("__m"), last_expr.alias("__eLast")
             )
-    return matches
+            .filter(F.col("__m"))
+            .drop("__m")
+        )
+        return df, off, i - start_i
+
+    groups = _split_segments(steps)
+    M: DataFrame | None = None
+    pidx = 0
+    pending_neg: list[str] = []  # fold-into-next-join negation types
+    gi = 0
+    while gi < len(groups):
+        kind, g = groups[gi]
+        gi += 1
+        if kind == "seg":
+            seg = g  # type: ignore[assignment]
+            df, length, npos = seg_df(seg, pidx)
+            if df is None:
+                # no positive steps: terminal -> absence check later;
+                # mid-pattern -> fold negation types into the next loop
+                negs = [s.event_type for s in seg if s.negate]
+                if gi >= len(groups):
+                    if negs and M is None:
+                        raise ValueError("pattern must start positively")
+                    if negs:
+                        P = base.select(
+                            F.col(key_col).alias("__pk"),
+                            F.col("__pos").alias("__pp"),
+                            F.col(type_col).alias("__pt"),
+                        )
+                        cond = (F.col(key_col) == F.col("__pk")) & (
+                            F.col("__next") == F.col("__pp")
+                        )
+                        M = M.join(P, cond, "left")
+                        not_any = F.lit(True)
+                        for x in negs:
+                            not_any = not_any & (F.col("__pt") != x)
+                        M = M.filter(
+                            F.col("__pt").isNull() | not_any
+                        ).drop("__pk", "__pp", "__pt")
+                else:
+                    pending_neg += negs
+                continue
+            if M is None:
+                M = df.withColumn("__next", F.col("__pos") + F.lit(length))
+                M = M.drop("__pos")
+            else:
+                S = df.withColumnRenamed(key_col, "__sk")
+                cond = (F.col(key_col) == F.col("__sk")) & (
+                    F.col("__next") == F.col("__pos")
+                )
+                M = (
+                    M.drop("__eLast")
+                    .join(S, cond)
+                    .withColumn("__next2", F.col("__pos") + F.lit(length))
+                    .drop("__sk", "__pos", "__next")
+                    .withColumnRenamed("__next2", "__next")
+                )
+            pidx += npos
+        else:  # loop
+            s = g  # type: ignore[assignment]
+            pidx += 1
+            L = base.filter(F.col(type_col) == s.event_type)
+            for x in pending_neg:
+                # negation at the loop-start position: type==T already
+                # contradicts X unless X == T, in which case no match
+                if x == s.event_type:
+                    L = L.filter(F.lit(False))
+            pending_neg = []
+            L = L.select(
+                F.col(key_col).alias("__lk"),
+                F.col("__pos").alias("__lp"),
+                F.col(time_col).alias(f"ts_{pidx}"),
+                F.col("__runlast").alias(f"ts_{pidx}_last"),
+                F.col("__rem").alias(f"n_{pidx}"),
+                (F.col("__pos") + F.col("__rem")).alias("__lnext"),
+                F.col("__runlast").alias("__eL"),
+            )
+            if M is None:
+                M = (
+                    L.withColumnRenamed("__lk", key_col)
+                    .withColumnRenamed("__lnext", "__next")
+                    .withColumnRenamed("__eL", "__eLast")
+                    .drop("__lp")
+                )
+            else:
+                cond = (F.col(key_col) == F.col("__lk")) & (
+                    F.col("__next") == F.col("__lp")
+                )
+                M = (
+                    M.drop("__eLast")
+                    .join(L, cond)
+                    .drop("__lk", "__lp", "__next")
+                    .withColumnRenamed("__lnext", "__next")
+                    .withColumnRenamed("__eL", "__eLast")
+                )
+
+    assert M is not None
+    if within is not None:
+        M = M.filter(F.col("__eLast") <= F.col("ts_1") + _within_expr(within))
+    return M.select(key_col, *_out_cols(steps))
+
+
+# ---------------------------------------------------------------------------
+# relaxed contiguity
 
 
 def _earliest_after(
@@ -167,8 +553,8 @@ def _earliest_after(
     times over the PRECEDING frame. At equal times the anchor sorts
     first (side desc), so an equal-time step event stays outside the
     frame — that is exactly the strict ``>``. One shuffle on the key,
-    no join explosion.
-    """
+    no join explosion. Arbitrary anchor payload columns ride along
+    (null on the step side)."""
     t, side = "__cep_t", "__cep_side"
     a = anchors.withColumn(t, F.col(prev_col)).withColumn(side, F.lit(1))
     s = step.withColumnRenamed("__step_t", t).withColumn(side, F.lit(0))
@@ -183,3 +569,190 @@ def _earliest_after(
         F.min(F.when(F.col(side) == 0, F.col(t))).over(w),
     )
     return filled.filter(F.col(side) == 1).drop(t, side)
+
+
+def _match_relaxed(
+    events: DataFrame,
+    steps: list[PatternStep],
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+) -> DataFrame:
+    base = events.select(key_col, time_col, type_col)
+
+    def typed(t: str) -> DataFrame:
+        return base.filter(F.col(type_col) == t).select(
+            key_col, F.col(time_col).alias("__step_t")
+        )
+
+    has_loop = any(s.loop for s in steps)
+    M: DataFrame | None = None
+    pidx = 0
+    last_col: str | None = None
+    compressed = False
+    # (negated type, anchor ts column at declaration time)
+    pending_neg: list[tuple[str, str]] = []
+
+    def bind(M: DataFrame, t: str, prev_col: str, out_col: str) -> DataFrame:
+        out = _earliest_after(M, typed(t), key_col, prev_col, out_col)
+        out = out.filter(F.col(out_col).isNotNull())
+        if within is not None:
+            # prune per step: ts_i is monotone, a partial match past the
+            # horizon can never complete (state-eviction bound at scale)
+            out = out.filter(
+                F.col(out_col) <= F.col("ts_1") + _within_expr(within)
+            )
+        return out
+
+    def apply_negs(M: DataFrame, next_col: str) -> DataFrame:
+        nonlocal pending_neg
+        for x, anchor in pending_neg:
+            M = _earliest_after(M, typed(x), key_col, anchor, "__negx")
+            M = M.filter(
+                F.col("__negx").isNull()
+                | (F.col("__negx") >= F.col(next_col))
+            ).drop("__negx")
+        pending_neg = []
+        return M
+
+    for s in steps:
+        if s.negate:
+            if last_col is None:
+                raise ValueError("pattern must start with a positive step")
+            pending_neg.append((s.event_type, last_col))
+            continue
+        pidx += 1
+        first_col = f"ts_{pidx}"
+        if s.loop:
+            if M is not None and not compressed:
+                # deterministic loop aggregation groups by the carried
+                # columns; compress duplicate anchors first and restore
+                # multiplicity at the end (identical events at identical
+                # times produce identical matches)
+                M = M.groupBy(M.columns).agg(F.count(F.lit(1)).alias("__mult"))
+            compressed = True  # loop-first anchors self-compress too
+            M = _relaxed_loop(
+                M, base, typed, s, key_col, time_col, type_col,
+                within, pidx, last_col,
+            )
+            if pending_neg:
+                M = apply_negs(M, first_col)
+            last_col = f"ts_{pidx}_last"
+        else:
+            if M is None:
+                M = base.filter(F.col(type_col) == s.event_type).select(
+                    key_col, F.col(time_col).alias(first_col)
+                )
+                last_col = first_col
+                rng = range(1, s.times)
+            else:
+                rng = range(s.times)
+            tmp_cols: list[str] = []
+            for r in rng:
+                if r == 0:
+                    out_col = first_col
+                elif r == s.times - 1:
+                    out_col = f"ts_{pidx}_last"
+                else:
+                    out_col = f"__t{pidx}_{r}"
+                    tmp_cols.append(out_col)
+                M = bind(M, s.event_type, last_col, out_col)
+                last_col = out_col
+            if tmp_cols:
+                M = M.drop(*tmp_cols)
+            if pending_neg:
+                M = apply_negs(M, first_col)
+
+    assert M is not None and last_col is not None
+    if pending_neg:
+        # terminal negation: absence up to the pattern horizon
+        if within is None:
+            raise ValueError(
+                "a terminal not_followed_by requires within (Flink's rule: "
+                "a pattern ending in notFollowedBy needs a window)"
+            )
+        for x, anchor in pending_neg:
+            M = _earliest_after(M, typed(x), key_col, anchor, "__negx")
+            M = M.filter(
+                F.col("__negx").isNull()
+                | (F.col("__negx") > F.col("ts_1") + _within_expr(within))
+            ).drop("__negx")
+        pending_neg = []
+    if compressed:
+        M = M.withColumn(
+            "__dup", F.explode(F.sequence(F.lit(1), F.col("__mult")))
+        ).drop("__mult", "__dup")
+    return M.select(key_col, *_out_cols(steps))
+
+
+def _relaxed_loop(
+    M: DataFrame | None,
+    base: DataFrame,
+    typed,
+    s: PatternStep,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    pidx: int,
+    last_col: str | None,
+) -> DataFrame:
+    """Greedy relaxed loop: every event of the type strictly after the
+    previous step and strictly before the stop bound (earliest ``until``
+    event / the ``within`` horizon; unbounded otherwise). One (key)
+    equi-join + group-agg; fan-out is the matched-run length."""
+    first_col, last_out, n_col = f"ts_{pidx}", f"ts_{pidx}_last", f"n_{pidx}"
+    el = base.filter(F.col(type_col) == s.event_type).select(
+        F.col(key_col).alias("__ek"), F.col(time_col).alias("__el")
+    )
+
+    if M is None:
+        # loop is step 1: each occurrence anchors a match; the anchor is
+        # the run's first element, later elements aggregate on top
+        A = base.filter(F.col(type_col) == s.event_type).select(
+            key_col, F.col(time_col).alias(first_col)
+        )
+        A = A.groupBy(A.columns).agg(F.count(F.lit(1)).alias("__mult"))
+        anchor_prev = first_col
+    else:
+        A = M
+        anchor_prev = last_col
+
+    if s.until is not None:
+        A = _earliest_after(A, typed(s.until), key_col, anchor_prev, "__stop")
+
+    carried = A.columns
+    cond = (F.col(key_col) == F.col("__ek")) & (
+        F.col("__el") > F.col(anchor_prev)
+    )
+    if s.until is not None:
+        cond = cond & (
+            F.col("__stop").isNull() | (F.col("__el") < F.col("__stop"))
+        )
+    if within is not None:
+        horizon_base = "ts_1" if M is not None else first_col
+        cond = cond & (
+            F.col("__el") <= F.col(horizon_base) + _within_expr(within)
+        )
+    j = A.join(el, cond)
+    agg = j.groupBy(*carried).agg(
+        F.min("__el").alias("__f"),
+        F.max("__el").alias("__l"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    if M is None:
+        # left side keeps single-element runs (no later elements)
+        out = A.join(agg, carried, "left").select(
+            *carried,
+            F.coalesce(F.col("__l"), F.col(first_col)).alias(last_out),
+            (F.lit(1) + F.coalesce(F.col("__n"), F.lit(0))).alias(n_col),
+        )
+    else:
+        out = agg.select(
+            *carried,
+            F.col("__f").alias(first_col),
+            F.col("__l").alias(last_out),
+            F.col("__n").alias(n_col),
+        )
+    return out.drop("__stop") if s.until is not None else out

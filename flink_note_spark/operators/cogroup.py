@@ -16,6 +16,16 @@ DDL schema) and documents the scale shape; anything expressible as a
 join or aggregate should stay a join or aggregate (codegen beats Python
 per-group), so reach for co-group only when the per-key logic is
 genuinely procedural over both whole groups.
+
+**Scale note (round 6):** the raw mode costs one Arrow round-trip + one
+Python invocation PER KEY (BASELINE.md measured 23 s at 15 k raw keys,
+1× data) — linear in key cardinality. Pass ``buckets=n`` to hash keys
+into ``n`` buckets first: Spark-level group calls drop from #keys to
+``n`` (the per-key user function still runs per key, but inside one
+Arrow batch, as plain pandas slicing), making the safe shape the
+default path on high-cardinality corpora. Semantics are identical —
+per-key outer groups, deterministic ``xxhash64`` bucketing, keys
+iterated in sorted order inside each bucket.
 """
 
 from __future__ import annotations
@@ -24,6 +34,14 @@ from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__cg_bucket"
+
+
+def _schema_names(schema: str) -> list[str]:
+    """Column names from a DDL string ('a int, b string' → [a, b])."""
+    return [f.strip().split()[0] for f in schema.split(",") if f.strip()]
 
 
 def cogroup_apply(
@@ -32,6 +50,7 @@ def cogroup_apply(
     keys: list[str],
     fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
     schema: str,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Apply ``fn(left_group, right_group) -> pdf`` per key.
 
@@ -41,9 +60,57 @@ def cogroup_apply(
     hash shuffle per input on ``keys``; per-key groups must fit a
     worker's memory — the same bound Flink's coGroup has, since both
     buffer whole groups.
+
+    ``buckets=n`` bounds the number of Spark-level Python/Arrow calls to
+    ``n`` regardless of key cardinality (see module scale note): keys
+    are hashed into buckets with ``xxhash64`` and ``fn`` is invoked per
+    key INSIDE each bucket batch. With buckets, a whole bucket's groups
+    must fit in memory — size ``n`` so #keys/n groups fit, the usual
+    sweet spot being a few × the cluster's task slots.
     """
+    if buckets is None:
+        return (
+            left.groupBy(*keys)
+            .cogroup(right.groupBy(*keys))
+            .applyInPandas(fn, schema)
+        )
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    bexpr = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets))
+    lb = left.withColumn(_BUCKET, bexpr)
+    rb = right.withColumn(_BUCKET, bexpr)
+    out_names = _schema_names(schema)
+
+    def bucket_fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=[_BUCKET])
+        rpdf = rpdf.drop(columns=[_BUCKET])
+        lg = (
+            {k: g for k, g in lpdf.groupby(keys, sort=False, dropna=False)}
+            if len(lpdf) else {}
+        )
+        rg = (
+            {k: g for k, g in rpdf.groupby(keys, sort=False, dropna=False)}
+            if len(rpdf) else {}
+        )
+        l_empty = lpdf.iloc[0:0]
+        r_empty = rpdf.iloc[0:0]
+
+        def korder(k):  # deterministic even with None/NaN/mixed keys
+            parts = k if isinstance(k, tuple) else (k,)
+            return [repr(p) for p in parts]
+
+        outs = []
+        for k in sorted(lg.keys() | rg.keys(), key=korder):
+            res = fn(lg.get(k, l_empty), rg.get(k, r_empty))
+            if res is not None and len(res):
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame({c: [] for c in out_names})
+        return pd.concat(outs, ignore_index=True)
+
     return (
-        left.groupBy(*keys)
-        .cogroup(right.groupBy(*keys))
-        .applyInPandas(fn, schema)
+        lb.groupBy(_BUCKET)
+        .cogroup(rb.groupBy(_BUCKET))
+        .applyInPandas(bucket_fn, schema)
     )

@@ -168,8 +168,12 @@ def _shingle_rows(
             n_docs = len(pdf)
             if not n_docs:
                 continue
-            # None/"" → no tokens (parity with `text.split(" ") if text`)
-            toks_per_doc = [t.split(" ") if t else [] for t in pdf[text_col]]
+            # Whitespace-RUN tokenization (str.split() == \s+ with empty
+            # drop) — the ONE tokenization shared by every hygiene
+            # operator (tfidf/repetition/frequent_tokens use \s+ too),
+            # so tabs/newlines produce identical token streams across
+            # all stages of prepare_training_corpus (ADVICE r5 fix).
+            toks_per_doc = [t.split() if t else [] for t in pdf[text_col]]
             lengths = np.fromiter(
                 (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
             )
@@ -582,7 +586,9 @@ def _simhash64_impl(texts: pd.Series) -> pd.Series:
     import numpy as np
 
     n_docs = len(texts)
-    toks_per_doc = [t.split(" ") if t else [] for t in texts]
+    # whitespace-run tokenization, shared with _shingle_rows and the
+    # \s+-splitting text operators (ADVICE r5 consistency fix)
+    toks_per_doc = [t.split() if t else [] for t in texts]
     lengths = np.fromiter(
         (len(t) for t in toks_per_doc), dtype=np.int64, count=n_docs
     )

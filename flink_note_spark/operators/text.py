@@ -140,6 +140,7 @@ def frequent_tokens_sketch(
     k: int = 100,
     min_count: int = 2,
     summary_size: int = 4096,
+    with_guarantee: bool = False,
 ) -> DataFrame:
     """Heavy-hitter tokens via per-partition Misra–Gries summaries +
     an exact verification pass — the sketch-path twin of
@@ -168,6 +169,20 @@ def frequent_tokens_sketch(
     WHICH tokens get counted.
 
     Output: token, n (exact), ordered (n desc, token asc), limit k.
+
+    **Guarantee boundary (ADVICE r5):** MG only guarantees a token's
+    survival when its corpus frequency exceeds ``n/(summary_size+1)``;
+    a true top-k token at or below that threshold may never surface as
+    a candidate, and the verify stage cannot count what it never saw —
+    the caller would get a plausible-looking but incomplete top-k with
+    no signal. ``with_guarantee=True`` appends a ``mg_guaranteed``
+    boolean per row (``n > total_tokens/(summary_size+1)``): rows with
+    ``true`` are provably the exact top of the corpus; once a ``false``
+    row appears, every row from that rank down is only
+    best-effort — re-run with a larger ``summary_size`` (or the exact
+    :func:`frequent_tokens`) if those ranks matter. Costs one extra
+    map-side-combinable ``count`` over the token scan; the default
+    schema is unchanged.
     """
     tok = df.select(
         F.explode(F.split(F.col(text_col), "\\s+")).alias("token")
@@ -196,14 +211,23 @@ def frequent_tokens_sketch(
             yield pd.DataFrame({"token": list(counters.keys())})
 
     cand = tok.mapInPandas(mg_partials, "token string").distinct()
-    return (
+    out = (
         tok.join(cand, "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
-        .orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(k)
     )
+    if with_guarantee:
+        total = tok.agg(F.count(F.lit(1)).alias("__N"))
+        out = (
+            out.crossJoin(F.broadcast(total))  # 1-row total: bounded
+            .withColumn(
+                "mg_guaranteed",
+                F.col("n") > F.col("__N") / F.lit(m + 1),
+            )
+            .drop("__N")
+        )
+    return out.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
 def tfidf_top_terms(

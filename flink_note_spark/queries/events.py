@@ -382,6 +382,203 @@ ORDER BY user_id, start_ts
 """
 
 
+def q86_cep_times(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP exact-``times(n)`` quantifier (Flink ``Pattern.begin("view")
+    .next("click").times(2).next("purchase").within(...)``, strict/
+    consecutive): view then TWO adjacent clicks then purchase, per user
+    within 7 days — pure pattern expansion into the one-pass lead()
+    window chain (no joins)."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    return (
+        match_pattern(
+            e,
+            ["view", {"type": "click", "times": 2}, "purchase"],
+            within="7 days",
+            contiguity="strict",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("click1_ts"),
+            F.col("ts_2_last").alias("click2_ts"),
+            F.col("ts_3").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q86_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         event_type AS t0,
+         lead(event_type,1) OVER w AS t1, lead(ts,1) OVER w AS ts1,
+         lead(event_type,2) OVER w AS t2, lead(ts,2) OVER w AS ts2,
+         lead(event_type,3) OVER w AS t3, lead(ts,3) OVER w AS ts3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS start_ts, ts1 AS click1_ts, ts2 AS click2_ts,
+       ts3 AS end_ts
+FROM e
+WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'click' AND t3 = 'purchase'
+  AND ts3 <= ts + INTERVAL 7 DAY
+ORDER BY user_id, start_ts
+"""
+
+
+def q87_cep_negation(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``notFollowedBy`` (Flink ``Pattern.begin("view")
+    .notFollowedBy("click").followedBy("purchase")``): purchases whose
+    preceding view saw NO click in between — the negated step is an
+    absence assertion on the open interval, rendered as one extra
+    union + running-min window pass (no anti-join explosion, no
+    correlated per-row subquery)."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .not_followed_by("click")
+        .followed_by("purchase")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q87_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id, t0,
+        (SELECT min(e.ts) FROM events e WHERE e.user_id = a.user_id
+         AND e.event_type = 'purchase' AND e.ts > a.t0) AS t1 FROM a)
+SELECT user_id, t0 AS start_ts, t1 AS end_ts
+FROM b
+WHERE t1 IS NOT NULL AND t1 <= t0 + INTERVAL 7 DAY
+  AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = b.user_id
+                  AND e.event_type = 'click' AND e.ts > b.t0 AND e.ts < b.t1)
+ORDER BY user_id, start_ts
+"""
+
+
+def q88_cep_one_or_more(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP greedy ``oneOrMore().until()`` (Flink ``Pattern.begin("view")
+    .followedBy("click").oneOrMore().greedy().until("purchase")
+    .followedBy("purchase").within(...)``): every click between the
+    view and its first purchase (>=1 required), then the purchase —
+    the loop is one key equi-join + group-agg whose fan-out is the
+    actual run length."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click").one_or_more().until("purchase")
+        .followed_by("purchase")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("first_click"),
+            F.col("ts_2_last").alias("last_click"),
+            F.col("n_2").alias("n_clicks"),
+            F.col("ts_3").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q88_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id, t0,
+        (SELECT min(e.ts) FROM events e WHERE e.user_id = a.user_id
+         AND e.event_type = 'purchase' AND e.ts > a.t0) AS stop FROM a),
+c AS (SELECT user_id, t0, stop,
+        (SELECT count(*) FROM events e WHERE e.user_id = b.user_id
+         AND e.event_type = 'click' AND e.ts > b.t0
+         AND (b.stop IS NULL OR e.ts < b.stop)
+         AND e.ts <= b.t0 + INTERVAL 7 DAY) AS n,
+        (SELECT min(e.ts) FROM events e WHERE e.user_id = b.user_id
+         AND e.event_type = 'click' AND e.ts > b.t0
+         AND (b.stop IS NULL OR e.ts < b.stop)
+         AND e.ts <= b.t0 + INTERVAL 7 DAY) AS fc,
+        (SELECT max(e.ts) FROM events e WHERE e.user_id = b.user_id
+         AND e.event_type = 'click' AND e.ts > b.t0
+         AND (b.stop IS NULL OR e.ts < b.stop)
+         AND e.ts <= b.t0 + INTERVAL 7 DAY) AS lc
+      FROM b)
+SELECT user_id, t0 AS start_ts, fc AS first_click, lc AS last_click,
+       CAST(n AS BIGINT) AS n_clicks, stop AS end_ts
+FROM c
+WHERE n >= 1 AND stop IS NOT NULL AND stop <= t0 + INTERVAL 7 DAY
+ORDER BY user_id, start_ts
+"""
+
+
+def q89_cep_strict_run(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP strict greedy run (Flink ``Pattern.begin("click").oneOrMore()
+    .greedy().consecutive().next("purchase")``): each maximal-from-start
+    consecutive click run whose IMMEDIATE successor is a purchase —
+    gaps-and-islands run metadata + one co-partitioned (key, position)
+    equi-join; one match per starting click (overlapping starts, the
+    no-skip doctrine of the plain strict matcher)."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    return (
+        match_pattern(
+            e,
+            [{"type": "click", "one_or_more": True}, "purchase"],
+            within="7 days",
+            contiguity="strict",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("run_start"),
+            F.col("ts_1_last").alias("run_end"),
+            F.col("n_1").alias("n_clicks"),
+            F.col("ts_2").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "run_start")
+    )
+
+
+_Q89_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type, event_id,
+         row_number() OVER w AS pos,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem,
+        max(ts) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS runlast
+      FROM g)
+SELECT r.user_id, r.ts AS run_start, r.runlast AS run_end,
+       CAST(r.rem AS BIGINT) AS n_clicks, nxt.ts AS purchase_ts
+FROM r
+JOIN g nxt ON nxt.user_id = r.user_id AND nxt.pos = r.pos + r.rem
+WHERE r.event_type = 'click' AND nxt.event_type = 'purchase'
+  AND nxt.ts <= r.ts + INTERVAL 7 DAY
+ORDER BY r.user_id, run_start
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -393,6 +590,10 @@ QUERIES = {
     "q28_event_funnel": q28_event_funnel,
     "q68_event_pattern": q68_event_pattern,
     "q69_event_pattern_relaxed": q69_event_pattern_relaxed,
+    "q86_cep_times": q86_cep_times,
+    "q87_cep_negation": q87_cep_negation,
+    "q88_cep_one_or_more": q88_cep_one_or_more,
+    "q89_cep_strict_run": q89_cep_strict_run,
 }
 
 ORACLES = {
@@ -406,4 +607,8 @@ ORACLES = {
     "q28_event_funnel": _Q28_SQL,
     "q68_event_pattern": _Q68_SQL,
     "q69_event_pattern_relaxed": _Q69_SQL,
+    "q86_cep_times": _Q86_SQL,
+    "q87_cep_negation": _Q87_SQL,
+    "q88_cep_one_or_more": _Q88_SQL,
+    "q89_cep_strict_run": _Q89_SQL,
 }

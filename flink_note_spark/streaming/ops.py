@@ -262,16 +262,20 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
 
     def _find_strict(ts_buf: list[int], tp_buf: list[str], wm_us: int,
                      wm_prev_us: int):
+        # finality is STRICTLY below the watermark: Spark's late-row
+        # filter drops only ts < wm, so an event with ts == wm can
+        # still arrive in a later batch and must not be matched past
+        # or evicted yet (ADVICE r5 boundary fix)
         rows = []
         for j in range(len(ts_buf) - k + 1):
-            if ts_buf[j + k - 1] > wm_us:
+            if ts_buf[j + k - 1] >= wm_us:
                 break  # sorted: later windows end even younger
             if all(tp_buf[j + d] == pattern[d] for d in range(k)):
                 if within_us is None or ts_buf[j + k - 1] - ts_buf[j] <= within_us:
                     rows.append([ts_buf[j + d] for d in range(k)])
-        # evict the finalized (≤ wm) region, keep its trailing k-1 events
+        # evict the finalized (< wm) region, keep its trailing k-1 events
         n_final = 0
-        while n_final < len(ts_buf) and ts_buf[n_final] <= wm_us:
+        while n_final < len(ts_buf) and ts_buf[n_final] < wm_us:
             n_final += 1
         cut = max(0, n_final - (k - 1))
         return rows, ts_buf[cut:], tp_buf[cut:]
@@ -305,15 +309,19 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
             if (
                 ok
                 and times[-1] - times[0] <= within_us
-                and wm_prev_us < times[-1] <= wm_us
+                and wm_prev_us <= times[-1] < wm_us
             ):
+                # strictly-below-wm finality + half-open [wm_prev, wm)
+                # emission intervals: exactly-once even when an event
+                # arrives with ts exactly == a previous watermark
+                # (Spark drops only ts < wm — ADVICE r5 boundary fix)
                 rows.append(times)
-        # an event older than wm - within can only serve starts that are
-        # older still, and those starts' candidate successors are all
-        # ≤ wm → their matches are final (emitted or dead) — evict it
+        # an event strictly older than wm - within can only serve starts
+        # that are older still, and those starts' candidate successors
+        # are all < wm → their matches are final (emitted or dead)
         horizon = wm_us - within_us
         cut = 0
-        while cut < len(ts_buf) and ts_buf[cut] <= horizon:
+        while cut < len(ts_buf) and ts_buf[cut] < horizon:
             cut += 1
         return rows, ts_buf[cut:], tp_buf[cut:]
 
@@ -411,8 +419,26 @@ def match_pattern_stream(
     horizon and the state bound (events older than
     ``watermark − within`` can no longer bind to any live start). Late
     events beyond the watermark are dropped by the engine before they
-    reach the operator.
+    reach the operator. Finality is STRICTLY below the watermark (the
+    engine's late filter drops only ``ts < wm``, so ``ts == wm`` can
+    still arrive): matches emit once their last event is ``< wm``.
+
+    ``pattern`` may also be an ``operators.cep.Pattern`` or step-spec
+    list containing ``times(n)`` quantifiers (expanded positionally);
+    ``one_or_more``/negation steps are batch-only and raise here.
     """
+    from flink_note_spark.operators.cep import Pattern, expand_simple
+
+    if isinstance(pattern, Pattern):
+        if pattern.contiguity is not None:
+            contiguity = pattern.contiguity
+        if within is None:
+            within = pattern.within_
+    if not (
+        isinstance(pattern, list)
+        and all(isinstance(p, str) for p in pattern)
+    ):
+        pattern = expand_simple(pattern)
     k = len(pattern)
     if k < 1:
         raise ValueError("pattern must name at least one event type")

@@ -204,3 +204,328 @@ def test_fixture_events_vs_duckdb(spark, duck, sf_dir, contiguity):
         """
     assert_frames_match(got.toPandas(), duck.execute(sql).df(), f"cep_{contiguity}")
     assert got.count() > 0  # the funnel actually fires on the fixture
+
+
+# ---------------------------------------------------------------------------
+# round 6: quantifiers + negation (times / one_or_more / until / not_*)
+
+
+def _norm_steps(steps):
+    """(type, negate, times, loop, until) tuples from mixed specs."""
+    out = []
+    for s in steps:
+        if isinstance(s, str):
+            out.append((s, False, 1, False, None))
+        else:
+            out.append((
+                s["type"], s.get("negate", False), s.get("times", 1),
+                s.get("one_or_more", False), s.get("until"),
+            ))
+    return out
+
+
+def _naive_general_strict(rows, steps, within_s=None):
+    """Reference matcher for the full strict surface: fixed positions,
+    greedy consecutive runs, non-consuming negation."""
+    steps = _norm_steps(steps)
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted(
+            [(s, t, i) for (kk, s, t, i) in rows if kk == key],
+            key=lambda r: (r[0], r[2]),
+        )
+        n = len(seq)
+        for p0 in range(n):
+            pos, cap, ok, last_ts = p0, [], True, None
+            for (typ, neg, times, loop, _until) in steps:
+                if neg:
+                    if pos < n and seq[pos][1] == typ:
+                        ok = False
+                        break
+                    continue
+                if loop:
+                    if pos >= n or seq[pos][1] != typ:
+                        ok = False
+                        break
+                    q = pos
+                    while q < n and seq[q][1] == typ:
+                        q += 1
+                    cap += [seq[pos][0], seq[q - 1][0], q - pos]
+                    last_ts = seq[q - 1][0]
+                    pos = q
+                else:
+                    first = None
+                    for _ in range(times):
+                        if pos >= n or seq[pos][1] != typ:
+                            ok = False
+                            break
+                        if first is None:
+                            first = seq[pos][0]
+                        last_ts = seq[pos][0]
+                        pos += 1
+                    if not ok:
+                        break
+                    cap.append(first)
+                    if times > 1:
+                        cap.append(last_ts)
+            if ok and cap:
+                if within_s is None or last_ts - cap[0] <= within_s:
+                    out.append((key, *cap))
+    return sorted(out)
+
+
+def _naive_general_relaxed(rows, steps, within_s=None):
+    """Reference matcher for the full relaxed surface: earliest-after
+    binding, greedy loops bounded by until/within, open-interval
+    negation (terminal negation asserts up to the within horizon)."""
+    steps = _norm_steps(steps)
+    INF = float("inf")
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted([(s, t) for (kk, s, t, _) in rows if kk == key])
+
+        def first_after(typ, after):
+            c = [s for (s, t) in seq if t == typ and s > after]
+            return min(c) if c else None
+
+        first_steps = [s for s in steps if not s[1]]
+        t0_type = first_steps[0][0]
+        for s0, ty0 in seq:
+            if ty0 != t0_type:
+                continue
+            cap, cur, ok, pending = [], None, True, []
+            horizon = (s0 + within_s) if within_s is not None else INF
+            for si, (typ, neg, times, loop, until) in enumerate(steps):
+                if neg:
+                    pending.append((typ, cur))
+                    continue
+                if loop:
+                    if cur is None:
+                        anchor, els0 = s0, [s0]
+                    else:
+                        anchor, els0 = cur, []
+                    stop = first_after(until, anchor) if until else None
+                    els = els0 + [
+                        s for (s, t) in seq
+                        if t == typ and s > anchor
+                        and (stop is None or s < stop) and s <= horizon
+                    ]
+                    if not els:
+                        ok = False
+                        break
+                    nxt = els[0]
+                    cap += [els[0], els[-1], len(els)]
+                    new_cur = els[-1]
+                elif cur is None:
+                    nxt = s0
+                    cap.append(s0)
+                    new_cur = s0
+                    for _ in range(times - 1):
+                        new_cur = first_after(typ, new_cur)
+                        if new_cur is None or new_cur > horizon:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                    if times > 1:
+                        cap.append(new_cur)
+                else:
+                    nxt = first_after(typ, cur)
+                    if nxt is None or nxt > horizon:
+                        ok = False
+                        break
+                    cap.append(nxt)
+                    new_cur = nxt
+                    for _ in range(times - 1):
+                        new_cur = first_after(typ, new_cur)
+                        if new_cur is None or new_cur > horizon:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                    if times > 1:
+                        cap.append(new_cur)
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0 - 1)
+                    if anc is None:
+                        xa = first_after(x, s0)  # declared before step 2+?
+                    if xa is not None and xa < nxt:
+                        ok = False
+                        break
+                pending = []
+                if not ok:
+                    break
+                cur = new_cur
+            if ok and pending:
+                if within_s is None:
+                    raise AssertionError("terminal negation needs within")
+                for (x, anc) in pending:
+                    xa = first_after(x, anc)
+                    if xa is not None and xa <= horizon:
+                        ok = False
+                        break
+            if ok:
+                out.append((key, *cap))
+    return sorted(out)
+
+
+def _collect_cols(df, epoch=T0):
+    cols = [c for c in df.columns]
+    rows = []
+    for r in df.collect():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if hasattr(v, "timestamp"):
+                v = (v - epoch).total_seconds()
+            vals.append(v)
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+RICH_ROWS = [
+    # key 1: A B B C U  (run of 2)
+    (1, 0, "A", 1), (1, 10, "B", 2), (1, 20, "B", 3), (1, 30, "C", 4),
+    (1, 40, "U", 5),
+    # key 2: A X B B C  (X defeats not_next/not_followed_by at spots)
+    (2, 0, "A", 6), (2, 5, "X", 7), (2, 10, "B", 8), (2, 20, "B", 9),
+    (2, 30, "C", 10),
+    # key 3: A B C (single B)
+    (3, 0, "A", 11), (3, 10, "B", 12), (3, 20, "C", 13),
+    # key 4: A B B B C (run of 3), late U
+    (4, 0, "A", 14), (4, 10, "B", 15), (4, 20, "B", 16), (4, 30, "B", 17),
+    (4, 40, "C", 18), (4, 50, "U", 19),
+    # key 5: A B U B C  (until stops loop)
+    (5, 0, "A", 20), (5, 10, "B", 21), (5, 20, "U", 22), (5, 30, "B", 23),
+    (5, 40, "C", 24),
+    # key 6: B B C (loop at pattern start, no A)
+    (6, 0, "B", 25), (6, 10, "B", 26), (6, 20, "C", 27),
+    # key 7: equal timestamps
+    (7, 0, "A", 28), (7, 10, "B", 29), (7, 10, "C", 30),
+]
+
+
+STRICT_PATTERNS = [
+    ["A", {"type": "B", "times": 2}, "C"],
+    [{"type": "B", "one_or_more": True}, "C"],
+    ["A", {"type": "B", "one_or_more": True}, "C"],
+    ["A", {"type": "X", "negate": True}, "B"],
+    ["A", {"type": "B", "one_or_more": True}, {"type": "U", "negate": True}],
+    [{"type": "B", "times": 2}],
+]
+
+
+@pytest.mark.parametrize("pat", STRICT_PATTERNS)
+def test_strict_quantified_matches_naive(spark, pat):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_general_strict(RICH_ROWS, pat)
+    assert got == want, f"pattern {pat}"
+    assert got  # every pattern fires somewhere on the fixture
+
+
+RELAXED_PATTERNS = [
+    ["A", {"type": "B", "times": 2}, "C"],
+    ["A", {"type": "B", "one_or_more": True, "until": "U"}, "C"],
+    ["A", {"type": "B", "one_or_more": True}],
+    [{"type": "B", "one_or_more": True, "until": "C"}, "C"],
+    ["A", {"type": "X", "negate": True}, "C"],
+]
+
+
+@pytest.mark.parametrize("pat", RELAXED_PATTERNS)
+def test_relaxed_quantified_matches_naive(spark, pat):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_general_relaxed(RICH_ROWS, pat)
+    assert got == want, f"pattern {pat}"
+    assert got
+
+
+@pytest.mark.parametrize("contiguity", ["strict", "relaxed"])
+def test_quantified_within_bound(spark, contiguity):
+    pat = ["A", {"type": "B", "times": 2}, "C"]
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_cols(
+        match_pattern(
+            df, pat, contiguity=contiguity, within="25 seconds",
+            tiebreak=["event_id"] if contiguity == "strict" else None,
+        )
+    )
+    naive = (
+        _naive_general_strict if contiguity == "strict"
+        else _naive_general_relaxed
+    )
+    assert got == naive(RICH_ROWS, pat, within_s=25)
+
+
+def test_terminal_negation_requires_within(spark):
+    df = _mk(spark, RICH_ROWS)
+    with pytest.raises(ValueError, match="within"):
+        match_pattern(
+            df, ["A", {"type": "U", "negate": True}], contiguity="relaxed"
+        )
+
+
+def test_terminal_negation_relaxed(spark):
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "U", "negate": True}]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="35 seconds")
+    )
+    assert got == _naive_general_relaxed(RICH_ROWS, pat, within_s=35)
+    # key 5 has U at +20 <= horizon -> excluded; key 4's U at +50 passes
+    keys = {r[0] for r in got}
+    assert 4 in keys and 5 not in keys
+
+
+def test_until_strict_raises(spark):
+    df = _mk(spark, RICH_ROWS)
+    with pytest.raises(ValueError, match="until"):
+        match_pattern(
+            df,
+            ["A", {"type": "B", "one_or_more": True, "until": "U"}],
+            contiguity="strict",
+        )
+
+
+def test_pattern_builder_roundtrip(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, RICH_ROWS)
+    p = (
+        Pattern.begin("A")
+        .followed_by("B").one_or_more().until("U")
+        .followed_by("C")
+        .within("1 hour")
+    )
+    got = _collect_cols(match_pattern(df, p))
+    want = _naive_general_relaxed(
+        RICH_ROWS,
+        ["A", {"type": "B", "one_or_more": True, "until": "U"}, "C"],
+        within_s=3600,
+    )
+    assert got == want
+
+    with pytest.raises(ValueError, match="mixed contiguity"):
+        Pattern.begin("A").next("B").followed_by("C")
+    with pytest.raises(ValueError, match="quantify|negated"):
+        Pattern.begin("A").not_next("X").times(2)
+
+
+def test_duplicate_anchor_multiplicity_through_loop(spark):
+    """Two identical 'A' rows must yield two identical match rows even
+    through the loop's group-agg (compress + re-explode)."""
+    rows = [
+        (9, 0, "A", 1), (9, 0, "A", 2), (9, 10, "B", 3), (9, 20, "C", 4),
+    ]
+    df = _mk(spark, rows)
+    got = _collect_cols(
+        match_pattern(
+            df, ["A", {"type": "B", "one_or_more": True}, "C"],
+            contiguity="relaxed",
+        )
+    )
+    assert len(got) == 2 and got[0] == got[1]

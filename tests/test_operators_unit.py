@@ -366,6 +366,64 @@ def test_cogroup_apply_outer_groups(spark):
     assert out == {1: (1, 0), 2: (1, 0), 3: (0, 1)}
 
 
+def test_cogroup_apply_bucketed_equals_raw(spark):
+    """buckets=n bounds Spark-level Python calls by construction while
+    keeping per-key outer-group semantics identical to the raw mode —
+    including one-side-only keys landing in a bucket with an empty
+    opposite slice, and results stable across bucket counts."""
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import cogroup_apply
+
+    left = spark.createDataFrame(
+        [(k, f"l{k}_{i}") for k in range(20) for i in range(k % 3 + 1)],
+        "k long, v string",
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(10, 30)], "k long, v string"
+    )
+
+    def summarize(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        k = (lg if len(lg) else rg)["k"].iloc[0]
+        return pd.DataFrame(
+            {"k": [k], "nl": [len(lg)], "nr": [len(rg)]}
+        )
+
+    schema = "k long, nl int, nr int"
+    raw = sorted(
+        map(tuple, cogroup_apply(left, right, ["k"], summarize, schema)
+            .collect())
+    )
+    assert len(raw) == 30  # keys 0..29, outer
+    for n in (1, 4, 64):  # incl. buckets >> keys and a single bucket
+        got = sorted(
+            map(tuple, cogroup_apply(
+                left, right, ["k"], summarize, schema, buckets=n
+            ).collect())
+        )
+        assert got == raw, f"buckets={n}"
+
+
+def test_cogroup_apply_bucketed_empty_and_errors(spark):
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import cogroup_apply
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(2, "b")], "k long, v string")
+
+    def nothing(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [], "n": []})
+
+    # a bucket whose every per-key call returns empty must still yield a
+    # well-formed empty frame
+    assert cogroup_apply(
+        left, right, ["k"], nothing, "k long, n int", buckets=2
+    ).count() == 0
+    with pytest.raises(ValueError, match="buckets"):
+        cogroup_apply(left, right, ["k"], nothing, "k long, n int", buckets=0)
+
+
 def test_tagged_union_connect_pattern(spark):
     from flink_note_spark.streaming.ops import tagged_union
 

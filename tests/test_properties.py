@@ -341,6 +341,48 @@ def test_cep_matches_naive_reference(spark, rows, pattern):
     assert got_relaxed == sorted(_naive_relaxed(rows4, pattern))
 
 
+_QUANT_PATTERNS = [
+    ["A", {"type": "B", "times": 2}],
+    [{"type": "B", "one_or_more": True}, "C"],
+    ["A", {"type": "B", "one_or_more": True}, "C"],
+    ["A", {"type": "C", "negate": True}, "B"],
+]
+
+
+@given(rows=_cep_events, pattern=st.sampled_from(_QUANT_PATTERNS))
+@settings(**_SETTINGS)
+def test_cep_quantified_matches_naive_reference(spark, rows, pattern):
+    """Round-6 surface (times / one_or_more / negation) equals the
+    general brute-force matchers on arbitrary event soups, both
+    contiguity modes."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    from tests.test_cep import (
+        _collect_cols,
+        _naive_general_relaxed,
+        _naive_general_strict,
+    )
+
+    epoch = dt.datetime(2024, 6, 1)
+    data = [
+        (k, epoch + dt.timedelta(seconds=s), t, i)
+        for i, (k, s, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    rows4 = [(kk, s, t, i) for i, (kk, s, t) in enumerate(rows)]
+    got_strict = _collect_cols(
+        match_pattern(df, pattern, contiguity="strict", tiebreak=["event_id"]),
+        epoch=epoch,
+    )
+    assert got_strict == _naive_general_strict(rows4, pattern)
+    got_relaxed = _collect_cols(
+        match_pattern(df, pattern, contiguity="relaxed"), epoch=epoch
+    )
+    assert got_relaxed == _naive_general_relaxed(rows4, pattern)
+
+
 # --- decontamination invariants ------------------------------------------
 
 _decon_docs = st.lists(

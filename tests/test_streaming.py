@@ -1056,6 +1056,67 @@ def test_cep_stream_no_reemission_on_overlap(spark, chunk_dir, tmp_path):
     ]
 
 
+def test_cep_stream_times_quantifier(spark, chunk_dir, tmp_path):
+    """A times(n)-quantified Pattern runs on the incremental matcher via
+    positional expansion (output columns are the EXPANDED positions
+    ts_1..ts_k); loop/negation steps raise — batch-only."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(1), "B", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 3, _ts(2), "B", 1.0),
+        (2, 4, _ts(0), "A", 1.0),
+        (2, 5, _ts(1), "B", 1.0),
+        (2, 6, _ts(2), "X", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 7, _ts(120), "Z", 1.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    p = Pattern.begin("A").next("B").times(2)
+    out = match_pattern_stream(stream, p, watermark="2 minutes")
+    _run_to_memory(out, "cep_times_out", "update", tmp_path)
+    got = spark.sql("SELECT * FROM cep_times_out").toPandas()
+
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    rows = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]), int(r["ts_3"]))
+        for _, r in got.iterrows()
+    )
+    assert rows == [(1, us(0), us(1), us(2))]
+
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
+        ["A", {"type": "B", "times": 2}],
+        contiguity="strict",
+        tiebreak=["event_type"],
+    ).toPandas()
+    batch_rows = sorted(
+        (
+            int(r["user_id"]),
+            int(r["ts_1"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+            int(r["ts_2"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+            int(r["ts_2_last"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6),
+        )
+        for _, r in batch.iterrows()
+    )
+    assert rows == batch_rows
+
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream,
+            ["A", {"type": "B", "one_or_more": True}],
+            watermark="2 minutes",
+        )
+
+
 def test_tag_late_data_flags_late_rows(spark, chunk_dir, tmp_path):
     """sideOutputLateData analogue: rows older than the engine watermark
     surface with is_late=true instead of disappearing."""

@@ -116,6 +116,27 @@ def test_decontaminate_drops_overlap(spark):
     assert kept == [2, 4]
 
 
+def test_decontaminate_whitespace_run_tokenization(spark):
+    """Tabs/newlines tokenize exactly like single spaces across the
+    hygiene operators (ADVICE r5: shingle kernel now splits \\s+ like
+    tfidf/repetition/frequent_tokens) — an overlap n-gram spanning a
+    newline still decontaminates."""
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha\tbeta\ngamma  delta epsilon"),  # mixed whitespace
+            (2, "one two three four five"),
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()
+    )
+    assert kept == [2]
+
+
 def test_decontaminate_custom_bench_columns(spark):
     docs = _docs(spark, [(1, "p q r s"), (2, "t u v w")])
     bench = spark.createDataFrame(
@@ -199,6 +220,34 @@ def test_frequent_tokens_sketch_finds_hitters_under_pressure(spark):
         ).collect()
     }
     assert got.get("hot_a") == 200 and got.get("hot_b") == 200
+
+
+def test_frequent_tokens_sketch_guarantee_column(spark):
+    """with_guarantee=True surfaces the MG boundary (ADVICE r5): rows
+    with corpus frequency > n/(m+1) are provably complete; lower ranks
+    are flagged best-effort so the caller can detect possible top-k
+    truncation instead of trusting a silently incomplete list."""
+    from flink_note_spark.operators.text import frequent_tokens_sketch
+
+    # n = 600, m = 8 → threshold 66.7: hot tokens (200 each) guaranteed,
+    # any surfaced tail token (1 each) is not
+    rows = [(i, "hot_a hot_b") for i in range(200)] + [
+        (1000 + i, f"tail{i}") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {
+        r["token"]: (r["n"], r["mg_guaranteed"])
+        for r in frequent_tokens_sketch(
+            df, "text", k=10, min_count=1, summary_size=8,
+            with_guarantee=True,
+        ).collect()
+    }
+    assert got["hot_a"] == (200, True) and got["hot_b"] == (200, True)
+    assert all(g is False for t, (n, g) in got.items()
+               if t.startswith("tail"))
+    # default schema is unchanged (oracle q78 contract)
+    cols = frequent_tokens_sketch(df, "text", k=3).columns
+    assert cols == ["token", "n"]
 
 
 def test_pii_scan_rejects_count_column_clash(spark):
