@@ -32,12 +32,28 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000_000
 
 
-def _unit_hash(id_col: str | Column, seed: int) -> Column:
+def _unit_hash(
+    id_col: str | Column, seed: int, hash_fn: str = "xxhash64"
+) -> Column:
     """Deterministic value in [0, 1) from a row id — the reproducible
-    stand-in for ``rand()``."""
-    return F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(_BUCKETS)) / F.lit(
-        float(_BUCKETS)
-    )
+    stand-in for ``rand()``.
+
+    ``hash_fn="md5"`` derives the unit value from the first 15 hex
+    chars (60 bits) of ``md5("<id>:<seed>")`` instead of ``xxhash64``.
+    It is slower (string round-trip, no codegen long path) but PORTABLE:
+    any engine with ``md5`` (DuckDB, Trino, Postgres) reproduces the
+    exact split assignment, which makes the split itself — not just its
+    invariants — auditable by an independent engine (the q91 oracle).
+    """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(id_col, F.lit(seed))
+    elif hash_fn == "md5":
+        c = F.col(id_col) if isinstance(id_col, str) else id_col
+        key = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn!r}")
+    return F.pmod(h, F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))
 
 
 def hash_split(
@@ -46,6 +62,7 @@ def hash_split(
     fractions: dict[str, float] | None = None,
     seed: int = 42,
     split_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Assign every row to a named split by cumulative hash ranges.
 
@@ -54,12 +71,17 @@ def hash_split(
     repartitions and growing corpora (new documents never move old ones
     between splits, the property that keeps eval sets uncontaminated as
     a corpus accretes). Narrow projection: no shuffle, no action.
+
+    ``hash_fn="md5"`` swaps the hash family for one any engine can
+    reproduce (see :func:`_unit_hash`) — use it when the split
+    assignment must be auditable outside Spark; the default
+    ``xxhash64`` stays the fast codegen path.
     """
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    u = _unit_hash(id_col, seed)
+    u = _unit_hash(id_col, seed, hash_fn)
     expr = None
     acc = 0.0
     names = list(fractions)

@@ -471,6 +471,71 @@ def q58_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q90_lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-backed companion to q31 (VERDICT r5 task 7): the
+    MinHash-LSH + exact-verify pair set projected to ``(d1, d2,
+    jaccard)``. The verify stage guarantees precision 1.0 (every output
+    pair really has exact Jaccard ≥ threshold), so the output is always
+    a SUBSET of the exact pair set; at q31's parameters (32 hashes × 8
+    bands) recall on this corpus is 1.0 (asserted in
+    tests/test_lsh_recall.py), making the output EQUAL to the exact set
+    — which IS SQL-expressible. The q30 exact-Jaccard oracle therefore
+    hash-checks the whole candidates-then-verify path: an LSH recall
+    regression becomes a driver HASH MISMATCH here instead of a silent
+    rows-only pass on q31."""
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=JACCARD_THRESHOLD, verify=True, max_df=SHINGLE_MAX_DF,
+        ids_unique=True,
+    ).select("d1", "d2", "jaccard")
+
+
+def q91_md5_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-backed companion to q58 (VERDICT r5 task 7): the same
+    split audit with ``hash_fn="md5"`` — a hash family DuckDB can
+    reproduce bit-for-bit (first 60 bits of ``md5("<id>:<seed>")``), so
+    the driver verifies the ACTUAL per-row split assignment, not just
+    fraction invariants. q58 stays as the production xxhash64 path
+    (faster, codegen long arithmetic); this query proves the split
+    LOGIC (cumulative ranges, determinism, accretion stability) against
+    an independent engine."""
+    from flink_note_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    split = hash_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        hash_fn="md5",
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+_Q91_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT)
+          % 1000000000) / 1000000000.0 AS u
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN u < 0.9 THEN 'train'
+              WHEN u < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM u
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     """Per-key reservoir sampling, driver-checkable invariant: the
     sample is EXACTLY min(k, n) rows per key (the property that
@@ -1234,6 +1299,8 @@ QUERIES = {
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
     "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
+    "q90_lsh_verified_pairs": q90_lsh_verified_pairs,
+    "q91_md5_split": q91_md5_split,
     "q60_reservoir_exact_k": q60_reservoir_exact_k,
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
@@ -1269,6 +1336,10 @@ QUERIES = {
 ORACLES = {
     "q29_exact_dedup": _Q29_SQL,
     "q30_jaccard_pairs": _Q30_SQL,
+    # verified-LSH pair set == exact set at these params (recall 1.0,
+    # precision by construction) — the exact oracle checks the LSH path
+    "q90_lsh_verified_pairs": _Q30_SQL,
+    "q91_md5_split": _Q91_SQL,
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,

@@ -44,6 +44,20 @@ def test_minhash_lsh_recall_and_precision(spark, sf_dir):
     assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} < 0.9"
 
 
+def test_minhash_lsh_exact_on_fixture(spark, sf_dir):
+    """Pins the q90 oracle claim: at q31's parameters the verified LSH
+    pair set EQUALS the exact pair set on the fixture corpus (recall
+    1.0, precision 1.0) — which is what lets q90_lsh_verified_pairs
+    reuse the exact-Jaccard SQL as a driver oracle. If parameter or
+    kernel drift ever drops a pair, this fails before the driver's
+    hash mismatch does."""
+    exact = _pair_set(q30_jaccard_pairs(spark, sf_dir))
+    approx = _pair_set(q31_minhash_lsh(spark, sf_dir))
+    assert approx == exact, (
+        f"missed={sorted(exact - approx)[:5]} extra={sorted(approx - exact)[:5]}"
+    )
+
+
 def test_lsh_cosine_topk_recall(spark, sf_dir):
     """q34 (SRP-LSH ANN) vs q33 (exact brute-force cosine): ≥90% of the
     true top-5 neighbor pairs must be recovered."""

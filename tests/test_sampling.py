@@ -53,6 +53,40 @@ def test_hash_split_rejects_bad_fractions(corpus):
         hash_split(corpus, fractions={"a": 0.5, "b": 0.6})
 
 
+def test_hash_split_md5_portable_family(corpus, spark):
+    """hash_fn='md5' keeps every split invariant (total partition,
+    repartition stability, accretion safety) and reproduces the
+    documented cross-engine formula — 60 bits of md5('<id>:<seed>') —
+    verified against DuckDB in the q91 driver oracle; here against a
+    pure-Python md5 reference."""
+    import hashlib
+
+    out = hash_split(
+        corpus, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5",
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len(got) == 3000
+
+    def ref(i):
+        u = (int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+             % 1_000_000_000) / 1_000_000_000
+        return "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+
+    assert all(got[i] == ref(i) for i in range(3000))
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(
+            corpus.repartition(13),
+            fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+            hash_fn="md5",
+        ).collect()
+    }
+    assert b == got
+    with pytest.raises(ValueError, match="hash_fn"):
+        hash_split(corpus, hash_fn="sha9000")
+
+
 def test_stratified_sample_rates_and_determinism(corpus):
     out = stratified_sample(corpus, "source", {"web": 0.5, "books": 0.1})
     counts = {r["source"]: r["n"] for r in

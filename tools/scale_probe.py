@@ -43,6 +43,17 @@ from flink_note_spark.session import get_spark, load_table  # noqa: E402
 SF_DIR = "/root/testdata/sf0.1"
 
 
+def _latency_enrich_fn(pdf):
+    """Deterministic fake service: 50 ms latency per batch call, then a
+    trivial projection (module-level for executor pickling)."""
+    import time as _time
+
+    import pandas as pd
+
+    _time.sleep(0.05)
+    return pd.DataFrame({"text_len": pdf["text"].str.len().astype("int32")})
+
+
 def replicate(df, k: int, shifts: dict[str, int], out_path: str,
               salt_text: bool = False):
     """K copies with disjoint ids, written as 32 files (parallel scans).
@@ -271,6 +282,65 @@ def main() -> None:
             contiguity="strict", tiebreak=["event_id"],
         )
 
+    def cep_relaxed_probe(ev):
+        """q69-shape RELAXED CEP (followedBy): k−1 union + running-min
+        window passes, every pass shuffling on the same key — the probe
+        verifies the exchange-reuse claim holds as data grows (cost
+        should track the sort passes, not k× full rescans)."""
+        from flink_note_spark.operators.cep import match_pattern
+
+        return match_pattern(
+            ev, ["view", "click", "purchase"], within="7 days",
+            contiguity="relaxed",
+        )
+
+    def enrich_probe(d, concurrency):
+        """AsyncDataStream analogue on a LATENCY-INJECTED service (20 ms
+        per batch call, the I/O-bound regime the thread pool exists
+        for): same data, concurrency 1 vs 4 — the speedup, not a data
+        ratio, is the probe's claim (Flink unorderedWait capacity)."""
+        from flink_note_spark.operators.enrich import batched_enrich
+
+        # 4 partitions × ~15 batches each: enough in-flight batches per
+        # partition for the pool to overlap (32 partitions would leave
+        # ~2 batches each — nothing to pipeline, measured 1.25× only)
+        return batched_enrich(
+            d.select("doc_id", "text").coalesce(4),
+            _latency_enrich_fn,
+            "text_len int",
+            max_concurrency=concurrency,
+            ordered=False,
+            batch_rows=1000,
+        )
+
+    def route_probe(events_dir):
+        """route_to_sinks end-to-end: one availableNow streaming pass of
+        the events parquet fanned to three sinks with ONE upstream
+        materialization per batch — scaling should track the single
+        read, not 3× it."""
+        import uuid
+
+        from flink_note_spark.streaming.ops import route_to_sinks
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(events_dir)
+        )
+        sink = lambda df, bid: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+        writer = route_to_sinks(
+            stream,
+            {
+                "errors": F.col("event_type") == "error",
+                "whales": F.col("value") > 300,
+            },
+            {"errors": sink, "whales": sink, "main": sink},
+            checkpoint=f"{tmp}/route_ckpt_{uuid.uuid4().hex[:8]}",
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+
     def cogroup_probe(cust, orders):
         """CoGroupFunction shape: whole per-key groups from both sides
         meet in one pandas call (outer groups included). Key cardinality
@@ -434,6 +504,13 @@ def main() -> None:
         bench(f"corpus_full_{tag}", lambda d=d: noop(corpus_full_probe(d)), t)
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
+        bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
+    for tag, evdir in (("x1", ev1_dir), (f"x{k}", ev_k_dir)):
+        bench(f"route_{tag}", lambda d=evdir: route_probe(d), t)
+    # concurrency axis (same x1 data, 1 vs 4 in-flight batches): the
+    # claim is SPEEDUP on a latency-injected service, not a data ratio
+    bench("enrich_c1", lambda: noop(enrich_probe(docs1, 1)), t)
+    bench("enrich_c4", lambda: noop(enrich_probe(docs1, 4)), t)
 
     ratios = {
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
@@ -442,10 +519,17 @@ def main() -> None:
             "asof", "sessionize",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk", "corpus",
-            "decontaminate", "cep_strict", "tfidf", "corpus_full",
+            "decontaminate", "cep_strict", "cep_relaxed", "route",
+            "tfidf", "corpus_full",
         )
     }
-    print(json.dumps({"k": k, "timings_sec": t, "time_ratio_at_kx_data": ratios}))
+    out = {
+        "k": k,
+        "timings_sec": t,
+        "time_ratio_at_kx_data": ratios,
+        "enrich_concurrency_speedup": round(t["enrich_c1"] / t["enrich_c4"], 2),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
