@@ -69,23 +69,40 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class PatternStep:
-    """One normalized pattern step (see module docstring for semantics)."""
+    """One normalized pattern step (see module docstring for semantics).
+
+    ``times_max`` makes ``times`` a RANGE quantifier (Flink
+    ``times(from, to)``); ``optional`` is Flink ``optional()`` — the
+    step may be skipped entirely. Both compile by VARIANT EXPANSION
+    (see :func:`_expand_variants`)."""
 
     event_type: str
     negate: bool = False
     times: int = 1
     loop: bool = False
     until: str | None = None
+    times_max: int | None = None
+    optional: bool = False
 
     def validate(self) -> None:
         if self.times < 1:
             raise ValueError("times must be >= 1")
-        if self.negate and (self.times != 1 or self.loop or self.until):
+        if self.negate and (
+            self.times != 1 or self.loop or self.until
+            or self.times_max is not None or self.optional
+        ):
             raise ValueError("a negated step cannot be quantified")
-        if self.loop and self.times != 1:
+        if self.loop and (self.times != 1 or self.times_max is not None):
             raise ValueError("one_or_more and times are mutually exclusive")
         if self.until is not None and not self.loop:
             raise ValueError("until applies only to one_or_more steps")
+        if self.times_max is not None and self.times_max < self.times:
+            raise ValueError("times(n, m) requires m >= n")
+        if self.optional and self.loop:
+            raise ValueError(
+                "optional() on a loop (zeroOrMore) is not supported — "
+                "use an optional times-range step instead"
+            )
 
 
 class Pattern:
@@ -148,13 +165,18 @@ class Pattern:
             times=kw.get("times", last.times),
             loop=kw.get("loop", last.loop),
             until=kw.get("until", last.until),
+            times_max=kw.get("times_max", last.times_max),
+            optional=kw.get("optional", last.optional),
         )
         new.validate()
         self.steps[-1] = new
         return self
 
-    def times(self, n: int) -> "Pattern":
-        return self._mod_last(times=n)
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        return self._mod_last(times=n, times_max=m)
+
+    def optional(self) -> "Pattern":
+        return self._mod_last(optional=True)
 
     def one_or_more(self) -> "Pattern":
         return self._mod_last(loop=True)
@@ -183,6 +205,8 @@ def _normalize(pattern) -> list[PatternStep]:
                 times=int(p.get("times", 1)),
                 loop=bool(p.get("one_or_more", p.get("loop", False))),
                 until=p.get("until"),
+                times_max=p.get("times_max"),
+                optional=bool(p.get("optional", False)),
             )
         else:
             raise TypeError(f"bad pattern step: {p!r}")
@@ -200,10 +224,11 @@ def expand_simple(pattern) -> list[str]:
     steps = _normalize(pattern)
     out: list[str] = []
     for s in steps:
-        if s.negate or s.loop:
+        if s.negate or s.loop or s.optional or s.times_max is not None:
             raise ValueError(
-                "streaming CEP supports plain and times() steps only; "
-                "one_or_more/negation are batch-only"
+                "streaming CEP supports plain and exact times() steps "
+                "only; one_or_more/negation/optional/times-range are "
+                "batch-only"
             )
         out.extend([s.event_type] * s.times)
     return out
@@ -219,9 +244,65 @@ def _out_cols(steps: list[PatternStep]) -> list[str]:
         cols.append(f"ts_{i}")
         if s.loop:
             cols += [f"ts_{i}_last", f"n_{i}"]
-        elif s.times > 1:
+        elif s.times > 1 or s.times_max is not None:
             cols.append(f"ts_{i}_last")
     return cols
+
+
+def _expand_variants(
+    steps: list[PatternStep],
+) -> list[tuple[list[PatternStep], list[int]]]:
+    """Compile ``optional()`` / ``times(n, m)`` steps into the list of
+    PLAIN pattern variants (Flink's branching NFA rendered as a union
+    of deterministic patterns): each optional step is present/absent,
+    each range quantifier fixes one count in [n, m]. Returns
+    ``(variant_steps, orig_idx)`` pairs where ``orig_idx[j]`` is the
+    ORIGINAL 1-based positive-step index of the variant's j-th positive
+    step (for output-column realignment). Variants with no positive
+    step are dropped (an all-absent pattern matches nothing)."""
+    per_step: list[list[tuple[PatternStep | None, int]]] = []
+    pidx = 0
+    for s in steps:
+        if s.negate:
+            per_step.append([(s, 0)])
+            continue
+        pidx += 1
+        opts: list[tuple[PatternStep | None, int]] = []
+        if s.optional:
+            opts.append((None, pidx))
+        counts = (
+            range(s.times, s.times_max + 1)
+            if s.times_max is not None else [s.times]
+        )
+        for c in counts:
+            opts.append((
+                PatternStep(s.event_type, times=c, loop=s.loop,
+                            until=s.until),
+                pidx,
+            ))
+        per_step.append(opts)
+
+    variants: list[tuple[list[PatternStep], list[int]]] = []
+
+    def rec(i: int, cur: list[PatternStep], orig: list[int]) -> None:
+        if i == len(per_step):
+            if any(not s.negate for s in cur):
+                variants.append((list(cur), list(orig)))
+            return
+        for step, oi in per_step[i]:
+            if step is None:
+                rec(i + 1, cur, orig)
+            else:
+                cur.append(step)
+                if not step.negate:
+                    orig.append(oi)
+                rec(i + 1, cur, orig)
+                cur.pop()
+                if not step.negate:
+                    orig.pop()
+
+    rec(0, [], [])
+    return variants
 
 
 def match_pattern(
@@ -269,6 +350,12 @@ def match_pattern(
         )
     steps = _normalize(pattern)
 
+    if any(s.optional or s.times_max is not None for s in steps):
+        return _match_variants(
+            events, steps, key_col, time_col, type_col, within,
+            contiguity, tiebreak,
+        )
+
     if contiguity == "strict":
         if any(s.until for s in steps):
             raise ValueError(
@@ -291,6 +378,62 @@ def match_pattern(
 
 def _within_expr(within: str) -> Column:
     return F.expr(f"INTERVAL {within}")
+
+
+def _match_variants(
+    events: DataFrame,
+    steps: list[PatternStep],
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    contiguity: str,
+    tiebreak: list[str] | None,
+) -> DataFrame:
+    """``optional()`` / ``times(n, m)`` patterns: union of the plain
+    variant matches (Flink emits every branch/count alternative), with
+    output columns realigned to the ORIGINAL step indices — an absent
+    optional step's ``ts_i`` is NULL; a count-1 variant of a range
+    quantifier repeats ``ts_i`` as ``ts_i_last``. Each variant is the
+    usual one declarative plan; the union is a plain ``UNION ALL``
+    (no dedup shuffle — variants are distinct match shapes)."""
+    from functools import reduce
+
+    ts_type = dict(events.dtypes)[time_col]
+    max_cols = _out_cols(steps)
+    positives = [s for s in steps if not s.negate]
+
+    parts: list[DataFrame] = []
+    for vsteps, orig_idx in _expand_variants(steps):
+        r = match_pattern(
+            events, vsteps, key_col, time_col, type_col, within,
+            contiguity, tiebreak,
+        )
+        vpos = {oi: j + 1 for j, oi in enumerate(orig_idx)}
+        vpositives = [s for s in vsteps if not s.negate]
+        sel: list[Column] = [F.col(key_col)]
+        for i, s in enumerate(positives, start=1):
+            has_last = f"ts_{i}_last" in max_cols
+            if i not in vpos:
+                sel.append(F.lit(None).cast(ts_type).alias(f"ts_{i}"))
+                if has_last:
+                    sel.append(
+                        F.lit(None).cast(ts_type).alias(f"ts_{i}_last")
+                    )
+                continue
+            j = vpos[i]
+            vs = vpositives[j - 1]
+            sel.append(F.col(f"ts_{j}").alias(f"ts_{i}"))
+            if has_last:
+                src = (
+                    f"ts_{j}_last" if (vs.loop or vs.times > 1)
+                    else f"ts_{j}"
+                )
+                sel.append(F.col(src).alias(f"ts_{i}_last"))
+            if s.loop:
+                sel.append(F.col(f"n_{j}").alias(f"n_{i}"))
+        parts.append(r.select(*sel))
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 # ---------------------------------------------------------------------------

@@ -579,6 +579,55 @@ ORDER BY r.user_id, run_start
 """
 
 
+def q92_cep_optional(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``optional()`` (Flink ``Pattern.begin("view").next("click")
+    .optional().next("purchase")``): the optional step compiles by
+    VARIANT EXPANSION — a UNION ALL of the with-click and without-click
+    strict patterns, ``click_ts`` NULL on the skipped branch (both
+    alternatives emit, Flink's branching semantics). The oracle is the
+    same union of two independent lead-chain formulations."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .next("click").optional()
+        .next("purchase")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p, tiebreak=["event_id"])
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("click_ts"),
+            F.col("ts_3").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts", "click_ts")
+    )
+
+
+_Q92_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         event_type AS t0,
+         lead(event_type,1) OVER w AS t1, lead(ts,1) OVER w AS ts1,
+         lead(event_type,2) OVER w AS t2, lead(ts,2) OVER w AS ts2
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS start_ts, ts1 AS click_ts, ts2 AS end_ts
+FROM e
+WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 <= ts + INTERVAL 7 DAY
+UNION ALL
+SELECT user_id, ts AS start_ts, CAST(NULL AS TIMESTAMP) AS click_ts,
+       ts1 AS end_ts
+FROM e
+WHERE t0 = 'view' AND t1 = 'purchase'
+  AND ts1 <= ts + INTERVAL 7 DAY
+ORDER BY user_id, start_ts, click_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -594,6 +643,7 @@ QUERIES = {
     "q87_cep_negation": q87_cep_negation,
     "q88_cep_one_or_more": q88_cep_one_or_more,
     "q89_cep_strict_run": q89_cep_strict_run,
+    "q92_cep_optional": q92_cep_optional,
 }
 
 ORACLES = {
@@ -611,4 +661,5 @@ ORACLES = {
     "q87_cep_negation": _Q87_SQL,
     "q88_cep_one_or_more": _Q88_SQL,
     "q89_cep_strict_run": _Q89_SQL,
+    "q92_cep_optional": _Q92_SQL,
 }

@@ -529,3 +529,123 @@ def test_duplicate_anchor_multiplicity_through_loop(spark):
         )
     )
     assert len(got) == 2 and got[0] == got[1]
+
+
+# ---------------------------------------------------------------------------
+# optional() / times(n, m) — variant expansion
+
+
+def _step_dict(s):
+    return {
+        "type": s.event_type, "negate": s.negate, "times": s.times,
+        "one_or_more": s.loop, "until": s.until,
+    }
+
+
+def _naive_variants(rows, pattern, contiguity, within_s=None):
+    """Union of the naive matchers over the expanded variants, realigned
+    to the maximal column layout (absent optional step → None; count-1
+    range variant repeats ts as ts_last) — mirrors _match_variants."""
+    from flink_note_spark.operators.cep import (
+        _expand_variants,
+        _normalize,
+        _out_cols,
+    )
+
+    steps = _normalize(pattern)
+    max_cols = _out_cols(steps)
+    positives = [s for s in steps if not s.negate]
+    naive = (
+        _naive_general_strict if contiguity == "strict"
+        else _naive_general_relaxed
+    )
+    out = []
+    for vsteps, orig_idx in _expand_variants(steps):
+        res = naive(rows, [_step_dict(s) for s in vsteps], within_s)
+        vpositives = [s for s in vsteps if not s.negate]
+        vpos = {oi: j for j, oi in enumerate(orig_idx)}
+        # per-variant-step capture widths in the naive tuples
+        widths = [
+            3 if s.loop else (2 if s.times > 1 else 1) for s in vpositives
+        ]
+        offsets = [1 + sum(widths[:j]) for j in range(len(widths))]
+        for row in res:
+            vals = [row[0]]
+            for i, s in enumerate(positives, start=1):
+                has_last = f"ts_{i}_last" in max_cols
+                if i not in vpos:
+                    vals.append(None)
+                    if has_last:
+                        vals.append(None)
+                    continue
+                j = vpos[i]
+                vs = vpositives[j]
+                caps = row[offsets[j]:offsets[j] + widths[j]]
+                vals.append(caps[0])
+                if has_last:
+                    vals.append(caps[1] if widths[j] >= 2 else caps[0])
+                if s.loop:
+                    vals.append(caps[2])
+            out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((v is None, v) for v in t))
+
+
+def _collect_opt(df, epoch=T0):
+    rows = []
+    for r in df.collect():
+        vals = []
+        for c in df.columns:
+            v = r[c]
+            if v is not None and hasattr(v, "timestamp"):
+                v = (v - epoch).total_seconds()
+            vals.append(v)
+        rows.append(tuple(vals))
+    return sorted(rows, key=lambda t: tuple((v is None, v) for v in t))
+
+
+OPT_PATTERNS_STRICT = [
+    ["A", {"type": "B", "optional": True}, "C"],
+    ["A", {"type": "B", "times": 1, "times_max": 2}, "C"],
+    [{"type": "A", "optional": True}, "B", "C"],
+]
+OPT_PATTERNS_RELAXED = [
+    ["A", {"type": "B", "optional": True}, "C"],
+    ["A", {"type": "B", "times": 1, "times_max": 2}, "C"],
+    ["A", {"type": "B", "times": 1, "times_max": 3, "optional": True}],
+]
+
+
+@pytest.mark.parametrize("pat", OPT_PATTERNS_STRICT)
+def test_optional_range_strict_matches_naive(spark, pat):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_opt(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    assert got == _naive_variants(RICH_ROWS, pat, "strict")
+    assert got
+
+
+@pytest.mark.parametrize("pat", OPT_PATTERNS_RELAXED)
+def test_optional_range_relaxed_matches_naive(spark, pat):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_opt(match_pattern(df, pat, contiguity="relaxed"))
+    assert got == _naive_variants(RICH_ROWS, pat, "relaxed")
+    assert got
+
+
+def test_optional_validation():
+    from flink_note_spark.operators.cep import Pattern, PatternStep
+
+    with pytest.raises(ValueError, match="m >= n"):
+        PatternStep("A", times=3, times_max=2).validate()
+    with pytest.raises(ValueError, match="zeroOrMore"):
+        Pattern.begin("A").followed_by("B").one_or_more().optional()
+    with pytest.raises(ValueError, match="quantified"):
+        Pattern.begin("A").not_next("X").optional()
+
+
+def test_optional_streaming_raises(spark):
+    from flink_note_spark.operators.cep import expand_simple
+
+    with pytest.raises(ValueError, match="batch-only"):
+        expand_simple(["A", {"type": "B", "optional": True}])

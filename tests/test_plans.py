@@ -154,6 +154,38 @@ def test_q68_cep_strict_single_shuffle(spark, sf_dir):
     assert shuffle_count(df) <= 2, f"cep strict shuffles {shuffle_count(df)}×"
 
 
+def test_q86_cep_times_single_shuffle(spark, sf_dir):
+    """times(n) is pure lead-chain expansion — the quantifier must add
+    ZERO exchanges over the plain strict pattern (one key shuffle + the
+    driver-facing orderBy range exchange)."""
+    df = QUERIES["q86_cep_times"](spark, sf_dir)
+    assert shuffle_count(df) <= 2, f"cep times shuffles {shuffle_count(df)}×"
+
+
+def test_q89_cep_strict_run_bounded_no_cartesian(spark, sf_dir):
+    """The strict greedy-run loop joins segments on (key, position):
+    equi-join only (no CartesianProduct / BroadcastNestedLoop), bounded
+    exchange count (run metadata windows + one segment join + orderBy)."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q89_cep_strict_run"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert shuffle_count(df) <= 6, f"cep run shuffles {shuffle_count(df)}×"
+
+
+def test_q88_cep_loop_no_cartesian(spark, sf_dir):
+    """The relaxed greedy loop meets elements in a KEY equi-join
+    (fan-out = run length), never a cross join."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q88_cep_one_or_more"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Directory-layout partitioning must turn an equality filter into a
     PartitionFilter (scan planning skips the other directories) — the

@@ -301,16 +301,17 @@ def main() -> None:
         ratio, is the probe's claim (Flink unorderedWait capacity)."""
         from flink_note_spark.operators.enrich import batched_enrich
 
-        # 4 partitions × ~15 batches each: enough in-flight batches per
-        # partition for the pool to overlap (32 partitions would leave
-        # ~2 batches each — nothing to pipeline, measured 1.25× only)
+        # 4 partitions × ~13 batches each (5 k docs / 4 / 100): enough
+        # in-flight batches per partition for the pool to overlap —
+        # 32 partitions × 1000-row batches left ~2 batches each,
+        # nothing to pipeline, and measured only 1.25–1.45×
         return batched_enrich(
             d.select("doc_id", "text").coalesce(4),
             _latency_enrich_fn,
             "text_len int",
             max_concurrency=concurrency,
             ordered=False,
-            batch_rows=1000,
+            batch_rows=100,
         )
 
     def route_probe(events_dir):
