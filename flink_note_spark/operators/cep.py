@@ -51,6 +51,17 @@ Quantifier / negation surface (round 6; Flink CEP pattern API closure):
   ``notFollowedBy`` needs a window) and asserts absence up to the
   pattern horizon. Boundary: an event of the negated type at exactly
   the next step's timestamp does NOT break the match (open interval).
+- ``optional()`` / ``times(n, m)`` — variant expansion into a UNION
+  ALL of plain patterns (every branch/count alternative emits,
+  Flink's branching semantics); an absent optional step's ``ts_i`` is
+  NULL.
+- **MIXED contiguity** (r6) — ``next`` and ``followed_by`` freely
+  combined per step, Flink's real API shape: the positional
+  sequential engine (``_match_mixed``) orders each key by
+  ``row_number`` over (time, tiebreak); strict steps join the base
+  row at ``pos+1`` (co-partitioned (key, pos) equi-joins), relaxed
+  steps bind the earliest later position (union + running struct-min
+  window passes). Uniform patterns keep the faster specialized plans.
 
 The streaming twin (``streaming/ops.match_pattern_stream``) runs
 strict-contiguity patterns (plain + ``times``-expanded) incrementally
@@ -83,6 +94,10 @@ class PatternStep:
     until: str | None = None
     times_max: int | None = None
     optional: bool = False
+    #: per-step contiguity for MIXED patterns (``next`` + ``followedBy``
+    #: in one pattern, r6); ``None`` inherits ``match_pattern``'s
+    #: ``contiguity`` argument
+    mode: str | None = None
 
     def validate(self) -> None:
         if self.times < 1:
@@ -111,10 +126,11 @@ class Pattern:
     ``Pattern.begin("view").followed_by("click").one_or_more()
     .until("purchase").followed_by("purchase").within("7 days")``
 
-    Contiguity is a property of the WHOLE pattern here (one declarative
-    plan per mode); mixing ``next`` and ``followed_by`` steps raises —
-    a documented deviation from Flink's per-step contiguity, matching
-    the two plan families ``match_pattern`` compiles to.
+    Contiguity is per step, like Flink's: ``next``/``not_next`` are
+    strict, ``followed_by``/``not_followed_by`` relaxed. Uniform
+    patterns compile to the specialized single-mode plans; MIXED
+    patterns (r6) run on the positional sequential engine
+    (``_match_mixed``).
     """
 
     def __init__(self) -> None:
@@ -132,11 +148,7 @@ class Pattern:
         if self.contiguity is None:
             self.contiguity = mode
         elif self.contiguity != mode:
-            raise ValueError(
-                "mixed contiguity (next + followed_by in one pattern) is "
-                "not supported: pick strict (next/not_next) or relaxed "
-                "(followed_by/not_followed_by) for the whole pattern"
-            )
+            self.contiguity = "mixed"  # per-step modes decide (r6)
 
     def _append(self, step: PatternStep, mode: str) -> "Pattern":
         self._set_mode(mode)
@@ -144,16 +156,24 @@ class Pattern:
         return self
 
     def next(self, event_type: str) -> "Pattern":
-        return self._append(PatternStep(event_type), "strict")
+        return self._append(
+            PatternStep(event_type, mode="strict"), "strict"
+        )
 
     def followed_by(self, event_type: str) -> "Pattern":
-        return self._append(PatternStep(event_type), "relaxed")
+        return self._append(
+            PatternStep(event_type, mode="relaxed"), "relaxed"
+        )
 
     def not_next(self, event_type: str) -> "Pattern":
-        return self._append(PatternStep(event_type, negate=True), "strict")
+        return self._append(
+            PatternStep(event_type, negate=True, mode="strict"), "strict"
+        )
 
     def not_followed_by(self, event_type: str) -> "Pattern":
-        return self._append(PatternStep(event_type, negate=True), "relaxed")
+        return self._append(
+            PatternStep(event_type, negate=True, mode="relaxed"), "relaxed"
+        )
 
     def _mod_last(self, **kw) -> "Pattern":
         if not self.steps:
@@ -167,6 +187,7 @@ class Pattern:
             until=kw.get("until", last.until),
             times_max=kw.get("times_max", last.times_max),
             optional=kw.get("optional", last.optional),
+            mode=last.mode,
         )
         new.validate()
         self.steps[-1] = new
@@ -207,6 +228,7 @@ def _normalize(pattern) -> list[PatternStep]:
                 until=p.get("until"),
                 times_max=p.get("times_max"),
                 optional=bool(p.get("optional", False)),
+                mode=p.get("mode"),
             )
         else:
             raise TypeError(f"bad pattern step: {p!r}")
@@ -222,6 +244,11 @@ def expand_simple(pattern) -> list[str]:
     positive plain/``times`` steps (the surface the incremental
     streaming matcher supports); raise otherwise."""
     steps = _normalize(pattern)
+    if len({s.mode for s in steps if s.mode}) > 1:
+        raise ValueError(
+            "streaming CEP is single-contiguity; mixed patterns are "
+            "batch-only"
+        )
     out: list[str] = []
     for s in steps:
         if s.negate or s.loop or s.optional or s.times_max is not None:
@@ -277,7 +304,7 @@ def _expand_variants(
         for c in counts:
             opts.append((
                 PatternStep(s.event_type, times=c, loop=s.loop,
-                            until=s.until),
+                            until=s.until, mode=s.mode),
                 pidx,
             ))
         per_step.append(opts)
@@ -344,11 +371,47 @@ def match_pattern(
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
-    if contiguity not in ("strict", "relaxed"):
+    if contiguity not in ("strict", "relaxed", "mixed"):
         raise ValueError(
-            f"contiguity must be strict|relaxed, got {contiguity!r}"
+            f"contiguity must be strict|relaxed|mixed, got {contiguity!r}"
         )
     steps = _normalize(pattern)
+
+    # resolve per-step modes: explicit step modes win; a uniform result
+    # routes to the specialized single-mode engines, a genuine mix to
+    # the positional sequential engine (r6)
+    default_mode = contiguity if contiguity != "mixed" else None
+    eff_modes = []
+    for i, s in enumerate(steps):
+        m = s.mode or default_mode
+        if m is None and i > 0:
+            raise ValueError(
+                "mixed contiguity requires an explicit mode per step "
+                "(use the Pattern builder or dict steps with 'mode')"
+            )
+        eff_modes.append(m)
+    tail_modes = {m for m in eff_modes[1:] if m is not None}
+    if len(tail_modes) > 1:
+        if steps[0].negate:
+            raise ValueError("a mixed pattern must start positively")
+        steps = [
+            PatternStep(s.event_type, s.negate, s.times, s.loop, s.until,
+                        s.times_max, s.optional, m or "strict")
+            for s, m in zip(steps, eff_modes)
+        ]
+        if any(s.optional or s.times_max is not None for s in steps):
+            return _match_variants(
+                events, steps, key_col, time_col, type_col, within,
+                "mixed", tiebreak,
+            )
+        return _match_mixed(
+            events, steps, key_col, time_col, type_col, within,
+            tiebreak or [],
+        )
+    if tail_modes:
+        contiguity = tail_modes.pop()
+    elif contiguity == "mixed":
+        contiguity = eff_modes[0] or "strict"
 
     if any(s.optional or s.times_max is not None for s in steps):
         return _match_variants(
@@ -899,3 +962,359 @@ def _relaxed_loop(
             F.col("__n").alias(n_col),
         )
     return out.drop("__stop") if s.until is not None else out
+
+
+# ---------------------------------------------------------------------------
+# mixed contiguity (r6): positional sequential engine
+
+
+def _attach_earliest_pos_after(
+    anchors: DataFrame,
+    sub: DataFrame,
+    key_col: str,
+    anchor_pos_col: str,
+    out_pos: str,
+    out_ts: str,
+) -> DataFrame:
+    """Attach the (position, time) of the earliest ``sub`` event with
+    position STRICTLY greater than ``anchor_pos_col``, per key — the
+    positional form of ``_earliest_after`` (struct-min over a
+    descending-position window; positions are a total order, so the
+    struct min IS the earliest event). ``sub`` must have columns
+    ``__sp`` (pos) and ``__st`` (ts)."""
+    t, side = "__mix_t", "__mix_side"
+    a = anchors.withColumn(t, F.col(anchor_pos_col)).withColumn(
+        side, F.lit(1)
+    )
+    s = sub.withColumnRenamed("__sp", t).withColumn(side, F.lit(0))
+    merged = a.unionByName(s, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(t).desc(), F.col(side).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hit = F.min(
+        F.when(
+            F.col(side) == 0,
+            F.struct(F.col(t).alias("p"), F.col("__st").alias("t")),
+        )
+    ).over(w)
+    out = merged.withColumn("__mix_hit", hit).filter(F.col(side) == 1)
+    return (
+        out.withColumn(out_pos, F.col("__mix_hit.p"))
+        .withColumn(out_ts, F.col("__mix_hit.t"))
+        .drop(t, side, "__mix_hit", "__st")
+    )
+
+
+def _match_mixed(
+    events: DataFrame,
+    steps: list[PatternStep],
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    tiebreak: list[str],
+) -> DataFrame:
+    """Per-step contiguity (Flink's real API shape): strict steps
+    constrain the IMMEDIATELY-NEXT position, relaxed steps bind the
+    earliest later event — both over one per-key position order
+    (``row_number`` by (time, tiebreak)). Strict steps/loops join base
+    rows at ``pos+1`` ((key, pos) equi-joins, co-partitioned); relaxed
+    steps are union + running-struct-min window passes; relaxed loops
+    are one key equi-join + group-agg. Since positions totalize the
+    order, relaxed binding here resolves equal-timestamp events by the
+    tiebreak (the single-mode relaxed engine is pure event-time — a
+    documented, measure-zero difference)."""
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = events.select(key_col, time_col, type_col, *tiebreak)
+    base = base.withColumn("__pos", F.row_number().over(w))
+
+    if any(s.loop and s.mode == "strict" for s in steps):
+        lagt = F.lag(type_col).over(w)
+        w_sum = w.rowsBetween(Window.unboundedPreceding, 0)
+        base = base.withColumn(
+            "__chg",
+            F.when(lagt.isNull() | (lagt != F.col(type_col)), 1).otherwise(0),
+        ).withColumn("__grp", F.sum("__chg").over(w_sum))
+        w_run = (
+            Window.partitionBy(key_col, "__grp")
+            .orderBy("__pos")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        base = (
+            base.withColumn("__rem", F.count(F.lit(1)).over(w_run))
+            .withColumn("__runlast", F.max(time_col).over(w_run))
+            .drop("__chg", "__grp")
+        )
+    base = base.drop(*tiebreak)
+
+    def typed_pos(t: str) -> DataFrame:
+        return base.filter(F.col(type_col) == t).select(
+            key_col,
+            F.col("__pos").alias("__sp"),
+            F.col(time_col).alias("__st"),
+        )
+
+    def within_prune(M: DataFrame, ts_col: str) -> DataFrame:
+        if within is None:
+            return M
+        return M.filter(
+            F.col(ts_col) <= F.col("ts_1") + _within_expr(within)
+        )
+
+    M: DataFrame | None = None
+    pidx = 0
+    compressed = False
+    neg_id = 0
+    # (negated type, snapshot pos column) — relaxed negations only;
+    # strict negations assert immediately
+    pending: list[tuple[str, str]] = []
+
+    def strict_join(M: DataFrame, t: str | None, how: str) -> DataFrame:
+        """Join the base row at position __p + 1 (type-filtered when
+        ``t`` is given)."""
+        J = base.select(
+            F.col(key_col).alias("__jk"),
+            F.col("__pos").alias("__jp"),
+            F.col(type_col).alias("__jt"),
+            F.col(time_col).alias("__jts"),
+            *(
+                [F.col("__rem").alias("__jrem"),
+                 F.col("__runlast").alias("__jrl")]
+                if "__rem" in base.columns else []
+            ),
+        )
+        if t is not None:
+            J = J.filter(F.col("__jt") == t)
+        cond = (F.col(key_col) == F.col("__jk")) & (
+            F.col("__jp") == F.col("__p") + 1
+        )
+        return M.join(J, cond, how)
+
+    def apply_pending(M: DataFrame, first_pos_col: str) -> DataFrame:
+        nonlocal pending
+        for x, anchor in pending:
+            M = _attach_earliest_pos_after(
+                M, typed_pos(x), key_col, anchor, "__xp", "__xt"
+            )
+            M = M.filter(
+                F.col("__xp").isNull()
+                | (F.col("__xp") >= F.col(first_pos_col))
+            ).drop("__xp", "__xt", anchor)
+        pending = []
+        return M
+
+    for s in steps:
+        if s.negate:
+            if s.mode == "strict":
+                # notNext: assert about position __p + 1, consume nothing
+                M = strict_join(M, None, "left")
+                M = M.filter(
+                    F.col("__jt").isNull() | (F.col("__jt") != s.event_type)
+                ).drop("__jk", "__jp", "__jt", "__jts",
+                       *(["__jrem", "__jrl"] if "__rem" in base.columns
+                         else []))
+            else:
+                neg_id += 1
+                na = f"__na{neg_id}"
+                M = M.withColumn(na, F.col("__p"))
+                pending.append((s.event_type, na))
+            continue
+
+        pidx += 1
+        first_col = f"ts_{pidx}"
+        first_pos = f"__fp{pidx}"
+
+        if s.loop:
+            if s.mode == "strict":
+                if s.until is not None:
+                    raise ValueError(
+                        "until applies to relaxed loops only (a strict/"
+                        "consecutive run ends at the first non-matching "
+                        "event by construction)"
+                    )
+                if M is None:
+                    L = base.filter(F.col(type_col) == s.event_type)
+                    M = L.select(
+                        key_col,
+                        F.col(time_col).alias(first_col),
+                        F.col("__runlast").alias(f"ts_{pidx}_last"),
+                        F.col("__rem").alias(f"n_{pidx}"),
+                        F.col("__pos").alias(first_pos),
+                        (F.col("__pos") + F.col("__rem") - 1).alias("__p"),
+                    )
+                else:
+                    M = strict_join(M, s.event_type, "inner")
+                    M = (
+                        M.drop("__p")
+                        .withColumnRenamed("__jts", first_col)
+                        .withColumnRenamed("__jrl", f"ts_{pidx}_last")
+                        .withColumnRenamed("__jrem", f"n_{pidx}")
+                        .withColumn(
+                            "__p",
+                            F.col("__jp") + F.col(f"n_{pidx}") - 1,
+                        )
+                        .withColumnRenamed("__jp", first_pos)
+                        .drop("__jk", "__jt")
+                    )
+                M = within_prune(M, f"ts_{pidx}_last")
+            else:
+                M = _mixed_relaxed_loop(
+                    M, base, typed_pos, s, key_col, time_col, type_col,
+                    within, pidx, first_col, first_pos,
+                )
+                compressed = True
+            if pending:
+                M = apply_pending(M, first_pos)
+            M = M.drop(first_pos)
+            continue
+
+        # plain / times step
+        rng: range
+        if M is None:
+            A = base.filter(F.col(type_col) == s.event_type)
+            M = A.select(
+                key_col,
+                F.col(time_col).alias(first_col),
+                F.col("__pos").alias(first_pos),
+                F.col("__pos").alias("__p"),
+            )
+            rng = range(1, s.times)
+        else:
+            rng = range(s.times)
+        for r in rng:
+            out_col = (
+                first_col if r == 0
+                else (f"ts_{pidx}_last" if r == s.times - 1 else f"__tmp{pidx}_{r}")
+            )
+            if s.mode == "strict" or (s.mode is None):
+                M = strict_join(M, s.event_type, "inner")
+                M = (
+                    M.drop("__p")
+                    .withColumnRenamed("__jts", out_col)
+                    .withColumnRenamed("__jp", "__p")
+                    .drop("__jk", "__jt",
+                          *(["__jrem", "__jrl"] if "__rem" in base.columns
+                            else []))
+                )
+                if r == 0:
+                    M = M.withColumn(first_pos, F.col("__p"))
+            else:
+                M = _attach_earliest_pos_after(
+                    M, typed_pos(s.event_type), key_col, "__p",
+                    "__bp", out_col,
+                )
+                M = M.filter(F.col("__bp").isNotNull())
+                M = M.drop("__p").withColumnRenamed("__bp", "__p")
+                if r == 0:
+                    M = M.withColumn(first_pos, F.col("__p"))
+            M = within_prune(M, out_col)
+        # drop tmp capture cols from times>2 middles
+        M = M.drop(*[c for c in M.columns if c.startswith(f"__tmp{pidx}_")])
+        if s.times == 1 and f"ts_{pidx}_last" in _out_cols(steps):
+            M = M.withColumn(f"ts_{pidx}_last", F.col(first_col))
+        if pending:
+            M = apply_pending(M, first_pos)
+        M = M.drop(first_pos)
+
+    assert M is not None
+    if pending:
+        if within is None:
+            raise ValueError(
+                "a terminal not_followed_by requires within (Flink's rule: "
+                "a pattern ending in notFollowedBy needs a window)"
+            )
+        for x, anchor in pending:
+            M = _attach_earliest_pos_after(
+                M, typed_pos(x), key_col, anchor, "__xp", "__xt"
+            )
+            M = M.filter(
+                F.col("__xp").isNull()
+                | (F.col("__xt") > F.col("ts_1") + _within_expr(within))
+            ).drop("__xp", "__xt", anchor)
+        pending = []
+    if compressed and "__mult" in M.columns:
+        M = M.withColumn(
+            "__dup", F.explode(F.sequence(F.lit(1), F.col("__mult")))
+        ).drop("__mult", "__dup")
+    return M.select(key_col, *_out_cols(steps))
+
+
+def _mixed_relaxed_loop(
+    M: DataFrame | None,
+    base: DataFrame,
+    typed_pos,
+    s: PatternStep,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    pidx: int,
+    first_col: str,
+    first_pos: str,
+) -> DataFrame:
+    """Relaxed greedy loop in the positional engine: elements meet the
+    anchors in one key equi-join on a position range; first/last/count
+    come from a struct-min/max group-agg over the carried columns
+    (duplicate anchors pre-compressed into ``__mult``)."""
+    last_out, n_col = f"ts_{pidx}_last", f"n_{pidx}"
+    el = base.filter(F.col(type_col) == s.event_type).select(
+        F.col(key_col).alias("__ek"),
+        F.col("__pos").alias("__ep"),
+        F.col(time_col).alias("__et"),
+    )
+    if M is None:
+        A = base.filter(F.col(type_col) == s.event_type).select(
+            key_col,
+            F.col(time_col).alias(first_col),
+            F.col("__pos").alias(first_pos),
+            F.col("__pos").alias("__p"),
+        )
+        A = A.groupBy(A.columns).agg(F.count(F.lit(1)).alias("__mult"))
+    else:
+        A = M
+        if "__mult" not in A.columns:
+            A = A.groupBy(A.columns).agg(F.count(F.lit(1)).alias("__mult"))
+    if s.until is not None:
+        A = _attach_earliest_pos_after(
+            A, typed_pos(s.until), key_col, "__p", "__stopp", "__stopt"
+        ).drop("__stopt")
+
+    carried = A.columns
+    cond = (F.col(key_col) == F.col("__ek")) & (
+        F.col("__ep") > F.col("__p")
+    )
+    if s.until is not None:
+        cond = cond & (
+            F.col("__stopp").isNull() | (F.col("__ep") < F.col("__stopp"))
+        )
+    if within is not None:
+        horizon_base = "ts_1" if M is not None else first_col
+        cond = cond & (
+            F.col("__et") <= F.col(horizon_base) + _within_expr(within)
+        )
+    j = A.join(el, cond)
+    agg = j.groupBy(*carried).agg(
+        F.min(F.struct(F.col("__ep").alias("p"), F.col("__et").alias("t"))).alias("__f"),
+        F.max(F.struct(F.col("__ep").alias("p"), F.col("__et").alias("t"))).alias("__l"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    if M is None:
+        out = A.join(agg, carried, "left").select(
+            *[c for c in carried if c != "__p"],
+            F.coalesce(F.col("__l.t"), F.col(first_col)).alias(last_out),
+            (F.lit(1) + F.coalesce(F.col("__n"), F.lit(0))).alias(n_col),
+            F.coalesce(F.col("__l.p"), F.col(first_pos)).alias("__p"),
+        )
+    else:
+        out = agg.select(
+            *[c for c in carried if c != "__p"],
+            F.col("__f.t").alias(first_col),
+            F.col("__f.p").alias(first_pos),
+            F.col("__l.t").alias(last_out),
+            (F.col("__n")).alias(n_col),
+            F.col("__l.p").alias("__p"),
+        )
+    return out.drop("__stopp") if s.until is not None else out

@@ -628,6 +628,56 @@ ORDER BY user_id, start_ts, click_ts
 """
 
 
+def q93_cep_mixed(spark: SparkSession, sf: str) -> DataFrame:
+    """MIXED contiguity (r6 — Flink's real per-step API shape):
+    ``Pattern.begin("view").next("click").followed_by("purchase")`` —
+    the click must be the view's IMMEDIATE successor, the purchase the
+    earliest later event. Runs on the positional sequential engine
+    ((key, pos) equi-join for the strict step + one struct-min window
+    pass for the relaxed step); oracle = an independent positional SQL
+    formulation (self-join at pos+1 + correlated min over pos)."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .next("click")
+        .followed_by("purchase")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p, tiebreak=["event_id"])
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("click_ts"),
+            F.col("ts_3").alias("end_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q93_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos
+  FROM events),
+a AS (
+  SELECT x.user_id, x.ts AS start_ts, y.ts AS click_ts, y.pos AS cpos
+  FROM e x JOIN e y ON y.user_id = x.user_id AND y.pos = x.pos + 1
+  WHERE x.event_type = 'view' AND y.event_type = 'click'),
+b AS (
+  SELECT user_id, start_ts, click_ts,
+    (SELECT min(p.ts) FROM e p WHERE p.user_id = a.user_id
+     AND p.event_type = 'purchase' AND p.pos > a.cpos) AS end_ts
+  FROM a)
+SELECT user_id, start_ts, click_ts, end_ts FROM b
+WHERE end_ts IS NOT NULL AND end_ts <= start_ts + INTERVAL 7 DAY
+ORDER BY user_id, start_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -644,6 +694,7 @@ QUERIES = {
     "q88_cep_one_or_more": q88_cep_one_or_more,
     "q89_cep_strict_run": q89_cep_strict_run,
     "q92_cep_optional": q92_cep_optional,
+    "q93_cep_mixed": q93_cep_mixed,
 }
 
 ORACLES = {
@@ -662,4 +713,5 @@ ORACLES = {
     "q88_cep_one_or_more": _Q88_SQL,
     "q89_cep_strict_run": _Q89_SQL,
     "q92_cep_optional": _Q92_SQL,
+    "q93_cep_mixed": _Q93_SQL,
 }

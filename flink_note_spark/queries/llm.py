@@ -427,10 +427,39 @@ FROM documents
 def q41_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """mapInPandas decode/feature-extract pipeline over binary payloads
     (deterministic fake codec — real decode stubbed per environment
-    contract). Rows-only driver check; schema/batching are the test."""
+    contract). ORACLE-BACKED since r6: the fixture corpus is pure ASCII
+    (bytes == code points, verified), so the fake decoder's rolling
+    hash (h = fold(h*131 + byte) over the first 64 bytes, mod 2^32) and
+    the magic-byte sniff are both expressible in DuckDB SQL
+    (``list_reduce`` over ``ord(substr(...))``) — the driver now
+    hash-checks the actual Arrow-batched numpy kernel, not just row
+    counts. The real-codec seam stays env-stubbed as documented."""
     d = _t(spark, sf, "documents")
     b = attach_binary_column(d, "text", "payload").withColumnRenamed("doc_id", "id")
     return extract_image_features(b, id_col="id", binary_col="payload")
+
+
+_Q41_SQL = """
+WITH h AS (
+  SELECT doc_id, text,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, least(length(text), 64) + 1),
+                            i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1))
+                                      AS BIGINT))),
+           (acc, b) -> (acc * 131 + b) % 4294967296) AS rh
+  FROM documents)
+SELECT doc_id AS id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+            WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+            WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+            ELSE 'unknown' END AS format,
+       CAST(64 + rh % 1024 AS INTEGER) AS width,
+       CAST(64 + (rh // 65536) % 1024 AS INTEGER) AS height,
+       TRUE AS ok
+FROM h
+"""
 
 
 def q57_ivf_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1359,6 +1388,9 @@ ORACLES = {
     "q77_split_decontaminate": _Q77_SQL,
     # sketch's exact verify stage makes it equal the exact operator here
     "q78_frequent_tokens_sketch": _Q66_SQL,
+    # ASCII corpus: the fake decoder's rolling hash + magic sniff are
+    # SQL-expressible, so the kernel is fully oracle-checked (r6)
+    "q41_multimodal_features": _Q41_SQL,
     "q84_full_corpus_prep": _Q84_SQL,
     "q79_unigram_logprob": _Q79_SQL,
     "q76_centroid_classify": _Q76_SQL,

@@ -509,8 +509,9 @@ def test_pattern_builder_roundtrip(spark):
     )
     assert got == want
 
-    with pytest.raises(ValueError, match="mixed contiguity"):
-        Pattern.begin("A").next("B").followed_by("C")
+    # mixed contiguity is legal since r6 (routed to the positional
+    # engine — see the test_mixed_* suite)
+    assert Pattern.begin("A").next("B").followed_by("C").contiguity == "mixed"
     with pytest.raises(ValueError, match="quantify|negated"):
         Pattern.begin("A").not_next("X").times(2)
 
@@ -649,3 +650,236 @@ def test_optional_streaming_raises(spark):
 
     with pytest.raises(ValueError, match="batch-only"):
         expand_simple(["A", {"type": "B", "optional": True}])
+
+
+# ---------------------------------------------------------------------------
+# mixed contiguity (per-step next/followed_by — positional engine)
+
+
+def _naive_mixed(rows, steps, within_s=None):
+    """Reference matcher for per-step contiguity over the per-key
+    position order (ts, event_id): strict steps bind position
+    last+1, relaxed steps the earliest later position of the type;
+    strict negation asserts position last+1, relaxed negation asserts
+    the open position interval (terminal → within horizon by ts);
+    loops are greedy (consecutive run / all-until-stop)."""
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted(
+            [(s, t, i) for (kk, s, t, i) in rows if kk == key],
+            key=lambda r: (r[0], r[2]),
+        )
+        n = len(seq)
+        first = steps[0]
+        for p0 in range(n):
+            if seq[p0][1] != first["type"]:
+                continue
+            pos, cap, ok = p0, [], True
+            t0 = seq[p0][0]
+            horizon = (t0 + within_s) if within_s is not None else None
+            pending = []  # (negtype, anchor_pos)
+            for si, st in enumerate(steps):
+                typ, mode = st["type"], st.get("mode", "strict")
+                if st.get("negate"):
+                    if mode == "strict":
+                        if pos + 1 < n and seq[pos + 1][1] == typ:
+                            ok = False
+                            break
+                    else:
+                        pending.append((typ, pos))
+                    continue
+                loop = st.get("one_or_more", False)
+                times = st.get("times", 1)
+                if si == 0:
+                    if loop:
+                        if mode == "strict":
+                            q = p0
+                            while q < n and seq[q][1] == typ:
+                                q += 1
+                        else:
+                            stop = None
+                            if st.get("until"):
+                                nx = [j for j in range(p0 + 1, n)
+                                      if seq[j][1] == st["until"]]
+                                stop = nx[0] if nx else None
+                            els = [p0] + [
+                                j for j in range(p0 + 1, n)
+                                if seq[j][1] == typ
+                                and (stop is None or j < stop)
+                                and (horizon is None or seq[j][0] <= horizon)
+                            ]
+                            q = els[-1] + 1
+                            cap += [seq[p0][0], seq[els[-1]][0], len(els)]
+                            pos = els[-1]
+                            continue
+                        cap += [seq[p0][0], seq[q - 1][0], q - p0]
+                        pos = q - 1
+                        continue
+                    cap.append(t0)
+                    pos = p0
+                    reps = range(1, times)
+                else:
+                    reps = range(times)
+                first_bound = None
+                if si > 0 and loop:
+                    if mode == "strict":
+                        q = pos + 1
+                        if q >= n or seq[q][1] != typ:
+                            ok = False
+                            break
+                        e = q
+                        while e < n and seq[e][1] == typ:
+                            e += 1
+                        if horizon is not None and seq[e - 1][0] > horizon:
+                            ok = False
+                            break
+                        first_bound = q
+                        cap += [seq[q][0], seq[e - 1][0], e - q]
+                        pos = e - 1
+                    else:
+                        stop = None
+                        if st.get("until"):
+                            nx = [j for j in range(pos + 1, n)
+                                  if seq[j][1] == st["until"]]
+                            stop = nx[0] if nx else None
+                        els = [
+                            j for j in range(pos + 1, n)
+                            if seq[j][1] == typ
+                            and (stop is None or j < stop)
+                            and (horizon is None or seq[j][0] <= horizon)
+                        ]
+                        if not els:
+                            ok = False
+                            break
+                        first_bound = els[0]
+                        cap += [seq[els[0]][0], seq[els[-1]][0], len(els)]
+                        pos = els[-1]
+                elif si > 0 or times > 1:
+                    for r in reps:
+                        if mode == "strict":
+                            q = pos + 1
+                            if q >= n or seq[q][1] != typ:
+                                ok = False
+                                break
+                        else:
+                            cand = [j for j in range(pos + 1, n)
+                                    if seq[j][1] == typ]
+                            if not cand:
+                                ok = False
+                                break
+                            q = cand[0]
+                        if horizon is not None and seq[q][0] > horizon:
+                            ok = False
+                            break
+                        if r == 0 or (si == 0 and r == 1):
+                            if si > 0:
+                                first_bound = q
+                        if (si > 0 and r == 0):
+                            cap.append(seq[q][0])
+                        elif times > 1 and r == times - 1:
+                            cap.append(seq[q][0])
+                        pos = q
+                    if not ok:
+                        break
+                # relaxed negation checks against this step's first event
+                if pending and first_bound is not None:
+                    for (x, anc) in pending:
+                        xs = [j for j in range(anc + 1, n) if seq[j][1] == x]
+                        if xs and xs[0] < first_bound:
+                            ok = False
+                            break
+                    pending = []
+                    if not ok:
+                        break
+            if ok and pending:
+                if within_s is None:
+                    raise AssertionError("terminal negation needs within")
+                for (x, anc) in pending:
+                    xs = [j for j in range(anc + 1, n)
+                          if seq[j][1] == x and seq[j][0] <= horizon]
+                    if xs:
+                        ok = False
+                        break
+            if ok:
+                out.append((key, *cap))
+    return sorted(out)
+
+
+MIXED_ROWS = [
+    (1, 0, "A", 1), (1, 10, "B", 2), (1, 20, "X", 3), (1, 30, "C", 4),
+    (2, 0, "A", 5), (2, 10, "X", 6), (2, 20, "B", 7), (2, 30, "C", 8),
+    (3, 0, "A", 9), (3, 10, "B", 10),
+    (4, 0, "A", 11), (4, 10, "B", 12), (4, 20, "B", 13), (4, 30, "X", 14),
+    (4, 40, "C", 15),
+    (5, 0, "A", 16), (5, 10, "B", 17), (5, 20, "C", 18), (5, 30, "B", 19),
+    (5, 40, "C", 20),
+]
+
+MIXED_PATTERNS = [
+    [{"type": "A"}, {"type": "B", "mode": "strict"},
+     {"type": "C", "mode": "relaxed"}],
+    [{"type": "A"}, {"type": "B", "mode": "relaxed"},
+     {"type": "C", "mode": "strict"}],
+    [{"type": "A"}, {"type": "B", "mode": "strict", "one_or_more": True},
+     {"type": "C", "mode": "relaxed"}],
+    [{"type": "A"}, {"type": "B", "mode": "relaxed", "one_or_more": True,
+      "until": "X"}, {"type": "C", "mode": "strict"}],
+    [{"type": "A"}, {"type": "X", "mode": "strict", "negate": True},
+     {"type": "B", "mode": "relaxed"}],
+    [{"type": "A"}, {"type": "B", "mode": "strict"},
+     {"type": "X", "mode": "relaxed", "negate": True},
+     {"type": "C", "mode": "relaxed"}],
+    [{"type": "A"}, {"type": "B", "mode": "strict", "times": 2},
+     {"type": "C", "mode": "relaxed"}],
+]
+
+
+@pytest.mark.parametrize("pat", MIXED_PATTERNS)
+def test_mixed_contiguity_matches_naive(spark, pat):
+    df = _mk(spark, MIXED_ROWS)
+    got = _collect_cols(match_pattern(df, pat, tiebreak=["event_id"]))
+    want = _naive_mixed(MIXED_ROWS, pat)
+    assert got == want, f"pattern {pat}"
+
+
+def test_mixed_within_bound(spark):
+    pat = [{"type": "A"}, {"type": "B", "mode": "strict"},
+           {"type": "C", "mode": "relaxed"}]
+    df = _mk(spark, MIXED_ROWS)
+    got = _collect_cols(
+        match_pattern(df, pat, tiebreak=["event_id"], within="25 seconds")
+    )
+    assert got == _naive_mixed(MIXED_ROWS, pat, within_s=25)
+    assert got  # key 5's fast funnel survives the bound
+
+
+def test_mixed_builder_routes(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, MIXED_ROWS)
+    p = Pattern.begin("A").next("B").followed_by("C")
+    assert p.contiguity == "mixed"
+    got = _collect_cols(match_pattern(df, p, tiebreak=["event_id"]))
+    want = _naive_mixed(MIXED_ROWS, MIXED_PATTERNS[0])
+    assert got == want
+
+
+def test_mixed_uniform_builder_still_uses_fast_paths(spark):
+    """A builder pattern with uniform modes must produce identical
+    results to the explicit single-mode call (routing regression)."""
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, MIXED_ROWS)
+    p = Pattern.begin("A").followed_by("B").followed_by("C")
+    a = _collect_cols(match_pattern(df, p))
+    b = _collect_cols(
+        match_pattern(df, ["A", "B", "C"], contiguity="relaxed")
+    )
+    assert a == b
+
+
+def test_mixed_streaming_raises(spark):
+    from flink_note_spark.operators.cep import Pattern, expand_simple
+
+    with pytest.raises(ValueError, match="batch-only|single-contiguity"):
+        expand_simple(Pattern.begin("A").next("B").followed_by("C"))

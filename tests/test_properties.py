@@ -383,6 +383,43 @@ def test_cep_quantified_matches_naive_reference(spark, rows, pattern):
     assert got_relaxed == _naive_general_relaxed(rows4, pattern)
 
 
+_MIXED_PATTERNS = [
+    [{"type": "A"}, {"type": "B", "mode": "strict"},
+     {"type": "C", "mode": "relaxed"}],
+    [{"type": "A"}, {"type": "B", "mode": "relaxed"},
+     {"type": "C", "mode": "strict"}],
+    [{"type": "A"}, {"type": "C", "mode": "strict", "negate": True},
+     {"type": "B", "mode": "relaxed"}],
+    [{"type": "A"}, {"type": "B", "mode": "strict", "one_or_more": True},
+     {"type": "C", "mode": "relaxed"}],
+]
+
+
+@given(rows=_cep_events, pattern=st.sampled_from(_MIXED_PATTERNS))
+@settings(**_SETTINGS)
+def test_cep_mixed_matches_naive_reference(spark, rows, pattern):
+    """Per-step (mixed) contiguity equals the positional brute-force
+    matcher on arbitrary event soups (duplicate timestamps included —
+    the positional engine totalizes order via the event_id tiebreak)."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    from tests.test_cep import _collect_cols, _naive_mixed
+
+    epoch = dt.datetime(2024, 6, 1)
+    data = [
+        (k, epoch + dt.timedelta(seconds=s), t, i)
+        for i, (k, s, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    rows4 = [(kk, s, t, i) for i, (kk, s, t) in enumerate(rows)]
+    got = _collect_cols(
+        match_pattern(df, pattern, tiebreak=["event_id"]), epoch=epoch
+    )
+    assert got == _naive_mixed(rows4, pattern)
+
+
 # --- decontamination invariants ------------------------------------------
 
 _decon_docs = st.lists(
