@@ -77,6 +77,11 @@ HEADLINE = [
     # before/after this round (per-query deltas and --compare pairs are).
     "q68_event_pattern",
     "q73_decontaminate",
+    # New in round 6: the relaxed greedy CEP loop (key equi-join +
+    # group-agg) and the mixed positional engine — same cross-round
+    # totals caveat as the round-5 additions.
+    "q88_cep_one_or_more",
+    "q93_cep_mixed",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

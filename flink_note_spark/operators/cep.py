@@ -113,11 +113,8 @@ class PatternStep:
             raise ValueError("until applies only to one_or_more steps")
         if self.times_max is not None and self.times_max < self.times:
             raise ValueError("times(n, m) requires m >= n")
-        if self.optional and self.loop:
-            raise ValueError(
-                "optional() on a loop (zeroOrMore) is not supported — "
-                "use an optional times-range step instead"
-            )
+        # optional + loop == Flink zeroOrMore: legal, expands to the
+        # absent-or-oneOrMore variant pair (_expand_variants)
 
 
 class Pattern:
@@ -201,6 +198,12 @@ class Pattern:
 
     def one_or_more(self) -> "Pattern":
         return self._mod_last(loop=True)
+
+    def zero_or_more(self) -> "Pattern":
+        """Flink ``oneOrMore().optional()``: the greedy run may also be
+        entirely absent (variant expansion — ``n_i`` NULL on the absent
+        branch)."""
+        return self._mod_last(loop=True, optional=True)
 
     def until(self, event_type: str) -> "Pattern":
         return self._mod_last(until=event_type)
@@ -483,6 +486,8 @@ def _match_variants(
                     sel.append(
                         F.lit(None).cast(ts_type).alias(f"ts_{i}_last")
                     )
+                if s.loop:  # zeroOrMore absent branch: no run at all
+                    sel.append(F.lit(None).cast("long").alias(f"n_{i}"))
                 continue
             j = vpos[i]
             vs = vpositives[j - 1]

@@ -578,6 +578,8 @@ def _naive_variants(rows, pattern, contiguity, within_s=None):
                     vals.append(None)
                     if has_last:
                         vals.append(None)
+                    if s.loop:
+                        vals.append(None)
                     continue
                 j = vpos[i]
                 vs = vpositives[j]
@@ -606,11 +608,14 @@ def _collect_opt(df, epoch=T0):
 
 OPT_PATTERNS_STRICT = [
     ["A", {"type": "B", "optional": True}, "C"],
+    ["A", {"type": "B", "optional": True, "one_or_more": True}, "C"],
     ["A", {"type": "B", "times": 1, "times_max": 2}, "C"],
     [{"type": "A", "optional": True}, "B", "C"],
 ]
 OPT_PATTERNS_RELAXED = [
     ["A", {"type": "B", "optional": True}, "C"],
+    ["A", {"type": "B", "optional": True, "one_or_more": True,
+           "until": "U"}, "C"],
     ["A", {"type": "B", "times": 1, "times_max": 2}, "C"],
     ["A", {"type": "B", "times": 1, "times_max": 3, "optional": True}],
 ]
@@ -639,8 +644,6 @@ def test_optional_validation():
 
     with pytest.raises(ValueError, match="m >= n"):
         PatternStep("A", times=3, times_max=2).validate()
-    with pytest.raises(ValueError, match="zeroOrMore"):
-        Pattern.begin("A").followed_by("B").one_or_more().optional()
     with pytest.raises(ValueError, match="quantified"):
         Pattern.begin("A").not_next("X").optional()
 
@@ -883,3 +886,22 @@ def test_mixed_streaming_raises(spark):
 
     with pytest.raises(ValueError, match="batch-only|single-contiguity"):
         expand_simple(Pattern.begin("A").next("B").followed_by("C"))
+
+
+def test_zero_or_more_builder(spark):
+    """Flink zeroOrMore: the loop may be absent (n_2 NULL) or a greedy
+    run — both branches emit."""
+    from flink_note_spark.operators.cep import Pattern
+
+    rows = [
+        (1, 0, "A", 1), (1, 10, "B", 2), (1, 20, "B", 3), (1, 30, "C", 4),
+        (2, 0, "A", 5), (2, 10, "C", 6),
+    ]
+    df = _mk(spark, rows)
+    p = Pattern.begin("A").next("B").zero_or_more().followed_by("C")
+    got = _collect_opt(match_pattern(df, p, tiebreak=["event_id"]))
+    # key 1: run-present branch (strict consecutive run of 2) AND the
+    # absent branch (A then earliest C) both match; key 2: absent only
+    assert (1, 0.0, 10.0, 20.0, 2, 30.0) in got
+    assert (1, 0.0, None, None, None, 30.0) in got
+    assert (2, 0.0, None, None, None, 10.0) in got

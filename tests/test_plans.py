@@ -186,6 +186,23 @@ def test_q88_cep_loop_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_q92_q93_cep_bounded_no_cartesian(spark, sf_dir):
+    """The variant-union (optional) and positional mixed engines stay
+    equi-join/window-only: no CartesianProduct/BNLJ, bounded exchanges
+    (q92: two lead-chain branches + orderBy = 3; q93: row_number pass +
+    (key,pos) equi-join + struct-min pass + orderBy = 4)."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    for name, budget in (("q92_cep_optional", 4), ("q93_cep_mixed", 5)):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert shuffle_count(df) <= budget, (
+            f"{name} shuffles {shuffle_count(df)}×"
+        )
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Directory-layout partitioning must turn an equality filter into a
     PartitionFilter (scan planning skips the other directories) — the
