@@ -418,6 +418,13 @@ def test_cep_mixed_matches_naive_reference(spark, rows, pattern):
         match_pattern(df, pattern, tiebreak=["event_id"]), epoch=epoch
     )
     assert got == _naive_mixed(rows4, pattern)
+    got_w = _collect_cols(
+        match_pattern(
+            df, pattern, tiebreak=["event_id"], within="25 seconds"
+        ),
+        epoch=epoch,
+    )
+    assert got_w == _naive_mixed(rows4, pattern, within_s=25)
 
 
 # --- decontamination invariants ------------------------------------------

@@ -342,6 +342,18 @@ def main() -> None:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
 
+    def cep_mixed_probe(ev):
+        """q93-shape MIXED contiguity on the positional engine: one
+        row_number pass + a (key,pos) equi-join for the strict step +
+        one struct-min window pass for the relaxed step."""
+        from flink_note_spark.operators.cep import Pattern, match_pattern
+
+        p = (
+            Pattern.begin("view").next("click").followed_by("purchase")
+            .within("7 days")
+        )
+        return match_pattern(ev, p, tiebreak=["event_id"])
+
     def cogroup_probe(cust, orders):
         """CoGroupFunction shape: whole per-key groups from both sides
         meet in one pandas call (outer groups included). Key cardinality
@@ -506,6 +518,7 @@ def main() -> None:
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
         bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
+        bench(f"cep_mixed_{tag}", lambda e=evdf: noop(cep_mixed_probe(e)), t)
     for tag, evdir in (("x1", ev1_dir), (f"x{k}", ev_k_dir)):
         bench(f"route_{tag}", lambda d=evdir: route_probe(d), t)
     # concurrency axis (same x1 data, 1 vs 4 in-flight batches): the
@@ -520,8 +533,8 @@ def main() -> None:
             "asof", "sessionize",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk", "corpus",
-            "decontaminate", "cep_strict", "cep_relaxed", "route",
-            "tfidf", "corpus_full",
+            "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
+            "route", "tfidf", "corpus_full",
         )
     }
     out = {
