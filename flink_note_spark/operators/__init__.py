@@ -52,6 +52,10 @@ from flink_note_spark.operators.similarity import (
     ivf_topk,
     lsh_cosine_topk,
     lsh_embedding_near_dup_pairs,
+    PqIndex,
+    pq_build,
+    pq_query,
+    pq_topk,
 )
 from flink_note_spark.operators.text import (
     clean_text,
@@ -102,6 +106,10 @@ __all__ = [
     "ivf_query",
     "ivf_save",
     "ivf_topk",
+    "PqIndex",
+    "pq_build",
+    "pq_query",
+    "pq_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",
     "clean_text",

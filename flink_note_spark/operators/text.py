@@ -438,3 +438,55 @@ def frequent_tokens(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a doc's distinct
+    word n-grams appear in NO other document — the corpus-pressure
+    signal dedup pipelines threshold on before paying for pairwise
+    near-dup search (a doc whose shingles are mostly shared is either a
+    near-duplicate or boilerplate; one whose shingles are mostly unique
+    is safe to fast-path).
+
+    Shares the vectorized whitespace-run shingle kernel with the dedup
+    family (``dedup._shingle_rows`` — ONE tokenization across all
+    hygiene operators), so "novelty" here is definitionally consistent
+    with what MinHash/decontamination would see. Scale shape: one
+    shingle scan, one map-side-combinable document-frequency agg over
+    8-byte hashed shingles, one shingle-keyed equi-join back, one
+    per-doc agg — no pairwise work at any point.
+
+    Output: ``id_col, n_shingles, n_shared, novelty`` where ``novelty``
+    = 1 − n_shared/n_shingles (rounded 6), NULL for docs shorter than
+    ``n`` words (no shingles — nothing to judge).
+
+    PRECONDITION (inherited from the kernel): one row per ``id_col``.
+    """
+    from flink_note_spark.operators.dedup import _shingle_rows
+
+    sh = _shingle_rows(df, id_col, text_col, n, None)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(
+                F.lit(1.0) - F.col("n_shared") / F.col("n_shingles"), 6
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .fillna({"n_shingles": 0, "n_shared": 0})
+    )

@@ -479,6 +479,79 @@ def q57_ivf_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def q94_pq_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC ANN with ``shortlist >= |corpus|`` + exact re-rank: the
+    ADC stage becomes pure shortlist routing and the output must EQUAL
+    exact brute force — which makes the whole PQ pipeline (shuffle-free
+    per-subspace Lloyd codebooks, Arrow encode pass, broadcast
+    lookup-table scoring, re-rank join) fully ORACLE-CHECKABLE against
+    DuckDB (the q57 exhaustive-IVF trick). Partial-shortlist recall is
+    pytest-gated (tests/test_lsh_recall.py)."""
+    from flink_note_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        q, e, k=5, m=8, n_codes=16, shortlist=1_000_000, refine=True,
+        id_col="vec_id", vec_col="embedding",
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q95_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC ANN, honest approximate configuration (m=8 subspaces,
+    64 codes, shortlist 100, exact re-rank) — the memory-bound scale
+    path of the similarity family: the corpus scores as 8 int codes
+    per vector against broadcast lookup tables. Rows-only driver check
+    (ADC shortlist has no SQL twin); ≥0.9 recall vs exact brute force
+    is pytest-gated."""
+    from flink_note_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        q, e, k=5, m=8, n_codes=64, shortlist=100, refine=True,
+        id_col="vec_id", vec_col="embedding",
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q96_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty (share of 3-gram shingles unique to
+    the doc) — the corpus-pressure signal that decides which documents
+    even enter pairwise near-dup search. One shingle scan + one df agg
+    over hashed shingles + one shingle-keyed join; definitionally
+    consistent with the MinHash/decontamination tokenization (shared
+    kernel)."""
+    from flink_note_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf, "documents")
+    return ngram_novelty(d, "text", "doc_id", n=3).orderBy("doc_id")
+
+
+_Q96_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS wlist FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(wlist) - 2),
+                               i -> array_to_string(wlist[i+1:i+3], ' ')))
+           AS shingle
+  FROM w WHERE len(wlist) >= 3
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM sh s JOIN dfreq d USING (shingle) GROUP BY s.doc_id)
+SELECT doc.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+       round(1.0 - p.n_shared / CAST(p.n_shingles AS DOUBLE), 6) AS novelty
+FROM documents doc LEFT JOIN per p USING (doc_id)
+ORDER BY doc.doc_id
+"""
+
+
 def q58_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic corpus split audit: per-split row counts and id
     checksum from ``sampling.hash_split``. Values are a pure function of
@@ -1327,6 +1400,9 @@ QUERIES = {
     "q33_cosine_topk": q33_cosine_topk,
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
     "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
+    "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
+    "q95_pq_topk": q95_pq_topk,
+    "q96_ngram_novelty": q96_ngram_novelty,
     "q58_hash_split": q58_hash_split,
     "q90_lsh_verified_pairs": q90_lsh_verified_pairs,
     "q91_md5_split": q91_md5_split,
@@ -1372,6 +1448,9 @@ ORACLES = {
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,
+    # exhaustive shortlist + exact re-rank == exact brute force
+    "q94_pq_exhaustive_topk": _Q33_SQL,
+    "q96_ngram_novelty": _Q96_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,
     "q61_packing_invariants": _Q61_SQL,
     "q62_connected_components": _Q62_SQL,

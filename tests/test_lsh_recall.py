@@ -327,3 +327,72 @@ def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     assert exact
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.65, f"IVF recall {recall:.3f} < 0.65 (chance is 0.5)"
+
+
+def test_pq_exhaustive_shortlist_equals_exact(spark, sf_dir):
+    """shortlist >= |corpus| + exact re-rank: ADC becomes pure routing,
+    output must equal brute force bit-for-bit (the q94 oracle
+    contract)."""
+    from flink_note_spark.operators.similarity import cosine_topk, pq_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = sorted(
+        map(tuple, cosine_topk(q, e, k=5).collect())
+    )
+    pq = sorted(
+        map(tuple, pq_topk(q, e, k=5, m=8, n_codes=16,
+                           shortlist=1_000_000, refine=True).collect())
+    )
+    assert pq == exact
+
+
+def test_pq_partial_shortlist_recall(spark, sf_dir):
+    """Honest approximate config (q95 params): >= 0.9 recall vs exact,
+    and refine=True always reports TRUE cosine for what it returns."""
+    from flink_note_spark.operators.similarity import cosine_topk, pq_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact_rows = cosine_topk(q, e, k=5).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact_rows}
+    got_rows = pq_topk(q, e, k=5, m=8, n_codes=64, shortlist=100,
+                       refine=True).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"PQ recall {recall:.2f} < 0.9"
+    for r in got_rows:  # returned scores are exact cosine, not ADC
+        key = (r.query_id, r.neighbor_id)
+        if key in sims:
+            assert abs(r.cos_sim - sims[key]) < 1e-9
+
+
+def test_pq_index_reuse_and_validation(spark, sf_dir):
+    """pq_build/pq_query split: one index serves several query batches;
+    dim % m != 0 raises; empty corpus returns a typed empty frame;
+    refine=False reports ADC scores under the honest adc_sim name."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import pq_build, pq_query
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = pq_build(e, m=8, n_codes=16, iters=1)
+    b1 = pq_query(idx, e.filter(F.col("vec_id") < 5), k=3)
+    b2 = pq_query(idx, e.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)), k=3)
+    assert b1.count() == 15 and b2.count() == 15
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_build(e, m=7, n_codes=16, iters=1)
+
+    empty = e.filter(F.col("vec_id") < 0)
+    eidx = pq_build(empty, m=8, n_codes=16, iters=1)
+    out = pq_query(eidx, e.filter(F.col("vec_id") < 3), k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+    raw = pq_query(idx, e.filter(F.col("vec_id") < 3), k=3, refine=False)
+    assert raw.columns == ["query_id", "neighbor_id", "adc_sim", "rank"]

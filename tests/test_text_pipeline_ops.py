@@ -278,3 +278,27 @@ def test_decontaminate_splits_null_split_is_train(spark):
         for r in decontaminate_splits(docs, split_col="split", n=3).collect()
     )
     assert kept == [2, 3]
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """Docs sharing a 3-gram get it counted as shared on BOTH sides;
+    short docs (< n words) come back with 0 shingles and NULL novelty."""
+    from flink_note_spark.operators.text import ngram_novelty
+
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),   # shingles: a-b-g, b-g-d
+            (2, "alpha beta gamma zz"),      # shares a-b-g with doc 1
+            (3, "one two three"),            # 1 unique shingle
+            (4, "xy zz"),                    # too short
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["novelty"])
+        for r in ngram_novelty(docs, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 1.0)
+    assert got[4] == (0, 0, None)
