@@ -225,6 +225,16 @@ def main() -> None:
         q = emb.filter(F.col("vec_id") < 10)
         return ivf_topk(q, emb, k=5, n_cells=16, n_probe=4, iters=1)
 
+    def pq_probe(emb):
+        """PQ/ADC shape: codebook training (1 iter) + encode + ADC
+        scoring of the code column + exact shortlist re-rank."""
+        from flink_note_spark.operators.similarity import pq_topk
+
+        q = emb.filter(F.col("vec_id") < 10)
+        return pq_topk(
+            q, emb, k=5, m=8, n_codes=16, shortlist=50, iters=1,
+        )
+
     def components_probe(d):
         """Pure clustering cost, decoupled from pair generation: a
         synthetic edge list with 8-node chains (so the star rounds do
@@ -511,6 +521,7 @@ def main() -> None:
             t,
         )
         bench(f"ivf_topk_{tag}", lambda e=e: noop(ivf_probe(e)), t)
+        bench(f"pq_topk_{tag}", lambda e=e: noop(pq_probe(e)), t)
         bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
         bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
         bench(f"tfidf_{tag}", lambda d=d: noop(tfidf_probe(d)), t)
@@ -532,7 +543,8 @@ def main() -> None:
             "join", "window", "agg", "salted", "cogroup",
             "asof", "sessionize",
             "exact_dedup", "minhash_lsh", "simhash", "components",
-            "packing", "language_id", "cosine_topk", "ivf_topk", "corpus",
+            "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
+            "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
             "route", "tfidf", "corpus_full",
         )
