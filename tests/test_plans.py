@@ -203,6 +203,18 @@ def test_q92_q93_cep_bounded_no_cartesian(spark, sf_dir):
         )
 
 
+def test_q94_q96_no_cartesian(spark, sf_dir):
+    """PQ's re-rank (shortlist + broadcast query-vector joins) and the
+    novelty join stay equi-joins — never a CartesianProduct/BNLJ."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    for name in ("q94_pq_exhaustive_topk", "q96_ngram_novelty"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Directory-layout partitioning must turn an equality filter into a
     PartitionFilter (scan planning skips the other directories) — the

@@ -472,3 +472,37 @@ def test_decontaminate_invariants(spark, docs, bench):
         if not (grams(ws) & bench_grams)
     )
     assert kept == expect
+
+
+# --- PQ/ADC invariants ----------------------------------------------------
+
+_pq_vectors = st.lists(
+    st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=8, max_size=8,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+    min_size=3,
+    max_size=20,
+)
+
+
+@given(vecs=_pq_vectors)
+@settings(**_SETTINGS)
+def test_pq_exhaustive_equals_exact_property(spark, vecs):
+    """For ANY small corpus: PQ with shortlist >= |corpus| + exact
+    re-rank equals brute-force cosine top-k exactly (the q94 oracle
+    contract, generalized beyond the fixture)."""
+    from flink_note_spark.operators.similarity import cosine_topk, pq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    exact = sorted(map(tuple, cosine_topk(q, df, k=3).collect()))
+    pq = sorted(
+        map(tuple, pq_topk(q, df, k=3, m=4, n_codes=4, shortlist=10_000,
+                           refine=True, iters=1).collect())
+    )
+    assert pq == exact
