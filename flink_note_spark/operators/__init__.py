@@ -56,6 +56,7 @@ from flink_note_spark.operators.similarity import (
     pq_build,
     pq_query,
     pq_topk,
+    ivfpq_topk,
 )
 from flink_note_spark.operators.text import (
     clean_text,
@@ -110,6 +111,7 @@ __all__ = [
     "pq_build",
     "pq_query",
     "pq_topk",
+    "ivfpq_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",
     "clean_text",

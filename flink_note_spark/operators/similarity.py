@@ -1130,3 +1130,176 @@ def pq_topk(
         index, queries, k=k, shortlist=shortlist, refine=refine,
         id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_collect_rows: int | None = 100_000,
+) -> DataFrame:
+    """IVF routing + PQ codes (the canonical billion-scale ANN combo,
+    Jégou et al. 2011 §IV): k-means cells bound the candidate set,
+    per-subspace PQ codes bound the memory per candidate, exact cosine
+    re-ranks the ADC shortlist. Compared to :func:`ivf_topk` the cell
+    scan reads ``m`` int codes instead of the raw vector; compared to
+    :func:`pq_topk` only ``n_probe/n_cells`` of the corpus is scored.
+
+    Candidates meet in a ``cell_id`` equi-join (never a cross join);
+    ADC scoring happens per joined Arrow batch against the broadcast
+    per-query lookup tables. With ``n_probe == n_cells`` AND
+    ``shortlist >= |corpus|`` the pipeline degenerates to exact
+    brute force (the q97 oracle contract).
+
+    Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
+    """
+    import numpy as np
+
+    c = _spread_for_python_stage(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    id_type = dict(corpus.dtypes)[id_col]
+    empty_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
+    )
+    cents = _ivf_train_centroids(c, n_cells, iters, seed, "neighbor_id", "__cv")
+    if cents is None:
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    books = _pq_train_codebooks(c, m, n_codes, iters, seed,
+                                "neighbor_id", "__cv")
+    n_probe = min(n_probe, len(cents))
+
+    sc = queries.sparkSession.sparkContext
+    bc_cents = sc.broadcast(np.asarray(cents))
+    bc_books = sc.broadcast(books)
+
+    # one Arrow pass: cell assignment + PQ encode
+    enc_schema = (
+        f"neighbor_id {id_type}, __cv array<double>, cell_id int, "
+        "__codes array<int>"
+    )
+
+    def encode(batches):
+        cm = bc_cents.value
+        cb = bc_books.value
+        mm, _, dd = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sv = vn.reshape(len(v), mm, dd)
+            codes = np.empty((len(v), mm), dtype=np.int32)
+            for j in range(mm):
+                d2 = ((sv[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            pdf = pdf.copy()
+            pdf["cell_id"] = np.argmax(vn @ cm.T, axis=1).astype("int32")
+            pdf["__codes"] = list(codes)
+            yield pdf
+
+    encoded = c.mapInPandas(encode, enc_schema)
+
+    # query side: guarded collect → ADC tables + probed cells
+    _guard_driver_collect(
+        queries, "ivfpq_topk", max_collect_rows,
+        "batch the query set (per-query ADC tables are driver state)",
+    )
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    q_ids = np.array([r["query_id"] for r in qrows])
+    qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    mm, kk, dd = books.shape
+    tables = np.einsum("qmd,mkd->qmk", qn.reshape(len(qn), mm, dd), books)
+    probed = np.argsort(-(qn @ np.asarray(cents).T), axis=1)[:, :n_probe]
+    bc_tab = sc.broadcast({qid: tables[i] for i, qid in enumerate(q_ids)})
+
+    probe_rows = [
+        (qid.item() if hasattr(qid, "item") else qid, int(cell))
+        for i, qid in enumerate(q_ids)
+        for cell in probed[i]
+    ]
+    qp = queries.sparkSession.createDataFrame(
+        probe_rows, f"query_id {id_type}, cell_id int"
+    )
+
+    cand = F.broadcast(qp).join(encoded, "cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+
+    adc_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, __adc double"
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        tabs = bc_tab.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["__codes"].tolist(), dtype=np.int64)
+            out = np.empty(len(pdf))
+            qcol = pdf["query_id"].to_numpy()
+            for qid in pd.unique(qcol):
+                mask = qcol == qid
+                t = tabs[qid]
+                out[mask] = t[np.arange(mm)[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "__adc": out,
+                }
+            )
+
+    scored = cand.select("query_id", "neighbor_id", "__codes").mapInPandas(
+        adc, adc_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .drop("__r", "__adc")
+    )
+    qv = queries.sparkSession.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["__qv"]]) for r in qrows],
+        f"query_id {id_type}, __qv array<double>",
+    )
+    rer = (
+        short.join(encoded.select("neighbor_id", "__cv"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    sim = vec_dot("__qv", "__cv") / (
+        F.sqrt(l2_norm_sq("__qv")) * F.sqrt(l2_norm_sq("__cv"))
+    )
+    rescored = rer.select("query_id", "neighbor_id", sim.alias("__sim"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("__sim", 6).alias("cos_sim"), "rank",
+        )
+    )

@@ -514,6 +514,23 @@ def q95_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def q97_ivfpq_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (cell routing + PQ codes — the canonical billion-scale
+    ANN combo) with ``n_probe == n_cells`` and an exhaustive shortlist:
+    both approximations degenerate and the output must EQUAL exact
+    brute force, making the composed pipeline (Lloyd cells + PQ
+    codebooks + cell equi-join + ADC tables + re-rank) fully
+    oracle-checkable. Partial-probe recall is pytest-gated."""
+    from flink_note_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        q, e, k=5, n_cells=8, n_probe=8, m=8, n_codes=16,
+        shortlist=1_000_000, id_col="vec_id", vec_col="embedding",
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q96_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document n-gram novelty (share of 3-gram shingles unique to
     the doc) — the corpus-pressure signal that decides which documents
@@ -1403,6 +1420,7 @@ QUERIES = {
     "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
+    "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
     "q90_lsh_verified_pairs": q90_lsh_verified_pairs,
     "q91_md5_split": q91_md5_split,
@@ -1451,6 +1469,8 @@ ORACLES = {
     # exhaustive shortlist + exact re-rank == exact brute force
     "q94_pq_exhaustive_topk": _Q33_SQL,
     "q96_ngram_novelty": _Q96_SQL,
+    # exhaustive probe + exhaustive shortlist == exact brute force
+    "q97_ivfpq_exhaustive_topk": _Q33_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,
     "q61_packing_invariants": _Q61_SQL,
     "q62_connected_components": _Q62_SQL,

@@ -396,3 +396,36 @@ def test_pq_index_reuse_and_validation(spark, sf_dir):
 
     raw = pq_query(idx, e.filter(F.col("vec_id") < 3), k=3, refine=False)
     assert raw.columns == ["query_id", "neighbor_id", "adc_sim", "rank"]
+
+
+def test_ivfpq_exhaustive_equals_exact(spark, sf_dir):
+    """n_probe == n_cells + exhaustive shortlist: both approximations
+    degenerate, output equals brute force (the q97 oracle contract)."""
+    from flink_note_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = sorted(map(tuple, cosine_topk(q, e, k=5).collect()))
+    got = sorted(
+        map(tuple, ivfpq_topk(q, e, k=5, n_cells=8, n_probe=8, m=8,
+                              n_codes=16, shortlist=1_000_000).collect())
+    )
+    assert got == exact
+
+
+def test_ivfpq_partial_probe_recall(spark, sf_dir):
+    """Honest approximate config: 6/8 cells probed, 64 codes, shortlist
+    150 → ≥0.85 recall vs exact (measured 0.90 on the fixture)."""
+    from flink_note_spark.operators.similarity import cosine_topk, ivfpq_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(q, e, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivfpq_topk(q, e, k=5, n_cells=8, n_probe=6, m=8,
+                               n_codes=64, shortlist=150).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} < 0.85"
