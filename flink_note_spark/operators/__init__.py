@@ -56,6 +56,8 @@ from flink_note_spark.operators.similarity import (
     pq_build,
     pq_query,
     pq_topk,
+    pq_save,
+    pq_load,
     ivfpq_topk,
 )
 from flink_note_spark.operators.text import (
@@ -111,6 +113,8 @@ __all__ = [
     "pq_build",
     "pq_query",
     "pq_topk",
+    "pq_save",
+    "pq_load",
     "ivfpq_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",

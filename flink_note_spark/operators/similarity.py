@@ -1303,3 +1303,54 @@ def ivfpq_topk(
             F.round("__sim", 6).alias("cos_sim"), "rank",
         )
     )
+
+
+def pq_save(index: PqIndex, table: str, path: str | None = None) -> None:
+    """Persist a built PQ index across sessions: the encoded corpus
+    (id + codes + raw vector for the re-rank stage) to ``table`` and
+    the codebooks to a ``<table>__codebooks`` side table
+    (``m · n_codes`` tiny rows). The codes column is the artifact that
+    matters at 100 TB — ``m`` ints per vector; re-encoding a 100 TB
+    corpus per session is the cost this avoids. Always overwrites
+    (same contract as :func:`ivf_save`)."""
+    if index.codebooks is None:
+        raise ValueError("pq_save: empty index (corpus had no rows)")
+    spark = index.encoded.sparkSession
+    writer = index.encoded.write.mode("overwrite")
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    mm, kk, _ = index.codebooks.shape
+    rows = [
+        (j, c, [float(x) for x in index.codebooks[j, c]])
+        for j in range(mm)
+        for c in range(kk)
+    ]
+    w2 = spark.createDataFrame(
+        rows, "sub int, code int, word array<double>"
+    ).write.mode("overwrite")
+    if path:
+        w2 = w2.option("path", f"{path}__codebooks")
+    w2.saveAsTable(f"{table}__codebooks")
+
+
+def pq_load(spark, table: str) -> PqIndex:
+    """Rebuild a :class:`PqIndex` from :func:`pq_save` output — no
+    training, no encode pass."""
+    import numpy as np
+
+    rows = spark.table(f"{table}__codebooks").collect()
+    if not rows:
+        raise ValueError(
+            f"pq_load: codebook table {table}__codebooks is empty — "
+            "not a pq_save output (or the save was interrupted)"
+        )
+    mm = max(r["sub"] for r in rows) + 1
+    kk = max(r["code"] for r in rows) + 1
+    dd = len(rows[0]["word"])
+    books = np.empty((mm, kk, dd), dtype=np.float64)
+    for r in rows:
+        books[r["sub"], r["code"]] = r["word"]
+    encoded = spark.table(table)
+    id_type = dict(encoded.dtypes)["neighbor_id"]
+    return PqIndex(books, encoded, id_type)

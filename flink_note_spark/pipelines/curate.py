@@ -80,6 +80,7 @@ def prepare_training_corpus(
     max_dup_word_ratio: float | None = None,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 5,
+    max_shared_shingle_ratio: float | None = None,
 ) -> DataFrame:
     """The full corpus-preparation flow: [PII redaction →] curate (exact
     dedup + language + quality) → [repetition gate →] near-dup cluster
@@ -141,6 +142,21 @@ def prepare_training_corpus(
                 <= max_dup_word_ratio
             )
             .drop("__dup_ratio")
+        )
+    if max_shared_shingle_ratio is not None:
+        from flink_note_spark.operators.text import ngram_novelty
+
+        nov = ngram_novelty(
+            cur.select(id_col, text_col), text_col, id_col, n=3
+        ).select(id_col, "novelty")
+        cur = (
+            cur.join(nov, id_col, "left")
+            .filter(
+                # novelty NULL (sub-n doc) → no signal → keep
+                F.coalesce(F.lit(1.0) - F.col("novelty"), F.lit(0.0))
+                <= max_shared_shingle_ratio
+            )
+            .drop("novelty")
         )
     if near_dup_threshold is not None:
         # ids are unique after curate_corpus' keep-first dedup window.

@@ -429,3 +429,36 @@ def test_ivfpq_partial_probe_recall(spark, sf_dir):
                                n_codes=64, shortlist=150).collect()}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} < 0.85"
+
+
+def test_pq_save_load_round_trip(spark, sf_dir, tmp_path):
+    """pq_save → pq_load reproduces identical query results with no
+    retraining/re-encoding; loading a non-index table raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        pq_build,
+        pq_load,
+        pq_query,
+        pq_save,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    idx = pq_build(e, m=8, n_codes=16, iters=1)
+    before = sorted(map(tuple, pq_query(idx, q, k=3).collect()))
+
+    pq_save(idx, "pq_rt", path=str(tmp_path / "pq_rt"))
+    loaded = pq_load(spark, "pq_rt")
+    after = sorted(map(tuple, pq_query(loaded, q, k=3).collect()))
+    assert after == before
+    assert (loaded.codebooks == idx.codebooks).all()
+
+    spark.sql("DROP TABLE IF EXISTS not_an_index__codebooks")
+    spark.createDataFrame([], "sub int, code int, word array<double>") \
+        .write.mode("overwrite") \
+        .option("path", str(tmp_path / "ni")) \
+        .saveAsTable("not_an_index__codebooks")
+    with _pytest.raises(ValueError, match="pq_load"):
+        pq_load(spark, "not_an_index")

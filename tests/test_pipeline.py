@@ -131,6 +131,39 @@ def test_prepare_training_corpus_extended_stages(spark):
     assert legacy.count() == 4
 
 
+def test_novelty_gate_drops_shared_shingle_docs(spark):
+    """max_shared_shingle_ratio (r6): a doc made entirely of shingles
+    another doc also has is dropped before the pairwise stage; unique
+    docs and sub-n docs (no signal) survive; default-off is unchanged."""
+    from flink_note_spark.pipelines import CurationConfig, prepare_training_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zz alpha beta gamma delta epsilon yy"),  # shares all of 1's
+            (3, "one two three four five six"),           # unique shingles
+            (4, "aa bb"),                                 # sub-n: no signal
+        ],
+        "doc_id long, text string",
+    )
+    out = prepare_training_corpus(
+        df,
+        config=CurationConfig(min_words=1),
+        near_dup_threshold=None,
+        max_shared_shingle_ratio=0.5,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # doc 1: every shingle also in doc 2 → shared ratio 1.0 → dropped;
+    # doc 2 has unique zz/yy edge shingles (2 of 5 shared... ratio 3/5
+    # > 0.5) → also dropped; 3 and 4 survive
+    assert kept == [3, 4]
+
+    legacy = prepare_training_corpus(
+        df, config=CurationConfig(min_words=1), near_dup_threshold=None
+    )
+    assert legacy.count() == 4
+
+
 def test_repetition_gate_corner_cases(spark):
     """The gate must not clash with a caller's own dup_word_ratio
     column, must not leak an extra column into the output, and must
