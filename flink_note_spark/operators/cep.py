@@ -342,7 +342,7 @@ def match_pattern(
     time_col: str = "ts",
     type_col: str = "event_type",
     within: str | None = None,
-    contiguity: str = "strict",
+    contiguity: str | None = None,
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Match an event-type pattern per key; one output row per match.
@@ -370,10 +370,15 @@ def match_pattern(
     module docstring).
     """
     if isinstance(pattern, Pattern):
-        if pattern.contiguity is not None:
+        # explicit argument wins; the builder's contiguity is the
+        # default (review r6 finding #4 — step-level modes are more
+        # specific still and always apply)
+        if contiguity is None and pattern.contiguity is not None:
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
+    if contiguity is None:
+        contiguity = "strict"
     if contiguity not in ("strict", "relaxed", "mixed"):
         raise ValueError(
             f"contiguity must be strict|relaxed|mixed, got {contiguity!r}"
@@ -932,15 +937,22 @@ def _relaxed_loop(
 
     if s.until is not None:
         A = _earliest_after(A, typed(s.until), key_col, anchor_prev, "__stop")
+        # sentinel instead of NULL for "no stop event": __stop is part
+        # of the loop agg's carried grouping columns, and a NULL key
+        # never matches in the first-step left join back — anchors
+        # without an until event would silently lose their run
+        # (review r6 finding #1)
+        A = A.withColumn(
+            "__stop",
+            F.coalesce(F.col("__stop"), F.lit("9999-12-31").cast("timestamp")),
+        )
 
     carried = A.columns
     cond = (F.col(key_col) == F.col("__ek")) & (
         F.col("__el") > F.col(anchor_prev)
     )
     if s.until is not None:
-        cond = cond & (
-            F.col("__stop").isNull() | (F.col("__el") < F.col("__stop"))
-        )
+        cond = cond & (F.col("__el") < F.col("__stop"))
     if within is not None:
         horizon_base = "ts_1" if M is not None else first_col
         cond = cond & (
@@ -1218,8 +1230,6 @@ def _match_mixed(
             M = within_prune(M, out_col)
         # drop tmp capture cols from times>2 middles
         M = M.drop(*[c for c in M.columns if c.startswith(f"__tmp{pidx}_")])
-        if s.times == 1 and f"ts_{pidx}_last" in _out_cols(steps):
-            M = M.withColumn(f"ts_{pidx}_last", F.col(first_col))
         if pending:
             M = apply_pending(M, first_pos)
         M = M.drop(first_pos)
@@ -1286,15 +1296,18 @@ def _mixed_relaxed_loop(
         A = _attach_earliest_pos_after(
             A, typed_pos(s.until), key_col, "__p", "__stopp", "__stopt"
         ).drop("__stopt")
+        # sentinel for "no stop event" — see _relaxed_loop (carried
+        # NULL grouping key never matches the left join back)
+        A = A.withColumn(
+            "__stopp", F.coalesce(F.col("__stopp"), F.lit(2**62))
+        )
 
     carried = A.columns
     cond = (F.col(key_col) == F.col("__ek")) & (
         F.col("__ep") > F.col("__p")
     )
     if s.until is not None:
-        cond = cond & (
-            F.col("__stopp").isNull() | (F.col("__ep") < F.col("__stopp"))
-        )
+        cond = cond & (F.col("__ep") < F.col("__stopp"))
     if within is not None:
         horizon_base = "ts_1" if M is not None else first_col
         cond = cond & (

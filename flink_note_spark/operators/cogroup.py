@@ -40,8 +40,21 @@ _BUCKET = "__cg_bucket"
 
 
 def _schema_names(schema: str) -> list[str]:
-    """Column names from a DDL string ('a int, b string' → [a, b])."""
-    return [f.strip().split()[0] for f in schema.split(",") if f.strip()]
+    """Column names from a DDL string — bracket-aware so nested types
+    (``map<string,int>``, ``struct<a:int,b:int>``, ``decimal(10,2)``)
+    don't split on their inner commas (review r6 finding #5)."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = schema[start:i].strip()
+            if field:
+                names.append(field.split()[0].strip("`"))
+            start = i + 1
+    return names
 
 
 def cogroup_apply(
@@ -85,20 +98,31 @@ def cogroup_apply(
     def bucket_fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         lpdf = lpdf.drop(columns=[_BUCKET])
         rpdf = rpdf.drop(columns=[_BUCKET])
+        def normkey(k):
+            """NaN/NaT group keys normalize to None so the SAME null key
+            from both sides lands in ONE fn call — NaN != NaN would
+            otherwise split the group into two half-calls, diverging
+            from the raw cogroup path (review r6 finding #2)."""
+            parts = k if isinstance(k, tuple) else (k,)
+            return tuple(
+                None if (p is None or p != p) else p for p in parts
+            )
+
         lg = (
-            {k: g for k, g in lpdf.groupby(keys, sort=False, dropna=False)}
+            {normkey(k): g
+             for k, g in lpdf.groupby(keys, sort=False, dropna=False)}
             if len(lpdf) else {}
         )
         rg = (
-            {k: g for k, g in rpdf.groupby(keys, sort=False, dropna=False)}
+            {normkey(k): g
+             for k, g in rpdf.groupby(keys, sort=False, dropna=False)}
             if len(rpdf) else {}
         )
         l_empty = lpdf.iloc[0:0]
         r_empty = rpdf.iloc[0:0]
 
-        def korder(k):  # deterministic even with None/NaN/mixed keys
-            parts = k if isinstance(k, tuple) else (k,)
-            return [repr(p) for p in parts]
+        def korder(k):  # deterministic even with None/mixed keys
+            return [repr(p) for p in k]
 
         outs = []
         for k in sorted(lg.keys() | rg.keys(), key=korder):
@@ -106,7 +130,12 @@ def cogroup_apply(
             if res is not None and len(res):
                 outs.append(res)
         if not outs:
-            return pd.DataFrame({c: [] for c in out_names})
+            # object dtype, not pandas' default float64 for empty
+            # columns — Arrow's NumPyConverter can't turn a float64
+            # ndarray into map/struct types, object columns it can
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in out_names}
+            )
         return pd.concat(outs, ignore_index=True)
 
     return (

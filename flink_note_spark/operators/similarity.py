@@ -1210,7 +1210,10 @@ def ivfpq_topk(
             pdf["__codes"] = list(codes)
             yield pdf
 
-    encoded = c.mapInPandas(encode, enc_schema)
+    # materialized: BOTH the ADC scoring pass and the __cv re-rank join
+    # read this frame — without blocks the full encode kernel would run
+    # twice per call (review r6 finding #6)
+    encoded = _computed_once(c.mapInPandas(encode, enc_schema))
 
     # query side: guarded collect → ADC tables + probed cells
     _guard_driver_collect(

@@ -395,7 +395,7 @@ def match_pattern_stream(
     type_col: str = "event_type",
     within: str | None = None,
     watermark: str = "5 minutes",
-    contiguity: str = "strict",
+    contiguity: str | None = None,
 ) -> DataFrame:
     """Streaming CEP (Flink ``CEP.pattern(stream, Pattern.begin()
     .next()/.followedBy()...)``): incremental, exactly-once match
@@ -427,10 +427,14 @@ def match_pattern_stream(
     list containing ``times(n)`` quantifiers (expanded positionally);
     ``one_or_more``/negation steps are batch-only and raise here.
     """
-    from flink_note_spark.operators.cep import Pattern, expand_simple
+    from flink_note_spark.operators.cep import (
+        Pattern,
+        _normalize,
+        expand_simple,
+    )
 
     if isinstance(pattern, Pattern):
-        if pattern.contiguity is not None:
+        if contiguity is None and pattern.contiguity is not None:
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
@@ -438,7 +442,16 @@ def match_pattern_stream(
         isinstance(pattern, list)
         and all(isinstance(p, str) for p in pattern)
     ):
+        if contiguity is None:
+            # step-level modes in dict/PatternStep specs decide, same
+            # as batch match_pattern (review r6 finding #3 — before
+            # this, a relaxed-mode dict spec silently ran strict)
+            modes = {s.mode for s in _normalize(pattern) if s.mode}
+            if len(modes) == 1:
+                contiguity = modes.pop()
         pattern = expand_simple(pattern)
+    if contiguity is None:
+        contiguity = "strict"
     k = len(pattern)
     if k < 1:
         raise ValueError("pattern must name at least one event type")

@@ -905,3 +905,55 @@ def test_zero_or_more_builder(spark):
     assert (1, 0.0, 10.0, 20.0, 2, 30.0) in got
     assert (1, 0.0, None, None, None, 30.0) in got
     assert (2, 0.0, None, None, None, 10.0) in got
+
+
+# ---------------------------------------------------------------------------
+# round-6 review regressions
+
+
+def test_relaxed_until_loop_without_stop_event_keeps_run(spark):
+    """Review r6 #1: a first-step until-loop must report the FULL greedy
+    run for keys where the until event never occurs (the NULL stop used
+    to fall out of the join-back and collapse runs to n=1)."""
+    rows = [
+        (1, 0, "B", 1), (1, 10, "B", 2), (1, 20, "B", 3),   # no U
+        (2, 0, "B", 4), (2, 5, "U", 5), (2, 10, "B", 6),    # U stops it
+    ]
+    df = _mk(spark, rows)
+    pat = [{"type": "B", "one_or_more": True, "until": "U"}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    assert got == _naive_general_relaxed(rows, pat)
+    # key 1's first anchor sees the whole run
+    assert (1, 0.0, 20.0, 3) in got
+    # key 2's anchor at 0 is stopped by U: run of 1
+    assert (2, 0.0, 0.0, 1) in got
+
+    # mixed-engine twin (positional loop shares the sentinel fix)
+    mixed = [{"type": "A", "mode": "strict"},
+             {"type": "B", "mode": "relaxed", "one_or_more": True,
+              "until": "U"}]
+    rows2 = [(1, 0, "A", 1), (1, 5, "B", 2), (1, 10, "B", 3)]
+    got2 = _collect_cols(match_pattern(_mk(spark, rows2), mixed,
+                                       tiebreak=["event_id"]))
+    assert got2 == [(1, 0.0, 5.0, 10.0, 2)]
+
+
+def test_explicit_contiguity_overrides_builder(spark):
+    """Review r6 #4: the documented precedence — an explicit contiguity
+    argument wins over the Pattern builder's (step modes don't exist
+    for begin-only chains built with followed_by)."""
+    from flink_note_spark.operators.cep import Pattern
+
+    rows = [(1, 0, "A", 1), (1, 5, "X", 2), (1, 10, "B", 3)]
+    df = _mk(spark, rows)
+    # builder says relaxed per step; per-step modes are MORE specific
+    # than the argument, so a full Pattern still runs relaxed — the
+    # precedence applies to the pattern-LEVEL default:
+    plain = [{"type": "A"}, {"type": "B"}]  # no step modes
+    relaxed = _collect_cols(match_pattern(df, plain, contiguity="relaxed"))
+    strict = _collect_cols(match_pattern(df, plain, contiguity="strict",
+                                         tiebreak=["event_id"]))
+    assert relaxed == [(1, 0.0, 10.0)] and strict == []
+    # and a Pattern without explicit argument uses its builder modes
+    p = Pattern.begin("A").followed_by("B")
+    assert _collect_cols(match_pattern(df, p)) == [(1, 0.0, 10.0)]

@@ -511,3 +511,58 @@ def test_exact_dedup_rows_null_text_rows_all_pass_through(spark):
     )
     rows = {(r.doc_id, r.payload) for r in exact_dedup_rows(df).collect()}
     assert rows == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_cogroup_bucketed_null_keys_one_group(spark):
+    """Review r6 #2: a NULL key present on both sides must reach fn as
+    ONE outer group in bucketed mode, exactly like the raw path."""
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import cogroup_apply
+
+    left = spark.createDataFrame([(None, 1.0), (1, 2.0)], "k long, v double")
+    right = spark.createDataFrame([(None, 10.0), (1, 20.0)], "k long, v double")
+
+    def counts(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        src = lg if len(lg) else rg
+        k = src["k"].iloc[0]
+        k = None if pd.isna(k) else int(k)
+        return pd.DataFrame({"k": [k], "nl": [len(lg)], "nr": [len(rg)]})
+
+    schema = "k long, nl int, nr int"
+    raw = sorted(
+        map(tuple, cogroup_apply(left, right, ["k"], counts, schema)
+            .collect()),
+        key=repr,
+    )
+    bucketed = sorted(
+        map(tuple, cogroup_apply(left, right, ["k"], counts, schema,
+                                 buckets=2).collect()),
+        key=repr,
+    )
+    assert bucketed == raw
+    assert (None, 1, 1) in bucketed
+
+
+def test_cogroup_schema_names_nested_types(spark):
+    """Review r6 #5: empty-bucket frames must use bracket-aware DDL
+    parsing — map/struct/decimal commas are not field separators."""
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import _schema_names, cogroup_apply
+
+    assert _schema_names("k long, m map<string,int>, d decimal(10,2)") == [
+        "k", "m", "d"
+    ]
+    assert _schema_names("`k` long, s struct<a:int,b:int>") == ["k", "s"]
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(2, "b")], "k long, v string")
+
+    def nothing(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [], "m": []})
+
+    out = cogroup_apply(
+        left, right, ["k"], nothing, "k long, m map<string,int>", buckets=2
+    )
+    assert out.count() == 0

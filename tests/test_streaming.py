@@ -1117,6 +1117,39 @@ def test_cep_stream_times_quantifier(spark, chunk_dir, tmp_path):
         )
 
 
+def test_cep_stream_dict_spec_mode_decides_contiguity(spark, chunk_dir, tmp_path):
+    """Review r6 #3: step-level 'mode' in dict specs decides the
+    streaming matcher (a relaxed-mode spec used to silently run the
+    strict matcher). A X B only matches relaxed."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(1), "X", 1.0),
+        (1, 3, _ts(2), "B", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 4, _ts(120), "Z", 1.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(
+        stream,
+        [{"type": "A", "mode": "relaxed"}, {"type": "B", "mode": "relaxed"}],
+        within="20 minutes",
+        watermark="2 minutes",
+    )
+    _run_to_memory(out, "cep_mode_out", "update", tmp_path)
+    got = spark.sql("SELECT * FROM cep_mode_out").toPandas()
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    rows = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for _, r in got.iterrows()
+    )
+    assert rows == [(1, us(0), us(2))]  # strict would find nothing
+
+
 def test_tag_late_data_flags_late_rows(spark, chunk_dir, tmp_path):
     """sideOutputLateData analogue: rows older than the engine watermark
     surface with is_late=true instead of disappearing."""
