@@ -14,6 +14,7 @@ from flink_note_spark.operators.components import (
 from flink_note_spark.operators.cogroup import cogroup_apply
 from flink_note_spark.operators.cep import match_pattern
 from flink_note_spark.operators.enrich import batched_enrich
+from flink_note_spark.operators.iterate import iterate
 from flink_note_spark.operators.joins import (
     asof_join,
     range_join,
@@ -79,6 +80,7 @@ __all__ = [
     "dedup_clusters",
     "cogroup_apply",
     "match_pattern",
+    "iterate",
     "batched_enrich",
     "asof_join",
     "range_join",

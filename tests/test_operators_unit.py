@@ -566,3 +566,66 @@ def test_cogroup_schema_names_nested_types(spark):
         left, right, ["k"], nothing, "k long, m map<string,int>", buckets=2
     )
     assert out.count() == 0
+
+
+# --- iterate (Flink iterate() analogue) ----------------------------------
+
+def test_iterate_converges_transitive_closure(spark):
+    """Pointer-jumping min-label propagation over a 6-node chain reaches
+    the fixpoint and stops BEFORE max_iters (checksum criterion), with
+    per-round materialization keeping lineage flat."""
+    from flink_note_spark.operators.iterate import iterate
+
+    # chain 0<-1<-2<-3<-4<-5: label[i] starts at i; each round takes
+    # min(label[i], label[parent(i)]) -> converges to all-zeros in
+    # ceil(log2(5)) pointer-jumping rounds... we do simple propagation
+    # (one hop per round): 5 rounds to converge, 6th detects fixpoint
+    df = spark.createDataFrame(
+        [(i, i, max(i - 1, 0)) for i in range(6)],
+        "node long, label long, parent long",
+    )
+
+    calls = []
+
+    def step(d, i):
+        calls.append(i)
+        lbl = d.select(
+            F.col("node").alias("p"), F.col("label").alias("plabel")
+        )
+        return (
+            d.join(lbl, d.parent == F.col("p"), "left")
+            .select(
+                "node",
+                F.least("label", "plabel").alias("label"),
+                "parent",
+            )
+        )
+
+    out = iterate(df, step, max_iters=20)
+    assert [r.label for r in out.orderBy("node").collect()] == [0] * 6
+    # fixpoint detected: 5 productive rounds + 1 no-change round, not 20
+    assert len(calls) <= 7
+
+
+def test_iterate_edge_cases(spark):
+    from flink_note_spark.operators.iterate import iterate
+
+    df = spark.createDataFrame([(1,)], "x long")
+    assert iterate(df, lambda d, i: d, 0).collect() == df.collect()
+    with pytest.raises(ValueError, match="max_iters"):
+        iterate(df, lambda d, i: d, -1)
+    with pytest.raises(ValueError, match="schema"):
+        iterate(df, lambda d, i: d.withColumn("y", F.lit(1)), 3)
+
+    # custom convergence criterion wins over the checksum
+    ran = []
+
+    def step(d, i):
+        ran.append(i)
+        return d.select((F.col("x") + 1).alias("x"))
+
+    out = iterate(
+        df, step, max_iters=10,
+        converged=lambda prev, cur: cur.collect()[0].x >= 3,
+    )
+    assert out.collect()[0].x == 3 and len(ran) == 2

@@ -506,3 +506,57 @@ def test_pq_exhaustive_equals_exact_property(spark, vecs):
                            refine=True, iters=1).collect())
     )
     assert pq == exact
+
+
+# --- bucketed cogroup == raw cogroup --------------------------------------
+
+_cg_side = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=6)),  # key
+        st.integers(min_value=-99, max_value=99),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(left=_cg_side, right=_cg_side,
+       buckets=st.sampled_from([1, 3, 16]))
+@settings(**_SETTINGS)
+def test_cogroup_bucketed_equals_raw_property(spark, left, right, buckets):
+    """For ANY two keyed frames (NULL keys, one-side-only keys,
+    duplicates) and ANY bucket count, bucketed cogroup_apply returns
+    exactly the raw path's rows."""
+    import pandas as pd
+
+    from flink_note_spark.operators.cogroup import cogroup_apply
+
+    schema_in = "k long, v long"
+    ldf = (spark.createDataFrame(left, schema_in) if left
+           else spark.createDataFrame([], schema_in))
+    rdf = (spark.createDataFrame(right, schema_in) if right
+           else spark.createDataFrame([], schema_in))
+
+    def summarize(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        src = lg if len(lg) else rg
+        k = src["k"].iloc[0]
+        k = None if pd.isna(k) else int(k)
+        return pd.DataFrame({
+            "k": [k],
+            "nl": [len(lg)],
+            "nr": [len(rg)],
+            "sv": [int(lg["v"].sum() + rg["v"].sum())],
+        })
+
+    schema = "k long, nl int, nr int, sv long"
+    raw = sorted(
+        map(tuple, cogroup_apply(ldf, rdf, ["k"], summarize, schema)
+            .collect()),
+        key=repr,
+    )
+    got = sorted(
+        map(tuple, cogroup_apply(ldf, rdf, ["k"], summarize, schema,
+                                 buckets=buckets).collect()),
+        key=repr,
+    )
+    assert got == raw
