@@ -242,16 +242,37 @@ def _normalize(pattern) -> list[PatternStep]:
     return steps
 
 
-def expand_simple(pattern) -> list[str]:
-    """Expand a pattern into a plain type list IF it contains only
-    positive plain/``times`` steps (the surface the incremental
-    streaming matcher supports); raise otherwise."""
-    steps = _normalize(pattern)
-    if len({s.mode for s in steps if s.mode}) > 1:
-        raise ValueError(
-            "streaming CEP is single-contiguity; mixed patterns are "
-            "batch-only"
-        )
+def _resolve_contiguity(
+    steps: list[PatternStep], contiguity: str | None
+) -> str:
+    """Pattern-level contiguity resolution — the ONE rule shared by the
+    batch router and the streaming dispatcher (review r6: the two had
+    drifted, so identical specs picked different engines). Step-level
+    modes are more specific than the ``contiguity`` argument (which is
+    the pattern-level default); the FIRST step's mode never decides on
+    its own (it anchors — only the tail's modes express contiguity);
+    ``'mixed'`` is returned when the tail genuinely mixes."""
+    default_mode = contiguity if contiguity not in (None, "mixed") else None
+    eff = []
+    for i, s in enumerate(steps):
+        m = s.mode or default_mode
+        if m is None and i > 0 and contiguity == "mixed":
+            raise ValueError(
+                "mixed contiguity requires an explicit mode per step "
+                "(use the Pattern builder or dict steps with 'mode')"
+            )
+        eff.append(m)
+    tail = {m for m in eff[1:] if m is not None}
+    if len(tail) > 1:
+        return "mixed"
+    if tail:
+        return tail.pop()
+    if contiguity in ("strict", "relaxed"):
+        return contiguity
+    return eff[0] or "strict"
+
+
+def _expand_simple_steps(steps: list[PatternStep]) -> list[str]:
     out: list[str] = []
     for s in steps:
         if s.negate or s.loop or s.optional or s.times_max is not None:
@@ -262,6 +283,19 @@ def expand_simple(pattern) -> list[str]:
             )
         out.extend([s.event_type] * s.times)
     return out
+
+
+def expand_simple(pattern) -> list[str]:
+    """Expand a pattern into a plain type list IF it contains only
+    positive plain/``times`` steps (the surface the incremental
+    streaming matcher supports); raise otherwise."""
+    steps = _normalize(pattern)
+    if _resolve_contiguity(steps, None) == "mixed":
+        raise ValueError(
+            "streaming CEP is single-contiguity; mixed patterns are "
+            "batch-only"
+        )
+    return _expand_simple_steps(steps)
 
 
 def _out_cols(steps: list[PatternStep]) -> list[str]:
@@ -377,35 +411,30 @@ def match_pattern(
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
-    if contiguity is None:
-        contiguity = "strict"
-    if contiguity not in ("strict", "relaxed", "mixed"):
+    if contiguity is not None and contiguity not in (
+        "strict", "relaxed", "mixed"
+    ):
         raise ValueError(
             f"contiguity must be strict|relaxed|mixed, got {contiguity!r}"
         )
     steps = _normalize(pattern)
 
-    # resolve per-step modes: explicit step modes win; a uniform result
-    # routes to the specialized single-mode engines, a genuine mix to
-    # the positional sequential engine (r6)
-    default_mode = contiguity if contiguity != "mixed" else None
-    eff_modes = []
-    for i, s in enumerate(steps):
-        m = s.mode or default_mode
-        if m is None and i > 0:
-            raise ValueError(
-                "mixed contiguity requires an explicit mode per step "
-                "(use the Pattern builder or dict steps with 'mode')"
-            )
-        eff_modes.append(m)
-    tail_modes = {m for m in eff_modes[1:] if m is not None}
-    if len(tail_modes) > 1:
+    # resolve per-step modes with the rule SHARED with the streaming
+    # dispatcher (_resolve_contiguity): a uniform result routes to the
+    # specialized single-mode engines, a genuine mix to the positional
+    # sequential engine (r6)
+    resolved = _resolve_contiguity(steps, contiguity)
+    if resolved == "mixed":
         if steps[0].negate:
             raise ValueError("a mixed pattern must start positively")
+        default_mode = (
+            contiguity if contiguity not in (None, "mixed") else None
+        )
         steps = [
             PatternStep(s.event_type, s.negate, s.times, s.loop, s.until,
-                        s.times_max, s.optional, m or "strict")
-            for s, m in zip(steps, eff_modes)
+                        s.times_max, s.optional,
+                        s.mode or default_mode or "strict")
+            for s in steps
         ]
         if any(s.optional or s.times_max is not None for s in steps):
             return _match_variants(
@@ -416,10 +445,7 @@ def match_pattern(
             events, steps, key_col, time_col, type_col, within,
             tiebreak or [],
         )
-    if tail_modes:
-        contiguity = tail_modes.pop()
-    elif contiguity == "mixed":
-        contiguity = eff_modes[0] or "strict"
+    contiguity = resolved
 
     if any(s.optional or s.times_max is not None for s in steps):
         return _match_variants(

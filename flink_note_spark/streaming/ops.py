@@ -389,7 +389,7 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
 
 def match_pattern_stream(
     stream: DataFrame,
-    pattern: list[str],
+    pattern,
     key_col: str = "user_id",
     time_col: str = "ts",
     type_col: str = "event_type",
@@ -429,8 +429,9 @@ def match_pattern_stream(
     """
     from flink_note_spark.operators.cep import (
         Pattern,
+        _expand_simple_steps,
         _normalize,
-        expand_simple,
+        _resolve_contiguity,
     )
 
     if isinstance(pattern, Pattern):
@@ -442,14 +443,19 @@ def match_pattern_stream(
         isinstance(pattern, list)
         and all(isinstance(p, str) for p in pattern)
     ):
-        if contiguity is None:
-            # step-level modes in dict/PatternStep specs decide, same
-            # as batch match_pattern (review r6 finding #3 — before
-            # this, a relaxed-mode dict spec silently ran strict)
-            modes = {s.mode for s in _normalize(pattern) if s.mode}
-            if len(modes) == 1:
-                contiguity = modes.pop()
-        pattern = expand_simple(pattern)
+        # resolve contiguity with the SAME rule as batch match_pattern
+        # (review r6: step-level modes are more specific than the
+        # argument, the first step's mode never decides alone) so a
+        # spec matches identically in both engines or fails loudly
+        steps = _normalize(pattern)
+        resolved = _resolve_contiguity(steps, contiguity)
+        if resolved == "mixed":
+            raise ValueError(
+                "streaming CEP is single-contiguity; mixed patterns "
+                "are batch-only"
+            )
+        contiguity = resolved
+        pattern = _expand_simple_steps(steps)
     if contiguity is None:
         contiguity = "strict"
     k = len(pattern)

@@ -1150,6 +1150,68 @@ def test_cep_stream_dict_spec_mode_decides_contiguity(spark, chunk_dir, tmp_path
     assert rows == [(1, us(0), us(2))]  # strict would find nothing
 
 
+def test_cep_stream_event_at_exact_watermark_still_matches(spark, chunk_dir, tmp_path):
+    """ADVICE r5 boundary pin: Spark's late filter drops only ts < wm,
+    so an event with ts EXACTLY == the previous watermark can still
+    arrive — a relaxed match completing at ts_k == wm_prev must emit
+    (the old `wm_prev < ts_k` gate silently never emitted it)."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    # batch 1: A@0 (key 1) + W@10 (other key) → wm = 10 − 5 = 5 min
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (7, 2, _ts(10), "W", 1.0),
+    ])
+    # batch 2: B arrives with ts EXACTLY == the current watermark (5)
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(5), "B", 1.0)])
+    # batch 3: sentinel pushes the watermark far past everything
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 4, _ts(120), "Z", 1.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(
+        stream, ["A", "B"], within="20 minutes", watermark="5 minutes",
+        contiguity="relaxed",
+    )
+    _run_to_memory(out, "cep_boundary_out", "update", tmp_path)
+    got = spark.sql("SELECT * FROM cep_boundary_out").toPandas()
+    us = lambda m: int(
+        _ts(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    rows = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for _, r in got.iterrows()
+    )
+    assert rows == [(1, us(0), us(5))], (
+        "the boundary match at ts_k == wm_prev was dropped or duplicated"
+    )
+
+
+def test_cep_stream_contiguity_resolution_matches_batch(spark):
+    """Review r6 parity: identical specs must resolve to the same
+    contiguity in both engines — first-step-only mode acts as the
+    pattern default, step modes beat the argument, mixed raises."""
+    from flink_note_spark.operators.cep import (
+        _normalize,
+        _resolve_contiguity,
+    )
+
+    cases = [
+        ([{"type": "A", "mode": "relaxed"}, {"type": "B"}], None, "relaxed"),
+        ([{"type": "A"}, {"type": "B"}], None, "strict"),
+        ([{"type": "A", "mode": "relaxed"},
+          {"type": "B", "mode": "relaxed"}], "strict", "relaxed"),
+        ([{"type": "A", "mode": "strict"},
+          {"type": "B", "mode": "relaxed"}], None, "relaxed"),
+        ([{"type": "A"}, {"type": "B", "mode": "strict"},
+          {"type": "C", "mode": "relaxed"}], None, "mixed"),
+    ]
+    for spec, arg, want in cases:
+        got = _resolve_contiguity(_normalize(spec), arg)
+        assert got == want, f"{spec} arg={arg}: {got} != {want}"
+
+
 def test_tag_late_data_flags_late_rows(spark, chunk_dir, tmp_path):
     """sideOutputLateData analogue: rows older than the engine watermark
     surface with is_late=true instead of disappearing."""
