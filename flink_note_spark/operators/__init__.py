@@ -20,7 +20,11 @@ from flink_note_spark.operators.joins import (
     range_join,
     theta_join,
 )
-from flink_note_spark.operators.windows import sessionize, topk_per_group
+from flink_note_spark.operators.windows import (
+    count_window,
+    sessionize,
+    topk_per_group,
+)
 from flink_note_spark.operators.dedup import (
     decontaminate,
     decontaminate_splits,
@@ -86,6 +90,7 @@ __all__ = [
     "range_join",
     "theta_join",
     "sessionize",
+    "count_window",
     "topk_per_group",
     "decontaminate",
     "decontaminate_splits",

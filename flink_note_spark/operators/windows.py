@@ -54,3 +54,40 @@ def sessionize(
         prev_us.isNull() | (cur_us - prev_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
     return df.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def count_window(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size: int,
+    tiebreak: str | None = None,
+    window_col: str = "window_id",
+) -> DataFrame:
+    """Tumbling COUNT windows per key — Flink ``keyBy().countWindow(n)``
+    (the DataStream window family's count-based member, SURVEY.md §2.2):
+    each key's events, in ``(ts, tiebreak)`` order, are grouped into
+    consecutive windows of exactly ``size`` events (the final partial
+    window remains open in Flink and here carries the last id with
+    fewer than ``size`` rows — filter on a count if only full windows
+    matter).
+
+    Flink numbers count windows by ARRIVAL order, which is not
+    reproducible; the batch rendering totalizes on event time (+
+    ``tiebreak`` — pass the event id, the sampling-determinism
+    doctrine), so results are stable under repartitioning. One
+    ``row_number`` window pass — a single shuffle on the key.
+
+    Adds ``window_col`` = 0-based window index per key; aggregate with
+    a plain ``groupBy(key, window_col)``.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    order = [F.col(ts).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return df.withColumn(
+        window_col,
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(size)).cast("long"),
+    )

@@ -678,6 +678,44 @@ ORDER BY user_id, start_ts
 """
 
 
+def q98_count_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink ``countWindow(5)`` per user: tumbling 5-event windows in
+    (ts, event_id) order, aggregated per window — one row_number pass
+    (single key shuffle) + a plain groupBy."""
+    from flink_note_spark.operators.windows import count_window
+
+    e = _t(spark, sf, "events")
+    win = count_window(e, key="user_id", ts="ts", size=5,
+                       tiebreak="event_id")
+    return (
+        win.groupBy("user_id", "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min(epoch_us("ts")).alias("win_start_us"),
+            F.max(epoch_us("ts")).alias("win_end_us"),
+        )
+        .orderBy("user_id", "window_id")
+    )
+
+
+_Q98_SQL = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         CAST((row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1) // 5 AS BIGINT)
+           AS window_id
+  FROM events)
+SELECT user_id, window_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       min(epoch_us(ts)) AS win_start_us,
+       max(epoch_us(ts)) AS win_end_us
+FROM w GROUP BY user_id, window_id
+ORDER BY user_id, window_id
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -695,6 +733,7 @@ QUERIES = {
     "q89_cep_strict_run": q89_cep_strict_run,
     "q92_cep_optional": q92_cep_optional,
     "q93_cep_mixed": q93_cep_mixed,
+    "q98_count_window": q98_count_window,
 }
 
 ORACLES = {
@@ -714,4 +753,5 @@ ORACLES = {
     "q89_cep_strict_run": _Q89_SQL,
     "q92_cep_optional": _Q92_SQL,
     "q93_cep_mixed": _Q93_SQL,
+    "q98_count_window": _Q98_SQL,
 }

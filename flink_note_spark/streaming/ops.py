@@ -679,3 +679,79 @@ def tagged_union(
     lt = left.withColumn(tag_col, F.lit(left_tag))
     rt = right.withColumn(tag_col, F.lit(right_tag))
     return lt.unionByName(rt, allowMissingColumns=True)
+
+
+def count_window_stream(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    size: int,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming tumbling COUNT windows — Flink ``keyBy().countWindow(n)``
+    via ``applyInPandasWithState``: per key, every ``size``-th event
+    closes a window and emits ``(key, window_id, n_events, sum_value,
+    win_start_us, win_end_us)``; the partial tail stays in state
+    (≤ size−1 buffered events per key — O(size) state, watermark-free
+    eviction is unnecessary because the buffer is bounded by
+    construction; the watermark only gates late-row admission).
+
+    Ordering contract (same as Flink's): count windows are ARRIVAL-
+    ordered across micro-batches — only event-time-sorted WITHIN each
+    batch. On a single bounded batch this equals the batch
+    :func:`~flink_note_spark.operators.windows.count_window` rendering
+    (equality-tested); across batches the assignment depends on arrival,
+    exactly like Flink's count triggers.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    key_type = dict(stream.dtypes)[key]
+    out_schema = (
+        f"{key} {key_type}, window_id long, n_events int, "
+        "sum_value double, win_start_us long, win_end_us long"
+    )
+    cols = [key, "window_id", "n_events", "sum_value",
+            "win_start_us", "win_end_us"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        (k,) = key_tuple
+        if state.hasTimedOut:  # pragma: no cover - no timers armed
+            state.remove()
+            return
+        win_id, buf_ts, buf_val = (
+            state.get if state.exists else (0, [], [])
+        )
+        buf_ts, buf_val = list(buf_ts), list(buf_val)
+        rows = []
+        for pdf in pdfs:
+            order = pdf[ts_col].argsort(kind="stable")
+            ts_us = (pdf[ts_col].astype("int64") // 1_000).iloc[order]
+            vals = pdf[value_col].iloc[order]
+            for t, v in zip(ts_us.tolist(), vals.tolist()):
+                buf_ts.append(t)
+                buf_val.append(float(v) if v is not None else 0.0)
+                if len(buf_ts) == size:
+                    rows.append((
+                        k, win_id, size, round(sum(buf_val), 4),
+                        min(buf_ts), max(buf_ts),
+                    ))
+                    win_id += 1
+                    buf_ts, buf_val = [], []
+        state.update((win_id, buf_ts, buf_val))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=(
+                "win long, buf_ts array<long>, buf_val array<double>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

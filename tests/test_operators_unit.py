@@ -629,3 +629,28 @@ def test_iterate_edge_cases(spark):
         converged=lambda prev, cur: cur.collect()[0].x >= 3,
     )
     assert out.collect()[0].x == 3 and len(ran) == 2
+
+
+def test_count_window_batch_semantics(spark):
+    """Tumbling count windows: deterministic (ts, tiebreak) order,
+    0-based ids, final partial window kept; size validation."""
+    from flink_note_spark.operators.windows import count_window
+
+    df = spark.createDataFrame(
+        [(1, _ts(i), i) for i in range(5)] + [(2, _ts(0), 99)],
+        "k long, ts timestamp, eid long",
+    )
+    out = count_window(df, key="k", ts="ts", size=2, tiebreak="eid")
+    got = {(r.k, r.eid): r.window_id for r in out.collect()}
+    assert got == {(1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1,
+                   (1, 4): 2, (2, 99): 0}
+    # repartition-stable
+    got2 = {
+        (r.k, r.eid): r.window_id
+        for r in count_window(
+            df.repartition(7), key="k", ts="ts", size=2, tiebreak="eid"
+        ).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="size"):
+        count_window(df, key="k", ts="ts", size=0)

@@ -1459,3 +1459,47 @@ def test_cep_stream_survives_checkpoint_restart(spark, chunk_dir, tmp_path):
     )
     # restored buffer completed (10 -> 21); run-1 match NOT re-emitted
     assert final == [(1, us(0), us(1)), (1, us(10), us(21))]
+
+
+def test_count_window_stream_matches_batch_on_bounded_input(spark, chunk_dir, tmp_path):
+    """countWindow twin: full windows emit with exact aggregates; the
+    partial tail stays buffered (Flink's open count window); on one
+    bounded batch the assignment equals the batch count_window."""
+    from flink_note_spark.operators.windows import count_window
+    from flink_note_spark.streaming.ops import count_window_stream
+
+    rows = [
+        (1, i, _ts(i), "view", float(i)) for i in range(7)   # 7 events: 3+3+1
+    ] + [(2, 10 + i, _ts(i), "view", 1.0) for i in range(3)]  # exactly one window
+    _write_chunk(chunk_dir, "c1.parquet", rows)
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    )
+    out = count_window_stream(stream, key="user_id", ts_col="ts", size=3)
+    _run_to_memory(out, "cw_out", "update", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["window_id"]), int(r["n_events"]),
+         float(r["sum_value"]))
+        for _, r in spark.sql("SELECT * FROM cw_out").toPandas().iterrows()
+    )
+    assert got == [
+        (1, 0, 3, 3.0),    # 0+1+2
+        (1, 1, 3, 12.0),   # 3+4+5; event 6 stays buffered (partial)
+        (2, 0, 3, 3.0),
+    ]
+
+    batch = count_window(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
+        key="user_id", ts="ts", size=3, tiebreak="event_id",
+    )
+    from pyspark.sql import functions as F
+    bagg = sorted(
+        (int(r["user_id"]), int(r["window_id"]), int(r["n"]),
+         float(r["sv"]))
+        for r in batch.groupBy("user_id", "window_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .filter(F.col("n") == 3)
+        .collect()
+    )
+    assert got == bagg
