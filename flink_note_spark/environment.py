@@ -165,6 +165,24 @@ class ExecutionEnvironment:
         """Flink datagen/rate analogue (test/benchmark source)."""
         return _files.read_rate(self.spark, rows_per_second)
 
+    # --- CEP (Flink CEP.pattern) -------------------------------------------
+
+    def cep(self, df: DataFrame, pattern, **kwargs) -> DataFrame:
+        """``CEP.pattern(stream, Pattern.begin(...)...)`` parity verb:
+        dispatches to the batch matcher (bounded frames — full
+        quantifier/negation/mixed-contiguity surface) or the incremental
+        streaming matcher (unbounded frames — plain/times patterns).
+        ``pattern`` is an ``operators.cep.Pattern``, a type list, or a
+        step-spec list; kwargs pass through (``within=``, ``key_col=``,
+        ``watermark=`` for streams, ``tiebreak=`` for batch)."""
+        if df.isStreaming:
+            from flink_note_spark.streaming.ops import match_pattern_stream
+
+            return match_pattern_stream(df, pattern, **kwargs)
+        from flink_note_spark.operators.cep import match_pattern
+
+        return match_pattern(df, pattern, **kwargs)
+
     # --- sinks (K1) --------------------------------------------------------
 
     def add_sink(self, df: DataFrame, fmt: str, path: str, **kwargs):

@@ -117,3 +117,31 @@ def test_topic_source_sink_through_env(env, tmp_path):
         q.stop()
     vals = {(r.key, r.value) for r in env.from_topic(topic, stream=False).collect()}
     assert ("c", "9") in vals
+
+
+def test_env_cep_dispatches_batch_and_stream(spark, tmp_path):
+    """env.cep (CEP.pattern parity verb): bounded frames hit the batch
+    matcher with the full surface; unbounded frames return a streaming
+    plan from the incremental matcher."""
+    import datetime as dt
+
+    from flink_note_spark.environment import ExecutionEnvironment
+    from flink_note_spark.operators.cep import Pattern
+
+    env = ExecutionEnvironment.get_execution_environment(spark)
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, base, "A", 1),
+         (1, base + dt.timedelta(seconds=10), "B", 2)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    p = Pattern.begin("A").followed_by("B")
+    out = env.cep(df, p)
+    assert [(r.user_id,) for r in out.collect()] == [(1,)]
+
+    sdir = tmp_path / "cep_env_stream"
+    sdir.mkdir()
+    df.write.mode("overwrite").parquet(str(sdir / "c1.parquet"))
+    stream = spark.readStream.schema(df.schema).parquet(str(sdir))
+    sout = env.cep(stream, ["A", "B"], watermark="1 minute")
+    assert sout.isStreaming and "ts_1" in sout.columns
