@@ -23,6 +23,7 @@ from flink_note_spark.operators.joins import (
 from flink_note_spark.operators.windows import (
     count_window,
     sessionize,
+    sliding_count_window,
     topk_per_group,
 )
 from flink_note_spark.operators.dedup import (
@@ -91,6 +92,7 @@ __all__ = [
     "theta_join",
     "sessionize",
     "count_window",
+    "sliding_count_window",
     "topk_per_group",
     "decontaminate",
     "decontaminate_splits",

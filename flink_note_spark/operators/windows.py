@@ -91,3 +91,48 @@ def count_window(
         window_col,
         ((F.row_number().over(w) - F.lit(1)) / F.lit(size)).cast("long"),
     )
+
+
+def sliding_count_window(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size: int,
+    slide: int,
+    tiebreak: str | None = None,
+    window_col: str = "window_id",
+) -> DataFrame:
+    """SLIDING count windows — Flink ``countWindow(size, slide)``:
+    window ``w`` covers a key's rows at positions ``[w·slide,
+    w·slide + size)`` (0-based, ``(ts, tiebreak)``-totalized like
+    :func:`count_window`), so each row belongs to up to
+    ``ceil(size/slide)`` windows and is EXPLODED once per membership —
+    the honest output size of overlapping windows (same contract as the
+    time-based sliding window, q24). Trailing windows with fewer than
+    ``size`` rows are emitted partial, matching Flink's open windows.
+
+    One row_number pass + a ``sequence``/``explode`` projection: a
+    single shuffle on the key at any scale; the fan-out factor is the
+    static ``size/slide`` overlap, not data-dependent.
+    """
+    if size < 1 or slide < 1:
+        raise ValueError(
+            f"size and slide must be >= 1, got size={size} slide={slide}"
+        )
+    order = [F.col(ts).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    # the window function must be materialized in its own projection —
+    # a generator (explode) cannot wrap a window expression directly
+    df = df.withColumn("__pos", F.row_number().over(w) - F.lit(1))
+    pos = F.col("__pos")
+    # memberships: ceil((pos - size + 1) / slide) <= w <= floor(pos/slide)
+    lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((pos - F.lit(size) + F.lit(1)) / F.lit(slide)).cast("long"),
+    )
+    hi = F.floor(pos / F.lit(slide)).cast("long")
+    return df.withColumn(
+        window_col, F.explode(F.sequence(lo, hi))
+    ).drop("__pos")

@@ -716,6 +716,47 @@ ORDER BY user_id, window_id
 """
 
 
+def q99_sliding_count_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink ``countWindow(5, 2)`` per user: overlapping 5-event windows
+    every 2 events — one row_number pass + a static-fanout
+    sequence/explode, aggregated per window."""
+    from flink_note_spark.operators.windows import sliding_count_window
+
+    e = _t(spark, sf, "events")
+    win = sliding_count_window(
+        e, key="user_id", ts="ts", size=5, slide=2, tiebreak="event_id"
+    )
+    return (
+        win.groupBy("user_id", "window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "window_id")
+    )
+
+
+_Q99_SQL = """
+WITH w AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS pos
+  FROM events),
+m AS (
+  SELECT user_id, value,
+         unnest(range(
+           greatest(CAST(0 AS BIGINT),
+                    CAST(ceil((pos - 5 + 1) / 2.0) AS BIGINT)),
+           (pos // 2) + 1)) AS window_id
+  FROM w)
+SELECT user_id, window_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM m GROUP BY user_id, window_id
+ORDER BY user_id, window_id
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -734,6 +775,7 @@ QUERIES = {
     "q92_cep_optional": q92_cep_optional,
     "q93_cep_mixed": q93_cep_mixed,
     "q98_count_window": q98_count_window,
+    "q99_sliding_count_window": q99_sliding_count_window,
 }
 
 ORACLES = {
@@ -754,4 +796,5 @@ ORACLES = {
     "q92_cep_optional": _Q92_SQL,
     "q93_cep_mixed": _Q93_SQL,
     "q98_count_window": _Q98_SQL,
+    "q99_sliding_count_window": _Q99_SQL,
 }

@@ -654,3 +654,49 @@ def test_count_window_batch_semantics(spark):
     assert got2 == got
     with pytest.raises(ValueError, match="size"):
         count_window(df, key="k", ts="ts", size=0)
+
+
+def test_sliding_count_window_memberships(spark):
+    """countWindow(size=3, slide=1): row at position p belongs to
+    windows max(0, p-2)..p; trailing partial windows included."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.windows import sliding_count_window
+
+    df = spark.createDataFrame(
+        [(1, _ts(i), i) for i in range(4)], "k long, ts timestamp, eid long"
+    )
+    out = sliding_count_window(df, key="k", ts="ts", size=3, slide=1,
+                               tiebreak="eid")
+    got = sorted((r.eid, r.window_id) for r in out.collect())
+    assert got == [
+        (0, 0),
+        (1, 0), (1, 1),
+        (2, 0), (2, 1), (2, 2),
+        (3, 1), (3, 2), (3, 3),
+    ]
+    counts = {
+        r.window_id: r.n
+        for r in out.groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {0: 3, 1: 3, 2: 2, 3: 1}  # trailing partials
+    # slide == size degenerates to tumbling
+    from flink_note_spark.operators.windows import count_window
+
+    a = sorted(
+        (r.eid, r.window_id)
+        for r in sliding_count_window(
+            df, key="k", ts="ts", size=2, slide=2, tiebreak="eid"
+        ).collect()
+    )
+    b = sorted(
+        (r.eid, r.window_id)
+        for r in count_window(
+            df, key="k", ts="ts", size=2, tiebreak="eid"
+        ).collect()
+    )
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="slide"):
+        sliding_count_window(df, key="k", ts="ts", size=2, slide=0)
