@@ -215,6 +215,21 @@ def test_q94_q96_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoop" not in plan, name
 
 
+def test_q98_q99_count_windows_bounded(spark, sf_dir):
+    """Count windows are one row_number pass + groupBy (+ orderBy):
+    tumbling ≤3 exchanges, sliding adds only the static-fanout explode
+    (no extra shuffle), and neither cross-joins."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    for name in ("q98_count_window", "q99_sliding_count_window"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert shuffle_count(df) <= 3, (
+            f"{name} shuffles {shuffle_count(df)}×"
+        )
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Directory-layout partitioning must turn an equality filter into a
     PartitionFilter (scan planning skips the other directories) — the
