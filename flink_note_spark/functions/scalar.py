@@ -97,3 +97,21 @@ def l2_norm_sq(a: str | Column) -> Column:
 def vec_cosine(a: str | Column, b: str | Column) -> Column:
     """Cosine similarity of two float-array columns (double math)."""
     return vec_dot(a, b) / (F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)))
+
+
+def approx_quantile(
+    col: str | Column, prob: float, accuracy: int = 10_000
+) -> Column:
+    """``approx_percentile`` (GK summary) with a USER-SIZED default
+    accuracy.
+
+    ``accuracy = 10_000`` bounds rank error at 1/accuracy = 0.01% of
+    the group — the error budget a 100 TB user actually wants, with a
+    sketch buffer ~50× smaller than what exact-equality testing needs.
+    Oracle-equality callers (q43) pin ``accuracy`` explicitly instead:
+    the GK summary compresses on a multiple of the buffer, so exactness
+    does NOT follow from ``accuracy >= group size`` — it must be
+    measured at the gate's data scale (VERDICT r6 item 5; sizing table
+    in q43's docstring).
+    """
+    return F.percentile_approx(_c(col), prob, int(accuracy))

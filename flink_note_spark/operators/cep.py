@@ -967,11 +967,16 @@ def _relaxed_loop(
         # of the loop agg's carried grouping columns, and a NULL key
         # never matches in the first-step left join back — anchors
         # without an until event would silently lose their run
-        # (review r6 finding #1)
-        A = A.withColumn(
-            "__stop",
-            F.coalesce(F.col("__stop"), F.lit("9999-12-31").cast("timestamp")),
-        )
+        # (review r6 finding #1). The sentinel is derived from the
+        # time column's type (numeric epoch columns get 2**62, like
+        # the positional engine; temporal columns get year-9999) so
+        # both engines accept the same inputs (ADVICE r6).
+        time_dt = dict(base.dtypes)[time_col]
+        if time_dt.startswith("timestamp") or time_dt == "date":
+            no_stop = F.lit("9999-12-31").cast(time_dt)
+        else:
+            no_stop = F.lit(2**62).cast(time_dt)
+        A = A.withColumn("__stop", F.coalesce(F.col("__stop"), no_stop))
 
     carried = A.columns
     cond = (F.col(key_col) == F.col("__ek")) & (

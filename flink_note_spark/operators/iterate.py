@@ -18,12 +18,17 @@ load-bearing details:
    round-2 lesson). Blocks are ContextCleaner-owned — freed on GC, no
    ``unpersist()`` lifetime to manage.
 2. **Convergence as a CHEAP aggregate, not a diff join**: the default
-   criterion is a (count, order-insensitive ``bit_xor`` of
-   ``xxhash64(all columns)``) checksum — one map-side-combinable agg
-   per round, O(1) driver rows — matching the components fixpoint.
-   False positives need a 64-bit hash collision ON a colliding count
-   (≈2⁻⁶⁴ per round); pass ``converged=`` for exact or domain-specific
-   checks.
+   criterion is a multiset checksum — group by every column with a
+   ``count(*)`` multiplicity, then (group count, order-insensitive
+   ``bit_xor`` of ``xxhash64(all columns, multiplicity)``) — two
+   map-side-combinable aggs per round, O(1) driver rows. Hashing the
+   multiplicity is load-bearing: a plain row-level ``bit_xor`` lets
+   identical rows XOR-cancel, so a step whose changes are confined to
+   even-multiplicity row groups ({A,A,B} -> {C,C,B}) would falsely
+   read as a fixpoint. With multiplicity folded in, false positives
+   need a 64-bit collision across distinct (row, count) groups
+   (≈2⁻⁶⁴ per round); pass ``converged=`` for exact or
+   domain-specific checks.
 3. **A hard ``max_iters`` bound**: Flink's iterate() requires one too
    (``closeWith`` + maxIterations) — unbounded fixpoints are a job bug,
    not a feature.
@@ -41,9 +46,14 @@ from pyspark.sql import functions as F
 
 
 def _checksum(df: DataFrame) -> tuple[int, int]:
-    row = df.agg(
+    # Multiset-sound: fold each distinct row's multiplicity into the
+    # hash so duplicate rows cannot XOR-cancel (see module docstring).
+    grouped = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__mult"))
+    row = grouped.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(*df.columns, F.col("__mult"))), F.lit(0)
+        ).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -78,7 +78,9 @@ def q30_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q30_SQL = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS wlist FROM documents),
+WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS wlist
+       FROM documents),
 sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, len(wlist) - 2),
@@ -545,7 +547,9 @@ def q96_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q96_SQL = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS wlist FROM documents),
+WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS wlist
+       FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, len(wlist) - 2),
@@ -1090,7 +1094,7 @@ def q73_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q73_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM documents),
 grams AS (
   SELECT doc_id, array_to_string(t[i.i:i.i+4], ' ') AS g
   FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) AS i(i)
@@ -1141,7 +1145,7 @@ WITH labeled AS (
                  ELSE 'train' END AS split
   FROM documents
 ),
-toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM labeled),
+toks AS (SELECT doc_id, split, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM labeled),
 grams AS (
   SELECT doc_id, split, array_to_string(t[i.i:i.i+4], ' ') AS g
   FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) AS i(i)
@@ -1192,7 +1196,7 @@ def q79_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     total = tok.select(F.count(F.lit(1)).alias("__n"))
     return (
         tok.join(freq, "token")
-        .crossJoin(total)
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.round(F.avg(F.log(F.col("c") / F.col("__n"))), 6).alias(
@@ -1374,7 +1378,7 @@ def q76_centroid_classify(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         e.select("vec_id", "label", "embedding")
-        .crossJoin(cent)
+        .crossJoin(F.broadcast(cent))
         .withColumn("__cos", sim)
         .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)

@@ -305,7 +305,7 @@ def main() -> None:
         )
 
     def enrich_probe(d, concurrency):
-        """AsyncDataStream analogue on a LATENCY-INJECTED service (20 ms
+        """AsyncDataStream analogue on a LATENCY-INJECTED service (50 ms
         per batch call, the I/O-bound regime the thread pool exists
         for): same data, concurrency 1 vs 4 — the speedup, not a data
         ratio, is the probe's claim (Flink unorderedWait capacity)."""
