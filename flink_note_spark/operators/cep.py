@@ -64,10 +64,13 @@ Quantifier / negation surface (round 6; Flink CEP pattern API closure):
   window passes). Uniform patterns keep the faster specialized plans.
 
 The streaming twin (``streaming/ops.match_pattern_stream``) runs
-strict-contiguity patterns (plain + ``times``-expanded) incrementally
-with ``applyInPandasWithState`` + event-time timers and is
-equality-tested against the batch operator in tests/test_streaming.py;
-loop/negation steps are batch-only (raise there).
+plain/``times`` patterns on the incremental positional engine and (r7)
+negation + greedy ``one_or_more``/``until`` patterns on a general
+per-key engine (``_make_general_cep_fn``), both with
+``applyInPandasWithState`` + event-time timers, equality-tested
+against the batch operator in tests/test_streaming.py. Batch-only:
+``optional()``/``times(n, m)``, mixed contiguity, and strict-mode
+terminal negation/loops (no final answer on an unbounded stream).
 """
 
 from __future__ import annotations

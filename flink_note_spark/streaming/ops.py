@@ -387,6 +387,275 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
     return _cep_fn
 
 
+def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
+                         contiguity, out_cols):
+    """Per-key incremental matcher for the GENERAL pattern surface
+    (negation + greedy ``one_or_more``/``until`` + ``times``), r7 —
+    the streaming rendering of the batch general engines, equality-
+    tested against ``operators/cep.match_pattern`` per pattern in
+    tests/test_streaming.py.
+
+    Matching always runs on the STABLE REGION — buffered events with
+    ``ts < wm``. Any not-yet-arrived event has ``ts >= wm``, so the
+    stable region's content and ORDER are immutable: positional
+    (strict) and earliest-after (relaxed) decisions taken inside it
+    are final. What differs per mode is when a whole match is DECIDED:
+
+    **strict**: every check a match performs (adjacency, negation,
+    loop-run maximality) involves only its own consumed events plus
+    the event at a consumed position — a terminal positive step means
+    the last examined position is consumed, so a match is decided
+    exactly when its last consumed event is ``< wm`` (same finality
+    rule as the plain strict engine; that is why terminal negation /
+    terminal loops are rejected at dispatch — their "what comes next"
+    question has no final answer against an unbounded stream).
+    Exactly-once: emit matches with ``wm_prev <= last_ts < wm``.
+    Eviction: loop-free patterns keep the trailing
+    ``consumed_total - 1`` events of the finalized region (a match
+    spanning the boundary occupies trailing adjacent positions);
+    loop patterns REQUIRE ``within`` — a run can stretch a match over
+    arbitrarily many events, so state is bounded by the horizon
+    instead (evict ``ts < wm - within``; an incomplete match anchored
+    below that is dead: any future completion would land ``>= wm``
+    and breach ``within``).
+
+    **relaxed**: a match anchored at ``t0`` only ever examines events
+    in ``(t0, t0 + within]`` — bindings beyond the horizon fail the
+    match regardless of identity, loop elements are horizon-filtered,
+    an ``until`` stop beyond the horizon is irrelevant, and terminal
+    negation asserts absence up to the horizon (the batch rule). So
+    the match is decided as soon as ``wm > t0 + within``: everything
+    at or below the horizon is then stable. Exactly-once: emit
+    anchors with ``wm_prev <= t0 + within < wm`` (horizon-window
+    bookkeeping instead of the plain engine's last-element window,
+    because loop runs and negation verdicts are not final at the last
+    element's timestamp). Eviction as in the plain relaxed engine
+    (``ts < wm - within``). The event-time timer is re-armed at the
+    oldest buffered event's horizon so tail anchors decide even if
+    this key never receives another event.
+    """
+    cols = [key_name] + out_cols
+    has_loop = any(s[3] for s in steps)
+    consumed_total = sum(s[2] for s in steps if not s[1] and not s[3])
+
+    def _find_gstrict(ts_buf, tp_buf, wm_us, wm_prev_us):
+        n = 0
+        while n < len(ts_buf) and ts_buf[n] < wm_us:
+            n += 1
+        rows = []
+        for p0 in range(n):
+            pos, cap, ok, last_ts = p0, [], True, None
+            for (typ, neg, times, loop, _until) in steps:
+                if neg:
+                    if pos < n and tp_buf[pos] == typ:
+                        ok = False
+                        break
+                    continue
+                if loop:
+                    if pos >= n or tp_buf[pos] != typ:
+                        ok = False
+                        break
+                    q = pos
+                    while q < n and tp_buf[q] == typ:
+                        q += 1
+                    cap += [ts_buf[pos], ts_buf[q - 1], q - pos]
+                    last_ts = ts_buf[q - 1]
+                    pos = q
+                else:
+                    first = None
+                    for _ in range(times):
+                        if pos >= n or tp_buf[pos] != typ:
+                            ok = False
+                            break
+                        if first is None:
+                            first = ts_buf[pos]
+                        last_ts = ts_buf[pos]
+                        pos += 1
+                    if not ok:
+                        break
+                    cap.append(first)
+                    if times > 1:
+                        cap.append(last_ts)
+            if not ok or not cap:
+                continue
+            if within_us is not None and last_ts - cap[0] > within_us:
+                continue
+            if wm_prev_us <= last_ts:  # last_ts < wm by construction
+                rows.append(cap)
+        if has_loop:
+            bound = wm_us - within_us
+            cut = 0
+            while cut < len(ts_buf) and ts_buf[cut] < bound:
+                cut += 1
+        else:
+            cut = max(0, n - (consumed_total - 1)) if consumed_total > 1 else n
+        return rows, ts_buf[cut:], tp_buf[cut:]
+
+    def _find_grelaxed(ts_buf, tp_buf, wm_us, wm_prev_us):
+        from bisect import bisect_right
+
+        n = 0
+        while n < len(ts_buf) and ts_buf[n] < wm_us:
+            n += 1
+        by_type: dict[str, list[int]] = {}
+        for t, y in zip(ts_buf[:n], tp_buf[:n]):
+            by_type.setdefault(y, []).append(t)
+
+        def first_after(typ, after):
+            c = by_type.get(typ)
+            if not c:
+                return None
+            i = bisect_right(c, after)
+            return c[i] if i < len(c) else None
+
+        t0_type = next(s[0] for s in steps if not s[1])
+        rows = []
+        for s0 in by_type.get(t0_type, ()):
+            h = s0 + within_us
+            if not (wm_prev_us <= h < wm_us):  # decided exactly once
+                continue
+            cap, cur, ok, pending = [], None, True, []
+            for (typ, neg, times, loop, until) in steps:
+                if neg:
+                    pending.append((typ, cur))
+                    continue
+                if loop:
+                    anchor = s0 if cur is None else cur
+                    els0 = [s0] if cur is None else []
+                    stop = first_after(until, anchor) if until else None
+                    lst = by_type.get(typ, [])
+                    i = bisect_right(lst, anchor)
+                    els = els0 + [
+                        t for t in lst[i:]
+                        if (stop is None or t < stop) and t <= h
+                    ]
+                    if not els:
+                        ok = False
+                        break
+                    nxt = els[0]
+                    cap += [els[0], els[-1], len(els)]
+                    new_cur = els[-1]
+                else:
+                    if cur is None:
+                        nxt = s0
+                        cap.append(s0)
+                        new_cur = s0
+                        reps = times - 1
+                    else:
+                        nxt = first_after(typ, cur)
+                        if nxt is None or nxt > h:
+                            ok = False
+                            break
+                        cap.append(nxt)
+                        new_cur = nxt
+                        reps = times - 1
+                    for _ in range(reps):
+                        new_cur = first_after(typ, new_cur)
+                        if new_cur is None or new_cur > h:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                    if times > 1:
+                        cap.append(new_cur)
+                # open-interval absence check for negations declared
+                # since the previous positive binding: no negated-type
+                # event strictly between the anchor and this binding
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0)
+                    if xa is not None and xa < nxt:
+                        ok = False
+                        break
+                pending = []
+                if not ok:
+                    break
+                cur = new_cur
+            if ok and pending:
+                # terminal negation: absence up to the within horizon
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0)
+                    if xa is not None and xa <= h:
+                        ok = False
+                        break
+            if ok:
+                rows.append(cap)
+        bound = wm_us - within_us
+        cut = 0
+        while cut < len(ts_buf) and ts_buf[cut] < bound:
+            cut += 1
+        return rows, ts_buf[cut:], tp_buf[cut:]
+
+    strict = contiguity == "strict"
+    find = _find_gstrict if strict else _find_grelaxed
+    # relaxed decisions happen at anchor horizons; strict ones at the
+    # last element — arm the timer accordingly
+    horizon_timer = not strict
+
+    def _general_cep_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _arm(ts_buf):
+            if horizon_timer:
+                t = (ts_buf[0] + within_us) // 1_000 + 1
+            else:
+                t = ts_buf[-1] // 1_000 + 1
+            state.setTimeoutTimestamp(
+                max(t, state.getCurrentWatermarkMs() + 1)
+            )
+
+        if state.hasTimedOut:
+            ts_buf, tp_buf, wm_prev = state.get
+            rows, ts_buf, tp_buf = find(
+                list(ts_buf), list(tp_buf), wm_us, wm_prev
+            )
+            if rows:
+                yield pd.DataFrame(
+                    [[key_val, *r] for r in rows], columns=cols
+                )
+            if ts_buf:
+                state.update((ts_buf, tp_buf, wm_us))
+                if horizon_timer:
+                    # undecided anchors remain (horizon >= wm); they
+                    # decide on watermark advance alone, so the timer
+                    # MUST re-arm (strict matches instead need new
+                    # events, whose batch re-arms)
+                    _arm(ts_buf)
+            else:
+                state.remove()
+            return
+
+        ts_buf, tp_buf, wm_prev = [], [], 0
+        if state.exists:
+            prev_ts, prev_tp, wm_prev = state.get
+            ts_buf, tp_buf = list(prev_ts), list(prev_tp)
+        new = []
+        for pdf in pdfs:
+            for t, y in zip(
+                (pdf[ts_col].astype("int64") // 1_000).tolist(),
+                pdf[type_col].tolist(),
+            ):
+                new.append((t, y))
+        merged = sorted(list(zip(ts_buf, tp_buf)) + new)
+        ts_buf = [t for t, _ in merged]
+        tp_buf = [y for _, y in merged]
+
+        rows, ts_buf, tp_buf = find(ts_buf, tp_buf, wm_us, wm_prev)
+        if rows:
+            yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
+        if ts_buf:
+            state.update((ts_buf, tp_buf, wm_us))
+            _arm(ts_buf)
+        else:
+            state.remove()
+
+    return _general_cep_fn
+
+
 def match_pattern_stream(
     stream: DataFrame,
     pattern,
@@ -424,13 +693,22 @@ def match_pattern_stream(
     still arrive): matches emit once their last event is ``< wm``.
 
     ``pattern`` may also be an ``operators.cep.Pattern`` or step-spec
-    list containing ``times(n)`` quantifiers (expanded positionally);
-    ``one_or_more``/negation steps are batch-only and raise here.
+    list containing ``times(n)`` quantifiers (expanded positionally).
+    Negation (``not_next``/``not_followed_by``) and greedy
+    ``one_or_more``/``until`` loops run on the general per-key engine
+    (r7, ``_make_general_cep_fn`` — finality/eviction proofs there),
+    with loop steps adding ``ts_i_last``/``n_i`` columns exactly like
+    the batch operator. Batch-only remainders: ``optional()``/
+    ``times(n, m)`` (variant expansion), mixed contiguity, and — for
+    STRICT patterns — terminal negation/loops (they ask what follows
+    the match, unanswerable on an unbounded stream; relaxed terminal
+    negation and loops are fine, the ``within`` horizon decides them).
     """
     from flink_note_spark.operators.cep import (
         Pattern,
         _expand_simple_steps,
         _normalize,
+        _out_cols,
         _resolve_contiguity,
     )
 
@@ -439,6 +717,8 @@ def match_pattern_stream(
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
+    general = False
+    steps = None
     if not (
         isinstance(pattern, list)
         and all(isinstance(p, str) for p in pattern)
@@ -455,12 +735,16 @@ def match_pattern_stream(
                 "are batch-only"
             )
         contiguity = resolved
-        pattern = _expand_simple_steps(steps)
+        if any(s.optional or s.times_max is not None for s in steps):
+            raise ValueError(
+                "optional()/times(n, m) streaming CEP is batch-only "
+                "(variant expansion has no incremental rendering yet)"
+            )
+        general = any(s.negate or s.loop for s in steps)
+        if not general:
+            pattern = _expand_simple_steps(steps)
     if contiguity is None:
         contiguity = "strict"
-    k = len(pattern)
-    if k < 1:
-        raise ValueError("pattern must name at least one event type")
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(
             f"contiguity must be strict|relaxed, got {contiguity!r}"
@@ -472,6 +756,51 @@ def match_pattern_stream(
         )
     key_type = dict(stream.dtypes)[key_col]
     within_us = None if within is None else _parse_duration_ms(within) * 1_000
+
+    if general:
+        # r7: negation + greedy one_or_more/until + times run on the
+        # general per-key engine (_make_general_cep_fn docstring has
+        # the finality/eviction proofs)
+        if contiguity == "strict":
+            if steps[-1].negate or steps[-1].loop:
+                raise ValueError(
+                    "strict streaming CEP requires the pattern to end "
+                    "with a positive non-loop step: terminal not_next/"
+                    "one_or_more ask what follows the match, which has "
+                    "no final answer on an unbounded stream (batch-only)"
+                )
+            if any(s.loop for s in steps) and within is None:
+                raise ValueError(
+                    "strict streaming CEP with one_or_more requires "
+                    "within= — a loop run can span arbitrarily many "
+                    "events, so the horizon is the only state bound"
+                )
+        out_cols = _out_cols(steps)
+        out_schema = f"{key_col} {key_type}, " + ", ".join(
+            f"{c} long" for c in out_cols
+        )
+        steps_t = tuple(
+            (s.event_type, s.negate, s.times, s.loop, s.until)
+            for s in steps
+        )
+        return (
+            stream.withWatermark(time_col, watermark)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                _make_general_cep_fn(
+                    steps_t, key_col, time_col, type_col, within_us,
+                    contiguity, out_cols,
+                ),
+                outputStructType=out_schema,
+                stateStructType="ts array<long>, tp array<string>, wm long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    k = len(pattern)
+    if k < 1:
+        raise ValueError("pattern must name at least one event type")
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         f"ts_{i} long" for i in range(1, k + 1)
     )

@@ -1503,3 +1503,381 @@ def test_count_window_stream_matches_batch_on_bounded_input(spark, chunk_dir, tm
         .collect()
     )
     assert got == bagg
+
+
+# --- general streaming CEP: negation + greedy loops (r7) ----------------
+
+
+def _us(minute: float) -> int:
+    return int(
+        _ts(minute).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+
+def _stream_rows(spark, table: str, cols: list[str]):
+    got = spark.sql(f"SELECT * FROM {table}").toPandas()
+    return sorted(
+        tuple(int(r[c]) for c in cols) for _, r in got.iterrows()
+    )
+
+
+def _batch_rows(batch_df, cols: list[str]):
+    out = []
+    for _, r in batch_df.toPandas().iterrows():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if hasattr(v, "timestamp"):
+                v = int(
+                    v.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+                )
+            vals.append(int(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def test_cep_stream_not_followed_by_equals_batch(spark, chunk_dir, tmp_path):
+    """q87's relaxed negation pattern (V ¬C P within) runs incrementally:
+    absence verdicts finalize at the anchor's within-horizon, across
+    micro-batch boundaries; a click at exactly the purchase timestamp
+    does NOT break the match (open interval, batch rule)."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),          # match: no click before P(4)
+        (2, 2, _ts(0), "V", 1.0),          # broken by C(2)
+        (2, 3, _ts(2), "C", 1.0),
+        (3, 4, _ts(0), "V", 1.0),          # C at exactly P's ts: match
+        (5, 5, _ts(0), "V", 1.0),          # P lands in a LATER batch
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 6, _ts(4), "P", 1.0),
+        (2, 7, _ts(4), "P", 1.0),
+        (3, 8, _ts(4), "C", 1.0),
+        (3, 9, _ts(4), "P", 1.0),
+        (4, 10, _ts(0), "V", 1.0),         # P beyond within: no match
+        (4, 11, _ts(30), "P", 1.0),
+        (5, 12, _ts(6), "P", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 13, _ts(120), "Z", 1.0)])
+
+    p = (
+        Pattern.begin("V").not_followed_by("C").followed_by("P")
+        .within("20 minutes")
+    )
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(stream, p, watermark="2 minutes")
+    _run_to_memory(out, "cep_neg_out", "update", tmp_path)
+
+    cols = ["user_id", "ts_1", "ts_2"]
+    got = _stream_rows(spark, "cep_neg_out", cols)
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), p
+    )
+    assert got == _batch_rows(batch, cols)
+    assert got == [
+        (1, _us(0), _us(4)),
+        (3, _us(0), _us(4)),
+        (5, _us(0), _us(6)),
+    ]
+
+
+def test_cep_stream_one_or_more_until_equals_batch(spark, chunk_dir, tmp_path):
+    """q88's relaxed greedy loop (V C+ until P, then P, within): loop
+    runs finalize at the anchor horizon — a run that grows across
+    micro-batches emits once, with the full count."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(2), "C", 1.0),
+        (1, 3, _ts(3), "C", 1.0),
+        (2, 4, _ts(0), "V", 1.0),          # no click: no match
+        (3, 5, _ts(0), "V", 1.0),          # clicks stop at first P
+        (3, 6, _ts(2), "C", 1.0),
+        (4, 7, _ts(0), "V", 1.0),          # run split across batches
+        (4, 8, _ts(1), "C", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 9, _ts(5), "P", 1.0),
+        (2, 10, _ts(3), "P", 1.0),
+        (3, 11, _ts(4), "P", 1.0),
+        (3, 12, _ts(6), "C", 1.0),
+        (3, 13, _ts(8), "P", 1.0),
+        (4, 14, _ts(3), "C", 1.0),
+        (4, 15, _ts(6), "P", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 16, _ts(120), "Z", 1.0)])
+
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").one_or_more().until("P")
+        .followed_by("P")
+        .within("20 minutes")
+    )
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(stream, p, watermark="2 minutes")
+    _run_to_memory(out, "cep_oom_out", "update", tmp_path)
+
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"]
+    got = _stream_rows(spark, "cep_oom_out", cols)
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), p
+    )
+    assert got == _batch_rows(batch, cols)
+    assert got == [
+        (1, _us(0), _us(2), _us(3), 2, _us(5)),
+        (3, _us(0), _us(2), _us(2), 1, _us(4)),
+        (4, _us(0), _us(1), _us(3), 2, _us(6)),
+    ]
+
+
+def test_cep_stream_strict_not_next_equals_batch(spark, chunk_dir, tmp_path):
+    """Strict non-terminal negation (A ¬X B): the assertion's position
+    is consumed by B, so finality is the plain strict rule — across
+    batches, with no within required."""
+    from flink_note_spark.operators.cep import match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),          # A B adjacent: match
+        (2, 2, _ts(0), "A", 1.0),          # A X B: negation breaks it
+        (2, 3, _ts(1), "X", 1.0),
+        (3, 4, _ts(0), "A", 1.0),          # B arrives next batch
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 5, _ts(1), "B", 1.0),
+        (2, 6, _ts(2), "B", 1.0),
+        (3, 7, _ts(3), "B", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 8, _ts(120), "Z", 1.0)])
+
+    spec = ["A", {"type": "X", "negate": True}, "B"]
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(
+        stream, spec, watermark="2 minutes", contiguity="strict"
+    )
+    _run_to_memory(out, "cep_nn_out", "update", tmp_path)
+
+    cols = ["user_id", "ts_1", "ts_2"]
+    got = _stream_rows(spark, "cep_nn_out", cols)
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), spec,
+        contiguity="strict", tiebreak=["event_type"],
+    )
+    assert got == _batch_rows(batch, cols)
+    assert got == [(1, _us(0), _us(1)), (3, _us(0), _us(3))]
+
+
+def test_cep_stream_strict_one_or_more_equals_batch(spark, chunk_dir, tmp_path):
+    """Strict greedy loop (A B+ C, within): the maximal consecutive run
+    is capped by its consumed successor, so a run growing across the
+    batch boundary emits once with the full length."""
+    from flink_note_spark.operators.cep import match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "A", 1.0),
+        (1, 2, _ts(1), "B", 1.0),
+        (1, 3, _ts(2), "B", 1.0),
+        (2, 4, _ts(0), "A", 1.0),          # noise caps the run before C
+        (2, 5, _ts(1), "B", 1.0),
+        (2, 6, _ts(2), "X", 1.0),
+        (3, 7, _ts(0), "A", 1.0),          # run continues next batch
+        (3, 8, _ts(1), "B", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 9, _ts(3), "C", 1.0),
+        (2, 10, _ts(3), "C", 1.0),
+        (3, 11, _ts(3), "B", 1.0),
+        (3, 12, _ts(4), "C", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 13, _ts(120), "Z", 1.0)])
+
+    spec = ["A", {"type": "B", "one_or_more": True}, "C"]
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = match_pattern_stream(
+        stream, spec, within="20 minutes", watermark="2 minutes",
+        contiguity="strict",
+    )
+    _run_to_memory(out, "cep_soom_out", "update", tmp_path)
+
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"]
+    got = _stream_rows(spark, "cep_soom_out", cols)
+    batch = match_pattern(
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), spec,
+        within="20 minutes", contiguity="strict", tiebreak=["event_type"],
+    )
+    assert got == _batch_rows(batch, cols)
+    assert got == [
+        (1, _us(0), _us(1), _us(2), 2, _us(3)),
+        (3, _us(0), _us(1), _us(3), 2, _us(4)),
+    ]
+
+
+def test_cep_stream_general_random_soup_equals_batch(spark, chunk_dir, tmp_path):
+    """Seeded event soup, 4 micro-batches: the general streaming engine
+    equals batch for BOTH q87-shape negation and q88-shape loops —
+    the boundary/eviction/exactly-once cases a handcrafted fixture
+    misses."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(77)
+    minutes = rng.sample(range(0, 300), 90)   # distinct event times
+    rows = sorted(
+        [
+            (
+                rng.randrange(1, 7),
+                i,
+                _ts(m),
+                rng.choice(["V", "C", "P", "Z"]),
+                1.0,
+            )
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    chunks = [rows[:25], rows[25:50], rows[50:75], rows[75:]]
+    for i, ch in enumerate(chunks):
+        _write_chunk(chunk_dir, f"c{i}.parquet", ch)
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+
+    pats = {
+        "neg": Pattern.begin("V").not_followed_by("C")
+        .followed_by("P").within("45 minutes"),
+        "loop": Pattern.begin("V").followed_by("C").one_or_more()
+        .until("P").followed_by("P").within("45 minutes"),
+    }
+    cols = {
+        "neg": ["user_id", "ts_1", "ts_2"],
+        "loop": ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+    }
+    for name, p in pats.items():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="3 minutes")
+        _run_to_memory(out, f"cep_soup_{name}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_soup_{name}", cols[name])
+        batch = match_pattern(
+            spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), p
+        )
+        assert got == _batch_rows(batch, cols[name]), name
+        assert got, name  # non-vacuous: the soup contains matches
+
+
+def test_cep_stream_general_survives_checkpoint_restart(spark, chunk_dir, tmp_path):
+    """General-engine state (buffer + horizon bookkeeping) survives a
+    stop/restart: a loop run whose completion arrives after the restart
+    emits exactly once; pre-restart emissions are not duplicated."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_gen_restart_sink"
+    ckpt = tmp_path / "cep_gen_restart_ckpt"
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").one_or_more().until("P")
+        .followed_by("P")
+        .within("30 minutes")
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="2 minutes")
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: one decided match (anchor 0, horizon 30 < wm 58), one
+    # anchor at 35 still inside its horizon when the run stops
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(1), "C", 1.0),
+        (1, 3, _ts(2), "P", 1.0),
+        (1, 4, _ts(35), "V", 1.0),
+        (1, 5, _ts(36), "C", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 6, _ts(60), "Z", 1.0)])
+    run_once()
+    first = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["n_2"]), int(r["ts_3"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert first == [(1, _us(0), 1, _us(2))]
+
+    # while DOWN: the second anchor's run extends and completes (ts
+    # strictly above the restored watermark 58 — an event at exactly
+    # ts == wm is dropped by the engine's late filter)
+    _write_chunk(chunk_dir, "c3.parquet", [
+        (1, 7, _ts(59), "C", 1.0),
+        (1, 8, _ts(62), "P", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c4.parquet", [(99, 9, _ts(180), "Z", 1.0)])
+    run_once()
+    final = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["n_2"]), int(r["ts_3"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert final == [
+        (1, _us(0), 1, _us(2)),
+        (1, _us(35), 2, _us(62)),
+    ]
+
+
+def test_cep_stream_general_rejections(spark, chunk_dir, tmp_path):
+    """The general engine's documented batch-only edges fail loudly."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "A", 1.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    )
+    with pytest.raises(ValueError, match="end with a positive"):
+        match_pattern_stream(
+            stream, Pattern.begin("A").not_next("X"), watermark="1 minutes"
+        )
+    with pytest.raises(ValueError, match="end with a positive"):
+        match_pattern_stream(
+            stream,
+            Pattern.begin("A").next("B").one_or_more().within("5 minutes"),
+            watermark="1 minutes",
+        )
+    with pytest.raises(ValueError, match="requires\\s+within"):
+        match_pattern_stream(
+            stream,
+            ["A", {"type": "B", "one_or_more": True}, "C"],
+            watermark="1 minutes", contiguity="strict",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream,
+            Pattern.begin("A").followed_by("B").optional()
+            .followed_by("C").within("5 minutes"),
+            watermark="1 minutes",
+        )
