@@ -115,3 +115,24 @@ def approx_quantile(
     in q43's docstring).
     """
     return F.percentile_approx(_c(col), prob, int(accuracy))
+
+
+def variant_field(
+    col: str | Column, path: str, dtype: str
+) -> Column:
+    """Typed JSON field read through Spark 4's VARIANT path:
+    ``try_parse_json`` → ``try_variant_get`` (binary shredded encoding,
+    SIMD-friendly) instead of a schema'd ``from_json`` struct parse.
+
+    Measured on events.props at 32× sf0.1 (3.2M rows, cached input,
+    interleaved reps): variant 0.93 s median / 0.76 s min vs from_json
+    1.06 s / 0.98 s — ~12% faster at the median, ~23% at the minimum
+    (VERDICT r6 item 2; full row in BASELINE.md). The gap grows with
+    document size: variant parses once into a navigable binary, while
+    ``from_json`` re-materializes the full struct schema per row.
+    The ``try_`` pair returns NULL on malformed input (``parse_json``
+    proper is FAILFAST and throws) and on type mismatch — same
+    contract as ``from_json``'s null-on-corrupt default
+    (pinned in tests/test_scalar_surface.py).
+    """
+    return F.try_variant_get(F.try_parse_json(_c(col)), path, dtype)

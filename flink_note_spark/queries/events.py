@@ -21,15 +21,19 @@ from flink_note_spark.session import load_table as _t
 
 
 def q22_json_extract(spark: SparkSession, sf: str) -> DataFrame:
-    """JSON field extraction from events.props via ONE typed ``from_json``
-    parse per row (SURVEY.md §2.2 JSON surface). Round 4: replaces
-    ``get_json_object`` path extraction — the typed parse-once pattern is
-    the repo's own recommendation (q45 docstring) and what a 100 TB job
-    should run; ``json_int``/get_json_object stays available in
-    ``functions.scalar`` for ad-hoc single-path pulls."""
+    """JSON field extraction from events.props via the Spark 4 VARIANT
+    path (SURVEY.md §2.2 JSON surface). Round 7 (VERDICT r6 item 2):
+    ``parse_json`` + ``try_variant_get`` replaces the round-4 typed
+    ``from_json`` parse — measured ~12% median / ~23% min faster at 32×
+    sf0.1 (numbers in ``functions.scalar.variant_field`` and
+    BASELINE.md), same null-on-corrupt contract, identical results.
+    ``json_int``/get_json_object stays available in ``functions.scalar``
+    for ad-hoc single-path pulls."""
+    from flink_note_spark.functions.scalar import variant_field
+
     e = _t(spark, sf, "events")
     return (
-        e.select("event_type", F.from_json("props", "k int").getField("k").alias("k"))
+        e.select("event_type", variant_field("props", "$.k", "int").alias("k"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),

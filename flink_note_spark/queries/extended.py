@@ -185,27 +185,33 @@ GROUP BY l_orderkey
 
 def q45_json_maps(spark: SparkSession, sf: str) -> DataFrame:
     """Typed JSON parse + map surface (SURVEY.md §2.2 JSON/map rows):
-    ``from_json`` parses events.props into a typed struct ONCE per row
-    (the scalable pattern — one parse, many field reads — vs repeated
-    get_json_object path extraction), a map built from it is exploded via
-    map entries, and ``to_json`` serializes the group key struct AFTER
-    aggregation (O(groups), not O(rows)). Round 4: the per-row
-    to_json-round-trip predicate moved to pytest
+    events.props is parsed ONCE per row (the scalable pattern — one
+    parse, many field reads — vs repeated get_json_object path
+    extraction), a map built from it is exploded via map entries, and
+    ``to_json`` serializes the group key struct AFTER aggregation
+    (O(groups), not O(rows)). Round 4: the per-row to_json-round-trip
+    predicate moved to pytest
     (test_extended.test_to_json_roundtrips_minified_props) — it was a
     serialize-and-compare correctness check, not query work, and cost
-    0.44 s of the sf0.1 bench (VERDICT r2 item 4a).
+    0.44 s of the sf0.1 bench (VERDICT r2 item 4a). Round 7 (VERDICT r6
+    item 2): the parse flipped from ``from_json`` to the VARIANT path —
+    the typed field is materialized in its own projection so the parse
+    is not inlined twice downstream (numbers in
+    ``functions.scalar.variant_field``).
     """
+    from flink_note_spark.functions.scalar import variant_field
+
     e = _t(spark, sf, "events")
     p = e.select(
         "event_type",
-        F.from_json("props", "k int").alias("pj"),
+        variant_field("props", "$.k", "int").alias("k"),
     )
     with_map = p.select(
         "event_type",
         F.explode(
             F.create_map(
-                F.lit("k"), F.col("pj.k"),
-                F.lit("k_sq"), F.col("pj.k") * F.col("pj.k"),
+                F.lit("k"), F.col("k"),
+                F.lit("k_sq"), F.col("k") * F.col("k"),
             )
         ).alias("map_key", "map_val"),
     )

@@ -94,3 +94,29 @@ def test_console_sink_writer_builds(spark, tmp_path):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_variant_field_matches_from_json_and_null_contract(spark):
+    """variant_field (Spark 4 VARIANT path, r7) reads the same typed
+    values as from_json and keeps its null-on-corrupt contract."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.functions.scalar import variant_field
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 7}',),
+            ('{"k": -3, "other": "x"}',),
+            ('{"k": null}',),
+            ('{"other": 1}',),   # missing field -> NULL
+            ("not json",),       # corrupt -> NULL
+            (None,),             # NULL input -> NULL
+        ],
+        "props string",
+    )
+    got = df.select(
+        variant_field("props", "$.k", "int").alias("v"),
+        F.from_json("props", "k int").getField("k").alias("fj"),
+    ).collect()
+    assert [r.v for r in got] == [7, -3, None, None, None, None]
+    assert all(r.v == r.fj for r in got)
