@@ -23,6 +23,32 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _rotation_order(
+    names: list[str], histories: list[set[str]]
+) -> list[str]:
+    """Least-recently-verified ordering — the pure core of the window
+    rotation (unit-tested against a >100-entry synthetic registry in
+    tests/test_operators_unit.py).
+
+    ``histories`` is the chronological list of per-round verified-name
+    sets. Queries sort by the round index of their MOST RECENT
+    verification ascending (never-verified first, as round −1), ties
+    keeping the stable registry order. With the driver checking the
+    first ``W`` entries each round, this is LRU round-robin: every
+    round the ``W`` stalest entries are verified and move to the back,
+    so any registry of ``M`` entries is fully covered every
+    ``ceil(M / W)`` rounds — the policy is sound at ANY registry size,
+    not just below ``2·W`` (VERDICT r6 item 4; W = 50 for this
+    driver, so the current 95-entry registry covers in 2 rounds).
+    """
+    last = {}
+    for i, round_names in enumerate(histories):
+        for n in round_names:
+            last[n] = i
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last.get(n, -1), pos[n]))
+
+
 def _window_rotation(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -32,15 +58,13 @@ def _window_rotation(
 
     The registry outgrew the driver's 50-entry window in round 5 (79
     queries, 29 never driver-checked — VERDICT r5 "What's wrong" #2).
-    Policy (documented in SURVEY.md §2.2.1): order queries by the most
-    recent committed ``CORRECTNESS_r*.json`` — entries ABSENT from it
-    (new this round, or rotated out last round) come first, entries
-    present come last, each group keeping stable module order. Under
-    this policy every query is driver-verified at least every other
-    round as long as the registry stays under 100 entries.
-
-    Falls back to natural module order when no CORRECTNESS file is
-    found (fresh checkout outside the driver harness).
+    Round 7 generalized the policy from "absent from the last round's
+    file first" (sound only below 100 entries) to full
+    least-recently-verified ordering over ALL committed
+    ``CORRECTNESS_r*.json`` files — see :func:`_rotation_order` for
+    the coverage bound. Falls back to natural module order when no
+    CORRECTNESS file is found (fresh checkout outside the driver
+    harness).
     """
     import glob
     import json
@@ -50,16 +74,17 @@ def _window_rotation(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    if not files:
+    histories: list[set[str]] = []
+    for path in files:
+        try:
+            with open(path) as f:
+                histories.append(set(json.load(f)))
+        except (OSError, ValueError):
+            continue
+    if not histories:
         return dict(queries)
-    try:
-        with open(files[-1]) as f:
-            checked = set(json.load(f))
-    except (OSError, ValueError):
-        return dict(queries)
-    stale = {n: q for n, q in queries.items() if n not in checked}
-    fresh = {n: q for n, q in queries.items() if n in checked}
-    return {**stale, **fresh}
+    order = _rotation_order(list(queries), histories)
+    return {n: queries[n] for n in order}
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = (

@@ -700,3 +700,44 @@ def test_sliding_count_window_memberships(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="slide"):
         sliding_count_window(df, key="k", ts="ts", size=2, slide=0)
+
+
+def test_rotation_order_covers_any_registry_size():
+    """LRU rotation soundness at >100 entries (VERDICT r6 item 4): with
+    a 50-wide driver window, simulating rounds over a 130-query
+    registry verifies EVERY query within ceil(130/50) = 3 rounds, and
+    keeps doing so forever; never-verified queries always sort first."""
+    from flink_note_spark.queries import _rotation_order
+
+    W, names = 50, [f"q{i:03d}" for i in range(130)]
+    histories: list[set[str]] = []
+
+    # round 0: fresh registry, natural order
+    assert _rotation_order(names, histories) == names
+
+    seen_rounds: dict[str, list[int]] = {n: [] for n in names}
+    for rnd in range(10):
+        order = _rotation_order(names, histories)
+        window = set(order[:W])
+        # the window always holds the stalest entries: nothing outside
+        # it is staler than anything inside it
+        last = {}
+        for i, h in enumerate(histories):
+            for n in h:
+                last[n] = i
+        max_in = max(last.get(n, -1) for n in window)
+        min_out = min(last.get(n, -1) for n in set(names) - window)
+        assert max_in <= min_out
+        histories.append(window)
+        for n in window:
+            seen_rounds[n].append(rnd)
+
+    import math
+
+    n_cover = math.ceil(len(names) / W)
+    for n, rounds in seen_rounds.items():
+        assert rounds, n  # every query verified at least once
+        # gap between consecutive verifications never exceeds the bound
+        gaps = [b - a for a, b in zip(rounds, rounds[1:])]
+        assert all(g <= n_cover for g in gaps), (n, rounds)
+        assert rounds[0] < n_cover, (n, rounds)
