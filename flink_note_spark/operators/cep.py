@@ -31,13 +31,16 @@ Quantifier / negation surface (round 6; Flink CEP pattern API closure):
 - ``times(n)`` — exact-n repetition of a step. Strict: n CONSECUTIVE
   events (Flink ``times(n).consecutive()``); relaxed: n successive
   earliest-after bindings. Pure pattern expansion in both modes.
-- ``one_or_more()`` — GREEDY loop (Flink ``oneOrMore().greedy()``):
-  strict = the maximal consecutive run of the type (``consecutive()``);
-  relaxed = every matching event before the stop bound (``until`` event
-  and/or the ``within`` horizon; unbounded = to the end of the key's
-  stream). Deterministic: one match per start, no per-prefix emission
-  (Flink's default non-greedy emits every prefix — documented
-  deviation; the greedy reading is the deterministic batch semantics).
+- ``one_or_more()`` — GREEDY loop by default (Flink
+  ``oneOrMore().greedy()``): strict = the maximal consecutive run of
+  the type (``consecutive()``); relaxed = every matching event before
+  the stop bound (``until`` event and/or the ``within`` horizon;
+  unbounded = to the end of the key's stream). Deterministic: one
+  match per start. Flink's actual default (non-greedy, every prefix
+  is a match) is ``skip_strategy="no_skip"`` (r7) — see
+  :data:`SKIP_STRATEGIES` and :func:`_apply_skip` for the
+  ``AfterMatchSkipStrategy`` surface (``no_skip`` / ``skip_to_next``
+  / ``skip_past_last_event``).
 - ``until(t)`` — stop condition for a RELAXED loop (a strict run ends
   at the first non-matching event by construction, so ``until`` raises
   there, mirroring Flink's ``consecutive()`` + ``until`` interplay).
@@ -79,6 +82,20 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Flink ``AfterMatchSkipStrategy`` surface (r7). ``greedy`` is THIS
+#: engine's historical default (maximal loop runs, one match per
+#: anchor — documented deviation); the other three are Flink's:
+#: ``no_skip`` (Flink's default NO_SKIP: non-greedy loops emit every
+#: prefix, all overlapping matches survive), ``skip_to_next`` (per
+#: match-start event only the first-completing match survives), and
+#: ``skip_past_last_event`` (after a match is emitted, every match
+#: starting at or before its last event's time is pruned — resumed
+#: strictly past the match, Flink's SKIP_PAST_LAST_EVENT at event-time
+#: granularity).
+SKIP_STRATEGIES = (
+    "greedy", "no_skip", "skip_to_next", "skip_past_last_event"
+)
 
 
 @dataclass(frozen=True)
@@ -137,6 +154,7 @@ class Pattern:
         self.steps: list[PatternStep] = []
         self.contiguity: str | None = None
         self.within_: str | None = None
+        self.skip_: str | None = None
 
     @classmethod
     def begin(cls, event_type: str) -> "Pattern":
@@ -213,6 +231,20 @@ class Pattern:
 
     def within(self, duration: str) -> "Pattern":
         self.within_ = duration
+        return self
+
+    def skip(self, strategy: str) -> "Pattern":
+        """Flink ``AfterMatchSkipStrategy`` (r7) — see
+        :func:`match_pattern`'s ``skip_strategy``. Flink attaches the
+        strategy at ``Pattern.begin(..., skipStrategy)``; a chainable
+        verb reads better in Python and the explicit ``match_pattern``
+        argument still wins."""
+        if strategy not in SKIP_STRATEGIES:
+            raise ValueError(
+                f"skip strategy must be one of {SKIP_STRATEGIES}, "
+                f"got {strategy!r}"
+            )
+        self.skip_ = strategy
         return self
 
 
@@ -381,6 +413,7 @@ def match_pattern(
     within: str | None = None,
     contiguity: str | None = None,
     tiebreak: list[str] | None = None,
+    skip_strategy: str | None = None,
 ) -> DataFrame:
     """Match an event-type pattern per key; one output row per match.
 
@@ -405,6 +438,19 @@ def match_pattern(
     same doctrine as ``operators/sampling``'s determinism contract).
     Relaxed contiguity is pure event-time (ties documented in the
     module docstring).
+
+    ``skip_strategy`` (r7) selects among overlapping matches — Flink's
+    ``AfterMatchSkipStrategy`` (see :data:`SKIP_STRATEGIES`). The
+    default ``"greedy"`` keeps this engine's deterministic maximal-run
+    semantics; any OTHER strategy switches loop steps to Flink's
+    actual non-greedy default (every prefix is a match) before the
+    strategy's pruning applies, so ``"no_skip"`` IS Flink's default
+    behaviour. ``skip_to_next`` prunes declaratively (one window
+    pass); ``skip_past_last_event`` is inherently sequential per key
+    (Flink runs it in the NFA) and selects over the already-horizon-
+    bounded MATCH set, never the raw events. Loop steps under a
+    non-greedy strategy require uniform strict/relaxed contiguity
+    (mixed loops stay greedy-only).
     """
     if isinstance(pattern, Pattern):
         # explicit argument wins; the builder's contiguity is the
@@ -414,6 +460,15 @@ def match_pattern(
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
+        if skip_strategy is None:
+            skip_strategy = pattern.skip_
+    if skip_strategy is not None and skip_strategy not in SKIP_STRATEGIES:
+        raise ValueError(
+            f"skip_strategy must be one of {SKIP_STRATEGIES}, "
+            f"got {skip_strategy!r}"
+        )
+    # any non-greedy strategy implies Flink's non-greedy loop default
+    greedy_loops = skip_strategy in (None, "greedy")
     if contiguity is not None and contiguity not in (
         "strict", "relaxed", "mixed"
     ):
@@ -430,6 +485,12 @@ def match_pattern(
     if resolved == "mixed":
         if steps[0].negate:
             raise ValueError("a mixed pattern must start positively")
+        if not greedy_loops and any(s.loop for s in steps):
+            raise ValueError(
+                "loop steps under a non-greedy skip_strategy require "
+                "uniform strict or relaxed contiguity (mixed loops are "
+                "greedy-only)"
+            )
         default_mode = (
             contiguity if contiguity not in (None, "mixed") else None
         )
@@ -440,40 +501,119 @@ def match_pattern(
             for s in steps
         ]
         if any(s.optional or s.times_max is not None for s in steps):
-            return _match_variants(
+            M = _match_variants(
                 events, steps, key_col, time_col, type_col, within,
-                "mixed", tiebreak,
+                "mixed", tiebreak, greedy_loops,
             )
-        return _match_mixed(
-            events, steps, key_col, time_col, type_col, within,
-            tiebreak or [],
-        )
+        else:
+            M = _match_mixed(
+                events, steps, key_col, time_col, type_col, within,
+                tiebreak or [],
+            )
+        return _apply_skip(M, steps, key_col, skip_strategy)
     contiguity = resolved
 
     if any(s.optional or s.times_max is not None for s in steps):
-        return _match_variants(
+        M = _match_variants(
             events, steps, key_col, time_col, type_col, within,
-            contiguity, tiebreak,
+            contiguity, tiebreak, greedy_loops,
         )
-
-    if contiguity == "strict":
+    elif contiguity == "strict":
         if any(s.until for s in steps):
             raise ValueError(
                 "until applies to relaxed loops only (a strict/consecutive "
                 "run ends at the first non-matching event by construction)"
             )
         if any(s.loop for s in steps):
-            return _strict_segments(
+            M = _strict_segments(
+                events, steps, key_col, time_col, type_col, within,
+                tiebreak or [], greedy_loops,
+            )
+        else:
+            M = _strict_leadchain(
                 events, steps, key_col, time_col, type_col, within,
                 tiebreak or [],
             )
-        return _strict_leadchain(
+    else:
+        M = _match_relaxed(
             events, steps, key_col, time_col, type_col, within,
-            tiebreak or [],
+            greedy_loops,
         )
-    return _match_relaxed(
-        events, steps, key_col, time_col, type_col, within
+    return _apply_skip(M, steps, key_col, skip_strategy)
+
+
+def _apply_skip(
+    M: DataFrame,
+    steps: list[PatternStep],
+    key_col: str,
+    skip_strategy: str | None,
+) -> DataFrame:
+    """Prune overlapping matches per ``skip_strategy`` (r7).
+
+    Works on the MATCH set (already horizon-bounded by ``within``),
+    never the raw events. ``__start``/``__end`` derive from the
+    captured timestamps (NULL-skipping, so optional absent steps don't
+    participate): Spark ``greatest``/``coalesce`` both ignore NULLs.
+
+    - ``skip_to_next``: one window pass — per (key, start) keep the
+      first-completing match (earliest end; remaining captured columns
+      break ties deterministically).
+    - ``skip_past_last_event``: greedy non-overlap selection scanning
+      matches in start order — inherently a per-key sequential chain
+      (the same scan Flink's NFA performs when pruning), expressed as
+      ``applyInPandas`` over each key's matches. Scale posture: input
+      is matches, not events; per-key match counts are bounded by the
+      ``within`` horizon. Event-time granularity: a match starting AT
+      the emitted match's last timestamp is pruned too (positions are
+      not visible at this level — documented deviation).
+    """
+    if skip_strategy in (None, "greedy", "no_skip"):
+        return M
+    out_cols = _out_cols(steps)
+    ts_cols = [c for c in out_cols if not c.startswith("n_")]
+    end = (
+        F.greatest(*[F.col(c) for c in ts_cols])
+        if len(ts_cols) > 1 else F.col(ts_cols[0])
     )
+    start = (
+        F.coalesce(*[F.col(c) for c in ts_cols])
+        if len(ts_cols) > 1 else F.col(ts_cols[0])
+    )
+    if skip_strategy == "skip_to_next":
+        order = [F.col("__end").asc()] + [
+            F.col(c).asc_nulls_first() for c in out_cols
+        ]
+        w = Window.partitionBy(key_col, "__start").orderBy(*order)
+        return (
+            M.withColumn("__start", start)
+            .withColumn("__end", end)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__start", "__end", "__rn")
+        )
+    # skip_past_last_event
+    M2 = M.withColumn("__start", start).withColumn("__end", end)
+    schema = M.schema
+    keep_cols = M.columns
+    sort_cols = ["__start", "__end"] + out_cols
+
+    def _select(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            sort_cols, kind="mergesort", na_position="first"
+        )
+        keep, last_end = [], None
+        for idx, s, e in zip(
+            pdf.index, pdf["__start"], pdf["__end"]
+        ):
+            if last_end is None or (pd.notna(s) and s > last_end):
+                keep.append(idx)
+                if pd.notna(e):
+                    last_end = e
+        return pdf.loc[keep, keep_cols]
+
+    return M2.groupBy(key_col).applyInPandas(_select, schema=schema)
 
 
 def _within_expr(within: str) -> Column:
@@ -489,6 +629,7 @@ def _match_variants(
     within: str | None,
     contiguity: str,
     tiebreak: list[str] | None,
+    greedy_loops: bool = True,
 ) -> DataFrame:
     """``optional()`` / ``times(n, m)`` patterns: union of the plain
     variant matches (Flink emits every branch/count alternative), with
@@ -505,9 +646,13 @@ def _match_variants(
 
     parts: list[DataFrame] = []
     for vsteps, orig_idx in _expand_variants(steps):
+        # per-variant engines inherit the loop greediness only; the
+        # skip-strategy pruning applies over the WHOLE union at the
+        # top level (variants are alternative shapes of one pattern)
         r = match_pattern(
             events, vsteps, key_col, time_col, type_col, within,
             contiguity, tiebreak,
+            skip_strategy=None if greedy_loops else "no_skip",
         )
         vpos = {oi: j + 1 for j, oi in enumerate(orig_idx)}
         vpositives = [s for s in vsteps if not s.negate]
@@ -615,12 +760,21 @@ def _strict_segments(
     type_col: str,
     within: str | None,
     tiebreak: list[str],
+    greedy_loops: bool = True,
 ) -> DataFrame:
-    """Strict pattern WITH greedy consecutive-run loops: fixed-offset
+    """Strict pattern WITH consecutive-run loops: fixed-offset
     segments matched with lead chains, glued by (key, position)
     equi-joins against precomputed run metadata (gaps-and-islands).
     All window passes and joins share the key partitioning; the number
-    of joins equals the number of loop steps."""
+    of joins equals the number of loop steps.
+
+    ``greedy_loops=False`` (Flink's non-greedy default, r7): each loop
+    anchor emits EVERY prefix of its consecutive run — k is exploded
+    1..run_remaining and the k-th event's timestamp fetched by one
+    more co-partitioned (key, position) equi-join. A non-terminal
+    prefix whose next position still holds the loop type dies at the
+    following segment join (the adjacent event isn't the next step's
+    type), which is exactly Flink's ``consecutive()`` semantics."""
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     w_run_sum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -746,15 +900,55 @@ def _strict_segments(
                 if x == s.event_type:
                     L = L.filter(F.lit(False))
             pending_neg = []
-            L = L.select(
-                F.col(key_col).alias("__lk"),
-                F.col("__pos").alias("__lp"),
-                F.col(time_col).alias(f"ts_{pidx}"),
-                F.col("__runlast").alias(f"ts_{pidx}_last"),
-                F.col("__rem").alias(f"n_{pidx}"),
-                (F.col("__pos") + F.col("__rem")).alias("__lnext"),
-                F.col("__runlast").alias("__eL"),
-            )
+            if greedy_loops:
+                L = L.select(
+                    F.col(key_col).alias("__lk"),
+                    F.col("__pos").alias("__lp"),
+                    F.col(time_col).alias(f"ts_{pidx}"),
+                    F.col("__runlast").alias(f"ts_{pidx}_last"),
+                    F.col("__rem").alias(f"n_{pidx}"),
+                    (F.col("__pos") + F.col("__rem")).alias("__lnext"),
+                    F.col("__runlast").alias("__eL"),
+                )
+            else:
+                # non-greedy: every prefix k of the remaining run; the
+                # k-th event's ts via a (key, position) equi-join
+                P = base.select(
+                    F.col(key_col).alias("__bk"),
+                    F.col("__pos").alias("__bp"),
+                    F.col(time_col).alias("__bt"),
+                )
+                Lx = (
+                    L.select(
+                        F.col(key_col).alias("__lk"),
+                        F.col("__pos").alias("__lp"),
+                        F.col(time_col).alias(f"ts_{pidx}"),
+                        F.col("__rem"),
+                    )
+                    .withColumn(
+                        "__k",
+                        F.explode(
+                            F.sequence(F.lit(1), F.col("__rem"))
+                        ),
+                    )
+                    .drop("__rem")
+                )
+                L = Lx.join(
+                    P,
+                    (F.col("__lk") == F.col("__bk"))
+                    & (
+                        F.col("__bp")
+                        == F.col("__lp") + F.col("__k") - F.lit(1)
+                    ),
+                ).select(
+                    "__lk",
+                    "__lp",
+                    f"ts_{pidx}",
+                    F.col("__bt").alias(f"ts_{pidx}_last"),
+                    F.col("__k").cast("long").alias(f"n_{pidx}"),
+                    (F.col("__lp") + F.col("__k")).alias("__lnext"),
+                    F.col("__bt").alias("__eL"),
+                )
             if M is None:
                 M = (
                     L.withColumnRenamed("__lk", key_col)
@@ -823,6 +1017,7 @@ def _match_relaxed(
     time_col: str,
     type_col: str,
     within: str | None,
+    greedy_loops: bool = True,
 ) -> DataFrame:
     base = events.select(key_col, time_col, type_col)
 
@@ -879,7 +1074,7 @@ def _match_relaxed(
             compressed = True  # loop-first anchors self-compress too
             M = _relaxed_loop(
                 M, base, typed, s, key_col, time_col, type_col,
-                within, pidx, last_col,
+                within, pidx, last_col, greedy_loops,
             )
             if pending_neg:
                 M = apply_negs(M, first_col)
@@ -942,11 +1137,18 @@ def _relaxed_loop(
     within: str | None,
     pidx: int,
     last_col: str | None,
+    greedy_loops: bool = True,
 ) -> DataFrame:
-    """Greedy relaxed loop: every event of the type strictly after the
-    previous step and strictly before the stop bound (earliest ``until``
-    event / the ``within`` horizon; unbounded otherwise). One (key)
-    equi-join + group-agg; fan-out is the matched-run length."""
+    """Relaxed loop: events of the type strictly after the previous
+    step and strictly before the stop bound (earliest ``until`` event /
+    the ``within`` horizon; unbounded otherwise). One (key) equi-join;
+    greedy aggregates the whole run into one match (group-agg),
+    non-greedy (``greedy_loops=False``, Flink's default, r7) emits one
+    match PER PREFIX — each joined element row IS a prefix, with
+    ``n`` = its rank and ``ts_last`` = its own timestamp (one ordered
+    window pass over the same partitioning instead of the group-agg).
+    Fan-out is the matched-run length in both modes — prefix emission
+    is the HONEST output size of Flink's NO_SKIP, not a blow-up."""
     first_col, last_out, n_col = f"ts_{pidx}", f"ts_{pidx}_last", f"n_{pidx}"
     el = base.filter(F.col(type_col) == s.event_type).select(
         F.col(key_col).alias("__ek"), F.col(time_col).alias("__el")
@@ -993,25 +1195,54 @@ def _relaxed_loop(
             F.col("__el") <= F.col(horizon_base) + _within_expr(within)
         )
     j = A.join(el, cond)
-    agg = j.groupBy(*carried).agg(
-        F.min("__el").alias("__f"),
-        F.max("__el").alias("__l"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-    if M is None:
-        # left side keeps single-element runs (no later elements)
-        out = A.join(agg, carried, "left").select(
-            *carried,
-            F.coalesce(F.col("__l"), F.col(first_col)).alias(last_out),
-            (F.lit(1) + F.coalesce(F.col("__n"), F.lit(0))).alias(n_col),
+    if greedy_loops:
+        agg = j.groupBy(*carried).agg(
+            F.min("__el").alias("__f"),
+            F.max("__el").alias("__l"),
+            F.count(F.lit(1)).alias("__n"),
         )
+        if M is None:
+            # left side keeps single-element runs (no later elements)
+            out = A.join(agg, carried, "left").select(
+                *carried,
+                F.coalesce(F.col("__l"), F.col(first_col)).alias(last_out),
+                (
+                    F.lit(1) + F.coalesce(F.col("__n"), F.lit(0))
+                ).alias(n_col),
+            )
+        else:
+            out = agg.select(
+                *carried,
+                F.col("__f").alias(first_col),
+                F.col("__l").alias(last_out),
+                F.col("__n").alias(n_col),
+            )
     else:
-        out = agg.select(
-            *carried,
-            F.col("__f").alias(first_col),
-            F.col("__l").alias(last_out),
-            F.col("__n").alias(n_col),
-        )
+        wp = Window.partitionBy(*carried).orderBy("__el")
+        if M is None:
+            # anchor itself is the 1-prefix; joined later elements are
+            # the (k>=2)-prefixes (anchor IS the run's first element)
+            single = A.select(
+                *carried,
+                F.col(first_col).alias(last_out),
+                F.lit(1).cast("long").alias(n_col),
+            )
+            later = j.select(
+                *carried,
+                F.col("__el").alias(last_out),
+                (F.row_number().over(wp) + F.lit(1))
+                .cast("long").alias(n_col),
+            )
+            out = single.unionByName(later)
+        else:
+            out = j.select(
+                *carried,
+                F.min("__el").over(
+                    wp.rowsBetween(Window.unboundedPreceding, 0)
+                ).alias(first_col),
+                F.col("__el").alias(last_out),
+                F.row_number().over(wp).cast("long").alias(n_col),
+            )
     return out.drop("__stop") if s.until is not None else out
 
 

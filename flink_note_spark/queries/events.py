@@ -761,6 +761,159 @@ ORDER BY user_id, window_id
 """
 
 
+def q100_cep_no_skip(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP Flink-default NO_SKIP / non-greedy ``oneOrMore`` (r7):
+    ``Pattern.begin("view").followedBy("click").oneOrMore()
+    .within(Time.days(7))`` with ``AfterMatchSkipStrategy.noSkip()`` —
+    every PREFIX of the click run is its own match (Flink's actual
+    default, vs this engine's deterministic ``greedy``). Each joined
+    loop element row IS a prefix: one ordered window pass replaces the
+    greedy group-agg, so the plan shape (one key equi-join) is
+    unchanged and the fan-out is the honest NO_SKIP output size."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click").one_or_more()
+        .within("7 days")
+        .skip("no_skip")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("first_click"),
+            F.col("ts_2_last").alias("last_click"),
+            F.col("n_2").alias("n_clicks"),
+        )
+        .orderBy("user_id", "start_ts", "n_clicks")
+    )
+
+
+_Q100_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT a.user_id, a.t0, c.ts AS last_click
+  FROM a JOIN events c ON c.user_id = a.user_id
+    AND c.event_type = 'click' AND c.ts > a.t0
+    AND c.ts <= a.t0 + INTERVAL 7 DAY)
+SELECT user_id, t0 AS start_ts,
+       (SELECT min(e.ts) FROM events e WHERE e.user_id = p.user_id
+        AND e.event_type = 'click' AND e.ts > p.t0) AS first_click,
+       last_click,
+       (SELECT count(*) FROM events e WHERE e.user_id = p.user_id
+        AND e.event_type = 'click' AND e.ts > p.t0
+        AND e.ts <= p.last_click) AS n_clicks
+FROM p
+ORDER BY user_id, start_ts, n_clicks
+"""
+
+
+def q101_cep_skip_to_next(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``AfterMatchSkipStrategy.skipToNext()`` (r7): from the
+    NO_SKIP superset of ``view -> click oneOrMore -> purchase``, only
+    the FIRST-COMPLETING match per start event survives (per
+    (key, start) the earliest-ending match — one declarative window
+    pass in ``_apply_skip``, no sequential state). For this pattern
+    that is always the 1-click prefix completed by the first purchase
+    after the first click."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click").one_or_more()
+        .followed_by("purchase")
+        .within("7 days")
+        .skip("skip_to_next")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("start_ts"),
+            F.col("ts_2").alias("first_click"),
+            F.col("n_2").alias("n_clicks"),
+            F.col("ts_3").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q101_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT user_id, t0,
+         (SELECT min(e.ts) FROM events e WHERE e.user_id = a.user_id
+          AND e.event_type = 'click' AND e.ts > a.t0
+          AND e.ts <= a.t0 + INTERVAL 7 DAY) AS c1
+  FROM a),
+c AS (
+  SELECT user_id, t0, c1,
+         (SELECT min(e.ts) FROM events e WHERE e.user_id = b.user_id
+          AND e.event_type = 'purchase' AND e.ts > b.c1
+          AND e.ts <= b.t0 + INTERVAL 7 DAY) AS p1
+  FROM b WHERE c1 IS NOT NULL)
+SELECT user_id, t0 AS start_ts, c1 AS first_click,
+       CAST(1 AS BIGINT) AS n_clicks, p1 AS purchase_ts
+FROM c WHERE p1 IS NOT NULL
+ORDER BY user_id, start_ts
+"""
+
+
+def q102_cep_skip_past_last(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``AfterMatchSkipStrategy.skipPastLastEvent()`` (r7): two
+    CONSECUTIVE clicks per user (strict ``times(2)``), overlapping
+    matches pruned by the greedy first-fit chain — after a match
+    emits, every match starting at or before its last event is
+    skipped, so a run of k clicks yields floor(k/2) non-overlapping
+    pairs. The pruning is inherently sequential per key (Flink runs it
+    in the NFA): ``applyInPandas`` over each key's MATCHES (never raw
+    events). The oracle is the closed form: gaps-and-islands run
+    offsets with even parity."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    return (
+        match_pattern(
+            e, [{"type": "click", "times": 2}], contiguity="strict",
+            tiebreak=["event_id"],
+            skip_strategy="skip_past_last_event",
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("first_click"),
+            F.col("ts_1_last").alias("second_click"),
+        )
+        .orderBy("user_id", "first_click")
+    )
+
+
+_Q102_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events),
+c AS (
+  SELECT user_id, ts, pos,
+         pos - row_number() OVER (PARTITION BY user_id ORDER BY pos) AS grp
+  FROM s WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, ts, grp,
+         row_number() OVER (PARTITION BY user_id, grp ORDER BY pos) - 1
+           AS off,
+         count(*) OVER (PARTITION BY user_id, grp) AS runlen,
+         lead(ts) OVER (PARTITION BY user_id, grp ORDER BY pos) AS ts_next
+  FROM c)
+SELECT user_id, ts AS first_click, ts_next AS second_click
+FROM r WHERE off % 2 = 0 AND off + 1 < runlen
+ORDER BY user_id, first_click
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -780,6 +933,9 @@ QUERIES = {
     "q93_cep_mixed": q93_cep_mixed,
     "q98_count_window": q98_count_window,
     "q99_sliding_count_window": q99_sliding_count_window,
+    "q100_cep_no_skip": q100_cep_no_skip,
+    "q101_cep_skip_to_next": q101_cep_skip_to_next,
+    "q102_cep_skip_past_last": q102_cep_skip_past_last,
 }
 
 ORACLES = {
@@ -801,4 +957,7 @@ ORACLES = {
     "q93_cep_mixed": _Q93_SQL,
     "q98_count_window": _Q98_SQL,
     "q99_sliding_count_window": _Q99_SQL,
+    "q100_cep_no_skip": _Q100_SQL,
+    "q101_cep_skip_to_next": _Q101_SQL,
+    "q102_cep_skip_past_last": _Q102_SQL,
 }

@@ -717,6 +717,13 @@ def match_pattern_stream(
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
+        if pattern.skip_ not in (None, "greedy"):
+            raise ValueError(
+                "AfterMatchSkipStrategy / non-greedy loops are "
+                "batch-only (operators/cep.match_pattern "
+                "skip_strategy=); the streaming engine emits the "
+                "greedy deterministic match set"
+            )
     general = False
     steps = None
     if not (

@@ -957,3 +957,272 @@ def test_explicit_contiguity_overrides_builder(spark):
     # and a Pattern without explicit argument uses its builder modes
     p = Pattern.begin("A").followed_by("B")
     assert _collect_cols(match_pattern(df, p)) == [(1, 0.0, 10.0)]
+
+
+# ---------------------------------------------------------------------------
+# AfterMatchSkipStrategy / non-greedy oneOrMore (r7)
+
+
+def _naive_noskip_strict(rows, steps, within_s=None):
+    """Flink NO_SKIP strict reference: recursive enumeration; loops
+    emit EVERY prefix of the consecutive run."""
+    steps = _norm_steps(steps)
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted(
+            [(s, t, i) for (kk, s, t, i) in rows if kk == key],
+            key=lambda r: (r[0], r[2]),
+        )
+        n = len(seq)
+
+        def rec(si, pos, cap, last_ts):
+            if si == len(steps):
+                if cap and (
+                    within_s is None or last_ts - cap[0] <= within_s
+                ):
+                    out.append((key, *cap))
+                return
+            typ, neg, times, loop, _until = steps[si]
+            if neg:
+                if pos < n and seq[pos][1] == typ:
+                    return
+                rec(si + 1, pos, cap, last_ts)
+                return
+            if loop:
+                q = pos
+                while q < n and seq[q][1] == typ:
+                    q += 1
+                    rec(
+                        si + 1, q,
+                        cap + [seq[pos][0], seq[q - 1][0], q - pos],
+                        seq[q - 1][0],
+                    )
+                return
+            first, p, lt = None, pos, last_ts
+            for _ in range(times):
+                if p >= n or seq[p][1] != typ:
+                    return
+                if first is None:
+                    first = seq[p][0]
+                lt = seq[p][0]
+                p += 1
+            rec(
+                si + 1, p,
+                cap + [first] + ([lt] if times > 1 else []), lt,
+            )
+
+        for p0 in range(n):
+            rec(0, p0, [], None)
+    return sorted(out)
+
+
+def _naive_noskip_relaxed(rows, steps, within_s=None):
+    """Flink NO_SKIP relaxed reference: earliest-after binding with
+    per-prefix loop branching, open-interval negation."""
+    steps = _norm_steps(steps)
+    INF = float("inf")
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted([(s, t) for (kk, s, t, _) in rows if kk == key])
+
+        def first_after(typ, after):
+            c = [s for (s, t) in seq if t == typ and s > after]
+            return min(c) if c else None
+
+        first_steps = [s for s in steps if not s[1]]
+        t0_type = first_steps[0][0]
+        for s0, ty0 in seq:
+            if ty0 != t0_type:
+                continue
+            horizon = (s0 + within_s) if within_s is not None else INF
+
+            def rec(si, cur, cap, pending):
+                if si == len(steps):
+                    for (x, anc) in pending:
+                        xa = first_after(x, anc)
+                        if xa is not None and xa <= horizon:
+                            return
+                    out.append((key, *cap))
+                    return
+                typ, neg, times, loop, until = steps[si]
+                if neg:
+                    rec(si + 1, cur, cap, pending + [(typ, cur)])
+                    return
+                if loop:
+                    if cur is None:
+                        anchor, els0 = s0, [s0]
+                    else:
+                        anchor, els0 = cur, []
+                    stop = first_after(until, anchor) if until else None
+                    els = els0 + [
+                        s for (s, t) in seq
+                        if t == typ and s > anchor
+                        and (stop is None or s < stop) and s <= horizon
+                    ]
+                    if not els:
+                        return
+                    for (x, anc) in pending:
+                        xa = first_after(x, anc)
+                        if xa is not None and xa < els[0]:
+                            return
+                    for k in range(1, len(els) + 1):
+                        rec(
+                            si + 1, els[k - 1],
+                            cap + [els[0], els[k - 1], k], [],
+                        )
+                    return
+                if cur is None:
+                    nxt, new_cur = s0, s0
+                else:
+                    nxt = first_after(typ, cur)
+                    if nxt is None or nxt > horizon:
+                        return
+                    new_cur = nxt
+                for _ in range(times - 1):
+                    new_cur = first_after(typ, new_cur)
+                    if new_cur is None or new_cur > horizon:
+                        return
+                for (x, anc) in pending:
+                    xa = first_after(x, anc)
+                    if xa is not None and xa < nxt:
+                        return
+                rec(
+                    si + 1, new_cur,
+                    cap + [nxt] + ([new_cur] if times > 1 else []), [],
+                )
+
+            if within_s is None and any(
+                s[1] for s in steps[
+                    max(i for i, s in enumerate(steps) if not s[1]) + 1:
+                ]
+            ):
+                raise AssertionError("terminal negation needs within")
+            rec(0, None, [], [])
+    return sorted(out)
+
+
+def _naive_skip_filter(matches, steps, strategy):
+    """Python reference of ``_apply_skip`` over naive match tuples."""
+    steps = _norm_steps(steps)
+    is_ts = []
+    for (typ, neg, times, loop, _until) in steps:
+        if neg:
+            continue
+        is_ts.append(True)
+        if loop or times > 1:
+            is_ts.append(True)
+        if loop:
+            is_ts.append(False)
+
+    def se(m):
+        ts = [v for v, f in zip(m[1:], is_ts) if f]
+        return (min(ts), max(ts))
+
+    if strategy == "skip_to_next":
+        best = {}
+        for m in sorted(matches, key=lambda m: (se(m)[1], m[1:])):
+            best.setdefault((m[0], se(m)[0]), m)
+        return sorted(best.values())
+    out, last = [], {}
+    for m in sorted(matches, key=lambda m: (m[0], se(m), m[1:])):
+        s, e = se(m)
+        if m[0] not in last or s > last[m[0]]:
+            out.append(m)
+            last[m[0]] = e
+    return sorted(out)
+
+
+@pytest.mark.parametrize("pat", STRICT_PATTERNS)
+def test_strict_no_skip_matches_naive(spark, pat):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_cols(
+        match_pattern(
+            df, pat, contiguity="strict", tiebreak=["event_id"],
+            skip_strategy="no_skip",
+        )
+    )
+    want = _naive_noskip_strict(RICH_ROWS, pat)
+    assert got == want, f"pattern {pat}"
+    assert got
+    # greedy output is a SUBSET selecting the maximal run per anchor
+    greedy = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    assert set(greedy) <= set(got)
+
+
+@pytest.mark.parametrize("pat", RELAXED_PATTERNS)
+def test_relaxed_no_skip_matches_naive(spark, pat):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed",
+                      skip_strategy="no_skip")
+    )
+    want = _naive_noskip_relaxed(RICH_ROWS, pat)
+    assert got == want, f"pattern {pat}"
+    assert got
+    greedy = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    assert set(greedy) <= set(got)
+
+
+@pytest.mark.parametrize("strategy",
+                         ["skip_to_next", "skip_past_last_event"])
+@pytest.mark.parametrize("contiguity", ["strict", "relaxed"])
+def test_skip_strategies_match_naive(spark, strategy, contiguity):
+    pats = (
+        STRICT_PATTERNS if contiguity == "strict" else RELAXED_PATTERNS
+    )
+    df = _mk(spark, RICH_ROWS)
+    for pat in pats:
+        got = _collect_cols(
+            match_pattern(
+                df, pat, contiguity=contiguity,
+                tiebreak=["event_id"] if contiguity == "strict" else None,
+                skip_strategy=strategy,
+            )
+        )
+        naive_all = (
+            _naive_noskip_strict if contiguity == "strict"
+            else _naive_noskip_relaxed
+        )(RICH_ROWS, pat)
+        want = _naive_skip_filter(naive_all, pat, strategy)
+        assert got == want, f"pattern {pat} strategy {strategy}"
+        assert got
+
+
+def test_skip_past_last_event_non_overlap(spark):
+    """SKIP_PAST_LAST_EVENT's defining property: surviving matches per
+    key never overlap in event time, and they are the greedy
+    first-fit chain (run of 4 As -> positions 0-1 and 2-3)."""
+    rows = [(9, s, "A", i) for i, s in enumerate([0, 10, 20, 30, 45])]
+    df = _mk(spark, rows)
+    got = _collect_cols(
+        match_pattern(
+            df, [{"type": "A", "times": 2}], contiguity="strict",
+            tiebreak=["event_id"], skip_strategy="skip_past_last_event",
+        )
+    )
+    assert got == [(9, 0.0, 10.0), (9, 20.0, 30.0)]
+
+
+def test_skip_strategy_validation(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, RICH_ROWS)
+    with pytest.raises(ValueError, match="skip_strategy"):
+        match_pattern(df, ["A", "B"], skip_strategy="bogus")
+    with pytest.raises(ValueError, match="skip strategy"):
+        Pattern.begin("A").skip("bogus")
+    # mixed contiguity with loops stays greedy-only (a 2-step pattern
+    # with one tail mode resolves to that mode — need a true mix)
+    mixed = [{"type": "A", "mode": "strict"},
+             {"type": "B", "mode": "strict"},
+             {"type": "C", "mode": "relaxed", "one_or_more": True}]
+    with pytest.raises(ValueError, match="mixed"):
+        match_pattern(df, mixed, skip_strategy="no_skip")
+    # the builder carries the strategy (explicit argument still wins)
+    p = (Pattern.begin("A").followed_by("B").one_or_more()
+         .skip("no_skip"))
+    no_skip = _collect_cols(match_pattern(df, p))
+    greedy = _collect_cols(match_pattern(df, p, skip_strategy="greedy"))
+    assert set(greedy) < set(no_skip)
