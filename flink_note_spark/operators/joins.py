@@ -137,3 +137,109 @@ def theta_join(
     from pyspark.sql.functions import broadcast
 
     return left.join(broadcast(right), condition, how)
+
+
+def temporal_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_time: str,
+    valid_from: str,
+    dim_cols: list[str] | None = None,
+    how: str = "inner",
+    strategy: str = "union_window",
+) -> DataFrame:
+    """Temporal / versioned table join — Flink SQL's ``JOIN dim FOR
+    SYSTEM_TIME AS OF fact.ts`` against a changelog-backed dimension:
+    each ``dim`` row is a VERSION effective from ``valid_from`` until
+    the same key's next version; every fact row joins the version in
+    effect at its event time (latest ``valid_from <= fact_time`` per
+    key). ``how='inner'`` drops facts with no version yet (Flink's
+    event-time temporal join), ``'left'`` keeps them with NULLs.
+
+    Two physical strategies, both key-partitioned, never cartesian:
+
+    - ``'union_window'`` (default): tag-union both sides and take a
+      running ``last(..., ignorenulls)`` per key ordered by (time,
+      side) — :func:`asof_join`'s kernel. ONE shuffle on the key, no
+      join fan-out, O(1) state per row; the right default at 100 TB
+      where a hot entity may have thousands of versions. Batch-only
+      (window over an unbounded frame).
+    - ``'interval'``: derive half-open validity intervals
+      (``valid_to = lead(valid_from)``) once on the dimension, then a
+      plain key equi-join with the interval containment as residual
+      filter. Fan-out = versions-per-key before the filter, but the
+      plan is a hash join on the key (broadcastable when the dim is
+      small) and — unlike the window form — STREAM-STATIC compatible:
+      use it under ``foreachBatch``/stream-static joins as the
+      streaming rendering of ``FOR SYSTEM_TIME AS OF`` (the interval
+      table is a snapshot; rebuild it per batch for a slowly-changing
+      dim).
+
+    ``dim_cols`` defaults to all non-key, non-time dimension columns;
+    names must not collide with fact columns (rename first), same
+    contract as :func:`asof_join`.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if strategy not in ("union_window", "interval"):
+        raise ValueError(
+            f"strategy must be union_window|interval, got {strategy!r}"
+        )
+    dcols = dim_cols or [
+        c for c in dim.columns if c not in (on, valid_from)
+    ]
+    clash = set(dcols) & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"temporal_join: dim_cols {sorted(clash)} collide with fact "
+            "columns; rename them on the dimension first"
+        )
+
+    if strategy == "union_window":
+        if fact.isStreaming:
+            raise ValueError(
+                "union_window is batch-only (unbounded window frame); "
+                "use strategy='interval' for the stream-static "
+                "rendering of FOR SYSTEM_TIME AS OF"
+            )
+        if how == "left":
+            out = asof_join(
+                fact, dim, on, fact_time, valid_from, right_cols=dcols,
+                direction="backward",
+            )
+        else:
+            # inner: a NULL-valued version row is indistinguishable
+            # from "no version yet" in the filled columns — carry the
+            # version time itself to decide matched-ness
+            out = (
+                asof_join(
+                    fact, dim.withColumn("__vt", F.col(valid_from)),
+                    on, fact_time, valid_from,
+                    right_cols=dcols + ["__vt"], direction="backward",
+                )
+                .filter(F.col("__vt").isNotNull())
+                .drop("__vt")
+            )
+        # asof_join's tag-union leaves the dimension's time column in
+        # the output when its name differs from the fact's — the
+        # output contract is fact columns + dim_cols only
+        if valid_from != fact_time and valid_from not in fact.columns:
+            out = out.drop(valid_from)
+        return out
+
+    w = Window.partitionBy(on).orderBy(F.col(valid_from).asc())
+    d = dim.select(on, valid_from, *dcols).withColumn(
+        "__valid_to", F.lead(valid_from).over(w)
+    )
+    f = fact
+    cond = (
+        (f[on] == d[on])
+        & (f[fact_time] >= d[valid_from])
+        & (d["__valid_to"].isNull() | (f[fact_time] < d["__valid_to"]))
+    )
+    joined = f.join(d, cond, how)
+    # drop the dimension's duplicated key/time bookkeeping columns
+    return joined.select(
+        *[f[c] for c in fact.columns], *[d[c] for c in dcols]
+    )

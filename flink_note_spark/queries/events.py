@@ -914,6 +914,49 @@ ORDER BY user_id, first_click
 """
 
 
+def q103_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal / versioned table join (r7) — Flink SQL ``JOIN dim FOR
+    SYSTEM_TIME AS OF fact.ts``: each user's purchases form a VERSIONED
+    price dimension (a purchase's value is "the price" from its ts
+    until the next purchase); every click joins the version in effect
+    at its event time. ``operators/joins.py:temporal_join`` with the
+    default ``union_window`` strategy: ONE shuffle on the key, a
+    running last-non-null fill, no join fan-out — vs the oracle's
+    native DuckDB ``ASOF JOIN`` (an independent engine feature, not a
+    re-derivation)."""
+    from flink_note_spark.operators.joins import temporal_join
+
+    e = _t(spark, sf, "events")
+    fact = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    dim = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("vfrom"),
+        F.col("ts").alias("version_ts"),
+        F.round("value", 4).alias("price"),
+    )
+    return (
+        temporal_join(
+            fact, dim, on="user_id", fact_time="click_ts",
+            valid_from="vfrom", dim_cols=["version_ts", "price"],
+            how="inner", strategy="union_window",
+        )
+        .orderBy("user_id", "click_ts")
+    )
+
+
+_Q103_SQL = """
+SELECT f.user_id, f.ts AS click_ts,
+       d.ts AS version_ts, round(d.value, 4) AS price
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') f
+ASOF JOIN (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase') d
+  ON f.user_id = d.user_id AND f.ts >= d.ts
+ORDER BY f.user_id, click_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -936,6 +979,7 @@ QUERIES = {
     "q100_cep_no_skip": q100_cep_no_skip,
     "q101_cep_skip_to_next": q101_cep_skip_to_next,
     "q102_cep_skip_past_last": q102_cep_skip_past_last,
+    "q103_temporal_join": q103_temporal_join,
 }
 
 ORACLES = {
@@ -960,4 +1004,5 @@ ORACLES = {
     "q100_cep_no_skip": _Q100_SQL,
     "q101_cep_skip_to_next": _Q101_SQL,
     "q102_cep_skip_past_last": _Q102_SQL,
+    "q103_temporal_join": _Q103_SQL,
 }

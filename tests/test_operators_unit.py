@@ -75,6 +75,102 @@ def test_asof_empty_right(spark):
     assert all(r.bid is None for r in out.collect())
 
 
+# --- temporal_join (FOR SYSTEM_TIME AS OF, r7) ---------------------------
+
+def _temporal_frames(spark):
+    # versioned dimension: key 1 has price 10 from t=0, 20 from t=20;
+    # key 2's first version only appears at t=50
+    dim = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(20), 20.0), (2, _ts(50), 99.0)],
+        "k long, vfrom timestamp, price double",
+    )
+    fact = spark.createDataFrame(
+        [(1, _ts(5), "a"), (1, _ts(20), "b"), (1, _ts(25), "c"),
+         (2, _ts(40), "d"), (3, _ts(10), "e")],
+        "k long, t timestamp, tag string",
+    )
+    return fact, dim
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "interval"])
+def test_temporal_join_inner(spark, strategy):
+    from flink_note_spark.operators.joins import temporal_join
+
+    fact, dim = _temporal_frames(spark)
+    out = temporal_join(
+        fact, dim, on="k", fact_time="t", valid_from="vfrom",
+        how="inner", strategy=strategy,
+    )
+    rows = {(r.k, r.tag, r.price) for r in out.collect()}
+    # t=20 picks the version effective AT 20 (inclusive lower bound);
+    # key 2's fact predates its first version; key 3 has no versions
+    assert rows == {(1, "a", 10.0), (1, "b", 20.0), (1, "c", 20.0)}
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "interval"])
+def test_temporal_join_left(spark, strategy):
+    from flink_note_spark.operators.joins import temporal_join
+
+    fact, dim = _temporal_frames(spark)
+    out = temporal_join(
+        fact, dim, on="k", fact_time="t", valid_from="vfrom",
+        how="left", strategy=strategy,
+    )
+    rows = {(r.k, r.tag, r.price) for r in out.collect()}
+    assert rows == {
+        (1, "a", 10.0), (1, "b", 20.0), (1, "c", 20.0),
+        (2, "d", None), (3, "e", None),
+    }
+
+
+def test_temporal_join_strategies_agree_randomized(spark):
+    """The two physical strategies are INDEPENDENT plans (running
+    window fill vs interval equi-join) — they must agree on a
+    randomized versioned history (seeded, deterministic)."""
+    import random
+
+    from flink_note_spark.operators.joins import temporal_join
+
+    rng = random.Random(7)
+    dim_rows = [
+        (k, _ts(m), float(k * 100 + i))
+        for k in range(1, 6)
+        for i, m in enumerate(sorted(rng.sample(range(100), 6)))
+    ]
+    fact_rows = [
+        (rng.randint(1, 7), _ts(rng.randint(0, 110)), j)
+        for j in range(80)
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "k long, vfrom timestamp, price double"
+    )
+    fact = spark.createDataFrame(fact_rows, "k long, t timestamp, j long")
+    got = {}
+    for s in ("union_window", "interval"):
+        out = temporal_join(
+            fact, dim, on="k", fact_time="t", valid_from="vfrom",
+            how="left", strategy=s,
+        )
+        got[s] = sorted((r.k, r.j, r.price) for r in out.collect())
+    assert got["union_window"] == got["interval"]
+    assert len(got["interval"]) == 80  # left join preserves every fact
+
+
+def test_temporal_join_rejects_collisions_and_bad_args(spark):
+    from flink_note_spark.operators.joins import temporal_join
+
+    fact, dim = _temporal_frames(spark)
+    with pytest.raises(ValueError, match="collide"):
+        temporal_join(
+            fact, dim.withColumnRenamed("price", "tag"),
+            on="k", fact_time="t", valid_from="vfrom",
+        )
+    with pytest.raises(ValueError, match="how"):
+        temporal_join(fact, dim, "k", "t", "vfrom", how="outer")
+    with pytest.raises(ValueError, match="strategy"):
+        temporal_join(fact, dim, "k", "t", "vfrom", strategy="bogus")
+
+
 # --- range_join ----------------------------------------------------------
 
 def test_range_join_boundaries(spark):

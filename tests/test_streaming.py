@@ -326,6 +326,61 @@ def test_stream_static_join(spark, chunk_dir, tmp_path):
     assert set(got["tier"]) == {"gold", "silver"}
 
 
+def test_temporal_join_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """Streaming rendering of Flink's ``FOR SYSTEM_TIME AS OF`` (r7):
+    ``temporal_join(strategy='interval')`` on a live fact stream
+    against a VERSIONED static dimension — micro-batched facts must
+    produce exactly the batch operator's rows, and the batch-only
+    ``union_window`` strategy must refuse a streaming fact loudly."""
+    import pytest
+
+    from flink_note_spark.operators.joins import temporal_join
+
+    fact_rows_1 = [(1, 1, _ts(5), "click", 1.0),
+                   (1, 2, _ts(25), "click", 1.0)]
+    fact_rows_2 = [(2, 3, _ts(40), "click", 1.0),
+                   (1, 4, _ts(60), "click", 1.0),
+                   (3, 5, _ts(10), "click", 1.0)]
+    _write_chunk(chunk_dir, "f1.parquet", fact_rows_1)
+    _write_chunk(chunk_dir, "f2.parquet", fact_rows_2)
+    dim = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(20), 20.0), (2, _ts(50), 99.0)],
+        "user_id long, vfrom timestamp, price double",
+    )
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = temporal_join(
+        stream, dim, on="user_id", fact_time="ts", valid_from="vfrom",
+        how="inner", strategy="interval",
+    ).select("user_id", "event_id", "price")
+    _run_to_memory(out, "tmpj_out", "append", tmp_path)
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT user_id, event_id, price FROM tmpj_out"
+        ).collect())
+    )
+
+    batch = spark.createDataFrame(
+        fact_rows_1 + fact_rows_2, EVENT_SCHEMA
+    )
+    want = sorted(
+        map(tuple, temporal_join(
+            batch, dim, on="user_id", fact_time="ts",
+            valid_from="vfrom", how="inner", strategy="union_window",
+        ).select("user_id", "event_id", "price").collect())
+    )
+    assert got == want
+    assert got == [(1, 1, 10.0), (1, 2, 20.0), (1, 4, 20.0)]
+
+    with pytest.raises(ValueError, match="batch-only"):
+        temporal_join(
+            stream, dim, on="user_id", fact_time="ts",
+            valid_from="vfrom", strategy="union_window",
+        )
+
+
 def test_stream_stream_join_equals_batch(spark, tmp_path):
     """Two live streams (views ⋈ clicks within 10 minutes after the view),
     both watermarked so join state is evictable."""
