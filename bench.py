@@ -317,6 +317,76 @@ def oracle_main() -> None:
     }))
 
 
+def _streaming_throughput(spark, sf_dir: str) -> dict | None:
+    """One driver-parseable STREAMING metric (VERDICT r6 item 8): rows/s
+    through ``match_pattern_stream`` (relaxed view→click→purchase CEP —
+    the stateful ``applyInPandasWithState`` path) over the sf events
+    table, drained with maxFilesPerTrigger batching so the run crosses
+    micro-batch boundaries like a live stream. Events are staged once
+    (untimed) to micros-timestamp parquet because the fixture's
+    TIMESTAMP(NANOS) needs the batch reader's nanos handling; timing is
+    start→processAllAvailable over a fresh checkpoint, best-of-2 after
+    one warm-up. Returns None (and says so on stderr) rather than
+    breaking the headline line contract on any failure."""
+    import shutil
+    import tempfile
+
+    from flink_note_spark.session import load_table
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        from pyspark.sql import functions as F
+
+        events = load_table(spark, sf_dir, "events")
+        src = os.path.join(tmp, "src")
+        # watermarks need TIMESTAMP (LTZ); the fixture round-trips NTZ
+        events.withColumn("ts", F.col("ts").cast("timestamp")) \
+            .repartition(8).write.mode("overwrite").parquet(src)
+        n_rows = spark.read.parquet(src).count()
+        schema = spark.read.parquet(src).schema
+
+        def run() -> float:
+            ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=tmp)
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 4)
+                .parquet(src)
+            )
+            out = match_pattern_stream(
+                stream, ["view", "click", "purchase"],
+                within="7 days", watermark="1 minute",
+                contiguity="relaxed",
+            )
+            t0 = time.perf_counter()
+            q = (
+                out.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return time.perf_counter() - t0
+
+        run()  # warm-up (JIT, state-store init)
+        el = min(run(), run())
+        return {
+            "op": "cep_stream_relaxed",
+            "rows_in": n_rows,
+            "sec": round(el, 3),
+            "rows_per_sec": int(n_rows / el),
+        }
+    except Exception as e:  # noqa: BLE001 — metric is best-effort
+        print(f"streaming metric skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -356,6 +426,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # One streaming throughput row (compact — the stdout contract
+    # bounds the final line; see the paired-embed note below).
+    streaming = _streaming_throughput(spark, sf_dir)
+    if streaming is not None:
+        out["streaming"] = streaming
     # Committed paired-comparison results (see module docstring): ride
     # along so the round's BENCH_r{N}.json carries comparable deltas.
     # TOTALS ONLY — round 5 embedded the full per-query payload (~4.4 KB)

@@ -40,7 +40,8 @@ Quantifier / negation surface (round 6; Flink CEP pattern API closure):
   is a match) is ``skip_strategy="no_skip"`` (r7) — see
   :data:`SKIP_STRATEGIES` and :func:`_apply_skip` for the
   ``AfterMatchSkipStrategy`` surface (``no_skip`` / ``skip_to_next``
-  / ``skip_past_last_event``).
+  / ``skip_past_last_event`` / ``skip_to_first:i`` /
+  ``skip_to_last:i``).
 - ``until(t)`` — stop condition for a RELAXED loop (a strict run ends
   at the first non-matching event by construction, so ``until`` raises
   there, mirroring Flink's ``consecutive()`` + ``until`` interplay).
@@ -85,17 +86,52 @@ from pyspark.sql import functions as F
 
 #: Flink ``AfterMatchSkipStrategy`` surface (r7). ``greedy`` is THIS
 #: engine's historical default (maximal loop runs, one match per
-#: anchor — documented deviation); the other three are Flink's:
+#: anchor — documented deviation); the rest are Flink's:
 #: ``no_skip`` (Flink's default NO_SKIP: non-greedy loops emit every
 #: prefix, all overlapping matches survive), ``skip_to_next`` (per
-#: match-start event only the first-completing match survives), and
+#: match-start event only the first-completing match survives),
 #: ``skip_past_last_event`` (after a match is emitted, every match
 #: starting at or before its last event's time is pruned — resumed
 #: strictly past the match, Flink's SKIP_PAST_LAST_EVENT at event-time
-#: granularity).
+#: granularity), and ``skip_to_first:<i>`` / ``skip_to_last:<i>``
+#: (Flink ``skipToFirst/skipToLast(patternName)`` with the 1-based
+#: POSITIVE-step index standing in for the step name: after a match is
+#: emitted, matches starting strictly before the first/last event the
+#: emitted match bound to step ``i`` are pruned; matches starting at
+#: or after it survive). A ``("skip_to_first", i)`` tuple is accepted
+#: as the colon form's structured spelling.
 SKIP_STRATEGIES = (
-    "greedy", "no_skip", "skip_to_next", "skip_past_last_event"
+    "greedy", "no_skip", "skip_to_next", "skip_past_last_event",
+    "skip_to_first", "skip_to_last",
 )
+
+
+def _parse_skip(skip_strategy) -> tuple[str, int | None] | None:
+    """Normalize a skip-strategy spec to ``(kind, step_index|None)``;
+    raises on unknown kinds (step-index RANGE validation needs the
+    normalized steps and happens in :func:`_apply_skip`)."""
+    if skip_strategy is None:
+        return None
+    if isinstance(skip_strategy, tuple):
+        kind, arg = skip_strategy
+    else:
+        kind, _, arg = str(skip_strategy).partition(":")
+        arg = arg or None
+    if kind not in SKIP_STRATEGIES:
+        raise ValueError(
+            f"skip_strategy must be one of {SKIP_STRATEGIES}, "
+            f"got {skip_strategy!r}"
+        )
+    if kind in ("skip_to_first", "skip_to_last"):
+        if arg is None:
+            raise ValueError(
+                f"{kind} requires a 1-based positive-step index "
+                f"('{kind}:2' or ('{kind}', 2))"
+            )
+        return (kind, int(arg))
+    if arg is not None:
+        raise ValueError(f"{kind} takes no step index, got {skip_strategy!r}")
+    return (kind, None)
 
 
 @dataclass(frozen=True)
@@ -233,17 +269,16 @@ class Pattern:
         self.within_ = duration
         return self
 
-    def skip(self, strategy: str) -> "Pattern":
+    def skip(self, strategy) -> "Pattern":
         """Flink ``AfterMatchSkipStrategy`` (r7) — see
         :func:`match_pattern`'s ``skip_strategy``. Flink attaches the
         strategy at ``Pattern.begin(..., skipStrategy)``; a chainable
         verb reads better in Python and the explicit ``match_pattern``
         argument still wins."""
-        if strategy not in SKIP_STRATEGIES:
-            raise ValueError(
-                f"skip strategy must be one of {SKIP_STRATEGIES}, "
-                f"got {strategy!r}"
-            )
+        try:
+            _parse_skip(strategy)
+        except ValueError as e:
+            raise ValueError(f"skip strategy: {e}") from None
         self.skip_ = strategy
         return self
 
@@ -462,13 +497,9 @@ def match_pattern(
             within = pattern.within_
         if skip_strategy is None:
             skip_strategy = pattern.skip_
-    if skip_strategy is not None and skip_strategy not in SKIP_STRATEGIES:
-        raise ValueError(
-            f"skip_strategy must be one of {SKIP_STRATEGIES}, "
-            f"got {skip_strategy!r}"
-        )
+    skip = _parse_skip(skip_strategy)
     # any non-greedy strategy implies Flink's non-greedy loop default
-    greedy_loops = skip_strategy in (None, "greedy")
+    greedy_loops = skip is None or skip[0] == "greedy"
     if contiguity is not None and contiguity not in (
         "strict", "relaxed", "mixed"
     ):
@@ -510,7 +541,7 @@ def match_pattern(
                 events, steps, key_col, time_col, type_col, within,
                 tiebreak or [],
             )
-        return _apply_skip(M, steps, key_col, skip_strategy)
+        return _apply_skip(M, steps, key_col, skip)
     contiguity = resolved
 
     if any(s.optional or s.times_max is not None for s in steps):
@@ -539,16 +570,16 @@ def match_pattern(
             events, steps, key_col, time_col, type_col, within,
             greedy_loops,
         )
-    return _apply_skip(M, steps, key_col, skip_strategy)
+    return _apply_skip(M, steps, key_col, skip)
 
 
 def _apply_skip(
     M: DataFrame,
     steps: list[PatternStep],
     key_col: str,
-    skip_strategy: str | None,
+    skip: tuple[str, int | None] | None,
 ) -> DataFrame:
-    """Prune overlapping matches per ``skip_strategy`` (r7).
+    """Prune overlapping matches per the parsed skip strategy (r7).
 
     Works on the MATCH set (already horizon-bounded by ``within``),
     never the raw events. ``__start``/``__end`` derive from the
@@ -558,17 +589,24 @@ def _apply_skip(
     - ``skip_to_next``: one window pass — per (key, start) keep the
       first-completing match (earliest end; remaining captured columns
       break ties deterministically).
-    - ``skip_past_last_event``: greedy non-overlap selection scanning
-      matches in start order — inherently a per-key sequential chain
-      (the same scan Flink's NFA performs when pruning), expressed as
-      ``applyInPandas`` over each key's matches. Scale posture: input
-      is matches, not events; per-key match counts are bounded by the
-      ``within`` horizon. Event-time granularity: a match starting AT
-      the emitted match's last timestamp is pruned too (positions are
-      not visible at this level — documented deviation).
+    - ``skip_past_last_event`` / ``skip_to_first:i`` /
+      ``skip_to_last:i``: emitted-set selection scanning matches in
+      start order — inherently a per-key sequential chain (the same
+      scan Flink's NFA performs when pruning), expressed as
+      ``applyInPandas`` over each key's matches with a per-strategy
+      prune threshold: past-last-event keeps a match only if it starts
+      STRICTLY after the previous emission's last event (event-time
+      granularity: a match starting AT that timestamp is pruned too —
+      positions are not visible at this level, documented deviation);
+      to-first/to-last keep matches starting AT or after the previous
+      emission's first/last event of step ``i`` (Flink prunes only
+      those that started strictly before it). Scale posture: input is
+      matches, not events; per-key match counts are bounded by the
+      ``within`` horizon.
     """
-    if skip_strategy in (None, "greedy", "no_skip"):
+    if skip is None or skip[0] in ("greedy", "no_skip"):
         return M
+    kind, step_i = skip
     out_cols = _out_cols(steps)
     ts_cols = [c for c in out_cols if not c.startswith("n_")]
     end = (
@@ -579,7 +617,7 @@ def _apply_skip(
         F.coalesce(*[F.col(c) for c in ts_cols])
         if len(ts_cols) > 1 else F.col(ts_cols[0])
     )
-    if skip_strategy == "skip_to_next":
+    if kind == "skip_to_next":
         order = [F.col("__end").asc()] + [
             F.col(c).asc_nulls_first() for c in out_cols
         ]
@@ -591,8 +629,27 @@ def _apply_skip(
             .filter(F.col("__rn") == 1)
             .drop("__start", "__end", "__rn")
         )
-    # skip_past_last_event
-    M2 = M.withColumn("__start", start).withColumn("__end", end)
+    # sequential kernel: threshold column + strictness per strategy
+    if kind == "skip_past_last_event":
+        thr, strict_after = F.col("__end"), True
+    else:
+        n_pos = sum(1 for s in steps if not s.negate)
+        if step_i is None or not (1 <= step_i <= n_pos):
+            raise ValueError(
+                f"{kind} step index must be in 1..{n_pos} "
+                f"(1-based positive-step index), got {step_i}"
+            )
+        base, last = f"ts_{step_i}", f"ts_{step_i}_last"
+        col = (
+            last if (kind == "skip_to_last" and last in out_cols)
+            else base
+        )
+        thr, strict_after = F.col(col), False
+    M2 = (
+        M.withColumn("__start", start)
+        .withColumn("__end", end)
+        .withColumn("__thr", thr)
+    )
     schema = M.schema
     keep_cols = M.columns
     sort_cols = ["__start", "__end"] + out_cols
@@ -603,14 +660,15 @@ def _apply_skip(
         pdf = pdf.sort_values(
             sort_cols, kind="mergesort", na_position="first"
         )
-        keep, last_end = [], None
-        for idx, s, e in zip(
-            pdf.index, pdf["__start"], pdf["__end"]
-        ):
-            if last_end is None or (pd.notna(s) and s > last_end):
+        keep, bound = [], None
+        for idx, s, t in zip(pdf.index, pdf["__start"], pdf["__thr"]):
+            ok = bound is None or (
+                pd.notna(s) and (s > bound if strict_after else s >= bound)
+            )
+            if ok:
                 keep.append(idx)
-                if pd.notna(e):
-                    last_end = e
+                if pd.notna(t) and (bound is None or t > bound):
+                    bound = t
         return pdf.loc[keep, keep_cols]
 
     return M2.groupBy(key_col).applyInPandas(_select, schema=schema)

@@ -1102,17 +1102,29 @@ def _naive_noskip_relaxed(rows, steps, within_s=None):
 
 
 def _naive_skip_filter(matches, steps, strategy):
-    """Python reference of ``_apply_skip`` over naive match tuples."""
+    """Python reference of ``_apply_skip`` over naive match tuples.
+    ``strategy`` may be ``skip_to_next``, ``skip_past_last_event``, or
+    ``("skip_to_first"|"skip_to_last", step_index)``."""
     steps = _norm_steps(steps)
     is_ts = []
+    # per positive step: (offset of ts_i, offset of ts_i_last|None)
+    step_offsets = []
+    off = 0
     for (typ, neg, times, loop, _until) in steps:
         if neg:
             continue
+        first_off = off
         is_ts.append(True)
+        off += 1
+        last_off = None
         if loop or times > 1:
             is_ts.append(True)
+            last_off = off
+            off += 1
         if loop:
             is_ts.append(False)
+            off += 1
+        step_offsets.append((first_off, last_off))
 
     def se(m):
         ts = [v for v, f in zip(m[1:], is_ts) if f]
@@ -1123,12 +1135,32 @@ def _naive_skip_filter(matches, steps, strategy):
         for m in sorted(matches, key=lambda m: (se(m)[1], m[1:])):
             best.setdefault((m[0], se(m)[0]), m)
         return sorted(best.values())
-    out, last = [], {}
+
+    if strategy == "skip_past_last_event":
+        def thr(m):
+            return se(m)[1]
+        strict_after = True
+    else:
+        kind, i = strategy
+        first_off, last_off = step_offsets[i - 1]
+        use = (
+            last_off if (kind == "skip_to_last" and last_off is not None)
+            else first_off
+        )
+
+        def thr(m):
+            return m[1:][use]
+        strict_after = False
+
+    out, bound = [], {}
     for m in sorted(matches, key=lambda m: (m[0], se(m), m[1:])):
-        s, e = se(m)
-        if m[0] not in last or s > last[m[0]]:
+        s = se(m)[0]
+        b = bound.get(m[0])
+        if b is None or (s > b if strict_after else s >= b):
             out.append(m)
-            last[m[0]] = e
+            t = thr(m)
+            if t is not None and (b is None or t > b):
+                bound[m[0]] = t
     return sorted(out)
 
 
@@ -1226,3 +1258,83 @@ def test_skip_strategy_validation(spark):
     no_skip = _collect_cols(match_pattern(df, p))
     greedy = _collect_cols(match_pattern(df, p, skip_strategy="greedy"))
     assert set(greedy) < set(no_skip)
+
+
+@pytest.mark.parametrize("strategy", [("skip_to_first", 2),
+                                      ("skip_to_last", 2),
+                                      "skip_to_first:1"])
+@pytest.mark.parametrize("contiguity", ["strict", "relaxed"])
+def test_skip_to_first_last_match_naive(spark, strategy, contiguity):
+    """Flink skipToFirst/skipToLast(step) (r7): prune matches starting
+    strictly before the previous emission's first/last event of the
+    given step; string 'kind:i' and tuple (kind, i) spellings agree."""
+    pats = [
+        ["A", {"type": "B", "times": 2}, "C"],
+        ["A", {"type": "B", "one_or_more": True}, "C"],
+    ] if contiguity == "strict" else [
+        ["A", {"type": "B", "times": 2}, "C"],
+        ["A", {"type": "B", "one_or_more": True, "until": "U"}, "C"],
+    ]
+    df = _mk(spark, RICH_ROWS)
+    parsed = (
+        tuple(strategy) if isinstance(strategy, tuple)
+        else (strategy.split(":")[0], int(strategy.split(":")[1]))
+    )
+    for pat in pats:
+        got = _collect_cols(
+            match_pattern(
+                df, pat, contiguity=contiguity,
+                tiebreak=["event_id"] if contiguity == "strict" else None,
+                skip_strategy=strategy,
+            )
+        )
+        naive_all = (
+            _naive_noskip_strict if contiguity == "strict"
+            else _naive_noskip_relaxed
+        )(RICH_ROWS, pat)
+        want = _naive_skip_filter(naive_all, pat, parsed)
+        assert got == want, f"pattern {pat} strategy {strategy}"
+        assert got
+
+
+def test_skip_to_first_semantics_crafted(spark):
+    """skip_to_first(1) keeps every overlapping match (threshold is the
+    match's own start -> NO_SKIP-equivalent); skip_past_last_event on
+    the same input thins to the non-overlap chain."""
+    rows = [(5, s, "A", i) for i, s in enumerate([0, 10, 20, 30])]
+    df = _mk(spark, rows)
+    pat = [{"type": "A", "times": 2}]
+    all_pairs = [(5, 0.0, 10.0), (5, 10.0, 20.0), (5, 20.0, 30.0)]
+    got_first = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"],
+                      skip_strategy=("skip_to_first", 1))
+    )
+    assert got_first == all_pairs
+    got_last = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"],
+                      skip_strategy=("skip_to_last", 1))
+    )
+    # threshold = second A of the emitted pair: (0,10) emits, (10,20)
+    # starts AT the threshold and survives, chain continues
+    assert got_last == all_pairs
+    got_sple = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"],
+                      skip_strategy="skip_past_last_event")
+    )
+    assert got_sple == [(5, 0.0, 10.0), (5, 20.0, 30.0)]
+
+
+def test_skip_to_first_validation(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, RICH_ROWS)
+    with pytest.raises(ValueError, match="step index"):
+        match_pattern(df, ["A", "B"], skip_strategy="skip_to_first")
+    with pytest.raises(ValueError, match="1[.][.]2"):
+        match_pattern(df, ["A", "B"], contiguity="relaxed",
+                      skip_strategy="skip_to_first:3").collect()
+    with pytest.raises(ValueError, match="no step index"):
+        match_pattern(df, ["A", "B"], skip_strategy="no_skip:2")
+    # builder accepts both spellings
+    Pattern.begin("A").skip("skip_to_last:1")
+    Pattern.begin("A").skip(("skip_to_first", 1))

@@ -427,6 +427,64 @@ def test_cep_mixed_matches_naive_reference(spark, rows, pattern):
     assert got_w == _naive_mixed(rows4, pattern, within_s=25)
 
 
+_SKIP_PATTERNS = [
+    ["A", {"type": "B", "times": 2}],
+    [{"type": "B", "one_or_more": True}, "C"],
+    ["A", {"type": "B", "one_or_more": True}, "C"],
+    [{"type": "A", "times": 2}],
+]
+
+
+@given(
+    rows=_cep_events,
+    pattern=st.sampled_from(_SKIP_PATTERNS),
+    strategy=st.sampled_from(
+        ["no_skip", "skip_to_next", "skip_past_last_event"]
+    ),
+)
+@settings(**_SETTINGS)
+def test_cep_skip_strategies_match_naive_reference(
+    spark, rows, pattern, strategy
+):
+    """Round-7 AfterMatchSkipStrategy surface equals the recursive
+    prefix-emission matchers + Python skip filters on arbitrary event
+    soups, both contiguity modes."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    from tests.test_cep import (
+        _collect_cols,
+        _naive_noskip_relaxed,
+        _naive_noskip_strict,
+        _naive_skip_filter,
+    )
+
+    epoch = dt.datetime(2024, 6, 1)
+    data = [
+        (k, epoch + dt.timedelta(seconds=s), t, i)
+        for i, (k, s, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    rows4 = [(kk, s, t, i) for i, (kk, s, t) in enumerate(rows)]
+    for contiguity, naive in (
+        ("strict", _naive_noskip_strict),
+        ("relaxed", _naive_noskip_relaxed),
+    ):
+        got = _collect_cols(
+            match_pattern(
+                df, pattern, contiguity=contiguity,
+                tiebreak=["event_id"] if contiguity == "strict" else None,
+                skip_strategy=strategy,
+            ),
+            epoch=epoch,
+        )
+        want = naive(rows4, pattern)
+        if strategy != "no_skip":
+            want = _naive_skip_filter(want, pattern, strategy)
+        assert got == want, f"{contiguity} {strategy} {pattern}"
+
+
 # --- decontamination invariants ------------------------------------------
 
 _decon_docs = st.lists(
