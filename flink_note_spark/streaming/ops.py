@@ -388,7 +388,7 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
 
 
 def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
-                         contiguity, out_cols):
+                         contiguity, out_cols, skip=None):
     """Per-key incremental matcher for the GENERAL pattern surface
     (negation + greedy ``one_or_more``/``until`` + ``times``), r7 —
     the streaming rendering of the batch general engines, equality-
@@ -437,13 +437,132 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
     cols = [key_name] + out_cols
     has_loop = any(s[3] for s in steps)
     consumed_total = sum(s[2] for s in steps if not s[1] and not s[3])
+    noskip_loops = skip is not None  # any strategy => non-greedy loops
 
-    def _find_gstrict(ts_buf, tp_buf, wm_us, wm_prev_us):
+    # cap-offset geometry shared with batch _apply_skip: which cap
+    # entries are timestamps, and where each positive step's
+    # first/last timestamps sit
+    _is_ts: list[bool] = []
+    _step_offsets: list[tuple[int, int | None]] = []
+    _off = 0
+    for (_typ, _neg, _times, _loop, _until) in steps:
+        if _neg:
+            continue
+        first_off = _off
+        _is_ts.append(True)
+        _off += 1
+        last_off = None
+        if _loop or _times > 1:
+            _is_ts.append(True)
+            last_off = _off
+            _off += 1
+        if _loop:
+            _is_ts.append(False)
+            _off += 1
+        _step_offsets.append((first_off, last_off))
+
+    def _se(cap):
+        ts = [v for v, f in zip(cap, _is_ts) if f]
+        return (min(ts), max(ts))
+
+    def _apply_skip_rows(decided, bound):
+        """Apply the skip strategy over THIS WINDOW's decided caps.
+        ``bound`` carries the sequential threshold across watermark
+        windows (anchors finalize in start order under relaxed horizon
+        finality, so a single carried timestamp renders the batch
+        kernel's per-key scan exactly)."""
+        if skip is None or skip[0] == "no_skip":
+            return decided, bound
+        kind, arg = skip
+        if kind == "skip_to_next":
+            best = {}
+            for c in sorted(decided, key=lambda c: (_se(c)[1], c)):
+                best.setdefault(_se(c)[0], c)
+            return (
+                sorted(best.values(), key=lambda c: (*_se(c), c)),
+                bound,
+            )
+        if kind == "skip_past_last_event":
+            def thr(c):
+                return _se(c)[1]
+            strict_after = True
+        else:
+            first_off, last_off = _step_offsets[arg - 1]
+            use = (
+                last_off
+                if (kind == "skip_to_last" and last_off is not None)
+                else first_off
+            )
+
+            def thr(c):
+                return c[use]
+            strict_after = False
+        rows = []
+        for c in sorted(decided, key=lambda c: (*_se(c), c)):
+            s = _se(c)[0]
+            if bound is None or (
+                s > bound if strict_after else s >= bound
+            ):
+                rows.append(c)
+                t = thr(c)
+                if t is not None and (bound is None or t > bound):
+                    bound = t
+        return rows, bound
+
+    def _find_gstrict(ts_buf, tp_buf, wm_us, wm_prev_us, bound):
         n = 0
         while n < len(ts_buf) and ts_buf[n] < wm_us:
             n += 1
         rows = []
+
+        def emit(cap, last_ts):
+            if within_us is not None and last_ts - cap[0] > within_us:
+                return
+            if wm_prev_us <= last_ts:  # last_ts < wm by construction
+                rows.append(cap)
+
+        def rec(si, pos, cap, last_ts):
+            """Non-greedy (no_skip) enumeration: loops emit every
+            prefix; a prefix whose next position still holds the loop
+            type dies at the following step (strict adjacency) exactly
+            as in the batch engine."""
+            if si == len(steps):
+                if cap:
+                    emit(cap, last_ts)
+                return
+            typ, neg, times, loop, _until = steps[si]
+            if neg:
+                if pos < n and tp_buf[pos] == typ:
+                    return
+                rec(si + 1, pos, cap, last_ts)
+                return
+            if loop:
+                q = pos
+                while q < n and tp_buf[q] == typ:
+                    q += 1
+                    rec(
+                        si + 1, q,
+                        cap + [ts_buf[pos], ts_buf[q - 1], q - pos],
+                        ts_buf[q - 1],
+                    )
+                return
+            first, p, lt = None, pos, last_ts
+            for _ in range(times):
+                if p >= n or tp_buf[p] != typ:
+                    return
+                if first is None:
+                    first = ts_buf[p]
+                lt = ts_buf[p]
+                p += 1
+            rec(
+                si + 1, p,
+                cap + [first] + ([lt] if times > 1 else []), lt,
+            )
+
         for p0 in range(n):
+            if noskip_loops:
+                rec(0, p0, [], None)
+                continue
             pos, cap, ok, last_ts = p0, [], True, None
             for (typ, neg, times, loop, _until) in steps:
                 if neg:
@@ -478,20 +597,17 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                         cap.append(last_ts)
             if not ok or not cap:
                 continue
-            if within_us is not None and last_ts - cap[0] > within_us:
-                continue
-            if wm_prev_us <= last_ts:  # last_ts < wm by construction
-                rows.append(cap)
+            emit(cap, last_ts)
         if has_loop:
-            bound = wm_us - within_us
+            evict = wm_us - within_us
             cut = 0
-            while cut < len(ts_buf) and ts_buf[cut] < bound:
+            while cut < len(ts_buf) and ts_buf[cut] < evict:
                 cut += 1
         else:
             cut = max(0, n - (consumed_total - 1)) if consumed_total > 1 else n
-        return rows, ts_buf[cut:], tp_buf[cut:]
+        return rows, ts_buf[cut:], tp_buf[cut:], bound
 
-    def _find_grelaxed(ts_buf, tp_buf, wm_us, wm_prev_us):
+    def _find_grelaxed(ts_buf, tp_buf, wm_us, wm_prev_us, bound):
         from bisect import bisect_right
 
         n = 0
@@ -509,10 +625,73 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
             return c[i] if i < len(c) else None
 
         t0_type = next(s[0] for s in steps if not s[1])
-        rows = []
+        decided = []
+
+        def rec(s0, h, si, cur, cap, pending):
+            """Non-greedy (skip-strategy) enumeration: relaxed loops
+            branch per prefix — the streaming twin of the batch
+            ordered-window prefix pass."""
+            if si == len(steps):
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0)
+                    if xa is not None and xa <= h:
+                        return
+                decided.append(cap)
+                return
+            typ, neg, times, loop, until = steps[si]
+            if neg:
+                rec(s0, h, si, cur, cap, pending + [(typ, cur)])
+                return
+
+            def negs_ok(nxt):
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0)
+                    if xa is not None and xa < nxt:
+                        return False
+                return True
+
+            if loop:
+                anchor = s0 if cur is None else cur
+                els0 = [s0] if cur is None else []
+                stop = first_after(until, anchor) if until else None
+                lst = by_type.get(typ, [])
+                i = bisect_right(lst, anchor)
+                els = els0 + [
+                    t for t in lst[i:]
+                    if (stop is None or t < stop) and t <= h
+                ]
+                if not els or not negs_ok(els[0]):
+                    return
+                for k in range(1, len(els) + 1):
+                    rec(
+                        s0, h, si + 1, els[k - 1],
+                        cap + [els[0], els[k - 1], k], [],
+                    )
+                return
+            if cur is None:
+                nxt, new_cur = s0, s0
+            else:
+                nxt = first_after(typ, cur)
+                if nxt is None or nxt > h:
+                    return
+                new_cur = nxt
+            for _ in range(times - 1):
+                new_cur = first_after(typ, new_cur)
+                if new_cur is None or new_cur > h:
+                    return
+            if not negs_ok(nxt):
+                return
+            rec(
+                s0, h, si + 1, new_cur,
+                cap + [nxt] + ([new_cur] if times > 1 else []), [],
+            )
+
         for s0 in by_type.get(t0_type, ()):
             h = s0 + within_us
             if not (wm_prev_us <= h < wm_us):  # decided exactly once
+                continue
+            if noskip_loops:
+                rec(s0, h, 0, None, [], [])
                 continue
             cap, cur, ok, pending = [], None, True, []
             for (typ, neg, times, loop, until) in steps:
@@ -578,12 +757,13 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                         ok = False
                         break
             if ok:
-                rows.append(cap)
-        bound = wm_us - within_us
+                decided.append(cap)
+        rows, bound = _apply_skip_rows(decided, bound)
+        evict = wm_us - within_us
         cut = 0
-        while cut < len(ts_buf) and ts_buf[cut] < bound:
+        while cut < len(ts_buf) and ts_buf[cut] < evict:
             cut += 1
-        return rows, ts_buf[cut:], tp_buf[cut:]
+        return rows, ts_buf[cut:], tp_buf[cut:], bound
 
     strict = contiguity == "strict"
     find = _find_gstrict if strict else _find_grelaxed
@@ -609,16 +789,16 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
             )
 
         if state.hasTimedOut:
-            ts_buf, tp_buf, wm_prev = state.get
-            rows, ts_buf, tp_buf = find(
-                list(ts_buf), list(tp_buf), wm_us, wm_prev
+            ts_buf, tp_buf, wm_prev, bound = state.get
+            rows, ts_buf, tp_buf, bound = find(
+                list(ts_buf), list(tp_buf), wm_us, wm_prev, bound
             )
             if rows:
                 yield pd.DataFrame(
                     [[key_val, *r] for r in rows], columns=cols
                 )
             if ts_buf:
-                state.update((ts_buf, tp_buf, wm_us))
+                state.update((ts_buf, tp_buf, wm_us, bound))
                 if horizon_timer:
                     # undecided anchors remain (horizon >= wm); they
                     # decide on watermark advance alone, so the timer
@@ -626,12 +806,14 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                     # events, whose batch re-arms)
                     _arm(ts_buf)
             else:
+                # bound dies with the buffer safely: every emitted
+                # threshold is < wm, every future event arrives >= wm
                 state.remove()
             return
 
-        ts_buf, tp_buf, wm_prev = [], [], 0
+        ts_buf, tp_buf, wm_prev, bound = [], [], 0, None
         if state.exists:
-            prev_ts, prev_tp, wm_prev = state.get
+            prev_ts, prev_tp, wm_prev, bound = state.get
             ts_buf, tp_buf = list(prev_ts), list(prev_tp)
         new = []
         for pdf in pdfs:
@@ -644,11 +826,13 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
         ts_buf = [t for t, _ in merged]
         tp_buf = [y for _, y in merged]
 
-        rows, ts_buf, tp_buf = find(ts_buf, tp_buf, wm_us, wm_prev)
+        rows, ts_buf, tp_buf, bound = find(
+            ts_buf, tp_buf, wm_us, wm_prev, bound
+        )
         if rows:
             yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
         if ts_buf:
-            state.update((ts_buf, tp_buf, wm_us))
+            state.update((ts_buf, tp_buf, wm_us, bound))
             _arm(ts_buf)
         else:
             state.remove()
@@ -665,6 +849,7 @@ def match_pattern_stream(
     within: str | None = None,
     watermark: str = "5 minutes",
     contiguity: str | None = None,
+    skip_strategy: str | tuple | None = None,
 ) -> DataFrame:
     """Streaming CEP (Flink ``CEP.pattern(stream, Pattern.begin()
     .next()/.followedBy()...)``): incremental, exactly-once match
@@ -673,10 +858,12 @@ def match_pattern_stream(
     tests/test_streaming.py for both contiguity modes.
 
     State-schema note: the per-key state is
-    ``(ts array, tp array, wm long)`` and is versioned WITH this
-    operator — restoring a checkpoint written by an older build (r5
-    added the ``wm`` field for relaxed-mode bookkeeping) is not
-    supported; restart such a query from a fresh checkpoint.
+    ``(ts array, tp array, wm long)`` for the plain engine and
+    ``(ts array, tp array, wm long, bound long)`` for the general
+    engine (r7 added ``bound``, the sequential skip-strategy
+    threshold) and is versioned WITH this operator — restoring a
+    checkpoint written by an older build is not supported; restart
+    such a query from a fresh checkpoint.
 
     Emits one row per match, ``(key, ts_1 .. ts_k)`` with step times in
     epoch MICROseconds (the ``stateful_sessionize`` output convention),
@@ -698,11 +885,27 @@ def match_pattern_stream(
     ``one_or_more``/``until`` loops run on the general per-key engine
     (r7, ``_make_general_cep_fn`` — finality/eviction proofs there),
     with loop steps adding ``ts_i_last``/``n_i`` columns exactly like
-    the batch operator. Batch-only remainders: ``optional()``/
-    ``times(n, m)`` (variant expansion), mixed contiguity, and — for
-    STRICT patterns — terminal negation/loops (they ask what follows
-    the match, unanswerable on an unbounded stream; relaxed terminal
-    negation and loops are fine, the ``within`` horizon decides them).
+    the batch operator.
+
+    ``skip_strategy`` (r7, batch ``AfterMatchSkipStrategy`` twin):
+    RELAXED patterns support the full surface — anchors finalize in
+    start order under horizon finality, so ``no_skip`` (non-greedy
+    prefix emission) and ``skip_to_next`` decide per anchor, and the
+    sequential strategies (``skip_past_last_event`` /
+    ``skip_to_first:i`` / ``skip_to_last:i``) carry one threshold
+    timestamp per key in state (the ``bound`` field), rendering the
+    batch kernel's per-key scan exactly once across watermark
+    windows. STRICT patterns support ``no_skip`` only (prefix
+    emission is per-match-final; the pruning strategies would need
+    cross-window anchor coordination). Equality vs the batch
+    operator per strategy in tests/test_streaming.py.
+
+    Batch-only remainders: ``optional()``/
+    ``times(n, m)`` (variant expansion), mixed contiguity, strict
+    pruning skip strategies, and — for STRICT patterns — terminal
+    negation/loops (they ask what follows the match, unanswerable on
+    an unbounded stream; relaxed terminal negation and loops are
+    fine, the ``within`` horizon decides them).
     """
     from flink_note_spark.operators.cep import (
         Pattern,
@@ -712,21 +915,21 @@ def match_pattern_stream(
         _resolve_contiguity,
     )
 
+    from flink_note_spark.operators.cep import _parse_skip
+
     if isinstance(pattern, Pattern):
         if contiguity is None and pattern.contiguity is not None:
             contiguity = pattern.contiguity
         if within is None:
             within = pattern.within_
-        if pattern.skip_ not in (None, "greedy"):
-            raise ValueError(
-                "AfterMatchSkipStrategy / non-greedy loops are "
-                "batch-only (operators/cep.match_pattern "
-                "skip_strategy=); the streaming engine emits the "
-                "greedy deterministic match set"
-            )
-    general = False
+        if skip_strategy is None:
+            skip_strategy = pattern.skip_
+    skip = _parse_skip(skip_strategy)
+    if skip is not None and skip[0] == "greedy":
+        skip = None
+    general = skip is not None
     steps = None
-    if not (
+    if general or not (
         isinstance(pattern, list)
         and all(isinstance(p, str) for p in pattern)
     ):
@@ -747,7 +950,7 @@ def match_pattern_stream(
                 "optional()/times(n, m) streaming CEP is batch-only "
                 "(variant expansion has no incremental rendering yet)"
             )
-        general = any(s.negate or s.loop for s in steps)
+        general = general or any(s.negate or s.loop for s in steps)
         if not general:
             pattern = _expand_simple_steps(steps)
     if contiguity is None:
@@ -767,7 +970,21 @@ def match_pattern_stream(
     if general:
         # r7: negation + greedy one_or_more/until + times run on the
         # general per-key engine (_make_general_cep_fn docstring has
-        # the finality/eviction proofs)
+        # the finality/eviction proofs); skip strategies ride the same
+        # engine (strict supports no_skip only — the pruning
+        # strategies need cross-window anchor coordination that only
+        # relaxed's horizon finality provides, see the engine docstring)
+        if (
+            skip is not None and skip[0] != "no_skip"
+            and contiguity == "strict"
+        ):
+            raise ValueError(
+                f"skip_strategy {skip[0]!r} on a STRICT streaming "
+                "pattern is batch-only: strict matches finalize at "
+                "their last event, so pruning across matches would "
+                "need cross-watermark-window bookkeeping; relaxed "
+                "patterns (horizon finality) support it"
+            )
         if contiguity == "strict":
             if steps[-1].negate or steps[-1].loop:
                 raise ValueError(
@@ -796,10 +1013,13 @@ def match_pattern_stream(
             .applyInPandasWithState(
                 _make_general_cep_fn(
                     steps_t, key_col, time_col, type_col, within_us,
-                    contiguity, out_cols,
+                    contiguity, out_cols, skip,
                 ),
                 outputStructType=out_schema,
-                stateStructType="ts array<long>, tp array<string>, wm long",
+                stateStructType=(
+                    "ts array<long>, tp array<string>, wm long, "
+                    "bound long"
+                ),
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )

@@ -230,6 +230,38 @@ def test_q98_q99_count_windows_bounded(spark, sf_dir):
         )
 
 
+def test_q100_q102_skip_strategies_no_cartesian(spark, sf_dir):
+    """The skip-strategy CEP paths stay equi-join/window-only: prefix
+    emission replaces the loop group-agg with an ordered window (q100 —
+    no extra exchange class), skip_to_next is one more window pass
+    (q101), and skip_past_last_event's sequential kernel operates on
+    the MATCH set behind one key exchange (q102). Never a
+    CartesianProduct/BNLJ."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    for name in ("q100_cep_no_skip", "q101_cep_skip_to_next",
+                 "q102_cep_skip_past_last"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_q103_temporal_join_bounded_shuffles(spark, sf_dir):
+    """union_window temporal join is the asof kernel: tag-union + one
+    keyed window (+ final orderBy) — never a join explosion (≤3
+    exchanges), no cartesian."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q103_temporal_join"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert shuffle_count(df) <= 3, (
+        f"temporal join shuffles {shuffle_count(df)}×"
+    )
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Directory-layout partitioning must turn an equality filter into a
     PartitionFilter (scan planning skips the other directories) — the

@@ -1936,3 +1936,210 @@ def test_cep_stream_general_rejections(spark, chunk_dir, tmp_path):
             .followed_by("C").within("5 minutes"),
             watermark="1 minutes",
         )
+
+
+def test_cep_stream_skip_strategies_equal_batch(spark, chunk_dir, tmp_path):
+    """r7 streaming AfterMatchSkipStrategy: on a seeded soup split
+    into micro-batches, every relaxed-mode strategy equals the batch
+    operator run with the same skip_strategy (prefix emission via the
+    per-anchor recursion; sequential pruning via the carried bound)."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(41)
+    minutes = rng.sample(range(0, 300), 90)
+    rows = sorted(
+        [
+            (rng.randrange(1, 7), i, _ts(m),
+             rng.choice(["V", "C", "P", "Z"]), 1.0)
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet",
+                     rows[i * 25:(i + 1) * 25])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").one_or_more()
+        .followed_by("P")
+        .within("45 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    for tag, strat in (
+        ("noskip", "no_skip"),
+        ("stonext", "skip_to_next"),
+        ("sple", "skip_past_last_event"),
+        ("stofirst", ("skip_to_first", 2)),
+        ("stolast", ("skip_to_last", 2)),
+    ):
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, p, watermark="3 minutes", skip_strategy=strat
+        )
+        _run_to_memory(out, f"cep_skip_{tag}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_skip_{tag}", cols)
+        want = _batch_rows(
+            match_pattern(batch_df, p, skip_strategy=strat), cols
+        )
+        assert got == want, strat
+        assert got, strat
+
+
+def test_cep_stream_strict_no_skip_equals_batch(spark, chunk_dir, tmp_path):
+    """Strict streaming no_skip: every prefix of a consecutive run
+    followed by the next step emits — equals batch across micro-batch
+    boundaries (a prefix whose adjacent event is still the loop type
+    dies, exactly the batch strict semantics)."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(1), "C", 1.0),
+        (1, 3, _ts(2), "C", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 4, _ts(3), "C", 1.0),
+        (1, 5, _ts(4), "P", 1.0),
+        (2, 6, _ts(0), "C", 1.0),   # loop at start, run of 2
+        (2, 7, _ts(1), "C", 1.0),
+        (2, 8, _ts(2), "P", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "Z", 1.0)])
+
+    p = (
+        Pattern.begin("V")
+        .next("C").one_or_more()
+        .next("P")
+        .within("20 minutes")
+        .skip("no_skip")
+    )
+    p2 = [{"type": "C", "one_or_more": True}, {"type": "P"}]
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"]
+    cols2 = ["user_id", "ts_1", "ts_1_last", "n_1", "ts_2"]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="2 minutes")
+    _run_to_memory(out, "cep_sns1", "update", tmp_path)
+    got = _stream_rows(spark, "cep_sns1", cols)
+    want = _batch_rows(
+        match_pattern(batch_df, p, tiebreak=["event_id"]), cols
+    )
+    assert got == want
+    # only the FULL run's prefix reaches P under strict adjacency
+    assert got == [(1, _us(0), _us(1), _us(3), 3, _us(4))]
+
+    stream2 = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out2 = match_pattern_stream(
+        stream2, p2, contiguity="strict", within="20 minutes",
+        watermark="2 minutes", skip_strategy="no_skip",
+    )
+    _run_to_memory(out2, "cep_sns2", "update", tmp_path)
+    got2 = _stream_rows(spark, "cep_sns2", cols2)
+    want2 = _batch_rows(
+        match_pattern(
+            batch_df, p2, contiguity="strict", within="20 minutes",
+            tiebreak=["event_id"], skip_strategy="no_skip",
+        ),
+        cols2,
+    )
+    assert got2 == want2
+    # for a NON-terminal strict loop, a shorter prefix's adjacent
+    # event is still the loop type, so it can never reach P — no_skip
+    # equals greedy here by construction (every anchor's maximal run);
+    # the value of no_skip on strict is uniform engine semantics, the
+    # extra matches appear with relaxed following steps
+    assert got2 == _batch_rows(match_pattern(
+        batch_df, p2, contiguity="strict", within="20 minutes",
+        tiebreak=["event_id"],
+    ), cols2)
+
+
+def test_cep_stream_skip_rejections(spark, chunk_dir):
+    """Strict pruning strategies are batch-only and fail loudly."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "A", 1.0)])
+    stream = read_file_stream(spark, "parquet", str(chunk_dir), EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream, ["A", "B"], contiguity="strict",
+            watermark="1 minutes", skip_strategy="skip_past_last_event",
+        )
+    with pytest.raises(ValueError, match="skip_strategy"):
+        match_pattern_stream(
+            stream, ["A", "B"], watermark="1 minutes",
+            skip_strategy="bogus",
+        )
+
+
+def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
+    """The sequential skip threshold (state ``bound``) survives a
+    checkpoint restart: an anchor decided after the restart that
+    starts before the pre-restart emission's end must stay pruned."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_skipb_sink"
+    ckpt = tmp_path / "cep_skipb_ckpt"
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, ["V", "P"], contiguity="relaxed",
+            within="30 minutes", watermark="2 minutes",
+            skip_strategy="skip_past_last_event",
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # anchor V@0 decides in run 1 (h=30 < wm 31), emits (0, 25),
+    # bound=25; anchor V@3 (h=33) is still undecided at shutdown
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(3), "V", 1.0),
+        (1, 3, _ts(25), "P", 1.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 4, _ts(33), "Z", 1.0)])
+    run_once()
+    first = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert first == [(1, _us(0), _us(25))]
+
+    # restart: V@3's match (3, 25) starts before the restored bound 25
+    # and must NOT emit
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 5, _ts(120), "Z", 1.0)])
+    run_once()
+    final = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert final == [(1, _us(0), _us(25))]

@@ -304,6 +304,40 @@ def main() -> None:
             contiguity="relaxed",
         )
 
+    def cep_noskip_probe(ev):
+        """q100-shape NO_SKIP prefix emission (r7): the relaxed loop's
+        ordered-window pass instead of the group-agg — output fan-out
+        is every prefix, so time should track the (honest) output
+        size, never a cross join."""
+        from flink_note_spark.operators.cep import Pattern, match_pattern
+
+        pat = (
+            Pattern.begin("view")
+            .followed_by("click").one_or_more()
+            .within("7 days")
+            .skip("no_skip")
+        )
+        return match_pattern(ev, pat)
+
+    def temporal_probe(ev):
+        """q103-shape temporal/versioned join (r7): clicks against the
+        per-user purchase-version dimension via the union_window asof
+        kernel — one keyed shuffle, cost should track the sort, not a
+        versions-per-key fan-out."""
+        from flink_note_spark.operators.joins import temporal_join
+
+        fact = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
+        )
+        dim = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("vfrom"),
+            F.col("value").alias("price"),
+        )
+        return temporal_join(
+            fact, dim, on="user_id", fact_time="click_ts",
+            valid_from="vfrom", how="inner", strategy="union_window",
+        )
+
     def enrich_probe(d, concurrency):
         """AsyncDataStream analogue on a LATENCY-INJECTED service (50 ms
         per batch call, the I/O-bound regime the thread pool exists
@@ -530,6 +564,8 @@ def main() -> None:
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
         bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
         bench(f"cep_mixed_{tag}", lambda e=evdf: noop(cep_mixed_probe(e)), t)
+        bench(f"cep_noskip_{tag}", lambda e=evdf: noop(cep_noskip_probe(e)), t)
+        bench(f"temporal_{tag}", lambda e=evdf: noop(temporal_probe(e)), t)
     for tag, evdir in (("x1", ev1_dir), (f"x{k}", ev_k_dir)):
         bench(f"route_{tag}", lambda d=evdir: route_probe(d), t)
     # concurrency axis (same x1 data, 1 vs 4 in-flight batches): the
@@ -546,6 +582,7 @@ def main() -> None:
             "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
             "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
+            "cep_noskip", "temporal",
             "route", "tfidf", "corpus_full",
         )
     }
