@@ -82,6 +82,11 @@ HEADLINE = [
     # totals caveat as the round-5 additions.
     "q88_cep_one_or_more",
     "q93_cep_mixed",
+    # New in round 7: NO_SKIP prefix emission (ordered-window loop
+    # pass) and the temporal/versioned join (asof kernel) — same
+    # cross-round totals caveat as the round-5/6 additions.
+    "q100_cep_no_skip",
+    "q103_temporal_join",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the
