@@ -136,3 +136,87 @@ def sliding_count_window(
     return df.withColumn(
         window_col, F.explode(F.sequence(lo, hi))
     ).drop("__pos")
+
+
+def cumulate_window(
+    df: DataFrame,
+    ts: str,
+    step: str,
+    size: str,
+    start_col: str = "win_start",
+    end_col: str = "win_end",
+) -> DataFrame:
+    """CUMULATE windows — Flink SQL's ``CUMULATE(TABLE t,
+    DESCRIPTOR(ts), step, size)`` windowing TVF (r7), which Spark has
+    no builtin for: each ``size``-aligned span emits a SEQUENCE of
+    growing windows ``[start, start+step)``, ``[start, start+2·step)``
+    … ``[start, start+size)`` (early-fire cumulative aggregates, e.g.
+    a daily total re-emitted every hour). A row belongs to every
+    cumulative window of its span that ENDS after it: static fan-out
+    ``<= size/step`` memberships per row, exploded exactly like the
+    sliding count window — one projection, no shuffle here; the
+    caller's ``groupBy(win_start, win_end)`` is the single shuffle.
+
+    ``step``/``size`` are interval strings (``"1 hour"``); ``size``
+    must be a multiple of ``step`` (Flink's rule). Adds ``start_col``/
+    ``end_col`` timestamp columns; aggregate with a plain ``groupBy``.
+    """
+    step_us = _duration_us(step)
+    size_us = _duration_us(size)
+    if size_us % step_us != 0:
+        raise ValueError(
+            f"size must be a multiple of step (Flink's CUMULATE rule), "
+            f"got step={step!r} size={size!r}"
+        )
+    n_steps = size_us // step_us
+    # unix_micros rejects TIMESTAMP_NTZ; the session tz is pinned UTC
+    # (session.py), so the cast is wall-clock-preserving
+    ts_dt = dict(df.dtypes)[ts]
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    # floor division (not cast-truncation) so pre-epoch timestamps
+    # still align spans downward
+    start_us = (
+        F.floor(ts_us / F.lit(size_us)).cast("long") * F.lit(size_us)
+    )
+    jmin = (
+        F.floor((ts_us - start_us) / F.lit(step_us)).cast("long")
+        + F.lit(1)
+    )
+    out = df.withColumn("__start_us", start_us).withColumn(
+        "__j", F.explode(F.sequence(jmin, F.lit(n_steps)))
+    )
+    return (
+        out.withColumn(
+            start_col,
+            F.timestamp_micros(F.col("__start_us")).cast(ts_dt),
+        )
+        .withColumn(
+            end_col,
+            F.timestamp_micros(
+                F.col("__start_us") + F.col("__j") * F.lit(step_us)
+            ).cast(ts_dt),
+        )
+        .drop("__start_us", "__j")
+    )
+
+
+def _duration_us(s: str) -> int:
+    """Interval string → microseconds (day/hour/minute/second units —
+    calendar units would make spans variable-width, which CUMULATE
+    forbids)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(day|hour|minute|second)s?\s*", s.lower()
+    )
+    if not m:
+        raise ValueError(
+            f"duration must be '<n> day|hour|minute|second[s]', got {s!r}"
+        )
+    n, unit = int(m.group(1)), m.group(2)
+    return n * {
+        "day": 86_400_000_000,
+        "hour": 3_600_000_000,
+        "minute": 60_000_000,
+        "second": 1_000_000,
+    }[unit]

@@ -957,6 +957,48 @@ ORDER BY f.user_id, click_ts
 """
 
 
+def q104_cumulate_window(spark: SparkSession, sf: str) -> DataFrame:
+    """CUMULATE windows (r7) — Flink SQL's ``CUMULATE(TABLE events,
+    DESCRIPTOR(ts), INTERVAL '1' DAY, INTERVAL '7' DAY)`` windowing
+    TVF, which Spark has no builtin for: each 7-day span re-emits its
+    cumulative count/sum at every 1-day boundary (early-fire daily
+    totals of a weekly aggregate). Static fan-out ``<= size/step``
+    membership explode + ONE groupBy shuffle
+    (``operators/windows.py:cumulate_window``); the oracle derives the
+    same memberships with integer epoch arithmetic + ``unnest(range)``
+    — an independent formulation, not a re-derivation."""
+    from flink_note_spark.operators.windows import cumulate_window
+
+    e = _t(spark, sf, "events")
+    return (
+        cumulate_window(e, "ts", "1 day", "7 days")
+        .groupBy("win_start", "win_end")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("win_start", "win_end")
+    )
+
+
+_Q104_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS tus, value FROM events),
+m AS (
+  SELECT tus, value,
+         (tus // 604800000000) * 604800000000 AS start_us,
+         unnest(range(
+           ((tus - (tus // 604800000000) * 604800000000)
+            // 86400000000) + 1, 8)) AS j
+  FROM e)
+SELECT make_timestamp(start_us) AS win_start,
+       make_timestamp(start_us + j * 86400000000) AS win_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM m GROUP BY 1, 2
+ORDER BY win_start, win_end
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -980,6 +1022,7 @@ QUERIES = {
     "q101_cep_skip_to_next": q101_cep_skip_to_next,
     "q102_cep_skip_past_last": q102_cep_skip_past_last,
     "q103_temporal_join": q103_temporal_join,
+    "q104_cumulate_window": q104_cumulate_window,
 }
 
 ORACLES = {
@@ -1005,4 +1048,5 @@ ORACLES = {
     "q101_cep_skip_to_next": _Q101_SQL,
     "q102_cep_skip_past_last": _Q102_SQL,
     "q103_temporal_join": _Q103_SQL,
+    "q104_cumulate_window": _Q104_SQL,
 }

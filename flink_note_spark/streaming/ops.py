@@ -1311,3 +1311,127 @@ def count_window_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def cumulate_window_stream(
+    stream: DataFrame,
+    ts_col: str,
+    step: str,
+    size: str,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming CUMULATE windows (r7) — Flink SQL's ``CUMULATE`` TVF
+    early-fire behaviour: each ``size``-aligned span re-emits its
+    cumulative ``(n_events, sum_value)`` at every ``step`` boundary
+    the watermark passes, exactly once per boundary. The batch twin is
+    ``operators/windows.cumulate_window`` + ``groupBy`` (equality-
+    tested on bounded input in tests/test_streaming.py).
+
+    Keyed by the span start (derived column — stateful ops take
+    arbitrary group keys; the watermark still gates late-row admission
+    and drives the event-time timers): state buffers the span's
+    events, a boundary ``end_j = start + j·step`` is FINAL once
+    ``wm >= end_j`` (the engine's late filter then drops any
+    ``ts < end_j``), the timer re-arms at the next undecided boundary,
+    and the span's state is dropped after its last boundary emits.
+    State per span is bounded by the span's own row count within the
+    watermark delay — the same bound Flink's CUMULATE operator
+    carries.
+
+    Output: ``(win_start_us, win_end_us, n_events, sum_value)`` in
+    epoch microseconds (the stateful-operator output convention).
+    """
+    from flink_note_spark.operators.windows import _duration_us
+
+    step_us = _duration_us(step)
+    size_us = _duration_us(size)
+    if size_us % step_us != 0:
+        raise ValueError(
+            f"size must be a multiple of step (Flink's CUMULATE rule), "
+            f"got step={step!r} size={size!r}"
+        )
+    n_steps = size_us // step_us
+    out_schema = (
+        "win_start_us long, win_end_us long, n_events int, "
+        "sum_value double"
+    )
+    cols = ["win_start_us", "win_end_us", "n_events", "sum_value"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        (span_start,) = key_tuple
+        span_start = int(span_start)  # numpy int64 breaks JSON paths
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def decide(j_done, buf_ts, buf_val):
+            rows = []
+            while j_done < n_steps:
+                end_j = span_start + (j_done + 1) * step_us
+                if wm_us < end_j:
+                    break
+                live = [
+                    (t, v) for t, v in zip(buf_ts, buf_val) if t < end_j
+                ]
+                rows.append((
+                    span_start, end_j, len(live),
+                    round(sum(v for _, v in live), 4),
+                ))
+                j_done += 1
+            return rows, j_done
+
+        if state.hasTimedOut:
+            j_done, buf_ts, buf_val = state.get
+            rows, j_done = decide(j_done, list(buf_ts), list(buf_val))
+            if j_done >= n_steps:
+                state.remove()
+            else:
+                state.update((j_done, list(buf_ts), list(buf_val)))
+                state.setTimeoutTimestamp(max(
+                    (span_start + (j_done + 1) * step_us) // 1_000,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            return
+
+        j_done, buf_ts, buf_val = (
+            state.get if state.exists else (0, [], [])
+        )
+        buf_ts, buf_val = list(buf_ts), list(buf_val)
+        for pdf in pdfs:
+            ts_us = (pdf[ts_col].astype("int64") // 1_000).tolist()
+            vals = pdf[value_col].tolist()
+            for t, v in zip(ts_us, vals):
+                buf_ts.append(t)
+                buf_val.append(float(v) if v is not None else 0.0)
+        rows, j_done = decide(j_done, buf_ts, buf_val)
+        if j_done >= n_steps:
+            state.remove()
+        else:
+            state.update((j_done, buf_ts, buf_val))
+            state.setTimeoutTimestamp(max(
+                (span_start + (j_done + 1) * step_us) // 1_000,
+                state.getCurrentWatermarkMs() + 1,
+            ))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    span = (
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(size_us)
+        ).cast("long") * F.lit(size_us)
+    ).alias("__span")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select("*", span)
+        .groupBy("__span")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=(
+                "j_done int, ts array<long>, vals array<double>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -837,3 +837,73 @@ def test_rotation_order_covers_any_registry_size():
         gaps = [b - a for a, b in zip(rounds, rounds[1:])]
         assert all(g <= n_cover for g in gaps), (n, rounds)
         assert rounds[0] < n_cover, (n, rounds)
+
+
+# --- cumulate_window (Flink SQL CUMULATE TVF, r7) -------------------------
+
+def test_cumulate_window_memberships(spark):
+    from flink_note_spark.operators.windows import cumulate_window
+
+    # size 4 min, step 1 min: span [0,4); an event at minute m belongs
+    # to windows ending at m+1..4 minutes
+    df = spark.createDataFrame(
+        [(1, _ts(0.0)), (2, _ts(1.5)), (3, _ts(3.9)), (4, _ts(4.0))],
+        "id long, t timestamp",
+    )
+    out = cumulate_window(df, "t", "1 minute", "4 minutes")
+    got = sorted(
+        (r.id, int(r.win_start.timestamp() // 60) % 100,
+         int(r.win_end.timestamp() // 60) % 100)
+        for r in out.collect()
+    )
+    base = int(_ts(0).timestamp() // 60) % 100
+    want = sorted(
+        [(1, base, base + j) for j in (1, 2, 3, 4)]
+        + [(2, base, base + j) for j in (2, 3, 4)]
+        + [(3, base, base + 4)]
+        + [(4, base + 4, base + 5), (4, base + 4, base + 6),
+           (4, base + 4, base + 7), (4, base + 4, base + 8)]
+    )
+    assert got == want
+
+
+def test_cumulate_window_equals_tumble_at_final_step(spark):
+    """The size-length cumulative window of each span must equal a
+    plain tumbling-window aggregate — the CUMULATE invariant."""
+    import random
+
+    from flink_note_spark.operators.windows import cumulate_window
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(i, _ts(rng.uniform(0, 60)), rng.uniform(-5, 5))
+         for i in range(200)],
+        "id long, t timestamp, v double",
+    )
+    cum = (
+        cumulate_window(df, "t", "5 minutes", "15 minutes")
+        .groupBy("win_start", "win_end")
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 4).alias("s"))
+    )
+    final = {
+        (r.win_start, r.n, r.s)
+        for r in cum.collect()
+        if (r.win_end - r.win_start).total_seconds() == 900
+    }
+    tumble = {
+        (r["window"].start, r["n"], r["s"])
+        for r in df.groupBy(F.window("t", "15 minutes").alias("window"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 4).alias("s"))
+        .collect()
+    }
+    assert final == tumble
+
+
+def test_cumulate_window_validation(spark):
+    from flink_note_spark.operators.windows import cumulate_window
+
+    df = spark.createDataFrame([(1, _ts(0))], "id long, t timestamp")
+    with pytest.raises(ValueError, match="multiple"):
+        cumulate_window(df, "t", "7 minutes", "15 minutes")
+    with pytest.raises(ValueError, match="duration"):
+        cumulate_window(df, "t", "1 fortnight", "2 fortnights")

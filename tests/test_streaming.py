@@ -2143,3 +2143,71 @@ def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     )
     assert final == [(1, _us(0), _us(25))]
+
+
+def test_cumulate_window_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """Streaming CUMULATE (r7): step boundaries fire exactly once as
+    the watermark passes them — on bounded input the emitted cumulative
+    rows equal the batch cumulate_window + groupBy rendering, including
+    a span whose events arrive across micro-batches."""
+    from flink_note_spark.operators.windows import cumulate_window
+    from flink_note_spark.streaming.ops import cumulate_window_stream
+
+    rows1 = [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(3), "view", 2.0),
+        (1, 3, _ts(11), "view", 4.0),
+    ]
+    rows2 = [
+        (3, 4, _ts(17), "view", 8.0),
+        (1, 5, _ts(22), "view", 16.0),   # second span [20, 40)
+    ]
+    _write_chunk(chunk_dir, "c1.parquet", rows1)
+    _write_chunk(chunk_dir, "c2.parquet", rows2)
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "z", 0.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = cumulate_window_stream(
+        stream, "ts", step="5 minutes", size="20 minutes",
+        watermark="2 minutes",
+    )
+    _run_to_memory(out, "cumulate_out", "update", tmp_path)
+    got = sorted(
+        (int(r["win_start_us"]), int(r["win_end_us"]),
+         int(r["n_events"]), float(r["sum_value"]))
+        for r in spark.sql("SELECT * FROM cumulate_out").collect()
+    )
+
+    batch = (
+        cumulate_window(
+            spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
+            "ts", "5 minutes", "20 minutes",
+        )
+        .groupBy("win_start", "win_end")
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+    )
+    want = sorted(
+        (
+            int(r["win_start"].replace(tzinfo=dt.timezone.utc)
+                .timestamp() * 1_000_000),
+            int(r["win_end"].replace(tzinfo=dt.timezone.utc)
+                .timestamp() * 1_000_000),
+            int(r["n"]), float(r["s"]),
+        )
+        for r in batch.collect()
+        # the sentinel span [120, 140) is still open (wm stops at 118)
+        if r["win_start"].minute != 0 or r["win_start"].hour != 2
+    )
+    assert got == want
+    # cumulative growth within the first span [0, 20): events at
+    # minutes 0, 3, 11, 17 → prefixes 2 (the empty 5-10 stretch adds
+    # nothing), 2, 3, 4
+    first_span = [g for g in got if g[0] == _us(0)]
+    assert [g[2] for g in first_span] == [2, 2, 3, 4]
+    assert first_span[-1][3] == 15.0
