@@ -243,3 +243,41 @@ def temporal_join(
     return joined.select(
         *[f[c] for c in fact.columns], *[d[c] for c in dcols]
     )
+
+
+def window_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    window: str,
+    how: str = "inner",
+    window_col: str = "window",
+) -> DataFrame:
+    """Flink DataStream window join (r7) — ``left.join(right)
+    .where(key).equalTo(key).window(TumblingEventTimeWindows.of(...))``:
+    rows pair when they share the key AND fall in the same tumbling
+    event-time window. Spark-first rendering: attach ``F.window`` to
+    both sides and equi-join on (key, window) — a plain hash/sort-merge
+    join on a compound key, never a range or cross join, so it scales
+    like any co-partitioned equi-join. The window struct survives as
+    ``window_col`` (start/end) on the output.
+
+    Works batch and STREAMING (Spark's stream-stream join accepts
+    window-equality conjuncts and derives state eviction from the
+    watermarks — attach ``withWatermark`` on both inputs first).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lw = left.withColumn(window_col, F.window(left_ts, window))
+    r_win = "__rw_" + window_col
+    rw = right.withColumn(r_win, F.window(right_ts, window))
+    cond = (lw[window_col] == rw[r_win])
+    for k in keys:
+        cond = cond & (lw[k] == rw[k])
+    joined = lw.join(rw, cond, how)
+    drop = [rw[k] for k in keys]
+    out = joined.drop(rw[r_win])
+    for c in drop:
+        out = out.drop(c)
+    return out

@@ -999,6 +999,49 @@ ORDER BY win_start, win_end
 """
 
 
+def q105_window_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink DataStream window join (r7) — ``clicks.join(purchases)
+    .where(user).equalTo(user).window(TumblingEventTimeWindows.of(
+    Time.days(1)))``: rows pair when they share the user AND the same
+    1-day tumbling window. One compound-key equi-join on (user,
+    window) — hash/sort-merge, never a range or cross join
+    (``operators/joins.py:window_join``); the oracle is the
+    ``date_trunc`` equality formulation."""
+    from flink_note_spark.operators.joins import window_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    return (
+        window_join(
+            clicks, purchases, on="user_id", left_ts="click_ts",
+            right_ts="purchase_ts", window="1 day",
+        )
+        .select(
+            "user_id",
+            F.col("window.start").alias("win_start"),
+            "click_ts",
+            "purchase_ts",
+        )
+        .orderBy("user_id", "click_ts", "purchase_ts")
+    )
+
+
+_Q105_SQL = """
+SELECT f.user_id, date_trunc('day', f.ts) AS win_start,
+       f.ts AS click_ts, p.ts AS purchase_ts
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') f
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON f.user_id = p.user_id
+ AND date_trunc('day', f.ts) = date_trunc('day', p.ts)
+ORDER BY f.user_id, click_ts, purchase_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1023,6 +1066,7 @@ QUERIES = {
     "q102_cep_skip_past_last": q102_cep_skip_past_last,
     "q103_temporal_join": q103_temporal_join,
     "q104_cumulate_window": q104_cumulate_window,
+    "q105_window_join": q105_window_join,
 }
 
 ORACLES = {
@@ -1049,4 +1093,5 @@ ORACLES = {
     "q102_cep_skip_past_last": _Q102_SQL,
     "q103_temporal_join": _Q103_SQL,
     "q104_cumulate_window": _Q104_SQL,
+    "q105_window_join": _Q105_SQL,
 }

@@ -907,3 +907,45 @@ def test_cumulate_window_validation(spark):
         cumulate_window(df, "t", "7 minutes", "15 minutes")
     with pytest.raises(ValueError, match="duration"):
         cumulate_window(df, "t", "1 fortnight", "2 fortnights")
+
+
+# --- window_join (Flink DataStream window join, r7) -----------------------
+
+def test_window_join_same_tumbling_window_only(spark):
+    from flink_note_spark.operators.joins import window_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(1), "a"), (1, _ts(16), "b"), (2, _ts(2), "c")],
+        "k long, lt timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 10.0), (1, _ts(14), 11.0), (1, _ts(17), 12.0),
+         (2, _ts(40), 13.0)],
+        "k long, rt timestamp, v double",
+    )
+    out = window_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        window="15 minutes",
+    )
+    got = sorted((r.k, r.tag, r.v) for r in out.collect())
+    # window [0,15): a pairs with 10.0 and 11.0; window [15,30): b with
+    # 12.0; key 2's right row is in [30,45) — no pair
+    assert got == [(1, "a", 10.0), (1, "a", 11.0), (1, "b", 12.0)]
+    assert "window" in out.columns
+
+
+def test_window_join_left_outer(spark):
+    from flink_note_spark.operators.joins import window_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(1), "a"), (2, _ts(2), "c")], "k long, lt timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(3), 10.0)], "k long, rt timestamp, v double"
+    )
+    out = window_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        window="15 minutes", how="left",
+    )
+    got = sorted((r.k, r.tag, r.v) for r in out.collect())
+    assert got == [(1, "a", 10.0), (2, "c", None)]

@@ -262,6 +262,25 @@ def test_q103_temporal_join_bounded_shuffles(spark, sf_dir):
     )
 
 
+def test_q104_q105_windowing_bounded_no_cartesian(spark, sf_dir):
+    """CUMULATE is a static-fanout explode + ONE groupBy shuffle
+    (+ orderBy); the window join is a compound (key, window) equi-join
+    — neither may cross-join."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    for name, budget in (
+        ("q104_cumulate_window", 2),
+        ("q105_window_join", 4),
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = explain_str(df, "formatted")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert shuffle_count(df) <= budget, (
+            f"{name} shuffles {shuffle_count(df)}×"
+        )
+
+
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     """Directory-layout partitioning must turn an equality filter into a
     PartitionFilter (scan planning skips the other directories) — the

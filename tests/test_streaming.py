@@ -2211,3 +2211,58 @@ def test_cumulate_window_stream_equals_batch(spark, chunk_dir, tmp_path):
     first_span = [g for g in got if g[0] == _us(0)]
     assert [g[2] for g in first_span] == [2, 2, 3, 4]
     assert first_span[-1][3] == 15.0
+
+
+def test_window_join_stream_stream_equals_batch(spark, tmp_path):
+    """Flink DataStream window join, streaming rendering (r7): two
+    watermarked streams equi-joined on (key, tumbling window) — Spark
+    derives state eviction from the window-equality conjunct; results
+    equal the batch operator on bounded input."""
+    from flink_note_spark.operators.joins import window_join
+
+    ldir, rdir = tmp_path / "wj_l", tmp_path / "wj_r"
+    ldir.mkdir(), rdir.mkdir()
+    lrows = [(1, 1, _ts(1), "view", 1.0), (1, 2, _ts(16), "view", 2.0),
+             (2, 3, _ts(2), "view", 3.0)]
+    rrows = [(1, 4, _ts(3), "click", 10.0), (1, 5, _ts(14), "click", 11.0),
+             (1, 6, _ts(17), "click", 12.0), (2, 7, _ts(40), "click", 13.0)]
+    _write_chunk(ldir, "l1.parquet", lrows[:2])
+    _write_chunk(ldir, "l2.parquet", lrows[2:])
+    _write_chunk(ldir, "l3.parquet", [(99, 8, _ts(120), "z", 0.0)])
+    _write_chunk(rdir, "r1.parquet", rrows[:2])
+    _write_chunk(rdir, "r2.parquet", rrows[2:])
+    _write_chunk(rdir, "r3.parquet", [(99, 9, _ts(120), "z", 0.0)])
+
+    ls = read_file_stream(
+        spark, "parquet", str(ldir), EVENT_SCHEMA, max_files_per_trigger=1
+    ).withWatermark("ts", "2 minutes").select(
+        "user_id", F.col("ts").alias("lt"), F.col("event_id").alias("lid")
+    )
+    rs = read_file_stream(
+        spark, "parquet", str(rdir), EVENT_SCHEMA, max_files_per_trigger=1
+    ).withWatermark("ts", "2 minutes").select(
+        "user_id", F.col("ts").alias("rt"), F.col("event_id").alias("rid")
+    )
+    out = window_join(
+        ls, rs, on="user_id", left_ts="lt", right_ts="rt",
+        window="15 minutes",
+    ).select("user_id", "lid", "rid")
+    _run_to_memory(out, "wj_out", "append", tmp_path)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM wj_out").collect())
+    )
+
+    lb = spark.createDataFrame(
+        lrows + [(99, 8, _ts(120), "z", 0.0)], EVENT_SCHEMA
+    ).select("user_id", F.col("ts").alias("lt"),
+             F.col("event_id").alias("lid"))
+    rb = spark.createDataFrame(
+        rrows + [(99, 9, _ts(120), "z", 0.0)], EVENT_SCHEMA
+    ).select("user_id", F.col("ts").alias("rt"),
+             F.col("event_id").alias("rid"))
+    want = sorted(map(tuple, window_join(
+        lb, rb, on="user_id", left_ts="lt", right_ts="rt",
+        window="15 minutes",
+    ).select("user_id", "lid", "rid").collect()))
+    assert got == want
+    assert got == [(1, 1, 4), (1, 1, 5), (1, 2, 6), (99, 8, 9)]
