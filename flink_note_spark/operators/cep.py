@@ -1659,3 +1659,45 @@ def _mixed_relaxed_loop(
             F.col("__l.p").alias("__p"),
         )
     return out.drop("__stopp") if s.until is not None else out
+
+
+def attach_event_payload(
+    matches: DataFrame,
+    events: DataFrame,
+    step_cols: list[str],
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    sep: str = "_",
+) -> DataFrame:
+    """Flink CEP ``select()`` payload access (r7): ``match_pattern``
+    captures step TIMESTAMPS; this helper joins each requested step
+    column back to the event stream to attach the matched events'
+    payload columns, named ``<step_col><sep><payload_col>``
+    (``ts_2_value``…). One co-partitioned (key, time) equi-join per
+    requested step — all joins share the key partitioning, no
+    cross-join, so cost is #steps × one hash join.
+
+    LEFT joins, so an absent optional step's NULL timestamp simply
+    yields NULL payloads. Events must be unique per (key, time) for a
+    1:1 attach (the fixture doctrine — equal-timestamp duplicates fan
+    out, same caveat as every time-keyed join; dedup first if needed).
+    """
+    payload_cols = payload_cols or [
+        c for c in events.columns if c not in (key_col, time_col)
+    ]
+    out = matches
+    for sc in step_cols:
+        if sc not in matches.columns:
+            raise ValueError(f"step column {sc!r} not in matches")
+        side = events.select(
+            F.col(key_col).alias("__pk"),
+            F.col(time_col).alias("__pt"),
+            *[F.col(c).alias(f"{sc}{sep}{c}") for c in payload_cols],
+        )
+        out = out.join(
+            side,
+            (out[key_col] == side["__pk"]) & (out[sc] == side["__pt"]),
+            "left",
+        ).drop("__pk", "__pt")
+    return out

@@ -1338,3 +1338,28 @@ def test_skip_to_first_validation(spark):
     # builder accepts both spellings
     Pattern.begin("A").skip("skip_to_last:1")
     Pattern.begin("A").skip(("skip_to_first", 1))
+
+
+def test_attach_event_payload(spark):
+    """Flink select() parity: matched steps' payloads come back via
+    (key, ts) equi-joins; absent optional steps stay NULL."""
+    from flink_note_spark.operators.cep import (
+        Pattern, attach_event_payload, match_pattern,
+    )
+
+    rows = [(1, 0, "A", 1), (1, 10, "B", 2), (1, 20, "C", 3),
+            (2, 0, "A", 4), (2, 10, "C", 5)]
+    df = _mk(spark, rows)
+    p = Pattern.begin("A").next("B").optional().next("C")
+    m = match_pattern(df, p, tiebreak=["event_id"])
+    out = attach_event_payload(
+        m, df, ["ts_2", "ts_3"], payload_cols=["event_id", "event_type"]
+    )
+    got = sorted(
+        (r.user_id, r.ts_2_event_id, r.ts_2_event_type,
+         r.ts_3_event_id, r.ts_3_event_type)
+        for r in out.collect()
+    )
+    assert got == [(1, 2, "B", 3, "C"), (2, None, None, 5, "C")]
+    with pytest.raises(ValueError, match="step column"):
+        attach_event_payload(m, df, ["ts_9"])
