@@ -193,9 +193,16 @@ class Pattern:
         self.skip_: str | None = None
 
     @classmethod
-    def begin(cls, event_type: str) -> "Pattern":
+    def begin(
+        cls, event_type: str, skip_strategy: str | tuple | None = None
+    ) -> "Pattern":
+        """Flink's ``Pattern.begin(name, AfterMatchSkipStrategy...)``
+        signature — the optional second argument is the skip strategy
+        (equivalently chain :meth:`skip`)."""
         p = cls()
         p.steps.append(PatternStep(event_type))
+        if skip_strategy is not None:
+            p.skip(skip_strategy)
         return p
 
     def _set_mode(self, mode: str) -> None:

@@ -1363,3 +1363,16 @@ def test_attach_event_payload(spark):
     assert got == [(1, 2, "B", 3, "C"), (2, None, None, 5, "C")]
     with pytest.raises(ValueError, match="step column"):
         attach_event_payload(m, df, ["ts_9"])
+
+
+def test_pattern_begin_carries_skip_strategy(spark):
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    df = _mk(spark, RICH_ROWS)
+    p1 = Pattern.begin("A", "no_skip").followed_by("B").one_or_more()
+    p2 = Pattern.begin("A").followed_by("B").one_or_more().skip("no_skip")
+    assert _collect_cols(match_pattern(df, p1)) == _collect_cols(
+        match_pattern(df, p2)
+    )
+    with pytest.raises(ValueError, match="skip strategy"):
+        Pattern.begin("A", "bogus")
