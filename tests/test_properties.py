@@ -618,3 +618,48 @@ def test_cogroup_bucketed_equals_raw_property(spark, left, right, buckets):
         key=repr,
     )
     assert got == raw
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7200),  # seconds offset
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    shape=st.sampled_from([(300, 1200), (600, 1800), (900, 900)]),
+)
+@settings(**_SETTINGS)
+def test_cumulate_window_matches_bruteforce(spark, rows, shape):
+    """CUMULATE memberships equal a brute-force Python derivation on
+    arbitrary event soups (spans, partial prefixes, boundary events)."""
+    from flink_note_spark.operators.windows import cumulate_window
+
+    step_s, size_s = shape
+    epoch = dt.datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [(epoch + dt.timedelta(seconds=s), v) for s, v in rows],
+        "t timestamp, v long",
+    )
+    out = cumulate_window(
+        df, "t", f"{step_s} seconds", f"{size_s} seconds"
+    )
+    got = sorted(
+        (
+            int((r.win_start - epoch).total_seconds()),
+            int((r.win_end - epoch).total_seconds()),
+            int(r.v),
+        )
+        for r in out.collect()
+    )
+    base = int(epoch.timestamp())
+    want = []
+    for s, v in rows:
+        abs_s = base + s
+        start = (abs_s // size_s) * size_s
+        jmin = (abs_s - start) // step_s + 1
+        for j in range(jmin, size_s // step_s + 1):
+            want.append((start - base, start + j * step_s - base, v))
+    assert got == sorted(want)

@@ -2266,3 +2266,66 @@ def test_window_join_stream_stream_equals_batch(spark, tmp_path):
     ).select("user_id", "lid", "rid").collect()))
     assert got == want
     assert got == [(1, 1, 4), (1, 1, 5), (1, 2, 6), (99, 8, 9)]
+
+
+def test_temporal_join_foreachbatch_reread_slowly_changing_dim(
+    spark, chunk_dir, tmp_path
+):
+    """The documented streaming rendering of FOR SYSTEM_TIME AS OF
+    against a SLOWLY-CHANGING dimension: foreachBatch re-reads the
+    versioned dim every micro-batch (interval strategy), so versions added
+    between batches are visible to later batches — Flink's
+    processing-time temporal join behaviour."""
+    from flink_note_spark.operators.joins import temporal_join
+
+    dim_dir = tmp_path / "dim"
+    sink = tmp_path / "ttj_sink"
+    dim_dir.mkdir()
+    _DIM_ARROW = pa.schema(
+        [("user_id", pa.int64()), ("vfrom", pa.timestamp("us")),
+         ("price", pa.float64())]
+    )
+
+    def write_dim(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "vfrom", "price"])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=_DIM_ARROW,
+                                 preserve_index=False),
+            str(dim_dir / name),
+        )
+
+    write_dim("v1.parquet", [(1, _ts(0), 10.0)])
+
+    _write_chunk(chunk_dir, "f1.parquet", [(1, 1, _ts(5), "click", 0.0)])
+    _write_chunk(chunk_dir, "f2.parquet", [(1, 2, _ts(30), "click", 0.0)])
+
+    def handle(batch_df, batch_id):
+        dim = spark.read.parquet(str(dim_dir))
+        out = temporal_join(
+            batch_df, dim, on="user_id", fact_time="ts",
+            valid_from="vfrom", how="inner", strategy="interval",
+        ).select("user_id", "event_id", "price")
+        if out.count():
+            out.write.mode("append").parquet(str(sink))
+        if batch_id == 0:
+            # a new version lands between micro-batches
+            write_dim("v2.parquet", [(1, _ts(20), 20.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    q = foreach_batch_sink(
+        stream, handle, checkpoint=str(tmp_path / "ttj_ckpt"),
+        output_mode="append",
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (int(r["user_id"]), int(r["event_id"]), float(r["price"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    # batch 0's fact (ts=5) sees only v1; batch 1's fact (ts=30) sees
+    # the v2 version effective from ts=20
+    assert got == [(1, 1, 10.0), (1, 2, 20.0)]
