@@ -165,6 +165,39 @@ class ExecutionEnvironment:
         """Flink datagen/rate analogue (test/benchmark source)."""
         return _files.read_rate(self.spark, rows_per_second)
 
+    # --- physical partitioning verbs (DataStream rebalance/rescale/...) ----
+
+    def rebalance(self, df: DataFrame, parallelism: int | None = None
+                  ) -> DataFrame:
+        """Flink ``.rebalance()`` — round-robin redistribution: a plain
+        ``repartition(n)`` (RoundRobinPartitioning; Spark's AQE may
+        coalesce downstream, which is the desired behaviour at scale)."""
+        return df.repartition(parallelism) if parallelism else df.repartition()
+
+    def rescale(self, df: DataFrame, parallelism: int) -> DataFrame:
+        """Flink ``.rescale()`` — reduce parallelism WITHOUT a full
+        shuffle: ``coalesce(n)`` merges co-located partitions exactly
+        like rescale's local round-robin (no network redistribution)."""
+        return df.coalesce(parallelism)
+
+    def partition_custom(self, df: DataFrame, *cols: str,
+                         parallelism: int | None = None) -> DataFrame:
+        """Flink ``.partitionCustom(partitioner, key)`` — hash-partition
+        by the given columns so equal keys co-locate
+        (``repartition(cols...)``, HashPartitioning)."""
+        if not cols:
+            raise ValueError("partition_custom requires at least one column")
+        if parallelism:
+            return df.repartition(parallelism, *cols)
+        return df.repartition(*cols)
+
+    def broadcast_side(self, df: DataFrame) -> DataFrame:
+        """Flink ``.broadcast()`` on a join input — the broadcast HINT
+        (Spark replicates at the join, not as a standalone exchange)."""
+        from pyspark.sql.functions import broadcast
+
+        return broadcast(df)
+
     # --- CEP (Flink CEP.pattern) -------------------------------------------
 
     def cep(self, df: DataFrame, pattern, **kwargs) -> DataFrame:

@@ -5,6 +5,7 @@ implementations — these tests pin only the verb wiring)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_note_spark.environment import (
     PROCESS_CONTINUOUSLY,
@@ -145,3 +146,36 @@ def test_env_cep_dispatches_batch_and_stream(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).parquet(str(sdir))
     sout = env.cep(stream, ["A", "B"], watermark="1 minute")
     assert sout.isStreaming and "ts_1" in sout.columns
+
+
+def test_partitioning_verbs(spark):
+    """Flink physical-partitioning verb parity (r7): rebalance →
+    round-robin repartition, rescale → shuffle-free coalesce,
+    partition_custom → hash co-location, broadcast_side → join hint."""
+    from flink_note_spark.environment import ExecutionEnvironment
+    from flink_note_spark.plans.inspect import has_broadcast_join
+
+    env = ExecutionEnvironment(spark)
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+
+    assert env.rebalance(df, 7).rdd.getNumPartitions() == 7
+    assert env.rescale(df.repartition(8), 2).rdd.getNumPartitions() == 2
+    # rescale must NOT introduce an exchange (coalesce, not shuffle)
+    plan = env.rescale(df.repartition(8), 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Coalesce" in plan
+
+    parts = env.partition_custom(df, "k", parallelism=4)
+    assert parts.rdd.getNumPartitions() == 4
+    # equal keys co-locate: every key maps to exactly one partition id
+    pk = (
+        parts.withColumn("p", F.spark_partition_id())
+        .groupBy("k").agg(F.countDistinct("p").alias("np"))
+    )
+    assert all(r.np == 1 for r in pk.collect())
+    with pytest.raises(ValueError, match="at least one column"):
+        env.partition_custom(df)
+
+    dim = spark.range(3).withColumn("v", F.lit("x"))
+    joined = df.join(env.broadcast_side(dim), "id")
+    assert has_broadcast_join(joined)

@@ -663,3 +663,44 @@ def test_cumulate_window_matches_bruteforce(spark, rows, shape):
         for j in range(jmin, size_s // step_s + 1):
             want.append((start - base, start + j * step_s - base, v))
     assert got == sorted(want)
+
+
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=20,
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=0, max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_window_join_matches_bruteforce(spark, lrows, rrows):
+    """Window join equals the brute-force same-bucket pairing on
+    arbitrary two-sided soups (15-minute tumbling buckets)."""
+    from flink_note_spark.operators.joins import window_join
+
+    epoch = dt.datetime(2024, 6, 1)
+    left = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(minutes=m), i)
+         for i, (k, m) in enumerate(lrows)],
+        "k long, lt timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(minutes=m), i)
+         for i, (k, m) in enumerate(rrows)],
+        "k long, rt timestamp, rid long",
+    )
+    out = window_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        window="15 minutes",
+    )
+    got = sorted((r.k, r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (lk, li, ri)
+        for li, (lk, lm) in enumerate(lrows)
+        for ri, (rk, rm) in enumerate(rrows)
+        if lk == rk and lm // 15 == rm // 15
+    )
+    assert got == want
