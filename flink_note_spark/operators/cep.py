@@ -59,6 +59,15 @@ Quantifier / negation surface (round 6; Flink CEP pattern API closure):
   ALL of plain patterns (every branch/count alternative emits,
   Flink's branching semantics); an absent optional step's ``ts_i`` is
   NULL.
+- ``where(condition)`` (r7) — Flink ``where(SimpleCondition)``: an
+  extra per-step VALUE predicate (``Column`` or SQL string) ANDed with
+  the type equality. Engines match on per-step candidate booleans
+  precomputed before payload pruning (``_with_cand_cols``) — the plan
+  shapes are unchanged (lead chains read the boolean, relaxed passes
+  filter by it, strict loop runs are islands of the boolean, so a
+  same-type event failing the predicate breaks the run). Batch-only
+  (the streaming buffer keys by type); simple per-event conditions,
+  not Flink's IterativeCondition over earlier bindings.
 - **MIXED contiguity** (r6) — ``next`` and ``followed_by`` freely
   combined per step, Flink's real API shape: the positional
   sequential engine (``_match_mixed``) orders each key by
@@ -79,7 +88,7 @@ terminal negation/loops (no final answer on an unbounded stream).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -154,6 +163,14 @@ class PatternStep:
     #: in one pattern, r6); ``None`` inherits ``match_pattern``'s
     #: ``contiguity`` argument
     mode: str | None = None
+    #: Flink ``where(SimpleCondition)`` (r7): an extra per-step value
+    #: predicate (a ``Column`` or SQL string) ANDed with the type
+    #: equality — the step only matches events satisfying BOTH. Batch
+    #: engines only (streaming raises); simple (per-event) conditions,
+    #: not Flink's IterativeCondition over earlier bindings.
+    #: ``compare=False``: a Column's ``==`` builds an expression, it
+    #: does not test equality.
+    where: object | None = field(default=None, compare=False)
 
     def validate(self) -> None:
         if self.times < 1:
@@ -249,10 +266,18 @@ class Pattern:
             times_max=kw.get("times_max", last.times_max),
             optional=kw.get("optional", last.optional),
             mode=last.mode,
+            where=kw.get("where", last.where),
         )
         new.validate()
         self.steps[-1] = new
         return self
+
+    def where(self, condition) -> "Pattern":
+        """Flink ``where(SimpleCondition)`` (r7): attach a value
+        predicate (``Column`` or SQL string) to the LAST step — the
+        step matches only events of its type that also satisfy the
+        condition. Batch engines only."""
+        return self._mod_last(where=condition)
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
         return self._mod_last(times=n, times_max=m)
@@ -309,6 +334,7 @@ def _normalize(pattern) -> list[PatternStep]:
                 times_max=p.get("times_max"),
                 optional=bool(p.get("optional", False)),
                 mode=p.get("mode"),
+                where=p.get("where"),
             )
         else:
             raise TypeError(f"bad pattern step: {p!r}")
@@ -418,7 +444,7 @@ def _expand_variants(
         for c in counts:
             opts.append((
                 PatternStep(s.event_type, times=c, loop=s.loop,
-                            until=s.until, mode=s.mode),
+                            until=s.until, mode=s.mode, where=s.where),
                 pidx,
             ))
         per_step.append(opts)
@@ -523,6 +549,12 @@ def match_pattern(
     if resolved == "mixed":
         if steps[0].negate:
             raise ValueError("a mixed pattern must start positively")
+        if any(st.where is not None for st in steps):
+            raise ValueError(
+                "where() predicates are supported on uniform strict/"
+                "relaxed patterns (the mixed positional engine is "
+                "type-keyed)"
+            )
         if not greedy_loops and any(s.loop for s in steps):
             raise ValueError(
                 "loop steps under a non-greedy skip_strategy require "
@@ -535,7 +567,7 @@ def match_pattern(
         steps = [
             PatternStep(s.event_type, s.negate, s.times, s.loop, s.until,
                         s.times_max, s.optional,
-                        s.mode or default_mode or "strict")
+                        s.mode or default_mode or "strict", s.where)
             for s in steps
         ]
         if any(s.optional or s.times_max is not None for s in steps):
@@ -752,6 +784,35 @@ def _match_variants(
 # strict contiguity
 
 
+def _cand_cond(s: PatternStep, type_col: str) -> Column:
+    """A step's candidate condition (r7): type equality AND the
+    optional ``where`` value predicate (Flink ``where()``)."""
+    c = F.col(type_col) == s.event_type
+    if s.where is not None:
+        w = F.expr(s.where) if isinstance(s.where, str) else s.where
+        c = c & w
+    return c
+
+
+def _with_cand_cols(
+    events: DataFrame,
+    steps: list[PatternStep],
+    base_cols: list[str],
+    type_col: str,
+) -> DataFrame:
+    """Project per-step candidate booleans ``__c{i}`` BEFORE dropping
+    payload columns (the predicates reference them); the engines then
+    match on the booleans instead of type equality."""
+    proj = events
+    for idx, st in enumerate(steps):
+        proj = proj.withColumn(
+            f"__c{idx}", _cand_cond(st, type_col)
+        )
+    return proj.select(
+        *base_cols, *[f"__c{i}" for i in range(len(steps))]
+    )
+
+
 def _strict_leadchain(
     events: DataFrame,
     steps: list[PatternStep],
@@ -762,26 +823,40 @@ def _strict_leadchain(
     tiebreak: list[str],
 ) -> DataFrame:
     """Loop-free strict pattern: ONE window pass, fixed lead offsets.
-    Negated steps assert at the current offset without consuming it."""
+    Negated steps assert at the current offset without consuming it.
+    Steps with ``where`` predicates (r7) match on precomputed
+    candidate booleans instead of type equality — same single window
+    pass, one extra boolean column per step."""
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
-    df = events.select(key_col, time_col, type_col, *tiebreak)
+    has_where = any(st.where is not None for st in steps)
+    if has_where:
+        df = _with_cand_cols(
+            events, steps, [key_col, time_col, type_col, *tiebreak],
+            type_col,
+        )
+    else:
+        df = events.select(key_col, time_col, type_col, *tiebreak)
+
+    def lead_match(idx: int, s: PatternStep, off: int) -> Column:
+        if has_where:
+            return F.lead(f"__c{idx}", off).over(w)
+        return F.lead(type_col, off).over(w) == s.event_type
 
     sel: list[Column] = [F.col(key_col)]
     cond = F.lit(True)
     off = 0
     last_expr: Column | None = None
     i = 0
-    for s in steps:
-        lt = F.lead(type_col, off).over(w)
+    for idx, s in enumerate(steps):
         if s.negate:
-            cond = cond & (lt.isNull() | (lt != s.event_type))
+            lm = lead_match(idx, s, off)
+            cond = cond & (lm.isNull() | ~lm)
             continue
         i += 1
         for r in range(s.times):
-            lt = F.lead(type_col, off).over(w)
             lts = F.lead(time_col, off).over(w)
-            cond = cond & (lt == s.event_type)
+            cond = cond & lead_match(idx, s, off)
             if r == 0:
                 sel.append(lts.alias(f"ts_{i}"))
             if s.times > 1 and r == s.times - 1:
@@ -802,17 +877,19 @@ def _strict_leadchain(
 
 def _split_segments(
     steps: list[PatternStep],
-) -> list[tuple[str, list[PatternStep] | PatternStep]]:
-    """Alternate ('seg', [fixed-offset steps]) and ('loop', step)."""
-    groups: list[tuple[str, list[PatternStep] | PatternStep]] = []
-    cur: list[PatternStep] = []
-    for s in steps:
+) -> list:
+    """Alternate ('seg', [(idx, step)...]) and ('loop', (idx, step)) —
+    indices are GLOBAL step positions (the r7 ``where`` predicate
+    columns are indexed by them)."""
+    groups: list = []
+    cur: list = []
+    for idx, s in enumerate(steps):
         if s.loop:
             groups.append(("seg", cur))
-            groups.append(("loop", s))
+            groups.append(("loop", (idx, s)))
             cur = []
         else:
-            cur.append(s)
+            cur.append((idx, s))
     groups.append(("seg", cur))
     return groups
 
@@ -843,50 +920,94 @@ def _strict_segments(
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     w_run_sum = w.rowsBetween(Window.unboundedPreceding, 0)
+    has_where = any(st.where is not None for st in steps)
 
-    base = events.select(key_col, time_col, type_col, *tiebreak)
-    lagt = F.lag(type_col).over(w)
-    base = (
-        base.withColumn("__pos", F.row_number().over(w))
-        .withColumn(
-            "__chg",
-            F.when(lagt.isNull() | (lagt != F.col(type_col)), 1).otherwise(0),
+    if has_where:
+        base = _with_cand_cols(
+            events, steps, [key_col, time_col, type_col, *tiebreak],
+            type_col,
+        ).withColumn("__pos", F.row_number().over(w))
+        # per-loop-step run metadata on the CANDIDATE boolean: an
+        # event of the loop type failing the predicate breaks the run
+        # (strict adjacency), so islands are per step, not per type
+        for lidx, st in enumerate(steps):
+            if not st.loop:
+                continue
+            ci = F.col(f"__c{lidx}")
+            lagc = F.lag(f"__c{lidx}").over(w)
+            base = base.withColumn(
+                f"__chg{lidx}",
+                F.when(
+                    lagc.isNull() | (lagc != ci), 1
+                ).otherwise(0),
+            ).withColumn(
+                f"__grp{lidx}", F.sum(f"__chg{lidx}").over(w_run_sum)
+            )
+            w_run_i = (
+                Window.partitionBy(key_col, f"__grp{lidx}")
+                .orderBy("__pos")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            base = (
+                base.withColumn(
+                    f"__rem{lidx}", F.count(F.lit(1)).over(w_run_i)
+                )
+                .withColumn(
+                    f"__runlast{lidx}", F.max(time_col).over(w_run_i)
+                )
+                .drop(f"__chg{lidx}")
+            )
+    else:
+        base = events.select(key_col, time_col, type_col, *tiebreak)
+        lagt = F.lag(type_col).over(w)
+        base = (
+            base.withColumn("__pos", F.row_number().over(w))
+            .withColumn(
+                "__chg",
+                F.when(
+                    lagt.isNull() | (lagt != F.col(type_col)), 1
+                ).otherwise(0),
+            )
+            .withColumn("__grp", F.sum("__chg").over(w_run_sum))
         )
-        .withColumn("__grp", F.sum("__chg").over(w_run_sum))
-    )
-    w_run = (
-        Window.partitionBy(key_col, "__grp")
-        .orderBy("__pos")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    base = (
-        base.withColumn("__rem", F.count(F.lit(1)).over(w_run))
-        .withColumn("__runlast", F.max(time_col).over(w_run))
-        .drop("__chg")
-    )
+        w_run = (
+            Window.partitionBy(key_col, "__grp")
+            .orderBy("__pos")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        base = (
+            base.withColumn("__rem", F.count(F.lit(1)).over(w_run))
+            .withColumn("__runlast", F.max(time_col).over(w_run))
+            .drop("__chg")
+        )
 
-    def seg_df(seg: list[PatternStep], start_i: int):
+    def seg_df(seg, start_i: int):
         """Compile a fixed-offset segment anchored at each row: returns
         (df with key, __pos, captured ts cols, __eLast), consumed
         length, #positive steps. None when the segment has no positive
         steps (pure-negation segments are folded by the caller)."""
-        if not any(not s.negate for s in seg):
+        if not any(not s.negate for _, s in seg):
             return None, 0, 0
         sel = [F.col(key_col), F.col("__pos")]
         cond = F.lit(True)
         off = 0
         i = start_i
         last_expr = None
-        for s in seg:
-            lt = F.lead(type_col, off).over(w)
+
+        def lead_match(idx, s, off):
+            if has_where:
+                return F.lead(f"__c{idx}", off).over(w)
+            return F.lead(type_col, off).over(w) == s.event_type
+
+        for idx, s in seg:
             if s.negate:
-                cond = cond & (lt.isNull() | (lt != s.event_type))
+                lm = lead_match(idx, s, off)
+                cond = cond & (lm.isNull() | ~lm)
                 continue
             i += 1
             for r in range(s.times):
-                lt = F.lead(type_col, off).over(w)
                 lts = F.lead(time_col, off).over(w)
-                cond = cond & (lt == s.event_type)
+                cond = cond & lead_match(idx, s, off)
                 if r == 0:
                     sel.append(lts.alias(f"ts_{i}"))
                 if s.times > 1 and r == s.times - 1:
@@ -905,7 +1026,7 @@ def _strict_segments(
     groups = _split_segments(steps)
     M: DataFrame | None = None
     pidx = 0
-    pending_neg: list[str] = []  # fold-into-next-join negation types
+    pending_neg: list[int] = []  # fold-into-next-join negation indices
     gi = 0
     while gi < len(groups):
         kind, g = groups[gi]
@@ -915,27 +1036,48 @@ def _strict_segments(
             df, length, npos = seg_df(seg, pidx)
             if df is None:
                 # no positive steps: terminal -> absence check later;
-                # mid-pattern -> fold negation types into the next loop
-                negs = [s.event_type for s in seg if s.negate]
+                # mid-pattern -> fold negation steps into the next loop
+                negs = [idx for idx, s in seg if s.negate]
                 if gi >= len(groups):
                     if negs and M is None:
                         raise ValueError("pattern must start positively")
                     if negs:
+                        if has_where:
+                            psel = [
+                                F.col(f"__c{x}").alias(f"__pc{x}")
+                                for x in negs
+                            ]
+                        else:
+                            psel = [F.col(type_col).alias("__pt")]
                         P = base.select(
                             F.col(key_col).alias("__pk"),
                             F.col("__pos").alias("__pp"),
-                            F.col(type_col).alias("__pt"),
+                            *psel,
                         )
                         cond = (F.col(key_col) == F.col("__pk")) & (
                             F.col("__next") == F.col("__pp")
                         )
                         M = M.join(P, cond, "left")
                         not_any = F.lit(True)
-                        for x in negs:
-                            not_any = not_any & (F.col("__pt") != x)
-                        M = M.filter(
-                            F.col("__pt").isNull() | not_any
-                        ).drop("__pk", "__pp", "__pt")
+                        if has_where:
+                            probe = F.col(f"__pc{negs[0]}")
+                            for x in negs:
+                                not_any = not_any & ~F.col(f"__pc{x}")
+                            M = M.filter(
+                                probe.isNull() | not_any
+                            ).drop(
+                                "__pk", "__pp",
+                                *[f"__pc{x}" for x in negs],
+                            )
+                        else:
+                            for x in negs:
+                                not_any = not_any & (
+                                    F.col("__pt")
+                                    != steps[x].event_type
+                                )
+                            M = M.filter(
+                                F.col("__pt").isNull() | not_any
+                            ).drop("__pk", "__pp", "__pt")
                 else:
                     pending_neg += negs
                 continue
@@ -956,13 +1098,22 @@ def _strict_segments(
                 )
             pidx += npos
         else:  # loop
-            s = g  # type: ignore[assignment]
+            lidx, s = g  # type: ignore[assignment]
             pidx += 1
-            L = base.filter(F.col(type_col) == s.event_type)
+            rem_c = f"__rem{lidx}" if has_where else "__rem"
+            runlast_c = f"__runlast{lidx}" if has_where else "__runlast"
+            L = base.filter(
+                F.col(f"__c{lidx}") if has_where
+                else F.col(type_col) == s.event_type
+            )
             for x in pending_neg:
-                # negation at the loop-start position: type==T already
-                # contradicts X unless X == T, in which case no match
-                if x == s.event_type:
+                # negation at the loop-start position: the loop's
+                # first event must NOT be a candidate of the negated
+                # step (type equality alone contradicts only same-type
+                # negations; with predicates the check is the column)
+                if has_where:
+                    L = L.filter(~F.col(f"__c{x}"))
+                elif steps[x].event_type == s.event_type:
                     L = L.filter(F.lit(False))
             pending_neg = []
             if greedy_loops:
@@ -970,10 +1121,10 @@ def _strict_segments(
                     F.col(key_col).alias("__lk"),
                     F.col("__pos").alias("__lp"),
                     F.col(time_col).alias(f"ts_{pidx}"),
-                    F.col("__runlast").alias(f"ts_{pidx}_last"),
-                    F.col("__rem").alias(f"n_{pidx}"),
-                    (F.col("__pos") + F.col("__rem")).alias("__lnext"),
-                    F.col("__runlast").alias("__eL"),
+                    F.col(runlast_c).alias(f"ts_{pidx}_last"),
+                    F.col(rem_c).alias(f"n_{pidx}"),
+                    (F.col("__pos") + F.col(rem_c)).alias("__lnext"),
+                    F.col(runlast_c).alias("__eL"),
                 )
             else:
                 # non-greedy: every prefix k of the remaining run; the
@@ -988,15 +1139,15 @@ def _strict_segments(
                         F.col(key_col).alias("__lk"),
                         F.col("__pos").alias("__lp"),
                         F.col(time_col).alias(f"ts_{pidx}"),
-                        F.col("__rem"),
+                        F.col(rem_c).alias("__remx"),
                     )
                     .withColumn(
                         "__k",
                         F.explode(
-                            F.sequence(F.lit(1), F.col("__rem"))
+                            F.sequence(F.lit(1), F.col("__remx"))
                         ),
                     )
-                    .drop("__rem")
+                    .drop("__remx")
                 )
                 L = Lx.join(
                     P,
@@ -1084,10 +1235,27 @@ def _match_relaxed(
     within: str | None,
     greedy_loops: bool = True,
 ) -> DataFrame:
-    base = events.select(key_col, time_col, type_col)
+    has_where = any(st.where is not None for st in steps)
+    if has_where:
+        base = _with_cand_cols(
+            events, steps, [key_col, time_col, type_col], type_col
+        )
+    else:
+        base = events.select(key_col, time_col, type_col)
 
     def typed(t: str) -> DataFrame:
         return base.filter(F.col(type_col) == t).select(
+            key_col, F.col(time_col).alias("__step_t")
+        )
+
+    def cand(idx: int) -> DataFrame:
+        """Step ``idx``'s candidate events (type + optional r7 where
+        predicate)."""
+        if has_where:
+            flt = F.col(f"__c{idx}")
+        else:
+            flt = F.col(type_col) == steps[idx].event_type
+        return base.filter(flt).select(
             key_col, F.col(time_col).alias("__step_t")
         )
 
@@ -1096,11 +1264,12 @@ def _match_relaxed(
     pidx = 0
     last_col: str | None = None
     compressed = False
-    # (negated type, anchor ts column at declaration time)
-    pending_neg: list[tuple[str, str]] = []
+    # (negated step index, anchor ts column at declaration time)
+    pending_neg: list[tuple[int, str]] = []
 
-    def bind(M: DataFrame, t: str, prev_col: str, out_col: str) -> DataFrame:
-        out = _earliest_after(M, typed(t), key_col, prev_col, out_col)
+    def bind(M: DataFrame, idx: int, prev_col: str, out_col: str
+             ) -> DataFrame:
+        out = _earliest_after(M, cand(idx), key_col, prev_col, out_col)
         out = out.filter(F.col(out_col).isNotNull())
         if within is not None:
             # prune per step: ts_i is monotone, a partial match past the
@@ -1113,7 +1282,7 @@ def _match_relaxed(
     def apply_negs(M: DataFrame, next_col: str) -> DataFrame:
         nonlocal pending_neg
         for x, anchor in pending_neg:
-            M = _earliest_after(M, typed(x), key_col, anchor, "__negx")
+            M = _earliest_after(M, cand(x), key_col, anchor, "__negx")
             M = M.filter(
                 F.col("__negx").isNull()
                 | (F.col("__negx") >= F.col(next_col))
@@ -1121,11 +1290,11 @@ def _match_relaxed(
         pending_neg = []
         return M
 
-    for s in steps:
+    for sidx, s in enumerate(steps):
         if s.negate:
             if last_col is None:
                 raise ValueError("pattern must start with a positive step")
-            pending_neg.append((s.event_type, last_col))
+            pending_neg.append((sidx, last_col))
             continue
         pidx += 1
         first_col = f"ts_{pidx}"
@@ -1140,13 +1309,21 @@ def _match_relaxed(
             M = _relaxed_loop(
                 M, base, typed, s, key_col, time_col, type_col,
                 within, pidx, last_col, greedy_loops,
+                cand_filter=(
+                    F.col(f"__c{sidx}") if has_where
+                    else F.col(type_col) == s.event_type
+                ),
             )
             if pending_neg:
                 M = apply_negs(M, first_col)
             last_col = f"ts_{pidx}_last"
         else:
             if M is None:
-                M = base.filter(F.col(type_col) == s.event_type).select(
+                flt = (
+                    F.col(f"__c{sidx}") if has_where
+                    else F.col(type_col) == s.event_type
+                )
+                M = base.filter(flt).select(
                     key_col, F.col(time_col).alias(first_col)
                 )
                 last_col = first_col
@@ -1162,7 +1339,7 @@ def _match_relaxed(
                 else:
                     out_col = f"__t{pidx}_{r}"
                     tmp_cols.append(out_col)
-                M = bind(M, s.event_type, last_col, out_col)
+                M = bind(M, sidx, last_col, out_col)
                 last_col = out_col
             if tmp_cols:
                 M = M.drop(*tmp_cols)
@@ -1178,7 +1355,7 @@ def _match_relaxed(
                 "a pattern ending in notFollowedBy needs a window)"
             )
         for x, anchor in pending_neg:
-            M = _earliest_after(M, typed(x), key_col, anchor, "__negx")
+            M = _earliest_after(M, cand(x), key_col, anchor, "__negx")
             M = M.filter(
                 F.col("__negx").isNull()
                 | (F.col("__negx") > F.col("ts_1") + _within_expr(within))
@@ -1203,6 +1380,7 @@ def _relaxed_loop(
     pidx: int,
     last_col: str | None,
     greedy_loops: bool = True,
+    cand_filter: Column | None = None,
 ) -> DataFrame:
     """Relaxed loop: events of the type strictly after the previous
     step and strictly before the stop bound (earliest ``until`` event /
@@ -1215,14 +1393,16 @@ def _relaxed_loop(
     Fan-out is the matched-run length in both modes — prefix emission
     is the HONEST output size of Flink's NO_SKIP, not a blow-up."""
     first_col, last_out, n_col = f"ts_{pidx}", f"ts_{pidx}_last", f"n_{pidx}"
-    el = base.filter(F.col(type_col) == s.event_type).select(
+    if cand_filter is None:
+        cand_filter = F.col(type_col) == s.event_type
+    el = base.filter(cand_filter).select(
         F.col(key_col).alias("__ek"), F.col(time_col).alias("__el")
     )
 
     if M is None:
         # loop is step 1: each occurrence anchors a match; the anchor is
         # the run's first element, later elements aggregate on top
-        A = base.filter(F.col(type_col) == s.event_type).select(
+        A = base.filter(cand_filter).select(
             key_col, F.col(time_col).alias(first_col)
         )
         A = A.groupBy(A.columns).agg(F.count(F.lit(1)).alias("__mult"))

@@ -1042,6 +1042,50 @@ ORDER BY f.user_id, click_ts, purchase_ts
 """
 
 
+def q106_cep_where_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``where(SimpleCondition)`` value predicates (r7) — Flink
+    ``Pattern.begin("view").followedBy("purchase").where(v -> v.value
+    > 50).within(...)``: the step matches only purchases ABOVE the
+    threshold, so the binding is the first HIGH-VALUE purchase after
+    each view — not the first purchase (events of the right type that
+    fail the predicate are skipped by relaxed contiguity, exactly
+    Flink's skip-till-next). Engines match on precomputed candidate
+    booleans (``_with_cand_cols``) — same plan shape, one boolean
+    column per step."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("purchase").where("value > 50")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("big_purchase_ts"),
+        )
+        .orderBy("user_id", "view_ts", "big_purchase_ts")
+    )
+
+
+_Q106_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT user_id, t0,
+         (SELECT min(e.ts) FROM events e WHERE e.user_id = a.user_id
+          AND e.event_type = 'purchase' AND e.value > 50
+          AND e.ts > a.t0
+          AND e.ts <= a.t0 + INTERVAL 7 DAY) AS p1
+  FROM a)
+SELECT user_id, t0 AS view_ts, p1 AS big_purchase_ts
+FROM b WHERE p1 IS NOT NULL
+ORDER BY user_id, view_ts, big_purchase_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1067,6 +1111,7 @@ QUERIES = {
     "q103_temporal_join": q103_temporal_join,
     "q104_cumulate_window": q104_cumulate_window,
     "q105_window_join": q105_window_join,
+    "q106_cep_where_predicate": q106_cep_where_predicate,
 }
 
 ORACLES = {
@@ -1094,4 +1139,5 @@ ORACLES = {
     "q103_temporal_join": _Q103_SQL,
     "q104_cumulate_window": _Q104_SQL,
     "q105_window_join": _Q105_SQL,
+    "q106_cep_where_predicate": _Q106_SQL,
 }

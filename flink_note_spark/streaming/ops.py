@@ -950,6 +950,12 @@ def match_pattern_stream(
                 "optional()/times(n, m) streaming CEP is batch-only "
                 "(variant expansion has no incremental rendering yet)"
             )
+        if any(s.where is not None for s in steps):
+            raise ValueError(
+                "where() value predicates are batch-only (the "
+                "streaming buffer keys events by type; carry the "
+                "payload or pre-derive a type column upstream)"
+            )
         general = general or any(s.negate or s.loop for s in steps)
         if not general:
             pattern = _expand_simple_steps(steps)

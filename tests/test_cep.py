@@ -1376,3 +1376,314 @@ def test_pattern_begin_carries_skip_strategy(spark):
     )
     with pytest.raises(ValueError, match="skip strategy"):
         Pattern.begin("A", "bogus")
+
+
+# ---------------------------------------------------------------------------
+# where() value predicates (r7)
+
+
+def _naive_where_strict(rows, steps, within_s=None):
+    """Greedy strict reference with CALLABLE per-step predicates over
+    (seconds, type, event_id) tuples."""
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted(
+            [(s, t, i) for (kk, s, t, i) in rows if kk == key],
+            key=lambda r: (r[0], r[2]),
+        )
+        n = len(seq)
+        for p0 in range(n):
+            pos, cap, ok, last = p0, [], True, None
+            for (pred, neg, times, loop) in steps:
+                if neg:
+                    if pos < n and pred(seq[pos]):
+                        ok = False
+                        break
+                    continue
+                if loop:
+                    if pos >= n or not pred(seq[pos]):
+                        ok = False
+                        break
+                    q = pos
+                    while q < n and pred(seq[q]):
+                        q += 1
+                    cap += [seq[pos][0], seq[q - 1][0], q - pos]
+                    last = seq[q - 1][0]
+                    pos = q
+                else:
+                    first = None
+                    for _ in range(times):
+                        if pos >= n or not pred(seq[pos]):
+                            ok = False
+                            break
+                        if first is None:
+                            first = seq[pos][0]
+                        last = seq[pos][0]
+                        pos += 1
+                    if not ok:
+                        break
+                    cap.append(first)
+                    if times > 1:
+                        cap.append(last)
+            if ok and cap and (
+                within_s is None or last - cap[0] <= within_s
+            ):
+                out.append((key, *cap))
+    return sorted(out)
+
+
+def _naive_where_relaxed(rows, steps, within_s=None):
+    """Greedy relaxed reference with callable predicates (loops
+    without until; terminal negation asserts to the horizon)."""
+    INF = float("inf")
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted(
+            [(s, t, i) for (kk, s, t, i) in rows if kk == key]
+        )
+
+        def first_after(pred, after):
+            c = [e for e in seq if pred(e) and e[0] > after]
+            return c[0][0] if c else None
+
+        p0_pred = next(p for (p, neg, *_rest) in steps if not neg)
+        for e0 in seq:
+            if not p0_pred(e0):
+                continue
+            s0 = e0[0]
+            horizon = (s0 + within_s) if within_s is not None else INF
+            cap, cur, ok, pending = [], None, True, []
+            for (pred, neg, times, loop) in steps:
+                if neg:
+                    pending.append((pred, cur))
+                    continue
+                if loop:
+                    anchor = s0 if cur is None else cur
+                    els0 = [s0] if cur is None else []
+                    els = els0 + [
+                        e[0] for e in seq
+                        if pred(e) and e[0] > anchor and e[0] <= horizon
+                    ]
+                    if not els:
+                        ok = False
+                        break
+                    nxt = els[0]
+                    cap += [els[0], els[-1], len(els)]
+                    new_cur = els[-1]
+                elif cur is None:
+                    nxt, new_cur = s0, s0
+                    cap.append(s0)
+                else:
+                    nxt = first_after(pred, cur)
+                    if nxt is None or nxt > horizon:
+                        ok = False
+                        break
+                    cap.append(nxt)
+                    new_cur = nxt
+                for (xp, anc) in pending:
+                    xa = first_after(xp, anc if anc is not None else s0)
+                    if xa is not None and xa < nxt:
+                        ok = False
+                        break
+                pending = []
+                if not ok:
+                    break
+                cur = new_cur
+            if ok and pending:
+                for (xp, anc) in pending:
+                    xa = first_after(xp, anc)
+                    if xa is not None and xa <= horizon:
+                        ok = False
+                        break
+            if ok:
+                out.append((key, *cap))
+    return sorted(out)
+
+
+_EVEN = lambda e: e[2] % 2 == 0  # noqa: E731 — event_id parity
+#: SQL-string spelling (a module-level Column would need a live session
+#: at collection time); the Column spelling is tested explicitly below
+_W_EVEN = "event_id % 2 = 0"
+
+
+def test_where_strict_leadchain_matches_naive(spark):
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "B", "where": _W_EVEN}, "C"]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_where_strict(
+        RICH_ROWS,
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "B" and _EVEN(e), False, 1, False),
+         (lambda e: e[1] == "C", False, 1, False)],
+    )
+    assert got == want
+    assert got  # fires on the fixture
+    # Column spelling agrees with the SQL-string spelling
+    got_col = _collect_cols(
+        match_pattern(
+            df,
+            ["A", {"type": "B", "where": F.col("event_id") % 2 == 0},
+             "C"],
+            contiguity="strict", tiebreak=["event_id"],
+        )
+    )
+    assert got_col == got
+
+
+def test_where_strict_loop_runs_break_on_predicate(spark):
+    """A loop with a predicate: an event of the loop TYPE that fails
+    the predicate breaks the consecutive run (strict adjacency on the
+    candidate, not the type)."""
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "B", "one_or_more": True, "where": _W_EVEN},
+           {"type": "C"}]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_where_strict(
+        RICH_ROWS,
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "B" and _EVEN(e), False, 1, True),
+         (lambda e: e[1] == "C", False, 1, False)],
+    )
+    assert got == want
+
+
+def test_where_strict_negation_matches_naive(spark):
+    """Negation with a predicate: only PREDICATE-satisfying events of
+    the type break the match."""
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "B", "negate": True, "where": _W_EVEN}, "B"]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_where_strict(
+        RICH_ROWS,
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "B" and _EVEN(e), True, 1, False),
+         (lambda e: e[1] == "B", False, 1, False)],
+    )
+    assert got == want
+    # the predicate-negation admits matches plain negation would kill
+    plain = _collect_cols(
+        match_pattern(df, ["A", {"type": "B", "negate": True}, "B"],
+                      contiguity="strict", tiebreak=["event_id"])
+    )
+    assert set(plain) <= set(got)
+
+
+@pytest.mark.parametrize("pat,naive_steps", [
+    (
+        ["A", {"type": "B", "where": _W_EVEN}, "C"],
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "B" and _EVEN(e), False, 1, False),
+         (lambda e: e[1] == "C", False, 1, False)],
+    ),
+    (
+        ["A", {"type": "B", "one_or_more": True, "where": _W_EVEN}],
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "B" and _EVEN(e), False, 1, True)],
+    ),
+])
+def test_where_relaxed_matches_naive(spark, pat, naive_steps):
+    df = _mk(spark, RICH_ROWS)
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_where_relaxed(RICH_ROWS, naive_steps)
+    assert got == want
+    assert got
+
+
+def test_where_builder_and_guards(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, RICH_ROWS)
+    p = (Pattern.begin("A").followed_by("B").where(_W_EVEN)
+         .followed_by("C"))
+    got = _collect_cols(match_pattern(df, p))
+    want = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "where": _W_EVEN}, "C"],
+        contiguity="relaxed",
+    ))
+    assert got == want
+    # mixed engine refuses predicates
+    mixed = [{"type": "A", "mode": "strict"},
+             {"type": "B", "mode": "strict", "where": _W_EVEN},
+             {"type": "C", "mode": "relaxed"}]
+    with pytest.raises(ValueError, match="where"):
+        match_pattern(df, mixed)
+
+
+def test_where_composes_with_optional_and_no_skip(spark):
+    """where() composes with variant expansion (optional) and with the
+    non-greedy skip strategies (per-prefix loop metadata is computed on
+    the CANDIDATE boolean, not the type)."""
+    df = _mk(spark, RICH_ROWS)
+    # optional predicate step: both branches emit, the present branch
+    # only on even-id Bs
+    pat = ["A", {"type": "B", "optional": True, "where": _W_EVEN}, "C"]
+    def secs(v):
+        return (v - T0).total_seconds() if v is not None else None
+
+    got = [
+        (r["user_id"], secs(r["ts_1"]), secs(r["ts_2"]), secs(r["ts_3"]))
+        for r in match_pattern(df, pat, contiguity="relaxed").collect()
+    ]
+    with_b = _naive_where_relaxed(
+        RICH_ROWS,
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "B" and _EVEN(e), False, 1, False),
+         (lambda e: e[1] == "C", False, 1, False)],
+    )
+    without_b = _naive_where_relaxed(
+        RICH_ROWS,
+        [(lambda e: e[1] == "A", False, 1, False),
+         (lambda e: e[1] == "C", False, 1, False)],
+    )
+    want = sorted(
+        [(k, a, b, c) for (k, a, b, c) in with_b]
+        + [(k, a, None, c) for (k, a, c) in without_b]
+    , key=str)
+    assert sorted(got, key=str) == want
+
+    # non-greedy loop with predicate: every prefix of the EVEN-id run
+    pat2 = [{"type": "B", "one_or_more": True, "where": _W_EVEN}]
+    got2 = _collect_cols(
+        match_pattern(df, pat2, contiguity="strict",
+                      tiebreak=["event_id"], skip_strategy="no_skip")
+    )
+    # brute force: every prefix of every maximal consecutive even-B run
+    seqs = {}
+    for (k, sec, t, i) in sorted(RICH_ROWS, key=lambda r: (r[0], r[1], r[3])):
+        seqs.setdefault(k, []).append((sec, t, i))
+    want2 = []
+    for k, seq in seqs.items():
+        for p0 in range(len(seq)):
+            if not (seq[p0][1] == "B" and seq[p0][2] % 2 == 0):
+                continue
+            q = p0
+            while q < len(seq) and seq[q][1] == "B" and seq[q][2] % 2 == 0:
+                q += 1
+                want2.append((k, float(seq[p0][0]), float(seq[q - 1][0]),
+                              q - p0))
+    assert got2 == sorted(want2)
+
+
+def test_where_streaming_raises(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    schema = T.StructType() \
+        .add("user_id", "long").add("ts", "timestamp") \
+        .add("event_type", "string").add("event_id", "long")
+    src = tmp_path / "where_stream_src"
+    src.mkdir()
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream, ["A", {"type": "B", "where": _W_EVEN}],
+            contiguity="relaxed", within="10 minutes",
+            watermark="1 minutes",
+        )
