@@ -16,6 +16,12 @@ imperative NFA:
   by (key, position) equi-joins over precomputed run metadata
   (gaps-and-islands) — one extra co-partitioned join per loop step,
   never a cross join.
+- **non-deterministic relaxed** (Flink ``followedByAny``,
+  skip-till-ANY-match, r7): an any-step binds EVERY candidate after
+  the previous step (one match per combination) via a key equi-join —
+  fan-out is the per-combination output size, the honest cost of the
+  semantics. Plain single-event steps only; uniform relaxed patterns;
+  batch-only.
 - **relaxed contiguity** (Flink ``followedBy``, skip-till-next-match):
   each step matches the EARLIEST event of its type strictly after the
   previous step's event. One union + running-``min`` window pass per
@@ -171,6 +177,11 @@ class PatternStep:
     #: ``compare=False``: a Column's ``==`` builds an expression, it
     #: does not test equality.
     where: object | None = field(default=None, compare=False)
+    #: Flink ``followedByAny`` (r7): NON-DETERMINISTIC relaxed
+    #: contiguity — the step binds EVERY candidate event after the
+    #: previous step (within the horizon), one match per combination,
+    #: instead of skip-till-next-match's earliest-only binding.
+    any_match: bool = False
 
     def validate(self) -> None:
         if self.times < 1:
@@ -186,6 +197,14 @@ class PatternStep:
             raise ValueError("until applies only to one_or_more steps")
         if self.times_max is not None and self.times_max < self.times:
             raise ValueError("times(n, m) requires m >= n")
+        if self.any_match and (
+            self.negate or self.loop or self.times != 1
+            or self.times_max is not None
+        ):
+            raise ValueError(
+                "followedByAny steps are plain single-event steps "
+                "(quantified/negated any-steps are out of scope)"
+            )
         # optional + loop == Flink zeroOrMore: legal, expands to the
         # absent-or-oneOrMore variant pair (_expand_variants)
 
@@ -248,6 +267,15 @@ class Pattern:
             PatternStep(event_type, negate=True, mode="strict"), "strict"
         )
 
+    def followed_by_any(self, event_type: str) -> "Pattern":
+        """Flink ``followedByAny`` (r7): non-deterministic relaxed —
+        the step binds EVERY later candidate, one match per
+        combination (skip-till-ANY-match)."""
+        return self._append(
+            PatternStep(event_type, mode="relaxed", any_match=True),
+            "relaxed",
+        )
+
     def not_followed_by(self, event_type: str) -> "Pattern":
         return self._append(
             PatternStep(event_type, negate=True, mode="relaxed"), "relaxed"
@@ -267,6 +295,7 @@ class Pattern:
             optional=kw.get("optional", last.optional),
             mode=last.mode,
             where=kw.get("where", last.where),
+            any_match=last.any_match,
         )
         new.validate()
         self.steps[-1] = new
@@ -335,6 +364,7 @@ def _normalize(pattern) -> list[PatternStep]:
                 optional=bool(p.get("optional", False)),
                 mode=p.get("mode"),
                 where=p.get("where"),
+                any_match=bool(p.get("any", p.get("any_match", False))),
             )
         else:
             raise TypeError(f"bad pattern step: {p!r}")
@@ -444,7 +474,8 @@ def _expand_variants(
         for c in counts:
             opts.append((
                 PatternStep(s.event_type, times=c, loop=s.loop,
-                            until=s.until, mode=s.mode, where=s.where),
+                            until=s.until, mode=s.mode, where=s.where,
+                            any_match=s.any_match),
                 pidx,
             ))
         per_step.append(opts)
@@ -555,6 +586,11 @@ def match_pattern(
                 "relaxed patterns (the mixed positional engine is "
                 "type-keyed)"
             )
+        if any(st.any_match for st in steps):
+            raise ValueError(
+                "followedByAny requires uniform relaxed contiguity "
+                "(mixed patterns are earliest-binding only)"
+            )
         if not greedy_loops and any(s.loop for s in steps):
             raise ValueError(
                 "loop steps under a non-greedy skip_strategy require "
@@ -582,6 +618,11 @@ def match_pattern(
             )
         return _apply_skip(M, steps, key_col, skip)
     contiguity = resolved
+    if any(s.any_match for s in steps) and contiguity != "relaxed":
+        raise ValueError(
+            "followedByAny requires uniform relaxed contiguity (it IS "
+            "a relaxed-family binding mode)"
+        )
 
     if any(s.optional or s.times_max is not None for s in steps):
         M = _match_variants(
@@ -1328,6 +1369,28 @@ def _match_relaxed(
                 )
                 last_col = first_col
                 rng = range(1, s.times)
+            elif s.any_match:
+                # followedByAny (r7): bind EVERY candidate after the
+                # previous step — a key equi-join (fan-out = the honest
+                # per-combination output size), horizon-pruned per step
+                C = cand(sidx).withColumnRenamed(key_col, "__ak")
+                jc = (F.col(key_col) == F.col("__ak")) & (
+                    F.col("__step_t") > F.col(last_col)
+                )
+                if within is not None:
+                    jc = jc & (
+                        F.col("__step_t")
+                        <= F.col("ts_1") + _within_expr(within)
+                    )
+                M = (
+                    M.join(C, jc)
+                    .drop("__ak")
+                    .withColumnRenamed("__step_t", first_col)
+                )
+                last_col = first_col
+                if pending_neg:
+                    M = apply_negs(M, first_col)
+                continue
             else:
                 rng = range(s.times)
             tmp_cols: list[str] = []

@@ -39,7 +39,7 @@ def _rotation_order(
     so any registry of ``M`` entries is fully covered every
     ``ceil(M / W)`` rounds — the policy is sound at ANY registry size,
     not just below ``2·W`` (VERDICT r6 item 4; W = 50 for this
-    driver, so the current 100-entry registry covers in 2 rounds).
+    driver, so the current 101-entry registry covers in 2 rounds).
     """
     last = {}
     for i, round_names in enumerate(histories):

@@ -1086,6 +1086,55 @@ ORDER BY user_id, view_ts, big_purchase_ts
 """
 
 
+def q107_cep_followed_by_any(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``followedByAny`` (r7) — Flink's THIRD contiguity mode
+    (non-deterministic relaxed, skip-till-ANY-match):
+    ``Pattern.begin("view").followedByAny("click")
+    .followedBy("purchase").within(...)`` binds EVERY click after the
+    view (not just the earliest), each combination continuing
+    independently to its own earliest purchase. The any-step is a key
+    equi-join whose fan-out is the per-combination output size — the
+    honest cost of the semantics, never a cross join."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by_any("click")
+        .followed_by("purchase")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("click_ts"),
+            F.col("ts_3").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "view_ts", "click_ts")
+    )
+
+
+_Q107_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT a.user_id, a.t0, c.ts AS c1
+  FROM a JOIN events c ON c.user_id = a.user_id
+    AND c.event_type = 'click' AND c.ts > a.t0
+    AND c.ts <= a.t0 + INTERVAL 7 DAY),
+d AS (
+  SELECT user_id, t0, c1,
+         (SELECT min(e.ts) FROM events e WHERE e.user_id = b.user_id
+          AND e.event_type = 'purchase' AND e.ts > b.c1
+          AND e.ts <= b.t0 + INTERVAL 7 DAY) AS p1
+  FROM b)
+SELECT user_id, t0 AS view_ts, c1 AS click_ts, p1 AS purchase_ts
+FROM d WHERE p1 IS NOT NULL
+ORDER BY user_id, view_ts, click_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1112,6 +1161,7 @@ QUERIES = {
     "q104_cumulate_window": q104_cumulate_window,
     "q105_window_join": q105_window_join,
     "q106_cep_where_predicate": q106_cep_where_predicate,
+    "q107_cep_followed_by_any": q107_cep_followed_by_any,
 }
 
 ORACLES = {
@@ -1140,4 +1190,5 @@ ORACLES = {
     "q104_cumulate_window": _Q104_SQL,
     "q105_window_join": _Q105_SQL,
     "q106_cep_where_predicate": _Q106_SQL,
+    "q107_cep_followed_by_any": _Q107_SQL,
 }

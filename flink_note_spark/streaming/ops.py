@@ -956,6 +956,11 @@ def match_pattern_stream(
                 "streaming buffer keys events by type; carry the "
                 "payload or pre-derive a type column upstream)"
             )
+        if any(s.any_match for s in steps):
+            raise ValueError(
+                "followedByAny streaming CEP is batch-only (the "
+                "incremental engines bind earliest-only)"
+            )
         general = general or any(s.negate or s.loop for s in steps)
         if not general:
             pattern = _expand_simple_steps(steps)

@@ -1687,3 +1687,149 @@ def test_where_streaming_raises(spark, tmp_path):
             contiguity="relaxed", within="10 minutes",
             watermark="1 minutes",
         )
+
+
+# ---------------------------------------------------------------------------
+# followedByAny (r7) — non-deterministic relaxed contiguity
+
+
+def _naive_any_relaxed(rows, steps, within_s=None):
+    """Reference matcher with per-step 'any' flags: any-steps branch
+    over EVERY later candidate; plain steps bind earliest-after;
+    loops greedy. steps = [(pred, negate, any, loop)]."""
+    INF = float("inf")
+    out = []
+    for key in {k for (k, _, _, _) in rows}:
+        seq = sorted(
+            [(s, t, i) for (kk, s, t, i) in rows if kk == key]
+        )
+
+        def first_after(pred, after):
+            c = [e for e in seq if pred(e) and e[0] > after]
+            return c[0][0] if c else None
+
+        p0_pred = next(p for (p, neg, *_r) in steps if not neg)
+        for e0 in seq:
+            if not p0_pred(e0):
+                continue
+            s0 = e0[0]
+            horizon = (s0 + within_s) if within_s is not None else INF
+
+            def rec(si, cur, cap, pending):
+                if si == len(steps):
+                    for (xp, anc) in pending:
+                        xa = first_after(xp, anc)
+                        if xa is not None and xa <= horizon:
+                            return
+                    out.append((key, *cap))
+                    return
+                pred, neg, any_m, loop = steps[si]
+                if neg:
+                    rec(si + 1, cur, cap, pending + [(pred, cur)])
+                    return
+
+                def negs_ok(nxt):
+                    return not any(
+                        (xa := first_after(xp, anc)) is not None
+                        and xa < nxt
+                        for (xp, anc) in pending
+                    )
+
+                if loop:
+                    anchor = s0 if cur is None else cur
+                    els0 = [s0] if cur is None else []
+                    els = els0 + [
+                        e[0] for e in seq
+                        if pred(e) and e[0] > anchor and e[0] <= horizon
+                    ]
+                    if not els or not negs_ok(els[0]):
+                        return
+                    rec(si + 1, els[-1],
+                        cap + [els[0], els[-1], len(els)], [])
+                    return
+                if cur is None:
+                    if negs_ok(s0):
+                        rec(si + 1, s0, cap + [s0], [])
+                    return
+                if any_m:
+                    for e in seq:
+                        if pred(e) and e[0] > cur and e[0] <= horizon \
+                                and negs_ok(e[0]):
+                            rec(si + 1, e[0], cap + [e[0]], [])
+                    return
+                nxt = first_after(pred, cur)
+                if nxt is None or nxt > horizon or not negs_ok(nxt):
+                    return
+                rec(si + 1, nxt, cap + [nxt], [])
+
+            rec(0, None, [], [])
+    return sorted(out)
+
+
+def _t_is(t):
+    return lambda e: e[1] == t
+
+
+def test_followed_by_any_matches_naive(spark):
+    """followedByAny binds every candidate: one match per (A, B)
+    combination, each continued independently."""
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, RICH_ROWS)
+    p = (Pattern.begin("A").followed_by_any("B").followed_by("C")
+         .within("60 seconds"))
+    got = _collect_cols(match_pattern(df, p))
+    want = _naive_any_relaxed(
+        RICH_ROWS,
+        [(_t_is("A"), False, False, False),
+         (_t_is("B"), False, True, False),
+         (_t_is("C"), False, False, False)],
+        within_s=60,
+    )
+    assert got == want
+    assert got
+    # strictly more matches than skip-till-next on key 4 (3 Bs, each
+    # continuing to the same C)
+    earliest = _collect_cols(match_pattern(
+        df, ["A", "B", "C"], contiguity="relaxed", within="60 seconds"
+    ))
+    assert set(earliest) < set(got)
+    assert sum(1 for m in got if m[0] == 4) == 3
+
+
+def test_followed_by_any_with_negation_and_loop(spark):
+    df = _mk(spark, RICH_ROWS)
+    # A, any-B, then the greedy run of remaining Bs? use A anyB U-neg C
+    pat = ["A", {"type": "B", "any": True},
+           {"type": "U", "negate": True}, "C"]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="60 seconds")
+    )
+    want = _naive_any_relaxed(
+        RICH_ROWS,
+        [(_t_is("A"), False, False, False),
+         (_t_is("B"), False, True, False),
+         (_t_is("U"), True, False, False),
+         (_t_is("C"), False, False, False)],
+        within_s=60,
+    )
+    assert got == want
+    assert got
+
+
+def test_followed_by_any_guards(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, RICH_ROWS)
+    with pytest.raises(ValueError, match="relaxed"):
+        match_pattern(df, [{"type": "A"}, {"type": "B", "any": True}],
+                      contiguity="strict")
+    with pytest.raises(ValueError, match="any-steps"):
+        match_pattern(
+            df,
+            ["A", {"type": "B", "any": True, "one_or_more": True}],
+            contiguity="relaxed",
+        )
+    p = Pattern.begin("A").followed_by_any("B")
+    # builder mode is relaxed; works end-to-end
+    assert match_pattern(df, p).count() > 0
