@@ -171,8 +171,17 @@ class ExecutionEnvironment:
                   ) -> DataFrame:
         """Flink ``.rebalance()`` — round-robin redistribution: a plain
         ``repartition(n)`` (RoundRobinPartitioning; Spark's AQE may
-        coalesce downstream, which is the desired behaviour at scale)."""
-        return df.repartition(parallelism) if parallelism else df.repartition()
+        coalesce downstream, which is the desired behaviour at scale).
+
+        With ``parallelism`` omitted, Flink redistributes at the
+        downstream operator's parallelism; the analogue here is the
+        session's shuffle parallelism (``spark.sql.shuffle.partitions``
+        — ``df.repartition()`` takes no zero-arg form in PySpark)."""
+        if parallelism is None:
+            parallelism = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        return df.repartition(parallelism)
 
     def rescale(self, df: DataFrame, parallelism: int) -> DataFrame:
         """Flink ``.rescale()`` — reduce parallelism WITHOUT a full

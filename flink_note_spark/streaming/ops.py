@@ -996,6 +996,18 @@ def match_pattern_stream(
                 "need cross-watermark-window bookkeeping; relaxed "
                 "patterns (horizon finality) support it"
             )
+        if skip is not None and skip[0] in ("skip_to_first", "skip_to_last"):
+            # mirror batch _apply_skip's range check HERE, before the
+            # state function ships to executors: an out-of-range index
+            # would otherwise resolve via Python negative indexing to
+            # the wrong step (silent wrong pruning) or die with an
+            # opaque executor-side IndexError
+            n_pos = sum(1 for s in steps if not s.negate)
+            if skip[1] is None or not (1 <= skip[1] <= n_pos):
+                raise ValueError(
+                    f"{skip[0]} step index must be in 1..{n_pos} "
+                    f"(1-based positive-step index), got {skip[1]}"
+                )
         if contiguity == "strict":
             if steps[-1].negate or steps[-1].loop:
                 raise ValueError(

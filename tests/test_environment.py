@@ -159,6 +159,11 @@ def test_partitioning_verbs(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 5)
 
     assert env.rebalance(df, 7).rdd.getNumPartitions() == 7
+    # parallelism omitted → session shuffle parallelism (the Flink
+    # downstream-parallelism default); r7's zero-arg repartition() was
+    # a TypeError (ADVICE r7)
+    n_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert env.rebalance(df).rdd.getNumPartitions() == n_default
     assert env.rescale(df.repartition(8), 2).rdd.getNumPartitions() == 2
     # rescale must NOT introduce an exchange (coalesce, not shuffle)
     plan = env.rescale(df.repartition(8), 2)._jdf.queryExecution() \

@@ -2087,6 +2087,22 @@ def test_cep_stream_skip_rejections(spark, chunk_dir):
             stream, ["A", "B"], watermark="1 minutes",
             skip_strategy="bogus",
         )
+    # step-index range check happens at CONSTRUCTION (ADVICE r7): an
+    # out-of-range index would otherwise hit Python negative indexing
+    # (silently wrong pruning) or an executor-side IndexError
+    for bad in (0, -1, 3):
+        with pytest.raises(ValueError, match="step index must be in 1..2"):
+            match_pattern_stream(
+                stream, ["A", "B"], contiguity="relaxed",
+                within="10 minutes", watermark="1 minutes",
+                skip_strategy=("skip_to_first", bad),
+            )
+    with pytest.raises(ValueError, match="step index must be in 1..2"):
+        match_pattern_stream(
+            stream, ["A", "B"], contiguity="relaxed",
+            within="10 minutes", watermark="1 minutes",
+            skip_strategy=("skip_to_last", 99),
+        )
 
 
 def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
