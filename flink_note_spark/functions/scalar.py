@@ -56,8 +56,16 @@ def json_int(col: str | Column, path: str, name: str | None = None) -> Column:
 
 def words(col: str | Column) -> Column:
     """Whitespace tokenization (the WordCount primitive — reference
-    canonical job, ``flink_arch-yarn per job 启动流程.png`` box 1)."""
-    return F.split(_c(col), " ")
+    canonical job, ``flink_arch-yarn per job 启动流程.png`` box 1).
+
+    Splits on ``\\s+`` runs (r8, VERDICT r7 nit): a raw corpus with
+    tabs/newlines/double spaces no longer yields phantom empty tokens,
+    and the quality/lang-ID/WordCount family now shares one
+    tokenization with the dedup/TF-IDF/novelty kernel
+    (``operators/dedup.py``). Leading whitespace still produces one
+    leading empty token (Java and DuckDB regex-split agree); callers
+    that must not count it filter ``x <> ''`` — as the oracles do."""
+    return F.split(_c(col), "\\s+")
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:

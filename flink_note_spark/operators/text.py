@@ -38,10 +38,18 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     n_chars = F.length(F.col(text_col))
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
     n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    # avg word length from the tokens themselves (r8): the old
+    # chars-minus-separators closed form was exact only for
+    # single-space text; with \s+ tokenization it would drift on
+    # tabs/newlines/double spaces
+    nonempty = F.filter(w, lambda x: x != "")
+    total_wlen = F.aggregate(
+        nonempty, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
     return {
         "n_words": n_words,
         "n_chars": n_chars,
-        "avg_word_len": (n_chars - (n_words - 1)) / n_words,
+        "avg_word_len": total_wlen / F.size(nonempty),
         "stopword_ratio": n_stop / n_words,
         "alpha_ratio": n_alpha / n_chars,
     }
@@ -422,10 +430,9 @@ def frequent_tokens(
     it cannot express.
 
     Tokenization splits on WHITESPACE RUNS (``\\s+``) and drops empty
-    tokens (ADVICE r4: the single-space ``words()`` primitive — kept
-    as-is for WordCount oracle parity — turns double spaces into ""
-    tokens and never splits on tabs/newlines, so raw corpora made the
-    top-k list lead with "" and newline-glued pseudo-tokens).
+    tokens — since r8 the shared contract of the whole engine: the
+    ``words()`` primitive (quality/lang-ID/WordCount family) moved to
+    ``\\s+`` too (VERDICT r7 nit), so there is one tokenizer.
     """
     return (
         df.select(

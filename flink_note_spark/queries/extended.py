@@ -447,7 +447,9 @@ class _WordSpansUDTF:
     def eval(self, doc_id: int, text: str):
         if text is None:
             return
-        for pos, word in enumerate(text.split(" ")):
+        import re
+
+        for pos, word in enumerate(re.split(r"\s+", text)):
             if word:
                 yield doc_id, pos, word, len(word)
 
@@ -477,7 +479,7 @@ def q74_udtf_word_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q74_SQL = """
 WITH s AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
   FROM documents
 )
 SELECT doc_id,

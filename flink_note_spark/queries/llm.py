@@ -214,17 +214,17 @@ _Q53_SQL = """
 WITH sig AS (
   SELECT doc_id, text,
          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-              WHEN len(list_filter(string_split(text, ' '),
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
-              WHEN len(list_filter(string_split(text, ' '),
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
-              WHEN len(list_filter(string_split(text, ' '),
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
               ELSE 'en' END AS lang_pred,
-         len(string_split(text, ' ')) AS n_words,
-         len(list_filter(string_split(text, ' '),
+         len(regexp_split_to_array(text, '\\s+')) AS n_words,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
              x -> x IN ('the','a','of','and','to')))
-           / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stop_ratio,
+           / CAST(greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS DOUBLE) AS stop_ratio,
          sha256(lower(trim(text))) AS h
   FROM documents
 ), deduped AS (
@@ -310,11 +310,11 @@ def q35_text_quality(spark: SparkSession, sf: str) -> DataFrame:
 _Q35_SQL = f"""
 SELECT lang,
        count(*) AS n_docs,
-       round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+       round(avg(len(regexp_split_to_array(text, '\\s+'))), 4) AS avg_words,
        round(avg(length(text)), 4)                 AS avg_chars,
-       round(sum(len(list_filter(string_split(text, ' '),
+       round(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                  x -> x IN {STOPWORDS})))
-             / sum(len(string_split(text, ' '))), 6) AS stop_ratio
+             / sum(len(regexp_split_to_array(text, '\\s+'))), 6) AS stop_ratio
 FROM documents GROUP BY lang
 """
 
@@ -342,7 +342,7 @@ def q36_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 _Q36_SQL = f"""
 SELECT source,
        count(*) AS n_docs,
-       CAST(sum(len(string_split(text, ' '))) AS BIGINT)                AS n_ws_tokens,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)                AS n_ws_tokens,
        CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS n_re_tokens,
        round(avg(n_chars), 4)                             AS avg_chars
 FROM documents GROUP BY source
@@ -362,11 +362,11 @@ def q37_language_id(spark: SparkSession, sf: str) -> DataFrame:
 _Q37_SQL = """
 SELECT lang,
        CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-            WHEN len(list_filter(string_split(text, ' '),
+            WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                  x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
-            WHEN len(list_filter(string_split(text, ' '),
+            WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                  x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
-            WHEN len(list_filter(string_split(text, ' '),
+            WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                  x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
             ELSE 'en' END AS lang_pred,
        count(*) AS n_docs
@@ -401,7 +401,7 @@ def q39_wordcount(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q39_SQL = """
 SELECT word, count(*) AS cnt
-FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
 GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20
 """
 
@@ -710,7 +710,7 @@ def q61_packing_invariants(spark: SparkSession, sf: str) -> DataFrame:
 
 _Q61_SQL = """
 SELECT CAST(count(*) AS BIGINT)                              AS n_docs,
-       CAST(sum(len(string_split(text, ' '))) AS BIGINT)     AS total_tokens,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)     AS total_tokens,
        CAST(0 AS BIGINT)                                     AS over_budget_bins
 FROM documents
 """
@@ -1268,17 +1268,17 @@ _Q84_SQL = """
 WITH sig AS (
   SELECT doc_id, text,
          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-              WHEN len(list_filter(string_split(text, ' '),
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
-              WHEN len(list_filter(string_split(text, ' '),
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
-              WHEN len(list_filter(string_split(text, ' '),
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
                    x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
               ELSE 'en' END AS lang_pred,
-         len(string_split(text, ' ')) AS n_words,
-         len(list_filter(string_split(text, ' '),
+         len(regexp_split_to_array(text, '\\s+')) AS n_words,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
              x -> x IN ('the','a','of','and','to')))
-           / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stop_ratio,
+           / CAST(greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS DOUBLE) AS stop_ratio,
          sha256(lower(trim(text))) AS h
   FROM documents
 ), deduped AS (
@@ -1293,18 +1293,18 @@ WITH sig AS (
   SELECT doc_id,
          round(1 - count(DISTINCT w) / CAST(count(*) AS DOUBLE), 6)
            AS dup_word_ratio
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM cur)
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM cur)
   WHERE w <> '' GROUP BY doc_id
 ), gated AS (
   SELECT cur.* FROM cur JOIN rep USING (doc_id)
   WHERE rep.dup_word_ratio <= 0.9
 ), grams AS (
   SELECT g.doc_id, array_to_string(g.t[i.i:i.i+4], ' ') AS gram
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM gated) g,
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM gated) g,
        LATERAL (SELECT unnest(range(1, len(g.t) - 3)) AS i) AS i(i)
 ), bgrams AS (
   SELECT DISTINCT array_to_string(t[i.i:i.i+4], ' ') AS gram
-  FROM (SELECT string_split(text, ' ') AS t FROM documents
+  FROM (SELECT regexp_split_to_array(text, '\\s+') AS t FROM documents
         WHERE doc_id % 50 = 0) b,
        LATERAL (SELECT unnest(range(1, len(b.t) - 3)) AS i) AS i(i)
 ), leaky AS (

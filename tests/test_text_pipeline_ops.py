@@ -302,3 +302,56 @@ def test_ngram_novelty_hand_computed(spark):
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 0, 1.0)
     assert got[4] == (0, 0, None)
+
+
+def test_unified_whitespace_tokenization(spark):
+    """r8 (VERDICT r7 nit): words() splits on \\s+ runs, so tabs,
+    newlines, and double spaces no longer create phantom tokens in the
+    quality family — and the Spark kernel agrees token-for-token with
+    the oracle expression regexp_split_to_array(text, '\\s+') that
+    every tokenizing driver oracle now uses."""
+    import duckdb
+
+    from flink_note_spark.functions.scalar import words
+    from flink_note_spark.operators.text import quality_columns, token_stats
+
+    rows = [
+        (1, "the  cat\tsat\non a   mat"),     # runs of space/tab/newline
+        (2, " leading and trailing "),         # edge whitespace
+        (3, "single space only"),
+        (4, "no_whitespace"),
+    ]
+    df = _docs(spark, rows)
+
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", words("text").alias("w"),
+            *[e.alias(n) for n, e in quality_columns("text").items()],
+        ).collect()
+    }
+    # \s+ runs collapse: no "" tokens BETWEEN words (only at the edges)
+    assert got[1]["w"] == ["the", "cat", "sat", "on", "a", "mat"]
+    assert got[1]["n_words"] == 6
+    assert got[2]["w"] == ["", "leading", "and", "trailing", ""]
+    assert got[3]["w"] == ["single", "space", "only"]
+    assert got[4]["w"] == ["no_whitespace"]
+    # avg_word_len is exact from the tokens (not chars-minus-separators)
+    assert abs(got[1]["avg_word_len"] - (3 + 3 + 3 + 2 + 1 + 3) / 6) < 1e-9
+    # stopword ratio counts real tokens only: {the, a} / 6
+    assert abs(got[1]["stopword_ratio"] - 2 / 6) < 1e-9
+
+    # token-for-token parity with the oracle-side expression
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        want = con.execute(
+            "SELECT regexp_split_to_array(?, '\\s+')", [text]
+        ).fetchone()[0]
+        assert got[doc_id]["w"] == want, (doc_id, got[doc_id]["w"], want)
+
+    # n_ws_tokens rides the same kernel
+    ws = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in token_stats(df).select("doc_id", "n_ws_tokens").collect()
+    }
+    assert ws[1] == 6 and ws[2] == 5 and ws[4] == 1
