@@ -671,18 +671,27 @@ def _apply_skip(
       break ties deterministically).
     - ``skip_past_last_event`` / ``skip_to_first:i`` /
       ``skip_to_last:i``: emitted-set selection scanning matches in
-      start order — inherently a per-key sequential chain (the same
-      scan Flink's NFA performs when pruning), expressed as
-      ``applyInPandas`` over each key's matches with a per-strategy
-      prune threshold: past-last-event keeps a match only if it starts
-      STRICTLY after the previous emission's last event (event-time
-      granularity: a match starting AT that timestamp is pruned too —
-      positions are not visible at this level, documented deviation);
-      to-first/to-last keep matches starting AT or after the previous
-      emission's first/last event of step ``i`` (Flink prunes only
-      those that started strictly before it). Scale posture: input is
-      matches, not events; per-key match counts are bounded by the
-      ``within`` horizon.
+      COMPLETION order — ``(end, start)``, the order Flink's NFA
+      emits them (a match materializes when its last event arrives;
+      r8, ADVICE r7: the r7 kernel scanned in start order, which
+      inverted Flink's choice whenever a later-starting match
+      completed earlier) — inherently a per-key sequential chain,
+      expressed as ``applyInPandas`` over each key's matches with a
+      per-strategy prune threshold: past-last-event keeps a match
+      only if it starts STRICTLY after the previous emission's last
+      event (event-time granularity: a match starting AT that
+      timestamp is pruned too — positions are not visible at this
+      level, documented deviation); to-first/to-last keep matches
+      starting AT or after the previous emission's first/last event
+      of step ``i`` (Flink prunes only those that started strictly
+      before it). Matches completing at the SAME event time are
+      simultaneous: Flink reports every match that completes at an
+      event before pruning partials, so all of them are judged
+      against the bound from BEFORE the group and the bound advances
+      only once the group flushes (r8; at-timestamp granularity — two
+      distinct events sharing a timestamp read as simultaneous here).
+      Scale posture: input is matches, not events; per-key match
+      counts are bounded by the ``within`` horizon.
     """
     if skip is None or skip[0] in ("greedy", "no_skip"):
         return M
@@ -732,7 +741,7 @@ def _apply_skip(
     )
     schema = M.schema
     keep_cols = M.columns
-    sort_cols = ["__start", "__end"] + out_cols
+    sort_cols = ["__end", "__start"] + out_cols
 
     def _select(pdf):
         import pandas as pd
@@ -741,14 +750,24 @@ def _apply_skip(
             sort_cols, kind="mergesort", na_position="first"
         )
         keep, bound = [], None
-        for idx, s, t in zip(pdf.index, pdf["__start"], pdf["__thr"]):
+        group_end, group_bound = None, None
+        for idx, s, e, t in zip(
+            pdf.index, pdf["__start"], pdf["__end"], pdf["__thr"]
+        ):
+            if group_end is None or e != group_end:
+                # new completion group: flush the deferred threshold
+                bound = group_bound if group_bound is not None else bound
+                group_end, group_bound = e, None
             ok = bound is None or (
                 pd.notna(s) and (s > bound if strict_after else s >= bound)
             )
             if ok:
                 keep.append(idx)
-                if pd.notna(t) and (bound is None or t > bound):
-                    bound = t
+                if pd.notna(t) and (
+                    group_bound is None or t > group_bound
+                ):
+                    if bound is None or t > bound:
+                        group_bound = t
         return pdf.loc[keep, keep_cols]
 
     return M2.groupBy(key_col).applyInPandas(_select, schema=schema)

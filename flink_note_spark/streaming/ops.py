@@ -465,23 +465,43 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
         ts = [v for v, f in zip(cap, _is_ts) if f]
         return (min(ts), max(ts))
 
+    #: sequential strategies prune in COMPLETION order (r8, ADVICE
+    #: r7): a cap is final for the chain only when no later-decided
+    #: cap can end before it — ends of future anchors are >= wm -
+    #: within, so caps are held PENDING and released once
+    #: ``end < wm - within``, giving a release sequence globally
+    #: monotone in end across watermark windows (the batch kernel's
+    #: (end, start) scan, rendered incrementally).
+    sequential = skip is not None and skip[0] in (
+        "skip_past_last_event", "skip_to_first", "skip_to_last"
+    )
+
     def _apply_skip_rows(decided, bound):
-        """Apply the skip strategy over THIS WINDOW's decided caps.
-        ``bound`` carries the sequential threshold across watermark
-        windows (anchors finalize in start order under relaxed horizon
-        finality, so a single carried timestamp renders the batch
-        kernel's per-key scan exactly)."""
+        """no_skip / skip_to_next over THIS WINDOW's decided caps
+        (both are per-anchor selections, insensitive to cross-window
+        completion order; the sequential strategies run through the
+        pending-release chain instead)."""
         if skip is None or skip[0] == "no_skip":
             return decided, bound
+        best = {}
+        for c in sorted(decided, key=lambda c: (_se(c)[1], c)):
+            best.setdefault(_se(c)[0], c)
+        return (
+            sorted(best.values(), key=lambda c: (*_se(c), c)),
+            bound,
+        )
+
+    def _chain_sequential(release, bound):
+        """The per-key sequential prune chain over caps RELEASED in
+        completion order (sorted by (end, start); ends are monotone
+        across calls by the release rule). Caps sharing an end are
+        simultaneous completions: Flink reports every match that
+        completes at an event before pruning partials, so the whole
+        group is judged against the pre-group bound and the threshold
+        advances only when the group flushes (same-end groups never
+        split across release batches — a cap's release window depends
+        only on its end)."""
         kind, arg = skip
-        if kind == "skip_to_next":
-            best = {}
-            for c in sorted(decided, key=lambda c: (_se(c)[1], c)):
-                best.setdefault(_se(c)[0], c)
-            return (
-                sorted(best.values(), key=lambda c: (*_se(c), c)),
-                bound,
-            )
         if kind == "skip_past_last_event":
             def thr(c):
                 return _se(c)[1]
@@ -498,18 +518,30 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 return c[use]
             strict_after = False
         rows = []
-        for c in sorted(decided, key=lambda c: (*_se(c), c)):
-            s = _se(c)[0]
-            if bound is None or (
-                s > bound if strict_after else s >= bound
-            ):
-                rows.append(c)
-                t = thr(c)
-                if t is not None and (bound is None or t > bound):
-                    bound = t
+        i, n = 0, len(release)
+        while i < n:
+            e = _se(release[i])[1]
+            gb = None
+            while i < n and _se(release[i])[1] == e:
+                c = release[i]
+                s = _se(c)[0]
+                if bound is None or (
+                    s > bound if strict_after else s >= bound
+                ):
+                    rows.append(c)
+                    t = thr(c)
+                    if (
+                        t is not None
+                        and (gb is None or t > gb)
+                        and (bound is None or t > bound)
+                    ):
+                        gb = t
+                i += 1
+            if gb is not None:
+                bound = gb
         return rows, bound
 
-    def _find_gstrict(ts_buf, tp_buf, wm_us, wm_prev_us, bound):
+    def _find_gstrict(ts_buf, tp_buf, wm_us, wm_prev_us, bound, pend):
         n = 0
         while n < len(ts_buf) and ts_buf[n] < wm_us:
             n += 1
@@ -605,9 +637,9 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 cut += 1
         else:
             cut = max(0, n - (consumed_total - 1)) if consumed_total > 1 else n
-        return rows, ts_buf[cut:], tp_buf[cut:], bound
+        return rows, ts_buf[cut:], tp_buf[cut:], bound, pend
 
-    def _find_grelaxed(ts_buf, tp_buf, wm_us, wm_prev_us, bound):
+    def _find_grelaxed(ts_buf, tp_buf, wm_us, wm_prev_us, bound, pend):
         from bisect import bisect_right
 
         n = 0
@@ -758,18 +790,42 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                         break
             if ok:
                 decided.append(cap)
-        rows, bound = _apply_skip_rows(decided, bound)
+        if sequential:
+            pend = pend + decided
+            rel_cut = wm_us - within_us
+            release = sorted(
+                (c for c in pend if _se(c)[1] < rel_cut),
+                key=lambda c: (_se(c)[1], _se(c)[0], c),
+            )
+            pend = [c for c in pend if _se(c)[1] >= rel_cut]
+            rows, bound = _chain_sequential(release, bound)
+        else:
+            rows, bound = _apply_skip_rows(decided, bound)
         evict = wm_us - within_us
         cut = 0
         while cut < len(ts_buf) and ts_buf[cut] < evict:
             cut += 1
-        return rows, ts_buf[cut:], tp_buf[cut:], bound
+        return rows, ts_buf[cut:], tp_buf[cut:], bound, pend
 
     strict = contiguity == "strict"
     find = _find_gstrict if strict else _find_grelaxed
     # relaxed decisions happen at anchor horizons; strict ones at the
     # last element — arm the timer accordingly
     horizon_timer = not strict
+
+    # pending caps are carried in state FLATTENED (cap width is fixed
+    # per pattern — no optional steps in streaming), avoiding nested
+    # array state types
+    cap_w = _off
+
+    def _pack(pend):
+        return [v for c in pend for v in c]
+
+    def _unpack(flat):
+        flat = list(flat)
+        return [
+            flat[i:i + cap_w] for i in range(0, len(flat), cap_w)
+        ]
 
     def _general_cep_fn(
         key: tuple[Any, ...],
@@ -779,42 +835,53 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
         (key_val,) = key
         wm_us = state.getCurrentWatermarkMs() * 1_000
 
-        def _arm(ts_buf):
-            if horizon_timer:
-                t = (ts_buf[0] + within_us) // 1_000 + 1
-            else:
-                t = ts_buf[-1] // 1_000 + 1
+        def _arm(ts_buf, pend):
+            cands = []
+            if ts_buf:
+                if horizon_timer:
+                    cands.append((ts_buf[0] + within_us) // 1_000 + 1)
+                else:
+                    cands.append(ts_buf[-1] // 1_000 + 1)
+            if pend:
+                # a pending cap releases when wm passes end + within
+                m = min(_se(c)[1] for c in pend)
+                cands.append((m + within_us) // 1_000 + 1)
             state.setTimeoutTimestamp(
-                max(t, state.getCurrentWatermarkMs() + 1)
+                max(min(cands), state.getCurrentWatermarkMs() + 1)
             )
 
         if state.hasTimedOut:
-            ts_buf, tp_buf, wm_prev, bound = state.get
-            rows, ts_buf, tp_buf, bound = find(
-                list(ts_buf), list(tp_buf), wm_us, wm_prev, bound
+            ts_buf, tp_buf, wm_prev, bound, pf = state.get
+            rows, ts_buf, tp_buf, bound, pend = find(
+                list(ts_buf), list(tp_buf), wm_us, wm_prev, bound,
+                _unpack(pf),
             )
             if rows:
                 yield pd.DataFrame(
                     [[key_val, *r] for r in rows], columns=cols
                 )
-            if ts_buf:
-                state.update((ts_buf, tp_buf, wm_us, bound))
+            if ts_buf or pend:
+                state.update(
+                    (ts_buf, tp_buf, wm_us, bound, _pack(pend))
+                )
                 if horizon_timer:
-                    # undecided anchors remain (horizon >= wm); they
-                    # decide on watermark advance alone, so the timer
+                    # undecided anchors / unreleased caps remain; both
+                    # resolve on watermark advance alone, so the timer
                     # MUST re-arm (strict matches instead need new
                     # events, whose batch re-arms)
-                    _arm(ts_buf)
+                    _arm(ts_buf, pend)
             else:
                 # bound dies with the buffer safely: every emitted
-                # threshold is < wm, every future event arrives >= wm
+                # threshold is < wm - within, every future event
+                # arrives >= wm
                 state.remove()
             return
 
-        ts_buf, tp_buf, wm_prev, bound = [], [], 0, None
+        ts_buf, tp_buf, wm_prev, bound, pend = [], [], 0, None, []
         if state.exists:
-            prev_ts, prev_tp, wm_prev, bound = state.get
+            prev_ts, prev_tp, wm_prev, bound, pf = state.get
             ts_buf, tp_buf = list(prev_ts), list(prev_tp)
+            pend = _unpack(pf)
         new = []
         for pdf in pdfs:
             for t, y in zip(
@@ -826,14 +893,14 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
         ts_buf = [t for t, _ in merged]
         tp_buf = [y for _, y in merged]
 
-        rows, ts_buf, tp_buf, bound = find(
-            ts_buf, tp_buf, wm_us, wm_prev, bound
+        rows, ts_buf, tp_buf, bound, pend = find(
+            ts_buf, tp_buf, wm_us, wm_prev, bound, pend
         )
         if rows:
             yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
-        if ts_buf:
-            state.update((ts_buf, tp_buf, wm_us, bound))
-            _arm(ts_buf)
+        if ts_buf or pend:
+            state.update((ts_buf, tp_buf, wm_us, bound, _pack(pend)))
+            _arm(ts_buf, pend)
         else:
             state.remove()
 
@@ -859,11 +926,13 @@ def match_pattern_stream(
 
     State-schema note: the per-key state is
     ``(ts array, tp array, wm long)`` for the plain engine and
-    ``(ts array, tp array, wm long, bound long)`` for the general
-    engine (r7 added ``bound``, the sequential skip-strategy
-    threshold) and is versioned WITH this operator — restoring a
-    checkpoint written by an older build is not supported; restart
-    such a query from a fresh checkpoint.
+    ``(ts array, tp array, wm long, bound long, pend array<long>)``
+    for the general engine (r7 added ``bound``, the sequential
+    skip-strategy threshold; r8 added ``pend``, decided-but-unreleased
+    match captures flattened at fixed cap width, held until the
+    watermark passes their completion horizon) and is versioned WITH
+    this operator — restoring a checkpoint written by an older build
+    is not supported; restart such a query from a fresh checkpoint.
 
     Emits one row per match, ``(key, ts_1 .. ts_k)`` with step times in
     epoch MICROseconds (the ``stateful_sessionize`` output convention),
@@ -888,17 +957,21 @@ def match_pattern_stream(
     the batch operator.
 
     ``skip_strategy`` (r7, batch ``AfterMatchSkipStrategy`` twin):
-    RELAXED patterns support the full surface — anchors finalize in
-    start order under horizon finality, so ``no_skip`` (non-greedy
-    prefix emission) and ``skip_to_next`` decide per anchor, and the
-    sequential strategies (``skip_past_last_event`` /
-    ``skip_to_first:i`` / ``skip_to_last:i``) carry one threshold
-    timestamp per key in state (the ``bound`` field), rendering the
-    batch kernel's per-key scan exactly once across watermark
-    windows. STRICT patterns support ``no_skip`` only (prefix
-    emission is per-match-final; the pruning strategies would need
-    cross-window anchor coordination). Equality vs the batch
-    operator per strategy in tests/test_streaming.py.
+    RELAXED patterns support the full surface — ``no_skip``
+    (non-greedy prefix emission) and ``skip_to_next`` decide per
+    anchor at its horizon, and the sequential strategies
+    (``skip_past_last_event`` / ``skip_to_first:i`` /
+    ``skip_to_last:i``) prune in COMPLETION order like Flink's NFA
+    (r8): decided matches are held pending in state and released
+    through the chain once ``end + within < wm`` — no later-decided
+    match can end earlier, so releases are globally end-monotone and
+    render the batch (end, start) scan exactly, at the cost of up to
+    one extra ``within`` of emission latency for those strategies.
+    The chain carries one threshold timestamp per key (``bound``).
+    STRICT patterns support ``no_skip`` only (prefix emission is
+    per-match-final; the pruning strategies would need cross-window
+    anchor coordination). Equality vs the batch operator per strategy
+    in tests/test_streaming.py.
 
     Batch-only remainders: ``optional()``/
     ``times(n, m)`` (variant expansion), mixed contiguity, strict
@@ -1041,7 +1114,7 @@ def match_pattern_stream(
                 outputStructType=out_schema,
                 stateStructType=(
                     "ts array<long>, tp array<string>, wm long, "
-                    "bound long"
+                    "bound long, pend array<long>"
                 ),
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,

@@ -4,6 +4,7 @@ events fixture, plus DuckDB parity for the two driver-facing shapes."""
 
 from __future__ import annotations
 
+import itertools
 from datetime import datetime, timedelta
 
 import pytest
@@ -1152,15 +1153,32 @@ def _naive_skip_filter(matches, steps, strategy):
             return m[1:][use]
         strict_after = False
 
-    out, bound = [], {}
-    for m in sorted(matches, key=lambda m: (m[0], se(m), m[1:])):
-        s = se(m)[0]
-        b = bound.get(m[0])
-        if b is None or (s > b if strict_after else s >= b):
-            out.append(m)
-            t = thr(m)
-            if t is not None and (b is None or t > b):
-                bound[m[0]] = t
+    # completion order (r8): scan per key by (end, start); all matches
+    # completing at the same end are judged against the pre-group bound
+    # (Flink reports every match completing at an event before pruning)
+    out = []
+    by_key = {}
+    for m in matches:
+        by_key.setdefault(m[0], []).append(m)
+    for k, ms in by_key.items():
+        bound = None
+        for end_v, grp in itertools.groupby(
+            sorted(ms, key=lambda m: (se(m)[1], se(m)[0], m[1:])),
+            key=lambda m: se(m)[1],
+        ):
+            new_bound = bound
+            for m in grp:
+                s = se(m)[0]
+                if bound is None or (
+                    s > bound if strict_after else s >= bound
+                ):
+                    out.append(m)
+                    t = thr(m)
+                    if t is not None and (
+                        new_bound is None or t > new_bound
+                    ):
+                        new_bound = t
+            bound = new_bound
     return sorted(out)
 
 
@@ -1833,3 +1851,36 @@ def test_followed_by_any_guards(spark):
     p = Pattern.begin("A").followed_by_any("B")
     # builder mode is relaxed; works end-to-end
     assert match_pattern(df, p).count() > 0
+
+
+def test_skip_completion_order_and_simultaneous(spark):
+    """r8 (ADVICE r7): the sequential skip chain renders Flink's NFA
+    emission order — matches are pruned in COMPLETION order (end,
+    start), and every match completing at the same event is reported
+    before partials are pruned."""
+    # simultaneous completions: two relaxed anchors share their end
+    rows = [(1, 0, "A", 0), (1, 1, "A", 1), (1, 5, "C", 2)]
+    got = _collect_cols(
+        match_pattern(_mk(spark, rows), ["A", "C"], contiguity="relaxed",
+                      skip_strategy="skip_past_last_event")
+    )
+    # Flink: both matches complete at C@5 and are both emitted (the r7
+    # start-order scan emitted (0,5) and wrongly pruned (1,5))
+    assert got == [(1, 0.0, 5.0), (1, 1.0, 5.0)]
+
+    # completion-order inversion: the short branch of a non-greedy
+    # oneOrMore completes BEFORE the long branch of an earlier anchor,
+    # so it must be judged first and set the prune threshold
+    rows = [(2, 0, "A", 0), (2, 4, "A", 1), (2, 5, "C", 2), (2, 6, "C", 3)]
+    pat = ["A", {"type": "C", "one_or_more": True}]
+    got = _collect_cols(
+        match_pattern(_mk(spark, rows), pat, contiguity="relaxed",
+                      skip_strategy="skip_past_last_event")
+    )
+    # completion order: (0,5) and (4,5) end at C@5 -> both emitted,
+    # bound=5; the C@6-ending branches of both anchors start <= 5 ->
+    # pruned. (The r7 start-order scan emitted only (0,5).)
+    assert got == [
+        (2, 0.0, 5.0, 5.0, 1),
+        (2, 4.0, 5.0, 5.0, 1),
+    ]

@@ -2106,13 +2106,17 @@ def test_cep_stream_skip_rejections(spark, chunk_dir):
 
 
 def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
-    """The sequential skip threshold (state ``bound``) survives a
-    checkpoint restart: an anchor decided after the restart that
-    starts before the pre-restart emission's end must stay pruned."""
+    """The sequential skip chain's state — the carried threshold
+    (``bound``) AND the decided-but-unreleased match captures
+    (``pend``, r8 completion-order release) — survives a checkpoint
+    restart: a pending cap that starts at-or-before the pre-restart
+    emission's end stays pruned after the restart, and one that starts
+    after it emits after the restart."""
     from flink_note_spark.streaming.ops import match_pattern_stream
 
     sink = tmp_path / "cep_skipb_sink"
     ckpt = tmp_path / "cep_skipb_ckpt"
+    pat = ["V", {"type": "C", "one_or_more": True}]
 
     def run_once():
         stream = read_file_stream(
@@ -2120,7 +2124,7 @@ def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
             max_files_per_trigger=1,
         )
         out = match_pattern_stream(
-            stream, ["V", "P"], contiguity="relaxed",
+            stream, pat, contiguity="relaxed",
             within="30 minutes", watermark="2 minutes",
             skip_strategy="skip_past_last_event",
         )
@@ -2135,30 +2139,43 @@ def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
         q.processAllAvailable()
         q.stop()
 
-    # anchor V@0 decides in run 1 (h=30 < wm 31), emits (0, 25),
-    # bound=25; anchor V@3 (h=33) is still undecided at shutdown
+    # run 1 (wm ends at 42): both keys' anchors decide; only the
+    # end@10 branches release (end + within < wm ⇔ end < 12) and
+    # emit, setting bound=10; the end@12/end@20 branches stay PENDING
     _write_chunk(chunk_dir, "c1.parquet", [
         (1, 1, _ts(0), "V", 1.0),
-        (1, 2, _ts(3), "V", 1.0),
-        (1, 3, _ts(25), "P", 1.0),
+        (1, 2, _ts(10), "C", 1.0),
+        (1, 3, _ts(20), "C", 1.0),
+        (4, 4, _ts(0), "V", 1.0),
+        (4, 5, _ts(10), "C", 1.0),
+        (4, 6, _ts(11), "V", 1.0),
+        (4, 7, _ts(12), "C", 1.0),
     ])
-    _write_chunk(chunk_dir, "c2.parquet", [(99, 4, _ts(33), "Z", 1.0)])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 8, _ts(44), "Z", 1.0)])
     run_once()
     first = sorted(
-        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2_last"]),
+         int(r["n_2"]))
         for r in spark.read.parquet(str(sink)).collect()
     )
-    assert first == [(1, _us(0), _us(25))]
+    assert first == [(1, _us(0), _us(10), 1), (4, _us(0), _us(10), 1)]
 
-    # restart: V@3's match (3, 25) starts before the restored bound 25
-    # and must NOT emit
-    _write_chunk(chunk_dir, "c3.parquet", [(99, 5, _ts(120), "Z", 1.0)])
+    # restart: key 1's pending (0, ..20) starts at 0 <= restored
+    # bound 10 -> pruned; key 4's pending (11, 12) starts after the
+    # restored bound -> released and emitted (pend survived), while
+    # its (0, ..12) branch is pruned (bound survived)
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "Z", 1.0)])
     run_once()
     final = sorted(
-        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2_last"]),
+         int(r["n_2"]))
         for r in spark.read.parquet(str(sink)).collect()
     )
-    assert final == [(1, _us(0), _us(25))]
+    assert final == [
+        (1, _us(0), _us(10), 1),
+        (4, _us(0), _us(10), 1),
+        (4, _us(11), _us(12), 1),
+    ]
 
 
 def test_cumulate_window_stream_equals_batch(spark, chunk_dir, tmp_path):
