@@ -387,13 +387,24 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
     return _cep_fn
 
 
-def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
+def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                          contiguity, out_cols, skip=None):
     """Per-key incremental matcher for the GENERAL pattern surface
-    (negation + greedy ``one_or_more``/``until`` + ``times``), r7 —
-    the streaming rendering of the batch general engines, equality-
-    tested against ``operators/cep.match_pattern`` per pattern in
+    (negation + greedy ``one_or_more``/``until`` + ``times`` +
+    ``where()`` value predicates), r7/r8 — the streaming rendering of
+    the batch general engines, equality-tested against
+    ``operators/cep.match_pattern`` per pattern in
     tests/test_streaming.py.
+
+    Candidate-mask design (r8): ``steps`` carries SLOT indices, not
+    event types — ``match_pattern_stream`` pre-computes one candidate
+    boolean per pattern step (type equality AND the optional
+    ``where`` predicate, ``operators/cep._cand_cond``) as a Catalyst
+    projection BEFORE the stream enters the buffer, packs them into
+    one long (bit i = candidate for slot i), and the engines test
+    bits instead of type strings. Value predicates therefore never
+    reach Python — the payload columns are dropped at the scan — and
+    per-event state shrinks from a string to a long.
 
     Matching always runs on the STABLE REGION — buffered events with
     ``ts < wm``. Any not-yet-arrived event has ``ts >= wm``, so the
@@ -541,11 +552,14 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 bound = gb
         return rows, bound
 
-    def _find_gstrict(ts_buf, tp_buf, wm_us, wm_prev_us, bound, pend):
+    def _find_gstrict(ts_buf, mk_buf, wm_us, wm_prev_us, bound, pend):
         n = 0
         while n < len(ts_buf) and ts_buf[n] < wm_us:
             n += 1
         rows = []
+
+        def hit(pos, slot):
+            return (mk_buf[pos] >> slot) & 1
 
         def emit(cap, last_ts):
             if within_us is not None and last_ts - cap[0] > within_us:
@@ -556,21 +570,21 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
         def rec(si, pos, cap, last_ts):
             """Non-greedy (no_skip) enumeration: loops emit every
             prefix; a prefix whose next position still holds the loop
-            type dies at the following step (strict adjacency) exactly
-            as in the batch engine."""
+            candidate dies at the following step (strict adjacency)
+            exactly as in the batch engine."""
             if si == len(steps):
                 if cap:
                     emit(cap, last_ts)
                 return
-            typ, neg, times, loop, _until = steps[si]
+            slot, neg, times, loop, _until = steps[si]
             if neg:
-                if pos < n and tp_buf[pos] == typ:
+                if pos < n and hit(pos, slot):
                     return
                 rec(si + 1, pos, cap, last_ts)
                 return
             if loop:
                 q = pos
-                while q < n and tp_buf[q] == typ:
+                while q < n and hit(q, slot):
                     q += 1
                     rec(
                         si + 1, q,
@@ -580,7 +594,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 return
             first, p, lt = None, pos, last_ts
             for _ in range(times):
-                if p >= n or tp_buf[p] != typ:
+                if p >= n or not hit(p, slot):
                     return
                 if first is None:
                     first = ts_buf[p]
@@ -596,18 +610,18 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 rec(0, p0, [], None)
                 continue
             pos, cap, ok, last_ts = p0, [], True, None
-            for (typ, neg, times, loop, _until) in steps:
+            for (slot, neg, times, loop, _until) in steps:
                 if neg:
-                    if pos < n and tp_buf[pos] == typ:
+                    if pos < n and hit(pos, slot):
                         ok = False
                         break
                     continue
                 if loop:
-                    if pos >= n or tp_buf[pos] != typ:
+                    if pos >= n or not hit(pos, slot):
                         ok = False
                         break
                     q = pos
-                    while q < n and tp_buf[q] == typ:
+                    while q < n and hit(q, slot):
                         q += 1
                     cap += [ts_buf[pos], ts_buf[q - 1], q - pos]
                     last_ts = ts_buf[q - 1]
@@ -615,7 +629,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 else:
                     first = None
                     for _ in range(times):
-                        if pos >= n or tp_buf[pos] != typ:
+                        if pos >= n or not hit(pos, slot):
                             ok = False
                             break
                         if first is None:
@@ -637,26 +651,31 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 cut += 1
         else:
             cut = max(0, n - (consumed_total - 1)) if consumed_total > 1 else n
-        return rows, ts_buf[cut:], tp_buf[cut:], bound, pend
+        return rows, ts_buf[cut:], mk_buf[cut:], bound, pend
 
-    def _find_grelaxed(ts_buf, tp_buf, wm_us, wm_prev_us, bound, pend):
+    def _find_grelaxed(ts_buf, mk_buf, wm_us, wm_prev_us, bound, pend):
         from bisect import bisect_right
 
         n = 0
         while n < len(ts_buf) and ts_buf[n] < wm_us:
             n += 1
-        by_type: dict[str, list[int]] = {}
-        for t, y in zip(ts_buf[:n], tp_buf[:n]):
-            by_type.setdefault(y, []).append(t)
+        by_slot: dict[int, list[int]] = {}
+        for t, m in zip(ts_buf[:n], mk_buf[:n]):
+            s = 0
+            while m:
+                if m & 1:
+                    by_slot.setdefault(s, []).append(t)
+                m >>= 1
+                s += 1
 
-        def first_after(typ, after):
-            c = by_type.get(typ)
+        def first_after(slot, after):
+            c = by_slot.get(slot)
             if not c:
                 return None
             i = bisect_right(c, after)
             return c[i] if i < len(c) else None
 
-        t0_type = next(s[0] for s in steps if not s[1])
+        t0_slot = next(s[0] for s in steps if not s[1])
         decided = []
 
         def rec(s0, h, si, cur, cap, pending):
@@ -670,9 +689,9 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                         return
                 decided.append(cap)
                 return
-            typ, neg, times, loop, until = steps[si]
+            slot, neg, times, loop, until = steps[si]
             if neg:
-                rec(s0, h, si, cur, cap, pending + [(typ, cur)])
+                rec(s0, h, si, cur, cap, pending + [(slot, cur)])
                 return
 
             def negs_ok(nxt):
@@ -686,7 +705,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 anchor = s0 if cur is None else cur
                 els0 = [s0] if cur is None else []
                 stop = first_after(until, anchor) if until else None
-                lst = by_type.get(typ, [])
+                lst = by_slot.get(slot, [])
                 i = bisect_right(lst, anchor)
                 els = els0 + [
                     t for t in lst[i:]
@@ -703,12 +722,12 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
             if cur is None:
                 nxt, new_cur = s0, s0
             else:
-                nxt = first_after(typ, cur)
+                nxt = first_after(slot, cur)
                 if nxt is None or nxt > h:
                     return
                 new_cur = nxt
             for _ in range(times - 1):
-                new_cur = first_after(typ, new_cur)
+                new_cur = first_after(slot, new_cur)
                 if new_cur is None or new_cur > h:
                     return
             if not negs_ok(nxt):
@@ -718,7 +737,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 cap + [nxt] + ([new_cur] if times > 1 else []), [],
             )
 
-        for s0 in by_type.get(t0_type, ()):
+        for s0 in by_slot.get(t0_slot, ()):
             h = s0 + within_us
             if not (wm_prev_us <= h < wm_us):  # decided exactly once
                 continue
@@ -726,15 +745,15 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 rec(s0, h, 0, None, [], [])
                 continue
             cap, cur, ok, pending = [], None, True, []
-            for (typ, neg, times, loop, until) in steps:
+            for (slot, neg, times, loop, until) in steps:
                 if neg:
-                    pending.append((typ, cur))
+                    pending.append((slot, cur))
                     continue
                 if loop:
                     anchor = s0 if cur is None else cur
                     els0 = [s0] if cur is None else []
                     stop = first_after(until, anchor) if until else None
-                    lst = by_type.get(typ, [])
+                    lst = by_slot.get(slot, [])
                     i = bisect_right(lst, anchor)
                     els = els0 + [
                         t for t in lst[i:]
@@ -753,7 +772,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                         new_cur = s0
                         reps = times - 1
                     else:
-                        nxt = first_after(typ, cur)
+                        nxt = first_after(slot, cur)
                         if nxt is None or nxt > h:
                             ok = False
                             break
@@ -761,7 +780,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                         new_cur = nxt
                         reps = times - 1
                     for _ in range(reps):
-                        new_cur = first_after(typ, new_cur)
+                        new_cur = first_after(slot, new_cur)
                         if new_cur is None or new_cur > h:
                             ok = False
                             break
@@ -805,7 +824,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
         cut = 0
         while cut < len(ts_buf) and ts_buf[cut] < evict:
             cut += 1
-        return rows, ts_buf[cut:], tp_buf[cut:], bound, pend
+        return rows, ts_buf[cut:], mk_buf[cut:], bound, pend
 
     strict = contiguity == "strict"
     find = _find_gstrict if strict else _find_grelaxed
@@ -851,9 +870,9 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
             )
 
         if state.hasTimedOut:
-            ts_buf, tp_buf, wm_prev, bound, pf = state.get
-            rows, ts_buf, tp_buf, bound, pend = find(
-                list(ts_buf), list(tp_buf), wm_us, wm_prev, bound,
+            ts_buf, mk_buf, wm_prev, bound, pf = state.get
+            rows, ts_buf, mk_buf, bound, pend = find(
+                list(ts_buf), list(mk_buf), wm_us, wm_prev, bound,
                 _unpack(pf),
             )
             if rows:
@@ -862,7 +881,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 )
             if ts_buf or pend:
                 state.update(
-                    (ts_buf, tp_buf, wm_us, bound, _pack(pend))
+                    (ts_buf, mk_buf, wm_us, bound, _pack(pend))
                 )
                 if horizon_timer:
                     # undecided anchors / unreleased caps remain; both
@@ -877,29 +896,29 @@ def _make_general_cep_fn(steps, key_name, ts_col, type_col, within_us,
                 state.remove()
             return
 
-        ts_buf, tp_buf, wm_prev, bound, pend = [], [], 0, None, []
+        ts_buf, mk_buf, wm_prev, bound, pend = [], [], 0, None, []
         if state.exists:
-            prev_ts, prev_tp, wm_prev, bound, pf = state.get
-            ts_buf, tp_buf = list(prev_ts), list(prev_tp)
+            prev_ts, prev_mk, wm_prev, bound, pf = state.get
+            ts_buf, mk_buf = list(prev_ts), list(prev_mk)
             pend = _unpack(pf)
         new = []
         for pdf in pdfs:
             for t, y in zip(
                 (pdf[ts_col].astype("int64") // 1_000).tolist(),
-                pdf[type_col].tolist(),
+                pdf[mask_col].astype("int64").tolist(),
             ):
                 new.append((t, y))
-        merged = sorted(list(zip(ts_buf, tp_buf)) + new)
+        merged = sorted(list(zip(ts_buf, mk_buf)) + new)
         ts_buf = [t for t, _ in merged]
-        tp_buf = [y for _, y in merged]
+        mk_buf = [y for _, y in merged]
 
-        rows, ts_buf, tp_buf, bound, pend = find(
-            ts_buf, tp_buf, wm_us, wm_prev, bound, pend
+        rows, ts_buf, mk_buf, bound, pend = find(
+            ts_buf, mk_buf, wm_us, wm_prev, bound, pend
         )
         if rows:
             yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
         if ts_buf or pend:
-            state.update((ts_buf, tp_buf, wm_us, bound, _pack(pend)))
+            state.update((ts_buf, mk_buf, wm_us, bound, _pack(pend)))
             _arm(ts_buf, pend)
         else:
             state.remove()
@@ -926,19 +945,22 @@ def match_pattern_stream(
 
     State-schema note: the per-key state is
     ``(ts array, tp array, wm long)`` for the plain engine and
-    ``(ts array, tp array, wm long, bound long, pend array<long>)``
-    for the general engine (r7 added ``bound``, the sequential
-    skip-strategy threshold; r8 added ``pend``, decided-but-unreleased
-    match captures flattened at fixed cap width, held until the
-    watermark passes their completion horizon) and is versioned WITH
+    ``(ts array, mk array<long>, wm long, bound long,
+    pend array<long>)`` for the general engine (r7 added ``bound``,
+    the sequential skip-strategy threshold; r8 added ``pend``,
+    decided-but-unreleased match captures flattened at fixed cap
+    width, held until the watermark passes their completion horizon,
+    and replaced the per-event type string by ``mk``, the per-step
+    candidate bitmask computed JVM-side) and is versioned WITH
     this operator — restoring a checkpoint written by an older build
     is not supported; restart such a query from a fresh checkpoint.
 
     Emits one row per match, ``(key, ts_1 .. ts_k)`` with step times in
     epoch MICROseconds (the ``stateful_sessionize`` output convention),
     once the watermark passes the match's last event. Equal-timestamp
-    events order by event type (use unique timestamps per key for a
-    total order). Strict state per key is bounded by the watermark
+    events order by event type (plain engine) / candidate mask
+    (general engine) — use unique timestamps per key for a total
+    order. Strict state per key is bounded by the watermark
     delay plus ``k-1`` events; relaxed (``followedBy``,
     skip-till-next-match) REQUIRES ``within`` — it is both the match
     horizon and the state bound (events older than
@@ -950,11 +972,14 @@ def match_pattern_stream(
 
     ``pattern`` may also be an ``operators.cep.Pattern`` or step-spec
     list containing ``times(n)`` quantifiers (expanded positionally).
-    Negation (``not_next``/``not_followed_by``) and greedy
-    ``one_or_more``/``until`` loops run on the general per-key engine
-    (r7, ``_make_general_cep_fn`` — finality/eviction proofs there),
-    with loop steps adding ``ts_i_last``/``n_i`` columns exactly like
-    the batch operator.
+    Negation (``not_next``/``not_followed_by``), greedy
+    ``one_or_more``/``until`` loops, and ``where()`` value predicates
+    (r8 — Flink ``SimpleCondition``; the predicate evaluates
+    JVM-side into the candidate mask before buffering, so payload
+    columns never reach Python) run on the general per-key engine
+    (r7/r8, ``_make_general_cep_fn`` — finality/eviction proofs
+    there), with loop steps adding ``ts_i_last``/``n_i`` columns
+    exactly like the batch operator.
 
     ``skip_strategy`` (r7, batch ``AfterMatchSkipStrategy`` twin):
     RELAXED patterns support the full surface — ``no_skip``
@@ -1023,18 +1048,14 @@ def match_pattern_stream(
                 "optional()/times(n, m) streaming CEP is batch-only "
                 "(variant expansion has no incremental rendering yet)"
             )
-        if any(s.where is not None for s in steps):
-            raise ValueError(
-                "where() value predicates are batch-only (the "
-                "streaming buffer keys events by type; carry the "
-                "payload or pre-derive a type column upstream)"
-            )
         if any(s.any_match for s in steps):
             raise ValueError(
                 "followedByAny streaming CEP is batch-only (the "
                 "incremental engines bind earliest-only)"
             )
-        general = general or any(s.negate or s.loop for s in steps)
+        general = general or any(
+            s.negate or s.loop or s.where is not None for s in steps
+        )
         if not general:
             pattern = _expand_simple_steps(steps)
     if contiguity is None:
@@ -1099,21 +1120,40 @@ def match_pattern_stream(
         out_schema = f"{key_col} {key_type}, " + ", ".join(
             f"{c} long" for c in out_cols
         )
-        steps_t = tuple(
-            (s.event_type, s.negate, s.times, s.loop, s.until)
-            for s in steps
+        # slot allocation (r8): one candidate bit per step — type
+        # equality AND the optional where() value predicate, computed
+        # by CATALYST before the stream enters the buffer (payload
+        # columns never reach Python) — plus one bit per loop step's
+        # until stop type; the engines test bits, not type strings
+        from flink_note_spark.operators.cep import _cand_cond
+
+        conds = [_cand_cond(s, type_col) for s in steps]
+        steps_t = []
+        for i, s in enumerate(steps):
+            until_slot = None
+            if s.loop and s.until is not None:
+                until_slot = len(conds)
+                conds.append(F.col(type_col) == s.until)
+            steps_t.append((i, s.negate, s.times, s.loop, until_slot))
+        steps_t = tuple(steps_t)
+        mask = None
+        for i, c in enumerate(conds):
+            term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+            mask = term if mask is None else mask + term
+        projected = stream.select(
+            key_col, time_col, mask.cast("long").alias("__cand_mask")
         )
         return (
-            stream.withWatermark(time_col, watermark)
+            projected.withWatermark(time_col, watermark)
             .groupBy(key_col)
             .applyInPandasWithState(
                 _make_general_cep_fn(
-                    steps_t, key_col, time_col, type_col, within_us,
-                    contiguity, out_cols, skip,
+                    steps_t, key_col, time_col, "__cand_mask",
+                    within_us, contiguity, out_cols, skip,
                 ),
                 outputStructType=out_schema,
                 stateStructType=(
-                    "ts array<long>, tp array<string>, wm long, "
+                    "ts array<long>, mk array<long>, wm long, "
                     "bound long, pend array<long>"
                 ),
                 outputMode="update",

@@ -2362,3 +2362,166 @@ def test_temporal_join_foreachbatch_reread_slowly_changing_dim(
     # batch 0's fact (ts=5) sees only v1; batch 1's fact (ts=30) sees
     # the v2 version effective from ts=20
     assert got == [(1, 1, 10.0), (1, 2, 20.0)]
+
+
+def test_cep_stream_where_equals_batch(spark, chunk_dir, tmp_path):
+    """r8 streaming where() value predicates (Flink SimpleCondition):
+    on a seeded soup with payload values split into micro-batches, a
+    relaxed pattern whose steps carry value predicates — including a
+    predicated oneOrMore loop and a predicated negation — matches the
+    batch operator exactly. The predicate never reaches Python: it is
+    folded into the per-step candidate mask by Catalyst before the
+    stream enters the state buffer."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(43)
+    minutes = rng.sample(range(0, 300), 90)
+    rows = sorted(
+        [
+            (rng.randrange(1, 7), i, _ts(m),
+             rng.choice(["V", "C", "P", "Z"]), round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 25:(i + 1) * 25])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+
+    pats = [
+        (
+            "w_simple",
+            Pattern.begin("V")
+            .followed_by("P").where("value > 0.5")
+            .within("45 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+        (
+            "w_loop",
+            Pattern.begin("V").where("value < 0.9")
+            .followed_by("C").where("value < 0.7").one_or_more()
+            .followed_by("P")
+            .within("45 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+        ),
+        (
+            "w_neg",
+            Pattern.begin("V")
+            .not_followed_by("Z").where("value > 0.2")
+            .followed_by("P").where("value > 0.3")
+            .within("45 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+    ]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    for tag, p, cols in pats:
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="3 minutes")
+        _run_to_memory(out, f"cep_where_{tag}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_where_{tag}", cols)
+        want = _batch_rows(match_pattern(batch_df, p), cols)
+        assert got == want, tag
+        assert got, tag
+
+
+def test_cep_stream_where_strict_equals_batch(spark, chunk_dir, tmp_path):
+    """Strict (next()) contiguity with a value predicate: an event of
+    the right type that FAILS the predicate breaks adjacency, exactly
+    as in the batch lead-chain engine."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(44)
+    minutes = rng.sample(range(0, 200), 80)
+    rows = sorted(
+        [
+            (rng.randrange(1, 5), i, _ts(m),
+             rng.choice(["A", "B"]), round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(600), "Q", 1.0)])
+
+    p = (
+        Pattern.begin("A")
+        .next("B").where("value > 0.4")
+        .within("60 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2"]
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_where_strict", "update", tmp_path)
+    got = _stream_rows(spark, "cep_where_strict", cols)
+    want = _batch_rows(
+        match_pattern(batch_df := spark.read.schema(EVENT_SCHEMA)
+                      .parquet(str(chunk_dir)),
+                      p, tiebreak=["event_id"]),
+        cols,
+    )
+    assert got == want
+    assert got
+
+
+def test_cep_stream_where_survives_restart(spark, chunk_dir, tmp_path):
+    """A predicated pattern's candidate masks live in checkpointed
+    state: matches spanning a stop/restart boundary still honor the
+    value predicate."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_where_sink"
+    ckpt = tmp_path / "cep_where_ckpt"
+    p = (
+        Pattern.begin("V")
+        .followed_by("P").where("value > 0.5")
+        .within("30 minutes")
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="2 minutes")
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # V@0 buffered in run 1; its only qualifying P arrives after the
+    # restart (P@5 fails the predicate and must be skipped over)
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(5), "P", 0.2),
+    ])
+    run_once()
+    assert not (sink).exists()
+
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(10), "P", 0.9)])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "Z", 1.0)])
+    run_once()
+    final = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["ts_2"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert final == [(1, _us(0), _us(10))]
