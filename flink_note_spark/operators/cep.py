@@ -94,6 +94,7 @@ terminal negation/loops (no final answer on an unbounded stream).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window
@@ -169,11 +170,12 @@ class PatternStep:
     #: in one pattern, r6); ``None`` inherits ``match_pattern``'s
     #: ``contiguity`` argument
     mode: str | None = None
-    #: Flink ``where(SimpleCondition)`` (r7): an extra per-step value
-    #: predicate (a ``Column`` or SQL string) ANDed with the type
-    #: equality — the step only matches events satisfying BOTH. Batch
-    #: engines only (streaming raises); simple (per-event) conditions,
-    #: not Flink's IterativeCondition over earlier bindings.
+    #: Flink ``where()`` (r7/r8): an extra per-step value predicate
+    #: (a ``Column`` or SQL string) ANDed with the type equality — the
+    #: step only matches events satisfying BOTH. SQL strings may carry
+    #: cross-step refs ``s<k>./first./prev.`` (Flink's
+    #: IterativeCondition, r8 — see :meth:`Pattern.where`). Batch
+    #: engines only (streaming raises).
     #: ``compare=False``: a Column's ``==`` builds an expression, it
     #: does not test equality.
     where: object | None = field(default=None, compare=False)
@@ -302,10 +304,20 @@ class Pattern:
         return self
 
     def where(self, condition) -> "Pattern":
-        """Flink ``where(SimpleCondition)`` (r7): attach a value
-        predicate (``Column`` or SQL string) to the LAST step — the
-        step matches only events of its type that also satisfy the
-        condition. Batch engines only."""
+        """Flink ``where()`` (r7/r8): attach a value predicate
+        (``Column`` or SQL string) to the LAST step — the step matches
+        only events of its type that also satisfy the condition.
+
+        SQL strings may reference EARLIER matched steps (Flink's
+        ``IterativeCondition``, r8) as ``s<k>.<col>`` (k = 1-based
+        positive step index, the ``ts_<k>`` numbering, binding the
+        step's FIRST event), with ``first.<col>`` / ``prev.<col>``
+        sugar: ``.followed_by("purchase").where("value > s1.value")``.
+        Iterative conditions run on the batch strict lead-chain
+        (lead∘lag window expressions, zero joins) and the relaxed
+        engine (earliest-QUALIFYING binding via one co-partitioned
+        key equi-join per step); they do not compose with loops,
+        optional()/times(n, m), the mixed engine, or streaming."""
         return self._mod_last(where=condition)
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
@@ -624,6 +636,49 @@ def match_pattern(
             "a relaxed-family binding mode)"
         )
 
+    iter_info = _resolve_iter(steps)
+    if iter_info:
+        if any(s.optional or s.times_max is not None for s in steps):
+            raise ValueError(
+                "iterative conditions do not compose with optional()/"
+                "times(n, m) (variant expansion renumbers the s<k> "
+                "step references)"
+            )
+        missing = {
+            c for _, refs in iter_info.values() for (_k, c) in refs
+        } - set(events.columns)
+        if missing:
+            raise ValueError(
+                f"iterative condition references column(s) "
+                f"{sorted(missing)} not present in the events frame"
+            )
+        loop_pidx, p = set(), 0
+        for s in steps:
+            if not s.negate:
+                p += 1
+                if s.loop:
+                    loop_pidx.add(p)
+        if any(steps[i].loop for i in iter_info):
+            raise ValueError(
+                "iterative conditions on one_or_more steps are not "
+                "supported (per-element cross-step predicates need "
+                "the sequential kernel)"
+            )
+        if any(
+            k in loop_pidx
+            for _, refs in iter_info.values() for (k, _c) in refs
+        ):
+            raise ValueError(
+                "iterative conditions cannot reference a one_or_more "
+                "step (the loop binds a run, not one event)"
+            )
+        if contiguity == "strict" and any(s.loop for s in steps):
+            raise ValueError(
+                "iterative conditions with strict loop steps are not "
+                "supported (the segments engine binds runs by "
+                "position)"
+            )
+
     if any(s.optional or s.times_max is not None for s in steps):
         M = _match_variants(
             events, steps, key_col, time_col, type_col, within,
@@ -643,12 +698,12 @@ def match_pattern(
         else:
             M = _strict_leadchain(
                 events, steps, key_col, time_col, type_col, within,
-                tiebreak or [],
+                tiebreak or [], iter_info,
             )
     else:
         M = _match_relaxed(
             events, steps, key_col, time_col, type_col, within,
-            greedy_loops,
+            greedy_loops, iter_info,
         )
     return _apply_skip(M, steps, key_col, skip)
 
@@ -846,12 +901,84 @@ def _match_variants(
 
 def _cand_cond(s: PatternStep, type_col: str) -> Column:
     """A step's candidate condition (r7): type equality AND the
-    optional ``where`` value predicate (Flink ``where()``)."""
+    optional ``where`` value predicate (Flink ``where()``). An
+    ITERATIVE condition (r8 — cross-step refs, :func:`_iter_where`)
+    cannot be evaluated per-event; the candidate boolean degrades to
+    type equality and the engines evaluate the full predicate at
+    binding time (lead/lag substitution in the strict chain, join
+    conjunct in the relaxed binds)."""
     c = F.col(type_col) == s.event_type
-    if s.where is not None:
+    if s.where is not None and _iter_where(s) is None:
         w = F.expr(s.where) if isinstance(s.where, str) else s.where
         c = c & w
     return c
+
+
+#: cross-step reference inside a ``where()`` SQL string (r8 — Flink
+#: ``IterativeCondition``): ``s<k>.<col>`` addresses the k-th POSITIVE
+#: step's FIRST bound event (1-based, the ``ts_<k>`` numbering);
+#: ``first.<col>`` is sugar for ``s1``, ``prev.<col>`` for the
+#: immediately preceding positive step. Bare column names keep meaning
+#: the candidate event itself (the SimpleCondition surface).
+_ITER_REF_RE = re.compile(
+    r"\b(?:s(\d+)|(first)|(prev))\.([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def _iter_where(s: PatternStep) -> str | None:
+    """The step's ``where`` string IF it is an iterative condition
+    (contains cross-step refs), else None. Column-typed conditions
+    cannot carry refs (``F.col("s1.value")`` would parse as struct
+    access) — iterative conditions must be SQL strings."""
+    if isinstance(s.where, str) and _ITER_REF_RE.search(s.where):
+        return s.where
+    return None
+
+
+def _resolve_iter(
+    steps: list[PatternStep],
+) -> dict[int, tuple[str, list[tuple[int, str]]]]:
+    """Resolve iterative conditions (r8): returns
+    ``{step_idx: (template, refs)}`` where ``template`` is the where
+    string with every cross-step ref rewritten to the carried-payload
+    column name ``__v{k}_{col}`` and ``refs`` is the sorted
+    ``(positive_step_k, col)`` set. Validates that refs point STRICTLY
+    earlier: a positive step with positive index p may reference
+    1..p-1; a negated step declared after positive index p may
+    reference 1..p (``prev`` resolves to the upper bound)."""
+    out: dict[int, tuple[str, list[tuple[int, str]]]] = {}
+    pidx = 0
+    for idx, s in enumerate(steps):
+        if s.negate:
+            max_ref = pidx
+        else:
+            pidx += 1
+            max_ref = pidx - 1
+        iw = _iter_where(s)
+        if iw is None:
+            continue
+        refs: set[tuple[int, str]] = set()
+
+        def sub(m: "re.Match[str]") -> str:
+            if m.group(1) is not None:
+                k = int(m.group(1))
+            elif m.group(2) is not None:
+                k = 1
+            else:  # prev
+                k = max_ref
+            if not (1 <= k <= max_ref):
+                raise ValueError(
+                    f"iterative condition {iw!r} references step "
+                    f"s{k}, but only s1..s{max_ref} are bound at "
+                    f"this point (refs must point to EARLIER "
+                    f"positive steps)"
+                )
+            col = m.group(4)
+            refs.add((k, col))
+            return f"__v{k}_{col}"
+
+        out[idx] = (_ITER_REF_RE.sub(sub, iw), sorted(refs))
+    return out
 
 
 def _with_cand_cols(
@@ -881,25 +1008,86 @@ def _strict_leadchain(
     type_col: str,
     within: str | None,
     tiebreak: list[str],
+    iter_info: dict[int, tuple[str, list[tuple[int, str]]]] | None = None,
 ) -> DataFrame:
     """Loop-free strict pattern: ONE window pass, fixed lead offsets.
     Negated steps assert at the current offset without consuming it.
     Steps with ``where`` predicates (r7) match on precomputed
     candidate booleans instead of type equality — same single window
-    pass, one extra boolean column per step."""
+    pass, one extra boolean column per step.
+
+    ITERATIVE conditions (r8, Flink ``IterativeCondition``): because
+    strict contiguity binds FIXED offsets, a cross-step ref
+    ``s<k>.col`` evaluated at a candidate row is just
+    ``lag(col, d)`` with ``d`` = (candidate offset − step k's first
+    offset) — a per-event boolean ``__ic{idx}_{r}`` (one per
+    repetition, distances shift with ``r``) that the chain then tests
+    with the usual ``lead``. Still ZERO joins, one window pass; the
+    payload never leaves the scan projection."""
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
-    has_where = any(st.where is not None for st in steps)
-    if has_where:
-        df = _with_cand_cols(
-            events, steps, [key_col, time_col, type_col, *tiebreak],
-            type_col,
-        )
-    else:
-        df = events.select(key_col, time_col, type_col, *tiebreak)
+    iter_info = iter_info or {}
+    has_where = any(
+        st.where is not None and idx not in iter_info
+        for idx, st in enumerate(steps)
+    )
 
-    def lead_match(idx: int, s: PatternStep, off: int) -> Column:
+    # offset pre-pass: positive step p's first-event offset, and each
+    # step's per-repetition offsets (negations assert without consuming)
+    first_off: dict[int, int] = {}
+    own_offs: dict[int, list[int]] = {}
+    off0, p0 = 0, 0
+    for idx, s in enumerate(steps):
+        if s.negate:
+            own_offs[idx] = [off0]
+            continue
+        p0 += 1
+        first_off[p0] = off0
+        own_offs[idx] = [off0 + r for r in range(s.times)]
+        off0 += s.times
+
+    base_cols = [key_col, time_col, type_col, *tiebreak]
+    if has_where or iter_info:
+        df = events
+        lag_cols: dict[tuple[int, str], str] = {}
+        ic_cols: list[tuple[str, str, str]] = []
+        for idx, (template, refs) in iter_info.items():
+            s = steps[idx]
+            for r, o in enumerate(own_offs[idx]):
+                expr_s = template
+                for (k, c) in refs:
+                    d = o - first_off[k]
+                    nm = f"__lg{d}_{c}"
+                    lag_cols[(d, c)] = nm
+                    expr_s = expr_s.replace(f"__v{k}_{c}", nm)
+                ic_cols.append((f"__ic{idx}_{r}", s.event_type, expr_s))
+        for (d, c), nm in lag_cols.items():
+            df = df.withColumn(nm, F.lag(c, d).over(w))
+        for nm, etype, expr_s in ic_cols:
+            df = df.withColumn(
+                nm,
+                F.coalesce(
+                    (F.col(type_col) == etype) & F.expr(expr_s),
+                    F.lit(False),
+                ),
+            )
+        keep = list(base_cols)
         if has_where:
+            for i2, st in enumerate(steps):
+                if i2 in iter_info or st.where is None:
+                    continue
+                df = df.withColumn(f"__c{i2}", _cand_cond(st, type_col))
+                keep.append(f"__c{i2}")
+        keep += [nm for nm, _, _ in ic_cols]
+        df = df.select(*keep)
+    else:
+        df = events.select(*base_cols)
+
+    def lead_match(idx: int, s: PatternStep, off: int, r: int = 0
+                   ) -> Column:
+        if idx in iter_info:
+            return F.lead(f"__ic{idx}_{r}", off).over(w)
+        if has_where and s.where is not None:
             return F.lead(f"__c{idx}", off).over(w)
         return F.lead(type_col, off).over(w) == s.event_type
 
@@ -916,7 +1104,7 @@ def _strict_leadchain(
         i += 1
         for r in range(s.times):
             lts = F.lead(time_col, off).over(w)
-            cond = cond & lead_match(idx, s, off)
+            cond = cond & lead_match(idx, s, off, r)
             if r == 0:
                 sel.append(lts.alias(f"ts_{i}"))
             if s.times > 1 and r == s.times - 1:
@@ -1260,6 +1448,7 @@ def _earliest_after(
     key_col: str,
     prev_col: str,
     out_col: str,
+    carry: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Attach ``out_col`` = min step time STRICTLY after ``prev_col``,
     per key — the forward-looking sibling of ``asof_join``'s union +
@@ -1269,7 +1458,14 @@ def _earliest_after(
     first (side desc), so an equal-time step event stays outside the
     frame — that is exactly the strict ``>``. One shuffle on the key,
     no join explosion. Arbitrary anchor payload columns ride along
-    (null on the step side)."""
+    (null on the step side).
+
+    ``carry`` (r8): ``[(src_col, dst_col), ...]`` — additionally
+    carry the BOUND event's payload columns (present on the step
+    side) into the anchor row as ``dst_col``, via the same running
+    min lifted to a struct keyed on time (ties among equal-time step
+    events break on payload order — deterministic). Feeds iterative
+    conditions downstream without a second (key, time) join."""
     t, side = "__cep_t", "__cep_side"
     a = anchors.withColumn(t, F.col(prev_col)).withColumn(side, F.lit(1))
     s = step.withColumnRenamed("__step_t", t).withColumn(side, F.lit(0))
@@ -1279,6 +1475,26 @@ def _earliest_after(
         .orderBy(F.col(t).desc(), F.col(side).desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    if carry:
+        hit = F.min(
+            F.when(
+                F.col(side) == 0,
+                F.struct(
+                    F.col(t).alias("t"),
+                    *[F.col(src).alias(dst) for src, dst in carry],
+                ),
+            )
+        ).over(w)
+        out = (
+            merged.withColumn("__cep_hit", hit)
+            .filter(F.col(side) == 1)
+            .withColumn(out_col, F.col("__cep_hit.t"))
+        )
+        for _src, dst in carry:
+            out = out.withColumn(dst, F.col(f"__cep_hit.{dst}"))
+        return out.drop(
+            t, side, "__cep_hit", *{src for src, _ in carry}
+        )
     filled = merged.withColumn(
         out_col,
         F.min(F.when(F.col(side) == 0, F.col(t))).over(w),
@@ -1294,29 +1510,88 @@ def _match_relaxed(
     type_col: str,
     within: str | None,
     greedy_loops: bool = True,
+    iter_info: dict[int, tuple[str, list[tuple[int, str]]]] | None = None,
 ) -> DataFrame:
+    """Relaxed (skip-till-next-match) engine. ITERATIVE conditions
+    (r8, Flink ``IterativeCondition``) change binding, not shape:
+
+    - a step whose ``where`` references earlier steps binds the
+      earliest QUALIFYING candidate (the predicate is evaluated
+      DURING binding — binding the earliest of the type and
+      post-filtering would be wrong) via ONE co-partitioned key
+      equi-join with the predicate as a residual conjunct, then a
+      struct-min group-agg per anchor; fan-out is bounded by the
+      ``within`` horizon (the horizon is a join conjunct);
+    - referenced steps' payload columns ride along as
+      ``__v{k}_{col}`` — carried in the struct-min of the normal
+      binds (:func:`_earliest_after` ``carry``), selected directly at
+      join-based binds — never a second (key, time) join;
+    - iterative negations are LEFT ANTI joins (absence of a
+      qualifying candidate in the guarded interval);
+    - duplicate anchors are compressed to (row, __mult) before a
+      group-agg bind and re-exploded at the end (the loop doctrine).
+    """
+    iter_info = iter_info or {}
     has_where = any(st.where is not None for st in steps)
-    if has_where:
+    #: positive step index -> payload columns later iterative
+    #: conditions reference (must be carried through its bind)
+    ref_cols: dict[int, list[str]] = {}
+    for _idx, (_tmpl, refs) in iter_info.items():
+        for (k, c) in refs:
+            cl = ref_cols.setdefault(k, [])
+            if c not in cl:
+                cl.append(c)
+    if iter_info:
+        clash = {
+            c for c in events.columns
+            if c.startswith(("ts_", "__v", "__mult", "__step_t", "__ik"))
+        }
+        if clash:
+            raise ValueError(
+                f"event columns {sorted(clash)} clash with the "
+                f"iterative engine's internal names; rename them first"
+            )
+        base = _with_cand_cols(
+            events, steps, list(events.columns), type_col
+        )
+    elif has_where:
         base = _with_cand_cols(
             events, steps, [key_col, time_col, type_col], type_col
         )
     else:
         base = events.select(key_col, time_col, type_col)
 
+    payload_cols = [c for c in events.columns if c != key_col]
+
     def typed(t: str) -> DataFrame:
         return base.filter(F.col(type_col) == t).select(
             key_col, F.col(time_col).alias("__step_t")
         )
 
-    def cand(idx: int) -> DataFrame:
+    def cand(idx: int, extra: list[str] | None = None) -> DataFrame:
         """Step ``idx``'s candidate events (type + optional r7 where
-        predicate)."""
+        predicate); ``extra`` payload columns ride along (r8 carry)."""
         if has_where:
             flt = F.col(f"__c{idx}")
         else:
             flt = F.col(type_col) == steps[idx].event_type
         return base.filter(flt).select(
-            key_col, F.col(time_col).alias("__step_t")
+            key_col, F.col(time_col).alias("__step_t"), *(extra or [])
+        )
+
+    def cand_payload(idx: int) -> DataFrame:
+        """Candidate side for join-based iterative binds: key aliased
+        (no ambiguity), time as ``__step_t`` AND under its own name
+        (bare refs in the predicate may use it), full payload for the
+        predicate's bare column refs."""
+        if has_where:
+            flt = F.col(f"__c{idx}")
+        else:
+            flt = F.col(type_col) == steps[idx].event_type
+        return base.filter(flt).select(
+            F.col(key_col).alias("__ik"),
+            F.col(time_col).alias("__step_t"),
+            *payload_cols,
         )
 
     has_loop = any(s.loop for s in steps)
@@ -1327,9 +1602,16 @@ def _match_relaxed(
     # (negated step index, anchor ts column at declaration time)
     pending_neg: list[tuple[int, str]] = []
 
-    def bind(M: DataFrame, idx: int, prev_col: str, out_col: str
-             ) -> DataFrame:
-        out = _earliest_after(M, cand(idx), key_col, prev_col, out_col)
+    def bind(M: DataFrame, idx: int, prev_col: str, out_col: str,
+             carry_p: int | None = None) -> DataFrame:
+        carry = (
+            [(c, f"__v{carry_p}_{c}") for c in ref_cols[carry_p]]
+            if carry_p is not None and carry_p in ref_cols else None
+        )
+        out = _earliest_after(
+            M, cand(idx, [s for s, _ in carry] if carry else None),
+            key_col, prev_col, out_col, carry,
+        )
         out = out.filter(F.col(out_col).isNotNull())
         if within is not None:
             # prune per step: ts_i is monotone, a partial match past the
@@ -1339,9 +1621,58 @@ def _match_relaxed(
             )
         return out
 
+    def bind_iter(M: DataFrame, idx: int, p: int, prev_col: str,
+                  out_col: str, carry_self: bool) -> DataFrame:
+        """Earliest QUALIFYING candidate for an iterative step: key
+        equi-join with the predicate (and horizon) as residual
+        conjuncts, struct-min per anchor. Requires compressed anchors
+        (group-agg keyed on the anchor row)."""
+        template, _refs = iter_info[idx]
+        C = cand_payload(idx)
+        jc = (
+            (F.col(key_col) == F.col("__ik"))
+            & (F.col("__step_t") > F.col(prev_col))
+            & F.expr(template)
+        )
+        if within is not None:
+            jc = jc & (
+                F.col("__step_t") <= F.col("ts_1") + _within_expr(within)
+            )
+        J = M.join(C, jc)
+        carried = M.columns
+        carry = (
+            [(c, f"__v{p}_{c}") for c in ref_cols[p]]
+            if carry_self and p in ref_cols else None
+        )
+        if carry:
+            hit = F.min(
+                F.struct(
+                    F.col("__step_t").alias("t"),
+                    *[F.col(src).alias(dst) for src, dst in carry],
+                )
+            ).alias("__hit")
+            out = (
+                J.groupBy(*carried).agg(hit)
+                .withColumn(out_col, F.col("__hit.t"))
+            )
+            for _src, dst in carry:
+                out = out.withColumn(dst, F.col(f"__hit.{dst}"))
+            return out.drop("__hit")
+        return J.groupBy(*carried).agg(F.min("__step_t").alias(out_col))
+
     def apply_negs(M: DataFrame, next_col: str) -> DataFrame:
         nonlocal pending_neg
         for x, anchor in pending_neg:
+            if x in iter_info:
+                template, _refs = iter_info[x]
+                jc = (
+                    (F.col(key_col) == F.col("__ik"))
+                    & (F.col("__step_t") > F.col(anchor))
+                    & (F.col("__step_t") < F.col(next_col))
+                    & F.expr(template)
+                )
+                M = M.join(cand_payload(x), jc, "left_anti")
+                continue
             M = _earliest_after(M, cand(x), key_col, anchor, "__negx")
             M = M.filter(
                 F.col("__negx").isNull()
@@ -1384,16 +1715,27 @@ def _match_relaxed(
                     else F.col(type_col) == s.event_type
                 )
                 M = base.filter(flt).select(
-                    key_col, F.col(time_col).alias(first_col)
+                    key_col, F.col(time_col).alias(first_col),
+                    *[
+                        F.col(c).alias(f"__v{pidx}_{c}")
+                        for c in ref_cols.get(pidx, [])
+                    ],
                 )
                 last_col = first_col
                 rng = range(1, s.times)
             elif s.any_match:
                 # followedByAny (r7): bind EVERY candidate after the
                 # previous step — a key equi-join (fan-out = the honest
-                # per-combination output size), horizon-pruned per step
-                C = cand(sidx).withColumnRenamed(key_col, "__ak")
-                jc = (F.col(key_col) == F.col("__ak")) & (
+                # per-combination output size), horizon-pruned per
+                # step. With an iterative condition (r8) the predicate
+                # is one more residual conjunct on the same join.
+                need_payload = sidx in iter_info or pidx in ref_cols
+                if need_payload:
+                    C, kcol = cand_payload(sidx), "__ik"
+                else:
+                    C = cand(sidx).withColumnRenamed(key_col, "__ak")
+                    kcol = "__ak"
+                jc = (F.col(key_col) == F.col(kcol)) & (
                     F.col("__step_t") > F.col(last_col)
                 )
                 if within is not None:
@@ -1401,17 +1743,37 @@ def _match_relaxed(
                         F.col("__step_t")
                         <= F.col("ts_1") + _within_expr(within)
                     )
-                M = (
-                    M.join(C, jc)
-                    .drop("__ak")
-                    .withColumnRenamed("__step_t", first_col)
-                )
+                if sidx in iter_info:
+                    jc = jc & F.expr(iter_info[sidx][0])
+                J = M.join(C, jc)
+                if need_payload:
+                    M = J.select(
+                        *M.columns,
+                        F.col("__step_t").alias(first_col),
+                        *[
+                            F.col(c).alias(f"__v{pidx}_{c}")
+                            for c in ref_cols.get(pidx, [])
+                        ],
+                    )
+                else:
+                    M = J.drop("__ak").withColumnRenamed(
+                        "__step_t", first_col
+                    )
                 last_col = first_col
                 if pending_neg:
                     M = apply_negs(M, first_col)
                 continue
             else:
                 rng = range(s.times)
+            is_iter = sidx in iter_info
+            if is_iter and not compressed:
+                # the join-bind's group-agg keys on the anchor row:
+                # compress duplicate anchors first (loop doctrine),
+                # multiplicity restored by the final explode
+                M = M.groupBy(M.columns).agg(
+                    F.count(F.lit(1)).alias("__mult")
+                )
+                compressed = True
             tmp_cols: list[str] = []
             for r in rng:
                 if r == 0:
@@ -1421,7 +1783,16 @@ def _match_relaxed(
                 else:
                     out_col = f"__t{pidx}_{r}"
                     tmp_cols.append(out_col)
-                M = bind(M, sidx, last_col, out_col)
+                if is_iter:
+                    M = bind_iter(
+                        M, sidx, pidx, last_col, out_col,
+                        carry_self=(r == 0),
+                    )
+                else:
+                    M = bind(
+                        M, sidx, last_col, out_col,
+                        carry_p=pidx if r == 0 else None,
+                    )
                 last_col = out_col
             if tmp_cols:
                 M = M.drop(*tmp_cols)
@@ -1437,6 +1808,19 @@ def _match_relaxed(
                 "a pattern ending in notFollowedBy needs a window)"
             )
         for x, anchor in pending_neg:
+            if x in iter_info:
+                template, _refs = iter_info[x]
+                jc = (
+                    (F.col(key_col) == F.col("__ik"))
+                    & (F.col("__step_t") > F.col(anchor))
+                    & (
+                        F.col("__step_t")
+                        <= F.col("ts_1") + _within_expr(within)
+                    )
+                    & F.expr(template)
+                )
+                M = M.join(cand_payload(x), jc, "left_anti")
+                continue
             M = _earliest_after(M, cand(x), key_col, anchor, "__negx")
             M = M.filter(
                 F.col("__negx").isNull()

@@ -1135,6 +1135,92 @@ ORDER BY user_id, view_ts, click_ts
 """
 
 
+def q108_cep_iterative_condition(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP IterativeCondition (r8) — Flink's general condition form:
+    ``Pattern.begin("view").followedBy("purchase")
+    .where(ctx -> purchase.value > ctx.getEventsForPattern("view")
+    ...value)`` — the purchase step binds the earliest purchase whose
+    value EXCEEDS the matched view's value (cross-step predicate,
+    spelled ``"value > s1.value"``). The predicate is evaluated DURING
+    binding (a qualifying-candidate key equi-join + struct-min
+    group-agg — binding the earliest-of-type then filtering would be
+    wrong), horizon-bounded by ``within`` as a join conjunct. The
+    oracle is DuckDB's independent correlated-subquery formulation."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("purchase").where("value > s1.value")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("upsell_ts"),
+        )
+        .orderBy("user_id", "view_ts", "upsell_ts")
+    )
+
+
+_Q108_SQL = """
+WITH a AS (SELECT user_id, ts AS t0, value AS v0 FROM events
+           WHERE event_type = 'view'),
+b AS (
+  SELECT user_id, t0,
+         (SELECT min(e.ts) FROM events e WHERE e.user_id = a.user_id
+          AND e.event_type = 'purchase' AND e.value > a.v0
+          AND e.ts > a.t0
+          AND e.ts <= a.t0 + INTERVAL 7 DAY) AS p1
+  FROM a)
+SELECT user_id, t0 AS view_ts, p1 AS upsell_ts
+FROM b WHERE p1 IS NOT NULL
+ORDER BY user_id, view_ts, upsell_ts
+"""
+
+
+def q109_cep_iterative_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP IterativeCondition under STRICT contiguity (r8): a view
+    whose IMMEDIATELY-NEXT event is a click with a higher value
+    (``next().where("value > prev.value")``). Because strict binds
+    fixed offsets, the cross-step ref compiles to lead∘lag window
+    expressions — still ONE window pass, zero joins; the payload never
+    leaves the scan projection."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .next("click").where("value > prev.value")
+        .within("7 days")
+    )
+    return (
+        match_pattern(e, p, tiebreak=["event_id"])
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("click_ts"),
+        )
+        .orderBy("user_id", "view_ts", "click_ts")
+    )
+
+
+_Q109_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT a.user_id, a.ts AS view_ts, b.ts AS click_ts
+FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND b.value > a.value AND b.ts <= a.ts + INTERVAL 7 DAY
+ORDER BY a.user_id, view_ts, click_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1162,6 +1248,8 @@ QUERIES = {
     "q105_window_join": q105_window_join,
     "q106_cep_where_predicate": q106_cep_where_predicate,
     "q107_cep_followed_by_any": q107_cep_followed_by_any,
+    "q108_cep_iterative_condition": q108_cep_iterative_condition,
+    "q109_cep_iterative_strict": q109_cep_iterative_strict,
 }
 
 ORACLES = {
@@ -1191,4 +1279,6 @@ ORACLES = {
     "q105_window_join": _Q105_SQL,
     "q106_cep_where_predicate": _Q106_SQL,
     "q107_cep_followed_by_any": _Q107_SQL,
+    "q108_cep_iterative_condition": _Q108_SQL,
+    "q109_cep_iterative_strict": _Q109_SQL,
 }

@@ -1688,7 +1688,12 @@ def test_where_composes_with_optional_and_no_skip(spark):
     assert got2 == sorted(want2)
 
 
-def test_where_streaming_raises(spark, tmp_path):
+def test_where_streaming_accepted(spark, tmp_path):
+    """r8: streaming CEP ACCEPTS SimpleCondition value predicates (the
+    r7 refusal was lifted — candidate masks are computed JVM-side
+    before buffering; equality-vs-batch lives in
+    tests/test_streaming.py). Only ITERATIVE conditions stay
+    batch-only."""
     import pyspark.sql.types as T
 
     from flink_note_spark.streaming.ops import match_pattern_stream
@@ -1699,12 +1704,12 @@ def test_where_streaming_raises(spark, tmp_path):
     src = tmp_path / "where_stream_src"
     src.mkdir()
     stream = spark.readStream.schema(schema).parquet(str(src))
-    with pytest.raises(ValueError, match="batch-only"):
-        match_pattern_stream(
-            stream, ["A", {"type": "B", "where": _W_EVEN}],
-            contiguity="relaxed", within="10 minutes",
-            watermark="1 minutes",
-        )
+    out = match_pattern_stream(
+        stream, ["A", {"type": "B", "where": _W_EVEN}],
+        contiguity="relaxed", within="10 minutes",
+        watermark="1 minutes",
+    )
+    assert out.isStreaming
 
 
 # ---------------------------------------------------------------------------
@@ -1884,3 +1889,480 @@ def test_skip_completion_order_and_simultaneous(spark):
         (2, 0.0, 5.0, 5.0, 1),
         (2, 4.0, 5.0, 5.0, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# iterative conditions (r8) — Flink IterativeCondition: where() with
+# cross-step refs s<k>./first./prev.
+
+
+def _mkv(spark, rows):
+    """rows: (key, seconds_offset, type, event_id, value)"""
+    data = [
+        (k, T0 + timedelta(seconds=s), t, i, float(v))
+        for (k, s, t, i, v) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "user_id long, ts timestamp, event_type string, "
+        "event_id long, value double",
+    )
+
+
+def _naive_iter_relaxed(rows, steps, within_s=None):
+    """Reference relaxed matcher with CONTEXT-aware predicates:
+    ``steps`` entries are ``(pred, neg, times)`` where
+    ``pred(e, caps)`` sees the candidate ``e = (sec, type, id, val)``
+    and ``caps`` = {positive_idx: first bound event}. Binding is the
+    earliest QUALIFYING candidate (the engine contract)."""
+    INF = float("inf")
+    out = []
+    for key in {k for (k, *_r) in rows}:
+        seq = sorted(
+            [(s, t, i, v) for (kk, s, t, i, v) in rows if kk == key]
+        )
+        first_pred = steps[0][0]
+        for e0 in seq:
+            if not first_pred(e0, {}):
+                continue
+            s0 = e0[0]
+            horizon = s0 + within_s if within_s is not None else INF
+            caps, cap_ts = {1: e0}, [s0]
+            cur, ok, pending, p = s0, True, [], 1
+            for (pred, neg, times) in steps[1:]:
+                if neg:
+                    pending.append((pred, cur))
+                    continue
+                p += 1
+                first = None
+                for r in range(times):
+                    cands = [
+                        e for e in seq
+                        if e[0] > cur and e[0] <= horizon
+                        and pred(e, caps)
+                    ]
+                    if not cands:
+                        ok = False
+                        break
+                    nxt = cands[0]
+                    if r == 0:
+                        caps[p] = nxt
+                        first = nxt
+                        # pending negations guard (prev_bound, nxt)
+                        for (xp, anc) in pending:
+                            if any(
+                                anc < e[0] < nxt[0] and xp(e, caps)
+                                for e in seq
+                            ):
+                                ok = False
+                                break
+                        pending = []
+                    if not ok:
+                        break
+                    cur = nxt[0]
+                if not ok:
+                    break
+                cap_ts.append(first[0])
+                if times > 1:
+                    cap_ts.append(cur)
+            if ok and pending:
+                for (xp, anc) in pending:
+                    if any(
+                        anc < e[0] <= horizon and xp(e, caps)
+                        for e in seq
+                    ):
+                        ok = False
+                        break
+            if ok:
+                out.append((key, *cap_ts))
+    return sorted(out)
+
+
+def _naive_iter_strict(rows, steps, within_s=None):
+    """Reference strict matcher with context-aware predicates
+    (consecutive offsets; negations assert without consuming)."""
+    out = []
+    for key in {k for (k, *_r) in rows}:
+        seq = sorted(
+            [(s, t, i, v) for (kk, s, t, i, v) in rows if kk == key],
+            key=lambda e: (e[0], e[2]),
+        )
+        n = len(seq)
+        for p0 in range(n):
+            pos, caps, cap_ts, ok, p, last = p0, {}, [], True, 0, None
+            for (pred, neg, times) in steps:
+                if neg:
+                    if pos < n and pred(seq[pos], caps):
+                        ok = False
+                        break
+                    continue
+                p += 1
+                first = None
+                for _r in range(times):
+                    if pos >= n or not pred(seq[pos], caps):
+                        ok = False
+                        break
+                    if first is None:
+                        first = seq[pos]
+                        caps[p] = first
+                    last = seq[pos][0]
+                    pos += 1
+                if not ok:
+                    break
+                cap_ts.append(first[0])
+                if times > 1:
+                    cap_ts.append(last)
+            if ok and cap_ts and (
+                within_s is None or last - cap_ts[0] <= within_s
+            ):
+                out.append((key, *cap_ts))
+    return sorted(out)
+
+
+#: values chosen so earliest-of-type and earliest-QUALIFYING diverge
+#: on several keys (the difference the engine must render)
+ITER_ROWS = [
+    # key 1: A(10) B(5) B(20) C(1) — B must skip the low B
+    (1, 0, "A", 1, 10), (1, 10, "B", 2, 5), (1, 20, "B", 3, 20),
+    (1, 30, "C", 4, 1),
+    # key 2: A(10) B(5) C(50) — no qualifying B
+    (2, 0, "A", 5, 10), (2, 10, "B", 6, 5), (2, 30, "C", 7, 50),
+    # key 3: A(3) B(4) B(9) C(2) — first B qualifies
+    (3, 0, "A", 8, 3), (3, 10, "B", 9, 4), (3, 20, "B", 10, 9),
+    (3, 30, "C", 11, 2),
+    # key 4: strict-adjacent A(1) B(2) C(3) and A(5) B(2) (B fails)
+    (4, 0, "A", 12, 1), (4, 10, "B", 13, 2), (4, 20, "C", 14, 3),
+    (4, 30, "A", 15, 5), (4, 40, "B", 16, 2),
+    # key 5: Z guard — A(10) Z(50) B(20); A(10) Z(5) B(20) at later ts
+    (5, 0, "A", 17, 10), (5, 10, "Z", 18, 50), (5, 20, "B", 19, 20),
+    (5, 100, "A", 20, 10), (5, 110, "Z", 21, 5), (5, 120, "B", 22, 20),
+    # key 6: equal values (strict > excludes), monotone run for times=2
+    (6, 0, "A", 23, 10), (6, 10, "B", 24, 10), (6, 20, "B", 25, 12),
+    (6, 30, "B", 26, 15), (6, 40, "C", 27, 20),
+    # key 7: strict-adjacent qualifying chain A B B C (B>1, C>s2=5)
+    (7, 0, "A", 28, 1), (7, 10, "B", 29, 5), (7, 20, "B", 30, 7),
+    (7, 30, "C", 31, 9),
+]
+
+
+def _T(t):
+    return lambda e, caps: e[1] == t
+
+
+def _T_gt(t, k):
+    return lambda e, caps: e[1] == t and e[3] > caps[k][3]
+
+
+def test_iter_relaxed_matches_naive(spark):
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "where": "value > s1.value"}, "C"]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_iter_relaxed(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("B", 1), False, 1),
+         (_T("C"), False, 1)],
+    )
+    assert got == want
+    assert got
+    # the binding is earliest-QUALIFYING, not earliest-of-type +
+    # post-filter: key 1 must bind B@20 (value 20), not drop at B@10
+    assert any(m[0] == 1 and m[2] == 20.0 for m in got)
+
+
+def test_iter_relaxed_multi_ref_and_chain(spark):
+    """Step 3 references BOTH s1 and s2 (payload carried through two
+    binds); within bounds the horizon."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = [
+        "A",
+        {"type": "B", "where": "value > s1.value"},
+        {"type": "C", "where": "value < s2.value AND value >= s1.value - 9"},
+    ]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="50 seconds")
+    )
+    want = _naive_iter_relaxed(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("B", 1), False, 1),
+         (lambda e, c: e[1] == "C" and e[3] < c[2][3]
+          and e[3] >= c[1][3] - 9, False, 1)],
+        within_s=50,
+    )
+    assert got == want
+    assert got
+
+
+def test_iter_relaxed_times_matches_naive(spark):
+    """times(2) with an iterative predicate: each repetition binds the
+    earliest qualifying candidate; the ref is the FIRST event of the
+    referenced step."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "times": 2, "where": "value > s1.value"}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_iter_relaxed(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("B", 1), False, 2)],
+    )
+    assert got == want
+    assert got
+
+
+def test_iter_relaxed_negation_mid_and_terminal(spark):
+    df = _mkv(spark, ITER_ROWS)
+    # mid: qualifying Z (value > s1.value) between A and B blocks
+    pat = ["A", {"type": "Z", "negate": True, "where": "value > s1.value"},
+           "B"]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_iter_relaxed(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("Z", 1), True, 1),
+         (_T("B"), False, 1)],
+    )
+    assert got == want
+    # key 5: first A blocked (Z=50>10), second A passes (Z=5<10)
+    assert any(m[0] == 5 and m[1] == 100.0 for m in got)
+    assert not any(m[0] == 5 and m[1] == 0.0 for m in got)
+    # terminal: A not followed (within horizon) by a qualifying Z
+    pat = ["A", {"type": "Z", "negate": True, "where": "value > first.value"}]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="30 seconds")
+    )
+    want = _naive_iter_relaxed(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("Z", 1), True, 1)],
+        within_s=30,
+    )
+    assert got == want
+    assert got
+
+
+def test_iter_strict_matches_naive(spark):
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "where": "value > s1.value"}, "C"]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_iter_strict(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("B", 1), False, 1),
+         (_T("C"), False, 1)],
+    )
+    assert got == want
+    assert got
+    # key 4 second A: adjacent B fails the predicate -> no match
+    assert not any(m[0] == 4 and m[1] == 30.0 for m in got)
+
+
+def test_iter_strict_times_and_multi_ref(spark):
+    df = _mkv(spark, ITER_ROWS)
+    pat = [
+        "A",
+        {"type": "B", "times": 2, "where": "value > s1.value"},
+        {"type": "C", "where": "value > s2.value"},
+    ]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_iter_strict(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("B", 1), False, 2),
+         (_T_gt("C", 2), False, 1)],
+    )
+    assert got == want
+    assert got  # key 6: B@10 fails (10 > 10 false)? run from B@20
+
+
+def test_iter_strict_negation(spark):
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "Z", "negate": True, "where": "value > prev.value"},
+           "Z"]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="strict", tiebreak=["event_id"])
+    )
+    want = _naive_iter_strict(
+        ITER_ROWS,
+        [(_T("A"), False, 1), (_T_gt("Z", 1), True, 1), (_T("Z"), False, 1)],
+    )
+    assert got == want
+    # key 5 second A: adjacent Z has value 5 < 10 -> negation passes,
+    # and the SAME event then binds the positive Z step
+    assert any(m[0] == 5 and m[1] == 100.0 for m in got)
+
+
+def test_iter_followed_by_any(spark):
+    """followedByAny with an iterative predicate binds EVERY
+    qualifying candidate."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "any": True, "where": "value > s1.value"}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    # every (A, later qualifying B) pair
+    want = []
+    for key in {k for (k, *_r) in ITER_ROWS}:
+        seq = sorted(
+            [(s, t, i, v) for (kk, s, t, i, v) in ITER_ROWS if kk == key]
+        )
+        for (s0, t0, _i0, v0) in seq:
+            if t0 != "A":
+                continue
+            for (s1, t1, _i1, v1) in seq:
+                if t1 == "B" and s1 > s0 and v1 > v0:
+                    want.append((key, float(s0), float(s1)))
+    assert got == sorted(want)
+    assert got
+    # key 1's A must pair ONLY with the high B
+    assert sum(1 for m in got if m[0] == 1) == 1
+
+
+def test_iter_prev_first_sugar_and_column_guard(spark):
+    df = _mkv(spark, ITER_ROWS)
+    a = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "where": "value > s1.value"}],
+        contiguity="relaxed",
+    ))
+    b = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "where": "value > prev.value"}],
+        contiguity="relaxed",
+    ))
+    c = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "where": "value > first.value"}],
+        contiguity="relaxed",
+    ))
+    assert a == b == c and a
+
+
+def test_iter_loop_after_iterative_step(spark):
+    """A loop AFTER iterative binds: the carried __v columns pass
+    through the loop aggregation unchanged."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "where": "value > s1.value"},
+           {"type": "C", "one_or_more": True}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    # same as binding B then a plain loop on the naive side: reuse the
+    # general relaxed naive with a pre-filtered B? assert versus the
+    # plain two-step result extended by hand on this fixture
+    two = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "where": "value > s1.value"}],
+        contiguity="relaxed",
+    ))
+    keys_with_c_after = {}
+    for (k, s, t, _i, _v) in ITER_ROWS:
+        if t == "C":
+            keys_with_c_after.setdefault(k, []).append(s)
+    want = []
+    for (k, a_ts, b_ts) in two:
+        cs = sorted(s for s in keys_with_c_after.get(k, []) if s > b_ts)
+        if cs:
+            want.append((k, a_ts, b_ts, float(cs[0]), float(cs[-1]),
+                         len(cs)))
+    assert got == sorted(want)
+    assert got
+
+
+def test_iter_duplicate_anchor_multiplicity(spark):
+    """Duplicate anchor events produce duplicate matches through the
+    group-agg join bind (compression + explode)."""
+    rows = [
+        (9, 0, "A", 1, 10), (9, 0, "A", 2, 10),  # identical anchors
+        (9, 10, "B", 3, 20),
+    ]
+    df = _mkv(spark, rows)
+    got = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "where": "value > s1.value"}],
+        contiguity="relaxed",
+    ))
+    assert got == [(9, 0.0, 10.0), (9, 0.0, 10.0)]
+
+
+def test_iter_validation_and_guards(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mkv(spark, ITER_ROWS)
+    # forward/self reference
+    with pytest.raises(ValueError, match="EARLIER"):
+        match_pattern(df, [{"type": "A", "where": "value > s1.value"}],
+                      contiguity="relaxed")
+    with pytest.raises(ValueError, match="EARLIER"):
+        match_pattern(
+            df, ["A", {"type": "B", "where": "value > s2.value"}],
+            contiguity="relaxed",
+        )
+    # unknown column
+    with pytest.raises(ValueError, match="not present"):
+        match_pattern(
+            df, ["A", {"type": "B", "where": "value > s1.nope"}],
+            contiguity="relaxed",
+        )
+    # iterative on a loop step
+    with pytest.raises(ValueError, match="one_or_more"):
+        match_pattern(
+            df,
+            ["A", {"type": "B", "one_or_more": True,
+                   "where": "value > s1.value"}],
+            contiguity="relaxed",
+        )
+    # reference TO a loop step
+    with pytest.raises(ValueError, match="reference"):
+        match_pattern(
+            df,
+            ["A", {"type": "B", "one_or_more": True},
+             {"type": "C", "where": "value > s2.value"}],
+            contiguity="relaxed",
+        )
+    # optional/times-range composition
+    with pytest.raises(ValueError, match="optional"):
+        match_pattern(
+            df,
+            ["A", {"type": "B", "optional": True},
+             {"type": "C", "where": "value > s1.value"}],
+            contiguity="relaxed",
+        )
+    # strict loop anywhere in the pattern
+    with pytest.raises(ValueError, match="strict loop"):
+        match_pattern(
+            df,
+            ["A", {"type": "B", "where": "value > s1.value"},
+             {"type": "C", "one_or_more": True}],
+            contiguity="strict", tiebreak=["event_id"],
+        )
+    # mixed engine refuses any where (including iterative)
+    with pytest.raises(ValueError, match="where"):
+        match_pattern(
+            df,
+            [{"type": "A", "mode": "strict"},
+             {"type": "B", "mode": "strict"},
+             {"type": "C", "mode": "relaxed",
+              "where": "value > s1.value"}],
+        )
+    # builder surface
+    p = (Pattern.begin("A").followed_by("B").where("value > s1.value")
+         .within("60 seconds"))
+    assert match_pattern(df, p).count() > 0
+
+
+def test_iter_streaming_raises(spark):
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as user_id", "timestamp as ts",
+                    "'A' as event_type", "CAST(value AS DOUBLE) value")
+    )
+    p = Pattern.begin("A").followed_by("B").where("value > s1.value")
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(stream, p, watermark="1 minute")
+
+
+def test_iter_composes_with_skip_strategy(spark):
+    """no_skip / skip_to_next post-process the iterative match set."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "where": "value > s1.value"}, "C"]
+    base_m = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    ns = _collect_cols(match_pattern(
+        df, pat, contiguity="relaxed", skip_strategy="no_skip"
+    ))
+    assert ns == base_m  # plain steps: no_skip == greedy here
+    stn = _collect_cols(match_pattern(
+        df, pat, contiguity="relaxed", skip_strategy="skip_to_next"
+    ))
+    assert set(stn) <= set(base_m)
