@@ -926,6 +926,372 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
     return _general_cep_fn
 
 
+def _expand_variant_slots(steps):
+    """Streaming variant expansion (r8): compile ``optional()`` /
+    ``times(n, m)`` steps into PLAIN variant step tuples that
+    reference ORIGINAL step slots (the candidate-mask bit layout is
+    per original step, shared by every variant).
+
+    Returns ``[(vsteps, opidx)]`` where ``vsteps`` is a tuple of
+    ``(orig_step_idx, neg, times, loop, until)`` and ``opidx[j]`` is
+    the ORIGINAL 1-based positive-step index of the variant's j-th
+    positive step — the streaming twin of the batch
+    ``operators/cep._expand_variants`` (same branching, same
+    all-absent drop), keeping slot indices instead of event types."""
+    per_step: list[list[tuple[tuple | None, int]]] = []
+    pidx = 0
+    for idx, s in enumerate(steps):
+        if s.negate:
+            per_step.append([((idx, True, 1, False, s.until), 0)])
+            continue
+        pidx += 1
+        opts: list[tuple[tuple | None, int]] = []
+        if s.optional:
+            opts.append((None, pidx))
+        counts = (
+            range(s.times, s.times_max + 1)
+            if s.times_max is not None else [s.times]
+        )
+        for c in counts:
+            opts.append(((idx, False, c, s.loop, s.until), pidx))
+        per_step.append(opts)
+
+    variants: list[tuple[tuple, list[int]]] = []
+
+    def rec(i: int, cur: list, orig: list[int]) -> None:
+        if i == len(per_step):
+            if any(not v[1] for v in cur):
+                variants.append((tuple(cur), list(orig)))
+            return
+        for vstep, oi in per_step[i]:
+            if vstep is None:
+                rec(i + 1, cur, orig)
+            else:
+                cur.append(vstep)
+                if not vstep[1]:
+                    orig.append(oi)
+                rec(i + 1, cur, orig)
+                cur.pop()
+                if not vstep[1]:
+                    orig.pop()
+
+    rec(0, [], [])
+    return variants
+
+
+def _variant_emit_maps(variants, out_cols):
+    """Per-variant output realignment: map each FULL output column
+    (``_out_cols`` of the ORIGINAL steps) to an index in the
+    variant's cap, or None for absent optional steps. A count-1
+    variant of a range quantifier repeats ``ts_i`` as ``ts_i_last``
+    (the batch union's rule); an absent loop (zeroOrMore) leaves
+    ``n_i`` NULL."""
+    maps = []
+    for vsteps, opidx in variants:
+        cap_pos: dict[int, dict[str, int]] = {}
+        w = 0
+        j = 0
+        for (idx, neg, times, loop, _until) in vsteps:
+            if neg:
+                continue
+            entry = {"first": w}
+            w += 1
+            if loop or times > 1:
+                entry["last"] = w
+                w += 1
+            else:
+                entry["last"] = entry["first"]  # count-1 repeat rule
+            if loop:
+                entry["n"] = w
+                w += 1
+            cap_pos[opidx[j]] = entry
+            j += 1
+        emit = []
+        for c in out_cols:
+            if c.startswith("n_"):
+                i, kind = int(c[2:]), "n"
+            elif c.endswith("_last"):
+                i, kind = int(c[3:-5]), "last"
+            else:
+                i, kind = int(c[3:]), "first"
+            e = cap_pos.get(i)
+            emit.append(None if e is None else e.get(kind))
+        maps.append(emit)
+    return maps
+
+
+def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
+                          within_us, contiguity, out_cols):
+    """Per-key incremental matcher for ``optional()`` / ``times(n, m)``
+    patterns (r8): the batch variant-union (Flink's branching NFA as a
+    union of deterministic patterns, ``operators/cep._expand_variants``)
+    rendered incrementally — every expanded variant runs as its own
+    GREEDY state machine over ONE shared per-key (ts, candidate-mask)
+    buffer inside one ``applyInPandasWithState`` pass, and the
+    emission is the per-variant union realigned to the full output
+    geometry (absent steps NULL). Exactly one state buffer, one
+    shuffle — V variants cost V in-memory scans of the stable region,
+    never V state copies.
+
+    Finality/eviction inherit the general engine's proofs
+    (:func:`_make_general_cep_fn`): per variant, strict matches decide
+    at their last consumed event, relaxed anchors at their horizon;
+    the buffer keeps the most conservative requirement across variants
+    (max trailing-window for loop-free strict, the ``within`` horizon
+    otherwise). Skip strategies do not compose with variants in
+    streaming (refused at dispatch — the batch operator prunes over
+    the whole union); greedy loop semantics only."""
+    cols = [key_name] + out_cols
+    has_loop = any(v[3] for vs, _o in steps for v in vs)
+    # max events a loop-free strict match can span (trailing keep)
+    max_consumed = max(
+        (
+            sum(t for (_i, neg, t, _lp, _u) in vs if not neg)
+            for vs, _o in steps
+        ),
+        default=1,
+    )
+    def _find_strict_variant(vsteps, ts_buf, mk_buf, n,
+                             wm_us, wm_prev_us):
+        def hit(pos, slot):
+            return (mk_buf[pos] >> slot) & 1
+
+        caps = []
+        for p0 in range(n):
+            pos, cap, ok, last_ts = p0, [], True, None
+            for (slot, neg, times, loop, _until) in vsteps:
+                if neg:
+                    if pos < n and hit(pos, slot):
+                        ok = False
+                        break
+                    continue
+                if loop:
+                    if pos >= n or not hit(pos, slot):
+                        ok = False
+                        break
+                    q = pos
+                    while q < n and hit(q, slot):
+                        q += 1
+                    cap += [ts_buf[pos], ts_buf[q - 1], q - pos]
+                    last_ts = ts_buf[q - 1]
+                    pos = q
+                else:
+                    first = None
+                    for _ in range(times):
+                        if pos >= n or not hit(pos, slot):
+                            ok = False
+                            break
+                        if first is None:
+                            first = ts_buf[pos]
+                        last_ts = ts_buf[pos]
+                        pos += 1
+                    if not ok:
+                        break
+                    cap.append(first)
+                    if times > 1:
+                        cap.append(last_ts)
+            if not ok or not cap:
+                continue
+            if within_us is not None and last_ts - cap[0] > within_us:
+                continue
+            if wm_prev_us <= last_ts:  # < wm by construction
+                caps.append(cap)
+        return caps
+
+    def _find_relaxed_variant(vsteps, by_slot, first_after, anchors):
+        from bisect import bisect_right
+
+        t0_slot = next(v[0] for v in vsteps if not v[1])
+        caps = []
+        for s0 in by_slot.get(t0_slot, ()):
+            h = s0 + within_us
+            if s0 not in anchors:
+                continue
+            cap, cur, ok, pending = [], None, True, []
+            for (slot, neg, times, loop, until) in vsteps:
+                if neg:
+                    pending.append((slot, cur))
+                    continue
+                if loop:
+                    anchor = s0 if cur is None else cur
+                    els0 = [s0] if cur is None else []
+                    stop = first_after(until, anchor) if until else None
+                    lst = by_slot.get(slot, [])
+                    i = bisect_right(lst, anchor)
+                    els = els0 + [
+                        t for t in lst[i:]
+                        if (stop is None or t < stop) and t <= h
+                    ]
+                    if not els:
+                        ok = False
+                        break
+                    nxt = els[0]
+                    cap += [els[0], els[-1], len(els)]
+                    new_cur = els[-1]
+                else:
+                    if cur is None:
+                        nxt, new_cur, reps = s0, s0, times - 1
+                        cap.append(s0)
+                    else:
+                        nxt = first_after(slot, cur)
+                        if nxt is None or nxt > h:
+                            ok = False
+                            break
+                        cap.append(nxt)
+                        new_cur, reps = nxt, times - 1
+                    for _ in range(reps):
+                        new_cur = first_after(slot, new_cur)
+                        if new_cur is None or new_cur > h:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                    if times > 1:
+                        cap.append(new_cur)
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0)
+                    if xa is not None and xa < nxt:
+                        ok = False
+                        break
+                pending = []
+                if not ok:
+                    break
+                cur = new_cur
+            if ok and pending:
+                for (x, anc) in pending:
+                    xa = first_after(x, anc if anc is not None else s0)
+                    if xa is not None and xa <= h:
+                        ok = False
+                        break
+            if ok:
+                caps.append(cap)
+        return caps
+
+    strict = contiguity == "strict"
+
+    def _find(ts_buf, mk_buf, wm_us, wm_prev_us):
+        n = 0
+        while n < len(ts_buf) and ts_buf[n] < wm_us:
+            n += 1
+        rows = []
+        if strict:
+            for (vsteps, _o), emap in zip(steps, emit_maps):
+                for cap in _find_strict_variant(
+                    vsteps, ts_buf, mk_buf, n, wm_us, wm_prev_us
+                ):
+                    rows.append(
+                        [None if m is None else cap[m] for m in emap]
+                    )
+        else:
+            from bisect import bisect_right
+
+            by_slot: dict[int, list[int]] = {}
+            for t, m in zip(ts_buf[:n], mk_buf[:n]):
+                s = 0
+                while m:
+                    if m & 1:
+                        by_slot.setdefault(s, []).append(t)
+                    m >>= 1
+                    s += 1
+
+            def first_after(slot, after):
+                c = by_slot.get(slot)
+                if not c:
+                    return None
+                i = bisect_right(c, after)
+                return c[i] if i < len(c) else None
+
+            # one anchor-decision window shared by all variants: an
+            # anchor decides exactly once, when wm passes its horizon
+            anchors_all = {
+                t for lst in by_slot.values() for t in lst
+                if wm_prev_us <= t + within_us < wm_us
+            }
+            for (vsteps, _o), emap in zip(steps, emit_maps):
+                for cap in _find_relaxed_variant(
+                    vsteps, by_slot, first_after, anchors_all
+                ):
+                    rows.append(
+                        [None if m is None else cap[m] for m in emap]
+                    )
+        # eviction: most conservative requirement across variants
+        if has_loop or not strict:
+            evict = wm_us - within_us
+            cut = 0
+            while cut < len(ts_buf) and ts_buf[cut] < evict:
+                cut += 1
+        else:
+            cut = (
+                max(0, n - (max_consumed - 1))
+                if max_consumed > 1 else n
+            )
+        return rows, ts_buf[cut:], mk_buf[cut:]
+
+    def _variants_cep_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _arm(ts_buf):
+            if not ts_buf:
+                return
+            if strict:
+                cand = ts_buf[-1] // 1_000 + 1
+            else:
+                cand = (ts_buf[0] + within_us) // 1_000 + 1
+            state.setTimeoutTimestamp(
+                max(cand, state.getCurrentWatermarkMs() + 1)
+            )
+
+        if state.hasTimedOut:
+            ts_buf, mk_buf, wm_prev = state.get
+            rows, ts_buf, mk_buf = _find(
+                list(ts_buf), list(mk_buf), wm_us, wm_prev
+            )
+            if rows:
+                yield pd.DataFrame(
+                    [[key_val, *r] for r in rows], columns=cols
+                )
+            if ts_buf:
+                state.update((ts_buf, mk_buf, wm_us))
+                if not strict:
+                    _arm(ts_buf)
+            else:
+                state.remove()
+            return
+
+        ts_buf, mk_buf, wm_prev = [], [], 0
+        if state.exists:
+            prev_ts, prev_mk, wm_prev = state.get
+            ts_buf, mk_buf = list(prev_ts), list(prev_mk)
+        new = []
+        for pdf in pdfs:
+            for t, y in zip(
+                (pdf[ts_col].astype("int64") // 1_000).tolist(),
+                pdf[mask_col].astype("int64").tolist(),
+            ):
+                new.append((t, y))
+        merged = sorted(list(zip(ts_buf, mk_buf)) + new)
+        ts_buf = [t for t, _ in merged]
+        mk_buf = [y for _, y in merged]
+
+        rows, ts_buf, mk_buf = _find(ts_buf, mk_buf, wm_us, wm_prev)
+        if rows:
+            yield pd.DataFrame(
+                [[key_val, *r] for r in rows], columns=cols
+            )
+        if ts_buf:
+            state.update((ts_buf, mk_buf, wm_us))
+            _arm(ts_buf)
+        else:
+            state.remove()
+
+    return _variants_cep_fn
+
+
 def match_pattern_stream(
     stream: DataFrame,
     pattern,
@@ -998,12 +1364,21 @@ def match_pattern_stream(
     anchor coordination). Equality vs the batch operator per strategy
     in tests/test_streaming.py.
 
-    Batch-only remainders: ``optional()``/
-    ``times(n, m)`` (variant expansion), mixed contiguity, strict
-    pruning skip strategies, and — for STRICT patterns — terminal
-    negation/loops (they ask what follows the match, unanswerable on
-    an unbounded stream; relaxed terminal negation and loops are
-    fine, the ``within`` horizon decides them).
+    ``optional()`` / ``times(n, m)`` (r8): the batch variant union
+    (Flink's branching NFA) runs incrementally — every expanded
+    variant is a parallel greedy state machine over ONE shared per-key
+    buffer (``_make_variants_cep_fn``), emitting the per-variant union
+    realigned to the full output geometry (absent steps NULL long).
+    Skip strategies do not compose with variants here (the batch
+    operator prunes over the whole union — use batch), and strict
+    patterns require every variant to end positively.
+
+    Batch-only remainders: mixed contiguity, strict pruning skip
+    strategies, ``followedByAny``, iterative conditions, skip
+    strategies over variant unions, and — for STRICT patterns —
+    terminal negation/loops (they ask what follows the match,
+    unanswerable on an unbounded stream; relaxed terminal negation
+    and loops are fine, the ``within`` horizon decides them).
     """
     from flink_note_spark.operators.cep import (
         Pattern,
@@ -1027,6 +1402,7 @@ def match_pattern_stream(
         skip = None
     general = skip is not None
     steps = None
+    variants_mode = False
     if general or not (
         isinstance(pattern, list)
         and all(isinstance(p, str) for p in pattern)
@@ -1043,20 +1419,35 @@ def match_pattern_stream(
                 "are batch-only"
             )
         contiguity = resolved
-        if any(s.optional or s.times_max is not None for s in steps):
+        variants_mode = any(
+            s.optional or s.times_max is not None for s in steps
+        )
+        if variants_mode and skip is not None:
             raise ValueError(
-                "optional()/times(n, m) streaming CEP is batch-only "
-                "(variant expansion has no incremental rendering yet)"
+                "skip strategies with optional()/times(n, m) are "
+                "batch-only in streaming (the batch operator prunes "
+                "over the whole variant union)"
             )
         if any(s.any_match for s in steps):
             raise ValueError(
                 "followedByAny streaming CEP is batch-only (the "
                 "incremental engines bind earliest-only)"
             )
+        from flink_note_spark.operators.cep import _iter_where
+
+        if any(_iter_where(s) is not None for s in steps):
+            raise ValueError(
+                "iterative conditions (s<k>./first./prev. cross-step "
+                "refs) are batch-only: the streaming candidate mask "
+                "is per-event, but an iterative predicate depends on "
+                "the match's earlier bindings"
+            )
         general = general or any(
             s.negate or s.loop or s.where is not None for s in steps
         )
-        if not general:
+        if variants_mode:
+            general = False  # routed to the variants engine below
+        elif not general:
             pattern = _expand_simple_steps(steps)
     if contiguity is None:
         contiguity = "strict"
@@ -1156,6 +1547,76 @@ def match_pattern_stream(
                     "ts array<long>, mk array<long>, wm long, "
                     "bound long, pend array<long>"
                 ),
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    if variants_mode:
+        # r8: optional()/times(n, m) — the batch variant union run as
+        # parallel greedy state machines over ONE shared buffer (see
+        # _make_variants_cep_fn for the finality/eviction inheritance)
+        raw = _expand_variant_slots(steps)
+        if contiguity == "strict":
+            for vsteps, _o in raw:
+                last = vsteps[-1]
+                if last[1] or last[3]:
+                    raise ValueError(
+                        "strict streaming CEP requires every expanded "
+                        "variant to end with a positive non-loop step: "
+                        "a terminal not_next/one_or_more (including "
+                        "one exposed by an absent optional tail) asks "
+                        "what follows the match — batch-only"
+                    )
+            if within is None and any(
+                v[3] for vs, _o in raw for v in vs
+            ):
+                raise ValueError(
+                    "strict streaming CEP with one_or_more requires "
+                    "within= — a loop run can span arbitrarily many "
+                    "events, so the horizon is the only state bound"
+                )
+        from flink_note_spark.operators.cep import _cand_cond
+
+        out_cols = _out_cols(steps)
+        out_schema = f"{key_col} {key_type}, " + ", ".join(
+            f"{c} long" for c in out_cols
+        )
+        conds = [_cand_cond(s, type_col) for s in steps]
+        until_slot: dict[int, int] = {}
+        for i, s in enumerate(steps):
+            if s.loop and s.until is not None:
+                until_slot[i] = len(conds)
+                conds.append(F.col(type_col) == s.until)
+        variants = [
+            (
+                tuple(
+                    (idx, neg, times, loop,
+                     until_slot.get(idx) if loop else None)
+                    for (idx, neg, times, loop, _u) in vsteps
+                ),
+                opidx,
+            )
+            for vsteps, opidx in raw
+        ]
+        emit_maps = _variant_emit_maps(variants, out_cols)
+        mask = None
+        for i, c in enumerate(conds):
+            term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+            mask = term if mask is None else mask + term
+        projected = stream.select(
+            key_col, time_col, mask.cast("long").alias("__cand_mask")
+        )
+        return (
+            projected.withWatermark(time_col, watermark)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                _make_variants_cep_fn(
+                    variants, emit_maps, key_col, time_col,
+                    "__cand_mask", within_us, contiguity, out_cols,
+                ),
+                outputStructType=out_schema,
+                stateStructType="ts array<long>, mk array<long>, wm long",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )

@@ -1929,12 +1929,14 @@ def test_cep_stream_general_rejections(spark, chunk_dir, tmp_path):
             ["A", {"type": "B", "one_or_more": True}, "C"],
             watermark="1 minutes", contiguity="strict",
         )
-    with pytest.raises(ValueError, match="batch-only"):
+    # optional() is ACCEPTED since r8 (variants engine; equality tests
+    # in test_cep_stream_optional_*) — mixed contiguity stays refused
+    with pytest.raises(ValueError, match="single-contiguity"):
         match_pattern_stream(
             stream,
-            Pattern.begin("A").followed_by("B").optional()
-            .followed_by("C").within("5 minutes"),
-            watermark="1 minutes",
+            [{"type": "A", "mode": "strict"}, {"type": "B",
+             "mode": "strict"}, {"type": "C", "mode": "relaxed"}],
+            within="5 minutes", watermark="1 minutes",
         )
 
 
@@ -2525,3 +2527,272 @@ def test_cep_stream_where_survives_restart(spark, chunk_dir, tmp_path):
         for r in spark.read.parquet(str(sink)).collect()
     )
     assert final == [(1, _us(0), _us(10))]
+
+
+# --- streaming optional()/times(n, m) — variant expansion (r8) ----------
+
+
+def _rows_nullable(pdf, cols):
+    """Null-aware row collector: absent optional steps are NULL in
+    both the batch frame (NaT/None) and the streaming memory table
+    (NaN-backed nullable longs)."""
+    out = []
+    for _, r in pdf.iterrows():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if v is None or pd.isna(v):
+                vals.append(None)
+            elif hasattr(v, "timestamp"):
+                vals.append(int(
+                    v.replace(tzinfo=dt.timezone.utc).timestamp()
+                    * 1_000_000
+                ))
+            else:
+                vals.append(int(v))
+        out.append(tuple(vals))
+    return sorted(
+        out, key=lambda t: tuple((v is None, v or 0) for v in t)
+    )
+
+
+def _variant_soup(chunk_dir, seed, n=90, types=("V", "C", "P", "Z")):
+    import random
+
+    rng = random.Random(seed)
+    minutes = rng.sample(range(0, 300), n)
+    rows = sorted(
+        [
+            (rng.randrange(1, 7), i, _ts(m), rng.choice(types),
+             round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    per = (n + 3) // 4
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet",
+                     rows[i * per:(i + 1) * per])
+    # watermark flusher far in the future
+    _write_chunk(chunk_dir, "c9.parquet",
+                 [(99, 999, _ts(900), "Q", 1.0)])
+
+
+def test_cep_stream_optional_equals_batch(spark, chunk_dir, tmp_path):
+    """r8 streaming optional(): the q92 shape (V, optional C, P) runs
+    as parallel variant state machines over one shared buffer —
+    stream == batch across micro-batch boundaries, absent branch
+    emitting ts_2 NULL."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=51)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").optional()
+        .followed_by("P")
+        .within("45 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_3"]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_var_opt", "update", tmp_path)
+    got = _rows_nullable(
+        spark.sql("SELECT * FROM cep_var_opt").toPandas(), cols
+    )
+    want = _rows_nullable(match_pattern(batch_df, p).toPandas(), cols)
+    assert got == want
+    assert got
+    # both branches occur on the soup
+    assert any(r[2] is None for r in got)
+    assert any(r[2] is not None for r in got)
+
+
+def test_cep_stream_times_range_equals_batch(spark, chunk_dir, tmp_path):
+    """times(1, 2): each count variant emits (count-1 repeats ts_i as
+    ts_i_last — the batch union rule)."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=52)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").times(1, 2)
+        .followed_by("P")
+        .within("60 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "ts_3"]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_var_times", "update", tmp_path)
+    got = _rows_nullable(
+        spark.sql("SELECT * FROM cep_var_times").toPandas(), cols
+    )
+    want = _rows_nullable(match_pattern(batch_df, p).toPandas(), cols)
+    assert got == want
+    assert got
+
+
+def test_cep_stream_zero_or_more_equals_batch(spark, chunk_dir, tmp_path):
+    """zeroOrMore (optional greedy loop): the absent branch leaves
+    ts_2/ts_2_last/n_2 NULL; the present branch is the greedy run."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=53)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").zero_or_more()
+        .followed_by("P")
+        .within("45 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_var_zom", "update", tmp_path)
+    got = _rows_nullable(
+        spark.sql("SELECT * FROM cep_var_zom").toPandas(), cols
+    )
+    want = _rows_nullable(match_pattern(batch_df, p).toPandas(), cols)
+    assert got == want
+    assert got
+
+
+def test_cep_stream_optional_strict_equals_batch(spark, chunk_dir,
+                                                 tmp_path):
+    """Strict contiguity with an optional middle step: adjacency is
+    positional per variant ([A, B, C] and [A, C])."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(54)
+    minutes = rng.sample(range(0, 200), 80)
+    rows = sorted(
+        [
+            (rng.randrange(1, 5), i, _ts(m), rng.choice(["A", "B", "C"]),
+             1.0)
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(600), "Q", 1.0)])
+
+    p = (
+        Pattern.begin("A")
+        .next("B").optional()
+        .next("C")
+        .within("60 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_3"]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_var_strict", "update", tmp_path)
+    got = _rows_nullable(
+        spark.sql("SELECT * FROM cep_var_strict").toPandas(), cols
+    )
+    want = _rows_nullable(match_pattern(batch_df, p).toPandas(), cols)
+    assert got == want
+    assert got
+
+
+def test_cep_stream_optional_survives_restart(spark, chunk_dir, tmp_path):
+    """Variant state (shared buffer) is checkpointed: matches spanning
+    a stop/restart boundary emit exactly once, on both branches."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_var_sink"
+    ckpt = tmp_path / "cep_var_ckpt"
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").optional()
+        .followed_by("P")
+        .within("30 minutes")
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="2 minutes")
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(5), "C", 1.0),
+    ])
+    run_once()
+    assert not sink.exists()
+
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(10), "P", 1.0)])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "Z", 1.0)])
+    run_once()
+    got = _rows_nullable(
+        spark.read.parquet(str(sink)).toPandas(),
+        ["user_id", "ts_1", "ts_2", "ts_3"],
+    )
+    # both variants fire: with the C and skipping it (the null-aware
+    # sort puts the absent branch after the bound one)
+    assert got == [
+        (1, _us(0), _us(5), _us(10)),
+        (1, _us(0), None, _us(10)),
+    ]
+
+
+def test_cep_stream_variant_guards(spark, chunk_dir, tmp_path):
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    # skip strategy + variants
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").optional()
+        .followed_by("P")
+        .within("30 minutes")
+        .skip("skip_to_next")
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(stream, p, watermark="2 minutes")
+    # strict variant exposing a terminal loop via absent optional tail
+    p2 = (
+        Pattern.begin("A")
+        .next("B").one_or_more()
+        .next("C").optional()
+        .within("30 minutes")
+    )
+    with pytest.raises(ValueError, match="variant"):
+        match_pattern_stream(stream, p2, watermark="2 minutes")
