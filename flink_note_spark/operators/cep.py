@@ -200,12 +200,13 @@ class PatternStep:
         if self.times_max is not None and self.times_max < self.times:
             raise ValueError("times(n, m) requires m >= n")
         if self.any_match and (
-            self.negate or self.loop or self.times != 1
+            self.negate or self.times != 1
             or self.times_max is not None
         ):
             raise ValueError(
-                "followedByAny steps are plain single-event steps "
-                "(quantified/negated any-steps are out of scope)"
+                "followedByAny steps are plain or one_or_more steps "
+                "(times()/negated any-steps are out of scope; r8 "
+                "lifted the loop refusal)"
             )
         # optional + loop == Flink zeroOrMore: legal, expands to the
         # absent-or-oneOrMore variant pair (_expand_variants)
@@ -634,6 +635,12 @@ def match_pattern(
         raise ValueError(
             "followedByAny requires uniform relaxed contiguity (it IS "
             "a relaxed-family binding mode)"
+        )
+    if not greedy_loops and any(s.any_match and s.loop for s in steps):
+        raise ValueError(
+            "followedByAny one_or_more supports the greedy default "
+            "only (a non-greedy any-loop emits every contiguous "
+            "subrange — quadratic in the run; out of scope)"
         )
 
     iter_info = _resolve_iter(steps)
@@ -1906,6 +1913,27 @@ def _relaxed_loop(
             F.col("__el") <= F.col(horizon_base) + _within_expr(within)
         )
     j = A.join(el, cond)
+    if s.any_match and M is not None:
+        # followedByAny + oneOrMore (r8): the loop's FIRST element
+        # binds ANY candidate after the previous step (not just the
+        # earliest) — each joined element row starts its OWN greedy
+        # run over its element SUFFIX. One window pass over the same
+        # join (partition = the anchor row, DESC element order, frame
+        # = elements >= current): no extra shuffle beyond q88's, and
+        # the fan-out (one row per run start) IS the honest output
+        # size of skip-till-any-match.
+        w_sfx = (
+            Window.partitionBy(*carried)
+            .orderBy(F.col("__el").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = j.select(
+            *carried,
+            F.col("__el").alias(first_col),
+            F.max("__el").over(w_sfx).alias(last_out),
+            F.count(F.lit(1)).over(w_sfx).cast("long").alias(n_col),
+        )
+        return out.drop("__stop") if s.until is not None else out
     if greedy_loops:
         agg = j.groupBy(*carried).agg(
             F.min("__el").alias("__f"),

@@ -200,6 +200,49 @@ def cumulate_window(
     )
 
 
+def count_evictor_window(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    size: str,
+    n: int,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Flink ``CountEvictor.of(n)`` on a tumbling event-time window
+    (r8): when the window fires, only the LAST ``n`` elements (by
+    event time) are handed to the window function; earlier elements
+    are evicted. Spark has no evictor concept — the declarative
+    rendering is one ``row_number`` window pass descending by event
+    time inside each (key, window) and a ``rank <= n`` filter; the
+    caller aggregates the survivors with a plain ``groupBy(key,
+    win_start)``.
+
+    ``tiebreak`` columns order equal-timestamp events (the CEP
+    determinism doctrine — pass the event id for a reproducible
+    eviction on ties; Flink's evictor order is arrival order, which a
+    distributed shuffle cannot reproduce). Adds ``win_start_us``
+    (epoch µs, matching the streaming twin
+    ``streaming/ops.count_evictor_tumbling_stream``).
+    """
+    if n < 1:
+        raise ValueError("count evictor requires n >= 1")
+    size_us = _duration_us(size)
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    out = df.withColumn(
+        "win_start_us",
+        F.floor(ts_us / F.lit(size_us)).cast("long") * F.lit(size_us),
+    )
+    order = [F.col(ts).desc()] + [
+        F.col(c).desc() for c in (tiebreak or [])
+    ]
+    w = Window.partitionBy(key, "win_start_us").orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def _duration_us(s: str) -> int:
     """Interval string → microseconds (day/hour/minute/second units —
     calendar units would make spans variable-width, which CUMULATE

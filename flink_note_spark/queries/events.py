@@ -1221,6 +1221,56 @@ ORDER BY a.user_id, view_ts, click_ts
 """
 
 
+def q110_cep_any_loop(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP ``followedByAny`` + ``oneOrMore`` (r8): the loop's first
+    element binds ANY click after the view (skip-till-any-match), and
+    each choice starts its own greedy run over its element suffix —
+    ``Pattern.begin("view").followedByAny("click").oneOrMore()
+    .within(...)``. Rendered as the q88 key equi-join WITHOUT the
+    earliest-min collapse: one suffix-window pass over the joined
+    rows (frame = elements at-or-after the run start), fan-out = one
+    row per run start — the honest output size of the semantics. The
+    oracle is DuckDB's independent window formulation."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    p = [
+        "view",
+        {"type": "click", "any": True, "one_or_more": True},
+    ]
+    return (
+        match_pattern(e, p, within="7 days", contiguity="relaxed")
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("click_first"),
+            F.col("ts_2_last").alias("click_last"),
+            F.col("n_2").alias("n_clicks"),
+        )
+        .orderBy("user_id", "view_ts", "click_first")
+    )
+
+
+_Q110_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT a.user_id, a.t0, c.ts AS c1
+  FROM a JOIN events c ON c.user_id = a.user_id
+    AND c.event_type = 'click' AND c.ts > a.t0
+    AND c.ts <= a.t0 + INTERVAL 7 DAY),
+r AS (
+  SELECT user_id, t0, c1,
+         max(c1) OVER w AS clast,
+         CAST(count(*) OVER w AS BIGINT) AS n
+  FROM j WINDOW w AS (PARTITION BY user_id, t0 ORDER BY c1 DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, t0 AS view_ts, c1 AS click_first, clast AS click_last,
+       n AS n_clicks
+FROM r
+ORDER BY user_id, view_ts, click_first
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1250,6 +1300,7 @@ QUERIES = {
     "q107_cep_followed_by_any": q107_cep_followed_by_any,
     "q108_cep_iterative_condition": q108_cep_iterative_condition,
     "q109_cep_iterative_strict": q109_cep_iterative_strict,
+    "q110_cep_any_loop": q110_cep_any_loop,
 }
 
 ORACLES = {
@@ -1281,4 +1332,5 @@ ORACLES = {
     "q107_cep_followed_by_any": _Q107_SQL,
     "q108_cep_iterative_condition": _Q108_SQL,
     "q109_cep_iterative_strict": _Q109_SQL,
+    "q110_cep_any_loop": _Q110_SQL,
 }

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -150,39 +151,84 @@ def _make_session_fn(gap_ms: int, key_name: str, ts_col: str):
             yield pd.DataFrame([(user_id, start, last, n, True)], columns=cols)
             return
 
+        import numpy as np
+
         start, last, n = state.get if state.exists else (None, None, 0)
         # datetime64[ns] → int64 gives NANOseconds; work in epoch-MICROs
         # to match the batch sessionization surface (q25 session_*_us).
-        ts_us: list[int] = []
-        for pdf in pdfs:
-            ts_us.extend((pdf[ts_col].astype("int64") // 1_000).tolist())
-        ts_us.sort()
+        parts = [
+            pdf[ts_col].to_numpy().view("int64") // 1_000 for pdf in pdfs
+        ]
+        ts = (
+            np.sort(np.concatenate(parts)) if parts
+            else np.empty(0, dtype=np.int64)
+        )
+        if ts.size == 0:
+            if start is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1_000 + gap_ms)
+                yield pd.DataFrame(
+                    [(user_id, start, last, n, False)], columns=cols
+                )
+            return
 
-        # Walk events in event-time order, SPLITTING whenever the gap is
-        # exceeded — an in-batch gap closes the old session immediately
-        # (the timer only handles the final open session). Events older
-        # than the open session's start are watermark-bounded stragglers;
-        # they extend the open session backwards (best effort) rather
-        # than resurrecting closed ones.
-        closed_rows = []
-        for t in ts_us:
-            if start is None:
-                start = last = t
-                n = 1
-            elif t - last > gap_us:
-                closed_rows.append((user_id, start, last, n, True))
-                start = last = t
-                n = 1
-            else:
-                start = min(start, t)
-                last = max(last, t)
-                n += 1
-        if closed_rows:
-            yield pd.DataFrame(closed_rows, columns=cols)
+        # Vectorized segmentation (r8, VERDICT r7 item 4 — the
+        # per-event Python walk replaced by one np.diff pass), same
+        # semantics: split whenever the gap between CONSECUTIVE sorted
+        # events exceeds gap_us; an in-batch gap closes the old session
+        # immediately (the timer only handles the final open session).
+        # Events at or below the open session's `last` are
+        # watermark-bounded stragglers: each compares against the
+        # running max, so they ALL merge into the open session (best
+        # effort, never resurrecting closed ones) — rendered here by
+        # folding them in up front and seeding the forward pass with a
+        # synthetic element at `last`.
+        if start is not None:
+            n_le = int(np.searchsorted(ts, last, side="right"))
+            if n_le:
+                start = min(start, int(ts[0]))
+                n += n_le
+            aug = np.concatenate(([last], ts[n_le:]))
+            synth = True
+        else:
+            aug = ts
+            synth = False
+        brk = np.flatnonzero(np.diff(aug) > gap_us)
+        seg_s = np.concatenate(([0], brk + 1))
+        seg_e = np.concatenate((brk, [aug.size - 1]))
+        sv, ev = aug[seg_s], aug[seg_e]
+        cnt = seg_e - seg_s + 1
+        if synth:
+            cnt[0] -= 1  # the seeded element is not a real event
+            # segment 0 extends the open session (possibly by nothing)
+            sv[0], ev0 = start, int(ev[0])
+            n0 = n + int(cnt[0])
+        m = sv.size
+        closed_rows = None
+        if m > 1:
+            firsts = (
+                [(user_id, start, ev0, n0, True)] if synth
+                else [(user_id, int(sv[0]), int(ev[0]), int(cnt[0]), True)]
+            )
+            closed_rows = firsts + [
+                (user_id, int(sv[i]), int(ev[i]), int(cnt[i]), True)
+                for i in range(1, m - 1)
+            ]
+            start, last, n = int(sv[m - 1]), int(ev[m - 1]), int(cnt[m - 1])
+        elif synth:
+            start, last, n = start, ev0, n0
+        else:
+            start, last, n = int(sv[0]), int(ev[0]), int(cnt[0])
         state.update((start, last, n))
         # event-time timer: close when the watermark passes last + gap
         state.setTimeoutTimestamp(last // 1_000 + gap_ms)
-        yield pd.DataFrame([(user_id, start, last, n, False)], columns=cols)
+        # ONE frame per invocation (closed rows + the open snapshot):
+        # pandas frame construction is ~100µs — at high key
+        # cardinality a second yield per key is real money (r8)
+        snap = (user_id, start, last, n, False)
+        yield pd.DataFrame(
+            closed_rows + [snap] if closed_rows else [snap], columns=cols
+        )
 
     return _session_fn
 
@@ -381,6 +427,130 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
             state.setTimeoutTimestamp(
                 max(ts_buf[-1] // 1_000 + 1, state.getCurrentWatermarkMs() + 1)
             )
+        else:
+            state.remove()
+
+    return _cep_fn
+
+
+def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
+                             ts_col: str, slot_col: str,
+                             within_us: int, k: int):
+    """Vectorized relaxed plain matcher (r8, VERDICT r7 item 4): the
+    Python-state hot loop of :func:`_make_cep_fn`'s relaxed mode with
+    ZERO per-event Python.
+
+    Three levers over the r7 engine, all semantics-preserving (the
+    equality-vs-batch suite is unchanged):
+
+    - the dispatcher FILTERS non-candidate events JVM-side (relaxed
+      matching never consults them — only the per-type candidate
+      lists matter) and ships a small-int step SLOT instead of the
+      type string, so the Python worker and the state store only ever
+      see candidate rows and two int64 arrays;
+    - binding is batch-vectorized: ALL anchors advance through each
+      step with one ``np.searchsorted`` per step (the per-anchor
+      bisect chain turned sideways), then one boolean mask applies
+      the within-horizon and the exactly-once emission window;
+    - output frames are built from numpy column arrays, not
+      per-row lists.
+
+    Finality/eviction/exactly-once rules are IDENTICAL to
+    ``_make_cep_fn`` relaxed (strictly-below-wm finality, half-open
+    ``[wm_prev, wm)`` emission on the last element, ``wm - within``
+    eviction). Equal-timestamp candidate duplicates keep their
+    multiplicity (each anchors its own match) exactly as before;
+    equal-ts tie ORDER is irrelevant here because relaxed matching is
+    pure event-time (per-slot sorted arrays, strictly-greater
+    binding)."""
+    import numpy as np
+
+    cols = [key_name] + [f"ts_{i}" for i in range(1, k + 1)]
+    uniq_slots = sorted(set(pattern_slots))
+    empty = np.empty(0, dtype=np.int64)
+
+    def _find(ts, sl, wm_us, wm_prev_us):
+        cand = {s: ts[sl == s] for s in uniq_slots}
+        t0 = cand[pattern_slots[0]]
+        steps = [t0]
+        alive = np.ones(t0.shape, dtype=bool)
+        cur = t0
+        for s in pattern_slots[1:]:
+            ct = cand[s]
+            if ct.size == 0:
+                alive = np.zeros(t0.shape, dtype=bool)
+                steps.append(np.zeros_like(cur))
+                continue
+            idx = np.searchsorted(ct, cur, side="right")
+            ok = idx < ct.size
+            alive &= ok
+            cur = ct[np.minimum(idx, ct.size - 1)]
+            steps.append(cur)
+        if t0.size:
+            last = steps[-1]
+            emit = (
+                alive
+                & (last - t0 <= within_us)
+                & (last >= wm_prev_us)
+                & (last < wm_us)
+            )
+            rows = [st[emit] for st in steps]
+        else:
+            rows = None
+        cut = int(np.searchsorted(ts, wm_us - within_us, side="left"))
+        return rows, ts[cut:], sl[cut:]
+
+    def _emit(key_val, rows):
+        data = {key_name: np.repeat(
+            np.asarray([key_val]), rows[0].size
+        )}
+        for i, arr in enumerate(rows, 1):
+            data[f"ts_{i}"] = arr
+        return pd.DataFrame(data, columns=cols)
+
+    def _cep_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        if state.hasTimedOut:
+            prev_ts, prev_sl, wm_prev = state.get
+            ts = np.asarray(prev_ts, dtype=np.int64)
+            sl = np.asarray(prev_sl, dtype=np.int64)
+            rows, ts, sl = _find(ts, sl, wm_us, wm_prev)
+            if rows is not None and rows[0].size:
+                yield _emit(key_val, rows)
+            if ts.size:
+                state.update((ts.tolist(), sl.tolist(), wm_us))
+            else:
+                state.remove()
+            return
+
+        parts_t, parts_s, wm_prev = [], [], 0
+        if state.exists:
+            prev_ts, prev_sl, wm_prev = state.get
+            parts_t.append(np.asarray(prev_ts, dtype=np.int64))
+            parts_s.append(np.asarray(prev_sl, dtype=np.int64))
+        for pdf in pdfs:
+            parts_t.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            parts_s.append(pdf[slot_col].to_numpy().astype(np.int64))
+        ts = np.concatenate(parts_t)
+        sl = np.concatenate(parts_s)
+        order = np.argsort(ts, kind="stable")
+        ts, sl = ts[order], sl[order]
+
+        rows, ts, sl = _find(ts, sl, wm_us, wm_prev)
+        if rows is not None and rows[0].size:
+            yield _emit(key_val, rows)
+        if ts.size:
+            state.update((ts.tolist(), sl.tolist(), wm_us))
+            state.setTimeoutTimestamp(max(
+                int(ts[-1]) // 1_000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            ))
         else:
             state.remove()
 
@@ -901,16 +1071,18 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             prev_ts, prev_mk, wm_prev, bound, pf = state.get
             ts_buf, mk_buf = list(prev_ts), list(prev_mk)
             pend = _unpack(pf)
-        new = []
+        # numpy merge (r8): same (ts, mask) sort as the old
+        # sorted(zip(...)) — lexsort primary ts, secondary mask keeps
+        # the equal-ts tiebreak — without per-event Python
+        pt = [np.asarray(ts_buf, dtype=np.int64)]
+        pm = [np.asarray(mk_buf, dtype=np.int64)]
         for pdf in pdfs:
-            for t, y in zip(
-                (pdf[ts_col].astype("int64") // 1_000).tolist(),
-                pdf[mask_col].astype("int64").tolist(),
-            ):
-                new.append((t, y))
-        merged = sorted(list(zip(ts_buf, mk_buf)) + new)
-        ts_buf = [t for t, _ in merged]
-        mk_buf = [y for _, y in merged]
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pm.append(pdf[mask_col].to_numpy().astype(np.int64))
+        ts_a, mk_a = np.concatenate(pt), np.concatenate(pm)
+        order = np.lexsort((mk_a, ts_a))
+        ts_buf = ts_a[order].tolist()
+        mk_buf = mk_a[order].tolist()
 
         rows, ts_buf, mk_buf, bound, pend = find(
             ts_buf, mk_buf, wm_us, wm_prev, bound, pend
@@ -924,6 +1096,35 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             state.remove()
 
     return _general_cep_fn
+
+
+def _mask_projection(stream, mask, key_col, time_col, watermark,
+                     drop_zero):
+    """Project the per-event candidate mask and (relaxed modes only)
+    FILTER zero-mask events JVM-side — relaxed matching never consults
+    them, so they need not shuffle, transfer, or buffer (r8).
+
+    The filter must evaluate ABOVE the EventTimeWatermark node so that
+    non-candidate events still advance the watermark; Catalyst pushes
+    any predicate not referencing the watermark column below the node,
+    so the event-time column is folded into the mask expression (null
+    event time → mask 0, vacuous for CEP), making the filter one
+    unsplittable time-referencing predicate that stays put. Strict
+    modes keep every event (adjacency counts non-candidates)."""
+    if not drop_zero:
+        return (
+            stream.select(
+                key_col, time_col, mask.cast("long").alias("__cand_mask")
+            )
+            .withWatermark(time_col, watermark)
+        )
+    masked = F.when(F.col(time_col).isNull(), F.lit(0)).otherwise(mask)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .withColumn("__cand_mask", masked.cast("long"))
+        .filter(F.col("__cand_mask") != 0)
+        .select(key_col, time_col, "__cand_mask")
+    )
 
 
 def _expand_variant_slots(steps):
@@ -1267,16 +1468,15 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
         if state.exists:
             prev_ts, prev_mk, wm_prev = state.get
             ts_buf, mk_buf = list(prev_ts), list(prev_mk)
-        new = []
+        pt = [np.asarray(ts_buf, dtype=np.int64)]
+        pm = [np.asarray(mk_buf, dtype=np.int64)]
         for pdf in pdfs:
-            for t, y in zip(
-                (pdf[ts_col].astype("int64") // 1_000).tolist(),
-                pdf[mask_col].astype("int64").tolist(),
-            ):
-                new.append((t, y))
-        merged = sorted(list(zip(ts_buf, mk_buf)) + new)
-        ts_buf = [t for t, _ in merged]
-        mk_buf = [y for _, y in merged]
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pm.append(pdf[mask_col].to_numpy().astype(np.int64))
+        ts_a, mk_a = np.concatenate(pt), np.concatenate(pm)
+        order = np.lexsort((mk_a, ts_a))
+        ts_buf = ts_a[order].tolist()
+        mk_buf = mk_a[order].tolist()
 
         rows, ts_buf, mk_buf = _find(ts_buf, mk_buf, wm_us, wm_prev)
         if rows:
@@ -1531,12 +1731,12 @@ def match_pattern_stream(
         for i, c in enumerate(conds):
             term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
             mask = term if mask is None else mask + term
-        projected = stream.select(
-            key_col, time_col, mask.cast("long").alias("__cand_mask")
+        projected = _mask_projection(
+            stream, mask, key_col, time_col, watermark,
+            drop_zero=contiguity == "relaxed",
         )
         return (
-            projected.withWatermark(time_col, watermark)
-            .groupBy(key_col)
+            projected.groupBy(key_col)
             .applyInPandasWithState(
                 _make_general_cep_fn(
                     steps_t, key_col, time_col, "__cand_mask",
@@ -1604,12 +1804,12 @@ def match_pattern_stream(
         for i, c in enumerate(conds):
             term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
             mask = term if mask is None else mask + term
-        projected = stream.select(
-            key_col, time_col, mask.cast("long").alias("__cand_mask")
+        projected = _mask_projection(
+            stream, mask, key_col, time_col, watermark,
+            drop_zero=contiguity == "relaxed",
         )
         return (
-            projected.withWatermark(time_col, watermark)
-            .groupBy(key_col)
+            projected.groupBy(key_col)
             .applyInPandasWithState(
                 _make_variants_cep_fn(
                     variants, emit_maps, key_col, time_col,
@@ -1628,6 +1828,52 @@ def match_pattern_stream(
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         f"ts_{i} long" for i in range(1, k + 1)
     )
+    if contiguity == "relaxed":
+        # vectorized path (r8): relaxed matching never consults
+        # non-candidate events, so they are filtered JVM-side — AFTER
+        # withWatermark, so every event (candidate or not) still
+        # advances the watermark — and the type string is replaced by
+        # a small-int step slot. Slots are assigned in SORTED type
+        # order (a stable, data-independent mapping); per-key state
+        # holds two int64 arrays instead of a string array.
+        types_sorted = sorted(set(pattern))
+        slot_of = {t: i for i, t in enumerate(types_sorted)}
+        # the candidate filter MUST evaluate ABOVE the
+        # EventTimeWatermark node — non-candidate rows still advance
+        # the watermark. Catalyst pushes any predicate that does not
+        # reference the watermark column below the node (and splits
+        # conjunctions to do it), so the event-time column is folded
+        # INTO the slot expression: the filter then inherently
+        # references it as one unsplittable predicate and stays put
+        # (a null event time maps to -1 — vacuous for CEP, such rows
+        # could never match).
+        slot_expr = F.lit(-1)
+        for t, i in slot_of.items():
+            slot_expr = F.when(F.col(type_col) == t, F.lit(i)).otherwise(
+                slot_expr
+            )
+        slot_expr = F.when(F.col(time_col).isNull(), F.lit(-1)).otherwise(
+            slot_expr
+        )
+        projected = (
+            stream.withWatermark(time_col, watermark)
+            .withColumn("__slot", slot_expr)
+            .filter(F.col("__slot") >= 0)
+            .select(key_col, time_col, "__slot")
+        )
+        return (
+            projected.groupBy(key_col)
+            .applyInPandasWithState(
+                _make_cep_fn_relaxed_vec(
+                    [slot_of[t] for t in pattern], key_col, time_col,
+                    "__slot", within_us, k,
+                ),
+                outputStructType=out_schema,
+                stateStructType="ts array<long>, sl array<long>, wm long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(key_col)
@@ -2028,6 +2274,286 @@ def cumulate_window_stream(
             stateStructType=(
                 "j_done int, ts array<long>, vals array<double>"
             ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def early_fire_tumbling_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    size: str,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+    every: str | None = None,
+) -> DataFrame:
+    """Custom window TRIGGER recipe (r8, VERDICT r7 item 6) — Flink's
+    early-firing triggers on an event-time tumbling window, rendered
+    deterministically:
+
+    - ``every=None`` — the ``ContinuousProcessingTimeTrigger`` /
+      fire-per-update analogue: every micro-batch that adds data to a
+      live (key, window) re-emits its cumulative ``(n_events,
+      sum_value)`` with ``is_final = false``; when the watermark
+      passes the window end, the FINAL row emits with ``is_final =
+      true`` and state drops. Partials are correct prefixes but their
+      timing follows micro-batch boundaries (as Flink's
+      processing-time firings follow wall clock); the finals are
+      deterministic and equal the batch tumbling aggregate. State is
+      O(1) per live (key, window) — (n, sum), no event buffer.
+    - ``every="1 minute"`` — the ``ContinuousEventTimeTrigger``
+      analogue: partials fire exactly once per event-time boundary
+      ``win_start + j·every`` as the watermark passes it, each
+      aggregating events with ``ts < boundary`` — fully deterministic,
+      at the cost of buffering the window's events (the CUMULATE
+      machinery generalized to per-key windows + finality flag);
+      ``every`` must divide ``size``.
+
+    Output: ``(key, win_start_us, win_end_us, n_events, sum_value,
+    is_final)``; epoch-µs window bounds (stateful-op convention).
+    Equality-vs-batch-finals is pinned in tests/test_streaming.py.
+    """
+    from flink_note_spark.operators.windows import _duration_us
+
+    size_us = _duration_us(size)
+    every_us = None
+    if every is not None:
+        every_us = _duration_us(every)
+        if size_us % every_us != 0:
+            raise ValueError(
+                f"every must divide size (boundary alignment), got "
+                f"every={every!r} size={size!r}"
+            )
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, win_start_us long, win_end_us long, "
+        "n_events int, sum_value double, is_final boolean"
+    )
+    cols = [key_col, "win_start_us", "win_end_us", "n_events",
+            "sum_value", "is_final"]
+
+    def snapshot_fn(key_tuple, pdfs, state: GroupState):
+        k, win_start = key_tuple
+        win_start = int(win_start)
+        end_us = win_start + size_us
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k, win_start, end_us, n, round(s, 4), True)],
+                columns=cols,
+            )
+            return
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        if wm_us >= end_us:
+            # the window is already final (data and finality arrived
+            # in the same batch) — emit the final row directly
+            state.remove()
+            yield pd.DataFrame(
+                [(k, win_start, end_us, n, round(s, 4), True)],
+                columns=cols,
+            )
+            return
+        state.update((n, s))
+        state.setTimeoutTimestamp(max(
+            end_us // 1_000, state.getCurrentWatermarkMs() + 1
+        ))
+        yield pd.DataFrame(
+            [(k, win_start, end_us, n, round(s, 4), False)],
+            columns=cols,
+        )
+
+    n_bounds = (size_us // every_us) if every_us else 0
+
+    def boundary_fn(key_tuple, pdfs, state: GroupState):
+        k, win_start = key_tuple
+        win_start = int(win_start)
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def decide(j_done, ts, vals):
+            rows = []
+            while j_done < n_bounds:
+                b = win_start + (j_done + 1) * every_us
+                if wm_us < b:
+                    break
+                live = [(t, v) for t, v in zip(ts, vals) if t < b]
+                rows.append((
+                    k, win_start, b, len(live),
+                    round(sum(v for _, v in live), 4),
+                    j_done + 1 == n_bounds,
+                ))
+                j_done += 1
+            return rows, j_done
+
+        if state.hasTimedOut:
+            j_done, ts, vals = state.get
+            rows, j_done = decide(j_done, list(ts), list(vals))
+            if j_done >= n_bounds:
+                state.remove()
+            else:
+                state.update((j_done, list(ts), list(vals)))
+                state.setTimeoutTimestamp(max(
+                    (win_start + (j_done + 1) * every_us) // 1_000,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            return
+
+        j_done, ts, vals = state.get if state.exists else (0, [], [])
+        ts, vals = list(ts), list(vals)
+        for pdf in pdfs:
+            ts.extend(
+                (pdf[ts_col].to_numpy().view("int64") // 1_000).tolist()
+            )
+            vals.extend(
+                pdf[value_col].fillna(0.0).astype(float).tolist()
+            )
+        rows, j_done = decide(j_done, ts, vals)
+        if j_done >= n_bounds:
+            state.remove()
+        else:
+            state.update((j_done, ts, vals))
+            state.setTimeoutTimestamp(max(
+                (win_start + (j_done + 1) * every_us) // 1_000,
+                state.getCurrentWatermarkMs() + 1,
+            ))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    win = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(size_us)
+        ).cast("long") * F.lit(size_us)
+    ).alias("__win")
+    grouped = (
+        stream.withWatermark(ts_col, watermark)
+        .select("*", win)
+        .groupBy(key_col, "__win")
+    )
+    if every_us is None:
+        return grouped.applyInPandasWithState(
+            snapshot_fn,
+            outputStructType=out_schema,
+            stateStructType="n int, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    return grouped.applyInPandasWithState(
+        boundary_fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "j_done int, ts array<long>, vals array<double>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def count_evictor_tumbling_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    size: str,
+    n: int,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Custom window EVICTOR recipe (r8, VERDICT r7 item 6) — Flink
+    ``CountEvictor.of(n)`` on an event-time tumbling window: when the
+    window fires, only the LAST ``n`` elements by event time reach the
+    window function; earlier ones are evicted.
+
+    The streaming rendering keeps the top-``n``-by-time INCREMENTALLY:
+    an event below the current n-th-largest timestamp can never
+    re-enter (later events only raise the cutoff), so per-(key,
+    window) state is O(n) — the evictor's own bound, NOT the window's
+    row count. One final row per window once the watermark passes its
+    end: ``(key, win_start_us, win_end_us, n_kept, sum_value)``.
+
+    Batch twin: ``operators/windows.count_evictor_window`` + groupBy
+    (equality-tested in tests/test_streaming.py). Equal-timestamp
+    events at the cutoff evict arbitrarily (use unique timestamps per
+    key for reproducibility — the fixture doctrine)."""
+    if n < 1:
+        raise ValueError("count evictor requires n >= 1")
+    from flink_note_spark.operators.windows import _duration_us
+
+    size_us = _duration_us(size)
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, win_start_us long, win_end_us long, "
+        "n_kept int, sum_value double"
+    )
+    cols = [key_col, "win_start_us", "win_end_us", "n_kept",
+            "sum_value"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        k, win_start = key_tuple
+        win_start = int(win_start)
+        end_us = win_start + size_us
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def final_rows(ts, vals):
+            return pd.DataFrame(
+                [(k, win_start, end_us, len(ts),
+                  round(float(np.sum(vals)) if len(vals) else 0.0, 4))],
+                columns=cols,
+            )
+
+        if state.hasTimedOut:
+            ts, vals = state.get
+            state.remove()
+            yield final_rows(list(ts), list(vals))
+            return
+
+        pt, pv = [], []
+        if state.exists:
+            prev_ts, prev_vals = state.get
+            pt.append(np.asarray(prev_ts, dtype=np.int64))
+            pv.append(np.asarray(prev_vals, dtype=np.float64))
+        for pdf in pdfs:
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pv.append(
+                pdf[value_col].fillna(0.0).to_numpy(dtype=np.float64)
+            )
+        ts = np.concatenate(pt)
+        vals = np.concatenate(pv)
+        # incremental eviction: keep only the n latest by event time
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order][-n:], vals[order][-n:]
+        if wm_us >= end_us:
+            state.remove()
+            yield final_rows(ts, vals)
+            return
+        state.update((ts.tolist(), vals.tolist()))
+        state.setTimeoutTimestamp(max(
+            end_us // 1_000, state.getCurrentWatermarkMs() + 1
+        ))
+
+    win = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(size_us)
+        ).cast("long") * F.lit(size_us)
+    ).alias("__win")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select("*", win)
+        .groupBy(key_col, "__win")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="ts array<long>, vals array<double>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

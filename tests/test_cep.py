@@ -1765,7 +1765,18 @@ def _naive_any_relaxed(rows, steps, within_s=None):
                         e[0] for e in seq
                         if pred(e) and e[0] > anchor and e[0] <= horizon
                     ]
-                    if not els or not negs_ok(els[0]):
+                    if not els:
+                        return
+                    if any_m and cur is not None:
+                        # any-loop (r8): every element starts its own
+                        # greedy run over its suffix
+                        for i in range(len(els)):
+                            if negs_ok(els[i]):
+                                rec(si + 1, els[-1],
+                                    cap + [els[i], els[-1],
+                                           len(els) - i], [])
+                        return
+                    if not negs_ok(els[0]):
                         return
                     rec(si + 1, els[-1],
                         cap + [els[0], els[-1], len(els)], [])
@@ -1847,10 +1858,12 @@ def test_followed_by_any_guards(spark):
     with pytest.raises(ValueError, match="relaxed"):
         match_pattern(df, [{"type": "A"}, {"type": "B", "any": True}],
                       contiguity="strict")
-    with pytest.raises(ValueError, match="any-steps"):
+    # one_or_more any-steps are SUPPORTED since r8 (suffix-run
+    # window); quantified times() any-steps remain out of scope
+    with pytest.raises(ValueError, match="times"):
         match_pattern(
             df,
-            ["A", {"type": "B", "any": True, "one_or_more": True}],
+            ["A", {"type": "B", "any": True, "times": 2}],
             contiguity="relaxed",
         )
     p = Pattern.begin("A").followed_by_any("B")
@@ -2366,3 +2379,97 @@ def test_iter_composes_with_skip_strategy(spark):
         df, pat, contiguity="relaxed", skip_strategy="skip_to_next"
     ))
     assert set(stn) <= set(base_m)
+
+
+def test_followed_by_any_one_or_more_matches_naive(spark):
+    """r8: followedByAny + oneOrMore — every candidate element starts
+    its own greedy run (skip-till-ANY-match loop entry)."""
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "B", "any": True, "one_or_more": True}]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="60 seconds")
+    )
+    want = _naive_any_relaxed(
+        RICH_ROWS,
+        [(_t_is("A"), False, False, False),
+         (_t_is("B"), False, True, True)],
+        within_s=60,
+    )
+    assert got == want
+    assert got
+    # key 4 (A then B B B): three run starts, suffix runs of 3/2/1
+    k4 = sorted(m for m in got if m[0] == 4)
+    assert [(m[2], m[3], m[4]) for m in k4] == [
+        (10.0, 30.0, 3), (20.0, 30.0, 2), (30.0, 30.0, 1),
+    ]
+    # strictly more matches than the earliest-binding loop (q88 shape)
+    earliest = _collect_cols(match_pattern(
+        df, ["A", {"type": "B", "one_or_more": True}],
+        contiguity="relaxed", within="60 seconds",
+    ))
+    assert set(earliest) < set(got)
+
+
+def test_followed_by_any_loop_continues_to_next_step(spark):
+    """An any-loop mid-pattern: each suffix run continues to its own
+    earliest next-step binding after the run's LAST element."""
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "B", "any": True, "one_or_more": True}, "C"]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="60 seconds")
+    )
+    want = _naive_any_relaxed(
+        RICH_ROWS,
+        [(_t_is("A"), False, False, False),
+         (_t_is("B"), False, True, True),
+         (_t_is("C"), False, False, False)],
+        within_s=60,
+    )
+    assert got == want
+    assert got
+
+
+def test_followed_by_any_loop_with_until(spark):
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A",
+           {"type": "B", "any": True, "one_or_more": True, "until": "U"}]
+    got = _collect_cols(
+        match_pattern(df, pat, contiguity="relaxed", within="60 seconds")
+    )
+
+    def b_until(e):
+        return e[1] == "B"
+
+    # naive: until truncates the candidate pool at the first U after
+    # the anchor — mirror by post-filtering els in a dedicated naive
+    out = []
+    for key in {k for (k, *_r) in RICH_ROWS}:
+        seq = sorted((s, t) for (kk, s, t, _i) in RICH_ROWS if kk == key)
+        for (s0, t0) in seq:
+            if t0 != "A":
+                continue
+            stops = [s for (s, t) in seq if t == "U" and s > s0]
+            stop = min(stops) if stops else None
+            els = [
+                s for (s, t) in seq
+                if t == "B" and s > s0 and s <= s0 + 60
+                and (stop is None or s < stop)
+            ]
+            for i in range(len(els)):
+                out.append((key, float(s0), float(els[i]),
+                            float(els[-1]), len(els) - i))
+    assert got == sorted(out)
+    assert got
+
+
+def test_followed_by_any_loop_guards(spark):
+    df = _mk(spark, RICH_ROWS)
+    pat = ["A", {"type": "B", "any": True, "one_or_more": True}]
+    with pytest.raises(ValueError, match="greedy"):
+        match_pattern(df, pat, contiguity="relaxed",
+                      within="60 seconds", skip_strategy="no_skip")
+    with pytest.raises(ValueError, match="times"):
+        match_pattern(
+            df, ["A", {"type": "B", "any": True, "times": 2}],
+            contiguity="relaxed",
+        )

@@ -2796,3 +2796,180 @@ def test_cep_stream_variant_guards(spark, chunk_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="variant"):
         match_pattern_stream(stream, p2, watermark="2 minutes")
+
+
+# --- trigger/evictor recipes (r8) ---------------------------------------
+
+
+def test_early_fire_snapshot_finals_equal_batch(spark, chunk_dir, tmp_path):
+    """early_fire_tumbling_stream(every=None): per-batch partial
+    emission with is_final=false; the FINAL rows equal the batch
+    tumbling aggregate, and each key/window's partial n_events is a
+    non-decreasing prefix of its final."""
+    import random
+
+    from flink_note_spark.streaming.ops import early_fire_tumbling_stream
+
+    rng = random.Random(61)
+    minutes = rng.sample(range(0, 240), 80)
+    rows = sorted(
+        [
+            (rng.randrange(1, 5), i, _ts(m), "E", round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 0.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = early_fire_tumbling_stream(
+        stream, "user_id", "ts", size="60 minutes", value_col="value",
+        watermark="3 minutes",
+    )
+    _run_to_memory(out, "early_fire_snap", "update", tmp_path)
+    got = spark.sql("SELECT * FROM early_fire_snap").toPandas()
+
+    finals = {
+        (int(r["user_id"]), int(r["win_start_us"])):
+            (int(r["n_events"]), round(float(r["sum_value"]), 4))
+        for _, r in got[got["is_final"]].iterrows()
+    }
+    # batch twin
+    import collections
+    want = collections.defaultdict(lambda: [0, 0.0])
+    size_us = 3_600_000_000
+    for (k, _i, ts, _t, v) in rows:
+        us = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        w = (us // size_us) * size_us
+        want[(k, w)][0] += 1
+        want[(k, w)][1] += v
+    want = {kk: (n, round(s, 4)) for kk, (n, s) in want.items()}
+    assert finals == want
+    # finals exactly once; partials are non-decreasing prefixes
+    assert len(got[got["is_final"]]) == len(finals)
+    for kk, (n_final, _s) in finals.items():
+        parts = got[
+            (~got["is_final"])
+            & (got["user_id"] == kk[0])
+            & (got["win_start_us"] == kk[1])
+        ]["n_events"].tolist()
+        assert parts == sorted(parts) and all(p <= n_final for p in parts)
+
+
+def test_early_fire_boundaries_deterministic(spark, chunk_dir, tmp_path):
+    """every='20 minutes' on a 60-minute window: exactly 3 rows per
+    live (key, window) — one per boundary — each counting events
+    strictly before its boundary; the last is the final."""
+    from flink_note_spark.streaming.ops import early_fire_tumbling_stream
+
+    rows = [
+        (1, 1, _ts(5), "E", 1.0),
+        (1, 2, _ts(25), "E", 2.0),
+        (1, 3, _ts(45), "E", 4.0),
+        (1, 4, _ts(50), "E", 8.0),
+    ]
+    _write_chunk(chunk_dir, "c1.parquet", rows[:2])
+    _write_chunk(chunk_dir, "c2.parquet", rows[2:])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 9, _ts(600), "Q", 0.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = early_fire_tumbling_stream(
+        stream, "user_id", "ts", size="60 minutes", value_col="value",
+        watermark="2 minutes", every="20 minutes",
+    )
+    _run_to_memory(out, "early_fire_bnd", "update", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["win_start_us"]), int(r["win_end_us"]),
+         int(r["n_events"]), float(r["sum_value"]), bool(r["is_final"]))
+        for _, r in spark.sql(
+            "SELECT * FROM early_fire_bnd WHERE user_id = 1"
+        ).toPandas().iterrows()
+    )
+    w0 = _us(0)
+    assert got == [
+        (1, w0, _us(20), 1, 1.0, False),
+        (1, w0, _us(40), 2, 3.0, False),
+        (1, w0, _us(60), 4, 15.0, True),
+    ]
+
+
+def test_early_fire_every_must_divide_size(spark, chunk_dir):
+    from flink_note_spark.streaming.ops import early_fire_tumbling_stream
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    )
+    with pytest.raises(ValueError, match="divide"):
+        early_fire_tumbling_stream(
+            stream, "user_id", "ts", size="60 minutes",
+            every="7 minutes",
+        )
+
+
+def test_count_evictor_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """count_evictor_tumbling_stream finals == batch
+    count_evictor_window + groupBy, across micro-batch boundaries
+    (the top-n state is maintained incrementally)."""
+    import random
+
+    from flink_note_spark.operators.windows import count_evictor_window
+    from flink_note_spark.streaming.ops import (
+        count_evictor_tumbling_stream,
+    )
+
+    rng = random.Random(62)
+    minutes = rng.sample(range(0, 240), 80)
+    rows = sorted(
+        [
+            (rng.randrange(1, 5), i, _ts(m), "E", round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 0.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = count_evictor_tumbling_stream(
+        stream, "user_id", "ts", size="60 minutes", n=3,
+        value_col="value", watermark="3 minutes",
+    )
+    _run_to_memory(out, "cnt_evict", "update", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["win_start_us"]), int(r["n_kept"]),
+         round(float(r["sum_value"]), 4))
+        for _, r in spark.sql("SELECT * FROM cnt_evict").toPandas()
+        .iterrows()
+    )
+
+    batch_df = (
+        spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+        .filter("user_id < 99")  # the flusher's window never finalizes
+    )
+    surv = count_evictor_window(
+        batch_df, "user_id", "ts", "60 minutes", 3
+    )
+    want = sorted(
+        (int(r["user_id"]), int(r["win_start_us"]), int(r["n"]),
+         round(float(r["s"]), 4))
+        for r in surv.groupBy("user_id", "win_start_us")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert got == want
+    assert got
+    # the evictor bites: some window kept fewer than its raw count
+    raw = batch_df.groupBy("user_id").count().collect()
+    assert any(g[2] == 3 for g in got)
