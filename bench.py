@@ -87,6 +87,11 @@ HEADLINE = [
     # cross-round totals caveat as the round-5/6 additions.
     "q100_cep_no_skip",
     "q103_temporal_join",
+    # New in round 8: the IterativeCondition qualifying-candidate join
+    # bind and the followedByAny suffix-run loop — same cross-round
+    # totals caveat as the round-5/6/7 additions.
+    "q108_cep_iterative_condition",
+    "q110_cep_any_loop",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

@@ -626,7 +626,8 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
     _is_ts: list[bool] = []
     _step_offsets: list[tuple[int, int | None]] = []
     _off = 0
-    for (_typ, _neg, _times, _loop, _until) in steps:
+    has_any = any(s[5] for s in steps)
+    for (_typ, _neg, _times, _loop, _until, _any) in steps:
         if _neg:
             continue
         first_off = _off
@@ -746,7 +747,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                 if cap:
                     emit(cap, last_ts)
                 return
-            slot, neg, times, loop, _until = steps[si]
+            slot, neg, times, loop, _until, _any = steps[si]
             if neg:
                 if pos < n and hit(pos, slot):
                     return
@@ -780,7 +781,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                 rec(0, p0, [], None)
                 continue
             pos, cap, ok, last_ts = p0, [], True, None
-            for (slot, neg, times, loop, _until) in steps:
+            for (slot, neg, times, loop, _until, _any) in steps:
                 if neg:
                     if pos < n and hit(pos, slot):
                         ok = False
@@ -848,10 +849,17 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
         t0_slot = next(s[0] for s in steps if not s[1])
         decided = []
 
+        greedy_rec = not noskip_loops
+
         def rec(s0, h, si, cur, cap, pending):
-            """Non-greedy (skip-strategy) enumeration: relaxed loops
-            branch per prefix — the streaming twin of the batch
-            ordered-window prefix pass."""
+            """Branching enumeration — used for the skip strategies'
+            non-greedy semantics (relaxed loops branch per prefix, the
+            streaming twin of the batch ordered-window prefix pass)
+            AND, since r8, for ``followedByAny`` patterns in greedy
+            mode (any-steps branch per candidate, any-loops per
+            suffix run — the batch suffix-window rendered over the
+            stable region, which is complete below the anchor's
+            horizon by relaxed finality)."""
             if si == len(steps):
                 for (x, anc) in pending:
                     xa = first_after(x, anc if anc is not None else s0)
@@ -859,9 +867,12 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                         return
                 decided.append(cap)
                 return
-            slot, neg, times, loop, until = steps[si]
+            slot, neg, times, loop, until, any_m = steps[si]
             if neg:
-                rec(s0, h, si, cur, cap, pending + [(slot, cur)])
+                # advance past the negation (r8 fix: the r7 kernel
+                # recursed with the SAME si, infinitely — latent, as
+                # no test combined negation with the rec path)
+                rec(s0, h, si + 1, cur, cap, pending + [(slot, cur)])
                 return
 
             def negs_ok(nxt):
@@ -881,13 +892,41 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                     t for t in lst[i:]
                     if (stop is None or t < stop) and t <= h
                 ]
-                if not els or not negs_ok(els[0]):
+                if not els:
+                    return
+                if any_m and cur is not None:
+                    # any-loop (r8, greedy-only): every element starts
+                    # its own greedy run over its suffix
+                    for j in range(len(els)):
+                        if negs_ok(els[j]):
+                            rec(
+                                s0, h, si + 1, els[-1],
+                                cap + [els[j], els[-1], len(els) - j],
+                                [],
+                            )
+                    return
+                if not negs_ok(els[0]):
+                    return
+                if greedy_rec:
+                    rec(
+                        s0, h, si + 1, els[-1],
+                        cap + [els[0], els[-1], len(els)], [],
+                    )
                     return
                 for k in range(1, len(els) + 1):
                     rec(
                         s0, h, si + 1, els[k - 1],
                         cap + [els[0], els[k - 1], k], [],
                     )
+                return
+            if any_m and cur is not None:
+                lst = by_slot.get(slot, [])
+                i = bisect_right(lst, cur)
+                for c in lst[i:]:
+                    if c > h:
+                        break
+                    if negs_ok(c):
+                        rec(s0, h, si + 1, c, cap + [c], [])
                 return
             if cur is None:
                 nxt, new_cur = s0, s0
@@ -911,11 +950,11 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             h = s0 + within_us
             if not (wm_prev_us <= h < wm_us):  # decided exactly once
                 continue
-            if noskip_loops:
+            if noskip_loops or has_any:
                 rec(s0, h, 0, None, [], [])
                 continue
             cap, cur, ok, pending = [], None, True, []
-            for (slot, neg, times, loop, until) in steps:
+            for (slot, neg, times, loop, until, _any) in steps:
                 if neg:
                     pending.append((slot, cur))
                     continue
@@ -1573,9 +1612,17 @@ def match_pattern_stream(
     operator prunes over the whole union — use batch), and strict
     patterns require every variant to end positively.
 
+    ``followedByAny`` (r8): runs on the general relaxed engine — the
+    branching enumerator explores every candidate binding (any-steps
+    per candidate, any-loops per suffix run) within the anchor's
+    ``within`` horizon, which is COMPLETE below the horizon when the
+    anchor decides (relaxed finality), so the branching is exact.
+    Plain any-steps compose with the skip strategies; any-loops are
+    greedy-only, and any + optional()/times(n, m) stays batch-only.
+
     Batch-only remainders: mixed contiguity, strict pruning skip
-    strategies, ``followedByAny``, iterative conditions, skip
-    strategies over variant unions, and — for STRICT patterns —
+    strategies, iterative conditions, skip strategies over variant
+    unions, non-greedy any-loops, and — for STRICT patterns —
     terminal negation/loops (they ask what follows the match,
     unanswerable on an unbounded stream; relaxed terminal negation
     and loops are fine, the ``within`` horizon decides them).
@@ -1629,10 +1676,29 @@ def match_pattern_stream(
                 "over the whole variant union)"
             )
         if any(s.any_match for s in steps):
-            raise ValueError(
-                "followedByAny streaming CEP is batch-only (the "
-                "incremental engines bind earliest-only)"
-            )
+            # r8: followedByAny runs on the general relaxed engine —
+            # any-steps branch per candidate, any-loops per suffix
+            # run, all within the anchor's horizon (complete below it
+            # by relaxed finality, so the branching is exact)
+            if contiguity != "relaxed":
+                raise ValueError(
+                    "followedByAny requires uniform relaxed "
+                    "contiguity (it IS a relaxed-family binding mode)"
+                )
+            if variants_mode:
+                raise ValueError(
+                    "followedByAny with optional()/times(n, m) "
+                    "streaming CEP is batch-only"
+                )
+            if skip is not None and any(
+                s.any_match and s.loop for s in steps
+            ):
+                raise ValueError(
+                    "followedByAny one_or_more supports the greedy "
+                    "default only (a non-greedy any-loop emits every "
+                    "contiguous subrange — quadratic in the run)"
+                )
+            general = True
         from flink_note_spark.operators.cep import _iter_where
 
         if any(_iter_where(s) is not None for s in steps):
@@ -1725,7 +1791,9 @@ def match_pattern_stream(
             if s.loop and s.until is not None:
                 until_slot = len(conds)
                 conds.append(F.col(type_col) == s.until)
-            steps_t.append((i, s.negate, s.times, s.loop, until_slot))
+            steps_t.append(
+                (i, s.negate, s.times, s.loop, until_slot, s.any_match)
+            )
         steps_t = tuple(steps_t)
         mask = None
         for i, c in enumerate(conds):

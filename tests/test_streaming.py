@@ -2973,3 +2973,134 @@ def test_count_evictor_stream_equals_batch(spark, chunk_dir, tmp_path):
     # the evictor bites: some window kept fewer than its raw count
     raw = batch_df.groupBy("user_id").count().collect()
     assert any(g[2] == 3 for g in got)
+
+
+def test_cep_stream_followed_by_any_equals_batch(spark, chunk_dir,
+                                                 tmp_path):
+    """r8 streaming followedByAny: any-steps branch per candidate
+    inside the anchor horizon (complete below it by relaxed finality)
+    — stream == batch across micro-batch boundaries, for a plain
+    any-step, an any-loop, and an any-step + negation."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=71, n=200)
+    pats = [
+        (
+            "plain",
+            Pattern.begin("V").followed_by_any("C").followed_by("P")
+            .within("45 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_3"],
+        ),
+        (
+            "loop",
+            Pattern.begin("V").followed_by_any("C").one_or_more()
+            .within("45 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2"],
+        ),
+        (
+            "neg",
+            Pattern.begin("V").not_followed_by("Z")
+            .followed_by_any("P").within("45 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+    ]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    for tag, p, cols in pats:
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="3 minutes")
+        _run_to_memory(out, f"cep_any_{tag}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_any_{tag}", cols)
+        want = _batch_rows(match_pattern(batch_df, p), cols)
+        assert got == want, tag
+        assert got, tag
+
+
+def test_cep_stream_any_with_skip_strategy_equals_batch(
+    spark, chunk_dir, tmp_path
+):
+    """Plain any-steps compose with the streaming skip strategies
+    (the branching rec feeds the same decided-cap pruning)."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=72)
+    cols = ["user_id", "ts_1", "ts_2"]
+    for strat in ("no_skip", "skip_to_next", "skip_past_last_event"):
+        p = (
+            Pattern.begin("V").followed_by_any("C")
+            .within("45 minutes").skip(strat)
+        )
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="3 minutes")
+        _run_to_memory(out, f"cep_any_skip_{strat}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_any_skip_{strat}", cols)
+        want = _batch_rows(match_pattern(batch_df := spark.read
+                           .schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
+                           p), cols)
+        assert got == want, strat
+        assert got, strat
+
+
+def test_cep_stream_any_guards(spark, chunk_dir):
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    )
+    with pytest.raises(ValueError, match="relaxed"):
+        match_pattern_stream(
+            stream,
+            [{"type": "A"}, {"type": "B", "any": True, "mode": "strict"}],
+            within="10 minutes", watermark="1 minutes",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        p = (Pattern.begin("A").followed_by_any("B")
+             .followed_by("C").optional().within("10 minutes"))
+        match_pattern_stream(stream, p, watermark="1 minutes")
+    with pytest.raises(ValueError, match="greedy"):
+        p = (Pattern.begin("A").followed_by_any("B").one_or_more()
+             .within("10 minutes").skip("no_skip"))
+        match_pattern_stream(stream, p, watermark="1 minutes")
+
+
+def test_cep_stream_skip_with_negation_equals_batch(spark, chunk_dir,
+                                                    tmp_path):
+    """Regression (r8): a negation step on the branching rec path
+    (skip strategies / any-steps) recursed forever in the r7 kernel
+    (same step index re-entered); pin the fixed behaviour against
+    batch."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=73, n=150)
+    p = (
+        Pattern.begin("V")
+        .not_followed_by("Z")
+        .followed_by("P")
+        .within("45 minutes")
+        .skip("no_skip")
+    )
+    cols = ["user_id", "ts_1", "ts_2"]
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_skip_neg", "update", tmp_path)
+    got = _stream_rows(spark, "cep_skip_neg", cols)
+    want = _batch_rows(
+        match_pattern(
+            spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), p
+        ),
+        cols,
+    )
+    assert got == want
+    assert got
