@@ -659,26 +659,11 @@ def match_pattern(
                 f"iterative condition references column(s) "
                 f"{sorted(missing)} not present in the events frame"
             )
-        loop_pidx, p = set(), 0
-        for s in steps:
-            if not s.negate:
-                p += 1
-                if s.loop:
-                    loop_pidx.add(p)
-        if any(steps[i].loop for i in iter_info):
-            raise ValueError(
-                "iterative conditions on one_or_more steps are not "
-                "supported (per-element cross-step predicates need "
-                "the sequential kernel)"
-            )
-        if any(
-            k in loop_pidx
-            for _, refs in iter_info.values() for (k, _c) in refs
-        ):
-            raise ValueError(
-                "iterative conditions cannot reference a one_or_more "
-                "step (the loop binds a run, not one event)"
-            )
+        # r8: relaxed loops compose — iterative predicates ON a loop
+        # filter its elements at the element join, refs TO a loop bind
+        # the run's FIRST element's payload. Strict loops stay
+        # refused (the segments engine binds runs by position; a
+        # cross-step ref's lag distance would vary per run element).
         if contiguity == "strict" and any(s.loop for s in steps):
             raise ValueError(
                 "iterative conditions with strict loop steps are not "
@@ -1711,6 +1696,14 @@ def _match_relaxed(
                     F.col(f"__c{sidx}") if has_where
                     else F.col(type_col) == s.event_type
                 ),
+                iter_template=(
+                    iter_info[sidx][0] if sidx in iter_info else None
+                ),
+                payload_cols=payload_cols if iter_info else None,
+                carry=(
+                    [(c, f"__v{pidx}_{c}") for c in ref_cols[pidx]]
+                    if pidx in ref_cols else None
+                ),
             )
             if pending_neg:
                 M = apply_negs(M, first_col)
@@ -1854,6 +1847,9 @@ def _relaxed_loop(
     last_col: str | None,
     greedy_loops: bool = True,
     cand_filter: Column | None = None,
+    iter_template: str | None = None,
+    payload_cols: list[str] | None = None,
+    carry: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Relaxed loop: events of the type strictly after the previous
     step and strictly before the stop bound (earliest ``until`` event /
@@ -1864,22 +1860,42 @@ def _relaxed_loop(
     ``n`` = its rank and ``ts_last`` = its own timestamp (one ordered
     window pass over the same partitioning instead of the group-agg).
     Fan-out is the matched-run length in both modes — prefix emission
-    is the HONEST output size of Flink's NO_SKIP, not a blow-up."""
+    is the HONEST output size of Flink's NO_SKIP, not a blow-up.
+
+    Iterative conditions (r8): ``iter_template`` is the step's
+    rewritten cross-step predicate — it becomes one more residual
+    conjunct on the SAME element join (the element side then carries
+    the payload columns its bare refs name), so a loop takes exactly
+    the elements satisfying the predicate against the match's earlier
+    bindings (Flink: non-qualifying events are skipped by relaxed
+    internal contiguity). ``carry`` requests the run's FIRST element's
+    payload as ``__v{pidx}_{col}`` for LATER steps' refs — a struct-min
+    in the existing aggregation, no extra join."""
     first_col, last_out, n_col = f"ts_{pidx}", f"ts_{pidx}_last", f"n_{pidx}"
     if cand_filter is None:
         cand_filter = F.col(type_col) == s.event_type
-    el = base.filter(cand_filter).select(
-        F.col(key_col).alias("__ek"), F.col(time_col).alias("__el")
-    )
+    need_payload = iter_template is not None or carry is not None
+    if need_payload:
+        el = base.filter(cand_filter).select(
+            F.col(key_col).alias("__ek"), F.col(time_col).alias("__el"),
+            *(payload_cols or []),
+        )
+    else:
+        el = base.filter(cand_filter).select(
+            F.col(key_col).alias("__ek"), F.col(time_col).alias("__el")
+        )
 
     if M is None:
         # loop is step 1: each occurrence anchors a match; the anchor is
-        # the run's first element, later elements aggregate on top
+        # the run's first element, later elements aggregate on top —
+        # a requested carry is therefore the anchor's OWN payload
         A = base.filter(cand_filter).select(
-            key_col, F.col(time_col).alias(first_col)
+            key_col, F.col(time_col).alias(first_col),
+            *[F.col(src).alias(dst) for src, dst in (carry or [])],
         )
         A = A.groupBy(A.columns).agg(F.count(F.lit(1)).alias("__mult"))
         anchor_prev = first_col
+        carry = None  # already attached
     else:
         A = M
         anchor_prev = last_col
@@ -1912,6 +1928,8 @@ def _relaxed_loop(
         cond = cond & (
             F.col("__el") <= F.col(horizon_base) + _within_expr(within)
         )
+    if iter_template is not None:
+        cond = cond & F.expr(iter_template)
     j = A.join(el, cond)
     if s.any_match and M is not None:
         # followedByAny + oneOrMore (r8): the loop's FIRST element
@@ -1932,14 +1950,24 @@ def _relaxed_loop(
             F.col("__el").alias(first_col),
             F.max("__el").over(w_sfx).alias(last_out),
             F.count(F.lit(1)).over(w_sfx).cast("long").alias(n_col),
+            # any-loop carry: the run START is this row's own element
+            *[F.col(src).alias(dst) for src, dst in (carry or [])],
         )
         return out.drop("__stop") if s.until is not None else out
     if greedy_loops:
-        agg = j.groupBy(*carried).agg(
+        aggs = [
             F.min("__el").alias("__f"),
             F.max("__el").alias("__l"),
             F.count(F.lit(1)).alias("__n"),
-        )
+        ]
+        if carry:
+            aggs.append(
+                F.min(F.struct(
+                    F.col("__el").alias("t"),
+                    *[F.col(src).alias(dst) for src, dst in carry],
+                )).alias("__hit")
+            )
+        agg = j.groupBy(*carried).agg(*aggs)
         if M is None:
             # left side keeps single-element runs (no later elements)
             out = A.join(agg, carried, "left").select(
@@ -1955,6 +1983,10 @@ def _relaxed_loop(
                 F.col("__f").alias(first_col),
                 F.col("__l").alias(last_out),
                 F.col("__n").alias(n_col),
+                *[
+                    F.col(f"__hit.{dst}").alias(dst)
+                    for _src, dst in (carry or [])
+                ],
             )
     else:
         wp = Window.partitionBy(*carried).orderBy("__el")
@@ -1974,13 +2006,20 @@ def _relaxed_loop(
             )
             out = single.unionByName(later)
         else:
+            pre = wp.rowsBetween(Window.unboundedPreceding, 0)
             out = j.select(
                 *carried,
-                F.min("__el").over(
-                    wp.rowsBetween(Window.unboundedPreceding, 0)
-                ).alias(first_col),
+                F.min("__el").over(pre).alias(first_col),
                 F.col("__el").alias(last_out),
                 F.row_number().over(wp).cast("long").alias(n_col),
+                # prefix carry: the prefix's FIRST element's payload
+                *[
+                    F.min(F.struct(
+                        F.col("__el").alias("t"),
+                        F.col(src).alias("v"),
+                    )).over(pre).getField("v").alias(dst)
+                    for src, dst in (carry or [])
+                ],
             )
     return out.drop("__stop") if s.until is not None else out
 

@@ -1271,6 +1271,54 @@ ORDER BY user_id, view_ts, click_first
 """
 
 
+def q111_cep_iterative_loop(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP IterativeCondition ON a oneOrMore loop (r8 phase 2): the
+    loop takes exactly the clicks whose value exceeds the matched
+    view's — ``Pattern.begin("view").followedBy("click").oneOrMore()
+    .where(c -> c.value > view.value).within(...)`` (non-qualifying
+    clicks are skipped by relaxed internal contiguity, Flink's
+    behaviour). The predicate is one residual conjunct on the SAME
+    element equi-join the plain loop uses (q88's shape) — no extra
+    shuffle; the oracle is DuckDB's filtered correlated aggregate."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    p = [
+        "view",
+        {"type": "click", "one_or_more": True,
+         "where": "value > s1.value"},
+    ]
+    return (
+        match_pattern(e, p, within="7 days", contiguity="relaxed")
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("click_first"),
+            F.col("ts_2_last").alias("click_last"),
+            F.col("n_2").alias("n_clicks"),
+        )
+        .orderBy("user_id", "view_ts", "click_first")
+    )
+
+
+_Q111_SQL = """
+WITH a AS (SELECT user_id, ts AS t0, value AS v0 FROM events
+           WHERE event_type = 'view'),
+r AS (
+  SELECT a.user_id, a.t0,
+         min(c.ts) AS c_first, max(c.ts) AS c_last,
+         CAST(count(*) AS BIGINT) AS n_c
+  FROM a JOIN events c ON c.user_id = a.user_id
+    AND c.event_type = 'click' AND c.ts > a.t0
+    AND c.ts <= a.t0 + INTERVAL 7 DAY AND c.value > a.v0
+  GROUP BY a.user_id, a.t0)
+SELECT user_id, t0 AS view_ts, c_first AS click_first,
+       c_last AS click_last, n_c AS n_clicks
+FROM r
+ORDER BY user_id, view_ts, click_first
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1301,6 +1349,7 @@ QUERIES = {
     "q108_cep_iterative_condition": q108_cep_iterative_condition,
     "q109_cep_iterative_strict": q109_cep_iterative_strict,
     "q110_cep_any_loop": q110_cep_any_loop,
+    "q111_cep_iterative_loop": q111_cep_iterative_loop,
 }
 
 ORACLES = {
@@ -1333,4 +1382,5 @@ ORACLES = {
     "q108_cep_iterative_condition": _Q108_SQL,
     "q109_cep_iterative_strict": _Q109_SQL,
     "q110_cep_any_loop": _Q110_SQL,
+    "q111_cep_iterative_loop": _Q111_SQL,
 }

@@ -2305,22 +2305,8 @@ def test_iter_validation_and_guards(spark):
             df, ["A", {"type": "B", "where": "value > s1.nope"}],
             contiguity="relaxed",
         )
-    # iterative on a loop step
-    with pytest.raises(ValueError, match="one_or_more"):
-        match_pattern(
-            df,
-            ["A", {"type": "B", "one_or_more": True,
-                   "where": "value > s1.value"}],
-            contiguity="relaxed",
-        )
-    # reference TO a loop step
-    with pytest.raises(ValueError, match="reference"):
-        match_pattern(
-            df,
-            ["A", {"type": "B", "one_or_more": True},
-             {"type": "C", "where": "value > s2.value"}],
-            contiguity="relaxed",
-        )
+    # iterative on/into RELAXED loops is supported since r8 phase 2
+    # (test_iter_loop_*); strict loops stay refused below
     # optional/times-range composition
     with pytest.raises(ValueError, match="optional"):
         match_pattern(
@@ -2473,3 +2459,194 @@ def test_followed_by_any_loop_guards(spark):
             df, ["A", {"type": "B", "any": True, "times": 2}],
             contiguity="relaxed",
         )
+
+
+# --- iterative conditions on relaxed loops (r8, phase 2) ---------------
+
+
+def _naive_iter_relaxed_loops(rows, steps, within_s=None):
+    """_naive_iter_relaxed extended with greedy loop steps:
+    entries are (pred, neg, times, loop); a loop takes every
+    QUALIFYING element (pred sees caps), caps bind its FIRST one."""
+    INF = float("inf")
+    out = []
+    for key in {k for (k, *_r) in rows}:
+        seq = sorted(
+            [(s, t, i, v) for (kk, s, t, i, v) in rows if kk == key]
+        )
+        first_pred = steps[0][0]
+        for e0 in seq:
+            if not first_pred(e0, {}):
+                continue
+            s0 = e0[0]
+            horizon = s0 + within_s if within_s is not None else INF
+            caps, cap_ts = {1: e0}, [s0]
+            cur, ok, pending, p = s0, True, [], 1
+            for st in steps[1:]:
+                pred, neg, times = st[0], st[1], st[2]
+                loop = st[3] if len(st) > 3 else False
+                if neg:
+                    pending.append((pred, cur))
+                    continue
+                p += 1
+                if loop:
+                    els = [
+                        e for e in seq
+                        if e[0] > cur and e[0] <= horizon
+                        and pred(e, caps)
+                    ]
+                    if not els:
+                        ok = False
+                        break
+                    caps[p] = els[0]
+                    for (xp, anc) in pending:
+                        if any(
+                            anc < e[0] < els[0][0] and xp(e, caps)
+                            for e in seq
+                        ):
+                            ok = False
+                            break
+                    pending = []
+                    if not ok:
+                        break
+                    cap_ts += [els[0][0], els[-1][0], len(els)]
+                    cur = els[-1][0]
+                    continue
+                first = None
+                for r in range(times):
+                    cands = [
+                        e for e in seq
+                        if e[0] > cur and e[0] <= horizon
+                        and pred(e, caps)
+                    ]
+                    if not cands:
+                        ok = False
+                        break
+                    nxt = cands[0]
+                    if r == 0:
+                        caps[p] = nxt
+                        first = nxt
+                        for (xp, anc) in pending:
+                            if any(
+                                anc < e[0] < nxt[0] and xp(e, caps)
+                                for e in seq
+                            ):
+                                ok = False
+                                break
+                        pending = []
+                    if not ok:
+                        break
+                    cur = nxt[0]
+                if not ok:
+                    break
+                cap_ts.append(first[0])
+                if times > 1:
+                    cap_ts.append(cur)
+            if ok and pending:
+                for (xp, anc) in pending:
+                    if any(
+                        anc < e[0] <= horizon and xp(e, caps)
+                        for e in seq
+                    ):
+                        ok = False
+                        break
+            if ok:
+                out.append((key, *cap_ts))
+    return sorted(out)
+
+
+def test_iter_loop_predicate_matches_naive(spark):
+    """Iterative condition ON a relaxed loop: elements are filtered by
+    the cross-step predicate at the element join (non-qualifying
+    events are skipped by relaxed internal contiguity)."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A",
+           {"type": "B", "one_or_more": True, "where": "value > s1.value"}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_iter_relaxed_loops(
+        ITER_ROWS,
+        [(_T("A"), False, 1, False), (_T_gt("B", 1), False, 1, True)],
+    )
+    assert got == want
+    assert got
+    # key 1: only the high B (value 20 > 10) is in the run
+    k1 = [m for m in got if m[0] == 1 and m[1] == 0.0]
+    assert k1 == [(1, 0.0, 20.0, 20.0, 1)]
+
+
+def test_iter_ref_to_loop_first_element(spark):
+    """A later step's iterative condition referencing a loop step
+    binds the run's FIRST element's payload."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "one_or_more": True},
+           {"type": "C", "where": "value > s2.value"}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_iter_relaxed_loops(
+        ITER_ROWS,
+        [(_T("A"), False, 1, False), (_T("B"), False, 1, True),
+         (_T_gt("C", 2), False, 1, False)],
+    )
+    assert got == want
+    # key 7: run first B has value 5, C has 9 > 5 -> fires
+    assert any(m[0] == 7 for m in got)
+    # key 1: run first B value 5? (B@10 v=5) C v=1 not > 5 -> no match
+    assert not any(m[0] == 1 for m in got)
+
+
+def test_iter_loop_with_negation_and_chain(spark):
+    """Composition: predicate loop + negation referencing s1 + a
+    final plain step."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A",
+           {"type": "Z", "negate": True, "where": "value > s1.value"},
+           {"type": "B", "one_or_more": True, "where": "value > s1.value"},
+           "C"]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = _naive_iter_relaxed_loops(
+        ITER_ROWS,
+        [(_T("A"), False, 1, False), (_T_gt("Z", 1), True, 1, False),
+         (_T_gt("B", 1), False, 1, True), (_T("C"), False, 1, False)],
+    )
+    assert got == want
+    assert got
+
+
+def test_iter_any_loop_composition(spark):
+    """followedByAny + oneOrMore + iterative predicate: suffix runs
+    over the QUALIFYING element set."""
+    df = _mkv(spark, ITER_ROWS)
+    pat = ["A", {"type": "B", "any": True, "one_or_more": True,
+                 "where": "value > s1.value"}]
+    got = _collect_cols(match_pattern(df, pat, contiguity="relaxed"))
+    want = []
+    for key in {k for (k, *_r) in ITER_ROWS}:
+        seq = sorted(
+            (s, t, i, v) for (kk, s, t, i, v) in ITER_ROWS if kk == key
+        )
+        for (s0, t0, _i, v0) in seq:
+            if t0 != "A":
+                continue
+            els = [s for (s, t, _j, v) in seq
+                   if t == "B" and s > s0 and v > v0]
+            for ix in range(len(els)):
+                want.append((key, float(s0), float(els[ix]),
+                             float(els[-1]), len(els) - ix))
+    assert got == sorted(want)
+    assert got
+
+
+def test_iter_noskip_loop_prefixes(spark):
+    """no_skip + iterative loop: one match per prefix of the
+    QUALIFYING run (crafted)."""
+    rows = [
+        (1, 0, "A", 1, 10), (1, 10, "B", 2, 5), (1, 20, "B", 3, 20),
+        (1, 30, "B", 4, 30),
+    ]
+    df = _mkv(spark, rows)
+    pat = ["A",
+           {"type": "B", "one_or_more": True, "where": "value > s1.value"}]
+    got = _collect_cols(match_pattern(
+        df, pat, contiguity="relaxed", skip_strategy="no_skip"
+    ))
+    # qualifying Bs @20,@30: prefixes (20,20,1) and (20,30,2)
+    assert got == [(1, 0.0, 20.0, 20.0, 1), (1, 0.0, 20.0, 30.0, 2)]
