@@ -317,9 +317,31 @@ class Pattern:
         Iterative conditions run on the batch strict lead-chain
         (lead∘lag window expressions, zero joins) and the relaxed
         engine (earliest-QUALIFYING binding via one co-partitioned
-        key equi-join per step); they do not compose with loops,
-        optional()/times(n, m), the mixed engine, or streaming."""
+        key equi-join per step, including on/into oneOrMore loops);
+        they do not compose with strict loops, optional()/times(n, m),
+        the mixed engine, or streaming."""
         return self._mod_last(where=condition)
+
+    def or_(self, condition) -> "Pattern":
+        """Flink ``where(...).or(...)`` (r8): OR-combine another
+        condition into the LAST step's predicate. String conditions
+        combine as SQL (keeping iterative-ref detection intact);
+        mixing a string with a Column lifts both to Columns via
+        ``F.expr``. Requires a preceding :meth:`where`."""
+        last = self.steps[-1] if self.steps else None
+        if last is None or last.where is None:
+            raise ValueError("or_() requires a preceding where()")
+        old = last.where
+        if isinstance(old, str) and isinstance(condition, str):
+            combined: object = f"({old}) OR ({condition})"
+        else:
+            oc = F.expr(old) if isinstance(old, str) else old
+            nc = (
+                F.expr(condition) if isinstance(condition, str)
+                else condition
+            )
+            combined = oc | nc
+        return self._mod_last(where=combined)
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
         return self._mod_last(times=n, times_max=m)
@@ -698,6 +720,118 @@ def match_pattern(
             greedy_loops, iter_info,
         )
     return _apply_skip(M, steps, key_col, skip)
+
+
+def match_pattern_timeouts(
+    events: DataFrame,
+    pattern,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+    contiguity: str | None = None,
+) -> DataFrame:
+    """Timed-out PARTIAL matches (r8) — Flink's
+    ``PatternStream.flatSelect(timeoutTag, PatternTimeoutFunction,
+    ...)`` side output: for every anchor whose skip-till-next-match
+    chain FAILS to complete inside the ``within`` window, emit the
+    prefix bound so far (the abandoned-funnel query). One row per
+    failed anchor: ``(key, ts_1 .. ts_k, timeout_step)`` — bound steps
+    carry their event time, unbound steps are NULL, ``timeout_step``
+    is the 1-based index of the first step that found no qualifying
+    candidate inside the horizon.
+
+    Scope: PLAIN positive relaxed chains (each step a single
+    non-negated event type, optionally with a SimpleCondition
+    ``where``). Quantifiers, negation, followedByAny, iterative
+    conditions, and strict/mixed contiguity are out of scope — their
+    partial-match semantics multiply (which prefix of a loop run
+    counts?) and Flink itself only surfaces timeouts per NFA run.
+    ``within`` is REQUIRED: without a window nothing ever times out
+    (Flink's rule). Complete matches are NOT emitted here — run
+    :func:`match_pattern` for those; the two outputs partition the
+    anchor set (pinned by a pytest invariant).
+
+    Shape: the same union + running-min binds as the relaxed matcher
+    (one shuffle per step, no joins), with each step's failures
+    split off declaratively — scale posture identical to
+    ``match_pattern`` relaxed."""
+    if isinstance(pattern, Pattern):
+        if contiguity is None and pattern.contiguity is not None:
+            contiguity = pattern.contiguity
+        if within is None:
+            within = pattern.within_
+    steps = _normalize(pattern)
+    if _resolve_contiguity(steps, contiguity) != "relaxed":
+        raise ValueError(
+            "timeout extraction is relaxed-only (a strict partial "
+            "fails on adjacency, not on the window — pass "
+            "contiguity='relaxed' or build with followed_by)"
+        )
+    if within is None:
+        raise ValueError(
+            "match_pattern_timeouts requires within= (without a "
+            "window nothing ever times out — Flink's rule)"
+        )
+    bad = [
+        s for s in steps
+        if s.negate or s.loop or s.times != 1 or s.optional
+        or s.times_max is not None or s.any_match
+        or _iter_where(s) is not None
+    ]
+    if bad:
+        raise ValueError(
+            "timeout extraction supports plain positive steps with "
+            "SimpleConditions only (quantifiers/negation/any/"
+            "iterative partial semantics are out of scope)"
+        )
+    k = len(steps)
+    if k < 2:
+        raise ValueError("pattern needs at least two steps to time out")
+    has_where = any(s.where is not None for s in steps)
+    if has_where:
+        base = _with_cand_cols(
+            events, steps, [key_col, time_col, type_col], type_col
+        )
+    else:
+        base = events.select(key_col, time_col, type_col)
+
+    def cand(idx: int) -> DataFrame:
+        flt = (
+            F.col(f"__c{idx}") if has_where
+            else F.col(type_col) == steps[idx].event_type
+        )
+        return base.filter(flt).select(
+            key_col, F.col(time_col).alias("__step_t")
+        )
+
+    ts_type = dict(events.dtypes)[time_col]
+    M = base.filter(
+        F.col("__c0") if has_where
+        else F.col(type_col) == steps[0].event_type
+    ).select(key_col, F.col(time_col).alias("ts_1"))
+    prev_col = "ts_1"
+    horizon = F.col("ts_1") + _within_expr(within)
+    parts: list[DataFrame] = []
+    for i in range(2, k + 1):
+        out_col = f"ts_{i}"
+        M = _earliest_after(M, cand(i - 1), key_col, prev_col, out_col)
+        failed = F.col(out_col).isNull() | (F.col(out_col) > horizon)
+        T = M.filter(failed).select(
+            F.col(key_col),
+            *[F.col(f"ts_{j}") for j in range(1, i)],
+            *[
+                F.lit(None).cast(ts_type).alias(f"ts_{j}")
+                for j in range(i, k + 1)
+            ],
+            F.lit(i).alias("timeout_step"),
+        )
+        parts.append(T)
+        M = M.filter(~failed)
+        prev_col = out_col
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _apply_skip(

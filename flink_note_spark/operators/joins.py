@@ -109,6 +109,39 @@ def range_join(
     return left.join(right, equi & lo & hi)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Flink DataStream ``intervalJoin`` (r8) —
+    ``a.keyBy(k).intervalJoin(b.keyBy(k)).between(lower, upper)``:
+    pair rows sharing ``on`` where
+    ``right_time ∈ [left_time + lower, left_time + upper]`` (both
+    bounds INCLUSIVE, Flink's default). A thin Flink-signature facade
+    over :func:`range_join` — the equi key keeps the plan a hash/SMJ
+    join with the interval as residual conjuncts (the 100 TB-safe
+    shape). ``lower``/``upper`` are interval strings; negative bounds
+    spell as e.g. ``"-1 hour"`` → ``- INTERVAL 1 hour``."""
+
+    def _ivl(s: str) -> Column:
+        s = s.strip()
+        if s.startswith("-"):
+            return -F.expr(f"INTERVAL {s[1:].strip()}")
+        return F.expr(f"INTERVAL {s}")
+
+    lo = F.col(right_time) >= F.col(left_time) + _ivl(lower)
+    hi = F.col(right_time) <= F.col(left_time) + _ivl(upper)
+    return left.join(
+        right, (left[on] == right[on]) & lo & hi, how
+    ).drop(right[on])
+
+
 def theta_join(
     left: DataFrame,
     right: DataFrame,

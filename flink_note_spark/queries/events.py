@@ -1319,6 +1319,96 @@ ORDER BY user_id, view_ts, click_first
 """
 
 
+def q112_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink DataStream ``intervalJoin`` (r8) —
+    ``views.keyBy(user).intervalJoin(clicks.keyBy(user))
+    .between(Time.minutes(5), Time.hours(2))``: per user, every click
+    landing in the window ``[view_ts + 5 min, view_ts + 2 h]`` (both
+    bounds inclusive, Flink's default). The equi key keeps the plan a
+    hash join with the interval as residual conjuncts — never a
+    cartesian (``operators/joins.interval_join``)."""
+    from flink_note_spark.operators.joins import interval_join
+
+    e = _t(spark, sf, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return (
+        interval_join(
+            views, clicks, on="user_id",
+            left_time="view_ts", right_time="click_ts",
+            lower="5 minutes", upper="2 hours",
+        )
+        .orderBy("user_id", "view_ts", "click_ts")
+    )
+
+
+_Q112_SQL = """
+SELECT v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+FROM events v JOIN events c ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts + INTERVAL 5 MINUTE
+ AND c.ts <= v.ts + INTERVAL 2 HOUR
+ORDER BY v.user_id, view_ts, click_ts
+"""
+
+
+def q113_cep_timeouts(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP timed-out partial matches (r8) — Flink's
+    ``PatternTimeoutFunction`` side output, the ABANDONED-FUNNEL
+    query: every view whose view→click→purchase chain fails inside
+    the 7-day window, with the prefix bound so far and the step that
+    starved. Partition invariant: timeouts + full matches (q69's
+    shape) cover every anchor exactly once (pytest-pinned)."""
+    from flink_note_spark.operators.cep import (
+        Pattern,
+        match_pattern_timeouts,
+    )
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click")
+        .followed_by("purchase")
+        .within("7 days")
+    )
+    return (
+        match_pattern_timeouts(e, p)
+        .select(
+            "user_id",
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_2").alias("click_ts"),
+            F.col("ts_3").alias("purchase_ts"),
+            "timeout_step",
+        )
+        .orderBy("user_id", "view_ts", "timeout_step")
+    )
+
+
+_Q113_SQL = """
+WITH a AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+b AS (SELECT user_id, t0,
+        (SELECT min(c.ts) FROM events c WHERE c.user_id = a.user_id
+         AND c.event_type = 'click'
+         AND c.ts > a.t0 AND c.ts <= a.t0 + INTERVAL 7 DAY) AS c1
+      FROM a),
+c AS (SELECT user_id, t0, c1,
+        CASE WHEN c1 IS NULL THEN NULL ELSE
+          (SELECT min(p.ts) FROM events p WHERE p.user_id = b.user_id
+           AND p.event_type = 'purchase'
+           AND p.ts > b.c1 AND p.ts <= b.t0 + INTERVAL 7 DAY) END AS p1
+      FROM b)
+SELECT user_id, t0 AS view_ts, c1 AS click_ts,
+       NULL::TIMESTAMP AS purchase_ts,
+       CASE WHEN c1 IS NULL THEN 2 ELSE 3 END AS timeout_step
+FROM c WHERE c1 IS NULL OR p1 IS NULL
+ORDER BY user_id, view_ts, timeout_step
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1350,6 +1440,8 @@ QUERIES = {
     "q109_cep_iterative_strict": q109_cep_iterative_strict,
     "q110_cep_any_loop": q110_cep_any_loop,
     "q111_cep_iterative_loop": q111_cep_iterative_loop,
+    "q112_interval_join": q112_interval_join,
+    "q113_cep_timeouts": q113_cep_timeouts,
 }
 
 ORACLES = {
@@ -1383,4 +1475,6 @@ ORACLES = {
     "q109_cep_iterative_strict": _Q109_SQL,
     "q110_cep_any_loop": _Q110_SQL,
     "q111_cep_iterative_loop": _Q111_SQL,
+    "q112_interval_join": _Q112_SQL,
+    "q113_cep_timeouts": _Q113_SQL,
 }

@@ -557,6 +557,224 @@ def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
     return _cep_fn
 
 
+def _make_cep_timeouts_fn(pattern_slots: list[int], key_name: str,
+                          ts_col: str, slot_col: str,
+                          within_us: int, k: int):
+    """Per-key incremental TIMEOUT extractor (r8) — the streaming twin
+    of ``operators/cep.match_pattern_timeouts`` (Flink's
+    ``PatternTimeoutFunction`` side output), sharing the vectorized
+    relaxed engine's buffer design (int64 (ts, slot) arrays, JVM-side
+    candidate filter).
+
+    An anchor's fate is DECIDED exactly when the watermark passes its
+    horizon ``t0 + within`` — everything it could ever bind is then
+    stable — so timeouts emit with the anchor-horizon exactly-once
+    window ``wm_prev <= t0 + within < wm`` (the same bookkeeping the
+    general engine uses for relaxed finality). Binding failure is
+    per-step: the first step whose earliest-after candidate is absent
+    or beyond the horizon sets ``timeout_step``; bound prefix steps
+    keep their times, the rest are NULL. Eviction and timer proofs are
+    the matcher's (undecided anchors have ``horizon >= wm``, hence
+    ``t0 >= wm - within`` — inside the kept region; the timer re-arms
+    at the oldest buffered event's horizon)."""
+    cols = (
+        [key_name] + [f"ts_{i}" for i in range(1, k + 1)]
+        + ["timeout_step"]
+    )
+    uniq_slots = sorted(set(pattern_slots))
+
+    def _find(ts, sl, wm_us, wm_prev_us):
+        cand = {s: ts[sl == s] for s in uniq_slots}
+        t0 = cand[pattern_slots[0]]
+        out = None
+        if t0.size:
+            horizon = t0 + within_us
+            steps = [t0]
+            fail = np.zeros(t0.shape, dtype=np.int64)
+            cur = t0
+            for si, s in enumerate(pattern_slots[1:], start=2):
+                ct = cand[s]
+                if ct.size:
+                    idx = np.searchsorted(ct, cur, side="right")
+                    ok = idx < ct.size
+                    nxt = ct[np.minimum(idx, ct.size - 1)]
+                else:
+                    ok = np.zeros(t0.shape, dtype=bool)
+                    nxt = cur
+                ok = ok & (nxt <= horizon)
+                fail = np.where((fail == 0) & ~ok, si, fail)
+                cur = np.where(ok, nxt, cur)
+                steps.append(nxt)
+            decide = (horizon >= wm_prev_us) & (horizon < wm_us)
+            emit = decide & (fail > 0)
+            if emit.any():
+                fs = fail[emit]
+                out = {"steps": [st[emit] for st in steps], "fail": fs}
+        cut = int(np.searchsorted(ts, wm_us - within_us, side="left"))
+        return out, ts[cut:], sl[cut:]
+
+    def _emit(key_val, out):
+        n = out["fail"].size
+        data = {key_name: np.repeat(np.asarray([key_val]), n)}
+        for j, arr in enumerate(out["steps"], start=1):
+            s = pd.array(arr, dtype="Int64")
+            s[out["fail"] <= j] = pd.NA
+            data[f"ts_{j}"] = s
+        data["timeout_step"] = out["fail"].astype(np.int32)
+        return pd.DataFrame(data, columns=cols)
+
+    def _fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _arm(ts):
+            state.setTimeoutTimestamp(max(
+                (int(ts[0]) + within_us) // 1_000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            ))
+
+        if state.hasTimedOut:
+            prev_ts, prev_sl, wm_prev = state.get
+            ts = np.asarray(prev_ts, dtype=np.int64)
+            sl = np.asarray(prev_sl, dtype=np.int64)
+            out, ts, sl = _find(ts, sl, wm_us, wm_prev)
+            if out is not None:
+                yield _emit(key_val, out)
+            if ts.size:
+                state.update((ts.tolist(), sl.tolist(), wm_us))
+                _arm(ts)
+            else:
+                state.remove()
+            return
+
+        parts_t, parts_s, wm_prev = [], [], 0
+        if state.exists:
+            prev_ts, prev_sl, wm_prev = state.get
+            parts_t.append(np.asarray(prev_ts, dtype=np.int64))
+            parts_s.append(np.asarray(prev_sl, dtype=np.int64))
+        for pdf in pdfs:
+            parts_t.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            parts_s.append(pdf[slot_col].to_numpy().astype(np.int64))
+        ts = np.concatenate(parts_t)
+        sl = np.concatenate(parts_s)
+        order = np.argsort(ts, kind="stable")
+        ts, sl = ts[order], sl[order]
+
+        out, ts, sl = _find(ts, sl, wm_us, wm_prev)
+        if out is not None:
+            yield _emit(key_val, out)
+        if ts.size:
+            state.update((ts.tolist(), sl.tolist(), wm_us))
+            _arm(ts)
+        else:
+            state.remove()
+
+    return _fn
+
+
+def match_pattern_timeouts_stream(
+    stream: DataFrame,
+    pattern,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+    watermark: str = "5 minutes",
+    contiguity: str | None = None,
+) -> DataFrame:
+    """Streaming timed-out partial matches (r8) — Flink's
+    ``PatternTimeoutFunction`` side output where it natively lives:
+    for every anchor whose relaxed chain fails to complete inside
+    ``within``, emit ``(key, ts_1 .. ts_k, timeout_step)`` once the
+    watermark passes the anchor's horizon (bound steps in epoch µs,
+    unbound NULL). Equality-vs-batch
+    (``operators/cep.match_pattern_timeouts``) and the
+    matches+timeouts anchor partition are pytest-pinned.
+
+    Scope mirrors the batch operator MINUS ``where`` conditions
+    (the streaming slot projection is per event type): plain positive
+    relaxed chains only; ``within`` required."""
+    from flink_note_spark.operators.cep import (
+        Pattern,
+        _normalize,
+        _resolve_contiguity,
+    )
+
+    if isinstance(pattern, Pattern):
+        if contiguity is None and pattern.contiguity is not None:
+            contiguity = pattern.contiguity
+        if within is None:
+            within = pattern.within_
+    steps = _normalize(pattern)
+    if _resolve_contiguity(steps, contiguity) != "relaxed":
+        raise ValueError(
+            "timeout extraction is relaxed-only (pass "
+            "contiguity='relaxed' or build with followed_by)"
+        )
+    if within is None:
+        raise ValueError(
+            "match_pattern_timeouts_stream requires within= (without "
+            "a window nothing ever times out — Flink's rule)"
+        )
+    if any(
+        s.negate or s.loop or s.times != 1 or s.optional
+        or s.times_max is not None or s.any_match or s.where is not None
+        for s in steps
+    ):
+        raise ValueError(
+            "streaming timeout extraction supports plain positive "
+            "steps only (where()/quantifiers/negation/any are "
+            "batch-only here)"
+        )
+    k = len(steps)
+    if k < 2:
+        raise ValueError("pattern needs at least two steps to time out")
+    types = [s.event_type for s in steps]
+    within_us = _parse_duration_ms(within) * 1_000
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, "
+        + ", ".join(f"ts_{i} long" for i in range(1, k + 1))
+        + ", timeout_step int"
+    )
+    types_sorted = sorted(set(types))
+    slot_of = {t: i for i, t in enumerate(types_sorted)}
+    slot_expr = F.lit(-1)
+    for t, i in slot_of.items():
+        slot_expr = F.when(F.col(type_col) == t, F.lit(i)).otherwise(
+            slot_expr
+        )
+    # the event-time column folds into the slot expression so the
+    # candidate filter stays ABOVE the watermark node (see
+    # _mask_projection's pushdown note)
+    slot_expr = F.when(F.col(time_col).isNull(), F.lit(-1)).otherwise(
+        slot_expr
+    )
+    projected = (
+        stream.withWatermark(time_col, watermark)
+        .withColumn("__slot", slot_expr)
+        .filter(F.col("__slot") >= 0)
+        .select(key_col, time_col, "__slot")
+    )
+    return (
+        projected.groupBy(key_col)
+        .applyInPandasWithState(
+            _make_cep_timeouts_fn(
+                [slot_of[t] for t in types], key_col, time_col,
+                "__slot", within_us, k,
+            ),
+            outputStructType=out_schema,
+            stateStructType="ts array<long>, sl array<long>, wm long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                          contiguity, out_cols, skip=None):
     """Per-key incremental matcher for the GENERAL pattern surface

@@ -2650,3 +2650,124 @@ def test_iter_noskip_loop_prefixes(spark):
     ))
     # qualifying Bs @20,@30: prefixes (20,20,1) and (20,30,2)
     assert got == [(1, 0.0, 20.0, 20.0, 1), (1, 0.0, 20.0, 30.0, 2)]
+
+
+def test_where_or_combinator(spark):
+    """Flink where(...).or(...) (r8): OR-combined predicates, string
+    and Column spellings, including iterative refs on one arm."""
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mkv(spark, ITER_ROWS)
+    a = _collect_cols(match_pattern(
+        df,
+        Pattern.begin("A")
+        .followed_by("B").where("value > 15").or_("value < 4")
+        .within("60 seconds"),
+    ))
+    b = _collect_cols(match_pattern(
+        df,
+        ["A", {"type": "B", "where": "value > 15 OR value < 4"}],
+        contiguity="relaxed", within="60 seconds",
+    ))
+    assert a == b and a
+    # iterative arm: the combined predicate stays a string, so the
+    # cross-step ref is still detected and join-bound
+    c = _collect_cols(match_pattern(
+        df,
+        Pattern.begin("A")
+        .followed_by("B").where("value > s1.value").or_("value < 2")
+        .within("60 seconds"),
+    ))
+    d = _collect_cols(match_pattern(
+        df,
+        ["A", {"type": "B",
+               "where": "(value > s1.value) OR (value < 2)"}],
+        contiguity="relaxed", within="60 seconds",
+    ))
+    assert c == d and c
+    # or_ without where raises
+    with pytest.raises(ValueError, match="where"):
+        Pattern.begin("A").followed_by("B").or_("value > 1")
+
+
+# --- timed-out partial matches (r8) — Flink PatternTimeoutFunction -----
+
+
+def test_timeouts_partition_the_anchor_set(spark):
+    """Every anchor is EITHER a full match or exactly one timeout row
+    (the Flink select/timeout-side-output partition)."""
+    from flink_note_spark.operators.cep import (
+        Pattern,
+        match_pattern_timeouts,
+    )
+
+    df = _mkv(spark, ITER_ROWS)
+    p = (Pattern.begin("A").followed_by("B").followed_by("C")
+         .within("40 seconds"))
+    matches = match_pattern(df, p).count()
+    touts = match_pattern_timeouts(df, p)
+    anchors = df.filter("event_type = 'A'").count()
+    assert matches + touts.count() == anchors
+    # naive cross-check of the timeout rows
+    want = []
+    for key in {k for (k, *_r) in ITER_ROWS}:
+        seq = sorted((s, t) for (kk, s, t, _i, _v) in ITER_ROWS
+                     if kk == key)
+        for (s0, t0) in seq:
+            if t0 != "A":
+                continue
+            h = s0 + 40
+            bs = [s for (s, t) in seq if t == "B" and s0 < s <= h]
+            if not bs:
+                want.append((key, float(s0), None, None, 2))
+                continue
+            b = min(bs)
+            cs = [s for (s, t) in seq if t == "C" and b < s <= h]
+            if not cs:
+                want.append((key, float(s0), float(b), None, 3))
+    got = sorted(
+        (
+            r["user_id"],
+            (r["ts_1"] - T0).total_seconds(),
+            (r["ts_2"] - T0).total_seconds() if r["ts_2"] else None,
+            (r["ts_3"] - T0).total_seconds() if r["ts_3"] else None,
+            r["timeout_step"],
+        )
+        for r in touts.collect()
+    )
+    assert got == sorted(want)
+    assert got
+
+
+def test_timeouts_respect_where_and_guards(spark):
+    from flink_note_spark.operators.cep import (
+        Pattern,
+        match_pattern_timeouts,
+    )
+
+    df = _mkv(spark, ITER_ROWS)
+    # SimpleCondition: only high-value Bs bind — anchors whose only
+    # B fails the predicate time out at step 2
+    p = (Pattern.begin("A").followed_by("B").where("value > 15")
+         .followed_by("C").within("40 seconds"))
+    t = match_pattern_timeouts(df, p)
+    m = match_pattern(df, p).count()
+    assert t.count() + m == df.filter("event_type = 'A'").count()
+    # guards
+    with pytest.raises(ValueError, match="within"):
+        match_pattern_timeouts(
+            df, ["A", "B"], contiguity="relaxed"
+        )
+    with pytest.raises(ValueError, match="relaxed-only"):
+        match_pattern_timeouts(
+            df, ["A", "B"], contiguity="strict", within="40 seconds"
+        )
+    with pytest.raises(ValueError, match="plain positive"):
+        match_pattern_timeouts(
+            df, ["A", {"type": "B", "one_or_more": True}],
+            contiguity="relaxed", within="40 seconds",
+        )
+    with pytest.raises(ValueError, match="two steps"):
+        match_pattern_timeouts(
+            df, ["A"], contiguity="relaxed", within="40 seconds"
+        )

@@ -949,3 +949,41 @@ def test_window_join_left_outer(spark):
     )
     got = sorted((r.k, r.tag, r.v) for r in out.collect())
     assert got == [(1, "a", 10.0), (2, "c", None)]
+
+
+def test_interval_join_bounds_and_negative_lower(spark):
+    """Flink intervalJoin semantics (r8): inclusive bounds on both
+    sides; a negative lower bound looks BACKWARD from the left time."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.joins import interval_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(60)), (2, ts(60))], "k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(55)), (1, ts(60)), (1, ts(65)), (1, ts(120)),
+         (1, ts(121)), (2, ts(54))],
+        "k long, rt timestamp",
+    )
+    out = interval_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        lower="-5 minutes", upper="1 hour",
+    )
+    got = sorted(
+        (r["k"], int((r["rt"] - T0).total_seconds() // 60))
+        for r in out.collect()
+    )
+    # k=1: [55, 120] inclusive both ends; 121 out; k=2: 54 < 55 out
+    assert got == [(1, 55), (1, 60), (1, 65), (1, 120)]
+    # plan stays an equi join (no cartesian)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -3104,3 +3104,126 @@ def test_cep_stream_skip_with_negation_equals_batch(spark, chunk_dir,
     )
     assert got == want
     assert got
+
+
+def test_cep_stream_timeouts_equals_batch(spark, chunk_dir, tmp_path):
+    """r8 streaming PatternTimeoutFunction: timed-out partials emit at
+    the anchor horizon — equality vs operators/cep
+    .match_pattern_timeouts across micro-batch boundaries, plus the
+    matches+timeouts anchor partition."""
+    from flink_note_spark.operators.cep import (
+        Pattern,
+        match_pattern,
+        match_pattern_timeouts,
+    )
+    from flink_note_spark.streaming.ops import (
+        match_pattern_stream,
+        match_pattern_timeouts_stream,
+    )
+
+    _variant_soup(chunk_dir, seed=81, n=150)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C")
+        .followed_by("P")
+        .within("45 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_3", "timeout_step"]
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_timeouts_stream(stream, p, watermark="3 minutes")
+    _run_to_memory(out, "cep_touts", "update", tmp_path)
+    got = _rows_nullable(
+        spark.sql("SELECT * FROM cep_touts").toPandas(), cols
+    )
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    want = _rows_nullable(
+        match_pattern_timeouts(batch_df, p).toPandas(), cols
+    )
+    assert got == want
+    assert got
+    # partition invariant on the streamed outputs: every anchor whose
+    # horizon lies below the final watermark is a match XOR a timeout
+    stream2 = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    m_out = match_pattern_stream(stream2, p, watermark="3 minutes")
+    _run_to_memory(m_out, "cep_touts_m", "update", tmp_path)
+    n_matches = spark.sql("SELECT * FROM cep_touts_m").count()
+    anchors = batch_df.filter(
+        "event_type = 'V' AND user_id < 99"
+    ).count()
+    assert n_matches + len(got) == anchors
+
+
+def test_cep_stream_timeouts_survive_restart(spark, chunk_dir, tmp_path):
+    """An anchor buffered before a stop/restart still times out at its
+    horizon after the restart, exactly once."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import (
+        match_pattern_timeouts_stream,
+    )
+
+    sink = tmp_path / "touts_sink"
+    ckpt = tmp_path / "touts_ckpt"
+    p = (
+        Pattern.begin("V").followed_by("P").within("30 minutes")
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_timeouts_stream(
+            stream, p, watermark="2 minutes"
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "V", 1.0)])
+    run_once()
+    assert not sink.exists()
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 9, _ts(120), "Z", 1.0)])
+    run_once()
+    got = _rows_nullable(
+        spark.read.parquet(str(sink)).toPandas(),
+        ["user_id", "ts_1", "ts_2", "timeout_step"],
+    )
+    assert got == [(1, _us(0), None, 2)]
+
+
+def test_cep_stream_timeouts_guards(spark, chunk_dir):
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import (
+        match_pattern_timeouts_stream,
+    )
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    )
+    with pytest.raises(ValueError, match="within"):
+        match_pattern_timeouts_stream(
+            stream, ["A", "B"], contiguity="relaxed",
+            watermark="1 minutes",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        p = (Pattern.begin("A").followed_by("B").where("value > 1")
+             .within("10 minutes"))
+        match_pattern_timeouts_stream(stream, p, watermark="1 minutes")
+    with pytest.raises(ValueError, match="relaxed-only"):
+        match_pattern_timeouts_stream(
+            stream, ["A", "B"], contiguity="strict",
+            within="10 minutes", watermark="1 minutes",
+        )
