@@ -92,6 +92,7 @@ HEADLINE = [
     # totals caveat as the round-5/6/7 additions.
     "q108_cep_iterative_condition",
     "q110_cep_any_loop",
+    "q114_match_recognize",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

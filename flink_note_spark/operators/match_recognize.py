@@ -1,0 +1,381 @@
+"""Flink SQL ``MATCH_RECOGNIZE`` — the SQL surface over the CEP engine.
+
+SURVEY.md §2.2 "CEP" / Flink SQL row-pattern recognition
+(``docs/dev/table/sql/queries/match_recognize``): the NOTES' subject
+system exposes CEP twice — the DataStream ``Pattern`` API and the SQL
+``MATCH_RECOGNIZE`` clause. This module is the second surface, compiled
+onto the SAME batch engine (:func:`operators.cep.match_pattern`) rather
+than a second matcher: the clause is parsed, each pattern variable
+becomes one strict (``next``) :class:`~operators.cep.PatternStep` whose
+``where()`` predicate is the variable's ``DEFINE`` condition, and
+``MEASURES`` project from the engine's ``ts_k``/``ts_k_last``/``n_k``
+columns plus per-step payload attaches
+(:func:`operators.cep.attach_event_payload`).
+
+Scale shape: identical to the underlying engine — candidate booleans
+are Catalyst expressions evaluated at the scan, the matchers are
+lead/lag window chains and co-partitioned (key, position) equi-joins,
+and every payload measure costs exactly one co-partitioned hash join.
+Nothing here adds a shuffle beyond ``match_pattern``'s own plan.
+
+Supported subset (each deviation documented):
+
+- ``PATTERN``: a whitespace-separated variable sequence with
+  quantifiers ``+ * ? {n} {n,m}`` — Flink's supported row-pattern
+  subset minus grouping/alternation/``PERMUTE`` (which Flink itself
+  restricts) and minus reluctant ``?``-suffixed quantifiers.
+- ``DEFINE``: per-variable predicates over the row's columns (Flink
+  ``SimpleCondition``), as SQL strings or Columns. A SQL condition may
+  reference an EARLIER variable's columns (``A.price``), compiled to
+  the engine's iterative-condition binding (``s<k>.<col>`` — the
+  earlier step's FIRST row). ``PREV``/``NEXT`` physical-row navigation
+  is out of scope. Undefined variables default to TRUE (standard).
+- ``MEASURES``: ``FIRST(V.c)`` / ``LAST(V.c)`` / ``COUNT(V.*)`` /
+  bare ``V.c``. ``ONE ROW PER MATCH`` only (Flink's own restriction
+  in streaming mode).
+- ``AFTER MATCH``: ``SKIP PAST LAST ROW`` (default), ``SKIP TO NEXT
+  ROW``, ``SKIP TO FIRST V``, ``SKIP TO LAST V`` — mapped to the
+  engine's ``AfterMatchSkipStrategy`` set.
+
+Quantifier binding is SQL-standard GREEDY, recovered in two passes:
+the engine runs under ``no_skip`` (Flink CEP's non-greedy every-
+prefix/variant match set = ALL complete matches), then per anchor
+``(partition, ts_1)`` ONE match is selected by leftmost-greedy
+preference — the engine's output columns ordered in step order,
+descending NULLS LAST, so the leftmost quantifier consuming the most
+rows wins, which is exactly the regex preference order (backtracking
+is implicit: invalid greedy bindings simply never appear in the
+complete-match set). The AFTER MATCH strategy then prunes over the
+greedy picks. Documented deviation: ``within`` (a Flink extension —
+the standard has no timeout) prunes BEFORE greedy selection, so a
+timed-out greedy binding falls back to the longest in-window match
+rather than dropping the anchor.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark.sql import Window
+
+from flink_note_spark.operators.cep import (
+    PatternStep,
+    _apply_skip,
+    _out_cols,
+    _parse_skip,
+    attach_event_payload,
+    match_pattern,
+)
+
+#: synthesized constant type column — MATCH_RECOGNIZE variables are
+#: predicate-only (no type column), so every step shares one sentinel
+#: type and the DEFINE predicate does all the discrimination.
+_ROW_TYPE = "__mr_row"
+
+_VAR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_QUANT_RE = re.compile(r"^(?P<var>[A-Za-z_][A-Za-z0-9_]*)"
+                       r"(?P<q>\+|\*|\?|\{\d+(?:,\d+)?\})?$")
+_MEASURE_RE = re.compile(
+    r"^(?:(?P<fn>FIRST|LAST|COUNT)\s*\(\s*"
+    r"(?P<fvar>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(?P<fcol>\*|[A-Za-z_]"
+    r"[A-Za-z0-9_]*)\s*\)|(?P<var>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*"
+    r"(?P<col>[A-Za-z_][A-Za-z0-9_]*))$",
+    re.IGNORECASE,
+)
+#: ``<VAR>.<col>`` inside a DEFINE condition — rewritten to the CEP
+#: engine's iterative-condition ref ``s<k>.<col>`` for earlier
+#: variables, or to the bare column for the variable's own row.
+_DEFINE_REF_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def _parse_pattern(pattern: str) -> list[tuple[str, str | None]]:
+    """``"STRT DOWN+ UP{1,3}"`` → ``[(var, quant|None), ...]``."""
+    toks = pattern.replace("(", " ").replace(")", " ").split()
+    if not toks:
+        raise ValueError("PATTERN must name at least one variable")
+    out: list[tuple[str, str | None]] = []
+    for t in toks:
+        m = _QUANT_RE.match(t)
+        if not m:
+            raise ValueError(
+                f"unsupported PATTERN token {t!r} (variables with "
+                "quantifiers + * ? {n} {n,m} only; alternation/"
+                "PERMUTE are out of scope)"
+            )
+        out.append((m.group("var"), m.group("q")))
+    seen = set()
+    for v, _q in out:
+        if v in seen:
+            raise ValueError(
+                f"pattern variable {v!r} appears twice — each variable "
+                "may be used once (no grouping/backrefs)"
+            )
+        seen.add(v)
+    return out
+
+
+def _quant_step(var: str, quant: str | None, where) -> PatternStep:
+    kw: dict = {}
+    if quant == "+":
+        kw["loop"] = True
+    elif quant == "*":
+        kw["loop"] = True
+        kw["optional"] = True
+    elif quant == "?":
+        kw["optional"] = True
+    elif quant is not None:
+        body = quant[1:-1]
+        if "," in body:
+            n, m = body.split(",")
+            kw["times"], kw["times_max"] = int(n), int(m)
+        else:
+            kw["times"] = int(body)
+    return PatternStep(_ROW_TYPE, mode="strict", where=where, **kw)
+
+
+def _compile_define(
+    cond, var: str, var_index: dict[str, int]
+):
+    """Rewrite ``<VAR>.<col>`` refs in a SQL DEFINE condition: the
+    variable's OWN columns drop the qualifier (the candidate row),
+    EARLIER variables become the engine's ``s<k>.<col>`` iterative
+    refs. Column conditions pass through untouched (no refs
+    possible)."""
+    if not isinstance(cond, str):
+        return cond
+    k_self = var_index[var]
+
+    def sub(m: "re.Match[str]") -> str:
+        v, col = m.group(1), m.group(2)
+        if v == var:
+            return col
+        k = var_index.get(v)
+        if k is None:
+            return m.group(0)  # not a variable — e.g. a table alias
+        if k >= k_self:
+            raise ValueError(
+                f"DEFINE for {var!r} references {v!r}, which is not "
+                "an earlier pattern variable (row-pattern conditions "
+                "may look back only; PREV/NEXT navigation is out of "
+                "scope)"
+            )
+        return f"s{k}.{col}"
+
+    return _DEFINE_REF_RE.sub(sub, cond)
+
+
+def _parse_after_match(
+    spec: str, var_index: dict[str, int]
+) -> str | tuple[str, int]:
+    s = " ".join(spec.lower().split())
+    if s in ("skip past last row", ""):
+        return "skip_past_last_event"
+    if s == "skip to next row":
+        return "skip_to_next"
+    m = re.match(r"^skip to (first|last) ([A-Za-z_][A-Za-z0-9_]*)$", s)
+    if m and m.group(2) != "row":
+        which, var = m.group(1), m.group(2)
+        for v, k in var_index.items():
+            if v.lower() == var:
+                return (f"skip_to_{which}", k)
+        raise ValueError(
+            f"AFTER MATCH references unknown pattern variable {var!r}"
+        )
+    raise ValueError(
+        f"unsupported AFTER MATCH clause {spec!r} (SKIP PAST LAST ROW "
+        "| SKIP TO NEXT ROW | SKIP TO FIRST/LAST <var>)"
+    )
+
+
+def match_recognize(
+    events: DataFrame,
+    *,
+    partition_by: str,
+    order_by: str,
+    pattern: str,
+    define: dict[str, object] | None = None,
+    measures: dict[str, str] | None = None,
+    after_match: str = "skip past last row",
+    within: str | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Flink SQL ``MATCH_RECOGNIZE`` (ONE ROW PER MATCH) as a DataFrame
+    operator — see the module docstring for the supported subset.
+
+    Output: ``partition_by`` + one column per ``measures`` entry, one
+    row per match. ``measures`` maps output names to specs::
+
+        match_recognize(
+            e, partition_by="user_id", order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={"STRT": "value >= 100", "DOWN": "value < 80",
+                    "UP": "value >= 150"},
+            measures={"start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)",
+                      "bottom_ts": "LAST(DOWN.ts)", "up_val": "UP.value"},
+            after_match="skip to next row", within="7 days",
+        )
+
+    ``FIRST``/``LAST`` follow the standard's FINAL semantics (the
+    variable's first/last matched row); a bare ``V.c`` means the single
+    matched row and REQUIRES an unquantified variable (on a quantified
+    one, say FIRST or LAST explicitly). ``COUNT(V.*)`` is the number of
+    rows the variable consumed; on a ``{n,m}`` range variable use
+    FIRST/LAST instead (the variant union does not materialize a count
+    column). Payload measures (any column other than ``order_by``)
+    each cost one co-partitioned (key, time) equi-join and require
+    rows unique per (partition, order) — pass ``tiebreak`` for
+    deterministic matching but keep payload access on unique
+    timestamps (the ``attach_event_payload`` doctrine).
+    """
+    define = dict(define or {})
+    parsed = _parse_pattern(pattern)
+    names = [v for v, _q in parsed]
+    var_index = {v: k for k, v in enumerate(names, start=1)}
+    for v in define:
+        if v not in var_index:
+            raise ValueError(
+                f"DEFINE names {v!r}, which is not a PATTERN variable "
+                f"(pattern variables: {names})"
+            )
+
+    steps = [
+        _quant_step(v, q, _compile_define(define.get(v), v, var_index))
+        for v, q in parsed
+    ]
+    skip = _parse_after_match(after_match, var_index)
+
+    base_cols = [partition_by, order_by, *(tiebreak or [])]
+    payload_cols = [c for c in events.columns if c not in base_cols]
+    typed = events.withColumn(_ROW_TYPE, F.lit("r"))
+    steps = [
+        PatternStep(
+            "r", times=s.times, loop=s.loop, times_max=s.times_max,
+            optional=s.optional, mode="strict", where=s.where,
+        )
+        for s in steps
+    ]
+    # SQL row-pattern quantifiers are GREEDY; the engine's skip
+    # strategies imply Flink CEP's non-greedy (every-prefix/variant)
+    # match set. Recover the standard's semantics in two passes:
+    # (1) no_skip — ALL matches; (2) per anchor (key, ts_1), keep the
+    # greedy pick: order the engine's output columns in step order,
+    # longer/later bindings first (desc, NULLS LAST) — the leftmost
+    # quantifier consuming most rows wins, exactly regex preference;
+    # (3) apply the AFTER MATCH strategy over the greedy picks.
+    matches = match_pattern(
+        typed,
+        steps,
+        key_col=partition_by,
+        time_col=order_by,
+        type_col=_ROW_TYPE,
+        within=within,
+        contiguity="strict",
+        tiebreak=tiebreak,
+        skip_strategy="no_skip",
+    )
+    out_cols = _out_cols(steps)
+    greedy_order = [
+        F.col(c).desc_nulls_last() for c in out_cols if c != "ts_1"
+    ]
+    if greedy_order:
+        w = Window.partitionBy(partition_by, "ts_1").orderBy(
+            *greedy_order
+        )
+        matches = (
+            matches.withColumn("__mr_rn", F.row_number().over(w))
+            .filter(F.col("__mr_rn") == 1)
+            .drop("__mr_rn")
+        )
+    matches = _apply_skip(
+        matches, steps, partition_by, _parse_skip(skip)
+    )
+
+    if not measures:
+        return matches
+
+    # resolve each measure to (engine ts column to attach on | direct
+    # expression); group payload attaches per engine step column so
+    # each (step, first|last) costs exactly one join
+    attach: dict[str, list[tuple[str, str]]] = {}
+    exprs: list[tuple[str, object]] = []  # (out_name, Column|("attach", tscol, payload))
+    for out_name, spec in measures.items():
+        m = _MEASURE_RE.match(spec.strip())
+        if not m:
+            raise ValueError(
+                f"unsupported measure {spec!r} (FIRST(V.c) | LAST(V.c) "
+                "| COUNT(V.*) | V.c)"
+            )
+        fn = (m.group("fn") or "").upper()
+        var = m.group("fvar") or m.group("var")
+        col = m.group("fcol") or m.group("col")
+        k = var_index.get(var)
+        if k is None:
+            raise ValueError(
+                f"measure {spec!r} references unknown variable {var!r}"
+            )
+        st = steps[k - 1]
+        quantified = (
+            st.loop or st.times > 1 or st.times_max is not None
+        )
+        if fn == "COUNT":
+            if col != "*":
+                raise ValueError(
+                    f"COUNT measures are COUNT(V.*), got {spec!r}"
+                )
+            if st.loop:
+                c = F.col(f"n_{k}")
+                if st.optional:  # zero-or-more: absent branch counts 0
+                    c = F.coalesce(c, F.lit(0))
+            elif st.times_max is not None:
+                raise ValueError(
+                    f"COUNT({var}.*) on a range quantifier is not "
+                    "materialized by the variant union — measure "
+                    "FIRST/LAST timestamps instead"
+                )
+            elif st.optional:
+                c = F.when(
+                    F.col(f"ts_{k}").isNull(), F.lit(0)
+                ).otherwise(F.lit(st.times)).cast("long")
+            else:
+                c = F.lit(st.times).cast("long")
+            exprs.append((out_name, c.alias(out_name)))
+            continue
+        if fn == "" and quantified:
+            raise ValueError(
+                f"bare measure {spec!r} on a quantified variable is "
+                "ambiguous — use FIRST(...) or LAST(...)"
+            )
+        ts_col = f"ts_{k}"
+        if fn == "LAST" and quantified:
+            ts_col = f"ts_{k}_last"
+        if col == order_by:
+            exprs.append((out_name, F.col(ts_col).alias(out_name)))
+        else:
+            if col not in payload_cols:
+                raise ValueError(
+                    f"measure {spec!r}: column {col!r} is not a "
+                    f"payload column of the input (have {payload_cols})"
+                )
+            attach.setdefault(ts_col, []).append((out_name, col))
+            exprs.append((out_name, ("attach", ts_col, col)))
+
+    out = matches
+    for ts_col, wants in attach.items():
+        out = attach_event_payload(
+            out, typed.drop(_ROW_TYPE),
+            [ts_col], key_col=partition_by, time_col=order_by,
+            payload_cols=sorted({c for _n, c in wants}),
+        )
+    final = [F.col(partition_by)]
+    for out_name, e in exprs:
+        if isinstance(e, tuple):
+            _tag, ts_col, col = e
+            final.append(F.col(f"{ts_col}_{col}").alias(out_name))
+        else:
+            final.append(e)
+    return out.select(*final)

@@ -243,6 +243,79 @@ def count_evictor_window(
     )
 
 
+def window_top_n(
+    df: DataFrame,
+    ts: str,
+    size: str,
+    order_cols: list[Column],
+    n: int,
+    partition_cols: list[str] | None = None,
+    rank_col: str = "rn",
+    window_col: str = "win",
+) -> DataFrame:
+    """Flink SQL **Window Top-N** (windowing TVF + ``ROW_NUMBER() OVER
+    (PARTITION BY window_start, window_end [, keys] ...) <= n``, r8):
+    the top ``n`` rows per tumbling window (and optional extra keys),
+    ordered by ``order_cols``. Spark-first rendering: ``F.window``
+    assigns the tumble (a scan-stage projection, no shuffle), then ONE
+    ``row_number`` pass over ``(window, *partition_cols)`` — a single
+    hash shuffle whose key cardinality grows with the window count, so
+    partitions stay balanced at any scale.
+
+    ``order_cols`` must include a unique tiebreaker for deterministic
+    output (the ``topk_per_group`` doctrine). Adds ``window_col``
+    (struct ``start``/``end``) and ``rank_col``. Streaming twin:
+    ``streaming/ops.window_top_n_stream`` (O(n) incremental state,
+    final emission at watermark close).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    out = df.withColumn(window_col, F.window(ts, size))
+    w = Window.partitionBy(window_col, *(partition_cols or [])).orderBy(
+        *order_cols
+    )
+    return out.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
+def window_dedup(
+    df: DataFrame,
+    ts: str,
+    size: str,
+    keys: list[str],
+    keep: str = "first",
+    tiebreak: list[str] | None = None,
+    window_col: str = "win",
+) -> DataFrame:
+    """Flink SQL **Window Deduplication** (windowing TVF +
+    ``ROW_NUMBER() OVER (PARTITION BY window_start, window_end, keys
+    ORDER BY ts [DESC]) = 1``, r8): the first or last row per key per
+    tumbling window by EVENT TIME. Same single-shuffle shape as
+    :func:`window_top_n` with ``n = 1`` and a time ordering.
+
+    ``keep`` is ``"first"`` or ``"last"``; ``tiebreak`` orders
+    equal-timestamp rows (pass the event id — the determinism
+    doctrine). Adds ``window_col``. Streaming twin:
+    ``streaming/ops.window_dedup_stream`` (O(1) state per live (key,
+    window): only the current best row is retained).
+    """
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first|last, got {keep!r}")
+    col = F.col(ts).asc() if keep == "first" else F.col(ts).desc()
+    tb = [
+        (F.col(c).asc() if keep == "first" else F.col(c).desc())
+        for c in (tiebreak or [])
+    ]
+    out = df.withColumn(window_col, F.window(ts, size))
+    w = Window.partitionBy(window_col, *keys).orderBy(col, *tb)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def _duration_us(s: str) -> int:
     """Interval string → microseconds (day/hour/minute/second units —
     calendar units would make spans variable-width, which CUMULATE

@@ -1409,6 +1409,156 @@ ORDER BY user_id, view_ts, timeout_step
 """
 
 
+def q114_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink SQL ``MATCH_RECOGNIZE`` (r8) — the classic V-shape price
+    query from the Flink docs, compiled onto the CEP engine
+    (``operators/match_recognize.py``): per user, a high row
+    (``STRT``: value >= 100) followed immediately by a maximal run of
+    low rows (``DOWN+``: value < 80) then a spike (``UP``: value >=
+    150), all inside 7 days. Greedy quantifier binding (the standard's
+    semantics, exact here since the defines are disjoint), AFTER MATCH
+    SKIP TO NEXT ROW — one row per anchor. ``start_val``/``up_val``
+    exercise the payload-measure attach path (one co-partitioned
+    (key, time) equi-join each)."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    e = _t(spark, sf, "events")
+    return (
+        match_recognize(
+            e.select("user_id", "ts", "value", "event_id"),
+            partition_by="user_id",
+            order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={
+                "STRT": "value >= 100",
+                "DOWN": "value < 80",
+                "UP": "value >= 150",
+            },
+            measures={
+                "start_ts": "STRT.ts",
+                "start_val": "STRT.value",
+                "n_down": "COUNT(DOWN.*)",
+                "bottom_ts": "LAST(DOWN.ts)",
+                "up_ts": "UP.ts",
+                "up_val": "UP.value",
+            },
+            after_match="skip to next row",
+            within="7 days",
+            tiebreak=["event_id"],
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q114_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER w AS pos,
+         (value < 80) AS dn,
+         CASE WHEN lag(value < 80) OVER w IS DISTINCT FROM (value < 80)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem,
+        max(ts) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS runlast
+      FROM g)
+SELECT a.user_id, a.ts AS start_ts, a.value AS start_val,
+       CAST(d.rem AS BIGINT) AS n_down, d.runlast AS bottom_ts,
+       u.ts AS up_ts, u.value AS up_val
+FROM g a
+JOIN r d ON d.user_id = a.user_id AND d.pos = a.pos + 1 AND d.dn
+JOIN g u ON u.user_id = a.user_id AND u.pos = a.pos + 1 + d.rem
+WHERE a.value >= 100 AND u.value >= 150
+  AND u.ts <= a.ts + INTERVAL 7 DAY
+ORDER BY a.user_id, start_ts
+"""
+
+
+def q115_window_top_n(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink SQL **Window Top-N** (r8): the top-3 events by value per
+    (daily tumbling window, event_type) — the windowing-TVF +
+    ``ROW_NUMBER() <= 3`` idiom
+    (``operators/windows.window_top_n``). One shuffle on (window,
+    type); the streaming twin emits identical finals at watermark
+    close (pytest-pinned)."""
+    from flink_note_spark.operators.windows import window_top_n
+
+    e = _t(spark, sf, "events")
+    return (
+        window_top_n(
+            e, "ts", "1 day",
+            [F.col("value").desc(), F.col("event_id").asc()],
+            n=3, partition_cols=["event_type"],
+        )
+        .select(
+            fmt_date(F.col("win.start"), "day"),
+            "event_type",
+            "rn",
+            "event_id",
+            "value",
+        )
+        .orderBy("day", "event_type", "rn")
+    )
+
+
+_Q115_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, rn, event_id, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY date_trunc('day', ts), event_type
+      ORDER BY value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+ORDER BY day, event_type, rn
+"""
+
+
+def q116_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink SQL **Window Deduplication** (r8): the LAST event per
+    (user, daily tumbling window) by event time — the windowing-TVF +
+    ``ROW_NUMBER() = 1 ORDER BY ts DESC`` idiom
+    (``operators/windows.window_dedup``). Complements q26 (unwindowed
+    keep-first dedup); the streaming twin keeps O(1) state per live
+    (user, window) and emits identical finals (pytest-pinned)."""
+    from flink_note_spark.operators.windows import window_dedup
+
+    e = _t(spark, sf, "events")
+    return (
+        window_dedup(
+            e, "ts", "1 day", ["user_id"], keep="last",
+            tiebreak=["event_id"],
+        )
+        .select(
+            fmt_date(F.col("win.start"), "day"),
+            "user_id",
+            "event_id",
+            epoch_us("ts", "last_ts_us"),
+            "value",
+        )
+        .orderBy("day", "user_id")
+    )
+
+
+_Q116_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       user_id, event_id, epoch_us(ts) AS last_ts_us, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY date_trunc('day', ts), user_id
+      ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY day, user_id
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1442,6 +1592,9 @@ QUERIES = {
     "q111_cep_iterative_loop": q111_cep_iterative_loop,
     "q112_interval_join": q112_interval_join,
     "q113_cep_timeouts": q113_cep_timeouts,
+    "q114_match_recognize": q114_match_recognize,
+    "q115_window_top_n": q115_window_top_n,
+    "q116_window_dedup": q116_window_dedup,
 }
 
 ORACLES = {
@@ -1477,4 +1630,7 @@ ORACLES = {
     "q111_cep_iterative_loop": _Q111_SQL,
     "q112_interval_join": _Q112_SQL,
     "q113_cep_timeouts": _Q113_SQL,
+    "q114_match_recognize": _Q114_SQL,
+    "q115_window_top_n": _Q115_SQL,
+    "q116_window_dedup": _Q116_SQL,
 }

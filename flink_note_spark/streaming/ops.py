@@ -2175,6 +2175,204 @@ def match_pattern_stream(
     )
 
 
+def window_top_n_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    size: str,
+    n: int,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Flink SQL **Window Top-N** on a stream (r8): per (key, tumbling
+    window), the top ``n`` rows by ``value_col`` DESC (event-time ASC
+    breaking ties), emitted ONCE when the watermark passes the window
+    end — Window Top-N is append-only in Flink too (ranks are only
+    final at window close, unlike the retracting unwindowed Top-N).
+
+    Incremental state is O(n) per live (key, window): a row below the
+    current n-th-best value can never re-enter (later rows only raise
+    the cutoff), so each micro-batch merges and reprunes to ``n`` —
+    the same monotone-cutoff argument as the count evictor's. Output:
+    ``(key, win_start_us, win_end_us, rn, ts_us, value)``; batch twin
+    ``operators/windows.window_top_n`` (equality pinned in tests).
+    Equal (value, ts) pairs tie arbitrarily — unique timestamps per
+    key, the fixture doctrine."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from flink_note_spark.operators.windows import _duration_us
+
+    size_us = _duration_us(size)
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, win_start_us long, win_end_us long, "
+        "rn int, ts_us long, value double"
+    )
+    cols = [key_col, "win_start_us", "win_end_us", "rn", "ts_us",
+            "value"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        k, win_start = key_tuple
+        win_start = int(win_start)
+        end_us = win_start + size_us
+
+        def final(ts, vals):
+            # rank: value desc, ts asc — lexsort on (-vals, ts)
+            order = np.lexsort((ts, -vals))
+            rows = [
+                (k, win_start, end_us, r + 1, int(ts[i]),
+                 float(vals[i]))
+                for r, i in enumerate(order)
+            ]
+            return pd.DataFrame(rows, columns=cols)
+
+        if state.hasTimedOut:
+            ts, vals = state.get
+            state.remove()
+            yield final(
+                np.asarray(ts, dtype=np.int64),
+                np.asarray(vals, dtype=np.float64),
+            )
+            return
+
+        pt, pv = [], []
+        if state.exists:
+            prev_ts, prev_vals = state.get
+            pt.append(np.asarray(prev_ts, dtype=np.int64))
+            pv.append(np.asarray(prev_vals, dtype=np.float64))
+        for pdf in pdfs:
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pv.append(
+                pdf[value_col].fillna(0.0).to_numpy(dtype=np.float64)
+            )
+        ts = np.concatenate(pt)
+        vals = np.concatenate(pv)
+        # monotone cutoff: keep only the current top n
+        order = np.lexsort((ts, -vals))[:n]
+        ts, vals = ts[order], vals[order]
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us >= end_us:
+            state.remove()
+            yield final(ts, vals)
+            return
+        state.update((ts.tolist(), vals.tolist()))
+        state.setTimeoutTimestamp(max(
+            end_us // 1_000, state.getCurrentWatermarkMs() + 1
+        ))
+
+    win = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(size_us)
+        ).cast("long") * F.lit(size_us)
+    ).alias("__win")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select("*", win)
+        .groupBy(key_col, "__win")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="ts array<long>, vals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def window_dedup_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    size: str,
+    keep: str = "first",
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Flink SQL **Window Deduplication** on a stream (r8): the first
+    or last row per (key, tumbling window) by EVENT TIME, emitted once
+    at window close. State is O(1) per live (key, window) — only the
+    current best (ts, value) survives each micro-batch, the degenerate
+    ``n = 1`` case of the Top-N monotone cutoff.
+
+    Output: ``(key, win_start_us, win_end_us, ts_us, value)``; batch
+    twin ``operators/windows.window_dedup`` (equality pinned in
+    tests). Equal-timestamp rows tie arbitrarily (fixture doctrine)."""
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first|last, got {keep!r}")
+    from flink_note_spark.operators.windows import _duration_us
+
+    size_us = _duration_us(size)
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, win_start_us long, win_end_us long, "
+        "ts_us long, value double"
+    )
+    cols = [key_col, "win_start_us", "win_end_us", "ts_us", "value"]
+    want_min = keep == "first"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        k, win_start = key_tuple
+        win_start = int(win_start)
+        end_us = win_start + size_us
+
+        if state.hasTimedOut:
+            best_ts, best_val = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k, win_start, end_us, int(best_ts),
+                  float(best_val))],
+                columns=cols,
+            )
+            return
+
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf[ts_col].to_numpy().view("int64") // 1_000
+            vals = pdf[value_col].fillna(0.0).to_numpy(
+                dtype=np.float64
+            )
+            i = int(np.argmin(ts) if want_min else np.argmax(ts))
+            cand = (int(ts[i]), float(vals[i]))
+            if best is None or (
+                cand[0] < best[0] if want_min else cand[0] > best[0]
+            ):
+                best = cand
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if wm_us >= end_us:
+            state.remove()
+            yield pd.DataFrame(
+                [(k, win_start, end_us, best[0], best[1])],
+                columns=cols,
+            )
+            return
+        state.update(best)
+        state.setTimeoutTimestamp(max(
+            end_us // 1_000, state.getCurrentWatermarkMs() + 1
+        ))
+
+    win = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(size_us)
+        ).cast("long") * F.lit(size_us)
+    ).alias("__win")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select("*", win)
+        .groupBy(key_col, "__win")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="best_ts long, best_val double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def tag_late_data(
     stream: DataFrame,
     key_col: str,

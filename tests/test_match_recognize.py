@@ -1,0 +1,253 @@
+"""MATCH_RECOGNIZE (Flink SQL row-pattern recognition) — the SQL
+surface compiled onto the CEP engine (`operators/match_recognize.py`).
+
+Covers: pattern parsing + quantifiers, DEFINE compilation (own-row
+refs, earlier-variable iterative refs, Column conditions, undefined
+=TRUE), MEASURES (FIRST/LAST/COUNT/bare, payload attaches), AFTER
+MATCH mapping, the differential vs a hand-built `match_pattern` call,
+and the documented validation errors.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.cep import match_pattern
+from flink_note_spark.operators.match_recognize import (
+    _parse_after_match,
+    _parse_pattern,
+    match_recognize,
+)
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _events(spark, vals_by_key):
+    rows = []
+    for u, vs in vals_by_key.items():
+        for i, v in enumerate(vs):
+            rows.append((u, dt.datetime(2024, 1, 1, 0, i), float(v), i))
+    return spark.createDataFrame(
+        rows, "user_id int, ts timestamp, value double, event_id int"
+    )
+
+
+# ---------------------------------------------------------------- parsing
+
+def test_parse_pattern_quantifiers():
+    assert _parse_pattern("A B+ C* D? E{2} F{1,3}") == [
+        ("A", None), ("B", "+"), ("C", "*"), ("D", "?"),
+        ("E", "{2}"), ("F", "{1,3}"),
+    ]
+
+
+def test_parse_pattern_rejects_alternation_and_repeats():
+    with pytest.raises(ValueError, match="unsupported PATTERN token"):
+        _parse_pattern("A|B")
+    with pytest.raises(ValueError, match="appears twice"):
+        _parse_pattern("A B A")
+    with pytest.raises(ValueError, match="at least one variable"):
+        _parse_pattern("   ")
+
+
+def test_parse_after_match_forms():
+    vi = {"STRT": 1, "DOWN": 2, "UP": 3}
+    assert _parse_after_match("SKIP PAST LAST ROW", vi) == (
+        "skip_past_last_event"
+    )
+    assert _parse_after_match("skip to next row", vi) == "skip_to_next"
+    assert _parse_after_match("SKIP TO FIRST DOWN", vi) == (
+        "skip_to_first", 2
+    )
+    assert _parse_after_match("skip to last UP", vi) == ("skip_to_last", 3)
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        _parse_after_match("skip to first NOPE", vi)
+    with pytest.raises(ValueError, match="unsupported AFTER MATCH"):
+        _parse_after_match("skip to last row", vi)
+
+
+# ------------------------------------------------------------- semantics
+
+def test_v_shape_measures(spark):
+    e = _events(spark, {
+        1: [120, 60, 40, 160, 130],   # one V: 120 (60 40) 160
+        2: [90, 70, 150, 110, 200],   # 150 is STRT but 110 not DOWN
+        3: [130, 50, 155, 140, 30, 20, 170],  # two Vs
+    })
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={
+            "start_ts": "STRT.ts", "start_val": "STRT.value",
+            "n_down": "COUNT(DOWN.*)", "bottom_ts": "LAST(DOWN.ts)",
+            "bottom_val": "LAST(DOWN.value)", "up_val": "UP.value",
+        },
+        after_match="skip to next row", within="7 days",
+        tiebreak=["event_id"],
+    )
+    got = rows_set(out)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    assert got == {
+        (1, t(0), 120.0, 2, t(2), 40.0, 160.0),
+        (3, t(0), 130.0, 1, t(1), 50.0, 155.0),
+        (3, t(3), 140.0, 2, t(5), 20.0, 170.0),
+    }
+
+
+def test_undefined_variable_matches_any_row(spark):
+    # B undefined => TRUE: every adjacent pair (A-candidate, any row)
+    e = _events(spark, {1: [100, 5, 100, 100]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="A B",
+        define={"A": "value >= 100"},
+        measures={"a_ts": "A.ts", "b_val": "B.value"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    got = rows_set(out)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    assert got == {(1, t(0), 5.0), (1, t(2), 100.0)}
+
+
+def test_differential_vs_hand_built_pattern(spark):
+    # the compile target is match_pattern on a sentinel type column —
+    # build that by hand and demand identical matches
+    e = _events(spark, {
+        u: [((u * 7 + i * 13) % 40) * 5 for i in range(12)]
+        for u in range(1, 9)
+    })
+    mr = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="LOW HIGH{2}",
+        define={"LOW": "value < 60", "HIGH": "value >= 120"},
+        measures={"low_ts": "LOW.ts", "h_first": "FIRST(HIGH.ts)",
+                  "h_last": "LAST(HIGH.ts)"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    typed = e.withColumn("t", F.lit("r"))
+    hand = match_pattern(
+        typed,
+        [{"type": "r"}, {"type": "r", "times": 2}],
+        key_col="user_id", time_col="ts", type_col="t",
+        contiguity="strict", tiebreak=["event_id"],
+        skip_strategy="skip_to_next",
+    )
+    # hand-built steps carry no where(); emulate by pre-filtering is
+    # wrong (strict adjacency) — instead attach the predicates
+    from flink_note_spark.operators.cep import PatternStep
+    hand = match_pattern(
+        typed,
+        [PatternStep("r", where="value < 60", mode="strict"),
+         PatternStep("r", times=2, where="value >= 120", mode="strict")],
+        key_col="user_id", time_col="ts", type_col="t",
+        contiguity="strict", tiebreak=["event_id"],
+        skip_strategy="skip_to_next",
+    ).select(
+        "user_id", F.col("ts_1").alias("low_ts"),
+        F.col("ts_2").alias("h_first"), F.col("ts_2_last").alias("h_last"),
+    )
+    assert rows_set(mr) == rows_set(hand)
+
+
+def test_skip_past_last_row_default(spark):
+    # overlapping A B matches: rows 0..3 all candidates; PAST LAST ROW
+    # consumes pairs left to right (0,1) then (2,3)
+    e = _events(spark, {1: [100, 100, 100, 100]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="A B",
+        define={"A": "value >= 100", "B": "value >= 100"},
+        measures={"a_ts": "A.ts", "b_ts": "B.ts"},
+        tiebreak=["event_id"],  # default after_match
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    assert rows_set(out) == {(1, t(0), t(1)), (1, t(2), t(3))}
+
+
+def test_earlier_variable_ref_compiles_to_iterative(spark):
+    # UP must exceed the STRT row's value — a cross-variable DEFINE
+    e = _events(spark, {1: [100, 150, 90, 80]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="STRT UP",
+        define={"STRT": "value >= 80", "UP": "value > STRT.value"},
+        measures={"s": "STRT.value", "u": "UP.value"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    assert rows_set(out) == {(1, 100.0, 150.0)}
+
+
+def test_forward_variable_ref_rejected(spark):
+    e = _events(spark, {1: [1, 2]})
+    with pytest.raises(ValueError, match="earlier pattern variable"):
+        match_recognize(
+            e, partition_by="user_id", order_by="ts", pattern="A B",
+            define={"A": "value < B.value"},
+            measures={"a": "A.ts"},
+        )
+
+
+def test_column_condition_define(spark):
+    e = _events(spark, {1: [10, 200, 10, 10]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="BIG SMALL",
+        define={"BIG": F.col("value") > 100, "SMALL": F.col("value") < 50},
+        measures={"big": "BIG.value", "small": "SMALL.value"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    assert rows_set(out) == {(1, 200.0, 10.0)}
+
+
+def test_optional_and_star_measures(spark):
+    e = _events(spark, {1: [100, 10, 10, 200], 2: [100, 200]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="A MID* Z",
+        define={"A": "value >= 100 AND value < 150", "MID": "value < 50",
+                "Z": "value >= 150"},
+        measures={"a_ts": "A.ts", "n_mid": "COUNT(MID.*)", "z_val": "Z.value"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    assert rows_set(out) == {(1, t(0), 2, 200.0), (2, t(0), 0, 200.0)}
+
+
+# ------------------------------------------------------------ validation
+
+def test_measure_validation_errors(spark):
+    e = _events(spark, {1: [1.0]})
+    kw = dict(partition_by="user_id", order_by="ts")
+    with pytest.raises(ValueError, match="not a PATTERN variable"):
+        match_recognize(e, pattern="A", define={"Z": "value > 0"},
+                        measures={"x": "A.ts"}, **kw)
+    with pytest.raises(ValueError, match="unsupported measure"):
+        match_recognize(e, pattern="A", measures={"x": "SUM(A.value)"},
+                        **kw)
+    with pytest.raises(ValueError, match="unknown variable"):
+        match_recognize(e, pattern="A", measures={"x": "B.ts"}, **kw)
+    with pytest.raises(ValueError, match="ambiguous"):
+        match_recognize(e, pattern="A+", measures={"x": "A.ts"}, **kw)
+    with pytest.raises(ValueError, match="COUNT measures"):
+        match_recognize(e, pattern="A", measures={"x": "COUNT(A.ts)"},
+                        **kw)
+    with pytest.raises(ValueError, match="range quantifier"):
+        match_recognize(e, pattern="A{1,2}", measures={"x": "COUNT(A.*)"},
+                        **kw)
+    with pytest.raises(ValueError, match="not a payload column"):
+        match_recognize(e, pattern="A", measures={"x": "A.nope"}, **kw)
+
+
+def test_count_fixed_and_optional(spark):
+    e = _events(spark, {1: [100, 100, 5, 100, 100, 100]})
+    # A{2} THEN? : fixed count 2; optional contributes 0/1
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="A{2} S?",
+        define={"A": "value >= 100", "S": "value < 50"},
+        measures={"n_a": "COUNT(A.*)", "n_s": "COUNT(S.*)",
+                  "a_last": "LAST(A.ts)"},
+        after_match="skip past last row", tiebreak=["event_id"],
+    )
+    got = {(r["n_a"], r["n_s"]) for r in out.collect()}
+    assert got == {(2, 1), (2, 0)}

@@ -987,3 +987,73 @@ def test_interval_join_bounds_and_negative_lower(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- window top-n / window dedup (Flink SQL windowing TVFs, r8) ----------
+
+def test_window_top_n_per_window_and_key(spark):
+    from flink_note_spark.operators.windows import window_top_n
+
+    # two 60-min windows, two types; top-2 by value desc
+    rows = [
+        (1, 1, _ts(5), "A", 10.0), (1, 2, _ts(10), "A", 30.0),
+        (1, 3, _ts(20), "A", 20.0), (1, 4, _ts(30), "B", 5.0),
+        (1, 5, _ts(70), "A", 7.0), (1, 6, _ts(80), "A", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = window_top_n(
+        df, "ts", "60 minutes",
+        [F.col("value").desc(), F.col("event_id").asc()],
+        n=2, partition_cols=["event_type"],
+    )
+    got = sorted(
+        (r.event_type, int(r.win.start.timestamp() // 60) % 1000,
+         r.rn, r.value)
+        for r in out.collect()
+    )
+    base = int(_ts(0).timestamp() // 60) % 1000
+    assert got == [
+        ("A", base, 1, 30.0), ("A", base, 2, 20.0),
+        ("A", base + 60, 1, 9.0), ("A", base + 60, 2, 7.0),
+        ("B", base, 1, 5.0),
+    ]
+
+
+def test_window_top_n_validation(spark):
+    from flink_note_spark.operators.windows import window_top_n
+
+    df = spark.createDataFrame([(1, _ts(0))], "id long, ts timestamp")
+    with pytest.raises(ValueError, match="n must be"):
+        window_top_n(df, "ts", "1 hour", [F.col("id")], n=0)
+
+
+def test_window_dedup_first_and_last(spark):
+    from flink_note_spark.operators.windows import window_dedup
+
+    rows = [
+        (1, 1, _ts(5), "A", 1.0), (1, 2, _ts(10), "A", 2.0),
+        (1, 3, _ts(70), "A", 3.0), (2, 4, _ts(8), "A", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    first = window_dedup(
+        df, "ts", "60 minutes", ["user_id"], keep="first",
+        tiebreak=["event_id"],
+    )
+    last = window_dedup(
+        df, "ts", "60 minutes", ["user_id"], keep="last",
+        tiebreak=["event_id"],
+    )
+    assert sorted((r.user_id, r.event_id) for r in first.collect()) == [
+        (1, 1), (1, 3), (2, 4)
+    ]
+    assert sorted((r.user_id, r.event_id) for r in last.collect()) == [
+        (1, 2), (1, 3), (2, 4)
+    ]
+    with pytest.raises(ValueError, match="first|last"):
+        window_dedup(df, "ts", "60 minutes", ["user_id"], keep="best")

@@ -3227,3 +3227,130 @@ def test_cep_stream_timeouts_guards(spark, chunk_dir):
             stream, ["A", "B"], contiguity="strict",
             within="10 minutes", watermark="1 minutes",
         )
+
+
+# --- window top-n / window dedup streams (Flink SQL TVFs, r8) ------------
+
+def test_window_top_n_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """window_top_n_stream finals == batch window_top_n, across
+    micro-batch boundaries (the O(n) top-n state is incremental)."""
+    import random
+
+    from flink_note_spark.operators.windows import window_top_n
+    from flink_note_spark.streaming.ops import window_top_n_stream
+
+    rng = random.Random(63)
+    minutes = rng.sample(range(0, 240), 80)
+    rows = sorted(
+        [
+            (rng.randrange(1, 5), i, _ts(m), "E", round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 0.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = window_top_n_stream(
+        stream, "user_id", "ts", size="60 minutes", n=3,
+        value_col="value", watermark="3 minutes",
+    )
+    _run_to_memory(out, "win_topn", "update", tmp_path)
+    got = {
+        (int(r["user_id"]), int(r["win_start_us"]), int(r["rn"]),
+         int(r["ts_us"]), float(r["value"]))
+        for _, r in spark.sql("SELECT * FROM win_topn").toPandas().iterrows()
+    }
+
+    batch = spark.createDataFrame(rows, EVENT_SCHEMA)
+    want = {
+        (int(r.user_id),
+         int(r.win.start.replace(tzinfo=dt.timezone.utc).timestamp()
+             * 1_000_000),
+         int(r.rn),
+         int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp()
+             * 1_000_000),
+         float(r.value))
+        for r in window_top_n(
+            batch, "ts", "60 minutes",
+            [F.col("value").desc(), F.col("ts").asc()],
+            n=3, partition_cols=["user_id"],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_window_dedup_stream_first_last_equal_batch(
+    spark, chunk_dir, tmp_path
+):
+    """window_dedup_stream(keep=first|last) == batch window_dedup."""
+    import random
+
+    from flink_note_spark.operators.windows import window_dedup
+    from flink_note_spark.streaming.ops import window_dedup_stream
+
+    rng = random.Random(64)
+    minutes = rng.sample(range(0, 240), 60)
+    rows = sorted(
+        [
+            (rng.randrange(1, 4), i, _ts(m), "E", round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(3):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 0.0)])
+
+    batch = spark.createDataFrame(rows, EVENT_SCHEMA)
+    for keep in ("first", "last"):
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = window_dedup_stream(
+            stream, "user_id", "ts", size="60 minutes", keep=keep,
+            value_col="value", watermark="3 minutes",
+        )
+        _run_to_memory(out, f"win_dedup_{keep}", "update", tmp_path)
+        got = {
+            (int(r["user_id"]), int(r["win_start_us"]),
+             int(r["ts_us"]), float(r["value"]))
+            for _, r in spark.sql(
+                f"SELECT * FROM win_dedup_{keep}"
+            ).toPandas().iterrows()
+        }
+        want = {
+            (int(r.user_id),
+             int(r.win.start.replace(tzinfo=dt.timezone.utc).timestamp()
+                 * 1_000_000),
+             int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                 * 1_000_000),
+             float(r.value))
+            for r in window_dedup(
+                batch, "ts", "60 minutes", ["user_id"], keep=keep,
+            ).collect()
+        }
+        assert got == want
+
+
+def test_window_stream_validation(spark, chunk_dir):
+    from flink_note_spark.streaming.ops import (
+        window_dedup_stream,
+        window_top_n_stream,
+    )
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA
+    )
+    with pytest.raises(ValueError, match="n must be"):
+        window_top_n_stream(stream, "user_id", "ts", "60 minutes", n=0)
+    with pytest.raises(ValueError, match="first|last"):
+        window_dedup_stream(
+            stream, "user_id", "ts", "60 minutes", keep="mid"
+        )
