@@ -17,9 +17,11 @@ from __future__ import annotations
 
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from flink_note_spark.functions.scalar import words
 
 # Prime modulus for the universal hash family (fits in 31 bits so
 # a*h+b stays inside signed-64 arithmetic with no overflow).
@@ -837,3 +839,141 @@ def _lcg(seed: int):
     while True:
         state = (6364136223846793005 * state + 1442695040888963407) & ((1 << 63) - 1)
         yield state
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplication statistics (r8): for every document,
+    how much of it is covered by word ``n``-grams that occur at least
+    ``min_count`` times ANYWHERE in the corpus (including elsewhere in
+    the same document). This is the scalable approximation of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): a long duplicated
+    passage is exactly a run of duplicated n-grams, so the covered-
+    token fraction ranks boilerplate/templated docs for removal or
+    down-weighting without building a distributed suffix array.
+
+    Plan shape (the 100 TB posture): one POSITIONAL shingle scan (the
+    ``_shingle_rows`` numpy kernel with positions kept and per-doc
+    dedup dropped — occurrences, not sets), one map-side-combinable
+    count over 8-byte hashed n-grams, one hash-keyed semi-ish join
+    back (inner join against the ``count >= min_count`` survivors),
+    then per-doc interval-union via ONE window pass: a duplicated gram
+    at position ``p`` covers tokens ``[p, p+n)``; the union length is
+    ``sum(max(0, p+n - max(p, prev_end)))`` where ``prev_end`` is the
+    running max end over earlier dup positions — no per-token
+    explosion, state is one long per row. Shuffles: gram-hash count,
+    join, doc-keyed window — all well-distributed keys (the hot-gram
+    skew lands on the COUNT side, which combines map-side; the join
+    side fans out only to ``min(count, positions-in-doc)`` rows).
+
+    Output: ``id_col, n_tokens, n_dup_grams, dup_tokens,
+    dup_fraction`` (rounded 6; 0.0 for docs with no duplicated gram,
+    NULL for empty docs). Tokenization is the engine-wide whitespace-
+    run split (``functions.scalar.words`` doctrine).
+    """
+    if n < 1 or min_count < 2:
+        raise ValueError(
+            f"need n >= 1 and min_count >= 2, got n={n} "
+            f"min_count={min_count}"
+        )
+    id_type = dict(docs.dtypes)[id_col]
+
+    def shingler(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n_docs = len(pdf)
+            if not n_docs:
+                continue
+            toks_per_doc = [t.split() if t else [] for t in pdf[text_col]]
+            lengths = np.fromiter(
+                (len(t) for t in toks_per_doc), dtype=np.int64,
+                count=n_docs,
+            )
+            counts = np.maximum(lengths - (n - 1), 0)
+            total = int(counts.sum())
+            if not total:
+                continue
+            all_toks = np.array(
+                [tok for toks in toks_per_doc for tok in toks],
+                dtype=object,
+            )
+            doc_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+            sh_csum = np.concatenate(([0], np.cumsum(counts)))
+            offset = np.arange(total) - np.repeat(sh_csum[:-1], counts)
+            pos = np.repeat(doc_starts, counts) + offset
+            sh = all_toks[pos]
+            for j in range(1, n):
+                sh = sh + " " + all_toks[pos + j]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(counts),
+                    "pos": offset,
+                    "shingle": sh,
+                }
+            )
+
+    pg = (
+        _spread_for_python_stage(docs.select(id_col, text_col))
+        .mapInPandas(
+            shingler, f"{id_col} {id_type}, pos long, shingle string"
+        )
+        .select(id_col, "pos", F.xxhash64("shingle").alias("shingle"))
+    )
+    cnt = pg.groupBy("shingle").agg(F.count(F.lit(1)).alias("__c"))
+    dup = pg.join(
+        cnt.filter(F.col("__c") >= min_count).select("shingle"),
+        "shingle",
+    ).select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = (
+        dup.withColumn("__prev_end", F.max(F.col("pos") + n).over(w_prev))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("pos") + n - F.greatest(
+                        F.col("pos"),
+                        F.coalesce(F.col("__prev_end"), F.col("pos")),
+                    ),
+                )
+            ).alias("dup_tokens"),
+        )
+    )
+    n_tok = F.size(
+        F.filter(words(text_col), lambda x: x != F.lit(""))
+    ).cast("long")
+    return (
+        docs.select(id_col, n_tok.alias("n_tokens"))
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1413,6 +1413,60 @@ FROM best WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q117_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication stats (r8) — the scalable
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the fraction of tokens covered by word 5-grams occurring
+    ≥2 times anywhere in the corpus (``operators/dedup.
+    dup_span_stats``). Positional shingle scan + hashed-gram count +
+    one window interval-union; complements q96 (novelty = set-level
+    sharing, this = occurrence-level coverage)."""
+    from flink_note_spark.operators.dedup import dup_span_stats
+
+    d = _t(spark, sf, "documents")
+    return dup_span_stats(d, n=5, min_count=2).orderBy("doc_id")
+
+
+_Q117_SQL = """
+WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '') AS wlist
+       FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(wlist) - 4),
+                i -> struct_pack(pos := i,
+                     g := array_to_string(wlist[i+1:i+5], ' ')))) AS s
+  FROM w WHERE len(wlist) >= 5),
+pg AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM sh),
+cnt AS (SELECT g, count(*) AS c FROM pg GROUP BY g),
+dup AS (SELECT pg.doc_id, pg.pos FROM pg
+        JOIN cnt USING (g) WHERE cnt.c >= 2),
+cov AS (SELECT doc_id, pos,
+          max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_end
+        FROM dup),
+per AS (SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_dup_grams,
+          CAST(sum(greatest(0,
+               pos + 5 - greatest(pos, coalesce(prev_end, pos))))
+            AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.wlist) AS BIGINT) AS n_tokens,
+       CAST(coalesce(per.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(w.wlist) > 0
+            THEN round(coalesce(per.dup_tokens, 0)
+                       / CAST(len(w.wlist) AS DOUBLE), 6)
+       END AS dup_fraction
+FROM w LEFT JOIN per USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -1424,6 +1478,7 @@ QUERIES = {
     "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
+    "q117_dup_spans": q117_dup_spans,
     "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
     "q90_lsh_verified_pairs": q90_lsh_verified_pairs,
@@ -1505,4 +1560,5 @@ ORACLES = {
     "q38_fingerprint": _Q38_SQL,
     "q39_wordcount": _Q39_SQL,
     "q40_binary_meta": _Q40_SQL,
+    "q117_dup_spans": _Q117_SQL,
 }

@@ -355,3 +355,69 @@ def test_unified_whitespace_tokenization(spark):
         for r in token_stats(df).select("doc_id", "n_ws_tokens").collect()
     }
     assert ws[1] == 6 and ws[2] == 5 and ws[4] == 1
+
+
+# --- duplicated-span stats (substring-level dedup signal, r8) ------------
+
+def test_dup_span_stats_coverage_and_edges(spark):
+    from flink_note_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h"),   # shares 3 grams with doc 2
+        (2, "a b c d e x y z"),
+        (3, "p p p p p p"),       # fully self-duplicated
+        (4, ""),                  # empty -> NULL fraction
+        (5, "q r"),               # shorter than n -> 0.0
+    ], "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in dup_span_stats(docs, n=3, min_count=2).collect()
+    }
+    assert got == {
+        (1, 8, 3, 5, 0.625),   # grams at pos 0..2 cover tokens [0, 5)
+        (2, 8, 3, 5, 0.625),
+        (3, 6, 4, 6, 1.0),
+        (4, 0, 0, 0, None),
+        (5, 2, 0, 0, 0.0),
+    }
+
+
+def test_dup_span_stats_interval_union_not_double_counted(spark):
+    """Two dup runs with a gap: coverage is the union of spans, not
+    the sum of n per gram."""
+    from flink_note_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame([
+        (1, "x1 x2 x3 u1 u2 u3 u4 y1 y2 y3"),
+        (2, "x1 x2 x3 q1 q2 q3 q4 y1 y2 y3"),
+    ], "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in dup_span_stats(docs, n=3, min_count=2).collect()
+    }
+    # each doc: dup grams at pos 0 (x1 x2 x3) and pos 7 (y1 y2 y3) ->
+    # union coverage 6 of 10 tokens
+    assert got == {(1, 10, 2, 6, 0.6), (2, 10, 2, 6, 0.6)}
+
+
+def test_dup_span_stats_within_doc_repeats_count(spark):
+    from flink_note_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c z a b c")], "doc_id long, text string"
+    )
+    got = {
+        tuple(r)
+        for r in dup_span_stats(docs, n=3, min_count=2).collect()
+    }
+    # "a b c" occurs at pos 0 and 4 within the one doc
+    assert got == {(1, 7, 2, 6, round(6 / 7, 6))}
+
+
+def test_dup_span_stats_validation(spark):
+    from flink_note_spark.operators.dedup import dup_span_stats
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_count"):
+        dup_span_stats(docs, n=3, min_count=1)
