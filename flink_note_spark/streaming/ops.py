@@ -2373,6 +2373,261 @@ def window_dedup_stream(
     )
 
 
+def keyed_running_agg_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str = "value",
+    ttl: str | None = None,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Per-key running aggregate with **state TTL** (r8) — Flink's
+    canonical ``ValueState`` + ``StateTtlConfig`` pattern (the running-
+    average/fraud-detection example): each key keeps ``(n, sum)`` and
+    emits the updated aggregate every micro-batch it receives data;
+    with ``ttl`` set, state that has not been UPDATED for ``ttl``
+    expires — the next event starts the aggregate fresh, and an
+    event-time timer physically removes idle state (the memory-bound
+    half of TTL, which matters at 100 TB key cardinalities: without
+    cleanup, every key ever seen stays in the store forever).
+
+    Documented deviation: Flink's default TTL clock is PROCESSING
+    time; this rendering expires on EVENT-time gaps (an event more
+    than ``ttl`` after the state's last event resets it first), which
+    is deterministic under replay/restart — the same doctrine as the
+    engine's other processing-time analogues. Within a batch, resets
+    apply at every ``> ttl`` gap in event-time order (vectorized
+    ``np.diff`` segmentation, the sessionize kernel's shape).
+
+    Output per (key, batch-with-data): ``(key, last_ts_us, n,
+    sum_value)`` — the aggregate AFTER folding the batch, where
+    ``n``/``sum_value`` count events since the last expiry. Update
+    output mode; equality-vs-python-fold pinned in tests.
+    """
+    ttl_us = None if ttl is None else _parse_duration_ms(ttl) * 1_000
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, last_ts_us long, n long, "
+        "sum_value double"
+    )
+    cols = [key_col, "last_ts_us", "n", "sum_value"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        (k,) = key_tuple
+        if state.hasTimedOut:
+            # idle past TTL: physical cleanup, nothing to emit
+            state.remove()
+            return
+
+        n, s, last_ts = state.get if state.exists else (0, 0.0, None)
+        pt, pv = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pv.append(
+                pdf[value_col].fillna(0.0).to_numpy(dtype=np.float64)
+            )
+        if not pt:
+            return
+        ts = np.concatenate(pt)
+        vals = np.concatenate(pv)
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+        if ttl_us is not None:
+            prev = np.concatenate((
+                [last_ts if last_ts is not None else ts[0]], ts[:-1]
+            ))
+            resets = np.nonzero(ts - prev > ttl_us)[0]
+            if len(resets):
+                cut = int(resets[-1])
+                n, s = 0, 0.0
+                ts, vals = ts[cut:], vals[cut:]
+        n += len(ts)
+        s += float(vals.sum())
+        last_ts = int(ts[-1])
+        state.update((n, s, last_ts))
+        if ttl_us is not None:
+            state.setTimeoutTimestamp(max(
+                (last_ts + ttl_us) // 1_000,
+                state.getCurrentWatermarkMs() + 1,
+            ))
+        yield pd.DataFrame(
+            [(k, last_ts, n, round(s, 4))], columns=cols
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="n long, s double, last_ts long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def allowed_lateness_tumbling_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    size: str,
+    lateness: str,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Flink **allowedLateness** on an event-time tumbling window
+    (r8): the window fires when the watermark passes its end, but its
+    state is kept for ``lateness`` longer — each late event arriving
+    in that grace period RE-FIRES the window with the updated
+    aggregate; events later still are dropped by this operator (route
+    them with :func:`tag_late_data` → :func:`side_outputs` for Flink's
+    ``sideOutputLateData``).
+
+    Spark folds lateness into the watermark delay and never re-fires;
+    the faithful rendering widens the ENGINE watermark by ``lateness``
+    (so grace-period rows still reach the state store) and recovers
+    the true event-time watermark as ``engine_wm + lateness`` for
+    firing decisions. Firing schedule per (key, window): the on-time
+    firing (``firing = 0``) when the true watermark passes the window
+    end — emitted by event-time timer, so it fires even for windows
+    with no further data; one late firing (``firing = k``) per
+    micro-batch that delivers grace-period data after that; physical
+    state cleanup when the true watermark passes ``end + lateness``.
+    Late-firing TIMING follows micro-batch boundaries, exactly as
+    Flink's follows per-element arrival; the final firing's aggregate
+    is deterministic and equals the batch aggregate over all rows that
+    reached the operator (pinned in tests).
+
+    Output: ``(key, win_start_us, win_end_us, firing, n_events,
+    sum_value)``, update mode.
+    """
+    from flink_note_spark.operators.windows import _duration_us
+
+    size_us = _duration_us(size)
+    late_us = _duration_us(lateness)
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, win_start_us long, win_end_us long, "
+        "firing int, n_events long, sum_value double"
+    )
+    cols = [key_col, "win_start_us", "win_end_us", "firing",
+            "n_events", "sum_value"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        k, win_start = key_tuple
+        win_start = int(win_start)
+        end_us = win_start + size_us
+        # engine watermark is widened by `lateness`; recover the true
+        # event-time watermark for firing decisions
+        wm_true = state.getCurrentWatermarkMs() * 1_000 + late_us
+
+        if state.hasTimedOut:
+            n, s, fired = state.get
+            if fired == 0:
+                # on-time firing (timer at end - lateness on the
+                # engine clock == end on the true clock)
+                state.update((n, s, 1))
+                state.setTimeoutTimestamp(max(
+                    end_us // 1_000,  # engine clock: end+lateness true
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+                yield pd.DataFrame(
+                    [(k, win_start, end_us, 0, n, round(s, 4))],
+                    columns=cols,
+                )
+            else:
+                # grace period over: physical cleanup, no emission
+                state.remove()
+            return
+
+        existed = state.exists
+        n, s, fired = state.get if existed else (0, 0.0, 0)
+        if wm_true >= end_us + late_us:
+            # the batch's rows are PAST the grace period — Flink drops
+            # them at arrival (they belong on the late side output via
+            # tag_late_data); clean up whatever state remains
+            if existed:
+                state.remove()
+            return
+        got_n, got_s = 0, 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            got_n += len(pdf)
+            got_s += float(pdf[value_col].fillna(0.0).sum())
+        rows = []
+        if fired == 0 and wm_true >= end_us:
+            # the watermark passed the window end between batches but
+            # the timer could not run (data suppresses timeouts): emit
+            # the on-time firing from the PRE-BATCH state — exactly
+            # what Flink fired at watermark passage — then this
+            # batch's grace-period rows as their own late firing
+            if existed:
+                rows.append((k, win_start, end_us, 0, n, round(s, 4)))
+                fired = 1
+                n += got_n
+                s += got_s
+                rows.append(
+                    (k, win_start, end_us, fired, n, round(s, 4))
+                )
+                fired += 1
+            else:
+                # window born by a grace-period row: its first firing
+                n, s, fired = got_n, got_s, 1
+                rows.append((k, win_start, end_us, 0, n, round(s, 4)))
+            state.update((n, s, fired))
+            state.setTimeoutTimestamp(max(
+                end_us // 1_000,  # engine clock: end+lateness true
+                state.getCurrentWatermarkMs() + 1,
+            ))
+            yield pd.DataFrame(rows, columns=cols)
+            return
+        n += got_n
+        s += got_s
+        if fired > 0:
+            # late re-firing inside the grace period
+            state.update((n, s, fired + 1))
+            state.setTimeoutTimestamp(max(
+                end_us // 1_000,
+                state.getCurrentWatermarkMs() + 1,
+            ))
+            yield pd.DataFrame(
+                [(k, win_start, end_us, fired, n, round(s, 4))],
+                columns=cols,
+            )
+            return
+        state.update((n, s, fired))
+        state.setTimeoutTimestamp(max(
+            (end_us - late_us) // 1_000,  # fire at true-wm end
+            state.getCurrentWatermarkMs() + 1,
+        ))
+
+    win = (
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(size_us)
+        ).cast("long") * F.lit(size_us)
+    ).alias("__win")
+    # widen the engine watermark so grace-period rows are not
+    # pre-filtered before they reach the state store
+    wide = f"{_parse_duration_ms(watermark) + _parse_duration_ms(lateness)} milliseconds"
+    return (
+        stream.withWatermark(ts_col, wide)
+        .select("*", win)
+        .groupBy(key_col, "__win")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="n long, s double, fired int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def tag_late_data(
     stream: DataFrame,
     key_col: str,

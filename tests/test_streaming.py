@@ -3354,3 +3354,141 @@ def test_window_stream_validation(spark, chunk_dir):
         window_dedup_stream(
             stream, "user_id", "ts", "60 minutes", keep="mid"
         )
+
+
+# --- state TTL + allowed lateness (r8) -----------------------------------
+
+def test_keyed_running_agg_ttl_resets_on_gap(spark, chunk_dir, tmp_path):
+    """keyed_running_agg_stream with ttl: an event-time gap > ttl
+    resets the aggregate; without ttl it accumulates forever."""
+    from flink_note_spark.streaming.ops import keyed_running_agg_stream
+
+    rows1 = [(1, 1, _ts(0), "E", 1.0), (1, 2, _ts(5), "E", 2.0)]
+    rows2 = [(1, 3, _ts(8), "E", 4.0)]         # within ttl: accumulates
+    rows3 = [(1, 4, _ts(60), "E", 8.0)]        # gap 52 min > ttl: reset
+    _write_chunk(chunk_dir, "c1.parquet", rows1)
+    _write_chunk(chunk_dir, "c2.parquet", rows2)
+    _write_chunk(chunk_dir, "c3.parquet", rows3)
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = keyed_running_agg_stream(
+        stream, "user_id", "ts", value_col="value",
+        ttl="10 minutes", watermark="1 minutes",
+    )
+    _run_to_memory(out, "ttl_agg", "update", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["last_ts_us"]), int(r["n"]),
+         float(r["sum_value"]))
+        for _, r in spark.sql("SELECT * FROM ttl_agg").toPandas().iterrows()
+    )
+    assert got == [
+        (1, _us(5), 2, 3.0),    # batch 1: two events
+        (1, _us(8), 3, 7.0),    # batch 2: within ttl, accumulates
+        (1, _us(60), 1, 8.0),   # batch 3: gap > ttl, reset
+    ]
+
+
+def test_keyed_running_agg_no_ttl_accumulates(spark, chunk_dir, tmp_path):
+    from flink_note_spark.streaming.ops import keyed_running_agg_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "E", 1.0)])
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 2, _ts(600), "E", 2.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = keyed_running_agg_stream(
+        stream, "user_id", "ts", value_col="value",
+        watermark="1 minutes",
+    )
+    _run_to_memory(out, "agg_nottl", "update", tmp_path)
+    got = sorted(
+        (int(r["n"]), float(r["sum_value"]))
+        for _, r in spark.sql(
+            "SELECT * FROM agg_nottl"
+        ).toPandas().iterrows()
+    )
+    assert got == [(1, 1.0), (2, 3.0)]
+
+
+def test_keyed_running_agg_intra_batch_gap_resets(spark, chunk_dir, tmp_path):
+    """Resets apply at event-time gaps WITHIN one batch too (the
+    vectorized segmentation path)."""
+    from flink_note_spark.streaming.ops import keyed_running_agg_stream
+
+    rows = [(1, 1, _ts(0), "E", 1.0), (1, 2, _ts(2), "E", 2.0),
+            (1, 3, _ts(30), "E", 4.0), (1, 4, _ts(31), "E", 8.0)]
+    _write_chunk(chunk_dir, "c1.parquet", rows)
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+    )
+    out = keyed_running_agg_stream(
+        stream, "user_id", "ts", value_col="value",
+        ttl="10 minutes", watermark="1 minutes",
+    )
+    _run_to_memory(out, "ttl_intra", "update", tmp_path)
+    got = [
+        (int(r["n"]), float(r["sum_value"]))
+        for _, r in spark.sql(
+            "SELECT * FROM ttl_intra"
+        ).toPandas().iterrows()
+    ]
+    # only the post-reset segment survives: events at minutes 30, 31
+    assert got == [(2, 12.0)]
+
+
+def test_allowed_lateness_refires_then_drops(spark, chunk_dir, tmp_path):
+    """allowedLateness: on-time firing at watermark-past-end, one
+    re-firing per late batch within the grace period, silence after
+    end + lateness."""
+    from flink_note_spark.streaming.ops import (
+        allowed_lateness_tumbling_stream,
+    )
+
+    # window [0, 60); watermark delay 1 min, lateness 30 min
+    _write_chunk(chunk_dir, "c1.parquet",
+                 [(1, 1, _ts(5), "E", 1.0), (1, 2, _ts(20), "E", 2.0)])
+    # advances true wm past 60 -> on-time firing of [0,60)
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(62), "E", 0.5)])
+    # late but within grace (true wm ~61, end+lateness=90) -> re-fire
+    _write_chunk(chunk_dir, "c3.parquet", [(1, 4, _ts(10), "E", 4.0)])
+    # advances true wm past 90 -> grace over for [0,60)
+    _write_chunk(chunk_dir, "c4.parquet", [(1, 5, _ts(95), "E", 0.25)])
+    # too late for [0,60) now -> dropped by the operator
+    _write_chunk(chunk_dir, "c5.parquet", [(1, 6, _ts(15), "E", 8.0)])
+    # push watermark far out so every window expires
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 9, _ts(600), "Q", 0.0)])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = allowed_lateness_tumbling_stream(
+        stream, "user_id", "ts", size="60 minutes",
+        lateness="30 minutes", value_col="value",
+        watermark="1 minutes",
+    )
+    _run_to_memory(out, "lateness", "update", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["win_start_us"]), int(r["firing"]),
+         int(r["n_events"]), float(r["sum_value"]))
+        for _, r in spark.sql(
+            "SELECT * FROM lateness WHERE user_id = 1"
+        ).toPandas().iterrows()
+    )
+    w0, w60 = _us(0), _us(60)
+    assert (1, w0, 0, 2, 3.0) in got          # on-time firing
+    assert (1, w0, 1, 3, 7.0) in got          # late re-firing adds 4.0
+    # the too-late event (value 8.0) never appears for window 0
+    assert not any(
+        w == w0 and s >= 11.0 for (_u, w, _f, _n, s) in got
+    )
+    # firing numbers for window 0: exactly {0, 1}
+    assert sorted(f for (_u, w, f, _n, _s) in got if w == w0) == [0, 1]
+    # window [60,120) fired on time with its two events
+    assert any(
+        w == w60 and f == 0 and n == 2 for (_u, w, f, n, _s) in got
+    )
