@@ -2175,6 +2175,90 @@ def match_pattern_stream(
     )
 
 
+def top_n_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    n: int,
+    value_col: str = "value",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Flink SQL **continuous Top-N** (r8) — the UNWINDOWED
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY value DESC) <= n``
+    over a stream, Flink's retract-mode ranking: the per-key top ``n``
+    is maintained forever and RE-EMITTED whenever a batch changes it
+    (update output mode stands in for the retract stream — the sink
+    upserts on ``(key, rn)``, exactly how Flink's upsert sinks consume
+    Top-N).
+
+    State is O(n) per key and never expires (the ranking is over the
+    whole stream — Flink's unwindowed Top-N has the same unbounded
+    lifetime; put a TTL-bearing op upstream if keys churn). Each batch
+    that improves a key's top-``n`` emits the FULL refreshed ranking
+    for that key (n rows), because one insertion can shift every lower
+    rank — the same n-row update Flink's retract stream carries.
+    Ties on value break by earlier event time, then arbitrarily
+    (fixture doctrine: unique (value, ts) per key).
+
+    Output: ``(key, rn, ts_us, value)``; the final table state equals
+    the batch ``topk_per_group`` (pinned in tests).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, rn int, ts_us long, value double"
+    )
+    cols = [key_col, "rn", "ts_us", "value"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        (k,) = key_tuple
+        if state.hasTimedOut:  # pragma: no cover - no timers are set
+            state.remove()
+            return
+        pt, pv = [], []
+        if state.exists:
+            prev_ts, prev_vals = state.get
+            pt.append(np.asarray(prev_ts, dtype=np.int64))
+            pv.append(np.asarray(prev_vals, dtype=np.float64))
+        old_top = (
+            list(zip(pt[0].tolist(), pv[0].tolist())) if pt else []
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pv.append(
+                pdf[value_col].fillna(0.0).to_numpy(dtype=np.float64)
+            )
+        ts = np.concatenate(pt)
+        vals = np.concatenate(pv)
+        order = np.lexsort((ts, -vals))[:n]
+        ts, vals = ts[order], vals[order]
+        new_top = list(zip(ts.tolist(), vals.tolist()))
+        state.update((ts.tolist(), vals.tolist()))
+        if new_top != old_top:
+            yield pd.DataFrame(
+                [
+                    (k, r + 1, int(t), float(v))
+                    for r, (t, v) in enumerate(new_top)
+                ],
+                columns=cols,
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="ts array<long>, vals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def window_top_n_stream(
     stream: DataFrame,
     key_col: str,

@@ -3492,3 +3492,82 @@ def test_allowed_lateness_refires_then_drops(spark, chunk_dir, tmp_path):
     assert any(
         w == w60 and f == 0 and n == 2 for (_u, w, f, n, _s) in got
     )
+
+
+def test_top_n_stream_final_equals_batch_topk(spark, chunk_dir, tmp_path):
+    """Continuous (unwindowed) Top-N: the final upsert state per
+    (key, rn) equals the batch topk_per_group; a batch that does not
+    change a key's top-n emits nothing for it."""
+    import random
+
+    from flink_note_spark.operators.windows import topk_per_group
+    from flink_note_spark.streaming.ops import top_n_stream
+
+    rng = random.Random(65)
+    rows = sorted(
+        [
+            (rng.randrange(1, 4), i, _ts(i), "E",
+             round(rng.random() * 100, 3))
+            for i in range(60)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(3):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = top_n_stream(
+        stream, "user_id", "ts", n=3, value_col="value",
+        watermark="3 minutes",
+    )
+    _run_to_memory(out, "cont_topn", "update", tmp_path)
+    pdf = spark.sql("SELECT * FROM cont_topn").toPandas()
+    # upsert semantics: last emission per (key, rn) wins
+    final = {}
+    for _, r in pdf.iterrows():
+        final[(int(r["user_id"]), int(r["rn"]))] = (
+            int(r["ts_us"]), float(r["value"])
+        )
+
+    batch = spark.createDataFrame(rows, EVENT_SCHEMA)
+    want = {
+        (int(r.user_id), int(r.rn)): (
+            int(r.ts.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000),
+            float(r.value),
+        )
+        for r in topk_per_group(
+            batch, ["user_id"],
+            [F.col("value").desc(), F.col("ts").asc()], 3,
+        ).collect()
+    }
+    assert final == want
+
+
+def test_top_n_stream_emits_only_on_change(spark, chunk_dir, tmp_path):
+    from flink_note_spark.streaming.ops import top_n_stream
+
+    # batch 1 sets the top-1; batch 2 is all lower -> no emission
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "E", 50.0)])
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 2, _ts(1), "E", 10.0)])
+    _write_chunk(chunk_dir, "c3.parquet", [(1, 3, _ts(2), "E", 99.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = top_n_stream(
+        stream, "user_id", "ts", n=1, value_col="value",
+        watermark="1 minutes",
+    )
+    _run_to_memory(out, "topn_chg", "update", tmp_path)
+    got = [
+        (int(r["rn"]), float(r["value"]))
+        for _, r in spark.sql(
+            "SELECT * FROM topn_chg"
+        ).toPandas().iterrows()
+    ]
+    # two emissions only: the 50.0 ranking and the 99.0 replacement
+    assert sorted(got) == [(1, 50.0), (1, 99.0)]
