@@ -251,3 +251,73 @@ def test_count_fixed_and_optional(spark):
     )
     got = {(r["n_a"], r["n_s"]) for r in out.collect()}
     assert got == {(2, 1), (2, 0)}
+
+
+def test_fast_path_equals_no_skip_selection(spark):
+    """Disjoint-defines fast path (greedy engine) == the exact
+    pipeline (no_skip + leftmost-greedy selection + skip pruning)."""
+    from flink_note_spark.operators.cep import (
+        PatternStep, _apply_skip, _out_cols, _parse_skip, match_pattern,
+    )
+    from pyspark.sql import Window
+
+    e = _events(spark, {
+        u: [((u * 11 + i * 17) % 50) * 4 for i in range(15)]
+        for u in range(1, 7)
+    })
+    mr = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"s": "STRT.ts", "n": "COUNT(DOWN.*)",
+                  "u": "UP.ts"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    # slow pipeline replica
+    typed = e.withColumn("t", F.lit("r"))
+    steps = [
+        PatternStep("r", mode="strict", where="value >= 100"),
+        PatternStep("r", mode="strict", where="value < 80", loop=True),
+        PatternStep("r", mode="strict", where="value >= 150"),
+    ]
+    m = match_pattern(
+        typed, steps, key_col="user_id", time_col="ts", type_col="t",
+        contiguity="strict", tiebreak=["event_id"],
+        skip_strategy="no_skip",
+    )
+    order = [
+        F.col(c).desc_nulls_last()
+        for c in _out_cols(steps) if c != "ts_1"
+    ]
+    w = Window.partitionBy("user_id", "ts_1").orderBy(*order)
+    m = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    m = _apply_skip(m, steps, "user_id", _parse_skip("skip_to_next"))
+    slow = m.select(
+        "user_id", F.col("ts_1").alias("s"), F.col("n_2").alias("n"),
+        F.col("ts_3").alias("u"),
+    )
+    assert rows_set(mr) == rows_set(slow)
+
+
+def test_fast_path_falls_back_on_overlapping_defines(spark):
+    """A row satisfying both the loop's and the follower's condition
+    (witness probe hits) must take the exact path: the shorter
+    completion wins for the anchor whose greedy run is cut."""
+    # values: 100(A) 60(B) 70(B and C: >=65) ...
+    e = _events(spark, {1: [100, 60, 70, 30]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts", pattern="A B+ C",
+        define={"A": "value >= 100", "B": "value < 80",
+                "C": "value >= 65 AND value < 80"},
+        measures={"a": "A.ts", "nb": "COUNT(B.*)", "c": "C.value"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    got = rows_set(out)
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # greedy B+ would eat 60,70 and then need C at value 30 -> fail;
+    # backtracking binds B=[60], C=70
+    assert got == {(1, t(0), 1, 70.0)}
