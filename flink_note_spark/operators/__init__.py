@@ -13,7 +13,8 @@ from flink_note_spark.operators.components import (
 )
 from flink_note_spark.operators.cogroup import cogroup_apply
 from flink_note_spark.operators.cep import match_pattern
-from flink_note_spark.operators.enrich import batched_enrich
+from flink_note_spark.operators.match_recognize import match_recognize
+from flink_note_spark.operators.enrich import batched_enrich, lookup_join
 from flink_note_spark.operators.iterate import iterate
 from flink_note_spark.operators.joins import (
     asof_join,
@@ -25,9 +26,12 @@ from flink_note_spark.operators.windows import (
     sessionize,
     sliding_count_window,
     topk_per_group,
+    window_dedup,
+    window_top_n,
 )
 from flink_note_spark.operators.dedup import (
     decontaminate,
+    dup_span_stats,
     decontaminate_splits,
     exact_dedup,
     exact_dedup_rows,
@@ -85,8 +89,10 @@ __all__ = [
     "dedup_clusters",
     "cogroup_apply",
     "match_pattern",
+    "match_recognize",
     "iterate",
     "batched_enrich",
+    "lookup_join",
     "asof_join",
     "range_join",
     "theta_join",
@@ -94,7 +100,10 @@ __all__ = [
     "count_window",
     "sliding_count_window",
     "topk_per_group",
+    "window_dedup",
+    "window_top_n",
     "decontaminate",
+    "dup_span_stats",
     "decontaminate_splits",
     "exact_dedup",
     "exact_dedup_rows",

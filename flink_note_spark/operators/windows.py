@@ -252,6 +252,7 @@ def window_top_n(
     partition_cols: list[str] | None = None,
     rank_col: str = "rn",
     window_col: str = "win",
+    offset: str | None = None,
 ) -> DataFrame:
     """Flink SQL **Window Top-N** (windowing TVF + ``ROW_NUMBER() OVER
     (PARTITION BY window_start, window_end [, keys] ...) <= n``, r8):
@@ -270,7 +271,7 @@ def window_top_n(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    out = df.withColumn(window_col, F.window(ts, size))
+    out = df.withColumn(window_col, _tumble(ts, size, offset))
     w = Window.partitionBy(window_col, *(partition_cols or [])).orderBy(
         *order_cols
     )
@@ -287,6 +288,7 @@ def window_dedup(
     keep: str = "first",
     tiebreak: list[str] | None = None,
     window_col: str = "win",
+    offset: str | None = None,
 ) -> DataFrame:
     """Flink SQL **Window Deduplication** (windowing TVF +
     ``ROW_NUMBER() OVER (PARTITION BY window_start, window_end, keys
@@ -307,13 +309,24 @@ def window_dedup(
         (F.col(c).asc() if keep == "first" else F.col(c).desc())
         for c in (tiebreak or [])
     ]
-    out = df.withColumn(window_col, F.window(ts, size))
+    out = df.withColumn(window_col, _tumble(ts, size, offset))
     w = Window.partitionBy(window_col, *keys).orderBy(col, *tb)
     return (
         out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _tumble(ts: str, size: str, offset: str | None):
+    """Tumbling window assignment with Flink's window OFFSET
+    (``TUMBLE(..., offset)`` / ``TumblingEventTimeWindows.of(size,
+    offset)`` — e.g. day windows aligned to a non-UTC timezone): maps
+    to ``F.window``'s ``startTime`` parameter, which shifts the
+    epoch-aligned grid by the same amount."""
+    if offset is None:
+        return F.window(ts, size)
+    return F.window(ts, size, size, offset)
 
 
 def _duration_us(s: str) -> int:

@@ -1057,3 +1057,30 @@ def test_window_dedup_first_and_last(spark):
     ]
     with pytest.raises(ValueError, match="first|last"):
         window_dedup(df, "ts", "60 minutes", ["user_id"], keep="best")
+
+
+def test_window_offset_shifts_grid(spark):
+    """Flink window OFFSET: a 60-min tumble with a 15-min offset puts
+    minute 10 in the window starting at -15min rather than 0."""
+    from flink_note_spark.operators.windows import window_dedup
+
+    rows = [(1, 1, _ts(10), "A", 1.0), (1, 2, _ts(20), "A", 2.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    plain = window_dedup(df, "ts", "60 minutes", ["user_id"])
+    offs = window_dedup(
+        df, "ts", "60 minutes", ["user_id"], offset="15 minutes"
+    )
+    p = plain.collect()[0]
+    o = offs.collect()[0]
+    # the offset grid starts windows at :15 — minute 10 falls in the
+    # window [prev :15, :15) instead of [:00, :60)
+    assert p.win.start.minute == 0
+    assert o.win.start.minute == 15
+    assert (o.win.end - o.win.start).total_seconds() == 3600
+    # the plain grid holds both events in one window; the :15 grid
+    # splits them across the boundary at minute 15
+    assert plain.count() == 1
+    assert offs.count() == 2

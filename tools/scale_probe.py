@@ -319,6 +319,47 @@ def main() -> None:
         )
         return match_pattern(ev, pat)
 
+    def mr_probe(ev):
+        """q114-shape MATCH_RECOGNIZE V-pattern (r8): disjoint defines
+        take the probed greedy fast path (no every-prefix explosion),
+        so cost should track the strict-segments engine's window
+        passes + the two payload joins, all key-partitioned."""
+        from flink_note_spark.operators.match_recognize import (
+            match_recognize,
+        )
+
+        return match_recognize(
+            ev.select("user_id", "ts", "value", "event_id"),
+            partition_by="user_id", order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={"STRT": "value >= 100", "DOWN": "value < 80",
+                    "UP": "value >= 150"},
+            measures={"s": "STRT.ts", "n": "COUNT(DOWN.*)",
+                      "u": "UP.value"},
+            after_match="skip to next row", within="7 days",
+            tiebreak=["event_id"],
+        )
+
+    def wtopn_probe(ev):
+        """q115-shape Window Top-N (r8): one row_number pass over
+        (window, type) — the shuffle key cardinality grows with the
+        window count, so partitions stay balanced as data grows."""
+        from flink_note_spark.operators.windows import window_top_n
+
+        return window_top_n(
+            ev, "ts", "1 day",
+            [F.col("value").desc(), F.col("event_id").asc()],
+            n=3, partition_cols=["event_type"],
+        )
+
+    def dspan_probe(d):
+        """q117-shape duplicated-span stats (r8): positional gram scan
+        + hashed count + join-back + one interval-union window — cost
+        should track the gram volume (~tokens), never pairs."""
+        from flink_note_spark.operators.dedup import dup_span_stats
+
+        return dup_span_stats(d, n=5, min_count=2)
+
     def temporal_probe(ev):
         """q103-shape temporal/versioned join (r7): clicks against the
         per-user purchase-version dimension via the union_window asof
@@ -560,12 +601,15 @@ def main() -> None:
         bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
         bench(f"tfidf_{tag}", lambda d=d: noop(tfidf_probe(d)), t)
         bench(f"corpus_full_{tag}", lambda d=d: noop(corpus_full_probe(d)), t)
+        bench(f"dup_span_{tag}", lambda d=d: noop(dspan_probe(d)), t)
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
         bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
         bench(f"cep_mixed_{tag}", lambda e=evdf: noop(cep_mixed_probe(e)), t)
         bench(f"cep_noskip_{tag}", lambda e=evdf: noop(cep_noskip_probe(e)), t)
         bench(f"temporal_{tag}", lambda e=evdf: noop(temporal_probe(e)), t)
+        bench(f"match_recognize_{tag}", lambda e=evdf: noop(mr_probe(e)), t)
+        bench(f"window_topn_{tag}", lambda e=evdf: noop(wtopn_probe(e)), t)
     for tag, evdir in (("x1", ev1_dir), (f"x{k}", ev_k_dir)):
         bench(f"route_{tag}", lambda d=evdir: route_probe(d), t)
     # concurrency axis (same x1 data, 1 vs 4 in-flight batches): the
@@ -583,6 +627,7 @@ def main() -> None:
             "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
             "cep_noskip", "temporal",
+            "match_recognize", "window_topn", "dup_span",
             "route", "tfidf", "corpus_full",
         )
     }
