@@ -759,6 +759,109 @@ WINDOW w AS (PARTITION BY l_returnflag)
 """
 
 
+# --- Flink Table API facade (r8) ------------------------------------------
+
+def q118_table_api_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The Flink **Table API** end-to-end (r8, `flink_note_spark/table.py`):
+    revenue per nation written exactly as a reference user would —
+    ``from_dataframe(...).join(...).group_by(...).select(...)
+    .order_by(...).fetch(10)`` — and compiled by the facade to the same
+    Catalyst plan the hand-written DataFrame code builds (zero added
+    shuffles, pinned in test_table_api). Exercises join, grouped
+    select with string aggregate expressions, order_by with Flink's
+    ``"col.desc"`` idiom, and fetch."""
+    from flink_note_spark.table import TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    orders = env.from_dataframe(_t(spark, sf, "orders"))
+    customer = env.from_dataframe(_t(spark, sf, "customer"))
+    nation = env.from_dataframe(_t(spark, sf, "nation"))
+    return (
+        orders.join(customer, "o_custkey = c_custkey")
+        .join(nation, "c_nationkey = n_nationkey")
+        .group_by("n_name")
+        .select(
+            "n_name",
+            "count(1) as n_orders",
+            "round(sum(o_totalprice), 2) as rev",
+        )
+        .order_by("rev.desc", "n_name")
+        .fetch(10)
+        .to_data_frame()
+    )
+
+
+_Q118_SQL = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY rev DESC, n_name
+LIMIT 10
+"""
+
+
+def q119_table_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Table API **Session group window** (r8):
+    ``events.window(Session.with_gap("30 minutes").on("ts").alias("w"))
+    .group_by("w", "user_id").select(...)`` — the facade compiles to
+    Spark's native ``F.session_window`` (single hash shuffle; the SAME
+    operator serves streaming). Flink's merge rule exactly: windows
+    absorb events whose gap to the previous is STRICTLY under the gap;
+    ``[first, last + gap)`` half-open. Oracle: gaps-and-islands with
+    the matching ``>=`` new-session test."""
+    from flink_note_spark.functions.scalar import epoch_us
+    from flink_note_spark.table import Session, TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    t = (
+        env.from_dataframe(_t(spark, sf, "events"))
+        .window(Session.with_gap("30 minutes").on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select(
+            "user_id",
+            "w.start as s_raw",
+            "w.end as e_raw",
+            "count(1) as n_events",
+            "round(sum(value), 4) as sum_value",
+        )
+        .to_data_frame()
+    )
+    return t.select(
+        "user_id",
+        epoch_us("s_raw", "s_us"),
+        epoch_us("e_raw", "e_us"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "s_us")
+
+
+_Q119_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS s_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS e_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, s_us
+"""
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -777,6 +880,8 @@ QUERIES = {
     "q82_time_range_window": q82_time_range_window,
     "q83_exact_percentiles": q83_exact_percentiles,
     "q85_batched_enrich": q85_batched_enrich,
+    "q118_table_api_revenue": q118_table_api_revenue,
+    "q119_table_session_window": q119_table_session_window,
 }
 
 ORACLES = {
@@ -797,4 +902,6 @@ ORACLES = {
     "q82_time_range_window": _Q82_SQL,
     "q83_exact_percentiles": _Q83_SQL,
     "q85_batched_enrich": _Q85_SQL,
+    "q118_table_api_revenue": _Q118_SQL,
+    "q119_table_session_window": _Q119_SQL,
 }

@@ -1,0 +1,635 @@
+"""Flink **Table API** facade — the reference's relational entry point
+(the notes' subject system pairs the DataStream API with
+``TableEnvironment`` / ``Table`` as the declarative surface; SURVEY.md
+§2.2 "SQL surface") re-expressed over Spark DataFrames.
+
+A user of the reference writes::
+
+    t_env = StreamTableEnvironment.create(env)
+    orders = t_env.from_path("orders")
+    result = (orders.join(customers)
+                    .where(col("o_custkey") == col("c_custkey"))
+                    .group_by(col("c_name"))
+                    .select(col("c_name"), col("o_totalprice").sum.alias("rev")))
+
+and with group windows::
+
+    (events.window(Tumble.over("1 day").on("ts").alias("w"))
+           .group_by("w", "event_type")
+           .select("w.start", "event_type", "count(1) as n"))
+
+The PySpark-native translation keeps the verbs but delegates every
+semantic to the DataFrame engine, so Catalyst sees exactly the plan a
+hand-written ``df.groupBy(...).agg(...)`` would produce — the facade
+adds NO execution layer, no extra shuffles, nothing Python-side.
+``.explain`` on a facade-built Table is ``.explain`` on the underlying
+DataFrame.
+
+Documented deviations from Flink (each is a deliberate Spark-first
+choice, not an omission):
+
+- **Expression strings are Spark SQL**, evaluated with ``F.expr`` —
+  Flink deprecated its own string DSL ("a, b.sum as total") in 1.12 in
+  favor of a ``col()`` expression DSL; here both plain strings and
+  ``pyspark.sql.Column`` objects are accepted and the string dialect is
+  Spark's (``"sum(value) as total"``), which Catalyst parses natively.
+- **No ``execute()`` barrier / ``TableResult`` job handle** — Spark is
+  lazy per-action; :meth:`Table.execute` returns the collected rows
+  directly (the notes' ``table.execute().collect()`` loop).
+- **Batch and streaming share one class** — a ``Table`` over a
+  streaming DataFrame supports the same verbs Structured Streaming
+  supports; unsupported combinations surface Spark's own errors.
+
+Scale posture: identical to the underlying operators by construction —
+group windows compile to ``F.window`` / ``F.session_window`` (single
+hash shuffle, streaming-compatible), over windows to one
+``Window.partitionBy`` sort shuffle, joins to Catalyst joins with AQE
+free to pick broadcast/shuffle sides.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _to_col(e: "str | Column") -> Column:
+    return e if isinstance(e, Column) else F.expr(e)
+
+
+# --------------------------------------------------------------------------
+# group-window builders (Flink `Tumble` / `Slide` / `Session` classes)
+# --------------------------------------------------------------------------
+
+
+class _GroupWindow:
+    """Common shape of a Flink group-window descriptor: a size spec, a
+    time attribute (``on``) and an alias the ``group_by`` refers to."""
+
+    def __init__(self) -> None:
+        self._on: str | None = None
+        self._alias: str | None = None
+
+    def on(self, time_col: str) -> "_GroupWindow":
+        self._on = time_col
+        return self
+
+    def alias(self, name: str) -> "_GroupWindow":
+        self._alias = name
+        return self
+
+    def _check(self) -> None:
+        if self._on is None or self._alias is None:
+            raise ValueError(
+                f"{type(self).__name__} needs both .on(<time col>) and "
+                f".alias(<name>) (Flink's required clauses)"
+            )
+
+    def _spark_window(self) -> Column:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class Tumble(_GroupWindow):
+    """``Tumble.over("1 day").on("ts").alias("w")`` →
+    ``F.window(ts, "1 day")`` (epoch-aligned fixed windows)."""
+
+    def __init__(self, size: str) -> None:
+        super().__init__()
+        self._size = size
+
+    @classmethod
+    def over(cls, size: str) -> "Tumble":
+        return cls(size)
+
+    def _spark_window(self) -> Column:
+        self._check()
+        return F.window(self._on, self._size)
+
+
+class Slide(_GroupWindow):
+    """``Slide.over("2 days").every("1 day").on("ts").alias("w")`` →
+    ``F.window(ts, size, slide)`` (hopping windows; a row lands in
+    ``size/slide`` windows — the explode is inside Spark's operator)."""
+
+    def __init__(self, size: str) -> None:
+        super().__init__()
+        self._size = size
+        self._every: str | None = None
+
+    @classmethod
+    def over(cls, size: str) -> "Slide":
+        return cls(size)
+
+    def every(self, slide: str) -> "Slide":
+        self._every = slide
+        return self
+
+    def _spark_window(self) -> Column:
+        self._check()
+        if self._every is None:
+            raise ValueError("Slide needs .every(<slide>) (Flink's rule)")
+        return F.window(self._on, self._size, self._every)
+
+
+class Session(_GroupWindow):
+    """``Session.with_gap("30 minutes").on("ts").alias("w")`` →
+    ``F.session_window(ts, gap)``: windows merge while the gap to the
+    previous event is STRICTLY below ``gap`` (half-open
+    ``[first, last + gap)`` — an event landing exactly at the close
+    starts a new session), Flink's session-window rule exactly."""
+
+    def __init__(self, gap: str) -> None:
+        super().__init__()
+        self._gap = gap
+
+    @classmethod
+    def with_gap(cls, gap: str) -> "Session":
+        return cls(gap)
+
+    def _spark_window(self) -> Column:
+        self._check()
+        return F.session_window(self._on, self._gap)
+
+
+# --------------------------------------------------------------------------
+# over-window builder (Flink `Over` class)
+# --------------------------------------------------------------------------
+
+UNBOUNDED_ROW = "unbounded_row"
+UNBOUNDED_RANGE = "unbounded_range"
+CURRENT_ROW = "current_row"
+CURRENT_RANGE = "current_range"
+
+
+class Over:
+    """``Over.partition_by("k").order_by("ts").preceding(...)
+    .alias("ow")`` — Flink's over-window descriptor. ``preceding``
+    accepts ``UNBOUNDED_ROW`` / ``UNBOUNDED_RANGE`` (the defaults:
+    running aggregates), an int (row-count frame, Flink's
+    ``rowInterval``), or an interval string (time-RANGE frame over the
+    order column, Flink's time interval — compiled to the
+    ``rangeBetween`` on epoch-micros trick of q82)."""
+
+    def __init__(self) -> None:
+        self._parts: list[str] = []
+        self._order: list[str] = []
+        self._preceding: Any = UNBOUNDED_RANGE
+        self._alias: str | None = None
+
+    @classmethod
+    def partition_by(cls, *cols: str) -> "Over":
+        o = cls()
+        o._parts = list(cols)
+        return o
+
+    def order_by(self, *cols: str) -> "Over":
+        self._order = list(cols)
+        return self
+
+    def preceding(self, bound: Any) -> "Over":
+        self._preceding = bound
+        return self
+
+    def alias(self, name: str) -> "Over":
+        self._alias = name
+        return self
+
+    def _spec(self, df: DataFrame):
+        if not self._order:
+            raise ValueError("Over needs .order_by(...) (Flink's rule)")
+        pre = self._preceding
+        if isinstance(pre, int):
+            w = Window.partitionBy(*self._parts).orderBy(
+                *[F.col(c) for c in self._order]
+            )
+            return w.rowsBetween(-pre, Window.currentRow)
+        if pre == UNBOUNDED_ROW:
+            w = Window.partitionBy(*self._parts).orderBy(
+                *[F.col(c) for c in self._order]
+            )
+            return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if pre == UNBOUNDED_RANGE:
+            w = Window.partitionBy(*self._parts).orderBy(
+                *[F.col(c) for c in self._order]
+            )
+            return w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        # interval string → time-RANGE frame on epoch micros (q82 idiom)
+        if len(self._order) != 1:
+            raise ValueError(
+                "a time-interval frame needs exactly one order column"
+            )
+        m = re.fullmatch(
+            r"\s*(\d+)\s*(day|hour|minute|second)s?\s*", str(pre).lower()
+        )
+        if not m:
+            raise ValueError(
+                f"preceding must be an int, UNBOUNDED_ROW/RANGE, or "
+                f"'<n> day|hour|minute|second[s]', got {pre!r}"
+            )
+        n, unit = int(m.group(1)), m.group(2)
+        us = n * {
+            "second": 1_000_000,
+            "minute": 60_000_000,
+            "hour": 3_600_000_000,
+            "day": 86_400_000_000,
+        }[unit]
+        order_us = F.unix_micros(F.col(self._order[0]).cast("timestamp"))
+        w = Window.partitionBy(*self._parts).orderBy(order_us)
+        return w.rangeBetween(-us, Window.currentRow)
+
+
+# --------------------------------------------------------------------------
+# Table + grouped/windowed intermediates
+# --------------------------------------------------------------------------
+
+
+class Table:
+    """A thin immutable wrapper over a ``DataFrame`` carrying the Flink
+    Table API verbs. Every method returns a new ``Table``; the wrapped
+    plan is exactly what the equivalent hand-written DataFrame code
+    builds."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- escape hatches ----------------------------------------------------
+
+    def to_data_frame(self) -> DataFrame:
+        """The wrapped DataFrame (Flink's ``to_changelog_stream`` /
+        ``to_data_stream`` analogue — here it IS the same object)."""
+        return self._df
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+    def execute(self) -> list:
+        """Collect the rows (Flink ``table.execute().collect()``).
+        Intentionally driver-side — this is the user's terminal verb,
+        never used inside operators."""
+        return self._df.collect()
+
+    def print_schema(self) -> None:
+        self._df.printSchema()
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    # -- projection / filter ----------------------------------------------
+
+    def select(self, *exprs: "str | Column") -> "Table":
+        return Table(self._df.select(*[_to_col(e) for e in exprs]))
+
+    def alias(self, *names: str) -> "Table":
+        """Rename ALL columns positionally (Flink ``table.alias("a, b")``;
+        here varargs)."""
+        if len(names) != len(self._df.columns):
+            raise ValueError(
+                f"alias() needs one name per column "
+                f"({len(self._df.columns)}), got {len(names)}"
+            )
+        return Table(self._df.toDF(*names))
+
+    def filter(self, predicate: "str | Column") -> "Table":
+        return Table(self._df.filter(_to_col(predicate)))
+
+    where = filter
+
+    def distinct(self) -> "Table":
+        return Table(self._df.distinct())
+
+    # -- column surgery (Flink addColumns / renameColumns / dropColumns) --
+
+    def add_columns(self, **named_exprs: "str | Column") -> "Table":
+        df = self._df
+        for name, e in named_exprs.items():
+            if name in df.columns:
+                raise ValueError(
+                    f"add_columns: {name!r} exists (Flink raises; use "
+                    f"add_or_replace_columns)"
+                )
+            df = df.withColumn(name, _to_col(e))
+        return Table(df)
+
+    def add_or_replace_columns(self, **named_exprs: "str | Column") -> "Table":
+        df = self._df
+        for name, e in named_exprs.items():
+            df = df.withColumn(name, _to_col(e))
+        return Table(df)
+
+    def rename_columns(self, **renames: str) -> "Table":
+        df = self._df
+        for old, new in renames.items():
+            if old not in df.columns:
+                raise ValueError(f"rename_columns: no column {old!r}")
+            df = df.withColumnRenamed(old, new)
+        return Table(df)
+
+    def drop_columns(self, *names: str) -> "Table":
+        for n in names:
+            if n not in self._df.columns:
+                raise ValueError(f"drop_columns: no column {n!r}")
+        return Table(self._df.drop(*names))
+
+    # -- joins -------------------------------------------------------------
+
+    def _join(
+        self, right: "Table", predicate, how: str
+    ) -> "Table":
+        if predicate is None:
+            overlap = set(self._df.columns) & set(right._df.columns)
+            if overlap:
+                raise ValueError(
+                    f"join without a predicate needs disjoint schemas "
+                    f"(Flink's rule); overlapping: {sorted(overlap)}. "
+                    f"Pass a join predicate instead."
+                )
+            # Flink's predicate-less join is a true cross join the user
+            # then .where()s; make the intent explicit Spark-side.
+            return Table(self._df.crossJoin(right._df))
+        return Table(self._df.join(right._df, _to_col(predicate), how))
+
+    def join(self, right: "Table", predicate=None) -> "Table":
+        return self._join(right, predicate, "inner")
+
+    def left_outer_join(self, right: "Table", predicate=None) -> "Table":
+        return self._join(right, predicate, "left")
+
+    def right_outer_join(self, right: "Table", predicate=None) -> "Table":
+        return self._join(right, predicate, "right")
+
+    def full_outer_join(self, right: "Table", predicate=None) -> "Table":
+        return self._join(right, predicate, "full")
+
+    # -- set operations ----------------------------------------------------
+
+    def union(self, other: "Table") -> "Table":
+        """Flink ``union`` = set union (dedups); ``union_all`` keeps
+        multiplicity — the DISTINCT lives here, not in Spark's
+        ``union``."""
+        return Table(self._df.unionByName(other._df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self._df.unionByName(other._df))
+
+    def minus(self, other: "Table") -> "Table":
+        """EXCEPT DISTINCT (Flink ``minus``): every row also present in
+        ``other`` is removed entirely, result deduped — Spark's
+        ``subtract``, not ``exceptAll().distinct()`` (which would keep
+        a row whose multiplicity exceeds the right side's)."""
+        return Table(self._df.subtract(other._df))
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self._df.intersect(other._df))
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self._df.intersectAll(other._df))
+
+    # -- order / limit -----------------------------------------------------
+
+    def order_by(self, *exprs: "str | Column") -> "Table":
+        """Global sort (Flink requires a subsequent fetch on streams;
+        batch allows it bare). ``"col.desc"`` strings are accepted as
+        Spark SQL (``"col desc"`` works via F.expr? no — use Column
+        API); prefer ``F.col("c").desc()`` or ``"c"``."""
+        cols = []
+        for e in exprs:
+            if isinstance(e, str):
+                m = re.fullmatch(r"(\w+)\.(asc|desc)", e.strip())
+                if m:  # Flink's "a.desc" string idiom
+                    c = F.col(m.group(1))
+                    cols.append(c.desc() if m.group(2) == "desc" else c.asc())
+                else:
+                    cols.append(F.expr(e))
+            else:
+                cols.append(e)
+        return Table(self._df.orderBy(*cols))
+
+    def offset(self, n: int) -> "Table":
+        return Table(self._df.offset(n))
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self._df.limit(n))
+
+    def limit(self, n: int) -> "Table":
+        return Table(self._df.limit(n))
+
+    # -- grouping ----------------------------------------------------------
+
+    def group_by(self, *keys: str) -> "GroupedTable":
+        return GroupedTable(self._df, list(keys))
+
+    def window(self, w: _GroupWindow) -> "GroupWindowedTable":
+        w._check()
+        return GroupWindowedTable(self._df, w)
+
+    def over_window(self, ow: Over) -> "OverWindowedTable":
+        if ow._alias is None:
+            raise ValueError("Over needs .alias(<name>) (Flink's rule)")
+        return OverWindowedTable(self._df, ow)
+
+
+_AS_RE = re.compile(r"\s+as\s+(\w+)\s*$", re.IGNORECASE)
+
+
+class GroupedTable:
+    """``table.group_by(keys).select(...)`` — select items that are
+    exactly a group key pass through; every other item is an aggregate
+    expression (string → ``F.expr``, or an aggregate ``Column``)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def select(self, *exprs: "str | Column") -> Table:
+        keys_set = set(self._keys)
+        # slots: ("key", name) passes through; ("agg", idx) resolves to
+        # the idx-th aggregate's output name after the groupBy
+        slots: list[tuple[str, object]] = []
+        aggs: list[Column] = []
+        for e in exprs:
+            if isinstance(e, str) and e.strip() in keys_set:
+                slots.append(("key", e.strip()))
+            else:
+                if isinstance(e, str) and not _AS_RE.search(e):
+                    raise ValueError(
+                        f"aggregate select item needs an alias "
+                        f"('... as name'), got {e!r}"
+                    )
+                slots.append(("agg", len(aggs)))
+                aggs.append(_to_col(e))
+        agged = (
+            self._df.groupBy(*self._keys).agg(*aggs)
+            if aggs
+            else self._df.select(*self._keys).distinct()
+        )
+        agg_names = agged.columns[len(self._keys):]
+        resolved = [
+            name if kind == "key" else agg_names[name]  # type: ignore[index]
+            for kind, name in slots
+        ]
+        return Table(agged.select(*resolved))
+
+
+class GroupWindowedTable:
+    def __init__(self, df: DataFrame, w: _GroupWindow):
+        self._df = df
+        self._w = w
+
+    def group_by(self, *keys: str) -> "WindowGroupedTable":
+        if self._w._alias not in keys:
+            raise ValueError(
+                f"group_by on a windowed table must include the window "
+                f"alias {self._w._alias!r} (Flink's rule)"
+            )
+        return WindowGroupedTable(
+            self._df, self._w, [k for k in keys if k != self._w._alias]
+        )
+
+
+class WindowGroupedTable:
+    """``.window(w).group_by("w", keys).select(...)`` — select items:
+    a group key; ``w.start`` / ``w.end`` (window bounds, aliasable with
+    ``"w.start as day"``); anything else is an aggregate expression."""
+
+    def __init__(self, df: DataFrame, w: _GroupWindow, keys: list[str]):
+        self._df = df
+        self._w = w
+        self._keys = keys
+
+    def select(self, *exprs: str) -> Table:
+        wa = self._w._alias
+        keys_set = set(self._keys)
+        sel: list[Column] = []
+        aggs: list[Column] = []
+        agg_slots: list[int] = []
+        for i, e in enumerate(exprs):
+            if not isinstance(e, str):
+                raise ValueError(
+                    "windowed select takes expression strings"
+                )
+            s = e.strip()
+            m = re.fullmatch(
+                rf"{re.escape(wa)}\.(start|end)(?:\s+as\s+(\w+))?",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                bound, name = m.group(1).lower(), m.group(2)
+                c = F.col(f"{wa}.{bound}")
+                sel.append(c.alias(name or f"{wa}_{bound}"))
+            elif s in keys_set:
+                sel.append(F.col(s))
+            else:
+                if not _AS_RE.search(s):
+                    raise ValueError(
+                        f"aggregate select item needs an alias "
+                        f"('... as name'), got {e!r}"
+                    )
+                aggs.append(F.expr(s))
+                sel.append(None)  # placeholder, filled after agg
+                agg_slots.append(i)
+        agged = self._df.groupBy(
+            self._w._spark_window().alias(wa), *self._keys
+        ).agg(*aggs)
+        agg_names = agged.columns[1 + len(self._keys):]
+        ai = 0
+        final: list[Column] = []
+        for c in sel:
+            if c is None:
+                final.append(F.col(agg_names[ai]))
+                ai += 1
+            else:
+                final.append(c)
+        return Table(agged.select(*final))
+
+
+_OVER_RE = re.compile(
+    r"^(.*?)\s+over\s+(\w+)(?:\s+as\s+(\w+))?\s*$", re.IGNORECASE
+)
+
+
+class OverWindowedTable:
+    """``.over_window(ow).select(...)`` — items of the form
+    ``"<agg expr> over <alias> [as name]"`` run the aggregate over the
+    window frame; anything else projects as usual. One sort shuffle for
+    all aggregates sharing the window (same-spec frames reuse one
+    Exchange — Catalyst collapses them)."""
+
+    def __init__(self, df: DataFrame, ow: Over):
+        self._df = df
+        self._ow = ow
+
+    def select(self, *exprs: "str | Column") -> Table:
+        spec = self._ow._spec(self._df)
+        wa = self._ow._alias
+        cols: list[Column] = []
+        for e in exprs:
+            if isinstance(e, str):
+                m = _OVER_RE.match(e.strip())
+                if m:
+                    agg, alias, name = m.groups()
+                    if alias != wa:
+                        raise ValueError(
+                            f"unknown over-window alias {alias!r} "
+                            f"(declared: {wa!r})"
+                        )
+                    c = F.expr(agg).over(spec)
+                    cols.append(c.alias(name) if name else c)
+                    continue
+            cols.append(_to_col(e))
+        return Table(self._df.select(*cols))
+
+
+class TableEnvironment:
+    """Flink ``TableEnvironment`` over one ``SparkSession`` — catalog
+    verbs map to Spark's temp-view catalog, ``sql_query`` to
+    ``spark.sql`` (Catalyst IS the planner; there is no second SQL
+    engine)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @classmethod
+    def create(cls, env_or_spark) -> "TableEnvironment":
+        spark = getattr(env_or_spark, "spark", env_or_spark)
+        return cls(spark)
+
+    def from_path(self, name: str) -> Table:
+        """A registered (temp-view or catalog) table by name."""
+        return Table(self.spark.table(name))
+
+    def from_dataframe(self, df: DataFrame) -> Table:
+        return Table(df)
+
+    def from_elements(
+        self, rows: Iterable[Sequence], schema: "list[str] | str"
+    ) -> Table:
+        if isinstance(schema, list):
+            return Table(self.spark.createDataFrame(list(rows), schema))
+        return Table(self.spark.createDataFrame(list(rows), schema))
+
+    def create_temporary_view(self, name: str, table: "Table | DataFrame"):
+        df = table._df if isinstance(table, Table) else table
+        df.createOrReplaceTempView(name)
+
+    def drop_temporary_view(self, name: str) -> bool:
+        return self.spark.catalog.dropTempView(name)
+
+    def list_tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def sql_query(self, sql: str) -> Table:
+        return Table(self.spark.sql(sql))
+
+    def execute_sql(self, sql: str) -> Table:
+        """DDL/DML or query — Spark executes eagerly only for
+        side-effecting statements, matching Flink's split loosely; the
+        returned Table wraps whatever ``spark.sql`` yields."""
+        return Table(self.spark.sql(sql))

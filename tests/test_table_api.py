@@ -1,0 +1,402 @@
+"""Flink Table API facade (flink_note_spark/table.py) — wiring tests.
+
+The facade is a delegation layer; these tests pin (a) verb-by-verb
+equivalence against the hand-written DataFrame plan, (b) Flink's
+set-operation and window semantics, (c) that the facade adds zero extra
+shuffles (the plan IS the DataFrame plan).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_note_spark.plans.inspect import shuffle_count
+from flink_note_spark.table import (
+    UNBOUNDED_RANGE,
+    UNBOUNDED_ROW,
+    Over,
+    Session,
+    Slide,
+    Table,
+    TableEnvironment,
+    Tumble,
+)
+
+
+@pytest.fixture(scope="module")
+def t_env(spark, sf_dir):
+    env = TableEnvironment.create(spark)
+    for name in ("orders", "customer", "nation", "events"):
+        env.create_temporary_view(
+            f"tapi_{name}", spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
+    return env
+
+
+def _rows(t: Table):
+    return sorted(tuple(r) for r in t.execute())
+
+
+# -- catalog / sql ----------------------------------------------------------
+
+
+def test_from_path_and_sql_query(t_env):
+    t = t_env.from_path("tapi_nation")
+    assert "n_name" in t.columns
+    via_sql = t_env.sql_query(
+        "SELECT n_regionkey, count(*) AS n FROM tapi_nation GROUP BY 1"
+    )
+    direct = (
+        t.to_data_frame()
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(via_sql) == sorted(tuple(r) for r in direct.collect())
+
+
+def test_temporary_view_round_trip(t_env, spark):
+    t = t_env.from_path("tapi_nation").filter("n_regionkey = 0")
+    t_env.create_temporary_view("tapi_scratch", t)
+    assert "tapi_scratch" in t_env.list_tables()
+    n = t_env.sql_query("SELECT count(*) AS n FROM tapi_scratch").execute()
+    assert n[0]["n"] == t.to_data_frame().count()
+    assert t_env.drop_temporary_view("tapi_scratch")
+
+
+def test_from_elements(t_env):
+    t = t_env.from_elements([(1, "a"), (2, "b")], ["id", "s"])
+    assert _rows(t) == [(1, "a"), (2, "b")]
+
+
+# -- projection / filter / surgery -----------------------------------------
+
+
+def test_select_filter_equivalence(t_env):
+    t = (
+        t_env.from_path("tapi_orders")
+        .filter("o_totalprice > 100000")
+        .select("o_orderkey", F.col("o_totalprice"), "o_orderpriority")
+    )
+    df = t.to_data_frame()
+    direct = (
+        t_env.spark.table("tapi_orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    assert df.columns == direct.columns
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_column_surgery(t_env):
+    t = t_env.from_path("tapi_nation").select("n_nationkey", "n_name")
+    t2 = t.add_columns(keyx2="n_nationkey * 2").rename_columns(
+        n_name="name"
+    )
+    assert t2.columns == ["n_nationkey", "name", "keyx2"]
+    row = t2.filter("n_nationkey = 3").execute()[0]
+    assert row["keyx2"] == 6
+    assert t2.drop_columns("keyx2").columns == ["n_nationkey", "name"]
+    with pytest.raises(ValueError, match="exists"):
+        t2.add_columns(name="'x'")
+    with pytest.raises(ValueError, match="no column"):
+        t2.drop_columns("nope")
+    t3 = t.alias("k", "nm")
+    assert t3.columns == ["k", "nm"]
+    with pytest.raises(ValueError, match="one name per column"):
+        t.alias("just_one")
+
+
+# -- grouping ---------------------------------------------------------------
+
+
+def test_group_by_select(t_env):
+    t = (
+        t_env.from_path("tapi_orders")
+        .group_by("o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "count(1) as n",
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    assert t.columns == ["o_orderpriority", "n", "rev"]
+    direct = (
+        t_env.spark.table("tapi_orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+
+
+def test_group_by_requires_alias_on_string_aggs(t_env):
+    g = t_env.from_path("tapi_orders").group_by("o_orderpriority")
+    with pytest.raises(ValueError, match="alias"):
+        g.select("o_orderpriority", "count(1)")
+
+
+def test_group_by_no_aggs_is_distinct(t_env):
+    t = t_env.from_path("tapi_orders").group_by("o_orderpriority").select(
+        "o_orderpriority"
+    )
+    direct = (
+        t_env.spark.table("tapi_orders").select("o_orderpriority").distinct()
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+
+
+# -- group windows ----------------------------------------------------------
+
+
+def test_tumble_window(t_env):
+    t = (
+        t_env.from_path("tapi_events")
+        .window(Tumble.over("1 day").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .select(
+            "w.start as win_start",
+            "event_type",
+            "count(1) as n",
+            "round(sum(value), 4) as sum_value",
+        )
+    )
+    assert t.columns == ["win_start", "event_type", "n", "sum_value"]
+    direct = (
+        t_env.spark.table("tapi_events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n",
+                "sum_value")
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+    # facade adds no shuffles beyond the one hash aggregation exchange
+    assert shuffle_count(t.to_data_frame()) == shuffle_count(direct)
+
+
+def test_slide_window_membership(t_env):
+    t = (
+        t_env.from_path("tapi_events")
+        .window(Slide.over("2 days").every("1 day").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.start", "w.end", "count(1) as n")
+    )
+    rows = t.execute()
+    # every event lands in exactly two 2-day windows sliding by 1 day
+    total = sum(r["n"] for r in rows)
+    assert total == 2 * t_env.spark.table("tapi_events").count()
+    assert t.columns == ["w_start", "w_end", "n"]
+
+
+def test_session_window(t_env):
+    t = (
+        t_env.from_path("tapi_events")
+        .window(Session.with_gap("30 minutes").on("ts").alias("w"))
+        .group_by("w", "user_id")
+        .select("user_id", "w.start as s", "w.end as e", "count(1) as n")
+    )
+    direct = (
+        t_env.spark.table("tapi_events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n")
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+
+
+def test_window_group_by_must_name_alias(t_env):
+    w = Tumble.over("1 day").on("ts").alias("w")
+    with pytest.raises(ValueError, match="window alias"):
+        t_env.from_path("tapi_events").window(w).group_by("event_type")
+
+
+def test_window_builders_validate(t_env):
+    with pytest.raises(ValueError, match="on.*alias|alias"):
+        t_env.from_path("tapi_events").window(Tumble.over("1 day"))
+    with pytest.raises(ValueError, match="every"):
+        (
+            t_env.from_path("tapi_events")
+            .window(Slide.over("2 days").on("ts").alias("w"))
+            .group_by("w")
+            .select("w.start", "count(1) as n")
+        )
+
+
+# -- over windows -----------------------------------------------------------
+
+
+def test_over_window_unbounded_and_rows(t_env):
+    base = t_env.from_path("tapi_events")
+    t = base.over_window(
+        Over.partition_by("user_id")
+        .order_by("ts", "event_id")  # event_id breaks ts ties (determinism)
+        .preceding(UNBOUNDED_ROW)
+        .alias("ow")
+    ).select(
+        "user_id",
+        "ts",
+        "sum(value) over ow as running",
+        "count(1) over ow as n_seen",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    direct = t_env.spark.table("tapi_events").select(
+        "user_id",
+        "ts",
+        F.sum("value").over(w).alias("running"),
+        F.count(F.lit(1)).over(w).alias("n_seen"),
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+
+
+def test_over_window_row_count_frame(t_env):
+    t = (
+        t_env.from_path("tapi_events")
+        .over_window(
+            Over.partition_by("user_id")
+            .order_by("ts", "event_id")
+            .preceding(2)
+            .alias("ow")
+        )
+        .select("user_id", "ts", "avg(value) over ow as avg3")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    direct = t_env.spark.table("tapi_events").select(
+        "user_id", "ts", F.avg("value").over(w).alias("avg3")
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+
+
+def test_over_window_time_interval_frame(t_env):
+    t = (
+        t_env.from_path("tapi_events")
+        .over_window(
+            Over.partition_by("user_id")
+            .order_by("ts")
+            .preceding("1 hour")
+            .alias("ow")
+        )
+        .select("user_id", "ts", "count(1) over ow as n_last_hour")
+    )
+    us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-us, Window.currentRow)
+    )
+    direct = t_env.spark.table("tapi_events").select(
+        "user_id", "ts", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+    assert _rows(t) == sorted(map(tuple, direct.collect()))
+
+
+def test_over_window_errors(t_env):
+    t = t_env.from_path("tapi_events")
+    with pytest.raises(ValueError, match="alias"):
+        t.over_window(Over.partition_by("user_id").order_by("ts"))
+    with pytest.raises(ValueError, match="order_by"):
+        t.over_window(Over.partition_by("user_id").alias("ow")).select(
+            "sum(value) over ow as s"
+        )
+    with pytest.raises(ValueError, match="unknown over-window alias"):
+        t.over_window(
+            Over.partition_by("user_id").order_by("ts").alias("ow")
+        ).select("sum(value) over zz as s")
+
+
+# -- joins ------------------------------------------------------------------
+
+
+def test_join_types(t_env):
+    c = t_env.from_path("tapi_customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = t_env.from_path("tapi_nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    inner = c.join(n, "c_nationkey = nk")
+    direct = (
+        c.to_data_frame()
+        .join(n.to_data_frame(), F.expr("c_nationkey = nk"), "inner")
+    )
+    assert inner.to_data_frame().count() == direct.count()
+    left = c.left_outer_join(n, "c_nationkey = nk AND nk < 5")
+    assert left.to_data_frame().count() == c.to_data_frame().count() or (
+        left.to_data_frame().count() >= c.to_data_frame().count()
+    )
+
+
+def test_predicateless_join_guard(t_env):
+    a = t_env.from_path("tapi_nation")
+    with pytest.raises(ValueError, match="disjoint"):
+        a.join(a)
+    small = t_env.from_elements([(1,), (2,)], ["x"])
+    other = t_env.from_elements([("a",), ("b",)], ["y"])
+    assert small.join(other).to_data_frame().count() == 4
+
+
+# -- set operations ---------------------------------------------------------
+
+
+def test_set_operation_semantics(t_env):
+    a = t_env.from_elements([(1,), (1,), (2,), (3,)], ["x"])
+    b = t_env.from_elements([(1,), (3,), (4,)], ["x"])
+    assert _rows(a.union(b)) == [(1,), (2,), (3,), (4,)]
+    assert _rows(a.union_all(b)) == [
+        (1,), (1,), (1,), (2,), (3,), (3,), (4,)
+    ]
+    # EXCEPT DISTINCT: the 1s are removed ENTIRELY (Flink minus)
+    assert _rows(a.minus(b)) == [(2,)]
+    # EXCEPT ALL keeps the surplus occurrence
+    assert _rows(a.minus_all(b)) == [(1,), (2,)]
+    assert _rows(a.intersect(b)) == [(1,), (3,)]
+    assert _rows(a.intersect_all(b)) == [(1,), (3,)]
+
+
+# -- order / limit ----------------------------------------------------------
+
+
+def test_order_offset_fetch(t_env):
+    t = (
+        t_env.from_path("tapi_nation")
+        .select("n_nationkey", "n_name")
+        .order_by("n_nationkey.desc")
+        .offset(2)
+        .fetch(3)
+    )
+    rows = [r["n_nationkey"] for r in t.execute()]
+    top = sorted(
+        r["n_nationkey"]
+        for r in t_env.spark.table("tapi_nation").select("n_nationkey")
+        .collect()
+    )[::-1]
+    assert rows == top[2:5]
+
+
+def test_distinct(t_env):
+    t = t_env.from_path("tapi_orders").select("o_orderpriority").distinct()
+    assert (
+        t.to_data_frame().count()
+        == t_env.spark.table("tapi_orders")
+        .select("o_orderpriority")
+        .distinct()
+        .count()
+    )
