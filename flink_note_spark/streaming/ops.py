@@ -12,6 +12,9 @@ All state goes to the RocksDB state store configured in ``session.py``.
 
 from __future__ import annotations
 
+import ast
+import re
+from bisect import bisect_left, bisect_right
 from collections.abc import Iterator
 from typing import Any
 
@@ -1375,8 +1378,452 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
     return _general_cep_fn
 
 
+#: AST node whitelist for streaming iterative predicates — the SQL
+#: subset that translates 1:1 to Python: comparisons, arithmetic,
+#: and/or/not, abs(), numeric literals, column names.
+_ITER_OK_NODES = (
+    ast.Expression, ast.BoolOp, ast.And, ast.Or, ast.UnaryOp, ast.Not,
+    ast.USub, ast.UAdd, ast.BinOp, ast.Add, ast.Sub, ast.Mult, ast.Div,
+    ast.Mod, ast.Compare, ast.Lt, ast.LtE, ast.Gt, ast.GtE, ast.Eq,
+    ast.NotEq, ast.Name, ast.Load, ast.Constant, ast.Call,
+)
+
+
+def _sql_predicate_to_python(template: str) -> tuple[str, list[str]]:
+    """Translate a resolved iterative-condition template (SQL, refs
+    already rewritten to ``__v{k}_{col}`` by ``cep._resolve_iter``)
+    into a Python expression the streaming engine can evaluate at
+    binding time. Supported subset — where SQL and Python agree
+    symbol-for-symbol after keyword mapping: comparisons
+    (``< <= > >= = <>``), arithmetic (``+ - * / %``), ``AND/OR/NOT``,
+    ``abs()``, numeric literals, column names. Anything else (CASE,
+    string functions, subqueries, ...) raises with a pointer to the
+    batch operator, which evaluates the predicate in Spark SQL.
+
+    Returns ``(python_expr, names)`` where ``names`` is every column
+    identifier the expression reads (both ``__v{k}_{col}`` bind refs
+    and bare candidate-event columns)."""
+    s = template.replace("<>", "!=")
+    s = re.sub(r"\bAND\b", " and ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bOR\b", " or ", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNOT\b", " not ", s, flags=re.IGNORECASE)
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    try:
+        tree = ast.parse(s, mode="eval")
+    except SyntaxError as e:
+        raise ValueError(
+            f"streaming iterative condition {template!r} is outside "
+            f"the supported SQL subset (comparisons, arithmetic, "
+            f"AND/OR/NOT, abs()); use the batch operator for full "
+            f"Spark SQL predicates ({e.msg})"
+        ) from None
+    names: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            if not (
+                isinstance(node.func, ast.Name)
+                and node.func.id == "abs"
+                and len(node.args) == 1
+                and not node.keywords
+            ):
+                raise ValueError(
+                    f"streaming iterative condition {template!r}: only "
+                    f"abs() is supported as a function call; use the "
+                    f"batch operator for full Spark SQL predicates"
+                )
+        elif isinstance(node, ast.Constant):
+            if not isinstance(node.value, (int, float)) or isinstance(
+                node.value, bool
+            ):
+                raise ValueError(
+                    f"streaming iterative condition {template!r}: only "
+                    f"numeric literals are supported; use the batch "
+                    f"operator for full Spark SQL predicates"
+                )
+        elif not isinstance(node, _ITER_OK_NODES):
+            raise ValueError(
+                f"streaming iterative condition {template!r} uses "
+                f"{type(node).__name__}, outside the supported SQL "
+                f"subset (comparisons, arithmetic, AND/OR/NOT, abs()); "
+                f"use the batch operator for full Spark SQL predicates"
+            )
+        if isinstance(node, ast.Name) and node.id != "abs":
+            if node.id not in names:
+                names.append(node.id)
+    return s, names
+
+
+def _make_iter_cep_fn(steps, key_name, ts_col, mask_col, n_vals, preds,
+                      within_us, contiguity, out_cols):
+    """Per-key incremental matcher for ITERATIVE conditions (r8 —
+    Flink ``IterativeCondition``, the streaming twin of the batch
+    cross-step engines; equality-tested against
+    ``operators/cep.match_pattern`` in tests/test_streaming.py).
+
+    Why a dedicated engine: the general engine's candidate mask is
+    computed per event by Catalyst BEFORE buffering, but an iterative
+    predicate (``s<k>.col`` / ``first.col`` / ``prev.col`` refs)
+    depends on the match's earlier bindings — it can only be decided
+    at binding time, inside the enumeration. So this engine carries
+    the REFERENCED payload columns (cast to double JVM-side,
+    ``__val{i}``) through the shuffle and state alongside
+    ``(ts, mask)``, and evaluates the compiled predicate per candidate
+    during the walk. Only the columns a predicate actually reads pay
+    the state cost; the candidate mask still prunes on type and any
+    non-iterative ``where()`` parts JVM-side first.
+
+    Binding semantics mirror the batch engines exactly (their naive
+    differentials are the ground truth):
+
+    - refs address the referenced step's FIRST bound event (loops:
+      the run's first element);
+    - relaxed plain steps bind the EARLIEST qualifying candidate
+      after the previous binding (skip-till-next-match WITH the
+      predicate — a type-matching event failing the predicate is
+      skipped, Flink's rule); ``times(n)`` repeats that scan, every
+      repetition tested;
+    - relaxed loops take every qualifying element in
+      ``(prev, horizon]`` before the ``until`` stop — non-qualifying
+      elements are skipped, not run-breaking (relaxed internal
+      contiguity); any-steps/any-loops branch per candidate/suffix
+      exactly like the general engine;
+    - negations assert the ABSENCE of a qualifying event (type AND
+      predicate) strictly between their anchor and the next binding
+      (terminal: up to the horizon);
+    - strict patterns test the predicate at fixed positions
+      (the batch lead/lag chain evaluated positionally).
+
+    Finality/eviction are inherited verbatim from the general engine:
+    relaxed anchors decide at ``t0 + within`` (within REQUIRED),
+    strict matches at their last consumed event; eviction at
+    ``wm - within`` (relaxed) / trailing ``consumed-1`` events
+    (strict, loop-free by construction — strict loops are refused).
+
+    NULL semantics (documented deviation): a candidate whose
+    referenced value is NULL fails the predicate outright. This
+    matches Spark SQL for conjunctions and bare comparisons (NULL
+    compares to NULL → not matched); it deviates for ``OR``s where
+    one disjunct alone would decide (SQL ``TRUE OR NULL`` = TRUE).
+    Batch evaluates in Spark SQL and is authoritative for
+    NULL-heavy payloads."""
+    cols = [key_name] + out_cols
+    strict = contiguity == "strict"
+    consumed_total = sum(s[2] for s in steps if not s[1] and not s[3])
+    # positive-step index (1-based) per step position
+    pk_of: list[int | None] = []
+    _pk = 0
+    for s in steps:
+        if s[1]:
+            pk_of.append(None)
+        else:
+            _pk += 1
+            pk_of.append(_pk)
+
+    _compiled: dict[int, Any] = {}
+
+    def _pred(idx, pos, binds, vals):
+        expr, names = preds[idx]
+        code = _compiled.get(idx)
+        if code is None:
+            code = compile(expr, "<iterative-condition>", "eval")
+            _compiled[idx] = code
+        ns = {}
+        for nm, kind, k, ci in names:
+            v = vals[ci][binds[k]] if kind == "ref" else vals[ci][pos]
+            if v != v:  # NaN ≙ NULL: comparison never matches
+                return False
+            ns[nm] = v
+        return bool(eval(code, {"__builtins__": {}, "abs": abs}, ns))
+
+    def _find_strict(ts, mk, vals, wm_us, wm_prev_us):
+        n = bisect_left(ts, wm_us)
+        rows = []
+
+        def hit(pos, slot):
+            return (mk[pos] >> slot) & 1
+
+        for p0 in range(n):
+            pos, cap, ok, last_ts = p0, [], True, None
+            binds: dict[int, int] = {}
+            for si, (slot, neg, times, _loop, _until, _any) in enumerate(
+                steps
+            ):
+                if neg:
+                    if (
+                        pos < n
+                        and hit(pos, slot)
+                        and (si not in preds or _pred(si, pos, binds, vals))
+                    ):
+                        ok = False
+                        break
+                    continue
+                first = None
+                for _ in range(times):
+                    if (
+                        pos >= n
+                        or not hit(pos, slot)
+                        or (si in preds and not _pred(si, pos, binds, vals))
+                    ):
+                        ok = False
+                        break
+                    if first is None:
+                        first = pos
+                    last_ts = ts[pos]
+                    pos += 1
+                if not ok:
+                    break
+                binds[pk_of[si]] = first
+                cap.append(ts[first])
+                if times > 1:
+                    cap.append(last_ts)
+            if not ok or not cap:
+                continue
+            if within_us is not None and last_ts - cap[0] > within_us:
+                continue
+            if wm_prev_us <= last_ts:  # last_ts < wm by pos < n
+                rows.append(cap)
+        cut = max(0, n - (consumed_total - 1)) if consumed_total > 1 else n
+        return rows, ts[cut:], mk[cut:], [v[cut:] for v in vals]
+
+    def _find_relaxed(ts, mk, vals, wm_us, wm_prev_us):
+        n = bisect_left(ts, wm_us)
+        by_pos: dict[int, list[int]] = {}
+        by_ts: dict[int, list[int]] = {}
+        for p in range(n):
+            m = mk[p]
+            s = 0
+            while m:
+                if m & 1:
+                    by_pos.setdefault(s, []).append(p)
+                    by_ts.setdefault(s, []).append(ts[p])
+                m >>= 1
+                s += 1
+
+        def cands(slot, after_ts, idx, binds, limit_ts):
+            """Qualifying candidate positions of ``slot`` with ts
+            strictly after ``after_ts`` and <= ``limit_ts``, in order;
+            predicate-filtered when step ``idx`` is iterative."""
+            pl = by_pos.get(slot)
+            if not pl:
+                return
+            tl = by_ts[slot]
+            i = bisect_right(tl, after_ts)
+            for j in range(i, len(pl)):
+                if tl[j] > limit_ts:
+                    return
+                p = pl[j]
+                if idx in preds and not _pred(idx, p, binds, vals):
+                    continue
+                yield p
+
+        def neg_exists(slot, idx, anc_ts, lim_ts, inclusive, binds):
+            pl = by_pos.get(slot)
+            if not pl:
+                return False
+            tl = by_ts[slot]
+            i = bisect_right(tl, anc_ts)
+            for j in range(i, len(pl)):
+                t = tl[j]
+                if (t > lim_ts) if inclusive else (t >= lim_ts):
+                    return False
+                if idx not in preds or _pred(idx, pl[j], binds, vals):
+                    return True
+            return False
+
+        t0_slot = next(s[0] for s in steps if not s[1])
+        decided = []
+
+        def rec(s0p, s0t, h, si, cur_ts, cap, binds, pending):
+            if si == len(steps):
+                for (slot_, idx_, anc) in pending:
+                    if neg_exists(
+                        slot_, idx_, anc if anc is not None else s0t,
+                        h, True, binds,
+                    ):
+                        return
+                decided.append(cap)
+                return
+            slot, neg, times, loop, until_slot, any_m = steps[si]
+            if neg:
+                rec(
+                    s0p, s0t, h, si + 1, cur_ts, cap, binds,
+                    pending + [(slot, si, cur_ts)],
+                )
+                return
+
+            def negs_ok(nxt_ts, nb):
+                for (slot_, idx_, anc) in pending:
+                    if neg_exists(
+                        slot_, idx_, anc if anc is not None else s0t,
+                        nxt_ts, False, nb,
+                    ):
+                        return False
+                return True
+
+            k = pk_of[si]
+            if loop:
+                anchor_ts = s0t if cur_ts is None else cur_ts
+                stop_ts = None
+                if until_slot is not None:
+                    tl = by_ts.get(until_slot)
+                    if tl:
+                        i = bisect_right(tl, anchor_ts)
+                        if i < len(tl):
+                            stop_ts = tl[i]
+                els = [s0p] if cur_ts is None else []
+                for p in cands(slot, anchor_ts, si, binds, h):
+                    if stop_ts is not None and ts[p] >= stop_ts:
+                        break
+                    els.append(p)
+                if not els:
+                    return
+                if any_m and cur_ts is not None:
+                    for j in range(len(els)):
+                        if negs_ok(ts[els[j]], binds):
+                            rec(
+                                s0p, s0t, h, si + 1, ts[els[-1]],
+                                cap + [
+                                    ts[els[j]], ts[els[-1]], len(els) - j,
+                                ],
+                                {**binds, k: els[j]}, [],
+                            )
+                    return
+                if not negs_ok(ts[els[0]], binds):
+                    return
+                rec(
+                    s0p, s0t, h, si + 1, ts[els[-1]],
+                    cap + [ts[els[0]], ts[els[-1]], len(els)],
+                    {**binds, k: els[0]}, [],
+                )
+                return
+            if any_m and cur_ts is not None:
+                for p in cands(slot, cur_ts, si, binds, h):
+                    if negs_ok(ts[p], binds):
+                        rec(
+                            s0p, s0t, h, si + 1, ts[p], cap + [ts[p]],
+                            {**binds, k: p}, [],
+                        )
+                return
+            if cur_ts is None:
+                first_p, c_ts = s0p, s0t
+            else:
+                first_p = next(cands(slot, cur_ts, si, binds, h), None)
+                if first_p is None:
+                    return
+                c_ts = ts[first_p]
+            last_p = first_p
+            for _ in range(times - 1):
+                q = next(cands(slot, c_ts, si, binds, h), None)
+                if q is None:
+                    return
+                last_p, c_ts = q, ts[q]
+            if not negs_ok(ts[first_p], binds):
+                return
+            rec(
+                s0p, s0t, h, si + 1, c_ts,
+                cap + [ts[first_p]] + ([ts[last_p]] if times > 1 else []),
+                {**binds, k: first_p}, [],
+            )
+
+        for s0j, s0p in enumerate(by_pos.get(t0_slot, ())):
+            s0t = by_ts[t0_slot][s0j]
+            h = s0t + within_us
+            if not (wm_prev_us <= h < wm_us):  # decided exactly once
+                continue
+            rec(s0p, s0t, h, 0, None, [], {}, [])
+        cut = bisect_left(ts, wm_us - within_us)
+        return decided, ts[cut:], mk[cut:], [v[cut:] for v in vals]
+
+    find = _find_strict if strict else _find_relaxed
+    horizon_timer = not strict
+
+    def _unpack_vals(flat, n):
+        flat = list(flat)
+        return [
+            np.asarray(flat[c * n:(c + 1) * n], dtype=np.float64)
+            for c in range(n_vals)
+        ]
+
+    def _pack_vals(vals):
+        return [float(x) for v in vals for x in v]
+
+    def _iter_cep_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _arm(ts_buf):
+            if not ts_buf:
+                return
+            if horizon_timer:
+                cand = (ts_buf[0] + within_us) // 1_000 + 1
+            else:
+                cand = ts_buf[-1] // 1_000 + 1
+            state.setTimeoutTimestamp(
+                max(cand, state.getCurrentWatermarkMs() + 1)
+            )
+
+        if state.hasTimedOut:
+            prev_ts, prev_mk, wm_prev, vf = state.get
+            ts_buf, mk_buf = list(prev_ts), list(prev_mk)
+            vals = _unpack_vals(vf, len(ts_buf))
+            rows, ts_buf, mk_buf, vals = find(
+                ts_buf, mk_buf, vals, wm_us, wm_prev
+            )
+            if rows:
+                yield pd.DataFrame(
+                    [[key_val, *r] for r in rows], columns=cols
+                )
+            if ts_buf:
+                state.update((ts_buf, mk_buf, wm_us, _pack_vals(vals)))
+                if horizon_timer:
+                    _arm(ts_buf)
+            else:
+                state.remove()
+            return
+
+        ts_buf, mk_buf, wm_prev = [], [], 0
+        vals = [np.asarray([], dtype=np.float64)] * n_vals
+        if state.exists:
+            prev_ts, prev_mk, wm_prev, vf = state.get
+            ts_buf, mk_buf = list(prev_ts), list(prev_mk)
+            vals = _unpack_vals(vf, len(ts_buf))
+        ts_parts = [np.asarray(ts_buf, dtype=np.int64)]
+        mk_parts = [np.asarray(mk_buf, dtype=np.int64)]
+        val_parts = [[v] for v in vals]
+        for pdf in pdfs:
+            ts_parts.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            mk_parts.append(pdf[mask_col].to_numpy().astype(np.int64))
+            for ci in range(n_vals):
+                val_parts[ci].append(
+                    pdf[f"__val{ci}"].to_numpy().astype(np.float64)
+                )
+        ts_a = np.concatenate(ts_parts)
+        mk_a = np.concatenate(mk_parts)
+        order = np.lexsort((mk_a, ts_a))
+        ts_buf = ts_a[order].tolist()
+        mk_buf = mk_a[order].tolist()
+        vals = [np.concatenate(val_parts[ci])[order] for ci in range(n_vals)]
+
+        rows, ts_buf, mk_buf, vals = find(
+            ts_buf, mk_buf, vals, wm_us, wm_prev
+        )
+        if rows:
+            yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
+        if ts_buf:
+            state.update((ts_buf, mk_buf, wm_us, _pack_vals(vals)))
+            _arm(ts_buf)
+        else:
+            state.remove()
+
+    return _iter_cep_fn
+
+
 def _mask_projection(stream, mask, key_col, time_col, watermark,
-                     drop_zero):
+                     drop_zero, val_cols=()):
     """Project the per-event candidate mask and (relaxed modes only)
     FILTER zero-mask events JVM-side — relaxed matching never consults
     them, so they need not shuffle, transfer, or buffer (r8).
@@ -1387,11 +1834,23 @@ def _mask_projection(stream, mask, key_col, time_col, watermark,
     so the event-time column is folded into the mask expression (null
     event time → mask 0, vacuous for CEP), making the filter one
     unsplittable time-referencing predicate that stays put. Strict
-    modes keep every event (adjacency counts non-candidates)."""
+    modes keep every event (adjacency counts non-candidates).
+
+    ``val_cols`` (r8, iterative conditions): payload columns the
+    engine must consult at BINDING time — projected as
+    ``__val{i}`` doubles. Everything else is still dropped at the
+    scan; only the columns a cross-step predicate actually references
+    pay the shuffle/state cost."""
+    vals = [
+        F.col(c).cast("double").alias(f"__val{i}")
+        for i, c in enumerate(val_cols)
+    ]
+    val_names = [f"__val{i}" for i in range(len(val_cols))]
     if not drop_zero:
         return (
             stream.select(
-                key_col, time_col, mask.cast("long").alias("__cand_mask")
+                key_col, time_col,
+                mask.cast("long").alias("__cand_mask"), *vals,
             )
             .withWatermark(time_col, watermark)
         )
@@ -1400,7 +1859,10 @@ def _mask_projection(stream, mask, key_col, time_col, watermark,
         stream.withWatermark(time_col, watermark)
         .withColumn("__cand_mask", masked.cast("long"))
         .filter(F.col("__cand_mask") != 0)
-        .select(key_col, time_col, "__cand_mask")
+        .select(key_col, time_col, "__cand_mask", *[
+            F.col(c).cast("double").alias(n)
+            for c, n in zip(val_cols, val_names)
+        ])
     )
 
 
@@ -1789,7 +2251,9 @@ def match_pattern_stream(
     State-schema note: the per-key state is
     ``(ts array, tp array, wm long)`` for the plain engine and
     ``(ts array, mk array<long>, wm long, bound long,
-    pend array<long>)`` for the general engine (r7 added ``bound``,
+    pend array<long>)`` for the general engine (iterative conditions
+    add ``vals array<double>`` — the carried payload columns,
+    column-major — in place of ``bound``/``pend``) (r7 added ``bound``,
     the sequential skip-strategy threshold; r8 added ``pend``,
     decided-but-unreleased match captures flattened at fixed cap
     width, held until the watermark passes their completion horizon,
@@ -1858,9 +2322,24 @@ def match_pattern_stream(
     Plain any-steps compose with the skip strategies; any-loops are
     greedy-only, and any + optional()/times(n, m) stays batch-only.
 
+    Iterative conditions (r8 — Flink ``IterativeCondition``,
+    ``s<k>./first./prev.`` cross-step refs in ``where()`` strings):
+    run on a dedicated engine (``_make_iter_cep_fn``) that carries
+    the referenced payload columns (cast to double) through the
+    state buffer and evaluates the predicate at BINDING time —
+    relaxed binds scan for the earliest QUALIFYING candidate, loops
+    skip non-qualifying elements, negations assert the absence of a
+    qualifying event, strict chains test at fixed positions; all
+    equality-tested vs batch. Scope: predicates in the SQL subset
+    that maps 1:1 to Python (comparisons, arithmetic, AND/OR/NOT,
+    abs()) over NUMERIC columns; variants/strict-loops refuse
+    exactly as batch does, and skip strategies with iterative
+    conditions stay batch-only.
+
     Batch-only remainders: mixed contiguity, strict pruning skip
-    strategies, iterative conditions, skip strategies over variant
-    unions, non-greedy any-loops, and — for STRICT patterns —
+    strategies, skip strategies over variant unions or iterative
+    conditions, non-numeric/non-subset iterative predicates,
+    non-greedy any-loops, and — for STRICT patterns —
     terminal negation/loops (they ask what follows the match,
     unanswerable on an unbounded stream; relaxed terminal negation
     and loops are fine, the ``within`` horizon decides them).
@@ -1888,6 +2367,7 @@ def match_pattern_stream(
     general = skip is not None
     steps = None
     variants_mode = False
+    iterative = False
     if general or not (
         isinstance(pattern, list)
         and all(isinstance(p, str) for p in pattern)
@@ -1940,18 +2420,49 @@ def match_pattern_stream(
         from flink_note_spark.operators.cep import _iter_where
 
         if any(_iter_where(s) is not None for s in steps):
-            raise ValueError(
-                "iterative conditions (s<k>./first./prev. cross-step "
-                "refs) are batch-only: the streaming candidate mask "
-                "is per-event, but an iterative predicate depends on "
-                "the match's earlier bindings"
+            # r8: iterative conditions route to the dedicated engine —
+            # the candidate mask is per-event, so cross-step predicates
+            # are evaluated at BINDING time over carried payload
+            # columns (_make_iter_cep_fn). Compositions whose batch
+            # twin refuses (variants, strict loops) refuse identically;
+            # skip strategies add prefix/pruning machinery the iter
+            # engine does not carry — batch-only.
+            if variants_mode:
+                raise ValueError(
+                    "iterative conditions with optional()/times(n, m) "
+                    "are unsupported (variant renumbering changes ref "
+                    "targets — the batch operator refuses them too)"
+                )
+            if skip is not None:
+                raise ValueError(
+                    "iterative conditions with a skip_strategy are "
+                    "batch-only in streaming (the skip engines prune "
+                    "over candidate-mask state; iterative bindings "
+                    "need carried payload)"
+                )
+            if contiguity == "strict" and any(s.loop for s in steps):
+                raise ValueError(
+                    "strict one_or_more with iterative conditions is "
+                    "unsupported (the batch operator refuses it too)"
+                )
+            if contiguity == "strict" and (
+                steps[-1].negate or steps[-1].loop
+            ):
+                raise ValueError(
+                    "strict streaming CEP requires the pattern to end "
+                    "with a positive non-loop step: terminal not_next/"
+                    "one_or_more ask what follows the match, which has "
+                    "no final answer on an unbounded stream (batch-only)"
+                )
+            iterative = True
+            general = False
+        else:
+            general = general or any(
+                s.negate or s.loop or s.where is not None for s in steps
             )
-        general = general or any(
-            s.negate or s.loop or s.where is not None for s in steps
-        )
         if variants_mode:
             general = False  # routed to the variants engine below
-        elif not general:
+        elif not general and not iterative:
             pattern = _expand_simple_steps(steps)
     if contiguity is None:
         contiguity = "strict"
@@ -1966,6 +2477,90 @@ def match_pattern_stream(
         )
     key_type = dict(stream.dtypes)[key_col]
     within_us = None if within is None else _parse_duration_ms(within) * 1_000
+
+    if iterative:
+        # r8: Flink IterativeCondition — cross-step ``s<k>./first./
+        # prev.`` refs evaluated at binding time by the dedicated
+        # engine over carried payload columns (_make_iter_cep_fn has
+        # the semantics + finality/eviction inheritance)
+        from flink_note_spark.operators.cep import (
+            _cand_cond,
+            _resolve_iter,
+        )
+
+        iter_info = _resolve_iter(steps)  # validates ref targets
+        dtypes = dict(stream.dtypes)
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+        val_cols: list[str] = []
+        pred_spec: dict[int, tuple[str, tuple]] = {}
+        for idx, (template, _refs) in iter_info.items():
+            py_expr, raw_names = _sql_predicate_to_python(template)
+            names = []
+            for nm in raw_names:
+                m = re.match(r"^__v(\d+)_(.+)$", nm)
+                if m:
+                    kind, k, col = "ref", int(m.group(1)), m.group(2)
+                else:
+                    kind, k, col = "bare", None, nm
+                if col not in dtypes:
+                    raise ValueError(
+                        f"iterative condition references unknown "
+                        f"column {col!r}"
+                    )
+                t = dtypes[col]
+                if t not in numeric and not t.startswith("decimal"):
+                    raise ValueError(
+                        f"streaming iterative conditions support "
+                        f"numeric columns only; {col!r} has type {t} "
+                        f"(the batch operator evaluates full Spark SQL)"
+                    )
+                if col not in val_cols:
+                    val_cols.append(col)
+                names.append((nm, kind, k, val_cols.index(col)))
+            pred_spec[idx] = (py_expr, tuple(names))
+
+        out_cols = _out_cols(steps)
+        out_schema = f"{key_col} {key_type}, " + ", ".join(
+            f"{c} long" for c in out_cols
+        )
+        conds = [_cand_cond(s, type_col) for s in steps]
+        steps_t = []
+        for i, s in enumerate(steps):
+            until_slot = None
+            if s.loop and s.until is not None:
+                until_slot = len(conds)
+                conds.append(F.col(type_col) == s.until)
+            steps_t.append(
+                (i, s.negate, s.times, s.loop, until_slot, s.any_match)
+            )
+        steps_t = tuple(steps_t)
+        mask = None
+        for i, c in enumerate(conds):
+            term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+            mask = term if mask is None else mask + term
+        projected = _mask_projection(
+            stream, mask, key_col, time_col, watermark,
+            drop_zero=contiguity == "relaxed", val_cols=val_cols,
+        )
+        return (
+            projected.groupBy(key_col)
+            .applyInPandasWithState(
+                _make_iter_cep_fn(
+                    steps_t, key_col, time_col, "__cand_mask",
+                    len(val_cols), pred_spec, within_us, contiguity,
+                    out_cols,
+                ),
+                outputStructType=out_schema,
+                stateStructType=(
+                    "ts array<long>, mk array<long>, wm long, "
+                    "vals array<double>"
+                ),
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
 
     if general:
         # r7: negation + greedy one_or_more/until + times run on the

@@ -2798,6 +2798,206 @@ def test_cep_stream_variant_guards(spark, chunk_dir, tmp_path):
         match_pattern_stream(stream, p2, watermark="2 minutes")
 
 
+def test_cep_stream_iterative_equals_batch(spark, chunk_dir, tmp_path):
+    """r8 streaming IterativeCondition (cross-step ``s<k>./first./
+    prev.`` refs): on a seeded payload soup split into micro-batches,
+    every batch-supported composition — relaxed ref bind, strict
+    prev-adjacency, iterative conjunct ON a oneOrMore loop, iterative
+    negation, times(2), multi-ref, followedByAny branch — matches the
+    batch operator exactly. The referenced payload columns ride the
+    state buffer as doubles; the predicate evaluates at binding time
+    inside the per-key engine (``_make_iter_cep_fn``)."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(47)
+    minutes = rng.sample(range(0, 300), 150)
+    rows = sorted(
+        [
+            (rng.randrange(1, 5), i, _ts(m),
+             rng.choice(["V", "C", "P", "Z"]), round(rng.random(), 3))
+            for i, m in enumerate(minutes)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(5):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 30:(i + 1) * 30])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+
+    pats = [
+        (
+            "relaxed_ref",
+            Pattern.begin("V")
+            .followed_by("P").where("value > s1.value")
+            .within("60 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+        (
+            "strict_prev",
+            Pattern.begin("V")
+            .next("C").where("value > prev.value")
+            .within("60 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+        (
+            "loop_iter",
+            Pattern.begin("V")
+            .followed_by("C").where("value > s1.value").one_or_more()
+            .followed_by("P")
+            .within("90 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+        ),
+        (
+            "neg_iter",
+            Pattern.begin("V")
+            .not_followed_by("Z").where("value > s1.value")
+            .followed_by("P")
+            .within("60 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+        (
+            "times_iter",
+            Pattern.begin("V")
+            .followed_by("C").where("value < first.value + 0.5").times(2)
+            .within("90 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_2_last"],
+        ),
+        (
+            "multi_ref",
+            Pattern.begin("V")
+            .followed_by("C")
+            .followed_by("P").where(
+                "value > s1.value AND value <> s2.value"
+            )
+            .within("60 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_3"],
+        ),
+        (
+            "any_iter",
+            Pattern.begin("V")
+            .followed_by_any("C").where("value > s1.value")
+            .within("60 minutes"),
+            ["user_id", "ts_1", "ts_2"],
+        ),
+    ]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    for tag, p, cols in pats:
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="3 minutes")
+        _run_to_memory(out, f"cep_iter_{tag}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_iter_{tag}", cols)
+        want = _batch_rows(match_pattern(batch_df, p), cols)
+        assert got == want, tag
+        assert got, tag
+
+
+def test_cep_stream_iterative_survives_restart(spark, chunk_dir, tmp_path):
+    """Iterative-condition state (ts + mask + carried payload values)
+    is checkpointed: a match whose referenced binding arrived before a
+    stop/restart boundary still evaluates the predicate correctly
+    after restart, and emits exactly once."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_iter_sink"
+    ckpt = tmp_path / "cep_iter_ckpt"
+    p = (
+        Pattern.begin("V")
+        .followed_by("P").where("value > s1.value")
+        .within("30 minutes")
+    )
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="2 minutes")
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 0.4),
+        (1, 2, _ts(3), "P", 0.2),  # fails the predicate — skipped
+    ])
+    run_once()
+    assert not sink.exists()
+
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(10), "P", 0.9)])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "Z", 1.0)])
+    run_once()
+    got = sorted(
+        tuple(int(r[c]) for c in ["user_id", "ts_1", "ts_2"])
+        for _, r in spark.read.parquet(str(sink)).toPandas().iterrows()
+    )
+    # the 0.2 P was skipped at binding (qualifying-candidate scan);
+    # the 0.9 P, arriving after the restart, bound against the
+    # checkpointed V payload
+    assert got == [(1, _us(0), _us(10))]
+
+
+def test_cep_stream_iterative_rejections(spark, chunk_dir):
+    """Compositions whose batch twin refuses (variants, strict loops)
+    refuse identically; skip strategies and non-numeric / non-subset
+    predicates refuse with pointers to the batch operator."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    base = Pattern.begin("V").followed_by("P").where("value > s1.value")
+    with pytest.raises(ValueError, match="skip_strategy"):
+        match_pattern_stream(
+            stream, base.within("30 minutes").skip("skip_to_next"),
+            watermark="2 minutes",
+        )
+    p_var = (
+        Pattern.begin("V")
+        .followed_by("C").optional()
+        .followed_by("P").where("value > s1.value")
+        .within("30 minutes")
+    )
+    with pytest.raises(ValueError, match="optional"):
+        match_pattern_stream(stream, p_var, watermark="2 minutes")
+    p_sloop = (
+        Pattern.begin("V")
+        .next("C").where("value > prev.value").one_or_more()
+        .next("P")
+        .within("30 minutes")
+    )
+    with pytest.raises(ValueError, match="strict one_or_more"):
+        match_pattern_stream(stream, p_sloop, watermark="2 minutes")
+    p_str = (
+        Pattern.begin("V")
+        .followed_by("P").where("event_type <> s1.event_type")
+        .within("30 minutes")
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        match_pattern_stream(stream, p_str, watermark="2 minutes")
+    p_in = (
+        Pattern.begin("V")
+        .followed_by("P").where("value IN (s1.value, 1.0)")
+        .within("30 minutes")
+    )
+    with pytest.raises(ValueError, match="subset"):
+        match_pattern_stream(stream, p_in, watermark="2 minutes")
+
+
 # --- trigger/evictor recipes (r8) ---------------------------------------
 
 
