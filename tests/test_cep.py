@@ -857,6 +857,91 @@ def test_mixed_within_bound(spark):
     assert got  # key 5's fast funnel survives the bound
 
 
+def test_mixed_fast_path_equals_general_engine(spark):
+    """r8 fast path — [plain strict prefix][one trailing plain relaxed
+    step] compiled to ONE window pass (lead prefix + min-over-following
+    frame, no (key, pos) self-join): engine-vs-engine differential on a
+    seeded random soup, with and without a within bound. Also pins
+    routing: eligible shapes take the fast path, out-of-shape patterns
+    return None from it."""
+    import random
+
+    from flink_note_spark.operators.cep import (
+        _match_mixed,
+        _mixed_leadmin_fast,
+        _normalize,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (rng.randrange(1, 8), i * 7 + rng.randrange(3), rng.choice("ABCX"),
+         i)
+        for i in range(160)
+    ]
+    df = _mk(spark, rows)
+    eligible = [
+        [{"type": "A"}, {"type": "B", "mode": "strict"},
+         {"type": "C", "mode": "relaxed"}],
+        [{"type": "A"}, {"type": "X", "mode": "strict", "negate": True},
+         {"type": "B", "mode": "relaxed"}],
+        [{"type": "A"}, {"type": "B", "mode": "strict", "times": 2},
+         {"type": "C", "mode": "relaxed"}],
+        [{"type": "A", "mode": "strict", "times": 2},
+         {"type": "B", "mode": "strict"},
+         {"type": "C", "mode": "relaxed"}],
+        [{"type": "A"}, {"type": "B", "mode": "strict"},
+         {"type": "X", "mode": "strict", "negate": True},
+         {"type": "C", "mode": "relaxed"}],
+    ]
+    for pat in eligible:
+        steps = _normalize(pat)
+        steps = [
+            type(s)(s.event_type, s.negate, s.times, s.loop, s.until,
+                    s.times_max, s.optional, s.mode or "strict", s.where)
+            for s in steps
+        ]
+        for within in (None, "40 seconds"):
+            fast = _mixed_leadmin_fast(
+                df, steps, "user_id", "ts", "event_type", within,
+                ["event_id"],
+            )
+            assert fast is not None, f"routing: {pat} must be eligible"
+            general = _match_mixed(
+                df, steps, "user_id", "ts", "event_type", within,
+                ["event_id"], _fast=False,
+            )
+            a = _collect_cols(fast)
+            b = _collect_cols(general)
+            assert a == b, f"pattern {pat} within={within}"
+            if within is None:
+                assert a, f"pattern {pat} produced no matches"
+    # out-of-shape patterns fall back to the general engine
+    ineligible = [
+        # relaxed middle step
+        [{"type": "A"}, {"type": "B", "mode": "relaxed"},
+         {"type": "C", "mode": "relaxed"}],
+        # strict tail
+        [{"type": "A"}, {"type": "B", "mode": "relaxed"},
+         {"type": "C", "mode": "strict"}],
+        # loop in prefix
+        [{"type": "A"}, {"type": "B", "mode": "strict",
+          "one_or_more": True}, {"type": "C", "mode": "relaxed"}],
+        # negated tail
+        [{"type": "A"}, {"type": "B", "mode": "strict"},
+         {"type": "X", "mode": "relaxed", "negate": True}],
+    ]
+    for pat in ineligible:
+        steps = _normalize(pat)
+        steps = [
+            type(s)(s.event_type, s.negate, s.times, s.loop, s.until,
+                    s.times_max, s.optional, s.mode or "strict", s.where)
+            for s in steps
+        ]
+        assert _mixed_leadmin_fast(
+            df, steps, "user_id", "ts", "event_type", None, ["event_id"]
+        ) is None, f"routing: {pat} must fall back"
+
+
 def test_mixed_builder_routes(spark):
     from flink_note_spark.operators.cep import Pattern
 
