@@ -1056,6 +1056,26 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             if not ok or not cap:
                 continue
             emit(cap, last_ts)
+        # r8: skip strategies on STRICT patterns. A strict match is
+        # decided exactly when its END passes the watermark, so ends
+        # are globally monotone across watermark windows — the
+        # sequential prune chain consumes each window's decided caps
+        # directly (sorted by (end, start)), carrying only ``bound``;
+        # the relaxed engine's pending-release machinery exists solely
+        # because relaxed anchors decide at their HORIZON, where a
+        # later-decided anchor can still end earlier. Equal-end groups
+        # cannot split across windows (same end ⇒ same window).
+        # skip_to_next rides the per-window per-anchor selection —
+        # loop-free strict patterns bind deterministically (≤1 match
+        # per anchor), and strict loops under skip_to_next are refused
+        # at dispatch (an anchor's prefixes span windows).
+        if sequential:
+            release = sorted(
+                rows, key=lambda c: (_se(c)[1], _se(c)[0], c)
+            )
+            rows, bound = _chain_sequential(release, bound)
+        else:
+            rows, bound = _apply_skip_rows(rows, bound)
         if has_loop:
             evict = wm_us - within_us
             cut = 0
@@ -2300,10 +2320,17 @@ def match_pattern_stream(
     render the batch (end, start) scan exactly, at the cost of up to
     one extra ``within`` of emission latency for those strategies.
     The chain carries one threshold timestamp per key (``bound``).
-    STRICT patterns support ``no_skip`` only (prefix emission is
-    per-match-final; the pruning strategies would need cross-window
-    anchor coordination). Equality vs the batch operator per strategy
-    in tests/test_streaming.py.
+    STRICT patterns support the full strategy set since late-r8 —
+    a strict match decides exactly when its END passes the watermark,
+    so ends are globally monotone across windows and the sequential
+    chain consumes each window's decided matches directly on the
+    carried ``bound`` (no pending-release stage; that machinery exists
+    because relaxed anchors decide at their horizon, where a
+    later-decided anchor can still end earlier). The one strict
+    remainder is ``skip_to_next`` on a loop: an anchor's non-greedy
+    prefixes end at different events, so its earliest-match selection
+    spans watermark windows (batch-only). Equality vs the batch
+    operator per strategy in tests/test_streaming.py.
 
     ``optional()`` / ``times(n, m)`` (r8): the batch variant union
     (Flink's branching NFA) runs incrementally — every expanded
@@ -2336,8 +2363,8 @@ def match_pattern_stream(
     exactly as batch does, and skip strategies with iterative
     conditions stay batch-only.
 
-    Batch-only remainders: mixed contiguity, strict pruning skip
-    strategies, skip strategies over variant unions or iterative
+    Batch-only remainders: mixed contiguity, skip_to_next on strict
+    loops, skip strategies over variant unions or iterative
     conditions, non-numeric/non-subset iterative predicates,
     non-greedy any-loops, and — for STRICT patterns —
     terminal negation/loops (they ask what follows the match,
@@ -2566,19 +2593,23 @@ def match_pattern_stream(
         # r7: negation + greedy one_or_more/until + times run on the
         # general per-key engine (_make_general_cep_fn docstring has
         # the finality/eviction proofs); skip strategies ride the same
-        # engine (strict supports no_skip only — the pruning
-        # strategies need cross-window anchor coordination that only
-        # relaxed's horizon finality provides, see the engine docstring)
+        # engine. STRICT patterns support the full sequential set
+        # since late-r8 — strict matches decide exactly when their END
+        # passes the watermark, so ends are globally monotone across
+        # windows and the prune chain needs only the carried ``bound``
+        # (see _find_gstrict). The one remainder: skip_to_next on a
+        # strict LOOP, whose per-anchor earliest-prefix selection
+        # spans watermark windows.
         if (
-            skip is not None and skip[0] != "no_skip"
+            skip is not None and skip[0] == "skip_to_next"
             and contiguity == "strict"
+            and any(s.loop for s in steps)
         ):
             raise ValueError(
-                f"skip_strategy {skip[0]!r} on a STRICT streaming "
-                "pattern is batch-only: strict matches finalize at "
-                "their last event, so pruning across matches would "
-                "need cross-watermark-window bookkeeping; relaxed "
-                "patterns (horizon finality) support it"
+                "skip_to_next on a STRICT streaming pattern with "
+                "one_or_more is batch-only: an anchor's non-greedy "
+                "prefixes end at different events, so the per-anchor "
+                "earliest-match selection spans watermark windows"
             )
         if skip is not None and skip[0] in ("skip_to_first", "skip_to_last"):
             # mirror batch _apply_skip's range check HERE, before the

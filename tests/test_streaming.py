@@ -1996,6 +1996,77 @@ def test_cep_stream_skip_strategies_equal_batch(spark, chunk_dir, tmp_path):
         assert got, strat
 
 
+def test_cep_stream_strict_skip_strategies_equal_batch(
+    spark, chunk_dir, tmp_path
+):
+    """late-r8: skip strategies on STRICT streaming patterns. Strict
+    matches decide exactly when their end passes the watermark, so
+    ends are globally monotone across windows and the sequential prune
+    chain runs per window on the carried bound alone. Dense
+    same-key runs make matches overlap so every strategy prunes
+    differently; each equals the batch operator. Covers a loop
+    pattern (prefix emission feeding the chain) and a plain pattern
+    (skip_to_next included — deterministic single bind per anchor)."""
+    import random
+
+    from flink_note_spark.operators.cep import match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(53)
+    rows = sorted(
+        [
+            (rng.randrange(1, 4), i, _ts(i * 2),
+             rng.choice(["V", "C", "P"]), 1.0)
+            for i in range(90)
+        ],
+        key=lambda r: r[2],
+    )
+    for i in range(3):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 30:(i + 1) * 30])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    cases = [
+        (
+            "plain",
+            [{"type": "V"}, {"type": "C"}],
+            ["user_id", "ts_1", "ts_2"],
+            ["no_skip", "skip_to_next", "skip_past_last_event",
+             ("skip_to_first", 2), ("skip_to_last", 2)],
+        ),
+        (
+            "loop",
+            [{"type": "V"}, {"type": "C", "one_or_more": True},
+             {"type": "P"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+            ["skip_past_last_event", ("skip_to_first", 2),
+             ("skip_to_last", 2)],
+        ),
+    ]
+    for shape, pat, cols, strats in cases:
+        for strat in strats:
+            tag = f"{shape}_{strat if isinstance(strat, str) else strat[0]}"
+            stream = read_file_stream(
+                spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+                max_files_per_trigger=1,
+            )
+            out = match_pattern_stream(
+                stream, pat, contiguity="strict", within="45 minutes",
+                watermark="3 minutes", skip_strategy=strat,
+            )
+            _run_to_memory(out, f"cep_sskip_{tag}", "update", tmp_path)
+            got = _stream_rows(spark, f"cep_sskip_{tag}", cols)
+            want = _batch_rows(
+                match_pattern(
+                    batch_df, pat, contiguity="strict",
+                    within="45 minutes", skip_strategy=strat,
+                    ),
+                cols,
+            )
+            assert got == want, tag
+            assert got, tag
+
+
 def test_cep_stream_strict_no_skip_equals_batch(spark, chunk_dir, tmp_path):
     """Strict streaming no_skip: every prefix of a consecutive run
     followed by the next step emits — equals batch across micro-batch
@@ -2074,15 +2145,19 @@ def test_cep_stream_strict_no_skip_equals_batch(spark, chunk_dir, tmp_path):
 
 
 def test_cep_stream_skip_rejections(spark, chunk_dir):
-    """Strict pruning strategies are batch-only and fail loudly."""
+    """The remaining skip refusals fail loudly: skip_to_next on a
+    strict loop (per-anchor prefix selection spans watermark windows)
+    and malformed strategies/indices."""
     from flink_note_spark.streaming.ops import match_pattern_stream
 
     _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "A", 1.0)])
     stream = read_file_stream(spark, "parquet", str(chunk_dir), EVENT_SCHEMA)
     with pytest.raises(ValueError, match="batch-only"):
         match_pattern_stream(
-            stream, ["A", "B"], contiguity="strict",
-            watermark="1 minutes", skip_strategy="skip_past_last_event",
+            stream,
+            [{"type": "A", "one_or_more": True}, {"type": "B"}],
+            contiguity="strict", within="10 minutes",
+            watermark="1 minutes", skip_strategy="skip_to_next",
         )
     with pytest.raises(ValueError, match="skip_strategy"):
         match_pattern_stream(
