@@ -580,6 +580,314 @@ def _make_cep_fn_relaxed_vec(pattern_slots: list[int], key_name: str,
     return _cep_fn
 
 
+def _make_mixed_cep_fn(steps, key_name, ts_col, mask_col, within_us,
+                       out_cols):
+    """Per-key incremental matcher for MIXED-contiguity patterns
+    (late-r8) — Flink's natural ``begin().next().followedBy()`` shape,
+    the streaming twin of the batch positional engine
+    (``operators/cep._match_mixed``), equality-tested against it in
+    tests/test_streaming.py.
+
+    Finality: mixed patterns REQUIRE ``within`` and decide at the
+    anchor horizon (``wm_prev <= t0 + within < wm`` emits exactly
+    once), inheriting the relaxed engine's argument — every event a
+    VALID match consumes has ``ts <= horizon < wm`` (a bind beyond the
+    horizon dies on ``within`` by timestamp monotonicity), and the
+    stable region's content, order, and adjacency are immutable. The
+    two verdicts that are NOT horizon-stable are excluded at dispatch:
+
+    - a strict NEGATION whose next positive step is relaxed asserts on
+      a successor that may lie beyond the horizon, where a future
+      arrival (``ts >= wm``) can still displace it — so strict
+      negations must be followed by a strict-mode positive step (the
+      asserted event is then the bound event itself, stable);
+    - LOOPS: a greedy run's maximality asserts on the event after the
+      run's end, which is only pinned by a strict successor bind, and
+      a relaxed loop's membership can grow from arrivals between the
+      horizon and its ``until`` stop — mixed loops stay batch-only.
+
+    Binding is POSITIONAL, exactly like the batch engine: strict
+    steps consume the immediately-next buffer position, relaxed steps
+    scan forward for the next candidate POSITION (equal timestamps
+    resolve by the buffer's (ts, mask) order — the same documented
+    tiebreak caveat as every streaming engine), relaxed negations
+    assert positional absence in the gap to the next bind (terminal:
+    up to the horizon). State is ``(ts, mask, wm)``; eviction at
+    ``wm - within``; the timer re-arms at the oldest event's horizon
+    so tail anchors decide without new data."""
+    cols = [key_name] + out_cols
+    # steps: (slot, neg, times, mode) — validated plain at dispatch
+    slot0, _, times0, mode0 = steps[0]
+
+    def _find(ts, mk, wm_us, wm_prev_us):
+        n = bisect_left(ts, wm_us)
+        total = len(ts)
+        rows = []
+
+        def hit(pos, slot):
+            return pos < total and (mk[pos] >> slot) & 1
+
+        for p0 in range(n):
+            if not hit(p0, slot0):
+                continue
+            t0 = ts[p0]
+            h = t0 + within_us
+            if not (wm_prev_us <= h < wm_us):
+                continue
+            pos, cur_bind_pos, ok, cap = p0, None, True, []
+            # pending relaxed negations: (slot, from_pos) — positional
+            # absence in (from_pos, next_bind_pos)
+            pending: list[tuple[int, int]] = []
+            first_step = True
+            for (slot, neg, times, mode) in steps:
+                if neg:
+                    if mode == "strict":
+                        # asserted event == the next strict bind's
+                        # event (dispatch guarantees a strict positive
+                        # follows); only a failing verdict matters
+                        # when that bind succeeds, so stability rides
+                        # the bind's ts <= h < wm
+                        if hit(pos, slot):
+                            ok = False
+                            break
+                    else:
+                        pending.append(
+                            (slot, p0 if cur_bind_pos is None
+                             else cur_bind_pos)
+                        )
+                    continue
+                first_bind = None
+                for rep in range(times):
+                    if first_step and rep == 0:
+                        q = p0  # the anchor binds itself
+                    elif mode == "strict":
+                        q = pos
+                        if (
+                            q >= total or ts[q] > h
+                            or not hit(q, slot)
+                        ):
+                            ok = False
+                            break
+                    else:
+                        q = pos
+                        while q < total and not (
+                            hit(q, slot) and ts[q] <= h
+                        ):
+                            if q < total and ts[q] > h:
+                                break
+                            q += 1
+                        if q >= total or ts[q] > h or not hit(q, slot):
+                            ok = False
+                            break
+                    if first_bind is None:
+                        first_bind = q
+                    pos = q + 1
+                    cur_bind_pos = q
+                if not ok:
+                    break
+                first_step = False
+                # relaxed negations pending since the previous bind:
+                # positional absence strictly between anchor and the
+                # first repetition's bind
+                for (x, anc) in pending:
+                    for j in range(anc + 1, first_bind):
+                        if hit(j, x):
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                pending = []
+                if not ok:
+                    break
+                cap.append(ts[first_bind])
+                if times > 1:
+                    cap.append(ts[cur_bind_pos])
+            if not ok or not cap:
+                continue
+            if pending:
+                # terminal relaxed negation: absence up to the horizon
+                dead = False
+                for (x, anc) in pending:
+                    j = anc + 1
+                    while j < total and ts[j] <= h:
+                        if hit(j, x):
+                            dead = True
+                            break
+                        j += 1
+                    if dead:
+                        break
+                if dead:
+                    continue
+            rows.append(cap)
+        cut = bisect_left(ts, wm_us - within_us)
+        return rows, ts[cut:], mk[cut:]
+
+    def _mixed_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _arm(ts_buf):
+            if ts_buf:
+                state.setTimeoutTimestamp(max(
+                    (ts_buf[0] + within_us) // 1_000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+
+        if state.hasTimedOut:
+            prev_ts, prev_mk, wm_prev = state.get
+            ts_buf, mk_buf = list(prev_ts), list(prev_mk)
+            rows, ts_buf, mk_buf = _find(ts_buf, mk_buf, wm_us, wm_prev)
+            if rows:
+                yield pd.DataFrame(
+                    [[key_val, *r] for r in rows], columns=cols
+                )
+            if ts_buf:
+                state.update((ts_buf, mk_buf, wm_us))
+                _arm(ts_buf)
+            else:
+                state.remove()
+            return
+
+        ts_buf, mk_buf, wm_prev = [], [], 0
+        if state.exists:
+            prev_ts, prev_mk, wm_prev = state.get
+            ts_buf, mk_buf = list(prev_ts), list(prev_mk)
+        ts_parts = [np.asarray(ts_buf, dtype=np.int64)]
+        mk_parts = [np.asarray(mk_buf, dtype=np.int64)]
+        for pdf in pdfs:
+            ts_parts.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            mk_parts.append(pdf[mask_col].to_numpy().astype(np.int64))
+        ts_a = np.concatenate(ts_parts)
+        mk_a = np.concatenate(mk_parts)
+        order = np.lexsort((mk_a, ts_a))
+        ts_buf = ts_a[order].tolist()
+        mk_buf = mk_a[order].tolist()
+
+        rows, ts_buf, mk_buf = _find(ts_buf, mk_buf, wm_us, wm_prev)
+        if rows:
+            yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
+        if ts_buf:
+            state.update((ts_buf, mk_buf, wm_us))
+            _arm(ts_buf)
+        else:
+            state.remove()
+
+    return _mixed_fn
+
+
+def _dispatch_mixed_stream(stream, steps, key_col, time_col, type_col,
+                           contiguity_arg, within, watermark, skip):
+    """Dispatch a MIXED-contiguity pattern to the positional streaming
+    engine (late-r8). Guards mirror the batch mixed engine plus the
+    two streaming-only exclusions proven in ``_make_mixed_cep_fn``:
+    strict negations must be followed by a strict positive, and loops
+    stay batch-only. Mode resolution is the batch rule —
+    ``step.mode or contiguity_arg or "strict"``."""
+    from flink_note_spark.operators.cep import (
+        PatternStep,
+        _cand_cond,
+        _iter_where,
+        _out_cols,
+    )
+
+    if within is None:
+        raise ValueError(
+            "mixed-contiguity streaming CEP requires within= — "
+            "matches decide at the anchor horizon, which bounds both "
+            "emission and per-key state"
+        )
+    if skip is not None and skip[0] != "no_skip":
+        raise ValueError(
+            f"skip_strategy {skip[0]!r} on a mixed streaming pattern "
+            "is batch-only (mixed anchors decide at their horizon, "
+            "where pruning needs the relaxed engine's pending-release "
+            "machinery); mixed binding is deterministic per anchor, "
+            "so no_skip/default are equivalent and supported"
+        )
+    if steps[0].negate:
+        raise ValueError("a mixed pattern must start positively")
+    if any(st.where is not None or _iter_where(st) is not None
+           for st in steps):
+        raise ValueError(
+            "where() predicates are supported on uniform strict/"
+            "relaxed patterns (the mixed positional engine is "
+            "type-keyed)"
+        )
+    if any(st.any_match for st in steps):
+        raise ValueError(
+            "followedByAny requires uniform relaxed contiguity "
+            "(mixed patterns are earliest-binding only)"
+        )
+    if any(st.optional or st.times_max is not None for st in steps):
+        raise ValueError(
+            "mixed streaming CEP with optional()/times(n, m) is "
+            "batch-only (variant expansion over the positional engine)"
+        )
+    if any(st.loop for st in steps):
+        raise ValueError(
+            "mixed streaming CEP with one_or_more is batch-only: a "
+            "run's maximality and membership are not final at the "
+            "anchor horizon unless pinned by a strict successor bind"
+        )
+    default_mode = (
+        contiguity_arg if contiguity_arg not in (None, "mixed") else None
+    )
+    steps = [
+        PatternStep(s.event_type, s.negate, s.times, s.loop, s.until,
+                    s.times_max, s.optional,
+                    s.mode or default_mode or "strict", s.where)
+        for s in steps
+    ]
+    for i, s in enumerate(steps):
+        if s.negate and s.mode == "strict":
+            nxt = next(
+                (t for t in steps[i + 1:] if not t.negate), None
+            )
+            if nxt is None or nxt.mode != "strict":
+                raise ValueError(
+                    "a strict negation in a mixed streaming pattern "
+                    "must be followed by a strict-mode positive step: "
+                    "the asserted successor is only horizon-stable "
+                    "when it is the bound event itself (terminal or "
+                    "relaxed-followed strict negations are batch-only)"
+                )
+    out_cols = _out_cols(steps)
+    key_type = dict(stream.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, " + ", ".join(
+        f"{c} long" for c in out_cols
+    )
+    within_us = _parse_duration_ms(within) * 1_000
+    conds = [_cand_cond(s, type_col) for s in steps]
+    steps_t = tuple(
+        (i, s.negate, s.times, s.mode) for i, s in enumerate(steps)
+    )
+    mask = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = term if mask is None else mask + term
+    # strict adjacency counts NON-candidate events — keep every row
+    projected = _mask_projection(
+        stream, mask, key_col, time_col, watermark, drop_zero=False,
+    )
+    return (
+        projected.groupBy(key_col)
+        .applyInPandasWithState(
+            _make_mixed_cep_fn(
+                steps_t, key_col, time_col, "__cand_mask", within_us,
+                out_cols,
+            ),
+            outputStructType=out_schema,
+            stateStructType="ts array<long>, mk array<long>, wm long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def _make_cep_timeouts_fn(pattern_slots: list[int], key_name: str,
                           ts_col: str, slot_col: str,
                           within_us: int, k: int):
@@ -2363,10 +2671,19 @@ def match_pattern_stream(
     exactly as batch does, and skip strategies with iterative
     conditions stay batch-only.
 
-    Batch-only remainders: mixed contiguity, skip_to_next on strict
-    loops, skip strategies over variant unions or iterative
-    conditions, non-numeric/non-subset iterative predicates,
-    non-greedy any-loops, and — for STRICT patterns —
+    Mixed contiguity (late-r8 — Flink's natural
+    ``begin().next().followedBy()`` shape): plain positive steps and
+    negations stream on the positional per-key engine
+    (``_make_mixed_cep_fn`` — matches decide at the anchor horizon,
+    ``within`` REQUIRED; strict adjacency counts non-candidates, so
+    every event buffers). Two verdicts are not horizon-stable and
+    refuse: strict negations not followed by a strict positive, and
+    loops (run maximality/membership can change beyond the horizon).
+
+    Batch-only remainders: mixed loops/variants/skip strategies,
+    skip_to_next on strict loops, skip strategies over variant
+    unions or iterative conditions, non-numeric/non-subset iterative
+    predicates, non-greedy any-loops, and — for STRICT patterns —
     terminal negation/loops (they ask what follows the match,
     unanswerable on an unbounded stream; relaxed terminal negation
     and loops are fine, the ``within`` horizon decides them).
@@ -2406,9 +2723,12 @@ def match_pattern_stream(
         steps = _normalize(pattern)
         resolved = _resolve_contiguity(steps, contiguity)
         if resolved == "mixed":
-            raise ValueError(
-                "streaming CEP is single-contiguity; mixed patterns "
-                "are batch-only"
+            # late-r8: mixed contiguity streams on the positional
+            # per-key engine (_make_mixed_cep_fn has the finality
+            # argument and the two excluded verdicts)
+            return _dispatch_mixed_stream(
+                stream, steps, key_col, time_col, type_col,
+                contiguity, within, watermark, skip,
             )
         contiguity = resolved
         variants_mode = any(

@@ -1930,12 +1930,16 @@ def test_cep_stream_general_rejections(spark, chunk_dir, tmp_path):
             watermark="1 minutes", contiguity="strict",
         )
     # optional() is ACCEPTED since r8 (variants engine; equality tests
-    # in test_cep_stream_optional_*) — mixed contiguity stays refused
-    with pytest.raises(ValueError, match="single-contiguity"):
+    # in test_cep_stream_optional_*); plain mixed contiguity is
+    # ACCEPTED since late-r8 (positional engine; equality tests in
+    # test_cep_stream_mixed_*) — mixed LOOPS stay refused (run
+    # maximality/membership is not horizon-stable)
+    with pytest.raises(ValueError, match="batch-only"):
         match_pattern_stream(
             stream,
-            [{"type": "A", "mode": "strict"}, {"type": "B",
-             "mode": "strict"}, {"type": "C", "mode": "relaxed"}],
+            [{"type": "A", "mode": "strict"},
+             {"type": "B", "mode": "strict", "one_or_more": True},
+             {"type": "C", "mode": "relaxed"}],
             within="5 minutes", watermark="1 minutes",
         )
 
@@ -2969,6 +2973,176 @@ def test_cep_stream_iterative_equals_batch(spark, chunk_dir, tmp_path):
         want = _batch_rows(match_pattern(batch_df, p), cols)
         assert got == want, tag
         assert got, tag
+
+
+def test_cep_stream_mixed_equals_batch(spark, chunk_dir, tmp_path):
+    """late-r8 MIXED-contiguity streaming (Flink's natural
+    begin().next().followedBy() shape, the positional engine's
+    streaming twin): on a seeded soup split into micro-batches, every
+    supported composition — the canonical strict-then-relaxed funnel,
+    strict/relaxed negations, relaxed-then-strict, times(2), terminal
+    relaxed negation — equals the batch positional engine exactly
+    under the same within bound."""
+    import random
+
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rng = random.Random(31)
+    rows = [
+        (rng.randrange(1, 4), i, _ts(i), rng.choice(["V", "C", "P", "Z"]),
+         1.0)
+        for i in range(150)
+    ]
+    for i in range(5):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 30:(i + 1) * 30])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+
+    pats = [
+        (
+            "funnel",
+            Pattern.begin("V").next("C").followed_by("P")
+            .within("45 minutes"),
+            ["user_id", "ts_1", "ts_2", "ts_3"],
+        ),
+        (
+            "neg_strict",
+            [{"type": "V"}, {"type": "Z", "mode": "strict",
+              "negate": True}, {"type": "C", "mode": "strict"},
+             {"type": "P", "mode": "relaxed"}],
+            ["user_id", "ts_1", "ts_2", "ts_3"],
+        ),
+        (
+            "neg_relaxed",
+            [{"type": "V"}, {"type": "C", "mode": "strict"},
+             {"type": "Z", "mode": "relaxed", "negate": True},
+             {"type": "P", "mode": "relaxed"}],
+            ["user_id", "ts_1", "ts_2", "ts_3"],
+        ),
+        (
+            "relaxed_then_strict",
+            [{"type": "V"}, {"type": "C", "mode": "relaxed"},
+             {"type": "P", "mode": "strict"}],
+            ["user_id", "ts_1", "ts_2", "ts_3"],
+        ),
+        (
+            "times_strict",
+            [{"type": "V"}, {"type": "C", "mode": "strict", "times": 2},
+             {"type": "P", "mode": "relaxed"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "ts_3"],
+        ),
+        (
+            "terminal_neg",
+            # short horizon: at this soup density a Z lands inside any
+            # 45-minute window, so the absence assertion needs a
+            # window it can actually win
+            [{"type": "V"}, {"type": "C", "mode": "strict"},
+             {"type": "Z", "mode": "relaxed", "negate": True,
+              "within_override": "6 minutes"}],
+            ["user_id", "ts_1", "ts_2"],
+        ),
+    ]
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    for tag, p, cols in pats:
+        w = None if isinstance(p, Pattern) else "45 minutes"
+        if not isinstance(p, Pattern):
+            w = next(
+                (st.pop("within_override") for st in p
+                 if "within_override" in st), w,
+            )
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, p, watermark="3 minutes", within=w
+        )
+        _run_to_memory(out, f"cep_mixed_{tag}", "update", tmp_path)
+        got = _stream_rows(spark, f"cep_mixed_{tag}", cols)
+        want = _batch_rows(match_pattern(batch_df, p, within=w), cols)
+        assert got == want, tag
+        assert got, tag
+
+
+def test_cep_stream_mixed_survives_restart(spark, chunk_dir, tmp_path):
+    """Mixed positional state is checkpointed: a funnel whose relaxed
+    tail arrives after a stop/restart boundary still emits exactly
+    once, with the strict prefix bound from the restored buffer."""
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_mixed_sink"
+    ckpt = tmp_path / "cep_mixed_ckpt"
+    p = Pattern.begin("V").next("C").followed_by("P").within("30 minutes")
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(stream, p, watermark="2 minutes")
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "V", 1.0),
+        (1, 2, _ts(1), "C", 1.0),
+    ])
+    run_once()
+    assert not sink.exists()
+
+    _write_chunk(chunk_dir, "c2.parquet", [(1, 3, _ts(10), "P", 1.0)])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(120), "Z", 1.0)])
+    run_once()
+    got = sorted(
+        tuple(int(r[c]) for c in ["user_id", "ts_1", "ts_2", "ts_3"])
+        for _, r in spark.read.parquet(str(sink)).toPandas().iterrows()
+    )
+    assert got == [(1, _us(0), _us(1), _us(10))]
+
+
+def test_cep_stream_mixed_rejections(spark, chunk_dir):
+    """Mixed streaming refusals: loops (run verdicts are not
+    horizon-stable), strict negation before a relaxed positive,
+    missing within, skip strategies, where()."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    base = [{"type": "V"}, {"type": "C", "mode": "strict"},
+            {"type": "P", "mode": "relaxed"}]
+    with pytest.raises(ValueError, match="requires within"):
+        match_pattern_stream(stream, base, watermark="2 minutes")
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream,
+            [{"type": "V"},
+             {"type": "C", "mode": "relaxed", "one_or_more": True},
+             {"type": "P", "mode": "strict"}],
+            within="30 minutes", watermark="2 minutes",
+        )
+    with pytest.raises(ValueError, match="strict-mode positive"):
+        match_pattern_stream(
+            stream,
+            [{"type": "V"}, {"type": "Z", "mode": "strict",
+              "negate": True}, {"type": "P", "mode": "relaxed"}],
+            within="30 minutes", watermark="2 minutes",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream, base, within="30 minutes", watermark="2 minutes",
+            skip_strategy="skip_past_last_event",
+        )
 
 
 def test_cep_stream_iterative_survives_restart(spark, chunk_dir, tmp_path):
