@@ -64,6 +64,7 @@ from pyspark.sql import Window
 from flink_note_spark.operators.cep import (
     PatternStep,
     _apply_skip,
+    _iter_where,
     _out_cols,
     _parse_skip,
     attach_event_payload,
@@ -419,3 +420,150 @@ def match_recognize(
         else:
             final.append(e)
     return out.select(*final)
+
+
+def match_recognize_stream(
+    stream: DataFrame,
+    *,
+    partition_by: str,
+    order_by: str,
+    pattern: str,
+    define: dict[str, object] | None = None,
+    measures: dict[str, str] | None = None,
+    after_match: str = "skip past last row",
+    within: str | None = None,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming ``MATCH_RECOGNIZE`` (late-r8) — Flink SQL's
+    stream-first row-pattern clause, compiled onto
+    ``streaming.ops.match_pattern_stream`` exactly as the batch
+    operator compiles onto ``match_pattern``: variables are strict
+    steps over a sentinel type whose candidacy is entirely the DEFINE
+    predicate (the streaming candidate-mask/iterative machinery),
+    AFTER MATCH maps to the engine skip strategies (all four forms —
+    strict sequential pruning is watermark-monotone since late-r8).
+
+    Supported subset (each refusal points at the batch operator):
+
+    - PATTERN: unquantified variables and ``{n}`` fixed repetition.
+      ``+ * ? {n,m}`` are batch-only on streams: SQL greedy selection
+      over quantified patterns needs either the every-prefix match
+      set (a batch post-pass) or the DEFINE-disjointness probe, which
+      is a data-dependent ``take(1)`` no unbounded stream can answer.
+    - DEFINE: SimpleConditions stream on the candidate mask
+      (JVM-side); conditions referencing EARLIER variables compile to
+      the iterative engine (numeric columns, the SQL↔Python subset)
+      and restrict AFTER MATCH to SKIP TO NEXT ROW — for the
+      deterministic loop-free chains accepted here that strategy
+      binds identically to the engine default, so it maps to it.
+    - MEASURES: ``FIRST/LAST(V.<order_by>)``, bare ``V.<order_by>``,
+      and ``COUNT(V.*)`` — projected straight from the engine's
+      ``ts_k`` columns (epoch MICROseconds, the streaming
+      convention). Payload measures are batch-only: they attach via
+      a co-partitioned join, which update-mode stateful output cannot
+      feed; join downstream in ``foreachBatch`` instead.
+    - ONE ROW PER MATCH, emitted exactly once at watermark finality.
+    """
+    define = dict(define or {})
+    parsed = _parse_pattern(pattern)
+    names = [v for v, _q in parsed]
+    var_index = {v: k for k, v in enumerate(names, start=1)}
+    for v in define:
+        if v not in var_index:
+            raise ValueError(
+                f"DEFINE names {v!r}, which is not a PATTERN variable "
+                f"(pattern variables: {names})"
+            )
+    for v, q in parsed:
+        if q is not None and not re.fullmatch(r"\{\d+\}", q):
+            raise ValueError(
+                f"streaming MATCH_RECOGNIZE supports unquantified "
+                f"variables and {{n}}; {v}{q} is batch-only (greedy "
+                f"selection over quantified patterns needs the batch "
+                f"post-pass or a data probe no stream can answer)"
+            )
+
+    steps = [
+        _quant_step(v, q, _compile_define(define.get(v), v, var_index))
+        for v, q in parsed
+    ]
+    steps = [
+        PatternStep(
+            "r", times=s.times, loop=s.loop, times_max=s.times_max,
+            optional=s.optional, mode="strict", where=s.where,
+        )
+        for s in steps
+    ]
+    skip = _parse_after_match(after_match, var_index)
+    iterative = any(_iter_where(s) is not None for s in steps)
+    if iterative:
+        if skip != "skip_to_next":
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE with cross-variable DEFINE "
+                "refs supports AFTER MATCH SKIP TO NEXT ROW only "
+                "(iterative bindings do not compose with the pruning "
+                "strategies on streams — use the batch operator)"
+            )
+        # loop-free strict chains bind deterministically (<=1 match
+        # per anchor), so SKIP TO NEXT ROW == the engine default
+        skip = None
+
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    typed = stream.withColumn(_ROW_TYPE, F.lit("r"))
+    matches = match_pattern_stream(
+        typed,
+        steps,
+        key_col=partition_by,
+        time_col=order_by,
+        type_col=_ROW_TYPE,
+        within=within,
+        watermark=watermark,
+        contiguity="strict",
+        skip_strategy=skip,
+    )
+    if not measures:
+        return matches
+
+    exprs = []
+    for out_name, spec in measures.items():
+        m = _MEASURE_RE.match(spec.strip())
+        if not m:
+            raise ValueError(
+                f"unsupported measure {spec!r} (FIRST(V.c) | LAST(V.c) "
+                "| COUNT(V.*) | V.c)"
+            )
+        fn = (m.group("fn") or "").upper()
+        var = m.group("fvar") or m.group("var")
+        col = m.group("fcol") or m.group("col")
+        k = var_index.get(var)
+        if k is None:
+            raise ValueError(
+                f"measure {spec!r} references unknown variable {var!r}"
+            )
+        st = steps[k - 1]
+        if fn == "COUNT":
+            if col != "*":
+                raise ValueError(
+                    f"COUNT measures are COUNT(V.*), got {spec!r}"
+                )
+            exprs.append(F.lit(st.times).cast("long").alias(out_name))
+            continue
+        if fn == "" and st.times > 1:
+            raise ValueError(
+                f"bare measure {spec!r} on a quantified variable is "
+                "ambiguous — use FIRST(...) or LAST(...)"
+            )
+        if col != order_by:
+            raise ValueError(
+                f"measure {spec!r}: streaming MATCH_RECOGNIZE "
+                f"projects {order_by!r} (the engine's ts_k columns) "
+                "and COUNT(V.*) only; payload measures attach via a "
+                "join, which update-mode stateful output cannot feed "
+                "— use the batch operator or join in foreachBatch"
+            )
+        ts_col = f"ts_{k}"
+        if fn == "LAST" and st.times > 1:
+            ts_col = f"ts_{k}_last"
+        exprs.append(F.col(ts_col).alias(out_name))
+    return matches.select(F.col(partition_by), *exprs)

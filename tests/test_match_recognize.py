@@ -321,3 +321,153 @@ def test_fast_path_falls_back_on_overlapping_defines(spark):
     # greedy B+ would eat 60,70 and then need C at value 30 -> fail;
     # backtracking binds B=[60], C=70
     assert got == {(1, t(0), 1, 70.0)}
+
+
+# ------------------------------------------------------- streaming twin
+
+
+def _stream_chunks(tmp_path, rows):
+    """Write (user_id, event_id, ts, value) rows into per-chunk parquet
+    for a file-stream source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mr_chunks"
+    d.mkdir()
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value", pa.float64()),
+    ])
+    per = max(1, len(rows) // 4)
+    for i in range(0, len(rows), per):
+        chunk = rows[i:i + per]
+        t = pa.Table.from_pylist(
+            [dict(zip(["user_id", "event_id", "ts", "value"], r))
+             for r in chunk],
+            schema=schema,
+        )
+        pq.write_table(t, str(d / f"c{i}.parquet"))
+    return d
+
+
+def test_match_recognize_stream_equals_batch(spark, tmp_path):
+    """late-r8 streaming MATCH_RECOGNIZE: every supported clause shape
+    — plain variables under all four AFTER MATCH forms, {n}
+    repetition with FIRST/LAST/COUNT measures, cross-variable DEFINE
+    refs under SKIP TO NEXT ROW — equals the batch operator on a
+    seeded soup split into micro-batches."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(19)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(120)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    clauses = [
+        ("plain_sple", dict(
+            partition_by="user_id", order_by="ts", pattern="LO HI",
+            define={"LO": "value < 0.3", "HI": "value > 0.7"},
+            measures={"lo_ts": "LO.ts", "hi_ts": "HI.ts"},
+            after_match="skip past last row")),
+        ("plain_stonext", dict(
+            partition_by="user_id", order_by="ts", pattern="LO MID HI",
+            define={"LO": "value < 0.35", "MID": "value >= 0.35",
+                    "HI": "value > 0.6"},
+            measures={"start": "LO.ts", "end": "HI.ts"},
+            after_match="skip to next row")),
+        ("iter_ref", dict(
+            partition_by="user_id", order_by="ts", pattern="A B",
+            define={"B": "B.value > A.value"},
+            measures={"a_ts": "A.ts", "b_ts": "B.ts"},
+            after_match="skip to next row")),
+        ("times2", dict(
+            partition_by="user_id", order_by="ts", pattern="LO{2} HI",
+            define={"LO": "value < 0.5", "HI": "value >= 0.5"},
+            measures={"first_lo": "FIRST(LO.ts)",
+                      "last_lo": "LAST(LO.ts)",
+                      "n_lo": "COUNT(LO.*)", "hi_ts": "HI.ts"},
+            after_match="skip past last row")),
+        ("skip_to_first", dict(
+            partition_by="user_id", order_by="ts", pattern="LO HI",
+            define={"LO": "value < 0.4", "HI": "value > 0.6"},
+            measures={"lo_ts": "LO.ts", "hi_ts": "HI.ts"},
+            after_match="skip to first HI")),
+    ]
+    for tag, kw in clauses:
+        want = []
+        for r in match_recognize(batch_df, **kw).collect():
+            vals = []
+            for v in r:
+                if hasattr(v, "timestamp"):
+                    v = int(
+                        v.replace(tzinfo=dt.timezone.utc).timestamp()
+                        * 1_000_000
+                    )
+                vals.append(int(v))
+            want.append(tuple(vals))
+        want.sort()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(f"mrs_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(int(x) for x in r)
+            for r in spark.sql(
+                f"SELECT {','.join(out.columns)} FROM mrs_{tag}"
+            ).collect()
+        )
+        assert got == want, tag
+        assert got, tag
+
+
+def test_match_recognize_stream_rejections(spark, tmp_path):
+    """Out-of-subset clauses refuse with pointers at the batch
+    operator: quantifiers beyond {n}, payload measures, iterative
+    refs with a pruning AFTER MATCH."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    d = _stream_chunks(tmp_path, [
+        (1, 1, dt.datetime(2024, 1, 1), 0.5),
+    ])
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    with pytest.raises(ValueError, match="batch-only"):
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B+", define={"B": "value > 0.5"},
+        )
+    with pytest.raises(ValueError, match="payload"):
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B", define={"B": "value > 0.5"},
+            measures={"v": "B.value"},
+        )
+    with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B", define={"B": "B.value > A.value"},
+            after_match="skip past last row",
+        )
