@@ -4347,3 +4347,255 @@ def count_evictor_tumbling_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def minhash_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    retention: str | None = None,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """STREAMING MinHash near-duplicate detection (late-r8) —
+    ingest-time dedup of a document stream against its own history,
+    the training-data-pipeline op a streaming corpus intake needs
+    (the batch twin is ``operators.dedup.minhash_lsh_pairs``; the
+    signature/band math is IDENTICAL, so streamed pairs equal the
+    batch candidate pairs at the same est threshold — pinned in
+    tests/test_streaming.py).
+
+    Plan shape (the 100 TB posture):
+
+    1. Per-document MinHash signatures as pure Catalyst expressions —
+       whitespace-run tokens → word n-grams → ``pmod(xxhash64, 2³¹−1)``
+       → one ``array_min`` per hash function — evaluated per row at
+       the scan, NO shuffle and NO Python (bit-identical values to the
+       batch ``_shingle_rows``/``minhash_signatures`` path, which
+       instead amortizes one explode+groupBy over a full corpus scan).
+    2. Band keys (``xxhash64`` over each signature slice) exploded to
+       ``(band_id, band_key)`` rows — the ONLY shuffle, on the bucket
+       key, exactly the batch equi-join's key.
+    3. One ``applyInPandasWithState`` per bucket: state is the
+       bucket's seen ``(id, ts, signature)`` rows; each arriving doc
+       scores signature agreement (est Jaccard = equal components /
+       num_hashes) against the bucket history and emits
+       ``(doc_id, dup_of, est_jaccard, band_id)`` for est ≥ threshold,
+       where ``dup_of`` is the earlier document by (ts, id).
+
+    State policy: ``retention`` (e.g. ``"7 days"``) bounds dedup by
+    event time, enforced twice — as a MATCH conjunct
+    (``|new_ts − old_ts| <= retention``, so results are deterministic
+    regardless of watermark progress) and as state eviction (entries
+    older than ``watermark − retention`` drop; an event-time timer
+    physically clears idle buckets). Dedup means "against the
+    retained window" — the unbounded-corpus answer; ``None`` keeps
+    everything and is only for bounded replays. ``max_bucket`` is the
+    boilerplate-flood cap: a bucket that reaches it stops storing and
+    matching (the batch op anti-joins flooded buckets away wholesale;
+    a stream cannot retroactively unemit, so the cap freezes the
+    bucket instead — documented policy, pinned by a unit test).
+
+    Caveats vs batch: a pair colliding in several bands emits once per
+    band (batch dropDuplicates over candidates; chaining a second
+    stateful dedup after this op is a Spark update-mode restriction —
+    distinct on (doc_id, dup_of) in ``foreachBatch`` if exact batch
+    parity is needed), there is no exact-Jaccard verify stage (est
+    only — verify downstream against a document store), and docs with
+    fewer than ``n`` tokens never pair (they produce no shingles, as
+    in batch). PRECONDITION (same as batch): one row per id.
+    """
+    from flink_note_spark.operators.dedup import _MERSENNE31, _lcg
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    rnd = _lcg(seed)
+    params = [
+        (next(rnd) % (_MERSENNE31 - 1) + 1, next(rnd) % _MERSENNE31)
+        for _ in range(num_hashes)
+    ]
+    id_type = dict(docs.dtypes)[id_col]
+    ret_us = (
+        None if retention is None
+        else _parse_duration_ms(retention) * 1_000
+    )
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        id_col, ts_col, words.alias("__w")
+    ).filter(F.size("__w") >= n)
+    grams = F.expr(
+        f"transform(sequence(0, size(__w) - {n}), "
+        f"i -> concat_ws(' ', slice(__w, i + 1, {n})))"
+    )
+    hv = F.transform(grams, lambda x: F.pmod(F.xxhash64(x),
+                                             F.lit(_MERSENNE31)))
+    base = base.select(id_col, ts_col, hv.alias("__hv"))
+    sig = F.array(*[
+        F.array_min(
+            F.transform(
+                F.col("__hv"),
+                lambda h: F.pmod(
+                    F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31)
+                ),
+            )
+        ).cast("int")
+        for (a, b) in params
+    ])
+    sigd = base.select(id_col, ts_col, sig.alias("signature"))
+    band_struct = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at("signature", i * r + j + 1).cast("string")
+                for j in range(r)
+            ])).alias("band_key"),
+        )
+        for i in range(bands)
+    ])).alias("band")
+    rows = (
+        sigd.withWatermark(ts_col, watermark)
+        .select(id_col, ts_col, "signature", band_struct)
+        .select(
+            id_col, ts_col, "signature", "band.band_id", "band.band_key",
+        )
+    )
+
+    out_schema = (
+        f"doc_id {id_type}, dup_of {id_type}, est_jaccard double, "
+        f"band_id int"
+    )
+    state_schema = (
+        f"ids array<{id_type}>, tss array<long>, sigs array<int>"
+    )
+    nh = num_hashes
+    thr = float(threshold)
+
+    def _fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band_id = int(key[0])
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _evict(ids, tss, sigs):
+            # state appends in processing order; late-but-in-watermark
+            # docs make tss non-monotone, so filter rather than
+            # prefix-scan
+            if ret_us is None or not tss:
+                return ids, tss, sigs
+            cutoff = wm_us - ret_us
+            keep = [k for k, t in enumerate(tss) if t >= cutoff]
+            if len(keep) == len(tss):
+                return ids, tss, sigs
+            return (
+                [ids[k] for k in keep],
+                [tss[k] for k in keep],
+                [v for k in keep for v in sigs[k * nh:(k + 1) * nh]],
+            )
+
+        def _arm(tss):
+            if ret_us is not None and tss:
+                state.setTimeoutTimestamp(max(
+                    (min(tss) + ret_us) // 1_000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+
+        if state.hasTimedOut:
+            ids, tss, sigs = state.get
+            ids, tss, sigs = _evict(list(ids), list(tss), list(sigs))
+            if ids:
+                state.update((ids, tss, sigs))
+                _arm(tss)
+            else:
+                state.remove()
+            return
+
+        ids, tss, sigs = [], [], []
+        if state.exists:
+            p_ids, p_tss, p_sigs = state.get
+            ids, tss, sigs = list(p_ids), list(p_tss), list(p_sigs)
+        ids, tss, sigs = _evict(ids, tss, sigs)
+        hist = (
+            np.asarray(sigs, dtype=np.int64).reshape(-1, nh)
+            if sigs else np.empty((0, nh), dtype=np.int64)
+        )
+        new = []
+        for pdf in pdfs:
+            if len(pdf):
+                new.append(pdf)
+        out_rows = []
+        if new:
+            pdf = pd.concat(new, ignore_index=True)
+            pdf = pdf.sort_values(
+                [ts_col, id_col], kind="stable", ignore_index=True
+            )
+            new_sigs = np.asarray(
+                [list(s) for s in pdf["signature"]], dtype=np.int64
+            )
+            new_ts = pdf[ts_col].to_numpy().view("int64") // 1_000
+            new_ids = pdf[id_col].tolist()
+            for j in range(len(pdf)):
+                if len(ids) >= max_bucket:
+                    break  # flood-frozen bucket (documented policy)
+                s = new_sigs[j]
+                jt, jid = int(new_ts[j]), new_ids[j]
+                if hist.shape[0]:
+                    est = (hist == s).mean(axis=1)
+                    for k in np.nonzero(est >= thr)[0]:
+                        if ids[k] == jid:
+                            continue
+                        # the retention window is a MATCH conjunct,
+                        # not just lazy state eviction: results are
+                        # then deterministic regardless of how far
+                        # the watermark happened to advance
+                        if (
+                            ret_us is not None
+                            and abs(jt - tss[k]) > ret_us
+                        ):
+                            continue
+                        # orient by event time (ties by id): file
+                        # arrival order across micro-batches is not
+                        # the event-time order
+                        if (tss[k], ids[k]) < (jt, jid):
+                            later, earlier = jid, ids[k]
+                        else:
+                            later, earlier = ids[k], jid
+                        out_rows.append((
+                            later, earlier,
+                            round(float(est[k]), 6), band_id,
+                        ))
+                ids.append(jid)
+                tss.append(jt)
+                sigs.extend(int(x) for x in s)
+                hist = np.vstack([hist, s[None, :]])
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "dup_of", "est_jaccard", "band_id"],
+            )
+        if ids:
+            state.update((ids, tss, sigs))
+            _arm(tss)
+        else:
+            state.remove()
+
+    return (
+        rows.groupBy("band_id", "band_key")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -4020,3 +4020,147 @@ def test_top_n_stream_emits_only_on_change(spark, chunk_dir, tmp_path):
     ]
     # two emissions only: the 50.0 ranking and the 99.0 replacement
     assert sorted(got) == [(1, 50.0), (1, 99.0)]
+
+
+# --- streaming MinHash near-dup (late-r8) --------------------------------
+
+
+def _mh_chunks(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "mh_chunks"
+    d.mkdir()
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ])
+    per = len(docs) // 4 + 1
+    for j in range(0, len(docs), per):
+        t = pa.Table.from_pylist(
+            [dict(zip(["doc_id", "ts", "text"], r)) for r in docs[j:j + per]],
+            schema=schema,
+        )
+        pq.write_table(t, str(d / f"c{j}.parquet"))
+    return d
+
+
+def _mh_docs(seed, n_docs=40, dup_rate=0.5):
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    docs, i = [], 0
+    for _ in range(n_docs):
+        t = " ".join(rng.choice(words) for _ in range(rng.randrange(8, 16)))
+        docs.append((i, _ts(i), t))
+        i += 1
+        if rng.random() < dup_rate:
+            toks = t.split()
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            docs.append((i, _ts(i), " ".join(toks)))
+            i += 1
+    return docs
+
+
+def test_minhash_dedup_stream_equals_batch(spark, tmp_path):
+    """Ingest-time MinHash dedup: the streamed pair set (est >=
+    threshold) equals the batch minhash_lsh_pairs candidates at the
+    same est threshold — the per-row Catalyst signature path is
+    bit-identical to the batch explode+groupBy path, and the bucket
+    state machine reproduces the band equi-join incrementally."""
+    from flink_note_spark.operators.dedup import minhash_lsh_pairs
+    from flink_note_spark.streaming.ops import minhash_dedup_stream
+
+    docs = _mh_docs(23)
+    d = _mh_chunks(tmp_path, docs)
+    schema = "doc_id long, ts timestamp, text string"
+    thr = 0.5
+    want = {
+        frozenset((r.d1, r.d2))
+        for r in minhash_lsh_pairs(
+            spark.read.schema(schema).parquet(str(d)),
+            "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=thr, verify=False, ids_unique=True,
+        ).filter(F.col("est_jaccard") >= thr).collect()
+    }
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = minhash_dedup_stream(
+        stream, "doc_id", "text", "ts", watermark="2 minutes",
+        n=3, num_hashes=32, bands=8, threshold=thr,
+    )
+    _run_to_memory(out, "mh_stream", "update", tmp_path)
+    rows = spark.sql("SELECT * FROM mh_stream").collect()
+    got = {frozenset((r.doc_id, r.dup_of)) for r in rows}
+    assert got == want
+    assert got
+    # dup_of is always the earlier document by (ts, id): ids here are
+    # ts-ordered, so dup_of < doc_id
+    assert all(r.dup_of < r.doc_id for r in rows)
+
+
+def test_minhash_dedup_stream_retention_bounds_state(spark, tmp_path):
+    """retention= evicts bucket history by event time: an identical
+    document arriving within the window pairs; after the window it
+    does not (dedup means 'against the retained window')."""
+    from flink_note_spark.streaming.ops import minhash_dedup_stream
+
+    text = "alpha beta gamma delta eps zeta eta theta"
+    docs = [
+        (1, _ts(0), text),
+        (2, _ts(5), text),     # within 30 min of doc 1 → pairs
+        (3, _ts(200), text),   # 195 min later → history evicted
+        (4, _ts(205), text),   # pairs with doc 3 only
+        (9, _ts(900), "unrelated filler words only"),
+    ]
+    d = _mh_chunks(tmp_path, docs)
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = minhash_dedup_stream(
+        stream, "doc_id", "text", "ts", watermark="2 minutes",
+        n=3, num_hashes=16, bands=4, threshold=0.9,
+        retention="30 minutes",
+    )
+    _run_to_memory(out, "mh_ret", "update", tmp_path)
+    pairs = {
+        (r.doc_id, r.dup_of)
+        for r in spark.sql("SELECT * FROM mh_ret").collect()
+    }
+    assert pairs == {(2, 1), (4, 3)}
+
+
+def test_minhash_dedup_stream_flood_cap(spark, tmp_path):
+    """max_bucket freezes a flooded bucket: identical boilerplate
+    beyond the cap stops storing AND matching (the streaming rendering
+    of the batch anti-join flood policy — a stream cannot
+    retroactively unemit, so the cap bounds both state and output)."""
+    from flink_note_spark.streaming.ops import minhash_dedup_stream
+
+    text = "alpha beta gamma delta eps zeta eta theta"
+    docs = [(i, _ts(i), text) for i in range(6)]
+    docs.append((9, _ts(900), "unrelated filler words only"))
+    d = _mh_chunks(tmp_path, docs)
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = minhash_dedup_stream(
+        stream, "doc_id", "text", "ts", watermark="2 minutes",
+        n=3, num_hashes=16, bands=4, threshold=0.9, max_bucket=3,
+    )
+    _run_to_memory(out, "mh_cap", "update", tmp_path)
+    pairs = {
+        (r.doc_id, r.dup_of)
+        for r in spark.sql("SELECT * FROM mh_cap").collect()
+    }
+    # docs 0-2 fill each bucket; docs 3+ are frozen out: no pair
+    # involves a doc_id > 2
+    assert pairs == {(1, 0), (2, 0), (2, 1)}
