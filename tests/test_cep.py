@@ -2423,7 +2423,13 @@ def test_iter_validation_and_guards(spark):
     assert match_pattern(df, p).count() > 0
 
 
-def test_iter_streaming_raises(spark):
+def test_iter_streaming_accepted(spark):
+    """Streaming iterative conditions are SUPPORTED since late-r8 (the
+    dedicated engine carries the referenced payload columns through
+    state — equality suites in test_streaming.py::test_cep_stream_
+    iterative_*); the plan builds, relaxed still demands within, and
+    only out-of-subset compositions refuse (covered by
+    test_cep_stream_iterative_rejections)."""
     from flink_note_spark.operators.cep import Pattern
     from flink_note_spark.streaming.ops import match_pattern_stream
 
@@ -2433,8 +2439,14 @@ def test_iter_streaming_raises(spark):
                     "'A' as event_type", "CAST(value AS DOUBLE) value")
     )
     p = Pattern.begin("A").followed_by("B").where("value > s1.value")
-    with pytest.raises(ValueError, match="batch-only"):
+    with pytest.raises(ValueError, match="requires within"):
         match_pattern_stream(stream, p, watermark="1 minute")
+    out = match_pattern_stream(
+        stream, p.within("10 minutes"), watermark="1 minute"
+    )
+    assert out.isStreaming and set(out.columns) == {
+        "user_id", "ts_1", "ts_2"
+    }
 
 
 def test_iter_composes_with_skip_strategy(spark):
