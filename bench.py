@@ -143,6 +143,18 @@ def _load_queries_from(repo_dir: str) -> dict:
     try:
         mod = importlib.import_module("flink_note_spark.queries")
         queries = dict(mod.QUERIES)
+        # snapshot the CHECKOUT's module objects: queries that import
+        # their engine at CALL time (``from ...operators.cep import
+        # match_pattern`` inside the function body — the registry
+        # convention) resolve through sys.modules when invoked, so
+        # without a swap they would silently run the RESTORED (current
+        # worktree) engine and the A/B could never see engine-module
+        # diffs (caught late in round 8: a halved engine path measured
+        # "flat" because both sides ran it).
+        ref_mods = {
+            k: v for k, v in sys.modules.items()
+            if k.split(".")[0] == "flink_note_spark"
+        }
     finally:
         sys.path.remove(repo_dir)
         for k in [
@@ -150,7 +162,32 @@ def _load_queries_from(repo_dir: str) -> dict:
         ]:
             del sys.modules[k]
         sys.modules.update(saved)
-    return queries
+
+    def _swapped(fn):
+        def run(*a, **kw):
+            cur = {
+                k: v for k, v in sys.modules.items()
+                if k.split(".")[0] == "flink_note_spark"
+            }
+            for k in cur:
+                del sys.modules[k]
+            sys.modules.update(ref_mods)
+            try:
+                # plan construction (incl. any call-time engine
+                # imports) happens HERE, against the checkout's own
+                # modules; the returned DataFrame keeps those
+                # references for the later action
+                return fn(*a, **kw)
+            finally:
+                for k in [
+                    k for k in sys.modules
+                    if k.split(".")[0] == "flink_note_spark"
+                ]:
+                    del sys.modules[k]
+                sys.modules.update(cur)
+        return run
+
+    return {name: _swapped(fn) for name, fn in queries.items()}
 
 
 def compare_main(ref: str, pairs: int, only: list[str] | None = None) -> None:

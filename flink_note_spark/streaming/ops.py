@@ -394,10 +394,18 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
                     [[key_val, *r] for r in rows], columns=cols
                 )
             if ts_buf:
-                # no timer re-arm: everything ≤ the watermark was just
-                # finalized; the kept tail can only emit with NEW
-                # events, whose batch re-arms the timer.
                 state.update((ts_buf, tp_buf, wm_us))
+                # re-arm only while NOT-YET-FINAL events remain (the
+                # sparse-timer policy may fire before the youngest
+                # event finalizes); once everything is below the
+                # watermark, the kept tail can only emit with NEW
+                # events, whose batch re-arms the timer.
+                pending = [t for t in ts_buf if t >= wm_us]
+                if pending:
+                    state.setTimeoutTimestamp(max(
+                        pending[0] // 1_000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    ))
             else:
                 state.remove()
             return
@@ -426,10 +434,26 @@ def _make_cep_fn(pattern: list[str], key_name: str, ts_col: str,
             yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
         if ts_buf:
             state.update((ts_buf, tp_buf, wm_us))
-            # fire once the watermark passes the youngest buffered event
-            state.setTimeoutTimestamp(
-                max(ts_buf[-1] // 1_000 + 1, state.getCurrentWatermarkMs() + 1)
-            )
+            # sparse timer (late-r8, the relaxed_vec treatment): arm at
+            # the FIRST not-yet-final event — the exact next instant a
+            # buffered match can finalize without new data. When every
+            # buffered event is already below the watermark (the kept
+            # k−1 tail of an idle key), arm nothing: the tail can only
+            # emit with NEW events, whose batch re-arms. The previous
+            # wm+1 clamp woke every stateful key on every watermark
+            # advance forever.
+            if contiguity == "strict":
+                pending = [t for t in ts_buf if t >= wm_us]
+                if pending:
+                    state.setTimeoutTimestamp(max(
+                        pending[0] // 1_000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    ))
+            else:
+                state.setTimeoutTimestamp(max(
+                    ts_buf[-1] // 1_000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
         else:
             state.remove()
 
