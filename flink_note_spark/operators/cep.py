@@ -2647,18 +2647,29 @@ def attach_event_payload(
     payload_cols = payload_cols or [
         c for c in events.columns if c not in (key_col, time_col)
     ]
+    # ONE canonical side projection shared by every step's join: with
+    # per-step output aliases baked into the side (the pre-r8 shape),
+    # each join's build subplan differed and Spark shuffled the events
+    # once PER STEP; with a byte-identical side, every join after the
+    # first is a ReusedExchange (late-r8 — measured on the
+    # two-payload-measure MATCH_RECOGNIZE headline: the second attach
+    # join's shuffle disappears from the plan). Output columns are
+    # renamed to ``<step_col><sep><payload_col>`` right after each
+    # join, before the next one would collide.
+    side = events.select(
+        F.col(key_col).alias("__pk"),
+        F.col(time_col).alias("__pt"),
+        *[F.col(c).alias(f"__pv{i}") for i, c in enumerate(payload_cols)],
+    )
     out = matches
     for sc in step_cols:
         if sc not in matches.columns:
             raise ValueError(f"step column {sc!r} not in matches")
-        side = events.select(
-            F.col(key_col).alias("__pk"),
-            F.col(time_col).alias("__pt"),
-            *[F.col(c).alias(f"{sc}{sep}{c}") for c in payload_cols],
-        )
         out = out.join(
             side,
             (out[key_col] == side["__pk"]) & (out[sc] == side["__pt"]),
             "left",
         ).drop("__pk", "__pt")
+        for i, c in enumerate(payload_cols):
+            out = out.withColumnRenamed(f"__pv{i}", f"{sc}{sep}{c}")
     return out
