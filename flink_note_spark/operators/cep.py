@@ -1268,6 +1268,125 @@ def _split_segments(
     return groups
 
 
+def _strict_island_fast(
+    events: DataFrame,
+    steps: list[PatternStep],
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    tiebreak: list[str],
+) -> DataFrame | None:
+    """Strict single-loop FAST PATH (late-r8): a greedy pattern shaped
+    ``[plain steps][ONE consecutive loop][plain steps]`` compiles to
+    ONE window chain with ZERO joins — islands of the loop's candidate
+    boolean are the runs, the prefix binds via ``lag()`` at the
+    island's first row, the suffix via ``lead()`` values pulled from
+    the island's last row (a struct-max over the island frame), run
+    stats from the island frame itself.
+
+    Island anchoring is exact ONLY when no row satisfies both the
+    loop's condition and an adjacent step's (otherwise the general
+    engine can anchor INSIDE an island — e.g. a row that is both STRT
+    and DOWN binds a run suffix, which islands cannot see). That
+    disjointness is checked against the DATA with one
+    pushdown-filtered ``take(1)`` probe per adjacent step (the
+    MATCH_RECOGNIZE fast-path doctrine; for pure type-keyed steps the
+    conjunction folds to false and the probes are free). Any witness
+    row, or any out-of-shape step (negation, times>1, second loop,
+    non-greedy mode), returns None and the segments engine takes over.
+    Measured on the MATCH_RECOGNIZE V-shape headline: the engine's
+    run-metadata + (key, pos) join pass drops to leadchain-like cost."""
+    loops = [i for i, s in enumerate(steps) if s.loop]
+    if len(loops) != 1:
+        return None
+    L = loops[0]
+    if L == 0:
+        # a FIRST-step loop anchors one match per element (each B in
+        # B+ C starts its own suffix run) — island anchoring sees only
+        # run starts; the segments engine handles it
+        return None
+    for s in steps:
+        if s.negate or s.optional or s.times_max is not None or s.any_match:
+            return None
+        if not s.loop and s.times != 1:
+            return None
+    cl = _cand_cond(steps[L], type_col)
+    for nb in (L - 1, L + 1):
+        if 0 <= nb < len(steps):
+            try:
+                if events.where(
+                    cl & _cand_cond(steps[nb], type_col)
+                ).take(1):
+                    return None
+            except Exception:
+                return None
+    m = len(steps)
+    pre, sfx = L, m - L - 1
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    base = _with_cand_cols(
+        events, steps, [key_col, time_col, type_col, *tiebreak], type_col
+    )
+    ci = F.col(f"__c{L}")
+    lagc = F.lag(f"__c{L}").over(w)
+    base = base.withColumn(
+        "__chg", F.when(lagc.isNull() | (lagc != ci), 1).otherwise(0)
+    ).withColumn(
+        "__grp",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("__rn", F.row_number().over(w))
+    for j in range(1, pre + 1):
+        base = base.withColumn(
+            f"__pok{j}", F.lag(f"__c{L - j}", j).over(w)
+        ).withColumn(f"__pts{j}", F.lag(time_col, j).over(w))
+    for j in range(1, sfx + 1):
+        base = base.withColumn(
+            f"__sok{j}", F.lead(f"__c{L + j}", j).over(w)
+        ).withColumn(f"__sts{j}", F.lead(time_col, j).over(w))
+    w_isl = (
+        Window.partitionBy(key_col, "__grp")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    base = base.withColumn(
+        "__n", F.count(F.lit(1)).over(w_isl)
+    ).withColumn("__lts", F.max(time_col).over(w_isl))
+    for j in range(1, sfx + 1):
+        pulled = F.max(
+            F.struct(
+                F.col("__rn").alias("r"),
+                F.col(f"__sok{j}").alias("o"),
+                F.col(f"__sts{j}").alias("t"),
+            )
+        ).over(w_isl)
+        base = base.withColumn(
+            f"__soklast{j}", pulled.getField("o")
+        ).withColumn(f"__stslast{j}", pulled.getField("t"))
+    cond = ci & (F.col("__chg") == 1)
+    for j in range(1, pre + 1):
+        cond = cond & F.coalesce(F.col(f"__pok{j}"), F.lit(False))
+    for j in range(1, sfx + 1):
+        cond = cond & F.coalesce(F.col(f"__soklast{j}"), F.lit(False))
+    sel = [F.col(key_col)]
+    for i in range(L):
+        sel.append(F.col(f"__pts{L - i}").alias(f"ts_{i + 1}"))
+    sel += [
+        F.col(time_col).alias(f"ts_{L + 1}"),
+        F.col("__lts").alias(f"ts_{L + 1}_last"),
+        F.col("__n").alias(f"n_{L + 1}"),
+    ]
+    for j in range(1, sfx + 1):
+        sel.append(F.col(f"__stslast{j}").alias(f"ts_{L + 1 + j}"))
+    M = base.filter(cond).select(*sel)
+    if within is not None:
+        last_col = f"ts_{m}" if sfx else f"ts_{L + 1}_last"
+        M = M.filter(
+            F.col(last_col) <= F.col("ts_1") + _within_expr(within)
+        )
+    return M
+
+
 def _strict_segments(
     events: DataFrame,
     steps: list[PatternStep],
@@ -1277,6 +1396,7 @@ def _strict_segments(
     within: str | None,
     tiebreak: list[str],
     greedy_loops: bool = True,
+    _fast: bool = True,
 ) -> DataFrame:
     """Strict pattern WITH consecutive-run loops: fixed-offset
     segments matched with lead chains, glued by (key, position)
@@ -1290,7 +1410,18 @@ def _strict_segments(
     more co-partitioned (key, position) equi-join. A non-terminal
     prefix whose next position still holds the loop type dies at the
     following segment join (the adjacent event isn't the next step's
-    type), which is exactly Flink's ``consecutive()`` semantics."""
+    type), which is exactly Flink's ``consecutive()`` semantics.
+
+    Greedy single-loop patterns whose loop condition is
+    data-probed-disjoint from its neighbors take the zero-join island
+    fast path (:func:`_strict_island_fast`); ``_fast=False`` forces
+    this general engine (the engine-vs-engine differential hook)."""
+    if _fast and greedy_loops:
+        M = _strict_island_fast(
+            events, steps, key_col, time_col, type_col, within, tiebreak
+        )
+        if M is not None:
+            return M
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     w_run_sum = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -857,6 +857,79 @@ def test_mixed_within_bound(spark):
     assert got  # key 5's fast funnel survives the bound
 
 
+def test_strict_island_fast_equals_segments_engine(spark):
+    """late-r8 strict single-loop fast path (zero-join island compile,
+    gated by data-probed neighbor disjointness): engine-vs-engine
+    differential on a seeded value soup for interior and terminal
+    loops, prefix length 1 and 2, with and without within; overlapping
+    conditions and loop-first shapes must return None from the fast
+    path (segments fallback)."""
+    import random
+
+    from flink_note_spark.operators.cep import (
+        PatternStep,
+        _strict_island_fast,
+        _strict_segments,
+    )
+
+    rng = random.Random(37)
+    rows = [
+        (rng.randrange(1, 5), i * 3, "E", i)
+        for i in range(180)
+    ]
+    # value-typed candidate conditions via a payload column
+    df = _mkv(spark, [
+        (k, s, t, i, round(rng.random(), 3)) for (k, s, t, i) in rows
+    ])
+    shapes = [
+        [PatternStep("E", mode="strict", where="value >= 0.7"),
+         PatternStep("E", mode="strict", loop=True, where="value < 0.4"),
+         PatternStep("E", mode="strict", where="value >= 0.6")],
+        [PatternStep("E", mode="strict", where="value >= 0.8"),
+         PatternStep("E", mode="strict", where="value < 0.2"),
+         PatternStep("E", mode="strict", loop=True,
+                     where="0.2 <= value AND value < 0.5"),
+         PatternStep("E", mode="strict", where="value >= 0.5")],
+        # terminal loop
+        [PatternStep("E", mode="strict", where="value >= 0.7"),
+         PatternStep("E", mode="strict", loop=True, where="value < 0.3")],
+    ]
+    hit_any = False
+    for si, steps in enumerate(shapes):
+        for within in (None, "90 seconds"):
+            fast = _strict_island_fast(
+                df, steps, "user_id", "ts", "event_type", within,
+                ["event_id"],
+            )
+            assert fast is not None, f"shape {si} must probe disjoint"
+            general = _strict_segments(
+                df, steps, "user_id", "ts", "event_type", within,
+                ["event_id"], greedy_loops=True, _fast=False,
+            )
+            a = _collect_cols(fast)
+            b = _collect_cols(general)
+            assert a == b, f"shape {si} within={within}"
+            hit_any = hit_any or bool(a)
+    assert hit_any, "no shape produced matches — soup too sparse"
+    # overlapping neighbor conditions: probe finds a witness, fallback
+    overlap = [
+        PatternStep("E", mode="strict", where="value >= 0.3"),
+        PatternStep("E", mode="strict", loop=True, where="value < 0.6"),
+        PatternStep("E", mode="strict", where="value >= 0.5"),
+    ]
+    assert _strict_island_fast(
+        df, overlap, "user_id", "ts", "event_type", None, ["event_id"]
+    ) is None
+    # loop-first anchors per element — island anchoring cannot see it
+    first = [
+        PatternStep("E", mode="strict", loop=True, where="value < 0.3"),
+        PatternStep("E", mode="strict", where="value >= 0.7"),
+    ]
+    assert _strict_island_fast(
+        df, first, "user_id", "ts", "event_type", None, ["event_id"]
+    ) is None
+
+
 def test_mixed_fast_path_equals_general_engine(spark):
     """r8 fast path — [plain strict prefix][one trailing plain relaxed
     step] compiled to ONE window pass (lead prefix + min-over-following
