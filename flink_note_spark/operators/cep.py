@@ -548,6 +548,8 @@ def match_pattern(
     contiguity: str | None = None,
     tiebreak: list[str] | None = None,
     skip_strategy: str | None = None,
+    carry_payload: dict[str, list[str]] | None = None,
+    _island_disjoint: bool | None = None,
 ) -> DataFrame:
     """Match an event-type pattern per key; one output row per match.
 
@@ -585,6 +587,15 @@ def match_pattern(
     bounded MATCH set, never the raw events. Loop steps under a
     non-greedy strategy require uniform strict/relaxed contiguity
     (mixed loops stay greedy-only).
+
+    ``carry_payload`` (r9): best-effort zero-join payload capture —
+    ``{ts_col: [payload cols]}`` asks the engine to ALSO emit
+    ``<ts_col>_<col>`` columns (the :func:`attach_event_payload`
+    naming) for the matched events' payloads. Honored by the strict
+    lead-chain and island fast paths (where the payload rides the same
+    window pass for free); other engines ignore it — check the output
+    columns and fall back to :func:`attach_event_payload` for any
+    group that did not materialize.
     """
     if isinstance(pattern, Pattern):
         # explicit argument wins; the builder's contiguity is the
@@ -708,11 +719,14 @@ def match_pattern(
             M = _strict_segments(
                 events, steps, key_col, time_col, type_col, within,
                 tiebreak or [], greedy_loops,
+                carry_payload=carry_payload,
+                _island_disjoint=_island_disjoint,
             )
         else:
             M = _strict_leadchain(
                 events, steps, key_col, time_col, type_col, within,
                 tiebreak or [], iter_info,
+                carry_payload=carry_payload,
             )
     else:
         M = _match_relaxed(
@@ -1107,6 +1121,74 @@ def _resolve_iter(
     return out
 
 
+#: one numeric comparison over a bare column — the static-disjointness
+#: prover's atom (r9)
+_CMP_ATOM_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|=|>|<)\s*"
+    r"(-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _pred_interval(where) -> tuple[str, float, float, bool, bool] | None:
+    """Parse a SQL ``where`` string that is an AND-conjunction of
+    numeric comparisons over ONE bare column into the interval
+    ``(col, lo, hi, lo_open, hi_open)``; None for anything richer
+    (Columns, ORs, parens, functions, multi-column) — the caller then
+    falls back to the data probe."""
+    if not isinstance(where, str) or re.search(
+        r"\bor\b|\(|\bnot\b|\bin\b|\bbetween\b", where, re.IGNORECASE
+    ):
+        return None
+    col = None
+    lo, hi = float("-inf"), float("inf")
+    lo_open = hi_open = False
+    for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
+        m = _CMP_ATOM_RE.match(part)
+        if not m:
+            return None
+        c, op, v = m.group(1), m.group(2), float(m.group(3))
+        if col is None:
+            col = c
+        elif c != col:
+            return None
+        if op in ("=", "=="):
+            if v > lo or (v == lo and lo_open):
+                lo, lo_open = v, False
+            if v < hi or (v == hi and hi_open):
+                hi, hi_open = v, False
+        elif op == ">=":
+            if v > lo:
+                lo, lo_open = v, False
+        elif op == ">":
+            if v >= lo:
+                lo, lo_open = v, True
+        elif op == "<=":
+            if v < hi:
+                hi, hi_open = v, False
+        elif op == "<":
+            if v <= hi:
+                hi, hi_open = v, True
+    if col is None:
+        return None
+    return (col, lo, hi, lo_open, hi_open)
+
+
+def _provably_disjoint(where_a, where_b) -> bool:
+    """True iff both predicates parse as single-column numeric ranges
+    over the SAME column with an empty intersection — the conjunction
+    can then never hold for any row, no data probe needed (r9: saves
+    one scan job per probe pair on the common MATCH_RECOGNIZE shapes
+    like ``value >= 100`` vs ``value < 80``)."""
+    a, b = _pred_interval(where_a), _pred_interval(where_b)
+    if a is None or b is None or a[0] != b[0]:
+        return False
+    lo = max(a[1], b[1])
+    hi = min(a[2], b[2])
+    lo_open = (a[1] == lo and a[3]) or (b[1] == lo and b[3])
+    hi_open = (a[2] == hi and a[4]) or (b[2] == hi and b[4])
+    return lo > hi or (lo == hi and (lo_open or hi_open))
+
+
 def _with_cand_cols(
     events: DataFrame,
     steps: list[PatternStep],
@@ -1135,6 +1217,7 @@ def _strict_leadchain(
     within: str | None,
     tiebreak: list[str],
     iter_info: dict[int, tuple[str, list[tuple[int, str]]]] | None = None,
+    carry_payload: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Loop-free strict pattern: ONE window pass, fixed lead offsets.
     Negated steps assert at the current offset without consuming it.
@@ -1149,10 +1232,22 @@ def _strict_leadchain(
     offset) — a per-event boolean ``__ic{idx}_{r}`` (one per
     repetition, distances shift with ``r``) that the chain then tests
     with the usual ``lead``. Still ZERO joins, one window pass; the
-    payload never leaves the scan projection."""
+    payload never leaves the scan projection.
+
+    ``carry_payload`` (r9): matched-event payload capture riding the
+    SAME fixed lead offsets — ``{ts_col: [cols]}`` adds
+    ``<ts_col>_<col>`` output columns at zero extra shuffles (one more
+    ``lead()`` per carried column over the already-partitioned
+    window)."""
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     iter_info = iter_info or {}
+    carry: dict[str, list[str]] = {}
+    for tsc, cols in (carry_payload or {}).items():
+        cols = sorted({c for c in cols if c in events.columns})
+        if cols:
+            carry[tsc] = cols
+    carry_src = sorted({c for cols in carry.values() for c in cols})
     has_where = any(
         st.where is not None and idx not in iter_info
         for idx, st in enumerate(steps)
@@ -1173,6 +1268,7 @@ def _strict_leadchain(
         off0 += s.times
 
     base_cols = [key_col, time_col, type_col, *tiebreak]
+    base_cols += [c for c in carry_src if c not in base_cols]
     if has_where or iter_info:
         df = events
         lag_cols: dict[tuple[int, str], str] = {}
@@ -1233,8 +1329,16 @@ def _strict_leadchain(
             cond = cond & lead_match(idx, s, off, r)
             if r == 0:
                 sel.append(lts.alias(f"ts_{i}"))
+                for c in carry.get(f"ts_{i}", []):
+                    sel.append(
+                        F.lead(c, off).over(w).alias(f"ts_{i}_{c}")
+                    )
             if s.times > 1 and r == s.times - 1:
                 sel.append(lts.alias(f"ts_{i}_last"))
+                for c in carry.get(f"ts_{i}_last", []):
+                    sel.append(
+                        F.lead(c, off).over(w).alias(f"ts_{i}_last_{c}")
+                    )
             last_expr = lts
             off += 1
     out = (
@@ -1276,6 +1380,8 @@ def _strict_island_fast(
     type_col: str,
     within: str | None,
     tiebreak: list[str],
+    carry_payload: dict[str, list[str]] | None = None,
+    _island_disjoint: bool | None = None,
 ) -> DataFrame | None:
     """Strict single-loop FAST PATH (late-r8): a greedy pattern shaped
     ``[plain steps][ONE consecutive loop][plain steps]`` compiles to
@@ -1296,7 +1402,15 @@ def _strict_island_fast(
     row, or any out-of-shape step (negation, times>1, second loop,
     non-greedy mode), returns None and the segments engine takes over.
     Measured on the MATCH_RECOGNIZE V-shape headline: the engine's
-    run-metadata + (key, pos) join pass drops to leadchain-like cost."""
+    run-metadata + (key, pos) join pass drops to leadchain-like cost.
+
+    ``carry_payload`` (r9): ``{ts_col: [payload cols]}`` — matched
+    events' payload columns carried THROUGH the window chain and
+    emitted as ``<ts_col>_<col>`` (the ``attach_event_payload``
+    naming), so payload measures cost ZERO joins on this path: prefix
+    steps ride the same ``lag()``, the anchor row's payload is the row
+    itself, the loop's last row and the suffix ``lead()`` values ride
+    the existing island struct-max pulls."""
     loops = [i for i, s in enumerate(steps) if s.loop]
     if len(loops) != 1:
         return None
@@ -1311,23 +1425,52 @@ def _strict_island_fast(
             return None
         if not s.loop and s.times != 1:
             return None
-    cl = _cand_cond(steps[L], type_col)
-    for nb in (L - 1, L + 1):
-        if 0 <= nb < len(steps):
+    # neighbor-disjointness verdict: a caller who already probed (the
+    # MATCH_RECOGNIZE single-job probe) hands it down; otherwise ONE
+    # aggregate job tests both neighbors together (r9 — was one
+    # take(1) job per neighbor)
+    if _island_disjoint is False:
+        return None
+    if _island_disjoint is not True:
+        # static prover first (distinct event types, or provably
+        # empty numeric-range intersection → no job at all), then ONE
+        # aggregate job for whatever pairs remain unproven
+        nbs = [
+            nb for nb in (L - 1, L + 1)
+            if 0 <= nb < len(steps) and not (
+                steps[nb].event_type != steps[L].event_type
+                or _provably_disjoint(steps[L].where, steps[nb].where)
+            )
+        ]
+        if nbs:
+            cl = _cand_cond(steps[L], type_col)
             try:
-                if events.where(
-                    cl & _cand_cond(steps[nb], type_col)
-                ).take(1):
-                    return None
+                row = events.agg(*[
+                    F.max(
+                        F.when(cl & _cand_cond(steps[nb], type_col), 1)
+                    ).alias(f"__w{k}")
+                    for k, nb in enumerate(nbs)
+                ]).first()
             except Exception:
+                return None
+            if any(row[f"__w{k}"] is not None for k in range(len(nbs))):
                 return None
     m = len(steps)
     pre, sfx = L, m - L - 1
+    # normalize the carry request: only this pattern's ts columns, only
+    # payload columns actually present (missing groups fall back to the
+    # caller's attach join)
+    carry: dict[str, list[str]] = {}
+    for tsc, cols in (carry_payload or {}).items():
+        cols = sorted({c for c in cols if c in events.columns})
+        if cols:
+            carry[tsc] = cols
+    carry_src = sorted({c for cols in carry.values() for c in cols})
+    base_keep = [key_col, time_col, type_col, *tiebreak]
+    base_keep += [c for c in carry_src if c not in base_keep]
     order = [F.col(time_col).asc()] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
-    base = _with_cand_cols(
-        events, steps, [key_col, time_col, type_col, *tiebreak], type_col
-    )
+    base = _with_cand_cols(events, steps, base_keep, type_col)
     ci = F.col(f"__c{L}")
     lagc = F.lag(f"__c{L}").over(w)
     base = base.withColumn(
@@ -1340,29 +1483,72 @@ def _strict_island_fast(
         base = base.withColumn(
             f"__pok{j}", F.lag(f"__c{L - j}", j).over(w)
         ).withColumn(f"__pts{j}", F.lag(time_col, j).over(w))
+        for c in carry.get(f"ts_{L + 1 - j}", []):
+            base = base.withColumn(
+                f"__ppay{j}_{c}", F.lag(c, j).over(w)
+            )
     for j in range(1, sfx + 1):
         base = base.withColumn(
             f"__sok{j}", F.lead(f"__c{L + j}", j).over(w)
         ).withColumn(f"__sts{j}", F.lead(time_col, j).over(w))
+        for c in carry.get(f"ts_{L + 1 + j}", []):
+            base = base.withColumn(
+                f"__spay{j}_{c}", F.lead(c, j).over(w)
+            )
     w_isl = (
         Window.partitionBy(key_col, "__grp")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    base = base.withColumn(
-        "__n", F.count(F.lit(1)).over(w_isl)
-    ).withColumn("__lts", F.max(time_col).over(w_isl))
+    # every island-frame aggregate in ONE projection so Spark plans a
+    # SINGLE Window operator (r9 — interleaved withColumn/getField
+    # projects had blocked CollapseWindow and each max became its own
+    # full pass over the partition): the island's last row is pulled
+    # as struct-maxes (row_number is unique within the island, so
+    # max-by-r == last row) — the loop's last timestamp, any loop-last
+    # payload carries, and each suffix step's lead values ride the
+    # same pass.
+    last_fields = [
+        F.col("__rn").alias("r"), F.col(time_col).alias("t"),
+    ] + [
+        F.col(c).alias(f"p_{c}")
+        for c in carry.get(f"ts_{L + 1}_last", [])
+    ]
+    isl_exprs = [
+        F.count(F.lit(1)).over(w_isl).alias("__n"),
+        F.max(F.struct(*last_fields)).over(w_isl).alias("__lastp"),
+    ]
     for j in range(1, sfx + 1):
-        pulled = F.max(
-            F.struct(
-                F.col("__rn").alias("r"),
-                F.col(f"__sok{j}").alias("o"),
-                F.col(f"__sts{j}").alias("t"),
+        isl_exprs.append(
+            F.max(
+                F.struct(
+                    F.col("__rn").alias("r"),
+                    F.col(f"__sok{j}").alias("o"),
+                    F.col(f"__sts{j}").alias("t"),
+                    *[
+                        F.col(f"__spay{j}_{c}").alias(f"p_{c}")
+                        for c in carry.get(f"ts_{L + 1 + j}", [])
+                    ],
+                )
+            ).over(w_isl).alias(f"__pull{j}")
+        )
+    base = base.select("*", *isl_exprs)
+    ext = [F.col("__lastp").getField("t").alias("__lts")]
+    for c in carry.get(f"ts_{L + 1}_last", []):
+        ext.append(
+            F.col("__lastp").getField(f"p_{c}").alias(f"__lpay_{c}")
+        )
+    for j in range(1, sfx + 1):
+        pulled = F.col(f"__pull{j}")
+        ext += [
+            pulled.getField("o").alias(f"__soklast{j}"),
+            pulled.getField("t").alias(f"__stslast{j}"),
+        ]
+        for c in carry.get(f"ts_{L + 1 + j}", []):
+            ext.append(
+                pulled.getField(f"p_{c}").alias(f"__spaylast{j}_{c}")
             )
-        ).over(w_isl)
-        base = base.withColumn(
-            f"__soklast{j}", pulled.getField("o")
-        ).withColumn(f"__stslast{j}", pulled.getField("t"))
+    base = base.select("*", *ext)
     cond = ci & (F.col("__chg") == 1)
     for j in range(1, pre + 1):
         cond = cond & F.coalesce(F.col(f"__pok{j}"), F.lit(False))
@@ -1371,13 +1557,26 @@ def _strict_island_fast(
     sel = [F.col(key_col)]
     for i in range(L):
         sel.append(F.col(f"__pts{L - i}").alias(f"ts_{i + 1}"))
+        for c in carry.get(f"ts_{i + 1}", []):
+            sel.append(
+                F.col(f"__ppay{L - i}_{c}").alias(f"ts_{i + 1}_{c}")
+            )
     sel += [
         F.col(time_col).alias(f"ts_{L + 1}"),
         F.col("__lts").alias(f"ts_{L + 1}_last"),
         F.col("__n").alias(f"n_{L + 1}"),
     ]
+    # the anchor row IS the loop's first event: its payload is free
+    for c in carry.get(f"ts_{L + 1}", []):
+        sel.append(F.col(c).alias(f"ts_{L + 1}_{c}"))
+    for c in carry.get(f"ts_{L + 1}_last", []):
+        sel.append(F.col(f"__lpay_{c}").alias(f"ts_{L + 1}_last_{c}"))
     for j in range(1, sfx + 1):
         sel.append(F.col(f"__stslast{j}").alias(f"ts_{L + 1 + j}"))
+        for c in carry.get(f"ts_{L + 1 + j}", []):
+            sel.append(
+                F.col(f"__spaylast{j}_{c}").alias(f"ts_{L + 1 + j}_{c}")
+            )
     M = base.filter(cond).select(*sel)
     if within is not None:
         last_col = f"ts_{m}" if sfx else f"ts_{L + 1}_last"
@@ -1397,6 +1596,8 @@ def _strict_segments(
     tiebreak: list[str],
     greedy_loops: bool = True,
     _fast: bool = True,
+    carry_payload: dict[str, list[str]] | None = None,
+    _island_disjoint: bool | None = None,
 ) -> DataFrame:
     """Strict pattern WITH consecutive-run loops: fixed-offset
     segments matched with lead chains, glued by (key, position)
@@ -1418,7 +1619,8 @@ def _strict_segments(
     this general engine (the engine-vs-engine differential hook)."""
     if _fast and greedy_loops:
         M = _strict_island_fast(
-            events, steps, key_col, time_col, type_col, within, tiebreak
+            events, steps, key_col, time_col, type_col, within, tiebreak,
+            carry_payload, _island_disjoint,
         )
         if M is not None:
             return M

@@ -67,6 +67,7 @@ from flink_note_spark.operators.cep import (
     _iter_where,
     _out_cols,
     _parse_skip,
+    _provably_disjoint,
     attach_event_payload,
     match_pattern,
 )
@@ -283,7 +284,20 @@ def match_recognize(
     fast = all(
         not s.optional and s.times_max is None for s in steps
     )
+    # r9: ALL disjointness probes fold into ONE aggregate job — the
+    # greedy-safety pairs (each loop vs its follower) plus, when the
+    # pattern is island-shaped, the island engine's loop-vs-predecessor
+    # pair, whose verdict is handed down as a hint so the engine runs
+    # ZERO probe jobs of its own (was 3 scan jobs on the V-shape
+    # headline, now 1).
+    island_disjoint: bool | None = None
     if fast:
+        loops = [i for i, s in enumerate(steps) if s.loop]
+        island_shape = (
+            len(loops) == 1 and loops[0] > 0
+            and all(s.loop or s.times == 1 for s in steps)
+        )
+        pairs: list[tuple[str, int, int]] = []
         for i, s in enumerate(steps):
             if not s.loop or i + 1 == len(steps):
                 continue
@@ -291,60 +305,53 @@ def match_recognize(
             if s.where is None or nxt.where is None:
                 fast = False
                 break
-            try:
-                wi = (
+            if not _provably_disjoint(s.where, nxt.where):
+                pairs.append(("follower", i, i + 1))
+        if fast and island_shape:
+            L = loops[0]
+            if steps[L].where is None or steps[L - 1].where is None:
+                # an undefined (TRUE) variable adjacent to the loop
+                # can never be disjoint from it
+                island_disjoint = False
+            elif _provably_disjoint(steps[L].where, steps[L - 1].where):
+                island_disjoint = True
+            else:
+                pairs.append(("prev", L - 1, L))
+        if fast and pairs:
+            def _cond(s: PatternStep):
+                return (
                     F.expr(s.where) if isinstance(s.where, str)
                     else s.where
                 )
-                wn = (
-                    F.expr(nxt.where) if isinstance(nxt.where, str)
-                    else nxt.where
-                )
-                witness = events.where(wi & wn).take(1)
+
+            try:
+                aggs = [
+                    F.max(
+                        F.when(_cond(steps[i]) & _cond(steps[j]), 1)
+                    ).alias(f"w{n}")
+                    for n, (_k, i, j) in enumerate(pairs)
+                ]
+                row = events.agg(*aggs).first()
             except Exception:  # iterative refs etc. — be conservative
                 fast = False
-                break
-            if witness:
-                fast = False
-                break
-    matches = match_pattern(
-        typed,
-        steps,
-        key_col=partition_by,
-        time_col=order_by,
-        type_col=_ROW_TYPE,
-        within=within,
-        contiguity="strict",
-        tiebreak=tiebreak,
-        skip_strategy=None if fast else "no_skip",
-    )
-    if not fast:
-        out_cols = _out_cols(steps)
-        greedy_order = [
-            F.col(c).desc_nulls_last() for c in out_cols if c != "ts_1"
-        ]
-        if greedy_order:
-            w = Window.partitionBy(partition_by, "ts_1").orderBy(
-                *greedy_order
-            )
-            matches = (
-                matches.withColumn("__mr_rn", F.row_number().over(w))
-                .filter(F.col("__mr_rn") == 1)
-                .drop("__mr_rn")
-            )
-    matches = _apply_skip(
-        matches, steps, partition_by, _parse_skip(skip)
-    )
+            else:
+                for n, (kind, _i, _j) in enumerate(pairs):
+                    hit = row[f"w{n}"] is not None
+                    if kind == "follower" and hit:
+                        fast = False
+                    elif kind == "prev":
+                        island_disjoint = not hit
+        if not fast:
+            island_disjoint = None  # engine decides on its own path
 
-    if not measures:
-        return matches
-
-    # resolve each measure to (engine ts column to attach on | direct
-    # expression); group payload attaches per engine step column so
-    # each (step, first|last) costs exactly one join
+    # resolve each measure BEFORE running the engine (r9): payload
+    # measures become a carry_payload request the strict fast paths
+    # satisfy inside their single window pass (zero joins); any group
+    # the chosen engine did not materialize falls back to one
+    # co-partitioned attach join per (step, first|last)
     attach: dict[str, list[tuple[str, str]]] = {}
     exprs: list[tuple[str, object]] = []  # (out_name, Column|("attach", tscol, payload))
-    for out_name, spec in measures.items():
+    for out_name, spec in (measures or {}).items():
         m = _MEASURE_RE.match(spec.strip())
         if not m:
             raise ValueError(
@@ -405,12 +412,59 @@ def match_recognize(
             attach.setdefault(ts_col, []).append((out_name, col))
             exprs.append((out_name, ("attach", ts_col, col)))
 
+    matches = match_pattern(
+        typed,
+        steps,
+        key_col=partition_by,
+        time_col=order_by,
+        type_col=_ROW_TYPE,
+        within=within,
+        contiguity="strict",
+        tiebreak=tiebreak,
+        skip_strategy=None if fast else "no_skip",
+        carry_payload={
+            ts: sorted({c for _n, c in wants})
+            for ts, wants in attach.items()
+        } or None,
+        _island_disjoint=island_disjoint,
+    )
+    carried = set(matches.columns)
+    if not fast:
+        out_cols = _out_cols(steps)
+        greedy_order = [
+            F.col(c).desc_nulls_last() for c in out_cols if c != "ts_1"
+        ]
+        if greedy_order:
+            w = Window.partitionBy(partition_by, "ts_1").orderBy(
+                *greedy_order
+            )
+            matches = (
+                matches.withColumn("__mr_rn", F.row_number().over(w))
+                .filter(F.col("__mr_rn") == 1)
+                .drop("__mr_rn")
+            )
+    # SKIP TO NEXT ROW keeps ONE match per (partition, start); both
+    # pipelines already guarantee that — the greedy engine binds one
+    # maximal match per anchor, and the exact path's leftmost-greedy
+    # selection picks row #1 per (key, ts_1) — so the strategy is an
+    # identity here and its window pass is skipped outright (r9).
+    if skip != "skip_to_next":
+        matches = _apply_skip(
+            matches, steps, partition_by, _parse_skip(skip)
+        )
+
+    if not measures:
+        return matches
+
     out = matches
     for ts_col, wants in attach.items():
+        want_cols = sorted({c for _n, c in wants})
+        if all(f"{ts_col}_{c}" in carried for c in want_cols):
+            continue  # engine carried the payload — no join needed
         out = attach_event_payload(
             out, typed.drop(_ROW_TYPE),
             [ts_col], key_col=partition_by, time_col=order_by,
-            payload_cols=sorted({c for _n, c in wants}),
+            payload_cols=want_cols,
         )
     final = [F.col(partition_by)]
     for out_name, e in exprs:

@@ -272,7 +272,9 @@ def tfidf_top_terms(
     )
     return (
         tf.join(dfreq, "token")
-        .crossJoin(n)
+        .crossJoin(F.broadcast(n))  # 1-row total: bounded (r9 — the
+        # explicit hint matches the sibling at frequent_tokens and
+        # keeps the no-cartesian contract independent of AQE)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -1084,3 +1084,27 @@ def test_window_offset_shifts_grid(spark):
     # splits them across the boundary at minute 15
     assert plain.count() == 1
     assert offs.count() == 2
+
+
+# ------------------------------------------------- static disjointness (r9)
+
+
+def test_provably_disjoint_numeric_ranges():
+    """The CEP probe prover: single-column numeric range conjunctions
+    with empty intersections are disjoint WITHOUT a data scan; anything
+    richer (other columns, ORs, parens) conservatively is not."""
+    from flink_note_spark.operators.cep import _provably_disjoint as d
+
+    assert d("value >= 100", "value < 80")
+    assert d("value < 80", "value >= 150")
+    assert d("value > 10 AND value < 20", "value >= 20")
+    assert d("value = 5", "value > 5")
+    assert not d("value >= 20", "value > 10 AND value < 25")
+    assert not d("value <= 20", "value >= 20")  # touch at a closed point
+    assert d("value < 20", "value >= 20")
+    assert not d("value >= 100", "price < 80")  # different columns
+    assert not d("value >= 100 OR value < 0", "value < 80")  # OR bails
+    assert not d("(value >= 100)", "value < 80")  # parens bail
+    assert not d("value >= 100", None)
+    assert not d(None, None)
+    assert not d("upper(k) = 'A'", "value < 80")  # function bails

@@ -120,6 +120,18 @@ def test_q57_ivf_query_no_cartesian_bounded_shuffles(spark, sf_dir):
     assert shuffle_count(df) <= 3, f"ivf query shuffles {shuffle_count(df)}×"
 
 
+def test_q70_tfidf_total_join_broadcast_no_cartesian(spark, sf_dir):
+    """TF-IDF: the one-row corpus total rides in on an EXPLICITLY
+    broadcast cross join (r9, VERDICT r8 nit) — the plan must show a
+    broadcast nested-loop of the 1-row side, never a CartesianProduct,
+    independent of AQE's runtime size estimate."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q70_tfidf_top_terms"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q73_decontaminate_semi_anti_no_cartesian(spark, sf_dir):
     """Decontamination: benchmark shingles meet the corpus in a shingle
     SEMI-join and ids leave via an ANTI-join — never a cross join, and
