@@ -499,11 +499,19 @@ def match_recognize_stream(
 
     Supported subset (each refusal points at the batch operator):
 
-    - PATTERN: unquantified variables and ``{n}`` fixed repetition.
-      ``+ * ? {n,m}`` are batch-only on streams: SQL greedy selection
-      over quantified patterns needs either the every-prefix match
-      set (a batch post-pass) or the DEFINE-disjointness probe, which
-      is a data-dependent ``take(1)`` no unbounded stream can answer.
+    - PATTERN: unquantified variables, ``{n}`` fixed repetition, and
+      (r9) ``V+`` one-or-more WHEN the loop variable's DEFINE is
+      STATICALLY provably disjoint from its follower's (single-column
+      numeric ranges with empty intersection, the
+      ``_provably_disjoint`` prover — e.g. ``DOWN: value < 80`` /
+      ``UP: value >= 150``): disjointness means no greedy run can be
+      cut short, so the engine's greedy one-or-more IS the SQL greedy
+      binding with no batch post-pass. The batch operator's
+      data-dependent ``take(1)`` probe has no stream analogue, so
+      non-provable defines refuse. ``* ? {n,m}`` stay batch-only
+      (variant unions need the greedy selection post-pass). A loop
+      requires ``within`` (the state bound) and must not be the LAST
+      variable (terminal runs never finalize on an unbounded stream).
     - DEFINE: SimpleConditions stream on the candidate mask
       (JVM-side); conditions referencing EARLIER variables compile to
       the iterative engine (numeric columns, the SQL↔Python subset)
@@ -512,10 +520,10 @@ def match_recognize_stream(
       binds identically to the engine default, so it maps to it.
     - MEASURES: ``FIRST/LAST(V.<order_by>)``, bare ``V.<order_by>``,
       and ``COUNT(V.*)`` — projected straight from the engine's
-      ``ts_k`` columns (epoch MICROseconds, the streaming
-      convention). Payload measures are batch-only: they attach via
-      a co-partitioned join, which update-mode stateful output cannot
-      feed; join downstream in ``foreachBatch`` instead.
+      ``ts_k``/``ts_k_last``/``n_k`` columns (epoch MICROseconds, the
+      streaming convention). Payload measures are batch-only: they
+      attach via a co-partitioned join, which update-mode stateful
+      output cannot feed; join downstream in ``foreachBatch`` instead.
     - ONE ROW PER MATCH, emitted exactly once at watermark finality.
     """
     define = dict(define or {})
@@ -529,12 +537,14 @@ def match_recognize_stream(
                 f"(pattern variables: {names})"
             )
     for v, q in parsed:
-        if q is not None and not re.fullmatch(r"\{\d+\}", q):
+        if q is not None and q != "+" and not re.fullmatch(
+            r"\{\d+\}", q
+        ):
             raise ValueError(
                 f"streaming MATCH_RECOGNIZE supports unquantified "
-                f"variables and {{n}}; {v}{q} is batch-only (greedy "
-                f"selection over quantified patterns needs the batch "
-                f"post-pass or a data probe no stream can answer)"
+                f"variables, {{n}} and provably-disjoint +; {v}{q} is "
+                f"batch-only (greedy selection over variant-expanded "
+                f"quantifiers needs the batch post-pass)"
             )
 
     steps = [
@@ -548,6 +558,25 @@ def match_recognize_stream(
         )
         for s in steps
     ]
+    # r9: one-or-more loops stream only when SQL greedy binding is
+    # provable WITHOUT a data probe — the loop's DEFINE statically
+    # disjoint from its follower's (see the module prover); the
+    # engine's greedy maximal run is then exactly the standard's
+    # leftmost-greedy choice
+    for i, s in enumerate(steps):
+        if not s.loop:
+            continue
+        if i + 1 < len(steps):
+            nxt = steps[i + 1]
+            if not _provably_disjoint(s.where, nxt.where):
+                raise ValueError(
+                    f"streaming MATCH_RECOGNIZE with "
+                    f"{names[i]}+ requires its DEFINE to be PROVABLY "
+                    f"disjoint from {names[i + 1]}'s (single-column "
+                    f"numeric ranges that cannot overlap) — greedy "
+                    f"selection is otherwise data-dependent, which "
+                    f"only the batch operator can probe"
+                )
     skip = _parse_after_match(after_match, var_index)
     iterative = any(_iter_where(s) is not None for s in steps)
     if iterative:
@@ -560,6 +589,13 @@ def match_recognize_stream(
             )
         # loop-free strict chains bind deterministically (<=1 match
         # per anchor), so SKIP TO NEXT ROW == the engine default
+        skip = None
+    elif skip == "skip_to_next":
+        # r9: every accepted shape (fixed offsets; provably-disjoint
+        # greedy loops) binds at most ONE match per anchor start, so
+        # SKIP TO NEXT ROW is an identity — map it to the engine's
+        # greedy default instead of its prefix-selection machinery
+        # (whose strict-loop form is batch-only)
         skip = None
 
     from flink_note_spark.streaming.ops import match_pattern_stream
@@ -596,14 +632,20 @@ def match_recognize_stream(
                 f"measure {spec!r} references unknown variable {var!r}"
             )
         st = steps[k - 1]
+        quantified = st.loop or st.times > 1
         if fn == "COUNT":
             if col != "*":
                 raise ValueError(
                     f"COUNT measures are COUNT(V.*), got {spec!r}"
                 )
-            exprs.append(F.lit(st.times).cast("long").alias(out_name))
+            if st.loop:  # r9: the engine materializes the run count
+                exprs.append(F.col(f"n_{k}").alias(out_name))
+            else:
+                exprs.append(
+                    F.lit(st.times).cast("long").alias(out_name)
+                )
             continue
-        if fn == "" and st.times > 1:
+        if fn == "" and quantified:
             raise ValueError(
                 f"bare measure {spec!r} on a quantified variable is "
                 "ambiguous — use FIRST(...) or LAST(...)"
@@ -617,7 +659,7 @@ def match_recognize_stream(
                 "— use the batch operator or join in foreachBatch"
             )
         ts_col = f"ts_{k}"
-        if fn == "LAST" and st.times > 1:
+        if fn == "LAST" and quantified:
             ts_col = f"ts_{k}_last"
         exprs.append(F.col(ts_col).alias(out_name))
     return matches.select(F.col(partition_by), *exprs)

@@ -1399,8 +1399,16 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
         # cannot split across windows (same end ⇒ same window).
         # skip_to_next rides the per-window per-anchor selection —
         # loop-free strict patterns bind deterministically (≤1 match
-        # per anchor), and strict loops under skip_to_next are refused
-        # at dispatch (an anchor's prefixes span windows).
+        # per anchor); strict LOOPS (r9, VERDICT r8 item 4) extend it
+        # across windows: an anchor's prefix caps end in prefix-length
+        # order and a strict cap decides exactly when its end passes
+        # the watermark, so the FIRST window in which ANY cap of an
+        # anchor decides contains its earliest end — emit that one,
+        # remember the anchor in ``pend`` (padded to cap width), and
+        # drop the anchor's later-window caps. Anchor entries evict at
+        # the anchor horizon: emit()'s ``within`` filter means no cap
+        # can end past start + within, so once wm passes it the
+        # anchor is closed.
         if sequential:
             release = sorted(
                 rows, key=lambda c: (_se(c)[1], _se(c)[0], c)
@@ -1408,6 +1416,21 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             rows, bound = _chain_sequential(release, bound)
         else:
             rows, bound = _apply_skip_rows(rows, bound)
+            if skip is not None and skip[0] == "skip_to_next" and has_loop:
+                seen = {c[0] for c in pend}
+                kept = []
+                for c in rows:
+                    s = _se(c)[0]
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    kept.append(c)
+                rows = kept
+                anchor_evict = wm_us - within_us
+                pend = [
+                    [s] * cap_w
+                    for s in sorted(seen) if s >= anchor_evict
+                ]
         if has_loop:
             evict = wm_us - within_us
             cut = 0
@@ -2652,17 +2675,19 @@ def match_pattern_stream(
     render the batch (end, start) scan exactly, at the cost of up to
     one extra ``within`` of emission latency for those strategies.
     The chain carries one threshold timestamp per key (``bound``).
-    STRICT patterns support the full strategy set since late-r8 —
-    a strict match decides exactly when its END passes the watermark,
-    so ends are globally monotone across windows and the sequential
-    chain consumes each window's decided matches directly on the
-    carried ``bound`` (no pending-release stage; that machinery exists
-    because relaxed anchors decide at their horizon, where a
-    later-decided anchor can still end earlier). The one strict
-    remainder is ``skip_to_next`` on a loop: an anchor's non-greedy
-    prefixes end at different events, so its earliest-match selection
-    spans watermark windows (batch-only). Equality vs the batch
-    operator per strategy in tests/test_streaming.py.
+    STRICT patterns support the full strategy set — sequential
+    strategies since late-r8: a strict match decides exactly when its
+    END passes the watermark, so ends are globally monotone across
+    windows and the sequential chain consumes each window's decided
+    matches directly on the carried ``bound`` (no pending-release
+    stage; that machinery exists because relaxed anchors decide at
+    their horizon, where a later-decided anchor can still end
+    earlier); ``skip_to_next`` on strict LOOPS since r9: an anchor's
+    prefix caps end in prefix-length order, so the first-decided cap
+    per anchor IS its earliest match — emitted immediately, with the
+    anchor held in ``pend`` (padded to cap width) until its ``within``
+    horizon closes so later-window prefixes stay suppressed. Equality
+    vs the batch operator per strategy in tests/test_streaming.py.
 
     ``optional()`` / ``times(n, m)`` (r8): the batch variant union
     (Flink's branching NFA) runs incrementally — every expanded
@@ -2705,12 +2730,12 @@ def match_pattern_stream(
     loops (run maximality/membership can change beyond the horizon).
 
     Batch-only remainders: mixed loops/variants/skip strategies,
-    skip_to_next on strict loops, skip strategies over variant
-    unions or iterative conditions, non-numeric/non-subset iterative
-    predicates, non-greedy any-loops, and — for STRICT patterns —
-    terminal negation/loops (they ask what follows the match,
-    unanswerable on an unbounded stream; relaxed terminal negation
-    and loops are fine, the ``within`` horizon decides them).
+    skip strategies over variant unions or iterative conditions,
+    non-numeric/non-subset iterative predicates, non-greedy
+    any-loops, and — for STRICT patterns — terminal negation/loops
+    (they ask what follows the match, unanswerable on an unbounded
+    stream; relaxed terminal negation and loops are fine, the
+    ``within`` horizon decides them).
     """
     from flink_note_spark.operators.cep import (
         Pattern,
@@ -2937,24 +2962,15 @@ def match_pattern_stream(
         # r7: negation + greedy one_or_more/until + times run on the
         # general per-key engine (_make_general_cep_fn docstring has
         # the finality/eviction proofs); skip strategies ride the same
-        # engine. STRICT patterns support the full sequential set
-        # since late-r8 — strict matches decide exactly when their END
-        # passes the watermark, so ends are globally monotone across
-        # windows and the prune chain needs only the carried ``bound``
-        # (see _find_gstrict). The one remainder: skip_to_next on a
-        # strict LOOP, whose per-anchor earliest-prefix selection
-        # spans watermark windows.
-        if (
-            skip is not None and skip[0] == "skip_to_next"
-            and contiguity == "strict"
-            and any(s.loop for s in steps)
-        ):
-            raise ValueError(
-                "skip_to_next on a STRICT streaming pattern with "
-                "one_or_more is batch-only: an anchor's non-greedy "
-                "prefixes end at different events, so the per-anchor "
-                "earliest-match selection spans watermark windows"
-            )
+        # engine. STRICT patterns support the full strategy set —
+        # sequential strategies since late-r8 (strict matches decide
+        # exactly when their END passes the watermark, so ends are
+        # globally monotone across windows and the prune chain needs
+        # only the carried ``bound``, see _find_gstrict);
+        # skip_to_next on strict LOOPS since r9 (an anchor's prefix
+        # caps decide in end order, so the first-decided cap per
+        # anchor IS the earliest match — the engine carries emitted
+        # anchors in ``pend`` until their horizon closes).
         if skip is not None and skip[0] in ("skip_to_first", "skip_to_last"):
             # mirror batch _apply_skip's range check HERE, before the
             # state function ships to executors: an out-of-range index

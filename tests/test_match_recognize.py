@@ -460,6 +460,22 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
             define={"LO": "value < 0.4", "HI": "value > 0.6"},
             measures={"lo_ts": "LO.ts", "hi_ts": "HI.ts"},
             after_match="skip to first HI")),
+        # r9: one-or-more with STATICALLY provably-disjoint defines —
+        # the V-shape, greedy run selection local per anchor
+        ("plus_v_shape", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={"STRT": "value >= 0.5", "DOWN": "value < 0.4",
+                    "UP": "value >= 0.6"},
+            measures={"start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)",
+                      "bottom_ts": "LAST(DOWN.ts)", "up_ts": "UP.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("plus_skip_past", dict(
+            partition_by="user_id", order_by="ts", pattern="LO+ HI",
+            define={"LO": "value < 0.35", "HI": "value > 0.65"},
+            measures={"first_lo": "FIRST(LO.ts)", "n_lo": "COUNT(LO.*)",
+                      "hi_ts": "HI.ts"},
+            after_match="skip past last row", within="30 minutes")),
     ]
     for tag, kw in clauses:
         want = []
@@ -496,6 +512,86 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
         assert got, tag
 
 
+def test_match_recognize_stream_plus_survives_restart(spark, tmp_path):
+    """r9: a DOWN+ run spanning a stop/restart boundary lives in
+    checkpointed state — the match completes after the restart with
+    the full run count, exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    d = tmp_path / "mr_plus_chunks"
+    d.mkdir()
+    sink = tmp_path / "mr_plus_sink"
+    ckpt = tmp_path / "mr_plus_ckpt"
+    schema_pa = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value", pa.float64()),
+    ])
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def chunk(name, rows):
+        t = pa.Table.from_pylist(
+            [dict(zip(["user_id", "event_id", "ts", "value"], r))
+             for r in rows], schema=schema_pa)
+        pq.write_table(t, str(d / name))
+
+    def t(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={"STRT": "value >= 100", "DOWN": "value < 80",
+                    "UP": "value >= 150"},
+            measures={"start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)",
+                      "up_ts": "UP.ts"},
+            after_match="skip to next row",
+            within="60 minutes", watermark="2 minutes",
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: anchor + first half of the DOWN run — no match yet
+    chunk("c1.parquet", [
+        (1, 1, t(0), 120.0), (1, 2, t(1), 60.0), (1, 3, t(2), 40.0),
+    ])
+    run_once()
+    assert not sink.exists()
+
+    # run 2 (same checkpoint): the run continues, then UP completes it
+    chunk("c2.parquet", [(1, 4, t(3), 50.0), (1, 5, t(4), 160.0)])
+    chunk("c3.parquet", [(99, 9, t(120), 1.0)])  # watermark driver
+    run_once()
+    us = lambda m: int(
+        t(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    final = sorted(
+        (int(r["user_id"]), int(r["start_ts"]), int(r["n_down"]),
+         int(r["up_ts"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert final == [(1, us(0), 3, us(4))]
+
+
 def test_match_recognize_stream_rejections(spark, tmp_path):
     """Out-of-subset clauses refuse with pointers at the batch
     operator: quantifiers beyond {n}, payload measures, iterative
@@ -510,9 +606,30 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
     schema = "user_id long, event_id long, ts timestamp, value double"
     stream = spark.readStream.schema(schema).parquet(str(d))
     with pytest.raises(ValueError, match="batch-only"):
+        # terminal loop: never finalizes on an unbounded stream
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B+", define={"B": "value > 0.5"},
+            within="10 minutes",
+        )
+    with pytest.raises(ValueError, match="PROVABLY disjoint"):
+        # r9: + streams only under static disjointness — these ranges
+        # overlap on [0.4, 0.5), so greedy selection is data-dependent
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B+ C",
+            define={"A": "value >= 0.9", "B": "value < 0.5",
+                    "C": "value >= 0.4"},
+            within="10 minutes",
+        )
+    with pytest.raises(ValueError, match="batch-only"):
+        # * stays variant-expanded → batch-only
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B* C",
+            define={"A": "value >= 0.9", "B": "value < 0.3",
+                    "C": "value >= 0.6"},
+            within="10 minutes",
         )
     with pytest.raises(ValueError, match="payload"):
         match_recognize_stream(

@@ -2020,7 +2020,8 @@ def test_cep_stream_strict_skip_strategies_equal_batch(
     rows = sorted(
         [
             (rng.randrange(1, 4), i, _ts(i * 2),
-             rng.choice(["V", "C", "P"]), 1.0)
+             rng.choice(["V", "C", "P"]),
+             rng.choice([30.0, 60.0, 120.0]))
             for i in range(90)
         ],
         key=lambda r: r[2],
@@ -2043,8 +2044,24 @@ def test_cep_stream_strict_skip_strategies_equal_batch(
             [{"type": "V"}, {"type": "C", "one_or_more": True},
              {"type": "P"}],
             ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
-            ["skip_past_last_event", ("skip_to_first", 2),
-             ("skip_to_last", 2)],
+            # skip_to_next on a strict loop (r9): the anchor's
+            # earliest-end prefix is the first to decide at the
+            # watermark; later-window prefixes are suppressed by the
+            # pend-carried anchor set
+            ["skip_past_last_event", "skip_to_next",
+             ("skip_to_first", 2), ("skip_to_last", 2)],
+        ),
+        (
+            # r9: OVERLAPPING loop/follower predicates (a 60.0 C row
+            # is both) give anchors several completing prefixes with
+            # distinct ends — the case where skip_to_next genuinely
+            # selects, across watermark windows
+            "loopwhere",
+            [{"type": "V"},
+             {"type": "C", "one_or_more": True, "where": "value < 80"},
+             {"type": "C", "where": "value >= 50"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+            ["no_skip", "skip_to_next", "skip_past_last_event"],
         ),
     ]
     for shape, pat, cols, strats in cases:
@@ -2149,20 +2166,13 @@ def test_cep_stream_strict_no_skip_equals_batch(spark, chunk_dir, tmp_path):
 
 
 def test_cep_stream_skip_rejections(spark, chunk_dir):
-    """The remaining skip refusals fail loudly: skip_to_next on a
-    strict loop (per-anchor prefix selection spans watermark windows)
-    and malformed strategies/indices."""
+    """The remaining skip refusals fail loudly: malformed strategies
+    and out-of-range step indices (skip_to_next on a strict loop is
+    SUPPORTED since r9 — see the strict equality matrix)."""
     from flink_note_spark.streaming.ops import match_pattern_stream
 
     _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "A", 1.0)])
     stream = read_file_stream(spark, "parquet", str(chunk_dir), EVENT_SCHEMA)
-    with pytest.raises(ValueError, match="batch-only"):
-        match_pattern_stream(
-            stream,
-            [{"type": "A", "one_or_more": True}, {"type": "B"}],
-            contiguity="strict", within="10 minutes",
-            watermark="1 minutes", skip_strategy="skip_to_next",
-        )
     with pytest.raises(ValueError, match="skip_strategy"):
         match_pattern_stream(
             stream, ["A", "B"], watermark="1 minutes",
@@ -2256,6 +2266,90 @@ def test_cep_stream_skip_bound_survives_restart(spark, chunk_dir, tmp_path):
         (1, _us(0), _us(10), 1),
         (4, _us(0), _us(10), 1),
         (4, _us(11), _us(12), 1),
+    ]
+
+
+def test_cep_stream_strict_loop_skip_to_next_survives_restart(
+    spark, chunk_dir, tmp_path
+):
+    """r9 skip_to_next on a strict loop: the emitted-anchor set rides
+    ``pend`` through the checkpoint — an anchor whose earliest prefix
+    emitted BEFORE the restart keeps its longer prefixes suppressed
+    when they decide after the restart, exactly once. Multi-prefix
+    anchors need the loop and follower conditions to OVERLAP (a pure
+    type-keyed follower breaks the run), so the steps are
+    where-predicated over one event type."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    sink = tmp_path / "cep_stnl_sink"
+    ckpt = tmp_path / "cep_stnl_ckpt"
+    # anchor: value >= 100; loop: value < 80; follower: value >= 50 —
+    # a 50..79 row is BOTH loop element and follower, so an anchor's
+    # run yields several completing prefixes with distinct ends
+    pat = [
+        {"type": "E", "where": "value >= 100"},
+        {"type": "E", "one_or_more": True, "where": "value < 80"},
+        {"type": "E", "where": "value >= 50"},
+    ]
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, pat, contiguity="strict",
+            within="60 minutes", watermark="2 minutes",
+            skip_strategy="skip_to_next",
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # anchor@0 run = [60@2, 60@4, 70@6]; prefixes end @4, @6 (each cut
+    # row doubles as follower), and the @9 anchor row (120 >= 50) even
+    # completes the FULL run as a third prefix ending @9. Run 1's
+    # watermark (10 − 2 = 8) decides only the earliest end @4 → emit.
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(0), "E", 120.0),
+        (1, 2, _ts(2), "E", 60.0),
+        (1, 3, _ts(4), "E", 60.0),
+        (1, 4, _ts(6), "E", 70.0),
+    ])
+    _write_chunk(chunk_dir, "c2.parquet", [(99, 8, _ts(7), "Z", 1.0)])
+    _write_chunk(chunk_dir, "c3.parquet", [(99, 9, _ts(10), "Z", 1.0)])
+    run_once()
+    first = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["n_2"]), int(r["ts_3"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert first == [(1, _us(0), 1, _us(4))]
+
+    # run 2 (same checkpoint): the @6/@9 prefixes decide now and must
+    # stay suppressed (the anchor emitted pre-restart); the fresh
+    # anchor@9 still matches its own run
+    _write_chunk(chunk_dir, "c4.parquet", [
+        (1, 5, _ts(9), "E", 120.0),
+        (1, 6, _ts(11), "E", 60.0),
+        (1, 7, _ts(13), "E", 55.0),
+    ])
+    _write_chunk(chunk_dir, "c5.parquet", [(99, 10, _ts(120), "Z", 1.0)])
+    _write_chunk(chunk_dir, "c6.parquet", [(99, 11, _ts(121), "Z", 1.0)])
+    run_once()
+    final = sorted(
+        (int(r["user_id"]), int(r["ts_1"]), int(r["n_2"]), int(r["ts_3"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert final == [
+        (1, _us(0), 1, _us(4)),
+        (1, _us(9), 1, _us(13)),
     ]
 
 
