@@ -135,9 +135,14 @@ def variant_field(
     Measured on events.props at 32× sf0.1 (3.2M rows, cached input,
     interleaved reps): variant 0.93 s median / 0.76 s min vs from_json
     1.06 s / 0.98 s — ~12% faster at the median, ~23% at the minimum
-    (VERDICT r6 item 2; full row in BASELINE.md). The gap grows with
-    document size: variant parses once into a navigable binary, while
-    ``from_json`` re-materializes the full struct schema per row.
+    (VERDICT r6 item 2; full row in BASELINE.md). Width caveat (r9,
+    measured — BASELINE.md "Round-9 width A/B"): ``try_parse_json``
+    materializes the FULL document's variant binary, so on WIDE
+    documents with few requested paths it loses badly (~70% slower
+    than a pruned ``from_json`` at 49 fields); use this for narrow
+    docs or parse-once-read-many access, and a schema-pruned
+    ``from_json`` / ``get_json_object`` for wide-doc single-path
+    pulls.
     The ``try_`` pair returns NULL on malformed input (``parse_json``
     proper is FAILFAST and throws) and on type mismatch — same
     contract as ``from_json``'s null-on-corrupt default

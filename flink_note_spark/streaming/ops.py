@@ -3463,6 +3463,19 @@ def window_dedup_stream(
     )
 
 
+def file_wall_clock(path: str):
+    """Picklable stub wall clock for deterministic processing-time
+    tests: a zero-arg callable reading the current fake time (seconds)
+    from ``path`` — the driver rewrites the file between batches,
+    workers read it per batch (plain closure, pickled by value with
+    the package)."""
+    def _read() -> float:
+        with open(path) as f:
+            return float(f.read().strip())
+
+    return _read
+
+
 def keyed_running_agg_stream(
     stream: DataFrame,
     key_col: str,
@@ -3470,30 +3483,52 @@ def keyed_running_agg_stream(
     value_col: str = "value",
     ttl: str | None = None,
     watermark: str = "5 minutes",
+    ttl_clock: str = "event",
+    _wall_clock=None,
 ) -> DataFrame:
     """Per-key running aggregate with **state TTL** (r8) — Flink's
     canonical ``ValueState`` + ``StateTtlConfig`` pattern (the running-
     average/fraud-detection example): each key keeps ``(n, sum)`` and
     emits the updated aggregate every micro-batch it receives data;
     with ``ttl`` set, state that has not been UPDATED for ``ttl``
-    expires — the next event starts the aggregate fresh, and an
-    event-time timer physically removes idle state (the memory-bound
-    half of TTL, which matters at 100 TB key cardinalities: without
-    cleanup, every key ever seen stays in the store forever).
+    expires — the next event starts the aggregate fresh, and a timer
+    physically removes idle state (the memory-bound half of TTL, which
+    matters at 100 TB key cardinalities: without cleanup, every key
+    ever seen stays in the store forever).
 
-    Documented deviation: Flink's default TTL clock is PROCESSING
-    time; this rendering expires on EVENT-time gaps (an event more
-    than ``ttl`` after the state's last event resets it first), which
-    is deterministic under replay/restart — the same doctrine as the
-    engine's other processing-time analogues. Within a batch, resets
-    apply at every ``> ttl`` gap in event-time order (vectorized
-    ``np.diff`` segmentation, the sessionize kernel's shape).
+    ``ttl_clock`` (r9, VERDICT r8 item 5) selects the expiry clock:
+
+    - ``"event"`` (default): expiry on EVENT-time gaps (an event more
+      than ``ttl`` after the state's last event resets it first) —
+      deterministic under replay/restart, the engine's documented
+      deviation from Flink. Within a batch, resets apply at every
+      ``> ttl`` gap in event-time order.
+    - ``"processing"``: Flink's ``StateTtlConfig`` DEFAULT — state
+      untouched for ``ttl`` of WALL-CLOCK time expires, regardless of
+      event times. Requires ``ttl``; cleanup runs on a
+      processing-time timer. Inherently non-deterministic under
+      replay (the Flink behavior); within one micro-batch no reset
+      applies (all rows of the batch update state "now", exactly as
+      Flink's per-element update refreshes the TTL). ``_wall_clock``
+      injects the clock for deterministic tests (a picklable
+      zero-arg callable returning seconds; workers call it per
+      batch). Caveat: pending processing-time timers keep the query
+      scheduling micro-batches, so ``availableNow`` triggers and
+      ``processAllAvailable()`` do not quiesce while state is live —
+      exactly as a Flink job with registered processing-time timers
+      stays running; stop the query explicitly.
 
     Output per (key, batch-with-data): ``(key, last_ts_us, n,
     sum_value)`` — the aggregate AFTER folding the batch, where
     ``n``/``sum_value`` count events since the last expiry. Update
     output mode; equality-vs-python-fold pinned in tests.
     """
+    if ttl_clock not in ("event", "processing"):
+        raise ValueError(
+            f"ttl_clock must be 'event' or 'processing', got {ttl_clock!r}"
+        )
+    if ttl_clock == "processing" and ttl is None:
+        raise ValueError("ttl_clock='processing' requires ttl=")
     ttl_us = None if ttl is None else _parse_duration_ms(ttl) * 1_000
     key_type = dict(stream.dtypes)[key_col]
     out_schema = (
@@ -3501,6 +3536,61 @@ def keyed_running_agg_stream(
         "sum_value double"
     )
     cols = [key_col, "last_ts_us", "n", "sum_value"]
+
+    if ttl_clock == "processing":
+        ttl_ms = _parse_duration_ms(ttl)
+        wall = _wall_clock
+
+        def fn_proc(key_tuple, pdfs, state: GroupState):
+            import time as _time
+
+            (k,) = key_tuple
+            if state.hasTimedOut:
+                state.remove()
+                return
+            now_us = int((wall() if wall is not None else _time.time())
+                         * 1_000_000)
+            n, s, last_ts, last_wall = (
+                state.get if state.exists else (0, 0.0, None, None)
+            )
+            pt, pv = [], []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                pt.append(
+                    pdf[ts_col].to_numpy().view("int64") // 1_000
+                )
+                pv.append(
+                    pdf[value_col].fillna(0.0)
+                    .to_numpy(dtype=np.float64)
+                )
+            if not pt:
+                return
+            ts = np.concatenate(pt)
+            vals = np.concatenate(pv)
+            if last_wall is not None and now_us - last_wall > ttl_us:
+                n, s = 0, 0.0  # idle past TTL on the wall clock
+            n += len(ts)
+            s += float(vals.sum())
+            last_ts = int(ts.max())
+            state.update((n, s, last_ts, now_us))
+            state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                [(k, last_ts, n, round(s, 4))], columns=cols
+            )
+
+        return (
+            stream.groupBy(key_col)
+            .applyInPandasWithState(
+                fn_proc,
+                outputStructType=out_schema,
+                stateStructType=(
+                    "n long, s double, last_ts long, last_wall long"
+                ),
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            )
+        )
 
     def fn(key_tuple, pdfs, state: GroupState):
         (k,) = key_tuple

@@ -3983,6 +3983,96 @@ def test_keyed_running_agg_intra_batch_gap_resets(spark, chunk_dir, tmp_path):
     assert got == [(2, 12.0)]
 
 
+def test_keyed_running_agg_processing_ttl_stubbed_clock(
+    spark, chunk_dir, tmp_path
+):
+    """r9 ttl_clock='processing' (Flink StateTtlConfig's default): the
+    WALL clock drives expiry — identical event times expire or survive
+    purely by how much stubbed wall time passed between batches."""
+    from flink_note_spark.streaming.ops import (
+        file_wall_clock,
+        keyed_running_agg_stream,
+    )
+
+    clock_file = tmp_path / "fake_clock.txt"
+    clock_file.write_text("1000.0")
+    sink = tmp_path / "pttl_sink"
+    ckpt = tmp_path / "pttl_ckpt"
+
+    import time
+
+    def run_batch(chunk_name, rows, wall_s, expect_rows):
+        # processing-time timers keep the query scheduling batches, so
+        # availableNow/processAllAvailable never quiesce (the Flink
+        # behavior: pending timers keep the job alive) — poll the sink
+        # for this batch's output, then stop
+        clock_file.write_text(str(wall_s))
+        _write_chunk(chunk_dir, chunk_name, rows)
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=10,
+        )
+        out = keyed_running_agg_stream(
+            stream, "user_id", "ts", value_col="value",
+            ttl="10 minutes", ttl_clock="processing",
+            _wall_clock=file_wall_clock(str(clock_file)),
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(sink)).count() >= expect_rows:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+
+    # batch 1 at wall t=1000: two events accumulate
+    run_batch("c1.parquet", [
+        (1, 1, _ts(0), "E", 1.0), (1, 2, _ts(5), "E", 2.0),
+    ], 1000.0, 1)
+    # batch 2 at wall t=1300 (5 min later, inside the 10-min TTL):
+    # accumulates — even though the EVENT time jumped 55 minutes,
+    # which would have reset the event-time clock
+    run_batch("c2.parquet", [(1, 3, _ts(60), "E", 4.0)], 1300.0, 2)
+    # batch 3 at wall t=2000 (>10 min since last update): reset —
+    # even though the event time is only 1 minute after the last
+    run_batch("c3.parquet", [(1, 4, _ts(61), "E", 8.0)], 2000.0, 3)
+
+    got = sorted(
+        (int(r["last_ts_us"]), int(r["n"]), float(r["sum_value"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == [
+        (_us(5), 2, 3.0),     # wall 1000: fresh
+        (_us(60), 3, 7.0),    # wall 1300: within wall TTL → accumulate
+        (_us(61), 1, 8.0),    # wall 2000: wall gap > TTL → reset
+    ]
+
+
+def test_keyed_running_agg_processing_ttl_validation(spark, chunk_dir):
+    from flink_note_spark.streaming.ops import keyed_running_agg_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "E", 1.0)])
+    stream = read_file_stream(spark, "parquet", str(chunk_dir), EVENT_SCHEMA)
+    with pytest.raises(ValueError, match="requires ttl"):
+        keyed_running_agg_stream(
+            stream, "user_id", "ts", ttl_clock="processing",
+        )
+    with pytest.raises(ValueError, match="ttl_clock must be"):
+        keyed_running_agg_stream(
+            stream, "user_id", "ts", ttl="1 minutes", ttl_clock="wall",
+        )
+
+
 def test_allowed_lateness_refires_then_drops(spark, chunk_dir, tmp_path):
     """allowedLateness: on-time firing at watermark-past-end, one
     re-firing per late batch within the grace period, silence after
