@@ -625,10 +625,20 @@ def _make_mixed_cep_fn(steps, key_name, ts_col, mask_col, within_us,
       arrival (``ts >= wm``) can still displace it — so strict
       negations must be followed by a strict-mode positive step (the
       asserted event is then the bound event itself, stable);
-    - LOOPS: a greedy run's maximality asserts on the event after the
-      run's end, which is only pinned by a strict successor bind, and
-      a relaxed loop's membership can grow from arrivals between the
-      horizon and its ``until`` stop — mixed loops stay batch-only.
+    - a TERMINAL STRICT LOOP: the run's maximality (its ``n``/last
+      capture) asserts on the event after it, which may never arrive
+      — same refusal (and counterexample test) as the uniform strict
+      engine's terminal-loop rule.
+
+    NON-terminal loops stream since r9 — the horizon argument: a
+    strict run that EMITS is pinned by a bounding non-candidate event
+    whose position precedes the following step's bind (≤ horizon,
+    stable); a run still open at the stable region's end (or
+    continuing at ``ts > h``) extends greedily in batch and dies on
+    ``within``, so emitting nothing agrees. A relaxed loop's
+    membership is every candidate position in (prev_bind, stop ∧
+    horizon] — all ≤ h < wm, stable; an ``until`` stop matters only at
+    positions ≤ h, equally stable.
 
     Binding is POSITIONAL, exactly like the batch engine: strict
     steps consume the immediately-next buffer position, relaxed steps
@@ -640,8 +650,9 @@ def _make_mixed_cep_fn(steps, key_name, ts_col, mask_col, within_us,
     ``wm - within``; the timer re-arms at the oldest event's horizon
     so tail anchors decide without new data."""
     cols = [key_name] + out_cols
-    # steps: (slot, neg, times, mode) — validated plain at dispatch
-    slot0, _, times0, mode0 = steps[0]
+    # steps: (slot, neg, times, mode, loop, until_slot) — validated at
+    # dispatch (plain/times/loops; terminal strict loops refused)
+    slot0 = steps[0][0]
 
     def _find(ts, mk, wm_us, wm_prev_us):
         n = bisect_left(ts, wm_us)
@@ -663,7 +674,7 @@ def _make_mixed_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             # absence in (from_pos, next_bind_pos)
             pending: list[tuple[int, int]] = []
             first_step = True
-            for (slot, neg, times, mode) in steps:
+            for (slot, neg, times, mode, loop, until_slot) in steps:
                 if neg:
                     if mode == "strict":
                         # asserted event == the next strict bind's
@@ -679,6 +690,82 @@ def _make_mixed_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                             (slot, p0 if cur_bind_pos is None
                              else cur_bind_pos)
                         )
+                    continue
+                if loop:
+                    # r9: loops stream. Horizon-stability per shape:
+                    # STRICT runs must be PINNED by a bounding
+                    # non-candidate event in the buffer — an open run
+                    # (or one continuing at ts > h) extends greedily
+                    # in batch and dies on within, so fail; RELAXED
+                    # membership is every candidate position in
+                    # (prev_bind, stop ∧ horizon], all ≤ h < wm and
+                    # therefore stable.
+                    if mode == "strict":
+                        if first_step:
+                            q = p0
+                        else:
+                            q = pos
+                            if q >= total or ts[q] > h or not hit(q, slot):
+                                ok = False
+                                break
+                        e = q
+                        while (
+                            e + 1 < total and hit(e + 1, slot)
+                            and ts[e + 1] <= h
+                        ):
+                            e += 1
+                        if e + 1 >= total or hit(e + 1, slot):
+                            ok = False
+                            break
+                        mf, cnt = q, e - q + 1
+                    else:
+                        P = p0 if first_step else pos - 1
+                        stop = None
+                        if until_slot is not None:
+                            jj = P + 1
+                            while jj < total and ts[jj] <= h:
+                                if hit(jj, until_slot):
+                                    stop = jj
+                                    break
+                                jj += 1
+                        if first_step:
+                            mf, e, cnt = p0, p0, 1
+                        else:
+                            q = pos
+                            while q < total and ts[q] <= h and (
+                                stop is None or q < stop
+                            ) and not hit(q, slot):
+                                q += 1
+                            if (
+                                q >= total or ts[q] > h
+                                or (stop is not None and q >= stop)
+                                or not hit(q, slot)
+                            ):
+                                ok = False
+                                break
+                            mf, e, cnt = q, q, 1
+                        for j in range(e + 1, total):
+                            if ts[j] > h or (
+                                stop is not None and j >= stop
+                            ):
+                                break
+                            if hit(j, slot):
+                                e = j
+                                cnt += 1
+                    for (x, anc) in pending:
+                        for j in range(anc + 1, mf):
+                            if hit(j, x):
+                                ok = False
+                                break
+                        if not ok:
+                            break
+                    pending = []
+                    if not ok:
+                        break
+                    cap += [ts[mf], ts[e], cnt]
+                    cur_bind_pos = e
+                    pos = e + 1
+                    first_step = False
                     continue
                 first_bind = None
                 for rep in range(times):
@@ -851,12 +938,6 @@ def _dispatch_mixed_stream(stream, steps, key_col, time_col, type_col,
             "mixed streaming CEP with optional()/times(n, m) is "
             "batch-only (variant expansion over the positional engine)"
         )
-    if any(st.loop for st in steps):
-        raise ValueError(
-            "mixed streaming CEP with one_or_more is batch-only: a "
-            "run's maximality and membership are not final at the "
-            "anchor horizon unless pinned by a strict successor bind"
-        )
     default_mode = (
         contiguity_arg if contiguity_arg not in (None, "mixed") else None
     )
@@ -866,6 +947,28 @@ def _dispatch_mixed_stream(stream, steps, key_col, time_col, type_col,
                     s.mode or default_mode or "strict", s.where)
         for s in steps
     ]
+    # loops stream since r9 — horizon-stability argument per shape in
+    # _make_mixed_cep_fn; the ONE remainder is a terminal STRICT loop,
+    # whose run maximality asserts on the event after it (no final
+    # answer on an unbounded stream — the same refusal, with the same
+    # pinned counterexample test, as the uniform strict engine's)
+    last_pos = next((s for s in reversed(steps) if not s.negate), None)
+    if last_pos is not None and last_pos.loop and (
+        last_pos.mode == "strict"
+    ):
+        raise ValueError(
+            "mixed streaming CEP ending in a STRICT one_or_more is "
+            "batch-only: the run's maximality asserts on the event "
+            "after it, which has no final answer on an unbounded "
+            "stream (relaxed terminal loops are fine — the within "
+            "horizon bounds their membership)"
+        )
+    if any(s.loop and s.mode == "strict" and s.until is not None
+           for s in steps):
+        raise ValueError(
+            "until applies to relaxed loops only (a strict/consecutive "
+            "run ends at the first non-matching event by construction)"
+        )
     for i, s in enumerate(steps):
         if s.negate and s.mode == "strict":
             nxt = next(
@@ -886,9 +989,16 @@ def _dispatch_mixed_stream(stream, steps, key_col, time_col, type_col,
     )
     within_us = _parse_duration_ms(within) * 1_000
     conds = [_cand_cond(s, type_col) for s in steps]
-    steps_t = tuple(
-        (i, s.negate, s.times, s.mode) for i, s in enumerate(steps)
-    )
+    steps_l = []
+    for i, s in enumerate(steps):
+        until_slot = None
+        if s.loop and s.until is not None:
+            until_slot = len(conds)
+            conds.append(F.col(type_col) == s.until)
+        steps_l.append(
+            (i, s.negate, s.times, s.mode, s.loop, until_slot)
+        )
+    steps_t = tuple(steps_l)
     mask = None
     for i, c in enumerate(conds):
         term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
@@ -2721,21 +2831,22 @@ def match_pattern_stream(
     conditions stay batch-only.
 
     Mixed contiguity (late-r8 — Flink's natural
-    ``begin().next().followedBy()`` shape): plain positive steps and
-    negations stream on the positional per-key engine
-    (``_make_mixed_cep_fn`` — matches decide at the anchor horizon,
-    ``within`` REQUIRED; strict adjacency counts non-candidates, so
-    every event buffers). Two verdicts are not horizon-stable and
-    refuse: strict negations not followed by a strict positive, and
-    loops (run maximality/membership can change beyond the horizon).
+    ``begin().next().followedBy()`` shape): plain positive steps,
+    negations, and (r9) greedy loops stream on the positional per-key
+    engine (``_make_mixed_cep_fn`` — matches decide at the anchor
+    horizon, ``within`` REQUIRED; strict adjacency counts
+    non-candidates, so every event buffers). Two verdicts are not
+    horizon-stable and refuse: strict negations not followed by a
+    strict positive, and TERMINAL strict loops (run maximality asserts
+    on the event after the run — the uniform strict engine's rule).
 
-    Batch-only remainders: mixed loops/variants/skip strategies,
-    skip strategies over variant unions or iterative conditions,
+    Batch-only remainders: mixed variants/skip strategies, skip
+    strategies over variant unions or iterative conditions,
     non-numeric/non-subset iterative predicates, non-greedy
-    any-loops, and — for STRICT patterns — terminal negation/loops
-    (they ask what follows the match, unanswerable on an unbounded
-    stream; relaxed terminal negation and loops are fine, the
-    ``within`` horizon decides them).
+    any-loops, and — for STRICT and mixed patterns — terminal
+    negation/loops (they ask what follows the match, unanswerable on
+    an unbounded stream; relaxed terminal negation and loops are
+    fine, the ``within`` horizon decides them).
     """
     from flink_note_spark.operators.cep import (
         Pattern,

@@ -1931,17 +1931,48 @@ def test_cep_stream_general_rejections(spark, chunk_dir, tmp_path):
         )
     # optional() is ACCEPTED since r8 (variants engine; equality tests
     # in test_cep_stream_optional_*); plain mixed contiguity is
-    # ACCEPTED since late-r8 (positional engine; equality tests in
-    # test_cep_stream_mixed_*) — mixed LOOPS stay refused (run
-    # maximality/membership is not horizon-stable)
+    # ACCEPTED since late-r8 and mixed LOOPS since r9 (positional
+    # engine; equality tests in test_cep_stream_mixed_*) — only a
+    # TERMINAL strict loop stays refused (run maximality asserts on
+    # the event after it)
     with pytest.raises(ValueError, match="batch-only"):
         match_pattern_stream(
             stream,
-            [{"type": "A", "mode": "strict"},
-             {"type": "B", "mode": "strict", "one_or_more": True},
-             {"type": "C", "mode": "relaxed"}],
+            [{"type": "A", "mode": "relaxed"},
+             {"type": "B", "mode": "strict", "one_or_more": True}],
             within="5 minutes", watermark="1 minutes",
         )
+
+
+def test_cep_stream_terminal_loop_refusal_counterexample(spark):
+    """PINNED counterexample (r9, VERDICT r8 item 4) for the strict
+    TERMINAL-loop refusal: no watermark horizon can finalize ``A B+``
+    — the run's maximality hinges on the NEXT positional event, which
+    may arrive at any later event time (or never). Batch over a prefix
+    emits (n=2); one more B flips the same anchor's capture to (n=3):
+    no prefix decision is ever final, so the streaming refusal is
+    semantic, not an implementation gap."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        return {
+            tuple(r) for r in match_pattern(
+                df, ["A", {"type": "B", "one_or_more": True}],
+                contiguity="strict",
+            ).collect()
+        }
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    prefix = [(1, t(0), "A"), (1, t(1), "B"), (1, t(2), "B")]
+    with_late_b = prefix + [(1, t(59), "B")]  # arbitrarily later
+    got_prefix = run(prefix)
+    got_full = run(with_late_b)
+    assert got_prefix == {(1, t(0), t(1), t(2), 2)}
+    assert got_full == {(1, t(0), t(1), t(59), 3)}
+    assert got_prefix != got_full  # the prefix decision was not final
 
 
 def test_cep_stream_skip_strategies_equal_batch(spark, chunk_dir, tmp_path):
@@ -3135,6 +3166,48 @@ def test_cep_stream_mixed_equals_batch(spark, chunk_dir, tmp_path):
               "within_override": "6 minutes"}],
             ["user_id", "ts_1", "ts_2"],
         ),
+        # --- r9: mixed loops stream (terminal strict loops excluded) ---
+        (
+            "strict_loop_relaxed_next",
+            [{"type": "V"},
+             {"type": "C", "mode": "strict", "one_or_more": True},
+             {"type": "P", "mode": "relaxed"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+        ),
+        (
+            "strict_loop_strict_next",
+            [{"type": "V"},
+             {"type": "C", "mode": "strict", "one_or_more": True},
+             {"type": "P", "mode": "strict"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+        ),
+        (
+            "anchor_strict_loop",
+            [{"type": "C", "mode": "strict", "one_or_more": True},
+             {"type": "P", "mode": "relaxed"}],
+            ["user_id", "ts_1", "ts_1_last", "n_1", "ts_2"],
+        ),
+        (
+            "relaxed_loop_then_strict",
+            [{"type": "V"},
+             {"type": "C", "mode": "relaxed", "one_or_more": True},
+             {"type": "P", "mode": "strict"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+        ),
+        (
+            "relaxed_loop_until",
+            [{"type": "V"},
+             {"type": "C", "mode": "relaxed", "one_or_more": True,
+              "until": "Z"},
+             {"type": "P", "mode": "relaxed"}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
+        ),
+        (
+            "terminal_relaxed_loop",
+            [{"type": "V"},
+             {"type": "C", "mode": "relaxed", "one_or_more": True}],
+            ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2"],
+        ),
     ]
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
     for tag, p, cols in pats:
@@ -3204,9 +3277,11 @@ def test_cep_stream_mixed_survives_restart(spark, chunk_dir, tmp_path):
 
 
 def test_cep_stream_mixed_rejections(spark, chunk_dir):
-    """Mixed streaming refusals: loops (run verdicts are not
-    horizon-stable), strict negation before a relaxed positive,
-    missing within, skip strategies, where()."""
+    """Mixed streaming refusals: terminal STRICT loops (run maximality
+    asserts on the event after the run — see the pinned counterexample
+    test), strict negation before a relaxed positive, missing within,
+    skip strategies, where(). Non-terminal loops are SUPPORTED since
+    r9 (equality tests in test_cep_stream_mixed_loops_equal_batch)."""
     from flink_note_spark.streaming.ops import match_pattern_stream
 
     stream = read_file_stream(
@@ -3220,9 +3295,17 @@ def test_cep_stream_mixed_rejections(spark, chunk_dir):
     with pytest.raises(ValueError, match="batch-only"):
         match_pattern_stream(
             stream,
+            [{"type": "V", "mode": "relaxed"},
+             {"type": "C", "mode": "strict", "one_or_more": True}],
+            within="30 minutes", watermark="2 minutes",
+        )
+    with pytest.raises(ValueError, match="until applies to relaxed"):
+        match_pattern_stream(
+            stream,
             [{"type": "V"},
-             {"type": "C", "mode": "relaxed", "one_or_more": True},
-             {"type": "P", "mode": "strict"}],
+             {"type": "C", "mode": "strict", "one_or_more": True,
+              "until": "Z"},
+             {"type": "P", "mode": "relaxed"}],
             within="30 minutes", watermark="2 minutes",
         )
     with pytest.raises(ValueError, match="strict-mode positive"):
@@ -4225,7 +4308,15 @@ def _mh_chunks(tmp_path, docs):
             [dict(zip(["doc_id", "ts", "text"], r)) for r in docs[j:j + per]],
             schema=schema,
         )
-        pq.write_table(t, str(d / f"c{j}.parquet"))
+        path = d / f"c{j}.parquet"
+        pq.write_table(t, str(path))
+        # strictly increasing mtimes: FileStreamSource orders batches
+        # by modification time, and same-millisecond writes (common
+        # under full-suite load) otherwise make chunk order — and the
+        # order-dependent flood-cap assertions — nondeterministic
+        import os
+
+        os.utime(path, (1_700_000_000 + j, 1_700_000_000 + j))
     return d
 
 
