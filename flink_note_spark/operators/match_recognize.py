@@ -500,18 +500,28 @@ def match_recognize_stream(
     Supported subset (each refusal points at the batch operator):
 
     - PATTERN: unquantified variables, ``{n}`` fixed repetition, and
-      (r9) ``V+`` one-or-more WHEN the loop variable's DEFINE is
-      STATICALLY provably disjoint from its follower's (single-column
+      (r9) ALL quantifiers ``+ * ? {n,m}`` WHEN each quantified
+      variable's DEFINE is STATICALLY provably disjoint from every
+      variable in its FOLLOW SET (the next variables up to and
+      including the first that cannot be absent — single-column
       numeric ranges with empty intersection, the
-      ``_provably_disjoint`` prover — e.g. ``DOWN: value < 80`` /
-      ``UP: value >= 150``): disjointness means no greedy run can be
-      cut short, so the engine's greedy one-or-more IS the SQL greedy
-      binding with no batch post-pass. The batch operator's
-      data-dependent ``take(1)`` probe has no stream analogue, so
-      non-provable defines refuse. ``* ? {n,m}`` stay batch-only
-      (variant unions need the greedy selection post-pass). A loop
-      requires ``within`` (the state bound) and must not be the LAST
-      variable (terminal runs never finalize on an unbounded stream).
+      ``_provably_disjoint`` prover; e.g. ``DOWN: value < 80`` /
+      ``UP: value >= 150``). Disjointness makes every greedy choice
+      LOCAL: a ``+``/``*`` run can never be cut short (no row
+      continues the run AND starts the follower), and for ``?`` /
+      ``{n,m}`` at most ONE expansion variant can complete per anchor
+      (the row after the consumed prefix satisfies either the
+      variable or the follower, never both) — so the engine's greedy
+      loop / the variant union IS the SQL greedy binding with no
+      batch post-pass. The batch operator's data-dependent ``take(1)``
+      probe has no stream analogue, so non-provable defines refuse.
+      Quantified variables must not be terminal (their run/count
+      never finalizes on an unbounded stream — the pinned
+      terminal-loop counterexample), and ``* ? {n,m}`` require
+      AFTER MATCH SKIP TO NEXT ROW (the variant union does not
+      compose with the pruning strategies on streams — identical to
+      the engine's variants+skip refusal). A quantified pattern
+      requires ``within`` (the state bound).
     - DEFINE: SimpleConditions stream on the candidate mask
       (JVM-side); conditions referencing EARLIER variables compile to
       the iterative engine (numeric columns, the SQL↔Python subset)
@@ -536,17 +546,6 @@ def match_recognize_stream(
                 f"DEFINE names {v!r}, which is not a PATTERN variable "
                 f"(pattern variables: {names})"
             )
-    for v, q in parsed:
-        if q is not None and q != "+" and not re.fullmatch(
-            r"\{\d+\}", q
-        ):
-            raise ValueError(
-                f"streaming MATCH_RECOGNIZE supports unquantified "
-                f"variables, {{n}} and provably-disjoint +; {v}{q} is "
-                f"batch-only (greedy selection over variant-expanded "
-                f"quantifiers needs the batch post-pass)"
-            )
-
     steps = [
         _quant_step(v, q, _compile_define(define.get(v), v, var_index))
         for v, q in parsed
@@ -558,26 +557,61 @@ def match_recognize_stream(
         )
         for s in steps
     ]
-    # r9: one-or-more loops stream only when SQL greedy binding is
-    # provable WITHOUT a data probe — the loop's DEFINE statically
-    # disjoint from its follower's (see the module prover); the
-    # engine's greedy maximal run is then exactly the standard's
-    # leftmost-greedy choice
+    # r9: quantifiers stream only when SQL greedy binding is provable
+    # WITHOUT a data probe — each quantified variable's DEFINE
+    # statically disjoint from its whole FOLLOW SET (the next
+    # variables, skipping absent-able ones, up to the first that must
+    # be present). Disjointness makes the greedy choice local: runs
+    # are never cut short and at most one expansion variant completes
+    # per anchor, so the engine's output IS the standard's
+    # leftmost-greedy binding.
+    def _absentable(s: PatternStep) -> bool:
+        return s.optional or (s.times_max is not None and s.times == 0)
+
+    def _follow_set(i: int) -> list[int] | None:
+        out = []
+        j = i + 1
+        while j < len(steps):
+            out.append(j)
+            if not _absentable(steps[j]):
+                return out
+            j += 1
+        return None  # pattern may END inside/after the variable: open
+
     for i, s in enumerate(steps):
-        if not s.loop:
+        quantified = s.loop or s.optional or s.times_max is not None
+        if not quantified:
             continue
-        if i + 1 < len(steps):
-            nxt = steps[i + 1]
-            if not _provably_disjoint(s.where, nxt.where):
+        fs = _follow_set(i)
+        if fs is None:
+            raise ValueError(
+                f"streaming MATCH_RECOGNIZE cannot end at quantified "
+                f"variable {names[i]!r}: its run/count asserts on "
+                f"events that may never arrive (the terminal-loop "
+                f"counterexample) — the pattern must end with a plain "
+                f"variable (batch-only otherwise)"
+            )
+        for j in fs:
+            if not _provably_disjoint(s.where, steps[j].where):
                 raise ValueError(
-                    f"streaming MATCH_RECOGNIZE with "
-                    f"{names[i]}+ requires its DEFINE to be PROVABLY "
-                    f"disjoint from {names[i + 1]}'s (single-column "
+                    f"streaming MATCH_RECOGNIZE with quantified "
+                    f"{names[i]!r} requires its DEFINE to be PROVABLY "
+                    f"disjoint from {names[j]!r}'s (single-column "
                     f"numeric ranges that cannot overlap) — greedy "
                     f"selection is otherwise data-dependent, which "
                     f"only the batch operator can probe"
                 )
+    variant_q = any(
+        s.optional or s.times_max is not None for s in steps
+    )
     skip = _parse_after_match(after_match, var_index)
+    if variant_q and skip != "skip_to_next":
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE with ? * {n,m} quantifiers "
+            "supports AFTER MATCH SKIP TO NEXT ROW only (the variant "
+            "union does not compose with the pruning strategies on "
+            "streams — use the batch operator)"
+        )
     iterative = any(_iter_where(s) is not None for s in steps)
     if iterative:
         if skip != "skip_to_next":
@@ -632,14 +666,31 @@ def match_recognize_stream(
                 f"measure {spec!r} references unknown variable {var!r}"
             )
         st = steps[k - 1]
-        quantified = st.loop or st.times > 1
+        quantified = (
+            st.loop or st.times > 1 or st.times_max is not None
+        )
         if fn == "COUNT":
             if col != "*":
                 raise ValueError(
                     f"COUNT measures are COUNT(V.*), got {spec!r}"
                 )
             if st.loop:  # r9: the engine materializes the run count
-                exprs.append(F.col(f"n_{k}").alias(out_name))
+                c = F.col(f"n_{k}")
+                if st.optional:  # zero-or-more: absent branch counts 0
+                    c = F.coalesce(c, F.lit(0))
+                exprs.append(c.alias(out_name))
+            elif st.times_max is not None:
+                raise ValueError(
+                    f"COUNT({var}.*) on a range quantifier is not "
+                    "materialized by the variant union — measure "
+                    "FIRST/LAST timestamps instead"
+                )
+            elif st.optional:
+                exprs.append(
+                    F.when(F.col(f"ts_{k}").isNull(), F.lit(0))
+                    .otherwise(F.lit(st.times)).cast("long")
+                    .alias(out_name)
+                )
             else:
                 exprs.append(
                     F.lit(st.times).cast("long").alias(out_name)

@@ -476,20 +476,59 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
             measures={"first_lo": "FIRST(LO.ts)", "n_lo": "COUNT(LO.*)",
                       "hi_ts": "HI.ts"},
             after_match="skip past last row", within="30 minutes")),
+        # r9: ? * {n,m} under static disjointness — at most one
+        # expansion variant completes per anchor, so the variant
+        # union IS the SQL greedy binding
+        ("optional_mid", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="LO MID? HI",
+            define={"LO": "value < 0.3",
+                    "MID": "value >= 0.3 AND value < 0.45",
+                    "HI": "value >= 0.6"},
+            measures={"lo_ts": "LO.ts", "mid_ts": "MID.ts",
+                      "n_mid": "COUNT(MID.*)", "hi_ts": "HI.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("star_mid", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="LO MID* HI",
+            define={"LO": "value < 0.3",
+                    "MID": "value >= 0.3 AND value < 0.45",
+                    "HI": "value >= 0.6"},
+            measures={"lo_ts": "LO.ts", "n_mid": "COUNT(MID.*)",
+                      "last_mid": "LAST(MID.ts)", "hi_ts": "HI.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("range_mid", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="LO MID{1,2} HI",
+            define={"LO": "value < 0.3",
+                    "MID": "value >= 0.3 AND value < 0.45",
+                    "HI": "value >= 0.6"},
+            measures={"lo_ts": "LO.ts", "first_mid": "FIRST(MID.ts)",
+                      "last_mid": "LAST(MID.ts)", "hi_ts": "HI.ts"},
+            after_match="skip to next row", within="30 minutes")),
     ]
+    def _norm(v):
+        # absent optional variables yield NULL measures; sort None low
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        return int(v)
+
+    def _key(t):
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
     for tag, kw in clauses:
-        want = []
-        for r in match_recognize(batch_df, **kw).collect():
-            vals = []
-            for v in r:
-                if hasattr(v, "timestamp"):
-                    v = int(
-                        v.replace(tzinfo=dt.timezone.utc).timestamp()
-                        * 1_000_000
-                    )
-                vals.append(int(v))
-            want.append(tuple(vals))
-        want.sort()
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -503,10 +542,13 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
         )
         q.awaitTermination(120)
         got = sorted(
-            tuple(int(x) for x in r)
-            for r in spark.sql(
-                f"SELECT {','.join(out.columns)} FROM mrs_{tag}"
-            ).collect()
+            (
+                tuple(_norm(x) for x in r)
+                for r in spark.sql(
+                    f"SELECT {','.join(out.columns)} FROM mrs_{tag}"
+                ).collect()
+            ),
+            key=_key,
         )
         assert got == want, tag
         assert got, tag
@@ -605,16 +647,17 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
     ])
     schema = "user_id long, event_id long, ts timestamp, value double"
     stream = spark.readStream.schema(schema).parquet(str(d))
-    with pytest.raises(ValueError, match="batch-only"):
-        # terminal loop: never finalizes on an unbounded stream
+    with pytest.raises(ValueError, match="cannot end at quantified"):
+        # terminal quantified: never finalizes on an unbounded stream
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B+", define={"B": "value > 0.5"},
             within="10 minutes",
         )
     with pytest.raises(ValueError, match="PROVABLY disjoint"):
-        # r9: + streams only under static disjointness — these ranges
-        # overlap on [0.4, 0.5), so greedy selection is data-dependent
+        # r9: quantifiers stream only under static disjointness —
+        # these ranges overlap on [0.4, 0.5), so greedy selection is
+        # data-dependent
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B+ C",
@@ -622,13 +665,25 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
                     "C": "value >= 0.4"},
             within="10 minutes",
         )
-    with pytest.raises(ValueError, match="batch-only"):
-        # * stays variant-expanded → batch-only
+    with pytest.raises(ValueError, match="PROVABLY disjoint"):
+        # the FOLLOW SET spans absent-able variables: B* must be
+        # disjoint from C (ok) AND from D (these overlap)
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
-            pattern="A B* C",
+            pattern="A B* C? D",
+            define={"A": "value >= 0.9", "B": "value < 0.3",
+                    "C": "value >= 0.6 AND value < 0.8",
+                    "D": "value < 0.35"},
+            within="10 minutes",
+        )
+    with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
+        # variant quantifiers do not compose with pruning strategies
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B? C",
             define={"A": "value >= 0.9", "B": "value < 0.3",
                     "C": "value >= 0.6"},
+            after_match="skip past last row",
             within="10 minutes",
         )
     with pytest.raises(ValueError, match="payload"):
