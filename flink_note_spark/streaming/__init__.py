@@ -24,6 +24,7 @@ from flink_note_spark.streaming.ops import (
     stateful_sessionize,
     stream_dedup,
     stream_static_join,
+    interval_join_stream,
     stream_stream_join,
     tagged_union,
     tumbling_window_agg,
@@ -45,6 +46,7 @@ __all__ = [
     "stateful_sessionize",
     "stream_dedup",
     "stream_static_join",
+    "interval_join_stream",
     "stream_stream_join",
     "tagged_union",
     "tumbling_window_agg",

@@ -114,6 +114,48 @@ def stream_stream_join(
     return lw.join(rw, equi & time_bound, how)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    left_watermark: str = "5 minutes",
+    right_watermark: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Flink DataStream ``intervalJoin`` on UNBOUNDED streams (r9) —
+    ``a.keyBy(k).intervalJoin(b.keyBy(k)).between(lower, upper)``, the
+    streaming twin of ``operators/joins.interval_join``: pair rows
+    sharing ``on`` where ``right_time ∈ [left_time + lower,
+    left_time + upper]`` (both bounds inclusive, Flink's default).
+
+    Spark-first rendering: watermarks on BOTH sides plus the interval
+    as a time-range join conjunct — exactly what Spark's stream-stream
+    join needs to bound state (a buffered left row evicts once the
+    right watermark passes ``left_time + upper``; a right row once the
+    left watermark passes ``right_time - lower``), which is Flink's
+    relative-window state cleanup. The equi key keeps the exchange a
+    keyed hash join; the interval is a residual conjunct. Output
+    carries one ``on`` column (the left side's)."""
+
+    def _ivl(s: str) -> Column:
+        s = s.strip()
+        if s.startswith("-"):
+            return -F.expr(f"INTERVAL {s[1:].strip()}")
+        return F.expr(f"INTERVAL {s}")
+
+    lw = left.withWatermark(left_time, left_watermark)
+    rw = right.withWatermark(right_time, right_watermark)
+    lo = rw[right_time] >= lw[left_time] + _ivl(lower)
+    hi = rw[right_time] <= lw[left_time] + _ivl(upper)
+    return lw.join(
+        rw, (lw[on] == rw[on]) & lo & hi, how
+    ).drop(rw[on])
+
+
 def _session_schema(key_name: str, key_type: str) -> str:
     """Output schema of :func:`stateful_sessionize` — the key column
     inherits the INPUT's name and type (ADVICE r2 #5: a hardcoded

@@ -421,6 +421,82 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     assert got[["v_user", "view_id", "click_id"]].values.tolist() == [[1, 10, 20]]
 
 
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """r9: Flink intervalJoin on unbounded streams — the streaming
+    twin equals operators/joins.interval_join on a seeded two-stream
+    soup split into micro-batches, including a negative lower bound
+    (the backward window) and both-bounds inclusivity."""
+    import random
+
+    from flink_note_spark.operators.joins import interval_join
+    from flink_note_spark.streaming.ops import interval_join_stream
+
+    rng = random.Random(77)
+    vdir = tmp_path / "iv_views"
+    cdir = tmp_path / "iv_clicks"
+    vdir.mkdir()
+    cdir.mkdir()
+    vrows = sorted(
+        [(rng.randrange(1, 5), 100 + i, _ts(rng.randrange(0, 120)),
+          "view", 1.0) for i in range(30)],
+        key=lambda r: r[2],
+    )
+    crows = sorted(
+        [(rng.randrange(1, 5), 200 + i, _ts(rng.randrange(0, 120)),
+          "click", 1.0) for i in range(30)],
+        key=lambda r: r[2],
+    )
+    for i in range(3):
+        _write_chunk(vdir, f"v{i}.parquet", vrows[i * 10:(i + 1) * 10])
+        _write_chunk(cdir, f"c{i}.parquet", crows[i * 10:(i + 1) * 10])
+    # watermark drivers so the tail pairs decide
+    _write_chunk(vdir, "v9.parquet", [(99, 999, _ts(900), "view", 1.0)])
+    _write_chunk(cdir, "c9.parquet", [(99, 998, _ts(900), "click", 1.0)])
+
+    def _views(df):
+        return df.select(
+            "user_id", F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+
+    def _clicks(df):
+        return df.select(
+            F.col("user_id"), F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+
+    batch_v = _views(spark.read.schema(EVENT_SCHEMA).parquet(str(vdir)))
+    batch_c = _clicks(spark.read.schema(EVENT_SCHEMA).parquet(str(cdir)))
+    want = sorted(
+        (int(r["user_id"]), int(r["view_id"]), int(r["click_id"]))
+        for r in interval_join(
+            batch_v, batch_c, on="user_id",
+            left_time="view_ts", right_time="click_ts",
+            lower="-5 minutes", upper="15 minutes",
+        ).collect()
+    )
+
+    sv = _views(read_file_stream(
+        spark, "parquet", str(vdir), EVENT_SCHEMA, max_files_per_trigger=1
+    ))
+    sc = _clicks(read_file_stream(
+        spark, "parquet", str(cdir), EVENT_SCHEMA, max_files_per_trigger=1
+    ))
+    out = interval_join_stream(
+        sv, sc, on="user_id",
+        left_time="view_ts", right_time="click_ts",
+        lower="-5 minutes", upper="15 minutes",
+        left_watermark="3 minutes", right_watermark="3 minutes",
+    ).select("user_id", "view_id", "click_id")
+    _run_to_memory(out, "ivj_out", "append", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["view_id"]), int(r["click_id"]))
+        for r in spark.sql("SELECT * FROM ivj_out").collect()
+    )
+    assert got == want
+    assert got
+
+
 # --- stateful per-key processing (applyInPandasWithState) ---------------
 
 
