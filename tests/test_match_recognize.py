@@ -634,6 +634,103 @@ def test_match_recognize_stream_plus_survives_restart(spark, tmp_path):
     assert final == [(1, us(0), 3, us(4))]
 
 
+def test_match_recognize_stream_payload_via_foreach_batch(
+    spark, tmp_path
+):
+    """The DOCUMENTED payload path for streaming MATCH_RECOGNIZE
+    (payload measures are batch-only; 'join in foreachBatch instead'):
+    each update batch joins its ts_k captures back to the event store
+    — the assembled rows equal the batch operator WITH payload
+    measures. Pins the recipe so the refusal message points at
+    something tested."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random() * 200, 1))
+        for i in range(90)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        after_match="skip to next row", within="45 minutes",
+    )
+    want = sorted(
+        (r["user_id"], int(r["start_ts"].replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1e6),
+         r["start_val"], r["up_val"])
+        for r in match_recognize(
+            batch_df,
+            measures={"start_ts": "STRT.ts", "start_val": "STRT.value",
+                      "up_ts": "UP.ts", "up_val": "UP.value"},
+            tiebreak=["event_id"], **kw,
+        ).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = match_recognize_stream(
+        stream, watermark="3 minutes",
+        measures={"start_ts": "STRT.ts", "up_ts": "UP.ts"}, **kw,
+    )
+    sink = tmp_path / "mr_payload_sink"
+
+    def attach_payload(batch_df_, _bid):
+        if not batch_df_.count():
+            return
+        ev = spark.read.schema(schema).parquet(str(d)).select(
+            F.col("user_id").alias("__k"), F.col("ts").alias("__t"),
+            F.col("value").alias("__v"),
+        )
+        j = (
+            batch_df_
+            .join(ev, (F.col("user_id") == F.col("__k"))
+                  & (F.expr("timestamp_micros(start_ts)")
+                     == F.col("__t")), "left")
+            .withColumnRenamed("__v", "start_val")
+            .drop("__k", "__t")
+        )
+        j = (
+            j.join(ev, (F.col("user_id") == F.col("__k"))
+                   & (F.expr("timestamp_micros(up_ts)")
+                      == F.col("__t")), "left")
+            .withColumnRenamed("__v", "up_val")
+            .drop("__k", "__t")
+        )
+        j.write.mode("append").parquet(str(sink))
+
+    q = (
+        out.writeStream.foreachBatch(attach_payload)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mr_payload_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], int(r["start_ts"]), r["start_val"], r["up_val"])
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert got == want
+    assert got
+
+
 def test_match_recognize_stream_rejections(spark, tmp_path):
     """Out-of-subset clauses refuse with pointers at the batch
     operator: quantifiers beyond {n}, payload measures, iterative

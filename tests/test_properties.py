@@ -704,3 +704,52 @@ def test_window_join_matches_bruteforce(spark, lrows, rrows):
         if lk == rk and lm // 15 == rm // 15
     )
     assert got == want
+
+
+# --- static disjointness prover soundness (r9) ---------------------------
+
+_cmp_ops = st.sampled_from([">=", "<=", ">", "<", "="])
+_vals = st.integers(min_value=-50, max_value=50)
+
+
+@st.composite
+def _range_pred(draw):
+    """A 1-or-2 atom conjunction over column `value`."""
+    n = draw(st.integers(min_value=1, max_value=2))
+    atoms = [
+        f"value {draw(_cmp_ops)} {draw(_vals)}" for _ in range(n)
+    ]
+    return " AND ".join(atoms)
+
+
+@given(a=_range_pred(), b=_range_pred(),
+       probe=st.one_of(_vals, st.floats(min_value=-51, max_value=51,
+                                        allow_nan=False)))
+@settings(max_examples=300, deadline=None)
+def test_provably_disjoint_is_sound(a, b, probe):
+    """SOUNDNESS of the CEP/MATCH_RECOGNIZE probe prover: whenever it
+    claims two predicates are disjoint, NO value satisfies both —
+    checked against a direct Python evaluation of the conjunction.
+    (Completeness is not required: a False verdict only falls back to
+    the data probe / batch refusal.) The prover gates correctness-
+    critical paths — the MATCH_RECOGNIZE greedy fast path and the
+    streaming quantifier acceptance — so a false-positive here would
+    be a wrong-answer bug, not a slowdown."""
+    from flink_note_spark.operators.cep import _provably_disjoint
+
+    if not _provably_disjoint(a, b):
+        return  # conservative verdicts are always safe
+
+    def holds(pred: str, v) -> bool:
+        for atom in pred.split(" AND "):
+            _c, op, lit = atom.split()
+            lit = float(lit)
+            ok = {
+                ">=": v >= lit, "<=": v <= lit, ">": v > lit,
+                "<": v < lit, "=": v == lit,
+            }[op]
+            if not ok:
+                return False
+        return True
+
+    assert not (holds(a, probe) and holds(b, probe)), (a, b, probe)
