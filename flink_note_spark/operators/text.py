@@ -499,3 +499,73 @@ def ngram_novelty(
         .join(per_doc, id_col, "left")
         .fillna({"n_shingles": 0, "n_shared": 0})
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Token-window document chunking (r9 — the standard pre-packing
+    splitter in an LLM data pipeline: long documents become fixed-size
+    overlapping windows; :func:`operators.packing.pack_sequences` then
+    bins the chunks).
+
+    Semantics: whitespace tokens (the shared :func:`words` contract,
+    empty tokens dropped); chunk ``i`` covers token positions
+    ``[i·stride, i·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; the last chunk may be shorter;
+    an empty document emits no chunk and a document with
+    ``≤ max_tokens`` tokens emits exactly one. Output: ``id_col,
+    chunk_id (0-based), chunk_text, n_tokens``.
+
+    Scale shape: pure Catalyst — one ``split`` + one ``posexplode``
+    over a per-document ``sequence`` of chunk starts; output rows ∝
+    total chunks, no shuffle at all (the operator is a flatMap at scan
+    speed; downstream groupBys shuffle chunk rows, never raw text
+    twice)."""
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than max_tokens "
+            f"({max_tokens}) — the window must advance"
+        )
+    stride = max_tokens - overlap
+    toks = F.filter(words(text_col), lambda t: t != "")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil((n - max_tokens) / stride) for
+    # n > max_tokens, else 1 (0 tokens → no chunk via the explode of
+    # an empty sequence)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.greatest(
+            F.lit(0),
+            F.ceil((n - F.lit(max_tokens)) / F.lit(stride)),
+        ).cast("int")
+    )
+    starts = F.when(
+        n_chunks > 0,
+        F.sequence(F.lit(0), (n_chunks - 1) * F.lit(stride),
+                   F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("__toks"),
+    ).select(
+        id_col,
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1,
+                    F.lit(max_tokens)),
+            " ",
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(max_tokens), F.size("__toks") - F.col("__start")
+        ).alias("n_tokens"),
+    )
+    return out

@@ -1467,6 +1467,74 @@ ORDER BY w.doc_id
 """
 
 
+def q121_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window document chunking (r9,
+    ``operators/text.py:chunk_documents``) — the standard pre-packing
+    splitter: 64-token windows with a 16-token overlap (stride 48),
+    last chunk short, whitespace tokens. Pure Catalyst (split +
+    posexplode over a per-doc sequence of starts) — a flatMap at scan
+    speed, zero shuffles before the presentation sort; at 100 TB the
+    output is ∝ total chunks and each document chunks independently.
+    Summarized per doc for a bounded result (n_chunks, token total,
+    and an md5-portable chunk-text checksum (the q91 doctrine) that pins exact window contents)."""
+    from flink_note_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    ch = chunk_documents(
+        d, "text", "doc_id", max_tokens=64, overlap=16
+    )
+    return (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("chunk_text")), 1, 15),
+                    16, 10,
+                ).cast("long")
+                * (F.col("chunk_id") + 1)
+            ).alias("chunk_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q121_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, t, n, u.i AS chunk_id
+  FROM sized,
+       LATERAL UNNEST(generate_series(
+         0,
+         greatest(0, CAST(ceil((n - 64) / 48.0) AS INT))
+       )) AS u(i)
+), rendered AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(
+           list_slice(t, chunk_id * 48 + 1,
+                      least(chunk_id * 48 + 64, n)), ' ') AS chunk_text,
+         least(64, n - chunk_id * 48) AS n_tokens
+  FROM chunks
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(CAST(concat('0x', substr(md5(chunk_text), 1, 15))
+                     AS BIGINT) * (chunk_id + 1)) AS BIGINT)
+         AS chunk_checksum
+FROM rendered
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -1478,6 +1546,7 @@ QUERIES = {
     "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
+    "q121_chunk_documents": q121_chunk_documents,
     "q117_dup_spans": q117_dup_spans,
     "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
@@ -1528,6 +1597,7 @@ ORACLES = {
     # exhaustive shortlist + exact re-rank == exact brute force
     "q94_pq_exhaustive_topk": _Q33_SQL,
     "q96_ngram_novelty": _Q96_SQL,
+    "q121_chunk_documents": _Q121_SQL,
     # exhaustive probe + exhaustive shortlist == exact brute force
     "q97_ivfpq_exhaustive_topk": _Q33_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,

@@ -421,3 +421,63 @@ def test_dup_span_stats_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_count"):
         dup_span_stats(docs, n=3, min_count=1)
+
+
+# --- token-window chunking (r9) ------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from flink_note_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),   # 10 tokens
+            (2, "x y"),                   # short: one chunk
+            (3, ""),                      # empty: no chunk
+            (4, "   "),                   # whitespace only: no chunk
+            (5, " ".join(f"t{i}" for i in range(8))),  # exactly 2 windows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", max_tokens=4, overlap=2)
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in out.collect()
+    }
+    # doc 1: stride 2 → starts 0,2,4,6 (1 + ceil((10-4)/2) = 4 chunks)
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("c d e f", 4)
+    assert got[(1, 2)] == ("e f g h", 4)
+    assert got[(1, 3)] == ("g h i j", 4)
+    assert (1, 4) not in got
+    # doc 2: single short chunk
+    assert got[(2, 0)] == ("x y", 2)
+    # docs 3/4: no chunks at all
+    assert not any(k[0] in (3, 4) for k in got)
+    # doc 5 (8 tokens): starts 0,2,4 → 1+ceil(4/2)=3 chunks, last full
+    assert got[(5, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(5, 2)] == ("t4 t5 t6 t7", 4)
+    assert (5, 3) not in got
+    # every token of doc 1 is covered by some window
+    covered = " ".join(got[(1, i)][0] for i in range(4)).split()
+    assert set(covered) == set("a b c d e f g h i j".split())
+
+
+def test_chunk_documents_no_overlap_and_validation(spark):
+    import pytest
+
+    from flink_note_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, "text", "doc_id", max_tokens=2, overlap=0)
+    got = sorted(
+        (r.chunk_id, r.chunk_text, r.n_tokens) for r in out.collect()
+    )
+    assert got == [(0, "a b", 2), (1, "c d", 2), (2, "e", 1)]
+    with pytest.raises(ValueError, match="must be smaller"):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+    # the plan is scan-stage only: no exchange before the explode
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
