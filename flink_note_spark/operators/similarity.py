@@ -1357,3 +1357,107 @@ def pq_load(spark, table: str) -> PqIndex:
     encoded = spark.table(table)
     id_type = dict(encoded.dtypes)["neighbor_id"]
     return PqIndex(books, encoded, id_type)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+    centroids: "DataFrame | None" = None,
+    max_cell: int | None = 5000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (r9 — Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): CLUSTER the embedding
+    space and verify cosine only WITHIN each cluster — the clustered
+    alternative to SRP-LSH bucketing
+    (:func:`lsh_embedding_near_dup_pairs`): semantically close pairs
+    share a cell with high probability and the pairwise work is
+    bounded per cell, never corpus-wide.
+
+    Two assignment paths, one verify:
+
+    - ``centroids=None`` (the scale default): k-means cells via the
+      shuffle-free partial-sum Lloyd trainer
+      (:func:`_ivf_train_centroids`) + the Arrow assignment kernel —
+      the 100 TB path; k-means is iterative, so this variant is
+      rows-only for the oracle harness (the deterministic twin below
+      is the exact gate).
+    - ``centroids=<DataFrame (cell_id int, vec)>`` (the deterministic
+      twin): assignment stays a PURE PLAN — the centroid frame is
+      broadcast-crossed with the corpus, cosine evaluates in JVM
+      expressions (``vec_dot``; sequential fold, so an independent SQL
+      engine reproduces the argmax bit-for-bit — the q76 doctrine),
+      and ties break to the smallest ``cell_id``. Fully
+      SQL-expressible → DuckDB-oracle-backed.
+
+    Verify: a ``cell``-keyed self-join (``d1 < d2``) + exact JVM
+    cosine ≥ ``threshold``; cells above ``max_cell`` rows are dropped
+    by anti-join (the flood doctrine — pass ``None`` to disable).
+    Output: ``d1, d2, cos_sim`` (rounded 6).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    if centroids is None:
+        cents = _ivf_train_centroids(
+            base, n_cells, iters, seed, "__id", "__v"
+        )
+        if cents is None:
+            id_type = dict(corpus.dtypes)[id_col]
+            return corpus.sparkSession.createDataFrame(
+                [], f"d1 {id_type}, d2 {id_type}, cos_sim double"
+            )
+        assigned = _ivf_assign_cells(base, cents, "__v")
+    else:
+        c = centroids.select(
+            F.col("cell_id").alias("__cell0"),
+            F.col(centroids.columns[1]).alias("__cv"),
+        )
+        cos = vec_dot("__v", "__cv") / (
+            F.sqrt(l2_norm_sq("__v")) * F.sqrt(l2_norm_sq("__cv"))
+        )
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__cos").desc(), F.col("__cell0").asc()
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(c))
+            .withColumn("__cos", cos)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", F.col("__cell0").alias("__cell"))
+        )
+    if max_cell is not None:
+        hot = (
+            assigned.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") > max_cell)
+            .select("__cell")
+        )
+        assigned = _computed_once(
+            assigned.join(hot, ["__cell"], "left_anti")
+        )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    sim = vec_dot("v1", "v2") / (
+        F.sqrt(l2_norm_sq("v1")) * F.sqrt(l2_norm_sq("v2"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.__cell") == F.col("y.__cell"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("d1"),
+            F.col("y.__id").alias("d2"),
+            F.col("x.__v").alias("v1"),
+            F.col("y.__v").alias("v2"),
+        )
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )

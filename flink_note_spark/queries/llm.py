@@ -1535,6 +1535,75 @@ ORDER BY doc_id
 """
 
 
+def q122_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (r9,
+    ``operators/similarity.py:semantic_dedup_pairs``): cluster-bucketed
+    embedding dedup — cosine verified only WITHIN each cell, never
+    corpus-wide. This is the operator's DETERMINISTIC twin (injected
+    centroids = the 8 smallest vec_ids' vectors, assignment as a pure
+    JVM plan with ties to the smallest cell), so DuckDB reproduces the
+    assignment and the pair set exactly; the k-means path
+    (``centroids=None``) is the scale default, pinned against this
+    twin in pytest."""
+    from flink_note_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    cents = (
+        e.orderBy("vec_id").limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .alias("cell_id"),
+            F.col("embedding"),
+        )
+    )
+    return semantic_dedup_pairs(
+        e, threshold=EMBED_DUP_THRESHOLD, id_col="vec_id",
+        vec_col="embedding", centroids=cents, max_cell=None,
+    ).orderBy("d1", "d2")
+
+
+_Q122_SQL = f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+  FROM n ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         list_reduce(list_transform(range(1, len(e.v) + 1),
+                     i -> e.v[i] * c.cv[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(c.cv, x -> x * x),
+                                 (x, y) -> x + y))) AS cos
+  FROM n e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, cell_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         round(list_reduce(list_transform(range(1, len(a.v) + 1),
+                           i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                     (x, y) -> x + y))), 6) AS cos_sim
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)
+SELECT d1, d2, cos_sim FROM pairs
+WHERE cos_sim >= {EMBED_DUP_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -1547,6 +1616,7 @@ QUERIES = {
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
     "q121_chunk_documents": q121_chunk_documents,
+    "q122_semantic_dedup": q122_semantic_dedup,
     "q117_dup_spans": q117_dup_spans,
     "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
@@ -1598,6 +1668,7 @@ ORACLES = {
     "q94_pq_exhaustive_topk": _Q33_SQL,
     "q96_ngram_novelty": _Q96_SQL,
     "q121_chunk_documents": _Q121_SQL,
+    "q122_semantic_dedup": _Q122_SQL,
     # exhaustive probe + exhaustive shortlist == exact brute force
     "q97_ivfpq_exhaustive_topk": _Q33_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,

@@ -462,3 +462,95 @@ def test_pq_save_load_round_trip(spark, sf_dir, tmp_path):
         .saveAsTable("not_an_index__codebooks")
     with _pytest.raises(ValueError, match="pq_load"):
         pq_load(spark, "not_an_index")
+
+
+# --- SemDeDup-style semantic dedup (r9) -----------------------------------
+
+
+def test_semantic_dedup_single_cell_equals_exact(spark, sf_dir):
+    """With ONE k-means cell the cluster bucketing is a no-op, so the
+    k-means path must emit exactly the exact all-pairs operator's
+    pair set (values too — both verify with the same JVM cosine after
+    the numpy kernel only ASSIGNS)."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    exact = {
+        (r.d1, r.d2) for r in embedding_near_dup_pairs(
+            e, threshold=0.4
+        ).collect()
+    }
+    sem = {
+        (r.d1, r.d2) for r in semantic_dedup_pairs(
+            e, threshold=0.4, n_cells=1, iters=1, max_cell=None
+        ).collect()
+    }
+    assert sem == exact
+    assert sem  # fixture plants pairs at this threshold
+
+
+def test_semantic_dedup_clustered_recall(spark, sf_dir):
+    """Clustered cells (the scale path): the pair set is a SUBSET of
+    the exact pairs (cells only prune, never invent). Fixture recall
+    is bounded by the corpus geometry — its 'dup' pairs sit at
+    cos ≈ 0.4, near-orthogonal soup (the q52 band-sizing note), where
+    cell co-location is weak — so the fixture pin is modest (≥ 0.5 at
+    4 cells) and the SEMANTIC claim is pinned on planted tight dups:
+    a vector and its small-noise copy (cos ≥ 0.95) score nearly
+    identically against every centroid, land in one cell, and are
+    recovered with recall 1.0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.d1, r.d2) for r in embedding_near_dup_pairs(
+            e, threshold=0.4, max_collect_rows=None
+        ).collect()
+    }
+    sem = {
+        (r.d1, r.d2) for r in semantic_dedup_pairs(
+            e, threshold=0.4, n_cells=4, iters=3, max_cell=None
+        ).collect()
+    }
+    assert sem <= exact
+    assert exact
+    assert len(sem) / len(exact) >= 0.5
+
+    # planted TIGHT dups: base vectors + small-noise copies
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    noisy = base + rng.normal(scale=0.05, size=base.shape)
+    rows = [
+        (i, [float(x) for x in base[i]]) for i in range(40)
+    ] + [
+        (1000 + i, [float(x) for x in noisy[i]]) for i in range(40)
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.d1, r.d2) for r in semantic_dedup_pairs(
+            planted, threshold=0.95, n_cells=4, iters=3,
+            max_cell=None,
+        ).collect()
+    }
+    want = {
+        (r.d1, r.d2) for r in embedding_near_dup_pairs(
+            planted, threshold=0.95
+        ).collect()
+    }
+    assert want  # the planted copies really are ≥ 0.95
+    assert len(got & want) / len(want) >= 0.95

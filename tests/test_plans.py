@@ -132,6 +132,18 @@ def test_q70_tfidf_total_join_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q122_semantic_dedup_cell_join_no_cartesian(spark, sf_dir):
+    """Semantic dedup (r9): pairs meet in a cell_id equi-join — the
+    only nested-loop in the plan is the 8-row broadcast centroid
+    cross (explicitly hinted); the corpus-wide n² matrix never
+    appears."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q122_semantic_dedup"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q73_decontaminate_semi_anti_no_cartesian(spark, sf_dir):
     """Decontamination: benchmark shingles meet the corpus in a shingle
     SEMI-join and ids leave via an ANTI-join — never a cross join, and
