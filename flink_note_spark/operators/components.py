@@ -28,7 +28,7 @@ this driver-side loop over lazy DataFrame rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -155,19 +155,44 @@ def canonical_docs(
     id_col: str = "doc_id",
     left: str = "d1",
     right: str = "d2",
+    keep_by: "str | Column | None" = None,
 ) -> DataFrame:
     """Collapse a corpus to one representative per near-dup cluster.
 
     Keeps every document that is either (a) not part of any pair —
     singletons never enter the edge list — or (b) its cluster's
-    representative (the smallest id, matching ``exact_dedup``'s
-    ``keep = min(id)`` convention). The non-representative member set
-    is exactly ``components.id != components.component``, removed with
-    one anti-join; AQE broadcasts it when small, and at 100 TB the
+    representative. The default representative is the smallest id
+    (matching ``exact_dedup``'s ``keep = min(id)`` convention); the
+    non-representative member set is exactly
+    ``components.id != components.component``, removed with one
+    anti-join. AQE broadcasts it when small, and at 100 TB the
     anti-join shuffles only (id) pairs, never document payloads.
+
+    ``keep_by`` (r9) selects the representative by MERIT instead: the
+    cluster member maximizing the given expression (a column name or
+    Column over ``df`` — e.g. a quality score or ``F.length("text")``),
+    ties broken by the smallest id. Cost: one extra (id, metric)
+    projection joined to the component map and one window pass over
+    clusters — ids and one metric column shuffle, never payloads
+    (cluster sizes are near-dup groups, bounded in practice by the
+    dedup family's flood caps upstream).
     """
     comp = connected_components(pairs, left, right)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if keep_by is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    metric = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+    scored = df.select(
+        F.col(id_col).alias("id"), metric.alias("__m")
+    ).join(comp, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("__m").desc_nulls_last(), F.col("id").asc()
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")

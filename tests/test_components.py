@@ -137,3 +137,43 @@ def test_components_plan_has_no_cartesian(spark):
     out = connected_components(pairs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_canonical_docs_keep_by_merit(spark):
+    """r9 keep_by: the representative is the cluster member maximizing
+    the metric (ties -> smallest id); singletons always survive; NULL
+    metrics lose to any non-NULL member."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "a much longer text", None),   # cluster {1,2,3}
+            (3, "mid length", 7),
+            (9, "single", 1),                  # singleton
+            (20, "tie a", 4),                  # cluster {20, 21}: tie
+            (21, "tie b", 4),
+        ],
+        "doc_id long, text string, quality int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21)], "d1 long, d2 long"
+    )
+    # merit = quality: cluster {1,2,3} -> 3 (quality 7; NULL loses);
+    # {20,21} tie on 4 -> smallest id 20
+    kept = sorted(
+        r.doc_id
+        for r in canonical_docs(docs, pairs, keep_by="quality").collect()
+    )
+    assert kept == [3, 9, 20]
+    # merit = text length: {1,2,3} -> 2 (longest text)
+    kept = sorted(
+        r.doc_id
+        for r in canonical_docs(
+            docs, pairs, keep_by=F.length("text")
+        ).collect()
+    )
+    assert kept == [2, 9, 20]
+    # default stays min-id
+    kept = sorted(r.doc_id for r in canonical_docs(docs, pairs).collect())
+    assert kept == [1, 9, 20]
