@@ -529,11 +529,17 @@ def match_recognize_stream(
       deterministic loop-free chains accepted here that strategy
       binds identically to the engine default, so it maps to it.
     - MEASURES: ``FIRST/LAST(V.<order_by>)``, bare ``V.<order_by>``,
-      and ``COUNT(V.*)`` — projected straight from the engine's
+      and ``COUNT(V.*)`` project straight from the engine's
       ``ts_k``/``ts_k_last``/``n_k`` columns (epoch MICROseconds, the
-      streaming convention). Payload measures are batch-only: they
-      attach via a co-partitioned join, which update-mode stateful
-      output cannot feed; join downstream in ``foreachBatch`` instead.
+      streaming convention). PAYLOAD measures (r9) stream too for
+      NUMERIC columns on ``+``/``{n}``/plain patterns: the captured
+      values ride the engine's state buffer as doubles (the iterative
+      engine's carried-payload convention) and emit as DOUBLE — cast
+      downstream if the source column was integral. Payload measures
+      on ``? * {n,m}`` variants, or non-numeric payloads, stay
+      batch-only (``attach_event_payload``; or join in
+      ``foreachBatch`` — the tested recipe in
+      tests/test_match_recognize.py).
     - ONE ROW PER MATCH, emitted exactly once at watermark finality.
     """
     define = dict(define or {})
@@ -634,23 +640,12 @@ def match_recognize_stream(
 
     from flink_note_spark.streaming.ops import match_pattern_stream
 
-    typed = stream.withColumn(_ROW_TYPE, F.lit("r"))
-    matches = match_pattern_stream(
-        typed,
-        steps,
-        key_col=partition_by,
-        time_col=order_by,
-        type_col=_ROW_TYPE,
-        within=within,
-        watermark=watermark,
-        contiguity="strict",
-        skip_strategy=skip,
-    )
-    if not measures:
-        return matches
-
+    # resolve measures BEFORE the engine runs: payload measures
+    # (col != order_by) become a carry_payload request riding the
+    # strict engine's state buffer as doubles (r9)
+    carry: dict[str, list[str]] = {}
     exprs = []
-    for out_name, spec in measures.items():
+    for out_name, spec in (measures or {}).items():
         m = _MEASURE_RE.match(spec.strip())
         if not m:
             raise ValueError(
@@ -701,16 +696,42 @@ def match_recognize_stream(
                 f"bare measure {spec!r} on a quantified variable is "
                 "ambiguous — use FIRST(...) or LAST(...)"
             )
-        if col != order_by:
-            raise ValueError(
-                f"measure {spec!r}: streaming MATCH_RECOGNIZE "
-                f"projects {order_by!r} (the engine's ts_k columns) "
-                "and COUNT(V.*) only; payload measures attach via a "
-                "join, which update-mode stateful output cannot feed "
-                "— use the batch operator or join in foreachBatch"
-            )
         ts_col = f"ts_{k}"
         if fn == "LAST" and quantified:
             ts_col = f"ts_{k}_last"
-        exprs.append(F.col(ts_col).alias(out_name))
+        if col == order_by:
+            exprs.append(F.col(ts_col).alias(out_name))
+            continue
+        # payload measure (r9): streams via the engine's carried
+        # numeric state — variant quantifiers have no positional caps
+        if variant_q:
+            raise ValueError(
+                f"payload measure {spec!r} with ? * {{n,m}} "
+                "quantifiers is batch-only (the variants engine "
+                "realigns a union, not positional caps) — use the "
+                "batch operator or join in foreachBatch"
+            )
+        if iterative:
+            raise ValueError(
+                f"payload measure {spec!r} with cross-variable DEFINE "
+                "refs is batch-only on streams"
+            )
+        carry.setdefault(ts_col, []).append(col)
+        exprs.append(F.col(f"{ts_col}_{col}").alias(out_name))
+
+    typed = stream.withColumn(_ROW_TYPE, F.lit("r"))
+    matches = match_pattern_stream(
+        typed,
+        steps,
+        key_col=partition_by,
+        time_col=order_by,
+        type_col=_ROW_TYPE,
+        within=within,
+        watermark=watermark,
+        contiguity="strict",
+        skip_strategy=skip,
+        carry_payload=carry or None,
+    )
+    if not measures:
+        return matches
     return matches.select(F.col(partition_by), *exprs)

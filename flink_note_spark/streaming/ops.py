@@ -1283,7 +1283,8 @@ def match_pattern_timeouts_stream(
 
 
 def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
-                         contiguity, out_cols, skip=None):
+                         contiguity, out_cols, skip=None,
+                         n_vals=0, capture=()):
     """Per-key incremental matcher for the GENERAL pattern surface
     (negation + greedy ``one_or_more``/``until`` + ``times`` +
     ``where()`` value predicates), r7/r8 — the streaming rendering of
@@ -1344,6 +1345,16 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
     has_loop = any(s[3] for s in steps)
     consumed_total = sum(s[2] for s in steps if not s[1] and not s[3])
     noskip_loops = skip is not None  # any strategy => non-greedy loops
+    #: payload capture (r9 — streaming ``carry_payload``): per entry
+    #: (positive_step_k, val_idx, "first"|"last"), appended to each cap
+    #: AFTER the timestamp geometry, in ``capture`` order; the caller's
+    #: ``out_cols`` names them. STRICT engine only (dispatch-guarded).
+    pidx_of: dict[int, int] = {}
+    _pk = 0
+    for _si, _s in enumerate(steps):
+        if not _s[1]:
+            _pk += 1
+            pidx_of[_si] = _pk
 
     # cap-offset geometry shared with batch _apply_skip: which cap
     # entries are timestamps, and where each positive step's
@@ -1367,6 +1378,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             _is_ts.append(False)
             _off += 1
         _step_offsets.append((first_off, last_off))
+    _is_ts += [False] * len(capture)  # payload entries: never timestamps
 
     def _se(cap):
         ts = [v for v, f in zip(cap, _is_ts) if f]
@@ -1448,7 +1460,8 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                 bound = gb
         return rows, bound
 
-    def _find_gstrict(ts_buf, mk_buf, wm_us, wm_prev_us, bound, pend):
+    def _find_gstrict(ts_buf, mk_buf, vs_buf, wm_us, wm_prev_us,
+                      bound, pend):
         n = 0
         while n < len(ts_buf) and ts_buf[n] < wm_us:
             n += 1
@@ -1457,27 +1470,35 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
         def hit(pos, slot):
             return (mk_buf[pos] >> slot) & 1
 
-        def emit(cap, last_ts):
+        def emit(cap, last_ts, fpos=None, lpos=None):
             if within_us is not None and last_ts - cap[0] > within_us:
                 return
             if wm_prev_us <= last_ts:  # last_ts < wm by construction
+                if capture:
+                    cap = cap + [
+                        vs_buf[vi][
+                            fpos[ck] if which == "first" else lpos[ck]
+                        ]
+                        for (ck, vi, which) in capture
+                    ]
                 rows.append(cap)
 
-        def rec(si, pos, cap, last_ts):
+        def rec(si, pos, cap, last_ts, fpos, lpos):
             """Non-greedy (no_skip) enumeration: loops emit every
             prefix; a prefix whose next position still holds the loop
             candidate dies at the following step (strict adjacency)
             exactly as in the batch engine."""
             if si == len(steps):
                 if cap:
-                    emit(cap, last_ts)
+                    emit(cap, last_ts, fpos, lpos)
                 return
             slot, neg, times, loop, _until, _any = steps[si]
             if neg:
                 if pos < n and hit(pos, slot):
                     return
-                rec(si + 1, pos, cap, last_ts)
+                rec(si + 1, pos, cap, last_ts, fpos, lpos)
                 return
+            k = pidx_of[si]
             if loop:
                 q = pos
                 while q < n and hit(q, slot):
@@ -1486,6 +1507,7 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                         si + 1, q,
                         cap + [ts_buf[pos], ts_buf[q - 1], q - pos],
                         ts_buf[q - 1],
+                        {**fpos, k: pos}, {**lpos, k: q - 1},
                     )
                 return
             first, p, lt = None, pos, last_ts
@@ -1499,19 +1521,24 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             rec(
                 si + 1, p,
                 cap + [first] + ([lt] if times > 1 else []), lt,
+                {**fpos, k: pos}, {**lpos, k: p - 1},
             )
 
         for p0 in range(n):
             if noskip_loops:
-                rec(0, p0, [], None)
+                rec(0, p0, [], None, {}, {})
                 continue
             pos, cap, ok, last_ts = p0, [], True, None
-            for (slot, neg, times, loop, _until, _any) in steps:
+            fpos, lpos = {}, {}
+            for si, (slot, neg, times, loop, _until, _any) in enumerate(
+                steps
+            ):
                 if neg:
                     if pos < n and hit(pos, slot):
                         ok = False
                         break
                     continue
+                k = pidx_of[si]
                 if loop:
                     if pos >= n or not hit(pos, slot):
                         ok = False
@@ -1520,10 +1547,12 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                     while q < n and hit(q, slot):
                         q += 1
                     cap += [ts_buf[pos], ts_buf[q - 1], q - pos]
+                    fpos[k], lpos[k] = pos, q - 1
                     last_ts = ts_buf[q - 1]
                     pos = q
                 else:
                     first = None
+                    fp = pos
                     for _ in range(times):
                         if pos >= n or not hit(pos, slot):
                             ok = False
@@ -1537,9 +1566,10 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                     cap.append(first)
                     if times > 1:
                         cap.append(last_ts)
+                    fpos[k], lpos[k] = fp, pos - 1
             if not ok or not cap:
                 continue
-            emit(cap, last_ts)
+            emit(cap, last_ts, fpos, lpos)
         # r8: skip strategies on STRICT patterns. A strict match is
         # decided exactly when its END passes the watermark, so ends
         # are globally monotone across watermark windows — the
@@ -1590,9 +1620,13 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                 cut += 1
         else:
             cut = max(0, n - (consumed_total - 1)) if consumed_total > 1 else n
-        return rows, ts_buf[cut:], mk_buf[cut:], bound, pend
+        return (
+            rows, ts_buf[cut:], mk_buf[cut:],
+            [col[cut:] for col in vs_buf], bound, pend,
+        )
 
-    def _find_grelaxed(ts_buf, mk_buf, wm_us, wm_prev_us, bound, pend):
+    def _find_grelaxed(ts_buf, mk_buf, vs_buf, wm_us, wm_prev_us,
+                       bound, pend):
         from bisect import bisect_right
 
         n = 0
@@ -1801,7 +1835,10 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
         cut = 0
         while cut < len(ts_buf) and ts_buf[cut] < evict:
             cut += 1
-        return rows, ts_buf[cut:], mk_buf[cut:], bound, pend
+        return (
+            rows, ts_buf[cut:], mk_buf[cut:],
+            [col[cut:] for col in vs_buf], bound, pend,
+        )
 
     strict = contiguity == "strict"
     find = _find_gstrict if strict else _find_grelaxed
@@ -1811,8 +1848,10 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
 
     # pending caps are carried in state FLATTENED (cap width is fixed
     # per pattern — no optional steps in streaming), avoiding nested
-    # array state types
-    cap_w = _off
+    # array state types. With payload capture, cap_w grows by the
+    # capture count (entries ride rows, and the skip_to_next anchor
+    # set pads to the same width).
+    cap_w = _off + len(capture)
 
     def _pack(pend):
         return [v for c in pend for v in c]
@@ -1846,20 +1885,43 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
                 max(min(cands), state.getCurrentWatermarkMs() + 1)
             )
 
+        def _vs_unflat(vflat, n_rows):
+            return [
+                list(vflat[i * n_rows:(i + 1) * n_rows])
+                for i in range(n_vals)
+            ]
+
+        def _vs_flat(vs_buf):
+            return [v for col in vs_buf for v in col]
+
+        def _update(ts_buf, mk_buf, bound, pend, vs_buf):
+            if n_vals:
+                state.update((
+                    ts_buf, mk_buf, wm_us, bound, _pack(pend),
+                    _vs_flat(vs_buf),
+                ))
+            else:
+                state.update(
+                    (ts_buf, mk_buf, wm_us, bound, _pack(pend))
+                )
+
         if state.hasTimedOut:
-            ts_buf, mk_buf, wm_prev, bound, pf = state.get
-            rows, ts_buf, mk_buf, bound, pend = find(
-                list(ts_buf), list(mk_buf), wm_us, wm_prev, bound,
-                _unpack(pf),
+            if n_vals:
+                ts_buf, mk_buf, wm_prev, bound, pf, vflat = state.get
+                vs_buf = _vs_unflat(vflat, len(ts_buf))
+            else:
+                ts_buf, mk_buf, wm_prev, bound, pf = state.get
+                vs_buf = []
+            rows, ts_buf, mk_buf, vs_buf, bound, pend = find(
+                list(ts_buf), list(mk_buf), vs_buf, wm_us, wm_prev,
+                bound, _unpack(pf),
             )
             if rows:
                 yield pd.DataFrame(
                     [[key_val, *r] for r in rows], columns=cols
                 )
             if ts_buf or pend:
-                state.update(
-                    (ts_buf, mk_buf, wm_us, bound, _pack(pend))
-                )
+                _update(ts_buf, mk_buf, bound, pend, vs_buf)
                 if horizon_timer:
                     # undecided anchors / unreleased caps remain; both
                     # resolve on watermark advance alone, so the timer
@@ -1874,8 +1936,13 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
             return
 
         ts_buf, mk_buf, wm_prev, bound, pend = [], [], 0, None, []
+        vs_buf = [[] for _ in range(n_vals)]
         if state.exists:
-            prev_ts, prev_mk, wm_prev, bound, pf = state.get
+            if n_vals:
+                prev_ts, prev_mk, wm_prev, bound, pf, vflat = state.get
+                vs_buf = _vs_unflat(vflat, len(prev_ts))
+            else:
+                prev_ts, prev_mk, wm_prev, bound, pf = state.get
             ts_buf, mk_buf = list(prev_ts), list(prev_mk)
             pend = _unpack(pf)
         # numpy merge (r8): same (ts, mask) sort as the old
@@ -1883,21 +1950,32 @@ def _make_general_cep_fn(steps, key_name, ts_col, mask_col, within_us,
         # the equal-ts tiebreak — without per-event Python
         pt = [np.asarray(ts_buf, dtype=np.int64)]
         pm = [np.asarray(mk_buf, dtype=np.int64)]
+        pvs = [
+            [np.asarray(vs_buf[i], dtype=np.float64)]
+            for i in range(n_vals)
+        ]
         for pdf in pdfs:
             pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
             pm.append(pdf[mask_col].to_numpy().astype(np.int64))
+            for i in range(n_vals):
+                pvs[i].append(
+                    pdf[f"__val{i}"].to_numpy(dtype=np.float64)
+                )
         ts_a, mk_a = np.concatenate(pt), np.concatenate(pm)
         order = np.lexsort((mk_a, ts_a))
         ts_buf = ts_a[order].tolist()
         mk_buf = mk_a[order].tolist()
+        vs_buf = [
+            np.concatenate(pvs[i])[order].tolist() for i in range(n_vals)
+        ]
 
-        rows, ts_buf, mk_buf, bound, pend = find(
-            ts_buf, mk_buf, wm_us, wm_prev, bound, pend
+        rows, ts_buf, mk_buf, vs_buf, bound, pend = find(
+            ts_buf, mk_buf, vs_buf, wm_us, wm_prev, bound, pend
         )
         if rows:
             yield pd.DataFrame([[key_val, *r] for r in rows], columns=cols)
         if ts_buf or pend:
-            state.update((ts_buf, mk_buf, wm_us, bound, _pack(pend)))
+            _update(ts_buf, mk_buf, bound, pend, vs_buf)
             _arm(ts_buf, pend)
         else:
             state.remove()
@@ -2768,6 +2846,7 @@ def match_pattern_stream(
     watermark: str = "5 minutes",
     contiguity: str | None = None,
     skip_strategy: str | tuple | None = None,
+    carry_payload: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Streaming CEP (Flink ``CEP.pattern(stream, Pattern.begin()
     .next()/.followedBy()...)``): incremental, exactly-once match
@@ -2882,13 +2961,24 @@ def match_pattern_stream(
     strict positive, and TERMINAL strict loops (run maximality asserts
     on the event after the run — the uniform strict engine's rule).
 
+    ``carry_payload`` (r9 — the streaming twin of the batch engines'
+    zero-join payload capture): ``{ts_col: [numeric payload cols]}``
+    adds ``<ts_col>_<col>`` DOUBLE output columns holding the matched
+    events' values, captured at binding time from a per-key value
+    buffer that rides state alongside the timestamps (the iterative
+    engine's carried-payload convention — column-major doubles,
+    evicted with the event buffer). STRICT patterns on the general
+    engine only; relaxed/mixed/variants/iterative combinations refuse
+    with pointers at ``attach_event_payload`` / ``foreachBatch``.
+
     Batch-only remainders: mixed variants/skip strategies, skip
     strategies over variant unions or iterative conditions,
     non-numeric/non-subset iterative predicates, non-greedy
-    any-loops, and — for STRICT and mixed patterns — terminal
-    negation/loops (they ask what follows the match, unanswerable on
-    an unbounded stream; relaxed terminal negation and loops are
-    fine, the ``within`` horizon decides them).
+    any-loops, payload capture outside strict patterns, and — for
+    STRICT and mixed patterns — terminal negation/loops (they ask
+    what follows the match, unanswerable on an unbounded stream;
+    relaxed terminal negation and loops are fine, the ``within``
+    horizon decides them).
     """
     from flink_note_spark.operators.cep import (
         Pattern,
@@ -2910,7 +3000,7 @@ def match_pattern_stream(
     skip = _parse_skip(skip_strategy)
     if skip is not None and skip[0] == "greedy":
         skip = None
-    general = skip is not None
+    general = skip is not None or bool(carry_payload)
     steps = None
     variants_mode = False
     iterative = False
@@ -2924,6 +3014,14 @@ def match_pattern_stream(
         # spec matches identically in both engines or fails loudly
         steps = _normalize(pattern)
         resolved = _resolve_contiguity(steps, contiguity)
+        if carry_payload and resolved != "strict":
+            raise ValueError(
+                "carry_payload (streaming payload capture) is "
+                "supported on STRICT patterns only — the strict "
+                "engine binds positions whose payload rides the "
+                "state buffer; relaxed/mixed payload access is "
+                "batch-only (attach_event_payload) or foreachBatch"
+            )
         if resolved == "mixed":
             # late-r8: mixed contiguity streams on the positional
             # per-key engine (_make_mixed_cep_fn has the finality
@@ -2936,6 +3034,12 @@ def match_pattern_stream(
         variants_mode = any(
             s.optional or s.times_max is not None for s in steps
         )
+        if carry_payload and variants_mode:
+            raise ValueError(
+                "carry_payload with optional()/times(n, m) is "
+                "batch-only (the variants engine realigns a union, "
+                "not positional caps)"
+            )
         if variants_mode and skip is not None:
             raise ValueError(
                 "skip strategies with optional()/times(n, m) are "
@@ -2988,6 +3092,13 @@ def match_pattern_stream(
                     "batch-only in streaming (the skip engines prune "
                     "over candidate-mask state; iterative bindings "
                     "need carried payload)"
+                )
+            if carry_payload:
+                raise ValueError(
+                    "carry_payload with iterative conditions is "
+                    "batch-only in streaming (the iterative engine's "
+                    "val buffer serves predicate binding, not "
+                    "capture)"
                 )
             if contiguity == "strict" and any(s.loop for s in steps):
                 raise ValueError(
@@ -3151,9 +3262,61 @@ def match_pattern_stream(
                     "events, so the horizon is the only state bound"
                 )
         out_cols = _out_cols(steps)
+        # r9 payload capture: resolve ``carry_payload`` ({ts_col:
+        # [payload cols]}) into (positive_step_k, val_idx,
+        # first|last) entries; captured values ride the state buffer
+        # as doubles (the iterative engine's convention) and emit as
+        # ``<ts_col>_<col>`` DOUBLE columns appended to the schema
+        capture: list[tuple[int, int, str]] = []
+        cap_cols: list[str] = []
+        val_cols: list[str] = []
+        if carry_payload:
+            dtypes = dict(stream.dtypes)
+            numeric = {
+                "tinyint", "smallint", "int", "bigint", "float",
+                "double",
+            }
+            n_pos = sum(1 for s in steps if not s.negate)
+            for tsc in sorted(carry_payload):
+                m = re.fullmatch(r"ts_(\d+)(_last)?", tsc)
+                if not m or not (1 <= int(m.group(1)) <= n_pos):
+                    raise ValueError(
+                        f"carry_payload key {tsc!r} is not an output "
+                        f"step column (ts_1..ts_{n_pos}[, _last])"
+                    )
+                if tsc not in out_cols:
+                    raise ValueError(
+                        f"carry_payload key {tsc!r}: this pattern "
+                        "does not emit that column"
+                    )
+                k = int(m.group(1))
+                which = "last" if m.group(2) else "first"
+                for c in sorted(set(carry_payload[tsc])):
+                    t = dtypes.get(c)
+                    if t is None:
+                        raise ValueError(
+                            f"carry_payload column {c!r} not in the "
+                            "stream"
+                        )
+                    if t not in numeric and not t.startswith("decimal"):
+                        raise ValueError(
+                            f"streaming payload capture supports "
+                            f"numeric columns only; {c!r} has type "
+                            f"{t} (batch attach_event_payload carries "
+                            "any type)"
+                        )
+                    if c not in val_cols:
+                        val_cols.append(c)
+                    capture.append((k, val_cols.index(c), which))
+                    cap_cols.append(f"{tsc}_{c}")
         out_schema = f"{key_col} {key_type}, " + ", ".join(
             f"{c} long" for c in out_cols
         )
+        if cap_cols:
+            out_schema += ", " + ", ".join(
+                f"{c} double" for c in cap_cols
+            )
+            out_cols = out_cols + cap_cols
         # slot allocation (r8): one candidate bit per step — type
         # equality AND the optional where() value predicate, computed
         # by CATALYST before the stream enters the buffer (payload
@@ -3178,20 +3341,24 @@ def match_pattern_stream(
             mask = term if mask is None else mask + term
         projected = _mask_projection(
             stream, mask, key_col, time_col, watermark,
-            drop_zero=contiguity == "relaxed",
+            drop_zero=contiguity == "relaxed", val_cols=val_cols,
         )
+        state_struct = (
+            "ts array<long>, mk array<long>, wm long, "
+            "bound long, pend array<long>"
+        )
+        if val_cols:
+            state_struct += ", vals array<double>"
         return (
             projected.groupBy(key_col)
             .applyInPandasWithState(
                 _make_general_cep_fn(
                     steps_t, key_col, time_col, "__cand_mask",
                     within_us, contiguity, out_cols, skip,
+                    n_vals=len(val_cols), capture=tuple(capture),
                 ),
                 outputStructType=out_schema,
-                stateStructType=(
-                    "ts array<long>, mk array<long>, wm long, "
-                    "bound long, pend array<long>"
-                ),
+                stateStructType=state_struct,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )

@@ -461,15 +461,26 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
             measures={"lo_ts": "LO.ts", "hi_ts": "HI.ts"},
             after_match="skip to first HI")),
         # r9: one-or-more with STATICALLY provably-disjoint defines —
-        # the V-shape, greedy run selection local per anchor
+        # the V-shape, greedy run selection local per anchor; payload
+        # measures (start_val/bottom_val/up_val) ride the engine's
+        # carried numeric state, zero joins
         ("plus_v_shape", dict(
             partition_by="user_id", order_by="ts",
             pattern="STRT DOWN+ UP",
             define={"STRT": "value >= 0.5", "DOWN": "value < 0.4",
                     "UP": "value >= 0.6"},
-            measures={"start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)",
-                      "bottom_ts": "LAST(DOWN.ts)", "up_ts": "UP.ts"},
+            measures={"start_ts": "STRT.ts", "start_val": "STRT.value",
+                      "n_down": "COUNT(DOWN.*)",
+                      "bottom_ts": "LAST(DOWN.ts)",
+                      "bottom_val": "LAST(DOWN.value)",
+                      "up_ts": "UP.ts", "up_val": "UP.value"},
             after_match="skip to next row", within="30 minutes")),
+        ("payload_plain", dict(
+            partition_by="user_id", order_by="ts", pattern="LO HI",
+            define={"LO": "value < 0.3", "HI": "value > 0.7"},
+            measures={"lo_ts": "LO.ts", "lo_val": "LO.value",
+                      "hi_val": "HI.value"},
+            after_match="skip past last row", within="30 minutes")),
         ("plus_skip_past", dict(
             partition_by="user_id", order_by="ts", pattern="LO+ HI",
             define={"LO": "value < 0.35", "HI": "value > 0.65"},
@@ -516,6 +527,10 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
                 v.replace(tzinfo=dt.timezone.utc).timestamp()
                 * 1_000_000
             )
+        if isinstance(v, float):
+            # payload measures: batch emits the source type, the
+            # stream emits the engine's carried double — same values
+            return round(v, 9)
         return int(v)
 
     def _key(t):
@@ -595,7 +610,10 @@ def test_match_recognize_stream_plus_survives_restart(spark, tmp_path):
             define={"STRT": "value >= 100", "DOWN": "value < 80",
                     "UP": "value >= 150"},
             measures={"start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)",
-                      "up_ts": "UP.ts"},
+                      "up_ts": "UP.ts",
+                      # r9: payload capture rides checkpointed state
+                      "start_val": "STRT.value",
+                      "bottom_val": "LAST(DOWN.value)"},
             after_match="skip to next row",
             within="60 minutes", watermark="2 minutes",
         )
@@ -620,6 +638,8 @@ def test_match_recognize_stream_plus_survives_restart(spark, tmp_path):
     assert not sink.exists()
 
     # run 2 (same checkpoint): the run continues, then UP completes it
+    # — the payload values captured from PRE-restart events (120.0 at
+    # the anchor) prove the vals buffer survived the checkpoint
     chunk("c2.parquet", [(1, 4, t(3), 50.0), (1, 5, t(4), 160.0)])
     chunk("c3.parquet", [(99, 9, t(120), 1.0)])  # watermark driver
     run_once()
@@ -628,10 +648,10 @@ def test_match_recognize_stream_plus_survives_restart(spark, tmp_path):
     )
     final = sorted(
         (int(r["user_id"]), int(r["start_ts"]), int(r["n_down"]),
-         int(r["up_ts"]))
+         int(r["up_ts"]), float(r["start_val"]), float(r["bottom_val"]))
         for r in spark.read.parquet(str(sink)).collect()
     )
-    assert final == [(1, us(0), 3, us(4))]
+    assert final == [(1, us(0), 3, us(4), 120.0, 50.0)]
 
 
 def test_match_recognize_stream_payload_via_foreach_batch(
@@ -783,11 +803,25 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
             after_match="skip past last row",
             within="10 minutes",
         )
-    with pytest.raises(ValueError, match="payload"):
+    # numeric payload measures STREAM since r9 (the carried-state
+    # capture); variant quantifiers and non-numeric payloads refuse
+    with pytest.raises(ValueError, match="payload measure"):
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
+            pattern="A B? C",
+            define={"A": "value >= 0.9", "B": "value < 0.3",
+                    "C": "value >= 0.6"},
+            measures={"v": "C.value"},
+            after_match="skip to next row",
+            within="10 minutes",
+        )
+    with pytest.raises(ValueError, match="numeric columns only"):
+        match_recognize_stream(
+            stream.withColumn("tag", F.lit("x")),
+            partition_by="user_id", order_by="ts",
             pattern="A B", define={"B": "value > 0.5"},
-            measures={"v": "B.value"},
+            measures={"t": "B.tag"},
+            within="10 minutes",
         )
     with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
         match_recognize_stream(

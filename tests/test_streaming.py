@@ -2020,6 +2020,77 @@ def test_cep_stream_general_rejections(spark, chunk_dir, tmp_path):
         )
 
 
+def test_cep_stream_carry_payload_equals_batch_attach(
+    spark, chunk_dir, tmp_path
+):
+    """r9 carry_payload on the strict general engine: captured payload
+    values (incl. across a negation, which shifts positive indices)
+    equal the batch operator + attach_event_payload join, across
+    micro-batch boundaries."""
+    from flink_note_spark.operators.cep import (
+        attach_event_payload,
+        match_pattern,
+    )
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    rows = [
+        (1, 1, _ts(0), "V", 10.0),
+        (1, 2, _ts(1), "C", 20.0),
+        (1, 3, _ts(2), "P", 30.0),
+        (2, 4, _ts(0), "V", 1.0),
+        (2, 5, _ts(1), "Z", 2.0),   # negation hit: no match for key 2
+        (2, 6, _ts(2), "C", 3.0),
+        (2, 7, _ts(3), "P", 4.0),
+        (1, 8, _ts(10), "V", 50.0),
+        (1, 9, _ts(11), "C", 60.0),
+        (1, 10, _ts(12), "P", 70.0),
+    ]
+    _write_chunk(chunk_dir, "c1.parquet", rows[:5])
+    _write_chunk(chunk_dir, "c2.parquet", rows[5:])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 99, _ts(120), "Q", 0.0)])
+    pat = [
+        {"type": "V"}, {"type": "Z", "negate": True},
+        {"type": "C"}, {"type": "P"},
+    ]
+    cols = ["user_id", "ts_1", "ts_2", "ts_3",
+            "ts_1_value", "ts_3_value"]
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    m = match_pattern(
+        batch_df, pat, contiguity="strict", within="30 minutes"
+    )
+    want = sorted(
+        (int(r["user_id"]), int(r["ts_1"].timestamp() * 1e6),
+         float(r["ts_1_value"]), float(r["ts_3_value"]))
+        for r in attach_event_payload(
+            m, batch_df.select("user_id", "ts", "value"),
+            ["ts_1", "ts_3"], payload_cols=["value"],
+        ).collect()
+    )
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(
+        stream, pat, contiguity="strict", within="30 minutes",
+        watermark="2 minutes",
+        carry_payload={"ts_1": ["value"], "ts_3": ["value"]},
+    )
+    assert out.columns == cols
+    _run_to_memory(out, "cep_carry", "update", tmp_path)
+    got = sorted(
+        (int(r["user_id"]), int(r["ts_1"]),
+         float(r["ts_1_value"]), float(r["ts_3_value"]))
+        for r in spark.sql("SELECT * FROM cep_carry").collect()
+    )
+    assert got == want
+    assert got == [
+        (1, _us(0), 10.0, 30.0),
+        (1, _us(10), 50.0, 70.0),
+    ]
+
+
 def test_cep_stream_terminal_loop_refusal_counterexample(spark):
     """PINNED counterexample (r9, VERDICT r8 item 4) for the strict
     TERMINAL-loop refusal: no watermark horizon can finalize ``A B+``
