@@ -93,6 +93,9 @@ HEADLINE = [
     "q108_cep_iterative_condition",
     "q110_cep_any_loop",
     "q114_match_recognize",
+    # New in round 10: the relaxed-engine zero-join payload carry —
+    # same cross-round totals caveat as the earlier additions.
+    "q123_cep_relaxed_payload",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

@@ -593,9 +593,13 @@ def match_pattern(
     ``<ts_col>_<col>`` columns (the :func:`attach_event_payload`
     naming) for the matched events' payloads. Honored by the strict
     lead-chain and island fast paths (where the payload rides the same
-    window pass for free); other engines ignore it — check the output
-    columns and fall back to :func:`attach_event_payload` for any
-    group that did not materialize.
+    window pass for free) and (r10) the ENTIRE relaxed family — plain
+    binds, iterative binds, ``followedByAny`` fan-out, greedy and
+    non-greedy loops — where it rides the existing struct-min/max
+    aggregates. Remaining engines (variants, the general strict
+    segments path) ignore it — check the output columns and fall back
+    to :func:`attach_event_payload` for any group that did not
+    materialize.
     """
     if isinstance(pattern, Pattern):
         # explicit argument wins; the builder's contiguity is the
@@ -731,7 +735,7 @@ def match_pattern(
     else:
         M = _match_relaxed(
             events, steps, key_col, time_col, type_col, within,
-            greedy_loops, iter_info,
+            greedy_loops, iter_info, carry_payload=carry_payload,
         )
     return _apply_skip(M, steps, key_col, skip)
 
@@ -1122,71 +1126,216 @@ def _resolve_iter(
 
 
 #: one numeric comparison over a bare column — the static-disjointness
-#: prover's atom (r9)
+#: prover's numeric atom (r9)
 _CMP_ATOM_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|=|>|<)\s*"
     r"(-?\d+(?:\.\d+)?)\s*$"
 )
+#: string-equality atom ``col = '<masked literal>'`` (r10) — the
+#: literal has been masked to ``\x00<i>\x00`` before matching
+_STR_ATOM_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:==|=)\s*\x00(\d+)\x00\s*$"
+)
+#: ``col IN ( ... )`` atom (r10); the item list is parsed separately
+_IN_ATOM_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\(([^()]*)\)\s*$",
+    re.IGNORECASE,
+)
+_NUM_LIT_RE = re.compile(r"^-?\d+(?:\.\d+)?$")
+#: ``col BETWEEN a AND b`` (numeric) — rewritten to two comparisons
+#: BEFORE the AND-split so the embedded AND doesn't shred the atom
+_BETWEEN_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
+    r"\s+AND\s+(-?\d+(?:\.\d+)?)\b",
+    re.IGNORECASE,
+)
+
+#: sentinel: the predicate's provable conjuncts are jointly
+#: UNSATISFIABLE — the predicate can never hold, so it is disjoint
+#: from anything
+_UNSAT = object()
+#: per-column sentinel: the column carries incomparable constraint
+#: kinds (e.g. a numeric range AND a string set) — unusable for
+#: proving, conservatively skipped
+_MIXED = ("mixed",)
 
 
-def _pred_interval(where) -> tuple[str, float, float, bool, bool] | None:
-    """Parse a SQL ``where`` string that is an AND-conjunction of
-    numeric comparisons over ONE bare column into the interval
-    ``(col, lo, hi, lo_open, hi_open)``; None for anything richer
-    (Columns, ORs, parens, functions, multi-column) — the caller then
-    falls back to the data probe."""
-    if not isinstance(where, str) or re.search(
-        r"\bor\b|\(|\bnot\b|\bin\b|\bbetween\b", where, re.IGNORECASE
-    ):
-        return None
-    col = None
-    lo, hi = float("-inf"), float("inf")
-    lo_open = hi_open = False
-    for part in re.split(r"\bAND\b", where, flags=re.IGNORECASE):
-        m = _CMP_ATOM_RE.match(part)
-        if not m:
-            return None
+def _iv_and(a: tuple, b: tuple) -> tuple:
+    """Intersect two ``("ival", lo, hi, lo_open, hi_open)``."""
+    lo, lo_open = max(
+        (a[1], a[3]), (b[1], b[3]),
+        key=lambda t: (t[0], t[1]),
+    )
+    hi, hi_open = min(
+        (a[2], a[4]), (b[2], b[4]),
+        key=lambda t: (t[0], not t[1]),
+    )
+    return ("ival", lo, hi, lo_open, hi_open)
+
+
+def _iv_empty(iv: tuple) -> bool:
+    _t, lo, hi, lo_open, hi_open = iv
+    return lo > hi or (lo == hi and (lo_open or hi_open))
+
+
+def _iv_contains(iv: tuple, v: float) -> bool:
+    _t, lo, hi, lo_open, hi_open = iv
+    if v < lo or (v == lo and lo_open):
+        return False
+    if v > hi or (v == hi and hi_open):
+        return False
+    return True
+
+
+def _merge_constraint(cur, new):
+    """AND two same-column constraints; ``None`` result means the
+    column became unsatisfiable."""
+    if cur is None:
+        return new
+    if cur is _MIXED or new is _MIXED:
+        return _MIXED
+    if cur[0] != new[0]:
+        if {cur[0], new[0]} == {"ival", "nset"}:
+            nset = cur if cur[0] == "nset" else new
+            iv = cur if cur[0] == "ival" else new
+            kept = frozenset(v for v in nset[1] if _iv_contains(iv, v))
+            return ("nset", kept) if kept else None
+        return _MIXED  # string set vs numeric — incomparable, skip
+    if cur[0] == "ival":
+        iv = _iv_and(cur, new)
+        return None if _iv_empty(iv) else iv
+    kept = cur[1] & new[1]
+    return (cur[0], kept) if kept else None
+
+
+def _parse_atom(part: str, lits: list[str]):
+    """One conjunct → ``(col, constraint)`` or None (not provable —
+    skipped under conjunction weakening)."""
+    m = _CMP_ATOM_RE.match(part)
+    if m:
         c, op, v = m.group(1), m.group(2), float(m.group(3))
-        if col is None:
-            col = c
-        elif c != col:
-            return None
+        lo, hi = float("-inf"), float("inf")
+        lo_open = hi_open = False
         if op in ("=", "=="):
-            if v > lo or (v == lo and lo_open):
-                lo, lo_open = v, False
-            if v < hi or (v == hi and hi_open):
-                hi, hi_open = v, False
+            lo = hi = v
         elif op == ">=":
-            if v > lo:
-                lo, lo_open = v, False
+            lo = v
         elif op == ">":
-            if v >= lo:
-                lo, lo_open = v, True
+            lo, lo_open = v, True
         elif op == "<=":
-            if v < hi:
-                hi, hi_open = v, False
+            hi = v
         elif op == "<":
-            if v <= hi:
-                hi, hi_open = v, True
-    if col is None:
+            hi, hi_open = v, True
+        return (c, ("ival", lo, hi, lo_open, hi_open))
+    m = _STR_ATOM_RE.match(part)
+    if m:
+        lit = lits[int(m.group(2))]
+        return (m.group(1), ("sset", frozenset({lit[1:-1].replace("''", "'")})))
+    m = _IN_ATOM_RE.match(part)
+    if m:
+        items = [s.strip() for s in m.group(2).split(",")]
+        if not items or any(not s for s in items):
+            return None
+        if all(_NUM_LIT_RE.match(s) for s in items):
+            return (m.group(1), ("nset", frozenset(float(s) for s in items)))
+        vals = []
+        for s in items:
+            sm = re.match(r"^\x00(\d+)\x00$", s)
+            if not sm:
+                return None
+            vals.append(lits[int(sm.group(1))][1:-1].replace("''", "'"))
+        return (m.group(1), ("sset", frozenset(vals)))
+    return None
+
+
+def _pred_constraints(where):
+    """Parse a SQL predicate string into per-column constraints it
+    IMPLIES (r10 — generalizes r9's single-column numeric interval).
+
+    The predicate must be a top-level AND-conjunction (any OR/NOT/CASE
+    outside string literals bails to None — splitting on AND would be
+    unsound there). Each conjunct parses as a numeric comparison, a
+    string equality, ``IN (...)`` over all-numeric or all-string
+    literals, or numeric ``BETWEEN``; conjuncts that don't parse are
+    SKIPPED — sound, because ``A AND B`` implies ``A``, so constraints
+    from any subset of conjuncts still hold whenever the full
+    predicate does. Returns ``{col: constraint}``, ``_UNSAT`` when the
+    provable conjuncts alone are contradictory, or None when nothing
+    is provable."""
+    if not isinstance(where, str):
         return None
-    return (col, lo, hi, lo_open, hi_open)
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, where)
+    if "'" in masked:  # unbalanced quote — bail
+        return None
+    if re.search(r"\bor\b|\bnot\b|\bcase\b", masked, re.IGNORECASE):
+        return None
+    masked = _BETWEEN_RE.sub(r"\1 >= \2 AND \1 <= \3", masked)
+    cons: dict[str, object] = {}
+    for part in re.split(r"\bAND\b", masked, flags=re.IGNORECASE):
+        part = part.strip()
+        # strip balanced outer parens (a parenthesized conjunct); a
+        # paren fragment left by splitting THROUGH a group stays
+        # unbalanced, fails the atom parse, and is skipped — sound
+        while part.startswith("(") and part.endswith(")"):
+            depth, ok = 0, True
+            for ch in part[1:-1]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth < 0:
+                        ok = False
+                        break
+            if ok and depth == 0:
+                part = part[1:-1].strip()
+            else:
+                break
+        atom = _parse_atom(part, lits)
+        if atom is None:
+            continue
+        col, c = atom
+        merged = _merge_constraint(cons.get(col), c)
+        if merged is None:
+            return _UNSAT
+        cons[col] = merged
+    cons = {c: k for c, k in cons.items() if k is not _MIXED}
+    return cons or None
+
+
+def _constraints_disjoint(a, b) -> bool:
+    if a[0] != b[0]:
+        if {a[0], b[0]} == {"ival", "nset"}:
+            nset = a if a[0] == "nset" else b
+            iv = a if a[0] == "ival" else b
+            return not any(_iv_contains(iv, v) for v in nset[1])
+        return False  # string vs numeric — not provable
+    if a[0] == "ival":
+        return _iv_empty(_iv_and(a, b))
+    return not (a[1] & b[1])
 
 
 def _provably_disjoint(where_a, where_b) -> bool:
-    """True iff both predicates parse as single-column numeric ranges
-    over the SAME column with an empty intersection — the conjunction
-    can then never hold for any row, no data probe needed (r9: saves
-    one scan job per probe pair on the common MATCH_RECOGNIZE shapes
-    like ``value >= 100`` vs ``value < 80``)."""
-    a, b = _pred_interval(where_a), _pred_interval(where_b)
-    if a is None or b is None or a[0] != b[0]:
+    """True iff the two predicates can PROVABLY never hold for the
+    same row, with no data probe: some column constrained by both has
+    an empty intersection (numeric ranges, numeric/string value sets —
+    r10 widened from r9's single-column numeric ranges), or either
+    predicate is self-contradictory. A False verdict is always safe —
+    callers fall back to the data probe (batch) or refuse (stream)."""
+    a = _pred_constraints(where_a)
+    b = _pred_constraints(where_b)
+    if a is _UNSAT or b is _UNSAT:
+        return True
+    if not a or not b or a is None or b is None:
         return False
-    lo = max(a[1], b[1])
-    hi = min(a[2], b[2])
-    lo_open = (a[1] == lo and a[3]) or (b[1] == lo and b[3])
-    hi_open = (a[2] == hi and a[4]) or (b[2] == hi and b[4])
-    return lo > hi or (lo == hi and (lo_open or hi_open))
+    return any(
+        _constraints_disjoint(a[c], b[c]) for c in set(a) & set(b)
+    )
 
 
 def _with_cand_cols(
@@ -1970,6 +2119,7 @@ def _match_relaxed(
     within: str | None,
     greedy_loops: bool = True,
     iter_info: dict[int, tuple[str, list[tuple[int, str]]]] | None = None,
+    carry_payload: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Relaxed (skip-till-next-match) engine. ITERATIVE conditions
     (r8, Flink ``IterativeCondition``) change binding, not shape:
@@ -1989,7 +2139,17 @@ def _match_relaxed(
       qualifying candidate in the guarded interval);
     - duplicate anchors are compressed to (row, __mult) before a
       group-agg bind and re-exploded at the end (the loop doctrine).
-    """
+
+    ``carry_payload`` (r10 — VERDICT r9 #3): ``{ts_col: [cols]}``
+    requests the matched events' payload columns as
+    ``<ts_col>_<col>`` output columns, riding the SAME mechanism as
+    the iterative ``__v{k}_{col}`` carry — the struct-min of
+    :func:`_earliest_after` / the bind joins' aggregates — so a
+    payload measure costs ZERO extra joins on every relaxed shape
+    (plain binds, iterative binds, followedByAny fan-out, greedy and
+    non-greedy loops). Requests whose ts column or payload columns
+    don't exist are ignored (the caller's attach-join fallback
+    doctrine)."""
     iter_info = iter_info or {}
     has_where = any(st.where is not None for st in steps)
     #: positive step index -> payload columns later iterative
@@ -2000,6 +2160,25 @@ def _match_relaxed(
             cl = ref_cols.setdefault(k, [])
             if c not in cl:
                 cl.append(c)
+    # normalize the payload-carry request to this pattern's actual
+    # output ts columns and the frame's actual payload columns
+    out_ts = set(_out_cols(steps))
+    pay: dict[str, list[str]] = {}
+    for tsc, cols in (carry_payload or {}).items():
+        if tsc not in out_ts or tsc.startswith("n_"):
+            continue
+        cols = sorted({
+            c for c in cols
+            if c in events.columns
+            and c not in (key_col, time_col, type_col)
+        })
+        if cols:
+            pay[tsc] = cols
+    pay_src = sorted({c for cols in pay.values() for c in cols})
+
+    def pay_pairs(tsc: str) -> list[tuple[str, str]]:
+        return [(c, f"{tsc}_{c}") for c in pay.get(tsc, [])]
+
     if iter_info:
         clash = {
             c for c in events.columns
@@ -2015,10 +2194,11 @@ def _match_relaxed(
         )
     elif has_where:
         base = _with_cand_cols(
-            events, steps, [key_col, time_col, type_col], type_col
+            events, steps,
+            [key_col, time_col, type_col, *pay_src], type_col,
         )
     else:
-        base = events.select(key_col, time_col, type_col)
+        base = events.select(key_col, time_col, type_col, *pay_src)
 
     payload_cols = [c for c in events.columns if c != key_col]
 
@@ -2050,7 +2230,7 @@ def _match_relaxed(
         return base.filter(flt).select(
             F.col(key_col).alias("__ik"),
             F.col(time_col).alias("__step_t"),
-            *payload_cols,
+            *[c for c in payload_cols if c in base.columns],
         )
 
     has_loop = any(s.loop for s in steps)
@@ -2065,10 +2245,14 @@ def _match_relaxed(
              carry_p: int | None = None) -> DataFrame:
         carry = (
             [(c, f"__v{carry_p}_{c}") for c in ref_cols[carry_p]]
-            if carry_p is not None and carry_p in ref_cols else None
+            if carry_p is not None and carry_p in ref_cols else []
         )
+        # r10: requested payload columns ride the SAME struct-min
+        carry = carry + pay_pairs(out_col)
+        carry = carry or None
         out = _earliest_after(
-            M, cand(idx, [s for s, _ in carry] if carry else None),
+            M,
+            cand(idx, sorted({s for s, _ in carry}) if carry else None),
             key_col, prev_col, out_col, carry,
         )
         out = out.filter(F.col(out_col).isNotNull())
@@ -2101,8 +2285,9 @@ def _match_relaxed(
         carried = M.columns
         carry = (
             [(c, f"__v{p}_{c}") for c in ref_cols[p]]
-            if carry_self and p in ref_cols else None
+            if carry_self and p in ref_cols else []
         )
+        carry = (carry + pay_pairs(out_col)) or None
         if carry:
             hit = F.min(
                 F.struct(
@@ -2156,6 +2341,13 @@ def _match_relaxed(
                 # times produce identical matches)
                 M = M.groupBy(M.columns).agg(F.count(F.lit(1)).alias("__mult"))
             compressed = True  # loop-first anchors self-compress too
+            loop_carry = (
+                [(c, f"__v{pidx}_{c}") for c in ref_cols[pidx]]
+                if pidx in ref_cols else []
+            )
+            # r10: first-element payload shares the struct-min carry;
+            # last-element payload is the mirrored struct-max
+            loop_carry = (loop_carry + pay_pairs(first_col)) or None
             M = _relaxed_loop(
                 M, base, typed, s, key_col, time_col, type_col,
                 within, pidx, last_col, greedy_loops,
@@ -2166,11 +2358,12 @@ def _match_relaxed(
                 iter_template=(
                     iter_info[sidx][0] if sidx in iter_info else None
                 ),
-                payload_cols=payload_cols if iter_info else None,
-                carry=(
-                    [(c, f"__v{pidx}_{c}") for c in ref_cols[pidx]]
-                    if pidx in ref_cols else None
+                payload_cols=(
+                    payload_cols if iter_info
+                    else (pay_src or None)
                 ),
+                carry=loop_carry,
+                carry_last=pay_pairs(f"ts_{pidx}_last") or None,
             )
             if pending_neg:
                 M = apply_negs(M, first_col)
@@ -2187,6 +2380,11 @@ def _match_relaxed(
                         F.col(c).alias(f"__v{pidx}_{c}")
                         for c in ref_cols.get(pidx, [])
                     ],
+                    # anchor payload (r10): the anchor row IS the match
+                    *[
+                        F.col(src).alias(dst)
+                        for src, dst in pay_pairs(first_col)
+                    ],
                 )
                 last_col = first_col
                 rng = range(1, s.times)
@@ -2196,7 +2394,10 @@ def _match_relaxed(
                 # per-combination output size), horizon-pruned per
                 # step. With an iterative condition (r8) the predicate
                 # is one more residual conjunct on the same join.
-                need_payload = sidx in iter_info or pidx in ref_cols
+                need_payload = (
+                    sidx in iter_info or pidx in ref_cols
+                    or first_col in pay
+                )
                 if need_payload:
                     C, kcol = cand_payload(sidx), "__ik"
                 else:
@@ -2220,6 +2421,12 @@ def _match_relaxed(
                         *[
                             F.col(c).alias(f"__v{pidx}_{c}")
                             for c in ref_cols.get(pidx, [])
+                        ],
+                        # any-bind payload (r10): each joined candidate
+                        # row IS the bound event — select directly
+                        *[
+                            F.col(src).alias(dst)
+                            for src, dst in pay_pairs(first_col)
                         ],
                     )
                 else:
@@ -2298,7 +2505,11 @@ def _match_relaxed(
         M = M.withColumn(
             "__dup", F.explode(F.sequence(F.lit(1), F.col("__mult")))
         ).drop("__mult", "__dup")
-    return M.select(key_col, *_out_cols(steps))
+    carried_pay = [
+        dst for tsc in pay for _src, dst in pay_pairs(tsc)
+        if dst in M.columns
+    ]
+    return M.select(key_col, *_out_cols(steps), *carried_pay)
 
 
 def _relaxed_loop(
@@ -2317,6 +2528,7 @@ def _relaxed_loop(
     iter_template: str | None = None,
     payload_cols: list[str] | None = None,
     carry: list[tuple[str, str]] | None = None,
+    carry_last: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Relaxed loop: events of the type strictly after the previous
     step and strictly before the stop bound (earliest ``until`` event /
@@ -2337,11 +2549,16 @@ def _relaxed_loop(
     bindings (Flink: non-qualifying events are skipped by relaxed
     internal contiguity). ``carry`` requests the run's FIRST element's
     payload as ``__v{pidx}_{col}`` for LATER steps' refs — a struct-min
-    in the existing aggregation, no extra join."""
+    in the existing aggregation, no extra join. ``carry_last`` (r10)
+    mirrors it for the run's LAST element's payload (a struct-max /
+    the prefix row itself) — zero extra joins on every branch."""
     first_col, last_out, n_col = f"ts_{pidx}", f"ts_{pidx}_last", f"n_{pidx}"
     if cand_filter is None:
         cand_filter = F.col(type_col) == s.event_type
-    need_payload = iter_template is not None or carry is not None
+    need_payload = (
+        iter_template is not None or carry is not None
+        or carry_last is not None
+    )
     if need_payload:
         el = base.filter(cand_filter).select(
             F.col(key_col).alias("__ek"), F.col(time_col).alias("__el"),
@@ -2355,10 +2572,17 @@ def _relaxed_loop(
     if M is None:
         # loop is step 1: each occurrence anchors a match; the anchor is
         # the run's first element, later elements aggregate on top —
-        # a requested carry is therefore the anchor's OWN payload
+        # a requested carry is therefore the anchor's OWN payload.
+        # carry_last needs the anchor's payload TOO (a single-element
+        # run's last element is the anchor) — staged as __own columns
+        # and coalesced after the run aggregation.
         A = base.filter(cand_filter).select(
             key_col, F.col(time_col).alias(first_col),
             *[F.col(src).alias(dst) for src, dst in (carry or [])],
+            *[
+                F.col(src).alias(f"__own{dst}")
+                for src, dst in (carry_last or [])
+            ],
         )
         A = A.groupBy(A.columns).agg(F.count(F.lit(1)).alias("__mult"))
         anchor_prev = first_col
@@ -2419,6 +2643,14 @@ def _relaxed_loop(
             F.count(F.lit(1)).over(w_sfx).cast("long").alias(n_col),
             # any-loop carry: the run START is this row's own element
             *[F.col(src).alias(dst) for src, dst in (carry or [])],
+            # run END payload: struct-max over the same suffix frame
+            *[
+                F.max(F.struct(
+                    F.col("__el").alias("t"),
+                    F.col(src).alias("v"),
+                )).over(w_sfx).getField("v").alias(dst)
+                for src, dst in (carry_last or [])
+            ],
         )
         return out.drop("__stop") if s.until is not None else out
     if greedy_loops:
@@ -2434,15 +2666,29 @@ def _relaxed_loop(
                     *[F.col(src).alias(dst) for src, dst in carry],
                 )).alias("__hit")
             )
+        if carry_last:
+            aggs.append(
+                F.max(F.struct(
+                    F.col("__el").alias("t"),
+                    *[F.col(src).alias(dst) for src, dst in carry_last],
+                )).alias("__hitl")
+            )
         agg = j.groupBy(*carried).agg(*aggs)
         if M is None:
             # left side keeps single-element runs (no later elements)
+            own = [f"__own{dst}" for _src, dst in (carry_last or [])]
             out = A.join(agg, carried, "left").select(
-                *carried,
+                *[c for c in carried if c not in own],
                 F.coalesce(F.col("__l"), F.col(first_col)).alias(last_out),
                 (
                     F.lit(1) + F.coalesce(F.col("__n"), F.lit(0))
                 ).alias(n_col),
+                *[
+                    F.coalesce(
+                        F.col(f"__hitl.{dst}"), F.col(f"__own{dst}")
+                    ).alias(dst)
+                    for _src, dst in (carry_last or [])
+                ],
             )
         else:
             out = agg.select(
@@ -2454,22 +2700,38 @@ def _relaxed_loop(
                     F.col(f"__hit.{dst}").alias(dst)
                     for _src, dst in (carry or [])
                 ],
+                *[
+                    F.col(f"__hitl.{dst}").alias(dst)
+                    for _src, dst in (carry_last or [])
+                ],
             )
     else:
         wp = Window.partitionBy(*carried).orderBy("__el")
         if M is None:
             # anchor itself is the 1-prefix; joined later elements are
             # the (k>=2)-prefixes (anchor IS the run's first element)
+            own = [f"__own{dst}" for _src, dst in (carry_last or [])]
+            keep = [c for c in carried if c not in own]
             single = A.select(
-                *carried,
+                *keep,
                 F.col(first_col).alias(last_out),
                 F.lit(1).cast("long").alias(n_col),
+                # the 1-prefix's last element IS the anchor
+                *[
+                    F.col(f"__own{dst}").alias(dst)
+                    for _src, dst in (carry_last or [])
+                ],
             )
             later = j.select(
-                *carried,
+                *keep,
                 F.col("__el").alias(last_out),
                 (F.row_number().over(wp) + F.lit(1))
                 .cast("long").alias(n_col),
+                # each prefix's last element is the joined row itself
+                *[
+                    F.col(src).alias(dst)
+                    for src, dst in (carry_last or [])
+                ],
             )
             out = single.unionByName(later)
         else:
@@ -2486,6 +2748,11 @@ def _relaxed_loop(
                         F.col(src).alias("v"),
                     )).over(pre).getField("v").alias(dst)
                     for src, dst in (carry or [])
+                ],
+                # the prefix's LAST element is the row itself
+                *[
+                    F.col(src).alias(dst)
+                    for src, dst in (carry_last or [])
                 ],
             )
     return out.drop("__stop") if s.until is not None else out

@@ -81,12 +81,36 @@ def prepare_training_corpus(
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 5,
     max_shared_shingle_ratio: float | None = None,
+    semantic_threshold: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_keep_by: "str | None" = None,
+    semantic_centroids: DataFrame | None = None,
+    semantic_n_cells: int = 16,
+    semantic_max_cell: int | None = 5000,
 ) -> DataFrame:
     """The full corpus-preparation flow: [PII redaction →] curate (exact
     dedup + language + quality) → [repetition gate →] near-dup cluster
-    collapse → [benchmark decontamination →] deterministic
-    train/val/test split. Bracketed stages are opt-in (r5) and default
-    OFF, preserving the original flow.
+    collapse → [semantic dedup →] [benchmark decontamination →]
+    deterministic train/val/test split. Bracketed stages are opt-in
+    (r5/r10) and default OFF, preserving the original flow.
+
+    ``semantic_threshold`` (r10 — VERDICT r9 #4) enables SemDeDup-style
+    semantic collapse AFTER the lexical MinHash stage: ``embeddings``
+    (an ``(id_col, vector)`` frame, REQUIRED with the stage) is
+    semi-joined to the surviving ids — edges never resurrect documents
+    an earlier stage removed — then
+    :func:`~flink_note_spark.operators.similarity.semantic_dedup_pairs`
+    buckets the embedding space into cells (k-means by default;
+    ``semantic_centroids`` injects fixed centroids for the
+    deterministic/oracle twin) and verifies cosine ≥ threshold within
+    each cell, and :func:`~flink_note_spark.operators.components.
+    canonical_docs` keeps one representative per transitive cluster —
+    by smallest id, or by the ``semantic_keep_by`` MERIT column (e.g.
+    ``"n_words"``; curation's quality columns are in scope here). The
+    stage adds the cell equi-self-join (cells capped by
+    ``semantic_max_cell``), the O(log n) components rounds over the
+    pair list, and one id anti-join — ids and vectors shuffle, never
+    document payloads; no stage is corpus-wide n².
 
     ``pii_redact`` rewrites ``text_col`` through the
     :func:`~flink_note_spark.operators.text.pii_scan` codegen chain
@@ -169,6 +193,40 @@ def prepare_training_corpus(
             ids_unique=True,
         )
         cur = canonical_docs(cur, pairs, id_col)
+    if semantic_threshold is not None:
+        if embeddings is None:
+            raise ValueError(
+                "semantic_threshold requires an embeddings frame "
+                f"({id_col!r} + one vector column)"
+            )
+        from flink_note_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        vec_cols = [c for c in embeddings.columns if c != id_col]
+        if not vec_cols:
+            raise ValueError(
+                f"embeddings frame must carry {id_col!r} and a vector "
+                f"column, got {embeddings.columns}"
+            )
+        # survivors only: an edge through an already-removed document
+        # must not bridge two surviving clusters
+        emb = embeddings.select(id_col, vec_cols[0]).join(
+            cur.select(id_col), id_col, "semi"
+        )
+        spairs = semantic_dedup_pairs(
+            emb,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            vec_col=vec_cols[0],
+            n_cells=semantic_n_cells,
+            seed=seed,
+            centroids=semantic_centroids,
+            max_cell=semantic_max_cell,
+        )
+        cur = canonical_docs(
+            cur, spairs, id_col, keep_by=semantic_keep_by
+        )
     if benchmark is not None:
         cur = decontaminate(
             cur, benchmark, n=decontaminate_n, id_col=id_col,

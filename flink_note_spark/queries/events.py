@@ -1559,6 +1559,96 @@ ORDER BY day, user_id
 """
 
 
+def q123_cep_relaxed_payload(spark: SparkSession, sf: str) -> DataFrame:
+    """Relaxed CEP funnel with ZERO-JOIN payload measures (r10 —
+    VERDICT r9 #3): ``view → click+ (greedy) → purchase`` within 7
+    days, reporting the view's value, the click run's first/last
+    values, and the purchase's value. ``carry_payload`` rides the
+    matched events' payloads inside the engine's existing aggregates
+    (anchor projection, the loop's struct-min/struct-max, the
+    purchase bind's running struct-min) — the ONLY join in the plan
+    is the loop's element join itself (plan-asserted in
+    tests/test_plans.py); the r9 design paid one extra
+    co-partitioned attach join per measured step.
+
+    Tie policy at equal timestamps (documented, mirrored in the
+    oracle): first-element payload is the MINIMUM value among the
+    tied rows (struct-min), last-element and bind payloads the
+    struct's min/max counterpart. Scale: one keyed element join
+    bounded by the ``within`` horizon + two window passes — no
+    cartesian, no driver collect."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+
+    e = _t(spark, sf, "events")
+    p = (
+        Pattern.begin("view")
+        .followed_by("click").one_or_more()
+        .followed_by("purchase")
+        .within("7 days")
+    )
+    m = match_pattern(
+        e, p,
+        carry_payload={
+            "ts_1": ["event_id", "value"],
+            "ts_2": ["value"],
+            "ts_2_last": ["value"],
+            "ts_3": ["value"],
+        },
+    )
+    return (
+        m.select(
+            "user_id",
+            F.col("ts_1_event_id").alias("view_event_id"),
+            F.col("ts_1").alias("view_ts"),
+            F.col("ts_1_value").alias("view_val"),
+            F.col("n_2").alias("n_clicks"),
+            F.col("ts_2").alias("first_click_ts"),
+            F.col("ts_2_value").alias("first_click_val"),
+            F.col("ts_2_last").alias("last_click_ts"),
+            F.col("ts_2_last_value").alias("last_click_val"),
+            F.col("ts_3").alias("purchase_ts"),
+            F.col("ts_3_value").alias("purchase_val"),
+        )
+        .orderBy("user_id", "view_event_id", "purchase_ts")
+    )
+
+
+_Q123_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS vid, ts AS t0, value AS v0
+  FROM events WHERE event_type = 'view'),
+c AS (
+  SELECT v.user_id, v.vid, v.t0, v.v0,
+         count(*) AS nc, min(e.ts) AS cf, max(e.ts) AS cl
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 7 DAY
+  GROUP BY v.user_id, v.vid, v.t0, v.v0),
+p AS (
+  SELECT c.*,
+         (SELECT min(e.ts) FROM events e
+          WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+            AND e.ts > c.cl AND e.ts <= c.t0 + INTERVAL 7 DAY) AS pt
+  FROM c)
+SELECT user_id, vid AS view_event_id, t0 AS view_ts, v0 AS view_val,
+       nc AS n_clicks,
+       cf AS first_click_ts,
+       (SELECT min(e.value) FROM events e
+        WHERE e.user_id = p.user_id AND e.event_type = 'click'
+          AND e.ts = p.cf) AS first_click_val,
+       cl AS last_click_ts,
+       (SELECT max(e.value) FROM events e
+        WHERE e.user_id = p.user_id AND e.event_type = 'click'
+          AND e.ts = p.cl) AS last_click_val,
+       pt AS purchase_ts,
+       (SELECT min(e.value) FROM events e
+        WHERE e.user_id = p.user_id AND e.event_type = 'purchase'
+          AND e.ts = p.pt) AS purchase_val
+FROM p WHERE pt IS NOT NULL
+ORDER BY user_id, view_event_id, purchase_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1595,6 +1685,7 @@ QUERIES = {
     "q114_match_recognize": q114_match_recognize,
     "q115_window_top_n": q115_window_top_n,
     "q116_window_dedup": q116_window_dedup,
+    "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
 }
 
 ORACLES = {
@@ -1633,4 +1724,5 @@ ORACLES = {
     "q114_match_recognize": _Q114_SQL,
     "q115_window_top_n": _Q115_SQL,
     "q116_window_dedup": _Q116_SQL,
+    "q123_cep_relaxed_payload": _Q123_SQL,
 }

@@ -2941,3 +2941,186 @@ def test_timeouts_respect_where_and_guards(spark):
         match_pattern_timeouts(
             df, ["A"], contiguity="relaxed", within="40 seconds"
         )
+
+
+# -------------------------------------------- relaxed payload carry (r10)
+
+
+CARRY_ROWS = [
+    # key 1: A B B B C — a clean run for loops/times, then trailing B
+    (1, 0, "A", 1, 10), (1, 10, "B", 2, 21), (1, 20, "B", 3, 22),
+    (1, 30, "B", 4, 23), (1, 40, "C", 5, 30), (1, 50, "B", 6, 24),
+    # key 2: noise between steps (relaxed skips it)
+    (2, 0, "A", 7, 11), (2, 5, "X", 8, 99), (2, 10, "B", 9, 25),
+    (2, 15, "X", 10, 98), (2, 20, "C", 11, 31),
+    # key 3: two anchors sharing a B run; second anchor mid-run
+    (3, 0, "A", 12, 12), (3, 10, "B", 13, 26), (3, 15, "A", 14, 13),
+    (3, 20, "B", 15, 27), (3, 30, "C", 16, 32),
+    # key 4: incomplete (no C)
+    (4, 0, "A", 17, 14), (4, 10, "B", 18, 28),
+    # key 5: loop-first material — B B C with no A
+    (5, 0, "B", 19, 40), (5, 10, "B", 20, 41), (5, 20, "C", 21, 50),
+]
+
+
+def _carry_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=repr,
+    )
+
+
+def _carry_diff(spark, pattern, carry, ts_cols, **kw):
+    """Differential: carry_payload on the relaxed engine must equal the
+    attach-join fallback, and every requested group must actually be
+    carried (no silent fallback to the caller)."""
+    from flink_note_spark.operators.cep import (
+        attach_event_payload, match_pattern,
+    )
+
+    df = _mkv(spark, CARRY_ROWS)
+    got = match_pattern(df, pattern, carry_payload=carry, **kw)
+    for tsc, cols in carry.items():
+        for c in cols:
+            assert f"{tsc}_{c}" in got.columns, (tsc, c, got.columns)
+    want = attach_event_payload(
+        match_pattern(df, pattern, **kw), df, ts_cols,
+        payload_cols=["value"],
+    )
+    assert _carry_rows(got) == _carry_rows(want), (pattern, carry)
+    return got
+
+
+def test_relaxed_carry_plain_zero_joins(spark):
+    """Plain relaxed chain: payloads at every step ride the
+    union+running-min window passes — the compiled plan has ZERO
+    joins (VERDICT r9 #3's plan assertion)."""
+    got = _carry_diff(
+        spark, ["A", "B", "C"],
+        {"ts_1": ["value"], "ts_2": ["value"], "ts_3": ["value"]},
+        ["ts_1", "ts_2", "ts_3"],
+        contiguity="relaxed",
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_relaxed_carry_times(spark):
+    """times(2) step: first and last binds each carry their payload."""
+    _carry_diff(
+        spark, ["A", {"type": "B", "times": 2}, "C"],
+        {"ts_1": ["value"], "ts_2": ["value"], "ts_2_last": ["value"],
+         "ts_3": ["value"]},
+        ["ts_1", "ts_2", "ts_2_last", "ts_3"],
+        contiguity="relaxed",
+    )
+
+
+def test_relaxed_carry_greedy_loop(spark):
+    """Greedy one_or_more: run-first payload via the struct-min agg,
+    run-last via the mirrored struct-max."""
+    _carry_diff(
+        spark, ["A", {"type": "B", "one_or_more": True}, "C"],
+        {"ts_2": ["value"], "ts_2_last": ["value"], "ts_3": ["value"]},
+        ["ts_2", "ts_2_last", "ts_3"],
+        contiguity="relaxed",
+    )
+
+
+def test_relaxed_carry_loop_first(spark):
+    """Loop at step 1: the anchor IS the run's first element; a
+    single-element run's LAST element is the anchor too (the __own
+    coalesce branch)."""
+    _carry_diff(
+        spark, [{"type": "B", "one_or_more": True}, "C"],
+        {"ts_1": ["value"], "ts_1_last": ["value"], "ts_2": ["value"]},
+        ["ts_1", "ts_1_last", "ts_2"],
+        contiguity="relaxed",
+    )
+
+
+def test_relaxed_carry_nonskip_prefixes(spark):
+    """Non-greedy (no_skip) loop prefixes: each prefix's last element
+    is the emitted row itself."""
+    _carry_diff(
+        spark, ["A", {"type": "B", "one_or_more": True}, "C"],
+        {"ts_2": ["value"], "ts_2_last": ["value"]},
+        ["ts_2", "ts_2_last"],
+        contiguity="relaxed", skip_strategy="no_skip",
+    )
+
+
+def test_relaxed_carry_loop_first_nonskip(spark):
+    """Loop-first + no_skip: the 1-prefix branch (anchor-only run)
+    takes the __own payload, later prefixes the row's own."""
+    _carry_diff(
+        spark, [{"type": "B", "one_or_more": True}, "C"],
+        {"ts_1": ["value"], "ts_1_last": ["value"]},
+        ["ts_1", "ts_1_last"],
+        contiguity="relaxed", skip_strategy="no_skip",
+    )
+
+
+def test_relaxed_carry_followed_by_any(spark):
+    """followedByAny: every joined candidate row IS the bound event —
+    payload selected straight off the fan-out join."""
+    from flink_note_spark.operators.cep import Pattern
+
+    p = Pattern.begin("A").followed_by_any("B").followed_by("C")
+    _carry_diff(
+        spark, p,
+        {"ts_1": ["value"], "ts_2": ["value"], "ts_3": ["value"]},
+        ["ts_1", "ts_2", "ts_3"],
+    )
+
+
+def test_relaxed_carry_any_loop(spark):
+    """followedByAny + one_or_more: run-start payload is the row's
+    own element, run-end the struct-max over the suffix frame."""
+    from flink_note_spark.operators.cep import Pattern
+
+    p = (Pattern.begin("A").followed_by_any("B").one_or_more()
+         .followed_by("C"))
+    _carry_diff(
+        spark, p,
+        {"ts_2": ["value"], "ts_2_last": ["value"]},
+        ["ts_2", "ts_2_last"],
+    )
+
+
+def test_relaxed_carry_with_iterative_condition(spark):
+    """carry_payload composes with iterative refs: both ride the same
+    struct-min (the __v carry and the ts payload are fields of one
+    struct at the first bind)."""
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mkv(spark, ITER_ROWS)
+    p = (Pattern.begin("A").followed_by("B").where("value > s1.value")
+         .followed_by("C"))
+    from flink_note_spark.operators.cep import (
+        attach_event_payload, match_pattern,
+    )
+
+    got = match_pattern(
+        df, p,
+        carry_payload={"ts_1": ["value"], "ts_2": ["value"]},
+    )
+    assert "ts_1_value" in got.columns and "ts_2_value" in got.columns
+    want = attach_event_payload(
+        match_pattern(df, p), df, ["ts_1", "ts_2"],
+        payload_cols=["value"],
+    )
+    assert _carry_rows(got) == _carry_rows(want)
+
+
+def test_relaxed_carry_within_and_until(spark):
+    """Horizon pruning and until stop bounds do not disturb the
+    carried payload."""
+    _carry_diff(
+        spark,
+        ["A", {"type": "B", "one_or_more": True, "until": "C"}, "C"],
+        {"ts_2": ["value"], "ts_2_last": ["value"]},
+        ["ts_2", "ts_2_last"],
+        contiguity="relaxed", within="45 seconds",
+    )

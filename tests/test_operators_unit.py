@@ -1090,9 +1090,9 @@ def test_window_offset_shifts_grid(spark):
 
 
 def test_provably_disjoint_numeric_ranges():
-    """The CEP probe prover: single-column numeric range conjunctions
-    with empty intersections are disjoint WITHOUT a data scan; anything
-    richer (other columns, ORs, parens) conservatively is not."""
+    """The CEP probe prover: numeric range conjunctions with empty
+    intersections are disjoint WITHOUT a data scan; anything richer
+    than its atom classes (ORs, functions) conservatively is not."""
     from flink_note_spark.operators.cep import _provably_disjoint as d
 
     assert d("value >= 100", "value < 80")
@@ -1104,7 +1104,50 @@ def test_provably_disjoint_numeric_ranges():
     assert d("value < 20", "value >= 20")
     assert not d("value >= 100", "price < 80")  # different columns
     assert not d("value >= 100 OR value < 0", "value < 80")  # OR bails
-    assert not d("(value >= 100)", "value < 80")  # parens bail
+    assert d("(value >= 100)", "value < 80")  # r10: paren conjunct parses
     assert not d("value >= 100", None)
     assert not d(None, None)
     assert not d("upper(k) = 'A'", "value < 80")  # function bails
+
+
+def test_provably_disjoint_widened_atoms():
+    """r10 widening (VERDICT r9 #2): string equality / IN-set
+    literals, multi-column conjunctions of provable atoms, BETWEEN,
+    and self-contradictory predicates — each a static accept that was
+    a scan probe (batch) or a refusal (stream) before."""
+    from flink_note_spark.operators.cep import _provably_disjoint as d
+
+    # string equality — the "type-column constant" shape
+    assert d("etype = 'view'", "etype = 'click'")
+    assert not d("etype = 'view'", "etype = 'view'")
+    assert d("etype == 'view'", "etype == 'click'")
+    # escaped quote in a literal
+    assert d("name = 'o''brien'", "name = 'smith'")
+    assert not d("name = 'o''brien'", "name = 'o''brien'")
+    # IN-sets: string and numeric, vs equality and vs ranges
+    assert d("etype IN ('view', 'scroll')", "etype = 'click'")
+    assert not d("etype IN ('view', 'click')", "etype = 'click'")
+    assert d("code IN (1, 2, 3)", "code IN (4, 5)")
+    assert not d("code IN (1, 2, 3)", "code IN (3, 4)")
+    assert d("code IN (1, 2)", "code >= 5")
+    assert not d("code IN (1, 7)", "code >= 5")
+    # multi-column conjunctions: ANY commonly-constrained column with
+    # an empty intersection proves the pair
+    assert d("etype = 'up' AND value > 0", "etype = 'down' AND value > 0")
+    assert d("etype = 'x' AND value < 10", "etype = 'x' AND value >= 10")
+    assert not d("etype = 'x' AND value < 10", "etype = 'x' AND value < 5")
+    # unparseable conjuncts are skipped, parseable ones still prove
+    assert d("upper(k) = 'A' AND value < 10", "value >= 10")
+    # BETWEEN rewrites to two comparisons
+    assert d("value BETWEEN 1 AND 5", "value > 5")
+    assert not d("value BETWEEN 1 AND 5", "value >= 5")
+    # self-contradictory predicate is disjoint from anything
+    assert d("value > 10 AND value < 5", "price = 3")
+    assert d("etype = 'a' AND etype = 'b'", "value > 0")
+    # string-vs-numeric on the same column is never used to prove
+    assert not d("v = 'a'", "v > 5")
+    # OR/NOT outside literals still bail; inside literals they don't
+    assert not d("etype = 'a' OR etype = 'b'", "etype = 'c'")
+    assert not d("NOT etype = 'a'", "etype = 'a'")
+    assert d("etype = 'a or b'", "etype = 'c'")
+    assert d("note = 'do not match'", "note = 'other'")

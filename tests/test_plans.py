@@ -330,3 +330,24 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     # the partition column never appears as a pushed DATA filter — it was
     # resolved at planning time, not scan time
     assert q.count() == 50
+
+
+def test_q123_relaxed_payload_single_join(spark, sf_dir):
+    """Relaxed CEP payload carry (r10, VERDICT r9 #3): every payload
+    measure rides the engine's own aggregates, so the ONLY join in
+    the funnel's plan is the loop's element join — the r9 design paid
+    one extra co-partitioned attach join per measured step (4 here).
+    No cartesian either."""
+    import re
+
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q123_cep_relaxed_payload"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"
+        r"|BroadcastNestedLoopJoin",
+        plan,
+    )
+    assert len(joins) == 1, (joins, plan)

@@ -753,3 +753,98 @@ def test_provably_disjoint_is_sound(a, b, probe):
         return True
 
     assert not (holds(a, probe) and holds(b, probe)), (a, b, probe)
+
+
+# r10 atom classes: string equality / IN-sets / numeric IN / BETWEEN
+# over TWO columns — the prover must stay sound under any conjunction
+# of them (VERDICT r9 #2).
+
+_str_vals = st.sampled_from(["a", "b", "c", "o'x"])
+_cols = st.sampled_from(["value", "etype"])
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@st.composite
+def _wide_atom(draw):
+    """One provable atom → (sql, python evaluator over a row dict)."""
+    col = draw(_cols)
+    kind = draw(st.sampled_from(
+        ["cmp", "streq", "strin", "numin", "between"]
+    ))
+    if kind == "cmp":
+        op, v = draw(_cmp_ops), draw(_vals)
+        py = {">=": lambda x: x >= v, "<=": lambda x: x <= v,
+              ">": lambda x: x > v, "<": lambda x: x < v,
+              "=": lambda x: x == v}[op]
+        return f"{col} {op} {v}", col, ("num", py)
+    if kind == "streq":
+        s = draw(_str_vals)
+        return f"{col} = {_sql_str(s)}", col, ("str", lambda x: x == s)
+    if kind == "strin":
+        items = draw(st.lists(_str_vals, min_size=1, max_size=3))
+        sql = f"{col} IN ({', '.join(_sql_str(s) for s in items)})"
+        return sql, col, ("str", lambda x: x in items)
+    if kind == "numin":
+        items = draw(st.lists(_vals, min_size=1, max_size=3))
+        sql = f"{col} IN ({', '.join(str(v) for v in items)})"
+        return sql, col, ("num", lambda x: x in items)
+    lo, hi = draw(_vals), draw(_vals)
+    return (f"{col} BETWEEN {lo} AND {hi}", col,
+            ("num", lambda x: lo <= x <= hi))
+
+
+@st.composite
+def _wide_pred(draw):
+    atoms = draw(st.lists(_wide_atom(), min_size=1, max_size=3))
+    sql = " AND ".join(
+        draw(st.booleans()) and f"({a[0]})" or a[0] for a in atoms
+    )
+    return sql, atoms
+
+
+@given(pa=_wide_pred(), pb=_wide_pred(),
+       nv=st.tuples(_vals, _vals), sv=st.tuples(_str_vals, _str_vals))
+@settings(max_examples=400, deadline=None)
+def test_provably_disjoint_widened_is_sound(pa, pb, nv, sv):
+    """Soundness over the r10 atom classes: when the prover claims
+    disjoint, no (numeric, string) assignment of the two columns
+    satisfies both predicates. A column's draw is numeric OR string
+    per probe — an atom of the other kind simply never matches it
+    (SQL would coerce/NULL there, which can only REMOVE satisfying
+    rows, so the Python check is the harder one)."""
+    from flink_note_spark.operators.cep import _provably_disjoint
+
+    if not _provably_disjoint(pa[0], pb[0]):
+        return
+
+    def holds(atoms, row) -> bool:
+        for _sql, col, (kind, py) in atoms:
+            v = row[(col, kind)]
+            if not py(v):
+                return False
+        return True
+
+    for vkind in range(4):  # each column independently num-or-str
+        row = {
+            ("value", "num"): nv[0], ("etype", "num"): nv[1],
+            ("value", "str"): sv[0], ("etype", "str"): sv[1],
+        }
+        # a probe row assigns ONE kind per column; atoms of the other
+        # kind on that column are vacuously false for it
+        val_is_num = bool(vkind & 1)
+        et_is_num = bool(vkind & 2)
+
+        def alive(atoms) -> bool:
+            for _sql, col, (kind, _py) in atoms:
+                is_num = val_is_num if col == "value" else et_is_num
+                if (kind == "num") != is_num:
+                    return False
+            return True
+
+        if alive(pa[1]) and alive(pb[1]):
+            assert not (holds(pa[1], row) and holds(pb[1], row)), (
+                pa[0], pb[0], row,
+            )
