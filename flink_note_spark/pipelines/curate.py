@@ -87,6 +87,7 @@ def prepare_training_corpus(
     semantic_centroids: DataFrame | None = None,
     semantic_n_cells: int = 16,
     semantic_max_cell: int | None = 5000,
+    split_hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The full corpus-preparation flow: [PII redaction →] curate (exact
     dedup + language + quality) → [repetition gate →] near-dup cluster
@@ -237,4 +238,5 @@ def prepare_training_corpus(
         id_col,
         fractions=splits or {"train": 0.98, "val": 0.01, "test": 0.01},
         seed=seed,
+        hash_fn=split_hash_fn,
     )

@@ -1604,6 +1604,149 @@ ORDER BY d1, d2
 """
 
 
+def q124_semantic_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed corpus flow WITH the semantic stage (r10 — VERDICT
+    r9 #4): curate (exact dedup + language + quality) → SemDeDup
+    collapse (cell-bucketed cosine pairs → connected components →
+    MERIT representative by ``n_words``, ties to the smallest id) →
+    md5 train/val/test split — ``prepare_training_corpus`` end to end,
+    per-document output so every kept id, its metadata AND its split
+    assignment are value-checked. Deterministic twin configuration
+    (the q122 doctrine): centroids injected as the 8 smallest vec_ids'
+    vectors makes cell assignment a pure JVM plan DuckDB replays
+    bit-for-bit; the k-means path is the scale default, pinned against
+    this twin in pytest. The lexical MinHash stage is off here (no SQL
+    twin — q31/q84 cover it); the semantic stage's pair join is
+    cell-keyed, components are O(log n) id-list rounds, and the split
+    is a narrow projection — nothing corpus-wide n²."""
+    from flink_note_spark.pipelines.curate import prepare_training_corpus
+
+    d = _t(spark, sf, "documents")
+    e = _t(spark, sf, "embeddings")
+    cents = (
+        e.orderBy("vec_id").limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .alias("cell_id"),
+            F.col("embedding"),
+        )
+    )
+    out = prepare_training_corpus(
+        d,
+        "text",
+        "doc_id",
+        near_dup_threshold=None,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        semantic_threshold=EMBED_DUP_THRESHOLD,
+        embeddings=e.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        semantic_keep_by="n_words",
+        semantic_centroids=cents,
+        semantic_max_cell=None,
+        split_hash_fn="md5",
+    )
+    return (
+        out.select(
+            "doc_id",
+            "lang_pred",
+            F.col("n_words").cast("long").alias("n_words"),
+            "split",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q124_SQL = f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x IN ('el','la','los','las','es','un','una'))) > 0 THEN 'es'
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x IN ('le','les','des','est','une','et'))) > 0 THEN 'fr'
+              WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x IN ('der','die','das','und','ist','ein'))) > 0 THEN 'de'
+              ELSE 'en' END AS lang_pred,
+         len(regexp_split_to_array(text, '\\s+')) AS n_words,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+             x -> x IN ('the','a','of','and','to')))
+           / CAST(greatest(len(regexp_split_to_array(text, '\\s+')), 1) AS DOUBLE) AS stop_ratio,
+         sha256(lower(trim(text))) AS h
+  FROM documents
+), deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM sig
+  ) WHERE rn = 1
+), cur AS (
+  SELECT * FROM deduped
+  WHERE lang_pred IN ('en','es','fr','de','zh')
+    AND n_words BETWEEN 5 AND 100000 AND stop_ratio <= 0.9
+), n AS (
+  SELECT e.vec_id AS id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings e JOIN cur ON cur.doc_id = e.vec_id
+), cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT e.id, e.v, c.cell_id,
+         list_reduce(list_transform(range(1, len(e.v) + 1),
+                     i -> e.v[i] * c.cv[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                               (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(c.cv, x -> x * x),
+                                 (x, y) -> x + y))) AS cos
+  FROM n e CROSS JOIN cents c
+), assigned AS (
+  SELECT id, v, cell_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY id ORDER BY cos DESC, cell_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+), sp AS (
+  SELECT a.id AS d1, b.id AS d2
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.id < b.id
+  WHERE round(list_reduce(list_transform(range(1, len(a.v) + 1),
+                          i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                  (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                    (x, y) -> x + y))), 6)
+        >= {EMBED_DUP_THRESHOLD}
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM sp
+  UNION ALL SELECT d2, d1 FROM sp
+), r AS (
+  SELECT DISTINCT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id
+), comp AS (
+  SELECT id, min(lab) AS component FROM r GROUP BY id
+), ranked AS (
+  SELECT cur.doc_id,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY cur.n_words DESC, cur.doc_id ASC)
+           AS krn
+  FROM cur JOIN comp ON comp.id = cur.doc_id
+), final AS (
+  SELECT * FROM cur
+  WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE krn > 1)
+), u AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT)
+          % 1000000000) / 1000000000.0 AS u
+  FROM final
+)
+SELECT f.doc_id, f.lang_pred, CAST(f.n_words AS BIGINT) AS n_words,
+       CASE WHEN u.u < 0.9 THEN 'train'
+            WHEN u.u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM final f JOIN u USING (doc_id)
+ORDER BY f.doc_id
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -1617,6 +1760,7 @@ QUERIES = {
     "q96_ngram_novelty": q96_ngram_novelty,
     "q121_chunk_documents": q121_chunk_documents,
     "q122_semantic_dedup": q122_semantic_dedup,
+    "q124_semantic_corpus_prep": q124_semantic_corpus_prep,
     "q117_dup_spans": q117_dup_spans,
     "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
@@ -1669,6 +1813,7 @@ ORACLES = {
     "q96_ngram_novelty": _Q96_SQL,
     "q121_chunk_documents": _Q121_SQL,
     "q122_semantic_dedup": _Q122_SQL,
+    "q124_semantic_corpus_prep": _Q124_SQL,
     # exhaustive probe + exhaustive shortlist == exact brute force
     "q97_ivfpq_exhaustive_topk": _Q33_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,

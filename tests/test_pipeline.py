@@ -4,6 +4,8 @@ the two-stage plan contract (SURVEY.md §2.2 ledger: composed pipeline).
 
 from __future__ import annotations
 
+import pytest
+
 from flink_note_spark.pipelines.curate import CurationConfig, curate_corpus
 from flink_note_spark.plans.inspect import shuffle_count
 from flink_note_spark.queries import QUERIES
@@ -188,3 +190,128 @@ def test_repetition_gate_corner_cases(spark):
     # caller's column untouched, no leaked internal column
     assert rows[0]["dup_word_ratio"] == 0.99
     assert "__dup_ratio" not in out.columns
+
+
+# --------------------------------------------- semantic stage (r10)
+
+
+def _semantic_fixture(spark):
+    """Docs + 2-D embeddings with hand-checkable clusters: ids 1-3 are
+    one semantic cluster (cos ≈ 1 pairwise), ids 4-5 another, 6-7
+    singletons in embedding space; ids 2 (11 words) and 5 (9 words)
+    carry the most words in their clusters (the merit
+    representatives); min-id picks 1 and 4 instead."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "the cat sat on the mat today and then slept all day"),
+            (3, "the dog ran in the park quickly"),
+            (4, "a completely different story about engines and pipelines"),
+            (5, "another unrelated tale of ships and seas and storms"),
+            (6, "short but valid english sentence here now"),
+            (7, "one more independent document with enough words in it"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.998, 0.02]),
+            (4, [0.0, 1.0]), (5, [0.01, 0.999]),
+            (6, [0.7, -0.7]), (7, [-0.7, 0.7]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, -0.7]),
+         (3, [-0.7, 0.7])],
+        "cell_id int, embedding array<double>",
+    )
+    return docs, emb, cents
+
+
+def test_prepare_training_corpus_semantic_merit_reps(spark):
+    """Semantic collapse keeps the MERIT representative per cluster
+    (most words, ties to smallest id): cluster {1,2,3} -> 2, cluster
+    {4,5} -> 5, singletons survive. Output is a subset of the
+    semantic-off run."""
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    docs, emb, cents = _semantic_fixture(spark)
+    kw = dict(
+        config=CurationConfig(min_words=5),
+        near_dup_threshold=None,
+    )
+    off = prepare_training_corpus(docs, **kw)
+    on = prepare_training_corpus(
+        docs, **kw,
+        semantic_threshold=0.95, embeddings=emb,
+        semantic_keep_by="n_words", semantic_centroids=cents,
+        semantic_max_cell=None,
+    )
+    off_ids = {r.doc_id for r in off.collect()}
+    on_rows = {r.doc_id: r.split for r in on.collect()}
+    assert set(on_rows) == {2, 5, 6, 7}
+    assert set(on_rows) <= off_ids
+    # default representative (no merit): smallest id per cluster
+    on_min = prepare_training_corpus(
+        docs, **kw,
+        semantic_threshold=0.95, embeddings=emb,
+        semantic_centroids=cents, semantic_max_cell=None,
+    )
+    assert {r.doc_id for r in on_min.collect()} == {1, 4, 6, 7}
+
+
+def test_prepare_training_corpus_semantic_survivor_edges_only(spark):
+    """Edges never resurrect or bridge through documents an earlier
+    stage removed: with id 2 killed by the quality gate (too few
+    words), the {1,3} pair must still collapse via their own edge —
+    and a doc whose ONLY semantic neighbor was removed survives."""
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    docs, emb, cents = _semantic_fixture(spark)
+    # min_words=8 removes id 1 (7 words) and id 3 (7 words) upstream;
+    # 2 survives alone in its cell -> no pair, stays
+    out = prepare_training_corpus(
+        docs,
+        config=CurationConfig(min_words=8),
+        near_dup_threshold=None,
+        semantic_threshold=0.95, embeddings=emb,
+        semantic_keep_by="n_words", semantic_centroids=cents,
+        semantic_max_cell=None,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 2 in ids  # its former near-dups were gone before the stage
+
+
+def test_prepare_training_corpus_semantic_kmeans_default(spark):
+    """The scale default (no injected centroids, shuffle-free Lloyd
+    cells) collapses the same obvious clusters on this fixture and
+    stays a subset of the semantic-off run."""
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    docs, emb, _ = _semantic_fixture(spark)
+    out = prepare_training_corpus(
+        docs,
+        config=CurationConfig(min_words=5),
+        near_dup_threshold=None,
+        semantic_threshold=0.95, embeddings=emb,
+        semantic_keep_by="n_words", semantic_n_cells=4,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    # pairs within a k-means cell at cos >= 0.95: {1,2,3} and {4,5}
+    # must each collapse to ONE representative whichever cells Lloyd
+    # picked (cells only ever SPLIT clusters, never merge reps), and
+    # the singletons always survive
+    assert {6, 7} <= ids
+    assert len(ids & {1, 2, 3}) >= 1 and len(ids & {4, 5}) >= 1
+    assert len(ids) <= 5
+
+
+def test_prepare_training_corpus_semantic_requires_embeddings(spark):
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    docs, _emb, _ = _semantic_fixture(spark)
+    with pytest.raises(ValueError, match="embeddings"):
+        prepare_training_corpus(
+            docs, near_dup_threshold=None, semantic_threshold=0.9,
+        )

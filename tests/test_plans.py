@@ -351,3 +351,16 @@ def test_q123_relaxed_payload_single_join(spark, sf_dir):
         plan,
     )
     assert len(joins) == 1, (joins, plan)
+
+
+def test_q124_semantic_pipeline_no_cartesian(spark, sf_dir):
+    """Composed semantic corpus prep (r10): the only nested-loop is
+    the 8-row broadcast centroid cross (explicitly hinted); pairs meet
+    in the cell equi-join, losers leave via anti-joins — the
+    corpus-wide n² matrix never appears anywhere in the composed
+    plan."""
+    from flink_note_spark.plans.inspect import explain_str
+
+    df = QUERIES["q124_semantic_corpus_prep"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
