@@ -423,6 +423,40 @@ def minhash_signatures(
     )
 
 
+def _band_rows(
+    sig: DataFrame, bands: int, r: int, id_col: str
+) -> DataFrame:
+    """Explode signatures into LSH band rows ``(id, signature,
+    band_id, band_key)`` — ``band_key`` is the xxhash64 of the band's
+    ``r`` signature slots, so docs meet only when a WHOLE band
+    matches. Shared by the one-shot pair pipeline and the persisted
+    index (identical keys are what make an increment joinable against
+    an index built in an earlier session)."""
+    return sig.select(
+        id_col,
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", i * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "signature", "band.band_id", "band.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -465,29 +499,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
     )
 
-    band_rows = sig.select(
-        id_col,
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("signature", i * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "signature", "band.band_id", "band.band_key")
+    band_rows = _band_rows(sig, bands, r, id_col)
 
     # Hot-bucket cap: anti-join away the flooded buckets (no window sort
     # over all band rows; AQE broadcasts the hot set at runtime when it
@@ -563,6 +575,258 @@ def minhash_lsh_pairs(
         .select("d1", "d2", "est_jaccard", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+class MinHashIndex:
+    """A built (optionally persisted) MinHash-LSH index — the
+    operational 100 TB dedup shape (r10, VERDICT r9 #5): compute the
+    corpus's signatures/band keys ONCE, persist them band-bucket-keyed,
+    and dedup every future INCREMENT against the index without ever
+    recomputing or reshuffling the corpus.
+
+    ``bands``: ``(id, band_id, band_key)`` — flooded buckets already
+    dropped at build time (every increment benefits from the cap).
+    ``docs``: ``(id, signature, S, sz)`` — per-doc signature + hashed
+    shingle set, what the estimate and exact-verify stages read.
+    ``params``: the signature family (n, num_hashes, bands, seed,
+    max_df, max_bucket) — an increment MUST hash with identical
+    parameters or its band keys are meaningless against the index;
+    :func:`dedup_against_index` therefore takes them from here, never
+    from the caller.
+    """
+
+    def __init__(
+        self, bands: DataFrame, docs: DataFrame, params: dict,
+        id_col: str,
+    ) -> None:
+        self.bands = bands
+        self.docs = docs
+        self.params = params
+        self.id_col = id_col
+
+
+def minhash_index_build(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_df: int | None = None,
+    max_bucket: int = 1000,
+    ids_unique: bool = False,
+) -> MinHashIndex:
+    """Build a :class:`MinHashIndex` from a corpus: one shingle scan
+    feeds the signature aggregation, the band explode, and the per-doc
+    shingle sets (the shared-scan doctrine of
+    :func:`minhash_lsh_pairs`). Buckets larger than ``max_bucket`` are
+    dropped HERE — the flood policy is a property of the index, so a
+    later increment can't accidentally join a boilerplate bucket the
+    one-shot pipeline would have refused.
+
+    Note on ``max_df``: document frequency is computed over THIS
+    corpus; an increment's df is computed over the increment alone
+    (the index does not rescan on ingest). With ``max_df=None``
+    (default) increment-vs-index pairs are bit-identical to the
+    one-shot pipeline's cross-set pairs (pinned in pytest)."""
+    dfr = _one_row_per_id(corpus, id_col, text_col, ids_unique)
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sh = _shingle_rows(dfr, id_col, text_col, n, max_df)
+    sh = sh.localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        dfr, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
+    )
+    band_rows = _band_rows(sig, bands, r, id_col)
+    hot = (
+        band_rows.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("band_id", "band_key")
+    )
+    band_rows = band_rows.join(
+        hot, ["band_id", "band_key"], "left_anti"
+    ).select(id_col, "band_id", "band_key")
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("S"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    # docs shorter than n words have no shingles, hence no signature
+    # row either — they are absent from the index entirely (they can
+    # never near-dup-match), same as the one-shot pipeline
+    docs = sig.join(sets, id_col).select(id_col, "signature", "S", "sz")
+    params = {
+        "n": n, "num_hashes": num_hashes, "bands": bands, "seed": seed,
+        "max_df": max_df, "max_bucket": max_bucket,
+    }
+    return MinHashIndex(band_rows, docs, params, id_col)
+
+
+def minhash_index_save(
+    index: MinHashIndex, table: str, buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist a :class:`MinHashIndex`: band rows go to a table
+    BUCKETED on ``(band_id, band_key)`` and the doc side to
+    ``<table>__docs`` bucketed on the id (the ``ivf_save`` pattern,
+    ``operators/similarity.py``). Bucketing is the 100 TB move: the
+    corpus's band rows are hash-laid-out by their join key ONCE at
+    write time, so every future increment's probe join shuffles ONLY
+    the increment — the index side reads co-located buckets with no
+    exchange (asserted in tests/test_scale.py). ``<table>__meta``
+    records the signature family so a later session reproduces the
+    exact hashes. ``path`` keeps all three tables external; always
+    overwrites (the append story is rebuild — signatures are
+    corpus-independent, so rebuilding only re-hashes the new rows'
+    text, never revisits old pair decisions)."""
+    from flink_note_spark.operators.scale import write_bucketed
+
+    spark = index.bands.sparkSession
+    write_bucketed(
+        index.bands, table, buckets, ["band_id", "band_key"],
+        path=path, mode="overwrite",
+    )
+    write_bucketed(
+        index.docs, f"{table}__docs", buckets, [index.id_col],
+        path=f"{path}__docs" if path else None, mode="overwrite",
+    )
+    p = index.params
+    meta = spark.createDataFrame(
+        [(index.id_col, p["n"], p["num_hashes"], p["bands"], p["seed"],
+          p["max_df"], p["max_bucket"])],
+        "id_col string, n int, num_hashes int, bands int, seed int, "
+        "max_df int, max_bucket int",
+    ).write.mode("overwrite")
+    if path:
+        meta = meta.option("path", f"{path}__meta")
+    meta.saveAsTable(f"{table}__meta")
+
+
+def minhash_index_load(spark, table: str) -> MinHashIndex:
+    """Rebuild a :class:`MinHashIndex` from :func:`minhash_index_save`
+    output — no text rescan, no signature recompute; both frames are
+    the bucketed table scans."""
+    rows = spark.table(f"{table}__meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"minhash_index_load: meta table {table}__meta has "
+            f"{len(rows)} rows — not a minhash_index_save output"
+        )
+    m = rows[0]
+    params = {
+        "n": m["n"], "num_hashes": m["num_hashes"], "bands": m["bands"],
+        "seed": m["seed"], "max_df": m["max_df"],
+        "max_bucket": m["max_bucket"],
+    }
+    return MinHashIndex(
+        spark.table(table), spark.table(f"{table}__docs"), params,
+        m["id_col"],
+    )
+
+
+def dedup_against_index(
+    increment: DataFrame,
+    index: MinHashIndex,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    verify: bool = True,
+    max_bucket: int | None = None,
+    ids_unique: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs between an INCREMENT and a persisted
+    corpus index — the operational ingest-time shape: the corpus never
+    recomputes. Output: ``d1`` (index id), ``d2`` (increment id),
+    ``est_jaccard`` [, ``jaccard`` when ``verify``, filtered to
+    ``>= threshold``]. Rows whose ids appear on BOTH sides (re-ingest
+    of an already-indexed document) are excluded — they are exact
+    re-registrations, not near-dup discoveries.
+
+    Work per increment of m docs: one shingle+signature scan of the
+    increment, ONE shuffle of its band rows onto the index's bucket
+    layout (the index side reads co-located buckets, zero exchange —
+    the bucketed-join contract), a candidate join bounded by the
+    index's build-time bucket cap plus this call's ``max_bucket``
+    (defaults to the index's), and two candidate-sized id joins for
+    the estimate/verify columns. Signature parameters come from the
+    index's meta — never from the caller."""
+    p = index.params
+    id_col = index.id_col
+    n_h, bands = p["num_hashes"], p["bands"]
+    r = n_h // bands
+    cap = max_bucket if max_bucket is not None else p["max_bucket"]
+
+    inc = _one_row_per_id(increment, id_col, text_col, ids_unique)
+    sh = _shingle_rows(inc, id_col, text_col, p["n"], p["max_df"])
+    if verify:
+        sh = sh.localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        inc, id_col, text_col, p["n"], n_h, p["seed"], p["max_df"],
+        shingles=sh,
+    )
+    inc_bands = _band_rows(sig, bands, r, id_col)
+    hot = (
+        inc_bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > cap)
+        .select("band_id", "band_key")
+    )
+    inc_bands = inc_bands.join(
+        hot, ["band_id", "band_key"], "left_anti"
+    ).select(F.col(id_col).alias("d2"), "band_id", "band_key")
+
+    ib = index.bands.select(
+        F.col(id_col).alias("d1"), "band_id", "band_key"
+    )
+    cand = (
+        ib.join(inc_bands, ["band_id", "band_key"])
+        .filter(F.col("d1") != F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])
+    )
+
+    docs1 = index.docs.select(
+        F.col(id_col).alias("d1"),
+        F.col("signature").alias("sig1"),
+        F.col("S").alias("S1"),
+        F.col("sz").alias("sz1"),
+    )
+    sets2 = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("S2"),
+        F.count(F.lit(1)).alias("sz2"),
+    )
+    docs2 = sig.join(sets2, id_col).select(
+        F.col(id_col).alias("d2"),
+        F.col("signature").alias("sig2"),
+        "S2",
+        "sz2",
+    )
+    est = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(n_h))
+    out = (
+        cand.join(docs1, "d1")
+        .join(docs2, "d2")
+        .withColumn("est_jaccard", F.round(est, 6))
+    )
+    if not verify:
+        return out.select("d1", "d2", "est_jaccard")
+    inter = F.size(F.array_intersect("S1", "S2"))
+    return (
+        out.withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "d1", "d2", "est_jaccard", F.round("jaccard", 6).alias("jaccard")
+        )
+    )
 
 
 def _simhash64_impl(texts: pd.Series) -> pd.Series:

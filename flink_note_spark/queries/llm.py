@@ -1604,6 +1604,65 @@ ORDER BY d1, d2
 """
 
 
+def q125_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup against a MinHash index (r10 — VERDICT r9
+    #5): the corpus (doc_id % 5 != 0) builds a
+    :class:`~flink_note_spark.operators.dedup.MinHashIndex` ONCE; the
+    increment (doc_id % 5 == 0) hashes only itself and joins its band
+    rows against the index — the operational ingest shape where the
+    corpus is never recomputed. At q90's full-recall parameters
+    (32 hashes × 8 bands, exact verify, no df cap) the output EQUALS
+    the exact cross-set Jaccard pair set, which IS SQL-expressible —
+    so the whole build → probe → verify path is oracle-checked, and an
+    LSH recall regression on the index path becomes a driver HASH
+    MISMATCH (the q90 doctrine). Save/load persistence round-trip and
+    the bucketed zero-exchange probe plan are pytest-gated
+    (tests/test_operators_unit.py, tests/test_scale.py)."""
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+    )
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index_build(corpus, ids_unique=True)
+    return (
+        dedup_against_index(
+            inc, idx, threshold=JACCARD_THRESHOLD, ids_unique=True
+        )
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+_Q125_SQL = f"""
+WITH w AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS wlist
+       FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(wlist) - 2),
+                               i -> array_to_string(wlist[i+1:i+3], ' '))) AS shingle
+  FROM w WHERE len(wlist) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_int
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(n_int / (s1.sz + s2.sz - n_int), 6) AS jaccard
+FROM pair_inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE n_int / (s1.sz + s2.sz - n_int) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
 def q124_semantic_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     """The composed corpus flow WITH the semantic stage (r10 — VERDICT
     r9 #4): curate (exact dedup + language + quality) → SemDeDup
@@ -1761,6 +1820,7 @@ QUERIES = {
     "q121_chunk_documents": q121_chunk_documents,
     "q122_semantic_dedup": q122_semantic_dedup,
     "q124_semantic_corpus_prep": q124_semantic_corpus_prep,
+    "q125_incremental_dedup": q125_incremental_dedup,
     "q117_dup_spans": q117_dup_spans,
     "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
@@ -1814,6 +1874,7 @@ ORACLES = {
     "q121_chunk_documents": _Q121_SQL,
     "q122_semantic_dedup": _Q122_SQL,
     "q124_semantic_corpus_prep": _Q124_SQL,
+    "q125_incremental_dedup": _Q125_SQL,
     # exhaustive probe + exhaustive shortlist == exact brute force
     "q97_ivfpq_exhaustive_topk": _Q33_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,

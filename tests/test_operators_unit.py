@@ -1151,3 +1151,68 @@ def test_provably_disjoint_widened_atoms():
     assert not d("NOT etype = 'a'", "etype = 'a'")
     assert d("etype = 'a or b'", "etype = 'c'")
     assert d("note = 'do not match'", "note = 'other'")
+
+
+# ----------------------------------------- persisted minhash index (r10)
+
+
+def test_dedup_against_index_equals_full_corpus_cross_pairs(
+    spark, sf_dir
+):
+    """Increment-vs-index == the one-shot full-corpus pipeline's pairs
+    restricted to cross-set (one doc in the corpus, one in the
+    increment): signatures depend only on a doc's own text, so the
+    same band keys collide whether or not the other side was present
+    at hash time. Exact with max_df=None (df stats are per-side by
+    design — documented in minhash_index_build)."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_lsh_pairs,
+    )
+    from flink_note_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index_build(corpus, ids_unique=True)
+    got = sorted(
+        (r.d1, r.d2, r.est_jaccard, r.jaccard)
+        for r in dedup_against_index(
+            inc, idx, threshold=0.4, ids_unique=True
+        ).collect()
+    )
+    want = sorted(
+        ((r.d2, r.d1) if r.d1 % 5 == 0 else (r.d1, r.d2))
+        + (r.est_jaccard, r.jaccard)
+        for r in minhash_lsh_pairs(
+            d, threshold=0.4, ids_unique=True
+        ).collect()
+        if (r.d1 % 5 == 0) != (r.d2 % 5 == 0)
+    )
+    assert got == want and got
+
+
+def test_dedup_against_index_excludes_reingested_ids(spark):
+    """Re-ingesting an already-indexed id must not report a self-pair;
+    genuinely new near-dups still surface."""
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "an entirely different document about engines")],
+        "doc_id long, text string",
+    )
+    inc = spark.createDataFrame(
+        [(1, base), (3, base + " tail")], "doc_id long, text string"
+    )
+    idx = minhash_index_build(corpus, ids_unique=True)
+    pairs = dedup_against_index(
+        inc, idx, threshold=0.3, ids_unique=True
+    ).collect()
+    assert {(r.d1, r.d2) for r in pairs} == {(1, 3)}

@@ -116,3 +116,57 @@ def test_salted_left_join_preserves_unmatched(spark):
     out = salted_join(left, right, on="k", how="left", salt_buckets=4)
     rows = {(r.k, r.lv, r.rv) for r in out.collect()}
     assert rows == {(1, "a", 10.0), (2, "b", 20.0), (9, "z", None)}
+
+
+def test_minhash_index_probe_shuffles_only_the_increment(
+    spark, sf_dir, tmp_path
+):
+    """The persisted MinHash index's probe join (r10): the INDEX side
+    of the (band_id, band_key) candidate join is the bucketed table —
+    its exchange was paid once at save time, so the probe plan carries
+    strictly fewer Exchanges than the same pipeline over an unbuilt
+    (in-session) index, and the pair set is identical. Also the
+    save → load round-trip contract: params travel via the meta table,
+    so the increment hashes with the index's signature family."""
+    import uuid
+
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_index_load,
+        minhash_index_save,
+    )
+
+    suffix = uuid.uuid4().hex[:8]
+    table = f"mh_idx_{suffix}"
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    inc = d.filter(F.col("doc_id") % 5 == 0)
+    minhash_index_save(
+        minhash_index_build(corpus, ids_unique=True), table,
+        buckets=8, path=str(tmp_path / table),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = minhash_index_load(spark, table)
+        assert idx.params["num_hashes"] == 32 and idx.params["bands"] == 8
+        pairs = dedup_against_index(
+            inc, idx, threshold=0.4, ids_unique=True
+        )
+        raw_pairs = dedup_against_index(
+            inc, minhash_index_build(corpus, ids_unique=True),
+            threshold=0.4, ids_unique=True,
+        )
+        # bucketing must save at least the index-side probe exchange
+        assert shuffle_count(pairs) < shuffle_count(raw_pairs), (
+            shuffle_count(pairs), shuffle_count(raw_pairs),
+        )
+        # and the persisted probe is still CORRECT (equals in-session)
+        a = sorted((r.d1, r.d2, r.jaccard) for r in pairs.collect())
+        b = sorted((r.d1, r.d2, r.jaccard) for r in raw_pairs.collect())
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (table, f"{table}__docs", f"{table}__meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
