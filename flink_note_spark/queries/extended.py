@@ -913,6 +913,64 @@ ORDER BY event_type
 """
 
 
+def q126_ddl_view_like(spark: SparkSession, sf: str) -> DataFrame:
+    """The r10 DDL widenings end-to-end (VERDICT r9 #6,
+    ``table.py:execute_sql``): a connector table with a COMPUTED
+    column (``value_bucket AS ...`` — plain Spark SQL over the
+    physical columns), re-declared via ``CREATE TABLE ... LIKE`` with
+    an appended second computed column, then aggregated through a
+    ``CREATE VIEW``. Every translated construct lands in the same
+    Catalyst plan a hand-written DataFrame chain would produce (the
+    computed columns are scan-stage projections; the view is an
+    analyzed subquery, not a copy)."""
+    from flink_note_spark.table import TableEnvironment
+
+    env = TableEnvironment.create(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ddl_ev_base_q126 (
+            event_id BIGINT,
+            user_id BIGINT,
+            event_type STRING,
+            value DOUBLE,
+            value_bucket AS cast(floor(value / 25) AS INT)
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{sf}/events.parquet',
+            'format' = 'parquet'
+        )
+    """)
+    env.execute_sql("""
+        CREATE TABLE ddl_ev_like_q126 (
+            is_purchase AS event_type = 'purchase'
+        ) LIKE ddl_ev_base_q126
+    """)
+    env.execute_sql("""
+        CREATE VIEW ddl_v_q126 AS
+        SELECT value_bucket,
+               count(*) AS n_events,
+               cast(sum(CASE WHEN is_purchase THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_purchases,
+               round(avg(value), 4) AS avg_value
+        FROM ddl_ev_like_q126
+        GROUP BY value_bucket
+    """)
+    return env.sql_query(
+        "SELECT * FROM ddl_v_q126 ORDER BY value_bucket"
+    ).to_data_frame()
+
+
+_Q126_SQL = """
+SELECT cast(floor(value / 25) AS INT) AS value_bucket,
+       count(*) AS n_events,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY value_bucket
+"""
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -934,6 +992,7 @@ QUERIES = {
     "q118_table_api_revenue": q118_table_api_revenue,
     "q119_table_session_window": q119_table_session_window,
     "q120_ddl_filesystem": q120_ddl_filesystem,
+    "q126_ddl_view_like": q126_ddl_view_like,
 }
 
 ORACLES = {
@@ -957,4 +1016,5 @@ ORACLES = {
     "q118_table_api_revenue": _Q118_SQL,
     "q119_table_session_window": _Q119_SQL,
     "q120_ddl_filesystem": _Q120_SQL,
+    "q126_ddl_view_like": _Q126_SQL,
 }

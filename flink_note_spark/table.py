@@ -617,6 +617,24 @@ _COL_RE = re.compile(
     r"(?:\s+NOT\s+NULL)?$",
     re.IGNORECASE,
 )
+#: computed column ``name AS <expr>`` (r10) — the expr is plain Spark
+#: SQL, evaluated with F.expr over the physical columns
+_COMPUTED_RE = re.compile(
+    r"^(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<expr>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<query>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LIKE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*(?:\((?P<body>.*?)\)\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"LIKE\s+(?P<base>[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_top(body: str) -> list[str]:
@@ -638,6 +656,69 @@ def _split_top(body: str) -> list[str]:
     return parts
 
 
+def _parse_ddl_body(body: str):
+    """Parse a Flink DDL column list into ``(fields, computed,
+    watermark, order)``: ``fields`` are the physical ``(name, spark
+    type)`` columns, ``computed`` the ``name AS expr`` columns (r10 —
+    plain Spark SQL exprs over earlier columns, VERDICT r9 #6),
+    ``order`` the declared column order. PRIMARY KEY and metadata
+    columns refuse loudly; ``PROCTIME()`` refuses with its reason (a
+    processing-time attribute has no batch/Catalyst analogue — Spark's
+    ``current_timestamp()`` is per-QUERY, not per-row-arrival)."""
+    fields: list[tuple[str, str]] = []
+    computed: list[tuple[str, str]] = []
+    order: list[str] = []
+    watermark: tuple[str, str] | None = None
+    for part in _split_top(body):
+        wm = _WM_RE.match(part)
+        if wm:
+            unit = wm.group("unit").lower().rstrip("s")
+            watermark = (wm.group("col"), f"{wm.group('n')} {unit}s")
+            continue
+        cm = _COL_RE.match(part)
+        if cm:
+            ft = cm.group("type").upper()
+            if ft not in _FLINK_TYPES:
+                raise ValueError(
+                    f"unsupported Flink DDL type {ft!r} for column "
+                    f"{cm.group('name')!r}"
+                )
+            st = _FLINK_TYPES[ft]
+            if st == "decimal" and cm.group("args"):
+                st = f"decimal({cm.group('args')})"
+            fields.append((cm.group("name"), st))
+            order.append(cm.group("name"))
+            continue
+        co = _COMPUTED_RE.match(part)
+        if co and not re.match(r"^PRIMARY\s+KEY", part, re.IGNORECASE):
+            expr = co.group("expr").strip()
+            if re.search(r"\bPROCTIME\s*\(", expr, re.IGNORECASE):
+                raise ValueError(
+                    "PROCTIME() computed columns are not translated: a "
+                    "processing-time attribute has no Catalyst "
+                    "analogue (current_timestamp() is per-query, not "
+                    "per-row) — use event time and WATERMARK"
+                )
+            try:
+                F.expr(expr)  # refuse unparseable exprs LOUDLY here,
+                # not as a silent sink-declaration fallback later
+            except Exception as e:
+                raise ValueError(
+                    f"computed column {co.group('name')!r}: expression "
+                    f"{expr!r} is not parseable Spark SQL ({e})"
+                ) from None
+            computed.append((co.group("name"), expr))
+            order.append(co.group("name"))
+            continue
+        raise ValueError(
+            f"unsupported DDL column clause {part!r} (plain `name "
+            "TYPE` columns, `name AS <spark sql expr>` computed "
+            "columns, and WATERMARK — PRIMARY KEY/metadata columns "
+            "are out of the translated subset)"
+        )
+    return fields, computed, watermark, order
+
+
 def _parse_flink_ddl(sql: str):
     """``CREATE TABLE name (cols..., WATERMARK FOR ts AS ts - INTERVAL
     '5' SECOND) WITH ('connector'='filesystem', ...)`` → parsed parts,
@@ -649,32 +730,8 @@ def _parse_flink_ddl(sql: str):
     opts = dict(_OPT_RE.findall(m.group("opts")))
     if "connector" not in opts:
         return None  # Spark's own TBLPROPERTIES-style WITH — pass through
-    fields: list[tuple[str, str]] = []
-    watermark: tuple[str, str] | None = None
-    for part in _split_top(m.group("body")):
-        wm = _WM_RE.match(part)
-        if wm:
-            unit = wm.group("unit").lower().rstrip("s")
-            watermark = (wm.group("col"), f"{wm.group('n')} {unit}s")
-            continue
-        cm = _COL_RE.match(part)
-        if not cm:
-            raise ValueError(
-                f"unsupported DDL column clause {part!r} (plain "
-                "`name TYPE` columns and WATERMARK only — computed "
-                "columns/PRIMARY KEY are out of the translated subset)"
-            )
-        ft = cm.group("type").upper()
-        if ft not in _FLINK_TYPES:
-            raise ValueError(
-                f"unsupported Flink DDL type {ft!r} for column "
-                f"{cm.group('name')!r}"
-            )
-        st = _FLINK_TYPES[ft]
-        if st == "decimal" and cm.group("args"):
-            st = f"decimal({cm.group('args')})"
-        fields.append((cm.group("name"), st))
-    return m.group("name"), fields, watermark, opts
+    fields, computed, watermark, order = _parse_ddl_body(m.group("body"))
+    return m.group("name"), fields, computed, watermark, order, opts
 
 
 _INSERT_RE = re.compile(
@@ -751,30 +808,69 @@ class TableEnvironment:
           BATCH filesystem table, evaluates the query and writes it to
           the declared path/format (append vs overwrite per the verb).
 
+        r10 widenings (VERDICT r9 #6):
+
+        - computed columns ``name AS <expr>`` — plain Spark SQL exprs
+          applied over the physical columns in declared order (a
+          WATERMARK may reference one); ``PROCTIME()`` refuses with
+          its reason.
+        - ``CREATE [TEMPORARY] VIEW name AS <query>`` — registered as
+          a session temp view either way (documented deviation:
+          Flink's non-TEMPORARY views are catalog-persistent; this
+          environment's catalog is the Spark temp-view session
+          catalog, matching :meth:`create_temporary_view`).
+        - ``CREATE TABLE name [(extra cols)] [WITH (opts)] LIKE base``
+          over a previously declared CONNECTOR table: schema,
+          watermark and options copy from ``base``; extra columns
+          append, new options override (Flink's INCLUDING ALL
+          default; the INCLUDING/EXCLUDING feature list refuses by
+          not parsing). A LIKE over a non-connector table passes
+          through to Spark's own ``CREATE TABLE ... LIKE``.
+
         Returns the registered/queried Table, or None for writes.
         """
+        vm = _VIEW_RE.match(sql)
+        if vm:
+            df = self.spark.sql(vm.group("query"))
+            df.createOrReplaceTempView(vm.group("name"))
+            return Table(df)
         ddl = _parse_flink_ddl(sql)
         if ddl is not None:
-            name, fields, watermark, opts = ddl
-            self._connector_tables[name] = (fields, watermark, opts)
-            try:
-                df = self._connector_df(name, fields, watermark, opts)
-            except ValueError:
-                raise
-            except Exception:
-                # a filesystem table whose path does not exist yet is
-                # a pure SINK declaration (Flink registers it without
-                # reading); the first INSERT INTO materializes it
-                if opts.get("connector") == "filesystem":
-                    return None
-                raise
-            df.createOrReplaceTempView(name)
-            return Table(df)
+            name, fields, computed, watermark, order, opts = ddl
+            return self._register_connector(
+                name, fields, computed, watermark, order, opts
+            )
+        lk = _LIKE_RE.match(sql)
+        if lk and lk.group("base") in self._connector_tables:
+            bf, bc, bwm, border, bopts = self._connector_tables[
+                lk.group("base")
+            ]
+            fields, computed, watermark, order = (
+                _parse_ddl_body(lk.group("body"))
+                if lk.group("body") else ([], [], None, [])
+            )
+            dup = {n for n, _ in fields + computed} & set(border)
+            if dup:
+                raise ValueError(
+                    f"CREATE TABLE ... LIKE: column(s) {sorted(dup)} "
+                    f"already exist on {lk.group('base')!r} (overriding "
+                    "a base column is out of the translated subset)"
+                )
+            opts = dict(bopts)
+            opts.update(dict(_OPT_RE.findall(lk.group("opts") or "")))
+            return self._register_connector(
+                lk.group("name"),
+                bf + fields,
+                bc + computed,
+                watermark if watermark is not None else bwm,
+                border + order,
+                opts,
+            )
         ins = _INSERT_RE.match(sql)
         if ins and ins.group("name") in self._connector_tables:
-            fields, watermark, opts = self._connector_tables[
-                ins.group("name")
-            ]
+            fields, computed, watermark, order, opts = (
+                self._connector_tables[ins.group("name")]
+            )
             if opts.get("connector") != "filesystem" or (
                 watermark is not None
                 or opts.get("scan.streaming") == "true"
@@ -794,7 +890,31 @@ class TableEnvironment:
             return None
         return Table(self.spark.sql(sql))
 
-    def _connector_df(self, name, fields, watermark, opts) -> DataFrame:
+    def _register_connector(
+        self, name, fields, computed, watermark, order, opts
+    ) -> "Table | None":
+        self._connector_tables[name] = (
+            fields, computed, watermark, order, opts
+        )
+        try:
+            df = self._connector_df(
+                name, fields, computed, watermark, order, opts
+            )
+        except ValueError:
+            raise
+        except Exception:
+            # a filesystem table whose path does not exist yet is
+            # a pure SINK declaration (Flink registers it without
+            # reading); the first INSERT INTO materializes it
+            if opts.get("connector") == "filesystem":
+                return None
+            raise
+        df.createOrReplaceTempView(name)
+        return Table(df)
+
+    def _connector_df(
+        self, name, fields, computed, watermark, order, opts
+    ) -> DataFrame:
         schema = ", ".join(f"{n} {t}" for n, t in fields)
         conn = opts.get("connector")
         streaming = (
@@ -868,6 +988,13 @@ class TableEnvironment:
                 "and kafka are translated; others have no local "
                 "analogue in this container)"
             )
+        # computed columns in declared order (an expr may reference
+        # any earlier column, physical or computed); the WATERMARK may
+        # name a computed column, so these apply first
+        for cname, expr in computed:
+            df = df.withColumn(cname, F.expr(expr))
+        if order and set(order) == set(df.columns):
+            df = df.select(*order)
         if watermark is not None and streaming:
             df = df.withWatermark(*watermark)
         return df
