@@ -2836,6 +2836,389 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
     return _variants_cep_fn
 
 
+def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
+                       out_cols, n_vals=0, capture=()):
+    """Per-key SQL-greedy row-pattern matcher with per-anchor selection
+    at HORIZON CLOSE (r10 — VERDICT r9 #1): streaming MATCH_RECOGNIZE
+    for quantified variables whose DEFINEs are NOT provably disjoint
+    from their follow sets. Disjointness made every greedy choice
+    local (the engine's maximal run IS the SQL binding); without it
+    the binding is data-dependent — a maximal run may have to be cut
+    short for the remainder to match. The batch operator resolves that
+    with a no_skip pass + leftmost-greedy selection; the streaming
+    twin buffers the anchor's whole ``within`` window and runs the
+    SAME selection once the window is CLOSED:
+
+    - an anchor (buffer position) DECIDES exactly once, in the
+      invocation where ``wm_prev <= anchor_ts + within < wm`` — every
+      event of the window is then final (arrivals carry
+      ``ts >= wm``), so the greedy binding computed here equals the
+      batch operator's over the same rows;
+    - the binding itself is textbook leftmost-greedy backtracking over
+      the anchor's window slice: at each quantified step try the
+      longest consumption first and recurse — exactly the preference
+      order the batch pass recovers by ordering the no_skip match set
+      per anchor (output columns in step order, desc NULLS LAST);
+    - ONE match per anchor == AFTER MATCH SKIP TO NEXT ROW (the only
+      strategy this engine serves; pruning strategies need
+      cross-anchor completion-order state — batch-only here);
+    - eviction: positions with ``ts + within < wm`` are decided and
+      can never be consumed by a LIVE anchor (a later anchor's window
+      starts at its own ts ``>= wm - within``), so state is bounded by
+      ``within`` + the watermark delay — the same bound as the
+      relaxed/variants engines.
+
+    Buffer order is (ts, mask) — equal-timestamp events decide by
+    candidate mask and only the FIRST position of a duplicated
+    timestamp anchors (the batch selection keys anchors by (key,
+    ts_1)); use unique per-key timestamps for a total order (the
+    operator-wide convention).
+
+    ``capture`` (``(k, val_idx, first|last)`` triples over column-major
+    ``vals`` state, the general engine's r9 convention) appends the
+    matched events' numeric payloads as DOUBLE columns."""
+    cols = [key_name] + out_cols
+    K = len(qsteps)
+    emit_last = [
+        (loop or times > 1 or tmax is not None)
+        for (_s, times, tmax, loop, _o) in qsteps
+    ]
+    emit_n = [loop for (_s, _t, _m, loop, _o) in qsteps]
+
+    def _match_anchor(i0, ts_buf, mk_buf, nbuf, h):
+        """Leftmost-greedy binding anchored at buffer position i0;
+        returns per-step (first_idx, last_idx, count) or None (absent
+        step), or None when no complete match exists."""
+        out: list = [None] * K
+
+        def rec(pos: int, si: int) -> bool:
+            if si == K:
+                return True
+            slot, times, tmax, loop, opt = qsteps[si]
+            bit = 1 << slot
+
+            def ok(p: int) -> bool:
+                return (
+                    p < nbuf and ts_buf[p] <= h
+                    and (mk_buf[p] & bit) != 0
+                )
+
+            if loop:
+                hi = pos
+                while ok(hi):
+                    hi += 1
+                lo = 0 if opt else 1
+                for cnt in range(hi - pos, lo - 1, -1):
+                    out[si] = (
+                        (pos, pos + cnt - 1, cnt) if cnt else None
+                    )
+                    if rec(pos + cnt, si + 1):
+                        return True
+                out[si] = None
+                return False
+            if tmax is not None:
+                hi = pos
+                while hi - pos < tmax and ok(hi):
+                    hi += 1
+                for cnt in range(hi - pos, times - 1, -1):
+                    out[si] = (pos, pos + cnt - 1, cnt)
+                    if rec(pos + cnt, si + 1):
+                        return True
+                out[si] = None
+                if opt:
+                    return rec(pos, si + 1)
+                return False
+            if opt:
+                if ok(pos):
+                    out[si] = (pos, pos, 1)
+                    if rec(pos + 1, si + 1):
+                        return True
+                out[si] = None
+                return rec(pos, si + 1)
+            for j in range(times):
+                if not ok(pos + j):
+                    return False
+            out[si] = (pos, pos + times - 1, times)
+            return rec(pos + times, si + 1)
+
+        return out if rec(i0, 0) else None
+
+    def _find(ts_buf, mk_buf, vals, wm_us, wm_prev_us):
+        rows = []
+        nbuf = len(ts_buf)
+        for i0 in range(nbuf):
+            h = ts_buf[i0] + within_us
+            if h >= wm_us:
+                break  # anchors are ts-ordered; later ones undecided
+            if h < wm_prev_us:
+                continue  # decided in an earlier invocation
+            if i0 > 0 and ts_buf[i0 - 1] == ts_buf[i0]:
+                continue  # one anchor per distinct timestamp
+            m = _match_anchor(i0, ts_buf, mk_buf, nbuf, h)
+            if m is None:
+                continue
+            row = []
+            for si in range(K):
+                if m[si] is None:
+                    # absent step: every column NULL (the batch
+                    # variant union's convention — n_k included;
+                    # COUNT measures coalesce downstream)
+                    row.append(None)
+                    if emit_last[si]:
+                        row.append(None)
+                    if emit_n[si]:
+                        row.append(None)
+                    continue
+                fi, li, cnt = m[si]
+                row.append(ts_buf[fi])
+                if emit_last[si]:
+                    row.append(ts_buf[li])
+                if emit_n[si]:
+                    row.append(cnt)
+            for (k, vi, which) in capture:
+                cap = m[k - 1]
+                if cap is None:
+                    row.append(None)
+                else:
+                    p = cap[0] if which == "first" else cap[1]
+                    row.append(vals[vi][p])
+            rows.append(row)
+        cut = 0
+        while cut < nbuf and ts_buf[cut] + within_us < wm_us:
+            cut += 1
+        return (
+            rows, ts_buf[cut:], mk_buf[cut:],
+            [v[cut:] for v in vals],
+        )
+
+    val_names = [f"__val{i}" for i in range(n_vals)]
+
+    def _mr_greedy_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+
+        def _arm(ts_buf):
+            if not ts_buf:
+                return
+            cand = (ts_buf[0] + within_us) // 1_000 + 1
+            state.setTimeoutTimestamp(
+                max(cand, state.getCurrentWatermarkMs() + 1)
+            )
+
+        def _unpack(stored):
+            ts_b, mk_b, wm_prev = stored[0], stored[1], stored[2]
+            vals = [
+                list(stored[3][i * len(ts_b):(i + 1) * len(ts_b)])
+                for i in range(n_vals)
+            ] if n_vals else []
+            return list(ts_b), list(mk_b), wm_prev, vals
+
+        def _pack(ts_buf, mk_buf, vals):
+            base = (ts_buf, mk_buf, wm_us)
+            if n_vals:
+                flat = [x for v in vals for x in v]
+                return base + (flat,)
+            return base
+
+        if state.hasTimedOut:
+            ts_buf, mk_buf, wm_prev, vals = _unpack(state.get)
+            rows, ts_buf, mk_buf, vals = _find(
+                ts_buf, mk_buf, vals, wm_us, wm_prev
+            )
+            if rows:
+                yield pd.DataFrame(
+                    [[key_val, *r] for r in rows], columns=cols
+                )
+            if ts_buf:
+                state.update(_pack(ts_buf, mk_buf, vals))
+                _arm(ts_buf)
+            else:
+                state.remove()
+            return
+
+        ts_buf, mk_buf, wm_prev, vals = [], [], 0, [
+            [] for _ in range(n_vals)
+        ]
+        if state.exists:
+            ts_buf, mk_buf, wm_prev, vals = _unpack(state.get)
+        pt = [np.asarray(ts_buf, dtype=np.int64)]
+        pm = [np.asarray(mk_buf, dtype=np.int64)]
+        pv = [[np.asarray(v, dtype=np.float64)] for v in vals]
+        for pdf in pdfs:
+            pt.append(pdf[ts_col].to_numpy().view("int64") // 1_000)
+            pm.append(pdf[mask_col].to_numpy().astype(np.int64))
+            for i in range(n_vals):
+                pv[i].append(
+                    pdf[val_names[i]].to_numpy().astype(np.float64)
+                )
+        ts_a, mk_a = np.concatenate(pt), np.concatenate(pm)
+        order = np.lexsort((mk_a, ts_a))
+        ts_buf = ts_a[order].tolist()
+        mk_buf = mk_a[order].tolist()
+        vals = [
+            np.concatenate(pv[i])[order].tolist() for i in range(n_vals)
+        ]
+
+        rows, ts_buf, mk_buf, vals = _find(
+            ts_buf, mk_buf, vals, wm_us, wm_prev
+        )
+        if rows:
+            yield pd.DataFrame(
+                [[key_val, *r] for r in rows], columns=cols
+            )
+        if ts_buf:
+            state.update(_pack(ts_buf, mk_buf, vals))
+            _arm(ts_buf)
+        else:
+            state.remove()
+
+    return _mr_greedy_fn
+
+
+def match_pattern_stream_greedy(
+    stream: DataFrame,
+    pattern,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+    watermark: str = "5 minutes",
+    carry_payload: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Streaming strict-contiguity pattern matching with SQL-GREEDY
+    per-anchor binding decided at horizon close (r10) — the engine
+    streaming MATCH_RECOGNIZE routes to when a quantified variable's
+    DEFINE is NOT provably disjoint from its follow set (see
+    :func:`_make_mr_greedy_fn` for the finality argument). One match
+    per anchor == AFTER MATCH SKIP TO NEXT ROW; ``within`` REQUIRED
+    (it is the buffering horizon — without it no anchor ever closes).
+
+    Scope: uniform STRICT positive steps with any quantifier
+    (``+ * ? {n} {n,m}``), non-absentable FIRST step (the anchor
+    identity — batch keys its selection on ``ts_1``), non-quantified
+    LAST step (the terminal-loop counterexample), no negation /
+    followedByAny / until / iterative refs. ``carry_payload``
+    (numeric columns, the r9 convention) rides a column-major value
+    buffer and emits ``<ts_col>_<col>`` DOUBLE columns."""
+    from flink_note_spark.operators.cep import (
+        _cand_cond,
+        _iter_where,
+        _normalize,
+        _out_cols,
+        _resolve_contiguity,
+    )
+
+    steps = _normalize(pattern)
+    if _resolve_contiguity(steps, "strict") != "strict":
+        raise ValueError(
+            "match_pattern_stream_greedy is strict-contiguity only "
+            "(SQL row-pattern variables are adjacent rows)"
+        )
+    if within is None:
+        raise ValueError(
+            "greedy-selection streaming requires within= — the anchor "
+            "window must CLOSE for the greedy binding to be final"
+        )
+    if any(
+        s.negate or s.any_match or s.until is not None for s in steps
+    ) or any(_iter_where(s) is not None for s in steps):
+        raise ValueError(
+            "greedy-selection streaming supports plain quantified "
+            "positive steps only (negation/followedByAny/until/"
+            "iterative refs: use the disjoint fast path or batch)"
+        )
+    first, last = steps[0], steps[-1]
+    if first.optional or (first.times_max is not None and first.times == 0):
+        raise ValueError(
+            "greedy-selection streaming requires a non-absentable "
+            "FIRST variable — the anchor identity is its first row "
+            "(batch keys the selection on ts_1)"
+        )
+    if last.loop or last.optional or last.times_max is not None:
+        raise ValueError(
+            "greedy-selection streaming requires the pattern to end "
+            "with a plain variable (a terminal quantifier asserts on "
+            "events that may never arrive — the pinned terminal-loop "
+            "counterexample; batch-only)"
+        )
+    out_cols = _out_cols(steps)
+    key_type = dict(stream.dtypes)[key_col]
+    within_us = _parse_duration_ms(within) * 1_000
+
+    capture: list[tuple[int, int, str]] = []
+    cap_cols: list[str] = []
+    val_cols: list[str] = []
+    if carry_payload:
+        dtypes = dict(stream.dtypes)
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+        for tsc in sorted(carry_payload):
+            m = re.fullmatch(r"ts_(\d+)(_last)?", tsc)
+            if not m or tsc not in out_cols:
+                raise ValueError(
+                    f"carry_payload key {tsc!r} is not an output step "
+                    f"column of this pattern ({out_cols})"
+                )
+            k = int(m.group(1))
+            which = "last" if m.group(2) else "first"
+            for c in sorted(set(carry_payload[tsc])):
+                t = dtypes.get(c)
+                if t is None:
+                    raise ValueError(
+                        f"carry_payload column {c!r} not in the stream"
+                    )
+                if t not in numeric and not t.startswith("decimal"):
+                    raise ValueError(
+                        f"streaming payload capture supports numeric "
+                        f"columns only; {c!r} has type {t}"
+                    )
+                if c not in val_cols:
+                    val_cols.append(c)
+                capture.append((k, val_cols.index(c), which))
+                cap_cols.append(f"{tsc}_{c}")
+
+    out_schema = f"{key_col} {key_type}, " + ", ".join(
+        f"{c} long" for c in out_cols
+    )
+    if cap_cols:
+        out_schema += ", " + ", ".join(f"{c} double" for c in cap_cols)
+    conds = [_cand_cond(s, type_col) for s in steps]
+    mask = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = term if mask is None else mask + term
+    projected = _mask_projection(
+        stream, mask, key_col, time_col, watermark,
+        drop_zero=False, val_cols=val_cols,
+    )
+    qsteps = tuple(
+        (i, s.times, s.times_max, s.loop, s.optional)
+        for i, s in enumerate(steps)
+    )
+    state_struct = "ts array<long>, mk array<long>, wm long"
+    if val_cols:
+        state_struct += ", vals array<double>"
+    return (
+        projected.groupBy(key_col)
+        .applyInPandasWithState(
+            _make_mr_greedy_fn(
+                qsteps, key_col, time_col, "__cand_mask", within_us,
+                out_cols + cap_cols, n_vals=len(val_cols),
+                capture=tuple(capture),
+            ),
+            outputStructType=out_schema,
+            stateStructType=state_struct,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def match_pattern_stream(
     stream: DataFrame,
     pattern,

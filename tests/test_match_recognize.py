@@ -771,10 +771,11 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
             pattern="A B+", define={"B": "value > 0.5"},
             within="10 minutes",
         )
-    with pytest.raises(ValueError, match="PROVABLY disjoint"):
-        # r9: quantifiers stream only under static disjointness —
-        # these ranges overlap on [0.4, 0.5), so greedy selection is
-        # data-dependent
+    with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
+        # r10: overlapping quantified DEFINEs stream on the
+        # horizon-close greedy engine — which decides ONE match per
+        # anchor, so pruning AFTER MATCH forms refuse (these ranges
+        # overlap on [0.4, 0.5); the r9 build refused them outright)
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B+ C",
@@ -782,16 +783,25 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
                     "C": "value >= 0.4"},
             within="10 minutes",
         )
-    with pytest.raises(ValueError, match="PROVABLY disjoint"):
-        # the FOLLOW SET spans absent-able variables: B* must be
-        # disjoint from C (ok) AND from D (these overlap)
+    with pytest.raises(ValueError, match="requires within"):
+        # the greedy engine buffers each anchor's whole window — no
+        # within, no closure, no final binding
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
-            pattern="A B* C? D",
-            define={"A": "value >= 0.9", "B": "value < 0.3",
-                    "C": "value >= 0.6 AND value < 0.8",
-                    "D": "value < 0.35"},
-            within="10 minutes",
+            pattern="A B+ C",
+            define={"A": "value >= 0.9", "B": "value < 0.5",
+                    "C": "value >= 0.4"},
+            after_match="skip to next row",
+        )
+    with pytest.raises(ValueError, match="cross-variable"):
+        # overlapping quantifier + iterative ref: the greedy engine
+        # has no carried-binding evaluation — batch-only
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B+ C",
+            define={"A": "value >= 0.9", "B": "value < 0.5",
+                    "C": "C.value > A.value AND C.value >= 0.4"},
+            after_match="skip to next row", within="10 minutes",
         )
     with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
         # variant quantifiers do not compose with pruning strategies
@@ -829,3 +839,266 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
             pattern="A B", define={"B": "B.value > A.value"},
             after_match="skip past last row",
         )
+
+
+def test_match_recognize_stream_greedy_equals_batch(spark, tmp_path):
+    """r10 (VERDICT r9 #1): quantified variables whose DEFINEs OVERLAP
+    their follow set stream on the horizon-close greedy-selection
+    engine — every shape (V+ with heavy overlap, {n,m}, *, ?, two
+    quantifiers in one pattern, payload measures) equals the batch
+    operator on a seeded soup split into micro-batches."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(120)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    clauses = [
+        # V-shape with DOWN overlapping BOTH neighbors: the engine's
+        # maximal run is routinely cut short (backtracking territory)
+        ("overlap_v", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={"STRT": "value >= 0.5", "DOWN": "value < 0.55",
+                    "UP": "value >= 0.45"},
+            measures={"start_ts": "STRT.ts", "start_val": "STRT.value",
+                      "n_down": "COUNT(DOWN.*)",
+                      "bottom_ts": "LAST(DOWN.ts)",
+                      "bottom_val": "LAST(DOWN.value)",
+                      "up_ts": "UP.ts", "up_val": "UP.value"},
+            after_match="skip to next row", within="30 minutes")),
+        ("overlap_range", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="LO MID{1,2} HI",
+            define={"LO": "value < 0.3",
+                    "MID": "value >= 0.3 AND value < 0.6",
+                    "HI": "value >= 0.45"},
+            measures={"lo_ts": "LO.ts", "first_mid": "FIRST(MID.ts)",
+                      "last_mid": "LAST(MID.ts)",
+                      "mid_val": "LAST(MID.value)", "hi_ts": "HI.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("overlap_star", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="LO MID* HI",
+            define={"LO": "value < 0.3", "MID": "value >= 0.3",
+                    "HI": "value >= 0.5"},
+            measures={"lo_ts": "LO.ts", "n_mid": "COUNT(MID.*)",
+                      "last_mid": "LAST(MID.ts)", "hi_ts": "HI.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("overlap_opt", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="LO MID? HI",
+            define={"LO": "value < 0.35",
+                    "MID": "value >= 0.35 AND value < 0.7",
+                    "HI": "value >= 0.5"},
+            measures={"lo_ts": "LO.ts", "mid_ts": "MID.ts",
+                      "n_mid": "COUNT(MID.*)", "hi_ts": "HI.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        # two interacting quantifiers — the backtracking search must
+        # split one soup of candidates between them greedily
+        ("two_quants", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="A B+ C? D",
+            define={"A": "value >= 0.6", "B": "value < 0.65",
+                    "C": "value < 0.5", "D": "value >= 0.3"},
+            measures={"a_ts": "A.ts", "n_b": "COUNT(B.*)",
+                      "b_last": "LAST(B.ts)", "c_ts": "C.ts",
+                      "d_ts": "D.ts", "d_val": "D.value"},
+            after_match="skip to next row", within="30 minutes")),
+    ]
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 9)
+        return int(v)
+
+    def _key(t):
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
+    for tag, kw in clauses:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(f"mrg_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"gck_{tag}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (
+                tuple(_norm(x) for x in r)
+                for r in spark.sql(
+                    f"SELECT {','.join(out.columns)} FROM mrg_{tag}"
+                ).collect()
+            ),
+            key=_key,
+        )
+        assert got == want, tag
+        assert got, tag
+
+
+def test_match_recognize_stream_greedy_backtracks(spark, tmp_path):
+    """The crafted cut-short scenario (the batch fast-path fallback
+    test, streamed): values 100 60 70 30 with C = [65, 80) — greedy
+    B+ would eat 60,70 and leave C at 30 (fail); the binding must
+    backtrack to B=[60], C=70."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 1, t(0), 100.0), (1, 2, t(1), 60.0), (1, 3, t(2), 70.0),
+        (1, 4, t(3), 30.0),
+        (99, 9, t(600), 0.0),  # watermark driver
+    ]
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = match_recognize_stream(
+        stream, partition_by="user_id", order_by="ts",
+        pattern="A B+ C",
+        define={"A": "value >= 100", "B": "value < 80",
+                "C": "value >= 65 AND value < 80"},
+        measures={"a_ts": "A.ts", "nb": "COUNT(B.*)", "c_val": "C.value"},
+        after_match="skip to next row",
+        within="30 minutes", watermark="2 minutes",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("mrg_back")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "gb_ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    us = lambda m: int(
+        t(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    got = {
+        (r.user_id, int(r.a_ts), int(r.nb), float(r.c_val))
+        for r in spark.sql(
+            "SELECT user_id, a_ts, nb, c_val FROM mrg_back"
+        ).collect()
+    }
+    assert got == {(1, us(0), 1, 70.0)}
+
+
+def test_match_recognize_stream_greedy_survives_restart(
+    spark, tmp_path
+):
+    """An overlapping-DEFINE anchor whose window spans a stop/restart
+    boundary decides from checkpointed state after the restart —
+    exactly once, with pre-restart payload values intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    d = tmp_path / "mrg_chunks"
+    d.mkdir()
+    sink = tmp_path / "mrg_sink"
+    ckpt = tmp_path / "mrg_ckpt"
+    schema_pa = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("value", pa.float64()),
+    ])
+    schema = "user_id long, event_id long, ts timestamp, value double"
+
+    def chunk(name, rows):
+        t_ = pa.Table.from_pylist(
+            [dict(zip(["user_id", "event_id", "ts", "value"], r))
+             for r in rows], schema=schema_pa)
+        pq.write_table(t_, str(d / name))
+
+    def t(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B+ C",
+            define={"A": "value >= 100", "B": "value < 80",
+                    "C": "value >= 65 AND value < 80"},
+            measures={"a_ts": "A.ts", "a_val": "A.value",
+                      "nb": "COUNT(B.*)", "c_val": "C.value"},
+            after_match="skip to next row",
+            within="60 minutes", watermark="2 minutes",
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: anchor + ambiguous B prefix — window still open
+    chunk("c1.parquet", [
+        (1, 1, t(0), 100.0), (1, 2, t(1), 60.0), (1, 3, t(2), 70.0),
+    ])
+    run_once()
+    assert not sink.exists()
+
+    # run 2 (same checkpoint): the tail arrives, then the watermark
+    # closes the window — the binding must still backtrack (B=[60],
+    # C=70 from PRE-restart state, the 30.0 is post-restart noise)
+    chunk("c2.parquet", [(1, 4, t(3), 30.0)])
+    chunk("c3.parquet", [(99, 9, t(600), 0.0)])
+    run_once()
+    us = lambda m: int(
+        t(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    final = sorted(
+        (int(r["user_id"]), int(r["a_ts"]), float(r["a_val"]),
+         int(r["nb"]), float(r["c_val"]))
+        for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert final == [(1, us(0), 100.0, 1, 70.0)]

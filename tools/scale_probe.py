@@ -111,7 +111,17 @@ def _drop_dead_blocks():
         _SPARK.sparkContext._jvm.System.gc()
 
 
+#: ``--only op1,op2`` restricts the run to matching shape prefixes —
+#: the per-round re-probe discipline (re-measure only the shapes whose
+#: code changed; BASELINE.md carries the full-sweep history)
+ONLY: set | None = None
+
+
 def bench(label, fn, timings, runs=2):
+    if ONLY is not None and not any(
+        label == o or label.startswith(f"{o}_") for o in ONLY
+    ):
+        return
     _drop_dead_blocks()
     fn()  # warm
     best = float("inf")
@@ -123,8 +133,13 @@ def bench(label, fn, timings, runs=2):
 
 
 def main() -> None:
-    global _SPARK
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    global _SPARK, ONLY
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        ONLY = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    k = int(argv[0]) if argv else 8
     spark = _SPARK = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
@@ -503,6 +518,40 @@ def main() -> None:
         )
         q.awaitTermination()
 
+    def sessionize_jvm_probe(events_dir):
+        """The pure-JVM twin for the plain gap-only case (r10, VERDICT
+        r9 #9): builtin ``session_window`` aggregation — same sessions
+        (start/end/count per key) with NO Python state dispatch. The
+        ratio vs ``sessionize`` isolates the applyInPandasWithState
+        framework constants; custom per-key logic still needs the
+        stateful operator."""
+        import uuid
+
+        from flink_note_spark.streaming.ops import session_window_agg
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(events_dir)
+        )
+        sess = session_window_agg(
+            stream, "ts", "6 minutes", "5 minutes", ["user_id"],
+            [F.count(F.lit(1)).alias("n_events"),
+             F.max("ts").alias("last_ts")],
+        )
+        q = (
+            sess.writeStream.format("noop")
+            .option(
+                "checkpointLocation",
+                f"{tmp}/sessjvm_ckpt_{uuid.uuid4().hex[:8]}",
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     def corpus_probe(d):
         """The composed prepare_training_corpus pipeline: curate →
         MinHash-LSH near-dup collapse (connected components) → hash
@@ -571,6 +620,10 @@ def main() -> None:
     for tag, evdf, evdir in (("x1", ev1x, ev1_dir), (f"x{k}", ev_kx, ev_k_dir)):
         bench(f"asof_{tag}", lambda e=evdf: noop(asof_probe(e)), t)
         bench(f"sessionize_{tag}", lambda d=evdir: sessionize_probe(d), t)
+        bench(
+            f"sessionize_jvm_{tag}",
+            lambda d=evdir: sessionize_jvm_probe(d), t,
+        )
     for tag, d, e in (("x1", docs1, emb1), (f"x{k}", docs_k, emb_k)):
         bench(f"exact_dedup_{tag}", lambda d=d: noop(exact_dedup(d, "text", "doc_id")), t)
         bench(
@@ -621,7 +674,7 @@ def main() -> None:
         op: round(t[f"{op}_x{k}"] / t[f"{op}_x1"], 2)
         for op in (
             "join", "window", "agg", "salted", "cogroup",
-            "asof", "sessionize",
+            "asof", "sessionize", "sessionize_jvm",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
             "corpus",
@@ -630,13 +683,17 @@ def main() -> None:
             "match_recognize", "window_topn", "dup_span",
             "route", "tfidf", "corpus_full",
         )
+        if f"{op}_x1" in t and f"{op}_x{k}" in t
     }
     out = {
         "k": k,
         "timings_sec": t,
         "time_ratio_at_kx_data": ratios,
-        "enrich_concurrency_speedup": round(t["enrich_c1"] / t["enrich_c4"], 2),
     }
+    if "enrich_c1" in t and "enrich_c4" in t:
+        out["enrich_concurrency_speedup"] = round(
+            t["enrich_c1"] / t["enrich_c4"], 2
+        )
     print(json.dumps(out))
 
 
