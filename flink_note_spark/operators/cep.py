@@ -593,12 +593,15 @@ def match_pattern(
     ``<ts_col>_<col>`` columns (the :func:`attach_event_payload`
     naming) for the matched events' payloads. Honored by the strict
     lead-chain and island fast paths (where the payload rides the same
-    window pass for free) and (r10) the ENTIRE relaxed family — plain
+    window pass for free), (r10) the ENTIRE relaxed family — plain
     binds, iterative binds, ``followedByAny`` fan-out, greedy and
     non-greedy loops — where it rides the existing struct-min/max
-    aggregates. Remaining engines (variants, the general strict
-    segments path) ignore it — check the output columns and fall back
-    to :func:`attach_event_payload` for any group that did not
+    aggregates, and (r10) VARIANT patterns, whose union renumbers each
+    request into every variant's geometry and realigns the carried
+    columns (all-or-nothing per group). The one remaining non-carrier
+    is the general strict-segments path (non-island loop shapes) —
+    check the output columns and fall back to
+    :func:`attach_event_payload` for any group that did not
     materialize.
     """
     if isinstance(pattern, Pattern):
@@ -712,6 +715,7 @@ def match_pattern(
         M = _match_variants(
             events, steps, key_col, time_col, type_col, within,
             contiguity, tiebreak, greedy_loops,
+            carry_payload=carry_payload,
         )
     elif contiguity == "strict":
         if any(s.until for s in steps):
@@ -986,6 +990,7 @@ def _match_variants(
     contiguity: str,
     tiebreak: list[str] | None,
     greedy_loops: bool = True,
+    carry_payload: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """``optional()`` / ``times(n, m)`` patterns: union of the plain
     variant matches (Flink emits every branch/count alternative), with
@@ -993,49 +998,116 @@ def _match_variants(
     optional step's ``ts_i`` is NULL; a count-1 variant of a range
     quantifier repeats ``ts_i`` as ``ts_i_last``. Each variant is the
     usual one declarative plan; the union is a plain ``UNION ALL``
-    (no dedup shuffle — variants are distinct match shapes)."""
+    (no dedup shuffle — variants are distinct match shapes).
+
+    ``carry_payload`` (r10): each request is RENUMBERED into every
+    variant's step geometry and handed to the variant's engine; the
+    union realigns the carried ``<ts_col>_<col>`` columns exactly like
+    the ts columns (absent variant → typed NULL; a single-event
+    variant serves a ``_last`` request from its only event). Emitted
+    only when EVERY variant's engine materialized its carry — a single
+    non-carrying engine (e.g. the general segments path) drops the
+    whole group so the caller's attach-join fallback stays uniform."""
     from functools import reduce
 
-    ts_type = dict(events.dtypes)[time_col]
+    dtypes = dict(events.dtypes)
+    ts_type = dtypes[time_col]
     max_cols = _out_cols(steps)
     positives = [s for s in steps if not s.negate]
+    pay: dict[str, list[str]] = {}
+    for tsc, cols in (carry_payload or {}).items():
+        m = re.fullmatch(r"ts_(\d+)(_last)?", tsc)
+        if not m or tsc not in max_cols:
+            continue
+        cols = sorted({
+            c for c in cols
+            if c in dtypes and c not in (key_col, time_col, type_col)
+        })
+        if cols:
+            pay[tsc] = cols
 
-    parts: list[DataFrame] = []
-    for vsteps, orig_idx in _expand_variants(steps):
-        # per-variant engines inherit the loop greediness only; the
-        # skip-strategy pruning applies over the WHOLE union at the
-        # top level (variants are alternative shapes of one pattern)
-        r = match_pattern(
-            events, vsteps, key_col, time_col, type_col, within,
-            contiguity, tiebreak,
-            skip_strategy=None if greedy_loops else "no_skip",
-        )
-        vpos = {oi: j + 1 for j, oi in enumerate(orig_idx)}
-        vpositives = [s for s in vsteps if not s.negate]
-        sel: list[Column] = [F.col(key_col)]
-        for i, s in enumerate(positives, start=1):
-            has_last = f"ts_{i}_last" in max_cols
-            if i not in vpos:
-                sel.append(F.lit(None).cast(ts_type).alias(f"ts_{i}"))
+    def build(with_pay: bool) -> "list[DataFrame] | None":
+        parts: list[DataFrame] = []
+        for vsteps, orig_idx in _expand_variants(steps):
+            vpos = {oi: j + 1 for j, oi in enumerate(orig_idx)}
+            vpositives = [s for s in vsteps if not s.negate]
+
+            def src_ts(tsc: str) -> "str | None":
+                """The variant-local ts column serving an ORIGINAL
+                request, or None when the variable is absent here."""
+                m = re.fullmatch(r"ts_(\d+)(_last)?", tsc)
+                i, last = int(m.group(1)), bool(m.group(2))
+                if i not in vpos:
+                    return None
+                j = vpos[i]
+                vs = vpositives[j - 1]
+                if last and (vs.loop or vs.times > 1):
+                    return f"ts_{j}_last"
+                return f"ts_{j}"
+
+            vcarry: dict[str, list[str]] = {}
+            if with_pay:
+                for tsc, cols in pay.items():
+                    st = src_ts(tsc)
+                    if st is None:
+                        continue
+                    merged = vcarry.setdefault(st, [])
+                    for c in cols:
+                        if c not in merged:
+                            merged.append(c)
+            # per-variant engines inherit the loop greediness only; the
+            # skip-strategy pruning applies over the WHOLE union at the
+            # top level (variants are alternative shapes of one pattern)
+            r = match_pattern(
+                events, vsteps, key_col, time_col, type_col, within,
+                contiguity, tiebreak,
+                skip_strategy=None if greedy_loops else "no_skip",
+                carry_payload=vcarry or None,
+            )
+            sel: list[Column] = [F.col(key_col)]
+            for i, s in enumerate(positives, start=1):
+                has_last = f"ts_{i}_last" in max_cols
+                if i not in vpos:
+                    sel.append(F.lit(None).cast(ts_type).alias(f"ts_{i}"))
+                    if has_last:
+                        sel.append(
+                            F.lit(None).cast(ts_type).alias(f"ts_{i}_last")
+                        )
+                    if s.loop:  # zeroOrMore absent branch: no run at all
+                        sel.append(F.lit(None).cast("long").alias(f"n_{i}"))
+                    continue
+                j = vpos[i]
+                vs = vpositives[j - 1]
+                sel.append(F.col(f"ts_{j}").alias(f"ts_{i}"))
                 if has_last:
-                    sel.append(
-                        F.lit(None).cast(ts_type).alias(f"ts_{i}_last")
+                    src = (
+                        f"ts_{j}_last" if (vs.loop or vs.times > 1)
+                        else f"ts_{j}"
                     )
-                if s.loop:  # zeroOrMore absent branch: no run at all
-                    sel.append(F.lit(None).cast("long").alias(f"n_{i}"))
-                continue
-            j = vpos[i]
-            vs = vpositives[j - 1]
-            sel.append(F.col(f"ts_{j}").alias(f"ts_{i}"))
-            if has_last:
-                src = (
-                    f"ts_{j}_last" if (vs.loop or vs.times > 1)
-                    else f"ts_{j}"
-                )
-                sel.append(F.col(src).alias(f"ts_{i}_last"))
-            if s.loop:
-                sel.append(F.col(f"n_{j}").alias(f"n_{i}"))
-        parts.append(r.select(*sel))
+                    sel.append(F.col(src).alias(f"ts_{i}_last"))
+                if s.loop:
+                    sel.append(F.col(f"n_{j}").alias(f"n_{i}"))
+            if with_pay:
+                for tsc, cols in pay.items():
+                    st = src_ts(tsc)
+                    for c in cols:
+                        if st is None:
+                            sel.append(
+                                F.lit(None).cast(dtypes[c])
+                                .alias(f"{tsc}_{c}")
+                            )
+                        elif f"{st}_{c}" in r.columns:
+                            sel.append(
+                                F.col(f"{st}_{c}").alias(f"{tsc}_{c}")
+                            )
+                        else:
+                            return None  # this engine didn't carry
+            parts.append(r.select(*sel))
+        return parts
+
+    parts = build(bool(pay)) if pay else build(False)
+    if parts is None:
+        parts = build(False)  # all-or-nothing: caller attaches
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

@@ -3124,3 +3124,40 @@ def test_relaxed_carry_within_and_until(spark):
         ["ts_2", "ts_2_last"],
         contiguity="relaxed", within="45 seconds",
     )
+
+
+def test_variant_carry_strict_optional(spark):
+    """r10: variant patterns carry payloads too — each request is
+    renumbered into every variant's geometry (absent variant -> typed
+    NULL; a single-event variant serves _last from its only event)."""
+    got = _carry_diff(
+        spark, ["A", {"type": "B", "optional": True}, "C"],
+        {"ts_1": ["value"], "ts_2": ["value"], "ts_3": ["value"]},
+        ["ts_1", "ts_2", "ts_3"],
+        contiguity="strict", tiebreak=["event_id"],
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_variant_carry_relaxed_range(spark):
+    """{1,2} range variants on the relaxed engine: first/last payload
+    realigned across count alternatives."""
+    _carry_diff(
+        spark, ["A", {"type": "B", "times": 1, "times_max": 2}, "C"],
+        {"ts_2": ["value"], "ts_2_last": ["value"]},
+        ["ts_2", "ts_2_last"],
+        contiguity="relaxed",
+    )
+
+
+def test_variant_carry_strict_zero_or_more(spark):
+    """zeroOrMore strict: the absent branch fills typed NULLs, the
+    loop branch rides the island engine's window-chain carry."""
+    _carry_diff(
+        spark,
+        ["A", {"type": "B", "one_or_more": True, "optional": True}, "C"],
+        {"ts_2": ["value"], "ts_2_last": ["value"], "ts_3": ["value"]},
+        ["ts_2", "ts_2_last", "ts_3"],
+        contiguity="strict", tiebreak=["event_id"],
+    )

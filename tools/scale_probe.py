@@ -144,31 +144,46 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
 
+    def _selected(*ops) -> bool:
+        return ONLY is None or bool(ONLY & set(ops))
+
+    _DOC_OPS = (
+        "exact_dedup", "minhash_lsh", "simhash", "components",
+        "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
+        "corpus", "decontaminate", "tfidf", "corpus_full", "dup_span",
+        "enrich",
+    )
+    _REL_OPS = ("join", "window", "agg", "salted", "cogroup")
+
     docs1 = load_table(spark, SF_DIR, "documents")
     emb1 = load_table(spark, SF_DIR, "embeddings")
-    docs_k = spark.read.parquet(
-        replicate(docs1, k, {"doc_id": 10_000_000}, f"{tmp}/docs_k", salt_text=True)
-    )
-    emb_k = spark.read.parquet(
-        replicate(emb1, k, {"vec_id": 10_000_000}, f"{tmp}/emb_k")
-    )
+    docs_k = emb_k = None
+    if _selected(*_DOC_OPS):
+        docs_k = spark.read.parquet(
+            replicate(docs1, k, {"doc_id": 10_000_000}, f"{tmp}/docs_k", salt_text=True)
+        )
+        emb_k = spark.read.parquet(
+            replicate(emb1, k, {"vec_id": 10_000_000}, f"{tmp}/emb_k")
+        )
     # TPC-H relational trio for the join/window/agg probes — key columns
     # shift together so FKs stay intra-replica (join output grows ~K×).
     STRIDE = 10_000_000
     cust1 = load_table(spark, SF_DIR, "customer")
     ord1 = load_table(spark, SF_DIR, "orders")
     li1 = load_table(spark, SF_DIR, "lineitem")
-    cust_k = spark.read.parquet(
-        replicate(cust1, k, {"c_custkey": STRIDE}, f"{tmp}/cust_k")
-    )
-    ord_k = spark.read.parquet(
-        replicate(
-            ord1, k, {"o_orderkey": STRIDE, "o_custkey": STRIDE}, f"{tmp}/ord_k"
+    cust_k = ord_k = li_k = None
+    if _selected(*_REL_OPS):
+        cust_k = spark.read.parquet(
+            replicate(cust1, k, {"c_custkey": STRIDE}, f"{tmp}/cust_k")
         )
-    )
-    li_k = spark.read.parquet(
-        replicate(li1, k, {"l_orderkey": STRIDE}, f"{tmp}/li_k")
-    )
+        ord_k = spark.read.parquet(
+            replicate(
+                ord1, k, {"o_orderkey": STRIDE, "o_custkey": STRIDE}, f"{tmp}/ord_k"
+            )
+        )
+        li_k = spark.read.parquet(
+            replicate(li1, k, {"l_orderkey": STRIDE}, f"{tmp}/li_k")
+        )
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -612,6 +627,8 @@ def main() -> None:
 
     t: dict[str, float] = {}
     for tag, c, o, l in (("x1", cust1, ord1, li1), (f"x{k}", cust_k, ord_k, li_k)):
+        if c is None:
+            continue  # relational group not replicated under --only
         bench(f"join_{tag}", lambda c=c, o=o, l=l: noop(join_probe(c, o, l)), t)
         bench(f"window_{tag}", lambda l=l: noop(window_probe(l)), t)
         bench(f"agg_{tag}", lambda l=l: noop(agg_probe(l)), t)
@@ -625,6 +642,8 @@ def main() -> None:
             lambda d=evdir: sessionize_jvm_probe(d), t,
         )
     for tag, d, e in (("x1", docs1, emb1), (f"x{k}", docs_k, emb_k)):
+        if d is None:
+            continue  # documents group not replicated under --only
         bench(f"exact_dedup_{tag}", lambda d=d: noop(exact_dedup(d, "text", "doc_id")), t)
         bench(
             f"minhash_lsh_{tag}",
