@@ -31,8 +31,12 @@ Supported subset (each deviation documented):
   earlier step's FIRST row). ``PREV``/``NEXT`` physical-row navigation
   is out of scope. Undefined variables default to TRUE (standard).
 - ``MEASURES``: ``FIRST(V.c)`` / ``LAST(V.c)`` / ``COUNT(V.*)`` /
-  bare ``V.c``. ``ONE ROW PER MATCH`` only (Flink's own restriction
-  in streaming mode).
+  bare ``V.c``, and (r10) the aggregate family ``SUM/AVG/MIN/MAX
+  (V.c)`` with FINAL semantics — over ALL rows the variable matched
+  (the run is the closed event-time range ``[ts_k, ts_k_last]`` under
+  strict adjacency, so ONE co-partitioned time-range join + group-agg
+  per aggregated VARIABLE serves every measure on it). ``ONE ROW PER
+  MATCH`` only (Flink's own restriction in streaming mode).
 - ``AFTER MATCH``: ``SKIP PAST LAST ROW`` (default), ``SKIP TO NEXT
   ROW``, ``SKIP TO FIRST V``, ``SKIP TO LAST V`` — mapped to the
   engine's ``AfterMatchSkipStrategy`` set.
@@ -81,12 +85,15 @@ _VAR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _QUANT_RE = re.compile(r"^(?P<var>[A-Za-z_][A-Za-z0-9_]*)"
                        r"(?P<q>\+|\*|\?|\{\d+(?:,\d+)?\})?$")
 _MEASURE_RE = re.compile(
-    r"^(?:(?P<fn>FIRST|LAST|COUNT)\s*\(\s*"
+    r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
     r"(?P<fvar>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(?P<fcol>\*|[A-Za-z_]"
     r"[A-Za-z0-9_]*)\s*\)|(?P<var>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*"
     r"(?P<col>[A-Za-z_][A-Za-z0-9_]*))$",
     re.IGNORECASE,
 )
+#: the aggregate measure family (r10 — Flink MR running/final
+#: aggregates, FINAL semantics: over ALL rows the variable matched)
+_AGG_FNS = ("SUM", "AVG", "MIN", "MAX")
 #: ``<VAR>.<col>`` inside a DEFINE condition — rewritten to the CEP
 #: engine's iterative-condition ref ``s<k>.<col>`` for earlier
 #: variables, or to the bare column for the variable's own row.
@@ -350,13 +357,15 @@ def match_recognize(
     # the chosen engine did not materialize falls back to one
     # co-partitioned attach join per (step, first|last)
     attach: dict[str, list[tuple[str, str]]] = {}
+    #: aggregate measures (r10): positive step k -> [(fn, col, out)]
+    agg_reqs: dict[int, list[tuple[str, str, str]]] = {}
     exprs: list[tuple[str, object]] = []  # (out_name, Column|("attach", tscol, payload))
     for out_name, spec in (measures or {}).items():
         m = _MEASURE_RE.match(spec.strip())
         if not m:
             raise ValueError(
                 f"unsupported measure {spec!r} (FIRST(V.c) | LAST(V.c) "
-                "| COUNT(V.*) | V.c)"
+                "| COUNT(V.*) | SUM/AVG/MIN/MAX(V.c) | V.c)"
             )
         fn = (m.group("fn") or "").upper()
         var = m.group("fvar") or m.group("var")
@@ -370,6 +379,31 @@ def match_recognize(
         quantified = (
             st.loop or st.times > 1 or st.times_max is not None
         )
+        if fn in _AGG_FNS:
+            # FINAL aggregate over ALL rows the variable matched
+            # (Flink MR's aggregate measures): the run's rows are
+            # exactly the events in [ts_k, ts_k_last] — strict
+            # adjacency — so ONE co-partitioned (key, time-range)
+            # join + group-agg per aggregated VARIABLE serves every
+            # measure on it (the attach_event_payload cost doctrine)
+            if col == "*":
+                raise ValueError(
+                    f"{fn} measures aggregate a COLUMN ({fn}(V.col)); "
+                    "for row counts use COUNT(V.*)"
+                )
+            if col == order_by:
+                raise ValueError(
+                    f"{fn}({var}.{order_by}): aggregate the event time "
+                    "via FIRST(...)/LAST(...) instead"
+                )
+            if col not in payload_cols:
+                raise ValueError(
+                    f"measure {spec!r}: column {col!r} is not a "
+                    f"payload column of the input (have {payload_cols})"
+                )
+            agg_reqs.setdefault(k, []).append((fn, col, out_name))
+            exprs.append((out_name, ("agg", out_name)))
+            continue
         if fn == "COUNT":
             if col != "*":
                 raise ValueError(
@@ -466,11 +500,36 @@ def match_recognize(
             [ts_col], key_col=partition_by, time_col=order_by,
             payload_cols=want_cols,
         )
+    for k, reqs in agg_reqs.items():
+        ts_first = f"ts_{k}"
+        ts_last = (
+            f"ts_{k}_last" if f"ts_{k}_last" in out.columns else ts_first
+        )
+        cols = sorted({c for _fn, c, _n in reqs})
+        right = typed.select(
+            F.col(partition_by).alias("__agk"),
+            F.col(order_by).alias("__agt"),
+            *cols,
+        )
+        carried_cols = out.columns
+        j = out.join(
+            right,
+            (F.col(partition_by) == F.col("__agk"))
+            & (F.col("__agt") >= F.col(ts_first))
+            & (F.col("__agt") <= F.col(ts_last)),
+            "left",
+        )
+        out = j.groupBy(*carried_cols).agg(*[
+            getattr(F, fn.lower())(c).alias(name)
+            for fn, c, name in reqs
+        ])
     final = [F.col(partition_by)]
     for out_name, e in exprs:
-        if isinstance(e, tuple):
+        if isinstance(e, tuple) and e[0] == "attach":
             _tag, ts_col, col = e
             final.append(F.col(f"{ts_col}_{col}").alias(out_name))
+        elif isinstance(e, tuple):  # ("agg", name): aggregated above
+            final.append(F.col(out_name))
         else:
             final.append(e)
     return out.select(*final)
@@ -685,6 +744,14 @@ def match_recognize_stream(
                 "| COUNT(V.*) | V.c)"
             )
         fn = (m.group("fn") or "").upper()
+        if fn in _AGG_FNS:
+            raise ValueError(
+                f"aggregate measure {spec!r} is batch-only on streams "
+                "(the batch operator aggregates the run's time range "
+                "in one co-partitioned join; streams capture "
+                "first/last payloads only — or aggregate in "
+                "foreachBatch)"
+            )
         var = m.group("fvar") or m.group("var")
         col = m.group("fcol") or m.group("col")
         k = var_index.get(var)

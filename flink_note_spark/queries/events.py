@@ -1559,6 +1559,95 @@ ORDER BY day, user_id
 """
 
 
+def q127_mr_aggregate_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE AGGREGATE measures (r10 — Flink SQL's
+    ``SUM/AVG/MIN/MAX(V.col)`` with FINAL semantics): the q114 V-shape
+    with the DOWN run's value SUMMED/AVERAGED/bounded. Under strict
+    adjacency the run is exactly the events in ``[ts_2, ts_2_last]``,
+    so ALL FOUR aggregates ride ONE co-partitioned time-range join +
+    group-agg (per aggregated variable, not per measure); the oracle
+    replays it as a positional-range LATERAL aggregate over the same
+    gaps-and-islands frame q114 uses. Scale: one keyed join bounded by
+    run length — no cartesian, no driver collect."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    e = _t(spark, sf, "events")
+    m = match_recognize(
+        e.select("user_id", "ts", "value", "event_id"),
+        partition_by="user_id",
+        order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={
+            "STRT": "value >= 100",
+            "DOWN": "value < 80",
+            "UP": "value >= 150",
+        },
+        measures={
+            "start_ts": "STRT.ts",
+            "n_down": "COUNT(DOWN.*)",
+            "sum_down": "SUM(DOWN.value)",
+            "min_down": "MIN(DOWN.value)",
+            "max_down": "MAX(DOWN.value)",
+            "up_ts": "UP.ts",
+        },
+        after_match="skip to next row",
+        within="7 days",
+        tiebreak=["event_id"],
+    )
+    # avg derives from the ROUNDED sum so both engines evaluate the
+    # identical arithmetic (a raw double avg can straddle a rounding
+    # boundary depending on summation order — measured at sf0.01)
+    return (
+        m.withColumn("sum_down", F.round("sum_down", 4))
+        .select(
+            "user_id", "start_ts", "n_down",
+            "sum_down",
+            F.round(F.col("sum_down") / F.col("n_down"), 4)
+            .alias("avg_down"),
+            "min_down", "max_down", "up_ts",
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q127_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER w AS pos,
+         (value < 80) AS dn,
+         CASE WHEN lag(value < 80) OVER w IS DISTINCT FROM (value < 80)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem
+      FROM g)
+SELECT a.user_id, a.ts AS start_ts,
+       CAST(d.rem AS BIGINT) AS n_down,
+       round(s.sd, 4) AS sum_down,
+       round(round(s.sd, 4) / d.rem, 4) AS avg_down,
+       s.mnd AS min_down, s.mxd AS max_down,
+       u.ts AS up_ts
+FROM g a
+JOIN r d ON d.user_id = a.user_id AND d.pos = a.pos + 1 AND d.dn
+JOIN g u ON u.user_id = a.user_id AND u.pos = a.pos + 1 + d.rem
+JOIN LATERAL (
+  SELECT sum(m.value) AS sd, avg(m.value) AS ad,
+         min(m.value) AS mnd, max(m.value) AS mxd
+  FROM g m
+  WHERE m.user_id = a.user_id
+    AND m.pos BETWEEN a.pos + 1 AND a.pos + d.rem
+) s ON true
+WHERE a.value >= 100 AND u.value >= 150
+  AND u.ts <= a.ts + INTERVAL 7 DAY
+ORDER BY a.user_id, start_ts
+"""
+
+
 def q123_cep_relaxed_payload(spark: SparkSession, sf: str) -> DataFrame:
     """Relaxed CEP funnel with ZERO-JOIN payload measures (r10 —
     VERDICT r9 #3): ``view → click+ (greedy) → purchase`` within 7
@@ -1686,6 +1775,7 @@ QUERIES = {
     "q115_window_top_n": q115_window_top_n,
     "q116_window_dedup": q116_window_dedup,
     "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
+    "q127_mr_aggregate_measures": q127_mr_aggregate_measures,
 }
 
 ORACLES = {
@@ -1725,4 +1815,5 @@ ORACLES = {
     "q115_window_top_n": _Q115_SQL,
     "q116_window_dedup": _Q116_SQL,
     "q123_cep_relaxed_payload": _Q123_SQL,
+    "q127_mr_aggregate_measures": _Q127_SQL,
 }

@@ -1130,3 +1130,99 @@ def test_payload_carry_variants_zero_joins(spark):
     rows = mr.collect()
     assert any(r.n_mid == 1 and r.mid_val is not None for r in rows)
     assert any(r.n_mid == 0 and r.mid_val is None for r in rows)
+
+
+def test_aggregate_measures_crafted(spark):
+    """r10 aggregate measures (SUM/AVG/MIN/MAX with FINAL semantics):
+    hand-checked runs, unquantified aggregates equal the single row's
+    value, and the plan pays ONE join per aggregated VARIABLE (both
+    DOWN aggregates share it), not per measure."""
+    e = _events(spark, {
+        1: [120, 60, 40, 160, 130],
+        3: [130, 50, 155, 140, 30, 20, 170],
+    })
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)",
+                  "sum_down": "SUM(DOWN.value)",
+                  "avg_down": "AVG(DOWN.value)",
+                  "min_down": "MIN(DOWN.value)",
+                  "max_strt": "MAX(STRT.value)"},
+        after_match="skip to next row", within="7 days",
+        tiebreak=["event_id"],
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    got = rows_set(out)
+    assert got == {
+        (1, t(0), 2, 100.0, 50.0, 40.0, 120.0),
+        (3, t(0), 1, 50.0, 50.0, 50.0, 130.0),
+        (3, t(3), 2, 50.0, 25.0, 20.0, 140.0),
+    }
+    import re as _re
+
+    # the optimized LOGICAL plan (the executed-plan string can render
+    # both pre- and post-AQE subtrees, double-counting joins)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    joins = _re.findall(r"\bJoin\b", plan)
+    # one range join for DOWN's three aggregates + one for STRT's
+    assert len(joins) == 2, plan
+
+
+def test_aggregate_measures_absent_variant_is_null(spark):
+    """An absent optional variable aggregates to NULL (SQL's empty-set
+    aggregate), composing with the variant union."""
+    e = _events(spark, {1: [30, 150, 30, 70, 160]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="LO MID? HI",
+        define={"LO": "value < 60",
+                "MID": "value >= 60 AND value < 120",
+                "HI": "value >= 120"},
+        measures={"lo_ts": "LO.ts", "n_mid": "COUNT(MID.*)",
+                  "sum_mid": "SUM(MID.value)"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    got = rows_set(out)
+    assert got == {
+        (1, t(0), 0, None),        # 30 -> 150 directly, MID absent
+        (1, t(2), 1, 70.0),        # 30 -> 70 -> 160
+    }
+
+
+def test_aggregate_measures_validation(spark):
+    e = _events(spark, {1: [1, 2]})
+    with pytest.raises(ValueError, match="COUNT"):
+        match_recognize(
+            e, partition_by="user_id", order_by="ts", pattern="A B",
+            define={"A": "value < 2"}, measures={"x": "SUM(A.*)"},
+        )
+    with pytest.raises(ValueError, match="FIRST"):
+        match_recognize(
+            e, partition_by="user_id", order_by="ts", pattern="A B",
+            define={"A": "value < 2"}, measures={"x": "SUM(A.ts)"},
+        )
+    with pytest.raises(ValueError, match="payload column"):
+        match_recognize(
+            e, partition_by="user_id", order_by="ts", pattern="A B",
+            define={"A": "value < 2"}, measures={"x": "MAX(A.nope)"},
+        )
+
+
+def test_aggregate_measures_stream_refusal(spark, tmp_path):
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    d = _stream_chunks(tmp_path, [(1, 1, dt.datetime(2024, 1, 1), 0.5)])
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    with pytest.raises(ValueError, match="batch-only on streams"):
+        match_recognize_stream(
+            stream, partition_by="user_id", order_by="ts",
+            pattern="A B", define={"B": "value > 0.5"},
+            measures={"s": "SUM(B.value)"}, within="10 minutes",
+        )
