@@ -21,9 +21,10 @@ Nothing here adds a shuffle beyond ``match_pattern``'s own plan.
 Supported subset (each deviation documented):
 
 - ``PATTERN``: a whitespace-separated variable sequence with
-  quantifiers ``+ * ? {n} {n,m}`` — Flink's supported row-pattern
-  subset minus grouping/alternation/``PERMUTE`` (which Flink itself
-  restricts) and minus reluctant ``?``-suffixed quantifiers.
+  quantifiers ``+ * ? {n} {n,m}`` and (r10) their RELUCTANT
+  ``?``-suffixed forms (``+? *? ?? {n,m}?`` — prefer the FEWEST
+  rows) — Flink's supported row-pattern subset minus grouping/
+  alternation/``PERMUTE`` (which Flink itself restricts).
 - ``DEFINE``: per-variable predicates over the row's columns (Flink
   ``SimpleCondition``), as SQL strings or Columns. A SQL condition may
   reference an EARLIER variable's columns (``A.price``), compiled to
@@ -83,7 +84,7 @@ _ROW_TYPE = "__mr_row"
 
 _VAR_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _QUANT_RE = re.compile(r"^(?P<var>[A-Za-z_][A-Za-z0-9_]*)"
-                       r"(?P<q>\+|\*|\?|\{\d+(?:,\d+)?\})?$")
+                       r"(?P<q>(?:\+|\*|\?|\{\d+(?:,\d+)?\})\??)?$")
 _MEASURE_RE = re.compile(
     r"^(?:(?P<fn>FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
     r"(?P<fvar>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*(?P<fcol>\*|[A-Za-z_]"
@@ -102,23 +103,32 @@ _DEFINE_REF_RE = re.compile(
 )
 
 
-def _parse_pattern(pattern: str) -> list[tuple[str, str | None]]:
-    """``"STRT DOWN+ UP{1,3}"`` → ``[(var, quant|None), ...]``."""
+def _parse_pattern(
+    pattern: str,
+) -> list[tuple[str, str | None, bool]]:
+    """``"STRT DOWN+ UP{1,3}"`` → ``[(var, quant|None, reluctant),
+    ...]``. A trailing ``?`` on a quantifier (``+? *? ?? {n,m}?``,
+    r10) marks it RELUCTANT — prefer the FEWEST rows (the standard's
+    and Flink's non-greedy modifier); bare ``?`` stays the greedy
+    optional quantifier."""
     toks = pattern.replace("(", " ").replace(")", " ").split()
     if not toks:
         raise ValueError("PATTERN must name at least one variable")
-    out: list[tuple[str, str | None]] = []
+    out: list[tuple[str, str | None, bool]] = []
     for t in toks:
         m = _QUANT_RE.match(t)
         if not m:
             raise ValueError(
                 f"unsupported PATTERN token {t!r} (variables with "
-                "quantifiers + * ? {n} {n,m} only; alternation/"
-                "PERMUTE are out of scope)"
+                "quantifiers + * ? {n} {n,m} and their reluctant ?"
+                "-suffixed forms only; alternation/PERMUTE are out of "
+                "scope)"
             )
-        out.append((m.group("var"), m.group("q")))
+        q = m.group("q")
+        reluctant = q is not None and len(q) > 1 and q.endswith("?")
+        out.append((m.group("var"), q[:-1] if reluctant else q, reluctant))
     seen = set()
-    for v, _q in out:
+    for v, _q, _r in out:
         if v in seen:
             raise ValueError(
                 f"pattern variable {v!r} appears twice — each variable "
@@ -243,8 +253,13 @@ def match_recognize(
     """
     define = dict(define or {})
     parsed = _parse_pattern(pattern)
-    names = [v for v, _q in parsed]
+    names = [v for v, _q, _r in parsed]
     var_index = {v: k for k, v in enumerate(names, start=1)}
+    #: positive index -> RELUCTANT quantifier (r10): prefer the FEWEST
+    #: rows; the selection pass flips that variable's column direction
+    reluctant = {
+        k: r for k, (_v, _q, r) in enumerate(parsed, start=1)
+    }
     for v in define:
         if v not in var_index:
             raise ValueError(
@@ -254,7 +269,7 @@ def match_recognize(
 
     steps = [
         _quant_step(v, q, _compile_define(define.get(v), v, var_index))
-        for v, q in parsed
+        for v, q, _r in parsed
     ]
     skip = _parse_after_match(after_match, var_index)
 
@@ -291,6 +306,12 @@ def match_recognize(
     fast = all(
         not s.optional and s.times_max is None for s in steps
     )
+    # a RELUCTANT loop with no follower is never forced: the fast
+    # engine's maximal run would invert its fewest-rows preference
+    # (follower-disjointness is what makes greedy==reluctant; a
+    # terminal loop has no follower constraint) — r10
+    if fast and steps and steps[-1].loop and reluctant.get(len(steps)):
+        fast = False
     # r9: ALL disjointness probes fold into ONE aggregate job — the
     # greedy-safety pairs (each loop vs its follower) plus, when the
     # pattern is island-shaped, the island engine's loop-vs-predecessor
@@ -465,9 +486,19 @@ def match_recognize(
     carried = set(matches.columns)
     if not fast:
         out_cols = _out_cols(steps)
-        greedy_order = [
-            F.col(c).desc_nulls_last() for c in out_cols if c != "ts_1"
-        ]
+        # per-variable preference direction (r10): greedy variables
+        # keep desc NULLS LAST (most rows / present first); RELUCTANT
+        # variables flip to asc NULLS FIRST (fewest rows / absent
+        # first) — lexicographic comparison in step order with per-var
+        # direction IS the standard's mixed greedy/reluctant
+        # backtracking preference
+        def _pref(c: str):
+            k = int(re.match(r"(?:ts|n)_(\d+)", c).group(1))
+            if reluctant.get(k):
+                return F.col(c).asc_nulls_first()
+            return F.col(c).desc_nulls_last()
+
+        greedy_order = [_pref(c) for c in out_cols if c != "ts_1"]
         if greedy_order:
             w = Window.partitionBy(partition_by, "ts_1").orderBy(
                 *greedy_order
@@ -612,8 +643,11 @@ def match_recognize_stream(
     """
     define = dict(define or {})
     parsed = _parse_pattern(pattern)
-    names = [v for v, _q in parsed]
+    names = [v for v, _q, _r in parsed]
     var_index = {v: k for k, v in enumerate(names, start=1)}
+    reluctant = {
+        k: r for k, (_v, _q, r) in enumerate(parsed, start=1)
+    }
     for v in define:
         if v not in var_index:
             raise ValueError(
@@ -622,7 +656,7 @@ def match_recognize_stream(
             )
     steps = [
         _quant_step(v, q, _compile_define(define.get(v), v, var_index))
-        for v, q in parsed
+        for v, q, _r in parsed
     ]
     steps = [
         PatternStep(
@@ -835,6 +869,10 @@ def match_recognize_stream(
             within=within,
             watermark=watermark,
             carry_payload=carry or None,
+            reluctant=[
+                reluctant.get(k, False)
+                for k in range(1, len(steps) + 1)
+            ],
         )
     else:
         matches = match_pattern_stream(

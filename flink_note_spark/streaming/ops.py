@@ -2881,9 +2881,9 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
     K = len(qsteps)
     emit_last = [
         (loop or times > 1 or tmax is not None)
-        for (_s, times, tmax, loop, _o) in qsteps
+        for (_s, times, tmax, loop, _o, _r) in qsteps
     ]
-    emit_n = [loop for (_s, _t, _m, loop, _o) in qsteps]
+    emit_n = [loop for (_s, _t, _m, loop, _o, _r) in qsteps]
 
     def _match_anchor(i0, ts_buf, mk_buf, nbuf, h):
         """Leftmost-greedy binding anchored at buffer position i0;
@@ -2894,7 +2894,7 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
         def rec(pos: int, si: int) -> bool:
             if si == K:
                 return True
-            slot, times, tmax, loop, opt = qsteps[si]
+            slot, times, tmax, loop, opt, rel = qsteps[si]
             bit = 1 << slot
 
             def ok(p: int) -> bool:
@@ -2908,7 +2908,11 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                 while ok(hi):
                     hi += 1
                 lo = 0 if opt else 1
-                for cnt in range(hi - pos, lo - 1, -1):
+                counts = (
+                    range(lo, hi - pos + 1) if rel
+                    else range(hi - pos, lo - 1, -1)
+                )
+                for cnt in counts:
                     out[si] = (
                         (pos, pos + cnt - 1, cnt) if cnt else None
                     )
@@ -2920,15 +2924,33 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                 hi = pos
                 while hi - pos < tmax and ok(hi):
                     hi += 1
-                for cnt in range(hi - pos, times - 1, -1):
+                if rel and opt:  # reluctant optional range: absent 1st
+                    out[si] = None
+                    if rec(pos, si + 1):
+                        return True
+                counts = (
+                    range(times, hi - pos + 1) if rel
+                    else range(hi - pos, times - 1, -1)
+                )
+                for cnt in counts:
                     out[si] = (pos, pos + cnt - 1, cnt)
                     if rec(pos + cnt, si + 1):
                         return True
                 out[si] = None
-                if opt:
+                if opt and not rel:
                     return rec(pos, si + 1)
                 return False
             if opt:
+                if rel:  # reluctant optional: absent first
+                    out[si] = None
+                    if rec(pos, si + 1):
+                        return True
+                    if ok(pos):
+                        out[si] = (pos, pos, 1)
+                        if rec(pos + 1, si + 1):
+                            return True
+                    out[si] = None
+                    return False
                 if ok(pos):
                     out[si] = (pos, pos, 1)
                     if rec(pos + 1, si + 1):
@@ -3088,6 +3110,7 @@ def match_pattern_stream_greedy(
     within: str | None = None,
     watermark: str = "5 minutes",
     carry_payload: dict[str, list[str]] | None = None,
+    reluctant: "list[bool] | None" = None,
 ) -> DataFrame:
     """Streaming strict-contiguity pattern matching with SQL-GREEDY
     per-anchor binding decided at horizon close (r10) — the engine
@@ -3196,8 +3219,12 @@ def match_pattern_stream_greedy(
         stream, mask, key_col, time_col, watermark,
         drop_zero=False, val_cols=val_cols,
     )
+    # per-variable RELUCTANT flags (r10): flip that variable's
+    # consumption preference to fewest-rows in the backtracking order
+    rel = list(reluctant or [])
+    rel += [False] * (len(steps) - len(rel))
     qsteps = tuple(
-        (i, s.times, s.times_max, s.loop, s.optional)
+        (i, s.times, s.times_max, s.loop, s.optional, rel[i])
         for i, s in enumerate(steps)
     )
     state_struct = "ts array<long>, mk array<long>, wm long"

@@ -40,8 +40,13 @@ def _events(spark, vals_by_key):
 
 def test_parse_pattern_quantifiers():
     assert _parse_pattern("A B+ C* D? E{2} F{1,3}") == [
-        ("A", None), ("B", "+"), ("C", "*"), ("D", "?"),
-        ("E", "{2}"), ("F", "{1,3}"),
+        ("A", None, False), ("B", "+", False), ("C", "*", False),
+        ("D", "?", False), ("E", "{2}", False), ("F", "{1,3}", False),
+    ]
+    # r10: reluctant ?-suffixed quantifiers
+    assert _parse_pattern("A B+? C*? D?? F{1,3}?") == [
+        ("A", None, False), ("B", "+", True), ("C", "*", True),
+        ("D", "?", True), ("F", "{1,3}", True),
     ]
 
 
@@ -223,8 +228,9 @@ def test_measure_validation_errors(spark):
         match_recognize(e, pattern="A", define={"Z": "value > 0"},
                         measures={"x": "A.ts"}, **kw)
     with pytest.raises(ValueError, match="unsupported measure"):
-        match_recognize(e, pattern="A", measures={"x": "SUM(A.value)"},
-                        **kw)
+        # SUM/AVG/MIN/MAX are supported since r10; STDDEV is not
+        match_recognize(e, pattern="A",
+                        measures={"x": "STDDEV(A.value)"}, **kw)
     with pytest.raises(ValueError, match="unknown variable"):
         match_recognize(e, pattern="A", measures={"x": "B.ts"}, **kw)
     with pytest.raises(ValueError, match="ambiguous"):
@@ -1226,3 +1232,169 @@ def test_aggregate_measures_stream_refusal(spark, tmp_path):
             pattern="A B", define={"B": "value > 0.5"},
             measures={"s": "SUM(B.value)"}, within="10 minutes",
         )
+
+
+def test_reluctant_quantifiers_crafted(spark):
+    """r10 reluctant quantifiers: prefer the FEWEST rows. Each case
+    places the greedy and reluctant bindings apart."""
+    # +? vs +: B can eat 60,65 (greedy, C=70) or stop at 60 (C=65)
+    e = _events(spark, {1: [100.0, 60.0, 65.0, 70.0]})
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        define={"A": "value >= 100", "B": "value < 80",
+                "C": "value >= 65"},
+        measures={"nb": "COUNT(B.*)", "c_ts": "C.ts"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    greedy = rows_set(match_recognize(e, pattern="A B+ C", **kw))
+    rel = rows_set(match_recognize(e, pattern="A B+? C", **kw))
+    assert greedy == {(1, 2, t(3))}
+    assert rel == {(1, 1, t(2))}
+
+    # ?? vs ?: the middle row satisfies both M and H
+    e2 = _events(spark, {1: [100.0, 70.0, 75.0]})
+    kw2 = dict(
+        partition_by="user_id", order_by="ts",
+        define={"A": "value >= 100", "M": "value < 80",
+                "H": "value >= 60"},
+        measures={"m_ts": "M.ts", "h_ts": "H.ts"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    assert rows_set(match_recognize(e2, pattern="A M? H", **kw2)) == {
+        (1, t(1), t(2))
+    }
+    assert rows_set(match_recognize(e2, pattern="A M?? H", **kw2)) == {
+        (1, None, t(1))
+    }
+
+    # terminal +? — never forced, the fast path must stand down
+    e3 = _events(spark, {1: [100.0, 50.0, 40.0, 30.0]})
+    kw3 = dict(
+        partition_by="user_id", order_by="ts",
+        define={"A": "value >= 100", "B": "value < 80"},
+        measures={"nb": "COUNT(B.*)", "b_last": "LAST(B.ts)"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    assert rows_set(match_recognize(e3, pattern="A B+", **kw3)) == {
+        (1, 3, t(3))
+    }
+    assert rows_set(match_recognize(e3, pattern="A B+?", **kw3)) == {
+        (1, 1, t(1))
+    }
+
+    # {1,3}? vs {1,3}
+    e4 = _events(spark, {1: [100.0, 10.0, 20.0, 30.0, 90.0]})
+    kw4 = dict(
+        partition_by="user_id", order_by="ts",
+        define={"A": "value >= 100", "B": "value < 80",
+                "C": "value < 95"},
+        measures={"b_first": "FIRST(B.ts)", "b_last": "LAST(B.ts)",
+                  "c_ts": "C.ts"},
+        after_match="skip to next row", tiebreak=["event_id"],
+    )
+    assert rows_set(
+        match_recognize(e4, pattern="A B{1,3} C", **kw4)
+    ) == {(1, t(1), t(3), t(4))}
+    assert rows_set(
+        match_recognize(e4, pattern="A B{1,3}? C", **kw4)
+    ) == {(1, t(1), t(1), t(2))}
+
+
+def test_reluctant_stream_equals_batch(spark, tmp_path):
+    """Reluctant quantifiers stream: non-disjoint shapes on the
+    horizon-close greedy engine bind identically to batch."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(100)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    clauses = [
+        ("rel_plus", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="A B+? C",
+            define={"A": "value >= 0.6", "B": "value < 0.65",
+                    "C": "value >= 0.4"},
+            measures={"a_ts": "A.ts", "n_b": "COUNT(B.*)",
+                      "b_last": "LAST(B.ts)", "c_ts": "C.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("rel_opt", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="A M?? H",
+            define={"A": "value < 0.3",
+                    "M": "value >= 0.3 AND value < 0.7",
+                    "H": "value >= 0.5"},
+            measures={"a_ts": "A.ts", "m_ts": "M.ts", "h_ts": "H.ts"},
+            after_match="skip to next row", within="30 minutes")),
+        ("rel_range", dict(
+            partition_by="user_id", order_by="ts",
+            pattern="A B{1,2}? C",
+            define={"A": "value < 0.3",
+                    "B": "value >= 0.3 AND value < 0.6",
+                    "C": "value >= 0.45"},
+            measures={"b_first": "FIRST(B.ts)", "b_last": "LAST(B.ts)",
+                      "c_ts": "C.ts"},
+            after_match="skip to next row", within="30 minutes")),
+    ]
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 9)
+        return int(v)
+
+    def _key(t):
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
+    for tag, kw in clauses:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(f"mrr_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"rck_{tag}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (
+                tuple(_norm(x) for x in r)
+                for r in spark.sql(
+                    f"SELECT {','.join(out.columns)} FROM mrr_{tag}"
+                ).collect()
+            ),
+            key=_key,
+        )
+        assert got == want, tag
+        assert got, tag
