@@ -150,10 +150,35 @@ def _quant_step(var: str, quant: str | None, where) -> PatternStep:
     elif quant is not None:
         body = quant[1:-1]
         if "," in body:
-            n, m = body.split(",")
-            kw["times"], kw["times_max"] = int(n), int(m)
+            n, m = (int(x) for x in body.split(","))
+            if m < 1:
+                raise ValueError(
+                    f"{var}{{{body}}} never consumes a row — drop the "
+                    "variable instead of quantifying it to zero"
+                )
+            if n == 0:
+                # {0,m} == absent OR 1..m rows: PatternStep renders
+                # zero-minimum as optional() on a {1,m} range (the
+                # variant expansion emits exactly the 0..m counts);
+                # {0,1} collapses to plain `?`
+                kw["times"] = 1
+                kw["optional"] = True
+                if m > 1:
+                    kw["times_max"] = m
+            else:
+                # {n,n} collapses to the exact quantifier {n} (keeps
+                # single-row bare measures unambiguous)
+                kw["times"] = n
+                if m > n:
+                    kw["times_max"] = m
         else:
-            kw["times"] = int(body)
+            n = int(body)
+            if n < 1:
+                raise ValueError(
+                    f"{var}{{0}} never consumes a row — drop the "
+                    "variable instead of quantifying it to zero"
+                )
+            kw["times"] = n
     return PatternStep(_ROW_TYPE, mode="strict", where=where, **kw)
 
 
@@ -714,21 +739,58 @@ def match_recognize_stream(
         s.optional or s.times_max is not None for s in steps
     )
     skip = _parse_after_match(after_match, var_index)
+    # late-r10: pre-scan measures for payload/aggregate requests —
+    # they steer the engine choice below, before the full resolution
+    # loop runs: value-capture measures need positional caps, and
+    # run aggregates on quantified variables need the whole run
+    # buffered, both of which only the greedy engine provides
+    payload_wanted = False
+    agg_quant = False
+    for _spec in (measures or {}).values():
+        _m = _MEASURE_RE.match(_spec.strip())
+        if not _m:
+            continue
+        _fn = (_m.group("fn") or "").upper()
+        if _fn == "COUNT":
+            continue
+        _col = _m.group("fcol") or _m.group("col")
+        if _col == order_by:
+            continue
+        if _fn in _AGG_FNS:
+            _k = var_index.get(_m.group("fvar"))
+            _st = steps[_k - 1] if _k else None
+            if _st is not None and (
+                _st.loop or _st.times > 1 or _st.times_max is not None
+            ):
+                agg_quant = True
+            else:
+                # single-row run: the aggregate IS the value — a
+                # plain payload capture serves it
+                payload_wanted = True
+        else:
+            payload_wanted = True
+    if not greedy_path and (
+        agg_quant
+        or (variant_q and (skip != "skip_to_next" or payload_wanted))
+    ):
+        # late-r10: the disjoint-path variants engine serves neither
+        # the pruning AFTER MATCH forms (its union carries no
+        # cross-anchor completion order) nor payload measures (it
+        # realigns a union, not positional caps) — but the greedy-
+        # selection engine binds positions for EVERY quantifier and
+        # runs the completion-order chain, so these shapes now ROUTE
+        # there instead of refusing, at the greedy path's documented
+        # cost (whole-window buffering, horizon-close emission)
+        greedy_path = True
     if greedy_path:
         if within is None:
             raise ValueError(
                 "streaming MATCH_RECOGNIZE with quantified variables "
-                "whose DEFINEs overlap their follow set requires "
-                "within= — the greedy binding is final only once the "
-                "anchor's window closes"
-            )
-        if skip != "skip_to_next":
-            raise ValueError(
-                "streaming MATCH_RECOGNIZE with overlapping quantified "
-                "DEFINEs supports AFTER MATCH SKIP TO NEXT ROW only "
-                "(the horizon-close engine decides one match per "
-                "anchor; pruning strategies need cross-anchor "
-                "completion order — use the batch operator)"
+                "whose DEFINEs overlap their follow set — or with "
+                "? * {n,m} quantifiers under pruning AFTER MATCH "
+                "forms or payload measures — requires within= : the "
+                "greedy binding is final only once the anchor's "
+                "window closes"
             )
         if any(_iter_where(s) is not None for s in steps):
             raise ValueError(
@@ -736,13 +798,10 @@ def match_recognize_stream(
                 "DEFINEs does not compose with cross-variable DEFINE "
                 "refs — use the batch operator"
             )
-    elif variant_q and skip != "skip_to_next":
-        raise ValueError(
-            "streaming MATCH_RECOGNIZE with ? * {n,m} quantifiers "
-            "supports AFTER MATCH SKIP TO NEXT ROW only (the variant "
-            "union does not compose with the pruning strategies on "
-            "streams — use the batch operator)"
-        )
+        # ALL FOUR AFTER MATCH forms stream here (late-r10): SKIP TO
+        # NEXT ROW is the engine's per-anchor default; the pruning
+        # forms run the completion-order chain over the per-anchor
+        # picks (pending release once end + within < wm)
     iterative = any(_iter_where(s) is not None for s in steps)
     if iterative:
         if skip != "skip_to_next":
@@ -767,8 +826,13 @@ def match_recognize_stream(
 
     # resolve measures BEFORE the engine runs: payload measures
     # (col != order_by) become a carry_payload request riding the
-    # strict engine's state buffer as doubles (r9)
+    # strict engine's state buffer as doubles (r9); aggregate
+    # measures on quantified variables (late-r10) become run-slice
+    # aggregation requests served by the greedy engine at binding
+    # time (FINAL semantics, zero joins — the run is a contiguous
+    # buffer slice at horizon close), emitted as DOUBLE
     carry: dict[str, list[str]] = {}
+    agg_requests: list[tuple[int, str, str]] = []
     exprs = []
     for out_name, spec in (measures or {}).items():
         m = _MEASURE_RE.match(spec.strip())
@@ -778,14 +842,6 @@ def match_recognize_stream(
                 "| COUNT(V.*) | V.c)"
             )
         fn = (m.group("fn") or "").upper()
-        if fn in _AGG_FNS:
-            raise ValueError(
-                f"aggregate measure {spec!r} is batch-only on streams "
-                "(the batch operator aggregates the run's time range "
-                "in one co-partitioned join; streams capture "
-                "first/last payloads only — or aggregate in "
-                "foreachBatch)"
-            )
         var = m.group("fvar") or m.group("var")
         col = m.group("fcol") or m.group("col")
         k = var_index.get(var)
@@ -797,6 +853,31 @@ def match_recognize_stream(
         quantified = (
             st.loop or st.times > 1 or st.times_max is not None
         )
+        if fn in _AGG_FNS:
+            if col == "*":
+                raise ValueError(
+                    f"{fn} measures aggregate a COLUMN ({fn}(V.col)); "
+                    "for row counts use COUNT(V.*)"
+                )
+            if col == order_by:
+                raise ValueError(
+                    f"{fn}({var}.{order_by}): aggregate the event time "
+                    "via FIRST(...)/LAST(...) instead"
+                )
+            if quantified:
+                agg_requests.append((k, col, fn))
+                exprs.append(
+                    F.col(f"__agg{len(agg_requests) - 1}")
+                    .alias(out_name)
+                )
+            else:
+                # single-row (or absent-optional) run: the aggregate
+                # IS the row's value — serve it as a payload capture
+                carry.setdefault(f"ts_{k}", []).append(col)
+                exprs.append(
+                    F.col(f"ts_{k}_{col}").alias(out_name)
+                )
+            continue
         if fn == "COUNT":
             if col != "*":
                 raise ValueError(
@@ -873,6 +954,8 @@ def match_recognize_stream(
                 reluctant.get(k, False)
                 for k in range(1, len(steps) + 1)
             ],
+            skip_strategy=skip,
+            aggregates=agg_requests or None,
         )
     else:
         matches = match_pattern_stream(

@@ -2837,7 +2837,8 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
 
 
 def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
-                       out_cols, n_vals=0, capture=()):
+                       out_cols, n_vals=0, capture=(), skip=None,
+                       aggs=()):
     """Per-key SQL-greedy row-pattern matcher with per-anchor selection
     at HORIZON CLOSE (r10 — VERDICT r9 #1): streaming MATCH_RECOGNIZE
     for quantified variables whose DEFINEs are NOT provably disjoint
@@ -2859,9 +2860,18 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
       longest consumption first and recurse — exactly the preference
       order the batch pass recovers by ordering the no_skip match set
       per anchor (output columns in step order, desc NULLS LAST);
-    - ONE match per anchor == AFTER MATCH SKIP TO NEXT ROW (the only
-      strategy this engine serves; pruning strategies need
-      cross-anchor completion-order state — batch-only here);
+    - ONE match per anchor == AFTER MATCH SKIP TO NEXT ROW (the
+      default, ``skip=None``); the PRUNING strategies
+      (``skip_past_last_event`` / ``skip_to_first:i`` /
+      ``skip_to_last:i``, late-r10) run the batch kernel's
+      completion-order chain over the per-anchor picks: decided rows
+      are held PENDING until ``end + within < wm`` — every anchor
+      that could still produce an earlier-ending match has decided by
+      then (its anchor precedes the end, so its horizon precedes
+      ``end + within``) — and released in ``(end, start)`` order
+      through the carried ``bound`` threshold, exactly the relaxed
+      engines' r8 release rule, at the documented cost of up to one
+      extra ``within`` of emission latency;
     - eviction: positions with ``ts + within < wm`` are decided and
       can never be consumed by a LIVE anchor (a later anchor's window
       starts at its own ts ``>= wm - within``), so state is bounded by
@@ -2884,6 +2894,82 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
         for (_s, times, tmax, loop, _o, _r) in qsteps
     ]
     emit_n = [loop for (_s, _t, _m, loop, _o, _r) in qsteps]
+    # row geometry for the pruning chain: which entries are
+    # timestamps, and each step's first/last offsets (absent variant
+    # entries are None and skipped by _se)
+    _is_ts: list[bool] = []
+    _step_offsets: list[tuple[int, "int | None"]] = []
+    _roff = 0
+    for si in range(K):
+        first_off = _roff
+        _is_ts.append(True)
+        _roff += 1
+        last_off = None
+        if emit_last[si]:
+            _is_ts.append(True)
+            last_off = _roff
+            _roff += 1
+        if emit_n[si]:
+            _is_ts.append(False)
+            _roff += 1
+        _step_offsets.append((first_off, last_off))
+    _is_ts += [False] * (len(capture) + len(aggs))
+    row_w = _roff + len(capture) + len(aggs)
+    sequential = skip is not None
+
+    def _se(row):
+        ts = [v for v, f in zip(row, _is_ts) if f and v is not None]
+        return (min(ts), max(ts))
+
+    def _safe_key(row):
+        s, e = _se(row)
+        return (e, s, tuple(
+            (v is None, 0 if v is None else v) for v in row
+        ))
+
+    def _chain(release, bound):
+        """The batch _apply_skip sequential kernel over rows released
+        in completion order (same-end groups judged against the
+        pre-group bound, threshold advances at group flush)."""
+        kind, arg = skip
+        if kind == "skip_past_last_event":
+            def thr(row):
+                return _se(row)[1]
+            strict_after = True
+        else:
+            first_off, last_off = _step_offsets[arg - 1]
+            use = (
+                last_off
+                if (kind == "skip_to_last" and last_off is not None)
+                else first_off
+            )
+
+            def thr(row):
+                return row[use]
+            strict_after = False
+        rows = []
+        i, n = 0, len(release)
+        while i < n:
+            e = _se(release[i])[1]
+            gb = None
+            while i < n and _se(release[i])[1] == e:
+                row = release[i]
+                s = _se(row)[0]
+                if bound is None or (
+                    s > bound if strict_after else s >= bound
+                ):
+                    rows.append(row)
+                    t = thr(row)
+                    if (
+                        t is not None
+                        and (gb is None or t > gb)
+                        and (bound is None or t > bound)
+                    ):
+                        gb = t
+                i += 1
+            if gb is not None:
+                bound = gb
+        return rows, bound
 
     def _match_anchor(i0, ts_buf, mk_buf, nbuf, h):
         """Leftmost-greedy binding anchored at buffer position i0;
@@ -2965,8 +3051,8 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
 
         return out if rec(i0, 0) else None
 
-    def _find(ts_buf, mk_buf, vals, wm_us, wm_prev_us):
-        rows = []
+    def _find(ts_buf, mk_buf, vals, wm_us, wm_prev_us, bound, pend):
+        decided = []
         nbuf = len(ts_buf)
         for i0 in range(nbuf):
             h = ts_buf[i0] + within_us
@@ -3004,13 +3090,52 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                 else:
                     p = cap[0] if which == "first" else cap[1]
                     row.append(vals[vi][p])
-            rows.append(row)
+            for (k, vi, fn) in aggs:
+                # FINAL aggregate over the variable's bound run
+                # (late-r10): strict adjacency means the run is
+                # exactly the buffer slice [fi..li] — NULLs (NaN in
+                # the double buffer) are skipped, all-NULL runs and
+                # absent variables aggregate to NULL, the SQL rule
+                seg = m[k - 1]
+                if seg is None:
+                    row.append(None)
+                    continue
+                fi, li, _cnt = seg
+                vs = [
+                    v for v in vals[vi][fi:li + 1]
+                    if v is not None and v == v
+                ]
+                if not vs:
+                    row.append(None)
+                elif fn == "SUM":
+                    row.append(float(sum(vs)))
+                elif fn == "AVG":
+                    row.append(float(sum(vs)) / len(vs))
+                elif fn == "MIN":
+                    row.append(float(min(vs)))
+                else:
+                    row.append(float(max(vs)))
+            decided.append(row)
+        if sequential:
+            # the pending-release rule (see docstring): a row is final
+            # for the completion-order chain once every anchor that
+            # could still end before it has decided
+            pend = pend + decided
+            rel_cut = wm_us - within_us
+            release = sorted(
+                (r for r in pend if _se(r)[1] < rel_cut),
+                key=_safe_key,
+            )
+            pend = [r for r in pend if _se(r)[1] >= rel_cut]
+            rows, bound = _chain(release, bound)
+        else:
+            rows = decided
         cut = 0
         while cut < nbuf and ts_buf[cut] + within_us < wm_us:
             cut += 1
         return (
             rows, ts_buf[cut:], mk_buf[cut:],
-            [v[cut:] for v in vals],
+            [v[cut:] for v in vals], bound, pend,
         )
 
     val_names = [f"__val{i}" for i in range(n_vals)]
@@ -3020,53 +3145,95 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         (key_val,) = key
         wm_us = state.getCurrentWatermarkMs() * 1_000
 
-        def _arm(ts_buf):
-            if not ts_buf:
+        def _arm(ts_buf, pend):
+            cands = []
+            if ts_buf:
+                cands.append((ts_buf[0] + within_us) // 1_000 + 1)
+            if pend:
+                m = min(_se(r)[1] for r in pend)
+                cands.append((m + within_us) // 1_000 + 1)
+            if not cands:
                 return
-            cand = (ts_buf[0] + within_us) // 1_000 + 1
             state.setTimeoutTimestamp(
-                max(cand, state.getCurrentWatermarkMs() + 1)
+                max(min(cands), state.getCurrentWatermarkMs() + 1)
             )
 
         def _unpack(stored):
             ts_b, mk_b, wm_prev = stored[0], stored[1], stored[2]
+            i = 3
+            bound, pend = None, []
+            if sequential:
+                bound = stored[3]
+                # pend rides as NaN-padded doubles (fixed row width);
+                # ts/count entries round-trip exactly below 2^53 us
+                flat = list(stored[4] or [])
+                for j in range(0, len(flat), row_w):
+                    row = []
+                    for x, f in zip(flat[j:j + row_w], _is_ts):
+                        if x is None or (
+                            isinstance(x, float) and math.isnan(x)
+                        ):
+                            row.append(None)
+                        else:
+                            row.append(int(x) if f else x)
+                    # count entries (non-ts, non-capture) back to int
+                    for ci in range(_roff):
+                        if not _is_ts[ci] and row[ci] is not None:
+                            row[ci] = int(row[ci])
+                    pend.append(row)
+                i = 5
             vals = [
-                list(stored[3][i * len(ts_b):(i + 1) * len(ts_b)])
-                for i in range(n_vals)
+                list(stored[i][q * len(ts_b):(q + 1) * len(ts_b)])
+                for q in range(n_vals)
             ] if n_vals else []
-            return list(ts_b), list(mk_b), wm_prev, vals
+            return list(ts_b), list(mk_b), wm_prev, bound, pend, vals
 
-        def _pack(ts_buf, mk_buf, vals):
+        def _pack(ts_buf, mk_buf, bound, pend, vals):
             base = (ts_buf, mk_buf, wm_us)
+            if sequential:
+                flat = [
+                    float("nan") if v is None else float(v)
+                    for r in pend for v in r
+                ]
+                base = base + (bound, flat)
             if n_vals:
-                flat = [x for v in vals for x in v]
-                return base + (flat,)
+                base = base + ([x for v in vals for x in v],)
             return base
 
-        if state.hasTimedOut:
-            ts_buf, mk_buf, wm_prev, vals = _unpack(state.get)
-            rows, ts_buf, mk_buf, vals = _find(
-                ts_buf, mk_buf, vals, wm_us, wm_prev
-            )
+        def _emit_and_store(rows, ts_buf, mk_buf, vals, bound, pend):
             if rows:
                 yield pd.DataFrame(
                     [[key_val, *r] for r in rows], columns=cols
                 )
-            if ts_buf:
-                state.update(_pack(ts_buf, mk_buf, vals))
-                _arm(ts_buf)
+            if ts_buf or pend:
+                state.update(_pack(ts_buf, mk_buf, bound, pend, vals))
+                _arm(ts_buf, pend)
             else:
                 state.remove()
+
+        if state.hasTimedOut:
+            ts_buf, mk_buf, wm_prev, bound, pend, vals = _unpack(
+                state.get
+            )
+            rows, ts_buf, mk_buf, vals, bound, pend = _find(
+                ts_buf, mk_buf, vals, wm_us, wm_prev, bound, pend
+            )
+            yield from _emit_and_store(
+                rows, ts_buf, mk_buf, vals, bound, pend
+            )
             return
 
-        ts_buf, mk_buf, wm_prev, vals = [], [], 0, [
-            [] for _ in range(n_vals)
-        ]
+        ts_buf, mk_buf, wm_prev, bound, pend = [], [], 0, None, []
+        vals = [[] for _ in range(n_vals)]
         if state.exists:
-            ts_buf, mk_buf, wm_prev, vals = _unpack(state.get)
+            ts_buf, mk_buf, wm_prev, bound, pend, vals = _unpack(
+                state.get
+            )
         pt = [np.asarray(ts_buf, dtype=np.int64)]
         pm = [np.asarray(mk_buf, dtype=np.int64)]
         pv = [[np.asarray(v, dtype=np.float64)] for v in vals]
@@ -3085,18 +3252,12 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
             np.concatenate(pv[i])[order].tolist() for i in range(n_vals)
         ]
 
-        rows, ts_buf, mk_buf, vals = _find(
-            ts_buf, mk_buf, vals, wm_us, wm_prev
+        rows, ts_buf, mk_buf, vals, bound, pend = _find(
+            ts_buf, mk_buf, vals, wm_us, wm_prev, bound, pend
         )
-        if rows:
-            yield pd.DataFrame(
-                [[key_val, *r] for r in rows], columns=cols
-            )
-        if ts_buf:
-            state.update(_pack(ts_buf, mk_buf, vals))
-            _arm(ts_buf)
-        else:
-            state.remove()
+        yield from _emit_and_store(
+            rows, ts_buf, mk_buf, vals, bound, pend
+        )
 
     return _mr_greedy_fn
 
@@ -3111,6 +3272,8 @@ def match_pattern_stream_greedy(
     watermark: str = "5 minutes",
     carry_payload: dict[str, list[str]] | None = None,
     reluctant: "list[bool] | None" = None,
+    skip_strategy: str | tuple | None = None,
+    aggregates: "list[tuple[int, str, str]] | None" = None,
 ) -> DataFrame:
     """Streaming strict-contiguity pattern matching with SQL-GREEDY
     per-anchor binding decided at horizon close (r10) — the engine
@@ -3132,6 +3295,7 @@ def match_pattern_stream_greedy(
         _iter_where,
         _normalize,
         _out_cols,
+        _parse_skip,
         _resolve_contiguity,
     )
 
@@ -3141,6 +3305,18 @@ def match_pattern_stream_greedy(
             "match_pattern_stream_greedy is strict-contiguity only "
             "(SQL row-pattern variables are adjacent rows)"
         )
+    skip = _parse_skip(skip_strategy)
+    if skip is not None and skip[0] in ("greedy", "no_skip", "skip_to_next"):
+        # one match per anchor IS skip-to-next; greedy/no_skip callers
+        # get the same per-anchor set (the selection already picked)
+        skip = None
+    if skip is not None and skip[0] in ("skip_to_first", "skip_to_last"):
+        n_pos = len(steps)
+        if skip[1] is None or not (1 <= skip[1] <= n_pos):
+            raise ValueError(
+                f"{skip[0]} step index must be in 1..{n_pos} "
+                f"(1-based positive-step index), got {skip[1]}"
+            )
     if within is None:
         raise ValueError(
             "greedy-selection streaming requires within= — the anchor "
@@ -3175,11 +3351,25 @@ def match_pattern_stream_greedy(
     capture: list[tuple[int, int, str]] = []
     cap_cols: list[str] = []
     val_cols: list[str] = []
+    dtypes = dict(stream.dtypes)
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    }
+
+    def _val_idx(c: str, what: str) -> int:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"{what} column {c!r} not in the stream")
+        if t not in numeric and not t.startswith("decimal"):
+            raise ValueError(
+                f"streaming {what} supports numeric columns only; "
+                f"{c!r} has type {t}"
+            )
+        if c not in val_cols:
+            val_cols.append(c)
+        return val_cols.index(c)
+
     if carry_payload:
-        dtypes = dict(stream.dtypes)
-        numeric = {
-            "tinyint", "smallint", "int", "bigint", "float", "double",
-        }
         for tsc in sorted(carry_payload):
             m = re.fullmatch(r"ts_(\d+)(_last)?", tsc)
             if not m or tsc not in out_cols:
@@ -3190,26 +3380,33 @@ def match_pattern_stream_greedy(
             k = int(m.group(1))
             which = "last" if m.group(2) else "first"
             for c in sorted(set(carry_payload[tsc])):
-                t = dtypes.get(c)
-                if t is None:
-                    raise ValueError(
-                        f"carry_payload column {c!r} not in the stream"
-                    )
-                if t not in numeric and not t.startswith("decimal"):
-                    raise ValueError(
-                        f"streaming payload capture supports numeric "
-                        f"columns only; {c!r} has type {t}"
-                    )
-                if c not in val_cols:
-                    val_cols.append(c)
-                capture.append((k, val_cols.index(c), which))
+                capture.append((k, _val_idx(c, "payload capture"), which))
                 cap_cols.append(f"{tsc}_{c}")
+    agg_triples: list[tuple[int, int, str]] = []
+    if aggregates:
+        n_pos = len(steps)
+        for (k, c, fn) in aggregates:
+            fn = fn.upper()
+            if fn not in ("SUM", "AVG", "MIN", "MAX"):
+                raise ValueError(
+                    f"unsupported streaming aggregate {fn!r} "
+                    "(SUM | AVG | MIN | MAX)"
+                )
+            if not (1 <= k <= n_pos):
+                raise ValueError(
+                    f"aggregate step index must be in 1..{n_pos}, "
+                    f"got {k}"
+                )
+            agg_triples.append((k, _val_idx(c, "aggregate measure"), fn))
 
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         f"{c} long" for c in out_cols
     )
     if cap_cols:
         out_schema += ", " + ", ".join(f"{c} double" for c in cap_cols)
+    agg_names = [f"__agg{j}" for j in range(len(agg_triples))]
+    if agg_names:
+        out_schema += ", " + ", ".join(f"{c} double" for c in agg_names)
     conds = [_cand_cond(s, type_col) for s in steps]
     mask = None
     for i, c in enumerate(conds):
@@ -3228,6 +3425,8 @@ def match_pattern_stream_greedy(
         for i, s in enumerate(steps)
     )
     state_struct = "ts array<long>, mk array<long>, wm long"
+    if skip is not None:
+        state_struct += ", bound long, pend array<double>"
     if val_cols:
         state_struct += ", vals array<double>"
     return (
@@ -3235,8 +3434,9 @@ def match_pattern_stream_greedy(
         .applyInPandasWithState(
             _make_mr_greedy_fn(
                 qsteps, key_col, time_col, "__cand_mask", within_us,
-                out_cols + cap_cols, n_vals=len(val_cols),
-                capture=tuple(capture),
+                out_cols + cap_cols + agg_names, n_vals=len(val_cols),
+                capture=tuple(capture), skip=skip,
+                aggs=tuple(agg_triples),
             ),
             outputStructType=out_schema,
             stateStructType=state_struct,

@@ -777,18 +777,17 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
             pattern="A B+", define={"B": "value > 0.5"},
             within="10 minutes",
         )
-    with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
-        # r10: overlapping quantified DEFINEs stream on the
-        # horizon-close greedy engine — which decides ONE match per
-        # anchor, so pruning AFTER MATCH forms refuse (these ranges
-        # overlap on [0.4, 0.5); the r9 build refused them outright)
-        match_recognize_stream(
-            stream, partition_by="user_id", order_by="ts",
-            pattern="A B+ C",
-            define={"A": "value >= 0.9", "B": "value < 0.5",
-                    "C": "value >= 0.4"},
-            within="10 minutes",
-        )
+    # r10: overlapping quantified DEFINEs stream on the horizon-close
+    # greedy engine — late-r10 under ALL FOUR AFTER MATCH forms (the
+    # pruning forms run the completion-order chain over the per-anchor
+    # picks), so the default SKIP PAST LAST ROW constructs fine
+    match_recognize_stream(
+        stream, partition_by="user_id", order_by="ts",
+        pattern="A B+ C",
+        define={"A": "value >= 0.9", "B": "value < 0.5",
+                "C": "value >= 0.4"},
+        within="10 minutes",
+    )
     with pytest.raises(ValueError, match="requires within"):
         # the greedy engine buffers each anchor's whole window — no
         # within, no closure, no final binding
@@ -809,27 +808,34 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
                     "C": "C.value > A.value AND C.value >= 0.4"},
             after_match="skip to next row", within="10 minutes",
         )
-    with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
-        # variant quantifiers do not compose with pruning strategies
+    # late-r10: variant quantifiers under pruning AFTER MATCH forms
+    # and variant payload measures ROUTE to the greedy engine (they
+    # used to refuse toward batch) — construction succeeds WITH
+    # within, refuses without it (the greedy path needs closure)
+    match_recognize_stream(
+        stream, partition_by="user_id", order_by="ts",
+        pattern="A B? C",
+        define={"A": "value >= 0.9", "B": "value < 0.3",
+                "C": "value >= 0.6"},
+        after_match="skip past last row",
+        within="10 minutes",
+    )
+    match_recognize_stream(
+        stream, partition_by="user_id", order_by="ts",
+        pattern="A B? C",
+        define={"A": "value >= 0.9", "B": "value < 0.3",
+                "C": "value >= 0.6"},
+        measures={"v": "C.value"},
+        after_match="skip to next row",
+        within="10 minutes",
+    )
+    with pytest.raises(ValueError, match="requires within"):
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B? C",
             define={"A": "value >= 0.9", "B": "value < 0.3",
                     "C": "value >= 0.6"},
             after_match="skip past last row",
-            within="10 minutes",
-        )
-    # numeric payload measures STREAM since r9 (the carried-state
-    # capture); variant quantifiers and non-numeric payloads refuse
-    with pytest.raises(ValueError, match="payload measure"):
-        match_recognize_stream(
-            stream, partition_by="user_id", order_by="ts",
-            pattern="A B? C",
-            define={"A": "value >= 0.9", "B": "value < 0.3",
-                    "C": "value >= 0.6"},
-            measures={"v": "C.value"},
-            after_match="skip to next row",
-            within="10 minutes",
         )
     with pytest.raises(ValueError, match="numeric columns only"):
         match_recognize_stream(
@@ -1218,19 +1224,122 @@ def test_aggregate_measures_validation(spark):
         )
 
 
-def test_aggregate_measures_stream_refusal(spark, tmp_path):
+def test_aggregate_measures_stream(spark, tmp_path):
+    """late-r10: SUM/AVG/MIN/MAX measures STREAM — quantified
+    variables route to the greedy engine (the run is a contiguous
+    buffer slice at horizon close, aggregated at binding time, zero
+    joins), single-row variables ride the payload capture. Equality
+    vs batch on a seeded soup; ORDER BY aggregates still refuse
+    toward FIRST/LAST, matching batch."""
+    import random
+
     from flink_note_spark.operators.match_recognize import (
         match_recognize_stream,
     )
 
-    d = _stream_chunks(tmp_path, [(1, 1, dt.datetime(2024, 1, 1), 0.5)])
+    rng = random.Random(67)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random() * 100, 1))
+        for i in range(120)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
     schema = "user_id long, event_id long, ts timestamp, value double"
-    stream = spark.readStream.schema(schema).parquet(str(d))
-    with pytest.raises(ValueError, match="batch-only on streams"):
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="A B+ C",
+        # B overlaps C on [40, 60) — the greedy path is natural; the
+        # aggregate itself is what's under test
+        define={"A": "value >= 80", "B": "value < 60",
+                "C": "value >= 40"},
+        measures={"a_ts": "A.ts", "n_b": "COUNT(B.*)",
+                  "sum_b": "SUM(B.value)", "avg_b": "AVG(B.value)",
+                  "min_b": "MIN(B.value)", "max_b": "MAX(B.value)",
+                  "max_c": "MAX(C.value)"},
+        after_match="skip to next row", within="30 minutes",
+    )
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 6)
+        return int(v)
+
+    want = sorted(
+        tuple(_norm(v) for v in r)
+        for r in match_recognize(batch_df, **kw).collect()
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+    q = (
+        out.writeStream.format("memory").queryName("mragg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "aggck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(_norm(x) for x in r)
+        for r in spark.sql(
+            f"SELECT {','.join(out.columns)} FROM mragg"
+        ).collect()
+    )
+    assert got == want
+    assert got
+
+    # aggregates survive the pending-release chain (pruning skip:
+    # rows carry agg floats through pack/unpack) and absent-optional
+    # variables aggregate to NULL
+    kw2 = dict(kw, pattern="A B* C",
+               after_match="skip past last row",
+               measures={"a_ts": "A.ts", "sum_b": "SUM(B.value)",
+                         "avg_b": "AVG(B.value)", "c_val": "C.value"})
+    want2 = sorted(
+        tuple(_norm(v) for v in r)
+        for r in match_recognize(batch_df, **kw2).collect()
+    )
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out2 = match_recognize_stream(stream2, watermark="3 minutes", **kw2)
+    q2 = (
+        out2.writeStream.format("memory").queryName("mragg2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "aggck2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(
+        tuple(_norm(x) for x in r)
+        for r in spark.sql(
+            f"SELECT {','.join(out2.columns)} FROM mragg2"
+        ).collect()
+    )
+    assert got2 == want2
+    assert any(r[1] is None for r in got2) or got2  # absent-B NULLs
+
+    with pytest.raises(ValueError, match="FIRST"):
         match_recognize_stream(
-            stream, partition_by="user_id", order_by="ts",
+            spark.readStream.schema(schema).parquet(str(d)),
+            partition_by="user_id", order_by="ts",
             pattern="A B", define={"B": "value > 0.5"},
-            measures={"s": "SUM(B.value)"}, within="10 minutes",
+            measures={"s": "SUM(B.ts)"}, within="10 minutes",
         )
 
 
@@ -1398,3 +1507,242 @@ def test_reluctant_stream_equals_batch(spark, tmp_path):
         )
         assert got == want, tag
         assert got, tag
+
+
+def test_match_recognize_stream_greedy_skip_strategies(
+    spark, tmp_path
+):
+    """late-r10: the pruning AFTER MATCH forms stream on the greedy
+    engine too — per-anchor picks released in completion order
+    through the carried bound. Equality vs batch per strategy on an
+    overlapping-DEFINE soup."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(110)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    base = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="A B+ C",
+        define={"A": "value >= 0.55", "B": "value < 0.6",
+                "C": "value >= 0.4"},
+        measures={"a_ts": "A.ts", "n_b": "COUNT(B.*)",
+                  "b_last": "LAST(B.ts)", "c_ts": "C.ts",
+                  "c_val": "C.value"},
+        within="30 minutes",
+    )
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 9)
+        return int(v)
+
+    def _key(t):
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
+    for i, am in enumerate([
+        "skip past last row", "skip to first B", "skip to last B",
+    ]):
+        kw = dict(base, after_match=am)
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(f"mrgs_{i}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"sck_{i}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (
+                tuple(_norm(x) for x in r)
+                for r in spark.sql(
+                    f"SELECT {','.join(out.columns)} FROM mrgs_{i}"
+                ).collect()
+            ),
+            key=_key,
+        )
+        assert got == want, am
+        assert got, am
+
+
+def test_match_recognize_stream_variant_routing(spark, tmp_path):
+    """late-r10: variant quantifiers (? {n,m} *) under pruning AFTER
+    MATCH forms — and variant payload measures — ROUTE to the greedy
+    engine instead of refusing. Equality vs batch per shape on a
+    seeded soup (DEFINEs deliberately DISJOINT so the old path would
+    have picked the variants engine: the routing itself is what's
+    under test)."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(53)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(120)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    define = {"A": "value >= 0.8", "B": "value < 0.3",
+              "C": "value >= 0.5 AND value < 0.8"}
+    shapes = [
+        # variant + pruning form (old path: "SKIP TO NEXT ROW only")
+        dict(pattern="A B? C", define=define,
+             after_match="skip past last row",
+             measures={"a_ts": "A.ts", "b_ts": "B.ts", "c_ts": "C.ts"}),
+        # variant + payload measure (old path: refused payloads)
+        dict(pattern="A B{0,2} C", define=define,
+             after_match="skip to next row",
+             measures={"a_ts": "A.ts", "a_val": "A.value",
+                       "bl_ts": "LAST(B.ts)", "c_val": "C.value"}),
+        # variant + pruning + payload together
+        dict(pattern="A B* C", define=define,
+             after_match="skip to last C",
+             measures={"a_val": "A.value", "c_ts": "C.ts",
+                       "c_val": "C.value"}),
+    ]
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 9)
+        return int(v)
+
+    def _key(t):
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
+    for i, shape in enumerate(shapes):
+        kw = dict(partition_by="user_id", order_by="ts",
+                  within="30 minutes", **shape)
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(f"mrvr_{i}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"vck_{i}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (
+                tuple(_norm(x) for x in r)
+                for r in spark.sql(
+                    f"SELECT {','.join(out.columns)} FROM mrvr_{i}"
+                ).collect()
+            ),
+            key=_key,
+        )
+        assert got == want, shape["pattern"]
+        assert got, shape["pattern"]
+
+
+def test_zero_min_range_quantifier(spark):
+    """late-r10: `{0,m}` parses (absent OR 1..m rows — SQL row-pattern
+    zero-minimum ranges used to refuse via PatternStep validation).
+    `B{0,1}` is definitionally `B?` — equality on a seeded soup; `{0}`
+    and `{0,0}` refuse as never-consuming."""
+    import random
+
+    rng = random.Random(61)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        define={"A": "value >= 0.8", "B": "value < 0.3",
+                "C": "value >= 0.5 AND value < 0.8"},
+        measures={"a_ts": "A.ts", "b_ts": "B.ts", "c_ts": "C.ts"},
+        after_match="skip past last row", within="30 minutes",
+        tiebreak=["event_id"],
+    )
+    got = sorted(
+        map(tuple, match_recognize(df, pattern="A B{0,1} C", **kw)
+            .collect())
+    )
+    want = sorted(
+        map(tuple, match_recognize(df, pattern="A B? C", **kw)
+            .collect())
+    )
+    assert got == want
+    assert got
+    # {0,2} strictly widens {1,2} (every 1..2-run match survives,
+    # absent-B matches join in)
+    kw2 = dict(kw, after_match="skip to next row",
+               measures={"a_ts": "A.ts", "b_ts": "FIRST(B.ts)",
+                         "c_ts": "C.ts"})
+    wide = sorted(
+        map(tuple, match_recognize(
+            df, pattern="A B{0,2} C", **kw2
+        ).collect())
+    )
+    narrow = match_recognize(
+        df, pattern="A B{1,2} C", **kw2
+    ).collect()
+    assert set(map(tuple, narrow)) <= set(wide)
+    for bad in ("A B{0} C", "A B{0,0} C"):
+        with pytest.raises(ValueError, match="never consumes"):
+            match_recognize(df, pattern=bad, **kw)
