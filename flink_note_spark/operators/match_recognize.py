@@ -29,8 +29,15 @@ Supported subset (each deviation documented):
   ``SimpleCondition``), as SQL strings or Columns. A SQL condition may
   reference an EARLIER variable's columns (``A.price``), compiled to
   the engine's iterative-condition binding (``s<k>.<col>`` — the
-  earlier step's FIRST row). ``PREV``/``NEXT`` physical-row navigation
-  is out of scope. Undefined variables default to TRUE (standard).
+  earlier step's FIRST row). ``PREV(V.col, n)`` / ``NEXT(V.col, n)``
+  physical-row navigation (late-r10, default offset 1): under strict
+  row-pattern contiguity these are partition-physical offsets, so
+  batch compiles them to lag/lead columns AT SCAN (one Window over
+  the engines' own (partition, order) sort — no extra shuffle at any
+  scale) and every engine sees a plain column; streaming PREV reads
+  the greedy engine's buffer at the offset (NEXT is batch-only on
+  streams — the successor may arrive arbitrarily late). Undefined
+  variables default to TRUE (standard).
 - ``MEASURES``: ``FIRST(V.c)`` / ``LAST(V.c)`` / ``COUNT(V.*)`` /
   bare ``V.c``, and (r10) the aggregate family ``SUM/AVG/MIN/MAX
   (V.c)`` with FINAL semantics — over ALL rows the variable matched
@@ -204,9 +211,9 @@ def _compile_define(
         if k >= k_self:
             raise ValueError(
                 f"DEFINE for {var!r} references {v!r}, which is not "
-                "an earlier pattern variable (row-pattern conditions "
-                "may look back only; PREV/NEXT navigation is out of "
-                "scope)"
+                "an earlier pattern variable (variable refs may look "
+                "back only; for physical row offsets use "
+                "PREV(V.col, n) / NEXT(V.col, n))"
             )
         return f"s{k}.{col}"
 
@@ -234,6 +241,59 @@ def _parse_after_match(
         f"unsupported AFTER MATCH clause {spec!r} (SKIP PAST LAST ROW "
         "| SKIP TO NEXT ROW | SKIP TO FIRST/LAST <var>)"
     )
+
+
+#: PREV/NEXT physical row navigation inside a DEFINE (late-r10 —
+#: Flink MR's pattern navigation subset): ``PREV(V.col, n)`` reads
+#: ``col`` at the row ``n`` positions BEFORE the current row in the
+#: partition's order (default 1), ``NEXT`` at ``n`` after. Under
+#: strict row-pattern contiguity these are PHYSICAL offsets —
+#: independent of variable bindings — so they compile to plain
+#: columns: batch precomputes ONE lag/lead window column per distinct
+#: (direction, offset, col) at scan (pure Catalyst, the window reuses
+#: the engines' own (partition, order) sort), streaming PREV reads
+#: the greedy engine's buffer at offset (NEXT is batch-only there).
+_NAV_RE = re.compile(
+    r"\b(PREV|NEXT)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
+def _nav_name(d: str, n: int, col: str) -> str:
+    return f"__mrnav_{'p' if d == 'prev' else 'n'}{n}_{col}"
+
+
+def _rewrite_nav(
+    define: dict, var_index: dict[str, int]
+) -> tuple[dict, set[tuple[str, int, str]]]:
+    """Rewrite PREV/NEXT calls in DEFINE strings to generated
+    ``__mrnav_*`` column names; returns the rewritten dict and the
+    set of ``(direction, offset, col)`` requests. Offset 0 is the
+    current row — it collapses to the bare column."""
+    navs: set[tuple[str, int, str]] = set()
+    out: dict = {}
+    for v, cond in define.items():
+        if not isinstance(cond, str):
+            out[v] = cond
+            continue
+
+        def sub(m: "re.Match[str]") -> str:
+            d = m.group(1).lower()
+            var, col = m.group(2), m.group(3)
+            n = int(m.group(4) or 1)
+            if var not in var_index:
+                raise ValueError(
+                    f"{m.group(1).upper()}({var}.{col}): {var!r} is "
+                    f"not a pattern variable"
+                )
+            if n == 0:
+                return col  # offset 0 IS the current row
+            navs.add((d, n, col))
+            return _nav_name(d, n, col)
+
+        out[v] = _NAV_RE.sub(sub, cond)
+    return out, navs
 
 
 def match_recognize(
@@ -290,6 +350,27 @@ def match_recognize(
             raise ValueError(
                 f"DEFINE names {v!r}, which is not a PATTERN variable "
                 f"(pattern variables: {names})"
+            )
+    define, navs = _rewrite_nav(define, var_index)
+    if navs:
+        missing = {c for _d, _n, c in navs} - set(events.columns)
+        if missing:
+            raise ValueError(
+                f"PREV/NEXT references column(s) {sorted(missing)} "
+                f"not present in the events frame"
+            )
+        # one lag/lead per distinct (direction, offset, col), all over
+        # the SAME (partition, order) window the match engines sort by
+        # — Catalyst folds them into a single Window operator and the
+        # sort is reused downstream, so navigation costs no extra
+        # shuffle at any scale
+        w = Window.partitionBy(partition_by).orderBy(
+            order_by, *(tiebreak or [])
+        )
+        for d, n, c in sorted(navs):
+            fn = F.lag if d == "prev" else F.lead
+            events = events.withColumn(
+                _nav_name(d, n, c), fn(F.col(c), n).over(w)
             )
 
     steps = [
@@ -679,6 +760,14 @@ def match_recognize_stream(
                 f"DEFINE names {v!r}, which is not a PATTERN variable "
                 f"(pattern variables: {names})"
             )
+    define, navs = _rewrite_nav(define, var_index)
+    if any(d == "next" for d, _n, _c in navs):
+        raise ValueError(
+            "NEXT(...) navigation is batch-only on streams: the "
+            "physical successor may arrive arbitrarily late — no "
+            "watermark bound decides it at match time (PREV streams "
+            "on the greedy engine)"
+        )
     steps = [
         _quant_step(v, q, _compile_define(define.get(v), v, var_index))
         for v, q, _r in parsed
@@ -769,50 +858,47 @@ def match_recognize_stream(
                 payload_wanted = True
         else:
             payload_wanted = True
+    iterative = any(_iter_where(s) is not None for s in steps)
     if not greedy_path and (
-        agg_quant
+        navs
+        or agg_quant
         or (variant_q and (skip != "skip_to_next" or payload_wanted))
+        or (iterative and (skip != "skip_to_next" or payload_wanted))
     ):
         # late-r10: the disjoint-path variants engine serves neither
         # the pruning AFTER MATCH forms (its union carries no
         # cross-anchor completion order) nor payload measures (it
-        # realigns a union, not positional caps) — but the greedy-
-        # selection engine binds positions for EVERY quantifier and
-        # runs the completion-order chain, so these shapes now ROUTE
-        # there instead of refusing, at the greedy path's documented
-        # cost (whole-window buffering, horizon-close emission)
+        # realigns a union, not positional caps), and the dedicated
+        # iterative engine serves SKIP TO NEXT ROW without captures —
+        # but the greedy-selection engine binds positions for EVERY
+        # quantifier, evaluates cross-variable refs at binding time,
+        # and runs the completion-order chain, so these shapes now
+        # ROUTE there instead of refusing, at the greedy path's
+        # documented cost (whole-window buffering, horizon-close
+        # emission)
         greedy_path = True
     if greedy_path:
         if within is None:
             raise ValueError(
                 "streaming MATCH_RECOGNIZE with quantified variables "
                 "whose DEFINEs overlap their follow set — or with "
-                "? * {n,m} quantifiers under pruning AFTER MATCH "
-                "forms or payload measures — requires within= : the "
-                "greedy binding is final only once the anchor's "
-                "window closes"
-            )
-        if any(_iter_where(s) is not None for s in steps):
-            raise ValueError(
-                "streaming MATCH_RECOGNIZE with overlapping quantified "
-                "DEFINEs does not compose with cross-variable DEFINE "
-                "refs — use the batch operator"
+                "? * {n,m} quantifiers / cross-variable refs under "
+                "pruning AFTER MATCH forms or payload measures — "
+                "requires within= : the greedy binding is final only "
+                "once the anchor's window closes"
             )
         # ALL FOUR AFTER MATCH forms stream here (late-r10): SKIP TO
         # NEXT ROW is the engine's per-anchor default; the pruning
         # forms run the completion-order chain over the per-anchor
-        # picks (pending release once end + within < wm)
-    iterative = any(_iter_where(s) is not None for s in steps)
-    if iterative:
-        if skip != "skip_to_next":
-            raise ValueError(
-                "streaming MATCH_RECOGNIZE with cross-variable DEFINE "
-                "refs supports AFTER MATCH SKIP TO NEXT ROW only "
-                "(iterative bindings do not compose with the pruning "
-                "strategies on streams — use the batch operator)"
-            )
+        # picks (pending release once end + within < wm). Cross-
+        # variable DEFINE refs (late-r10) evaluate at binding time
+        # over the carried value buffer — the engine keeps the batch
+        # parity boundary (loops/variants with refs refuse there too)
+    if iterative and not greedy_path:
         # loop-free strict chains bind deterministically (<=1 match
-        # per anchor), so SKIP TO NEXT ROW == the engine default
+        # per anchor) on the dedicated iterative engine — the routing
+        # above sent every other combination to the greedy engine, so
+        # skip here is SKIP TO NEXT ROW, the engine default
         skip = None
     elif skip == "skip_to_next":
         # r9: every accepted shape (fixed offsets; provably-disjoint
@@ -926,11 +1012,6 @@ def match_recognize_stream(
                 "quantifiers is batch-only (the variants engine "
                 "realigns a union, not positional caps) — use the "
                 "batch operator or join in foreachBatch"
-            )
-        if iterative:
-            raise ValueError(
-                f"payload measure {spec!r} with cross-variable DEFINE "
-                "refs is batch-only on streams"
             )
         carry.setdefault(ts_col, []).append(col)
         exprs.append(F.col(f"{ts_col}_{col}").alias(out_name))

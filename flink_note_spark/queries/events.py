@@ -1648,6 +1648,81 @@ ORDER BY a.user_id, start_ts
 """
 
 
+def q128_mr_prev_navigation(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``PREV`` row navigation (late-r10 — the
+    Flink-docs canonical V-shape written the Flink way): ``DOWN AS
+    DOWN.value < PREV(DOWN.value)`` — a maximal strictly-falling run
+    — then ``UP AS UP.value > PREV(UP.value)``. Under strict
+    row-pattern contiguity PREV is a PHYSICAL partition offset, so it
+    compiles to ONE lag window column at scan (the same
+    (user, ts) sort the match engines reuse — zero extra shuffle at
+    any scale) and every engine sees a plain column; the falling/
+    rising DEFINEs are mutually exclusive, so greedy binding is
+    structurally exact. ``MIN(DOWN.value)`` rides the r10 aggregate
+    path on top. Oracle: lag direction flags → gaps-and-islands runs
+    → positional joins."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    e = _t(spark, sf, "events")
+    return (
+        match_recognize(
+            e.select("user_id", "ts", "value", "event_id"),
+            partition_by="user_id",
+            order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={
+                "DOWN": "DOWN.value < PREV(DOWN.value)",
+                "UP": "UP.value > PREV(UP.value)",
+            },
+            measures={
+                "start_ts": "STRT.ts",
+                "n_down": "COUNT(DOWN.*)",
+                "bottom": "MIN(DOWN.value)",
+                "up_ts": "UP.ts",
+                "up_val": "UP.value",
+            },
+            after_match="skip to next row",
+            within="7 days",
+            tiebreak=["event_id"],
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q128_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER w AS pos,
+         COALESCE(value < lag(value) OVER w, FALSE) AS dn,
+         COALESCE(value > lag(value) OVER w, FALSE) AS up
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+e2 AS (SELECT *,
+         lag(dn) OVER (PARTITION BY user_id ORDER BY pos) AS prev_dn
+       FROM e),
+g AS (SELECT *,
+        sum(CASE WHEN prev_dn IS DISTINCT FROM dn THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e2),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem,
+        min(value) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS runmin
+      FROM g)
+SELECT a.user_id, a.ts AS start_ts,
+       CAST(d.rem AS BIGINT) AS n_down,
+       d.runmin AS bottom,
+       u.ts AS up_ts, u.value AS up_val
+FROM r d
+JOIN g a ON a.user_id = d.user_id AND a.pos = d.pos - 1
+JOIN g u ON u.user_id = d.user_id AND u.pos = d.pos + d.rem
+WHERE d.dn AND u.up AND u.ts <= a.ts + INTERVAL 7 DAY
+ORDER BY a.user_id, start_ts
+"""
+
+
 def q123_cep_relaxed_payload(spark: SparkSession, sf: str) -> DataFrame:
     """Relaxed CEP funnel with ZERO-JOIN payload measures (r10 —
     VERDICT r9 #3): ``view → click+ (greedy) → purchase`` within 7
@@ -1776,6 +1851,7 @@ QUERIES = {
     "q116_window_dedup": q116_window_dedup,
     "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
     "q127_mr_aggregate_measures": q127_mr_aggregate_measures,
+    "q128_mr_prev_navigation": q128_mr_prev_navigation,
 }
 
 ORACLES = {
@@ -1816,4 +1892,5 @@ ORACLES = {
     "q116_window_dedup": _Q116_SQL,
     "q123_cep_relaxed_payload": _Q123_SQL,
     "q127_mr_aggregate_measures": _Q127_SQL,
+    "q128_mr_prev_navigation": _Q128_SQL,
 }

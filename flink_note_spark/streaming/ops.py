@@ -2838,7 +2838,7 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
 
 def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                        out_cols, n_vals=0, capture=(), skip=None,
-                       aggs=()):
+                       aggs=(), preds=None, keep_prev=0):
     """Per-key SQL-greedy row-pattern matcher with per-anchor selection
     at HORIZON CLOSE (r10 — VERDICT r9 #1): streaming MATCH_RECOGNIZE
     for quantified variables whose DEFINEs are NOT provably disjoint
@@ -2971,22 +2971,64 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                 bound = gb
         return rows, bound
 
-    def _match_anchor(i0, ts_buf, mk_buf, nbuf, h):
+    preds = preds or {}
+    _pred_code: dict[int, Any] = {}
+
+    def _match_anchor(i0, ts_buf, mk_buf, nbuf, h, vals):
         """Leftmost-greedy binding anchored at buffer position i0;
         returns per-step (first_idx, last_idx, count) or None (absent
         step), or None when no complete match exists."""
         out: list = [None] * K
+
+        def _pred_ok(spec, p) -> bool:
+            # iterative condition at binding time (late-r10): refs
+            # read the referenced step's FIRST bound position from
+            # `out` (refs point strictly earlier, so it is decided);
+            # NaN/NULL values fail the predicate outright — the
+            # documented streaming NULL rule (batch evaluates SQL
+            # three-valued logic and is authoritative there)
+            expr, names = spec
+            code = _pred_code.get(id(spec))
+            if code is None:
+                code = compile(expr, "<iterative-condition>", "eval")
+                _pred_code[id(spec)] = code
+            ns = {}
+            for nm, kind, k, ci in names:
+                if kind == "ref":
+                    seg = out[k - 1]
+                    if seg is None:
+                        return False
+                    v = vals[ci][seg[0]]
+                elif kind == "prev":
+                    # physical offset into the buffer: the retained
+                    # prefix (keep_prev rows past eviction) makes
+                    # p - k resolvable for every live anchor; p - k
+                    # < 0 IS the partition start — no previous row,
+                    # NULL, predicate fails (the batch lag() rule)
+                    if p - k < 0:
+                        return False
+                    v = vals[ci][p - k]
+                else:
+                    v = vals[ci][p]
+                if v is None or v != v:
+                    return False
+                ns[nm] = v
+            return bool(
+                eval(code, {"__builtins__": {}, "abs": abs}, ns)
+            )
 
         def rec(pos: int, si: int) -> bool:
             if si == K:
                 return True
             slot, times, tmax, loop, opt, rel = qsteps[si]
             bit = 1 << slot
+            pspec = preds.get(si)
 
             def ok(p: int) -> bool:
                 return (
                     p < nbuf and ts_buf[p] <= h
                     and (mk_buf[p] & bit) != 0
+                    and (pspec is None or _pred_ok(pspec, p))
                 )
 
             if loop:
@@ -3062,7 +3104,7 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                 continue  # decided in an earlier invocation
             if i0 > 0 and ts_buf[i0 - 1] == ts_buf[i0]:
                 continue  # one anchor per distinct timestamp
-            m = _match_anchor(i0, ts_buf, mk_buf, nbuf, h)
+            m = _match_anchor(i0, ts_buf, mk_buf, nbuf, h, vals)
             if m is None:
                 continue
             row = []
@@ -3133,6 +3175,11 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
         cut = 0
         while cut < nbuf and ts_buf[cut] + within_us < wm_us:
             cut += 1
+        # PREV navigation keeps keep_prev decided rows behind the live
+        # region (physical lookback); decided anchors among them are
+        # skipped by the h < wm_prev_us check above, so retention
+        # costs state, never recomputation
+        cut = max(0, cut - keep_prev)
         return (
             rows, ts_buf[cut:], mk_buf[cut:],
             [v[cut:] for v in vals], bound, pend,
@@ -3152,8 +3199,14 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
 
         def _arm(ts_buf, pend):
             cands = []
-            if ts_buf:
-                cands.append((ts_buf[0] + within_us) // 1_000 + 1)
+            # first LIVE anchor (the retained PREV-lookback prefix is
+            # already decided — arming on it would re-fire for rows
+            # the h < wm_prev check skips anyway)
+            live = next(
+                (t for t in ts_buf if t + within_us >= wm_us), None
+            )
+            if live is not None:
+                cands.append((live + within_us) // 1_000 + 1)
             if pend:
                 m = min(_se(r)[1] for r in pend)
                 cands.append((m + within_us) // 1_000 + 1)
@@ -3324,12 +3377,36 @@ def match_pattern_stream_greedy(
         )
     if any(
         s.negate or s.any_match or s.until is not None for s in steps
-    ) or any(_iter_where(s) is not None for s in steps):
+    ):
         raise ValueError(
             "greedy-selection streaming supports plain quantified "
-            "positive steps only (negation/followedByAny/until/"
-            "iterative refs: use the disjoint fast path or batch)"
+            "positive steps only (negation/followedByAny/until: use "
+            "the disjoint fast path or batch)"
         )
+    # iterative conditions (late-r10): cross-step ``s<k>.<col>`` refs
+    # evaluate at BINDING time inside the backtracking walk — the
+    # referenced columns ride the same value buffer payload capture
+    # uses. The batch parity boundary applies: loops and variants
+    # with iterative refs refuse exactly as the batch engines do.
+    iter_templates = {
+        i: _iter_where(s)
+        for i, s in enumerate(steps)
+        if _iter_where(s) is not None
+    }
+    if iter_templates:
+        if any(s.loop for s in steps):
+            raise ValueError(
+                "iterative conditions with strict loop steps are not "
+                "supported (the batch operator refuses them too — "
+                "the segments engine binds runs by position)"
+            )
+        if any(s.optional or s.times_max is not None for s in steps):
+            raise ValueError(
+                "iterative conditions do not compose with optional()/"
+                "times(n, m) (variant expansion renumbers the s<k> "
+                "step references — the batch operator refuses them "
+                "too)"
+            )
     first, last = steps[0], steps[-1]
     if first.optional or (first.times_max is not None and first.times == 0):
         raise ValueError(
@@ -3398,6 +3475,49 @@ def match_pattern_stream_greedy(
                     f"got {k}"
                 )
             agg_triples.append((k, _val_idx(c, "aggregate measure"), fn))
+    # binding-time predicate sources (late-r10): iterative s<k> refs
+    # (template from _resolve_iter) and/or PREV navigation names
+    # (__mrnav_p{n}_{col}, physical buffer offsets) — either one
+    # moves the WHOLE where off the Catalyst mask into the Python
+    # walk, reading the shared value buffer
+    pred_src: dict[int, str] = {}
+    if iter_templates:
+        from flink_note_spark.operators.cep import _resolve_iter
+
+        iter_info = _resolve_iter(steps)  # validates ref targets
+        pred_src.update({i: t for i, (t, _r) in iter_info.items()})
+    for i, s in enumerate(steps):
+        if (
+            i not in pred_src and isinstance(s.where, str)
+            and "__mrnav_" in s.where
+        ):
+            pred_src[i] = s.where
+    keep_prev = 0
+    preds: dict[int, tuple[str, tuple]] = {}
+    for idx, template in pred_src.items():
+        py_expr, raw_names = _sql_predicate_to_python(template)
+        names = []
+        for nm in raw_names:
+            mref = re.match(r"^__v(\d+)_(.+)$", nm)
+            mnav = re.match(r"^__mrnav_([pn])(\d+)_(.+)$", nm)
+            if mref:
+                kind, k, c = "ref", int(mref.group(1)), mref.group(2)
+                what = "iterative condition"
+            elif mnav:
+                if mnav.group(1) == "n":
+                    raise ValueError(
+                        "NEXT(...) navigation is batch-only on "
+                        "streams (the physical successor may arrive "
+                        "arbitrarily late)"
+                    )
+                kind, k, c = "prev", int(mnav.group(2)), mnav.group(3)
+                keep_prev = max(keep_prev, k)
+                what = "PREV navigation"
+            else:
+                kind, k, c = "bare", None, nm
+                what = "iterative condition"
+            names.append((nm, kind, k, _val_idx(c, what)))
+        preds[idx] = (py_expr, tuple(names))
 
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         f"{c} long" for c in out_cols
@@ -3407,7 +3527,14 @@ def match_pattern_stream_greedy(
     agg_names = [f"__agg{j}" for j in range(len(agg_triples))]
     if agg_names:
         out_schema += ", " + ", ".join(f"{c} double" for c in agg_names)
-    conds = [_cand_cond(s, type_col) for s in steps]
+    # pred steps degrade the Catalyst mask to type-only (their where
+    # reads binding-time state Catalyst cannot see); _cand_cond does
+    # this for iterative refs, PREV-nav steps need it explicitly
+    conds = [
+        (F.col(type_col) == s.event_type) if i in pred_src
+        else _cand_cond(s, type_col)
+        for i, s in enumerate(steps)
+    ]
     mask = None
     for i, c in enumerate(conds):
         term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
@@ -3436,7 +3563,8 @@ def match_pattern_stream_greedy(
                 qsteps, key_col, time_col, "__cand_mask", within_us,
                 out_cols + cap_cols + agg_names, n_vals=len(val_cols),
                 capture=tuple(capture), skip=skip,
-                aggs=tuple(agg_triples),
+                aggs=tuple(agg_triples), preds=preds or None,
+                keep_prev=keep_prev,
             ),
             outputStructType=out_schema,
             stateStructType=state_struct,

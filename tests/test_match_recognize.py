@@ -798,9 +798,11 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
                     "C": "value >= 0.4"},
             after_match="skip to next row",
         )
-    with pytest.raises(ValueError, match="cross-variable"):
+    with pytest.raises(ValueError, match="strict loop steps"):
         # overlapping quantifier + iterative ref: the greedy engine
-        # has no carried-binding evaluation — batch-only
+        # evaluates refs at binding time since late-r10, but LOOPS
+        # with refs keep the batch parity refusal (the batch segments
+        # engine binds runs by position)
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B+ C",
@@ -845,7 +847,14 @@ def test_match_recognize_stream_rejections(spark, tmp_path):
             measures={"t": "B.tag"},
             within="10 minutes",
         )
-    with pytest.raises(ValueError, match="SKIP TO NEXT ROW only"):
+    # late-r10: cross-variable refs + pruning forms route to the
+    # greedy engine (within required) instead of refusing
+    match_recognize_stream(
+        stream, partition_by="user_id", order_by="ts",
+        pattern="A B", define={"B": "B.value > A.value"},
+        after_match="skip past last row", within="10 minutes",
+    )
+    with pytest.raises(ValueError, match="requires within"):
         match_recognize_stream(
             stream, partition_by="user_id", order_by="ts",
             pattern="A B", define={"B": "B.value > A.value"},
@@ -1746,3 +1755,250 @@ def test_zero_min_range_quantifier(spark):
     for bad in ("A B{0} C", "A B{0,0} C"):
         with pytest.raises(ValueError, match="never consumes"):
             match_recognize(df, pattern=bad, **kw)
+
+
+def test_match_recognize_stream_iterative_greedy(spark, tmp_path):
+    """late-r10: cross-variable DEFINE refs stream on the greedy
+    engine for loop-free patterns — evaluated at binding time over
+    the carried value buffer — composing with pruning AFTER MATCH
+    forms, payload measures, and {n} aggregates (all previously
+    batch-only). Equality vs batch per shape."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(71)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random() * 100, 1))
+        for i in range(140)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    shapes = [
+        # refs + pruning form + payload capture
+        dict(pattern="A B C",
+             define={"A": "value >= 50",
+                     "B": "value < 50",
+                     "C": "C.value > A.value"},
+             after_match="skip past last row",
+             measures={"a_val": "A.value", "b_ts": "B.ts",
+                       "c_val": "C.value"}),
+        # refs + {n} quantifier + aggregate + skip to first
+        dict(pattern="A B{2} C",
+             define={"A": "value >= 60",
+                     "B": "value < 60",
+                     "C": "C.value > B.value AND C.value >= 30"},
+             after_match="skip to first B",
+             measures={"a_ts": "A.ts", "sum_b": "SUM(B.value)",
+                       "c_val": "C.value"}),
+        # refs with arithmetic + abs() + skip to next row + payload
+        dict(pattern="A B C",
+             define={"A": "value >= 70",
+                     "B": "abs(B.value - A.value) > 10",
+                     "C": "C.value < A.value - 5"},
+             after_match="skip to next row",
+             measures={"a_val": "A.value", "b_val": "B.value",
+                       "c_val": "C.value"}),
+    ]
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 6)
+        return int(v)
+
+    for i, shape in enumerate(shapes):
+        kw = dict(partition_by="user_id", order_by="ts",
+                  within="30 minutes", **shape)
+        want = sorted(
+            tuple(_norm(v) for v in r)
+            for r in match_recognize(batch_df, **kw).collect()
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+        q = (
+            out.writeStream.format("memory").queryName(f"mrig_{i}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ick_{i}"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(_norm(x) for x in r)
+            for r in spark.sql(
+                f"SELECT {','.join(out.columns)} FROM mrig_{i}"
+            ).collect()
+        )
+        assert got == want, shape["pattern"]
+        assert got, shape["pattern"]
+
+
+def test_prev_next_navigation_batch(spark):
+    """late-r10: PREV/NEXT physical row navigation in DEFINEs — the
+    Flink-docs canonical V-shape (DOWN AS price < PREV(price)) runs
+    verbatim. Batch compiles navigation to lag/lead columns at scan
+    (pure Catalyst, no extra shuffle)."""
+    vals = [100.0, 90.0, 80.0, 70.0, 85.0, 95.0, 60.0, 50.0, 55.0]
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, price double"
+    )
+    out = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"DOWN": "DOWN.price < PREV(DOWN.price)",
+                "UP": "UP.price > PREV(UP.price)"},
+        measures={"start_ts": "STRT.ts", "bottom": "MIN(DOWN.price)",
+                  "n_down": "COUNT(DOWN.*)", "up_ts": "UP.ts"},
+        after_match="skip to next row", within="2 hours",
+        tiebreak=["event_id"],
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    got = sorted(map(tuple, out.collect()))
+    # V1: 100 > 90 > 80 > 70 < 85; V2: 95 > 60 > 50 < 55; every
+    # anchor with a strictly-down prefix starts its own match under
+    # skip to next row
+    assert got == [
+        (1, t(0), 70.0, 3, t(4)),
+        (1, t(1), 70.0, 2, t(4)),
+        (1, t(2), 70.0, 1, t(4)),
+        (1, t(5), 50.0, 2, t(8)),
+        (1, t(6), 50.0, 1, t(8)),
+    ]
+    # NEXT with explicit offset: A anchors two rows before a rise
+    out2 = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="A B",
+        define={"A": "NEXT(A.price, 2) > A.price"},
+        measures={"a_ts": "A.ts", "a_val": "A.value"}
+        if False else {"a_ts": "A.ts", "b_ts": "B.ts"},
+        after_match="skip to next row", within="2 hours",
+        tiebreak=["event_id"],
+    )
+    got2 = sorted(r["a_ts"] for r in out2.collect())
+    # rows whose price two ahead is higher: idx 2 (80<85), 3 (70<95),
+    # 6 (60... next2 = 55 no), idx 4 (85<95? next2 of 4 is 6:60 no);
+    # check directly against the data
+    want2 = [
+        t(i) for i in range(len(vals) - 2 - 1)
+        if vals[i + 2] > vals[i]
+    ]
+    assert got2 == want2
+    # PREV offset 0 is the current row; bad var refuses
+    out3 = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="A B", define={"A": "PREV(A.price, 0) >= 95"},
+        measures={"a_ts": "A.ts"}, after_match="skip to next row",
+        within="2 hours", tiebreak=["event_id"],
+    )
+    assert sorted(r["a_ts"] for r in out3.collect()) == [t(0), t(5)]
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        match_recognize(
+            df, partition_by="user_id", order_by="ts",
+            pattern="A B", define={"A": "PREV(Z.price) > 0"},
+            measures={"a_ts": "A.ts"},
+        )
+
+
+def test_prev_navigation_stream(spark, tmp_path):
+    """late-r10: PREV navigation streams on the greedy engine — the
+    buffer IS the partition order, with a keep_prev retained-prefix
+    eviction guard. Equality vs batch on the canonical V-shape over
+    a seeded soup; NEXT refuses toward batch."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(79)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random() * 100, 1))
+        for i in range(140)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    batch_df = spark.read.schema(schema).parquet(str(d))
+
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"DOWN": "DOWN.value < PREV(DOWN.value)",
+                "UP": "UP.value > PREV(UP.value)"},
+        measures={"start_ts": "STRT.ts", "start_val": "STRT.value",
+                  "bottom": "MIN(DOWN.value)",
+                  "n_down": "COUNT(DOWN.*)", "up_val": "UP.value"},
+        after_match="skip to next row", within="30 minutes",
+    )
+
+    def _norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "timestamp"):
+            return int(
+                v.replace(tzinfo=dt.timezone.utc).timestamp()
+                * 1_000_000
+            )
+        if isinstance(v, float):
+            return round(v, 6)
+        return int(v)
+
+    want = sorted(
+        tuple(_norm(v) for v in r)
+        for r in match_recognize(batch_df, **kw).collect()
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+    q = (
+        out.writeStream.format("memory").queryName("mrprev")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "pck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(_norm(x) for x in r)
+        for r in spark.sql(
+            f"SELECT {','.join(out.columns)} FROM mrprev"
+        ).collect()
+    )
+    assert got == want
+    assert got
+
+    with pytest.raises(ValueError, match="batch-only on streams"):
+        match_recognize_stream(
+            spark.readStream.schema(schema).parquet(str(d)),
+            partition_by="user_id", order_by="ts",
+            pattern="A B",
+            define={"A": "NEXT(A.value) > A.value"},
+            within="10 minutes",
+        )
