@@ -43,8 +43,23 @@ Supported subset (each deviation documented):
   (V.c)`` with FINAL semantics — over ALL rows the variable matched
   (the run is the closed event-time range ``[ts_k, ts_k_last]`` under
   strict adjacency, so ONE co-partitioned time-range join + group-agg
-  per aggregated VARIABLE serves every measure on it). ``ONE ROW PER
-  MATCH`` only (Flink's own restriction in streaming mode).
+  per aggregated VARIABLE serves every measure on it). Plus (late-r10)
+  ``MATCH_NUMBER()`` (both output modes — matches numbered per
+  partition in (start, end) order, one window pass over the MATCHES
+  frame, never the events) and ``CLASSIFIER()`` (ALL ROWS mode — the
+  variable the row bound to).
+- ``ONE ROW PER MATCH`` (default) or ``ALL ROWS PER MATCH``
+  (late-r10, batch-only — Flink itself refuses ALL ROWS in streaming
+  mode, so this EXCEEDS the reference surface): every matched event
+  row is emitted with its input columns + the measures (FINAL
+  semantics — the standard's RUNNING default is a documented
+  deviation). One co-partitioned (key, time-range) join of events
+  against the matches frame — under strict adjacency a match's rows
+  are exactly the events in ``[start, end]`` — and ``CLASSIFIER()``
+  is a pure CASE over the per-variable start timestamps (the LAST
+  variable whose ``ts_k <= ts`` owns the row; requires rows unique
+  per (partition, order), the attach doctrine's standing rule). No
+  shuffle beyond the one keyed join at any scale.
 - ``AFTER MATCH``: ``SKIP PAST LAST ROW`` (default), ``SKIP TO NEXT
   ROW``, ``SKIP TO FIRST V``, ``SKIP TO LAST V`` — mapped to the
   engine's ``AfterMatchSkipStrategy`` set.
@@ -307,9 +322,10 @@ def match_recognize(
     after_match: str = "skip past last row",
     within: str | None = None,
     tiebreak: list[str] | None = None,
+    rows_per_match: str = "one row per match",
 ) -> DataFrame:
-    """Flink SQL ``MATCH_RECOGNIZE`` (ONE ROW PER MATCH) as a DataFrame
-    operator — see the module docstring for the supported subset.
+    """Flink SQL ``MATCH_RECOGNIZE`` as a DataFrame operator — see the
+    module docstring for the supported subset.
 
     Output: ``partition_by`` + one column per ``measures`` entry, one
     row per match. ``measures`` maps output names to specs::
@@ -336,6 +352,17 @@ def match_recognize(
     deterministic matching but keep payload access on unique
     timestamps (the ``attach_event_payload`` doctrine).
     """
+    mode = " ".join(rows_per_match.strip().lower().split())
+    if mode in ("one row per match", "one"):
+        all_rows = False
+    elif mode in ("all rows per match", "all"):
+        all_rows = True
+    else:
+        raise ValueError(
+            f"rows_per_match must be 'one row per match' or 'all rows "
+            f"per match', got {rows_per_match!r}"
+        )
+    in_cols = list(events.columns)  # pre-navigation input schema
     define = dict(define or {})
     parsed = _parse_pattern(pattern)
     names = [v for v, _q, _r in parsed]
@@ -487,12 +514,28 @@ def match_recognize(
     #: aggregate measures (r10): positive step k -> [(fn, col, out)]
     agg_reqs: dict[int, list[tuple[str, str, str]]] = {}
     exprs: list[tuple[str, object]] = []  # (out_name, Column|("attach", tscol, payload))
+    match_number_wanted = False
     for out_name, spec in (measures or {}).items():
+        compact = "".join(spec.strip().upper().split())
+        if compact == "CLASSIFIER()":
+            if not all_rows:
+                raise ValueError(
+                    "CLASSIFIER() requires rows_per_match='all rows "
+                    "per match' (in ONE ROW mode every output row is "
+                    "a whole match — there is no per-row variable)"
+                )
+            exprs.append((out_name, ("classifier",)))
+            continue
+        if compact == "MATCH_NUMBER()":
+            match_number_wanted = True
+            exprs.append((out_name, ("match_number",)))
+            continue
         m = _MEASURE_RE.match(spec.strip())
         if not m:
             raise ValueError(
                 f"unsupported measure {spec!r} (FIRST(V.c) | LAST(V.c) "
-                "| COUNT(V.*) | SUM/AVG/MIN/MAX(V.c) | V.c)"
+                "| COUNT(V.*) | SUM/AVG/MIN/MAX(V.c) | V.c | "
+                "CLASSIFIER() | MATCH_NUMBER())"
             )
         fn = (m.group("fn") or "").upper()
         var = m.group("fvar") or m.group("var")
@@ -624,7 +667,7 @@ def match_recognize(
             matches, steps, partition_by, _parse_skip(skip)
         )
 
-    if not measures:
+    if not measures and not all_rows:
         return matches
 
     out = matches
@@ -660,16 +703,106 @@ def match_recognize(
             getattr(F, fn.lower())(c).alias(name)
             for fn, c, name in reqs
         ])
-    final = [F.col(partition_by)]
+    # the match's closing event time — the LAST present variable's
+    # last row: coalesce over (ts_k_last | ts_k) in reverse step order
+    # (absent optional variables are NULL in both)
+    if all_rows or match_number_wanted:
+        end_cands = []
+        for k in range(len(steps), 0, -1):
+            for c in (f"ts_{k}_last", f"ts_{k}"):
+                if c in out.columns:
+                    end_cands.append(F.col(c))
+        out = out.withColumn(
+            "__mr_end",
+            F.coalesce(*end_cands) if len(end_cands) > 1
+            else end_cands[0],
+        )
+    if match_number_wanted:
+        # matches numbered per PARTITION in (start, end) order —
+        # Flink's sequential numbering; one window pass over the
+        # MATCHES frame (small relative to events at any scale)
+        out = out.withColumn(
+            "__mr_mn",
+            F.row_number().over(
+                Window.partitionBy(partition_by).orderBy(
+                    F.col("ts_1").asc(), F.col("__mr_end").asc()
+                )
+            ),
+        )
+
+    if not all_rows:
+        final = [F.col(partition_by)]
+        for out_name, e in exprs:
+            if isinstance(e, tuple) and e[0] == "attach":
+                _tag, ts_col, col = e
+                final.append(F.col(f"{ts_col}_{col}").alias(out_name))
+            elif isinstance(e, tuple) and e[0] == "match_number":
+                final.append(F.col("__mr_mn").cast("long").alias(out_name))
+            elif isinstance(e, tuple):  # ("agg", name): aggregated above
+                final.append(F.col(out_name))
+            else:
+                final.append(e)
+        return out.select(*final)
+
+    # ALL ROWS PER MATCH (late-r10): ONE co-partitioned (key,
+    # time-range) join of the ORIGINAL events against the matches
+    # frame — under strict adjacency a match's rows are exactly the
+    # events in [start, end]. Measures evaluate on the matches side
+    # BEFORE the join (FINAL semantics; documented deviation from the
+    # standard's RUNNING default), CLASSIFIER() is a pure CASE over
+    # the per-variable start timestamps: the LAST variable whose
+    # ts_k <= row ts owns the row (strict contiguity partitions the
+    # match interval in step order).
+    sel_cols = [
+        F.col(partition_by).alias("__mrk"),
+        F.col("ts_1").alias("__mr_s"),
+        F.col("__mr_end").alias("__mr_e"),
+    ]
+    for k in range(1, len(steps) + 1):
+        if f"ts_{k}" in out.columns:
+            sel_cols.append(F.col(f"ts_{k}").alias(f"__mr_ts_{k}"))
+    if match_number_wanted:
+        sel_cols.append(F.col("__mr_mn"))
     for out_name, e in exprs:
         if isinstance(e, tuple) and e[0] == "attach":
             _tag, ts_col, col = e
-            final.append(F.col(f"{ts_col}_{col}").alias(out_name))
-        elif isinstance(e, tuple):  # ("agg", name): aggregated above
-            final.append(F.col(out_name))
+            sel_cols.append(
+                F.col(f"{ts_col}_{col}").alias(f"__mrm_{out_name}")
+            )
+        elif isinstance(e, tuple) and e[0] == "agg":
+            sel_cols.append(F.col(out_name).alias(f"__mrm_{out_name}"))
+        elif isinstance(e, tuple):
+            pass  # classifier/match_number render at join time
         else:
-            final.append(e)
-    return out.select(*final)
+            sel_cols.append(e.alias(f"__mrm_{out_name}"))
+    sel = out.select(*sel_cols)
+    ev = typed.select(*in_cols)  # original input schema, nav dropped
+    j = ev.join(
+        sel,
+        (F.col(partition_by) == F.col("__mrk"))
+        & (F.col(order_by) >= F.col("__mr_s"))
+        & (F.col(order_by) <= F.col("__mr_e")),
+        "inner",
+    )
+    classifier = None
+    for k in range(len(steps), 0, -1):
+        c = f"__mr_ts_{k}"
+        if c not in sel.columns:
+            continue
+        cond = F.col(c).isNotNull() & (F.col(order_by) >= F.col(c))
+        classifier = (
+            F.when(cond, F.lit(names[k - 1])) if classifier is None
+            else classifier.when(cond, F.lit(names[k - 1]))
+        )
+    proj = [F.col(c) for c in in_cols]
+    for out_name, e in exprs:
+        if isinstance(e, tuple) and e[0] == "classifier":
+            proj.append(classifier.alias(out_name))
+        elif isinstance(e, tuple) and e[0] == "match_number":
+            proj.append(F.col("__mr_mn").cast("long").alias(out_name))
+        else:
+            proj.append(F.col(f"__mrm_{out_name}").alias(out_name))
+    return j.select(*proj)
 
 
 def match_recognize_stream(
@@ -683,6 +816,7 @@ def match_recognize_stream(
     after_match: str = "skip past last row",
     within: str | None = None,
     watermark: str = "5 minutes",
+    rows_per_match: str = "one row per match",
 ) -> DataFrame:
     """Streaming ``MATCH_RECOGNIZE`` (late-r8) — Flink SQL's
     stream-first row-pattern clause, compiled onto
@@ -746,7 +880,19 @@ def match_recognize_stream(
       ``foreachBatch`` — the tested recipe in
       tests/test_match_recognize.py).
     - ONE ROW PER MATCH, emitted exactly once at watermark finality.
+      ``ALL ROWS PER MATCH`` refuses here exactly as Flink itself
+      does in streaming mode — use the batch operator (which EXCEEDS
+      Flink by supporting it) or join matches back to the raw topic
+      in ``foreachBatch``.
     """
+    if " ".join(rows_per_match.strip().lower().split()) not in (
+        "one row per match", "one",
+    ):
+        raise ValueError(
+            "streaming MATCH_RECOGNIZE is ONE ROW PER MATCH only "
+            "(Flink's own streaming restriction) — ALL ROWS PER MATCH "
+            "is available on the batch operator"
+        )
     define = dict(define or {})
     parsed = _parse_pattern(pattern)
     names = [v for v, _q, _r in parsed]

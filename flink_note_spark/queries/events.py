@@ -1723,6 +1723,87 @@ ORDER BY a.user_id, start_ts
 """
 
 
+def q129_mr_all_rows_per_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``ALL ROWS PER MATCH`` + ``CLASSIFIER()`` +
+    ``MATCH_NUMBER()`` (late-r10 — EXCEEDS Flink, which refuses ALL
+    ROWS in streaming mode): the q114 V-shape re-emitted one row per
+    MATCHED EVENT with its input columns, the variable that bound it,
+    and the per-partition match number. One co-partitioned (key,
+    time-range) join of events against the matches frame — under
+    strict adjacency a match's rows are exactly the events in
+    [start, end] — plus one window pass over MATCHES for the
+    numbering; no shuffle beyond the keyed join at any scale.
+    Oracle: the q114 islands frame joined back positionally, rows
+    classified by position within the run."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    e = _t(spark, sf, "events")
+    return (
+        match_recognize(
+            e.select("user_id", "ts", "value", "event_id"),
+            partition_by="user_id",
+            order_by="ts",
+            pattern="STRT DOWN+ UP",
+            define={
+                "STRT": "value >= 100",
+                "DOWN": "value < 80",
+                "UP": "value >= 150",
+            },
+            measures={
+                "mn": "MATCH_NUMBER()",
+                "cls": "CLASSIFIER()",
+                "start_ts": "STRT.ts",
+                "n_down": "COUNT(DOWN.*)",
+            },
+            after_match="skip to next row",
+            within="7 days",
+            tiebreak=["event_id"],
+            rows_per_match="all rows per match",
+        )
+        .orderBy("user_id", "start_ts", "ts")
+    )
+
+
+_Q129_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER w AS pos,
+         (value < 80) AS dn,
+         CASE WHEN lag(value < 80) OVER w IS DISTINCT FROM (value < 80)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem
+      FROM g),
+m AS (
+  SELECT a.user_id, a.pos AS apos, a.ts AS start_ts, d.rem AS rem
+  FROM g a
+  JOIN r d ON d.user_id = a.user_id AND d.pos = a.pos + 1 AND d.dn
+  JOIN g u ON u.user_id = a.user_id AND u.pos = a.pos + 1 + d.rem
+  WHERE a.value >= 100 AND u.value >= 150
+    AND u.ts <= a.ts + INTERVAL 7 DAY),
+n AS (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY start_ts) AS mn
+      FROM m)
+SELECT x.user_id, x.ts, x.value, x.event_id,
+       CAST(n.mn AS BIGINT) AS mn,
+       CASE WHEN x.pos = n.apos THEN 'STRT'
+            WHEN x.pos <= n.apos + n.rem THEN 'DOWN'
+            ELSE 'UP' END AS cls,
+       n.start_ts,
+       CAST(n.rem AS BIGINT) AS n_down
+FROM n
+JOIN g x ON x.user_id = n.user_id
+        AND x.pos BETWEEN n.apos AND n.apos + 1 + n.rem
+ORDER BY x.user_id, n.start_ts, x.ts
+"""
+
+
 def q123_cep_relaxed_payload(spark: SparkSession, sf: str) -> DataFrame:
     """Relaxed CEP funnel with ZERO-JOIN payload measures (r10 —
     VERDICT r9 #3): ``view → click+ (greedy) → purchase`` within 7
@@ -1852,6 +1933,7 @@ QUERIES = {
     "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
     "q127_mr_aggregate_measures": q127_mr_aggregate_measures,
     "q128_mr_prev_navigation": q128_mr_prev_navigation,
+    "q129_mr_all_rows_per_match": q129_mr_all_rows_per_match,
 }
 
 ORACLES = {
@@ -1893,4 +1975,5 @@ ORACLES = {
     "q123_cep_relaxed_payload": _Q123_SQL,
     "q127_mr_aggregate_measures": _Q127_SQL,
     "q128_mr_prev_navigation": _Q128_SQL,
+    "q129_mr_all_rows_per_match": _Q129_SQL,
 }

@@ -2002,3 +2002,125 @@ def test_prev_navigation_stream(spark, tmp_path):
             define={"A": "NEXT(A.value) > A.value"},
             within="10 minutes",
         )
+
+
+# ------------------------------------------------- ALL ROWS PER MATCH
+
+def test_all_rows_per_match_crafted(spark):
+    """late-r10 ALL ROWS PER MATCH + CLASSIFIER() + MATCH_NUMBER():
+    every matched event row comes back with its input columns, the
+    variable that bound it, and the per-partition match number —
+    hand-checked against the V-shape."""
+    e = _events(spark, {
+        1: [120, 70, 60, 50, 160, 110, 75, 155, 90],
+        2: [30, 40, 50],  # no match
+    })
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"mn": "MATCH_NUMBER()", "cls": "CLASSIFIER()",
+                  "start_ts": "STRT.ts", "n_down": "COUNT(DOWN.*)"},
+        after_match="skip to next row", within="7 days",
+        tiebreak=["event_id"],
+        rows_per_match="all rows per match",
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    got = rows_set(out.select(
+        "user_id", "ts", "value", "event_id", "mn", "cls",
+        "start_ts", "n_down"))
+    assert got == {
+        (1, t(0), 120.0, 0, 1, "STRT", t(0), 3),
+        (1, t(1), 70.0, 1, 1, "DOWN", t(0), 3),
+        (1, t(2), 60.0, 2, 1, "DOWN", t(0), 3),
+        (1, t(3), 50.0, 3, 1, "DOWN", t(0), 3),
+        (1, t(4), 160.0, 4, 1, "UP", t(0), 3),
+        (1, t(5), 110.0, 5, 2, "STRT", t(5), 1),
+        (1, t(6), 75.0, 6, 2, "DOWN", t(5), 1),
+        (1, t(7), 155.0, 7, 2, "UP", t(5), 1),
+    }
+
+
+def test_all_rows_variant_absent_optional(spark):
+    """ALL ROWS composes with the variant union: an absent optional
+    variable classifies no rows, and the match interval closes at the
+    last PRESENT variable."""
+    e = _events(spark, {1: [30, 150, 30, 70, 160]})
+    out = match_recognize(
+        e, partition_by="user_id", order_by="ts",
+        pattern="LO MID? HI",
+        define={"LO": "value < 60",
+                "MID": "value >= 60 AND value < 120",
+                "HI": "value >= 120"},
+        measures={"cls": "CLASSIFIER()", "mn": "MATCH_NUMBER()"},
+        after_match="skip to next row", tiebreak=["event_id"],
+        rows_per_match="all rows per match",
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    got = rows_set(out.select("user_id", "ts", "cls", "mn"))
+    assert got == {
+        (1, t(0), "LO", 1),   # LO HI — MID absent
+        (1, t(1), "HI", 1),
+        (1, t(2), "LO", 2),   # LO MID HI
+        (1, t(3), "MID", 2),
+        (1, t(4), "HI", 2),
+    }
+
+
+def test_all_rows_distinct_matches_equal_one_row(spark):
+    """Collapsing ALL ROWS output to one row per (partition, start)
+    recovers exactly the ONE ROW PER MATCH result (same measures)."""
+    e = _events(spark, {
+        1: [120, 70, 60, 50, 160, 110, 75, 155, 90],
+        3: [130, 50, 155, 140, 30, 20, 170],
+    })
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"mn": "MATCH_NUMBER()", "start_ts": "STRT.ts",
+                  "n_down": "COUNT(DOWN.*)",
+                  "sum_down": "SUM(DOWN.value)"},
+        after_match="skip to next row", within="7 days",
+        tiebreak=["event_id"],
+    )
+    one = rows_set(match_recognize(e, **kw).select(
+        "user_id", "mn", "start_ts", "n_down", "sum_down"))
+    all_rows = match_recognize(
+        e, rows_per_match="all rows per match", **kw)
+    collapsed = rows_set(all_rows.select(
+        "user_id", "mn", "start_ts", "n_down", "sum_down").distinct())
+    assert collapsed == one
+
+
+def test_all_rows_validation(spark):
+    e = _events(spark, {1: [120, 70, 160]})
+    kw = dict(
+        partition_by="user_id", order_by="ts", pattern="A B",
+        define={"A": "value >= 100", "B": "value < 80"},
+    )
+    with pytest.raises(ValueError, match="rows_per_match"):
+        match_recognize(e, rows_per_match="some rows", **kw)
+    with pytest.raises(ValueError, match="CLASSIFIER"):
+        match_recognize(
+            e, measures={"c": "CLASSIFIER()"}, **kw)  # one-row mode
+    with pytest.raises(ValueError, match="unsupported measure"):
+        match_recognize(
+            e, measures={"c": "CLASSIFIER(A)"},
+            rows_per_match="all rows per match", **kw)
+
+
+def test_all_rows_stream_refusal(spark):
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    e = _events(spark, {1: [120, 70, 160]})
+    with pytest.raises(ValueError, match="ONE ROW PER MATCH only"):
+        match_recognize_stream(
+            e, partition_by="user_id", order_by="ts", pattern="A B",
+            define={"A": "value >= 100", "B": "value < 80"},
+            rows_per_match="all rows per match",
+        )
