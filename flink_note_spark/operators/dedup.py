@@ -1241,3 +1241,119 @@ def dup_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def split_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Explode documents into ordered paragraphs — the input shape
+    :func:`paragraph_dedup` consumes: ``id_col, pos (0-based), para``.
+    Pure Catalyst (one ``split`` + ``posexplode``), empty paragraphs
+    dropped, positions keep the ORIGINAL order so reassembly is exact.
+    Zero shuffles — a flatMap at scan speed."""
+    paras = F.filter(
+        F.split(F.col(text_col), F.lit(sep), -1),
+        lambda p: F.trim(p) != "",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(paras).alias("pos", "para"),
+    )
+
+
+def paragraph_dedup(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    para_col: str = "para",
+    sep: str = "\n\n",
+    normalize: bool = True,
+    min_len: int = 0,
+) -> DataFrame:
+    """Paragraph-level exact deduplication across the WHOLE corpus —
+    the RefinedWeb/FineWeb boilerplate-removal pass (late-r10): a
+    paragraph that occurs anywhere else in the corpus (headers,
+    footers, cookie banners, license blurbs — or repeated inside one
+    document) survives only at its FIRST occurrence in ``(id, pos)``
+    order; every later copy is dropped and the documents are
+    reassembled from their surviving paragraphs in original order.
+
+    Input is the exploded shape :func:`split_paragraphs` produces
+    (``id_col, pos_col, para_col``) so callers can source paragraphs
+    from any splitter — separator-based, the token-window chunker
+    (:func:`operators.text.chunk_documents`), or a sentence model.
+
+    Semantics:
+
+    - the duplicate KEY is ``md5(normalized paragraph)`` —
+      ``normalize=True`` lowers, trims, and collapses internal
+      whitespace (formatting noise must not hide boilerplate);
+    - paragraphs shorter than ``min_len`` NORMALIZED characters are
+      exempt (never dropped, never claim a first-occurrence slot) —
+      one-word paragraphs repeat by chance, not by boilerplate;
+    - documents whose every paragraph was dropped disappear from the
+      output (the empty document is useless downstream — count them
+      as ``n_docs_in − n_docs_out``).
+
+    Output: ``id_col, text (reassembled with sep), n_kept,
+    n_dropped``.
+
+    Scale shape: one keyed window shuffle on the 128-bit paragraph
+    digest (first-occurrence choice; map-side nothing to combine, but
+    the key space is bounded by distinct paragraphs) + one groupBy
+    shuffle on ``id_col`` for reassembly. Paragraph text rides both
+    shuffles — at 100 TB, when rows are wide and duplication is rare,
+    dedup the (digest, id, pos) projection first and semi-join
+    survivors back instead (the :func:`exact_dedup` doctrine); this
+    operator is the right shape when the output IS the surviving
+    corpus. Never a cross join; hot boilerplate keys concentrate on
+    ONE reducer only for the window pass, bounded by that paragraph's
+    corpus frequency — salt-and-pick-min twice if a single paragraph
+    dominates a partition."""
+    norm = F.col(para_col)
+    if normalize:
+        norm = F.regexp_replace(F.trim(F.lower(norm)), r"\s+", " ")
+    keyed = paras.select(
+        F.col(id_col), F.col(pos_col), F.col(para_col),
+        F.md5(norm).alias("__pkey"),
+        F.length(norm).alias("__plen"),
+    )
+    w = Window.partitionBy("__pkey").orderBy(id_col, pos_col)
+    flagged = keyed.select(
+        id_col, pos_col, para_col,
+        (
+            (F.row_number().over(w) == 1)
+            | (F.col("__plen") < min_len)
+        ).alias("__keep"),
+    )
+    # the keep flag rides into ONE reassembly groupBy (dropped rows
+    # filter inside the collected array) — two keyed shuffles total,
+    # no join back to the input
+    kept_structs = F.filter(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(pos_col).alias("p"),
+                    F.col(para_col).alias("t"),
+                    F.col("__keep").alias("k"),
+                )
+            )
+        ),
+        lambda s: s["k"],
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["t"]), sep
+            ).alias("text"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.sum(
+                (~F.col("__keep")).cast("long")
+            ).alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )

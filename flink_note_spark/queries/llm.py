@@ -1806,6 +1806,82 @@ ORDER BY f.doc_id
 """
 
 
+def q130_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level corpus-wide dedup (late-r10 — the RefinedWeb/
+    FineWeb boilerplate-removal pass, ``operators/dedup.py:
+    paragraph_dedup``): a paragraph occurring anywhere else in the
+    corpus survives only at its first (doc_id, pos) occurrence;
+    documents are reassembled from their survivors in order. The
+    synthetic documents are single-line, so "paragraphs" here come
+    from the token-window chunker (16-token disjoint windows — the
+    splitter is an input contract, any real pipeline feeds
+    ``split_paragraphs``). One window shuffle on the paragraph digest
+    + one reassembly groupBy — never a cross join; at 100 TB hot
+    boilerplate keys bound each reducer by that paragraph's corpus
+    frequency. Result pinned per doc by the reassembled text's md5
+    (the q91/q121 checksum doctrine)."""
+    from flink_note_spark.operators.dedup import paragraph_dedup
+    from flink_note_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf, "documents")
+    paras = chunk_documents(
+        d, "text", "doc_id", max_tokens=16, overlap=0
+    ).select(
+        "doc_id",
+        F.col("chunk_id").alias("pos"),
+        F.col("chunk_text").alias("para"),
+    )
+    return (
+        paragraph_dedup(paras, sep=" ")
+        .select(
+            "doc_id", "n_kept", "n_dropped",
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q130_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id, t, n, u.i AS pos
+  FROM sized,
+       LATERAL UNNEST(generate_series(
+         0,
+         greatest(0, CAST(ceil((n - 16) / 16.0) AS INT))
+       )) AS u(i)
+), rendered AS (
+  SELECT doc_id, pos,
+         array_to_string(
+           list_slice(t, pos * 16 + 1,
+                      least(pos * 16 + 16, n)), ' ') AS para
+  FROM chunks
+), flagged AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(trim(lower(para)),
+                                           '\\s+', ' ', 'g'))
+           ORDER BY doc_id, pos) = 1 AS keep
+  FROM rendered
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+       md5(string_agg(para, ' ' ORDER BY pos)
+             FILTER (WHERE keep)) AS text_md5
+FROM flagged
+GROUP BY doc_id
+HAVING count(*) FILTER (WHERE keep) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q29_exact_dedup": q29_exact_dedup,
     "q30_jaccard_pairs": q30_jaccard_pairs,
@@ -1821,6 +1897,7 @@ QUERIES = {
     "q122_semantic_dedup": q122_semantic_dedup,
     "q124_semantic_corpus_prep": q124_semantic_corpus_prep,
     "q125_incremental_dedup": q125_incremental_dedup,
+    "q130_paragraph_dedup": q130_paragraph_dedup,
     "q117_dup_spans": q117_dup_spans,
     "q97_ivfpq_exhaustive_topk": q97_ivfpq_exhaustive_topk,
     "q58_hash_split": q58_hash_split,
@@ -1875,6 +1952,7 @@ ORACLES = {
     "q122_semantic_dedup": _Q122_SQL,
     "q124_semantic_corpus_prep": _Q124_SQL,
     "q125_incremental_dedup": _Q125_SQL,
+    "q130_paragraph_dedup": _Q130_SQL,
     # exhaustive probe + exhaustive shortlist == exact brute force
     "q97_ivfpq_exhaustive_topk": _Q33_SQL,
     "q60_reservoir_exact_k": _Q60_SQL,

@@ -481,3 +481,89 @@ def test_chunk_documents_no_overlap_and_validation(spark):
     # the plan is scan-stage only: no exchange before the explode
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------- paragraph dedup
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """late-r10 paragraph_dedup (the RefinedWeb boilerplate pass):
+    corpus-wide first (doc_id, pos) occurrence survives, normalized
+    variants collapse, in-doc repeats drop, a fully-deduped document
+    disappears, and reassembly preserves original order."""
+    from flink_note_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Intro text.\n\nCookie banner here.\n\nUnique one."),
+            (2, "Cookie banner here.\n\nUnique two.\n\n"
+                "cookie   BANNER here."),
+            (3, "Cookie banner here."),
+            (4, "x\n\nx\n\ny"),
+        ],
+        "doc_id int, text string",
+    )
+    out = paragraph_dedup(split_paragraphs(docs))
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        (1, "Intro text.\n\nCookie banner here.\n\nUnique one.", 3, 0),
+        (2, "Unique two.", 1, 2),
+        (4, "x\n\ny", 2, 1),
+    }
+
+
+def test_paragraph_dedup_min_len_exempts_short(spark):
+    from flink_note_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x\n\nx\n\nlong enough paragraph"),
+         (2, "long enough paragraph\n\nx")],
+        "doc_id int, text string",
+    )
+    out = paragraph_dedup(split_paragraphs(docs), min_len=2)
+    got = {tuple(r) for r in out.collect()}
+    # every "x" survives (below min_len); the long paragraph dedups
+    assert got == {
+        (1, "x\n\nx\n\nlong enough paragraph", 3, 0),
+        (2, "x", 1, 1),
+    }
+
+
+def test_paragraph_dedup_normalize_off(spark):
+    from flink_note_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Same Para"), (2, "same para")],
+        "doc_id int, text string",
+    )
+    raw = paragraph_dedup(split_paragraphs(docs), normalize=False)
+    assert raw.count() == 2  # case difference keeps both
+    norm = paragraph_dedup(split_paragraphs(docs), normalize=True)
+    got = {tuple(r) for r in norm.collect()}
+    assert got == {(1, "Same Para", 1, 0)}
+
+
+def test_paragraph_dedup_plan_no_cartesian(spark):
+    """Two keyed exchanges (digest window + reassembly groupBy), no
+    join of any kind — the no-cross-join dedup-family contract."""
+    from flink_note_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id int, text string"
+    )
+    out = paragraph_dedup(split_paragraphs(docs))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in physical
