@@ -5787,3 +5787,145 @@ def minhash_dedup_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def paragraph_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    *,
+    sep: str = "\n\n",
+    normalize: bool = True,
+    min_len: int = 0,
+    retention: str | None = None,
+) -> DataFrame:
+    """STREAMING paragraph-level dedup (late-r10) — ingest-time
+    boilerplate removal for a document stream, the streaming twin of
+    ``operators.dedup.paragraph_dedup``: a paragraph whose normalized
+    digest has already been seen is DROPPED; the first arrival owns
+    the key. Output is the surviving-paragraph stream
+    ``id, ts_us (epoch microseconds, the streaming convention), pos,
+    para`` in append mode — reassembly is a downstream concern
+    (the batch reassembly groupBy runs per micro-batch in
+    ``foreachBatch`` when each document's paragraphs arrive together,
+    which the stateless explode guarantees within a batch).
+
+    Plan shape (the 100 TB posture): the split + posexplode + digest
+    are pure Catalyst at the scan (zero shuffle, the batch op's
+    expressions verbatim); the ONLY shuffle keys on the 128-bit
+    paragraph digest — exactly the batch window's partitioning — into
+    one ``applyInPandasWithState`` whose state per digest is a single
+    owner timestamp (O(1), no text retained). Paragraphs shorter than
+    ``min_len`` NORMALIZED characters bypass the stateful stage
+    entirely (never dropped, never claim a key — the batch rule, and
+    they add no state).
+
+    Ordering contract: within a micro-batch the owner is the smallest
+    ``(ts, id, pos)`` row (deterministic); ACROSS batches it is
+    arrival order — equal to the batch operator's global (id, pos)
+    choice whenever documents arrive in id order (the replay case,
+    pinned in tests). ``retention`` (e.g. ``"7 days"``) re-admits a
+    paragraph once the current owner is older than the window — a
+    MATCH conjunct evaluated against the arriving row's event time
+    (deterministic regardless of watermark progress) — and evicts the
+    state entry by event-time timer once the watermark passes
+    ``owner + retention`` (at which point every admissible arrival
+    would re-own the key anyway, so eviction changes no answer).
+    ``None`` keeps every digest forever — bounded replays only."""
+    from flink_note_spark.operators.windows import _duration_us
+
+    ret_us = _duration_us(retention) if retention else None
+    paras_arr = F.filter(
+        F.split(F.col(text_col), F.lit(sep), -1),
+        lambda p: F.trim(p) != "",
+    )
+    exploded = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.posexplode(paras_arr).alias("pos", "para"),
+        )
+    )
+    norm = F.col("para")
+    if normalize:
+        norm = F.regexp_replace(F.trim(F.lower(norm)), r"\s+", " ")
+    keyed = exploded.select(
+        id_col, ts_col, "pos", "para",
+        F.md5(norm).alias("__pkey"),
+        F.length(norm).alias("__plen"),
+    )
+    id_type = dict(docs.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, ts_us long, pos int, para string"
+    )
+    short = keyed.filter(F.col("__plen") < F.lit(min_len)).select(
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+        F.col("pos").cast("int"),
+        "para",
+    )
+    rows = keyed.filter(F.col("__plen") >= F.lit(min_len))
+
+    def _fn(
+        key: tuple,
+        pdfs: "Iterator[pd.DataFrame]",
+        state: GroupState,
+    ) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:
+            # wm >= owner + retention: every admissible arrival would
+            # re-own the key — dropping state changes no answer
+            state.remove()
+            return
+        owner_us = state.get[0] if state.exists else None
+        new = [p for p in pdfs if len(p)]
+        if not new:
+            if owner_us is not None and ret_us is not None:
+                state.setTimeoutTimestamp(max(
+                    (owner_us + ret_us) // 1_000 + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                ))
+            return
+        pdf = pd.concat(new, ignore_index=True)
+        pdf = pdf.sort_values(
+            [ts_col, id_col, "pos"], kind="stable", ignore_index=True
+        )
+        ts_us = pdf[ts_col].to_numpy().view("int64") // 1_000
+        out = []
+        for j in range(len(pdf)):
+            t = int(ts_us[j])
+            if owner_us is None or (
+                ret_us is not None and t - owner_us > ret_us
+            ):
+                r = pdf.iloc[j]
+                out.append(
+                    (r[id_col], t, int(r["pos"]), r["para"])
+                )
+                owner_us = t
+        state.update((owner_us,))
+        if ret_us is not None:
+            state.setTimeoutTimestamp(max(
+                (owner_us + ret_us) // 1_000 + 1,
+                state.getCurrentWatermarkMs() + 1,
+            ))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[id_col, "ts_us", "pos", "para"]
+            )
+
+    survivors = (
+        rows.groupBy("__pkey")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType="owner_us long",
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout if ret_us
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+    return survivors.unionByName(short)

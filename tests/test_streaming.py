@@ -4586,3 +4586,105 @@ def test_minhash_dedup_stream_flood_cap(spark, tmp_path):
     # docs 0-2 fill each bucket; docs 3+ are frozen out: no pair
     # involves a doc_id > 2
     assert pairs == {(1, 0), (2, 0), (2, 1)}
+
+
+# ------------------------------------------- streaming paragraph dedup
+
+def _pd_chunks(tmp_path, docs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "pd_chunks"
+    d.mkdir()
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ])
+    per = max(1, len(docs) // 3)
+    for j in range(0, len(docs), per):
+        t = pa.Table.from_pylist(
+            [dict(zip(["doc_id", "ts", "text"], r)) for r in docs[j:j + per]],
+            schema=schema,
+        )
+        pq.write_table(t, str(d / f"c{j:03d}.parquet"))
+    return d
+
+
+def test_paragraph_dedup_stream_equals_batch(spark, tmp_path):
+    """Streamed surviving paragraphs == the batch operator's kept set
+    when documents arrive in id order (the replay case): same digest,
+    same first-occurrence choice, same min_len bypass."""
+    from flink_note_spark.operators.dedup import (
+        paragraph_dedup,
+        split_paragraphs,
+    )
+    from flink_note_spark.streaming.ops import paragraph_dedup_stream
+
+    docs = [
+        (1, _ts(0), "Intro text.\n\nCookie banner here.\n\nUnique one."),
+        (2, _ts(5), "Cookie banner here.\n\nUnique two.\n\n"
+                    "cookie   BANNER here."),
+        (3, _ts(10), "Cookie banner here."),
+        (4, _ts(15), "x\n\nx\n\ny"),
+        (5, _ts(20), "Unique one.\n\nFresh paragraph five."),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    d = _pd_chunks(tmp_path, docs)
+    batch_docs = spark.read.schema(schema).parquet(str(d))
+    # batch kept set = exploded paragraphs minus the dropped copies;
+    # recover it from the flagged internals via the public output
+    # (reassembled text split back on the separator)
+    kept_batch = {
+        (r.doc_id, p)
+        for r in paragraph_dedup(
+            split_paragraphs(batch_docs), min_len=2
+        ).collect()
+        for p in r.text.split("\n\n")
+    }
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = paragraph_dedup_stream(
+        stream, "doc_id", "text", "ts",
+        watermark="2 minutes", min_len=2,
+    )
+    _run_to_memory(out, "pd_stream", "append", tmp_path)
+    rows = spark.sql("SELECT * FROM pd_stream").collect()
+    got = {(r.doc_id, r.para) for r in rows}
+    assert got == kept_batch
+    assert got
+    # doc 3's only paragraph is a later copy — nothing survives
+    assert not any(i == 3 for i, _p in got)
+
+
+def test_paragraph_dedup_stream_retention_readmits(spark, tmp_path):
+    """retention= re-admits a paragraph once the owner is older than
+    the window (dedup means 'against the retained window'), and the
+    short-paragraph bypass emits every arrival."""
+    from flink_note_spark.streaming.ops import paragraph_dedup_stream
+
+    docs = [
+        (1, _ts(0), "Cookie banner here.\n\nok"),
+        (2, _ts(5), "Cookie banner here."),    # within 30 min: dropped
+        (3, _ts(200), "Cookie banner here."),  # window passed: re-owns
+        (4, _ts(205), "Cookie banner here.\n\nok"),  # dropped again
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    d = _pd_chunks(tmp_path, docs)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = paragraph_dedup_stream(
+        stream, "doc_id", "text", "ts",
+        watermark="2 minutes", min_len=3, retention="30 minutes",
+    )
+    _run_to_memory(out, "pd_ret", "append", tmp_path)
+    rows = spark.sql("SELECT * FROM pd_ret").collect()
+    banner = sorted(
+        r.doc_id for r in rows if r.para == "Cookie banner here."
+    )
+    assert banner == [1, 3]
+    shorts = sorted(r.doc_id for r in rows if r.para == "ok")
+    assert shorts == [1, 4]  # min_len bypass: every arrival emits
