@@ -227,3 +227,194 @@ def mixture_sample(
     return stratified_sample(
         df, source_col, fractions, id_col=id_col, seed=seed, default_fraction=0.0
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: float,
+    *,
+    weights: dict | None = None,
+    alpha: float | None = None,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Sample a corpus DOWN TO A TOKEN BUDGET with per-group target
+    shares — the token-denominated mixture sampler (training mixtures
+    are specified in tokens, not documents: a 50/50 doc split between a
+    books source and a tweets source is nowhere near 50/50 tokens).
+
+    Exactly one of ``weights`` / ``alpha`` selects the share rule:
+
+    - ``weights``: explicit group value → target token share (normalized
+      internally; groups absent from the dict are DROPPED, the
+      :func:`mixture_sample` convention).
+    - ``alpha``: temperature smoothing over the EMPIRICAL token shares —
+      share_g ∝ (T_g)**alpha with T_g the group's total tokens.
+      ``alpha=1`` keeps the natural mixture, ``alpha=0`` is uniform;
+      intermediate values flatten head groups and boost tail groups
+      (the multilingual-training rebalancing rule, Conneau et al.
+      arXiv:1911.02116 §3.1).
+
+    Sampling is WITHOUT replacement: the realized total is
+    ``min(budget_tokens, min_g T_g / share_g)`` — the largest
+    mixture-respecting budget (no group oversampled), exactly the
+    :func:`mixture_sample` shrink doctrine, token-denominated. Within a
+    group, documents are taken in deterministic ``_unit_hash`` order
+    (uniform up to the hash family, stable across reruns/layouts) while
+    the group's running token total is below its target — the document
+    that CROSSES the target is kept (first-fit overshoot ≤ one
+    document), so a group's realized tokens sit in
+    ``[target, target + max_doc_tokens)``.
+
+    Scale design — NO full-corpus window. A naive cumulative sum over
+    hash order serializes each group through one window partition; at
+    100 TB a single web-crawl group is the whole corpus. Instead the
+    hash order is cut into ``n_buckets`` range buckets (bucket id =
+    ``floor(u * n_buckets)``, monotone in the hash order):
+
+    1. ONE map-side-combinable aggregation computes per-(group, bucket)
+       token sums — ``O(groups * n_buckets)`` rows to the driver, never
+       per-document.
+    2. The driver prefix-scans each group's buckets to find the CUTOFF
+       bucket (where the target lands) and the remaining budget at its
+       start — all integer arithmetic on exact token sums.
+    3. Buckets strictly before the cutoff are kept by a PURE FILTER
+       (scan-stage predicate, no shuffle); only the cutoff bucket —
+       ~1/n_buckets of the group — pays a window cumsum, partitioned by
+       group and ordered by ``(u, id)``.
+
+    The bucketed keep-set equals the naive single-window prefix exactly
+    (bucket order is monotone in ``u``; ties share a bucket), which the
+    suite pins via ``n_buckets=1`` — that degenerate setting IS the
+    naive path. ``hash_fn="md5"`` makes the selection reproducible by
+    any engine with ``md5`` (the q91 doctrine) at string-hash cost;
+    the default ``xxhash64`` is the codegen fast path.
+
+    Determinism note: with binary-exact weights (0.5, 0.125, ...) and
+    integer budgets every target is an exact double, so an independent
+    engine reproduces the row set bit-for-bit (q131's oracle does);
+    ``alpha`` mode goes through ``pow`` — last-ulp portable in practice
+    but pinned by the pytest suite rather than the cross-engine oracle.
+    """
+    import warnings
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if (weights is None) == (alpha is None):
+        raise ValueError("pass exactly one of weights= / alpha=")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if alpha is not None and not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+
+    if token_col is not None:
+        tok = F.col(token_col).cast("long")
+    else:
+        from flink_note_spark.functions.scalar import words
+
+        tok = F.size(
+            F.filter(words(text_col), lambda x: x != "")
+        ).cast("long")
+
+    u = _unit_hash(id_col, seed, hash_fn)
+    work = df
+    if weights is not None:
+        work = work.filter(F.col(group_col).isin(list(weights)))
+    work = (
+        work.withColumn("__tb_u", u)
+        .withColumn("__tb_b", F.floor(F.col("__tb_u") * n_buckets).cast("int"))
+        .withColumn("__tb_tok", tok)
+    )
+
+    # O(groups * n_buckets) rows — the only driver-side state.
+    stats = (
+        work.groupBy(F.col(group_col).alias("g"), F.col("__tb_b").alias("b"))
+        .agg(F.sum("__tb_tok").alias("t"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in stats:
+        per_group.setdefault(r["g"], {})[r["b"]] = int(r["t"])
+    totals = {g: sum(bs.values()) for g, bs in per_group.items()}
+
+    if weights is not None:
+        wtotal = float(sum(weights.values()))
+        if wtotal <= 0:
+            raise ValueError("weights must sum to a positive value")
+        shares = {g: v / wtotal for g, v in weights.items() if v > 0}
+        absent = [g for g in shares if g not in totals]
+        if absent:
+            warnings.warn(
+                f"token_budget_sample: positive-weight group(s) {absent} "
+                f"have no rows in {group_col!r}; they bind the mixture, "
+                "so the output is empty",
+                UserWarning,
+                stacklevel=2,
+            )
+            return df.filter(F.lit(False))
+    else:
+        shares_raw = {g: float(t) ** alpha for g, t in totals.items() if t > 0}
+        stotal = sum(shares_raw.values())
+        shares = {g: v / stotal for g, v in shares_raw.items()} if stotal else {}
+    shares = {g: s for g, s in shares.items() if g in totals and s > 0}
+    if not shares:
+        return df.filter(F.lit(False))
+
+    total_budget = min(
+        float(budget_tokens), min(totals[g] / shares[g] for g in shares)
+    )
+
+    # Per group: cutoff bucket = first bucket where the running total
+    # reaches the target; earlier buckets are fully kept, later ones
+    # fully dropped (see the equivalence argument in the docstring).
+    spec_rows = []
+    for g, share in shares.items():
+        target = share * total_budget
+        cum = 0
+        cutoff, remaining = n_buckets, 0.0  # keep-all default
+        for b in sorted(per_group[g]):
+            if cum + per_group[g][b] >= target:
+                cutoff, remaining = b, target - cum
+                break
+            cum += per_group[g][b]
+        spec_rows.append((g, int(cutoff), float(remaining)))
+
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType
+    spec = spark.createDataFrame(
+        spec_rows,
+        StructType(
+            [
+                StructField(group_col, gtype),
+                StructField("__tb_cut", IntegerType()),
+                StructField("__tb_r", DoubleType()),
+            ]
+        ),
+    )
+    joined = work.join(F.broadcast(spec), on=group_col, how="inner")
+    prefix = joined.filter(F.col("__tb_b") < F.col("__tb_cut"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__tb_u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        joined.filter(F.col("__tb_b") == F.col("__tb_cut"))
+        .withColumn("__tb_cb", F.coalesce(F.sum("__tb_tok").over(w), F.lit(0)))
+        .filter(F.col("__tb_cb") < F.col("__tb_r"))
+        .drop("__tb_cb")
+    )
+    helper = ["__tb_u", "__tb_b", "__tb_tok", "__tb_cut", "__tb_r"]
+    return prefix.unionByName(boundary).drop(*helper).select(*df.columns)

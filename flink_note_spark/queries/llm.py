@@ -659,6 +659,72 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+def q131_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-denominated mixture sampling (r10): rebalance the corpus to
+    explicit per-language TOKEN shares under a 2000-token budget, taking
+    documents in deterministic md5-hash order until each language's
+    target is reached (first-fit overshoot ≤ one document). The operator
+    runs the BUCKETED two-level plan (per-(group, range-bucket) token
+    sums + a window cumsum over ONLY the cutoff bucket — no full-corpus
+    window; `operators/sampling.py:token_budget_sample`); the oracle is
+    the naive single-window prefix rule in DuckDB, so the hash-match
+    proves the bucketed decomposition AND the per-row selection. Binary-
+    exact weights (0.5/0.125) make every target an exact double — the
+    row set is bit-reproducible across engines (the q91 doctrine)."""
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf, "documents")
+    sampled = token_budget_sample(
+        d,
+        "lang",
+        2000,
+        weights={"en": 0.5, "de": 0.125, "fr": 0.125, "es": 0.125, "zh": 0.125},
+        hash_fn="md5",
+    )
+    tok = F.size(F.filter(words("text"), lambda x: x != "")).cast("long")
+    return (
+        sampled.withColumn("tok", tok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q131_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+         AS BIGINT) AS tok,
+    (CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT)
+     % 1000000000) / 1000000000.0 AS u
+  FROM documents
+  WHERE lang IN ('en','de','fr','es','zh')
+), shares AS (
+  SELECT lang,
+         CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                   ELSE CAST(0.125 AS DOUBLE) END AS share,
+         CAST(SUM(tok) AS DOUBLE) AS t
+  FROM toks GROUP BY lang
+), bound AS (
+  SELECT LEAST(CAST(2000 AS DOUBLE), MIN(t / share)) AS total FROM shares
+), cum AS (
+  SELECT t.doc_id, t.lang, t.tok,
+    COALESCE(SUM(t.tok) OVER (PARTITION BY t.lang ORDER BY t.u, t.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+    s.share * b.total AS target
+  FROM toks t JOIN shares s USING (lang) CROSS JOIN bound b
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM cum WHERE cb < target GROUP BY lang ORDER BY lang
+"""
+
+
 def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     """Per-key reservoir sampling, driver-checkable invariant: the
     sample is EXACTLY min(k, n) rows per key (the property that
@@ -1903,6 +1969,7 @@ QUERIES = {
     "q58_hash_split": q58_hash_split,
     "q90_lsh_verified_pairs": q90_lsh_verified_pairs,
     "q91_md5_split": q91_md5_split,
+    "q131_token_budget_mixture": q131_token_budget_mixture,
     "q60_reservoir_exact_k": q60_reservoir_exact_k,
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
@@ -1942,6 +2009,7 @@ ORACLES = {
     # precision by construction) — the exact oracle checks the LSH path
     "q90_lsh_verified_pairs": _Q30_SQL,
     "q91_md5_split": _Q91_SQL,
+    "q131_token_budget_mixture": _Q131_SQL,
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,

@@ -177,3 +177,205 @@ def test_sampling_predicates_are_narrow(corpus):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+@pytest.fixture(scope="module")
+def token_corpus(spark):
+    """Docs with controlled token counts: source decides the vocabulary
+    size bucket so per-source token totals differ sharply."""
+    rows = []
+    for i in range(600):
+        src = ["web", "books", "code"][i % 3]
+        n = {"web": 5, "books": 20, "code": 2}[src] + (i % 4)
+        rows.append((i, src, " ".join(f"w{j}" for j in range(n))))
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).cache()
+
+
+def _tbs_ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_token_budget_bucketed_equals_naive(token_corpus):
+    """n_buckets=1 IS the naive single-window prefix rule; the bucketed
+    default must select the identical row set (the decomposition
+    equivalence argued in the operator docstring), in both hash
+    families."""
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    w = {"web": 0.5, "books": 0.25, "code": 0.25}
+    for hash_fn in ("xxhash64", "md5"):
+        fast = token_budget_sample(
+            token_corpus, "source", 1500, weights=w, hash_fn=hash_fn
+        )
+        naive = token_budget_sample(
+            token_corpus, "source", 1500, weights=w, hash_fn=hash_fn,
+            n_buckets=1,
+        )
+        assert _tbs_ids(fast) == _tbs_ids(naive), hash_fn
+
+
+def test_token_budget_prefix_rule_exact(token_corpus, spark):
+    """The selected set is EXACTLY the hash-order prefix: recompute the
+    rule in Python from the collected (u, tokens) and compare ids."""
+    from flink_note_spark.operators.sampling import (
+        _unit_hash,
+        token_budget_sample,
+    )
+
+    w = {"web": 0.5, "books": 0.25, "code": 0.25}
+    budget = 1500.0
+    rows = (
+        token_corpus.withColumn("u", _unit_hash("doc_id", 42))
+        .withColumn(
+            "tok", F.size(F.split("text", r"\s+")).cast("long")
+        )
+        .select("doc_id", "source", "u", "tok")
+        .collect()
+    )
+    totals = {}
+    for r in rows:
+        totals[r.source] = totals.get(r.source, 0) + r.tok
+    shares = {k: v / 1.0 for k, v in w.items()}
+    total = min(budget, min(totals[g] / shares[g] for g in shares))
+    expected = []
+    for g in shares:
+        target = shares[g] * total
+        cum = 0
+        for r in sorted(
+            (r for r in rows if r.source == g),
+            key=lambda r: (r.u, r.doc_id),
+        ):
+            if cum < target:
+                expected.append(r.doc_id)
+            cum += r.tok
+    out = token_budget_sample(token_corpus, "source", budget, weights=w)
+    assert _tbs_ids(out) == sorted(expected)
+
+
+def test_token_budget_shares_and_overshoot(token_corpus):
+    """Each group's realized tokens land in [target, target + max_doc):
+    the first-fit overshoot bound, and the binding group is fully kept
+    when the budget exceeds corpus capacity."""
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    tok = F.size(F.split("text", r"\s+")).cast("long")
+    w = {"web": 0.5, "books": 0.25, "code": 0.25}
+    out = token_budget_sample(token_corpus, "source", 2000, weights=w)
+    got = {
+        r.source: r.t
+        for r in out.withColumn("t", tok)
+        .groupBy("source").agg(F.sum("t").alias("t")).collect()
+    }
+    max_doc = {
+        r.source: r.m
+        for r in token_corpus.withColumn("t", tok)
+        .groupBy("source").agg(F.max("t").alias("m")).collect()
+    }
+    targets = {"web": 1000.0, "books": 500.0, "code": 500.0}
+    for g, t in targets.items():
+        assert t <= got[g] < t + max_doc[g], (g, got[g], t)
+
+    # Budget way past capacity: total shrinks to min_g T_g/share_g and
+    # the BINDING group (argmin of that ratio) keeps every document —
+    # its target equals its total exactly.
+    totals = {
+        r.source: r.t
+        for r in token_corpus.withColumn("t", tok)
+        .groupBy("source").agg(F.sum("t").alias("t")).collect()
+    }
+    binding = min(w, key=lambda g: totals[g] / w[g])
+    big = token_budget_sample(token_corpus, "source", 10**9, weights=w)
+    kept = big.filter(F.col("source") == binding).count()
+    assert kept == token_corpus.filter(F.col("source") == binding).count()
+
+
+def test_token_budget_alpha_temperature(token_corpus):
+    """alpha=0 targets a UNIFORM token mixture regardless of the skewed
+    empirical shares; alpha=1 keeps the natural mixture (shares ∝ group
+    totals)."""
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    tok = F.size(F.split("text", r"\s+")).cast("long")
+
+    def sums(df):
+        return {
+            r.source: r.t
+            for r in df.withColumn("t", tok)
+            .groupBy("source").agg(F.sum("t").alias("t")).collect()
+        }
+
+    flat = sums(token_budget_sample(token_corpus, "source", 1200, alpha=0.0))
+    assert max(flat.values()) - min(flat.values()) < 30  # ~400 each ± one doc
+
+    natural = sums(token_budget_sample(token_corpus, "source", 1200, alpha=1.0))
+    totals = sums(token_corpus)
+    grand = sum(totals.values())
+    for g, t in natural.items():
+        target = 1200 * totals[g] / grand
+        assert target <= t < target + 30, (g, t, target)
+
+
+def test_token_budget_token_col_and_determinism(token_corpus):
+    """A precomputed token column is honored; the selection is stable
+    under repartitioning (pure function of row identity)."""
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    pre = token_corpus.withColumn(
+        "n_tok", F.size(F.split("text", r"\s+"))
+    )
+    a = token_budget_sample(
+        pre, "source", 900, weights={"web": 1.0}, token_col="n_tok"
+    )
+    b = token_budget_sample(
+        pre.repartition(13), "source", 900,
+        weights={"web": 1.0}, token_col="n_tok",
+    )
+    assert _tbs_ids(a) == _tbs_ids(b)
+    assert all(r.source == "web" for r in a.select("source").collect())
+    # schema passthrough: original columns, helper columns gone
+    assert a.columns == pre.columns
+
+
+def test_token_budget_weight_corners(token_corpus):
+    """mixture_sample doctrine: zero-weight groups are excluded; a
+    positive-weight group with no rows warns and empties the output."""
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    out = token_budget_sample(
+        token_corpus, "source", 500,
+        weights={"web": 1.0, "books": 0.0},
+    )
+    assert all(r.source == "web" for r in out.select("source").collect())
+    assert out.count() > 0
+
+    with pytest.warns(UserWarning, match="bind the mixture"):
+        empty = token_budget_sample(
+            token_corpus, "source", 500,
+            weights={"web": 0.5, "papers": 0.5},
+        )
+    assert empty.count() == 0
+
+
+def test_token_budget_validation(token_corpus):
+    from flink_note_spark.operators.sampling import token_budget_sample
+
+    with pytest.raises(ValueError, match="exactly one"):
+        token_budget_sample(token_corpus, "source", 100)
+    with pytest.raises(ValueError, match="exactly one"):
+        token_budget_sample(
+            token_corpus, "source", 100, weights={"web": 1.0}, alpha=0.5
+        )
+    with pytest.raises(ValueError, match="positive"):
+        token_budget_sample(token_corpus, "source", 0, weights={"web": 1.0})
+    with pytest.raises(ValueError, match="alpha"):
+        token_budget_sample(token_corpus, "source", 100, alpha=1.5)
+    with pytest.raises(ValueError, match="n_buckets"):
+        token_budget_sample(
+            token_corpus, "source", 100, weights={"web": 1.0}, n_buckets=0
+        )
+    with pytest.raises(ValueError, match="sum to a positive"):
+        token_budget_sample(
+            token_corpus, "source", 100, weights={"web": 0.0}
+        )
