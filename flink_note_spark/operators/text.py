@@ -569,3 +569,112 @@ def chunk_documents(
         ).alias("n_tokens"),
     )
     return out
+
+
+#: Gopher's stopword-presence list (Rae et al. arXiv:2112.11446 §A1.1):
+#: a document must contain at least ``min_stopwords`` distinct entries.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    prefix: str = "gq_",
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. arXiv:2112.11446
+    §A1.1) as one composed scan-stage operator: per-document boolean
+    flag columns — one per rule — plus ``<prefix>keep`` (their
+    conjunction). Defaults are the paper's published thresholds; every
+    threshold is a parameter because real pipelines re-tune them per
+    corpus.
+
+    Rules (flag TRUE = document passes):
+
+    - ``words_ok``     word count in [min_words, max_words]
+    - ``word_len_ok``  mean word length in [min_mean_word_len, max_...]
+    - ``symbol_ok``    (hash + ellipsis symbols) / words <= max_symbol_ratio
+    - ``bullet_ok``    <= max_bullet_line_frac of lines start with a bullet
+    - ``ellipsis_ok``  <= max_ellipsis_line_frac of lines end with ellipsis
+    - ``alpha_ok``     >= min_alpha_word_frac of words contain a letter
+    - ``stopword_ok``  >= min_stopwords DISTINCT stopword-list entries occur
+
+    Everything is a pure Catalyst expression over one ``\\s+``
+    tokenization (shared with the dedup/TF-IDF kernel) and one ``\\n``
+    line split — the filter folds into the parquet scan stage, zero
+    shuffles at any scale, and each rule is independently auditable
+    (keep the flags, aggregate failure counts per source, THEN drop).
+    Zero-word documents fail ``words_ok`` and fail the ratio rules by
+    definition (flags are null-safe FALSE, never NULL).
+    """
+    w = F.filter(words(text_col), lambda x: x != "")
+    n_words = F.size(w)
+    has_words = n_words > 0
+    mean_wlen = F.when(
+        has_words,
+        F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+        / n_words,
+    )
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    # non-overlapping '...' occurrences via length difference / 3; the
+    # one-char U+2026 ellipsis counts directly
+    n_dots = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / 3
+    n_uni = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    symbol_ratio = F.when(has_words, (n_hash + n_dots + n_uni) / n_words)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+        )
+        / n_lines
+    )
+    alpha_frac = F.when(
+        has_words,
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / n_words,
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stopwords]),
+            lambda s: F.array_contains(w, s),
+        )
+    )
+
+    def safe(cond: Column) -> Column:
+        return F.coalesce(cond, F.lit(False))
+
+    flags = {
+        "words_ok": safe((n_words >= min_words) & (n_words <= max_words)),
+        "word_len_ok": safe(
+            (mean_wlen >= min_mean_word_len)
+            & (mean_wlen <= max_mean_word_len)
+        ),
+        "symbol_ok": safe(symbol_ratio <= max_symbol_ratio),
+        "bullet_ok": safe(bullet_frac <= max_bullet_line_frac),
+        "ellipsis_ok": safe(ellipsis_frac <= max_ellipsis_line_frac),
+        "alpha_ok": safe(alpha_frac >= min_alpha_word_frac),
+        "stopword_ok": safe(n_stop >= min_stopwords),
+    }
+    out = df
+    keep = F.lit(True)
+    for name, flag in flags.items():
+        out = out.withColumn(prefix + name, flag)
+        keep = keep & F.col(prefix + name)
+    return out.withColumn(prefix + "keep", keep)

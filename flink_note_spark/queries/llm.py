@@ -725,6 +725,108 @@ FROM cum WHERE cb < target GROUP BY lang ORDER BY lang
 """
 
 
+def q132_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule battery (r10; Rae et al. arXiv:2112.11446
+    §A1.1) with thresholds tuned to discriminate on the fixture corpus:
+    per-language audit of document counts, survivors, per-rule failure
+    counts, and the kept-id checksum. All seven rules are pure Catalyst
+    expressions folded into the scan stage
+    (`operators/text.py:gopher_quality_filter`); the oracle mirrors
+    every rule — tokenization, mean-word-length arithmetic, line
+    regexes, distinct-stopword counting — in independent DuckDB SQL."""
+    from flink_note_spark.operators.text import STOPWORDS, gopher_quality_filter
+
+    d = _t(spark, sf, "documents")
+    out = gopher_quality_filter(
+        d,
+        min_words=30,
+        max_words=80,
+        min_mean_word_len=3.5,
+        max_mean_word_len=4.5,
+        min_stopwords=2,
+        stopwords=STOPWORDS,
+    )
+    fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gq_keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("gq_keep"), F.col("doc_id")).otherwise(F.lit(0))
+            ).alias("kept_id_sum"),
+            fail("gq_words_ok").alias("fail_words"),
+            fail("gq_word_len_ok").alias("fail_word_len"),
+            fail("gq_symbol_ok").alias("fail_symbol"),
+            fail("gq_bullet_ok").alias("fail_bullet"),
+            fail("gq_ellipsis_ok").alias("fail_ellipsis"),
+            fail("gq_alpha_ok").alias("fail_alpha"),
+            fail("gq_stopword_ok").alias("fail_stopword"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q132_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+    string_split(text, chr(10)) AS lines,
+    text
+  FROM documents
+), sig AS (
+  SELECT doc_id, lang,
+    len(w) AS n_words,
+    CASE WHEN len(w) > 0
+         THEN list_sum(list_transform(w, x -> len(x))) / len(w) END
+      AS mean_wlen,
+    CASE WHEN len(w) > 0 THEN
+      ((len(text) - len(replace(text, '#', '')))
+       + (len(text) - len(replace(text, '...', ''))) / 3.0
+       + (len(text) - len(replace(text, '…', '')))) / len(w) END
+      AS symbol_ratio,
+    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
+         AS DOUBLE) / len(lines) AS bullet_frac,
+    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+         AS DOUBLE) / len(lines) AS ellipsis_frac,
+    CASE WHEN len(w) > 0
+         THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS DOUBLE) / len(w) END AS alpha_frac,
+    len(list_filter(['the','a','of','and','to'],
+                    s -> list_contains(w, s))) AS n_stop
+  FROM base
+), flags AS (
+  SELECT doc_id, lang,
+    COALESCE(n_words >= 30 AND n_words <= 80, FALSE) AS words_ok,
+    COALESCE(mean_wlen >= 3.5 AND mean_wlen <= 4.5, FALSE) AS word_len_ok,
+    COALESCE(symbol_ratio <= 0.1, FALSE) AS symbol_ok,
+    COALESCE(bullet_frac <= 0.9, FALSE) AS bullet_ok,
+    COALESCE(ellipsis_frac <= 0.3, FALSE) AS ellipsis_ok,
+    COALESCE(alpha_frac >= 0.8, FALSE) AS alpha_ok,
+    COALESCE(n_stop >= 2, FALSE) AS stopword_ok
+  FROM sig
+), k AS (
+  SELECT *,
+    (words_ok AND word_len_ok AND symbol_ok AND bullet_ok
+     AND ellipsis_ok AND alpha_ok AND stopword_ok) AS keep
+  FROM flags
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+  CAST(COALESCE(SUM(doc_id) FILTER (WHERE keep), 0) AS BIGINT)
+    AS kept_id_sum,
+  CAST(COUNT(*) FILTER (WHERE NOT words_ok) AS BIGINT) AS fail_words,
+  CAST(COUNT(*) FILTER (WHERE NOT word_len_ok) AS BIGINT) AS fail_word_len,
+  CAST(COUNT(*) FILTER (WHERE NOT symbol_ok) AS BIGINT) AS fail_symbol,
+  CAST(COUNT(*) FILTER (WHERE NOT bullet_ok) AS BIGINT) AS fail_bullet,
+  CAST(COUNT(*) FILTER (WHERE NOT ellipsis_ok) AS BIGINT) AS fail_ellipsis,
+  CAST(COUNT(*) FILTER (WHERE NOT alpha_ok) AS BIGINT) AS fail_alpha,
+  CAST(COUNT(*) FILTER (WHERE NOT stopword_ok) AS BIGINT) AS fail_stopword
+FROM k GROUP BY lang ORDER BY lang
+"""
+
+
 def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     """Per-key reservoir sampling, driver-checkable invariant: the
     sample is EXACTLY min(k, n) rows per key (the property that
@@ -1970,6 +2072,7 @@ QUERIES = {
     "q90_lsh_verified_pairs": q90_lsh_verified_pairs,
     "q91_md5_split": q91_md5_split,
     "q131_token_budget_mixture": q131_token_budget_mixture,
+    "q132_gopher_quality": q132_gopher_quality,
     "q60_reservoir_exact_k": q60_reservoir_exact_k,
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
@@ -2010,6 +2113,7 @@ ORACLES = {
     "q90_lsh_verified_pairs": _Q30_SQL,
     "q91_md5_split": _Q91_SQL,
     "q131_token_budget_mixture": _Q131_SQL,
+    "q132_gopher_quality": _Q132_SQL,
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,

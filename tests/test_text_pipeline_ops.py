@@ -567,3 +567,114 @@ def test_paragraph_dedup_plan_no_cartesian(spark):
     assert "Join" not in plan
     physical = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in physical
+
+
+def _gq(spark, texts, **kw):
+    from flink_note_spark.operators.text import gopher_quality_filter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = gopher_quality_filter(df, **kw).orderBy("doc_id").collect()
+    return rows
+
+
+def test_gopher_each_rule_fails_independently(spark):
+    """One crafted document per rule, each failing EXACTLY that rule
+    (plus keep); a clean doc passes everything."""
+    clean = "the cat sat and the dog ran off to the big red barn " * 5
+    texts = [
+        clean,                                   # 0: passes all
+        "the and of",                            # 1: too few words
+        clean.replace("cat", "c#t#s#"),          # 2: symbol ratio (hashes)
+        "\n".join(["- the cat and dog"] * 10),   # 3: bullet lines
+        # 4: ellipsis lines (lines long enough that the ten '...'
+        # occurrences stay under the 0.1 symbol ratio)
+        "\n".join(["the cat and dog ran far away home again now more ..."] * 10),
+        " ".join(["123 456 789 000 111 the and"] * 10),  # 5: alpha frac
+        "cat dog bird fish goat lamb pony mule " * 8,    # 6: no stopwords
+    ]
+    rows = _gq(
+        spark, texts,
+        min_words=10, max_words=1000,
+        min_mean_word_len=1.0, max_mean_word_len=10.0,
+        min_stopwords=2, stopwords=("the", "and", "of", "to"),
+    )
+    flags = [
+        "gq_words_ok", "gq_symbol_ok", "gq_bullet_ok",
+        "gq_ellipsis_ok", "gq_alpha_ok", "gq_stopword_ok",
+    ]
+    assert rows[0]["gq_keep"] is True
+    expect_fail = {
+        1: "gq_words_ok", 2: "gq_symbol_ok", 3: "gq_bullet_ok",
+        4: "gq_ellipsis_ok", 5: "gq_alpha_ok", 6: "gq_stopword_ok",
+    }
+    for i, failing in expect_fail.items():
+        r = rows[i]
+        assert r["gq_keep"] is False, i
+        assert r[failing] is False, (i, failing)
+        for f in flags:
+            if f != failing:
+                assert r[f] is True, (i, f)
+
+
+def test_gopher_mean_word_length_bounds(spark):
+    short = " ".join(["a b c d"] * 20)            # mean 1
+    long = " ".join(["extraordinarily"] * 60)     # mean 15
+    mid = " ".join(["the cat sat"] * 20)          # mean 3
+    rows = _gq(
+        spark, [short, long, mid],
+        min_words=3, min_mean_word_len=2.0, max_mean_word_len=10.0,
+        min_stopwords=0,
+    )
+    assert [r["gq_word_len_ok"] for r in rows] == [False, False, True]
+
+
+def test_gopher_zero_word_doc_null_safe(spark):
+    """Empty/whitespace docs fail words_ok and the ratio rules as FALSE
+    (never NULL), so keep is a real boolean."""
+    rows = _gq(spark, ["", "   "], min_words=1, min_stopwords=0)
+    for r in rows:
+        assert r["gq_words_ok"] is False
+        assert r["gq_word_len_ok"] is False
+        assert r["gq_alpha_ok"] is False
+        assert r["gq_keep"] is False
+
+
+def test_gopher_unicode_ellipsis_and_overlap_counting(spark):
+    """U+2026 counts as a symbol and as a line-ending ellipsis; four
+    dots count as ONE non-overlapping '...' occurrence."""
+    many = "the and " * 30
+    rows = _gq(
+        spark,
+        [many + "x….… y…", "the cat and dog ….\nthe end …"],
+        min_words=2, min_stopwords=0, max_symbol_ratio=0.01,
+    )
+    assert rows[0]["gq_symbol_ok"] is False
+    # second doc: line 2 ends with unicode ellipsis → 1/2 lines > 0.3
+    assert rows[1]["gq_ellipsis_ok"] is False
+
+
+def test_gopher_prefix_and_schema(spark):
+    from flink_note_spark.operators.text import gopher_quality_filter
+
+    df = spark.createDataFrame([(1, "the cat and dog")], "doc_id long, text string")
+    out = gopher_quality_filter(df, prefix="g_")
+    added = [c for c in out.columns if c not in df.columns]
+    assert sorted(added) == sorted(
+        ["g_words_ok", "g_word_len_ok", "g_symbol_ok", "g_bullet_ok",
+         "g_ellipsis_ok", "g_alpha_ok", "g_stopword_ok", "g_keep"]
+    )
+
+
+def test_gopher_filter_is_scan_stage_only(spark, sf_dir):
+    """All seven rules fold into the scan: no Exchange in the plan."""
+    from flink_note_spark.operators.text import gopher_quality_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        gopher_quality_filter(d)
+        .filter(F.col("gq_keep"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
