@@ -5929,3 +5929,136 @@ def paragraph_dedup_stream(
         )
     )
     return survivors.unionByName(short)
+
+
+def bloom_capacity(n_items: int, fp_rate: float) -> tuple[int, int]:
+    """Classic Bloom sizing: (total_bits, n_hashes) for ``n_items``
+    inserted keys at ``fp_rate`` false-positive probability —
+    ``m = -n·ln p / (ln 2)²``, ``k = (m/n)·ln 2``. Round total_bits up
+    to the caller's shard granularity before use."""
+    import math
+
+    if n_items <= 0 or not 0.0 < fp_rate < 1.0:
+        raise ValueError("n_items must be positive, fp_rate in (0, 1)")
+    m = math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2))
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def bloom_dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    *,
+    n_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Space-BOUNDED streaming dedup via sharded Bloom filters — the
+    100 TB alternative to exact per-key state. ``stream_dedup`` (and the
+    digest-keyed stateful ops) hold one state entry PER DISTINCT key:
+    correct, but on an unbounded key universe (URLs, content digests)
+    the state either grows forever or needs a watermark/TTL horizon.
+    This operator's TOTAL state is fixed at
+    ``n_shards × bits_per_shard`` bits FOREVER, with the classic
+    one-sided error: a true duplicate is ALWAYS dropped (no false
+    negatives — dedup's safety property), while a novel key is wrongly
+    dropped with probability ≈ ``(1 − e^(−k·n/M))^k`` after n distinct
+    keys against ``M = n_shards·bits_per_shard`` total bits and
+    ``k = n_hashes`` probes (size with :func:`bloom_capacity`; the
+    64 MiB default absorbs ~50 M keys at <1% FP).
+
+    Plan shape: key and probe hashes are JVM ``xxhash64`` columns
+    computed at the scan; the ONLY shuffle keys rows on
+    ``hash(keys) % n_shards`` — uniform by construction, no hot-shard
+    skew regardless of key skew (two equal keys always meet in one
+    shard, which is all correctness needs). Each shard's filter is one
+    BINARY state value updated per micro-batch by a numpy bit-set
+    kernel; probe positions use Kirsch–Mitzenmacher double hashing
+    (``pos_i = h1 + i·h2 mod m`` with an odd step — a full-period walk
+    since ``bits_per_shard`` is a power of two). Set ``n_shards`` to a
+    small multiple of executor cores: it bounds the stateful stage's
+    parallelism.
+
+    Within a micro-batch rows are processed in ``(ts, keys)`` order, so
+    which of two same-key arrivals survives is deterministic. Output is
+    the surviving rows in append mode, ``ts_col`` replaced by ``ts_us``
+    (epoch microseconds — the streaming convention). No watermark is
+    required: nothing here evicts by time, that is the point.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if bits_per_shard < 8 or bits_per_shard & (bits_per_shard - 1):
+        raise ValueError("bits_per_shard must be a power of two >= 8")
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    for c in keys + [ts_col]:
+        if c not in stream.columns:
+            raise ValueError(f"column {c!r} not in the stream")
+
+    m = bits_per_shard
+    kcols = [F.col(c) for c in keys]
+    work = (
+        stream.withColumn(
+            "__bd_shard",
+            F.pmod(F.xxhash64(*kcols, F.lit(101)), F.lit(n_shards)).cast("int"),
+        )
+        .withColumn("__bd_h1", F.xxhash64(*kcols, F.lit(202)))
+        .withColumn("__bd_h2", F.xxhash64(*kcols, F.lit(303)))
+        .withColumn(
+            "__bd_ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+        )
+    )
+    passthrough = [c for c in stream.columns if c != ts_col]
+    dtypes = dict(stream.dtypes)
+    out_schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in passthrough] + ["ts_us long"]
+    )
+    out_cols = passthrough + ["__bd_ts_us"]
+    n_bytes = m // 8
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        new = [p for p in pdfs if len(p)]
+        if not new:
+            return
+        filt = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(n_bytes, dtype=np.uint8)
+        )
+        pdf = pd.concat(new, ignore_index=True).sort_values(
+            ["__bd_ts_us", *keys], kind="stable", ignore_index=True
+        )
+        h1 = pdf["__bd_h1"].to_numpy().astype(np.uint64) % np.uint64(m)
+        h2 = (pdf["__bd_h2"].to_numpy().astype(np.uint64) | np.uint64(1)) % np.uint64(m)
+        steps = np.arange(n_hashes, dtype=np.uint64)
+        # all probe positions, rows × k (vectorized; the sequential part
+        # below is only the bit test/set, which must see earlier rows'
+        # inserts to catch intra-batch duplicates)
+        pos = (h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        keep = np.zeros(len(pdf), dtype=bool)
+        for j in range(len(pdf)):
+            b, msk = byte_idx[j], bit[j]
+            if not np.all(filt[b] & msk):
+                # unbuffered OR: two probes of one row may share a BYTE
+                # (distinct bits) — plain fancy-index |= would drop one
+                np.bitwise_or.at(filt, b, msk)
+                keep[j] = True
+        state.update((filt.tobytes(),))
+        kept = pdf.loc[keep, out_cols]
+        if len(kept):
+            yield kept.rename(columns={"__bd_ts_us": "ts_us"})
+
+    return work.groupBy("__bd_shard").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType="filter binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

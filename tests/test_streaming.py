@@ -4688,3 +4688,135 @@ def test_paragraph_dedup_stream_retention_readmits(spark, tmp_path):
     assert banner == [1, 3]
     shorts = sorted(r.doc_id for r in rows if r.para == "ok")
     assert shorts == [1, 4]  # min_len bypass: every arrival emits
+
+
+def test_bloom_dedup_stream_equals_exact_when_roomy(spark, tmp_path):
+    """With a roomy filter the Bloom dedup's survivors EQUAL exact
+    first-arrival dedup across micro-batch boundaries (no false
+    positives at negligible load), and every true duplicate is dropped
+    (no false negatives ever)."""
+    from flink_note_spark.streaming.ops import bloom_dedup_stream
+
+    rows = []
+    for b in range(4):
+        for i in range(40):
+            key = f"k{(b * 17 + i) % 60}"  # repeats across batches
+            rows.append((key, _ts(b * 10 + i * 0.1), b * 100 + i))
+    schema = "k string, ts timestamp, payload long"
+    # one parquet dir per batch for maxFilesPerTrigger=1
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    for b in range(4):
+        chunk = rows[b * 40:(b + 1) * 40]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = bloom_dedup_stream(
+        stream, ["k"], "ts", n_shards=8, bits_per_shard=1 << 16
+    )
+    _run_to_memory(out, "bloom_roomy", "append", tmp_path)
+    got = spark.sql("SELECT * FROM bloom_roomy").collect()
+    # exact first arrival per key over the whole feed
+    first = {}
+    for k, ts, payload in rows:
+        if k not in first:
+            first[k] = payload
+    assert {r.k: r.payload for r in got} == first
+    assert len(got) == 60
+
+
+def test_bloom_dedup_stream_fp_tradeoff_and_no_false_negatives(
+    spark, tmp_path
+):
+    """A deliberately tiny filter FORCES false positives: some novel
+    keys are wrongly dropped (survivors < distinct keys) — the
+    documented space/accuracy trade — while duplicates are still always
+    dropped (nothing survives twice)."""
+    from flink_note_spark.streaming.ops import bloom_dedup_stream
+
+    schema = "k string, ts timestamp, payload long"
+    rows = [(f"key{i}", _ts(i * 0.1), i) for i in range(400)]
+    rows += rows[:50]  # true duplicates
+    src = tmp_path / "bloom_tiny"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = bloom_dedup_stream(
+        stream, ["k"], "ts", n_shards=1, bits_per_shard=256, n_hashes=4
+    )
+    _run_to_memory(out, "bloom_tiny_t", "append", tmp_path)
+    got = spark.sql("SELECT k FROM bloom_tiny_t").collect()
+    ks = [r.k for r in got]
+    assert len(ks) == len(set(ks))  # a key NEVER survives twice
+    assert len(ks) < 400            # tiny filter must collide
+
+
+def test_bloom_dedup_stream_state_survives_restart(spark, tmp_path):
+    """The filter state persists across a query restart: keys seen
+    before the restart stay dropped after it."""
+    from flink_note_spark.sources.files import write_stream_sink
+    from flink_note_spark.streaming.ops import bloom_dedup_stream
+
+    schema = "k string, ts timestamp, payload long"
+    src = tmp_path / "bloom_restart_src"
+    src.mkdir()
+    sink = str(tmp_path / "bloom_restart_sink")
+    ckpt = str(tmp_path / "bloom_restart_ckpt")
+    spark.createDataFrame(
+        [(f"k{i}", _ts(i), i) for i in range(20)], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        out = bloom_dedup_stream(
+            stream, ["k"], "ts", n_shards=4, bits_per_shard=1 << 14
+        )
+        q = write_stream_sink(
+            out, "parquet", sink, checkpoint=ckpt, output_mode="append"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    # second wave: 10 repeats (must be dropped) + 10 fresh
+    spark.createDataFrame(
+        [(f"k{i}", _ts(100 + i), 1000 + i) for i in range(10, 30)],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b"))
+    run_once()
+    got = spark.read.parquet(sink).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(r.payload)
+    assert all(len(v) == 1 for v in by_key.values())
+    assert set(by_key) == {f"k{i}" for i in range(30)}
+    # the repeated k10..k19 kept their FIRST (pre-restart) payloads
+    for i in range(10, 20):
+        assert by_key[f"k{i}"] == [i]
+
+
+def test_bloom_dedup_stream_validation(spark, tmp_path):
+    from flink_note_spark.streaming.ops import bloom_capacity, bloom_dedup_stream
+
+    schema = "k string, ts timestamp"
+    src = tmp_path / "bloom_val_src"
+    spark.createDataFrame([("a", _ts(0))], schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_dedup_stream(stream, ["k"], "ts", bits_per_shard=1000)
+    with pytest.raises(ValueError, match="n_shards"):
+        bloom_dedup_stream(stream, ["k"], "ts", n_shards=0)
+    with pytest.raises(ValueError, match="not in the stream"):
+        bloom_dedup_stream(stream, ["missing"], "ts")
+    m, k = bloom_capacity(1_000_000, 0.01)
+    assert 9_000_000 < m < 10_100_000 and k in (6, 7)
+    with pytest.raises(ValueError, match="fp_rate"):
+        bloom_capacity(100, 1.5)
