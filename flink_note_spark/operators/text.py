@@ -678,3 +678,197 @@ def gopher_quality_filter(
         out = out.withColumn(prefix + name, flag)
         keep = keep & F.col(prefix + name)
     return out.withColumn(prefix + "keep", keep)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the model-free perplexity proxy (the factored
+    kernel behind q79; CCNet's KenLM scoring stage, arXiv:1911.00359
+    §4.3, with the corpus itself standing in for the LM since no model
+    files ship in this container).
+
+    Output: ``id_col, mean_logp (rounded), n_tokens``. Scale shape: two
+    map-side-combinable aggregations (corpus token frequencies; per-doc
+    means over a token-keyed join) — shuffles carry (token) and
+    (doc, token) aggregate rows only, never document text.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(words(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = tok.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("__c") / F.col("__n"))), round_to
+            ).alias("mean_logp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning
+    (arXiv:1911.00359 §4.3): score every document with the
+    :func:`unigram_logprob` perplexity proxy, then split each language
+    into ``n_buckets`` equal-frequency buckets — bucket 1 ("head") is
+    the most-typical (highest mean log-probability / lowest perplexity)
+    third, "tail" the least. Real pipelines keep head+middle for
+    pretraining and route tail to a quality re-review.
+
+    Output: the input's ``id_col``/``lang_col`` plus ``mean_logp,
+    n_tokens, bucket (1-based), bucket_label`` (head/middle/tail when
+    ``n_buckets == 3``, ``b<k>`` otherwise).
+
+    Modes — the exact/scale twin doctrine (SURVEY.md §7.3):
+
+    - ``exact``: ``ntile(n)`` over ``(mean_logp DESC, id)`` within each
+      language — deterministic, oracle-checkable, but the window sorts
+      each language on ONE reducer. Fine at gate SF; at 100 TB the
+      dominant language would serialize.
+    - ``thresholds``: per-language ``percentile_approx`` boundaries
+      broadcast back as a range join — two small aggregations and a
+      broadcast, NO per-language global sort; bucket populations are
+      approximate at the boundaries (the CCNet paper's own production
+      shape: thresholds are computed once on a sample).
+    """
+    scored = df.select(id_col, lang_col, text_col)
+    lp = unigram_logprob(scored, text_col, id_col)
+    scored = scored.join(lp, id_col).drop(text_col)
+    if n_buckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("bucket"))
+    if mode == "exact":
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("mean_logp").desc(), F.col(id_col).asc()
+        )
+        return scored.withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        ).withColumn("bucket_label", label)
+    if mode != "thresholds":
+        raise ValueError(f"mode must be exact|thresholds, got {mode!r}")
+    # scale path: equal-frequency boundaries from one approx-quantile
+    # aggregation per language, broadcast back; docs bucket by simple
+    # comparison — no global sort anywhere.
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scored.groupBy(lang_col).agg(
+        F.percentile_approx("mean_logp", probs, 10_000).alias("__qs")
+    )
+    joined = scored.join(F.broadcast(bounds), lang_col)
+    # bucket = 1 + number of ascending quantile boundaries strictly
+    # above this score: the top third clears every boundary (bucket 1 =
+    # head), the bottom third clears none (bucket n = tail)
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("__qs"), lambda q: q > F.col("mean_logp"))
+    )
+    return (
+        joined.withColumn("bucket", bucket.cast("int"))
+        .withColumn("bucket_label", label)
+        .drop("__qs")
+    )
+
+
+def lexicon_quality_score(
+    df: DataFrame,
+    lexicon: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    round_to: int = 6,
+    max_map_literal: int = 10_000,
+) -> DataFrame:
+    """fastText-style LINEAR quality classifier with fixed published
+    weights (the shape of CCNet/RedPajama's quality heads: a linear
+    model over token features; the learned weights arrive as data, the
+    engine's job is the scoring pass). Score =
+    ``sigmoid(bias + mean(weight(token)))`` with weight 0 for tokens
+    outside the lexicon.
+
+    Output: input columns plus ``quality_score`` (rounded). Scale
+    shape: lexicons up to ``max_map_literal`` entries compile to a
+    Catalyst MAP literal folded into the scan stage — zero shuffles,
+    zero joins at ANY corpus size. Larger lexicons fall back to a
+    token-explode + broadcast hash join (one doc-keyed re-aggregation
+    shuffle carrying (doc, token) rows, never text)."""
+    if not lexicon:
+        raise ValueError("lexicon must be non-empty")
+    toks = F.filter(words(text_col), lambda t: t != "")
+    n = F.size(toks)
+    if len(lexicon) <= max_map_literal:
+        pairs: list[Column] = []
+        for tok, wgt in lexicon.items():
+            pairs.extend([F.lit(tok), F.lit(float(wgt))])
+        m = F.create_map(*pairs)
+        wsum = F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(m, t), F.lit(0.0)),
+        )
+        mean_w = F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+        score = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.lit(float(bias)) + mean_w))
+        )
+        return df.withColumn("quality_score", F.round(score, round_to))
+    # big-lexicon path: broadcast join on exploded tokens
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(t, float(w)) for t, w in lexicon.items()],
+        "token string, __wgt double",
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.explode(toks).alias("token")
+    )
+    scored = (
+        tok_rows.join(F.broadcast(lex), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.coalesce("__wgt", F.lit(0.0)))
+                / F.count(F.lit(1))
+            ).alias("__mean_w")
+        )
+    )
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.col("__mean_w")))
+    )
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.when(
+                    F.col("__mean_w").isNotNull(), score
+                ).otherwise(
+                    F.lit(
+                        round(
+                            1.0 / (1.0 + __import__("math").exp(-bias)),
+                            round_to,
+                        )
+                    )
+                ),
+                round_to,
+            ),
+        )
+        .drop("__mean_w")
+    )

@@ -827,6 +827,119 @@ FROM k GROUP BY lang ORDER BY lang
 """
 
 
+def q133_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (r10; arXiv:1911.00359 §4.3):
+    per-language equal-frequency split of the corpus by the unigram
+    perplexity proxy (`operators/text.py:perplexity_buckets`, exact
+    ntile mode — the thresholds scale twin is pytest-pinned against
+    it). Output: per (lang, bucket) population, id checksum, and mean
+    score. Scoring is the q79 kernel (two map-side-combinable aggs, one
+    token-keyed join); the bucketing window sorts six-decimal-rounded
+    scores with doc_id tiebreak so both engines order identically."""
+    from flink_note_spark.operators.text import perplexity_buckets
+
+    d = _t(spark, sf, "documents")
+    b = perplexity_buckets(d, "text", "doc_id", "lang", 3, mode="exact")
+    return (
+        b.groupBy("lang", "bucket", "bucket_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.round(F.avg("mean_logp"), 6).alias("avg_logp"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_Q133_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY 1
+), total AS (SELECT count(*) AS n FROM tok),
+lp AS (
+  SELECT doc_id,
+         round(avg(ln(freq.c / CAST(total.n AS DOUBLE))), 6) AS mean_logp
+  FROM tok JOIN freq USING (token) CROSS JOIN total
+  GROUP BY doc_id
+), b AS (
+  SELECT d.lang, lp.doc_id, lp.mean_logp,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY lp.mean_logp DESC, lp.doc_id ASC)
+           AS bucket
+  FROM lp JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       round(avg(mean_logp), 6) AS avg_logp
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+#: Fixed linear-scorer weights for q134 — stands in for a published
+#: fastText quality head; values chosen to discriminate on the fixture
+#: vocabulary (STOPWORDS present = prose-like, digits/symbols = junk).
+QUALITY_LEXICON = {
+    "the": 1.0,
+    "of": 0.8,
+    "and": 0.8,
+    "a": 0.6,
+    "to": 0.6,
+    "is": 0.4,
+    "error": -1.5,
+    "click": -1.2,
+    "free": -1.0,
+    "buy": -1.0,
+}
+
+
+def q134_lexicon_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style linear quality scoring with fixed weights (r10;
+    `operators/text.py:lexicon_quality_score`, MAP-literal scan-stage
+    path — zero joins, zero shuffles before the final top-k). Output:
+    the 10 lowest-scoring documents. The oracle replays the identical
+    linear model via an unnest + VALUES join."""
+    from flink_note_spark.operators.text import lexicon_quality_score
+
+    d = _t(spark, sf, "documents")
+    s = lexicon_quality_score(d, QUALITY_LEXICON, "text", "doc_id")
+    return (
+        s.select("doc_id", "quality_score")
+        .orderBy(F.col("quality_score").asc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+_Q134_SQL = r"""
+WITH lex(token, wgt) AS (
+  VALUES ('the', 1.0), ('of', 0.8), ('and', 0.8), ('a', 0.6),
+         ('to', 0.6), ('is', 0.4), ('error', -1.5), ('click', -1.2),
+         ('free', -1.0), ('buy', -1.0)
+), tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(sum(COALESCE(wgt, 0.0))
+                                  / count(*)))), 6) AS quality_score
+  FROM tok LEFT JOIN lex USING (token)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.quality_score, 0.5) AS quality_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY quality_score ASC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     """Per-key reservoir sampling, driver-checkable invariant: the
     sample is EXACTLY min(k, n) rows per key (the property that
@@ -2073,6 +2186,8 @@ QUERIES = {
     "q91_md5_split": q91_md5_split,
     "q131_token_budget_mixture": q131_token_budget_mixture,
     "q132_gopher_quality": q132_gopher_quality,
+    "q133_ccnet_buckets": q133_ccnet_buckets,
+    "q134_lexicon_quality": q134_lexicon_quality,
     "q60_reservoir_exact_k": q60_reservoir_exact_k,
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
@@ -2114,6 +2229,8 @@ ORACLES = {
     "q91_md5_split": _Q91_SQL,
     "q131_token_budget_mixture": _Q131_SQL,
     "q132_gopher_quality": _Q132_SQL,
+    "q133_ccnet_buckets": _Q133_SQL,
+    "q134_lexicon_quality": _Q134_SQL,
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,

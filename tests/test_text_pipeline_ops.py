@@ -678,3 +678,128 @@ def test_gopher_filter_is_scan_stage_only(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- r10:
+# CCNet perplexity bucketing + fastText-style lexicon quality scorer
+
+
+def test_perplexity_buckets_exact_populations(spark):
+    """ntile mode: per-language bucket populations differ by at most
+    one and head holds the HIGHEST mean_logp (most typical docs)."""
+    from flink_note_spark.operators.text import perplexity_buckets
+
+    rows = [
+        (i, "en", ("the of and " * (i % 7 + 1)) + f"tok{i} " * (i % 3 + 1))
+        for i in range(20)
+    ] + [(100 + i, "fr", f"le des mot{i} " * (i % 5 + 1)) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(df, "text", "doc_id", "lang", 3).toPandas()
+    for lang, grp in out.groupby("lang"):
+        sizes = grp.groupby("bucket").size()
+        assert sizes.max() - sizes.min() <= 1
+        head_min = grp[grp.bucket == 1].mean_logp.min()
+        tail_max = grp[grp.bucket == 3].mean_logp.max()
+        assert head_min >= tail_max
+    assert set(out.bucket_label) == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_thresholds_agrees_off_boundary(spark):
+    """The scale twin (approx-quantile thresholds, no per-language
+    sort) assigns the same bucket as exact ntile for every document
+    whose score is not exactly ON a boundary quantile — the only place
+    the two can legitimately disagree."""
+    from flink_note_spark.operators.text import perplexity_buckets
+
+    # distinct scores: doc i = (i+2) copies of "the" + one unique token
+    # (ties would make BOTH conventions legitimately ambiguous)
+    rows = [
+        (i, "en", "the " * (i + 2) + f"tok{i}") for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    exact = perplexity_buckets(df, "text", "doc_id", "lang", 3).toPandas()
+    thr = perplexity_buckets(
+        df, "text", "doc_id", "lang", 3, mode="thresholds"
+    ).toPandas()
+    merged = exact.merge(thr, on="doc_id", suffixes=("_e", "_t"))
+    # the conventions may differ exactly AT a bucket edge value — the
+    # edges are each bucket's min/max score in either output
+    boundary = set()
+    for pdf, col in ((exact, "bucket"), (thr, "bucket")):
+        for _, grp in pdf.groupby(col):
+            boundary.add(grp.mean_logp.min())
+            boundary.add(grp.mean_logp.max())
+    off = merged[~merged.mean_logp_e.isin(boundary)]
+    assert len(off) >= 10
+    assert (off.bucket_e == off.bucket_t).all()
+
+
+def test_perplexity_buckets_bad_mode(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame([(1, "en", "the")], "doc_id long, lang string, text string")
+    with _pt.raises(ValueError, match="mode"):
+        perplexity_buckets(df, mode="nope").collect()
+
+
+def test_lexicon_quality_score_known_values(spark):
+    """Hand-computed sigmoid scores; empty doc scores exactly 0.5."""
+    import math
+
+    from flink_note_spark.operators.text import lexicon_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the the spam"), (2, ""), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["quality_score"]
+        for r in lexicon_quality_score(
+            df, {"the": 1.0, "spam": -2.0}
+        ).collect()
+    }
+    expected1 = 1.0 / (1.0 + math.exp(-((1.0 + 1.0 - 2.0) / 3)))
+    assert out[1] == round(expected1, 6)
+    assert out[2] == 0.5  # no tokens -> mean weight 0 -> sigmoid(0)
+    assert out[3] == 0.5  # tokens outside the lexicon weigh 0
+
+
+def test_lexicon_quality_big_lexicon_path_matches_map_path(spark):
+    """Forcing the broadcast-join path (max_map_literal=1) must score
+    identically to the Catalyst MAP-literal path."""
+    from flink_note_spark.operators.text import lexicon_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat spam"), (2, "the the the"), (3, "")],
+        "doc_id long, text string",
+    )
+    lex = {"the": 0.7, "spam": -1.3, "cat": 0.1}
+    a = lexicon_quality_score(df, lex).select("doc_id", "quality_score")
+    b = lexicon_quality_score(df, lex, max_map_literal=1).select(
+        "doc_id", "quality_score"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lexicon_quality_map_path_is_scan_stage_only(spark, sf_dir):
+    """The MAP-literal path folds into the parquet scan: no Exchange."""
+    from flink_note_spark.operators.text import lexicon_quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        lexicon_quality_score(d, {"the": 1.0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_lexicon_quality_empty_lexicon_refuses(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.text import lexicon_quality_score
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="lexicon"):
+        lexicon_quality_score(df, {})
