@@ -971,6 +971,85 @@ ORDER BY value_bucket
 """
 
 
+def q135_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog compaction / upsert materialization (r10 — the notes'
+    dynamic-table story): events replayed as a per-user changelog,
+    compacted to the latest row per user with ONE ``max_by``
+    aggregation (`operators/changelog.py:upsert_latest` — no window
+    sort, no self-join; map-side combine shrinks the shuffle to one
+    candidate per partition-key). Oracle replays the semantics through
+    the independent row_number formulation."""
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    e = _t(spark, sf, "events")
+    latest = upsert_latest(
+        e, ["user_id"], version_col="ts", tiebreak="event_id"
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q135_SQL = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       round(sum(value), 4) AS value_sum
+FROM latest GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q136_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Retract-stream materialization WITH tombstones (r10): 'error'
+    events act as delete markers — a user whose LATEST event is an
+    error vanishes from the materialized table
+    (`operators/changelog.py:apply_changelog`; the tombstone filter
+    runs on the already-compacted one-row-per-key frame)."""
+    from flink_note_spark.operators.changelog import apply_changelog
+
+    e = _t(spark, sf, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "D").otherwise("U"),
+    )
+    live = apply_changelog(
+        e, ["user_id"], version_col="ts", op_col="op",
+        tiebreak="event_id",
+    )
+    return live.agg(
+        F.count(F.lit(1)).alias("n_live_users"),
+        F.sum("user_id").cast("long").alias("user_id_sum"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+_Q136_SQL = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_live_users,
+       CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM latest WHERE event_type <> 'error'
+"""
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -993,6 +1072,8 @@ QUERIES = {
     "q119_table_session_window": q119_table_session_window,
     "q120_ddl_filesystem": q120_ddl_filesystem,
     "q126_ddl_view_like": q126_ddl_view_like,
+    "q135_upsert_latest": q135_upsert_latest,
+    "q136_apply_changelog": q136_apply_changelog,
 }
 
 ORACLES = {
@@ -1017,4 +1098,6 @@ ORACLES = {
     "q119_table_session_window": _Q119_SQL,
     "q120_ddl_filesystem": _Q120_SQL,
     "q126_ddl_view_like": _Q126_SQL,
+    "q135_upsert_latest": _Q135_SQL,
+    "q136_apply_changelog": _Q136_SQL,
 }

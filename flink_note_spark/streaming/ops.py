@@ -6062,3 +6062,38 @@ def bloom_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def upsert_latest_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming upsert materialization (r10) — Flink's upsert-kafka /
+    dynamic-table surface: a keyed changelog stream compacts to its
+    latest row per key, re-emitting a key whenever its winner changes.
+
+    Spark-first twin: the batch operator
+    (`operators/changelog.py:upsert_latest`) is a single declarative
+    ``max_by`` aggregate, and that SAME plan is incrementally
+    executable — no applyInPandasWithState, no custom timers. State =
+    exactly one compacted struct per live key in the aggregation store
+    (the minimum any upsert semantics needs); update output mode emits
+    a key only in micro-batches that change it. Late rows with stale
+    versions fold in and LOSE to the stored winner — max_by is
+    insensitive to arrival order, so stream == batch on any prefix, and
+    restarts replay exactly (checkpoint test).
+
+    No watermark: upsert state is keyed CURRENT state, not windowed
+    history — it must never expire while the key is live (Flink's
+    upsert sink keeps the latest row forever too). Bound key
+    cardinality upstream (partition the table) rather than by TTL.
+
+    Write the result with ``output_mode="update"``; the final state per
+    key is the LAST emitted row for that key (foreachBatch-merge into a
+    keyed store, or compact the memory sink by max version again).
+    """
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    return upsert_latest(stream, key_cols, version_col, tiebreak)

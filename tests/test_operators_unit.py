@@ -1216,3 +1216,102 @@ def test_dedup_against_index_excludes_reingested_ids(spark):
         inc, idx, threshold=0.3, ids_unique=True
     ).collect()
     assert {(r.d1, r.d2) for r in pairs} == {(1, 3)}
+
+
+# ------------------------------------------------------------------ r10:
+# changelog compaction / upsert materialization
+
+
+def test_upsert_latest_picks_greatest_version(spark):
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "c"), (1, 20, "b"), (2, 5, "x")],
+        "k long, v long, payload string",
+    )
+    got = {
+        r["k"]: (r["v"], r["payload"])
+        for r in upsert_latest(df, ["k"], "v").collect()
+    }
+    assert got == {1: (30, "c"), 2: (5, "x")}
+
+
+def test_upsert_latest_tiebreak_decides_equal_versions(spark):
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "first"), (1, 10, 9, "last"), (1, 5, 99, "old")],
+        "k long, v long, seq long, payload string",
+    )
+    (row,) = upsert_latest(df, ["k"], "v", tiebreak="seq").collect()
+    assert (row["payload"], row["seq"]) == ("last", 9)
+
+
+def test_upsert_latest_composite_key_and_schema(spark):
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, 1.0), (1, "b", 2, 2.0), (1, "a", 3, 3.0)],
+        "k1 long, k2 string, v long, x double",
+    )
+    out = upsert_latest(df, ["k1", "k2"], "v")
+    assert out.columns == ["k1", "k2", "v", "x"]
+    got = {(r["k1"], r["k2"]): r["x"] for r in out.collect()}
+    assert got == {(1, "a"): 3.0, (1, "b"): 2.0}
+
+
+def test_apply_changelog_tombstone_removes_key(spark):
+    from flink_note_spark.operators.changelog import apply_changelog
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "U", "v1"),
+            (1, 2, "D", None),       # latest for key 1 → deleted
+            (2, 1, "D", None),
+            (2, 2, "U", "alive"),    # re-inserted after the delete
+            (3, 1, "U", "only"),
+        ],
+        "k long, v long, op string, payload string",
+    )
+    got = {
+        r["k"]: r["payload"]
+        for r in apply_changelog(df, ["k"], "v").collect()
+    }
+    assert got == {2: "alive", 3: "only"}
+    # op column dropped from the materialized table
+    assert "op" not in apply_changelog(df, ["k"], "v").columns
+
+
+def test_changelog_refusals(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.changelog import (
+        apply_changelog,
+        upsert_latest,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pt.raises(ValueError, match="key_cols"):
+        upsert_latest(df, [], "v")
+    with _pt.raises(ValueError, match="version"):
+        upsert_latest(df, ["k"], "nope")
+    with _pt.raises(ValueError, match="op column"):
+        apply_changelog(df, ["k"], "v", op_col="op")
+
+
+def test_upsert_latest_single_aggregate_plan(spark):
+    """The compaction is ONE hash aggregate with partial combine — no
+    Window sort, no join, exactly one Exchange."""
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") * 2).alias("x"),
+    )
+    plan = (
+        upsert_latest(df, ["k"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1

@@ -4820,3 +4820,107 @@ def test_bloom_dedup_stream_validation(spark, tmp_path):
     assert 9_000_000 < m < 10_100_000 and k in (6, 7)
     with pytest.raises(ValueError, match="fp_rate"):
         bloom_capacity(100, 1.5)
+
+
+# ------------------------------------------------------------------ r10:
+# streaming upsert materialization (changelog compaction twin)
+
+
+def _upsert_current_state(spark, table: str) -> dict:
+    """Fold an update-mode memory sink to its final state: the LAST
+    emitted row per key wins (batch ordinal = arrival order, which the
+    memory sink preserves within its append log)."""
+    pdf = spark.sql(f"SELECT * FROM {table}").toPandas()
+    state = {}
+    for _, r in pdf.iterrows():
+        state[r["user_id"]] = (r["ts"], r["event_id"], r["value"])
+    return state
+
+
+def test_upsert_latest_stream_equals_batch(spark, chunk_dir, tmp_path):
+    """Streamed changelog compaction == batch upsert_latest over the
+    same rows, including a LATE stale version that must lose to the
+    stored winner."""
+    from flink_note_spark.operators.changelog import upsert_latest
+    from flink_note_spark.streaming.ops import upsert_latest_stream
+
+    rows1 = [
+        (1, 1, _ts(0), "view", 1.0),
+        (2, 2, _ts(1), "view", 2.0),
+    ]
+    rows2 = [
+        (1, 3, _ts(5), "click", 3.0),   # newer version for key 1
+        (2, 4, _ts(0), "click", 9.0),   # STALE (older ts) — must lose
+        (3, 5, _ts(2), "view", 4.0),
+    ]
+    _write_chunk(chunk_dir, "c1.parquet", rows1)
+    _write_chunk(chunk_dir, "c2.parquet", rows2)
+
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = upsert_latest_stream(
+        stream, ["user_id"], version_col="ts", tiebreak="event_id"
+    )
+    _run_to_memory(out, "upsert_out", "update", tmp_path)
+    got = _upsert_current_state(spark, "upsert_out")
+
+    batch = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in upsert_latest(
+            batch, ["user_id"], "ts", tiebreak="event_id"
+        ).collect()
+    }
+    assert got == want
+    assert got[2][1] == 2  # stale late row lost
+
+
+def test_upsert_latest_stream_restart_resumes_state(spark, chunk_dir, tmp_path):
+    """Stop → new input → restart from the same checkpoint: the store
+    keeps the compacted per-key state, so a late stale version arriving
+    AFTER the restart still loses."""
+    from flink_note_spark.streaming.ops import upsert_latest_stream
+
+    sink = tmp_path / "ups_sink"
+    ckpt = tmp_path / "ups_ckpt"
+    _write_chunk(chunk_dir, "c1.parquet", [
+        (1, 1, _ts(10), "view", 1.0),
+    ])
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = upsert_latest_stream(
+            stream, ["user_id"], version_col="ts", tiebreak="event_id"
+        )
+
+        # update-mode agg → append memory/file sink rejected; stamp each
+        # micro-batch's upserts with the batch ordinal via foreachBatch
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.withColumn("__batch", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    _write_chunk(chunk_dir, "c2.parquet", [
+        (1, 9, _ts(5), "click", 9.0),   # stale vs pre-restart state
+        (2, 2, _ts(1), "view", 2.0),
+    ])
+    run_once()
+    pdf = spark.read.parquet(str(sink)).toPandas()
+    got = {}
+    for _, r in pdf.sort_values("__batch").iterrows():
+        got[r["user_id"]] = (r["ts"], r["event_id"], r["value"])
+    assert got[1] == (_ts(10), 1, 1.0)  # pre-restart winner survived
+    assert got[2] == (_ts(1), 2, 2.0)
