@@ -1050,6 +1050,70 @@ FROM latest WHERE event_type <> 'error'
 """
 
 
+def q137_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key (r10 — the data-layout operator
+    behind Delta's OPTIMIZE ZORDER: interleaved bits of rank-normalized
+    columns give EVERY clustered column bounded per-file min/max spans,
+    so filters on any of them prune row groups;
+    `operators/layout.py:zorder_value`). The z-value is pure Catalyst
+    bit arithmetic over exact integer normalization — the oracle
+    reproduces all 32 shift/mask terms independently in DuckDB, so a
+    hash match pins the bit math end-to-end. Bounds come from one
+    O(cols) min/max aggregate. The locality payoff (per-partition span
+    shrinkage vs a single-column sort) is asserted quantitatively in
+    tests/test_scale.py."""
+    from flink_note_spark.operators.layout import with_zorder
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("c_cust"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("c_day"),
+    )
+    z = with_zorder(o, ["c_cust", "c_day"], bits=16)
+    return (
+        z.select("o_orderkey", "zvalue")
+        .orderBy(F.col("zvalue").asc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+def _make_q137_sql(bits: int = 16) -> str:
+    """The oracle's independent replay of the Morton interleave:
+    column 0 (custkey) occupies even z-bits, column 1 (epoch day) odd
+    z-bits, LSB-first — generated term-by-term so DuckDB computes the
+    identical bit layout."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((n1 >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((n2 >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    scale = 1 << bits
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS c1,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS c2
+  FROM orders
+), b AS (
+  SELECT min(c1) AS lo1, max(c1) AS hi1,
+         min(c2) AS lo2, max(c2) AS hi2
+  FROM src
+), nrm AS (
+  SELECT o_orderkey,
+         (c1 - lo1) * {scale} // (hi1 - lo1 + 1) AS n1,
+         (c2 - lo2) * {scale} // (hi2 - lo2 + 1) AS n2
+  FROM src CROSS JOIN b
+)
+SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zvalue
+FROM nrm ORDER BY zvalue ASC, o_orderkey ASC LIMIT 50
+"""
+
+
+_Q137_SQL = _make_q137_sql()
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -1074,6 +1138,7 @@ QUERIES = {
     "q126_ddl_view_like": q126_ddl_view_like,
     "q135_upsert_latest": q135_upsert_latest,
     "q136_apply_changelog": q136_apply_changelog,
+    "q137_zorder_layout": q137_zorder_layout,
 }
 
 ORACLES = {
@@ -1100,4 +1165,5 @@ ORACLES = {
     "q126_ddl_view_like": _Q126_SQL,
     "q135_upsert_latest": _Q135_SQL,
     "q136_apply_changelog": _Q136_SQL,
+    "q137_zorder_layout": _Q137_SQL,
 }

@@ -170,3 +170,109 @@ def test_minhash_index_probe_shuffles_only_the_increment(
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in (table, f"{table}__docs", f"{table}__meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ------------------------------------------------------------------ r10:
+# Z-order layout — Morton bit math + the quantitative locality payoff
+
+
+def test_zorder_value_known_morton_codes(spark):
+    """Hand-computed 2-bit Morton codes on a 4×4 grid (col 0 on even
+    bits, col 1 on odd bits, LSB-first)."""
+    from flink_note_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 2), (1, 1), (3, 3)], "x long, y long"
+    )
+    z = zorder_value(["x", "y"], {"x": 0, "y": 0}, {"x": 3, "y": 3}, bits=2)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    # (3,2): x=0b11,y=0b10 -> 1<<0 | 0<<1 | 1<<2 | 1<<3 = 13
+    # (1,1): 1<<0 | 1<<1 = 3 ; (3,3)=15 ; (0,0)=0
+    assert got == [0, 13, 3, 15]
+
+
+def test_zorder_nulls_cluster_at_origin(spark):
+    from flink_note_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(None, 3), (0, 3)], "x long, y long")
+    z = zorder_value(["x", "y"], {"x": 0, "y": 0}, {"x": 3, "y": 3}, bits=2)
+    a, b = [r["z"] for r in df.select(z.alias("z")).collect()]
+    assert a == b  # NULL normalizes to the column minimum
+
+
+def test_zorder_refusals(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.layout import (
+        with_zorder,
+        zorder_value,
+    )
+
+    with _pt.raises(ValueError, match="non-empty"):
+        zorder_value([], {}, {}, bits=4)
+    with _pt.raises(ValueError, match="signed long"):
+        zorder_value(["a", "b"], {"a": 0, "b": 0}, {"a": 1, "b": 1}, bits=32)
+    with _pt.raises(ValueError, match="too wide"):
+        zorder_value(["a"], {"a": 0}, {"a": 1 << 60}, bits=16)
+    df = spark.createDataFrame([(None,)], "a long")
+    with _pt.raises(ValueError, match="all-NULL"):
+        with_zorder(df, ["a"])
+
+
+def test_zorder_is_pure_expression_no_shuffle(spark, sf_dir):
+    """Attaching the z-value adds NO exchange beyond the one-row
+    min/max agg (which runs eagerly at build time)."""
+    from flink_note_spark.operators.layout import with_zorder
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("c1"),
+        F.col("o_orderkey").cast("long").alias("c2"),
+    )
+    plan = (
+        with_zorder(o, ["c1", "c2"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
+    """The data-skipping contract, measured: range-partitioning on the
+    z-value bounds BOTH columns' per-partition normalized spans, while
+    a single-column sort leaves the second column's span at ~1.0 per
+    partition. Mean span-sum must be strictly better."""
+    from flink_note_spark.operators.layout import zorder_repartition
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("c1"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("c2"),
+    )
+    bounds = o.agg(
+        F.min("c1"), F.max("c1"), F.min("c2"), F.max("c2")
+    ).collect()[0]
+    r1 = max(1, bounds[1] - bounds[0])
+    r2 = max(1, bounds[3] - bounds[2])
+
+    def mean_span_sum(df):
+        spans = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(
+                (F.max("c1") - F.min("c1")).alias("s1"),
+                (F.max("c2") - F.min("c2")).alias("s2"),
+            )
+            .agg(F.avg(F.col("s1") / r1 + F.col("s2") / r2))
+            .collect()[0][0]
+        )
+        return spans
+
+    z = mean_span_sum(zorder_repartition(o, ["c1", "c2"], num_partitions=8))
+    single = mean_span_sum(
+        o.repartitionByRange(8, "c1").sortWithinPartitions("c1")
+    )
+    # 8 z-range pieces fix the top 3 interleaved bits -> each column's
+    # span is bounded (~0.5 + ~0.25); the single sort leaves c2 at ~1.0
+    assert z < 1.0
+    assert single > 1.0
+    assert z < single
