@@ -47,7 +47,15 @@ Supported subset (each deviation documented):
   ``MATCH_NUMBER()`` (both output modes — matches numbered per
   partition in (start, end) order, one window pass over the MATCHES
   frame, never the events) and ``CLASSIFIER()`` (ALL ROWS mode — the
-  variable the row bound to).
+  variable the row bound to). ``COUNT(V.c)`` (r10) is the standard's
+  non-null count over the variable's rows.
+- ``SUBSET`` (r10): union variables for MEASURES — ``subset={"U":
+  ("A", "B")}`` lets measures aggregate ACROSS variables
+  (``SUM(U.c)``, ``COUNT(U.*)``, ``FIRST/LAST(U.c)``, ...).
+  Decomposed into per-member primitives + a stateless combine
+  (:func:`_expand_subset_measures`), so every engine path — fast,
+  exact, ALL ROWS, streaming — inherits it. SUBSET names are
+  MEASURES-only (a DEFINE referencing one refuses, like Flink).
 - ``ONE ROW PER MATCH`` (default) or ``ALL ROWS PER MATCH``
   (late-r10, batch-only — Flink itself refuses ALL ROWS in streaming
   mode, so this EXCEEDS the reference surface): every matched event
@@ -311,6 +319,117 @@ def _rewrite_nav(
     return out, navs
 
 
+def _expand_subset_measures(
+    measures: dict[str, str],
+    subset: dict[str, object],
+    var_index: dict[str, int],
+) -> tuple[dict[str, str], list[tuple[str, object]], list[str]]:
+    """SUBSET clause (r10) — union variables in MEASURES, decomposed
+    into per-member primitives the engines already serve plus a pure
+    post-projection combine (no engine change, every engine path —
+    fast, exact, streaming — inherits it):
+
+    - ``COUNT(U.*)``  = Σ COUNT(member.*)
+    - ``SUM(U.c)``    = Σ SUM(member.c)       (NULL when every member is)
+    - ``MIN/MAX(U.c)``= least/greatest over members (NULL-skipping)
+    - ``AVG(U.c)``    = Σ SUM(member.c) / Σ COUNT(member.c)
+    - ``FIRST/LAST(U.c)`` = coalesce over members in pattern-position
+      order (ascending for FIRST, descending for LAST) — correct
+      because the supported patterns are LINEAR: position order IS
+      time order. Documented deviation: a member whose matched row
+      has a NULL payload falls through to the next member.
+
+    Returns ``(expanded_measures, combines, internal_names)`` where
+    ``combines`` is ``(out_name, Column | None)`` in the original
+    measures order (None = passthrough of a non-subset measure)."""
+    for uname, members in subset.items():
+        if uname in var_index:
+            raise ValueError(
+                f"SUBSET name {uname!r} collides with a pattern "
+                "variable"
+            )
+        members = tuple(members)
+        if not members:
+            raise ValueError(f"SUBSET {uname!r} has no members")
+        for mem in members:
+            if mem not in var_index:
+                raise ValueError(
+                    f"SUBSET {uname!r} member {mem!r} is not a "
+                    f"pattern variable (have {sorted(var_index)})"
+                )
+    expanded: dict[str, str] = {}
+    combines: list[tuple[str, object]] = []
+    internals: list[str] = []
+    counter = 0
+
+    def fresh(spec: str) -> str:
+        nonlocal counter
+        name = f"__ss{counter}"
+        counter += 1
+        internals.append(name)
+        expanded[name] = spec
+        return name
+
+    for out_name, spec in measures.items():
+        m = _MEASURE_RE.match(spec.strip())
+        uvar = None
+        if m:
+            v = m.group("fvar") or m.group("var")
+            if v in subset:
+                uvar = v
+        if uvar is None:
+            expanded[out_name] = spec
+            combines.append((out_name, None))
+            continue
+        fn = (m.group("fn") or "").upper()
+        col = m.group("fcol") or m.group("col")
+        if fn == "":
+            raise ValueError(
+                f"bare measure {spec!r} on SUBSET variable {uvar!r} "
+                "is ambiguous — use FIRST/LAST/COUNT/SUM/AVG/MIN/MAX"
+            )
+        members = sorted(subset[uvar], key=lambda x: var_index[x])
+        if fn == "AVG":
+            sums = [fresh(f"SUM({mem}.{col})") for mem in members]
+            cnts = [fresh(f"COUNT({mem}.{col})") for mem in members]
+            total = sum(
+                (F.coalesce(F.col(s), F.lit(0)) for s in sums[1:]),
+                F.coalesce(F.col(sums[0]), F.lit(0)),
+            )
+            n = sum(
+                (F.coalesce(F.col(c), F.lit(0)) for c in cnts[1:]),
+                F.coalesce(F.col(cnts[0]), F.lit(0)),
+            )
+            e = F.when(n > 0, total / n)
+        else:
+            parts = [fresh(f"{fn}({mem}.{col})") for mem in members]
+            pc = [F.col(p) for p in parts]
+            if fn == "FIRST":
+                e = F.coalesce(*pc) if len(pc) > 1 else pc[0]
+            elif fn == "LAST":
+                e = F.coalesce(*pc[::-1]) if len(pc) > 1 else pc[0]
+            elif fn == "COUNT":
+                # member COUNTs are never NULL (optional -> 0)
+                e = sum(pc[1:], pc[0])
+            elif fn == "MIN":
+                e = F.least(*pc) if len(pc) > 1 else pc[0]
+            elif fn == "MAX":
+                e = F.greatest(*pc) if len(pc) > 1 else pc[0]
+            else:  # SUM
+                all_null = pc[0].isNull()
+                for p in pc[1:]:
+                    all_null = all_null & p.isNull()
+                e = F.when(
+                    ~all_null,
+                    sum(
+                        (F.coalesce(p, F.lit(0)) for p in pc[1:]),
+                        F.coalesce(pc[0], F.lit(0)),
+                    ),
+                )
+        combines.append((out_name, e))
+    return expanded, combines, internals
+
+
 def match_recognize(
     events: DataFrame,
     *,
@@ -323,6 +442,7 @@ def match_recognize(
     within: str | None = None,
     tiebreak: list[str] | None = None,
     rows_per_match: str = "one row per match",
+    subset: dict[str, object] | None = None,
 ) -> DataFrame:
     """Flink SQL ``MATCH_RECOGNIZE`` as a DataFrame operator — see the
     module docstring for the supported subset.
@@ -367,6 +487,31 @@ def match_recognize(
     parsed = _parse_pattern(pattern)
     names = [v for v, _q, _r in parsed]
     var_index = {v: k for k, v in enumerate(names, start=1)}
+    if subset:
+        expanded, combines, internals = _expand_subset_measures(
+            dict(measures or {}), dict(subset), var_index
+        )
+        if internals:
+            res = match_recognize(
+                events,
+                partition_by=partition_by,
+                order_by=order_by,
+                pattern=pattern,
+                define=define,
+                measures=expanded,
+                after_match=after_match,
+                within=within,
+                tiebreak=tiebreak,
+                rows_per_match=rows_per_match,
+            )
+            lead = in_cols if all_rows else [partition_by]
+            proj = [F.col(c) for c in lead]
+            for out_name, e in combines:
+                proj.append(
+                    (F.col(out_name) if e is None else e).alias(out_name)
+                )
+            return res.select(*proj)
+        # subset declared but no measure uses it — validated, proceed
     #: positive index -> RELUCTANT quantifier (r10): prefer the FEWEST
     #: rows; the selection pass flips that variable's column direction
     reluctant = {
@@ -549,13 +694,15 @@ def match_recognize(
         quantified = (
             st.loop or st.times > 1 or st.times_max is not None
         )
-        if fn in _AGG_FNS:
+        if fn in _AGG_FNS or (fn == "COUNT" and col != "*"):
             # FINAL aggregate over ALL rows the variable matched
             # (Flink MR's aggregate measures): the run's rows are
             # exactly the events in [ts_k, ts_k_last] — strict
             # adjacency — so ONE co-partitioned (key, time-range)
             # join + group-agg per aggregated VARIABLE serves every
-            # measure on it (the attach_event_payload cost doctrine)
+            # measure on it (the attach_event_payload cost doctrine).
+            # COUNT(V.col) is the standard's NON-NULL count (r10 —
+            # also the denominator the SUBSET AVG decomposition needs)
             if col == "*":
                 raise ValueError(
                     f"{fn} measures aggregate a COLUMN ({fn}(V.col)); "
@@ -817,6 +964,7 @@ def match_recognize_stream(
     within: str | None = None,
     watermark: str = "5 minutes",
     rows_per_match: str = "one row per match",
+    subset: dict[str, object] | None = None,
 ) -> DataFrame:
     """Streaming ``MATCH_RECOGNIZE`` (late-r8) — Flink SQL's
     stream-first row-pattern clause, compiled onto
@@ -897,6 +1045,34 @@ def match_recognize_stream(
     parsed = _parse_pattern(pattern)
     names = [v for v, _q, _r in parsed]
     var_index = {v: k for k, v in enumerate(names, start=1)}
+    if subset:
+        # SUBSET streams through the same decomposition as batch (r10):
+        # member primitives run on whichever stream engine applies; the
+        # combine is a stateless projection on the output stream. AVG
+        # decomposes to COUNT(member.col), which the stream measure
+        # grammar rejects — the refusal is loud and points here.
+        expanded, combines, internals = _expand_subset_measures(
+            dict(measures or {}), dict(subset), var_index
+        )
+        if internals:
+            res = match_recognize_stream(
+                stream,
+                partition_by=partition_by,
+                order_by=order_by,
+                pattern=pattern,
+                define=define,
+                measures=expanded,
+                after_match=after_match,
+                within=within,
+                watermark=watermark,
+                rows_per_match=rows_per_match,
+            )
+            proj = [F.col(partition_by)]
+            for out_name, e in combines:
+                proj.append(
+                    (F.col(out_name) if e is None else e).alias(out_name)
+                )
+            return res.select(*proj)
     reluctant = {
         k: r for k, (_v, _q, r) in enumerate(parsed, start=1)
     }

@@ -1894,6 +1894,96 @@ ORDER BY user_id, view_event_id, purchase_ts
 """
 
 
+def q138_mr_subset(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE ``SUBSET`` clause (r10 — union variables in
+    MEASURES, the last piece of the Flink MR measure surface):
+    ``SUBSET U = (DOWN, UP)`` on the q114 V-shape, with COUNT/SUM/
+    MIN/MAX/FIRST/LAST over the union. The engine decomposes each
+    subset measure into per-member primitives plus a stateless
+    post-projection combine (`operators/match_recognize.py:
+    _expand_subset_measures`) — so every engine path, including
+    streaming, inherits it at zero extra plan cost beyond the member
+    measures themselves. AVG derives from the ROUNDED sum (the q127
+    float-determinism doctrine). Oracle: the same gaps-and-islands
+    frame with the LATERAL aggregate widened one row to include UP."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    e = _t(spark, sf, "events")
+    m = match_recognize(
+        e.select("user_id", "ts", "value", "event_id"),
+        partition_by="user_id",
+        order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={
+            "STRT": "value >= 100",
+            "DOWN": "value < 80",
+            "UP": "value >= 150",
+        },
+        measures={
+            "start_ts": "STRT.ts",
+            "n_u": "COUNT(U.*)",
+            "sum_u": "SUM(U.value)",
+            "min_u": "MIN(U.value)",
+            "max_u": "MAX(U.value)",
+            "first_u_ts": "FIRST(U.ts)",
+            "last_u_ts": "LAST(U.ts)",
+        },
+        subset={"U": ("DOWN", "UP")},
+        after_match="skip to next row",
+        within="7 days",
+        tiebreak=["event_id"],
+    )
+    return (
+        m.withColumn("sum_u", F.round("sum_u", 4))
+        .select(
+            "user_id", "start_ts", "n_u", "sum_u",
+            # NO second round: round(sum,4) is the same double in
+            # both engines, and n_u is an exact int — the division is
+            # bit-identical, while re-rounding can straddle a .5 ulp
+            (F.col("sum_u") / F.col("n_u")).alias("avg_u"),
+            "min_u", "max_u", "first_u_ts", "last_u_ts",
+        )
+        .orderBy("user_id", "start_ts")
+    )
+
+
+_Q138_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER w AS pos,
+         (value < 80) AS dn,
+         CASE WHEN lag(value < 80) OVER w IS DISTINCT FROM (value < 80)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem
+      FROM g)
+SELECT a.user_id, a.ts AS start_ts,
+       CAST(d.rem + 1 AS BIGINT) AS n_u,
+       round(s.su, 4) AS sum_u,
+       round(s.su, 4) / (d.rem + 1) AS avg_u,
+       s.mnu AS min_u, s.mxu AS max_u,
+       d.ts AS first_u_ts, u.ts AS last_u_ts
+FROM g a
+JOIN r d ON d.user_id = a.user_id AND d.pos = a.pos + 1 AND d.dn
+JOIN g u ON u.user_id = a.user_id AND u.pos = a.pos + 1 + d.rem
+JOIN LATERAL (
+  SELECT sum(m.value) AS su, min(m.value) AS mnu, max(m.value) AS mxu
+  FROM g m
+  WHERE m.user_id = a.user_id
+    AND m.pos BETWEEN a.pos + 1 AND a.pos + 1 + d.rem
+) s ON true
+WHERE a.value >= 100 AND u.value >= 150
+  AND u.ts <= a.ts + INTERVAL 7 DAY
+ORDER BY a.user_id, start_ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -1933,6 +2023,7 @@ QUERIES = {
     "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
     "q127_mr_aggregate_measures": q127_mr_aggregate_measures,
     "q128_mr_prev_navigation": q128_mr_prev_navigation,
+    "q138_mr_subset": q138_mr_subset,
     "q129_mr_all_rows_per_match": q129_mr_all_rows_per_match,
 }
 
@@ -1976,4 +2067,5 @@ ORACLES = {
     "q127_mr_aggregate_measures": _Q127_SQL,
     "q128_mr_prev_navigation": _Q128_SQL,
     "q129_mr_all_rows_per_match": _Q129_SQL,
+    "q138_mr_subset": _Q138_SQL,
 }

@@ -2124,3 +2124,211 @@ def test_all_rows_stream_refusal(spark):
             define={"A": "value >= 100", "B": "value < 80"},
             rows_per_match="all rows per match",
         )
+
+
+# ------------------------------------------------------------------ r10:
+# SUBSET clause — union variables in MEASURES
+
+
+def _t(m: int) -> "dt.datetime":
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def _subset_fixture(spark):
+    rows = [
+        (1, 1, _t(0), 100.0), (1, 2, _t(1), 70.0),
+        (1, 3, _t(2), 60.0), (1, 4, _t(3), 160.0),
+        (2, 5, _t(0), 120.0), (2, 6, _t(1), 50.0), (2, 7, _t(2), 170.0),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+
+def test_mr_subset_measures_known_values(spark):
+    """SUBSET U = (DOWN, UP) over the V-shape: COUNT/SUM/MIN/MAX/AVG/
+    FIRST/LAST over the union, hand-computed."""
+    out = match_recognize(
+        _subset_fixture(spark),
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={
+            "n_u": "COUNT(U.*)", "sum_u": "SUM(U.value)",
+            "min_u": "MIN(U.value)", "max_u": "MAX(U.value)",
+            "avg_u": "AVG(U.value)",
+            "first_u": "FIRST(U.ts)", "last_u": "LAST(U.ts)",
+        },
+        subset={"U": ("DOWN", "UP")},
+        within="10 minutes", tiebreak=["event_id"],
+    ).orderBy("user_id").collect()
+    r1, r2 = out
+    assert (r1["n_u"], r1["sum_u"], r1["min_u"], r1["max_u"]) == (
+        3, 290.0, 60.0, 160.0)
+    assert abs(r1["avg_u"] - 290.0 / 3) < 1e-9
+    assert (r1["first_u"], r1["last_u"]) == (_t(1), _t(3))
+    assert (r2["n_u"], r2["sum_u"], r2["avg_u"]) == (2, 220.0, 110.0)
+
+
+def test_mr_subset_optional_member_absent(spark):
+    """An absent optional member contributes nothing: COUNT skips it,
+    SUM/MIN/MAX ignore its NULLs, FIRST falls through to the next
+    member in pattern order."""
+    rows = [
+        (1, 1, _t(0), 10.0), (1, 2, _t(1), 90.0),     # A C (no B)
+        (2, 3, _t(0), 10.0), (2, 4, _t(1), 50.0),
+        (2, 5, _t(2), 90.0),                          # A B C
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["user_id"]: r
+        for r in match_recognize(
+            df, partition_by="user_id", order_by="ts",
+            pattern="A B? C",
+            define={"A": "value < 20",
+                    "B": "value >= 40 AND value < 60",
+                    "C": "value >= 80"},
+            measures={"n_u": "COUNT(U.*)", "sum_u": "SUM(U.value)",
+                      "first_u": "FIRST(U.ts)", "min_u": "MIN(U.value)"},
+            subset={"U": ("B", "C")},
+            after_match="skip to next row", within="10 minutes",
+            tiebreak=["event_id"],
+        ).collect()
+    }
+    assert (out[1]["n_u"], out[1]["sum_u"], out[1]["min_u"]) == (
+        1, 90.0, 90.0)
+    assert out[1]["first_u"] == _t(1)   # B absent -> falls through to C
+    assert (out[2]["n_u"], out[2]["sum_u"], out[2]["min_u"]) == (
+        2, 140.0, 50.0)
+    assert out[2]["first_u"] == _t(1)
+
+
+def test_mr_subset_validation(spark):
+    df = _subset_fixture(spark)
+    base = dict(
+        partition_by="user_id", order_by="ts", pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        within="10 minutes", tiebreak=["event_id"],
+    )
+    with pytest.raises(ValueError, match="collides"):
+        match_recognize(df, measures={"x": "COUNT(DOWN.*)"},
+                        subset={"DOWN": ("UP",)}, **base)
+    with pytest.raises(ValueError, match="not a pattern variable"):
+        match_recognize(df, measures={"x": "COUNT(U.*)"},
+                        subset={"U": ("NOPE",)}, **base)
+    with pytest.raises(ValueError, match="no members"):
+        match_recognize(df, measures={"x": "COUNT(U.*)"},
+                        subset={"U": ()}, **base)
+    with pytest.raises(ValueError, match="ambiguous"):
+        match_recognize(df, measures={"x": "U.value"},
+                        subset={"U": ("DOWN", "UP")}, **base)
+
+
+def test_mr_count_column_measure_skips_nulls(spark):
+    """COUNT(V.col) is the standard's NON-NULL count (r10 — also the
+    SUBSET AVG denominator)."""
+    rows = [
+        (1, 1, _t(0), 100.0, "x"), (1, 2, _t(1), 70.0, None),
+        (1, 3, _t(2), 60.0, "y"), (1, 4, _t(3), 160.0, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, value double, "
+        "tag string",
+    )
+    (row,) = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"n_tags": "COUNT(DOWN.tag)", "n_rows": "COUNT(DOWN.*)"},
+        within="10 minutes", tiebreak=["event_id"],
+    ).collect()
+    assert row["n_rows"] == 2
+    assert row["n_tags"] == 1   # the NULL tag row does not count
+
+
+def test_mr_subset_all_rows_mode(spark):
+    """SUBSET measures render in ALL ROWS PER MATCH too (the combine
+    is a projection over the per-row joined measures)."""
+    out = match_recognize(
+        _subset_fixture(spark),
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"n_u": "COUNT(U.*)", "sum_u": "SUM(U.value)"},
+        subset={"U": ("DOWN", "UP")},
+        within="10 minutes", tiebreak=["event_id"],
+        rows_per_match="all rows per match",
+    ).toPandas()
+    # every row of user 1's 4-row match carries the FINAL union agg
+    u1 = out[out.user_id == 1]
+    assert len(u1) == 4
+    assert set(u1.n_u) == {3} and set(u1.sum_u) == {290.0}
+
+
+def test_mr_subset_stream_equals_batch(spark, tmp_path):
+    """SUBSET on streams: the decomposition runs the member measures
+    on the stream engine; the combine is a stateless projection."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(90)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 0.5", "DOWN": "value < 0.4",
+                "UP": "value >= 0.6"},
+        measures={"start_ts": "STRT.ts", "n_u": "COUNT(U.*)",
+                  "sum_u": "SUM(U.value)", "last_u": "LAST(U.ts)"},
+        subset={"U": ("DOWN", "UP")},
+        after_match="skip to next row", within="30 minutes",
+    )
+    batch_df = spark.read.schema(schema).parquet(str(d))
+    want = sorted(
+        (r["user_id"], r["start_ts"], r["n_u"], round(r["sum_u"], 9),
+         r["last_u"])
+        for r in match_recognize(batch_df, **kw).collect()
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+    q = (
+        out.writeStream.format("memory").queryName("mrs_subset")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_subset"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    us = lambda v: (  # noqa: E731
+        dt.datetime.fromtimestamp(v / 1e6, dt.timezone.utc)
+        .replace(tzinfo=None) if isinstance(v, int) else v
+    )
+    got = sorted(
+        (r["user_id"], us(r["start_ts"]), r["n_u"],
+         round(r["sum_u"], 9), us(r["last_u"]))
+        for r in spark.sql("SELECT * FROM mrs_subset").collect()
+    )
+    assert got == want
+    assert got
