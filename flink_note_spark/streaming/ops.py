@@ -2565,8 +2565,14 @@ def _variant_emit_maps(variants, out_cols):
     return maps
 
 
+#: pend-state encoding of an absent optional step's NULL timestamp —
+#: realigned variant rows carry NULLs, and the flattened array<long>
+#: state cannot (epoch-micro values are always far above this)
+_VNULL = -(1 << 62)
+
+
 def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
-                          within_us, contiguity, out_cols):
+                          within_us, contiguity, out_cols, skip=None):
     """Per-key incremental matcher for ``optional()`` / ``times(n, m)``
     patterns (r8): the batch variant-union (Flink's branching NFA as a
     union of deterministic patterns, ``operators/cep._expand_variants``)
@@ -2583,11 +2589,108 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
     at their last consumed event, relaxed anchors at their horizon;
     the buffer keeps the most conservative requirement across variants
     (max trailing-window for loop-free strict, the ``within`` horizon
-    otherwise). Skip strategies do not compose with variants in
-    streaming (refused at dispatch — the batch operator prunes over
-    the whole union); greedy loop semantics only."""
+    otherwise).
+
+    Skip strategies compose since r10 (``within`` REQUIRED — it is the
+    pending/eviction bound). The batch operator prunes over the WHOLE
+    union in (end, start) completion order; the streaming rendering
+    uses the general engine's decided-order arguments on the realigned
+    union rows:
+
+    - ``skip_to_next`` keeps the first-completing match per (key,
+      start). RELAXED: every match sharing a start decides at that
+      anchor's horizon in ONE invocation (``anchors_all`` is shared by
+      all variants), so an in-window min-by-(end, row) per start IS
+      the selection. STRICT: a match decides exactly when its end
+      passes the watermark, so the FIRST window in which any match of
+      a start decides holds its earliest end — emit it and remember
+      the start in ``pend`` (padded rows) until ``wm − within``.
+    - sequential strategies (``skip_past_last_event`` /
+      ``skip_to_first:i`` / ``skip_to_last:i``): STRICT decisions are
+      end-monotone across windows (same argument), so each window's
+      decided rows feed the bound-threshold chain directly; RELAXED
+      anchors decide at horizons where a later anchor can still end
+      earlier, so decided rows are held PENDING until ``end + within
+      < wm`` and released in (end, start) order — the general
+      engine's release rule, with NULL-bearing union rows encoded via
+      the ``_VNULL`` sentinel in the flattened pend state. Equal-end
+      groups judge against the pre-group bound (the batch
+      simultaneity rule); a release window depends only on the end,
+      so groups never split."""
     cols = [key_name] + out_cols
     has_loop = any(v[3] for vs, _o in steps for v in vs)
+    W = len(out_cols)
+    # positions of timestamp entries (not n_i counts) in out_cols,
+    # in step order — realigned-row start = first non-NULL (step
+    # order IS time order), end = max non-NULL
+    _ts_pos = [
+        i for i, c in enumerate(out_cols) if not c.startswith("n_")
+    ]
+
+    def _start(r):
+        for i in _ts_pos:
+            if r[i] is not None:
+                return r[i]
+        return None
+
+    def _end(r):
+        return max(r[i] for i in _ts_pos if r[i] is not None)
+
+    def _nkey(r):
+        # NULLS FIRST total order over a realigned row (the batch
+        # kernel sorts out_cols asc with na_position='first')
+        return tuple(
+            (v is not None, v if v is not None else 0) for v in r
+        )
+
+    _thr_idx = None
+    _strict_after = False
+    if skip is not None and skip[0] in (
+        "skip_past_last_event", "skip_to_first", "skip_to_last"
+    ):
+        kind, arg = skip
+        if kind == "skip_past_last_event":
+            _strict_after = True
+        else:
+            base, last = f"ts_{arg}", f"ts_{arg}_last"
+            use = (
+                last if (kind == "skip_to_last" and last in out_cols)
+                else base
+            )
+            if base not in out_cols:
+                raise ValueError(
+                    f"{kind} step index must reference a positive "
+                    f"step, got {arg}"
+                )
+            _thr_idx = out_cols.index(use)
+
+    def _thr(r):
+        return _end(r) if _thr_idx is None else r[_thr_idx]
+
+    def _chain(release, bound):
+        rows = []
+        i, n = 0, len(release)
+        while i < n:
+            e = _end(release[i])
+            gb = None
+            while i < n and _end(release[i]) == e:
+                c = release[i]
+                s = _start(c)
+                if bound is None or (
+                    s > bound if _strict_after else s >= bound
+                ):
+                    rows.append(c)
+                    t = _thr(c)
+                    if (
+                        t is not None
+                        and (gb is None or t > gb)
+                        and (bound is None or t > bound)
+                    ):
+                        gb = t
+                i += 1
+            if gb is not None:
+                bound = gb
+        return rows, bound
     # max events a loop-free strict match can span (trailing keep)
     max_consumed = max(
         (
@@ -2713,8 +2816,11 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
         return caps
 
     strict = contiguity == "strict"
+    sequential = skip is not None and skip[0] in (
+        "skip_past_last_event", "skip_to_first", "skip_to_last"
+    )
 
-    def _find(ts_buf, mk_buf, wm_us, wm_prev_us):
+    def _find(ts_buf, mk_buf, wm_us, wm_prev_us, bound, pend):
         n = 0
         while n < len(ts_buf) and ts_buf[n] < wm_us:
             n += 1
@@ -2759,6 +2865,37 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
                     rows.append(
                         [None if m is None else cap[m] for m in emap]
                     )
+        # skip strategies over the decided union rows (r10 — the
+        # finality/ordering arguments in the factory docstring)
+        if skip is not None and skip[0] != "no_skip":
+            if skip[0] == "skip_to_next":
+                best = {}
+                for r in sorted(rows, key=lambda r: (_end(r), _nkey(r))):
+                    best.setdefault(_start(r), r)
+                rows = [best[s] for s in sorted(best)]
+                if strict:
+                    seen = {int(p[0]) for p in pend}
+                    rows = [r for r in rows if _start(r) not in seen]
+                    seen |= {_start(r) for r in rows}
+                    anchor_evict = wm_us - within_us
+                    pend = [
+                        [s] * W
+                        for s in sorted(seen) if s >= anchor_evict
+                    ]
+            elif sequential and strict:
+                release = sorted(
+                    rows, key=lambda r: (_end(r), _start(r), _nkey(r))
+                )
+                rows, bound = _chain(release, bound)
+            elif sequential:
+                pend = pend + rows
+                rel_cut = wm_us - within_us
+                release = sorted(
+                    (r for r in pend if _end(r) < rel_cut),
+                    key=lambda r: (_end(r), _start(r), _nkey(r)),
+                )
+                pend = [r for r in pend if _end(r) >= rel_cut]
+                rows, bound = _chain(release, bound)
         # eviction: most conservative requirement across variants
         if has_loop or not strict:
             evict = wm_us - within_us
@@ -2770,7 +2907,21 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
                 max(0, n - (max_consumed - 1))
                 if max_consumed > 1 else n
             )
-        return rows, ts_buf[cut:], mk_buf[cut:]
+        return rows, ts_buf[cut:], mk_buf[cut:], bound, pend
+
+    with_skip = skip is not None
+
+    def _pack(pend):
+        return [
+            (_VNULL if v is None else int(v)) for r in pend for v in r
+        ]
+
+    def _unpack(flat):
+        flat = list(flat)
+        return [
+            [None if v == _VNULL else v for v in flat[i:i + W]]
+            for i in range(0, len(flat), W)
+        ]
 
     def _variants_cep_fn(
         key: tuple[Any, ...],
@@ -2780,37 +2931,59 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
         (key_val,) = key
         wm_us = state.getCurrentWatermarkMs() * 1_000
 
-        def _arm(ts_buf):
-            if not ts_buf:
-                return
-            if strict:
-                cand = ts_buf[-1] // 1_000 + 1
+        def _read_state():
+            if with_skip:
+                ts0, mk0, wm0, bound, pflat = state.get
+                return ts0, mk0, wm0, bound, _unpack(pflat or [])
+            ts0, mk0, wm0 = state.get
+            return ts0, mk0, wm0, None, []
+
+        def _write_state(ts_buf, mk_buf, bound, pend):
+            if not ts_buf and not pend:
+                state.remove()
+                return False
+            if with_skip:
+                state.update(
+                    (ts_buf, mk_buf, wm_us, bound, _pack(pend))
+                )
             else:
-                cand = (ts_buf[0] + within_us) // 1_000 + 1
+                state.update((ts_buf, mk_buf, wm_us))
+            return True
+
+        def _arm(ts_buf, pend):
+            cands = []
+            if ts_buf:
+                if strict:
+                    cands.append(ts_buf[-1] // 1_000 + 1)
+                else:
+                    cands.append((ts_buf[0] + within_us) // 1_000 + 1)
+            if sequential and not strict and pend:
+                # a pending union row releases at end + within
+                m = min(_end(r) for r in pend)
+                cands.append((m + within_us) // 1_000 + 1)
+            if not cands:
+                return
             state.setTimeoutTimestamp(
-                max(cand, state.getCurrentWatermarkMs() + 1)
+                max(min(cands), state.getCurrentWatermarkMs() + 1)
             )
 
         if state.hasTimedOut:
-            ts_buf, mk_buf, wm_prev = state.get
-            rows, ts_buf, mk_buf = _find(
-                list(ts_buf), list(mk_buf), wm_us, wm_prev
+            ts0, mk0, wm_prev, bound, pend = _read_state()
+            rows, ts_buf, mk_buf, bound, pend = _find(
+                list(ts0), list(mk0), wm_us, wm_prev, bound, pend
             )
             if rows:
                 yield pd.DataFrame(
                     [[key_val, *r] for r in rows], columns=cols
                 )
-            if ts_buf:
-                state.update((ts_buf, mk_buf, wm_us))
-                if not strict:
-                    _arm(ts_buf)
-            else:
-                state.remove()
+            if _write_state(ts_buf, mk_buf, bound, pend):
+                if not strict or (sequential and pend):
+                    _arm(ts_buf, pend)
             return
 
-        ts_buf, mk_buf, wm_prev = [], [], 0
+        ts_buf, mk_buf, wm_prev, bound, pend = [], [], 0, None, []
         if state.exists:
-            prev_ts, prev_mk, wm_prev = state.get
+            prev_ts, prev_mk, wm_prev, bound, pend = _read_state()
             ts_buf, mk_buf = list(prev_ts), list(prev_mk)
         pt = [np.asarray(ts_buf, dtype=np.int64)]
         pm = [np.asarray(mk_buf, dtype=np.int64)]
@@ -2822,16 +2995,15 @@ def _make_variants_cep_fn(steps, emit_maps, key_name, ts_col, mask_col,
         ts_buf = ts_a[order].tolist()
         mk_buf = mk_a[order].tolist()
 
-        rows, ts_buf, mk_buf = _find(ts_buf, mk_buf, wm_us, wm_prev)
+        rows, ts_buf, mk_buf, bound, pend = _find(
+            ts_buf, mk_buf, wm_us, wm_prev, bound, pend
+        )
         if rows:
             yield pd.DataFrame(
                 [[key_val, *r] for r in rows], columns=cols
             )
-        if ts_buf:
-            state.update((ts_buf, mk_buf, wm_us))
-            _arm(ts_buf)
-        else:
-            state.remove()
+        if _write_state(ts_buf, mk_buf, bound, pend):
+            _arm(ts_buf, pend)
 
     return _variants_cep_fn
 
@@ -3663,9 +3835,14 @@ def match_pattern_stream(
     variant is a parallel greedy state machine over ONE shared per-key
     buffer (``_make_variants_cep_fn``), emitting the per-variant union
     realigned to the full output geometry (absent steps NULL long).
-    Skip strategies do not compose with variants here (the batch
-    operator prunes over the whole union — use batch), and strict
-    patterns require every variant to end positively.
+    Skip strategies COMPOSE with loop-free variant unions since r10
+    (``within`` REQUIRED — see ``_make_variants_cep_fn`` for the
+    per-contiguity finality arguments; pending union rows ride state
+    with NULLs sentinel-encoded); variants containing ``one_or_more``
+    under a strategy stay batch-only (the batch twin expands every
+    loop PREFIX non-greedily before pruning — the streaming engine
+    binds loops greedily). Strict patterns require every variant to
+    end positively.
 
     ``followedByAny`` (r8): runs on the general relaxed engine — the
     branching enumerator explores every candidate binding (any-steps
@@ -3710,7 +3887,8 @@ def match_pattern_stream(
     with pointers at ``attach_event_payload`` / ``foreachBatch``.
 
     Batch-only remainders: mixed variants/skip strategies, skip
-    strategies over variant unions or iterative conditions,
+    strategies over variant unions CONTAINING loops (loop-free
+    unions compose since r10) or with iterative conditions,
     non-numeric/non-subset iterative predicates, non-greedy
     any-loops, payload capture outside strict patterns, and — for
     STRICT and mixed patterns — terminal negation/loops (they ask
@@ -3779,11 +3957,21 @@ def match_pattern_stream(
                 "not positional caps)"
             )
         if variants_mode and skip is not None:
-            raise ValueError(
-                "skip strategies with optional()/times(n, m) are "
-                "batch-only in streaming (the batch operator prunes "
-                "over the whole variant union)"
-            )
+            if any(s.loop for s in steps):
+                # the batch twin expands every loop PREFIX under a
+                # non-greedy strategy before pruning; the streaming
+                # variants engine binds loops greedily (maximal run)
+                raise ValueError(
+                    "skip strategies with one_or_more inside "
+                    "optional()/times(n, m) patterns are batch-only "
+                    "in streaming (non-greedy loop-prefix expansion)"
+                )
+            if skip[0] != "no_skip" and within is None:
+                raise ValueError(
+                    "skip strategies with optional()/times(n, m) on "
+                    "streams require within= — it bounds the pending "
+                    "matches and the anchor-suppression state (r10)"
+                )
         if any(s.any_match for s in steps):
             # r8: followedByAny runs on the general relaxed engine —
             # any-steps branch per candidate, any-loops per suffix
@@ -4164,9 +4352,16 @@ def match_pattern_stream(
                 _make_variants_cep_fn(
                     variants, emit_maps, key_col, time_col,
                     "__cand_mask", within_us, contiguity, out_cols,
+                    skip=skip,
                 ),
                 outputStructType=out_schema,
-                stateStructType="ts array<long>, mk array<long>, wm long",
+                stateStructType=(
+                    "ts array<long>, mk array<long>, wm long"
+                    + (
+                        ", bound long, pend array<long>"
+                        if skip is not None else ""
+                    )
+                ),
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )

@@ -3128,11 +3128,14 @@ def test_cep_stream_variant_guards(spark, chunk_dir, tmp_path):
         spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
         max_files_per_trigger=1,
     )
-    # skip strategy + variants
+    # skip strategies compose with LOOP-FREE variants since r10
+    # (equality tests in test_cep_stream_variants_skip_*); variants
+    # CONTAINING loops under a strategy keep the refusal — the batch
+    # twin expands loop prefixes non-greedily before pruning
     p = (
         Pattern.begin("V")
-        .followed_by("C").optional()
-        .followed_by("P")
+        .followed_by("C").one_or_more()
+        .followed_by("P").optional()
         .within("30 minutes")
         .skip("skip_to_next")
     )
@@ -4924,3 +4927,203 @@ def test_upsert_latest_stream_restart_resumes_state(spark, chunk_dir, tmp_path):
         got[r["user_id"]] = (r["ts"], r["event_id"], r["value"])
     assert got[1] == (_ts(10), 1, 1.0)  # pre-restart winner survived
     assert got[2] == (_ts(1), 2, 2.0)
+
+
+# ------------------------------------------------------------------ r10:
+# skip strategies over streaming variant unions (optional()/times(n,m))
+
+
+def _variants_skip_case(spark, chunk_dir, tmp_path, tag, pattern,
+                        cols, strategy, watermark="3 minutes"):
+    from flink_note_spark.operators.cep import match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    want = _rows_nullable(
+        match_pattern(batch_df, pattern, skip_strategy=strategy)
+        .toPandas(), cols,
+    )
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    out = match_pattern_stream(
+        stream, pattern, watermark=watermark, skip_strategy=strategy,
+    )
+    _run_to_memory(out, f"cep_vskip_{tag}", "update", tmp_path)
+    got = _rows_nullable(
+        spark.sql(f"SELECT * FROM cep_vskip_{tag}").toPandas(), cols
+    )
+    assert got == want, (tag, strategy)
+    return got
+
+
+def test_cep_stream_variants_skip_relaxed_equals_batch(
+    spark, chunk_dir, tmp_path
+):
+    """r10: every skip strategy over a RELAXED loop-free variant union
+    (V C? P) — the batch prunes the whole union in (end, start)
+    completion order; the stream renders it via in-window per-anchor
+    selection (skip_to_next) or the pending-release bound chain
+    (sequential strategies)."""
+    from flink_note_spark.operators.cep import Pattern
+
+    _variant_soup(chunk_dir, seed=61)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").optional()
+        .followed_by("P")
+        .within("45 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_3"]
+    nonempty = 0
+    for strategy in (
+        "no_skip", "skip_to_next", "skip_past_last_event",
+        "skip_to_first:1", "skip_to_last:2",
+    ):
+        tag = strategy.replace(":", "_")
+        got = _variants_skip_case(
+            spark, chunk_dir, tmp_path, f"rx_{tag}", p, cols, strategy
+        )
+        nonempty += bool(got)
+    assert nonempty >= 4  # the soup exercises every strategy
+
+
+def test_cep_stream_variants_skip_times_range(spark, chunk_dir, tmp_path):
+    """times(1, 2) variants under the sequential chain and per-anchor
+    selection: count variants of one anchor complete at different
+    ends — the chain must judge them in completion order."""
+    from flink_note_spark.operators.cep import Pattern
+
+    _variant_soup(chunk_dir, seed=62)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").times(1, 2)
+        .followed_by("P")
+        .within("60 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "ts_3"]
+    for strategy in ("skip_to_next", "skip_past_last_event"):
+        got = _variants_skip_case(
+            spark, chunk_dir, tmp_path,
+            f"tr_{strategy.replace(':', '_')}", p, cols, strategy,
+        )
+        assert got
+
+
+def test_cep_stream_variants_skip_strict(spark, chunk_dir, tmp_path):
+    """STRICT variant decisions are end-monotone across watermark
+    windows, so the chain consumes each window directly; skip_to_next
+    suppresses later-deciding matches of an emitted start via the
+    anchor set in pend."""
+    from flink_note_spark.operators.cep import Pattern
+
+    # dense adjacency soup: only two types so strict V [C] V runs occur
+    import random
+
+    rng = random.Random(63)
+    rows = [
+        (rng.randrange(1, 4), i, _ts(i),
+         rng.choice(("V", "C")), 1.0)
+        for i in range(80)
+    ]
+    for i in range(4):
+        _write_chunk(chunk_dir, f"c{i}.parquet", rows[i * 20:(i + 1) * 20])
+    _write_chunk(chunk_dir, "c9.parquet", [(99, 999, _ts(900), "Q", 1.0)])
+    p = (
+        Pattern.begin("V").next("C").optional().next("V")
+        .within("90 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_3"]
+    for strategy in ("skip_to_next", "skip_past_last_event"):
+        got = _variants_skip_case(
+            spark, chunk_dir, tmp_path,
+            f"st_{strategy.replace(':', '_')}", p, cols, strategy,
+        )
+        assert got
+
+
+def test_cep_stream_variants_skip_restart(spark, chunk_dir, tmp_path):
+    """The pending union rows and the chain bound survive a restart:
+    matches decided before the stop release correctly after it."""
+    from flink_note_spark.operators.cep import Pattern, match_pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _variant_soup(chunk_dir, seed=64, n=60)
+    p = (
+        Pattern.begin("V")
+        .followed_by("C").optional()
+        .followed_by("P")
+        .within("45 minutes")
+    )
+    cols = ["user_id", "ts_1", "ts_2", "ts_3"]
+    sink = tmp_path / "vskip_sink"
+    ckpt = tmp_path / "vskip_ckpt"
+
+    def run_once():
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, p, watermark="3 minutes",
+            skip_strategy="skip_past_last_event",
+        )
+
+        def write_batch(batch_df, batch_id):
+            if batch_df.count():
+                batch_df.write.mode("append").parquet(str(sink))
+
+        q = foreach_batch_sink(
+            out, write_batch, checkpoint=str(ckpt), output_mode="update"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    # a second late flusher plus fresh events arrive while DOWN
+    _write_chunk(chunk_dir, "c10.parquet",
+                 [(99, 998, _ts(1200), "Q", 1.0)])
+    run_once()
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    want = _rows_nullable(
+        match_pattern(
+            batch_df, p, skip_strategy="skip_past_last_event"
+        ).toPandas(), cols,
+    )
+    got = _rows_nullable(
+        spark.read.parquet(str(sink)).toPandas()[
+            ["user_id", "ts_1", "ts_2", "ts_3"]
+        ], cols,
+    )
+    assert got == want
+    assert got
+
+
+def test_cep_stream_variants_skip_refusals(spark, chunk_dir, tmp_path):
+    from flink_note_spark.operators.cep import Pattern
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    _write_chunk(chunk_dir, "c1.parquet", [(1, 1, _ts(0), "V", 1.0)])
+    stream = read_file_stream(
+        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    # loops inside a variant pattern under a strategy: batch-only
+    # (non-greedy loop-prefix expansion)
+    p_loop = (
+        Pattern.begin("V").followed_by("C").one_or_more()
+        .followed_by("P").optional().within("10 minutes")
+    )
+    with pytest.raises(ValueError, match="batch-only"):
+        match_pattern_stream(
+            stream, p_loop, watermark="1 minute",
+            skip_strategy="skip_past_last_event",
+        )
+    # within required for the pending/anchor state
+    p_nowin = Pattern.begin("V").next("C").optional().next("V")
+    with pytest.raises(ValueError, match="within"):
+        match_pattern_stream(
+            stream, p_nowin, watermark="1 minute",
+            skip_strategy="skip_to_next",
+        )
