@@ -1146,6 +1146,68 @@ def dup_span_stats(
             f"need n >= 1 and min_count >= 2, got n={n} "
             f"min_count={min_count}"
         )
+    dup = _positional_dup_rows(docs, n, min_count, id_col, text_col)
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = (
+        dup.withColumn("__prev_end", F.max(F.col("pos") + n).over(w_prev))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("pos") + n - F.greatest(
+                        F.col("pos"),
+                        F.coalesce(F.col("__prev_end"), F.col("pos")),
+                    ),
+                )
+            ).alias("dup_tokens"),
+        )
+    )
+    n_tok = F.size(
+        F.filter(words(text_col), lambda x: x != F.lit(""))
+    ).cast("long")
+    return (
+        docs.select(id_col, n_tok.alias("n_tokens"))
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def _positional_dup_rows(
+    docs: DataFrame,
+    n: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The shared positional-duplication kernel (factored r10 — serves
+    :func:`dup_span_stats` and :func:`remove_dup_spans`): one
+    positional shingle scan, one map-side-combinable count over 8-byte
+    hashed n-grams, one inner join against the ``count >= min_count``
+    survivors. Returns ``(id_col, pos)`` — every n-gram start position
+    whose gram is duplicated corpus-wide."""
     id_type = dict(docs.dtypes)[id_col]
 
     def shingler(batches):
@@ -1191,54 +1253,102 @@ def dup_span_stats(
         .select(id_col, "pos", F.xxhash64("shingle").alias("shingle"))
     )
     cnt = pg.groupBy("shingle").agg(F.count(F.lit(1)).alias("__c"))
-    dup = pg.join(
+    return pg.join(
         cnt.filter(F.col("__c") >= min_count).select("shingle"),
         "shingle",
     ).select(id_col, "pos")
-    w_prev = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-document duplicated-substring REMOVAL (r10) — the
+    transform half of the Lee et al. 2022 ExactSubstr result that
+    :func:`dup_span_stats` only measures: every token covered by a
+    word ``n``-gram occurring at least ``min_count`` times corpus-wide
+    is DROPPED from every document (the aggressive boilerplate strip:
+    no canonical-occurrence election, which would need a global
+    occurrence ordering; rank-and-keep pipelines use
+    :func:`dup_span_stats` + a threshold instead).
+
+    Plan shape: the shared :func:`_positional_dup_rows` kernel (one
+    positional shingle scan + one combinable gram count + one join),
+    then per-doc reconstruction WITHOUT a per-token shuffle: dup
+    positions collect per doc (bounded by doc length), merge into
+    disjoint intervals with one Catalyst array fold, and the token
+    filter is a two-arg lambda (``exists`` over MERGED intervals — a
+    boilerplate-heavy doc has few merged intervals even when it has
+    many duplicated grams). One groupBy(doc) shuffle carrying (doc,
+    pos) longs, one doc-keyed join back to the text; text itself
+    shuffles once in that join, never per token.
+
+    Output: input columns plus ``out_col`` (tokens joined by one
+    space; token-boundary whitespace is NOT preserved — the engine
+    tokenization doctrine), ``n_tokens``, ``n_kept_tokens``. Documents
+    with nothing duplicated pass through with ``out_col`` = the
+    space-normalized token join.
+    """
+    if n < 1 or min_count < 2:
+        raise ValueError(
+            f"need n >= 1 and min_count >= 2, got n={n} "
+            f"min_count={min_count}"
+        )
+    dup = _positional_dup_rows(docs, n, min_count, id_col, text_col)
+    dps = dup.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__dps")
     )
-    per = (
-        dup.withColumn("__prev_end", F.max(F.col("pos") + n).over(w_prev))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_dup_grams"),
-            F.sum(
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    F.col("pos") + n - F.greatest(
-                        F.col("pos"),
-                        F.coalesce(F.col("__prev_end"), F.col("pos")),
-                    ),
+    toks = F.filter(words(text_col), lambda x: x != F.lit(""))
+    # merge sorted start positions into disjoint [s, e) intervals:
+    # one array fold, extending the last interval when p <= its end
+    ivs = F.expr(
+        f"""aggregate(
+              __dps,
+              cast(array() as array<struct<s: bigint, e: bigint>>),
+              (acc, p) -> CASE
+                WHEN size(acc) > 0 AND p <= element_at(acc, -1).e THEN
+                  concat(
+                    slice(acc, 1, size(acc) - 1),
+                    array(named_struct(
+                      's', element_at(acc, -1).s,
+                      'e', greatest(element_at(acc, -1).e,
+                                    p + {n}))))
+                ELSE concat(acc, array(named_struct(
+                       's', cast(p as bigint),
+                       'e', cast(p + {n} as bigint))))
+              END)"""
+    )
+    joined = (
+        docs.join(dps, id_col, "left")
+        .withColumn("__toks", toks)
+        .withColumn(
+            "__ivs",
+            F.when(F.col("__dps").isNotNull(), ivs).otherwise(
+                F.expr(
+                    "cast(array() as array<struct<s: bigint, e: bigint>>)"
                 )
-            ).alias("dup_tokens"),
+            ),
         )
     )
-    n_tok = F.size(
-        F.filter(words(text_col), lambda x: x != F.lit(""))
-    ).cast("long")
+    kept = F.filter(
+        F.col("__toks"),
+        lambda _x, i: ~F.exists(
+            F.col("__ivs"),
+            lambda iv: (i.cast("long") >= iv["s"])
+            & (i.cast("long") < iv["e"]),
+        ),
+    )
     return (
-        docs.select(id_col, n_tok.alias("n_tokens"))
-        .join(per, id_col, "left")
+        joined.withColumn("__kept", kept)
         .select(
-            id_col,
-            "n_tokens",
-            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias(
-                "n_dup_grams"
-            ),
-            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias(
-                "dup_tokens"
-            ),
-            F.when(
-                F.col("n_tokens") > 0,
-                F.round(
-                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
-                    / F.col("n_tokens"),
-                    6,
-                ),
-            ).alias("dup_fraction"),
+            *[c for c in docs.columns],
+            F.array_join("__kept", " ").alias(out_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.size("__kept").cast("long").alias("n_kept_tokens"),
         )
     )
 

@@ -940,6 +940,66 @@ LIMIT 10
 """
 
 
+def q139_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-substring REMOVAL (r10 — the ExactSubstr transform,
+    Lee et al. 2022, the mutation half of q117's measurement): every
+    token covered by a corpus-duplicated 5-gram is dropped;
+    reconstruction pinned per document by an md5 checksum of the
+    cleaned text (`operators/dedup.py:remove_dup_spans` — the shared
+    positional kernel + one interval-merging array fold; the oracle
+    replays tokenization, positional grams, coverage and re-joining
+    independently in DuckDB)."""
+    from flink_note_spark.operators.dedup import remove_dup_spans
+
+    d = _t(spark, sf, "documents")
+    out = remove_dup_spans(d, n=5, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_tokens",
+        "n_kept_tokens",
+    ).orderBy("doc_id")
+
+
+_Q139_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(range(len(w))) AS q, w FROM base
+), tok2 AS (
+  SELECT doc_id, q, w[q + 1] AS tok FROM tok
+), grams AS (
+  SELECT doc_id, q AS pos,
+         array_to_string(list_slice(w, q + 1, q + 5), ' ') AS g
+  FROM tok WHERE q + 5 <= len(w)
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), dup AS (
+  SELECT doc_id, pos FROM grams JOIN dupg USING (g)
+), covered AS (
+  SELECT DISTINCT t.doc_id, t.q
+  FROM tok2 t JOIN dup d
+    ON d.doc_id = t.doc_id AND t.q BETWEEN d.pos AND d.pos + 4
+), kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tok, ' ' ORDER BY t.q) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM tok2 t ANTI JOIN covered c
+    ON c.doc_id = t.doc_id AND c.q = t.q
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       md5(COALESCE(k.clean_text, '')) AS clean_md5,
+       CAST(len(b.w) AS BIGINT) AS n_tokens,
+       COALESCE(k.n_kept, 0) AS n_kept_tokens
+FROM base b LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     """Per-key reservoir sampling, driver-checkable invariant: the
     sample is EXACTLY min(k, n) rows per key (the property that
@@ -2188,6 +2248,7 @@ QUERIES = {
     "q132_gopher_quality": q132_gopher_quality,
     "q133_ccnet_buckets": q133_ccnet_buckets,
     "q134_lexicon_quality": q134_lexicon_quality,
+    "q139_remove_dup_spans": q139_remove_dup_spans,
     "q60_reservoir_exact_k": q60_reservoir_exact_k,
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
@@ -2231,6 +2292,7 @@ ORACLES = {
     "q132_gopher_quality": _Q132_SQL,
     "q133_ccnet_buckets": _Q133_SQL,
     "q134_lexicon_quality": _Q134_SQL,
+    "q139_remove_dup_spans": _Q139_SQL,
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,

@@ -1315,3 +1315,74 @@ def test_upsert_latest_single_aggregate_plan(spark):
     )
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------------------------ r10:
+# duplicated-span removal (the ExactSubstr transform)
+
+
+def test_remove_dup_spans_known_values(spark):
+    from flink_note_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e z"),
+            (3, "unique tokens only here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_kept_tokens"])
+        for r in remove_dup_spans(df, n=5, min_count=2).collect()
+    }
+    assert got[1] == ("f g h", 8, 3)        # 'a b c d e' stripped
+    assert got[2] == ("x y z", 8, 3)
+    assert got[3] == ("unique tokens only here", 4, 4)
+    assert got[4] == ("", 0, 0)
+
+
+def test_remove_dup_spans_overlapping_intervals_merge(spark):
+    """Two overlapping duplicated grams cover one merged interval —
+    the array fold must extend, not double-count."""
+    from flink_note_spark.operators.dedup import remove_dup_spans
+
+    # 'a b c' at 0 and 'b c d' at 1 both duplicated -> covers [0, 4)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d TAIL1"),
+            (2, "a b c d TAIL2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_dup_spans(df, n=3, min_count=2).collect()
+    }
+    assert got == {1: "TAIL1", 2: "TAIL2"}
+
+
+def test_remove_dup_spans_within_document_duplication(spark):
+    """A gram repeated INSIDE one document counts toward min_count
+    (same rule as dup_span_stats — corpus-wide occurrences)."""
+    from flink_note_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "p q r MID p q r END")], "doc_id long, text string"
+    )
+    (row,) = remove_dup_spans(df, n=3, min_count=2).collect()
+    assert row["clean_text"] == "MID END"
+    assert row["n_kept_tokens"] == 2
+
+
+def test_remove_dup_spans_refusals(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="min_count"):
+        remove_dup_spans(df, n=0)
+    with _pt.raises(ValueError, match="min_count"):
+        remove_dup_spans(df, min_count=1)
