@@ -1114,6 +1114,44 @@ FROM nrm ORDER BY zvalue ASC, o_orderkey ASC LIMIT 50
 _Q137_SQL = _make_q137_sql()
 
 
+def q140_ddl_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink ``PRIMARY KEY ... NOT ENFORCED`` DDL (r10 — closes the
+    last loud refusal in the translated DDL subset): a PRIMARY KEY
+    connector table materializes as its changelog's latest row per key
+    (`table.py:_connector_df` → `operators/changelog.py:upsert_latest`,
+    one max_by aggregate), with the upsert winner named by
+    'upsert.version-column' (file records have no Kafka-offset order).
+    Same compaction semantics as q135, checked through the DDL + SQL
+    surface instead of the operator API — the oracle is the identical
+    independent row_number replay."""
+    from flink_note_spark.table import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ddl_ev_upsert_q140 (
+            event_id BIGINT,
+            ts TIMESTAMP,
+            user_id BIGINT,
+            event_type STRING,
+            value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH (
+            'connector' = 'filesystem',
+            'path' = '{sf}/events.parquet',
+            'format' = 'parquet',
+            'upsert.version-column' = 'ts, event_id'
+        )
+    """)
+    return env.sql_query("""
+        SELECT event_type,
+               count(*) AS n_users,
+               cast(sum(event_id) AS BIGINT) AS id_sum,
+               round(sum(value), 4) AS value_sum
+        FROM ddl_ev_upsert_q140
+        GROUP BY event_type ORDER BY event_type
+    """).to_data_frame()
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -1139,6 +1177,7 @@ QUERIES = {
     "q135_upsert_latest": q135_upsert_latest,
     "q136_apply_changelog": q136_apply_changelog,
     "q137_zorder_layout": q137_zorder_layout,
+    "q140_ddl_upsert": q140_ddl_upsert,
 }
 
 ORACLES = {
@@ -1166,4 +1205,7 @@ ORACLES = {
     "q135_upsert_latest": _Q135_SQL,
     "q136_apply_changelog": _Q136_SQL,
     "q137_zorder_layout": _Q137_SQL,
+    # the DDL PRIMARY KEY table compacts exactly as q135's operator
+    # call — the same independent row_number oracle applies
+    "q140_ddl_upsert": _Q135_SQL,
 }

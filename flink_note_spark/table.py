@@ -623,6 +623,11 @@ _COMPUTED_RE = re.compile(
     r"^(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<expr>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_PK_RE = re.compile(
+    r"^PRIMARY\s+KEY\s*\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*"
+    r"[A-Za-z_]\w*)*)\s*\)\s*(?P<enforced>NOT\s+ENFORCED)?\s*$",
+    re.IGNORECASE,
+)
 _VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<query>.+?)\s*;?\s*$",
@@ -658,22 +663,35 @@ def _split_top(body: str) -> list[str]:
 
 def _parse_ddl_body(body: str):
     """Parse a Flink DDL column list into ``(fields, computed,
-    watermark, order)``: ``fields`` are the physical ``(name, spark
-    type)`` columns, ``computed`` the ``name AS expr`` columns (r10 —
-    plain Spark SQL exprs over earlier columns, VERDICT r9 #6),
-    ``order`` the declared column order. PRIMARY KEY and metadata
-    columns refuse loudly; ``PROCTIME()`` refuses with its reason (a
-    processing-time attribute has no batch/Catalyst analogue — Spark's
+    watermark, order, pk)``: ``fields`` are the physical ``(name,
+    spark type)`` columns, ``computed`` the ``name AS expr`` columns
+    (r10 — plain Spark SQL exprs over earlier columns, VERDICT r9 #6),
+    ``order`` the declared column order, ``pk`` the ``PRIMARY KEY
+    (...) NOT ENFORCED`` column list (r10 — upsert materialization;
+    ENFORCED refuses like Flink itself). Metadata columns refuse
+    loudly; ``PROCTIME()`` refuses with its reason (a processing-time
+    attribute has no batch/Catalyst analogue — Spark's
     ``current_timestamp()`` is per-QUERY, not per-row-arrival)."""
     fields: list[tuple[str, str]] = []
     computed: list[tuple[str, str]] = []
     order: list[str] = []
     watermark: tuple[str, str] | None = None
+    pk: list[str] = []
     for part in _split_top(body):
         wm = _WM_RE.match(part)
         if wm:
             unit = wm.group("unit").lower().rstrip("s")
             watermark = (wm.group("col"), f"{wm.group('n')} {unit}s")
+            continue
+        pkm = _PK_RE.match(part)
+        if pkm:
+            if not pkm.group("enforced"):
+                raise ValueError(
+                    "PRIMARY KEY must be declared NOT ENFORCED "
+                    "(Flink refuses enforced keys too — no engine "
+                    "validates uniqueness on ingest)"
+                )
+            pk = [c.strip() for c in pkm.group("cols").split(",")]
             continue
         cm = _COL_RE.match(part)
         if cm:
@@ -713,10 +731,18 @@ def _parse_ddl_body(body: str):
         raise ValueError(
             f"unsupported DDL column clause {part!r} (plain `name "
             "TYPE` columns, `name AS <spark sql expr>` computed "
-            "columns, and WATERMARK — PRIMARY KEY/metadata columns "
-            "are out of the translated subset)"
+            "columns, WATERMARK, and PRIMARY KEY (...) NOT ENFORCED "
+            "— metadata columns are out of the translated subset)"
         )
-    return fields, computed, watermark, order
+    if pk:
+        known = {n for n, _ in fields} | {n for n, _ in computed}
+        missing = [c for c in pk if c not in known]
+        if missing:
+            raise ValueError(
+                f"PRIMARY KEY column(s) {missing} are not declared "
+                "columns"
+            )
+    return fields, computed, watermark, order, pk
 
 
 def _parse_flink_ddl(sql: str):
@@ -730,8 +756,10 @@ def _parse_flink_ddl(sql: str):
     opts = dict(_OPT_RE.findall(m.group("opts")))
     if "connector" not in opts:
         return None  # Spark's own TBLPROPERTIES-style WITH — pass through
-    fields, computed, watermark, order = _parse_ddl_body(m.group("body"))
-    return m.group("name"), fields, computed, watermark, order, opts
+    fields, computed, watermark, order, pk = _parse_ddl_body(
+        m.group("body")
+    )
+    return m.group("name"), fields, computed, watermark, order, pk, opts
 
 
 _INSERT_RE = re.compile(
@@ -802,8 +830,7 @@ class TableEnvironment:
           ``readStream`` with the watermark applied), ``datagen``
           (→ the rate source, ``rows-per-second`` honored), ``kafka``
           (→ the native Kafka source — needs the connector JAR and a
-          broker, see README). Column types are the Flink DDL subset;
-          computed columns / PRIMARY KEY refuse loudly.
+          broker, see README). Column types are the Flink DDL subset.
         - ``INSERT INTO|OVERWRITE <connector-table> <query>`` — for a
           BATCH filesystem table, evaluates the query and writes it to
           the declared path/format (append vs overwrite per the verb).
@@ -826,6 +853,13 @@ class TableEnvironment:
           default; the INCLUDING/EXCLUDING feature list refuses by
           not parsing). A LIKE over a non-connector table passes
           through to Spark's own ``CREATE TABLE ... LIKE``.
+        - ``PRIMARY KEY (k[, ...]) NOT ENFORCED`` — the table
+          materializes as its changelog's LATEST row per key (Flink's
+          upsert semantics) via ONE ``max_by`` aggregate
+          (``operators/changelog.py:upsert_latest``); the winner's
+          order comes from ``'upsert.version-column' = '<col>[,
+          <tiebreak>]'`` (REQUIRED — file records have no Kafka-offset
+          order). ENFORCED keys refuse at parse, like Flink.
 
         Returns the registered/queried Table, or None for writes.
         """
@@ -836,18 +870,18 @@ class TableEnvironment:
             return Table(df)
         ddl = _parse_flink_ddl(sql)
         if ddl is not None:
-            name, fields, computed, watermark, order, opts = ddl
+            name, fields, computed, watermark, order, pk, opts = ddl
             return self._register_connector(
-                name, fields, computed, watermark, order, opts
+                name, fields, computed, watermark, order, pk, opts
             )
         lk = _LIKE_RE.match(sql)
         if lk and lk.group("base") in self._connector_tables:
-            bf, bc, bwm, border, bopts = self._connector_tables[
+            bf, bc, bwm, border, bpk, bopts = self._connector_tables[
                 lk.group("base")
             ]
-            fields, computed, watermark, order = (
+            fields, computed, watermark, order, pk = (
                 _parse_ddl_body(lk.group("body"))
-                if lk.group("body") else ([], [], None, [])
+                if lk.group("body") else ([], [], None, [], [])
             )
             dup = {n for n, _ in fields + computed} & set(border)
             if dup:
@@ -864,11 +898,12 @@ class TableEnvironment:
                 bc + computed,
                 watermark if watermark is not None else bwm,
                 border + order,
+                pk if pk else bpk,
                 opts,
             )
         ins = _INSERT_RE.match(sql)
         if ins and ins.group("name") in self._connector_tables:
-            fields, computed, watermark, order, opts = (
+            fields, computed, watermark, order, pk, opts = (
                 self._connector_tables[ins.group("name")]
             )
             if opts.get("connector") != "filesystem" or (
@@ -891,14 +926,14 @@ class TableEnvironment:
         return Table(self.spark.sql(sql))
 
     def _register_connector(
-        self, name, fields, computed, watermark, order, opts
+        self, name, fields, computed, watermark, order, pk, opts
     ) -> "Table | None":
         self._connector_tables[name] = (
-            fields, computed, watermark, order, opts
+            fields, computed, watermark, order, pk, opts
         )
         try:
             df = self._connector_df(
-                name, fields, computed, watermark, order, opts
+                name, fields, computed, watermark, order, pk, opts
             )
         except ValueError:
             raise
@@ -913,7 +948,7 @@ class TableEnvironment:
         return Table(df)
 
     def _connector_df(
-        self, name, fields, computed, watermark, order, opts
+        self, name, fields, computed, watermark, order, pk, opts
     ) -> DataFrame:
         schema = ", ".join(f"{n} {t}" for n, t in fields)
         conn = opts.get("connector")
@@ -997,4 +1032,37 @@ class TableEnvironment:
             df = df.select(*order)
         if watermark is not None and streaming:
             df = df.withWatermark(*watermark)
+        if pk:
+            # PRIMARY KEY (r10) — Flink's upsert semantics: the table
+            # IS the changelog compacted to its latest row per key
+            # (the upsert-kafka read path). Records have no inherent
+            # order outside Kafka offsets, so the version column(s)
+            # must be named: 'upsert.version-column' = 'ts[, tiebreak]'
+            # (first entry = version, optional second = tiebreak for
+            # version ties). Batch compaction is one max_by aggregate;
+            # a streaming table runs the SAME plan incrementally in
+            # update mode (operators/changelog.py doctrine).
+            vspec = opts.get("upsert.version-column")
+            if not vspec:
+                raise ValueError(
+                    "a PRIMARY KEY table needs 'upsert.version-column'"
+                    " = '<col>[, <tiebreak col>]' — file records have "
+                    "no Kafka-offset order, so the upsert winner must "
+                    "be named explicitly"
+                )
+            vcols = [c.strip() for c in vspec.split(",")]
+            missing = [c for c in vcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"'upsert.version-column' names {missing}, not "
+                    "columns of the table"
+                )
+            from flink_note_spark.operators.changelog import (
+                upsert_latest,
+            )
+
+            df = upsert_latest(
+                df, pk, vcols[0],
+                tiebreak=vcols[1] if len(vcols) > 1 else None,
+            )
         return df

@@ -537,9 +537,12 @@ def test_ddl_refusals(t_env):
                 'connector' = 'filesystem', 'path' = '/x',
                 'format' = 'parquet')
         """)
-    with pytest.raises(ValueError, match="PRIMARY KEY|unsupported DDL column"):
+    # PRIMARY KEY ... NOT ENFORCED is TRANSLATED since r10 (upsert
+    # materialization, test_ddl_primary_key_*); an ENFORCED key still
+    # refuses at parse time, like Flink itself
+    with pytest.raises(ValueError, match="NOT ENFORCED"):
         t_env.execute_sql("""
-            CREATE TABLE bad3 (a INT, PRIMARY KEY (a) NOT ENFORCED)
+            CREATE TABLE bad3 (a INT, PRIMARY KEY (a))
             WITH ('connector' = 'filesystem', 'path' = '/x',
                   'format' = 'parquet')
         """)
@@ -631,3 +634,87 @@ def test_ddl_create_table_like(t_env, spark, tmp_path):
         t_env.execute_sql(
             "CREATE TABLE like_bad (id INT) LIKE like_base"
         )
+
+
+# -- PRIMARY KEY upsert tables (r10) -----------------------------------------
+
+
+def _pk_events(spark, tmp_path):
+    p = str(tmp_path / "pk_src")
+    spark.createDataFrame(
+        [
+            (1, 1, 10, "a", 1.0),
+            (2, 1, 20, "b", 2.0),   # newer version for key 1
+            (3, 2, 5, "x", 3.0),
+            (4, 2, 5, "y", 4.0),    # version tie -> tiebreak event_id
+        ],
+        "event_id long, user_id long, v long, tag string, value double",
+    ).write.parquet(p)
+    return p
+
+
+def test_ddl_primary_key_upsert(t_env, spark, tmp_path):
+    """A PRIMARY KEY table materializes the latest row per key, winner
+    by 'upsert.version-column' (version, tiebreak)."""
+    p = _pk_events(spark, tmp_path)
+    t = t_env.execute_sql(f"""
+        CREATE TABLE pk_tbl (
+            event_id BIGINT, user_id BIGINT, v BIGINT,
+            tag STRING, value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'filesystem', 'path' = '{p}',
+                'format' = 'parquet',
+                'upsert.version-column' = 'v, event_id')
+    """)
+    got = {r.user_id: (r.event_id, r.tag) for r in t._df.collect()}
+    assert got == {1: (2, "b"), 2: (4, "y")}
+    # and it is queryable as a view
+    n = t_env.sql_query(
+        "SELECT count(*) AS n FROM pk_tbl"
+    ).to_data_frame().collect()[0]["n"]
+    assert n == 2
+
+
+def test_ddl_primary_key_like_inherits(t_env, spark, tmp_path):
+    p = _pk_events(spark, tmp_path)
+    t_env.execute_sql(f"""
+        CREATE TABLE pk_base (
+            event_id BIGINT, user_id BIGINT, v BIGINT,
+            tag STRING, value DOUBLE,
+            PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'filesystem', 'path' = '{p}',
+                'format' = 'parquet',
+                'upsert.version-column' = 'v, event_id')
+    """)
+    t = t_env.execute_sql("CREATE TABLE pk_copy LIKE pk_base")
+    assert t._df.count() == 2  # compaction copied with the key
+
+
+def test_ddl_primary_key_refusals(t_env, spark, tmp_path):
+    import pytest
+
+    p = _pk_events(spark, tmp_path)
+    base = """
+        CREATE TABLE pk_bad (
+            event_id BIGINT, user_id BIGINT, v BIGINT,
+            tag STRING, value DOUBLE,
+            PRIMARY KEY {pk}
+        ) WITH ('connector' = 'filesystem', 'path' = '%s',
+                'format' = 'parquet'%s)
+    """ % (p, "{opts}")
+    with pytest.raises(ValueError, match="NOT ENFORCED"):
+        t_env.execute_sql(base.format(pk="(user_id)", opts=""))
+    with pytest.raises(ValueError, match="version-column"):
+        t_env.execute_sql(
+            base.format(pk="(user_id) NOT ENFORCED", opts="")
+        )
+    with pytest.raises(ValueError, match="not columns"):
+        t_env.execute_sql(base.format(
+            pk="(user_id) NOT ENFORCED",
+            opts=", 'upsert.version-column' = 'nope'",
+        ))
+    with pytest.raises(ValueError, match="not declared"):
+        t_env.execute_sql(base.format(
+            pk="(ghost) NOT ENFORCED",
+            opts=", 'upsert.version-column' = 'v'",
+        ))
