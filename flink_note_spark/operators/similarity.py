@@ -1461,3 +1461,74 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("d1", "d2", "cos_sim")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_collect_rows: int | None = 100_000,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """EMBEDDING-space decontamination (r10) — the semantic complement
+    of the 5-gram :func:`operators.dedup.decontaminate`: drop every
+    corpus row whose cosine similarity to ANY benchmark vector reaches
+    ``threshold`` (paraphrased eval leakage that no lexical n-gram
+    overlap catches). ``keep_contaminated=True`` returns the REMOVED
+    rows instead (the audit view), each with ``bench_max_sim``.
+
+    Scale shape: the benchmark is small BY CONTRACT (eval suites are
+    thousands of rows — ``max_collect_rows`` refuses bigger, the
+    cosine_topk guard doctrine); it broadcasts once as a unit-
+    normalized float64 matrix and the corpus streams through ONE
+    ``mapInPandas`` blocked matmul — ZERO shuffles, no corpus
+    collect, no join. The per-row verdict compares the SIX-DECIMAL-
+    ROUNDED max similarity against the threshold so the decision is
+    engine-portable (the q33 float doctrine).
+
+    Output: the corpus columns plus ``bench_max_sim`` (rounded 6;
+    −1.0 when the benchmark is empty — nothing can be contaminated).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _guard_driver_collect(
+        benchmark,
+        "semantic_decontaminate",
+        max_collect_rows,
+        "shard the benchmark and union the per-shard removals",
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    brows = benchmark.select(F.col(vec_col).alias("__bv")).collect()
+    # NOTE: StructType.add MUTATES in place — it would corrupt the
+    # DataFrame's cached schema; build a fresh copy instead
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [StructField("bench_max_sim", DoubleType())]
+    )
+    if not brows:
+        out = corpus.withColumn("bench_max_sim", F.lit(-1.0))
+        return out.filter(F.lit(False)) if keep_contaminated else out
+    bm = np.array([r["__bv"] for r in brows], dtype=np.float64)
+    bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast(bm)
+
+    def score(batches):
+        bmat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (cm / norms) @ bmat.T
+            pdf = pdf.copy()
+            pdf["bench_max_sim"] = np.round(sims.max(axis=1), 6)
+            yield pdf
+
+    scored = corpus.mapInPandas(score, out_schema)
+    cond = F.col("bench_max_sim") >= float(threshold)
+    return scored.filter(cond if keep_contaminated else ~cond)

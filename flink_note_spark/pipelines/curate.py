@@ -88,6 +88,10 @@ def prepare_training_corpus(
     semantic_n_cells: int = 16,
     semantic_max_cell: int | None = 5000,
     split_hash_fn: str = "xxhash64",
+    remove_spans_n: int | None = None,
+    remove_spans_min_count: int = 2,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_decontaminate_threshold: float = 0.95,
 ) -> DataFrame:
     """The full corpus-preparation flow: [PII redaction →] curate (exact
     dedup + language + quality) → [repetition gate →] near-dup cluster
@@ -148,6 +152,20 @@ def prepare_training_corpus(
     from flink_note_spark.operators.text import pii_scan, repetition_stats
 
     src = df
+    if remove_spans_n is not None:
+        # r10: the ExactSubstr strip runs FIRST — every later signal
+        # (quality stats, shingles, hashes) must see the cleaned text,
+        # exactly as RefinedWeb orders its boilerplate removal
+        from flink_note_spark.operators.dedup import remove_dup_spans
+
+        src = remove_dup_spans(
+            src, n=remove_spans_n, min_count=remove_spans_min_count,
+            id_col=id_col, text_col=text_col, out_col="__rs_clean",
+        )
+        src = (
+            src.drop(text_col, "n_tokens", "n_kept_tokens")
+            .withColumnRenamed("__rs_clean", text_col)
+        )
     if pii_redact:
         src = pii_scan(src, text_col, redact=True)
     cur = curate_corpus(src, text_col, id_col, config)
@@ -233,6 +251,45 @@ def prepare_training_corpus(
             cur, benchmark, n=decontaminate_n, id_col=id_col,
             text_col=text_col, ids_unique=True,
         )
+    if benchmark_embeddings is not None:
+        # r10: embedding-space decontamination — paraphrased eval
+        # leakage the lexical 5-gram pass cannot catch. Requires the
+        # corpus embeddings frame; the benchmark embeddings broadcast
+        # (eval suites are small by contract), survivors stream
+        # through one matmul pass, and only the REMOVED ids anti-join
+        # back — document payloads never shuffle.
+        if embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings requires the corpus embeddings "
+                f"frame too ({id_col!r} + one vector column)"
+            )
+        from flink_note_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        vec_cols = [c for c in embeddings.columns if c != id_col]
+        bvec = [
+            c for c in benchmark_embeddings.columns if c != id_col
+        ]
+        if not vec_cols or not bvec:
+            raise ValueError(
+                "embeddings frames must carry the id column and a "
+                "vector column"
+            )
+        emb = embeddings.select(id_col, vec_cols[0]).join(
+            cur.select(id_col), id_col, "semi"
+        )
+        removed = semantic_decontaminate(
+            emb,
+            benchmark_embeddings.select(
+                F.col(bvec[0]).alias(vec_cols[0])
+            ),
+            threshold=semantic_decontaminate_threshold,
+            id_col=id_col,
+            vec_col=vec_cols[0],
+            keep_contaminated=True,
+        ).select(id_col)
+        cur = cur.join(removed, id_col, "anti")
     return hash_split(
         cur,
         id_col,

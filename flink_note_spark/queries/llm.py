@@ -1000,6 +1000,54 @@ ORDER BY doc_id
 """
 
 
+def q141_semantic_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """EMBEDDING-space decontamination (r10 — the semantic complement
+    of q73's 5-gram lexical pass: paraphrased eval leakage that shares
+    no n-gram): corpus rows whose cosine to ANY benchmark vector
+    reaches 0.35 are removed; this query returns the AUDIT view (the
+    removed rows with their max benchmark similarity).
+    `operators/similarity.py:semantic_decontaminate` — the benchmark
+    (eval suites are small by contract, guarded) broadcasts as one
+    unit-normalized float64 matrix; the corpus streams through ONE
+    mapInPandas blocked matmul, zero shuffles/joins. Verdicts compare
+    the six-decimal-rounded max sim (the q33 float doctrine), so the
+    kept/removed SET is engine-portable — the oracle replays the full
+    scoring in DuckDB list arithmetic."""
+    from flink_note_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    bench = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    corpus = e.filter(F.pmod("vec_id", F.lit(50)) != 0)
+    removed = semantic_decontaminate(
+        corpus, bench, threshold=0.35, keep_contaminated=True
+    )
+    return removed.select("vec_id", "bench_max_sim").orderBy("vec_id")
+
+
+_Q141_SQL = """
+WITH bench AS (
+  SELECT embedding AS bv FROM embeddings WHERE vec_id % 50 = 0
+), corpus AS (
+  SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 50 <> 0
+), s AS (
+  SELECT c.vec_id,
+         round(max(
+           list_sum(list_transform(range(1, len(cv) + 1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                    i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, len(bv) + 1),
+                    i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))))
+         ), 6) AS bench_max_sim
+  FROM corpus c, bench GROUP BY c.vec_id
+)
+SELECT vec_id, bench_max_sim FROM s
+WHERE bench_max_sim >= 0.35 ORDER BY vec_id
+"""
+
+
 def q60_reservoir_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     """Per-key reservoir sampling, driver-checkable invariant: the
     sample is EXACTLY min(k, n) rows per key (the property that
@@ -2249,6 +2297,7 @@ QUERIES = {
     "q133_ccnet_buckets": q133_ccnet_buckets,
     "q134_lexicon_quality": q134_lexicon_quality,
     "q139_remove_dup_spans": q139_remove_dup_spans,
+    "q141_semantic_decontaminate": q141_semantic_decontaminate,
     "q60_reservoir_exact_k": q60_reservoir_exact_k,
     "q61_packing_invariants": q61_packing_invariants,
     "q62_connected_components": q62_connected_components,
@@ -2293,6 +2342,7 @@ ORACLES = {
     "q133_ccnet_buckets": _Q133_SQL,
     "q134_lexicon_quality": _Q134_SQL,
     "q139_remove_dup_spans": _Q139_SQL,
+    "q141_semantic_decontaminate": _Q141_SQL,
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,

@@ -1386,3 +1386,69 @@ def test_remove_dup_spans_refusals(spark):
         remove_dup_spans(df, n=0)
     with _pt.raises(ValueError, match="min_count"):
         remove_dup_spans(df, min_count=1)
+
+
+def test_semantic_decontaminate_known_geometry(spark):
+    from flink_note_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 1.0]),     # cos 0.7071 to bench
+            (4, [0.0, 0.0]),     # zero vector: sim 0, never NaN
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(9, [3.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = semantic_decontaminate(corpus, bench, threshold=0.9)
+    assert {r.vec_id for r in kept.collect()} == {2, 3, 4}
+    removed = semantic_decontaminate(
+        corpus, bench, threshold=0.7, keep_contaminated=True
+    )
+    got = {r.vec_id: r.bench_max_sim for r in removed.collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == 1.0 and abs(got[3] - 0.707107) < 1e-6
+    # kept + removed partition the corpus at any threshold
+    k2 = semantic_decontaminate(corpus, bench, threshold=0.7)
+    assert {r.vec_id for r in k2.collect()} == {2, 4}
+
+
+def test_semantic_decontaminate_empty_benchmark_keeps_all(spark):
+    from flink_note_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = corpus.filter("vec_id < 0")
+    kept = semantic_decontaminate(corpus, bench, threshold=0.5)
+    rows = kept.collect()
+    assert [r.vec_id for r in rows] == [1]
+    assert rows[0]["bench_max_sim"] == -1.0
+    assert semantic_decontaminate(
+        corpus, bench, threshold=0.5, keep_contaminated=True
+    ).count() == 0
+
+
+def test_semantic_decontaminate_guard_refuses_big_benchmark(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    big = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("embedding"),
+    )
+    with _pt.raises(ValueError, match="semantic_decontaminate"):
+        semantic_decontaminate(corpus, big, max_collect_rows=5)

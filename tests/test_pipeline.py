@@ -315,3 +315,97 @@ def test_prepare_training_corpus_semantic_requires_embeddings(spark):
         prepare_training_corpus(
             docs, near_dup_threshold=None, semantic_threshold=0.9,
         )
+
+
+# ------------------------------------------------------------------ r10:
+# ExactSubstr strip stage + embedding-space decontamination stage
+
+
+def test_prepare_training_corpus_remove_spans_stage(spark):
+    """remove_spans_n strips corpus-duplicated n-grams BEFORE every
+    other signal: the stripped text drives quality stats, and the
+    stage equals applying the operator first by hand."""
+    from flink_note_spark.operators.dedup import remove_dup_spans
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    boiler = "the subscribe footer of and to this site"
+    docs = spark.createDataFrame(
+        [
+            (1, f"the quick brown fox of and to jumps {boiler}"),
+            (2, f"a slow green turtle of and to walks {boiler}"),
+            (3, "the completely unique document of and to words here"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        config=CurationConfig(min_words=3),
+        near_dup_threshold=None,
+    )
+    on = prepare_training_corpus(docs, **kw, remove_spans_n=6)
+    by_hand = remove_dup_spans(
+        docs, n=6, min_count=2, out_col="text2"
+    )
+    hand_txt = {r.doc_id: r.text2 for r in by_hand.collect()}
+    got = {r.doc_id: (r.text, r.n_words) for r in on.collect()}
+    for i in (1, 2, 3):
+        assert got[i][0] == hand_txt[i]
+        assert got[i][1] == len(hand_txt[i].split())
+    # the boiler footer is gone from docs 1/2, intact in 3
+    assert "subscribe" not in got[1][0]
+    assert "unique" in got[3][0]
+
+
+def test_prepare_training_corpus_semantic_decontaminate_stage(spark):
+    """benchmark_embeddings removes survivors whose embedding matches
+    a benchmark vector at the threshold — and ONLY those."""
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of the words to count")
+         for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.707, 0.707, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "doc_id long, vec array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(99, [2.0, 0.0, 0.0])], "doc_id long, v array<double>"
+    )
+    kw = dict(
+        config=CurationConfig(min_words=3), near_dup_threshold=None,
+        embeddings=emb, benchmark_embeddings=bench_emb,
+    )
+    # cos to bench: doc1=1.0, doc3=0.707, docs 2/4=0.0
+    strict = prepare_training_corpus(
+        docs, **kw, semantic_decontaminate_threshold=0.9
+    )
+    assert {r.doc_id for r in strict.collect()} == {2, 3, 4}
+    loose = prepare_training_corpus(
+        docs, **kw, semantic_decontaminate_threshold=0.5
+    )
+    assert {r.doc_id for r in loose.collect()} == {2, 4}
+
+
+def test_prepare_training_corpus_semantic_decontaminate_refusals(spark):
+    import pytest as _pt
+
+    from flink_note_spark.pipelines import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some words here to keep")], "doc_id long, text string"
+    )
+    bench_emb = spark.createDataFrame(
+        [(9, [1.0])], "doc_id long, v array<double>"
+    )
+    with _pt.raises(ValueError, match="embeddings"):
+        prepare_training_corpus(
+            docs, config=CurationConfig(min_words=2),
+            near_dup_threshold=None,
+            benchmark_embeddings=bench_emb,
+        )
