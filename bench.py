@@ -96,6 +96,11 @@ HEADLINE = [
     # New in round 10: the relaxed-engine zero-join payload carry —
     # same cross-round totals caveat as the earlier additions.
     "q123_cep_relaxed_payload",
+    # New in round 10 (second batch): changelog compaction (one
+    # combine-shrunk max_by exchange) and the Z-order clustering key
+    # (pure-codegen bit math + one tiny bounds agg) — same caveat.
+    "q135_upsert_latest",
+    "q137_zorder_layout",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

@@ -675,16 +675,54 @@ def match_recognize(
             match_number_wanted = True
             exprs.append((out_name, ("match_number",)))
             continue
-        m = _MEASURE_RE.match(spec.strip())
+        spec_txt = spec.strip()
+        # RUNNING/FINAL semantics prefix (r10): FINAL is this
+        # operator's default (documented deviation from the standard's
+        # RUNNING default in ALL ROWS mode — changing it would be a
+        # silent behavior break); an explicit RUNNING renders per-row
+        # prefix aggregates in ALL ROWS mode. In ONE ROW mode the
+        # standard evaluates RUNNING at the final row, where it EQUALS
+        # FINAL — so the prefix simply strips there.
+        running = False
+        pm = re.match(
+            r"^(RUNNING|FINAL)\s+(.*)$", spec_txt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if pm:
+            running = pm.group(1).upper() == "RUNNING" and all_rows
+            spec_txt = pm.group(2).strip()
+        m = _MEASURE_RE.match(spec_txt)
         if not m:
             raise ValueError(
-                f"unsupported measure {spec!r} (FIRST(V.c) | LAST(V.c) "
+                f"unsupported measure {spec!r} ([RUNNING|FINAL] "
+                "FIRST(V.c) | LAST(V.c) "
                 "| COUNT(V.*) | SUM/AVG/MIN/MAX(V.c) | V.c | "
                 "CLASSIFIER() | MATCH_NUMBER())"
             )
         fn = (m.group("fn") or "").upper()
         var = m.group("fvar") or m.group("var")
         col = m.group("fcol") or m.group("col")
+        if running:
+            if fn == "":
+                raise ValueError(
+                    f"RUNNING needs an aggregate or FIRST/LAST, got "
+                    f"{spec!r}"
+                )
+            kk = var_index.get(var)
+            if kk is None:
+                raise ValueError(
+                    f"measure {spec!r} references unknown variable "
+                    f"{var!r}"
+                )
+            if col != "*" and col not in events.columns:
+                raise ValueError(
+                    f"measure {spec!r}: column {col!r} is not a column "
+                    "of the input"
+                )
+            if fn == "COUNT" and col != "*" and col == order_by:
+                pass  # counting V rows by their timestamps is fine
+            exprs.append((out_name, ("running", fn, kk, col)))
+            continue
         k = var_index.get(var)
         if k is None:
             raise ValueError(
@@ -708,12 +746,14 @@ def match_recognize(
                     f"{fn} measures aggregate a COLUMN ({fn}(V.col)); "
                     "for row counts use COUNT(V.*)"
                 )
-            if col == order_by:
+            if col == order_by and fn != "COUNT":
+                # counting rows by their (never-NULL) event time is
+                # fine; NUMERIC aggregates over timestamps are not
                 raise ValueError(
                     f"{fn}({var}.{order_by}): aggregate the event time "
                     "via FIRST(...)/LAST(...) instead"
                 )
-            if col not in payload_cols:
+            if col != order_by and col not in payload_cols:
                 raise ValueError(
                     f"measure {spec!r}: column {col!r} is not a "
                     f"payload column of the input (have {payload_cols})"
@@ -919,7 +959,7 @@ def match_recognize(
         elif isinstance(e, tuple) and e[0] == "agg":
             sel_cols.append(F.col(out_name).alias(f"__mrm_{out_name}"))
         elif isinstance(e, tuple):
-            pass  # classifier/match_number render at join time
+            pass  # classifier/match_number/running render at join time
         else:
             sel_cols.append(e.alias(f"__mrm_{out_name}"))
     sel = out.select(*sel_cols)
@@ -941,12 +981,42 @@ def match_recognize(
             F.when(cond, F.lit(names[k - 1])) if classifier is None
             else classifier.when(cond, F.lit(names[k - 1]))
         )
+    # RUNNING measures (r10): per-row prefix aggregates INSIDE each
+    # match — one window over the joined frame, partitioned by the
+    # per-match constants and ordered by event time (rows are unique
+    # per (partition, order) by the engine contract). Rows not bound
+    # to the measured variable contribute NULL (SQL aggregates skip
+    # them); FIRST/LAST use ignorenulls for the same rule.
+    w_run = (
+        Window.partitionBy("__mrk", "__mr_s", "__mr_e")
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _running(fn: str, kk: int, col: str):
+        is_var = classifier == F.lit(names[kk - 1])
+        if fn == "COUNT":
+            val = F.when(
+                is_var,
+                F.lit(1) if col == "*" else F.col(col),
+            )
+            return F.count(val).over(w_run).cast("long")
+        val = F.when(is_var, F.col(col))
+        if fn == "FIRST":
+            return F.first(val, ignorenulls=True).over(w_run)
+        if fn == "LAST":
+            return F.last(val, ignorenulls=True).over(w_run)
+        return getattr(F, fn.lower())(val).over(w_run)
+
     proj = [F.col(c) for c in in_cols]
     for out_name, e in exprs:
         if isinstance(e, tuple) and e[0] == "classifier":
             proj.append(classifier.alias(out_name))
         elif isinstance(e, tuple) and e[0] == "match_number":
             proj.append(F.col("__mr_mn").cast("long").alias(out_name))
+        elif isinstance(e, tuple) and e[0] == "running":
+            _tag, fn, kk, col = e
+            proj.append(_running(fn, kk, col).alias(out_name))
         else:
             proj.append(F.col(f"__mrm_{out_name}").alias(out_name))
     return j.select(*proj)

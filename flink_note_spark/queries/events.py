@@ -1984,6 +1984,95 @@ ORDER BY a.user_id, start_ts
 """
 
 
+def q142_mr_running_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE RUNNING measure semantics (r10 — the standard's
+    per-row prefix aggregates in ALL ROWS PER MATCH, previously a
+    documented FINAL-only deviation): the q129 V-shape with RUNNING
+    SUM/COUNT over the DOWN run next to the FINAL count. One extra
+    window pass over the JOINED all-rows frame (partitioned by the
+    per-match constants — matches, never raw events, so it scales with
+    output size). Oracle: the q129 islands replay with the same
+    prefix-window aggregates over position."""
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    e = _t(spark, sf, "events")
+    out = match_recognize(
+        e.select("user_id", "ts", "value", "event_id"),
+        partition_by="user_id",
+        order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={
+            "STRT": "value >= 100",
+            "DOWN": "value < 80",
+            "UP": "value >= 150",
+        },
+        measures={
+            "cls": "CLASSIFIER()",
+            "start_ts": "STRT.ts",
+            "run_sum": "RUNNING SUM(DOWN.value)",
+            "run_n": "RUNNING COUNT(DOWN.*)",
+            "n_down": "COUNT(DOWN.*)",
+        },
+        after_match="skip to next row",
+        within="7 days",
+        tiebreak=["event_id"],
+        rows_per_match="all rows per match",
+    )
+    return out.withColumn("run_sum", F.round("run_sum", 4)).orderBy(
+        "user_id", "start_ts", "ts"
+    )
+
+
+_Q142_SQL = """
+WITH e AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER w AS pos,
+         (value < 80) AS dn,
+         CASE WHEN lag(value < 80) OVER w IS DISTINCT FROM (value < 80)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY pos) AS grp
+      FROM e),
+r AS (SELECT *,
+        count(*) OVER (PARTITION BY user_id, grp ORDER BY pos
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rem
+      FROM g),
+m AS (
+  SELECT a.user_id, a.pos AS apos, a.ts AS start_ts, d.rem AS rem
+  FROM g a
+  JOIN r d ON d.user_id = a.user_id AND d.pos = a.pos + 1 AND d.dn
+  JOIN g u ON u.user_id = a.user_id AND u.pos = a.pos + 1 + d.rem
+  WHERE a.value >= 100 AND u.value >= 150
+    AND u.ts <= a.ts + INTERVAL 7 DAY)
+SELECT user_id, ts, value, event_id, cls, start_ts,
+       round(run_sum, 4) AS run_sum, run_n, n_down
+FROM (
+  SELECT x.user_id, x.ts, x.value, x.event_id,
+         CASE WHEN x.pos = m.apos THEN 'STRT'
+              WHEN x.pos <= m.apos + m.rem THEN 'DOWN'
+              ELSE 'UP' END AS cls,
+         m.start_ts,
+         sum(CASE WHEN x.pos > m.apos AND x.pos <= m.apos + m.rem
+                  THEN x.value END)
+           OVER (PARTITION BY x.user_id, m.apos ORDER BY x.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_sum,
+         CAST(count(CASE WHEN x.pos > m.apos
+                         AND x.pos <= m.apos + m.rem THEN 1 END)
+           OVER (PARTITION BY x.user_id, m.apos ORDER BY x.pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS run_n,
+         CAST(m.rem AS BIGINT) AS n_down
+  FROM m
+  JOIN g x ON x.user_id = m.user_id
+          AND x.pos BETWEEN m.apos AND m.apos + m.rem + 1
+)
+ORDER BY user_id, start_ts, ts
+"""
+
+
 QUERIES = {
     "q22_json_extract": q22_json_extract,
     "q59_side_output_routing": q59_side_output_routing,
@@ -2024,6 +2113,7 @@ QUERIES = {
     "q127_mr_aggregate_measures": q127_mr_aggregate_measures,
     "q128_mr_prev_navigation": q128_mr_prev_navigation,
     "q138_mr_subset": q138_mr_subset,
+    "q142_mr_running_measures": q142_mr_running_measures,
     "q129_mr_all_rows_per_match": q129_mr_all_rows_per_match,
 }
 
@@ -2068,4 +2158,5 @@ ORACLES = {
     "q128_mr_prev_navigation": _Q128_SQL,
     "q129_mr_all_rows_per_match": _Q129_SQL,
     "q138_mr_subset": _Q138_SQL,
+    "q142_mr_running_measures": _Q142_SQL,
 }

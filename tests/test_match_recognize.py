@@ -235,8 +235,11 @@ def test_measure_validation_errors(spark):
         match_recognize(e, pattern="A", measures={"x": "B.ts"}, **kw)
     with pytest.raises(ValueError, match="ambiguous"):
         match_recognize(e, pattern="A+", measures={"x": "A.ts"}, **kw)
-    with pytest.raises(ValueError, match="COUNT measures"):
-        match_recognize(e, pattern="A", measures={"x": "COUNT(A.ts)"},
+    # COUNT(V.col) is SUPPORTED since r10 (the standard's non-null
+    # count — test_mr_count_column_measure_skips_nulls); only the
+    # star form of the OTHER aggregates refuses
+    with pytest.raises(ValueError, match="COUNT"):
+        match_recognize(e, pattern="A", measures={"x": "SUM(A.*)"},
                         **kw)
     with pytest.raises(ValueError, match="range quantifier"):
         match_recognize(e, pattern="A{1,2}", measures={"x": "COUNT(A.*)"},
@@ -2332,3 +2335,82 @@ def test_mr_subset_stream_equals_batch(spark, tmp_path):
     )
     assert got == want
     assert got
+
+
+# ------------------------------------------------------------------ r10:
+# RUNNING measure semantics (ALL ROWS PER MATCH)
+
+
+def test_mr_running_measures_prefix_values(spark):
+    """RUNNING SUM/COUNT/LAST are per-row PREFIX aggregates inside the
+    match; FINAL stays constant on every row; a RUNNING before any
+    variable row is NULL (0 for COUNT)."""
+    df = spark.createDataFrame(
+        [(1, 1, _t(0), 100.0), (1, 2, _t(1), 70.0),
+         (1, 3, _t(2), 60.0), (1, 4, _t(3), 160.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    rows = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={
+            "run_sum": "RUNNING SUM(DOWN.value)",
+            "run_n": "RUNNING COUNT(DOWN.*)",
+            "run_last": "RUNNING LAST(DOWN.value)",
+            "fin_sum": "FINAL SUM(DOWN.value)",
+        },
+        within="10 minutes", tiebreak=["event_id"],
+        rows_per_match="all rows per match",
+    ).orderBy("ts").collect()
+    got = [(r["run_sum"], r["run_n"], r["run_last"], r["fin_sum"])
+           for r in rows]
+    assert got == [
+        (None, 0, None, 130.0),
+        (70.0, 1, 70.0, 130.0),
+        (130.0, 2, 60.0, 130.0),
+        (130.0, 2, 60.0, 130.0),
+    ]
+
+
+def test_mr_running_collapses_to_final_in_one_row_mode(spark):
+    """The standard evaluates RUNNING at the final row in ONE ROW mode
+    — identical to FINAL, so the prefix strips."""
+    df = spark.createDataFrame(
+        [(1, 1, _t(0), 100.0), (1, 2, _t(1), 70.0), (1, 3, _t(2), 160.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    (row,) = match_recognize(
+        df, partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 100", "DOWN": "value < 80",
+                "UP": "value >= 150"},
+        measures={"s": "RUNNING SUM(DOWN.value)"},
+        within="10 minutes", tiebreak=["event_id"],
+    ).collect()
+    assert row["s"] == 70.0
+
+
+def test_mr_running_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _t(0), 100.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    base = dict(
+        partition_by="user_id", order_by="ts", pattern="STRT",
+        define={"STRT": "value >= 100"},
+        rows_per_match="all rows per match",
+    )
+    with pytest.raises(ValueError, match="aggregate or FIRST/LAST"):
+        match_recognize(
+            df, measures={"x": "RUNNING STRT.value"}, **base
+        )
+    with pytest.raises(ValueError, match="unknown variable"):
+        match_recognize(
+            df, measures={"x": "RUNNING SUM(NOPE.value)"}, **base
+        )
+    with pytest.raises(ValueError, match="not a column"):
+        match_recognize(
+            df, measures={"x": "RUNNING SUM(STRT.ghost)"}, **base
+        )

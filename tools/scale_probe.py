@@ -152,8 +152,9 @@ def main() -> None:
         "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
         "corpus", "decontaminate", "tfidf", "corpus_full", "dup_span",
         "enrich",
+        "remove_spans", "ccnet_exact", "ccnet_thresholds", "sdecon",
     )
-    _REL_OPS = ("join", "window", "agg", "salted", "cogroup")
+    _REL_OPS = ("join", "window", "agg", "salted", "cogroup", "zorder")
 
     docs1 = load_table(spark, SF_DIR, "documents")
     emb1 = load_table(spark, SF_DIR, "embeddings")
@@ -469,6 +470,65 @@ def main() -> None:
         )
         return match_pattern(ev, p, tiebreak=["event_id"])
 
+    def upsert_probe(ev):
+        """q135-shape changelog compaction (r10): ONE max_by aggregate
+        per key — map-side combine shrinks the exchange to one
+        candidate per (partition, key), so the ratio should track the
+        scan, never a per-key history sort."""
+        from flink_note_spark.operators.changelog import upsert_latest
+
+        return upsert_latest(
+            ev, ["user_id"], version_col="ts", tiebreak="event_id"
+        )
+
+    def zorder_probe(orders):
+        """q137-shape Z-order clustering (r10): one O(cols) min/max
+        agg + one range exchange on the Morton value — the cost of any
+        global sort, growing with the data, not with the bit math."""
+        from flink_note_spark.operators.layout import zorder_repartition
+
+        o = orders.select(
+            F.col("o_custkey").cast("long").alias("c1"),
+            F.col("o_orderkey").cast("long").alias("c2"),
+        )
+        return zorder_repartition(o, ["c1", "c2"], num_partitions=32)
+
+    def remove_spans_probe(d):
+        """q139-shape ExactSubstr strip (r10): the q117 positional
+        kernel + one per-doc collect_list + the interval-merge fold —
+        cost should track gram volume like dup_span, plus one
+        doc-keyed shuffle of positions (longs, never text twice)."""
+        from flink_note_spark.operators.dedup import remove_dup_spans
+
+        return remove_dup_spans(d, n=5, min_count=2).select(
+            "doc_id", "n_kept_tokens"
+        )
+
+    def ccnet_probe(d, mode):
+        """q133-shape CCNet bucketing (r10): the unigram-logprob aggs
+        plus either the per-language ntile window (exact — the mode
+        whose dominant-language sort is the documented scale risk) or
+        the percentile-threshold broadcast (the production shape)."""
+        from flink_note_spark.operators.text import perplexity_buckets
+
+        return perplexity_buckets(
+            d, "text", "doc_id", "lang", 3, mode=mode
+        ).groupBy("lang", "bucket").count()
+
+    def sdecon_probe(e):
+        """q141-shape embedding decontamination (r10): benchmark
+        broadcast + ONE mapInPandas matmul over the corpus — zero
+        shuffles, the ratio should be pure scan/matmul."""
+        from flink_note_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        bench_df = e.filter(F.pmod("vec_id", F.lit(50)) == 0)
+        corp = e.filter(F.pmod("vec_id", F.lit(50)) != 0)
+        return semantic_decontaminate(
+            corp, bench_df, threshold=0.35, keep_contaminated=True
+        ).select("vec_id", "bench_max_sim")
+
     def cogroup_probe(cust, orders):
         """CoGroupFunction shape: whole per-key groups from both sides
         meet in one pandas call (outer groups included). Key cardinality
@@ -634,6 +694,7 @@ def main() -> None:
         bench(f"agg_{tag}", lambda l=l: noop(agg_probe(l)), t)
         bench(f"salted_{tag}", lambda l=l, o=o: noop(salted_probe(l, o)), t)
         bench(f"cogroup_{tag}", lambda c=c, o=o: noop(cogroup_probe(c, o)), t)
+        bench(f"zorder_{tag}", lambda o=o: noop(zorder_probe(o)), t)
     for tag, evdf, evdir in (("x1", ev1x, ev1_dir), (f"x{k}", ev_kx, ev_k_dir)):
         bench(f"asof_{tag}", lambda e=evdf: noop(asof_probe(e)), t)
         bench(f"sessionize_{tag}", lambda d=evdir: sessionize_probe(d), t)
@@ -674,12 +735,17 @@ def main() -> None:
         bench(f"tfidf_{tag}", lambda d=d: noop(tfidf_probe(d)), t)
         bench(f"corpus_full_{tag}", lambda d=d: noop(corpus_full_probe(d)), t)
         bench(f"dup_span_{tag}", lambda d=d: noop(dspan_probe(d)), t)
+        bench(f"remove_spans_{tag}", lambda d=d: noop(remove_spans_probe(d)), t)
+        bench(f"ccnet_exact_{tag}", lambda d=d: noop(ccnet_probe(d, "exact")), t)
+        bench(f"ccnet_thresholds_{tag}", lambda d=d: noop(ccnet_probe(d, "thresholds")), t)
+        bench(f"sdecon_{tag}", lambda e=e: noop(sdecon_probe(e)), t)
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
         bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
         bench(f"cep_mixed_{tag}", lambda e=evdf: noop(cep_mixed_probe(e)), t)
         bench(f"cep_noskip_{tag}", lambda e=evdf: noop(cep_noskip_probe(e)), t)
         bench(f"temporal_{tag}", lambda e=evdf: noop(temporal_probe(e)), t)
+        bench(f"upsert_{tag}", lambda e=evdf: noop(upsert_probe(e)), t)
         bench(f"match_recognize_{tag}", lambda e=evdf: noop(mr_probe(e)), t)
         bench(f"window_topn_{tag}", lambda e=evdf: noop(wtopn_probe(e)), t)
     for tag, evdir in (("x1", ev1_dir), (f"x{k}", ev_k_dir)):
@@ -701,6 +767,8 @@ def main() -> None:
             "cep_noskip", "temporal",
             "match_recognize", "window_topn", "dup_span",
             "route", "tfidf", "corpus_full",
+            "upsert", "zorder", "remove_spans",
+            "ccnet_exact", "ccnet_thresholds", "sdecon",
         )
         if f"{op}_x1" in t and f"{op}_x{k}" in t
     }
