@@ -1232,12 +1232,12 @@ def match_recognize_stream(
         if not _m:
             continue
         _fn = (_m.group("fn") or "").upper()
-        if _fn == "COUNT":
-            continue
         _col = _m.group("fcol") or _m.group("col")
+        if _fn == "COUNT" and _col == "*":
+            continue
         if _col == order_by:
             continue
-        if _fn in _AGG_FNS:
+        if _fn in _AGG_FNS or _fn == "COUNT":
             _k = var_index.get(_m.group("fvar"))
             _st = steps[_k - 1] if _k else None
             if _st is not None and (
@@ -1331,7 +1331,11 @@ def match_recognize_stream(
         quantified = (
             st.loop or st.times > 1 or st.times_max is not None
         )
-        if fn in _AGG_FNS:
+        if fn == "COUNT" and col == order_by:
+            # the order column is never NULL on a matched row, so its
+            # non-null count IS the row count — serve via COUNT(V.*)
+            col = "*"
+        if fn in _AGG_FNS or (fn == "COUNT" and col != "*"):
             if col == "*":
                 raise ValueError(
                     f"{fn} measures aggregate a COLUMN ({fn}(V.col)); "
@@ -1344,9 +1348,19 @@ def match_recognize_stream(
                 )
             if quantified:
                 agg_requests.append((k, col, fn))
+                e = F.col(f"__agg{len(agg_requests) - 1}")
+                if fn == "COUNT":
+                    # the run kernel emits doubles; a count is a long
+                    e = e.cast("long")
+                exprs.append(e.alias(out_name))
+            elif fn == "COUNT":
+                # single row: 1 when the payload is non-NULL, 0 when
+                # NULL or the optional variable is absent
+                carry.setdefault(f"ts_{k}", []).append(col)
                 exprs.append(
-                    F.col(f"__agg{len(agg_requests) - 1}")
-                    .alias(out_name)
+                    F.when(
+                        F.col(f"ts_{k}_{col}").isNotNull(), F.lit(1)
+                    ).otherwise(F.lit(0)).cast("long").alias(out_name)
                 )
             else:
                 # single-row (or absent-optional) run: the aggregate
@@ -1357,10 +1371,6 @@ def match_recognize_stream(
                 )
             continue
         if fn == "COUNT":
-            if col != "*":
-                raise ValueError(
-                    f"COUNT measures are COUNT(V.*), got {spec!r}"
-                )
             if st.loop:  # r9: the engine materializes the run count
                 c = F.col(f"n_{k}")
                 if st.optional:  # zero-or-more: absent branch counts 0

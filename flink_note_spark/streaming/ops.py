@@ -3312,14 +3312,21 @@ def _make_mr_greedy_fn(qsteps, key_name, ts_col, mask_col, within_us,
                 # absent variables aggregate to NULL, the SQL rule
                 seg = m[k - 1]
                 if seg is None:
-                    row.append(None)
+                    # absent optional variable: COUNT is 0 (the SQL
+                    # empty-group rule); value aggregates are NULL
+                    row.append(0.0 if fn == "COUNT" else None)
                     continue
                 fi, li, _cnt = seg
                 vs = [
                     v for v in vals[vi][fi:li + 1]
                     if v is not None and v == v
                 ]
-                if not vs:
+                if fn == "COUNT":
+                    # non-null count (r10): 0 for all-NULL runs, not
+                    # NULL — the SQL COUNT rule differs from the
+                    # value aggregates here
+                    row.append(float(len(vs)))
+                elif not vs:
                     row.append(None)
                 elif fn == "SUM":
                     row.append(float(sum(vs)))
@@ -3636,10 +3643,10 @@ def match_pattern_stream_greedy(
         n_pos = len(steps)
         for (k, c, fn) in aggregates:
             fn = fn.upper()
-            if fn not in ("SUM", "AVG", "MIN", "MAX"):
+            if fn not in ("SUM", "AVG", "MIN", "MAX", "COUNT"):
                 raise ValueError(
                     f"unsupported streaming aggregate {fn!r} "
-                    "(SUM | AVG | MIN | MAX)"
+                    "(SUM | AVG | MIN | MAX | COUNT)"
                 )
             if not (1 <= k <= n_pos):
                 raise ValueError(

@@ -2414,3 +2414,66 @@ def test_mr_running_validation(spark):
         match_recognize(
             df, measures={"x": "RUNNING SUM(STRT.ghost)"}, **base
         )
+
+
+def test_mr_subset_avg_and_count_col_stream(spark, tmp_path):
+    """r10: COUNT(V.col) streams (the greedy engine's run kernel
+    counts non-NULLs; single-row variables ride payload capture) —
+    which makes the SUBSET AVG decomposition stream too."""
+    import random
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (rng.randrange(1, 4), i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.random(), 3))
+        for i in range(90)
+    ]
+    rows.append((99, 999,
+                 dt.datetime(2024, 1, 1) + dt.timedelta(minutes=900),
+                 1.0))
+    d = _stream_chunks(tmp_path, rows)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="STRT DOWN+ UP",
+        define={"STRT": "value >= 0.5", "DOWN": "value < 0.4",
+                "UP": "value >= 0.6"},
+        measures={"start_ts": "STRT.ts",
+                  "n_dv": "COUNT(DOWN.value)",
+                  "avg_u": "AVG(U.value)"},
+        subset={"U": ("DOWN", "UP")},
+        after_match="skip to next row", within="30 minutes",
+    )
+    batch_df = spark.read.schema(schema).parquet(str(d))
+    want = sorted(
+        (r["user_id"], r["start_ts"], r["n_dv"], round(r["avg_u"], 9))
+        for r in match_recognize(batch_df, **kw).collect()
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = match_recognize_stream(stream, watermark="3 minutes", **kw)
+    q = (
+        out.writeStream.format("memory").queryName("mrs_cntcol")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_cntcol"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    us = lambda v: (  # noqa: E731
+        dt.datetime.fromtimestamp(v / 1e6, dt.timezone.utc)
+        .replace(tzinfo=None) if isinstance(v, int) else v
+    )
+    got = sorted(
+        (r["user_id"], us(r["start_ts"]), r["n_dv"],
+         round(r["avg_u"], 9))
+        for r in spark.sql("SELECT * FROM mrs_cntcol").collect()
+    )
+    assert got == want
+    assert got
