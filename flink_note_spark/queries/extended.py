@@ -1152,6 +1152,48 @@ def q140_ddl_upsert(spark: SparkSession, sf: str) -> DataFrame:
     """).to_data_frame()
 
 
+def q143_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 SCD dimension build (r10 —
+    `operators/changelog.py:scd2_intervals`): the events changelog per
+    user collapsed to DISTINCT consecutive event_type runs, each with
+    its validity interval (`collapse_unchanged=True` — CDC feeds
+    re-emit unchanged rows; keeping them splits intervals for
+    nothing). ONE keyed window sort serves the lag-collapse AND the
+    lead-close; the output is exactly the dimension shape q103's
+    temporal join consumes. Oracle: the independent lag/lead window
+    replay."""
+    from flink_note_spark.operators.changelog import scd2_intervals
+
+    e = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    d = scd2_intervals(
+        e, ["user_id"], "ts", tiebreak="event_id",
+        collapse_unchanged=True,
+    )
+    return (
+        d.filter(F.col("user_id") < 20)
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .orderBy("user_id", "valid_from")
+    )
+
+
+_Q143_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_t
+  FROM events
+), kept AS (
+  SELECT * FROM s WHERE prev_t IS NULL OR prev_t <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to
+FROM kept WHERE user_id < 20 ORDER BY user_id, valid_from
+"""
+
+
 QUERIES = {
     "q42_rank_functions": q42_rank_functions,
     "q43_approx_aggs": q43_approx_aggs,
@@ -1178,6 +1220,7 @@ QUERIES = {
     "q136_apply_changelog": q136_apply_changelog,
     "q137_zorder_layout": q137_zorder_layout,
     "q140_ddl_upsert": q140_ddl_upsert,
+    "q143_scd2_intervals": q143_scd2_intervals,
 }
 
 ORACLES = {
@@ -1208,4 +1251,5 @@ ORACLES = {
     # the DDL PRIMARY KEY table compacts exactly as q135's operator
     # call — the same independent row_number oracle applies
     "q140_ddl_upsert": _Q135_SQL,
+    "q143_scd2_intervals": _Q143_SQL,
 }

@@ -1452,3 +1452,79 @@ def test_semantic_decontaminate_guard_refuses_big_benchmark(spark):
     )
     with _pt.raises(ValueError, match="semantic_decontaminate"):
         semantic_decontaminate(corpus, big, max_collect_rows=5)
+
+
+def test_scd2_intervals_basic_and_collapse(spark):
+    from flink_note_spark.operators.changelog import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"),
+         (2, 5, 4, "x")],
+        "k long, v long, seq long, payload string",
+    )
+    plain = scd2_intervals(df, ["k"], "v", tiebreak="seq")
+    got = sorted(
+        (r.k, r.valid_from, r.valid_to, r.payload)
+        for r in plain.collect()
+    )
+    assert got == [
+        (1, 10, 20, "a"), (1, 20, 30, "a"), (1, 30, None, "b"),
+        (2, 5, None, "x"),
+    ]
+    # collapse: the repeated 'a' folds into ONE interval [10, 30)
+    col = scd2_intervals(
+        df, ["k"], "v", tiebreak="seq", collapse_unchanged=True
+    )
+    got = sorted(
+        (r.k, r.valid_from, r.valid_to, r.payload)
+        for r in col.collect()
+    )
+    assert got == [
+        (1, 10, 30, "a"), (1, 30, None, "b"), (2, 5, None, "x"),
+    ]
+
+
+def test_scd2_intervals_feed_temporal_join(spark):
+    """The SCD2 output IS the q103 dimension shape: a fact row joined
+    FOR SYSTEM_TIME AS OF picks the version live at its timestamp."""
+    from flink_note_spark.operators.changelog import scd2_intervals
+    from flink_note_spark.operators.joins import temporal_join
+
+    dim = scd2_intervals(
+        spark.createDataFrame(
+            [(1, 10, "bronze"), (1, 20, "silver"), (1, 40, "gold")],
+            "user_id long, ts long, tier string",
+        ),
+        ["user_id"], "ts",
+    ).select("user_id", F.col("valid_from").alias("vfrom"), "tier")
+    fact = spark.createDataFrame(
+        [(1, 15), (1, 25), (1, 99), (1, 5)],
+        "user_id long, fact_ts long",
+    )
+    got = {
+        r.fact_ts: r.tier
+        for r in temporal_join(
+            fact, dim, on="user_id", fact_time="fact_ts",
+            valid_from="vfrom", how="left",
+        ).collect()
+    }
+    assert got == {15: "bronze", 25: "silver", 99: "gold", 5: None}
+
+
+def test_scd2_intervals_refusals(spark):
+    import pytest as _pt
+
+    from flink_note_spark.operators.changelog import scd2_intervals
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pt.raises(ValueError, match="key_cols"):
+        scd2_intervals(df, [], "v")
+    with _pt.raises(ValueError, match="version"):
+        scd2_intervals(df, ["k"], "nope")
+    with _pt.raises(ValueError, match="payload"):
+        scd2_intervals(df, ["k"], "v", collapse_unchanged=True)
+    df2 = spark.createDataFrame(
+        [(1, 2, 3)], "k long, v long, valid_from long"
+    )
+    with _pt.raises(ValueError, match="already exists"):
+        scd2_intervals(df2, ["k"], "v")
