@@ -726,6 +726,76 @@ def minhash_index_load(spark, table: str) -> MinHashIndex:
     )
 
 
+def _table_buckets(spark, table: str) -> int:
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if (r["col_name"] or "").strip() == "Num Buckets":
+            return int(r["data_type"])
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def minhash_index_append(
+    increment: DataFrame,
+    table: str,
+    text_col: str = "text",
+    ids_unique: bool = False,
+) -> None:
+    """Accrete an increment into a PERSISTED index IN PLACE (r10 — the
+    100 TB operational loop closed: ``dedup_against_index(increment)``
+    → drop the duplicates → ``minhash_index_append(survivors)``; no
+    corpus rescan, no index rebuild, every existing byte untouched).
+
+    The increment hashes with the INDEX's signature family (from the
+    meta table — never the caller's parameters) and its band/doc rows
+    write as ADDITIONAL bucketed files into the same tables — Spark's
+    bucket layout is per-file, so the co-located probe-join property
+    survives appends. Ids already present in the index refuse loudly
+    (an appended duplicate id would double its band rows); the check
+    reads only the bucketed doc-id column semi-joined to the
+    (broadcastable) increment ids.
+
+    Honest cap caveat: ``max_bucket`` flood-drops apply WITHIN each
+    build — a bucket that becomes hot only through accretion keeps all
+    its rows until the next full rebuild (the compaction story; the
+    probe side still pays at most increment × bucket rows)."""
+    spark = increment.sparkSession
+    idx = minhash_index_load(spark, table)
+    p = idx.params
+    clash = (
+        spark.table(f"{table}__docs")
+        .select(idx.id_col)
+        .join(
+            F.broadcast(increment.select(idx.id_col).distinct()),
+            idx.id_col,
+            "semi",
+        )
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            "minhash_index_append: increment ids already in the index "
+            f"(e.g. {[r[0] for r in clash]}) — appending them would "
+            "double their band rows; dedup or re-key the increment"
+        )
+    inc = minhash_index_build(
+        increment, idx.id_col, text_col,
+        n=p["n"], num_hashes=p["num_hashes"], bands=p["bands"],
+        seed=p["seed"], max_df=p["max_df"], max_bucket=p["max_bucket"],
+        ids_unique=ids_unique,
+    )
+    from flink_note_spark.operators.scale import write_bucketed
+
+    write_bucketed(
+        inc.bands, table, _table_buckets(spark, table),
+        ["band_id", "band_key"], mode="append",
+    )
+    write_bucketed(
+        inc.docs, f"{table}__docs",
+        _table_buckets(spark, f"{table}__docs"), [idx.id_col],
+        mode="append",
+    )
+
+
 def dedup_against_index(
     increment: DataFrame,
     index: MinHashIndex,

@@ -1528,3 +1528,73 @@ def test_scd2_intervals_refusals(spark):
     )
     with _pt.raises(ValueError, match="already exists"):
         scd2_intervals(df2, ["k"], "v")
+
+
+def test_minhash_index_append_equals_rebuilt(spark, sf_dir, tmp_path):
+    """r10 accretion loop: save(index(A)) + append(B) probes EXACTLY
+    like a fresh index over A∪B — the appended band/doc rows land as
+    additional bucketed files, and signatures depend only on each
+    document's own text."""
+    import uuid
+
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_load,
+        minhash_index_save,
+    )
+    from flink_note_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 5 == 1)
+    b = d.filter(F.col("doc_id") % 5 == 2)
+    c = d.filter(F.col("doc_id") % 5 == 0)   # the probe increment
+    t = f"mh_app_{uuid.uuid4().hex[:8]}"
+    minhash_index_save(
+        minhash_index_build(a, ids_unique=True), t, buckets=4,
+        path=str(tmp_path / t),
+    )
+    minhash_index_append(b, t, ids_unique=True)
+
+    got = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup_against_index(
+            c, minhash_index_load(spark, t), threshold=0.4,
+            ids_unique=True,
+        ).collect()
+    )
+    fresh = minhash_index_build(a.unionByName(b), ids_unique=True)
+    want = sorted(
+        (r.d1, r.d2, r.jaccard)
+        for r in dedup_against_index(
+            c, fresh, threshold=0.4, ids_unique=True
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_minhash_index_append_refuses_id_collision(spark, tmp_path):
+    import uuid
+
+    import pytest as _pt
+
+    from flink_note_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_save,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    t = f"mh_clash_{uuid.uuid4().hex[:8]}"
+    minhash_index_save(
+        minhash_index_build(docs, ids_unique=True), t, buckets=2,
+        path=str(tmp_path / t),
+    )
+    with _pt.raises(ValueError, match="already in the index"):
+        minhash_index_append(docs.filter("doc_id < 3"), t,
+                             ids_unique=True)
