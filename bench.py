@@ -101,6 +101,12 @@ HEADLINE = [
     # (pure-codegen bit math + one tiny bounds agg) — same caveat.
     "q135_upsert_latest",
     "q137_zorder_layout",
+    # New in round 10 (third batch): the hypertable surface — gap-filled
+    # resample (one agg + one window/explode, zero joins) and the
+    # continuous-aggregate cascade (three partial re-aggs, raw events
+    # scanned once) — same caveat.
+    "q144_gapfill_locf",
+    "q146_rollup_cascade",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the

@@ -70,6 +70,21 @@ from flink_note_spark.operators.similarity import (
     pq_load,
     ivfpq_topk,
 )
+from flink_note_spark.operators.timeseries import (
+    gapfill,
+    interval_concurrency,
+    lttb_downsample,
+    max_concurrency,
+    merge_partials,
+    retention_cohorts,
+    rollup_compact,
+    rollup_finalize,
+    rollup_partials,
+    rollup_read,
+    rollup_stream_start,
+    rollup_up,
+    time_bucket_s,
+)
 from flink_note_spark.operators.text import (
     clean_text,
     doc_fingerprint,
@@ -136,6 +151,19 @@ __all__ = [
     "ivfpq_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",
+    "gapfill",
+    "interval_concurrency",
+    "lttb_downsample",
+    "max_concurrency",
+    "merge_partials",
+    "retention_cohorts",
+    "rollup_compact",
+    "rollup_finalize",
+    "rollup_partials",
+    "rollup_read",
+    "rollup_stream_start",
+    "rollup_up",
+    "time_bucket_s",
     "clean_text",
     "doc_fingerprint",
     "frequent_tokens",

@@ -13,13 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_note_spark.queries import events, extended, llm, relational
+from flink_note_spark.queries import events, extended, llm, relational, timeseries
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **relational.QUERIES,
     **events.QUERIES,
     **llm.QUERIES,
     **extended.QUERIES,
+    **timeseries.QUERIES,
 }
 
 
@@ -96,6 +97,7 @@ ORACLES: dict[str, str] = {
     **events.ORACLES,
     **llm.ORACLES,
     **extended.ORACLES,
+    **timeseries.ORACLES,
 }
 
 assert set(ORACLES) <= set(QUERIES), "oracle without a query implementation"
