@@ -71,6 +71,7 @@ from flink_note_spark.operators.similarity import (
     ivfpq_topk,
 )
 from flink_note_spark.operators.timeseries import (
+    ewma,
     gapfill,
     interval_concurrency,
     lttb_downsample,
@@ -151,6 +152,7 @@ __all__ = [
     "ivfpq_topk",
     "lsh_cosine_topk",
     "lsh_embedding_near_dup_pairs",
+    "ewma",
     "gapfill",
     "interval_concurrency",
     "lttb_downsample",

@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "with_zorder", "zorder_repartition"]
+__all__ = [
+    "zorder_value",
+    "with_zorder",
+    "zorder_repartition",
+    "write_with_stats",
+    "read_manifest",
+    "pruned_read",
+]
 
 #: Overflow guard: normalization computes (v - min) * 2^bits, which must
 #: stay inside int64 — (max - min) * 2^bits < 2^63.
@@ -128,3 +135,81 @@ def zorder_repartition(
         .sortWithinPartitions("__zorder")
         .drop("__zorder")
     )
+
+
+def write_with_stats(
+    df: DataFrame, path: str, stat_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write parquet AND a per-file min/max manifest over ``stat_cols``
+    — the data-skipping half of the Delta/Iceberg table format, enough
+    to make the Z-order layout's payoff consumable at query time.
+
+    The manifest (``{path}/_manifest``) is computed DISTRIBUTED: one
+    columnar re-scan of the written files grouped by
+    ``input_file_name()`` — O(files) output rows, no driver loop over
+    footers. At 100 TB the manifest is the only thing a planner reads
+    before deciding which files to open."""
+    if not stat_cols:
+        raise ValueError("stat_cols must be non-empty")
+    df.write.mode(mode).parquet(path)
+    spark = df.sparkSession
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    manifest = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+
+
+def read_manifest(spark, path: str) -> DataFrame:
+    """The per-file stats manifest written by :func:`write_with_stats`."""
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def pruned_read(
+    spark, path: str, ranges: dict[str, tuple], report: dict | None = None
+) -> DataFrame:
+    """Read only the files whose manifest [min, max] span INTERSECTS
+    every requested range — file-level skipping on top of parquet's
+    row-group pruning (which still applies inside the kept files).
+
+    ``ranges`` maps column → ``(lo, hi)`` inclusive bounds (``None`` for
+    open ends). The predicate itself is ALSO applied to the kept rows —
+    pruning is a performance decision, never a correctness one (pinned:
+    pruned == plain filtered read). Pass a dict as ``report`` to
+    receive ``{"files_total": n, "files_kept": m}`` — the skip rate a
+    Z-ordered layout earns on EVERY clustered column vs a single-column
+    sort's one (measured in tests/test_scale.py).
+
+    Driver cost: the manifest collect is O(files kept + dropped) paths —
+    the same listing the reader does anyway; row data never reaches the
+    driver."""
+    man = read_manifest(spark, path)
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if f"{c}__min" not in man.columns:
+            raise ValueError(f"column {c!r} not in manifest")
+        if hi is not None:
+            cond = cond & (F.col(f"{c}__min") <= F.lit(hi))
+        if lo is not None:
+            cond = cond & (F.col(f"{c}__max") >= F.lit(lo))
+    total = man.count()
+    kept = [r.file for r in man.filter(cond).select("file").collect()]
+    if report is not None:
+        report["files_total"] = total
+        report["files_kept"] = len(kept)
+    row_cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            row_cond = row_cond & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            row_cond = row_cond & (F.col(c) <= F.lit(hi))
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(row_cond)

@@ -57,6 +57,7 @@ __all__ = [
     "interval_concurrency",
     "max_concurrency",
     "lttb_downsample",
+    "ewma",
     "retention_cohorts",
 ]
 
@@ -593,10 +594,17 @@ def lttb_downsample(
         time_bucket_s(ts, w, "bucket_s"),
         F.unix_micros(F.col(ts).cast("timestamp")).alias("__t_us"),
     )
+    # centroid time sums BUCKET-RELATIVE offsets (≤ width_us each):
+    # summing absolute epoch-µs overflows int64 at ~5e3 rows/bucket —
+    # caught by the 8× scale probe, invisible at fixture scale
+    rel_t = F.col("__t_us") - F.col("bucket_s") * F.lit(1_000_000)
+    base_t = (F.col("bucket_s") * F.lit(1_000_000)).cast("double")
     stats = pts.groupBy(*keys, "bucket_s").agg(
-        (F.sum("__t_us").cast("double") / F.count(F.lit(1)).cast("double")).alias("__avg_t"),
+        (F.sum(rel_t).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avg_rel"
+        ),
         (F.sum(value).cast("double") / F.count(F.lit(1)).cast("double")).alias("__avg_v"),
-    )
+    ).select("*", (base_t + F.col("__avg_rel")).alias("__avg_t")).drop("__avg_rel")
     swin = Window.partitionBy(*keys).orderBy("bucket_s")
     swin_d = Window.partitionBy(*keys).orderBy(F.col("bucket_s").desc())
     nb = stats.select(
@@ -636,6 +644,69 @@ def lttb_downsample(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    alpha: float,
+    tiebreak: str | None = None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average in event-time
+    order: ``y_1 = x_1``, ``y_i = (1−α)·y_{i−1} + α·x_i`` (the
+    ``adjust=False`` convention). Output = the input rows plus
+    ``out_col``.
+
+    Why this is a Pandas-UDF operator (the repo's documented exception
+    class): the recurrence is inherently SEQUENTIAL per key — the
+    closed form ``y_t = α·Σ(1−α)^{t−i}·x_i`` needs ``(1−α)^{−i}``
+    prefix factors that overflow doubles after ~700 steps, so no
+    window-function rendering is numerically sound. The scan is one
+    ``applyInPandas`` per key group (Arrow batch in, numpy recurrence,
+    Arrow batch out) over a single keyed shuffle; state is O(1) per
+    row. A hot key serializes its own rows only — the same bound any
+    per-key ordered scan has.
+
+    The recurrence multiplies in a FIXED order (``b·prev + α·x``) so an
+    external replay of the identical chain (e.g. a SQL recursive CTE)
+    reproduces every double bit-for-bit."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if tiebreak is not None and tiebreak not in df.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} not in frame")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # fresh StructType: StructType.add MUTATES the frame's cached schema
+    schema_out = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    sort_cols = [ts] + ([tiebreak] if tiebreak else [])
+    a = float(alpha)
+    b = 1.0 - a
+    val = value
+
+    def _fn(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        x = pdf[val].to_numpy(dtype="float64")
+        y = np.empty_like(x)
+        prev = 0.0
+        for i in range(len(x)):
+            prev = x[i] if i == 0 else b * prev + a * x[i]
+            y[i] = prev
+        out = pdf.copy()
+        out[out_col] = y
+        return out
+
+    return df.groupBy(*keys).applyInPandas(_fn, schema=schema_out)
 
 
 # ---------------------------------------------------------------------------

@@ -323,8 +323,12 @@ WITH p AS (
          event_id
   FROM events
 ), a AS (
+  -- bucket-relative time sums (absolute epoch-us sums overflow int64
+  -- at scale; mirrors the operator's base + mean-offset formulation)
   SELECT event_type, bucket_s,
-         CAST(sum(t_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_t,
+         CAST(bucket_s * 1000000 AS DOUBLE)
+           + CAST(sum(t_us - bucket_s * 1000000) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_t,
          CAST(sum(vi) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_v
   FROM p GROUP BY 1, 2
 ), nb AS (
@@ -354,6 +358,42 @@ WHERE rn = 1
 """
 
 
+def q150_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type EWMA (α = 0.3) over event values in event-time order.
+    The oracle replays the IDENTICAL recurrence through a recursive CTE
+    — fixed multiply order, α spelled as the same double-cast literal
+    and 1−α computed (never written as a decimal literal: the exact
+    subtraction result lands midway between adjacent doubles, so a
+    hand-written ``0.7`` is NOT guaranteed to equal it) — every output
+    double hash-matches bit-for-bit with no rounding."""
+    from flink_note_spark.operators.timeseries import ewma
+
+    e = _t(spark, sf, "events").select("event_type", "ts", "event_id", "value")
+    out = ewma(e, ["event_type"], "ts", "value", alpha=0.3, tiebreak="event_id")
+    return out.select(
+        "event_type", epoch_us("ts").alias("t_us"), "event_id", "ewma"
+    )
+
+
+_Q150_SQL = """
+WITH RECURSIVE s AS (
+  SELECT event_type, epoch_us(ts) AS t_us, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT event_type, rn, t_us, event_id, CAST(value AS DOUBLE) AS ewma
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.t_us, s.event_id,
+         (1.0 - CAST(0.3 AS DOUBLE)) * r.ewma
+           + CAST(0.3 AS DOUBLE) * s.value
+  FROM r JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, t_us, event_id, ewma FROM r
+"""
+
+
 QUERIES = {
     "q144_gapfill_locf": q144_gapfill_locf,
     "q145_gapfill_linear": q145_gapfill_linear,
@@ -361,6 +401,7 @@ QUERIES = {
     "q147_sweepline_concurrency": q147_sweepline_concurrency,
     "q148_retention_cohorts": q148_retention_cohorts,
     "q149_lttb_downsample": q149_lttb_downsample,
+    "q150_ewma": q150_ewma,
 }
 
 ORACLES = {
@@ -370,4 +411,5 @@ ORACLES = {
     "q147_sweepline_concurrency": _Q147_SQL,
     "q148_retention_cohorts": _Q148_SQL,
     "q149_lttb_downsample": _Q149_SQL,
+    "q150_ewma": _Q150_SQL,
 }

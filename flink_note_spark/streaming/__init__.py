@@ -14,6 +14,11 @@ from flink_note_spark.streaming.control import (
     query_status,
     stop_query,
 )
+from flink_note_spark.streaming.replay import (
+    match_pattern_replay_stream,
+    replay_emissions,
+    stream_batch_replay_start,
+)
 from flink_note_spark.streaming.ops import (
     match_pattern_stream,
     route_to_sinks,
@@ -37,6 +42,9 @@ __all__ = [
     "list_queries",
     "query_status",
     "stop_query",
+    "match_pattern_replay_stream",
+    "replay_emissions",
+    "stream_batch_replay_start",
     "match_pattern_stream",
     "route_to_sinks",
     "session_window_agg",

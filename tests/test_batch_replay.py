@@ -1,0 +1,230 @@
+"""streaming/replay.py — incremental batch replay: stream the batch
+CEP shapes the native engine refuses, correct by construction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_note_spark.operators.cep import match_pattern
+from flink_note_spark.streaming.replay import (
+    _replay_epoch,
+    replay_emissions,
+    stream_batch_replay_start,
+)
+
+WITHIN_US = 10 * 60 * 1_000_000
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+_SCHEMA = "user_id long, ts timestamp, event_type string"
+
+# A B+ under STRICT contiguity with within: the terminal-loop shape the
+# native stream engine refuses with the pinned no-prefix-decision
+# counterexample. Finality here is anchor + within (horizon close).
+_TERMINAL_LOOP = ["A", {"type": "B", "one_or_more": True}]
+
+
+def _batch_op(df):
+    return match_pattern(
+        df, _TERMINAL_LOOP, contiguity="strict", within="10 minutes"
+    )
+
+
+def _final():
+    return F.unix_micros(F.col("ts_1")) + WITHIN_US
+
+
+def _rows():
+    return [
+        # key 1: A B B then a later B INSIDE the within window (extends
+        # the same anchor's run across micro-batches)
+        (1, _t(0), "A"), (1, _t(1), "B"), (1, _t(2), "B"), (1, _t(8), "B"),
+        # key 1 again, far later: a second independent match
+        (1, _t(40), "A"), (1, _t(41), "B"),
+        # key 2: run broken by a non-B — match stops before it
+        (2, _t(0), "A"), (2, _t(1), "B"), (2, _t(3), "C"), (2, _t(4), "B"),
+        # key 3: A with no B — no match
+        (3, _t(5), "A"),
+        # flush: advances the watermark far past every anchor's horizon
+        (9, _t(24 * 60), "Z"),
+    ]
+
+
+def test_native_engine_still_refuses_terminal_loop(spark, tmp_path):
+    """Parity pin: the shape replay streams is genuinely refused by the
+    native engine (if this ever starts passing natively, replay's
+    raison d'etre for it should be revisited)."""
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    src = tmp_path / "src0"
+    src.mkdir()
+    spark.createDataFrame(_rows()[:3], _SCHEMA).write.parquet(
+        str(src / "c0.parquet")
+    )
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src / "c0.parquet"))
+    with pytest.raises(ValueError, match="[Tt]erminal"):
+        match_pattern_stream(
+            stream, _TERMINAL_LOOP, contiguity="strict", within="10 minutes"
+        )
+
+
+def test_replay_streams_terminal_loop_equals_batch(spark, tmp_path):
+    rows = _rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    # 3 micro-batches in event-time order; the key-1 anchor at t0 spans
+    # the first two (its late B at t8 arrives in chunk 2)
+    chunks = [rows[0:3] + rows[6:9], [rows[3]] + rows[9:11], rows[4:6] + rows[11:]]
+    for i, c in enumerate(chunks):
+        # flat FILES (not Spark output dirs): the file stream source
+        # does not recurse into subdirectories
+        pdf = spark.createDataFrame(c, _SCHEMA).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / f"c{i}.parquet"), index=False)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    log = str(tmp_path / "replay_log")
+    q = stream_batch_replay_start(
+        stream,
+        _batch_op,
+        _final(),
+        "ts",
+        log,
+        within="10 minutes",
+        watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        tuple(r) for r in replay_emissions(spark, log).collect()
+    }
+    full = spark.createDataFrame(rows, _SCHEMA)
+    batch = {tuple(r) for r in _batch_op(full).collect()}
+    assert streamed == batch
+    # the run that straddled micro-batches captured its late extension
+    assert (1, _t(0), _t(1), _t(8), 3) in streamed
+
+
+def test_replay_epoch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch retries an epoch with identical input — the replay
+    must recompute the identical emission interval and rows."""
+    rows = _rows()
+    log = str(tmp_path / "log")
+    got: list = []
+
+    def sink(df, eid):
+        got.append(
+            None if df is None else sorted(tuple(r) for r in df.collect())
+        )
+
+    kw = dict(
+        batch_op=_batch_op,
+        final_expr=_final(),
+        time_col="ts",
+        log_path=log,
+        within_us=WITHIN_US,
+        delay_us=60 * 1_000_000,
+        sink=sink,
+    )
+    b0 = spark.createDataFrame(rows[:6], _SCHEMA)
+    b1 = spark.createDataFrame(rows[6:], _SCHEMA)
+    _replay_epoch(b0, 0, **kw)
+    _replay_epoch(b1, 1, **kw)
+    first = list(got)
+    got.clear()
+    _replay_epoch(b1, 1, **kw)  # retry of the latest epoch
+    assert got == [first[1]]
+
+
+def test_replay_no_watermark_advance_emits_nothing(spark, tmp_path):
+    log = str(tmp_path / "log")
+    got: list = []
+
+    def sink(df, eid):
+        got.append(None if df is None else df.count())
+
+    kw = dict(
+        batch_op=_batch_op,
+        final_expr=_final(),
+        time_col="ts",
+        log_path=log,
+        within_us=WITHIN_US,
+        delay_us=60 * 1_000_000,
+        sink=sink,
+    )
+    _replay_epoch(spark.createDataFrame(_rows(), _SCHEMA), 0, **kw)
+    # an epoch of only OLD events cannot move the watermark
+    _replay_epoch(spark.createDataFrame([(7, _t(1), "A")], _SCHEMA), 1, **kw)
+    assert got[1] is None
+
+
+def test_match_pattern_replay_wrapper_equals_batch(spark, tmp_path):
+    """The convenience router derives batch_op + finality itself; same
+    terminal-loop scenario, wrapper API."""
+    from flink_note_spark.streaming.replay import match_pattern_replay_stream
+
+    rows = _rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = spark.createDataFrame(rows, _SCHEMA).toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(src / "all.parquet"), index=False)
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(src))
+    log = str(tmp_path / "log")
+    q = match_pattern_replay_stream(
+        stream,
+        _TERMINAL_LOOP,
+        log,
+        contiguity="strict",
+        within="10 minutes",
+        watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in replay_emissions(spark, log).collect()}
+    batch = {
+        tuple(r)
+        for r in _batch_op(spark.createDataFrame(rows, _SCHEMA)).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_match_pattern_replay_refuses_pruning_and_no_within(spark, tmp_path):
+    from flink_note_spark.streaming.replay import match_pattern_replay_stream
+
+    (tmp_path / "s").mkdir()
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="within"):
+        match_pattern_replay_stream(stream, _TERMINAL_LOOP, str(tmp_path / "l"))
+    with pytest.raises(ValueError, match="prunes across"):
+        match_pattern_replay_stream(
+            stream, ["A", "B"], str(tmp_path / "l"),
+            within="10 minutes", skip_strategy="skip_past_last_event",
+        )
+
+
+def test_replay_validates_time_column(spark, tmp_path):
+    (tmp_path / "empty_src").mkdir()
+    stream = (
+        spark.readStream.schema(_SCHEMA).parquet(str(tmp_path / "empty_src"))
+    )
+    with pytest.raises(ValueError, match="time column"):
+        stream_batch_replay_start(
+            stream, _batch_op, _final(), "t_missing", str(tmp_path / "log"),
+            within="10 minutes",
+        )

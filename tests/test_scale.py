@@ -276,3 +276,94 @@ def test_zorder_locality_beats_single_column_sort(spark, sf_dir):
     assert z < 1.0
     assert single > 1.0
     assert z < single
+
+
+def test_manifest_stats_and_pruned_read_equals_filter(spark, sf_dir, tmp_path):
+    """write_with_stats manifests are true per-file bounds, and
+    pruned_read == plain filtered read (pruning is performance, never
+    correctness)."""
+    from flink_note_spark.operators.layout import (
+        pruned_read,
+        read_manifest,
+        write_with_stats,
+        zorder_repartition,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_custkey").cast("long").alias("c1"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("c2"),
+    )
+    path = str(tmp_path / "zt")
+    write_with_stats(
+        zorder_repartition(o, ["c1", "c2"], num_partitions=8),
+        path, ["c1", "c2"],
+    )
+    man = read_manifest(spark, path)
+    assert man.count() == 8
+    assert man.agg(F.sum("n_rows")).collect()[0][0] == o.count()
+    # manifest bounds are TRUE bounds
+    chk = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), "c1")
+        .groupBy("file").agg(F.min("c1").alias("m"), F.max("c1").alias("x"))
+        .join(man, "file")
+    )
+    bad = chk.filter(
+        (F.col("m") != F.col("c1__min")) | (F.col("x") != F.col("c1__max"))
+    ).count()
+    assert bad == 0
+
+    bounds = o.agg(F.min("c1"), F.max("c1"), F.min("c2"), F.max("c2")).collect()[0]
+    for col, lo, hi in (
+        ("c1", bounds[0], bounds[0] + (bounds[1] - bounds[0]) // 8),
+        ("c2", bounds[2], bounds[2] + (bounds[3] - bounds[2]) // 8),
+    ):
+        rep: dict = {}
+        got = pruned_read(spark, path, {col: (lo, hi)}, report=rep)
+        want = spark.read.parquet(path).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
+        assert sorted(r.k for r in got.collect()) == sorted(
+            r.k for r in want.collect()
+        )
+        # a selective range on EITHER z-ordered column skips files
+        assert rep["files_kept"] < rep["files_total"], (col, rep)
+
+
+def test_zorder_layout_prunes_both_dims_single_sort_does_not(
+    spark, sf_dir, tmp_path
+):
+    """The end-to-end skip-rate payoff: on the SECOND dimension a
+    z-ordered table prunes files; a c1-sorted table reads everything."""
+    from flink_note_spark.operators.layout import (
+        pruned_read,
+        write_with_stats,
+        zorder_repartition,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("c1"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("c2"),
+    )
+    zp = str(tmp_path / "z")
+    sp = str(tmp_path / "s")
+    write_with_stats(
+        zorder_repartition(o, ["c1", "c2"], num_partitions=8), zp, ["c1", "c2"]
+    )
+    write_with_stats(
+        o.repartitionByRange(8, "c1").sortWithinPartitions("c1"), sp, ["c1", "c2"]
+    )
+    b = o.agg(F.min("c2"), F.max("c2")).collect()[0]
+    rng = {"c2": (b[0], b[0] + (b[1] - b[0]) // 8)}
+    rz: dict = {}
+    rs: dict = {}
+    pruned_read(spark, zp, rng, report=rz).count()
+    pruned_read(spark, sp, rng, report=rs).count()
+    assert rz["files_kept"] < rz["files_total"]
+    assert rs["files_kept"] == rs["files_total"]  # c1 sort can't skip on c2
+    assert rz["files_kept"] < rs["files_kept"]

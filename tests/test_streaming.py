@@ -16,7 +16,9 @@ resume without duplicates (reference C2 savepoint semantics).
 from __future__ import annotations
 
 import datetime as dt
+import os
 import shutil
+import time
 import uuid
 
 import pandas as pd
@@ -4604,12 +4606,19 @@ def _pd_chunks(tmp_path, docs):
         ("text", pa.string()),
     ])
     per = max(1, len(docs) // 3)
+    base = time.time() - len(docs) - 10
     for j in range(0, len(docs), per):
         t = pa.Table.from_pylist(
             [dict(zip(["doc_id", "ts", "text"], r)) for r in docs[j:j + per]],
             schema=schema,
         )
-        pq.write_table(t, str(d / f"c{j:03d}.parquet"))
+        path = str(d / f"c{j:03d}.parquet")
+        pq.write_table(t, path)
+        # strictly increasing mtimes: the file source orders batches by
+        # modification time, and a tight write loop can land two chunks
+        # on one clock tick (arrival order then depends on listing
+        # order — observed flaky under load)
+        os.utime(path, (base + j, base + j))
     return d
 
 

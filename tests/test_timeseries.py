@@ -1,6 +1,7 @@
 """Unit / property / plan tests for operators/timeseries.py (gapfill,
-rollup cascade, sweep-line concurrency, retention cohorts). Fixture-scale
-oracle parity runs in test_oracle_parity via q144–q148."""
+rollup cascade + streaming maintenance, sweep-line concurrency, LTTB,
+EWMA, retention cohorts). Fixture-scale oracle parity runs in
+test_oracle_parity via q144–q150."""
 
 from __future__ import annotations
 
@@ -516,3 +517,43 @@ def test_retention_period_zero_is_always_full(spark, sf_dir):
     assert len(p0) > 0
     for r in p0:
         assert r.active_users == r.cohort_size and r.retention == 1.0
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+
+
+def test_ewma_crafted_recurrence(spark):
+    from flink_note_spark.operators.timeseries import ewma
+
+    df = _mk(
+        spark,
+        [
+            ("a", "2024-01-01T00:00:00", 10),
+            ("a", "2024-01-01T00:01:00", 20),
+            ("a", "2024-01-01T00:02:00", 30),
+            ("b", "2024-01-01T00:00:00", 5),
+        ],
+    )
+    out = {
+        (r.k, r.ts.isoformat()): r.ewma
+        for r in ewma(df, ["k"], "ts", "v", alpha=0.5).collect()
+    }
+    assert out[("a", "2024-01-01T00:00:00")] == 10.0
+    assert out[("a", "2024-01-01T00:01:00")] == 15.0   # 0.5*10 + 0.5*20
+    assert out[("a", "2024-01-01T00:02:00")] == 22.5
+    assert out[("b", "2024-01-01T00:00:00")] == 5.0    # fresh key
+
+
+def test_ewma_alpha_one_is_identity_and_validation(spark, sf_dir):
+    from flink_note_spark.operators.timeseries import ewma
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    out = ewma(e, ["event_type"], "ts", "value", alpha=1.0, tiebreak="event_id")
+    assert out.filter(F.col("ewma") != F.col("value")).count() == 0
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(e, ["event_type"], "ts", "value", alpha=0.0)
+    with pytest.raises(ValueError, match="tiebreak"):
+        ewma(e, ["event_type"], "ts", "value", alpha=0.5, tiebreak="nope")

@@ -481,6 +481,68 @@ def main() -> None:
             ev, ["user_id"], version_col="ts", tiebreak="event_id"
         )
 
+    def gapfill_probe(ev):
+        """q144-shape dense resample (late-r10): one map-side-combinable
+        bucket agg + one keyed window/explode — spine rows are emitted,
+        never joined, so the ratio should track the scan + one keyed
+        sort of O(buckets) rows (buckets grow with the time span, which
+        replication keeps FIXED — the gap explode is scale-free here)."""
+        from flink_note_spark.operators.timeseries import gapfill
+
+        return gapfill(
+            ev, ["event_type"], "ts", "30 minutes",
+            aggs={"n": F.count(F.lit(1)), "s": F.sum("value")},
+            fills={"n": "zero", "s": "locf"},
+        )
+
+    def rollup_probe(ev):
+        """q146-shape continuous-aggregate cascade (late-r10): three
+        keyed re-aggs, the first map-side-combinable over raw events
+        and the other two over O(buckets) partial rows — the ratio
+        should track the first agg alone."""
+        from flink_note_spark.operators.timeseries import (
+            rollup_finalize, rollup_partials, rollup_up,
+        )
+
+        m = {
+            "n": ("*", "count"), "s": ("value", "sum"),
+            "mn": ("value", "min"), "mx": ("value", "max"),
+            "du": ("user_id", "approx_distinct"),
+        }
+        fine = rollup_partials(ev, ["event_type"], "ts", "15 minutes", m)
+        return rollup_finalize(
+            rollup_up(rollup_up(fine, ["event_type"], "1 hour", m),
+                      ["event_type"], "1 day", m),
+            ["event_type"], m,
+        )
+
+    def concurrency_probe(ev):
+        """q147-shape bucketed sweep-line (late-r10): explode to 2n
+        boundary rows, per-(key, time-bucket) offset aggregate, then
+        running sums per bounded partition — worst task is the bucket
+        span regardless of key skew, so the ratio should track the
+        boundary sort."""
+        from flink_note_spark.functions.scalar import epoch_us
+        from flink_note_spark.operators.timeseries import max_concurrency
+
+        start = epoch_us("ts")
+        end = epoch_us("ts") + F.floor(F.col("value") * F.lit(1e6)).cast("long")
+        return max_concurrency(
+            ev, ["event_type"], start, end,
+            tiebreak="event_id", time_buckets=32,
+        )
+
+    def lttb_probe(ev):
+        """q149-shape LTTB downsample (late-r10): bucket-centroid agg +
+        tiny lag/lead window + one keyed join back + per-(key, bucket)
+        row_number — the join's small side is O(buckets), so the ratio
+        should track the centroid agg + the pick window sort."""
+        from flink_note_spark.operators.timeseries import lttb_downsample
+
+        return lttb_downsample(
+            ev, ["event_type"], "ts", "value", "1 day", tiebreak="event_id"
+        )
+
     def zorder_probe(orders):
         """q137-shape Z-order clustering (r10): one O(cols) min/max
         agg + one range exchange on the Morton value — the cost of any
@@ -748,6 +810,10 @@ def main() -> None:
         bench(f"upsert_{tag}", lambda e=evdf: noop(upsert_probe(e)), t)
         bench(f"match_recognize_{tag}", lambda e=evdf: noop(mr_probe(e)), t)
         bench(f"window_topn_{tag}", lambda e=evdf: noop(wtopn_probe(e)), t)
+        bench(f"gapfill_{tag}", lambda e=evdf: noop(gapfill_probe(e)), t)
+        bench(f"rollup_{tag}", lambda e=evdf: noop(rollup_probe(e)), t)
+        bench(f"concurrency_{tag}", lambda e=evdf: noop(concurrency_probe(e)), t)
+        bench(f"lttb_{tag}", lambda e=evdf: noop(lttb_probe(e)), t)
     for tag, evdir in (("x1", ev1_dir), (f"x{k}", ev_k_dir)):
         bench(f"route_{tag}", lambda d=evdir: route_probe(d), t)
     # concurrency axis (same x1 data, 1 vs 4 in-flight batches): the
@@ -769,6 +835,7 @@ def main() -> None:
             "route", "tfidf", "corpus_full",
             "upsert", "zorder", "remove_spans",
             "ccnet_exact", "ccnet_thresholds", "sdecon",
+            "gapfill", "rollup", "concurrency", "lttb",
         )
         if f"{op}_x1" in t and f"{op}_x{k}" in t
     }
