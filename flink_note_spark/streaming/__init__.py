@@ -15,8 +15,10 @@ from flink_note_spark.streaming.control import (
     stop_query,
 )
 from flink_note_spark.streaming.replay import (
+    compact_replay_log,
     match_pattern_replay_stream,
     replay_emissions,
+    retract_stream_start,
     stream_batch_replay_start,
 )
 from flink_note_spark.streaming.ops import (
@@ -42,8 +44,10 @@ __all__ = [
     "list_queries",
     "query_status",
     "stop_query",
+    "compact_replay_log",
     "match_pattern_replay_stream",
     "replay_emissions",
+    "retract_stream_start",
     "stream_batch_replay_start",
     "match_pattern_stream",
     "route_to_sinks",

@@ -62,6 +62,8 @@ __all__ = [
     "stream_batch_replay_start",
     "replay_emissions",
     "match_pattern_replay_stream",
+    "retract_stream_start",
+    "compact_replay_log",
 ]
 
 _LONG_MIN = -(2**63)
@@ -163,10 +165,10 @@ def stream_batch_replay_start(
 
     Cost model at scale: every epoch re-reads the log slice of width
     ``within + delay + batch span`` and re-runs the batch plan over it —
-    O(active window), not O(history); the log itself grows unboundedly
-    until compacted (drop epoch directories wholly below
-    ``wm − within − delay``; immutable-file bookkeeping, not this
-    function's concern)."""
+    O(active window), not O(history); the log itself grows until
+    compacted — :func:`compact_replay_log` drops epoch directories
+    wholly below ``wm − within − delay`` (immutable-file bookkeeping,
+    run it between batches or from a cron)."""
     within_us = _parse_delay_us(within)
     delay_us = _parse_delay_us(watermark)
     if time_col not in stream.columns:
@@ -203,6 +205,156 @@ def replay_emissions(spark: SparkSession, log_path: str) -> DataFrame:
     """All matches emitted so far by the default sink (union of the
     epoch output directories; each match appears exactly once)."""
     return spark.read.parquet(f"{log_path}/out").drop("epoch")
+
+
+def compact_replay_log(
+    spark: SparkSession,
+    log_path: str,
+    within: str,
+    watermark: str = "5 minutes",
+    time_col: str = "ts",
+) -> dict:
+    """Drop event-epoch directories that can no longer contribute to
+    any future emission: an epoch whose MAX event time is at or below
+    ``wm − within − delay`` lies wholly outside every future slice
+    (slices start above ``wm_prev − within``, and ``wm_prev`` only
+    grows). Meta directories for dropped epochs are kept — the
+    watermark chain must stay monotone across a restart.
+
+    Safe to run between micro-batches or from a cron; returns
+    ``{"epochs_total": n, "epochs_dropped": m, "wm_us": wm}``. Uses
+    driver-side directory removal (O(files) bookkeeping on immutable
+    dirs — the same operation a table format's vacuum performs)."""
+    import shutil
+
+    within_us = _parse_delay_us(within)
+    delay_us = _parse_delay_us(watermark)
+    events_path = f"{log_path}/events"
+    wm = _prev_wm(spark, f"{log_path}/meta", 2**62)
+    out = {"epochs_total": 0, "epochs_dropped": 0, "wm_us": wm}
+    if wm == _LONG_MIN:
+        return out
+    floor = wm - within_us - delay_us
+    events = spark.read.parquet(events_path)
+    if time_col not in events.columns:
+        raise ValueError(f"time column {time_col!r} not in the event log")
+    per_epoch = events.groupBy("epoch").agg(
+        F.max(F.unix_micros(F.col(time_col).cast("timestamp"))).alias("mx")
+    )
+    rows = per_epoch.collect()
+    out["epochs_total"] = len(rows)
+    for r in rows:
+        if r.mx is not None and int(r.mx) <= floor:
+            shutil.rmtree(f"{events_path}/epoch={r.epoch}", ignore_errors=True)
+            out["epochs_dropped"] += 1
+    return out
+
+
+def retract_stream_start(
+    agg_stream: DataFrame,
+    key_cols: list[str],
+    log_path: str,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+):
+    """Flink's ``toRetractStream`` for an UPDATE-mode streaming
+    aggregate: emit an op-tagged changelog (``+I`` first value for a
+    key, ``-U`` old / ``+U`` new on change) that a downstream
+    ``apply_changelog`` consumer reconstructs the aggregate from —
+    round-trip pinned in tests (changelog → materialize == batch agg).
+
+    Mechanism (the epoch-log doctrine): per micro-batch, the updated
+    rows diff against the PREVIOUS epoch's state snapshot
+    (``{log}/state/epoch={id}``), the op rows land at
+    ``{log}/out/epoch={id}``, and the new full snapshot writes as this
+    epoch's state — every write OVERWRITES its own epoch directory, and
+    the diff reads only epochs strictly before this one, so a retried
+    epoch reproduces identical output (exactly-once). Keys never
+    retract to absence here — Spark update-mode aggregates update or
+    insert, they do not delete (no ``-D``; state-TTL deletion would be
+    the extension point).
+
+    Cost model: the state snapshot is O(live keys) and rewrites fully
+    per epoch — right for keyed aggregates with bounded key
+    cardinality (the dynamic-table case); for billions of keys,
+    partition the state table and rewrite only touched partitions (the
+    same bookkeeping Delta/Hudi merge does — out of scope here, the
+    contract is the op semantics)."""
+    val_cols: list[str] | None = None
+
+    def _latest_state(spark: SparkSession, epoch_id: int):
+        try:
+            meta = spark.read.parquet(f"{log_path}/state_meta")
+        except Exception:
+            return None
+        row = (
+            meta.filter(F.col("epoch") < epoch_id)
+            .agg(F.max("epoch").alias("e"))
+            .first()
+        )
+        if row is None or row.e is None:
+            return None
+        return spark.read.parquet(f"{log_path}/state/epoch={int(row.e)}").drop(
+            "epoch"
+        )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal val_cols
+        spark = batch_df.sparkSession
+        if val_cols is None:
+            val_cols = [c for c in batch_df.columns if c not in key_cols]
+        prev = _latest_state(spark, epoch_id)
+        upd = batch_df.dropDuplicates(key_cols)  # update mode: one row/key
+        if prev is None:
+            out = upd.select(F.lit("+I").alias("op"), "*")
+            state = upd
+        else:
+            old = prev.select(
+                *key_cols,
+                F.lit(1).alias("__present"),
+                *[F.col(c).alias(f"__old_{c}") for c in val_cols],
+            )
+            j = upd.join(old, key_cols, "left")
+            news = F.struct(*[F.col(c) for c in val_cols])
+            olds = F.struct(*[F.col(f"__old_{c}") for c in val_cols])
+            is_new = F.col("__present").isNull()
+            changed = j.filter(is_new | ~news.eqNullSafe(olds))
+            ins = changed.filter(is_new).select(
+                F.lit("+I").alias("op"), *key_cols, *val_cols
+            )
+            ret = changed.filter(~is_new).select(
+                F.lit("-U").alias("op"),
+                *key_cols,
+                *[F.col(f"__old_{c}").alias(c) for c in val_cols],
+            )
+            new = changed.filter(~is_new).select(
+                F.lit("+U").alias("op"), *key_cols, *val_cols
+            )
+            out = ins.unionByName(ret).unionByName(new)
+            state = prev.join(upd.select(*key_cols), key_cols, "anti").unionByName(
+                upd
+            )
+        _emit(out, epoch_id)
+        state.write.mode("overwrite").parquet(f"{log_path}/state/epoch={epoch_id}")
+        spark.createDataFrame([(epoch_id,)], "epoch long").write.mode(
+            "overwrite"
+        ).parquet(f"{log_path}/state_meta/epoch={epoch_id}")
+
+    if sink is None:
+
+        def _emit(df: DataFrame, epoch_id: int) -> None:
+            df.write.mode("overwrite").parquet(f"{log_path}/out/epoch={epoch_id}")
+
+    else:
+        _emit = sink
+
+    writer = agg_stream.writeStream.foreachBatch(_process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 def match_pattern_replay_stream(

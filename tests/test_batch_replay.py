@@ -228,3 +228,104 @@ def test_replay_validates_time_column(spark, tmp_path):
             stream, _batch_op, _final(), "t_missing", str(tmp_path / "log"),
             within="10 minutes",
         )
+
+
+def test_retract_stream_round_trips_to_batch_aggregate(spark, tmp_path):
+    """toRetractStream semantics: the op-tagged changelog, materialized
+    by the repo's own apply_changelog consumer, reconstructs the batch
+    aggregate exactly; every -U carries the value the key previously
+    held."""
+    from flink_note_spark.operators.changelog import upsert_latest
+    from flink_note_spark.streaming.replay import retract_stream_start
+
+    rows = _rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = [rows[0:4], rows[4:8], rows[8:]]
+    for i, c in enumerate(chunks):
+        pdf = spark.createDataFrame(c, _SCHEMA).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / f"c{i}.parquet"), index=False)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    )
+    log = str(tmp_path / "retract_log")
+    q = retract_stream_start(
+        agg, ["event_type"], log, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # epoch is the version; within an epoch a key emits at most +I or
+    # (-U, +U) — drop the retract half, upsert the rest
+    ch = spark.read.parquet(f"{log}/out")
+    upserts = ch.filter(F.col("op") != "-U")
+    mat = upsert_latest(upserts, ["event_type"], version_col="epoch").drop(
+        "op", "epoch"
+    )
+    full = spark.createDataFrame(rows, _SCHEMA)
+    want = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    )
+    assert {tuple(r) for r in mat.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    # every -U equals the key's previous emitted value
+    prev = {}
+    retract_first = F.when(F.col("op") == "-U", 0).otherwise(1)
+    for r in ch.orderBy("epoch", retract_first).collect():
+        k = r.event_type
+        if r.op == "-U":
+            assert prev[k] == (r.n, r.s), k
+        else:
+            prev[k] = (r.n, r.s)
+    # first epoch inserts, later epochs retract/update
+    ops = {r.op for r in ch.collect()}
+    assert ops == {"+I", "-U", "+U"}
+
+
+def test_compact_replay_log_drops_only_dead_epochs(spark, tmp_path):
+    """Compaction removes epochs wholly below wm - within - delay and
+    the survivors still reproduce the exact emission set on the next
+    epoch (no future slice ever needed the dropped events)."""
+    import glob
+
+    from flink_note_spark.streaming.replay import compact_replay_log
+
+    rows = _rows()
+    log = str(tmp_path / "log")
+    emitted: list = []
+
+    def sink(df, eid):
+        if df is not None:
+            emitted.extend(tuple(r) for r in df.collect())
+
+    kw = dict(
+        batch_op=_batch_op,
+        final_expr=_final(),
+        time_col="ts",
+        log_path=log,
+        within_us=WITHIN_US,
+        delay_us=60 * 1_000_000,
+        sink=sink,
+    )
+    # epoch 0: the early cluster; epoch 1: the t40 match
+    _replay_epoch(spark.createDataFrame(rows[:4] + rows[6:11], _SCHEMA), 0, **kw)
+    _replay_epoch(spark.createDataFrame(rows[4:6], _SCHEMA), 1, **kw)
+    rep = compact_replay_log(
+        spark, log, within="10 minutes", watermark="1 minute"
+    )
+    assert rep["epochs_total"] == 2
+    assert rep["epochs_dropped"] == 1  # epoch 0 is wholly below the floor
+    assert len(glob.glob(f"{log}/events/epoch=*")) == 1
+    # the flush epoch still emits the t40 match from the surviving log
+    before = set(emitted)
+    _replay_epoch(spark.createDataFrame(rows[11:], _SCHEMA), 2, **kw)
+    new = set(emitted) - before
+    assert new == {(1, _t(40), _t(41), _t(41), 1)}
