@@ -329,3 +329,46 @@ def test_compact_replay_log_drops_only_dead_epochs(spark, tmp_path):
     _replay_epoch(spark.createDataFrame(rows[11:], _SCHEMA), 2, **kw)
     new = set(emitted) - before
     assert new == {(1, _t(40), _t(41), _t(41), 1)}
+
+
+def test_replay_survives_checkpoint_restart(spark, tmp_path):
+    """Stop after the early chunks, restart from the same checkpoint
+    with the flush chunk added: emissions across both runs equal batch,
+    with no duplicates (the epoch meta chain continues across the
+    restart)."""
+    rows = _rows()
+    src = tmp_path / "src"
+    src.mkdir()
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(name, c):
+        pdf = spark.createDataFrame(c, _SCHEMA).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / name), index=False)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_batch_replay_start(
+            stream, _batch_op, _final(), "ts", log,
+            within="10 minutes", watermark="1 minute", checkpoint=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_chunk("c0.parquet", rows[0:4] + rows[6:11])
+    run_once()
+    write_chunk("c1.parquet", rows[4:6] + rows[11:])
+    run_once()
+    streamed = sorted(tuple(r) for r in replay_emissions(spark, log).collect())
+    batch = sorted(
+        tuple(r)
+        for r in _batch_op(spark.createDataFrame(rows, _SCHEMA)).collect()
+    )
+    assert streamed == batch  # sorted lists: duplicates would differ

@@ -848,3 +848,122 @@ def test_provably_disjoint_widened_is_sound(pa, pb, nv, sv):
             assert not (holds(pa[1], row) and holds(pb[1], row)), (
                 pa[0], pb[0], row,
             )
+
+
+# ---------------------------------------------------------------------------
+# time-series family (late-r10)
+
+_ts_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),       # key
+        st.integers(min_value=0, max_value=4000),    # seconds offset
+        st.integers(min_value=-50, max_value=50),    # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ts_frame(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (f"k{k}", base + dt.timedelta(seconds=s), float(v), i)
+            for i, (k, s, v) in enumerate(rows)
+        ],
+        "k string, ts timestamp, v double, i long",
+    )
+
+
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_gapfill_series_is_dense_and_locf_sound(spark, rows):
+    """For ANY input: per key the output buckets are exactly the dense
+    range [first, last] with step = width; LOCF values on gap rows equal
+    the nearest preceding present bucket's value; present buckets carry
+    their own aggregate."""
+    from flink_note_spark.operators.timeseries import gapfill
+
+    df = _ts_frame(spark, rows)
+    w = 600
+    out = gapfill(
+        df, ["k"], "ts", w,
+        aggs={"s": F.sum("v"), "n": F.count(F.lit(1))},
+        fills={"s": "locf", "n": "zero"},
+    ).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    for k, rs in per_key.items():
+        rs.sort(key=lambda r: r.bucket_s)
+        buckets = [r.bucket_s for r in rs]
+        assert buckets == list(range(buckets[0], buckets[-1] + w, w))
+        last_present = None
+        for r in rs:
+            if r.is_gap == 0:
+                assert r.n >= 1
+                last_present = r.s
+            else:
+                assert r.n == 0
+                assert r.s == last_present  # locf
+    # row-count conservation: sum of per-bucket n == input rows per key
+    for k, rs in per_key.items():
+        assert sum(r.n for r in rs) == sum(
+            1 for (kk, _, _) in rows if f"k{kk}" == k
+        )
+
+
+@given(rows=_ts_rows, nb=st.integers(min_value=1, max_value=5))
+@settings(**_SETTINGS)
+def test_interval_concurrency_matches_bruteforce(spark, rows, nb):
+    """Bucketed sweep-line max concurrency == an O(n²) brute force over
+    boundary instants, for ANY intervals (duration = |v| + 1 seconds)."""
+    from flink_note_spark.functions.scalar import epoch_us
+    from flink_note_spark.operators.timeseries import max_concurrency
+
+    df = _ts_frame(spark, rows)
+    dur_us = (F.abs(F.col("v")).cast("long") + 1) * 1_000_000
+    got = {
+        r.k: r.max_concurrent
+        for r in max_concurrency(
+            df, ["k"], epoch_us("ts"), epoch_us("ts") + dur_us,
+            tiebreak="i", time_buckets=nb,
+        ).collect()
+    }
+    base = dt.datetime(2024, 1, 1)
+    per_key: dict = {}
+    for k, s, v in rows:
+        start = int((base + dt.timedelta(seconds=s)).timestamp() * 1e6)
+        per_key.setdefault(f"k{k}", []).append(
+            (start, start + (abs(v) + 1) * 1_000_000)
+        )
+    for k, iv in per_key.items():
+        want = max(
+            sum(1 for (s2, e2) in iv if s2 <= s < e2) for (s, _) in iv
+        )
+        assert got[k] == want, k
+
+
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_rollup_cascade_counts_conserved_any_widths(spark, rows):
+    """count/min/max survive ANY two-level fold exactly (10 s -> 60 s ->
+    600 s) for arbitrary inputs."""
+    from flink_note_spark.operators.timeseries import (
+        rollup_finalize,
+        rollup_partials,
+        rollup_up,
+    )
+
+    m = {"n": ("*", "count"), "mn": ("v", "min"), "mx": ("v", "max")}
+    df = _ts_frame(spark, rows)
+    fine = rollup_partials(df, ["k"], "ts", 10, m)
+    coarse = rollup_finalize(
+        rollup_up(rollup_up(fine, ["k"], 60, m), ["k"], 600, m), ["k"], m
+    )
+    direct = rollup_finalize(
+        rollup_partials(df, ["k"], "ts", 600, m), ["k"], m
+    )
+    a = sorted(tuple(r) for r in coarse.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b
