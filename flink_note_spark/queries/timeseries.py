@@ -160,9 +160,12 @@ def q146_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     level is re-aggregated from HOURLY PARTIALS which came from 15-MINUTE
     PARTIALS — raw events are scanned exactly once, at the finest level.
     The oracle aggregates raw events directly at the daily grain, so the
-    hash pins the whole partial algebra (count/sum/min/max fold, avg as
-    (sum, count), first/last as ordered-struct min/max with the event_id
-    tiebreak).
+    hash pins the whole partial algebra (count/sum/min/max fold,
+    first/last as ordered-struct min/max with the event_id tiebreak;
+    the avg here derives from the pinned sum and count partials — the
+    ``avg`` measure KIND's (sum, count) carry is pytest-pinned in
+    test_timeseries.py instead, since its float division would need
+    rounding).
 
     Sums run over the EXACT integer penny rendering of ``value`` (the
     fixture's values are 2-decimal): re-aggregation reorders float
