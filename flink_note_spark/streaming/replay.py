@@ -90,6 +90,46 @@ def _prev_wm(spark: SparkSession, meta_path: str, epoch_id: int) -> int:
     return _LONG_MIN if row is None or row.w is None else int(row.w)
 
 
+def _land_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    time_col: str,
+    log_path: str,
+    delay_us: int,
+) -> tuple[SparkSession, int, int]:
+    """Persist the batch as an epoch, advance the monotone watermark,
+    record meta; returns (spark, wm_prev, wm_new)."""
+    spark = batch_df.sparkSession
+    batch_df.write.mode("overwrite").parquet(
+        f"{log_path}/events/epoch={epoch_id}"
+    )
+    wm_prev = _prev_wm(spark, f"{log_path}/meta", epoch_id)
+    mx = batch_df.agg(
+        F.max(F.unix_micros(F.col(time_col).cast("timestamp"))).alias("m")
+    ).first()
+    batch_wm = _LONG_MIN if mx is None or mx.m is None else int(mx.m) - delay_us
+    wm_new = max(wm_prev, batch_wm)
+    spark.createDataFrame(
+        [(epoch_id, wm_new)], "epoch long, wm_us long"
+    ).write.mode("overwrite").parquet(f"{log_path}/meta/epoch={epoch_id}")
+    return spark, wm_prev, wm_new
+
+
+def _log_slice(
+    spark: SparkSession,
+    log_path: str,
+    time_col: str,
+    wm_prev: int,
+    wm_new: int,
+    lookback_us: int,
+) -> DataFrame:
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    cond = t_us <= wm_new
+    if wm_prev != _LONG_MIN:  # first epoch: lower bound is -infinity
+        cond = cond & (t_us > wm_prev - lookback_us)
+    return spark.read.parquet(f"{log_path}/events").drop("epoch").filter(cond)
+
+
 def _replay_epoch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -104,31 +144,13 @@ def _replay_epoch(
 ) -> None:
     """One epoch of the replay loop — module-level so tests can drive
     it directly (including double invocation for the retry contract)."""
-    spark = batch_df.sparkSession
-    events_path = f"{log_path}/events"
-    meta_path = f"{log_path}/meta"
-
-    batch_df.write.mode("overwrite").parquet(f"{events_path}/epoch={epoch_id}")
-
-    wm_prev = _prev_wm(spark, meta_path, epoch_id)
-    mx = batch_df.agg(
-        F.max(F.unix_micros(F.col(time_col).cast("timestamp"))).alias("m")
-    ).first()
-    batch_wm = _LONG_MIN if mx is None or mx.m is None else int(mx.m) - delay_us
-    wm_new = max(wm_prev, batch_wm)
-    spark.createDataFrame(
-        [(epoch_id, wm_new)], "epoch long, wm_us long"
-    ).write.mode("overwrite").parquet(f"{meta_path}/epoch={epoch_id}")
-
+    spark, wm_prev, wm_new = _land_batch(
+        batch_df, epoch_id, time_col, log_path, delay_us
+    )
     if wm_new <= wm_prev:
         sink(None, epoch_id)  # nothing can be newly final
         return
-
-    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
-    cond = t_us <= wm_new
-    if wm_prev != _LONG_MIN:  # first epoch: lower bound is -infinity
-        cond = cond & (t_us > wm_prev - within_us)
-    slice_df = spark.read.parquet(events_path).drop("epoch").filter(cond)
+    slice_df = _log_slice(spark, log_path, time_col, wm_prev, wm_new, within_us)
     matches = batch_op(slice_df)
     fin = final_expr.alias("__final_us")
     emit = (
@@ -137,6 +159,103 @@ def _replay_epoch(
         .drop("__final_us")
     )
     sink(emit, epoch_id)
+
+
+def _prev_bounds(spark: SparkSession, log_path: str, epoch_id: int):
+    """Per-key chain bounds as of the latest epoch before this one
+    (epoch-versioned snapshots — the retract-state pattern)."""
+    try:
+        meta = spark.read.parquet(f"{log_path}/bound_meta")
+    except Exception:
+        return None
+    row = (
+        meta.filter(F.col("epoch") < epoch_id).agg(F.max("epoch").alias("e")).first()
+    )
+    if row is None or row.e is None:
+        return None
+    return spark.read.parquet(f"{log_path}/bounds/epoch={int(row.e)}").drop("epoch")
+
+
+def _replay_epoch_chained(
+    batch_df: DataFrame,
+    epoch_id: int,
+    *,
+    batch_op: Callable[[DataFrame], DataFrame],
+    end_expr: Column,
+    thr_expr: Column,
+    strict_after: bool,
+    key_col: str,
+    time_col: str,
+    log_path: str,
+    within_us: int,
+    delay_us: int,
+    sink: Callable[[DataFrame, int], None],
+) -> None:
+    """One epoch of PRUNING-strategy replay: the per-key consumed-prefix
+    chain state is a single threshold timestamp (`bound_us`), persisted
+    as epoch-versioned snapshots. Soundness:
+
+    - event filtering implements consumption exactly — a match's events
+      all lie at/after its anchor, so dropping events at/below the bound
+      removes precisely the matches the chain already pruned and never
+      changes a surviving match's bindings (even under relaxed
+      earliest-successor semantics, a successor below the bound would
+      imply an anchor below the bound);
+    - a match's chain decision is stable once ``end + within ≤ wm``:
+      any match that could precede it in completion order has
+      ``end' ≤ end``, hence ``anchor' + within ≤ end' + within ≤ wm`` —
+      decided (this also covers open-terminal runs, whose computed end
+      cannot be extended by any event beyond ``anchor + within``);
+    - so emission keys on ``τ = end + within`` ∈ (wm_prev, wm_new], the
+      slice reaches back ``2·within`` (start > τ − 2·within), and the
+      new bound is the max emitted threshold (thresholds are monotone
+      along the chain), merged with the previous bound per key."""
+    spark, wm_prev, wm_new = _land_batch(
+        batch_df, epoch_id, time_col, log_path, delay_us
+    )
+    if wm_new <= wm_prev:
+        sink(None, epoch_id)
+        return
+    slice_df = _log_slice(
+        spark, log_path, time_col, wm_prev, wm_new, 2 * within_us
+    )
+    bounds = _prev_bounds(spark, log_path, epoch_id)
+    if bounds is not None:
+        t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+        keep = F.col("__bound_us").isNull() | (
+            (t_us > F.col("__bound_us"))
+            if strict_after
+            else (t_us >= F.col("__bound_us"))
+        )
+        slice_df = (
+            slice_df.join(
+                F.broadcast(bounds.withColumnRenamed("bound_us", "__bound_us")),
+                key_col,
+                "left",
+            )
+            .filter(keep)
+            .drop("__bound_us")
+        )
+    matches = batch_op(slice_df)
+    tau = (end_expr + within_us).alias("__tau")
+    emit = (
+        matches.select("*", tau, thr_expr.alias("__thr_us"))
+        .filter((F.col("__tau") > wm_prev) & (F.col("__tau") <= wm_new))
+    )
+    new_bounds = emit.groupBy(key_col).agg(F.max("__thr_us").alias("bound_us"))
+    if bounds is not None:
+        new_bounds = (
+            bounds.unionByName(new_bounds)
+            .groupBy(key_col)
+            .agg(F.max("bound_us").alias("bound_us"))
+        )
+    new_bounds.write.mode("overwrite").parquet(
+        f"{log_path}/bounds/epoch={epoch_id}"
+    )
+    spark.createDataFrame([(epoch_id,)], "epoch long").write.mode(
+        "overwrite"
+    ).parquet(f"{log_path}/bound_meta/epoch={epoch_id}")
+    sink(emit.drop("__tau", "__thr_us"), epoch_id)
 
 
 def stream_batch_replay_start(
@@ -381,12 +500,19 @@ def match_pattern_replay_stream(
     optional branches coalesced away); a pattern ending in an OPEN
     quantifier (loop / optional / times-range) is final at
     ``anchor + within`` — which is why ``within`` is REQUIRED here (it
-    also bounds the replay slice). Pruning skip strategies
-    (``skip_past_last_event`` / ``skip_to_first/last``) refuse: their
-    consumed-prefix chain reaches beyond any horizon slice (the native
-    engine streams them for its supported shapes; batch for the rest).
+    also bounds the replay slice).
+
+    PRUNING skip strategies (``skip_past_last_event`` /
+    ``skip_to_first/last:i``) stream too (late-r10): the chain's
+    consumed-prefix state is ONE threshold timestamp per key, carried
+    as epoch-versioned bound snapshots; events at/below the bound are
+    filtered before the batch kernel runs (equivalent to consumption —
+    see :func:`_replay_epoch_chained`), matches hold pending until
+    ``end + within ≤ wm`` so every potentially-preceding chain member
+    has decided, at the documented cost of up to one extra ``within``
+    of latency (the native engine's pend rule).
     """
-    from flink_note_spark.operators.cep import _normalize, _parse_skip
+    from flink_note_spark.operators.cep import _normalize, _out_cols, _parse_skip
 
     if within is None:
         raise ValueError(
@@ -394,12 +520,7 @@ def match_pattern_replay_stream(
             "both the replay slice and open-terminal finality"
         )
     skip = _parse_skip(skip_strategy)
-    if skip is not None and skip[0] not in ("no_skip", "skip_to_next"):
-        raise ValueError(
-            f"skip strategy {skip[0]!r} prunes across matches — its "
-            "consumed-prefix state reaches beyond any horizon slice; "
-            "use the native engine (supported shapes) or batch"
-        )
+    pruning = skip is not None and skip[0] not in ("no_skip", "skip_to_next", "greedy")
     steps = _normalize(pattern)
     last = [s for s in steps if not s.negate][-1]
     terminal_open = bool(last.loop or last.optional or last.times_max is not None)
@@ -437,17 +558,72 @@ def match_pattern_replay_stream(
 
     # probe the batch output schema on an empty frame to fix final_expr
     empty = stream.sparkSession.createDataFrame([], stream.schema)
-    final_expr = final_expr_for(batch_op(empty))
+    probe_out = batch_op(empty)
+    final_expr = final_expr_for(probe_out)
 
-    return stream_batch_replay_start(
-        stream,
-        batch_op,
-        final_expr,
-        time_col,
-        log_path,
-        within=within,
-        watermark=watermark,
-        sink=sink,
-        checkpoint=checkpoint,
-        trigger=trigger,
-    )
+    if not pruning:
+        return stream_batch_replay_start(
+            stream,
+            batch_op,
+            final_expr,
+            time_col,
+            log_path,
+            within=within,
+            watermark=watermark,
+            sink=sink,
+            checkpoint=checkpoint,
+            trigger=trigger,
+        )
+
+    # pruning path: end/threshold exprs from the batch output schema
+    out_cols = _out_cols(steps)
+    ts_cols = [c for c in out_cols if not c.startswith("n_")]
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    end_parts = [F.coalesce(us(c), F.lit(_LONG_MIN)) for c in ts_cols]
+    end_expr = end_parts[0] if len(end_parts) == 1 else F.greatest(*end_parts)
+    kind, step_i = skip
+    if kind == "skip_past_last_event":
+        thr_expr, strict_after = end_expr, True
+    else:
+        n_pos = sum(1 for s in steps if not s.negate)
+        if step_i is None or not (1 <= step_i <= n_pos):
+            raise ValueError(
+                f"{kind} step index must be in 1..{n_pos} "
+                f"(1-based positive-step index), got {step_i}"
+            )
+        base, last = f"ts_{step_i}", f"ts_{step_i}_last"
+        col = last if (kind == "skip_to_last" and last in out_cols) else base
+        thr_expr, strict_after = us(col), False
+    within_us_i = within_us
+    delay_us = _parse_delay_us(watermark)
+
+    if sink is None:
+
+        def sink(df: DataFrame | None, epoch_id: int) -> None:
+            if df is not None:
+                df.write.mode("overwrite").parquet(
+                    f"{log_path}/out/epoch={epoch_id}"
+                )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        _replay_epoch_chained(
+            batch_df,
+            epoch_id,
+            batch_op=batch_op,
+            end_expr=end_expr,
+            thr_expr=thr_expr,
+            strict_after=strict_after,
+            key_col=key_col,
+            time_col=time_col,
+            log_path=log_path,
+            within_us=within_us_i,
+            delay_us=delay_us,
+            sink=sink,
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -204,18 +204,97 @@ def test_match_pattern_replay_wrapper_equals_batch(spark, tmp_path):
     assert streamed == batch and len(streamed) > 0
 
 
-def test_match_pattern_replay_refuses_pruning_and_no_within(spark, tmp_path):
+def test_match_pattern_replay_validation(spark, tmp_path):
     from flink_note_spark.streaming.replay import match_pattern_replay_stream
 
     (tmp_path / "s").mkdir()
     stream = spark.readStream.schema(_SCHEMA).parquet(str(tmp_path / "s"))
     with pytest.raises(ValueError, match="within"):
         match_pattern_replay_stream(stream, _TERMINAL_LOOP, str(tmp_path / "l"))
-    with pytest.raises(ValueError, match="prunes across"):
+    with pytest.raises(ValueError, match="step index"):
         match_pattern_replay_stream(
             stream, ["A", "B"], str(tmp_path / "l"),
-            within="10 minutes", skip_strategy="skip_past_last_event",
+            within="10 minutes", skip_strategy="skip_to_first:7",
         )
+
+
+def _stream_chunks(spark, tmp_path, chunk_rows):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, c in enumerate(chunk_rows):
+        pdf = spark.createDataFrame(c, _SCHEMA).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / f"c{i}.parquet"), index=False)
+    return (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
+
+def _run_replay(spark, tmp_path, rows, chunk_rows, pattern, **kw):
+    from flink_note_spark.streaming.replay import match_pattern_replay_stream
+
+    stream = _stream_chunks(spark, tmp_path, chunk_rows)
+    log = str(tmp_path / "log")
+    q = match_pattern_replay_stream(
+        stream, pattern, log, watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt"), **kw,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(tuple(r) for r in replay_emissions(spark, log).collect())
+    batch = sorted(
+        tuple(r)
+        for r in match_pattern(
+            spark.createDataFrame(rows, _SCHEMA), pattern, **kw
+        ).collect()
+    )
+    return streamed, batch
+
+
+def test_pruning_replay_skip_past_last_terminal_loop(spark, tmp_path):
+    """skip_past_last_event on the natively-impossible terminal strict
+    loop: the chain crosses micro-batch epochs via the persisted bound;
+    streamed == batch with the same strategy."""
+    rows = [
+        # key 1: overlapping A B B A B B — past-last must consume the
+        # first match's events before admitting the second
+        (1, _t(0), "A"), (1, _t(1), "B"), (1, _t(2), "B"),
+        (1, _t(3), "A"), (1, _t(4), "B"), (1, _t(5), "B"),
+        # another chain link far later (separate epoch)
+        (1, _t(40), "A"), (1, _t(41), "B"),
+        (2, _t(0), "A"), (2, _t(1), "B"),
+        (9, _t(24 * 60), "Z"),
+    ]
+    chunks = [rows[0:6] + rows[8:10], rows[6:8], rows[10:]]
+    streamed, batch = _run_replay(
+        spark, tmp_path, rows, chunks, _TERMINAL_LOOP,
+        contiguity="strict", within="10 minutes",
+        skip_strategy="skip_past_last_event",
+    )
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_pruning_replay_skip_to_first_relaxed(spark, tmp_path):
+    """skip_to_first:2 on a relaxed 3-step pattern — the >= (not >)
+    bound semantics and the ts_2 threshold column, across epochs."""
+    rows = [
+        (1, _t(0), "A"), (1, _t(1), "B"), (1, _t(2), "C"),
+        (1, _t(3), "A"), (1, _t(4), "B"), (1, _t(5), "C"),
+        (1, _t(30), "A"), (1, _t(31), "B"), (1, _t(32), "C"),
+        (2, _t(0), "A"), (2, _t(2), "B"), (2, _t(4), "C"),
+        (9, _t(24 * 60), "Z"),
+    ]
+    chunks = [rows[0:6] + rows[9:12], rows[6:9], rows[12:]]
+    streamed, batch = _run_replay(
+        spark, tmp_path, rows, chunks, ["A", "B", "C"],
+        contiguity="relaxed", within="10 minutes",
+        skip_strategy="skip_to_first:2",
+    )
+    assert streamed == batch and len(streamed) > 0
 
 
 def test_replay_validates_time_column(spark, tmp_path):
