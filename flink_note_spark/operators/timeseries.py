@@ -126,9 +126,12 @@ def gapfill(
 
     ``aggs``: output name → aggregate Column (evaluated in the bucket
     groupBy). ``fills``: output name → ``"null"`` (default) | ``"zero"``
-    | ``("const", v)`` | ``"locf"`` (carry the previous present bucket's
-    value) | ``"linear"`` (interpolate between the neighbouring present
-    buckets). ``bounds=(start, end)`` extends every key's spine to the
+    | ``("const", v)`` | ``"locf"`` (carry the previous PRESENT bucket's
+    value — strict donor-carry: if that aggregate is itself NULL, NULL
+    is carried; TimescaleDB's last-NON-null ``locf()`` variant needs a
+    second ``last(..., ignorenulls)`` window over the output, which a
+    caller with NULL-able measures should add downstream) | ``"linear"``
+    (interpolate between the neighbouring present buckets). ``bounds=(start, end)`` extends every key's spine to the
     global [start, end] timestamps: head pads (and tail pads under
     ``linear``) have no donor value and fill NULL (zero/const still
     apply). ``gap_flag`` names an int 0/1 marker column (None omits it).
@@ -142,6 +145,12 @@ def gapfill(
     """
     w = _width_s(width)
     fills = fills or {}
+    unknown = set(fills) - set(aggs)
+    if unknown:
+        raise ValueError(
+            f"fills name columns not in aggs: {sorted(unknown)} "
+            f"(aggs: {sorted(aggs)})"
+        )
     policies = {n: _fill_policy(fills.get(n, "null")) for n in aggs}
     if not keys:
         raise ValueError("gapfill requires at least one key column")
@@ -166,10 +175,8 @@ def gapfill(
     start_off = F.lit(0).cast("long")
     end_steps = steps
     if bounds is not None:
-        g0 = F.unix_micros(F.lit(bounds[0]).cast("timestamp"))
-        g1 = F.unix_micros(F.lit(bounds[1]).cast("timestamp"))
-        g0b = (F.floor(g0 / F.lit(float(w) * 1e6)) * w).cast("long")
-        g1b = (F.floor(g1 / F.lit(float(w) * 1e6)) * w).cast("long")
+        g0b = time_bucket_s(F.lit(bounds[0]), w)
+        g1b = time_bucket_s(F.lit(bounds[1]), w)
         # head pad on each key's first row; tail pad on its last
         start_off = F.when(
             is_first & (g0b < F.col("bucket_s")),
@@ -330,7 +337,9 @@ def rollup_up(
     buckets) partial rows; raw events are never rescanned."""
     spec = _measure_spec(measures)
     w = _width_s(width)
-    coarse = ((F.col("bucket_s") / w).cast("long") * w).alias("bucket_s")
+    # floor, not truncating cast: pre-epoch buckets are negative, and
+    # truncation would disagree with time_bucket_s there
+    coarse = (F.floor(F.col("bucket_s") / w) * w).cast("long").alias("bucket_s")
     return partials.groupBy(*keys, coarse).agg(*_refold(spec))
 
 
@@ -498,6 +507,8 @@ def interval_concurrency(
     if time_buckets < 1:
         raise ValueError("time_buckets must be >= 1")
     mn, mx = d.agg(F.min("t_us"), F.max("t_us")).first()
+    if mn is None or mx is None:  # empty input: no buckets to build
+        return d.withColumn("running", F.lit(None).cast("long"))
     span = max(int(mx) - int(mn) + 1, 1)
     bucket = F.least(
         F.lit(time_buckets - 1),

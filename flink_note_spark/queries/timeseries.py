@@ -62,9 +62,16 @@ WITH b AS (
 SELECT s.event_type,
        s.bucket_s,
        coalesce(b.n_events, 0) AS n_events,
-       last_value(b.sum_value IGNORE NULLS) OVER (
-         PARTITION BY s.event_type ORDER BY s.bucket_s
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+       -- struct-wrap marks PRESENCE so the IGNORE NULLS window carries
+       -- the donor bucket's value even when that value is NULL — the
+       -- operator's strict donor-carry contract (a bare
+       -- last_value(sum_value IGNORE NULLS) would skip present-but-NULL
+       -- donors and diverge on NULL-able measures)
+       (last_value(CASE WHEN b.bucket_s IS NOT NULL
+                        THEN struct_pack(v := b.sum_value) END
+                   IGNORE NULLS) OVER (
+          PARTITION BY s.event_type ORDER BY s.bucket_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS sum_value,
        CASE WHEN b.bucket_s IS NULL THEN 1 ELSE 0 END AS is_gap
 FROM spine s
 LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_s = b.bucket_s

@@ -24,14 +24,17 @@ Mechanism (log-structured, the ``rollup_stream_start`` doctrine):
    and a retried epoch recomputes the identical interval from identical
    inputs (exactly-once without a transaction log).
 
-Soundness boundary (enforced, not hoped): the batch operator must be
-HORIZON-LOCAL — its matches over the slice equal its matches over the
-full history restricted to the emission interval. That holds for
-non-pruning after-match semantics (``no_skip`` / ``skip_to_next``,
-where one match never suppresses another) and fails for pruning chains
-(``skip_past_last_event`` / ``skip_to_first/last``), whose consumed-
-prefix state reaches arbitrarily far back — those stay on the native
-engine (which streams them for its supported shapes) or batch.
+Soundness boundary for the RAW :func:`stream_batch_replay_start` API
+(enforced, not hoped): the batch operator must be HORIZON-LOCAL — its
+matches over the slice equal its matches over the full history
+restricted to the emission interval. That holds for non-pruning
+after-match semantics (``no_skip`` / ``skip_to_next``, where one match
+never suppresses another). PRUNING chains (``skip_past_last_event`` /
+``skip_to_first/last``), whose consumed-prefix state reaches
+arbitrarily far back, need the CHAINED variant the
+:func:`match_pattern_replay_stream` router engages — per-key
+epoch-versioned bound snapshots implement the consumption exactly
+(:func:`_replay_epoch_chained`).
 
 ``final_expr`` is the caller's finality statement in epoch-µs:
 
@@ -43,7 +46,12 @@ engine (which streams them for its supported shapes) or batch.
   watermark passes the anchor's whole window, so the run is maximal at
   horizon close. The pinned counterexample (no PREFIX decision is ever
   final) is about deciding before the window closes; waiting the full
-  ``within`` sidesteps it at the documented cost of that much latency.
+  ``within`` sidesteps it at the documented cost of that much latency;
+- patterns ending in a NEGATED step (terminal ``notFollowedBy``) are
+  open too: the match asserts ABSENCE through ``anchor + within``, so
+  finality at the last positive event would emit phantoms a later
+  negating event retracts in batch — use ``anchor + within`` (the
+  router does this automatically).
 
 Late data: events at or below the current watermark that arrive later
 still land in the log, but matches they complete may have a finality
@@ -88,6 +96,17 @@ def _prev_wm(spark: SparkSession, meta_path: str, epoch_id: int) -> int:
         .first()
     )
     return _LONG_MIN if row is None or row.w is None else int(row.w)
+
+
+def _default_sink(log_path: str) -> Callable[[DataFrame | None, int], None]:
+    """Epoch-overwriting parquet emitter at ``{log}/out/epoch={id}`` —
+    the layout :func:`replay_emissions` reads."""
+
+    def sink(df: DataFrame | None, epoch_id: int) -> None:
+        if df is not None:
+            df.write.mode("overwrite").parquet(f"{log_path}/out/epoch={epoch_id}")
+
+    return sink
 
 
 def _land_batch(
@@ -242,20 +261,28 @@ def _replay_epoch_chained(
         matches.select("*", tau, thr_expr.alias("__thr_us"))
         .filter((F.col("__tau") > wm_prev) & (F.col("__tau") <= wm_new))
     )
-    new_bounds = emit.groupBy(key_col).agg(F.max("__thr_us").alias("bound_us"))
-    if bounds is not None:
-        new_bounds = (
-            bounds.unionByName(new_bounds)
-            .groupBy(key_col)
-            .agg(F.max("bound_us").alias("bound_us"))
+    # the batch CEP plan is the epoch's dominant cost — materialize it
+    # once for both the bounds aggregation and the sink
+    emit = emit.persist()
+    try:
+        new_bounds = emit.groupBy(key_col).agg(
+            F.max("__thr_us").alias("bound_us")
         )
-    new_bounds.write.mode("overwrite").parquet(
-        f"{log_path}/bounds/epoch={epoch_id}"
-    )
-    spark.createDataFrame([(epoch_id,)], "epoch long").write.mode(
-        "overwrite"
-    ).parquet(f"{log_path}/bound_meta/epoch={epoch_id}")
-    sink(emit.drop("__tau", "__thr_us"), epoch_id)
+        if bounds is not None:
+            new_bounds = (
+                bounds.unionByName(new_bounds)
+                .groupBy(key_col)
+                .agg(F.max("bound_us").alias("bound_us"))
+            )
+        new_bounds.write.mode("overwrite").parquet(
+            f"{log_path}/bounds/epoch={epoch_id}"
+        )
+        spark.createDataFrame([(epoch_id,)], "epoch long").write.mode(
+            "overwrite"
+        ).parquet(f"{log_path}/bound_meta/epoch={epoch_id}")
+        sink(emit.drop("__tau", "__thr_us"), epoch_id)
+    finally:
+        emit.unpersist()
 
 
 def stream_batch_replay_start(
@@ -294,10 +321,7 @@ def stream_batch_replay_start(
         raise ValueError(f"time column {time_col!r} not in the stream")
 
     if sink is None:
-
-        def sink(df: DataFrame | None, epoch_id: int) -> None:
-            if df is not None:
-                df.write.mode("overwrite").parquet(f"{log_path}/out/epoch={epoch_id}")
+        sink = _default_sink(log_path)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         _replay_epoch(
@@ -343,7 +367,13 @@ def compact_replay_log(
     Safe to run between micro-batches or from a cron; returns
     ``{"epochs_total": n, "epochs_dropped": m, "wm_us": wm}``. Uses
     driver-side directory removal (O(files) bookkeeping on immutable
-    dirs — the same operation a table format's vacuum performs)."""
+    dirs — the same operation a table format's vacuum performs).
+
+    The floor is ``wm − 2·within − delay``: the pruning-strategy replay
+    path slices back ``2·within`` (matches pend one extra ``within``
+    for chain decisions), and using the deeper floor unconditionally
+    keeps compaction safe for BOTH paths at the cost of one extra
+    ``within`` of retained log."""
     import shutil
 
     within_us = _parse_delay_us(within)
@@ -353,7 +383,7 @@ def compact_replay_log(
     out = {"epochs_total": 0, "epochs_dropped": 0, "wm_us": wm}
     if wm == _LONG_MIN:
         return out
-    floor = wm - within_us - delay_us
+    floor = wm - 2 * within_us - delay_us
     events = spark.read.parquet(events_path)
     if time_col not in events.columns:
         raise ValueError(f"time column {time_col!r} not in the event log")
@@ -523,7 +553,18 @@ def match_pattern_replay_stream(
     pruning = skip is not None and skip[0] not in ("no_skip", "skip_to_next", "greedy")
     steps = _normalize(pattern)
     last = [s for s in steps if not s.negate][-1]
-    terminal_open = bool(last.loop or last.optional or last.times_max is not None)
+    # a trailing NEGATED step (notFollowedBy) is also horizon-open: the
+    # match asserts ABSENCE in (last_pos, anchor + within], which only
+    # the watermark passing anchor + within can confirm — finality at
+    # the last positive event would emit a phantom match that a
+    # negating event arriving later (but above the old watermark)
+    # would retract in batch
+    terminal_open = bool(
+        last.loop
+        or last.optional
+        or last.times_max is not None
+        or steps[-1].negate
+    )
     within_us = _parse_delay_us(within)
 
     def batch_op(events: DataFrame) -> DataFrame:
@@ -598,12 +639,7 @@ def match_pattern_replay_stream(
     delay_us = _parse_delay_us(watermark)
 
     if sink is None:
-
-        def sink(df: DataFrame | None, epoch_id: int) -> None:
-            if df is not None:
-                df.write.mode("overwrite").parquet(
-                    f"{log_path}/out/epoch={epoch_id}"
-                )
+        sink = _default_sink(log_path)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         _replay_epoch_chained(

@@ -451,3 +451,28 @@ def test_replay_survives_checkpoint_restart(spark, tmp_path):
         for r in _batch_op(spark.createDataFrame(rows, _SCHEMA)).collect()
     )
     assert streamed == batch  # sorted lists: duplicates would differ
+
+
+def test_trailing_negation_no_phantom_emission(spark, tmp_path):
+    """A match asserting terminal ABSENCE (A B notFollowedBy X) must not
+    emit before the watermark passes anchor + within: an X arriving in a
+    later epoch (above the old watermark) retracts it in batch, and the
+    stream must agree."""
+    pat = ["A", "B", {"type": "X", "negate": True}]
+
+    def op(df):
+        return match_pattern(df, pat, contiguity="relaxed", within="10 minutes")
+
+    rows = [
+        (1, _t(0), "A"), (1, _t(1), "B"),   # epoch 0: looks like a match
+        (1, _t(5), "X"),                     # epoch 1: negates it
+        (2, _t(0), "A"), (2, _t(1), "B"),   # key 2: genuinely no X
+        (9, _t(24 * 60), "Z"),
+    ]
+    chunks = [rows[0:2] + rows[3:5], [rows[2]], rows[5:]]
+    streamed, batch = _run_replay(
+        spark, tmp_path, rows, chunks, pat,
+        contiguity="relaxed", within="10 minutes",
+    )
+    assert streamed == batch
+    assert all(r[0] == 2 for r in streamed)  # only key 2's match survives

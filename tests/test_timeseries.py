@@ -557,3 +557,32 @@ def test_ewma_alpha_one_is_identity_and_validation(spark, sf_dir):
         ewma(e, ["event_type"], "ts", "value", alpha=0.0)
     with pytest.raises(ValueError, match="tiebreak"):
         ewma(e, ["event_type"], "ts", "value", alpha=0.5, tiebreak="nope")
+
+
+def test_bucketed_concurrency_empty_input(spark):
+    df = spark.createDataFrame([], "k string, s long, e long, i long")
+    out = max_concurrency(
+        df, ["k"], F.col("s"), F.col("e"), tiebreak="i", time_buckets=4
+    )
+    assert out.count() == 0
+
+
+def test_gapfill_refuses_unknown_fill_keys(spark):
+    df = _mk(spark, [("a", "2024-01-01T00:00:00", 1)])
+    with pytest.raises(ValueError, match="not in aggs"):
+        gapfill(
+            df, ["k"], "ts", 60, {"s": F.sum("v")}, fills={"sum_val": "locf"}
+        )
+
+
+def test_rollup_up_floors_negative_buckets(spark):
+    """Pre-epoch fine buckets must FLOOR to their coarse bucket (a
+    truncating cast would send bucket −1800 to hour 0 instead of
+    −3600)."""
+    m = {"n": ("*", "count")}
+    fine = spark.createDataFrame(
+        [("a", -1800, 2), ("a", -3600, 1), ("a", 1800, 3)],
+        "k string, bucket_s long, n__cnt long",
+    )
+    out = {r.bucket_s: r["n__cnt"] for r in rollup_up(fine, ["k"], 3600, m).collect()}
+    assert out == {-3600: 3, 0: 3}
