@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "time_bucket_s",
     "gapfill",
+    "carry_forward",
     "rollup_partials",
     "rollup_up",
     "rollup_finalize",
@@ -131,7 +132,8 @@ def gapfill(
     is carried; TimescaleDB's last-NON-null ``locf()`` variant needs a
     second ``last(..., ignorenulls)`` window over the output, which a
     caller with NULL-able measures should add downstream) | ``"linear"``
-    (interpolate between the neighbouring present buckets). ``bounds=(start, end)`` extends every key's spine to the
+    (interpolate between the neighbouring present buckets).
+    ``bounds=(start, end)`` extends every key's spine to the
     global [start, end] timestamps: head pads (and tail pads under
     ``linear``) have no donor value and fill NULL (zero/const still
     apply). ``gap_flag`` names an int 0/1 marker column (None omits it).
@@ -230,6 +232,32 @@ def gapfill(
     if gap_flag:
         out_cols.append((off != 0).cast("int").alias(gap_flag))
     return rows.select(*out_cols)
+
+
+def carry_forward(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Replace NULLs in ``cols`` with the last NON-null value per key in
+    ``order_col`` order — TimescaleDB's ``locf()`` proper, as the
+    documented downstream companion to :func:`gapfill`'s strict
+    donor-carry fill (one ``last(..., ignorenulls)`` window pass; same
+    key partitioning as gapfill's output, so no extra shuffle when
+    chained)."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
 
 
 # ---------------------------------------------------------------------------

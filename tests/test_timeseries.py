@@ -586,3 +586,22 @@ def test_rollup_up_floors_negative_buckets(spark):
     )
     out = {r.bucket_s: r["n__cnt"] for r in rollup_up(fine, ["k"], 3600, m).collect()}
     assert out == {-3600: 3, 0: 3}
+
+
+def test_carry_forward_fills_nulls_from_last_non_null(spark):
+    from flink_note_spark.operators.timeseries import carry_forward
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 7.0),
+         ("b", 1, None), ("b", 2, 3.0)],
+        "k string, o long, v double",
+    )
+    out = {
+        (r.k, r.o): r.v
+        for r in carry_forward(df, ["k"], "o", ["v"]).collect()
+    }
+    assert out[("a", 2)] == 10.0 and out[("a", 3)] == 10.0
+    assert out[("a", 4)] == 7.0
+    assert out[("b", 1)] is None  # nothing to carry
+    with pytest.raises(ValueError, match="not in frame"):
+        carry_forward(df, ["k"], "o", ["nope"])
