@@ -476,3 +476,78 @@ def test_trailing_negation_no_phantom_emission(spark, tmp_path):
     )
     assert streamed == batch
     assert all(r[0] == 2 for r in streamed)  # only key 2's match survives
+
+
+def test_replay_streams_batch_only_match_recognize(spark, tmp_path):
+    """The replay engine is operator-agnostic: a MATCH_RECOGNIZE shape
+    with a STRING payload measure (non-numeric payloads refuse on the
+    native stream engines) streams by replaying the unmodified batch
+    operator; finality comes from a ts measure the query itself
+    projects."""
+    from flink_note_spark.operators.match_recognize import match_recognize
+    from flink_note_spark.operators.match_recognize import match_recognize_stream
+
+    schema = "user_id long, ts timestamp, event_type string, label string"
+    rows = [
+        (1, _t(0), "view", "home"), (1, _t(1), "click", "promo"),
+        (1, _t(2), "purchase", "sku1"),
+        (1, _t(20), "view", "search"), (1, _t(21), "click", "ad"),
+        (1, _t(22), "purchase", "sku2"),
+        (2, _t(0), "view", "home"), (2, _t(1), "click", "banner"),
+        (2, _t(2), "purchase", "sku3"),
+        (9, _t(24 * 60), "flush", "z"),
+    ]
+    kw = dict(
+        partition_by="user_id", order_by="ts",
+        pattern="V C P",
+        define={"V": "event_type = 'view'", "C": "event_type = 'click'",
+                "P": "event_type = 'purchase'"},
+        measures={"end_us": "P.ts", "sku": "P.label", "page": "V.label"},
+        within="10 minutes",
+    )
+
+    def op(df):
+        return match_recognize(df, **kw)
+
+    # parity pin: the native streaming twin refuses the string payloads
+    src0 = tmp_path / "src0"
+    src0.mkdir()
+    stream0 = spark.readStream.schema(schema).parquet(str(src0))
+    with pytest.raises(ValueError, match="numeric|NUMERIC"):
+        match_recognize_stream(stream0, watermark="1 minute", **kw)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = [rows[0:3] + rows[6:9], rows[3:6], rows[9:]]
+    for i, c in enumerate(chunks):
+        pdf = spark.createDataFrame(c, schema).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / f"c{i}.parquet"), index=False)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    log = str(tmp_path / "log")
+    q = stream_batch_replay_start(
+        stream,
+        op,
+        F.unix_micros(F.col("end_us").cast("timestamp")),
+        "ts",
+        log,
+        within="10 minutes",
+        watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = sorted(
+        tuple(r) for r in replay_emissions(spark, log).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in op(spark.createDataFrame(rows, schema)).collect()
+    )
+    assert streamed == batch and len(streamed) == 3
+    assert {r[2] for r in streamed} == {"sku1", "sku2", "sku3"}
