@@ -967,3 +967,68 @@ def test_rollup_cascade_counts_conserved_any_widths(spark, rows):
     a = sorted(tuple(r) for r in coarse.collect())
     b = sorted(tuple(r) for r in direct.collect())
     assert a == b
+
+
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_gapfill_linear_values_bounded_by_neighbours(spark, rows):
+    """Linear-interpolated gap values always lie between (inclusive) the
+    neighbouring present buckets' values, for ANY input."""
+    from flink_note_spark.operators.timeseries import gapfill
+
+    df = _ts_frame(spark, rows)
+    out = gapfill(
+        df, ["k"], "ts", 600, {"av": F.avg("v")}, fills={"av": "linear"}
+    ).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    for rs in per_key.values():
+        rs.sort(key=lambda r: r.bucket_s)
+        prev = None
+        for i, r in enumerate(rs):
+            if r.is_gap == 0:
+                prev = r.av
+            else:
+                nxt = next(
+                    (x.av for x in rs[i + 1:] if x.is_gap == 0), None
+                )
+                assert prev is not None and nxt is not None
+                lo, hi = min(prev, nxt), max(prev, nxt)
+                assert lo - 1e-9 <= r.av <= hi + 1e-9
+
+
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_lttb_one_row_per_bucket_and_endpoints(spark, rows):
+    """LTTB emits exactly one row per (key, present bucket); the first
+    bucket keeps its earliest row and the last bucket its latest, for
+    ANY input."""
+    from flink_note_spark.operators.timeseries import (
+        lttb_downsample,
+        time_bucket_s,
+    )
+
+    df = _ts_frame(spark, rows)
+    out = lttb_downsample(df, ["k"], "ts", "v", 600, tiebreak="i").collect()
+    buckets = {
+        (r.k, r.b)
+        for r in df.select("k", time_bucket_s("ts", 600, "b")).collect()
+    }
+    got = [(r.k, r.bucket_s) for r in out]
+    assert sorted(got) == sorted(buckets)  # exactly one per present bucket
+    pts = {}
+    for r in df.select("k", "ts", "i", time_bucket_s("ts", 600, "b")).collect():
+        pts.setdefault(r.k, []).append(r)
+    chosen = {}
+    for r in out:
+        chosen.setdefault(r.k, []).append(r)
+    for k, rs in chosen.items():
+        rs.sort(key=lambda r: r.bucket_s)
+        key_pts = sorted(pts[k], key=lambda r: (r.ts, r.i))
+        first_b, last_b = rs[0].bucket_s, rs[-1].bucket_s
+        first_in = [p for p in key_pts if p.b == first_b]
+        assert (rs[0].ts, rs[0].i) == (first_in[0].ts, first_in[0].i)
+        if last_b != first_b:
+            last_in = [p for p in key_pts if p.b == last_b]
+            assert (rs[-1].ts, rs[-1].i) == (last_in[-1].ts, last_in[-1].i)
