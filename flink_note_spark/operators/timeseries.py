@@ -62,6 +62,11 @@ __all__ = [
     "retention_cohorts",
 ]
 
+# gapfill run-explode chunk: bounds per-row sequence() arrays (see the
+# two-level explode in :func:`gapfill`); 2^14 keeps every generated
+# array well under Spark's limits while covering 268M-bucket runs
+_GAP_CHUNK = 1 << 14
+
 _UNIT_S = {
     "second": 1, "seconds": 1,
     "minute": 60, "minutes": 60,
@@ -144,6 +149,9 @@ def gapfill(
     inherit their donor row's values at generation time, so LOCF and
     linear need no additional window. Keys with zero rows never appear
     (there is nothing to anchor a spine to — documented contract).
+    Long runs explode in ``_GAP_CHUNK``-bounded pieces (two-level
+    generator), so no donor row ever builds an unbounded array —
+    arbitrary spans cost rows, never single-row memory.
     """
     w = _width_s(width)
     fills = fills or {}
@@ -200,12 +208,27 @@ def gapfill(
         start_off.alias("__start_off"),
         end_steps.alias("__end_steps"),
     )
-    rows = staged.select(
+    # Two-level explode so no single row ever materializes an unbounded
+    # sequence() array (ADVICE r10: a sparse key or wide bounds at a
+    # small width — e.g. a year at second resolution — is a
+    # multi-million-element array, Spark's array cap / executor OOM).
+    # Level 1 explodes bounded CHUNK indices, level 2 the offsets inside
+    # one chunk — per-row array length is ≤ _GAP_CHUNK at both levels
+    # for any run up to _GAP_CHUNK² buckets (≈ 268M); the common case
+    # (run ≤ _GAP_CHUNK) pays one extra single-element explode.
+    n_chunks = F.floor(
+        (F.col("__end_steps") - F.col("__start_off")) / F.lit(_GAP_CHUNK)
+    ).cast("long")
+    chunked = staged.select(
         "*",
-        F.explode(F.sequence(F.col("__start_off"), F.col("__end_steps"))).alias(
-            "__off"
-        ),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("__chunk"),
     )
+    lo = F.col("__start_off") + F.col("__chunk") * F.lit(_GAP_CHUNK)
+    hi = F.least(
+        lo + F.lit(_GAP_CHUNK - 1),
+        F.col("__end_steps").cast("long"),
+    )
+    rows = chunked.select("*", F.explode(F.sequence(lo, hi)).alias("__off"))
 
     off = F.col("__off")
     out_cols: list[Column] = [*(F.col(k) for k in keys)]
@@ -440,8 +463,11 @@ def rollup_stream_start(
 
     Returns the ``StreamingQuery``. ``trigger`` kwargs pass through
     (e.g. ``{"availableNow": True}``)."""
+    from flink_note_spark.streaming.replay import _require_checkpoint
+
     spec = _measure_spec(measures)  # validate before the query starts
     del spec
+    _require_checkpoint(checkpoint, "rollup_stream_start")
     w = _width_s(width)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:

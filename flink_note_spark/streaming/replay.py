@@ -61,6 +61,7 @@ exactly the semantics every watermarked operator in this repo has.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -72,9 +73,76 @@ __all__ = [
     "match_pattern_replay_stream",
     "retract_stream_start",
     "compact_replay_log",
+    "finality_last_event",
+    "finality_anchor_within",
+    "finality_measure",
 ]
 
 _LONG_MIN = -(2**63)
+
+_TS_COL = re.compile(r"ts_\d+(_last)?")
+
+
+def _match_ts_cols(columns: list[str]) -> list[str]:
+    """The per-step event-time columns of a CEP match frame
+    (``ts_i`` / ``ts_i_last``), excluding loop counts (``n_i``) and
+    carried payload columns (``ts_i_<payload>``, which are DOUBLEs)."""
+    return [c for c in columns if _TS_COL.fullmatch(c)]
+
+
+def finality_last_event(ts_cols: list[str]) -> Column:
+    """CLOSED-pattern finality strategy: the match's LAST bound event
+    time in epoch-µs — ``greatest`` over the per-step time columns,
+    absent optional branches coalesced to −∞ so they never win. Final
+    once the watermark passes it (the native engines' rule)."""
+    if not ts_cols:
+        raise ValueError("finality_last_event needs at least one ts column")
+    parts = [
+        F.coalesce(F.unix_micros(F.col(c).cast("timestamp")), F.lit(_LONG_MIN))
+        for c in ts_cols
+    ]
+    return parts[0] if len(parts) == 1 else F.greatest(*parts)
+
+
+def finality_anchor_within(ts_cols: list[str], within: str) -> Column:
+    """OPEN-terminal finality strategy (loop / optional / times-range /
+    trailing negation): the match's FIRST BOUND event + ``within`` —
+    no extension can fit once the watermark passes the anchor's whole
+    window. The anchor is ``least`` over the per-step time columns
+    (``least`` skips NULLs), NOT ``ts_1`` alone: variant expansion
+    yields ``ts_1 = NULL`` when an optional first step is absent, and a
+    NULL finality would silently drop those matches (ADVICE r10)."""
+    if not ts_cols:
+        raise ValueError("finality_anchor_within needs at least one ts column")
+    within_us = _parse_delay_us(within)
+    parts = [F.unix_micros(F.col(c).cast("timestamp")) for c in ts_cols]
+    anchor = parts[0] if len(parts) == 1 else F.least(*parts)
+    return anchor + within_us
+
+
+def finality_measure(col: str) -> Column:
+    """MEASURE finality strategy (MATCH_RECOGNIZE): a timestamp the
+    query itself projects (e.g. a ``LAST(ts)`` / ``P.ts`` measure),
+    converted to epoch-µs."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def _require_checkpoint(checkpoint: str | None, fn: str) -> None:
+    """Every epoch-log writer keys its idempotent-overwrite design on
+    STABLE ``foreachBatch`` epoch ids. A restart without a checkpoint
+    restarts ids at 0 and reprocesses the source from scratch, leaving
+    stale higher-numbered epoch directories that the log readers merge
+    into duplicated or corrupt output — so a checkpoint is REQUIRED
+    (ADVICE r10). To intentionally restart fresh, wipe the log
+    directory AND pass a new checkpoint path."""
+    if not checkpoint:
+        raise ValueError(
+            f"{fn} requires checkpoint= — epoch-log exactly-once relies "
+            f"on stable foreachBatch epoch ids across restarts; a "
+            f"checkpoint-less restart would renumber epochs from 0 and "
+            f"corrupt the log (wipe log_path AND use a fresh checkpoint "
+            f"to start over)"
+        )
 
 
 def _parse_delay_us(text: str) -> int:
@@ -319,6 +387,7 @@ def stream_batch_replay_start(
     delay_us = _parse_delay_us(watermark)
     if time_col not in stream.columns:
         raise ValueError(f"time column {time_col!r} not in the stream")
+    _require_checkpoint(checkpoint, "stream_batch_replay_start")
 
     if sink is None:
         sink = _default_sink(log_path)
@@ -430,6 +499,7 @@ def retract_stream_start(
     partition the state table and rewrite only touched partitions (the
     same bookkeeping Delta/Hudi merge does — out of scope here, the
     contract is the op semantics)."""
+    _require_checkpoint(checkpoint, "retract_stream_start")
     val_cols: list[str] | None = None
 
     def _latest_state(spark: SparkSession, epoch_id: int):
@@ -582,20 +652,10 @@ def match_pattern_replay_stream(
         )
 
     def final_expr_for(matches: DataFrame) -> Column:
-        ts_cols = [
-            c for c in matches.columns
-            if c == "ts_1" or (c.startswith("ts_") and not c.endswith("_last"))
-            or c.endswith("_last")
-        ]
+        ts_cols = _match_ts_cols(matches.columns)
         if terminal_open:
-            return F.unix_micros(F.col("ts_1").cast("timestamp")) + within_us
-        parts = [
-            F.coalesce(
-                F.unix_micros(F.col(c).cast("timestamp")), F.lit(_LONG_MIN)
-            )
-            for c in ts_cols
-        ]
-        return parts[0] if len(parts) == 1 else F.greatest(*parts)
+            return finality_anchor_within(ts_cols, within)
+        return finality_last_event(ts_cols)
 
     # probe the batch output schema on an empty frame to fix final_expr
     empty = stream.sparkSession.createDataFrame([], stream.schema)
@@ -618,10 +678,9 @@ def match_pattern_replay_stream(
 
     # pruning path: end/threshold exprs from the batch output schema
     out_cols = _out_cols(steps)
-    ts_cols = [c for c in out_cols if not c.startswith("n_")]
+    ts_cols = _match_ts_cols(out_cols)
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    end_parts = [F.coalesce(us(c), F.lit(_LONG_MIN)) for c in ts_cols]
-    end_expr = end_parts[0] if len(end_parts) == 1 else F.greatest(*end_parts)
+    end_expr = finality_last_event(ts_cols)
     kind, step_i = skip
     if kind == "skip_past_last_event":
         thr_expr, strict_after = end_expr, True
@@ -637,6 +696,7 @@ def match_pattern_replay_stream(
         thr_expr, strict_after = us(col), False
     within_us_i = within_us
     delay_us = _parse_delay_us(watermark)
+    _require_checkpoint(checkpoint, "match_pattern_replay_stream")
 
     if sink is None:
         sink = _default_sink(log_path)

@@ -232,6 +232,11 @@ def _stream_chunks(spark, tmp_path, chunk_rows):
     )
 
 
+def _null_safe(t):
+    # rows may carry NULL ts_i (absent optional variants) — sortable key
+    return tuple((v is None, 0 if v is None else v) for v in t)
+
+
 def _run_replay(spark, tmp_path, rows, chunk_rows, pattern, **kw):
     from flink_note_spark.streaming.replay import match_pattern_replay_stream
 
@@ -245,12 +250,18 @@ def _run_replay(spark, tmp_path, rows, chunk_rows, pattern, **kw):
         q.processAllAvailable()
     finally:
         q.stop()
-    streamed = sorted(tuple(r) for r in replay_emissions(spark, log).collect())
+    streamed = sorted(
+        (tuple(r) for r in replay_emissions(spark, log).collect()),
+        key=_null_safe,
+    )
     batch = sorted(
-        tuple(r)
-        for r in match_pattern(
-            spark.createDataFrame(rows, _SCHEMA), pattern, **kw
-        ).collect()
+        (
+            tuple(r)
+            for r in match_pattern(
+                spark.createDataFrame(rows, _SCHEMA), pattern, **kw
+            ).collect()
+        ),
+        key=_null_safe,
     )
     return streamed, batch
 
@@ -295,6 +306,41 @@ def test_pruning_replay_skip_to_first_relaxed(spark, tmp_path):
         skip_strategy="skip_to_first:2",
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_epoch_log_writers_require_checkpoint(spark, tmp_path):
+    """ADVICE r10: exactly-once rests on STABLE foreachBatch epoch ids —
+    a checkpoint-less restart renumbers from 0 and corrupts the log, so
+    every epoch-log start function refuses without one."""
+    from flink_note_spark.operators.timeseries import rollup_stream_start
+    from flink_note_spark.streaming.replay import (
+        match_pattern_replay_stream,
+        retract_stream_start,
+    )
+
+    (tmp_path / "s").mkdir()
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(tmp_path / "s"))
+    log = str(tmp_path / "l")
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_batch_replay_start(
+            stream, _batch_op, _final(), "ts", log, within="10 minutes"
+        )
+    with pytest.raises(ValueError, match="checkpoint"):
+        match_pattern_replay_stream(
+            stream, _TERMINAL_LOOP, log, contiguity="strict",
+            within="10 minutes",
+        )
+    with pytest.raises(ValueError, match="checkpoint"):
+        match_pattern_replay_stream(
+            stream, ["A", "B"], log, contiguity="relaxed",
+            within="10 minutes", skip_strategy="skip_past_last_event",
+        )
+    with pytest.raises(ValueError, match="checkpoint"):
+        retract_stream_start(stream, ["user_id"], log)
+    with pytest.raises(ValueError, match="checkpoint"):
+        rollup_stream_start(
+            stream, log, ["user_id"], "ts", "1 hour", {"n": ("*", "count")}
+        )
 
 
 def test_replay_validates_time_column(spark, tmp_path):
@@ -476,6 +522,64 @@ def test_trailing_negation_no_phantom_emission(spark, tmp_path):
     )
     assert streamed == batch
     assert all(r[0] == 2 for r in streamed)  # only key 2's match survives
+
+
+def test_finality_strategy_helpers(spark):
+    """Unit pins for the named finality recipes the routers compose:
+    closed-pattern last-event, open-terminal anchor+within (NULL-skipping
+    anchor), MR ts-measure — and the ts-column selector that excludes
+    loop counts and payload columns."""
+    from flink_note_spark.streaming.replay import (
+        _match_ts_cols,
+        finality_anchor_within,
+        finality_last_event,
+        finality_measure,
+    )
+
+    df = spark.createDataFrame(
+        [(None, _t(5), _t(7), 2, 1.5)],
+        "ts_1 timestamp, ts_2 timestamp, ts_2_last timestamp, "
+        "n_2 long, ts_2_price double",
+    )
+    assert _match_ts_cols(df.columns) == ["ts_1", "ts_2", "ts_2_last"]
+    cols = ["ts_1", "ts_2", "ts_2_last"]
+    r = df.select(
+        finality_last_event(cols).alias("closed"),
+        finality_anchor_within(cols, "10 minutes").alias("open"),
+        finality_measure("ts_2").alias("m2"),
+        finality_measure("ts_2_last").alias("m2l"),
+    ).first()
+    assert r.closed == r.m2l  # last bound event wins, NULL ts_1 ignored
+    # anchor skips the NULL ts_1 and lands on ts_2; +10 minutes in µs
+    assert r.open == r.m2 + 10 * 60 * 1_000_000
+    with pytest.raises(ValueError, match="ts column"):
+        finality_last_event([])
+    with pytest.raises(ValueError, match="ts column"):
+        finality_anchor_within([], "10 minutes")
+
+
+def test_replay_optional_first_open_terminal_equals_batch(spark, tmp_path):
+    """ADVICE r10: an optional() FIRST step with an OPEN terminal (loop)
+    expands variants whose ts_1 is NULL — finality anchored on ts_1
+    alone silently dropped those matches. The anchor must be the match's
+    first BOUND event (least over the per-step times, NULL-skipping)."""
+    pat = [{"type": "A", "optional": True}, {"type": "B", "one_or_more": True}]
+    rows = [
+        # key 1: B-run with NO A — every match here has ts_1 NULL
+        (1, _t(0), "B"), (1, _t(1), "B"),
+        # key 2: A then Bs — the full variant binds ts_1; the A-absent
+        # variants still emit NULL-ts_1 rows (batch semantics)
+        (2, _t(0), "A"), (2, _t(1), "B"), (2, _t(2), "B"),
+        (9, _t(24 * 60), "Z"),
+    ]
+    chunks = [rows[0:1] + rows[2:4], rows[1:2] + rows[4:5], rows[5:]]
+    streamed, batch = _run_replay(
+        spark, tmp_path, rows, chunks, pat,
+        contiguity="strict", within="10 minutes",
+    )
+    assert streamed == batch and len(streamed) > 0
+    # the NULL-ts_1 variants are present, not silently dropped
+    assert any(r[1] is None for r in streamed)
 
 
 def test_replay_streams_batch_only_match_recognize(spark, tmp_path):

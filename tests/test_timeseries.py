@@ -156,6 +156,32 @@ def test_gapfill_linear_tail_pad_is_null(spark):
     assert [r.av for r in out] == [10.0, None, None]
 
 
+def test_gapfill_long_runs_chunked_explode_exact(spark, monkeypatch):
+    """ADVICE r10: long gap runs must not build one unbounded sequence()
+    array per donor row. With the chunk size forced tiny, a 40-bucket
+    run crossing many chunk boundaries fills identically to the
+    unchunked math — linear frac, LOCF carry, bounds pads, gap flags."""
+    import flink_note_spark.operators.timeseries as tsmod
+
+    df = _mk(
+        spark,
+        [("a", "2024-01-01T00:00:00", 0), ("a", "2024-01-01T00:40:00", 40)],
+    )
+    kw = dict(
+        keys=["k"], ts="ts", width=60,
+        aggs={"av": F.avg("v"), "s": F.sum("v")},
+        fills={"av": "linear", "s": "locf"},
+        bounds=("2023-12-31 23:55:00", "2024-01-01 00:45:00"),
+    )
+    want = [tuple(r) for r in gapfill(df, **kw).orderBy("bucket_s").collect()]
+    monkeypatch.setattr(tsmod, "_GAP_CHUNK", 7)
+    got = [tuple(r) for r in gapfill(df, **kw).orderBy("bucket_s").collect()]
+    assert got == want
+    assert len(got) == 51  # 5 head pads + 41 run buckets + 5 tail pads
+    avs = [r[2] for r in got]
+    assert avs[5:46] == [float(i) for i in range(41)]  # exact linear ramp
+
+
 def test_gapfill_no_gap_flag_and_no_join_in_plan(spark):
     df = _mk(spark, [("a", "2024-01-01T00:00:00", 1)])
     out = gapfill(df, ["k"], "ts", 60, {"s": F.sum("v")}, gap_flag=None)
