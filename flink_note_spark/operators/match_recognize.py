@@ -1109,7 +1109,7 @@ def match_recognize_stream(
         raise ValueError(
             "streaming MATCH_RECOGNIZE is ONE ROW PER MATCH only "
             "(Flink's own streaming restriction) — ALL ROWS PER MATCH "
-            "is available on the batch operator"
+            "is available on the batch operator (recognize_stream_start(engine='auto') streams it via incremental replay)"
         )
     define = dict(define or {})
     parsed = _parse_pattern(pattern)
@@ -1412,8 +1412,9 @@ def match_recognize_stream(
             raise ValueError(
                 f"payload measure {spec!r} with ? * {{n,m}} "
                 "quantifiers is batch-only (the variants engine "
-                "realigns a union, not positional caps) — use the "
-                "batch operator or join in foreachBatch"
+                "realigns a union, not positional caps) — use "
+                "recognize_stream_start(engine='auto') to stream "
+                "it via incremental replay, or join in foreachBatch"
             )
         carry.setdefault(ts_col, []).append(col)
         exprs.append(F.col(f"{ts_col}_{col}").alias(out_name))

@@ -14,9 +14,14 @@ from flink_note_spark.streaming.control import (
     query_status,
     stop_query,
 )
+from flink_note_spark.streaming.dispatch import (
+    pattern_stream_start,
+    recognize_stream_start,
+)
 from flink_note_spark.streaming.replay import (
     compact_replay_log,
     match_pattern_replay_stream,
+    match_recognize_replay_stream,
     replay_emissions,
     retract_stream_start,
     stream_batch_replay_start,
@@ -46,6 +51,9 @@ __all__ = [
     "stop_query",
     "compact_replay_log",
     "match_pattern_replay_stream",
+    "match_recognize_replay_stream",
+    "pattern_stream_start",
+    "recognize_stream_start",
     "replay_emissions",
     "retract_stream_start",
     "stream_batch_replay_start",

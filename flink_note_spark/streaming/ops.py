@@ -958,8 +958,10 @@ def _dispatch_mixed_stream(stream, steps, key_col, time_col, type_col,
             f"skip_strategy {skip[0]!r} on a mixed streaming pattern "
             "is batch-only (mixed anchors decide at their horizon, "
             "where pruning needs the relaxed engine's pending-release "
-            "machinery); mixed binding is deterministic per anchor, "
-            "so no_skip/default are equivalent and supported"
+            "machinery; pattern_stream_start(engine='auto') routes "
+            "this shape through incremental replay); mixed binding is "
+            "deterministic per anchor, so no_skip/default are "
+            "equivalent and supported"
         )
     if steps[0].negate:
         raise ValueError("a mixed pattern must start positively")
@@ -978,7 +980,7 @@ def _dispatch_mixed_stream(stream, steps, key_col, time_col, type_col,
     if any(st.optional or st.times_max is not None for st in steps):
         raise ValueError(
             "mixed streaming CEP with optional()/times(n, m) is "
-            "batch-only (variant expansion over the positional engine)"
+            "batch-only (variant expansion over the positional engine; pattern_stream_start(engine='auto') routes this shape through incremental replay)"
         )
     default_mode = (
         contiguity_arg if contiguity_arg not in (None, "mixed") else None
@@ -3971,7 +3973,7 @@ def match_pattern_stream(
                 raise ValueError(
                     "skip strategies with one_or_more inside "
                     "optional()/times(n, m) patterns are batch-only "
-                    "in streaming (non-greedy loop-prefix expansion)"
+                    "in streaming (non-greedy loop-prefix expansion; pattern_stream_start(engine='auto') routes this shape through incremental replay)"
                 )
             if skip[0] != "no_skip" and within is None:
                 raise ValueError(
@@ -4024,7 +4026,7 @@ def match_pattern_stream(
                     "iterative conditions with a skip_strategy are "
                     "batch-only in streaming (the skip engines prune "
                     "over candidate-mask state; iterative bindings "
-                    "need carried payload)"
+                    "need carried payload; pattern_stream_start(engine='auto') routes this shape through incremental replay)"
                 )
             if carry_payload:
                 raise ValueError(
@@ -4045,7 +4047,8 @@ def match_pattern_stream(
                     "strict streaming CEP requires the pattern to end "
                     "with a positive non-loop step: terminal not_next/"
                     "one_or_more ask what follows the match, which has "
-                    "no final answer on an unbounded stream (batch-only)"
+                    "no final answer on an unbounded stream (batch-only — pattern_stream_start(engine='auto') streams it via "
+                    "incremental replay)"
                 )
             iterative = True
             general = False
@@ -4186,7 +4189,8 @@ def match_pattern_stream(
                     "strict streaming CEP requires the pattern to end "
                     "with a positive non-loop step: terminal not_next/"
                     "one_or_more ask what follows the match, which has "
-                    "no final answer on an unbounded stream (batch-only)"
+                    "no final answer on an unbounded stream (batch-only — pattern_stream_start(engine='auto') streams it via "
+                    "incremental replay)"
                 )
             if any(s.loop for s in steps) and within is None:
                 raise ValueError(

@@ -415,6 +415,113 @@ def test_retract_stream_round_trips_to_batch_aggregate(spark, tmp_path):
     assert ops == {"+I", "-U", "+U"}
 
 
+def _retract_run(spark, tmp_path, chunks, schema=_SCHEMA, **kw):
+    from flink_note_spark.streaming.replay import retract_stream_start
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, c in enumerate(chunks):
+        pdf = spark.createDataFrame(c, schema).toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(str(src / f"c{i}.parquet"), index=False)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    )
+    log = str(tmp_path / "retract_log")
+    q = retract_stream_start(
+        agg, ["event_type"], log, checkpoint=str(tmp_path / "ckpt"), **kw
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return log, spark.read.parquet(f"{log}/out")
+
+
+def test_retract_state_rewrites_only_touched_buckets(spark, tmp_path):
+    """VERDICT r10 #2: per-epoch state cost must track TOUCHED buckets,
+    not total live keys. An epoch whose batch touches one key writes
+    exactly that key's bucket directory; untouched buckets resolve from
+    their older epoch snapshots, and the materialized table still
+    equals the batch aggregate over everything."""
+    import glob
+
+    from flink_note_spark.operators.changelog import upsert_latest
+
+    rows = _rows()
+    # chunk 0: many event types; chunk 1: ONLY type "B" rows
+    chunks = [rows[:10], [(5, _t(50), "B")], rows[10:]]
+    log, ch = _retract_run(spark, tmp_path, chunks, state_buckets=16)
+    epochs = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in glob.glob(f"{log}/state/epoch=*")
+    )
+    buckets = {
+        e: sorted(glob.glob(f"{log}/state/epoch={e}/bucket=*")) for e in epochs
+    }
+    assert len(buckets[epochs[0]]) > 1  # first epoch: several types
+    assert len(buckets[epochs[1]]) == 1  # only B's bucket rewritten
+    # resolution across epochs: materialized == batch aggregate
+    full = spark.createDataFrame(
+        rows[:10] + [(5, _t(50), "B")] + rows[10:], _SCHEMA
+    )
+    want = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    )
+    mat = upsert_latest(
+        ch.filter(F.col("op") != "-U"), ["event_type"], version_col="epoch"
+    ).drop("op", "epoch")
+    assert {tuple(r) for r in mat.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
+def test_retract_delete_tombstones_full_alphabet(spark, tmp_path):
+    """VERDICT r10 #3: delete_where completes the op alphabet — a
+    matching aggregate row emits -D carrying the key's PREVIOUS value,
+    the key leaves the state (a later re-insert is a fresh +I), and the
+    repo's own apply_changelog consumer materializes the survivor set.
+    A tombstone for a never-seen key emits nothing."""
+    from flink_note_spark.operators.changelog import apply_changelog
+
+    # sum(user_id) drives s negative for type "A" in chunk 1 -> delete;
+    # chunk 2 swings A's cumulative sum positive again -> fresh +I;
+    # "Q" is tombstoned while never having been emitted
+    chunks = [
+        [(1, _t(0), "A"), (2, _t(1), "B")],
+        [(-10, _t(2), "A"), (-5, _t(3), "Q")],
+        [(20, _t(4), "A"), (1, _t(5), "B")],
+    ]
+    log, ch = _retract_run(
+        spark, tmp_path, chunks, delete_where="s < 0", state_buckets=8
+    )
+    rows = sorted(
+        (tuple(r) for r in ch.collect()), key=lambda t: (t[4], t[0])
+    )  # (op, event_type, n, s, epoch)
+    ops = {r[0] for r in rows}
+    assert ops == {"+I", "-U", "+U", "-D"}
+    # the -D for A carries A's previously emitted value (n=1, s=1)
+    d_rows = [r for r in rows if r[0] == "-D"]
+    assert d_rows == [("-D", "A", 1, 1, 1)]
+    # unknown-key tombstone (Q) emitted nothing
+    assert not [r for r in rows if r[1] == "Q"]
+    # epoch 2 re-inserts A as +I (state forgot it), updates B
+    e2_ops = {(r[0], r[1]) for r in rows if r[4] == 2}
+    assert ("+I", "A") in e2_ops and ("-U", "B") in e2_ops
+    # materialize via the repo's delete-aware consumer
+    mat = apply_changelog(
+        ch.filter(F.col("op") != "-U"), ["event_type"],
+        version_col="epoch", tiebreak=None,
+    ).drop("epoch")
+    got = {tuple(r) for r in mat.collect()}
+    assert got == {("A", 3, 11), ("B", 2, 3)}
+
+
 def test_compact_replay_log_drops_only_dead_epochs(spark, tmp_path):
     """Compaction removes epochs wholly below wm - within - delay and
     the survivors still reproduce the exact emission set on the next
