@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "time_bucket_s",
+    "time_bucket",
+    "time_bucket_months",
     "gapfill",
     "carry_forward",
     "rollup_partials",
@@ -76,6 +78,17 @@ _UNIT_S = {
 }
 
 
+#: calendar widths (no fixed second count — month lengths vary); bucket
+#: arithmetic for these runs on MONTH INDICES, not epoch seconds
+_CAL_MONTHS = {
+    "month": 1, "months": 1,
+    "quarter": 3, "quarters": 3,
+    "year": 12, "years": 12,
+}
+
+_EPOCH_DATE = "1970-01-01"
+
+
 def _width_s(width: str | int) -> int:
     """``"15 minutes"`` / ``900`` → whole seconds (sub-second buckets
     are out of scope; refuse rather than silently truncate)."""
@@ -85,8 +98,52 @@ def _width_s(width: str | int) -> int:
         return width
     qty, unit = width.split()
     if unit not in _UNIT_S:
+        if unit in _CAL_MONTHS:
+            raise ValueError(
+                f"{width!r} is a CALENDAR width — this operator path "
+                f"expects a fixed-second width here"
+            )
         raise ValueError(f"unknown duration unit {unit!r} in {width!r}")
     return int(qty) * _UNIT_S[unit]
+
+
+def _parse_width(width: str | int) -> tuple[str, int]:
+    """``("s", seconds)`` for fixed widths; ``("mo", months)`` for
+    calendar widths (``"1 month" / "2 quarters" / "1 year"`` —
+    TimescaleDB's ``time_bucket('1 month', ...)`` grains, r11)."""
+    if not isinstance(width, int):
+        parts = width.split()
+        if len(parts) == 2 and parts[1] in _CAL_MONTHS:
+            qty = int(parts[0])
+            if qty <= 0:
+                raise ValueError(
+                    f"bucket width must be positive, got {width!r}"
+                )
+            return ("mo", qty * _CAL_MONTHS[parts[1]])
+    return ("s", _width_s(width))
+
+
+def time_bucket_months(
+    ts: str | Column, months: int, name: str | None = None
+) -> Column:
+    """Aligned MONTHS-SINCE-EPOCH index of a calendar bucket (BIGINT):
+    ``floor(((year-1970)*12 + month-1) / months) * months``. Quarters
+    and years align to January 1970 (epoch alignment, like the
+    fixed-width path). Pure Catalyst date-part arithmetic on the scan;
+    timezone-free for DATE/TIMESTAMP_NTZ inputs (LTZ inputs follow the
+    session timezone, same as every date-part function)."""
+    col = F.col(ts) if isinstance(ts, str) else ts
+    col = col.cast("timestamp")
+    m = (F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1
+    out = (F.floor(m / F.lit(months)) * months).cast("long")
+    return out.alias(name) if name else out
+
+
+def _month_index_start_s(idx: Column) -> Column:
+    """Epoch seconds (UTC midnight) of a month-index bucket start —
+    timezone-free: ``unix_date(add_months(epoch, idx)) * 86400``."""
+    d = F.add_months(F.lit(_EPOCH_DATE).cast("date"), idx.cast("int"))
+    return (F.unix_date(d).cast("long") * 86400)
 
 
 def time_bucket_s(ts: str | Column, width: str | int, name: str | None = None) -> Column:
@@ -101,6 +158,21 @@ def time_bucket_s(ts: str | Column, width: str | int, name: str | None = None) -
     col = F.col(ts) if isinstance(ts, str) else ts
     us = F.unix_micros(col.cast("timestamp"))
     out = (F.floor(us / F.lit(float(w) * 1e6)) * w).cast("long")
+    return out.alias(name) if name else out
+
+
+def time_bucket(
+    ts: str | Column, width: str | int, name: str | None = None
+) -> Column:
+    """Bucket START in epoch seconds (BIGINT) for BOTH width families:
+    fixed widths go through :func:`time_bucket_s`; calendar widths
+    (``"1 month" / "1 quarter" / "1 year"``) resolve the aligned month
+    index and convert it to the month-start epoch second — so a single
+    output convention (``bucket_s``) serves every grain."""
+    mode, w = _parse_width(width)
+    if mode == "s":
+        return time_bucket_s(ts, w, name)
+    out = _month_index_start_s(time_bucket_months(ts, w))
     return out.alias(name) if name else out
 
 
@@ -152,8 +224,14 @@ def gapfill(
     Long runs explode in ``_GAP_CHUNK``-bounded pieces (two-level
     generator), so no donor row ever builds an unbounded array —
     arbitrary spans cost rows, never single-row memory.
+
+    CALENDAR widths (``"1 month" / "1 quarter" / "1 year"``, r11): the
+    spine arithmetic runs on aligned month indices (consecutive buckets
+    differ by exactly ``n`` months, so every run/step/interpolation
+    formula is unchanged) and ``bucket_s`` converts to the month-start
+    epoch second on output — same output contract as fixed widths.
     """
-    w = _width_s(width)
+    mode, w = _parse_width(width)
     fills = fills or {}
     unknown = set(fills) - set(aggs)
     if unknown:
@@ -165,7 +243,10 @@ def gapfill(
     if not keys:
         raise ValueError("gapfill requires at least one key column")
 
-    bucket = time_bucket_s(ts, w, "bucket_s")
+    if mode == "s":
+        bucket = time_bucket_s(ts, w, "bucket_s")
+    else:  # month-index domain: spine arithmetic is index arithmetic
+        bucket = time_bucket_months(ts, w, "bucket_s")
     b = df.groupBy(*keys, bucket).agg(*[c.alias(n) for n, c in aggs.items()])
     dtypes = {f.name: f.dataType for f in b.schema.fields}
 
@@ -185,8 +266,12 @@ def gapfill(
     start_off = F.lit(0).cast("long")
     end_steps = steps
     if bounds is not None:
-        g0b = time_bucket_s(F.lit(bounds[0]), w)
-        g1b = time_bucket_s(F.lit(bounds[1]), w)
+        if mode == "s":
+            g0b = time_bucket_s(F.lit(bounds[0]), w)
+            g1b = time_bucket_s(F.lit(bounds[1]), w)
+        else:
+            g0b = time_bucket_months(F.lit(bounds[0]), w)
+            g1b = time_bucket_months(F.lit(bounds[1]), w)
         # head pad on each key's first row; tail pad on its last
         start_off = F.when(
             is_first & (g0b < F.col("bucket_s")),
@@ -232,7 +317,10 @@ def gapfill(
 
     off = F.col("__off")
     out_cols: list[Column] = [*(F.col(k) for k in keys)]
-    out_cols.append((F.col("bucket_s") + off * w).alias("bucket_s"))
+    bucket_out = F.col("bucket_s") + off * w
+    if mode == "mo":  # month index -> month-start epoch second
+        bucket_out = _month_index_start_s(bucket_out)
+    out_cols.append(bucket_out.alias("bucket_s"))
     for n in aggs:
         kind, const = policies[n]
         null = F.lit(None).cast(dtypes[n])
@@ -322,7 +410,6 @@ def rollup_partials(
     merge O(buckets) partials; never rescan the corpus).
     """
     spec = _measure_spec(measures)
-    w = _width_s(width)
     aggs: list[Column] = []
     for name, (col, kind) in spec.items():
         if kind == "count":
@@ -348,7 +435,7 @@ def rollup_partials(
             aggs.append(fold.alias(f"{name}__ord"))
         else:  # approx_distinct
             aggs.append(F.hll_sketch_agg(col).alias(f"{name}__hll"))
-    out = df.groupBy(*keys, time_bucket_s(ts, w, "bucket_s")).agg(*aggs)
+    out = df.groupBy(*keys, time_bucket(ts, width, "bucket_s")).agg(*aggs)
     return out
 
 
@@ -385,12 +472,33 @@ def rollup_up(
     of the finer width — enforced structurally: every fine bucket must
     land wholly inside one coarse bucket, which epoch-aligned widths
     guarantee whenever ``coarse % fine == 0``). Shuffles O(distinct fine
-    buckets) partial rows; raw events are never rescanned."""
+    buckets) partial rows; raw events are never rescanned.
+
+    CALENDAR coarse widths (``"1 month"`` etc., r11) fold fine buckets
+    by the calendar month their START falls in — correct whenever no
+    fine bucket straddles a month boundary: fixed fine widths that
+    divide one day (epoch-aligned, so day-aligned), ``"1 day"`` itself,
+    or calendar fine grains whose month count divides the coarse one.
+    A week-wide fine bucket straddles months — don't cascade weeks into
+    months (aggregate months from the sub-day base instead)."""
     spec = _measure_spec(measures)
-    w = _width_s(width)
-    # floor, not truncating cast: pre-epoch buckets are negative, and
-    # truncation would disagree with time_bucket_s there
-    coarse = (F.floor(F.col("bucket_s") / w) * w).cast("long").alias("bucket_s")
+    mode, w = _parse_width(width)
+    if mode == "s":
+        # floor, not truncating cast: pre-epoch buckets are negative,
+        # and truncation would disagree with time_bucket_s there
+        coarse = (
+            (F.floor(F.col("bucket_s") / w) * w).cast("long").alias("bucket_s")
+        )
+    else:
+        # fine bucket start (epoch s) -> date -> aligned month index ->
+        # month-start epoch s; date arithmetic only, timezone-free
+        d = F.date_add(
+            F.lit(_EPOCH_DATE).cast("date"),
+            F.floor(F.col("bucket_s") / 86400).cast("int"),
+        )
+        coarse = _month_index_start_s(time_bucket_months(d, w)).alias(
+            "bucket_s"
+        )
     return partials.groupBy(*keys, coarse).agg(*_refold(spec))
 
 
@@ -468,10 +576,12 @@ def rollup_stream_start(
     spec = _measure_spec(measures)  # validate before the query starts
     del spec
     _require_checkpoint(checkpoint, "rollup_stream_start")
-    w = _width_s(width)
+    _parse_width(width)  # validate (fixed OR calendar) before starting
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        part = rollup_partials(batch_df, keys, ts, w, measures, tiebreak=tiebreak)
+        part = rollup_partials(
+            batch_df, keys, ts, width, measures, tiebreak=tiebreak
+        )
         part.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
 
     writer = stream_df.writeStream.foreachBatch(_sink).outputMode("append")

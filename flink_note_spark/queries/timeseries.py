@@ -404,9 +404,103 @@ SELECT event_type, t_us, event_id, ewma FROM r
 """
 
 
+_Q151_MEASURES = {
+    "n": ("*", "count"),
+    "s": ("cents", "sum"),
+    "mx": ("cents", "max"),
+}
+
+
+def q151_month_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """CALENDAR-grain continuous aggregate (r11): daily order partials
+    fold up to MONTH buckets (``time_bucket('1 month')`` — variable
+    widths, so the fold groups by the calendar month of each fine
+    bucket's start, pure date arithmetic). The oracle aggregates raw
+    rows directly at month grain, so the hash verifies the calendar
+    cascade algebra itself. Pennies as BIGINT keep every sum exact on
+    both engines (the bit-identical-doubles doctrine)."""
+    o = _t(spark, sf, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    day = rollup_partials(
+        o, ["o_orderpriority"], "o_orderdate", "1 day", _Q151_MEASURES
+    )
+    month = rollup_up(day, ["o_orderpriority"], "1 month", _Q151_MEASURES)
+    return rollup_finalize(month, ["o_orderpriority"], _Q151_MEASURES)
+
+
+_Q151_SQL = """
+SELECT o_orderpriority,
+       CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS bucket_s,
+       CAST(count(*) AS BIGINT)                                AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+       CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS mx
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q152_month_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-grain gapfill (r11): high-value orders are sparse enough
+    that many (priority, month) buckets are empty — the dense monthly
+    spine zero-fills counts and LOCF-carries the running max, with the
+    spine arithmetic on month INDICES (so February's width never skews
+    a run length) and ``bucket_s`` emitted as month-start epoch
+    seconds. Oracle: an independent generate_series month spine +
+    IGNORE NULLS window."""
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 470000)
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+    )
+    return gapfill(
+        o,
+        keys=["o_orderpriority"],
+        ts="o_orderdate",
+        width="1 month",
+        aggs={"n": F.count(F.lit(1)), "mx_cents": F.max("cents")},
+        fills={"n": "zero", "mx_cents": "locf"},
+    )
+
+
+_Q152_SQL = """
+WITH f AS (
+  SELECT o_orderpriority,
+         date_trunc('month', o_orderdate) AS m,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 470000
+), b AS (
+  SELECT o_orderpriority, m,
+         CAST(count(*) AS BIGINT) AS n,
+         max(cents) AS mx_cents
+  FROM f GROUP BY 1, 2
+), bounds AS (
+  SELECT o_orderpriority, min(m) AS mn, max(m) AS mx FROM b GROUP BY 1
+), spine AS (
+  SELECT o_orderpriority,
+         unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS m
+  FROM bounds
+)
+SELECT s.o_orderpriority,
+       CAST(epoch(s.m) AS BIGINT) AS bucket_s,
+       coalesce(b.n, 0) AS n,
+       (last_value(CASE WHEN b.m IS NOT NULL
+                        THEN struct_pack(v := b.mx_cents) END
+                   IGNORE NULLS) OVER (
+          PARTITION BY s.o_orderpriority ORDER BY s.m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS mx_cents,
+       CASE WHEN b.m IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s
+LEFT JOIN b ON s.o_orderpriority = b.o_orderpriority AND s.m = b.m
+"""
+
+
 QUERIES = {
     "q144_gapfill_locf": q144_gapfill_locf,
     "q145_gapfill_linear": q145_gapfill_linear,
+    "q151_month_rollup": q151_month_rollup,
+    "q152_month_gapfill": q152_month_gapfill,
     "q146_rollup_cascade": q146_rollup_cascade,
     "q147_sweepline_concurrency": q147_sweepline_concurrency,
     "q148_retention_cohorts": q148_retention_cohorts,
@@ -417,6 +511,8 @@ QUERIES = {
 ORACLES = {
     "q144_gapfill_locf": _Q144_SQL,
     "q145_gapfill_linear": _Q145_SQL,
+    "q151_month_rollup": _Q151_SQL,
+    "q152_month_gapfill": _Q152_SQL,
     "q146_rollup_cascade": _Q146_SQL,
     "q147_sweepline_concurrency": _Q147_SQL,
     "q148_retention_cohorts": _Q148_SQL,

@@ -182,6 +182,84 @@ def test_gapfill_long_runs_chunked_explode_exact(spark, monkeypatch):
     assert avs[5:46] == [float(i) for i in range(41)]  # exact linear ramp
 
 
+def test_time_bucket_calendar_grains(spark):
+    from flink_note_spark.operators.timeseries import time_bucket
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 15, 10),), (dt.datetime(2024, 4, 2),)],
+        "ts timestamp",
+    )
+    out = df.select(
+        time_bucket("ts", "1 month", "m"),
+        time_bucket("ts", "1 quarter", "q"),
+        time_bucket("ts", "1 year", "y"),
+        time_bucket("ts", "1 day", "d"),  # fixed path through same API
+    ).collect()
+    # month starts as UTC-midnight epoch seconds
+    assert [r.m for r in out] == [1704067200, 1711929600]  # Jan 1, Apr 1
+    assert [r.q for r in out] == [1704067200, 1711929600]  # Q1, Q2
+    assert [r.y for r in out] == [1704067200, 1704067200]
+    assert out[0].d == 1705276800  # Jan 15 (fixed-width path)
+    with pytest.raises(ValueError, match="positive"):
+        time_bucket("ts", "0 months")
+    # fixed-width-only operators refuse calendar widths loudly
+    with pytest.raises(ValueError, match="CALENDAR"):
+        _width_s("1 month")
+
+
+def test_gapfill_month_grain_linear_across_variable_widths(spark):
+    """Month buckets have different second-widths; the spine runs on
+    month INDICES so a Jan->Apr gap is exactly 2 steps and the linear
+    ramp is uniform per month, not per second."""
+    df = _mk(
+        spark,
+        [("a", "2024-01-15T00:00:00", 1), ("a", "2024-04-10T00:00:00", 4)],
+    )
+    out = (
+        gapfill(
+            df, ["k"], "ts", "1 month", {"av": F.avg("v")},
+            fills={"av": "linear"},
+            bounds=("2023-11-20 00:00:00", "2024-05-02 00:00:00"),
+        )
+        .orderBy("bucket_s")
+        .collect()
+    )
+    # Nov, Dec pads; Jan..Apr run; May pad
+    assert [r.av for r in out] == [None, None, 1.0, 2.0, 3.0, 4.0, None]
+    assert [r.is_gap for r in out] == [1, 1, 0, 1, 1, 0, 1]
+    starts = [r.bucket_s for r in out]
+    # consecutive diffs are true month widths (Nov 30d, Dec 31d, Jan
+    # 31d, Feb 29d in 2024, Mar 31d, Apr 30d)
+    diffs = [b - a for a, b in zip(starts, starts[1:])]
+    assert diffs == [d * 86400 for d in (30, 31, 31, 29, 31, 30)]
+
+
+def test_rollup_calendar_cascade_equals_direct(spark):
+    """day partials -> month fold == direct month partials, and month
+    -> quarter folds again (calendar-over-calendar cascade)."""
+    from flink_note_spark.operators.timeseries import time_bucket
+
+    rows = [
+        ("a", f"2024-0{m}-{d:02d}T06:00:00", float(m * 10 + d))
+        for m in (1, 2, 3, 4, 5) for d in (1, 14, 28)
+    ]
+    df = _mk(spark, rows)
+    meas = {"n": ("*", "count"), "s": ("v", "sum"), "mx": ("v", "max")}
+    day = rollup_partials(df, ["k"], "ts", "1 day", meas)
+    month = rollup_up(day, ["k"], "1 month", meas)
+    direct = rollup_partials(df, ["k"], "ts", "1 month", meas)
+    got = {tuple(r) for r in rollup_finalize(month, ["k"], meas).collect()}
+    want = {tuple(r) for r in rollup_finalize(direct, ["k"], meas).collect()}
+    assert got == want and len(got) == 5
+    quarter = rollup_up(month, ["k"], "1 quarter", meas)
+    direct_q = rollup_partials(df, ["k"], "ts", "1 quarter", meas)
+    got_q = {tuple(r) for r in rollup_finalize(quarter, ["k"], meas).collect()}
+    want_q = {
+        tuple(r) for r in rollup_finalize(direct_q, ["k"], meas).collect()
+    }
+    assert got_q == want_q and len(got_q) == 2
+
+
 def test_gapfill_no_gap_flag_and_no_join_in_plan(spark):
     df = _mk(spark, [("a", "2024-01-01T00:00:00", 1)])
     out = gapfill(df, ["k"], "ts", 60, {"s": F.sum("v")}, gap_flag=None)
