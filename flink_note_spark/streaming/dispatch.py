@@ -43,7 +43,11 @@ from flink_note_spark.streaming.replay import (
     match_recognize_replay_stream,
 )
 
-__all__ = ["pattern_stream_start", "recognize_stream_start"]
+__all__ = [
+    "pattern_stream_start",
+    "recognize_stream_start",
+    "timeouts_stream_start",
+]
 
 
 def _normalize_to_batch(native: DataFrame, batch_schema: StructType) -> DataFrame:
@@ -263,6 +267,110 @@ def recognize_stream_start(
 
     try:
         native = match_recognize_stream(stream, watermark=watermark, **mr_kw)
+    except ValueError as native_err:
+        if engine == "native":
+            raise
+        try:
+            batch_probe()
+        except Exception:
+            raise native_err from None
+        return replay_route()
+    try:
+        batch_schema = batch_probe().schema
+    except Exception:
+        batch_schema = None
+    q = _start_native(native, batch_schema, log_path, sink, checkpoint, trigger)
+    q.routed = "native"
+    return q
+
+
+def timeouts_stream_start(
+    stream: DataFrame,
+    pattern,
+    *,
+    log_path: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+    watermark: str = "5 minutes",
+    contiguity: str | None = None,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    checkpoint: str | None = None,
+    trigger: dict | None = None,
+    engine: str = "auto",
+):
+    """Timed-out partial matches with automatic engine selection — the
+    ``PatternTimeoutFunction`` twin of :func:`pattern_stream_start`.
+    The native engine's scope is the batch operator's MINUS ``where``
+    conditions; ``where``-bearing chains route through replay. A
+    timeout verdict is horizon-local by construction (it depends only
+    on the anchor's own ``[anchor, anchor+within]`` window and consumes
+    nothing), and the finality is exactly the anchor's horizon —
+    ``ts_1 + within`` (the anchor is always a bound event, so the
+    NULL-anchor hazard cannot arise here)."""
+    if engine not in ("auto", "native", "replay"):
+        raise ValueError(f"engine must be auto|native|replay, got {engine!r}")
+    if within is None:
+        raise ValueError(
+            "timeouts_stream_start requires within= (without a window "
+            "nothing ever times out — Flink's rule; it also bounds the "
+            "replay slice)"
+        )
+    _require_checkpoint(checkpoint, "timeouts_stream_start")
+    from flink_note_spark.operators.cep import match_pattern_timeouts
+    from flink_note_spark.streaming.replay import (
+        finality_anchor_within,
+        stream_batch_replay_start,
+    )
+
+    def batch_op(events: DataFrame) -> DataFrame:
+        return match_pattern_timeouts(
+            events,
+            pattern,
+            key_col=key_col,
+            time_col=time_col,
+            type_col=type_col,
+            within=within,
+            contiguity=contiguity,
+        )
+
+    def batch_probe() -> DataFrame:
+        return batch_op(_empty_like(stream))
+
+    def replay_route():
+        q = stream_batch_replay_start(
+            stream,
+            batch_op,
+            finality_anchor_within(["ts_1"], within),
+            time_col,
+            log_path,
+            within=within,
+            watermark=watermark,
+            sink=sink,
+            checkpoint=checkpoint,
+            trigger=trigger,
+        )
+        q.routed = "replay"
+        return q
+
+    if engine == "replay":
+        batch_probe()  # surface shape errors before starting the query
+        return replay_route()
+
+    from flink_note_spark.streaming.ops import match_pattern_timeouts_stream
+
+    try:
+        native = match_pattern_timeouts_stream(
+            stream,
+            pattern,
+            key_col=key_col,
+            time_col=time_col,
+            type_col=type_col,
+            within=within,
+            watermark=watermark,
+            contiguity=contiguity,
+        )
     except ValueError as native_err:
         if engine == "native":
             raise

@@ -74,6 +74,7 @@ __all__ = [
     "match_recognize_replay_stream",
     "retract_stream_start",
     "compact_replay_log",
+    "compact_retract_state",
     "finality_last_event",
     "finality_anchor_within",
     "finality_measure",
@@ -365,6 +366,7 @@ def stream_batch_replay_start(
     sink: Callable[[DataFrame, int], None] | None = None,
     checkpoint: str | None = None,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Stream a horizon-local batch operator by incremental replay.
 
@@ -383,7 +385,10 @@ def stream_batch_replay_start(
     O(active window), not O(history); the log itself grows until
     compacted — :func:`compact_replay_log` drops epoch directories
     wholly below ``wm − within − delay`` (immutable-file bookkeeping,
-    run it between batches or from a cron)."""
+    run it between batches or from a cron). ``compact_every=N`` (r11)
+    makes the log SELF-MAINTAINING: every N-th epoch runs the
+    compaction inline after its emission — only provably-dead epochs
+    drop, so retries and restarts are unaffected."""
     within_us = _parse_delay_us(within)
     delay_us = _parse_delay_us(watermark)
     if time_col not in stream.columns:
@@ -405,6 +410,10 @@ def stream_batch_replay_start(
             delay_us=delay_us,
             sink=sink,
         )
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            compact_replay_log(
+                batch_df.sparkSession, log_path, within, watermark, time_col
+            )
 
     writer = stream.writeStream.foreachBatch(_process).outputMode("append")
     if checkpoint:
@@ -443,14 +452,31 @@ def compact_replay_log(
     path slices back ``2·within`` (matches pend one extra ``within``
     for chain decisions), and using the deeper floor unconditionally
     keeps compaction safe for BOTH paths at the cost of one extra
-    ``within`` of retained log."""
+    ``within`` of retained log.
+
+    Retry fence (r11): the floor watermark EXCLUDES the newest epoch's
+    meta — a crash between that epoch's foreachBatch and its commit
+    replays it against the PREVIOUS watermark, whose slice may reach
+    below a floor that counted the new (possibly far-jumped) watermark.
+    Using the second-newest watermark keeps every possible retry's
+    slice intact, which is also what makes the inline
+    ``compact_every`` hook safe."""
     import shutil
 
     within_us = _parse_delay_us(within)
     delay_us = _parse_delay_us(watermark)
     events_path = f"{log_path}/events"
-    wm = _prev_wm(spark, f"{log_path}/meta", 2**62)
-    out = {"epochs_total": 0, "epochs_dropped": 0, "wm_us": wm}
+    try:
+        meta = spark.read.parquet(f"{log_path}/meta")
+        top = meta.agg(F.max("epoch").alias("m")).first()
+    except Exception:
+        top = None
+    newest = None if top is None or top.m is None else int(top.m)
+    out = {"epochs_total": 0, "epochs_dropped": 0, "wm_us": _LONG_MIN}
+    if newest is None:
+        return out
+    wm = _prev_wm(spark, f"{log_path}/meta", newest)
+    out["wm_us"] = wm
     if wm == _LONG_MIN:
         return out
     floor = wm - 2 * within_us - delay_us
@@ -478,6 +504,7 @@ def retract_stream_start(
     sink: Callable[[DataFrame, int], None] | None = None,
     state_buckets: int = 64,
     delete_where=None,
+    compact_every: int | None = None,
 ):
     """Flink's ``toRetractStream`` for an UPDATE-mode streaming
     aggregate: emit an op-tagged changelog (``+I`` first value for a
@@ -632,6 +659,8 @@ def retract_stream_start(
         ).write.mode("overwrite").parquet(
             f"{log_path}/state_meta/epoch={epoch_id}"
         )
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            compact_retract_state(spark, log_path)
 
     if sink is None:
 
@@ -664,6 +693,7 @@ def match_pattern_replay_stream(
     sink: Callable[[DataFrame, int], None] | None = None,
     checkpoint: str | None = None,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Stream ANY batch-supported CEP pattern by incremental replay —
     the convenience router over :func:`stream_batch_replay_start` that
@@ -749,6 +779,7 @@ def match_pattern_replay_stream(
             sink=sink,
             checkpoint=checkpoint,
             trigger=trigger,
+            compact_every=compact_every,
         )
 
     # pruning path: end/threshold exprs from the batch output schema
@@ -791,6 +822,10 @@ def match_pattern_replay_stream(
             delay_us=delay_us,
             sink=sink,
         )
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            compact_replay_log(
+                batch_df.sparkSession, log_path, within, watermark, time_col
+            )
 
     writer = stream.writeStream.foreachBatch(_process).outputMode("append")
     if checkpoint:
@@ -818,6 +853,7 @@ def match_recognize_replay_stream(
     sink: Callable[[DataFrame, int], None] | None = None,
     checkpoint: str | None = None,
     trigger: dict | None = None,
+    compact_every: int | None = None,
 ):
     """Stream ANY batch-supported ``MATCH_RECOGNIZE`` query by
     incremental replay — the MR twin of
@@ -937,6 +973,7 @@ def match_recognize_replay_stream(
             sink=drop_sink,
             checkpoint=checkpoint,
             trigger=trigger,
+            compact_every=compact_every,
         )
 
     if skip == "skip_past_last_event":
@@ -963,9 +1000,71 @@ def match_recognize_replay_stream(
             delay_us=delay_us,
             sink=drop_sink,
         )
+        if compact_every and epoch_id % compact_every == compact_every - 1:
+            compact_replay_log(
+                batch_df.sparkSession, log_path, within, watermark, order_by
+            )
 
     writer = stream.writeStream.foreachBatch(_process).outputMode("append")
     writer = writer.option("checkpointLocation", checkpoint)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def compact_retract_state(spark: SparkSession, log_path: str) -> dict:
+    """Drop retract-stream state snapshots that are fully SHADOWED: the
+    reader resolves each bucket to its latest recorded epoch, so any
+    ``state/epoch={e}/bucket={b}`` with a newer ``(e', b)`` meta row can
+    never be read again. Whole epoch directories vanish once every
+    bucket they wrote is shadowed; meta rows stay (they are O(rows) and
+    the latest-per-bucket resolution never reads shadowed ones, but a
+    retried CURRENT epoch must still see the full chain strictly before
+    it). Safe between micro-batches — the running query only reads
+    epochs strictly before the one it is processing, and the newest
+    snapshot per bucket is always kept.
+
+    Returns ``{"buckets_total": n, "bucket_dirs_dropped": m,
+    "epoch_dirs_removed": k}`` — immutable-dir bookkeeping, the
+    ``compact_replay_log`` doctrine.
+
+    Retry fence (r11): shadowing by the NEWEST epoch does not count —
+    a crash between that epoch's foreachBatch and its commit replays
+    it, and the replay diffs against the latest snapshot strictly
+    BEFORE it, which must therefore survive. One extra generation per
+    bucket is retained; that is what makes the inline
+    ``compact_every`` hook safe."""
+    import os
+    import shutil
+
+    out = {"buckets_total": 0, "bucket_dirs_dropped": 0, "epoch_dirs_removed": 0}
+    try:
+        meta = spark.read.parquet(f"{log_path}/state_meta")
+        top = meta.agg(F.max("epoch").alias("m")).first()
+    except Exception:
+        return out
+    if top is None or top.m is None:
+        return out
+    meta = meta.filter(F.col("epoch") < int(top.m))
+    latest = {
+        int(r.bucket): int(r.e)
+        for r in meta.groupBy("bucket").agg(F.max("epoch").alias("e")).collect()
+    }
+    out["buckets_total"] = len(latest)
+    for r in meta.select("epoch", "bucket").distinct().collect():
+        e, b = int(r.epoch), int(r.bucket)
+        p = f"{log_path}/state/epoch={e}/bucket={b}"
+        # shadowed AND still on disk (meta rows outlive dropped dirs,
+        # and empty-on-write buckets never had a dir)
+        if e < latest.get(b, e) and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+            out["bucket_dirs_dropped"] += 1
+    state_root = f"{log_path}/state"
+    if os.path.isdir(state_root):
+        for d in os.listdir(state_root):
+            p = os.path.join(state_root, d)
+            if d.startswith("epoch=") and os.path.isdir(p):
+                if not any(x.startswith("bucket=") for x in os.listdir(p)):
+                    shutil.rmtree(p, ignore_errors=True)
+                    out["epoch_dirs_removed"] += 1
+    return out

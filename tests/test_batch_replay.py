@@ -242,9 +242,12 @@ def _run_replay(spark, tmp_path, rows, chunk_rows, pattern, **kw):
 
     stream = _stream_chunks(spark, tmp_path, chunk_rows)
     log = str(tmp_path / "log")
+    stream_only = {
+        k: kw.pop(k) for k in ("compact_every",) if k in kw
+    }
     q = match_pattern_replay_stream(
         stream, pattern, log, watermark="1 minute",
-        checkpoint=str(tmp_path / "ckpt"), **kw,
+        checkpoint=str(tmp_path / "ckpt"), **stream_only, **kw,
     )
     try:
         q.processAllAvailable()
@@ -522,6 +525,42 @@ def test_retract_delete_tombstones_full_alphabet(spark, tmp_path):
     assert got == {("A", 3, 11), ("B", 2, 3)}
 
 
+def test_compact_retract_state_drops_shadowed_buckets(spark, tmp_path):
+    """Shadowed bucket snapshots (a newer epoch re-wrote the bucket)
+    vanish; the newest snapshot per bucket survives and the
+    materialized table is unchanged after compaction."""
+    import glob
+
+    from flink_note_spark.operators.changelog import upsert_latest
+    from flink_note_spark.streaming.replay import compact_retract_state
+
+    rows = _rows()
+    # chunk 1 re-touches types from chunk 0 -> their chunk-0 snapshots
+    # are shadowed; chunk 2 exists so the retry fence (newest epoch
+    # never counts as a shadower) still lets epoch-0 dirs drop
+    chunks = [rows[:10], rows[10:] + [(7, _t(60), "A")], [(3, _t(70), "B")]]
+    log, ch = _retract_run(spark, tmp_path, chunks, state_buckets=16)
+    before = len(glob.glob(f"{log}/state/epoch=*/bucket=*"))
+    rep = compact_retract_state(spark, log)
+    after = len(glob.glob(f"{log}/state/epoch=*/bucket=*"))
+    assert rep["bucket_dirs_dropped"] > 0
+    assert after == before - rep["bucket_dirs_dropped"]
+    # materialization unchanged after compaction
+    full_rows = rows[:10] + rows[10:] + [(7, _t(60), "A"), (3, _t(70), "B")]
+    full = spark.createDataFrame(full_rows, _SCHEMA)
+    want = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s")
+    )
+    mat = upsert_latest(
+        ch.filter(F.col("op") != "-U"), ["event_type"], version_col="epoch"
+    ).drop("op", "epoch")
+    assert {tuple(r) for r in mat.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    # idempotent: a second compaction drops nothing
+    assert compact_retract_state(spark, log)["bucket_dirs_dropped"] == 0
+
+
 def test_compact_replay_log_drops_only_dead_epochs(spark, tmp_path):
     """Compaction removes epochs wholly below wm - within - delay and
     the survivors still reproduce the exact emission set on the next
@@ -550,17 +589,47 @@ def test_compact_replay_log_drops_only_dead_epochs(spark, tmp_path):
     # epoch 0: the early cluster; epoch 1: the t40 match
     _replay_epoch(spark.createDataFrame(rows[:4] + rows[6:11], _SCHEMA), 0, **kw)
     _replay_epoch(spark.createDataFrame(rows[4:6], _SCHEMA), 1, **kw)
+    # retry fence (r11): the NEWEST epoch's watermark never drives the
+    # floor — a crash before epoch 1's commit replays it against
+    # epoch 0's watermark, so nothing may drop yet
     rep = compact_replay_log(
         spark, log, within="10 minutes", watermark="1 minute"
     )
-    assert rep["epochs_total"] == 2
-    assert rep["epochs_dropped"] == 1  # epoch 0 is wholly below the floor
-    assert len(glob.glob(f"{log}/events/epoch=*")) == 1
-    # the flush epoch still emits the t40 match from the surviving log
+    assert rep["epochs_dropped"] == 0
+    # the flush epoch emits the t40 match, then compaction (now behind
+    # the fence) drops exactly the dead early epoch
     before = set(emitted)
     _replay_epoch(spark.createDataFrame(rows[11:], _SCHEMA), 2, **kw)
     new = set(emitted) - before
     assert new == {(1, _t(40), _t(41), _t(41), 1)}
+    rep = compact_replay_log(
+        spark, log, within="10 minutes", watermark="1 minute"
+    )
+    assert rep["epochs_total"] == 3
+    assert rep["epochs_dropped"] == 1  # epoch 0 is wholly below the floor
+    assert len(glob.glob(f"{log}/events/epoch=*")) == 2
+
+
+def test_replay_inline_compaction_preserves_emissions(spark, tmp_path):
+    """compact_every=1 runs the log compaction inside every epoch; the
+    retry fence makes that safe, and the emission set still equals
+    batch while dead epochs disappear from the log."""
+    import glob
+
+    rows = _rows() + [(9, _t(24 * 60 + 10), "Z")]
+    chunks = [
+        rows[0:3] + rows[6:9], [rows[3]] + rows[9:11],
+        rows[4:6] + rows[11:12],
+        rows[12:],  # one more epoch so the fence lets the flush's
+                    # watermark drive a drop of the early epochs
+    ]
+    streamed, batch = _run_replay(
+        spark, tmp_path, rows, chunks, _TERMINAL_LOOP,
+        contiguity="strict", within="10 minutes", compact_every=1,
+    )
+    assert streamed == batch and len(streamed) > 0
+    left = len(glob.glob(str(tmp_path / "log" / "events" / "epoch=*")))
+    assert left == 2  # the two pre-flush epochs are gone
 
 
 def test_replay_survives_checkpoint_restart(spark, tmp_path):

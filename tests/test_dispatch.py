@@ -243,6 +243,75 @@ def test_dispatch_validates_engine_and_checkpoint(spark, tmp_path):
         )
 
 
+def test_routed_timeouts_where_condition(spark, tmp_path):
+    """Timeout extraction with a where() condition is batch-only on the
+    native engine (per-type slot projection) — routes to replay; a
+    timeout verdict is horizon-local, final at the anchor's horizon."""
+    from flink_note_spark.operators.cep import match_pattern_timeouts
+    from flink_note_spark.streaming.dispatch import timeouts_stream_start
+
+    pat = ["A", {"type": "B", "where": "value > 5"}]
+    rows = [
+        # key 1: A then only low-value Bs -> times out at step 2
+        (1, _t(0), "A", 0.0), (1, _t(1), "B", 2.0),
+        # key 2: A then a qualifying B -> completes, NO timeout
+        (2, _t(0), "A", 0.0), (2, _t(1), "B", 9.0),
+        (9, _t(24 * 60), "Z", 0.0),
+    ]
+    kw = dict(contiguity="relaxed", within="10 minutes")
+    stream = _write_chunks(
+        spark, tmp_path, _PAY_SCHEMA, [rows[:2], rows[2:4], rows[4:]]
+    )
+    log = str(tmp_path / "log")
+    q = timeouts_stream_start(
+        stream, pat, log_path=log, watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt"), **kw,
+    )
+    _drive(q)
+    assert q.routed == "replay"
+    got = replay_emissions(spark, log)
+    want = match_pattern_timeouts(
+        spark.createDataFrame(rows, _PAY_SCHEMA), pat, **kw
+    )
+    assert _rows_of(got) == _rows_of(want)
+    assert [r[0] for r in _rows_of(got)] == [1]  # only key 1 timed out
+
+
+def test_timeouts_native_fast_path(spark, tmp_path):
+    """Plain chains stay native; output normalized to the batch schema
+    (timestamps, not µs longs)."""
+    from flink_note_spark.operators.cep import match_pattern_timeouts
+    from flink_note_spark.streaming.dispatch import timeouts_stream_start
+
+    rows = [
+        (1, _t(0), "A"), (1, _t(1), "B"),   # completes
+        (2, _t(0), "A"),                     # times out
+        _FLUSH,
+    ]
+    stream = _write_chunks(
+        spark, tmp_path, _SCHEMA, [rows[:2], rows[2:3], rows[3:]]
+    )
+    log = str(tmp_path / "log")
+    q = timeouts_stream_start(
+        stream, ["A", "B"], log_path=log, contiguity="relaxed",
+        within="10 minutes", watermark="1 minute",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    _drive(q)
+    assert q.routed == "native"
+    got = replay_emissions(spark, log)
+    want = match_pattern_timeouts(
+        spark.createDataFrame(rows, _SCHEMA), ["A", "B"],
+        contiguity="relaxed", within="10 minutes",
+    )
+    # nullability loosens through the parquet epoch sink — names+types
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ]
+    assert _rows_of(got) == _rows_of(want)
+    assert [r[0] for r in _rows_of(got)] == [2]
+
+
 # ---------------------------------------------------------------------------
 # MATCH_RECOGNIZE dispatch
 

@@ -546,11 +546,51 @@ def test_ddl_refusals(t_env):
             WITH ('connector' = 'filesystem', 'path' = '/x',
                   'format' = 'parquet')
         """)
+    # bare `p AS PROCTIME()` TRANSLATES since r11 (current_timestamp,
+    # test_ddl_proctime_attribute); embedding it in a wider expression
+    # still refuses (Flink's rule: the attribute is the whole column)
     with pytest.raises(ValueError, match="PROCTIME"):
         t_env.execute_sql("""
-            CREATE TABLE bad4 (a INT, p AS PROCTIME()) WITH (
-                'connector' = 'filesystem', 'path' = '/x',
+            CREATE TABLE bad4 (a INT, p AS PROCTIME() + INTERVAL '1' SECOND)
+            WITH ('connector' = 'filesystem', 'path' = '/x',
                 'format' = 'parquet')
+        """)
+
+
+def test_ddl_proctime_attribute(t_env, spark, tmp_path):
+    """r11 (VERDICT r10 missing #5): `p AS PROCTIME()` registers as a
+    current_timestamp() processing-time attribute — batch-granular
+    (query-constant in a batch read, the documented deviation from
+    Flink's per-row wall clock) — and a WATERMARK over it refuses
+    (watermarks are event-time only)."""
+    import datetime as dt
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id int, v double"
+    ).write.parquet(path)
+    t = t_env.execute_sql(f"""
+        CREATE TABLE pt_src (
+            id INT,
+            v DOUBLE,
+            p AS PROCTIME()
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'parquet')
+    """)
+    assert dict(t._df.dtypes)["p"] == "timestamp"
+    rows = t._df.orderBy("id").collect()
+    now = dt.datetime.now()
+    assert all(abs((r.p - now).total_seconds()) < 600 for r in rows)
+    # batch-granular: one evaluation per query, so all rows agree
+    assert rows[0].p == rows[1].p
+    with pytest.raises(ValueError, match="EVENT-time|event-time"):
+        t_env.execute_sql(f"""
+            CREATE TABLE pt_bad (
+                id INT,
+                p AS PROCTIME(),
+                WATERMARK FOR p AS p - INTERVAL '5' SECOND
+            ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                    'format' = 'parquet')
         """)
 
 
