@@ -123,6 +123,23 @@ def _parse_width(width: str | int) -> tuple[str, int]:
     return ("s", _width_s(width))
 
 
+def _origin_parts(origin: "str | int") -> tuple[int, int]:
+    """Driver-side parse of a bucket ``origin`` (ISO timestamp string
+    or epoch seconds int) → ``(epoch_seconds, months_since_epoch)``."""
+    import calendar
+    import datetime as _dt
+
+    if isinstance(origin, int):
+        d = _dt.datetime.fromtimestamp(origin, _dt.timezone.utc)
+        secs = origin
+    else:
+        d = _dt.datetime.fromisoformat(origin)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        secs = calendar.timegm(d.utctimetuple())
+    return secs, (d.year - 1970) * 12 + d.month - 1
+
+
 def time_bucket_months(
     ts: str | Column, months: int, name: str | None = None
 ) -> Column:
@@ -162,17 +179,44 @@ def time_bucket_s(ts: str | Column, width: str | int, name: str | None = None) -
 
 
 def time_bucket(
-    ts: str | Column, width: str | int, name: str | None = None
+    ts: str | Column,
+    width: str | int,
+    name: str | None = None,
+    origin: "str | int | None" = None,
 ) -> Column:
     """Bucket START in epoch seconds (BIGINT) for BOTH width families:
     fixed widths go through :func:`time_bucket_s`; calendar widths
     (``"1 month" / "1 quarter" / "1 year"``) resolve the aligned month
     index and convert it to the month-start epoch second — so a single
-    output convention (``bucket_s``) serves every grain."""
+    output convention (``bucket_s``) serves every grain.
+
+    ``origin`` (r11 — TimescaleDB's ``time_bucket(..., origin =>)``)
+    re-anchors the alignment: buckets start at ``origin + k·width``
+    instead of the epoch. The canonical use is Monday-starting weeks
+    (``width="1 week", origin="2024-01-01"`` — epoch alignment starts
+    weeks on Thursday, 1970-01-01's weekday); for calendar widths the
+    origin shifts the month-index alignment (e.g. fiscal quarters
+    starting in February: ``"1 quarter", origin="1970-02-01"``).
+    ``origin`` is an ISO timestamp string or epoch seconds, read as
+    UTC."""
     mode, w = _parse_width(width)
     if mode == "s":
-        return time_bucket_s(ts, w, name)
-    out = _month_index_start_s(time_bucket_months(ts, w))
+        if origin is None:
+            return time_bucket_s(ts, w, name)
+        o_s, _ = _origin_parts(origin)
+        col = F.col(ts) if isinstance(ts, str) else ts
+        us = F.unix_micros(col.cast("timestamp")) - F.lit(o_s * 1_000_000)
+        out = (F.floor(us / F.lit(float(w) * 1e6)) * w + o_s).cast("long")
+        return out.alias(name) if name else out
+    if origin is None:
+        out = _month_index_start_s(time_bucket_months(ts, w))
+        return out.alias(name) if name else out
+    _, o_m = _origin_parts(origin)
+    col = F.col(ts) if isinstance(ts, str) else ts
+    col = col.cast("timestamp")
+    m = (F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1
+    idx = (F.floor((m - F.lit(o_m)) / F.lit(w)) * w + o_m).cast("long")
+    out = _month_index_start_s(idx)
     return out.alias(name) if name else out
 
 

@@ -207,6 +207,43 @@ def test_time_bucket_calendar_grains(spark):
         _width_s("1 month")
 
 
+def test_time_bucket_origin_alignment(spark):
+    """r11: origin re-anchors bucket alignment — Monday-starting weeks
+    (epoch weeks start Thursday) and February-anchored fiscal
+    quarters."""
+    from flink_note_spark.operators.timeseries import time_bucket
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 10),),   # a Wednesday
+            (dt.datetime(2024, 1, 14),),   # the following Sunday
+            (dt.datetime(2024, 1, 15),),   # the next Monday
+            (dt.datetime(2024, 3, 15),),   # inside Feb-anchored Q1
+        ],
+        "ts timestamp",
+    )
+    out = df.select(
+        # 2024-01-01 is a Monday; weeks anchored there start Mondays
+        time_bucket("ts", "1 week", "wk", origin="2024-01-01"),
+        time_bucket("ts", "1 week", "wk_epoch"),
+        time_bucket("ts", "1 quarter", "fq", origin="1970-02-01"),
+    ).collect()
+    mon_jan8 = 1704672000    # 2024-01-08 (Monday)
+    mon_jan15 = 1705276800   # 2024-01-15
+    assert [r.wk for r in out[:3]] == [mon_jan8, mon_jan8, mon_jan15]
+    # epoch-aligned weeks start Thursdays — different starts entirely
+    thu_jan4 = 1704326400    # 2024-01-04 (Thursday)
+    assert out[0].wk_epoch == thu_jan4
+    # Feb-anchored quarters: Mar 2024 falls in the Feb..Apr quarter
+    feb1_2024 = 1706745600
+    assert out[3].fq == feb1_2024
+    # int-seconds origin accepted too
+    got = df.select(
+        time_bucket("ts", "1 week", "w2", origin=1704067200)
+    ).first()
+    assert got.w2 == mon_jan8
+
+
 def test_gapfill_month_grain_linear_across_variable_widths(spark):
     """Month buckets have different second-widths; the spine runs on
     month INDICES so a Jan->Apr gap is exactly 2 steps and the linear
