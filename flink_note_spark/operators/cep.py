@@ -288,6 +288,20 @@ class Pattern:
         if not self.steps:
             raise ValueError("no step to quantify")
         last = self.steps[-1]
+        if isinstance(last, dict) and "group" in last:
+            # quantifiers on a GROUP (r11): merge into the group spec —
+            # expansion happens in match_pattern
+            merged = dict(last)
+            for k in ("times", "times_max", "optional", "loop"):
+                if k in kw:
+                    merged[k] = kw[k]
+            if kw.get("where") is not None or kw.get("until") is not None:
+                raise ValueError(
+                    "where()/until() apply to single steps, not groups "
+                    "(put the predicate on a step inside the group)"
+                )
+            self.steps[-1] = merged
+            return self
         new = PatternStep(
             last.event_type,
             negate=last.negate,
@@ -365,6 +379,35 @@ class Pattern:
         self.within_ = duration
         return self
 
+    def _append_group(self, sub, mode: str) -> "Pattern":
+        """Flink GROUP patterns (r11): ``next(subPattern)`` /
+        ``followedBy(subPattern)`` — the whole sub-pattern becomes one
+        quantifiable element; chain ``times(n[, m])`` / ``optional()``
+        to repeat it as a block (``one_or_more`` refuses — see
+        :func:`_expand_group_variants`). ``mode`` is the ENTRY and
+        inter-iteration contiguity."""
+        steps = sub.steps if isinstance(sub, Pattern) else list(sub)
+        self._set_mode(mode)
+        self.steps.append({"group": steps, "mode": mode})
+        return self
+
+    def next_group(self, sub) -> "Pattern":
+        return self._append_group(sub, "strict")
+
+    def followed_by_group(self, sub) -> "Pattern":
+        return self._append_group(sub, "relaxed")
+
+    @classmethod
+    def begin_group(cls, sub) -> "Pattern":
+        """Flink ``Pattern.begin(subPattern)`` — start with a group
+        (its first step anchors, so the entry mode is moot; iterations
+        connect by the group's own step modes unless re-attached via
+        ``times`` expansion with a later ``mode``)."""
+        p = cls()
+        steps = sub.steps if isinstance(sub, Pattern) else list(sub)
+        p.steps.append({"group": steps})
+        return p
+
     def skip(self, strategy) -> "Pattern":
         """Flink ``AfterMatchSkipStrategy`` (r7) — see
         :func:`match_pattern`'s ``skip_strategy``. Flink attaches the
@@ -379,35 +422,137 @@ class Pattern:
         return self
 
 
+def _norm_one(p) -> PatternStep:
+    if isinstance(p, PatternStep):
+        s = p
+    elif isinstance(p, str):
+        s = PatternStep(p)
+    elif isinstance(p, dict):
+        if "group" in p:
+            raise ValueError(
+                "group patterns expand by block-variant flattening in "
+                "the BATCH operator (match_pattern) — the incremental "
+                "streaming engines never see them; stream a group "
+                "pattern through pattern_stream_start(engine='auto'), "
+                "which routes it via incremental replay"
+            )
+        s = PatternStep(
+            p["type"],
+            negate=bool(p.get("negate", False)),
+            times=int(p.get("times", 1)),
+            loop=bool(p.get("one_or_more", p.get("loop", False))),
+            until=p.get("until"),
+            times_max=p.get("times_max"),
+            optional=bool(p.get("optional", False)),
+            mode=p.get("mode"),
+            where=p.get("where"),
+            any_match=bool(p.get("any", p.get("any_match", False))),
+        )
+    else:
+        raise TypeError(f"bad pattern step: {p!r}")
+    s.validate()
+    return s
+
+
 def _normalize(pattern) -> list[PatternStep]:
     if isinstance(pattern, Pattern):
         pattern = pattern.steps
-    steps: list[PatternStep] = []
-    for p in pattern:
-        if isinstance(p, PatternStep):
-            s = p
-        elif isinstance(p, str):
-            s = PatternStep(p)
-        elif isinstance(p, dict):
-            s = PatternStep(
-                p["type"],
-                negate=bool(p.get("negate", False)),
-                times=int(p.get("times", 1)),
-                loop=bool(p.get("one_or_more", p.get("loop", False))),
-                until=p.get("until"),
-                times_max=p.get("times_max"),
-                optional=bool(p.get("optional", False)),
-                mode=p.get("mode"),
-                where=p.get("where"),
-                any_match=bool(p.get("any", p.get("any_match", False))),
-            )
-        else:
-            raise TypeError(f"bad pattern step: {p!r}")
-        s.validate()
-        steps.append(s)
+    steps = [_norm_one(p) for p in pattern]
     if not any(not s.negate for s in steps):
         raise ValueError("pattern must name at least one positive event type")
     return steps
+
+
+def _expand_group_variants(pattern):
+    """Flink GROUP patterns (r11 — ``Pattern.begin(subPattern)`` /
+    ``next(subPattern)`` / ``followedBy(subPattern)`` with ``times(n)``
+    / ``times(n, m)`` / ``optional()`` on the whole group): a spec
+    ``{"group": [sub-steps], "times": n[, "times_max": m]
+    [, "optional": True][, "mode": "strict"|"relaxed"]}`` repeats the
+    sub-pattern as a block. Returns ``None`` when the pattern has no
+    groups; otherwise ``(variants, posmaps, template)``:
+
+    - exact counts FLATTEN — the sub-steps copied ``n`` times, each
+      copy's FIRST step taking the group's ``mode`` (the
+      inter-iteration and entry contiguity, Flink's ``next`` vs
+      ``followedBy`` attachment);
+    - ranges / ``optional`` expand into BLOCK VARIANTS, one flat
+      pattern per repetition count (the step-level variant-union
+      convention: the result is the union over counts). ``posmaps``
+      carries each variant's positive-step → GLOBAL-position mapping
+      (global geometry = every group at its MAX count, post-group
+      steps pinned to the tail) so outputs align positionally with
+      trailing columns NULL on shorter variants; ``template`` is the
+      max-count step list (defines the global output columns).
+
+    ``one_or_more()`` on a group refuses: unbounded block expansion —
+    bound the repetition with ``times(n, m)`` (a step-level
+    ``one_or_more`` covers the single-step case)."""
+    base = pattern.steps if isinstance(pattern, Pattern) else pattern
+    if not isinstance(base, list) or not any(
+        isinstance(p, dict) and "group" in p for p in base
+    ):
+        return None
+    import dataclasses
+
+    variants: list[tuple[list[PatternStep], list[int]]] = [([], [])]
+    template: list[PatternStep] = []
+    gpos = 0  # global positive-step counter (max-count geometry)
+    for p in base:
+        if isinstance(p, dict) and "group" in p:
+            if p.get("one_or_more") or p.get("loop"):
+                raise ValueError(
+                    "group one_or_more() is unsupported: unbounded "
+                    "block expansion — bound the repetition with "
+                    "times(n, m) (step-level one_or_more covers the "
+                    "single-step case)"
+                )
+            sub = _normalize(list(p["group"]))
+            n = int(p.get("times", 1))
+            tm = p.get("times_max")
+            m = n if tm is None else int(tm)
+            if n < 1 or m < n:
+                raise ValueError(
+                    f"group times range must satisfy 1 <= n <= m, got "
+                    f"({n}, {m})"
+                )
+            counts = sorted(
+                ({0} if p.get("optional") else set()) | set(range(n, m + 1))
+            )
+            mode = p.get("mode")
+            subm = list(sub)
+            if mode is not None:
+                subm[0] = dataclasses.replace(sub[0], mode=mode)
+            L = sum(1 for s in sub if not s.negate)
+            for _ in range(m):
+                template.extend(subm)
+            variants = [
+                (
+                    sv + subm * k,
+                    pv + list(range(gpos + 1, gpos + k * L + 1)),
+                )
+                for sv, pv in variants
+                for k in counts
+            ]
+            gpos += m * L
+        else:
+            s = _norm_one(p)
+            if s.negate:
+                variants = [(sv + [s], pv) for sv, pv in variants]
+            else:
+                gpos += 1
+                variants = [
+                    (sv + [s], pv + [gpos]) for sv, pv in variants
+                ]
+            template.append(s)
+    # a zero-count choice can leave a variant with no positive step —
+    # not a match (drop it, mirroring the step-variant convention)
+    kept = [
+        (sv, pv) for sv, pv in variants if any(not s.negate for s in sv)
+    ]
+    if not kept:
+        raise ValueError("group expansion left no viable pattern variant")
+    return [sv for sv, _ in kept], [pv for _, pv in kept], template
 
 
 def _resolve_contiguity(
@@ -538,6 +683,84 @@ def _expand_variants(
     return variants
 
 
+def _match_group_union(
+    events: DataFrame,
+    variants,
+    posmaps,
+    template,
+    *,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    contiguity: str | None,
+    tiebreak: list[str] | None,
+    skip_strategy,
+    carry_payload,
+) -> DataFrame:
+    """Union the block variants of a RANGED/optional group pattern
+    (:func:`_expand_group_variants`), realigned to the max-count global
+    geometry — each variant's positive step ``j`` renames to its global
+    position ``posmaps[v][j-1]``, the remaining global columns NULL.
+    The union over counts IS the group semantics (Flink's branching
+    NFA emits a match per viable repetition count — the step-level
+    variant convention). Skip strategies and payload capture refuse:
+    pruning chains and carry requests are defined against ONE
+    positional geometry, not a union of them (run the exact-count
+    group, which flattens, or prune downstream)."""
+    if skip_strategy is not None and _parse_skip(skip_strategy) is not None \
+            and _parse_skip(skip_strategy)[0] != "greedy":
+        raise ValueError(
+            "skip strategies over RANGED/optional group patterns are "
+            "unsupported (the pruning chain is defined against one "
+            "positional geometry, not a union of block counts) — use "
+            "an exact times(n) group (pure flattening) or prune the "
+            "union downstream"
+        )
+    if carry_payload:
+        raise ValueError(
+            "carry_payload over RANGED/optional group patterns is "
+            "unsupported (capture requests name one geometry) — use an "
+            "exact times(n) group or attach_event_payload on the union"
+        )
+    full_cols = _out_cols(template)
+    outs = []
+    for v, pm in zip(variants, posmaps):
+        o = match_pattern(
+            events, v,
+            key_col=key_col, time_col=time_col, type_col=type_col,
+            within=within, contiguity=contiguity, tiebreak=tiebreak,
+        )
+        local_to_global: dict[str, str] = {}
+        for j, g in enumerate(pm, start=1):
+            for c_local, c_global in (
+                (f"ts_{j}", f"ts_{g}"),
+                (f"ts_{j}_last", f"ts_{g}_last"),
+                (f"n_{j}", f"n_{g}"),
+            ):
+                if c_local in o.columns:
+                    local_to_global[c_local] = c_global
+        global_to_local = {g: c for c, g in local_to_global.items()}
+        outs.append((o, global_to_local))
+    # types for NULL padding come from the max-count variant, which has
+    # every global column (its posmap is the identity over full_cols)
+    typed = next(
+        o for o, g2l in outs if set(g2l) == set(full_cols)
+    )
+    dtypes = dict(typed.dtypes)
+    unioned = None
+    for o, g2l in outs:
+        sel = [F.col(key_col)]
+        for c in full_cols:
+            if c in g2l:
+                sel.append(F.col(g2l[c]).alias(c))
+            else:
+                sel.append(F.lit(None).cast(dtypes[c]).alias(c))
+        part = o.select(*sel)
+        unioned = part if unioned is None else unioned.unionByName(part)
+    return unioned
+
+
 def match_pattern(
     events: DataFrame,
     pattern,
@@ -614,6 +837,20 @@ def match_pattern(
             within = pattern.within_
         if skip_strategy is None:
             skip_strategy = pattern.skip_
+    grp = _expand_group_variants(pattern)
+    if grp is not None:
+        variants, posmaps, template = grp
+        if len(variants) == 1 and posmaps[0] == list(
+            range(1, len(posmaps[0]) + 1)
+        ):
+            pattern = variants[0]  # exact counts: pure flattening
+        else:
+            return _match_group_union(
+                events, variants, posmaps, template,
+                key_col=key_col, time_col=time_col, type_col=type_col,
+                within=within, contiguity=contiguity, tiebreak=tiebreak,
+                skip_strategy=skip_strategy, carry_payload=carry_payload,
+            )
     skip = _parse_skip(skip_strategy)
     # any non-greedy strategy implies Flink's non-greedy loop default
     greedy_loops = skip is None or skip[0] == "greedy"

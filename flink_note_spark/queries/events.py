@@ -386,6 +386,102 @@ ORDER BY user_id, start_ts
 """
 
 
+def q153_cep_group_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Flink GROUP pattern (r11): ``Pattern.begin(view next click)
+    .times(2)`` — the whole sub-pattern repeated as a block under
+    strict contiguity. Exact counts FLATTEN to the 4-step adjacent
+    chain, so the oracle's independent lead-chain replay pins both the
+    expansion and the engine. One lead() window pass, one shuffle."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    g = [{
+        "group": [
+            {"type": "view"}, {"type": "click", "mode": "strict"},
+        ],
+        "times": 2, "mode": "strict",
+    }]
+    return (
+        match_pattern(
+            e, g, within="7 days", contiguity="strict",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("v1"), F.col("ts_2").alias("c1"),
+            F.col("ts_3").alias("v2"), F.col("ts_4").alias("c2"),
+        )
+        .orderBy("user_id", "v1")
+    )
+
+
+_Q153_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type,1) OVER w AS t1, lead(event_type,2) OVER w AS t2,
+         lead(event_type,3) OVER w AS t3,
+         lead(ts,1) OVER w AS ts1, lead(ts,2) OVER w AS ts2,
+         lead(ts,3) OVER w AS ts3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS v1, ts1 AS c1, ts2 AS v2, ts3 AS c2
+FROM e
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'view' AND t3 = 'click'
+  AND ts3 <= ts + INTERVAL 7 DAY
+ORDER BY user_id, v1
+"""
+
+
+def q154_cep_group_range(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGED group pattern (r11): ``(view next click).times(1, 2)`` —
+    block-variant expansion, the union over repetition counts with
+    trailing columns NULL on the 1-copy rows (the step-level variant
+    convention). Oracle: an independent UNION ALL of the 2-step and
+    4-step lead chains."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    g = [{
+        "group": [
+            {"type": "view"}, {"type": "click", "mode": "strict"},
+        ],
+        "times": 1, "times_max": 2, "mode": "strict",
+    }]
+    return (
+        match_pattern(
+            e, g, within="7 days", contiguity="strict",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("v1"), F.col("ts_2").alias("c1"),
+            F.col("ts_3").alias("v2"), F.col("ts_4").alias("c2"),
+        )
+        .orderBy("user_id", "v1", "v2")
+    )
+
+
+_Q154_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type,1) OVER w AS t1, lead(event_type,2) OVER w AS t2,
+         lead(event_type,3) OVER w AS t3,
+         lead(ts,1) OVER w AS ts1, lead(ts,2) OVER w AS ts2,
+         lead(ts,3) OVER w AS ts3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, ts AS v1, ts1 AS c1,
+       CAST(NULL AS TIMESTAMP) AS v2, CAST(NULL AS TIMESTAMP) AS c2
+FROM e
+WHERE event_type = 'view' AND t1 = 'click'
+  AND ts1 <= ts + INTERVAL 7 DAY
+UNION ALL
+SELECT user_id, ts AS v1, ts1 AS c1, ts2 AS v2, ts3 AS c2
+FROM e
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'view' AND t3 = 'click'
+  AND ts3 <= ts + INTERVAL 7 DAY
+ORDER BY user_id, v1, v2
+"""
+
+
 def q86_cep_times(spark: SparkSession, sf: str) -> DataFrame:
     """CEP exact-``times(n)`` quantifier (Flink ``Pattern.begin("view")
     .next("click").times(2).next("purchase").within(...)``, strict/
@@ -2084,6 +2180,8 @@ QUERIES = {
     "q28_event_funnel": q28_event_funnel,
     "q68_event_pattern": q68_event_pattern,
     "q69_event_pattern_relaxed": q69_event_pattern_relaxed,
+    "q153_cep_group_exact": q153_cep_group_exact,
+    "q154_cep_group_range": q154_cep_group_range,
     "q86_cep_times": q86_cep_times,
     "q87_cep_negation": q87_cep_negation,
     "q88_cep_one_or_more": q88_cep_one_or_more,
@@ -2154,6 +2252,8 @@ ORACLES = {
     "q115_window_top_n": _Q115_SQL,
     "q116_window_dedup": _Q116_SQL,
     "q123_cep_relaxed_payload": _Q123_SQL,
+    "q153_cep_group_exact": _Q153_SQL,
+    "q154_cep_group_range": _Q154_SQL,
     "q127_mr_aggregate_measures": _Q127_SQL,
     "q128_mr_prev_navigation": _Q128_SQL,
     "q129_mr_all_rows_per_match": _Q129_SQL,

@@ -716,7 +716,12 @@ def match_pattern_replay_stream(
     has decided, at the documented cost of up to one extra ``within``
     of latency (the native engine's pend rule).
     """
-    from flink_note_spark.operators.cep import _normalize, _out_cols, _parse_skip
+    from flink_note_spark.operators.cep import (
+        _expand_group_variants,
+        _normalize,
+        _out_cols,
+        _parse_skip,
+    )
 
     if within is None:
         raise ValueError(
@@ -725,7 +730,21 @@ def match_pattern_replay_stream(
         )
     skip = _parse_skip(skip_strategy)
     pruning = skip is not None and skip[0] not in ("no_skip", "skip_to_next", "greedy")
-    steps = _normalize(pattern)
+    grp = _expand_group_variants(pattern)
+    if grp is not None:
+        variants, _pm, template = grp
+        if pruning and len(variants) > 1:
+            raise ValueError(
+                "skip strategies over RANGED/optional group patterns "
+                "are unsupported (the batch operator refuses them too "
+                "— the pruning chain needs one positional geometry)"
+            )
+        # finality/terminality read off the max-count template; each
+        # union row is final at its OWN last bound event (rows never
+        # extend — longer counts are separate rows)
+        steps = template
+    else:
+        steps = _normalize(pattern)
     last = [s for s in steps if not s.negate][-1]
     # a trailing NEGATED step (notFollowedBy) is also horizon-open: the
     # match asserts ABSENCE in (last_pos, anchor + within], which only

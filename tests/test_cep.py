@@ -3161,3 +3161,177 @@ def test_variant_carry_strict_zero_or_more(spark):
         ["ts_2", "ts_2_last", "ts_3"],
         contiguity="strict", tiebreak=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUP patterns (r11 — Flink Pattern.begin(subPattern).times(n)/(n,m))
+
+
+def test_group_exact_flattens_to_plain_pattern(spark):
+    """(A next B).times(2) under strict attachment == the flat 4-step
+    pattern — pure flattening, identical engine, identical output."""
+    rows = [
+        (1, 0, "A", 1), (1, 1, "B", 2), (1, 2, "A", 3), (1, 3, "B", 4),
+        (2, 0, "A", 5), (2, 1, "B", 6), (2, 2, "C", 7),
+        (9, 10**6, "Z", 99),
+    ]
+    df = _mk(spark, rows)
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "times": 2, "mode": "strict",
+    }]
+    got = match_pattern(
+        df, g, contiguity="strict", within="1 hour", tiebreak=["event_id"]
+    )
+    want = match_pattern(
+        df, ["A", "B", "A", "B"], contiguity="strict", within="1 hour",
+        tiebreak=["event_id"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 1  # only key 1 completes both copies
+
+
+def test_group_builder_and_inter_copy_mode(spark):
+    """Builder verbs: begin_group/followed_by_group; the group's mode
+    is the inter-iteration contiguity — relaxed attachment lets a
+    stranger sit between copies, strict does not."""
+    from flink_note_spark.operators.cep import Pattern
+
+    rows = [
+        (1, 0, "A", 1), (1, 1, "B", 2), (1, 2, "X", 3),
+        (1, 3, "A", 4), (1, 4, "B", 5),
+        (9, 10**6, "Z", 99),
+    ]
+    df = _mk(spark, rows)
+    sub = Pattern.begin("A").next("B")
+    relaxed = Pattern.begin_group(sub).times(2)
+    # relaxed re-attachment: {"mode": "relaxed"} on the group
+    g_rel = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "times": 2, "mode": "relaxed",
+    }]
+    out_rel = match_pattern(df, g_rel, within="1 hour", tiebreak=["event_id"])
+    assert out_rel.count() == 1  # X between copies tolerated
+    g_str = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "times": 2, "mode": "strict",
+    }]
+    out_str = match_pattern(df, g_str, within="1 hour", tiebreak=["event_id"])
+    assert out_str.count() == 0  # X breaks strict inter-copy adjacency
+    # builder exact == dict exact (builder default inter-copy mode is
+    # the sub's own first-step mode; pin the strict-attached variant)
+    b = Pattern.begin_group(
+        Pattern.begin("A").next("B")
+    ).times(2)
+    out_b = match_pattern(
+        df, b, contiguity="strict", within="1 hour", tiebreak=["event_id"]
+    )
+    assert out_b.count() == 0  # strict default: X breaks it too
+
+
+def test_group_range_is_union_of_counts(spark):
+    """(A B){1,2}: the output is the union over repetition counts,
+    aligned to the max geometry with trailing NULLs — differentially
+    against manually-run variants."""
+    rows = [
+        (1, 0, "A", 1), (1, 1, "B", 2), (1, 2, "A", 3), (1, 3, "B", 4),
+        (2, 0, "A", 5), (2, 1, "B", 6),
+        (9, 10**6, "Z", 99),
+    ]
+    df = _mk(spark, rows)
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "times": 1, "times_max": 2, "mode": "strict",
+    }]
+    got = match_pattern(
+        df, g, contiguity="strict", within="1 hour", tiebreak=["event_id"]
+    )
+    one = match_pattern(
+        df, ["A", "B"], contiguity="strict", within="1 hour",
+        tiebreak=["event_id"],
+    ).select(
+        "user_id", "ts_1", "ts_2",
+        F.lit(None).cast("timestamp").alias("ts_3"),
+        F.lit(None).cast("timestamp").alias("ts_4"),
+    )
+    two = match_pattern(
+        df, ["A", "B", "A", "B"], contiguity="strict", within="1 hour",
+        tiebreak=["event_id"],
+    )
+    want = one.unionByName(two)
+    key = lambda t: tuple(  # noqa: E731
+        (v is None, 0 if v is None else v) for v in t
+    )
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, want.collect()), key=key
+    )
+    assert got.columns == ["user_id", "ts_1", "ts_2", "ts_3", "ts_4"]
+
+
+def test_group_optional_and_post_group_alignment(spark):
+    """A (B){0,1} C: post-group steps pin to the TAIL of the global
+    geometry — the B-absent variant leaves ts_2 NULL and lands C at
+    ts_3 in both variants."""
+    rows = [
+        (1, 0, "A", 1), (1, 1, "B", 2), (1, 2, "C", 3),
+        (2, 0, "A", 4), (2, 1, "C", 5),
+        (9, 10**6, "Z", 99),
+    ]
+    df = _mk(spark, rows)
+    pat = [
+        "A",
+        {"group": ["B"], "optional": True, "mode": "relaxed"},
+        {"type": "C", "mode": "relaxed"},
+    ]
+    got = match_pattern(df, pat, within="1 hour", tiebreak=["event_id"])
+    assert got.columns == ["user_id", "ts_1", "ts_2", "ts_3"]
+    rows_out = {
+        (r.user_id, r.ts_2 is None, r.ts_3 is not None)
+        for r in got.collect()
+    }
+    # key 1: both the with-B and without-B bindings; key 2: without-B
+    assert (1, False, True) in rows_out
+    assert (1, True, True) in rows_out
+    assert (2, True, True) in rows_out
+
+
+def test_group_refusals(spark):
+    from flink_note_spark.operators.cep import Pattern
+
+    df = _mk(spark, [(1, 0, "A", 1)])
+    with pytest.raises(ValueError, match="one_or_more"):
+        match_pattern(
+            df, [{"group": ["A", "B"], "one_or_more": True}],
+            contiguity="relaxed", within="1 hour",
+        )
+    with pytest.raises(ValueError, match="skip strategies over RANGED"):
+        match_pattern(
+            df, [{"group": ["A"], "times": 1, "times_max": 2}],
+            contiguity="relaxed", within="1 hour",
+            skip_strategy="skip_past_last_event",
+        )
+    with pytest.raises(ValueError, match="carry_payload over RANGED"):
+        match_pattern(
+            df, [{"group": ["A"], "times": 1, "times_max": 2}],
+            contiguity="relaxed", within="1 hour",
+            carry_payload={"ts_1": ["event_id"]},
+        )
+    with pytest.raises(ValueError, match="group"):
+        # the native streaming engines never see groups
+        from flink_note_spark.streaming.ops import match_pattern_stream
+
+        src = spark.readStream.format("rate").load().selectExpr(
+            "value AS user_id", "timestamp AS ts",
+            "'A' AS event_type",
+        )
+        match_pattern_stream(
+            src, [{"group": ["A", "B"], "times": 2}],
+            contiguity="relaxed", within="1 hour",
+        )
+    with pytest.raises(ValueError, match="times range"):
+        match_pattern(
+            df, [{"group": ["A"], "times": 3, "times_max": 2}],
+            contiguity="relaxed", within="1 hour",
+        )

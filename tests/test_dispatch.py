@@ -243,6 +243,29 @@ def test_dispatch_validates_engine_and_checkpoint(spark, tmp_path):
         )
 
 
+def test_routed_group_pattern(spark, tmp_path):
+    """Flink GROUP patterns (r11) never reach the native engines —
+    the dispatcher routes them through replay; ranged groups emit the
+    union-over-counts with trailing NULLs, equal to batch."""
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "times": 1, "times_max": 2, "mode": "strict",
+    }]
+    rows = [
+        (1, _t(0), "A"), (1, _t(1), "B"), (1, _t(2), "A"), (1, _t(3), "B"),
+        (2, _t(0), "A"), (2, _t(1), "B"),
+        _FLUSH,
+    ]
+    routed, got, want = _run_pattern(
+        spark, tmp_path, _SCHEMA, rows,
+        [rows[:2] + rows[4:6], rows[2:4], rows[6:]],
+        g, contiguity="strict", within="10 minutes",
+    )
+    assert routed == "replay"
+    assert _rows_of(got) == _rows_of(want) and got.count() > 0
+    assert any(r[3] is None for r in _rows_of(got))  # 1-copy rows
+
+
 def test_routed_timeouts_where_condition(spark, tmp_path):
     """Timeout extraction with a where() condition is batch-only on the
     native engine (per-type slot projection) — routes to replay; a
