@@ -3907,6 +3907,7 @@ def match_pattern_stream(
     """
     from flink_note_spark.operators.cep import (
         Pattern,
+        _expand_group_variants,
         _expand_simple_steps,
         _normalize,
         _out_cols,
@@ -3922,6 +3923,21 @@ def match_pattern_stream(
             within = pattern.within_
         if skip_strategy is None:
             skip_strategy = pattern.skip_
+    grp = _expand_group_variants(pattern)
+    if grp is not None:
+        variants, posmaps, _template = grp
+        if len(variants) == 1 and posmaps[0] == list(
+            range(1, len(posmaps[0]) + 1)
+        ):
+            # exact-count groups FLATTEN (r11) — stream natively
+            pattern = variants[0]
+        else:
+            raise ValueError(
+                "RANGED/optional group patterns are batch-only on the "
+                "native engines (block-variant union) — "
+                "pattern_stream_start(engine='auto') streams them via "
+                "incremental replay"
+            )
     skip = _parse_skip(skip_strategy)
     if skip is not None and skip[0] == "greedy":
         skip = None

@@ -3318,16 +3318,24 @@ def test_group_refusals(spark):
             contiguity="relaxed", within="1 hour",
             carry_payload={"ts_1": ["event_id"]},
         )
-    with pytest.raises(ValueError, match="group"):
-        # the native streaming engines never see groups
-        from flink_note_spark.streaming.ops import match_pattern_stream
+    # EXACT groups stream natively (pure flattening); RANGED groups
+    # refuse toward the auto-router
+    from flink_note_spark.streaming.ops import match_pattern_stream
 
-        src = spark.readStream.format("rate").load().selectExpr(
-            "value AS user_id", "timestamp AS ts",
-            "'A' AS event_type",
-        )
+    src = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "timestamp AS ts",
+        "'A' AS event_type",
+    )
+    out = match_pattern_stream(
+        src, [{"group": ["A", "B"], "times": 2}],
+        contiguity="relaxed", within="1 hour",
+    )
+    assert [c for c in out.columns if c.startswith("ts_")] == [
+        "ts_1", "ts_2", "ts_3", "ts_4"
+    ]
+    with pytest.raises(ValueError, match="RANGED"):
         match_pattern_stream(
-            src, [{"group": ["A", "B"], "times": 2}],
+            src, [{"group": ["A", "B"], "times": 1, "times_max": 2}],
             contiguity="relaxed", within="1 hour",
         )
     with pytest.raises(ValueError, match="times range"):

@@ -243,6 +243,28 @@ def test_dispatch_validates_engine_and_checkpoint(spark, tmp_path):
         )
 
 
+def test_group_exact_native_fast_path(spark, tmp_path):
+    """EXACT-count groups flatten, so they stream NATIVELY through the
+    dispatcher — no replay latency — and equal batch."""
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "times": 2, "mode": "strict",
+    }]
+    rows = [
+        (1, _t(0), "A"), (1, _t(1), "B"), (1, _t(2), "A"), (1, _t(3), "B"),
+        (2, _t(0), "A"), (2, _t(1), "B"),
+        _FLUSH,
+    ]
+    routed, got, want = _run_pattern(
+        spark, tmp_path, _SCHEMA, rows,
+        [rows[:2] + rows[4:6], rows[2:4], rows[6:]],
+        g, contiguity="strict", within="10 minutes",
+    )
+    assert routed == "native"
+    assert got.schema == want.schema
+    assert _rows_of(got) == _rows_of(want) and got.count() == 1
+
+
 def test_routed_group_pattern(spark, tmp_path):
     """Flink GROUP patterns (r11) never reach the native engines —
     the dispatcher routes them through replay; ranged groups emit the
