@@ -75,6 +75,7 @@ __all__ = [
     "retract_stream_start",
     "compact_replay_log",
     "compact_retract_state",
+    "retract_state_read",
     "finality_last_event",
     "finality_anchor_within",
     "finality_measure",
@@ -1086,4 +1087,41 @@ def compact_retract_state(spark: SparkSession, log_path: str) -> dict:
                 if not any(x.startswith("bucket=") for x in os.listdir(p)):
                     shutil.rmtree(p, ignore_errors=True)
                     out["epoch_dirs_removed"] += 1
+    return out
+
+
+def retract_state_read(spark: SparkSession, log_path: str) -> DataFrame:
+    """Materialize a retract stream's CURRENT state offline — Flink's
+    State Processor API use-case (reading operator state out of a
+    savepoint) made trivial by the epoch-log design: state is already
+    columnar parquet, so the read is just the per-bucket resolution
+    the running stream itself uses (latest recorded epoch per bucket,
+    missing dirs = bucket emptied by deletes). Works while the stream
+    runs (epochs are immutable; at worst you see the previous epoch's
+    snapshot of a bucket mid-write) and after it stops."""
+    try:
+        meta = spark.read.parquet(f"{log_path}/state_meta")
+    except Exception:
+        raise ValueError(
+            f"no retract state under {log_path!r} (state_meta missing — "
+            "not a retract_stream_start log, or no epoch completed yet)"
+        ) from None
+    rows = (
+        meta.groupBy("bucket").agg(F.max("epoch").alias("e")).collect()
+    )
+    parts = []
+    for r in rows:
+        try:
+            parts.append(
+                spark.read.parquet(
+                    f"{log_path}/state/epoch={int(r.e)}/bucket={int(r.bucket)}"
+                )
+            )
+        except Exception:
+            pass  # bucket emptied by deletes in its latest epoch
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

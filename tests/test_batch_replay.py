@@ -523,6 +523,15 @@ def test_retract_delete_tombstones_full_alphabet(spark, tmp_path):
     ).drop("epoch")
     got = {tuple(r) for r in mat.collect()}
     assert got == {("A", 3, 11), ("B", 2, 3)}
+    # offline state read (Flink State Processor API analogue): the
+    # bucketed snapshots resolve to the same live table — deleted keys
+    # absent, re-inserts present
+    from flink_note_spark.streaming.replay import retract_state_read
+
+    state = retract_state_read(spark, log)
+    assert {tuple(r) for r in state.collect()} == got
+    with pytest.raises(ValueError, match="state_meta"):
+        retract_state_read(spark, str(tmp_path / "nonexistent"))
 
 
 def test_compact_retract_state_drops_shadowed_buckets(spark, tmp_path):
