@@ -178,6 +178,29 @@ def time_bucket_s(ts: str | Column, width: str | int, name: str | None = None) -
     return out.alias(name) if name else out
 
 
+def _bucket_col(
+    ts: str | Column, mode: str, w: int, origin: "str | int | None"
+) -> Column:
+    """Bucket value in the width family's ARITHMETIC domain —
+    origin-shifted epoch seconds for fixed widths, origin-shifted month
+    indices for calendar widths. Consecutive buckets differ by exactly
+    ``w`` in this domain, which is what makes every spine/fold formula
+    origin-invariant."""
+    if mode == "s":
+        if origin is None:
+            return time_bucket_s(ts, w)
+        o_s, _ = _origin_parts(origin)
+        col = F.col(ts) if isinstance(ts, str) else ts
+        us = F.unix_micros(col.cast("timestamp")) - F.lit(o_s * 1_000_000)
+        return (F.floor(us / F.lit(float(w) * 1e6)) * w + o_s).cast("long")
+    if origin is None:
+        return time_bucket_months(ts, w)
+    _, o_m = _origin_parts(origin)
+    col = (F.col(ts) if isinstance(ts, str) else ts).cast("timestamp")
+    m = (F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1
+    return (F.floor((m - F.lit(o_m)) / F.lit(w)) * w + o_m).cast("long")
+
+
 def time_bucket(
     ts: str | Column,
     width: str | int,
@@ -198,25 +221,12 @@ def time_bucket(
     origin shifts the month-index alignment (e.g. fiscal quarters
     starting in February: ``"1 quarter", origin="1970-02-01"``).
     ``origin`` is an ISO timestamp string or epoch seconds, read as
-    UTC."""
+    UTC. :func:`gapfill` and the rollup family accept the same
+    ``origin``."""
     mode, w = _parse_width(width)
-    if mode == "s":
-        if origin is None:
-            return time_bucket_s(ts, w, name)
-        o_s, _ = _origin_parts(origin)
-        col = F.col(ts) if isinstance(ts, str) else ts
-        us = F.unix_micros(col.cast("timestamp")) - F.lit(o_s * 1_000_000)
-        out = (F.floor(us / F.lit(float(w) * 1e6)) * w + o_s).cast("long")
-        return out.alias(name) if name else out
-    if origin is None:
-        out = _month_index_start_s(time_bucket_months(ts, w))
-        return out.alias(name) if name else out
-    _, o_m = _origin_parts(origin)
-    col = F.col(ts) if isinstance(ts, str) else ts
-    col = col.cast("timestamp")
-    m = (F.year(col) - F.lit(1970)) * 12 + F.month(col) - 1
-    idx = (F.floor((m - F.lit(o_m)) / F.lit(w)) * w + o_m).cast("long")
-    out = _month_index_start_s(idx)
+    out = _bucket_col(ts, mode, w, origin)
+    if mode == "mo":
+        out = _month_index_start_s(out)
     return out.alias(name) if name else out
 
 
@@ -240,6 +250,7 @@ def gapfill(
     fills: dict[str, Any] | None = None,
     bounds: tuple[Any, Any] | None = None,
     gap_flag: str | None = "is_gap",
+    origin: "str | int | None" = None,
 ) -> DataFrame:
     """Bucket ``df`` into fixed ``width`` windows per ``keys`` and emit a
     DENSE per-key series: every bucket between the key's first and last
@@ -287,10 +298,11 @@ def gapfill(
     if not keys:
         raise ValueError("gapfill requires at least one key column")
 
-    if mode == "s":
-        bucket = time_bucket_s(ts, w, "bucket_s")
-    else:  # month-index domain: spine arithmetic is index arithmetic
-        bucket = time_bucket_months(ts, w, "bucket_s")
+    # the arithmetic-domain bucket (origin-shifted seconds / month
+    # indices) — consecutive buckets differ by exactly w, so the whole
+    # spine (runs, steps, linear fractions) is origin- and
+    # grain-invariant
+    bucket = _bucket_col(ts, mode, w, origin).alias("bucket_s")
     b = df.groupBy(*keys, bucket).agg(*[c.alias(n) for n, c in aggs.items()])
     dtypes = {f.name: f.dataType for f in b.schema.fields}
 
@@ -310,12 +322,8 @@ def gapfill(
     start_off = F.lit(0).cast("long")
     end_steps = steps
     if bounds is not None:
-        if mode == "s":
-            g0b = time_bucket_s(F.lit(bounds[0]), w)
-            g1b = time_bucket_s(F.lit(bounds[1]), w)
-        else:
-            g0b = time_bucket_months(F.lit(bounds[0]), w)
-            g1b = time_bucket_months(F.lit(bounds[1]), w)
+        g0b = _bucket_col(F.lit(bounds[0]), mode, w, origin)
+        g1b = _bucket_col(F.lit(bounds[1]), mode, w, origin)
         # head pad on each key's first row; tail pad on its last
         start_off = F.when(
             is_first & (g0b < F.col("bucket_s")),
@@ -438,6 +446,7 @@ def rollup_partials(
     width: str | int,
     measures: dict[str, tuple],
     tiebreak: str | None = None,
+    origin: "str | int | None" = None,
 ) -> DataFrame:
     """Aggregate raw rows into PARTIAL state at the finest resolution —
     the base table of a continuous-aggregate cascade. ``measures`` maps
@@ -479,7 +488,7 @@ def rollup_partials(
             aggs.append(fold.alias(f"{name}__ord"))
         else:  # approx_distinct
             aggs.append(F.hll_sketch_agg(col).alias(f"{name}__hll"))
-    out = df.groupBy(*keys, time_bucket(ts, width, "bucket_s")).agg(*aggs)
+    out = df.groupBy(*keys, time_bucket(ts, width, "bucket_s", origin)).agg(*aggs)
     return out
 
 
@@ -511,6 +520,7 @@ def rollup_up(
     keys: list[str],
     width: str | int,
     measures: dict[str, tuple],
+    origin: "str | int | None" = None,
 ) -> DataFrame:
     """Fold a partial table to a COARSER resolution (must be a multiple
     of the finer width — enforced structurally: every fine bucket must
@@ -530,9 +540,15 @@ def rollup_up(
     if mode == "s":
         # floor, not truncating cast: pre-epoch buckets are negative,
         # and truncation would disagree with time_bucket_s there
-        coarse = (
-            (F.floor(F.col("bucket_s") / w) * w).cast("long").alias("bucket_s")
-        )
+        b = F.col("bucket_s")
+        if origin is not None:
+            o_s, _ = _origin_parts(origin)
+            coarse = (
+                (F.floor((b - o_s) / w) * w + o_s)
+                .cast("long").alias("bucket_s")
+            )
+        else:
+            coarse = (F.floor(b / w) * w).cast("long").alias("bucket_s")
     else:
         # fine bucket start (epoch s) -> date -> aligned month index ->
         # month-start epoch s; date arithmetic only, timezone-free
@@ -540,7 +556,7 @@ def rollup_up(
             F.lit(_EPOCH_DATE).cast("date"),
             F.floor(F.col("bucket_s") / 86400).cast("int"),
         )
-        coarse = _month_index_start_s(time_bucket_months(d, w)).alias(
+        coarse = _month_index_start_s(_bucket_col(d, "mo", w, origin)).alias(
             "bucket_s"
         )
     return partials.groupBy(*keys, coarse).agg(*_refold(spec))

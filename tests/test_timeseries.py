@@ -244,6 +244,46 @@ def test_time_bucket_origin_alignment(spark):
     assert got.w2 == mon_jan8
 
 
+def test_gapfill_and_rollup_origin_weeks(spark):
+    """origin flows through gapfill and the rollup cascade: Monday-
+    anchored weekly buckets, spine arithmetic unchanged (one bucket per
+    week between first and last), and day->week folding respects the
+    anchor."""
+    from flink_note_spark.operators.timeseries import time_bucket
+
+    rows = [
+        ("a", "2024-01-10T12:00:00", 1),   # Wed, week of Mon Jan 8
+        ("a", "2024-01-24T12:00:00", 3),   # Wed, week of Mon Jan 22
+    ]
+    df = _mk(spark, rows)
+    out = (
+        gapfill(
+            df, ["k"], "ts", "1 week", {"s": F.sum("v")},
+            fills={"s": "linear"}, origin="2024-01-01",
+        )
+        .orderBy("bucket_s")
+        .collect()
+    )
+    mons = [1704672000, 1705276800, 1705881600]  # Jan 8, 15, 22
+    assert [r.bucket_s for r in out] == mons
+    assert [r.s for r in out] == [1.0, 2.0, 3.0]
+    meas = {"n": ("*", "count"), "s": ("v", "sum")}
+    day = rollup_partials(df, ["k"], "ts", "1 day", meas)
+    wk = rollup_up(day, ["k"], "1 week", meas, origin="2024-01-01")
+    direct = rollup_partials(
+        df, ["k"], "ts", "1 week", meas, origin="2024-01-01"
+    )
+    assert {tuple(r) for r in rollup_finalize(wk, ["k"], meas).collect()} == {
+        tuple(r) for r in rollup_finalize(direct, ["k"], meas).collect()
+    }
+    assert {r.bucket_s for r in wk.collect()} == {mons[0], mons[2]}
+    # month fold honors a month origin too (Feb-anchored)
+    moq = rollup_up(day, ["k"], "1 quarter", meas, origin="1970-02-01")
+    assert {r.bucket_s for r in moq.collect()} == {
+        spark.sql("SELECT unix_date(DATE'2023-11-01')*86400").first()[0]
+    }
+
+
 def test_gapfill_month_grain_linear_across_variable_widths(spark):
     """Month buckets have different second-widths; the spine runs on
     month INDICES so a Jan->Apr gap is exactly 2 steps and the linear

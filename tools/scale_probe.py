@@ -313,6 +313,24 @@ def main() -> None:
         )
         return decontaminate(d, bench_docs, n=5).select("doc_id")
 
+    def cep_group_probe(ev):
+        """r11 group-pattern shape: (view next click){1,2} strict — the
+        block-variant UNION (2- and 4-step lead chains realigned); cost
+        should track the sum of the per-variant engines, each a single
+        lead() window pass, so the ratio mirrors cep_strict."""
+        from flink_note_spark.operators.cep import match_pattern
+
+        return match_pattern(
+            ev,
+            [{
+                "group": [
+                    {"type": "view"}, {"type": "click", "mode": "strict"},
+                ],
+                "times": 1, "times_max": 2, "mode": "strict",
+            }],
+            within="7 days", contiguity="strict", tiebreak=["event_id"],
+        )
+
     def cep_probe(ev):
         """q68-shape strict-contiguity CEP over the events stream: one
         lead() window pass per key."""
@@ -803,6 +821,7 @@ def main() -> None:
         bench(f"sdecon_{tag}", lambda e=e: noop(sdecon_probe(e)), t)
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
+        bench(f"cep_group_{tag}", lambda e=evdf: noop(cep_group_probe(e)), t)
         bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
         bench(f"cep_mixed_{tag}", lambda e=evdf: noop(cep_mixed_probe(e)), t)
         bench(f"cep_noskip_{tag}", lambda e=evdf: noop(cep_noskip_probe(e)), t)
@@ -830,7 +849,7 @@ def main() -> None:
             "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
             "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
-            "cep_noskip", "temporal",
+            "cep_noskip", "cep_group", "temporal",
             "match_recognize", "window_topn", "dup_span",
             "route", "tfidf", "corpus_full",
             "upsert", "zorder", "remove_spans",
