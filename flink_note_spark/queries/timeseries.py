@@ -496,11 +496,70 @@ LEFT JOIN b ON s.o_orderpriority = b.o_orderpriority AND s.m = b.m
 """
 
 
+def q155_week_origin_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """ORIGIN-anchored buckets (r11, TimescaleDB `time_bucket(...,
+    origin =>)`): Monday-starting weekly gapfill over sparse high-value
+    orders — epoch alignment would start weeks on Thursday. The oracle
+    uses DuckDB's OWN three-argument `time_bucket` (a genuinely
+    independent origin implementation) + a 7-day generate_series
+    spine, so the hash pins the origin arithmetic end-to-end."""
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 470000)
+        .withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        )
+    )
+    return gapfill(
+        o,
+        keys=["o_orderpriority"],
+        ts="o_orderdate",
+        width="1 week",
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("cents")},
+        fills={"n": "zero", "s": "locf"},
+        origin="1995-01-02",  # a Monday
+    )
+
+
+_Q155_SQL = """
+WITH f AS (
+  SELECT o_orderpriority,
+         time_bucket(INTERVAL '7 days', o_orderdate,
+                     TIMESTAMP '1995-01-02 00:00:00') AS w,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 470000
+), b AS (
+  SELECT o_orderpriority, w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM f GROUP BY 1, 2
+), bounds AS (
+  SELECT o_orderpriority, min(w) AS mn, max(w) AS mx FROM b GROUP BY 1
+), spine AS (
+  SELECT o_orderpriority,
+         unnest(generate_series(mn, mx, INTERVAL 7 DAY)) AS w
+  FROM bounds
+)
+SELECT sp.o_orderpriority,
+       CAST(epoch(sp.w) AS BIGINT) AS bucket_s,
+       coalesce(b.n, 0) AS n,
+       (last_value(CASE WHEN b.w IS NOT NULL
+                        THEN struct_pack(v := b.s) END
+                   IGNORE NULLS) OVER (
+          PARTITION BY sp.o_orderpriority ORDER BY sp.w
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS s,
+       CASE WHEN b.w IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine sp
+LEFT JOIN b ON sp.o_orderpriority = b.o_orderpriority AND sp.w = b.w
+"""
+
+
 QUERIES = {
     "q144_gapfill_locf": q144_gapfill_locf,
     "q145_gapfill_linear": q145_gapfill_linear,
     "q151_month_rollup": q151_month_rollup,
     "q152_month_gapfill": q152_month_gapfill,
+    "q155_week_origin_gapfill": q155_week_origin_gapfill,
     "q146_rollup_cascade": q146_rollup_cascade,
     "q147_sweepline_concurrency": q147_sweepline_concurrency,
     "q148_retention_cohorts": q148_retention_cohorts,
@@ -513,6 +572,7 @@ ORACLES = {
     "q145_gapfill_linear": _Q145_SQL,
     "q151_month_rollup": _Q151_SQL,
     "q152_month_gapfill": _Q152_SQL,
+    "q155_week_origin_gapfill": _Q155_SQL,
     "q146_rollup_cascade": _Q146_SQL,
     "q147_sweepline_concurrency": _Q147_SQL,
     "q148_retention_cohorts": _Q148_SQL,
