@@ -718,12 +718,22 @@ def match_pattern_replay_stream(
     of latency (the native engine's pend rule).
     """
     from flink_note_spark.operators.cep import (
+        Pattern,
         _expand_group_variants,
         _normalize,
         _out_cols,
         _parse_skip,
     )
 
+    if isinstance(pattern, Pattern):
+        # builder fields are defaults, explicit arguments win — the
+        # match_pattern / match_pattern_stream resolution rule
+        if contiguity is None and pattern.contiguity is not None:
+            contiguity = pattern.contiguity
+        if within is None:
+            within = pattern.within_
+        if skip_strategy is None:
+            skip_strategy = pattern.skip_
     if within is None:
         raise ValueError(
             "match_pattern_replay_stream requires within= — it bounds "

@@ -205,12 +205,23 @@ def test_match_pattern_replay_wrapper_equals_batch(spark, tmp_path):
 
 
 def test_match_pattern_replay_validation(spark, tmp_path):
+    from flink_note_spark.operators.cep import Pattern
     from flink_note_spark.streaming.replay import match_pattern_replay_stream
 
     (tmp_path / "s").mkdir()
     stream = spark.readStream.schema(_SCHEMA).parquet(str(tmp_path / "s"))
     with pytest.raises(ValueError, match="within"):
         match_pattern_replay_stream(stream, _TERMINAL_LOOP, str(tmp_path / "l"))
+    # a Pattern builder's own within()/skip() resolve like the native
+    # engine's — this must NOT raise the within error (it fails later
+    # on the missing checkpoint instead, proving within was taken)
+    p = (
+        Pattern.begin("A").next("B").one_or_more().within("10 minutes")
+    )
+    with pytest.raises(ValueError, match="checkpoint"):
+        match_pattern_replay_stream(
+            stream, p, str(tmp_path / "l"), contiguity="strict"
+        )
     with pytest.raises(ValueError, match="step index"):
         match_pattern_replay_stream(
             stream, ["A", "B"], str(tmp_path / "l"),
