@@ -913,6 +913,48 @@ def test_gapfill_series_is_dense_and_locf_sound(spark, rows):
         )
 
 
+@given(rows=_ts_rows)
+@settings(**_SETTINGS)
+def test_gapfill_month_grain_dense_and_conserving(spark, rows):
+    """Calendar-grain invariant (r11): for ANY input, spreading the
+    second-offsets across DAYS makes months span a wide range — the
+    month-grain output is a dense month-index sequence per key (every
+    consecutive pair of bucket starts differs by exactly one calendar
+    month) and zero-filled counts conserve input rows."""
+    import datetime as _dt
+
+    from flink_note_spark.operators.timeseries import gapfill
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (f"k{k}", base + _dt.timedelta(days=s // 10), float(v))
+            for (k, s, v) in rows
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = gapfill(
+        df, ["k"], "ts", "1 month",
+        aggs={"n": F.count(F.lit(1))}, fills={"n": "zero"},
+    ).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r.k, []).append(r)
+    for k, rs in per_key.items():
+        rs.sort(key=lambda r: r.bucket_s)
+        starts = [
+            _dt.datetime.fromtimestamp(r.bucket_s, _dt.timezone.utc)
+            for r in rs
+        ]
+        for a in starts:
+            assert a.day == 1 and a.hour == 0  # month starts only
+        for a, b in zip(starts, starts[1:]):
+            assert (b.year * 12 + b.month) - (a.year * 12 + a.month) == 1
+        assert sum(r.n for r in rs) == sum(
+            1 for (kk, _, _) in rows if f"k{kk}" == k
+        )
+
+
 @given(rows=_ts_rows, nb=st.integers(min_value=1, max_value=5))
 @settings(**_SETTINGS)
 def test_interval_concurrency_matches_bruteforce(spark, rows, nb):
