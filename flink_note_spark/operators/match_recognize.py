@@ -1457,3 +1457,238 @@ def match_recognize_stream(
     if not measures:
         return matches
     return matches.select(F.col(partition_by), *exprs)
+
+
+# ---------------------------------------------------------------------------
+# SQL-string surface (r12 — VERDICT r11 next-round #2): Flink users write
+# MATCH_RECOGNIZE as a SQL clause, not a Python call. Spark's parser has no
+# row-pattern grammar, so the TableEnvironment routes the clause here: the
+# body is parsed into :func:`match_recognize` kwargs, the operator runs, and
+# the result replaces the clause as a temp view so the OUTER query (any
+# projection / WHERE / ORDER BY around it) still runs through Catalyst.
+# Unsupported clauses refuse with the operator's own messages (refusal
+# parity) — nothing silently no-ops.
+# ---------------------------------------------------------------------------
+
+#: the clause keywords, in the standard's order; matched at TOP level only
+#: (the masking scan blanks parenthesized and quoted regions first, so a
+#: MEASURES spec like COUNT(DOWN.*) or a DEFINE's IN (1,2) cannot shadow
+#: a clause boundary).
+_MR_CLAUSE_RE = re.compile(
+    r"\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|ONE\s+ROW\s+PER\s+MATCH|"
+    r"ALL\s+ROWS\s+PER\s+MATCH|AFTER\s+MATCH|PATTERN|WITHIN|SUBSET|"
+    r"DEFINE)\b",
+    re.IGNORECASE,
+)
+_MR_INTERVAL_RE = re.compile(
+    r"^INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>YEAR|MONTH|WEEK|DAY|HOUR|"
+    r"MINUTE|SECOND)S?$",
+    re.IGNORECASE,
+)
+_MR_AS_RE = re.compile(r"\s+AS\s+", re.IGNORECASE)
+
+
+def _mask_nested(s: str) -> str:
+    """Blank everything inside parentheses and single-quoted strings,
+    preserving length (so indices map back to the original). Quoting
+    wins over parens — a paren inside a string literal nests nothing."""
+    out: list[str] = []
+    depth = 0
+    in_q = False
+    for ch in s:
+        if in_q:
+            out.append(" ")
+            if ch == "'":
+                in_q = False
+        elif ch == "'":
+            out.append(" ")
+            in_q = True
+        elif ch == "(":
+            depth += 1
+            out.append("(" if depth == 1 else " ")
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            out.append(")" if depth == 0 else " ")
+        else:
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas OUTSIDE parens/quotes; returns stripped pieces."""
+    masked = _mask_nested(s)
+    parts: list[str] = []
+    start = 0
+    for i, ch in enumerate(masked):
+        if ch == ",":
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
+def parse_match_recognize_sql(body: str) -> dict:
+    """Parse the body of a SQL ``MATCH_RECOGNIZE ( ... )`` clause into
+    :func:`match_recognize` keyword arguments.
+
+    Supported grammar (the standard's clause order; every clause's
+    CONTENT is validated by the operator itself, so the SQL surface
+    refuses exactly where the Python surface does)::
+
+        PARTITION BY key
+        ORDER BY ts [, tiebreak ...]
+        [MEASURES spec AS name [, ...]]
+        [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+        [AFTER MATCH SKIP ...]
+        PATTERN ( STRT DOWN+ UP )
+        [WITHIN INTERVAL 'n' UNIT]
+        [SUBSET U = (A, B) [, ...]]
+        [DEFINE VAR AS cond [, ...]]
+
+    Deviations (each refuses loudly): multi-column PARTITION BY is out
+    of the translated subset (the operator keys one column — pack a
+    struct upstream); ORDER BY directions must be ASC (row-pattern
+    order is event time); WITHIN takes the single-field INTERVAL form.
+    """
+    masked = _mask_nested(body)
+    hits = list(_MR_CLAUSE_RE.finditer(masked))
+    if not hits:
+        raise ValueError(
+            "MATCH_RECOGNIZE body has no recognizable clause — expected "
+            "PARTITION BY / ORDER BY / MEASURES / PATTERN / DEFINE ..."
+        )
+    lead = body[: hits[0].start()].strip()
+    if lead:
+        raise ValueError(
+            f"unsupported text before the first MATCH_RECOGNIZE clause: "
+            f"{lead!r}"
+        )
+    segs: list[tuple[str, str]] = []
+    for i, h in enumerate(hits):
+        end = hits[i + 1].start() if i + 1 < len(hits) else len(body)
+        kw = " ".join(h.group(1).upper().split())
+        segs.append((kw, body[h.end(): end].strip()))
+    seen = [k for k, _ in segs]
+    if len(set(seen)) != len(seen):
+        dup = sorted({k for k in seen if seen.count(k) > 1})
+        raise ValueError(f"duplicate MATCH_RECOGNIZE clause(s): {dup}")
+
+    kwargs: dict = {}
+    for kw, seg in segs:
+        if kw == "PARTITION BY":
+            cols = _split_top_commas(seg)
+            if len(cols) != 1 or not _VAR_RE.match(cols[0]):
+                raise ValueError(
+                    f"PARTITION BY must name exactly one plain column "
+                    f"(got {seg!r}) — multi-column keys are out of the "
+                    "translated subset (pack a struct upstream)"
+                )
+            kwargs["partition_by"] = cols[0]
+        elif kw == "ORDER BY":
+            cols = []
+            for c in _split_top_commas(seg):
+                toks = c.split()
+                if len(toks) == 2 and toks[1].upper() == "ASC":
+                    toks = toks[:1]
+                if len(toks) != 1 or not _VAR_RE.match(toks[0]):
+                    raise ValueError(
+                        f"ORDER BY item {c!r} unsupported — plain "
+                        "ascending columns only (row-pattern order is "
+                        "event time; DESC has no pattern semantics)"
+                    )
+                cols.append(toks[0])
+            if not cols:
+                raise ValueError("ORDER BY names no column")
+            kwargs["order_by"] = cols[0]
+            if len(cols) > 1:
+                kwargs["tiebreak"] = cols[1:]
+        elif kw == "MEASURES":
+            measures: dict[str, str] = {}
+            for item in _split_top_commas(seg):
+                m_as = list(_MR_AS_RE.finditer(_mask_nested(item)))
+                if not m_as:
+                    raise ValueError(
+                        f"measure {item!r} has no AS alias — MEASURES "
+                        "entries are '<spec> AS <name>'"
+                    )
+                last = m_as[-1]
+                name = item[last.end():].strip()
+                spec = item[: last.start()].strip()
+                if not _VAR_RE.match(name):
+                    raise ValueError(
+                        f"measure alias {name!r} is not a plain "
+                        "identifier"
+                    )
+                if name in measures:
+                    raise ValueError(f"duplicate measure alias {name!r}")
+                measures[name] = spec
+            kwargs["measures"] = measures
+        elif kw in ("ONE ROW PER MATCH", "ALL ROWS PER MATCH"):
+            if seg:
+                raise ValueError(
+                    f"unexpected text after {kw}: {seg!r}"
+                )
+            kwargs["rows_per_match"] = kw.lower()
+        elif kw == "AFTER MATCH":
+            if not seg.lower().lstrip().startswith("skip"):
+                raise ValueError(
+                    f"AFTER MATCH must be a SKIP clause, got {seg!r}"
+                )
+            # _parse_after_match takes the full 'skip ...' text and
+            # normalizes case/whitespace itself (refusal parity: its
+            # message lists the supported strategies)
+            kwargs["after_match"] = seg.strip()
+        elif kw == "PATTERN":
+            if not (seg.startswith("(") and seg.endswith(")")):
+                raise ValueError(
+                    f"PATTERN must be parenthesized, got {seg!r}"
+                )
+            kwargs["pattern"] = seg[1:-1].strip()
+        elif kw == "WITHIN":
+            m = _MR_INTERVAL_RE.match(" ".join(seg.split()))
+            if not m:
+                raise ValueError(
+                    f"WITHIN expects INTERVAL '<n>' <UNIT>, got {seg!r}"
+                )
+            kwargs["within"] = f"{m.group('n')} {m.group('unit').lower()}"
+        elif kw == "SUBSET":
+            subset: dict[str, tuple] = {}
+            for item in _split_top_commas(seg):
+                sm = re.match(
+                    r"^([A-Za-z_]\w*)\s*=\s*\(([^)]*)\)$", item.strip()
+                )
+                if not sm:
+                    raise ValueError(
+                        f"SUBSET entry {item!r} unsupported — expected "
+                        "NAME = (VAR, VAR, ...)"
+                    )
+                members = tuple(
+                    v.strip() for v in sm.group(2).split(",") if v.strip()
+                )
+                subset[sm.group(1)] = members
+            kwargs["subset"] = subset
+        elif kw == "DEFINE":
+            define: dict[str, str] = {}
+            for item in _split_top_commas(seg):
+                dm = re.match(
+                    r"^([A-Za-z_]\w*)\s+AS\s+(.+)$", item.strip(),
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not dm:
+                    raise ValueError(
+                        f"DEFINE entry {item!r} unsupported — expected "
+                        "VAR AS <condition>"
+                    )
+                if dm.group(1) in define:
+                    raise ValueError(
+                        f"duplicate DEFINE for {dm.group(1)!r}"
+                    )
+                define[dm.group(1)] = dm.group(2).strip()
+            kwargs["define"] = define
+    for req in ("partition_by", "order_by", "pattern"):
+        if req not in kwargs:
+            raise ValueError(
+                f"MATCH_RECOGNIZE is missing its "
+                f"{req.replace('_', ' ').upper()} clause"
+            )
+    return kwargs

@@ -1576,6 +1576,48 @@ ORDER BY a.user_id, start_ts
 """
 
 
+def q156_match_recognize_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-string ``MATCH_RECOGNIZE`` through the Table facade (r12 —
+    VERDICT r11 #2): the SAME V-shape row-pattern query as q114, but
+    written the way a Flink SQL user writes it — one SQL string handed
+    to ``TableEnvironment.execute_sql`` — exercising the clause parser
+    (``operators/match_recognize.py:parse_match_recognize_sql``), the
+    FROM-segment rewrite (``table.py:_route_match_recognize``), and the
+    outer-query passthrough (the trailing ORDER BY runs in Catalyst
+    over the routed view). Shares q114's oracle: the two surfaces must
+    be value-identical."""
+    from flink_note_spark.table import TableEnvironment
+
+    tenv = TableEnvironment(spark)
+    tenv.create_temporary_view(
+        "__q156_events",
+        _t(spark, sf, "events").select("user_id", "ts", "value", "event_id"),
+    )
+    return tenv.execute_sql(
+        """
+        SELECT * FROM __q156_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            STRT.ts AS start_ts,
+            STRT.value AS start_val,
+            COUNT(DOWN.*) AS n_down,
+            LAST(DOWN.ts) AS bottom_ts,
+            UP.ts AS up_ts,
+            UP.value AS up_val
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (STRT DOWN+ UP)
+          WITHIN INTERVAL '7' DAY
+          DEFINE
+            STRT AS STRT.value >= 100,
+            DOWN AS DOWN.value < 80,
+            UP AS UP.value >= 150
+        ) ORDER BY user_id, start_ts
+        """
+    ).to_data_frame()
+
+
 def q115_window_top_n(spark: SparkSession, sf: str) -> DataFrame:
     """Flink SQL **Window Top-N** (r8): the top-3 events by value per
     (daily tumbling window, event_type) — the windowing-TVF +
@@ -2205,6 +2247,7 @@ QUERIES = {
     "q112_interval_join": q112_interval_join,
     "q113_cep_timeouts": q113_cep_timeouts,
     "q114_match_recognize": q114_match_recognize,
+    "q156_match_recognize_sql": q156_match_recognize_sql,
     "q115_window_top_n": q115_window_top_n,
     "q116_window_dedup": q116_window_dedup,
     "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
@@ -2249,6 +2292,7 @@ ORACLES = {
     "q112_interval_join": _Q112_SQL,
     "q113_cep_timeouts": _Q113_SQL,
     "q114_match_recognize": _Q114_SQL,
+    "q156_match_recognize_sql": _Q114_SQL,
     "q115_window_top_n": _Q115_SQL,
     "q116_window_dedup": _Q116_SQL,
     "q123_cep_relaxed_payload": _Q123_SQL,

@@ -792,6 +792,12 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_MR_KEYWORD_RE = re.compile(r"\bMATCH_RECOGNIZE\b", re.IGNORECASE)
+_MR_FROM_RE = re.compile(
+    r"\bFROM\s+(?P<src>[A-Za-z_]\w*)\s+MATCH_RECOGNIZE\s*\(",
+    re.IGNORECASE,
+)
+
 
 class TableEnvironment:
     """Flink ``TableEnvironment`` over one ``SparkSession`` — catalog
@@ -806,6 +812,88 @@ class TableEnvironment:
         #: connector tables declared via Flink DDL: name →
         #: (fields, watermark, options) — INSERT INTO consults this
         self._connector_tables: dict[str, tuple] = {}
+        #: monotonic suffix for MATCH_RECOGNIZE result views (r12)
+        self._mr_seq = 0
+
+    def _route_match_recognize(self, sql: str) -> "str | None":
+        """Rewrite ``FROM <table> MATCH_RECOGNIZE ( body ) [AS alias]``
+        segments (r12 — VERDICT r11 #2): Spark's parser has no
+        row-pattern grammar, so each clause body is parsed by
+        :func:`~flink_note_spark.operators.match_recognize.
+        parse_match_recognize_sql`, executed through the Python
+        operator (same engine, same refusals), and the segment is
+        replaced by a temp view over the result — the OUTER query
+        (projection, WHERE, ORDER BY, joins against the matches) still
+        runs through Catalyst untouched. Returns the rewritten SQL, or
+        None when the statement has no MATCH_RECOGNIZE.
+
+        Subset: the row-pattern input must be a NAMED table/view (a
+        subquery source refuses — register it as a temp view first),
+        and a result alias must use the explicit ``AS name`` form (a
+        bare trailing identifier is ambiguous with outer keywords).
+        """
+        if not _MR_KEYWORD_RE.search(sql):
+            return None
+        from flink_note_spark.operators.match_recognize import (
+            match_recognize,
+            parse_match_recognize_sql,
+        )
+
+        out = sql
+        while True:
+            m = _MR_FROM_RE.search(out)
+            if m is None:
+                if _MR_KEYWORD_RE.search(out):
+                    raise ValueError(
+                        "MATCH_RECOGNIZE is supported as FROM <table> "
+                        "MATCH_RECOGNIZE (...) [AS alias] over a named "
+                        "table/view — register subquery inputs as a "
+                        "temp view first"
+                    )
+                return out
+            # balanced-paren scan from the clause's opening paren,
+            # single-quoted strings opaque (a DEFINE may contain ')')
+            depth, i, in_q, close = 0, m.end() - 1, False, -1
+            while i < len(out):
+                ch = out[i]
+                if in_q:
+                    if ch == "'":
+                        in_q = False
+                elif ch == "'":
+                    in_q = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+                i += 1
+            if close < 0:
+                raise ValueError(
+                    "unbalanced parentheses in MATCH_RECOGNIZE clause"
+                )
+            kwargs = parse_match_recognize_sql(out[m.end():close])
+            df = match_recognize(
+                self.spark.table(m.group("src")), **kwargs
+            )
+            self._mr_seq += 1
+            view = f"__mr_result_{self._mr_seq}"
+            df.createOrReplaceTempView(view)
+            tail = out[close + 1:]
+            am = re.match(
+                r"\s*AS\s+([A-Za-z_]\w*)", tail, re.IGNORECASE
+            )
+            repl = f"FROM {view}"
+            if am:
+                repl += f" AS {am.group(1)}"
+                tail = tail[am.end():]
+            out = out[: m.start()] + repl + " " + tail
+
+    def _sql(self, sql: str) -> DataFrame:
+        """``spark.sql`` with the MATCH_RECOGNIZE rewrite applied."""
+        routed = self._route_match_recognize(sql)
+        return self.spark.sql(routed if routed is not None else sql)
 
     @classmethod
     def create(cls, env_or_spark) -> "TableEnvironment":
@@ -837,7 +925,7 @@ class TableEnvironment:
         return [t.name for t in self.spark.catalog.listTables()]
 
     def sql_query(self, sql: str) -> Table:
-        return Table(self.spark.sql(sql))
+        return Table(self._sql(sql))
 
     def execute_sql(self, sql: str) -> "Table | None":
         """DDL/DML or query. Plain statements go straight to
@@ -883,6 +971,13 @@ class TableEnvironment:
           default; the INCLUDING/EXCLUDING feature list refuses by
           not parsing). A LIKE over a non-connector table passes
           through to Spark's own ``CREATE TABLE ... LIKE``.
+        r12 widening (VERDICT r11 #2): any statement (plain query,
+        CREATE VIEW body, INSERT source query — here and in
+        :meth:`sql_query`) may contain ``FROM <table> MATCH_RECOGNIZE
+        (...) [AS alias]``; the clause routes through the row-pattern
+        operator (``operators/match_recognize.py``) and the outer
+        query runs on its result — see :meth:`_route_match_recognize`.
+
         - ``PRIMARY KEY (k[, ...]) NOT ENFORCED`` — the table
           materializes as its changelog's LATEST row per key (Flink's
           upsert semantics) via ONE ``max_by`` aggregate
@@ -895,7 +990,7 @@ class TableEnvironment:
         """
         vm = _VIEW_RE.match(sql)
         if vm:
-            df = self.spark.sql(vm.group("query"))
+            df = self._sql(vm.group("query"))
             df.createOrReplaceTempView(vm.group("name"))
             return Table(df)
         ddl = _parse_flink_ddl(sql)
@@ -945,7 +1040,7 @@ class TableEnvironment:
                     "BATCH filesystem tables (stream sinks: use "
                     "writeStream on the view's DataFrame)"
                 )
-            out = self.spark.sql(ins.group("query"))
+            out = self._sql(ins.group("query"))
             mode = (
                 "overwrite"
                 if ins.group(1).upper() == "OVERWRITE" else "append"
@@ -953,7 +1048,7 @@ class TableEnvironment:
             out.write.mode(mode).format(opts.get("format", "parquet")) \
                 .save(opts["path"])
             return None
-        return Table(self.spark.sql(sql))
+        return Table(self._sql(sql))
 
     def _register_connector(
         self, name, fields, computed, watermark, order, pk, opts
