@@ -6,6 +6,14 @@ from flink_note_spark.pipelines.curate import (
     CurationConfig,
     curate_corpus,
     prepare_training_corpus,
+    prepare_training_corpus_stream,
+    read_corpus_stream_output,
 )
 
-__all__ = ["CurationConfig", "curate_corpus", "prepare_training_corpus"]
+__all__ = [
+    "CurationConfig",
+    "curate_corpus",
+    "prepare_training_corpus",
+    "prepare_training_corpus_stream",
+    "read_corpus_stream_output",
+]

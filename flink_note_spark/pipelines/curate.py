@@ -68,6 +68,53 @@ def curate_corpus(
     )
 
 
+def _repetition_gate(
+    cur: DataFrame, text_col: str, id_col: str, max_ratio: float
+) -> DataFrame:
+    """Drop docs whose duplicate-word ratio exceeds the gate. Internal
+    alias + LEFT join + drop: the gate must not clash with a caller's
+    own dup_word_ratio column, must not leak a new column into the
+    output schema, and must not silently drop zero-token docs
+    (repetition_stats emits no row for them — no repetition signal
+    means KEEP, not discard). Shared by the batch pipeline and the
+    streaming per-micro-batch twin (r12) so the two can't drift."""
+    from flink_note_spark.operators.text import repetition_stats
+
+    rep = repetition_stats(
+        cur.select(id_col, text_col), text_col, id_col
+    ).select(id_col, F.col("dup_word_ratio").alias("__dup_ratio"))
+    return (
+        cur.join(rep, id_col, "left")
+        .filter(
+            F.coalesce(F.col("__dup_ratio"), F.lit(0.0)) <= max_ratio
+        )
+        .drop("__dup_ratio")
+    )
+
+
+def _novelty_gate(
+    cur: DataFrame, text_col: str, id_col: str, max_shared: float
+) -> DataFrame:
+    """Drop docs sharing too many 3-grams with the rest of the frame;
+    novelty NULL (sub-n doc) → no signal → keep. BATCH-ONLY: novelty
+    is frame-relative (corpus-global document frequency), so the
+    streaming pipeline refuses it rather than silently rescoping the
+    universe to one micro-batch (r12)."""
+    from flink_note_spark.operators.text import ngram_novelty
+
+    nov = ngram_novelty(
+        cur.select(id_col, text_col), text_col, id_col, n=3
+    ).select(id_col, "novelty")
+    return (
+        cur.join(nov, id_col, "left")
+        .filter(
+            F.coalesce(F.lit(1.0) - F.col("novelty"), F.lit(0.0))
+            <= max_shared
+        )
+        .drop("novelty")
+    )
+
+
 def prepare_training_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -170,36 +217,10 @@ def prepare_training_corpus(
         src = pii_scan(src, text_col, redact=True)
     cur = curate_corpus(src, text_col, id_col, config)
     if max_dup_word_ratio is not None:
-        # internal alias + LEFT join + drop: the gate must not clash
-        # with a caller's own dup_word_ratio column, must not leak a new
-        # column into the output schema, and must not silently drop
-        # zero-token docs (repetition_stats emits no row for them — no
-        # repetition signal means KEEP, not discard).
-        rep = repetition_stats(
-            cur.select(id_col, text_col), text_col, id_col
-        ).select(id_col, F.col("dup_word_ratio").alias("__dup_ratio"))
-        cur = (
-            cur.join(rep, id_col, "left")
-            .filter(
-                F.coalesce(F.col("__dup_ratio"), F.lit(0.0))
-                <= max_dup_word_ratio
-            )
-            .drop("__dup_ratio")
-        )
+        cur = _repetition_gate(cur, text_col, id_col, max_dup_word_ratio)
     if max_shared_shingle_ratio is not None:
-        from flink_note_spark.operators.text import ngram_novelty
-
-        nov = ngram_novelty(
-            cur.select(id_col, text_col), text_col, id_col, n=3
-        ).select(id_col, "novelty")
-        cur = (
-            cur.join(nov, id_col, "left")
-            .filter(
-                # novelty NULL (sub-n doc) → no signal → keep
-                F.coalesce(F.lit(1.0) - F.col("novelty"), F.lit(0.0))
-                <= max_shared_shingle_ratio
-            )
-            .drop("novelty")
+        cur = _novelty_gate(
+            cur, text_col, id_col, max_shared_shingle_ratio
         )
     if near_dup_threshold is not None:
         # ids are unique after curate_corpus' keep-first dedup window.
@@ -297,3 +318,319 @@ def prepare_training_corpus(
         seed=seed,
         hash_fn=split_hash_fn,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus preparation (r12 — VERDICT r11 next-round #1): the
+# ingest-time composition of the batch pipeline above. Every stage already
+# existed individually (stateless quality exprs; the persisted accreting
+# MinHash index, operators/dedup.py:580; streaming paragraph/Bloom dedup);
+# this is the ONE entry point that runs them per micro-batch with durable
+# cross-batch state, so a 100 TB corpus can be curated AS IT ARRIVES
+# instead of in one giant batch job.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_digest(text_col: str):
+    """The exact-dedup content identity — MUST stay bit-identical to
+    ``operators.dedup.exact_dedup_rows``'s window key (sha2-256 over
+    lowercased trimmed text), or stream and batch disagree on what "the
+    same document" means."""
+    return F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+
+
+def read_corpus_stream_output(spark, state_dir: str) -> DataFrame:
+    """The curated corpus accumulated by
+    :func:`prepare_training_corpus_stream`: one row per kept document
+    across all ingested micro-batches. The per-epoch layout is an
+    implementation detail — this reader hides the ``ingest_epoch``
+    partition column."""
+    return spark.read.parquet(f"{state_dir}/corpus").drop("ingest_epoch")
+
+
+def prepare_training_corpus_stream(
+    docs: DataFrame,
+    *,
+    state_dir: str,
+    checkpoint: str,
+    index_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    config: CurationConfig = CurationConfig(),
+    near_dup_threshold: float | None = 0.7,
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+    pii_redact: bool = False,
+    max_dup_word_ratio: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 5,
+    minhash_params: dict | None = None,
+    index_buckets: int = 8,
+    split_hash_fn: str = "xxhash64",
+    trigger: dict | None = None,
+):
+    """STREAMING :func:`prepare_training_corpus` — curate a DOCUMENT
+    STREAM exactly once into a growing kept-corpus, with the same
+    stage order and the same per-stage semantics as the batch
+    pipeline: [PII redaction →] exact dedup (against ALL documents
+    ever seen) → language/quality gates → [repetition gate →]
+    near-dup collapse (in-batch transitive + against the persisted
+    accreting MinHash index) → [benchmark decontamination →]
+    deterministic split. Returns the started ``StreamingQuery``.
+
+    Durable state under ``state_dir`` (all retry-idempotent):
+
+    - ``corpus/ingest_epoch=<batch>/`` — the kept rows per micro-batch
+      (immutable epoch dirs, overwrite on retry — the epoch-log
+      doctrine; read them back with :func:`read_corpus_stream_output`);
+    - ``digests/`` — ``(digest, id)`` of every exact-content owner
+      ever seen (batch dedup runs BEFORE the quality filter, so
+      ownership accrues for low-quality docs too, exactly as batch);
+    - the persisted MinHash index ``index_table`` (bucketed on
+      ``(band_id, band_key)`` at ``state_dir/index``) — accretes each
+      batch's near-dup survivors, so every future batch's probe
+      shuffles ONLY the batch (`operators/dedup.py:minhash_index_save`
+      doctrine). The index holds PRE-decontamination survivors: the
+      batch pipeline's pairing universe is the curated corpus before
+      the benchmark pass, and the stream must pair against the same
+      universe.
+
+    ``checkpoint`` is REQUIRED (the r11 epoch-writer rule): Spark's
+    offset log is what makes a redelivered micro-batch carry identical
+    rows, which is what makes the skip/overwrite recovery exact.
+
+    **==batch contract** (pinned in tests/test_pipeline.py): replay a
+    corpus through this stream in ID ORDER (any chunking) and the kept
+    set equals ``prepare_training_corpus`` on the full corpus — exact
+    dedup and quality/repetition gates ALWAYS, the near-dup stage
+    whenever every near-dup cluster is a clique under the LSH pair
+    relation (the common real-corpus case). For chain-shaped clusters
+    (A~B, B~C, ¬A~C) the stream keeps a SUPERSET: greedy ingest cannot
+    retract B's removal when C arrives, so C survives unless it pairs
+    with a KEPT doc — never fewer docs than batch, never a missed
+    exact duplicate (the superset direction is also pinned). Streams
+    arriving out of id order dedup toward FIRST-ARRIVAL ownership —
+    the operationally right answer for live ingest, equal to batch's
+    smallest-id exactly when arrival is id-ordered.
+
+    Batch-only stages refuse by absence: corpus-global signals
+    (``max_shared_shingle_ratio`` n-gram novelty, ``remove_spans_n``
+    ExactSubstr, the semantic/embedding stages) have no per-batch
+    rescoping that preserves their meaning — run them in scheduled
+    batch compactions over :func:`read_corpus_stream_output` instead.
+    ``minhash_params`` may not set ``max_df`` (document frequency is
+    corpus-relative; a per-batch df would make signatures depend on
+    batch boundaries and break retry determinism).
+
+    Crash-recovery design (why each write is idempotent): kept rows
+    overwrite their own epoch dir; digest rows append only digests not
+    yet in the store, and the dedup decision ("a DIFFERENT id owns this
+    digest") is insensitive to duplicate rows from a crash between
+    append and commit; index appends write band rows BEFORE doc rows
+    and guard on doc-row presence, so any crash point either re-appends
+    (duplicate band rows — harmless: candidate pairs are
+    dropDuplicated and the match decision is existential) or skips an
+    id whose rows are already complete. The kept-set recompute on a
+    redelivered batch is stable against a partially-accreted index
+    because in-batch pairs are collapsed FIRST and increment-vs-index
+    self-pairs are excluded (``dedup_against_index``'s both-sides
+    rule).
+    """
+    import os
+
+    from flink_note_spark.operators.components import canonical_docs
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build,
+        minhash_index_load,
+        minhash_index_save,
+        minhash_lsh_pairs,
+    )
+    from flink_note_spark.operators.sampling import hash_split
+    from flink_note_spark.operators.scale import write_bucketed
+    from flink_note_spark.operators.text import pii_scan
+
+    if not checkpoint:
+        raise ValueError(
+            "prepare_training_corpus_stream requires a checkpoint "
+            "location — the offset log is what makes redelivered "
+            "batches identical, which is what makes recovery exact"
+        )
+    mh = dict(minhash_params or {})
+    if mh.get("max_df") is not None:
+        raise ValueError(
+            "minhash max_df is corpus-relative document frequency — "
+            "a per-batch df would make signatures depend on batch "
+            "boundaries; leave it None for streaming ingest"
+        )
+    mh.setdefault("n", 3)
+    mh.setdefault("num_hashes", 32)
+    mh.setdefault("bands", 8)
+    mh.setdefault("max_bucket", 1000)
+    unknown = set(mh) - {"n", "num_hashes", "bands", "max_bucket",
+                         "max_df"}
+    if unknown:
+        raise ValueError(f"unknown minhash_params: {sorted(unknown)}")
+
+    digests_path = os.path.join(state_dir, "digests")
+    corpus_path = os.path.join(state_dir, "corpus")
+    index_path = os.path.join(state_dir, "index")
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        src = batch.drop(ts_col) if ts_col in batch.columns else batch
+        if pii_redact:
+            src = pii_scan(src, text_col, redact=True)
+        # ---- exact dedup: in-batch smallest id per digest, then drop
+        # digests owned by ANY other id in the durable store (batch
+        # semantics: dedup BEFORE the quality filter, over all docs)
+        from flink_note_spark.operators.dedup import exact_dedup_rows
+
+        src = exact_dedup_rows(src, text_col, id_col)
+        src = src.withColumn("__digest", _corpus_digest(text_col))
+        have_digests = os.path.isdir(digests_path) and any(
+            f.endswith(".parquet") for f in os.listdir(digests_path)
+        )
+        if have_digests:
+            store = spark.read.parquet(digests_path)
+            owned_elsewhere = store.join(
+                src.select(
+                    F.col("__digest").alias("digest"),
+                    F.col(id_col).alias("__sid"),
+                ),
+                "digest",
+            ).filter(F.col("id") != F.col("__sid")).select(
+                F.col("digest").alias("__drop_digest")
+            ).distinct()
+            src = src.join(
+                owned_elsewhere,
+                src["__digest"] == F.col("__drop_digest"),
+                "left_anti",
+            )
+        # ownership accrues for every surviving owner row (including
+        # docs the quality gates drop next — the batch order)
+        new_digests = src.select(
+            F.col("__digest").alias("digest"), F.col(id_col).alias("id")
+        ).filter(F.col("digest").isNotNull())
+        if have_digests:
+            new_digests = new_digests.join(
+                spark.read.parquet(digests_path).select("digest"),
+                "digest",
+                "left_anti",
+            )
+        new_digests.write.mode("append").parquet(digests_path)
+        src = src.drop("__digest")
+
+        # ---- quality gates (stateless exprs — fuse into the scan)
+        import dataclasses
+
+        cur = curate_corpus(
+            src, text_col, id_col,
+            dataclasses.replace(config, dedup=False),
+        )
+        if max_dup_word_ratio is not None:
+            cur = _repetition_gate(
+                cur, text_col, id_col, max_dup_word_ratio
+            )
+
+        # ---- near-dup: in-batch transitive collapse FIRST, then the
+        # persisted-index probe (order matters: within-batch chains
+        # must collapse to their minimum before the index sees them)
+        if near_dup_threshold is not None:
+            pairs = minhash_lsh_pairs(
+                cur, id_col, text_col,
+                n=mh["n"], num_hashes=mh["num_hashes"],
+                bands=mh["bands"], threshold=near_dup_threshold,
+                seed=seed, max_bucket=mh["max_bucket"],
+                ids_unique=True,
+            )
+            cur = canonical_docs(cur, pairs, id_col)
+            # the meta dir is minhash_index_save's LAST write: its
+            # presence implies bands+docs landed (crash-window safe);
+            # a present path with an unregistered table is a fresh
+            # session over old state — refuse rather than clobber
+            have_index = os.path.isdir(f"{index_path}__meta")
+            if have_index and not spark.catalog.tableExists(
+                f"{index_table}__meta"
+            ):
+                raise RuntimeError(
+                    f"persisted index state exists at {index_path} but "
+                    f"table {index_table!r} is not registered in this "
+                    "session's catalog — re-register the three bucketed "
+                    "tables (or point state_dir elsewhere); overwriting "
+                    "would orphan the accumulated corpus state"
+                )
+            if have_index:
+                idx = minhash_index_load(spark, index_table)
+                dup = dedup_against_index(
+                    cur, idx, threshold=near_dup_threshold,
+                    text_col=text_col, verify=True,
+                ).select(F.col("d2").alias(id_col)).distinct()
+                cur = cur.join(dup, id_col, "anti")
+            # accrete the survivors (pre-decontamination — the batch
+            # pairing universe); localCheckpoint: cur is reused by the
+            # output write below and feeds three index frames
+            cur = cur.localCheckpoint(eager=True)
+            inc = minhash_index_build(
+                cur, id_col, text_col,
+                n=mh["n"], num_hashes=mh["num_hashes"],
+                bands=mh["bands"], seed=seed,
+                max_bucket=mh["max_bucket"], ids_unique=True,
+            )
+            if not have_index:
+                minhash_index_save(
+                    inc, index_table, buckets=index_buckets,
+                    path=index_path,
+                )
+            else:
+                # retry-safe accretion: guard on DOC-row presence and
+                # write band rows FIRST (see crash-recovery docstring)
+                existing = spark.table(f"{index_table}__docs").select(
+                    F.col(id_col)
+                )
+                fresh = inc.docs.join(existing, id_col, "anti") \
+                    .select(id_col)
+                bands_new = inc.bands.join(fresh, id_col, "semi")
+                docs_new = inc.docs.join(fresh, id_col, "semi")
+                from flink_note_spark.operators.dedup import (
+                    _table_buckets,
+                )
+
+                write_bucketed(
+                    bands_new, index_table,
+                    _table_buckets(spark, index_table),
+                    ["band_id", "band_key"], mode="append",
+                )
+                write_bucketed(
+                    docs_new, f"{index_table}__docs",
+                    _table_buckets(spark, f"{index_table}__docs"),
+                    [id_col], mode="append",
+                )
+
+        # ---- decontamination (static benchmark frame) + split
+        if benchmark is not None:
+            from flink_note_spark.operators.dedup import decontaminate
+
+            cur = decontaminate(
+                cur, benchmark, n=decontaminate_n, id_col=id_col,
+                text_col=text_col, ids_unique=True,
+            )
+        kept = hash_split(
+            cur, id_col,
+            fractions=splits or {"train": 0.98, "val": 0.01,
+                                 "test": 0.01},
+            seed=seed, hash_fn=split_hash_fn,
+        )
+        kept.write.mode("overwrite").parquet(
+            os.path.join(corpus_path, f"ingest_epoch={batch_id}")
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
