@@ -383,9 +383,9 @@ class Pattern:
         """Flink GROUP patterns (r11): ``next(subPattern)`` /
         ``followedBy(subPattern)`` — the whole sub-pattern becomes one
         quantifiable element; chain ``times(n[, m])`` / ``optional()``
-        to repeat it as a block (``one_or_more`` refuses — see
-        :func:`_expand_group_variants`). ``mode`` is the ENTRY and
-        inter-iteration contiguity."""
+        to repeat it as a block, or ``one_or_more()`` (r12) for the
+        within-bounded loop (see :func:`_match_group_loop`). ``mode``
+        is the ENTRY and inter-iteration contiguity."""
         steps = sub.steps if isinstance(sub, Pattern) else list(sub)
         self._set_mode(mode)
         self.steps.append({"group": steps, "mode": mode})
@@ -485,9 +485,11 @@ def _expand_group_variants(pattern):
       trailing columns NULL on shorter variants; ``template`` is the
       max-count step list (defines the global output columns).
 
-    ``one_or_more()`` on a group refuses: unbounded block expansion —
-    bound the repetition with ``times(n, m)`` (a step-level
-    ``one_or_more`` covers the single-step case)."""
+    ``one_or_more()`` on a group is NOT handled here (r12): it routes
+    through :func:`_match_group_loop`, which bounds the repetition by
+    the ``within`` horizon's data-implied density and emits the
+    bound-independent collapsed geometry; reaching this function with
+    a loop group means the caller skipped that routing."""
     base = pattern.steps if isinstance(pattern, Pattern) else pattern
     if not isinstance(base, list) or not any(
         isinstance(p, dict) and "group" in p for p in base
@@ -502,10 +504,11 @@ def _expand_group_variants(pattern):
         if isinstance(p, dict) and "group" in p:
             if p.get("one_or_more") or p.get("loop"):
                 raise ValueError(
-                    "group one_or_more() is unsupported: unbounded "
-                    "block expansion — bound the repetition with "
-                    "times(n, m) (step-level one_or_more covers the "
-                    "single-step case)"
+                    "group one_or_more() reached the ranged-group "
+                    "expansion — it is supported ONLY through "
+                    "match_pattern (within-bounded, collapsed "
+                    "geometry); call match_pattern / "
+                    "pattern_stream_start instead"
                 )
             sub = _normalize(list(p["group"]))
             n = int(p.get("times", 1))
@@ -761,6 +764,284 @@ def _match_group_union(
     return unioned
 
 
+#: refusal ceiling for the data-implied group-loop bound (r12): above
+#: this the block-variant union is no longer a sane plan at any scale —
+#: refuse loudly (no silent caps) instead of quietly truncating matches.
+_MAX_GROUP_REPS = 128
+
+
+def _within_row_bound(
+    events: DataFrame, key_col: str, time_col: str, within: str
+) -> int:
+    """Data-implied repetition bound for horizon-bounded loops: the
+    densest ``within`` window on any key — no single match can consume
+    more rows than fit its horizon. One window pass + one scalar agg
+    (a bounded driver collect: the data-dependent plan-choice doctrine
+    of the greedy disjointness probe)."""
+    from flink_note_spark.operators.windows import _duration_us
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(time_col).cast("timestamp")))
+        .rangeBetween(0, _duration_us(within))
+    )
+    row = (
+        events.select(F.count(F.lit(1)).over(w).alias("__c"))
+        .agg(F.max("__c"))
+        .first()
+    )
+    return int(row[0]) if row is not None and row[0] else 1
+
+
+def _loop_group_entries(pattern) -> "list[tuple] | None":
+    """Parse a pattern containing LOOP groups into the entry list
+    ``[("step", PatternStep) | ("loop", subs, mode, optional), ...]``
+    used by :func:`_match_group_loop` — exact sibling groups flatten
+    here (each copy's first step takes the group's mode). Returns None
+    when no loop group is present. Validation (inner-step subset,
+    sibling-group exactness) lives here so every caller — the batch
+    union and the replay engine's terminality probe — refuses
+    identically."""
+    import dataclasses
+
+    base = pattern.steps if isinstance(pattern, Pattern) else pattern
+    if not isinstance(base, list) or not any(
+        isinstance(p, dict) and "group" in p
+        and (p.get("one_or_more") or p.get("loop"))
+        for p in base
+    ):
+        return None
+    entries: list[tuple] = []
+    for p in base:
+        if isinstance(p, dict) and "group" in p:
+            subs = _normalize(list(p["group"]))
+            if p.get("one_or_more") or p.get("loop"):
+                bad = [
+                    s for s in subs
+                    if s.negate or s.loop or s.optional
+                    or s.times != 1 or s.times_max is not None
+                ]
+                if bad:
+                    raise ValueError(
+                        "group one_or_more() supports plain single-"
+                        "consume inner steps — bound nested "
+                        "quantifiers/negations explicitly with a "
+                        "times(n, m) group"
+                    )
+                entries.append(
+                    ("loop", subs, p.get("mode"), bool(p.get("optional")))
+                )
+            elif p.get("times_max") is not None or p.get("optional"):
+                raise ValueError(
+                    "ranged/optional sibling groups alongside a group "
+                    "loop are unsupported — expand the range to "
+                    "explicit exact counts"
+                )
+            else:
+                n = int(p.get("times", 1))
+                subm = list(subs)
+                if p.get("mode") is not None:
+                    subm[0] = dataclasses.replace(subs[0], mode=p["mode"])
+                for _ in range(n):
+                    entries.extend(("step", s) for s in subm)
+        else:
+            entries.append(("step", _norm_one(p)))
+    return entries
+
+
+def _loop_group_template(entries: list[tuple]) -> list[PatternStep]:
+    """The COLLAPSED output template of a loop-group pattern: loop-group
+    inner steps rendered as step-level loops, so ``_out_cols`` yields
+    the bound-independent ts/ts_last/n geometry (and the replay engine
+    reads terminality off it — a pattern ending in a loop group ends in
+    a loop step, hence horizon-open finality)."""
+    import dataclasses
+
+    collapsed: list[PatternStep] = []
+    for e in entries:
+        if e[0] == "step":
+            collapsed.append(e[1])
+        else:
+            collapsed.extend(
+                dataclasses.replace(s, loop=True) for s in e[1]
+            )
+    return collapsed
+
+
+def _match_group_loop(
+    events: DataFrame,
+    pattern,
+    *,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str | None,
+    contiguity: str | None,
+    tiebreak: list[str] | None,
+    skip_strategy,
+    carry_payload,
+) -> DataFrame:
+    """Flink ``Pattern.begin/next/followedBy(subPattern).oneOrMore()``
+    (r12 — VERDICT r11 #5, the last CEP refusal closed): a group loop
+    inside a ``within`` horizon has bounded repetitions at any event
+    density the horizon admits, so the loop expands to the DATA-IMPLIED
+    maximum count — densest within-window row count divided by the
+    group's positive length, measured by ONE scalar probe job
+    (:func:`_within_row_bound`) — and runs as the established
+    block-variant union (the result is the union over repetition
+    counts, exactly the ranged-group convention of q154).
+
+    Output geometry is COLLAPSED to the step-loop convention so the
+    SCHEMA is independent of the data bound (streaming replay probes
+    the batch schema on an empty frame and every epoch must agree):
+    each inner positive step j of the loop group occupies ONE output
+    position carrying ``ts_<p>`` (the step's row in the FIRST
+    iteration), ``ts_<p>_last`` (its row in the LAST iteration) and
+    ``n_<p>`` (the iteration count; NULL on an absent optional group)
+    — a single-step group loop therefore collapses to EXACTLY the
+    step-level ``one_or_more`` output shape (pinned in tests).
+
+    Subset (every refusal loud): ``within`` REQUIRED (no horizon → no
+    bound — the original 'unbounded block expansion' refusal stands,
+    now with the escape hatch); inner steps plain single-consume (no
+    nested quantifiers/negations — bound nested repetition explicitly
+    with ``times(n, m)``); sibling groups must be exact counts (pure
+    flattening); non-greedy skip strategies and ``carry_payload``
+    refuse exactly as ranged groups do; a data bound above
+    ``_MAX_GROUP_REPS`` refuses (no silent caps) — tighten ``within``
+    or bound the loop with ``times(n, m)``.
+
+    Scale shape: the probe is one window+agg job; the union runs one
+    bounded engine pass per viable count, each the same plan the exact
+    group takes — at 100 TB the bound tracks the HORIZON's density,
+    not corpus size, and a dense-horizon refusal is the honest answer
+    (an engine that silently materialized 10⁶-step patterns would be
+    lying about the cost)."""
+    import dataclasses
+    import itertools
+
+    if within is None:
+        raise ValueError(
+            "group one_or_more() requires within= — the horizon is "
+            "what bounds the repetition count (otherwise the block "
+            "expansion is unbounded); or bound the repetition "
+            "explicitly with times(n, m)"
+        )
+    skip = _parse_skip(skip_strategy)
+    if skip is not None and skip[0] != "greedy":
+        raise ValueError(
+            "skip strategies over group loops are unsupported (the "
+            "union of repetition counts has no single positional "
+            "geometry — the ranged-group rule) — prune the union "
+            "downstream"
+        )
+    if carry_payload:
+        raise ValueError(
+            "carry_payload over group loops is unsupported (capture "
+            "requests name one geometry) — use attach_event_payload "
+            "on the union"
+        )
+    entries = _loop_group_entries(pattern)
+    assert entries is not None  # caller routed on loop-group presence
+
+    rows_bound = _within_row_bound(events, key_col, time_col, within)
+    count_axes: list[list[int]] = []
+    for e in entries:
+        if e[0] != "loop":
+            continue
+        subs, optional = e[1], e[3]
+        reps = max(1, rows_bound // len(subs))
+        if reps > _MAX_GROUP_REPS:
+            raise ValueError(
+                f"group one_or_more(): the data-implied repetition "
+                f"bound is {reps} (> {_MAX_GROUP_REPS}) — tighten "
+                "within= or bound the loop with times(n, m)"
+            )
+        count_axes.append(list(range(0 if optional else 1, reps + 1)))
+
+    full_cols = _out_cols(_loop_group_template(entries))
+
+    outs: list[tuple[DataFrame, dict]] = []
+    for combo in itertools.product(*count_axes):
+        steps: list[PatternStep] = []
+        #: collapsed col -> local col name | ("lit", k) | None (absent)
+        colmap: dict[str, object] = {}
+        C = P = gi = 0
+        for e in entries:
+            if e[0] == "step":
+                s = e[1]
+                steps.append(s)
+                if s.negate:
+                    continue
+                C += 1
+                P += 1
+                colmap[f"ts_{C}"] = f"ts_{P}"
+                colmap[f"ts_{C}_last"] = f"ts_{P}_last"
+                colmap[f"n_{C}"] = f"n_{P}"
+            else:
+                subs, mode, _opt = e[1], e[2], e[3]
+                L = len(subs)
+                k = combo[gi]
+                gi += 1
+                subm = list(subs)
+                if mode is not None:
+                    subm[0] = dataclasses.replace(subs[0], mode=mode)
+                for _ in range(k):
+                    steps.extend(subm)
+                for j in range(1, L + 1):
+                    if k == 0:
+                        colmap[f"ts_{C + j}"] = None
+                        colmap[f"ts_{C + j}_last"] = None
+                        colmap[f"n_{C + j}"] = None
+                    else:
+                        colmap[f"ts_{C + j}"] = f"ts_{P + j}"
+                        colmap[f"ts_{C + j}_last"] = (
+                            f"ts_{P + (k - 1) * L + j}"
+                        )
+                        colmap[f"n_{C + j}"] = ("lit", k)
+                C += L
+                P += k * L
+        if not any(not s.negate for s in steps):
+            continue  # all-absent variant: not a match
+        o = match_pattern(
+            events, steps,
+            key_col=key_col, time_col=time_col, type_col=type_col,
+            within=within, contiguity=contiguity, tiebreak=tiebreak,
+        )
+        outs.append((o, colmap))
+
+    # collapsed column types: first variant that binds each col wins;
+    # group n columns are literal iteration counts (long — the engine's
+    # own n_k convention)
+    coltypes: dict[str, str] = {}
+    for c in full_cols:
+        for o, cm in outs:
+            src = cm.get(c)
+            if isinstance(src, tuple):
+                coltypes[c] = "long"
+                break
+            if src is not None and src in o.columns:
+                coltypes[c] = dict(o.dtypes)[src]
+                break
+        else:
+            coltypes[c] = "long" if c.startswith("n_") else "timestamp"
+
+    unioned = None
+    for o, cm in outs:
+        sel = [F.col(key_col)]
+        for c in full_cols:
+            src = cm.get(c)
+            if isinstance(src, tuple):
+                sel.append(F.lit(src[1]).cast("long").alias(c))
+            elif src is not None and src in o.columns:
+                sel.append(F.col(src).alias(c))
+            else:
+                sel.append(F.lit(None).cast(coltypes[c]).alias(c))
+        part = o.select(*sel)
+        unioned = part if unioned is None else unioned.unionByName(part)
+    return unioned
+
+
 def match_pattern(
     events: DataFrame,
     pattern,
@@ -837,6 +1118,18 @@ def match_pattern(
             within = pattern.within_
         if skip_strategy is None:
             skip_strategy = pattern.skip_
+    base_steps = pattern.steps if isinstance(pattern, Pattern) else pattern
+    if isinstance(base_steps, list) and any(
+        isinstance(p, dict) and "group" in p
+        and (p.get("one_or_more") or p.get("loop"))
+        for p in base_steps
+    ):
+        return _match_group_loop(
+            events, pattern,
+            key_col=key_col, time_col=time_col, type_col=type_col,
+            within=within, contiguity=contiguity, tiebreak=tiebreak,
+            skip_strategy=skip_strategy, carry_payload=carry_payload,
+        )
     grp = _expand_group_variants(pattern)
     if grp is not None:
         variants, posmaps, template = grp

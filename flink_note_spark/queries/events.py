@@ -1618,6 +1618,72 @@ def q156_match_recognize_sql(spark: SparkSession, sf: str) -> DataFrame:
     ).to_data_frame()
 
 
+def q157_cep_group_one_or_more(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP one_or_more (r12 — VERDICT r11 #5, the last CEP refusal
+    closed): ``(view next click).oneOrMore().within(7 days)`` — the
+    repetition bound comes from the DATA (densest within-window), the
+    result is the union over counts in the COLLAPSED geometry
+    (first/last iteration + count per inner step; schema independent
+    of the bound). Oracle: a recursive CTE extending adjacent
+    (view, click) position-pairs two steps at a time while the span
+    stays inside the horizon — every (start, k) emits one row, exactly
+    the union convention."""
+    from flink_note_spark.operators.cep import match_pattern
+
+    e = _t(spark, sf, "events")
+    g = [{
+        "group": [
+            {"type": "view"}, {"type": "click", "mode": "strict"},
+        ],
+        "loop": True, "mode": "strict",
+    }]
+    return (
+        match_pattern(
+            e, g, within="7 days", contiguity="strict",
+            tiebreak=["event_id"],
+        )
+        .select(
+            "user_id",
+            F.col("ts_1").alias("first_view"),
+            F.col("ts_1_last").alias("last_view"),
+            F.col("ts_2").alias("first_click"),
+            F.col("ts_2_last").alias("last_click"),
+            F.col("n_1").alias("n_pairs"),
+        )
+        .orderBy("user_id", "first_view", "n_pairs")
+    )
+
+
+_Q157_SQL = """
+WITH RECURSIVE e AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pos
+  FROM events),
+p AS (
+  SELECT a.user_id, a.pos, a.ts AS vts, b.ts AS cts
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id AND b.pos = a.pos + 1
+  WHERE a.event_type = 'view' AND b.event_type = 'click'),
+r AS (
+  SELECT user_id, pos AS cur_pos, 1 AS k,
+         vts AS first_view, cts AS first_click,
+         vts AS last_view, cts AS last_click
+  FROM p
+  WHERE cts <= vts + INTERVAL 7 DAY
+  UNION ALL
+  SELECT r.user_id, q.pos, r.k + 1,
+         r.first_view, r.first_click, q.vts, q.cts
+  FROM r
+  JOIN p q ON q.user_id = r.user_id AND q.pos = r.cur_pos + 2
+  WHERE q.cts <= r.first_view + INTERVAL 7 DAY)
+SELECT user_id, first_view, last_view, first_click, last_click,
+       CAST(k AS BIGINT) AS n_pairs
+FROM r
+ORDER BY user_id, first_view, n_pairs
+"""
+
+
 def q115_window_top_n(spark: SparkSession, sf: str) -> DataFrame:
     """Flink SQL **Window Top-N** (r8): the top-3 events by value per
     (daily tumbling window, event_type) — the windowing-TVF +
@@ -2248,6 +2314,7 @@ QUERIES = {
     "q113_cep_timeouts": q113_cep_timeouts,
     "q114_match_recognize": q114_match_recognize,
     "q156_match_recognize_sql": q156_match_recognize_sql,
+    "q157_cep_group_one_or_more": q157_cep_group_one_or_more,
     "q115_window_top_n": q115_window_top_n,
     "q116_window_dedup": q116_window_dedup,
     "q123_cep_relaxed_payload": q123_cep_relaxed_payload,
@@ -2293,6 +2360,7 @@ ORACLES = {
     "q113_cep_timeouts": _Q113_SQL,
     "q114_match_recognize": _Q114_SQL,
     "q156_match_recognize_sql": _Q114_SQL,
+    "q157_cep_group_one_or_more": _Q157_SQL,
     "q115_window_top_n": _Q115_SQL,
     "q116_window_dedup": _Q116_SQL,
     "q123_cep_relaxed_payload": _Q123_SQL,

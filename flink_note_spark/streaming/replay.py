@@ -741,7 +741,28 @@ def match_pattern_replay_stream(
         )
     skip = _parse_skip(skip_strategy)
     pruning = skip is not None and skip[0] not in ("no_skip", "skip_to_next", "greedy")
-    grp = _expand_group_variants(pattern)
+    from flink_note_spark.operators.cep import (
+        _loop_group_entries,
+        _loop_group_template,
+    )
+
+    loop_entries = _loop_group_entries(pattern)
+    if loop_entries is not None:
+        # group one_or_more (r12): the batch operator expands it to the
+        # data-implied within-bound per epoch; the COLLAPSED geometry
+        # makes the schema epoch-stable, and terminality reads off the
+        # collapsed template (a terminal loop group is a terminal loop
+        # step — horizon-open)
+        if pruning:
+            raise ValueError(
+                "skip strategies over group loops are unsupported (the "
+                "batch operator refuses them too — the union of "
+                "repetition counts has no single positional geometry)"
+            )
+        grp = None
+        steps = _loop_group_template(loop_entries)
+    else:
+        grp = _expand_group_variants(pattern)
     if grp is not None:
         variants, _pm, template = grp
         if pruning and len(variants) > 1:
@@ -754,7 +775,7 @@ def match_pattern_replay_stream(
         # union row is final at its OWN last bound event (rows never
         # extend — longer counts are separate rows)
         steps = template
-    else:
+    elif loop_entries is None:
         steps = _normalize(pattern)
     last = [s for s in steps if not s.negate][-1]
     # a trailing NEGATED step (notFollowedBy) is also horizon-open: the

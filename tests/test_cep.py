@@ -3301,10 +3301,20 @@ def test_group_refusals(spark):
     from flink_note_spark.operators.cep import Pattern
 
     df = _mk(spark, [(1, 0, "A", 1)])
-    with pytest.raises(ValueError, match="one_or_more"):
+    # group one_or_more is SUPPORTED since r12 (within-bounded union,
+    # collapsed geometry — see test_group_loop_*); the refusal that
+    # remains is the unbounded form (no within → no repetition bound)
+    out = match_pattern(
+        df, [{"group": ["A", "B"], "one_or_more": True}],
+        contiguity="relaxed", within="1 hour",
+    )
+    assert out.columns == [
+        "user_id", "ts_1", "ts_1_last", "n_1", "ts_2", "ts_2_last", "n_2",
+    ]
+    with pytest.raises(ValueError, match="requires within"):
         match_pattern(
             df, [{"group": ["A", "B"], "one_or_more": True}],
-            contiguity="relaxed", within="1 hour",
+            contiguity="relaxed",
         )
     with pytest.raises(ValueError, match="skip strategies over RANGED"):
         match_pattern(
@@ -3342,4 +3352,143 @@ def test_group_refusals(spark):
         match_pattern(
             df, [{"group": ["A"], "times": 3, "times_max": 2}],
             contiguity="relaxed", within="1 hour",
+        )
+
+
+# -- group one_or_more (r12 — VERDICT r11 #5, the last CEP refusal) ----------
+
+
+def test_group_loop_all_counts_and_starts(spark):
+    """(A next B)+ strict within: every (start, repetition-count) pair
+    emits — the union-over-counts convention of ranged groups — in the
+    COLLAPSED geometry (first/last iteration + count per inner step,
+    independent of the data-implied bound)."""
+    rows = [
+        (1, 0, "A", 1), (1, 60, "B", 2), (1, 120, "A", 3),
+        (1, 180, "B", 4), (1, 240, "A", 5), (1, 300, "B", 6),
+        (2, 0, "A", 7), (2, 60, "B", 8),
+        (3, 0, "A", 9), (3, 60, "C", 10),
+    ]
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "loop": True, "mode": "strict",
+    }]
+    out = match_pattern(
+        _mk(spark, rows), g, within="10 minutes", contiguity="strict",
+        tiebreak=["event_id"],
+    )
+    assert out.columns == [
+        "user_id", "ts_1", "ts_1_last", "n_1", "ts_2", "ts_2_last", "n_2",
+    ]
+    got = sorted(
+        (r.user_id, int((r.ts_1 - T0).total_seconds()), r.n_1,
+         int((r.ts_1_last - T0).total_seconds()),
+         int((r.ts_2_last - T0).total_seconds()))
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 1, 0, 60), (1, 0, 2, 120, 180), (1, 0, 3, 240, 300),
+        (1, 120, 1, 120, 180), (1, 120, 2, 240, 300),
+        (1, 240, 1, 240, 300),
+        (2, 0, 1, 0, 60),
+    ]
+    # every row: n_1 == n_2 (each iteration consumes one of each step)
+    assert all(r.n_1 == r.n_2 for r in out.collect())
+
+
+def test_group_loop_single_step_equals_step_loop_no_skip(spark):
+    """A single-step group loop collapses to EXACTLY the step-level
+    one_or_more output under no_skip (the union over counts IS Flink's
+    every-prefix emission) — schema and values."""
+    rows = [
+        (1, 0, "A", 1), (1, 60, "A", 2), (1, 120, "A", 3),
+        (2, 0, "A", 4),
+    ]
+    df = _mk(spark, rows)
+    grp = match_pattern(
+        df, [{"group": [{"type": "A"}], "loop": True}],
+        within="10 minutes", contiguity="strict", tiebreak=["event_id"],
+    )
+    step = match_pattern(
+        df, [{"type": "A", "one_or_more": True}],
+        within="10 minutes", contiguity="strict", tiebreak=["event_id"],
+        skip_strategy="no_skip",
+    )
+    assert grp.columns == step.columns
+    assert sorted(map(tuple, grp.collect())) == sorted(
+        map(tuple, step.collect())
+    )
+
+
+def test_group_loop_zero_or_more_and_within_prunes(spark):
+    """optional() on the loop group (zeroOrMore): the absent branch
+    emits NULL group columns; within prunes counts whose span exceeds
+    the horizon."""
+    rows = [
+        (1, 0, "S", 1), (1, 60, "A", 2), (1, 120, "B", 3),
+        (1, 180, "A", 4), (1, 20 * 60, "B", 5),   # 2nd B beyond within
+        (2, 0, "S", 6),
+    ]
+    g = [
+        "S",
+        {"group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+         "loop": True, "optional": True, "mode": "strict"},
+    ]
+    out = match_pattern(
+        _mk(spark, rows), g, within="10 minutes", contiguity="strict",
+        tiebreak=["event_id"],
+    )
+    got = sorted(
+        (r.user_id, r.n_2 if r.n_2 is not None else 0)
+        for r in out.collect()
+    )
+    # user 1: absent branch + the 1-pair branch (2 pairs exceeds the
+    # horizon); user 2: absent branch only
+    assert got == [(1, 0), (1, 1), (2, 0)]
+
+
+def test_group_loop_refusals(spark):
+    rows = [(1, 0, "A", 1), (1, 60, "B", 2)]
+    df = _mk(spark, rows)
+    loop_g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "loop": True,
+    }]
+    with pytest.raises(ValueError, match="requires within"):
+        match_pattern(df, loop_g, contiguity="strict")
+    with pytest.raises(ValueError, match="single-.?consume"):
+        match_pattern(
+            df,
+            [{"group": [{"type": "A", "one_or_more": True}],
+              "loop": True}],
+            within="10 minutes", contiguity="strict",
+        )
+    with pytest.raises(ValueError, match="sibling groups"):
+        match_pattern(
+            df,
+            loop_g + [{"group": [{"type": "B"}], "times": 1,
+                       "times_max": 2}],
+            within="10 minutes", contiguity="strict",
+        )
+    with pytest.raises(ValueError, match="skip strategies"):
+        match_pattern(
+            df, loop_g, within="10 minutes", contiguity="strict",
+            skip_strategy="skip_past_last_event",
+        )
+    with pytest.raises(ValueError, match="carry_payload"):
+        match_pattern(
+            df, loop_g, within="10 minutes", contiguity="strict",
+            carry_payload={"ts_1": ["event_id"]},
+        )
+
+
+def test_group_loop_dense_bound_refuses(spark):
+    """No silent caps: a horizon dense enough to imply > 128
+    repetitions refuses loudly instead of truncating the union."""
+    rows = [(1, s, "A", s) for s in range(300)]  # 300 rows in 5 min
+    with pytest.raises(ValueError, match="data-implied repetition"):
+        match_pattern(
+            _mk(spark, rows),
+            [{"group": [{"type": "A"}], "loop": True}],
+            within="10 minutes", contiguity="strict",
         )

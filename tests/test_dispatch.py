@@ -512,3 +512,33 @@ def test_routed_mr_forced_engines(spark, tmp_path):
             define=_MR_DEFINE, measures={"end_ts": "P.ts"},
             within="10 minutes", rows_per_match="all rows per match",
         )
+
+
+def test_routed_group_loop(spark, tmp_path):
+    """Group one_or_more (r12): never native, batch now supports it
+    (within-bounded union, collapsed geometry), so the dispatcher
+    routes it through replay and equals batch — the schema is
+    epoch-stable because the collapsed geometry is independent of the
+    per-epoch data bound."""
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "loop": True, "mode": "strict",
+    }]
+    rows = [
+        (1, _t(0), "A"), (1, _t(1), "B"), (1, _t(2), "A"), (1, _t(3), "B"),
+        (2, _t(0), "A"), (2, _t(1), "B"),
+        _FLUSH,
+    ]
+    routed, got, want = _run_pattern(
+        spark, tmp_path, _SCHEMA, rows,
+        [rows[:2] + rows[4:6], rows[2:4], rows[6:]],
+        g, contiguity="strict", within="10 minutes",
+    )
+    assert routed == "replay"
+    # names+types (nullability differs: the batch union's literal n
+    # columns are provably non-null; replay's normalized readback is
+    # nullable — a flag, not a shape)
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in want.schema
+    ]
+    assert _rows_of(got) == _rows_of(want) and got.count() == 4
