@@ -114,6 +114,31 @@ HEADLINE = [
     # correctness-gated via queries()/oracle_sql().
 ]
 
+#: Envelope-only rows (r12 — VERDICT r11 #3): oracle-backed families
+#: added after the r10 headline froze. ``--oracle`` measures them so
+#: the per-query 2×-of-DuckDB contract covers the CURRENT surface; the
+#: timed headline stays frozen (cross-round totals comparability).
+ENVELOPE_EXTRA = [
+    "q145_gapfill_linear",
+    "q147_sweepline_concurrency",
+    "q148_retention_cohorts",
+    "q149_lttb_downsample",
+    # q150_ewma is EXCLUDED: its oracle is deliberately a bit-exact
+    # sequential-recurrence replay (recursive CTE, one iteration per
+    # row-rank) — quadratic in DuckDB at sf0.1 (measured: minutes; it
+    # is a correctness oracle, not a performance baseline, so a ratio
+    # against it says nothing about the engine). The Spark side is one
+    # keyed applyInPandas scan and stays correctness-gated via the
+    # driver.
+    "q151_month_rollup",
+    "q152_month_gapfill",
+    "q153_cep_group_exact",
+    "q154_cep_group_range",
+    "q155_week_origin_gapfill",
+    "q156_match_recognize_sql",
+    "q157_cep_group_one_or_more",
+]
+
 
 def _force(df) -> None:
     """Materialize every column of every row (noop data source: rows are
@@ -201,7 +226,7 @@ def _load_queries_from(repo_dir: str) -> dict:
                 sys.modules.update(cur)
         return run
 
-    return {name: _swapped(fn) for name, fn in queries.items()}
+    return {name: _swapped(fn) for name, fn in queries.items()}, _swapped
 
 
 def compare_main(ref: str, pairs: int, only: list[str] | None = None) -> None:
@@ -219,7 +244,7 @@ def compare_main(ref: str, pairs: int, only: list[str] | None = None) -> None:
         check=True, cwd=repo, capture_output=True,
     )
     try:
-        old_queries = _load_queries_from(wt)
+        old_queries, swap = _load_queries_from(wt)
         spark = get_spark(
             app_name="flink-note-spark-bench-compare",
             shuffle_partitions=_shuffle_partitions_for(sf_dir),
@@ -262,22 +287,81 @@ def compare_main(ref: str, pairs: int, only: list[str] | None = None) -> None:
             }
         total_old = round(sum(r["old"] for r in results.values()), 4)
         total_new = round(sum(r["new"] for r in results.values()), 4)
-        print(
-            json.dumps(
-                {
-                    "metric": "paired_compare_sec",
-                    "ref": ref,
-                    "pairs": pairs,
-                    "total_old": total_old,
-                    "total_new": total_new,
-                    "total_delta_pct": round(
-                        (total_new - total_old) / total_old * 100, 1
-                    ),
-                    "queries": results,
-                    "skipped": skipped,
+
+        # Streaming paired row (r12 — VERDICT r11 #6): the one bench
+        # metric with no drift defense until now. Same instrument as
+        # the batch pairs — ref engine vs worktree engine alternated
+        # per run in ONE session over ONE staged source; the engine
+        # import happens inside _stream_run_once, so the swapper
+        # redirects it. Runs unless --only names queries without it.
+        streaming = None
+        if only is None or "cep_stream_relaxed" in only:
+            import shutil
+            import statistics
+            import tempfile as _tf
+
+            stmp = _tf.mkdtemp(prefix="bench_stream_cmp_")
+            try:
+                src, schema, n_rows = _stream_probe_stage(
+                    spark, sf_dir, stmp
+                )
+                sides_s = {
+                    "old": swap(_stream_run_once),
+                    "new": _stream_run_once,
                 }
-            )
-        )
+                for fn in sides_s.values():  # warm both engines
+                    fn(spark, src, schema, stmp)
+                st: dict[str, list[float]] = {"old": [], "new": []}
+                for i in range(pairs):
+                    order = (
+                        ("old", "new") if i % 2 == 0 else ("new", "old")
+                    )
+                    for side in order:
+                        gc.collect()
+                        st[side].append(
+                            sides_s[side](spark, src, schema, stmp)
+                        )
+                om = statistics.median(st["old"])
+                nm = statistics.median(st["new"])
+                streaming = {
+                    "op": "cep_stream_relaxed",
+                    "rows_in": n_rows,
+                    "old": round(om, 4),
+                    "new": round(nm, 4),
+                    "delta_pct": round((nm - om) / om * 100, 1),
+                    "old_min": round(min(st["old"]), 4),
+                    "new_min": round(min(st["new"]), 4),
+                    "delta_min_pct": round(
+                        (min(st["new"]) - min(st["old"]))
+                        / min(st["old"]) * 100, 1,
+                    ),
+                    "old_rows_per_sec": int(n_rows / om),
+                    "new_rows_per_sec": int(n_rows / nm),
+                }
+            except Exception as e:  # noqa: BLE001 — row is best-effort
+                print(
+                    f"streaming paired row skipped: "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+            finally:
+                shutil.rmtree(stmp, ignore_errors=True)
+
+        out = {
+            "metric": "paired_compare_sec",
+            "ref": ref,
+            "pairs": pairs,
+            "total_old": total_old,
+            "total_new": total_new,
+            "total_delta_pct": round(
+                (total_new - total_old) / max(total_old, 1e-9) * 100, 1
+            ),
+            "queries": results,
+            "skipped": skipped,
+        }
+        if streaming is not None:
+            out["streaming"] = streaming
+        print(json.dumps(out))
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
@@ -314,8 +398,9 @@ def oracle_main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    names = [n for n in HEADLINE if n in ORACLES]
-    skipped = [n for n in HEADLINE if n not in ORACLES]
+    pool = HEADLINE + [n for n in ENVELOPE_EXTRA if n not in HEADLINE]
+    names = [n for n in pool if n in ORACLES]
+    skipped = [n for n in pool if n not in ORACLES]
 
     # session floor probe: the cheapest realistic query shape (scan →
     # groupBy → noop over one small table), best-of-3 after warm-up —
@@ -330,8 +415,11 @@ def oracle_main() -> None:
         floor = min(floor, time.perf_counter() - t0)
 
     for name in names:  # warm both engines
+        t0 = time.perf_counter()
         _force(QUERIES[name](spark, sf_dir))
         duck.execute(ORACLES[name]).fetchall()
+        print(f"  warmed {name}: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
 
     rows = []
     for name in names:
@@ -349,6 +437,8 @@ def oracle_main() -> None:
         adj = max(s_best - floor, 1e-9) / d_best
         rows.append((name, round(d_best, 3), round(s_best, 3),
                      round(raw, 1), round(adj, 1)))
+        print(f"  measured {name}: duck {d_best:.3f}s spark "
+              f"{s_best:.3f}s", file=sys.stderr)
 
     print(f"\nfloor (scan→groupBy→noop, best-of-3): {floor:.3f} s; "
           f"sf_dir={sf_dir}; no-oracle skipped: {skipped}\n")
@@ -379,6 +469,56 @@ def oracle_main() -> None:
     }))
 
 
+def _stream_probe_stage(spark, sf_dir: str, tmp: str):
+    """Stage the events table once for the streaming probe (untimed):
+    micros-timestamp parquet (the fixture's TIMESTAMP(NANOS) needs the
+    batch reader's nanos handling; watermarks need LTZ). Returns
+    ``(src_path, schema, n_rows)``."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(tmp, "src")
+    events.withColumn("ts", F.col("ts").cast("timestamp")) \
+        .repartition(8).write.mode("overwrite").parquet(src)
+    return src, spark.read.parquet(src).schema, spark.read.parquet(src).count()
+
+
+def _stream_run_once(spark, src, schema, tmp) -> float:
+    """One timed drain of the relaxed view→click→purchase CEP stream
+    over a FRESH checkpoint. The engine import happens INSIDE, so the
+    paired-compare module swapper redirects it to the ref checkout's
+    engine (the call-time-import convention of the query registry)."""
+    import tempfile
+
+    from flink_note_spark.streaming.ops import match_pattern_stream
+
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=tmp)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    out = match_pattern_stream(
+        stream, ["view", "click", "purchase"],
+        within="7 days", watermark="1 minute",
+        contiguity="relaxed",
+    )
+    t0 = time.perf_counter()
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return time.perf_counter() - t0
+
+
 def _streaming_throughput(spark, sf_dir: str) -> dict | None:
     """One driver-parseable STREAMING metric (VERDICT r6 item 8): rows/s
     through ``match_pattern_stream`` (relaxed view→click→purchase CEP —
@@ -393,48 +533,14 @@ def _streaming_throughput(spark, sf_dir: str) -> dict | None:
     import shutil
     import tempfile
 
-    from flink_note_spark.session import load_table
-    from flink_note_spark.streaming.ops import match_pattern_stream
-
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     try:
-        from pyspark.sql import functions as F
-
-        events = load_table(spark, sf_dir, "events")
-        src = os.path.join(tmp, "src")
-        # watermarks need TIMESTAMP (LTZ); the fixture round-trips NTZ
-        events.withColumn("ts", F.col("ts").cast("timestamp")) \
-            .repartition(8).write.mode("overwrite").parquet(src)
-        n_rows = spark.read.parquet(src).count()
-        schema = spark.read.parquet(src).schema
-
-        def run() -> float:
-            ckpt = tempfile.mkdtemp(prefix="bench_ckpt_", dir=tmp)
-            stream = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 4)
-                .parquet(src)
-            )
-            out = match_pattern_stream(
-                stream, ["view", "click", "purchase"],
-                within="7 days", watermark="1 minute",
-                contiguity="relaxed",
-            )
-            t0 = time.perf_counter()
-            q = (
-                out.writeStream.format("noop")
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-            return time.perf_counter() - t0
-
-        run()  # warm-up (JIT, state-store init)
-        el = min(run(), run())
+        src, schema, n_rows = _stream_probe_stage(spark, sf_dir, tmp)
+        _stream_run_once(spark, src, schema, tmp)  # warm-up (JIT, state store)
+        el = min(
+            _stream_run_once(spark, src, schema, tmp),
+            _stream_run_once(spark, src, schema, tmp),
+        )
         return {
             "op": "cep_stream_relaxed",
             "rows_in": n_rows,
@@ -513,6 +619,10 @@ def main() -> None:
                           "total_delta_pct")
                 if k in p
             }
+            if "streaming" in p:  # r12: the drift-immune streaming delta
+                out["paired"]["streaming_delta_pct"] = (
+                    p["streaming"].get("delta_pct")
+                )
             out["paired"]["detail"] = "BENCH_PAIRED.json"
         except (OSError, ValueError):
             pass

@@ -868,6 +868,117 @@ def _loop_group_template(entries: list[tuple]) -> list[PatternStep]:
     return collapsed
 
 
+#: test hook: force the union path even when the strict fast path
+#: applies (the fast==union differential pins equivalence)
+_GROUP_LOOP_FAST = True
+
+
+def _match_group_loop_strict_fast(
+    events: DataFrame,
+    subs: list[PatternStep],
+    *,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    within: str,
+    tiebreak: list[str] | None,
+    max_reps: int,
+) -> DataFrame:
+    """FAST PATH for the common group-loop shape — ONE strict loop
+    group as the whole pattern, plain type-equality inner steps (r12,
+    measured 18.0 s → sub-second on q157 at sf0.1): instead of a union
+    of k bounded engines (cost ∝ bound × engine pass), enumerate the
+    matches directly, output-proportionally.
+
+    A k-iteration match at position p is exactly: ``pair_start`` at
+    positions p, p+L, …, p+(k−1)L, where ``pair_start(p)`` means the L
+    consecutive rows from p carry the group's types in order. So:
+
+    1. one keyed window pass: positions + L−1 type/ts leads →
+       ``pair_start`` rows (the candidate predicate runs at the scan);
+    2. gaps-and-islands over pair-starts within each ``(key, pos mod
+       L)`` class (__pos − __rn·L constant inside a run): ``__rem`` =
+       pair-starts remaining in the run from here on;
+    3. ``explode(sequence(1, least(__rem, max_reps)))`` — every
+       (start, k) candidate, capped by the horizon-density bound
+       (semantics-free: k·L consecutive rows spanning ≤ within implies
+       k·L ≤ the densest-window row count, the bound's definition);
+    4. ONE co-partitioned equi-join back to the pair-start frame at
+       ``__pos + (k−1)·L`` for the LAST iteration's timestamps, then
+       the within filter.
+
+    Three keyed shuffles total, all input/output-proportional — and
+    NO density refusal: a boilerplate-flooded horizon produces many
+    candidates only when they are genuine matches (output-
+    proportional is the honest cost). Emission set == the union
+    path's (differential-pinned in tests)."""
+    L = len(subs)
+    tb = list(tiebreak or [])
+    w = Window.partitionBy(key_col).orderBy(time_col, *tb)
+    df = events.select(key_col, time_col, type_col, *tb).withColumn(
+        "__pos", F.row_number().over(w)
+    )
+    for j in range(1, L):
+        df = df.withColumn(f"__t{j}", F.lead(type_col, j).over(w))
+        df = df.withColumn(f"__ts{j}", F.lead(time_col, j).over(w))
+    cond = F.col(type_col) == subs[0].event_type
+    for j in range(1, L):
+        cond = cond & (F.col(f"__t{j}") == subs[j].event_type)
+    pairs = df.filter(cond).select(
+        F.col(key_col),
+        "__pos",
+        F.col(time_col).alias("__ts0"),
+        *[F.col(f"__ts{j}") for j in range(1, L)],
+    )
+    cls = F.pmod(F.col("__pos"), F.lit(L))
+    wcls = Window.partitionBy(key_col, cls).orderBy("__pos")
+    pairs = pairs.withColumn(
+        "__isl", F.col("__pos") - F.row_number().over(wcls) * F.lit(L)
+    )
+    wisl = (
+        Window.partitionBy(key_col, cls, "__isl")
+        .orderBy("__pos")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    pairs = pairs.withColumn("__rem", F.count(F.lit(1)).over(wisl))
+    pairs = pairs.localCheckpoint(eager=False)
+
+    starts = pairs.select(
+        F.col(key_col),
+        F.col("__pos").alias("__spos"),
+        *[F.col(f"__ts{j}").alias(f"__fts{j}") for j in range(L)],
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.col("__rem"), F.lit(max_reps))
+            )
+        ).alias("__k"),
+    ).withColumn(
+        "__tpos", F.col("__spos") + (F.col("__k") - 1) * F.lit(L)
+    )
+    lasts = pairs.select(
+        F.col(key_col),
+        F.col("__pos").alias("__lpos"),
+        *[F.col(f"__ts{j}").alias(f"__lts{j}") for j in range(L)],
+    )
+    out = starts.join(
+        lasts,
+        (starts[key_col] == lasts[key_col])
+        & (F.col("__tpos") == F.col("__lpos")),
+    ).drop(lasts[key_col])
+    out = out.filter(
+        F.col(f"__lts{L - 1}")
+        <= F.col("__fts0") + F.expr(f"INTERVAL {within}")
+    )
+    sel = [F.col(key_col)]
+    for j in range(1, L + 1):
+        sel += [
+            F.col(f"__fts{j - 1}").alias(f"ts_{j}"),
+            F.col(f"__lts{j - 1}").alias(f"ts_{j}_last"),
+            F.col("__k").cast("long").alias(f"n_{j}"),
+        ]
+    return out.select(*sel)
+
+
 def _match_group_loop(
     events: DataFrame,
     pattern,
@@ -945,6 +1056,29 @@ def _match_group_loop(
     assert entries is not None  # caller routed on loop-group presence
 
     rows_bound = _within_row_bound(events, key_col, time_col, within)
+
+    # fast path (r12): ONE non-optional strict loop group as the whole
+    # pattern, plain type-equality steps — enumerate matches directly
+    # (output-proportional, no density refusal) instead of the
+    # bound-×-engines union; see _match_group_loop_strict_fast
+    if _GROUP_LOOP_FAST and len(entries) == 1 and entries[0][0] == "loop":
+        subs, gmode, optional = entries[0][1], entries[0][2], entries[0][3]
+
+        def _eff(j: int, s: PatternStep) -> str | None:
+            m = gmode if (j == 0 and gmode is not None) else s.mode
+            return m or contiguity
+
+        if (
+            not optional
+            and all(_eff(j, s) == "strict" for j, s in enumerate(subs))
+            and all(s.where is None for s in subs)
+        ):
+            return _match_group_loop_strict_fast(
+                events, subs,
+                key_col=key_col, time_col=time_col, type_col=type_col,
+                within=within, tiebreak=tiebreak,
+                max_reps=max(1, rows_bound // len(subs)),
+            )
     count_axes: list[list[int]] = []
     for e in entries:
         if e[0] != "loop":

@@ -496,6 +496,55 @@ def compact_replay_log(
     return out
 
 
+def suggest_state_buckets(
+    live_keys: int,
+    keys_per_epoch: int,
+    max_bucket_keys: int = 1_000_000,
+    max_buckets: int = 4096,
+) -> int:
+    """Size ``retract_stream_start``'s ``state_buckets`` from observed
+    workload shape (r12 — VERDICT r11 #8: the bucketed-state win
+    evaporates for uniform large batches, and a user who guesses
+    configures themselves onto BASELINE's measured 91 s full-rewrite
+    line). The bucket count is part of the persisted hash layout — it
+    CANNOT change once the log exists — so size it up front from the
+    expected steady state and re-log (not re-configure) if the shape
+    changes an order of magnitude.
+
+    ``live_keys``: expected total distinct keys the aggregate holds.
+    ``keys_per_epoch``: expected distinct keys per micro-batch.
+
+    Two regimes (the BASELINE probe's physics):
+
+    - **Uniform large batches** (``keys_per_epoch`` within 2× of
+      ``live_keys``): every hash layout rewrites ~all live keys per
+      epoch — the Delta/Hudi-merge physics; extra buckets are pure
+      metadata overhead (the reader's bucket-resolution scan is
+      O(epochs × buckets) driver-side). Buckets exist only so one
+      bucket's keys fit an executor: ``ceil(live / max_bucket_keys)``.
+    - **Hot-key batches** (``keys_per_epoch ≪ live_keys``): epoch I/O
+      ≈ touched_buckets × live/B, so more buckets help until
+      collisions stop mattering — ``B = 4 × keys_per_epoch`` makes a
+      batch key's bucket-collision probability ≤ ~22 % (1−(1−1/B)^k),
+      keeping touched ≈ distinct keys; floored at the executor-fit
+      count, capped at ``max_buckets`` (the metadata-scan bound).
+
+    Pure arithmetic — call it with numbers you measured (e.g.
+    ``approx_count_distinct`` over a sample window), not guesses.
+    """
+    if live_keys < 1 or keys_per_epoch < 1:
+        raise ValueError(
+            "live_keys and keys_per_epoch must be >= 1 (measure them; "
+            f"got {live_keys}, {keys_per_epoch})"
+        )
+    if max_bucket_keys < 1 or max_buckets < 1:
+        raise ValueError("max_bucket_keys and max_buckets must be >= 1")
+    fit = -(-live_keys // max_bucket_keys)  # ceil
+    if 2 * keys_per_epoch >= live_keys:
+        return max(1, min(fit, max_buckets))
+    return max(1, min(max_buckets, max(fit, 4 * keys_per_epoch)))
+
+
 def retract_stream_start(
     agg_stream: DataFrame,
     key_cols: list[str],
@@ -531,7 +580,11 @@ def retract_stream_start(
     O(all live keys) — the structural fix for billions of keys (size
     ``state_buckets`` so one bucket's keys fit an executor; the
     ``minhash_index`` bucketing doctrine). Untouched buckets are never
-    read or rewritten.
+    read or rewritten. Size it with :func:`suggest_state_buckets`
+    (r12) from measured live-key / per-epoch-key counts — the count is
+    part of the persisted layout and cannot change later, and uniform
+    large batches rewrite ~all live keys under ANY count (BASELINE's
+    91 s line), where only executor-fit sizing matters.
 
     ``delete_where`` (r11, VERDICT r10 #3) completes the changelog
     alphabet: an aggregate row matching the predicate (SQL string or

@@ -851,3 +851,29 @@ def test_replay_streams_batch_only_match_recognize(spark, tmp_path):
     )
     assert streamed == batch and len(streamed) == 3
     assert {r[2] for r in streamed} == {"sku1", "sku2", "sku3"}
+
+
+def test_suggest_state_buckets_regimes():
+    """Sizing helper (r12 — VERDICT r11 #8): uniform large batches get
+    executor-fit-only bucketing (any layout rewrites ~all live keys —
+    the 91 s-line physics), hot-key batches get collision-avoiding
+    counts, and both respect the fit floor and the metadata cap."""
+    from flink_note_spark.streaming.replay import suggest_state_buckets
+
+    # uniform regime: batch keys ~ live keys -> fit-only
+    assert suggest_state_buckets(2_000_000, 2_000_000) == 2
+    assert suggest_state_buckets(500_000, 400_000) == 1
+    # hot-key regime: B = 4 x per-epoch keys
+    assert suggest_state_buckets(2_000_000, 16) == 64
+    assert suggest_state_buckets(2_000_000, 1) == 4
+    # fit floor wins when live keys dominate
+    assert suggest_state_buckets(50_000_000, 2) == 50
+    # metadata cap
+    assert suggest_state_buckets(10_000_000_000, 100_000) == 4096
+    # refusals: measured numbers required
+    import pytest
+
+    with pytest.raises(ValueError, match="measure"):
+        suggest_state_buckets(0, 5)
+    with pytest.raises(ValueError, match=">= 1"):
+        suggest_state_buckets(10, 5, max_buckets=0)

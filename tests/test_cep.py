@@ -3482,13 +3482,70 @@ def test_group_loop_refusals(spark):
         )
 
 
-def test_group_loop_dense_bound_refuses(spark):
+def test_group_loop_dense_bound_refuses_on_union_path(spark):
     """No silent caps: a horizon dense enough to imply > 128
-    repetitions refuses loudly instead of truncating the union."""
-    rows = [(1, s, "A", s) for s in range(300)]  # 300 rows in 5 min
+    repetitions refuses loudly on the UNION path (here: a leading
+    plain step keeps the pattern off the single-group fast path, which
+    needs no refusal — it is output-proportional)."""
+    rows = [(1, 0, "S", 0)] + [(1, s, "A", s) for s in range(1, 300)]
     with pytest.raises(ValueError, match="data-implied repetition"):
         match_pattern(
             _mk(spark, rows),
-            [{"group": [{"type": "A"}], "loop": True}],
+            ["S", {"group": [{"type": "A"}], "loop": True}],
             within="10 minutes", contiguity="strict",
         )
+
+
+def test_group_loop_fast_path_dense_horizon_no_refusal(spark):
+    """The strict single-group fast path has NO density refusal: a
+    300-row horizon (data-implied bound 300 > 128) enumerates its
+    matches output-proportionally. Spot-check the count: runs of
+    consecutive A's give sum over starts of remaining-run-length pairs
+    capped by within."""
+    rows = [(1, s, "A", s) for s in range(150)]  # one 150-run, 2.5 min
+    out = match_pattern(
+        _mk(spark, rows),
+        [{"group": [{"type": "A"}], "loop": True}],
+        within="10 minutes", contiguity="strict", tiebreak=["event_id"],
+    )
+    # every (start, k): 150 starts, k up to 150-start — all in-horizon
+    assert out.count() == 150 * 151 // 2
+
+
+def test_group_loop_fast_equals_union(spark):
+    """Differential pin: the strict single-group fast path emits
+    exactly the union path's rows (same collapsed schema, same
+    values) on data with broken runs, ties and multiple keys."""
+    import flink_note_spark.operators.cep as cep
+
+    rows = [
+        (1, 0, "A", 1), (1, 60, "B", 2), (1, 120, "A", 3),
+        (1, 180, "B", 4), (1, 240, "C", 5), (1, 300, "A", 6),
+        (1, 360, "B", 7), (1, 420, "A", 8), (1, 480, "B", 9),
+        (1, 540, "A", 10), (1, 30 * 60, "B", 11),  # beyond within
+        (2, 0, "A", 12), (2, 60, "B", 13), (2, 120, "A", 14),
+        (3, 0, "B", 15), (3, 60, "A", 16),
+    ]
+    g = [{
+        "group": [{"type": "A"}, {"type": "B", "mode": "strict"}],
+        "loop": True, "mode": "strict",
+    }]
+    df = _mk(spark, rows)
+    fast = match_pattern(
+        df, g, within="10 minutes", contiguity="strict",
+        tiebreak=["event_id"],
+    )
+    old = cep._GROUP_LOOP_FAST
+    cep._GROUP_LOOP_FAST = False
+    try:
+        union = match_pattern(
+            df, g, within="10 minutes", contiguity="strict",
+            tiebreak=["event_id"],
+        )
+    finally:
+        cep._GROUP_LOOP_FAST = old
+    assert fast.columns == union.columns
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+    assert fast.count() > 0

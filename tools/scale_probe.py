@@ -331,6 +331,34 @@ def main() -> None:
             within="7 days", contiguity="strict", tiebreak=["event_id"],
         )
 
+    def cep_group_loop_probe(ev):
+        """r12 group one_or_more shape: (view next click)+ strict within
+        — the OUTPUT-PROPORTIONAL fast path (pair-start predicate at
+        the scan, gaps-and-islands runs, bounded sequence explode, one
+        co-partitioned join for last-iteration timestamps); the ratio
+        should track the scan + the genuine match count, never the
+        bound × engines the union path pays."""
+        from flink_note_spark.operators.cep import match_pattern
+
+        return match_pattern(
+            ev,
+            [{
+                "group": [
+                    {"type": "view"}, {"type": "click", "mode": "strict"},
+                ],
+                "loop": True, "mode": "strict",
+            }],
+            within="7 days", contiguity="strict", tiebreak=["event_id"],
+        )
+
+    def retention_probe(ev):
+        """q148-shape weekly cohort retention: distinct (user, week)
+        agg → per-user min (cohort) → one join + count-distinct matrix
+        — three combine-shrunk exchanges, output O(cohorts × weeks)."""
+        from flink_note_spark.operators.timeseries import retention_cohorts
+
+        return retention_cohorts(ev, "user_id", "ts", "1 week")
+
     def cep_probe(ev):
         """q68-shape strict-contiguity CEP over the events stream: one
         lead() window pass per key."""
@@ -822,6 +850,11 @@ def main() -> None:
     for tag, evdf in (("x1", ev1x), (f"x{k}", ev_kx)):
         bench(f"cep_strict_{tag}", lambda e=evdf: noop(cep_probe(e)), t)
         bench(f"cep_group_{tag}", lambda e=evdf: noop(cep_group_probe(e)), t)
+        bench(
+            f"cep_group_loop_{tag}",
+            lambda e=evdf: noop(cep_group_loop_probe(e)), t,
+        )
+        bench(f"retention_{tag}", lambda e=evdf: noop(retention_probe(e)), t)
         bench(f"cep_relaxed_{tag}", lambda e=evdf: noop(cep_relaxed_probe(e)), t)
         bench(f"cep_mixed_{tag}", lambda e=evdf: noop(cep_mixed_probe(e)), t)
         bench(f"cep_noskip_{tag}", lambda e=evdf: noop(cep_noskip_probe(e)), t)
@@ -855,6 +888,7 @@ def main() -> None:
             "upsert", "zorder", "remove_spans",
             "ccnet_exact", "ccnet_thresholds", "sdecon",
             "gapfill", "rollup", "concurrency", "lttb",
+            "cep_group_loop", "retention",
         )
         if f"{op}_x1" in t and f"{op}_x{k}" in t
     }
