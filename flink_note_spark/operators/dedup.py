@@ -695,13 +695,76 @@ def minhash_index_save(
     p = index.params
     meta = spark.createDataFrame(
         [(index.id_col, p["n"], p["num_hashes"], p["bands"], p["seed"],
-          p["max_df"], p["max_bucket"])],
+          p["max_df"], p["max_bucket"], buckets)],
         "id_col string, n int, num_hashes int, bands int, seed int, "
-        "max_df int, max_bucket int",
+        "max_df int, max_bucket int, table_buckets int",
     ).write.mode("overwrite")
     if path:
         meta = meta.option("path", f"{path}__meta")
     meta.saveAsTable(f"{table}__meta")
+
+
+def minhash_index_register(
+    spark, table: str, path: str, buckets: int | None = None
+) -> MinHashIndex:
+    """Re-register a persisted :func:`minhash_index_save` layout in a
+    FRESH session's catalog (r12): ``saveAsTable`` records the bucket
+    spec in the session catalog, which an in-memory metastore loses on
+    restart — without re-registration the bucketed files still read,
+    but every probe join pays the index-side exchange the layout
+    exists to avoid. This reads the signature family from the
+    ``{path}__meta`` parquet, issues ``CREATE TABLE ... USING PARQUET
+    CLUSTERED BY ... INTO n BUCKETS LOCATION ...`` for the band and
+    doc tables (Spark's bucketed file names carry their bucket ids, so
+    declared metadata over existing files is exact), and returns the
+    loaded index. ``buckets`` overrides for pre-r12 saves whose meta
+    lacks ``table_buckets`` — passing a WRONG count would silently
+    mis-bucket every future co-located join, so absent both it refuses.
+
+    Idempotent per session: already-registered tables are left alone
+    (the existing registration wins — re-declaring a live table would
+    drop nothing but confuse readers mid-query)."""
+    meta_df = spark.read.parquet(f"{path}__meta")
+    rows = meta_df.collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"minhash_index_register: {path}__meta has {len(rows)} "
+            "rows — not a minhash_index_save layout"
+        )
+    m = rows[0].asDict()
+    b = m.get("table_buckets") or buckets
+    if not b:
+        raise ValueError(
+            "minhash_index_register: the meta predates r12 (no "
+            "table_buckets column) — pass buckets= with the ORIGINAL "
+            "save-time count (a wrong count silently mis-buckets "
+            "every future co-located join)"
+        )
+
+    def _ddl_cols(p: str) -> str:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(p).schema.fields
+        )
+
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({_ddl_cols(path)}) USING PARQUET "
+            f"CLUSTERED BY (band_id, band_key) INTO {int(b)} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    if not spark.catalog.tableExists(f"{table}__docs"):
+        spark.sql(
+            f"CREATE TABLE {table}__docs ({_ddl_cols(f'{path}__docs')}) "
+            f"USING PARQUET CLUSTERED BY ({m['id_col']}) INTO {int(b)} "
+            f"BUCKETS LOCATION '{path}__docs'"
+        )
+    if not spark.catalog.tableExists(f"{table}__meta"):
+        spark.sql(
+            f"CREATE TABLE {table}__meta USING PARQUET "
+            f"LOCATION '{path}__meta'"
+        )
+    return minhash_index_load(spark, table)
 
 
 def minhash_index_load(spark, table: str) -> MinHashIndex:

@@ -548,21 +548,23 @@ def prepare_training_corpus_stream(
             cur = canonical_docs(cur, pairs, id_col)
             # the meta dir is minhash_index_save's LAST write: its
             # presence implies bands+docs landed (crash-window safe);
-            # a present path with an unregistered table is a fresh
-            # session over old state — refuse rather than clobber
+            # a present path with an unregistered table is a FRESH
+            # SESSION over old state — re-register the bucketed layout
+            # instead of clobbering it (r12, minhash_index_register)
             have_index = os.path.isdir(f"{index_path}__meta")
             if have_index and not spark.catalog.tableExists(
                 f"{index_table}__meta"
             ):
-                raise RuntimeError(
-                    f"persisted index state exists at {index_path} but "
-                    f"table {index_table!r} is not registered in this "
-                    "session's catalog — re-register the three bucketed "
-                    "tables (or point state_dir elsewhere); overwriting "
-                    "would orphan the accumulated corpus state"
+                from flink_note_spark.operators.dedup import (
+                    minhash_index_register,
                 )
-            if have_index:
+
+                idx = minhash_index_register(
+                    spark, index_table, index_path
+                )
+            elif have_index:
                 idx = minhash_index_load(spark, index_table)
+            if have_index:
                 dup = dedup_against_index(
                     cur, idx, threshold=near_dup_threshold,
                     text_col=text_col, verify=True,

@@ -1598,3 +1598,75 @@ def test_minhash_index_append_refuses_id_collision(spark, tmp_path):
     with _pt.raises(ValueError, match="already in the index"):
         minhash_index_append(docs.filter("doc_id < 3"), t,
                              ids_unique=True)
+
+
+def test_minhash_index_register_fresh_catalog(spark, sf_dir, tmp_path):
+    """r12: a persisted index survives a catalog wipe (fresh session
+    over an in-memory metastore) — minhash_index_register re-declares
+    the bucketed layout from the meta parquet and probes are
+    value-identical to the live registration."""
+    import uuid
+
+    from flink_note_spark.operators.dedup import (
+        _table_buckets,
+        dedup_against_index,
+        minhash_index_build,
+        minhash_index_load,
+        minhash_index_register,
+        minhash_index_save,
+    )
+    from flink_note_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 5 == 1)
+    probe = d.filter(F.col("doc_id") % 5 == 0)
+    t = f"mh_reg_{uuid.uuid4().hex[:8]}"
+    p = str(tmp_path / t)
+    minhash_index_save(
+        minhash_index_build(a, ids_unique=True), t, buckets=4, path=p
+    )
+    before = sorted(
+        tuple(r)
+        for r in dedup_against_index(
+            probe, minhash_index_load(spark, t), threshold=0.2,
+            ids_unique=True,
+        ).select("d1", "d2").collect()
+    )
+    # simulate the fresh session: the catalog forgets, the files stay
+    for suffix in ("", "__docs", "__meta"):
+        spark.sql(f"DROP TABLE {t}{suffix}")
+    idx = minhash_index_register(spark, t, p)
+    assert _table_buckets(spark, t) == 4          # bucket spec restored
+    assert idx.params["num_hashes"] == 32
+    after = sorted(
+        tuple(r)
+        for r in dedup_against_index(
+            probe, idx, threshold=0.2, ids_unique=True
+        ).select("d1", "d2").collect()
+    )
+    assert after == before and len(after) >= 0
+    # idempotent: a second register over live tables is a no-op
+    minhash_index_register(spark, t, p)
+
+
+def test_minhash_index_register_refusals(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from flink_note_spark.operators.dedup import minhash_index_register
+
+    # meta without table_buckets (pre-r12 save) and no explicit count
+    import os
+
+    p = str(tmp_path / "old_idx")
+    os.makedirs(f"{p}__meta", exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist([{
+            "id_col": "doc_id", "n": 3, "num_hashes": 32, "bands": 8,
+            "seed": 42, "max_df": None, "max_bucket": 1000,
+        }]),
+        f"{p}__meta/part-0.parquet",
+    )
+    with _pt.raises(ValueError, match="table_buckets"):
+        minhash_index_register(spark, "mh_reg_old", p)

@@ -665,3 +665,53 @@ def test_corpus_stream_refusals(spark, tmp_path):
             checkpoint=str(tmp_path / "c"), index_table="t_x",
             minhash_params={"bogus": 1},
         )
+
+
+def test_corpus_stream_fresh_catalog_reregisters(spark, tmp_path):
+    """A FRESH session's catalog has forgotten the bucketed index
+    tables (in-memory metastore) while the files persist: the pipeline
+    re-registers the layout (minhash_index_register, r12) instead of
+    refusing or clobbering, and the resumed run still equals batch."""
+    from flink_note_spark.pipelines import read_corpus_stream_output
+
+    first, rest = STREAM_DOCS[:4], STREAM_DOCS[4:]
+    chunks = _doc_chunks(tmp_path, first, per=2)
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    _run_corpus_stream(
+        spark, chunks, state, ckpt, index_table="t_corpus_idx_fc"
+    )
+    # simulate the fresh session: catalog wiped, files intact
+    for suffix in ("", "__docs", "__meta"):
+        spark.sql(f"DROP TABLE t_corpus_idx_fc{suffix}")
+
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("text", pa.string()),
+    ])
+    t0 = dt.datetime(2024, 1, 1)
+    for k, (i, s) in enumerate(rest):
+        p = str(chunks / f"late{k}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": i, "ts": t0 + dt.timedelta(seconds=i),
+                  "text": s}],
+                schema=schema,
+            ),
+            p,
+        )
+        os.utime(p, (time.time() + k + 1, time.time() + k + 1))
+    _run_corpus_stream(
+        spark, chunks, state, ckpt, index_table="t_corpus_idx_fc"
+    )
+    out = read_corpus_stream_output(spark, str(state)).collect()
+    assert {r.doc_id: r.split for r in out} == _batch_kept(
+        spark, STREAM_DOCS
+    )
