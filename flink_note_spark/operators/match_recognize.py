@@ -433,7 +433,7 @@ def _expand_subset_measures(
 def match_recognize(
     events: DataFrame,
     *,
-    partition_by: str,
+    partition_by: "str | list[str]",
     order_by: str,
     pattern: str,
     define: dict[str, object] | None = None,
@@ -471,7 +471,49 @@ def match_recognize(
     rows unique per (partition, order) — pass ``tiebreak`` for
     deterministic matching but keep payload access on unique
     timestamps (the ``attach_event_payload`` doctrine).
+
+    ``partition_by`` may be a LIST of columns (r12 — Flink's
+    multi-column PARTITION BY): the keys pack into one struct column
+    (same hash partitioning, zero extra shuffles — the struct is the
+    composite key Catalyst shuffles on anyway) and the output unpacks
+    them back to the named columns. BATCH + SQL-route only: the
+    streaming twins key their per-partition state on one column — pack
+    a struct upstream there.
     """
+    if isinstance(partition_by, (list, tuple)):
+        keys = list(partition_by)
+        if not keys:
+            raise ValueError("partition_by must name at least one column")
+        if len(keys) == 1:
+            partition_by = keys[0]
+        else:
+            missing = [k for k in keys if k not in events.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_by column(s) {missing} not in the "
+                    "events frame"
+                )
+            packed = events.withColumn(
+                "__mr_part", F.struct(*[F.col(k) for k in keys])
+            ).drop(*keys)
+            res = match_recognize(
+                packed,
+                partition_by="__mr_part",
+                order_by=order_by,
+                pattern=pattern,
+                define=define,
+                measures=measures,
+                after_match=after_match,
+                within=within,
+                tiebreak=tiebreak,
+                rows_per_match=rows_per_match,
+                subset=subset,
+            )
+            unpack = [
+                F.col(f"__mr_part.{k}").alias(k) for k in keys
+            ]
+            rest = [F.col(c) for c in res.columns if c != "__mr_part"]
+            return res.select(*unpack, *rest)
     mode = " ".join(rows_per_match.strip().lower().split())
     if mode in ("one row per match", "one"):
         all_rows = False
@@ -1545,10 +1587,11 @@ def parse_match_recognize_sql(body: str) -> dict:
         [SUBSET U = (A, B) [, ...]]
         [DEFINE VAR AS cond [, ...]]
 
-    Deviations (each refuses loudly): multi-column PARTITION BY is out
-    of the translated subset (the operator keys one column — pack a
-    struct upstream); ORDER BY directions must be ASC (row-pattern
-    order is event time); WITHIN takes the single-field INTERVAL form.
+    Deviations (each refuses loudly): ORDER BY directions must be ASC
+    (row-pattern order is event time); WITHIN takes the single-field
+    INTERVAL form. Multi-column PARTITION BY is supported (r12 — the
+    operator packs the keys into one struct, same hash partitioning,
+    unpacked on output).
     """
     masked = _mask_nested(body)
     hits = list(_MR_CLAUSE_RE.finditer(masked))
@@ -1577,13 +1620,16 @@ def parse_match_recognize_sql(body: str) -> dict:
     for kw, seg in segs:
         if kw == "PARTITION BY":
             cols = _split_top_commas(seg)
-            if len(cols) != 1 or not _VAR_RE.match(cols[0]):
+            if not cols or not all(_VAR_RE.match(c) for c in cols):
                 raise ValueError(
-                    f"PARTITION BY must name exactly one plain column "
-                    f"(got {seg!r}) — multi-column keys are out of the "
-                    "translated subset (pack a struct upstream)"
+                    f"PARTITION BY must name plain column(s), got "
+                    f"{seg!r}"
                 )
-            kwargs["partition_by"] = cols[0]
+            # multi-column keys pack into one struct inside the
+            # operator (r12) — same hash partitioning, unpacked output
+            kwargs["partition_by"] = (
+                cols[0] if len(cols) == 1 else cols
+            )
         elif kw == "ORDER BY":
             cols = []
             for c in _split_top_commas(seg):

@@ -848,8 +848,8 @@ def test_match_recognize_sql_create_view(t_env, mr_events):
 @pytest.mark.parametrize(
     "body, msg",
     [
-        ("PARTITION BY user_id, value ORDER BY ts PATTERN (A)",
-         "exactly one plain column"),
+        ("PARTITION BY user_id, 1+2 ORDER BY ts PATTERN (A)",
+         "plain column"),
         ("PARTITION BY user_id ORDER BY ts DESC PATTERN (A)",
          "ascending columns only"),
         ("PARTITION BY user_id ORDER BY ts PATTERN (A B)\n"
@@ -878,3 +878,50 @@ def test_match_recognize_sql_subquery_source_refuses(t_env, mr_events):
             "SELECT * FROM (SELECT * FROM mr_events) "
             f"MATCH_RECOGNIZE ({_MR_SQL_BODY})"
         )
+
+
+def test_match_recognize_sql_multi_column_partition(spark, t_env, sf_dir):
+    """Multi-column PARTITION BY (r12): the SQL route and the operator
+    both key on (user_id, event_type) — results equal the single-key
+    run per (user_id, event_type) slice, with the key columns unpacked
+    first in the output."""
+    from flink_note_spark.operators.match_recognize import match_recognize
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    t_env.create_temporary_view("mr_events2", df)
+    t = t_env.sql_query(
+        """
+        SELECT * FROM mr_events2 MATCH_RECOGNIZE (
+          PARTITION BY user_id, event_type
+          ORDER BY ts, event_id
+          MEASURES FIRST(UP.ts) AS first_up, COUNT(UP.*) AS n_up
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (UP+)
+          DEFINE UP AS UP.value >= 120
+        )
+        """
+    )
+    assert t.to_data_frame().columns == [
+        "user_id", "event_type", "first_up", "n_up",
+    ]
+    got = sorted(tuple(r) for r in t.execute())
+    # differential: the same query keyed on a pre-packed struct column
+    packed = match_recognize(
+        df.withColumn(
+            "k", F.struct(F.col("user_id"), F.col("event_type"))
+        ).drop("user_id", "event_type"),
+        partition_by="k",
+        order_by="ts",
+        pattern="UP+",
+        define={"UP": "value >= 120"},
+        measures={"first_up": "FIRST(UP.ts)", "n_up": "COUNT(UP.*)"},
+        tiebreak=["event_id"],
+    ).select(
+        F.col("k.user_id").alias("user_id"),
+        F.col("k.event_type").alias("event_type"),
+        "first_up", "n_up",
+    )
+    want = sorted(tuple(r) for r in packed.collect())
+    assert got == want and len(got) > 0
