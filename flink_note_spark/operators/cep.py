@@ -780,6 +780,14 @@ def _within_row_bound(
     of the greedy disjointness probe)."""
     from flink_note_spark.operators.windows import _duration_us
 
+    # the engines' within accepts any Spark fixed-width interval
+    # literal; normalize week units before the µs parser (calendar
+    # units — month/year — have no fixed µs width and stay refused)
+    import re as _re
+
+    wk = _re.fullmatch(r"\s*(\d+)\s*weeks?\s*", within.lower())
+    if wk:
+        within = f"{int(wk.group(1)) * 7} days"
     w = (
         Window.partitionBy(key_col)
         .orderBy(F.unix_micros(F.col(time_col).cast("timestamp")))

@@ -4,6 +4,7 @@ library — the way a training-data user actually consumes the engine.
 
 from flink_note_spark.pipelines.curate import (
     CurationConfig,
+    compact_corpus_output,
     curate_corpus,
     prepare_training_corpus,
     prepare_training_corpus_stream,
@@ -12,6 +13,7 @@ from flink_note_spark.pipelines.curate import (
 
 __all__ = [
     "CurationConfig",
+    "compact_corpus_output",
     "curate_corpus",
     "prepare_training_corpus",
     "prepare_training_corpus_stream",

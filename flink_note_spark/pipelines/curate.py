@@ -636,3 +636,106 @@ def prepare_training_corpus_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def compact_corpus_output(
+    spark,
+    state_dir: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    remove_spans_n: int | None = None,
+    remove_spans_min_count: int = 2,
+    max_shared_shingle_ratio: float | None = None,
+    semantic_threshold: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_keep_by: "str | None" = None,
+    semantic_centroids: DataFrame | None = None,
+    semantic_n_cells: int = 16,
+    semantic_max_cell: int | None = 5000,
+    seed: int = 42,
+) -> DataFrame:
+    """Scheduled BATCH COMPACTION over the accumulated
+    :func:`prepare_training_corpus_stream` output (r12) — runs exactly
+    the corpus-global stages the ingest pipeline refuses by absence,
+    because their meaning is frame-relative: [ExactSubstr span removal
+    →] [n-gram novelty gate →] [SemDeDup semantic collapse], in the
+    batch pipeline's stage order, over the WHOLE kept corpus at once.
+    Writes a compacted snapshot parquet at ``out_path`` (overwrite —
+    re-running a compaction is idempotent) and returns the DataFrame.
+
+    Semantics, stated honestly:
+
+    - The snapshot is a derived VIEW of the kept corpus. The stream's
+      durable state (digest store, MinHash index) keeps accruing over
+      ORIGINAL text — compaction does not feed back, so ingest
+      decisions stay deterministic and replay-stable regardless of
+      when/whether compactions run (the Delta-compaction relationship,
+      except span removal genuinely rewrites the snapshot's text).
+    - Frequency-based signals (span counts, shingle document
+      frequency) are computed over the SURVIVING corpus, not the
+      pre-dedup universe the one-shot batch pipeline would see. For
+      boilerplate detection that is the better-behaved universe
+      (near-duplicate copies no longer inflate counts), but it is a
+      DOCUMENTED DEVIATION from ``prepare_training_corpus``'s stage
+      ordering — equality with the one-shot batch run is NOT claimed
+      and not tested; the per-stage operators themselves are the
+      shared, oracle-backed code.
+    - Scale shape: each stage is the same bounded plan it has in the
+      batch pipeline (positional-gram counts map-side-combinable;
+      novelty one shingle scan + doc agg; semantic one cell self-join
+      + components rounds); the compaction never pairs documents
+      lexically — the stream already guarantees no near-dup pairs
+      survive among kept docs.
+    """
+    from flink_note_spark.operators.components import canonical_docs
+
+    if semantic_threshold is not None and embeddings is None:
+        raise ValueError(
+            "semantic_threshold requires an embeddings frame "
+            f"({id_col!r} + one vector column)"
+        )
+    cur = read_corpus_stream_output(spark, state_dir)
+    if remove_spans_n is not None:
+        from flink_note_spark.operators.dedup import remove_dup_spans
+
+        cur = remove_dup_spans(
+            cur, n=remove_spans_n, min_count=remove_spans_min_count,
+            id_col=id_col, text_col=text_col, out_col="__rs_clean",
+        )
+        cur = (
+            cur.drop(text_col, "n_tokens", "n_kept_tokens")
+            .withColumnRenamed("__rs_clean", text_col)
+        )
+    if max_shared_shingle_ratio is not None:
+        cur = _novelty_gate(
+            cur, text_col, id_col, max_shared_shingle_ratio
+        )
+    if semantic_threshold is not None:
+        from flink_note_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        vec_cols = [c for c in embeddings.columns if c != id_col]
+        if not vec_cols:
+            raise ValueError(
+                f"embeddings frame must carry {id_col!r} and a vector "
+                f"column, got {embeddings.columns}"
+            )
+        emb = embeddings.select(id_col, vec_cols[0]).join(
+            cur.select(id_col), id_col, "semi"
+        )
+        spairs = semantic_dedup_pairs(
+            emb,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            vec_col=vec_cols[0],
+            n_cells=semantic_n_cells,
+            seed=seed,
+            centroids=semantic_centroids,
+            max_cell=semantic_max_cell,
+        )
+        cur = canonical_docs(cur, spairs, id_col, keep_by=semantic_keep_by)
+    cur.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

@@ -715,3 +715,66 @@ def test_corpus_stream_fresh_catalog_reregisters(spark, tmp_path):
     assert {r.doc_id: r.split for r in out} == _batch_kept(
         spark, STREAM_DOCS
     )
+
+
+def test_compact_corpus_output_runs_global_stages(spark, tmp_path):
+    """Batch compaction (r12) over the accumulated stream output: the
+    ExactSubstr span strip and the n-gram novelty gate — the stages the
+    ingest pipeline refuses by absence — run over the WHOLE kept
+    corpus; the snapshot lands at out_path and the stream's durable
+    state is untouched (no feedback)."""
+    from flink_note_spark.pipelines import compact_corpus_output
+
+    boiler = "subscribe to our newsletter for daily updates"
+    docs = [
+        (1, f"an interesting article about spark engines {boiler}"),
+        (2, f"another long piece on flink runtimes here {boiler}"),
+        (3, "a fully unique document with original phrasing inside"),
+        # novelty victim: its 3-grams are a subset of doc 5's, but no
+        # 6-gram repeats (the span strip must not touch this pair)
+        (4, "red orange yellow green blue"),
+        (5, "zz red orange yellow green blue yy"),
+    ]
+    chunks = _doc_chunks(tmp_path, docs, per=2)
+    state = tmp_path / "state"
+    _run_corpus_stream(
+        spark, chunks, state, tmp_path / "ckpt",
+        index_table="t_corpus_idx_cc", near_dup_threshold=None,
+    )
+    import glob
+
+    digests_before = len(
+        glob.glob(str(state / "digests" / "*.parquet"))
+    )
+    out = compact_corpus_output(
+        spark, str(state), str(tmp_path / "snap"),
+        remove_spans_n=6, remove_spans_min_count=2,
+        max_shared_shingle_ratio=0.7,
+    )
+    rows = {r.doc_id: r.text for r in out.collect()}
+    # the shared boilerplate 5-gram span is stripped from BOTH docs
+    assert all(boiler not in t for t in rows.values())
+    assert 3 in rows and "original phrasing" in rows[3]
+    # novelty: doc 4 shares every 3-gram with doc 5 -> dropped; 5 keeps
+    assert 4 not in rows and 5 in rows
+    # no feedback into stream state; snapshot is re-readable
+    assert len(glob.glob(str(state / "digests" / "*.parquet"))) \
+        == digests_before
+    assert spark.read.parquet(str(tmp_path / "snap")).count() == len(rows)
+    # idempotent overwrite
+    again = compact_corpus_output(
+        spark, str(state), str(tmp_path / "snap"),
+        remove_spans_n=6, remove_spans_min_count=2,
+        max_shared_shingle_ratio=0.7,
+    )
+    assert {r.doc_id for r in again.collect()} == set(rows)
+
+
+def test_compact_corpus_output_semantic_refusal(spark, tmp_path):
+    from flink_note_spark.pipelines import compact_corpus_output
+
+    with pytest.raises(ValueError, match="embeddings frame"):
+        compact_corpus_output(
+            spark, str(tmp_path / "nostate"), str(tmp_path / "o"),
+            semantic_threshold=0.9,
+        )

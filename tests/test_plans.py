@@ -364,3 +364,19 @@ def test_q124_semantic_pipeline_no_cartesian(spark, sf_dir):
     df = QUERIES["q124_semantic_corpus_prep"](spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q157_group_loop_fast_path_plan(spark, sf_dir):
+    """The r12 group-loop fast path must stay the output-proportional
+    plan: no nested-loop join (the last-iteration lookup is a
+    co-partitioned equi-join on (key, computed position)) and a bounded
+    shuffle count — two window partitionings + the join, not the
+    bound × engine passes the union path pays."""
+    df = QUERIES["q157_cep_group_one_or_more"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # windows (pos/leads; islands class; rem) + the equi-join + the
+    # final ORDER BY — anything near the union path's count would be
+    # an order of magnitude larger
+    assert shuffle_count(df) <= 7, f"fast path shuffles {shuffle_count(df)}×"
