@@ -1145,6 +1145,16 @@ def match_recognize_stream(
       Flink by supporting it) or join matches back to the raw topic
       in ``foreachBatch``.
     """
+    if isinstance(partition_by, (list, tuple)):
+        if len(partition_by) == 1:
+            partition_by = partition_by[0]
+        else:
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE partitions on ONE column — "
+                "pack a struct upstream (withColumn + F.struct) for a "
+                "composite key; the batch operator packs list keys "
+                "itself (r12)"
+            )
     if " ".join(rows_per_match.strip().lower().split()) not in (
         "one row per match", "one",
     ):

@@ -2477,3 +2477,25 @@ def test_mr_subset_avg_and_count_col_stream(spark, tmp_path):
     )
     assert got == want
     assert got
+
+
+def test_stream_twin_refuses_multi_column_partition(spark):
+    """r12: the batch operator packs list keys into a struct; the
+    streaming twin keys single-column state and refuses lists with the
+    pack-upstream pointer (a single-element list is unwrapped)."""
+    import pytest as _pt
+
+    from flink_note_spark.operators.match_recognize import (
+        match_recognize_stream,
+    )
+
+    src = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "CAST(value AS STRING) AS grp",
+        "timestamp AS ts", "CAST(value AS DOUBLE) AS value",
+    )
+    with _pt.raises(ValueError, match="pack a struct upstream"):
+        match_recognize_stream(
+            src, partition_by=["user_id", "grp"], order_by="ts",
+            pattern="A", define={"A": "value >= 0"},
+            measures={"t": "A.ts"}, within="10 minutes",
+        )
