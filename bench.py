@@ -162,14 +162,16 @@ def _shuffle_partitions_for(sf_dir: str) -> int:
     return max(8, min(64, total // (4 * 1024 * 1024)))
 
 
-def _load_queries_from(repo_dir: str) -> dict:
+def _load_queries_from(repo_dir: str) -> tuple[dict, "Callable"]:
     """Import another checkout's ``flink_note_spark.queries.QUERIES``
     under full ``sys.modules`` isolation: the current package's modules
     are parked, the checkout is imported from its own path, then module
     state is restored. The returned callables keep references to THEIR
     OWN module objects (and the package registers itself for cloudpickle
     by-value, so worker-side UDFs stay self-contained) — both registries
-    can run side by side in one SparkSession."""
+    can run side by side in one SparkSession. Returns ``(queries,
+    swap)`` where ``swap(fn)`` runs ANY callable under the checkout's
+    modules (r12 — the paired streaming probe reuses it)."""
     import importlib
 
     saved = {
