@@ -1047,12 +1047,21 @@ def _match_group_loop(
             "explicitly with times(n, m)"
         )
     skip = _parse_skip(skip_strategy)
-    if skip is not None and skip[0] != "greedy":
+    if skip is not None:
+        # r13 (ADVICE): an EXPLICIT "greedy" is refused too, not
+        # silently accepted — the loop-group union emits every
+        # (start, count) pair, whereas step-level one_or_more under
+        # greedy emits one maximal match per start; accepting the
+        # keyword while changing its emission semantics would be a
+        # silent divergence. skip_strategy=None is the loop-group
+        # convention (every repetition count is a row).
         raise ValueError(
             "skip strategies over group loops are unsupported (the "
             "union of repetition counts has no single positional "
-            "geometry — the ranged-group rule) — prune the union "
-            "downstream"
+            "geometry — the ranged-group rule; explicit 'greedy' "
+            "would not mean maximal-per-start here: every "
+            "(start, count) pair is emitted) — leave skip_strategy "
+            "None and prune the union downstream"
         )
     if carry_payload:
         raise ValueError(
@@ -1100,6 +1109,22 @@ def _match_group_loop(
                 "within= or bound the loop with times(n, m)"
             )
         count_axes.append(list(range(0 if optional else 1, reps + 1)))
+
+    # r13 (ADVICE): the per-axis bound alone does not bound the UNION —
+    # itertools.product over k loop groups builds ∏|axis_i| engine
+    # passes (two dense axes at the 128 cap would be a ~16k-branch
+    # plan, a driver hang the single-axis refusal was meant to
+    # prevent). Refuse when the product exceeds the same bound.
+    n_branches = 1
+    for axis in count_axes:
+        n_branches *= len(axis)
+    if n_branches > _MAX_GROUP_REPS:
+        raise ValueError(
+            f"group one_or_more(): the combined repetition space over "
+            f"{len(count_axes)} loop groups is {n_branches} engine "
+            f"passes (> {_MAX_GROUP_REPS}) — tighten within= or bound "
+            "the loops with times(n, m)"
+        )
 
     full_cols = _out_cols(_loop_group_template(entries))
 

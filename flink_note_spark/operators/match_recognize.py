@@ -476,9 +476,12 @@ def match_recognize(
     multi-column PARTITION BY): the keys pack into one struct column
     (same hash partitioning, zero extra shuffles — the struct is the
     composite key Catalyst shuffles on anyway) and the output unpacks
-    them back to the named columns. BATCH + SQL-route only: the
-    streaming twins key their per-partition state on one column — pack
-    a struct upstream there.
+    them back to the named columns. The original key columns ride
+    along as payload during the match (r13), so DEFINE/MEASURES may
+    reference a partition column — legal Flink SQL; they are dropped
+    from the output in favor of the unpacked struct. BATCH +
+    SQL-route only: the streaming twins key their per-partition state
+    on one column — pack a struct upstream there.
     """
     if isinstance(partition_by, (list, tuple)):
         keys = list(partition_by)
@@ -493,9 +496,15 @@ def match_recognize(
                     f"partition_by column(s) {missing} not in the "
                     "events frame"
                 )
+            # r13 (ADVICE): the key columns STAY alongside the packed
+            # struct — Flink SQL allows DEFINE/MEASURES expressions to
+            # reference a partition column, which would otherwise hit
+            # an opaque unresolved-column error after the drop. They
+            # are dropped from the OUTPUT instead (the unpacked struct
+            # is authoritative and value-identical).
             packed = events.withColumn(
                 "__mr_part", F.struct(*[F.col(k) for k in keys])
-            ).drop(*keys)
+            )
             res = match_recognize(
                 packed,
                 partition_by="__mr_part",
@@ -509,6 +518,7 @@ def match_recognize(
                 rows_per_match=rows_per_match,
                 subset=subset,
             )
+            res = res.drop(*[k for k in keys if k in res.columns])
             unpack = [
                 F.col(f"__mr_part.{k}").alias(k) for k in keys
             ]

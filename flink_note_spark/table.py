@@ -797,6 +797,72 @@ _MR_FROM_RE = re.compile(
     r"\bFROM\s+(?P<src>[A-Za-z_]\w*)\s+MATCH_RECOGNIZE\s*\(",
     re.IGNORECASE,
 )
+_MR_FROM_SUBQ_RE = re.compile(r"\bFROM\s*\(", re.IGNORECASE)
+_MR_AFTER_SUBQ_RE = re.compile(r"\s*MATCH_RECOGNIZE\s*\(", re.IGNORECASE)
+
+
+def _mask_sql_noncode(sql: str, mask_quotes: bool = True) -> str:
+    """Length-preserving blank of quoted literals/identifiers and SQL
+    comments (``--`` to end of line, ``/* */``) so the
+    MATCH_RECOGNIZE routing regexes never fire on keyword text inside
+    them (r13 ADVICE — the raw-text search treated a string literal
+    containing MATCH_RECOGNIZE as a row-pattern clause). Doubled
+    quotes inside a quoted region are the standard escape and stay
+    inside; newlines survive so error offsets keep their line
+    geometry. Indices map 1:1 to the original — search the mask,
+    slice the original (the ``_mask_nested`` doctrine,
+    ``operators/match_recognize.py``). ``mask_quotes=False`` blanks
+    ONLY comments and leaves quoted text intact (still quote-aware:
+    comment markers inside a string are not comments) — used to
+    comment-strip a MATCH_RECOGNIZE body before the clause parser,
+    whose DEFINE/MEASURES string literals must survive."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if mask_quotes:
+                for k in range(i + 1, min(j, n)):
+                    if out[k] != "\n":
+                        out[k] = " "
+            i = j + 1
+        elif ch == "-" and sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                out[i] = " "
+                i += 1
+        elif ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            for k in range(i, j):
+                if out[k] != "\n":
+                    out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _balanced_close(masked: str, open_idx: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``open_idx``, scanned on
+    a :func:`_mask_sql_noncode` mask (strings and comments already
+    blank, so every paren seen is structural)."""
+    depth = 0
+    for i in range(open_idx, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
 
 
 class TableEnvironment:
@@ -816,7 +882,7 @@ class TableEnvironment:
         self._mr_seq = 0
 
     def _route_match_recognize(self, sql: str) -> "str | None":
-        """Rewrite ``FROM <table> MATCH_RECOGNIZE ( body ) [AS alias]``
+        """Rewrite ``FROM <src> MATCH_RECOGNIZE ( body ) [AS alias]``
         segments (r12 — VERDICT r11 #2): Spark's parser has no
         row-pattern grammar, so each clause body is parsed by
         :func:`~flink_note_spark.operators.match_recognize.
@@ -827,12 +893,17 @@ class TableEnvironment:
         runs through Catalyst untouched. Returns the rewritten SQL, or
         None when the statement has no MATCH_RECOGNIZE.
 
-        Subset: the row-pattern input must be a NAMED table/view (a
-        subquery source refuses — register it as a temp view first),
-        and a result alias must use the explicit ``AS name`` form (a
-        bare trailing identifier is ambiguous with outer keywords).
-        """
-        if not _MR_KEYWORD_RE.search(sql):
+        ``<src>`` may be a NAMED table/view or, since r13 (VERDICT r12
+        #2), a DERIVED TABLE — ``FROM (SELECT ...) MATCH_RECOGNIZE
+        (...)``, the Flink-docs form: the subquery runs through
+        :meth:`_sql` first (so nested MATCH_RECOGNIZE inside it routes
+        recursively) and its result feeds the operator directly. All
+        keyword searches run on a string/comment mask
+        (:func:`_mask_sql_noncode`, r13 ADVICE) so MATCH_RECOGNIZE
+        inside a literal or comment never triggers routing. A result
+        alias must use the explicit ``AS name`` form (a bare trailing
+        identifier is ambiguous with outer keywords)."""
+        if not _MR_KEYWORD_RE.search(_mask_sql_noncode(sql)):
             return None
         from flink_note_spark.operators.match_recognize import (
             match_recognize,
@@ -841,42 +912,41 @@ class TableEnvironment:
 
         out = sql
         while True:
-            m = _MR_FROM_RE.search(out)
-            if m is None:
-                if _MR_KEYWORD_RE.search(out):
-                    raise ValueError(
-                        "MATCH_RECOGNIZE is supported as FROM <table> "
-                        "MATCH_RECOGNIZE (...) [AS alias] over a named "
-                        "table/view — register subquery inputs as a "
-                        "temp view first"
-                    )
+            masked = _mask_sql_noncode(out)
+            if not _MR_KEYWORD_RE.search(masked):
                 return out
-            # balanced-paren scan from the clause's opening paren,
-            # single-quoted strings opaque (a DEFINE may contain ')')
-            depth, i, in_q, close = 0, m.end() - 1, False, -1
-            while i < len(out):
-                ch = out[i]
-                if in_q:
-                    if ch == "'":
-                        in_q = False
-                elif ch == "'":
-                    in_q = True
-                elif ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                    if depth == 0:
-                        close = i
+            named = _MR_FROM_RE.search(masked)
+            subq = None
+            if named is None:
+                for cand in _MR_FROM_SUBQ_RE.finditer(masked):
+                    sq_open = cand.end() - 1
+                    sq_close = _balanced_close(masked, sq_open)
+                    mm = _MR_AFTER_SUBQ_RE.match(masked, sq_close + 1)
+                    if mm is not None:
+                        subq = (cand.start(), sq_open, sq_close,
+                                mm.end() - 1)
                         break
-                i += 1
-            if close < 0:
+            if named is None and subq is None:
                 raise ValueError(
-                    "unbalanced parentheses in MATCH_RECOGNIZE clause"
+                    "MATCH_RECOGNIZE is supported as FROM <table> "
+                    "MATCH_RECOGNIZE (...) [AS alias] over a named "
+                    "table/view or a (subquery) derived table"
                 )
-            kwargs = parse_match_recognize_sql(out[m.end():close])
-            df = match_recognize(
-                self.spark.table(m.group("src")), **kwargs
+            if named is not None:
+                seg_start = named.start()
+                mr_open = named.end() - 1
+                src_df = self.spark.table(named.group("src"))
+            else:
+                seg_start, sq_open, sq_close, mr_open = subq
+                # recurse through _sql: a nested MATCH_RECOGNIZE in
+                # the derived table routes before Catalyst sees it
+                src_df = self._sql(out[sq_open + 1:sq_close])
+            close = _balanced_close(masked, mr_open)
+            kwargs = parse_match_recognize_sql(
+                _mask_sql_noncode(out[mr_open + 1:close],
+                                  mask_quotes=False)
             )
+            df = match_recognize(src_df, **kwargs)
             self._mr_seq += 1
             view = f"__mr_result_{self._mr_seq}"
             df.createOrReplaceTempView(view)
@@ -888,7 +958,7 @@ class TableEnvironment:
             if am:
                 repl += f" AS {am.group(1)}"
                 tail = tail[am.end():]
-            out = out[: m.start()] + repl + " " + tail
+            out = out[:seg_start] + repl + " " + tail
 
     def _sql(self, sql: str) -> DataFrame:
         """``spark.sql`` with the MATCH_RECOGNIZE rewrite applied."""

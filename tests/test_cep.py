@@ -3480,6 +3480,29 @@ def test_group_loop_refusals(spark):
             df, loop_g, within="10 minutes", contiguity="strict",
             carry_payload={"ts_1": ["event_id"]},
         )
+    # r13 (ADVICE): explicit "greedy" refuses too — the loop-group
+    # union emits every (start, count) pair, not maximal-per-start,
+    # so accepting the keyword would silently change its meaning
+    with pytest.raises(ValueError, match="skip strategies"):
+        match_pattern(
+            df, loop_g, within="10 minutes", contiguity="strict",
+            skip_strategy="greedy",
+        )
+
+
+def test_group_loop_axis_product_refuses(spark):
+    """r13 (ADVICE): the per-axis 128 cap does not bound the UNION —
+    two loop groups multiply. 21 in-horizon rows give each single-step
+    axis 21 counts (well under the cap) but 441 combined engine
+    passes, which must refuse with the same tighten-within guidance."""
+    rows = [(1, s * 20, "A" if s % 2 else "B", s) for s in range(21)]
+    with pytest.raises(ValueError, match="combined repetition space"):
+        match_pattern(
+            _mk(spark, rows),
+            [{"group": [{"type": "A"}], "loop": True},
+             {"group": [{"type": "B"}], "loop": True}],
+            within="10 minutes", contiguity="relaxed",
+        )
 
 
 def test_group_loop_dense_bound_refuses_on_union_path(spark):

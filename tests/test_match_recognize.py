@@ -2479,6 +2479,59 @@ def test_mr_subset_avg_and_count_col_stream(spark, tmp_path):
     assert got
 
 
+def test_multi_column_partition_key_in_define_and_measures(spark):
+    """r13 (ADVICE): DEFINE/MEASURES referencing a partition column is
+    legal Flink SQL — the packed-struct rewrite keeps the key columns
+    alongside during the match instead of dropping them (they are
+    dropped from the OUTPUT in favor of the unpacked struct). Both
+    ONE ROW and ALL ROWS modes, differentially against a literal
+    rewrite of the key predicate."""
+    import datetime as dt
+
+    from flink_note_spark.operators.match_recognize import match_recognize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, g, t0 + dt.timedelta(minutes=i), float(v), i)
+        for i, (u, g, v) in enumerate([
+            (1, "x", 10), (1, "x", 20), (1, "y", 30),
+            (2, "x", 40), (2, "y", 50), (2, "y", 60),
+        ])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, grp string, ts timestamp, value double, "
+        "event_id int",
+    )
+    kw = dict(
+        partition_by=["user_id", "grp"], order_by="ts",
+        pattern="A B",
+        measures={"a_ts": "A.ts", "key_val": "LAST(B.user_id)"},
+        tiebreak=["event_id"],
+    )
+    got = match_recognize(
+        df, define={"A": "value >= 0 AND user_id >= 2",
+                    "B": "grp = 'y'"}, **kw,
+    )
+    assert got.columns == ["user_id", "grp", "a_ts", "key_val"]
+    want = match_recognize(
+        df.filter("user_id >= 2 OR value < 0"),
+        define={"A": "value >= 0", "B": "grp = 'y'"}, **kw,
+    )
+    g = sorted(tuple(r) for r in got.collect())
+    assert g == sorted(tuple(r) for r in want.collect()) and g
+    assert all(r.key_val == r.user_id for r in got.collect())
+    # ALL ROWS: key columns appear once, unpacked first
+    ar = match_recognize(
+        df, define={"A": "user_id = 2", "B": "grp = 'y'"},
+        partition_by=["user_id", "grp"], order_by="ts", pattern="A B",
+        measures={"cls": "CLASSIFIER()"},
+        rows_per_match="all rows per match", tiebreak=["event_id"],
+    )
+    assert ar.columns.count("user_id") == 1
+    assert ar.columns[:2] == ["user_id", "grp"]
+    assert all(r.user_id == 2 for r in ar.collect())
+
+
 def test_stream_twin_refuses_multi_column_partition(spark):
     """r12: the batch operator packs list keys into a struct; the
     streaming twin keys single-column state and refuses lists with the

@@ -872,12 +872,56 @@ def test_match_recognize_sql_refusals(t_env, mr_events, body, msg):
         t_env.sql_query(f"SELECT * FROM mr_events MATCH_RECOGNIZE ({body})")
 
 
-def test_match_recognize_sql_subquery_source_refuses(t_env, mr_events):
-    with pytest.raises(ValueError, match="named table/view"):
-        t_env.sql_query(
-            "SELECT * FROM (SELECT * FROM mr_events) "
-            f"MATCH_RECOGNIZE ({_MR_SQL_BODY})"
-        )
+def test_match_recognize_sql_derived_table_source(t_env, mr_events):
+    """r13 (VERDICT r12 #6): ``FROM (subquery) MATCH_RECOGNIZE`` — the
+    Flink-docs derived-table form — routes: the subquery materializes
+    first and feeds the operator, value-identical to registering the
+    subquery as a view and using the named form."""
+    derived = t_env.sql_query(
+        "SELECT * FROM (SELECT * FROM mr_events WHERE value >= 0) "
+        f"MATCH_RECOGNIZE ({_MR_SQL_BODY}) ORDER BY user_id, start_ts"
+    )
+    named = t_env.sql_query(
+        f"SELECT * FROM mr_events MATCH_RECOGNIZE ({_MR_SQL_BODY}) "
+        "ORDER BY user_id, start_ts"
+    )
+    got = [tuple(r) for r in derived.execute()]
+    want = [tuple(r) for r in named.execute()]
+    assert got == want and len(got) > 0
+
+
+def test_match_recognize_sql_keyword_in_literal_and_comment(t_env,
+                                                            mr_events):
+    """r13 (ADVICE): MATCH_RECOGNIZE inside a string literal or a SQL
+    comment is NOT a row-pattern clause — the statement passes through
+    to Catalyst untouched."""
+    t = t_env.sql_query(
+        "SELECT user_id, 'MATCH_RECOGNIZE (' AS lit  -- MATCH_RECOGNIZE\n"
+        "/* FROM x MATCH_RECOGNIZE ( */ "
+        "FROM mr_events LIMIT 1"
+    )
+    rows = t.execute()
+    assert len(rows) == 1 and rows[0].lit == "MATCH_RECOGNIZE ("
+
+
+def test_match_recognize_sql_comment_inside_clause(t_env, mr_events):
+    """A comment between FROM and the clause (and one containing an
+    unbalanced paren inside the body) must not derail routing — the
+    masked scan is what finds the clause's structural parens."""
+    body = _MR_SQL_BODY.replace(
+        "DEFINE", "DEFINE -- unbalanced ) in a comment\n", 1
+    )
+    t = t_env.sql_query(
+        "SELECT * FROM mr_events /* src */ "
+        f"MATCH_RECOGNIZE ({body}) ORDER BY user_id, start_ts"
+    )
+    named = t_env.sql_query(
+        f"SELECT * FROM mr_events MATCH_RECOGNIZE ({_MR_SQL_BODY}) "
+        "ORDER BY user_id, start_ts"
+    )
+    assert [tuple(r) for r in t.execute()] == [
+        tuple(r) for r in named.execute()
+    ]
 
 
 def test_match_recognize_sql_multi_column_partition(spark, t_env, sf_dir):
