@@ -530,6 +530,7 @@ def prepare_training_corpus_stream(
     digest_compact_every: int | None = None,
     split_hash_fn: str = "xxhash64",
     trigger: dict | None = None,
+    stage_times: "list[dict] | None" = None,
 ):
     """STREAMING :func:`prepare_training_corpus` — curate a DOCUMENT
     STREAM exactly once into a growing kept-corpus, with the same
@@ -568,6 +569,13 @@ def prepare_training_corpus_stream(
       batch pipeline's pairing universe is the curated corpus before
       the benchmark pass, and the stream must pair against the same
       universe.
+
+    ``stage_times`` (r13): pass a list to collect one dict per epoch
+    with wall-clock seconds between the ingest's action boundaries
+    (``prep`` / ``digest_join_write`` / ``gates_lsh_probe`` /
+    ``index_append`` / ``decontam_split_write`` [/ ``compact``]) — the
+    measurement instrument behind BASELINE's per-stage table; lazy
+    stages bill to the action that materializes them.
 
     ``checkpoint`` is REQUIRED (the r11 epoch-writer rule): Spark's
     offset log is what makes a redelivered micro-batch carry identical
@@ -656,7 +664,24 @@ def prepare_training_corpus_stream(
     index_path = os.path.join(state_dir, "index")
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         spark = batch.sparkSession
+        # per-stage wall clock between this epoch's ACTION boundaries
+        # (r13 — VERDICT r12 #2: the measurement instrument behind the
+        # BASELINE per-stage table; lazy stages bill to the action
+        # that materializes them). Zero cost when stage_times is None.
+        t0 = _time.perf_counter()
+        marks: dict = {}
+
+        def _mark(name: str) -> None:
+            nonlocal t0
+            if stage_times is None:
+                return
+            now = _time.perf_counter()
+            marks[name] = round(now - t0, 4)
+            t0 = now
+
         src = batch.drop(ts_col) if ts_col in batch.columns else batch
         if pii_redact:
             src = pii_scan(src, text_col, redact=True)
@@ -690,6 +715,7 @@ def prepare_training_corpus_stream(
         # probe, the ownership join, the epoch write AND the quality
         # gates — without it each action re-runs redaction + dedup
         src = src.localCheckpoint(eager=True)
+        _mark("prep")
         touched = sorted(
             r.b for r in
             src.select(F.col("__bucket").alias("b")).distinct().collect()
@@ -737,6 +763,7 @@ def prepare_training_corpus_stream(
                 "gen int, fence long, n_buckets int",
             ).write.mode("overwrite").parquet(f"{state_dir}/{_DG_META}")
         src = src.drop("__digest", "__bucket")
+        _mark("digest_join_write")
 
         # ---- quality gates (stateless exprs — fuse into the scan)
         import dataclasses
@@ -792,6 +819,7 @@ def prepare_training_corpus_stream(
             # pairing universe); localCheckpoint: cur is reused by the
             # output write below and feeds three index frames
             cur = cur.localCheckpoint(eager=True)
+            _mark("gates_lsh_probe")
             inc = minhash_index_build(
                 cur, id_col, text_col,
                 n=mh["n"], num_hashes=mh["num_hashes"],
@@ -827,6 +855,7 @@ def prepare_training_corpus_stream(
                     _table_buckets(spark, f"{index_table}__docs"),
                     [id_col], mode="append",
                 )
+            _mark("index_append")
 
         # ---- decontamination (static benchmark frame) + split
         if benchmark is not None:
@@ -845,12 +874,16 @@ def prepare_training_corpus_stream(
         kept.write.mode("overwrite").parquet(
             os.path.join(corpus_path, f"ingest_epoch={batch_id}")
         )
+        _mark("decontam_split_write")
         # serialized with ingest, so the fold races nothing; the
         # newest epoch (this one) survives for retry (r13)
         if digest_compact_every and (
             batch_id % digest_compact_every == digest_compact_every - 1
         ):
             compact_digest_store(spark, state_dir)
+            _mark("compact")
+        if stage_times is not None:
+            stage_times.append({"epoch": batch_id, **marks})
 
     writer = (
         docs.writeStream.foreachBatch(_ingest)
