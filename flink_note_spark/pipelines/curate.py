@@ -498,6 +498,197 @@ def compact_digest_store(spark, state_dir: str) -> dict:
     return {"epochs_folded": len(fold), "files_folded": n_files}
 
 
+#: bloom exact-dedup state sub-paths (r13 — VERDICT r12 #8)
+_BL_EPOCHS, _BL_META = "bloom", "bloom_meta"
+
+
+def _bloom_prev_filters(
+    spark, state_dir: str, before_epoch: int, touched: list[int]
+) -> "DataFrame | None":
+    """Latest strictly-earlier ``(shard, filter)`` snapshot per TOUCHED
+    shard (the retract-state ``_prev_state`` resolution): bloom_meta
+    records which epochs wrote which shards; each touched shard reads
+    from the newest epoch below ``before_epoch`` that wrote it, so a
+    replayed micro-batch probes exactly the filters the original saw.
+    None when no touched shard has state."""
+    if not touched or not _fs_exists(spark, f"{state_dir}/{_BL_META}"):
+        return None
+    meta = spark.read.parquet(f"{state_dir}/{_BL_META}")
+    rows = (
+        meta.filter(
+            (F.col("epoch") < before_epoch)
+            & F.col("shard").isin([int(s) for s in touched])
+        )
+        .groupBy("shard")
+        .agg(F.max("epoch").alias("e"))
+        .collect()
+    )
+    if not rows:
+        return None
+    parts = []
+    for r in rows:
+        parts.append(
+            spark.read.parquet(f"{state_dir}/{_BL_EPOCHS}/epoch={int(r.e)}")
+            .filter(F.col("shard") == int(r.shard))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_bloom_state(spark, state_dir: str) -> dict:
+    """Drop bloom-filter epoch snapshots that are fully SHADOWED (the
+    ``compact_retract_state`` pattern): resolution reads each shard's
+    newest epoch only, so an epoch dir every one of whose shards has a
+    newer snapshot can never be read again. The NEWEST epoch never
+    counts as a shadower (retry fence — a replayed newest epoch
+    resolves against epochs strictly before it, which must survive).
+    Meta rows stay. Returns ``{"epoch_dirs_removed": n}``."""
+    out = {"epoch_dirs_removed": 0}
+    if not _fs_exists(spark, f"{state_dir}/{_BL_META}"):
+        return out
+    meta = spark.read.parquet(f"{state_dir}/{_BL_META}")
+    top = meta.agg(F.max("epoch").alias("m")).first()
+    if top is None or top.m is None:
+        return out
+    fenced = meta.filter(F.col("epoch") < int(top.m))
+    latest = {
+        int(r.shard): int(r.e)
+        for r in fenced.groupBy("shard").agg(
+            F.max("epoch").alias("e")
+        ).collect()
+    }
+    by_epoch: dict[int, list[int]] = {}
+    for r in fenced.select("epoch", "shard").distinct().collect():
+        by_epoch.setdefault(int(r.epoch), []).append(int(r.shard))
+    for e, shards in by_epoch.items():
+        if all(latest.get(s, e) > e for s in shards) and _fs_exists(
+            spark, f"{state_dir}/{_BL_EPOCHS}/epoch={e}"
+        ):
+            _fs_delete(spark, f"{state_dir}/{_BL_EPOCHS}/epoch={e}")
+            out["epoch_dirs_removed"] += 1
+    return out
+
+
+def _bloom_exact_dedup(
+    spark, src: DataFrame, state_dir: str, batch_id: int, id_col: str,
+    bp: dict,
+) -> DataFrame:
+    """Bloom variant of the cross-batch exact-dedup stage (r13 —
+    VERDICT r12 #8): FIXED total state (``n_shards × bits_per_shard``
+    bits forever) instead of the O(distinct digests) ownership store —
+    for key-universe-unbounded ingest where even a bucketed store's
+    growth is unwanted. One-sided error contract: a digest seen in an
+    EARLIER epoch is always dropped (no false negatives — the safety
+    property), while a novel document is wrongly dropped with the
+    classic FP probability (≈ ``(1−e^(−k·n/M))^k``); ownership is
+    content-blind (a same-id re-ingest drops too, where the store
+    keeps the owner's row). Exactly-once: filters are epoch-versioned
+    snapshots (probe reads the latest strictly-earlier snapshot per
+    shard, this epoch's update OVERWRITES its own dir), so a replayed
+    batch probes exactly what the original did. Hashing conventions
+    (seeds 101/202/303, odd-step Kirsch–Mitzenmacher walk) mirror
+    ``streaming/ops.py:bloom_dedup_stream``. One shard-keyed shuffle
+    for the probe, one for the update; per-epoch I/O = touched shards
+    only."""
+    import numpy as np
+    import pandas as pd
+
+    m, k = bp["bits_per_shard"], bp["n_hashes"]
+    n_shards, n_bytes = bp["n_shards"], bp["bits_per_shard"] // 8
+    dg = F.col("__digest")
+    src = (
+        src.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(dg, F.lit(101)), F.lit(n_shards)).cast("int"),
+        )
+        .withColumn("__h1", F.xxhash64(dg, F.lit(202)))
+        .withColumn("__h2", F.xxhash64(dg, F.lit(303)))
+    )
+    touched = sorted(
+        r.s
+        for r in src.select(F.col("__shard").alias("s")).distinct().collect()
+    )
+    prev = _bloom_prev_filters(spark, state_dir, batch_id, touched)
+    if prev is None:
+        prev = spark.createDataFrame([], "shard int, filter binary")
+
+    def _positions(left: "pd.DataFrame"):
+        h1 = left["__h1"].to_numpy().astype(np.uint64) % np.uint64(m)
+        h2 = (
+            left["__h2"].to_numpy().astype(np.uint64) | np.uint64(1)
+        ) % np.uint64(m)
+        steps = np.arange(k, dtype=np.uint64)
+        pos = (h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m)
+        return (
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+
+    id_type = dict(src.dtypes)[id_col]
+
+    def _probe(left, right):
+        if not len(left):
+            return pd.DataFrame({"__bid": [], "__dup": []})
+        if not len(right):
+            return pd.DataFrame(
+                {"__bid": left["__bid"],
+                 "__dup": np.zeros(len(left), dtype=bool)}
+            )
+        filt = np.frombuffer(right["filter"].iloc[0], dtype=np.uint8)
+        byte_idx, bit = _positions(left)
+        hit = np.all((filt[byte_idx] & bit) != 0, axis=1)
+        return pd.DataFrame({"__bid": left["__bid"], "__dup": hit})
+
+    dups = (
+        src.select(F.col(id_col).alias("__bid"), "__shard", "__h1", "__h2")
+        .groupBy("__shard")
+        .cogroup(prev.groupBy("shard"))
+        .applyInPandas(_probe, f"__bid {id_type}, __dup boolean")
+    )
+    src = src.join(
+        dups.filter(F.col("__dup")).select("__bid"),
+        src[id_col] == F.col("__bid"),
+        "left_anti",
+    )
+    # bound downstream recomputes (gates reuse src; the update pass
+    # below must also see the post-probe frame exactly once)
+    src = src.localCheckpoint(eager=True)
+
+    def _update(key, left, right):
+        if not len(left):
+            return pd.DataFrame({"shard": [], "filter": []})
+        filt = (
+            np.frombuffer(right["filter"].iloc[0], dtype=np.uint8).copy()
+            if len(right) else np.zeros(n_bytes, dtype=np.uint8)
+        )
+        byte_idx, bit = _positions(left)
+        # unbuffered OR: probes of different rows may share a byte
+        np.bitwise_or.at(filt, byte_idx.ravel(), bit.ravel())
+        return pd.DataFrame({"shard": [key[0]], "filter": [filt.tobytes()]})
+
+    upd = (
+        src.select("__shard", "__h1", "__h2")
+        .groupBy("__shard")
+        .cogroup(prev.groupBy("shard"))
+        .applyInPandas(_update, "shard int, filter binary")
+    )
+    epoch_path = f"{state_dir}/{_BL_EPOCHS}/epoch={batch_id}"
+    upd.write.mode("overwrite").parquet(epoch_path)
+    # meta reflects what actually landed (read-back, crash-consistent)
+    written = [
+        int(r.shard)
+        for r in spark.read.parquet(epoch_path).select("shard").collect()
+    ]
+    spark.createDataFrame(
+        [(batch_id, s) for s in written], "epoch long, shard int"
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/{_BL_META}/epoch={batch_id}"
+    )
+    return src.drop("__shard", "__h1", "__h2")
+
+
 def read_corpus_stream_output(spark, state_dir: str) -> DataFrame:
     """The curated corpus accumulated by
     :func:`prepare_training_corpus_stream`: one row per kept document
@@ -528,6 +719,8 @@ def prepare_training_corpus_stream(
     index_buckets: int = 8,
     digest_buckets: int = 64,
     digest_compact_every: int | None = None,
+    exact_dedup: str = "store",
+    bloom_params: dict | None = None,
     split_hash_fn: str = "xxhash64",
     trigger: dict | None = None,
     stage_times: "list[dict] | None" = None,
@@ -569,6 +762,22 @@ def prepare_training_corpus_stream(
       batch pipeline's pairing universe is the curated corpus before
       the benchmark pass, and the stream must pair against the same
       universe.
+
+    ``exact_dedup="bloom"`` (r13 — VERDICT r12 #8) swaps the ownership
+    store for sharded Bloom filters with FIXED total state
+    (``bloom_params``: n_shards × bits_per_shard bits forever, default
+    2 MiB) — the key-universe-unbounded alternative when even the
+    bucketed store's O(distinct digests) growth is unwanted. One-sided
+    error: true duplicates ALWAYS drop; a novel doc is wrongly dropped
+    with the classic FP probability (size via
+    ``streaming/ops.py:bloom_capacity`` math), and ownership is
+    content-blind (same-id re-ingest drops too — a documented
+    deviation from the store path, whose ==batch equality claim does
+    NOT transfer: it weakens to "equality while the filter's FP rate
+    stays negligible"). Filters are epoch-versioned snapshots
+    (probe-before-update against the latest strictly-earlier epoch),
+    so retries stay exact; ``digest_compact_every`` drops fully
+    shadowed snapshot epochs (:func:`compact_bloom_state`).
 
     ``stage_times`` (r13): pass a list to collect one dict per epoch
     with wall-clock seconds between the ingest's action boundaries
@@ -660,6 +869,28 @@ def prepare_training_corpus_stream(
         raise ValueError(
             f"digest_buckets must be >= 1, got {digest_buckets}"
         )
+    if exact_dedup not in ("store", "bloom"):
+        raise ValueError(
+            f"exact_dedup must be 'store' or 'bloom', got {exact_dedup!r}"
+        )
+    if bloom_params is not None and exact_dedup != "bloom":
+        raise ValueError(
+            "bloom_params given but exact_dedup != 'bloom' — the "
+            "parameters would be silently ignored"
+        )
+    bp = dict(bloom_params or {})
+    bp.setdefault("n_shards", 16)
+    bp.setdefault("bits_per_shard", 1 << 20)
+    bp.setdefault("n_hashes", 4)
+    unknown_bp = set(bp) - {"n_shards", "bits_per_shard", "n_hashes"}
+    if unknown_bp:
+        raise ValueError(f"unknown bloom_params: {sorted(unknown_bp)}")
+    if bp["n_shards"] < 1 or bp["n_hashes"] < 1:
+        raise ValueError("bloom n_shards and n_hashes must be >= 1")
+    if bp["bits_per_shard"] < 8 or (
+        bp["bits_per_shard"] & (bp["bits_per_shard"] - 1)
+    ):
+        raise ValueError("bloom bits_per_shard must be a power of two >= 8")
     corpus_path = os.path.join(state_dir, "corpus")
     index_path = os.path.join(state_dir, "index")
 
@@ -697,73 +928,88 @@ def prepare_training_corpus_stream(
         from flink_note_spark.operators.dedup import exact_dedup_rows
 
         src = exact_dedup_rows(src, text_col, id_col)
-        have_digests = _fs_exists(spark, f"{state_dir}/{_DG_META}")
-        if have_digests:
-            # the persisted layout owns the bucket count (it cannot
-            # change after the first write — retract_stream's rule)
-            _g, _f, n_buckets = _digest_meta(spark, state_dir)
+        if exact_dedup == "bloom":
+            src = src.withColumn("__digest", _corpus_digest(text_col))
+            src = src.localCheckpoint(eager=True)
+            _mark("prep")
+            src = _bloom_exact_dedup(
+                spark, src, state_dir, batch_id, id_col, bp
+            ).drop("__digest")
+            _mark("bloom_probe_write")
         else:
-            n_buckets = digest_buckets
-        src = src.withColumn(
-            "__digest", _corpus_digest(text_col)
-        ).withColumn(
-            "__bucket",
-            F.pmod(F.xxhash64(F.col("__digest")),
-                   F.lit(n_buckets)).cast("int"),
-        )
-        # batch-bounded checkpoint: the frame feeds the touched-bucket
-        # probe, the ownership join, the epoch write AND the quality
-        # gates — without it each action re-runs redaction + dedup
-        src = src.localCheckpoint(eager=True)
-        _mark("prep")
-        touched = sorted(
-            r.b for r in
-            src.select(F.col("__bucket").alias("b")).distinct().collect()
-        )
-        store = (
-            _digest_store_read(spark, state_dir, before_epoch=batch_id)
-            if have_digests else None
-        )
-        if store is not None and touched:
-            frame, _nb = store
-            owners = (
-                frame.filter(
-                    F.col("bucket").isin([int(b) for b in touched])
+            have_digests = _fs_exists(spark, f"{state_dir}/{_DG_META}")
+            if have_digests:
+                # the persisted layout owns the bucket count (it can't
+                # change after the first write — retract_stream's rule)
+                _g, _f, n_buckets = _digest_meta(spark, state_dir)
+            else:
+                n_buckets = digest_buckets
+            src = src.withColumn(
+                "__digest", _corpus_digest(text_col)
+            ).withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col("__digest")),
+                       F.lit(n_buckets)).cast("int"),
+            )
+            # batch-bounded checkpoint: the frame feeds the
+            # touched-bucket probe, the ownership join, the epoch
+            # write AND the quality gates — without it each action
+            # re-runs redaction + dedup
+            src = src.localCheckpoint(eager=True)
+            _mark("prep")
+            touched = sorted(
+                r.b for r in src.select(
+                    F.col("__bucket").alias("b")
+                ).distinct().collect()
+            )
+            store = (
+                _digest_store_read(
+                    spark, state_dir, before_epoch=batch_id
                 )
-                .groupBy("digest")
-                .agg(F.min("id").alias("__owner"))
-                .withColumnRenamed("digest", "__digest")
+                if have_digests else None
             )
-            src = src.join(owners, "__digest", "left")
-            src = src.filter(
-                F.col("__owner").isNull()
-                | (F.col("__owner") == F.col(id_col))
+            if store is not None and touched:
+                frame, _nb = store
+                owners = (
+                    frame.filter(
+                        F.col("bucket").isin([int(b) for b in touched])
+                    )
+                    .groupBy("digest")
+                    .agg(F.min("id").alias("__owner"))
+                    .withColumnRenamed("digest", "__digest")
+                )
+                src = src.join(owners, "__digest", "left")
+                src = src.filter(
+                    F.col("__owner").isNull()
+                    | (F.col("__owner") == F.col(id_col))
+                )
+                new_rows = src.filter(F.col("__owner").isNull())
+                src = src.drop("__owner")
+                new_rows = new_rows.drop("__owner")
+            else:
+                new_rows = src
+            # ownership accrues for every surviving owner row
+            # (including docs the quality gates drop next — the batch
+            # order); the epoch dir OVERWRITES on retry
+            # (exactly-once), one file per touched bucket
+            new_rows.select(
+                F.col("__digest").alias("digest"),
+                F.col(id_col).alias("id"),
+                F.col("__bucket").alias("bucket"),
+            ).filter(F.col("digest").isNotNull()).repartition(
+                max(len(touched), 1), F.col("bucket")
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{state_dir}/{_DG_EPOCHS}/epoch={batch_id}"
             )
-            new_rows = src.filter(F.col("__owner").isNull())
-            src = src.drop("__owner")
-            new_rows = new_rows.drop("__owner")
-        else:
-            new_rows = src
-        # ownership accrues for every surviving owner row (including
-        # docs the quality gates drop next — the batch order); the
-        # epoch dir OVERWRITES on retry (exactly-once), one file per
-        # touched bucket
-        new_rows.select(
-            F.col("__digest").alias("digest"),
-            F.col(id_col).alias("id"),
-            F.col("__bucket").alias("bucket"),
-        ).filter(F.col("digest").isNotNull()).repartition(
-            max(len(touched), 1), F.col("bucket")
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{state_dir}/{_DG_EPOCHS}/epoch={batch_id}"
-        )
-        if not have_digests:
-            spark.createDataFrame(
-                [(-1, -1, n_buckets)],
-                "gen int, fence long, n_buckets int",
-            ).write.mode("overwrite").parquet(f"{state_dir}/{_DG_META}")
-        src = src.drop("__digest", "__bucket")
-        _mark("digest_join_write")
+            if not have_digests:
+                spark.createDataFrame(
+                    [(-1, -1, n_buckets)],
+                    "gen int, fence long, n_buckets int",
+                ).write.mode("overwrite").parquet(
+                    f"{state_dir}/{_DG_META}"
+                )
+            src = src.drop("__digest", "__bucket")
+            _mark("digest_join_write")
 
         # ---- quality gates (stateless exprs — fuse into the scan)
         import dataclasses
@@ -880,7 +1126,10 @@ def prepare_training_corpus_stream(
         if digest_compact_every and (
             batch_id % digest_compact_every == digest_compact_every - 1
         ):
-            compact_digest_store(spark, state_dir)
+            if exact_dedup == "bloom":
+                compact_bloom_state(spark, state_dir)
+            else:
+                compact_digest_store(spark, state_dir)
             _mark("compact")
         if stage_times is not None:
             stage_times.append({"epoch": batch_id, **marks})

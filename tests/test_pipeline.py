@@ -820,6 +820,85 @@ def test_fs_probes_scheme_agnostic(spark, tmp_path):
     assert _fs_list(spark, f"file://{d}") == ["x.parquet"]
 
 
+def test_corpus_stream_bloom_equals_store_path(spark, tmp_path):
+    """r13 (VERDICT r12 #8): with a reasonably sized filter (no false
+    positives at this corpus size) the bloom exact-dedup path keeps
+    exactly the batch pipeline's set — the ==batch equality transfers
+    whenever the FP rate is negligible."""
+    from flink_note_spark.pipelines import read_corpus_stream_output
+
+    chunks = _doc_chunks(tmp_path, STREAM_DOCS, per=3)
+    state = tmp_path / "state"
+    _run_corpus_stream(
+        spark, chunks, state, tmp_path / "ckpt",
+        index_table="t_corpus_idx_bl", exact_dedup="bloom",
+    )
+    got = {
+        r.doc_id: r.split
+        for r in read_corpus_stream_output(spark, str(state)).collect()
+    }
+    assert got == _batch_kept(spark, STREAM_DOCS)
+    assert not (state / "digests").exists()  # no ownership store
+
+
+def test_corpus_stream_bloom_fp_trade_and_safety(spark, tmp_path):
+    """r13 (VERDICT r12 #8): the one-sided-error contract, forced.
+    A 1-shard 8-bit filter with one probe per digest saturates by
+    pigeonhole over 9 distinct docs (one per epoch): at least one
+    NOVEL doc is wrongly dropped (the documented FP trade for fixed
+    state), while the true exact duplicate is still dropped (no false
+    negatives — the safety direction), and shadowed filter snapshots
+    compact away."""
+    import glob
+
+    from flink_note_spark.pipelines import read_corpus_stream_output
+
+    docs = [
+        (i, f"distinct filler document number {i} with enough english "
+            "words to pass every quality gate")
+        for i in range(1, 10)
+    ] + [(10, "distinct filler document number 1 with enough english "
+              "words to pass every quality gate")]  # exact dup of 1
+    chunks = _doc_chunks(tmp_path, docs, per=1)
+    state = tmp_path / "state"
+    _run_corpus_stream(
+        spark, chunks, state, tmp_path / "ckpt",
+        index_table="t_corpus_idx_fp", exact_dedup="bloom",
+        near_dup_threshold=None,
+        bloom_params={"n_shards": 1, "bits_per_shard": 8, "n_hashes": 1},
+        digest_compact_every=4,
+    )
+    kept = {
+        r.doc_id
+        for r in read_corpus_stream_output(spark, str(state)).collect()
+    }
+    assert 10 not in kept          # true duplicate always dropped
+    assert kept <= set(range(1, 10))
+    assert len(kept) < 9           # >= 1 novel doc wrongly dropped
+    assert 1 in kept               # the first doc always survives
+    # shadowed snapshots were dropped by the inline compaction
+    assert len(glob.glob(f"{state}/bloom/epoch=*")) < 10
+    # refusal parity: bloom_params without the bloom path is loud
+    from flink_note_spark.pipelines import prepare_training_corpus_stream
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(str(chunks))
+    )
+    with pytest.raises(ValueError, match="bloom_params"):
+        prepare_training_corpus_stream(
+            stream, state_dir=str(tmp_path / "s2"),
+            checkpoint=str(tmp_path / "c2"), index_table="t_x",
+            bloom_params={"n_shards": 2},
+        )
+    with pytest.raises(ValueError, match="power of two"):
+        prepare_training_corpus_stream(
+            stream, state_dir=str(tmp_path / "s2"),
+            checkpoint=str(tmp_path / "c2"), index_table="t_x",
+            exact_dedup="bloom", bloom_params={"bits_per_shard": 12},
+        )
+
+
 def test_compact_corpus_output_rebuild_index_probe_equal(spark, tmp_path):
     """r13 (VERDICT r12 #3), non-flooded corpus: rebuilding the
     persisted index from the kept corpus is PROBE-EQUIVALENT to the
