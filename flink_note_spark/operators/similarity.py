@@ -624,10 +624,20 @@ def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
     time, so every future session's query joins read co-located buckets
     instead of re-assigning (Python pass) and re-shuffling the corpus.
 
-    ``path`` keeps BOTH tables external (corpus at ``path``, centroids
-    at ``path + "__centroids"``) so the index travels as one unit.
-    Always overwrites: appending would accumulate duplicate ``cell_id``
-    centroid rows that load silently last-wins.
+    ``path`` keeps ALL tables external (corpus at ``path``, centroids
+    at ``path + "__centroids"``, meta at ``path + "__meta"``) so the
+    index travels as one unit. Always overwrites: appending would
+    accumulate duplicate ``cell_id`` centroid rows that load silently
+    last-wins. (Incremental corpus growth goes through
+    :func:`ivf_index_append`, which appends bucketed files to the
+    CORPUS table only — the centroid matrix stays fixed by design.)
+
+    ``<table>__meta`` (r13) records the geometry (vector dim, n_cells,
+    save-time bucket count, id type) and is written LAST — its presence
+    implies the corpus and centroid writes both landed (the
+    ``minhash_index_save`` crash-window discipline), and it is what
+    :func:`ivf_index_register` reads to re-declare the bucketed layout
+    in a fresh session's catalog.
     """
     from flink_note_spark.operators.scale import write_bucketed
 
@@ -647,6 +657,14 @@ def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
     if path:
         writer = writer.option("path", f"{path}__centroids")
     writer.saveAsTable(f"{table}__centroids")
+    meta = spark.createDataFrame(
+        [(int(index.centroids.shape[1]), int(index.n_cells), int(buckets),
+          index.id_type)],
+        "dim int, n_cells int, table_buckets int, id_type string",
+    ).write.mode("overwrite")
+    if path:
+        meta = meta.option("path", f"{path}__meta")
+    meta.saveAsTable(f"{table}__meta")
 
 
 def ivf_load(spark, table: str) -> IvfIndex:
@@ -668,6 +686,218 @@ def ivf_load(spark, table: str) -> IvfIndex:
     assigned = spark.table(table)
     id_type = dict(assigned.dtypes)["neighbor_id"]
     return IvfIndex(cents, assigned, id_type)
+
+
+def ivf_index_append(
+    increment: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Accrete an embedding increment into a PERSISTED IVF index IN
+    PLACE (r13 — the ``minhash_index_append`` operational loop for the
+    similarity family): assign the increment against the index's SAVED
+    centroids (no retraining — one Arrow pass over the increment only)
+    and append its rows as ADDITIONAL bucketed files into the corpus
+    table. Spark's bucket layout is per-file, so the co-located
+    ``cell_id`` query join survives appends; the existing corpus is
+    never rescanned and every existing byte is untouched. Composes with
+    streaming ingest the same way the corpus pipeline accretes its
+    MinHash index: call it from ``foreachBatch`` on each micro-batch's
+    new vectors.
+
+    Refusals are loud: an increment id already present in the index
+    (appending would duplicate its neighbor rows — the check semi-joins
+    the bucketed id column against the broadcast increment ids), an id
+    type differing from the saved corpus (the appended files would
+    split the table's schema), and a vector dimensionality differing
+    from the trained centroids (probed on one row — a wrong embedding
+    family, the common operational mistake; per-row raggedness inside
+    one increment surfaces in the assignment pass).
+
+    Honest drift caveat (the ``minhash_index_append`` cap caveat's
+    analogue): centroids stay FIXED across appends, so if the
+    appended distribution drifts from the training corpus, cells grow
+    imbalanced and partial-probe recall decays until the next
+    :func:`ivf_index_rebuild` — appended==same-centroid equality is
+    exact (pinned in tests/test_lsh_recall.py), but the centroids are
+    only as good as the corpus they were trained on."""
+    import numpy as np
+
+    spark = increment.sparkSession
+    idx = ivf_load(spark, table)
+    inc_id_type = dict(increment.dtypes)[id_col]
+    if inc_id_type != idx.id_type:
+        raise ValueError(
+            f"ivf_index_append: increment id type {inc_id_type!r} != "
+            f"index id type {idx.id_type!r} — appended files would "
+            "split the corpus table's schema"
+        )
+    probe = increment.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:
+        return  # empty increment — nothing to append
+    dim = int(np.asarray(idx.centroids).shape[1])
+    if probe["d"] != dim:
+        raise ValueError(
+            f"ivf_index_append: increment vectors have dim {probe['d']} "
+            f"but the index was trained on dim {dim} — wrong embedding "
+            "family (rebuild the index if the family changed)"
+        )
+    clash = (
+        idx.assigned.select("neighbor_id")
+        .join(
+            F.broadcast(
+                increment.select(
+                    F.col(id_col).alias("neighbor_id")
+                ).distinct()
+            ),
+            "neighbor_id",
+            "semi",
+        )
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            "ivf_index_append: increment ids already in the index "
+            f"(e.g. {[r[0] for r in clash]}) — appending them would "
+            "duplicate their neighbor rows; dedup or re-key the "
+            "increment"
+        )
+    from flink_note_spark.operators.dedup import _table_buckets
+    from flink_note_spark.operators.scale import write_bucketed
+
+    c = _spread_for_python_stage(
+        increment.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    assigned = _ivf_assign_cells(c, idx.centroids, "__cv").withColumnRenamed(
+        "__cell", "cell_id"
+    )
+    write_bucketed(
+        assigned, table, _table_buckets(spark, table), ["cell_id"],
+        mode="append",
+    )
+
+
+def ivf_index_register(
+    spark, table: str, path: str, buckets: int | None = None
+) -> IvfIndex:
+    """Re-register a persisted :func:`ivf_save` layout in a FRESH
+    session's catalog (the ``minhash_index_register`` doctrine, r12):
+    ``saveAsTable`` records the bucket spec in the session catalog,
+    which an in-memory metastore loses on restart — without
+    re-registration the bucketed files still read, but every query's
+    ``cell_id`` join pays the corpus-side exchange the layout exists to
+    avoid. Reads the geometry from ``{path}__meta``, issues ``CREATE
+    TABLE ... USING PARQUET CLUSTERED BY (cell_id) INTO n BUCKETS
+    LOCATION ...`` over the existing files (Spark's bucketed file names
+    carry their bucket ids, so declared metadata is exact), and returns
+    the loaded index. ``buckets`` overrides for pre-r13 saves that have
+    no meta — a WRONG count would silently mis-bucket every future
+    co-located join, so absent both it refuses.
+
+    Idempotent per session: already-registered tables are left alone."""
+    try:
+        rows = spark.read.parquet(f"{path}__meta").collect()
+    except Exception:
+        rows = None
+    if rows is not None:
+        if len(rows) != 1:
+            raise ValueError(
+                f"ivf_index_register: {path}__meta has {len(rows)} rows "
+                "— not an ivf_save layout"
+            )
+        b = rows[0]["table_buckets"]
+    elif buckets:
+        b = buckets
+    else:
+        raise ValueError(
+            f"ivf_index_register: no meta at {path}__meta (pre-r13 "
+            "save) — pass buckets= with the ORIGINAL save-time count "
+            "(a wrong count silently mis-buckets every future "
+            "co-located join), or re-save with the current ivf_save"
+        )
+
+    def _ddl_cols(p: str) -> str:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(p).schema.fields
+        )
+
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({_ddl_cols(path)}) USING PARQUET "
+            f"CLUSTERED BY (cell_id) INTO {int(b)} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    if not spark.catalog.tableExists(f"{table}__centroids"):
+        spark.sql(
+            f"CREATE TABLE {table}__centroids USING PARQUET "
+            f"LOCATION '{path}__centroids'"
+        )
+    if rows is not None and not spark.catalog.tableExists(f"{table}__meta"):
+        spark.sql(
+            f"CREATE TABLE {table}__meta USING PARQUET "
+            f"LOCATION '{path}__meta'"
+        )
+    return ivf_load(spark, table)
+
+
+def ivf_index_rebuild(
+    spark,
+    table: str,
+    path: str | None = None,
+    n_cells: int | None = None,
+    iters: int = 2,
+    seed: int = 42,
+    buckets: int | None = None,
+) -> IvfIndex:
+    """Retrain a persisted IVF index from its own corpus and swap it in
+    place — the scheduled verb that closes :func:`ivf_index_append`'s
+    drift caveat (the ``compact_corpus_output(rebuild_index=True)``
+    pattern): appends keep centroids fixed, so a drifted corpus wants a
+    periodic retrain. Reads the bucketed corpus table (ids + vectors —
+    the ORIGINAL text/embedding source is never needed), retrains with
+    the usual shuffle-free Lloyd passes, and overwrites via
+    :func:`ivf_save` with the same bucket count (or ``buckets``) and
+    ``path``. The rebuilt assignment is materialized (eager
+    ``localCheckpoint``) BEFORE the overwrite, severing lineage from
+    the table being replaced — without that Spark would refuse the
+    self-overwrite. ``n_cells`` defaults to the saved geometry.
+
+    Offline verb: run it from the scheduled maintenance job, not
+    concurrently with appends — ``ivf_save`` overwrites are not
+    transactional against a concurrent writer (the same discipline as
+    the MinHash index rebuild). ``path`` defaults to the saved layout's
+    own location when the corpus table is EXTERNAL — omitting it would
+    otherwise recreate the table MANAGED in the warehouse and leave the
+    external files stale for the next session's register."""
+    from flink_note_spark.operators.dedup import _table_buckets
+
+    idx = ivf_load(spark, table)
+    if n_cells is None:
+        n_cells = idx.n_cells
+    if buckets is None:
+        buckets = _table_buckets(spark, table)
+    if path is None:
+        is_ext, loc = False, None
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            key = (r["col_name"] or "").strip()
+            if key == "Type":
+                is_ext = (r["data_type"] or "").strip().upper() == "EXTERNAL"
+            elif key == "Location":
+                loc = r["data_type"]
+        if is_ext:
+            path = loc
+    rebuilt = ivf_build(
+        idx.assigned.select("neighbor_id", "__cv"),
+        n_cells=n_cells, iters=iters, seed=seed,
+        id_col="neighbor_id", vec_col="__cv", materialize=True,
+    )
+    ivf_save(rebuilt, table, buckets=buckets, path=path)
+    return ivf_load(spark, table)
 
 
 def ivf_query(

@@ -481,6 +481,53 @@ def q57_ivf_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def q158_ivf_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-IVF-index operational lifecycle (r13 — the
+    ``q125_incremental_dedup`` shape for the similarity family): build
+    the index over HALF the corpus (even vec_ids), ``ivf_save`` it
+    bucketed on ``cell_id`` to a throwaway external path, accrete the
+    other half via ``ivf_index_append`` (assignment against the SAVED
+    centroids only — no retraining, the existing corpus untouched),
+    ``ivf_load``, and query with ``n_probe == n_cells``. Exhaustive
+    probing makes cell routing semantics-free, so the result must EQUAL
+    exact brute-force top-k over the UNION corpus — the whole
+    save → append → load → query path is oracle-checked against the
+    q33 DuckDB brute force (the q57 exhaustive-IVF trick). The
+    partial-probe accretion contract (appended == same-centroid union
+    assignment, sensitive to rows landing in the right cells) and the
+    bucketed-layout survival across appends are pytest-gated
+    (tests/test_lsh_recall.py)."""
+    import tempfile
+
+    from flink_note_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_append,
+        ivf_load,
+        ivf_query,
+        ivf_save,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    table = "q158_ivf_idx"
+    for t in (table, f"{table}__centroids", f"{table}__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    path = tempfile.mkdtemp(prefix="q158_ivf_") + "/idx"
+    idx = ivf_build(
+        e.filter(F.col("vec_id") % 2 == 0), n_cells=8, iters=1,
+        id_col="vec_id", vec_col="embedding",
+    )
+    ivf_save(idx, table, buckets=4, path=path)
+    ivf_index_append(
+        e.filter(F.col("vec_id") % 2 == 1), table,
+        id_col="vec_id", vec_col="embedding",
+    )
+    loaded = ivf_load(spark, table)
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_query(loaded, q, k=5, n_probe=8).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
 def q94_pq_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN with ``shortlist >= |corpus|`` + exact re-rank: the
     ADC stage becomes pure shortlist routing and the output must EQUAL
@@ -2279,6 +2326,7 @@ QUERIES = {
     "q33_cosine_topk": q33_cosine_topk,
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
     "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
+    "q158_ivf_index_lifecycle": q158_ivf_index_lifecycle,
     "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
@@ -2346,6 +2394,8 @@ ORACLES = {
     "q33_cosine_topk": _Q33_SQL,
     # exhaustive probe == exact brute force, so the q33 oracle applies
     "q57_ivf_exhaustive_topk": _Q33_SQL,
+    # save -> append -> load -> exhaustive query == exact brute force
+    "q158_ivf_index_lifecycle": _Q33_SQL,
     # exhaustive shortlist + exact re-rank == exact brute force
     "q94_pq_exhaustive_topk": _Q33_SQL,
     "q96_ngram_novelty": _Q96_SQL,

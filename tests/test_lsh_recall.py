@@ -301,8 +301,187 @@ def test_ivf_save_load_round_trip(spark, sf_dir, tmp_path):
         }
         assert want and got == want
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}__centroids")
+        for t in (table, f"{table}__centroids", f"{table}__meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _drop_ivf_tables(spark, table):
+    for t in (table, f"{table}__centroids", f"{table}__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_index_append_equals_same_centroid_union(spark, sf_dir, tmp_path):
+    """The persisted-index accretion contract: appending an increment
+    must produce EXACTLY the index that assigning the union corpus
+    against the same (fixed) centroids would — pinned at PARTIAL probe
+    (n_probe=2), which is sensitive to the appended rows landing in the
+    right cells (exhaustive probing would mask a mis-assignment)."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        IvfIndex,
+        _ivf_assign_cells,
+        ivf_build,
+        ivf_index_append,
+        ivf_load,
+        ivf_query,
+        ivf_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(emb.vec_id % 2 == 0)
+    inc = emb.filter(emb.vec_id % 2 == 1)
+    table = "ivf_append_test"
+    try:
+        built = ivf_build(base, n_cells=8, iters=1)
+        ivf_save(built, table, buckets=4, path=str(tmp_path / "ivf"))
+        ivf_index_append(inc, table)
+        loaded = ivf_load(spark, table)
+        assert np.allclose(loaded.centroids, built.centroids)
+
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        union_idx = IvfIndex(
+            built.centroids,
+            _ivf_assign_cells(c, built.centroids, "__cv")
+            .withColumnRenamed("__cell", "cell_id"),
+            built.id_type,
+        )
+        q = emb.filter(emb.vec_id < 10)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(union_idx, q, k=5, n_probe=2).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(loaded, q, k=5, n_probe=2).collect()
+        }
+        assert want and got == want
+        # appended rows rode the bucketed layout: the corpus table kept
+        # its save-time bucket spec across the append
+        from flink_note_spark.operators.dedup import _table_buckets
+
+        assert _table_buckets(spark, table) == 4
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_ivf_index_append_refusals(spark, sf_dir, tmp_path):
+    """Loud refusals on the append path: an id already in the index
+    (would duplicate its neighbor rows) and a vector dimensionality
+    differing from the trained centroids (wrong embedding family)."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_append,
+        ivf_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "ivf_refuse_test"
+    try:
+        built = ivf_build(emb.filter(emb.vec_id % 2 == 0), n_cells=4, iters=1)
+        ivf_save(built, table, buckets=2, path=str(tmp_path / "ivf"))
+        with pytest.raises(ValueError, match="already in the index"):
+            ivf_index_append(emb.filter(emb.vec_id % 2 == 0), table)
+        short = emb.filter(emb.vec_id % 2 == 1).withColumn(
+            "embedding", F.slice("embedding", 1, 3)
+        )
+        with pytest.raises(ValueError, match="dim"):
+            ivf_index_append(short, table)
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_ivf_index_register_fresh_catalog(spark, sf_dir, tmp_path):
+    """Fresh-session re-registration (the minhash_index_register
+    doctrine): drop the catalog entries (external files survive),
+    re-declare via ivf_index_register, and the loaded index must carry
+    the save-time bucket spec AND answer queries identically."""
+    from flink_note_spark.operators.dedup import _table_buckets
+    from flink_note_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_register,
+        ivf_query,
+        ivf_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "ivf_reg_test"
+    path = str(tmp_path / "ivf")
+    try:
+        built = ivf_build(emb, n_cells=8, iters=1)
+        ivf_save(built, table, buckets=4, path=path)
+        q = emb.filter(emb.vec_id < 10)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(built, q, k=5, n_probe=4).collect()
+        }
+        _drop_ivf_tables(spark, table)  # catalog lost; files remain
+
+        reg = ivf_index_register(spark, table, path)
+        assert _table_buckets(spark, table) == 4
+        assert np.allclose(reg.centroids, built.centroids)
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(reg, q, k=5, n_probe=4).collect()
+        }
+        assert want and got == want
+        # idempotent per session: re-register leaves the live tables be
+        reg2 = ivf_index_register(spark, table, path)
+        assert np.allclose(reg2.centroids, built.centroids)
+    finally:
+        _drop_ivf_tables(spark, table)
+
+
+def test_ivf_index_rebuild_retrains_over_accreted_corpus(
+    spark, sf_dir, tmp_path
+):
+    """The drift-closing verb: after accretion, rebuild retrains the
+    centroids over the FULL persisted corpus (base + appended) from the
+    table alone — and the rebuilt index still satisfies the exhaustive
+    == exact-brute-force equality contract over the union corpus. The
+    auto-detected external path keeps the files where the save put
+    them, so a later fresh-session register sees the rebuilt state."""
+    from flink_note_spark.operators.similarity import (
+        cosine_topk,
+        ivf_build,
+        ivf_index_append,
+        ivf_index_rebuild,
+        ivf_query,
+        ivf_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "ivf_rebuild_test"
+    path = str(tmp_path / "ivf")
+    try:
+        built = ivf_build(emb.filter(emb.vec_id % 2 == 0), n_cells=8, iters=1)
+        ivf_save(built, table, buckets=4, path=path)
+        ivf_index_append(emb.filter(emb.vec_id % 2 == 1), table)
+
+        rebuilt = ivf_index_rebuild(spark, table, iters=1)
+        assert rebuilt.n_cells == 8
+        # retrained over the union — centroids move off the base-only fit
+        assert not np.allclose(rebuilt.centroids, built.centroids)
+        meta = spark.table(f"{table}__meta").collect()
+        assert len(meta) == 1 and meta[0]["n_cells"] == 8
+
+        q = emb.filter(emb.vec_id < 10)
+        exact = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in cosine_topk(q, emb, k=5).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(rebuilt, q, k=5, n_probe=8).collect()
+        }
+        assert exact and got == exact
+    finally:
+        _drop_ivf_tables(spark, table)
 
 
 def test_ivf_topk_partial_probe_recall(spark, sf_dir):

@@ -149,7 +149,8 @@ def main() -> None:
 
     _DOC_OPS = (
         "exact_dedup", "minhash_lsh", "simhash", "components",
-        "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
+        "packing", "language_id", "cosine_topk", "ivf_topk",
+        "ivf_lifecycle", "pq_topk",
         "corpus", "decontaminate", "tfidf", "corpus_full", "dup_span",
         "enrich",
         "remove_spans", "ccnet_exact", "ccnet_thresholds", "sdecon",
@@ -255,6 +256,28 @@ def main() -> None:
     def ivf_probe(emb):
         q = emb.filter(F.col("vec_id") < 10)
         return ivf_topk(q, emb, k=5, n_cells=16, n_probe=4, iters=1)
+
+    def ivf_lifecycle_probe(emb, tag):
+        """r13 persisted-index loop end-to-end: build on half the
+        corpus, save bucketed, append the other half against the saved
+        centroids, load, partial-probe query. The append's work is
+        increment-proportional (one Arrow assignment pass + bucketed
+        file append — no corpus rescan), so the e2e ratio at K× should
+        track the build+save cost, not K× the append."""
+        from flink_note_spark.operators.similarity import (
+            ivf_build, ivf_index_append, ivf_load, ivf_query, ivf_save,
+        )
+
+        table = f"probe_ivf_{tag}"
+        for t_ in (table, f"{table}__centroids", f"{table}__meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+        idx = ivf_build(
+            emb.filter(F.col("vec_id") % 2 == 0), n_cells=16, iters=1
+        )
+        ivf_save(idx, table, buckets=8, path=f"{tmp}/ivf_{tag}_{time.monotonic_ns()}")
+        ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), table)
+        q = emb.filter(F.col("vec_id") < 10)
+        return ivf_query(ivf_load(spark, table), q, k=5, n_probe=4)
 
     def pq_probe(emb):
         """PQ/ADC shape: codebook training (1 iter) + encode + ADC
@@ -837,6 +860,10 @@ def main() -> None:
             t,
         )
         bench(f"ivf_topk_{tag}", lambda e=e: noop(ivf_probe(e)), t)
+        bench(
+            f"ivf_lifecycle_{tag}",
+            lambda e=e, tag=tag: noop(ivf_lifecycle_probe(e, tag)), t,
+        )
         bench(f"pq_topk_{tag}", lambda e=e: noop(pq_probe(e)), t)
         bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
         bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
@@ -879,7 +906,8 @@ def main() -> None:
             "join", "window", "agg", "salted", "cogroup",
             "asof", "sessionize", "sessionize_jvm",
             "exact_dedup", "minhash_lsh", "simhash", "components",
-            "packing", "language_id", "cosine_topk", "ivf_topk", "pq_topk",
+            "packing", "language_id", "cosine_topk", "ivf_topk",
+        "ivf_lifecycle", "pq_topk",
             "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
             "cep_noskip", "cep_group", "temporal",
