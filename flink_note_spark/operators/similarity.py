@@ -1165,7 +1165,18 @@ def pq_build(
     )
     if books is None:
         return PqIndex(None, None, id_type)
+    encoded = _pq_encode(c, books, id_type)
+    if materialize:
+        encoded = _computed_once(encoded)
+    return PqIndex(books, encoded, id_type)
 
+
+def _pq_encode(c: DataFrame, books, id_type: str) -> DataFrame:
+    """ONE Arrow pass appending the ``m`` subspace codes per vector
+    against broadcast codebooks — shared by :func:`pq_build` and
+    :func:`pq_index_append` (an increment MUST encode with the saved
+    codebooks, never retrained ones, or its codes are meaningless
+    against the index)."""
     bc = c.sparkSession.sparkContext.broadcast(books)
     schema = (
         f"neighbor_id {id_type}, __cv array<double>, __codes array<int>"
@@ -1192,10 +1203,7 @@ def pq_build(
             pdf["__codes"] = list(codes)
             yield pdf
 
-    encoded = c.mapInPandas(encode, schema)
-    if materialize:
-        encoded = _computed_once(encoded)
-    return PqIndex(books, encoded, id_type)
+    return c.mapInPandas(encode, schema)
 
 
 def pq_query(
@@ -1587,6 +1595,150 @@ def pq_load(spark, table: str) -> PqIndex:
     encoded = spark.table(table)
     id_type = dict(encoded.dtypes)["neighbor_id"]
     return PqIndex(books, encoded, id_type)
+
+
+def pq_index_append(
+    increment: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Accrete an embedding increment into a PERSISTED PQ index IN
+    PLACE (r13 — completes the ANN-family accretion story alongside
+    :func:`ivf_index_append` and ``minhash_index_append``): encode the
+    increment against the index's SAVED codebooks (no retraining — one
+    Arrow pass over the increment only) and append its rows to the
+    encoded-corpus table. No bucketing is involved — PQ scoring is a
+    columnar scan of the code column, not a keyed join — so a plain
+    file append preserves the read path exactly; the existing corpus
+    is never re-encoded and every existing byte is untouched.
+
+    Refusals are loud (the :func:`ivf_index_append` contract): an
+    increment id already in the index, an id type differing from the
+    saved corpus, and a vector dimensionality differing from
+    ``m · dsub`` of the trained codebooks (probed on one row — the
+    wrong-embedding-family mistake).
+
+    Honest drift caveat: codebooks stay FIXED across appends, so an
+    increment whose distribution drifts from the training corpus
+    quantizes with higher error — ADC shortlists degrade (the exact
+    re-rank stage still corrects what the shortlist retains) until the
+    next :func:`pq_index_rebuild`. Appended == same-codebook encoding
+    is exact (pinned in tests/test_lsh_recall.py)."""
+    import numpy as np
+
+    spark = increment.sparkSession
+    idx = pq_load(spark, table)
+    inc_id_type = dict(increment.dtypes)[id_col]
+    if inc_id_type != idx.id_type:
+        raise ValueError(
+            f"pq_index_append: increment id type {inc_id_type!r} != "
+            f"index id type {idx.id_type!r} — appended files would "
+            "split the corpus table's schema"
+        )
+    probe = increment.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:
+        return  # empty increment — nothing to append
+    books = np.asarray(idx.codebooks)
+    dim = int(books.shape[0] * books.shape[2])
+    if probe["d"] != dim:
+        raise ValueError(
+            f"pq_index_append: increment vectors have dim {probe['d']} "
+            f"but the codebooks quantize dim {dim} — wrong embedding "
+            "family (rebuild the index if the family changed)"
+        )
+    clash = (
+        idx.encoded.select("neighbor_id")
+        .join(
+            F.broadcast(
+                increment.select(
+                    F.col(id_col).alias("neighbor_id")
+                ).distinct()
+            ),
+            "neighbor_id",
+            "semi",
+        )
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            "pq_index_append: increment ids already in the index "
+            f"(e.g. {[r[0] for r in clash]}) — appending them would "
+            "duplicate their code rows; dedup or re-key the increment"
+        )
+    c = _spread_for_python_stage(
+        increment.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    _pq_encode(c, books, idx.id_type).write.mode("append").saveAsTable(table)
+
+
+def pq_index_register(spark, table: str, path: str) -> PqIndex:
+    """Re-register a persisted :func:`pq_save` layout in a FRESH
+    session's catalog (the ``ivf_index_register`` doctrine, minus the
+    bucket spec — PQ's read path is a columnar scan, so plain external
+    tables over the existing files are exact). Idempotent per session:
+    already-registered tables are left alone."""
+
+    def _ddl(t: str, p: str) -> None:
+        if not spark.catalog.tableExists(t):
+            spark.sql(f"CREATE TABLE {t} USING PARQUET LOCATION '{p}'")
+
+    _ddl(table, path)
+    _ddl(f"{table}__codebooks", f"{path}__codebooks")
+    return pq_load(spark, table)
+
+
+def pq_index_rebuild(
+    spark,
+    table: str,
+    path: str | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    iters: int = 2,
+    seed: int = 42,
+) -> PqIndex:
+    """Retrain a persisted PQ index from its own corpus and swap it in
+    place — closes :func:`pq_index_append`'s codebook-drift caveat (the
+    :func:`ivf_index_rebuild` pattern). Requires the raw vector column
+    (``__cv``) in the saved corpus — a pure-memory-bound deployment
+    that dropped it cannot retrain from the index alone and refuses
+    loudly. Geometry (``m``, ``n_codes``) defaults to the saved
+    codebooks'; the rebuilt encoding is materialized before the
+    overwrite (lineage severed from the table being replaced), and
+    ``path`` defaults to the saved layout's own location when the
+    corpus table is EXTERNAL. Offline verb — not concurrent-safe
+    against appends (the ``ivf_index_rebuild`` discipline)."""
+    idx = pq_load(spark, table)
+    if "__cv" not in idx.encoded.columns:
+        raise ValueError(
+            "pq_index_rebuild: the saved corpus has no __cv column "
+            "(raw vectors were dropped for a memory-bound deployment) "
+            "— rebuild from the original embedding source instead"
+        )
+    if m is None:
+        m = int(idx.codebooks.shape[0])
+    if n_codes is None:
+        n_codes = int(idx.codebooks.shape[1])
+    if path is None:
+        is_ext, loc = False, None
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            key = (r["col_name"] or "").strip()
+            if key == "Type":
+                is_ext = (r["data_type"] or "").strip().upper() == "EXTERNAL"
+            elif key == "Location":
+                loc = r["data_type"]
+        if is_ext:
+            path = loc
+    rebuilt = pq_build(
+        idx.encoded.select("neighbor_id", "__cv"),
+        m=m, n_codes=n_codes, iters=iters, seed=seed,
+        id_col="neighbor_id", vec_col="__cv", materialize=True,
+    )
+    pq_save(rebuilt, table, path=path)
+    return pq_load(spark, table)
 
 
 def semantic_dedup_pairs(

@@ -546,6 +546,51 @@ def q94_pq_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def q159_pq_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-PQ-index operational lifecycle (r13 — the q158 shape
+    for the ADC family): build codebooks over HALF the corpus (even
+    vec_ids), ``pq_save``, accrete the other half via
+    ``pq_index_append`` (encoding against the SAVED codebooks only —
+    no retraining, the existing corpus never re-encoded), ``pq_load``,
+    and query with an exhaustive shortlist + exact re-rank. The
+    exhaustive shortlist makes ADC routing semantics-free, so the
+    result must EQUAL exact brute-force top-k over the UNION corpus —
+    the whole save → append → load → query path is oracle-checked
+    against the q33 DuckDB brute force (the q94 trick). The
+    partial-shortlist accretion contract (appended == same-codebook
+    union encoding) and refusals are pytest-gated
+    (tests/test_lsh_recall.py)."""
+    import tempfile
+
+    from flink_note_spark.operators.similarity import (
+        pq_build,
+        pq_index_append,
+        pq_load,
+        pq_query,
+        pq_save,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    table = "q159_pq_idx"
+    for t in (table, f"{table}__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    path = tempfile.mkdtemp(prefix="q159_pq_") + "/idx"
+    idx = pq_build(
+        e.filter(F.col("vec_id") % 2 == 0), m=8, n_codes=16, iters=1,
+        id_col="vec_id", vec_col="embedding",
+    )
+    pq_save(idx, table, path=path)
+    pq_index_append(
+        e.filter(F.col("vec_id") % 2 == 1), table,
+        id_col="vec_id", vec_col="embedding",
+    )
+    loaded = pq_load(spark, table)
+    q = e.filter(F.col("vec_id") < 10)
+    return pq_query(
+        loaded, q, k=5, shortlist=1_000_000, refine=True
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q95_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """PQ/ADC ANN, honest approximate configuration (m=8 subspaces,
     64 codes, shortlist 100, exact re-rank) — the memory-bound scale
@@ -2327,6 +2372,7 @@ QUERIES = {
     "q34_lsh_cosine_topk": q34_lsh_cosine_topk,
     "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
     "q158_ivf_index_lifecycle": q158_ivf_index_lifecycle,
+    "q159_pq_index_lifecycle": q159_pq_index_lifecycle,
     "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
@@ -2396,6 +2442,7 @@ ORACLES = {
     "q57_ivf_exhaustive_topk": _Q33_SQL,
     # save -> append -> load -> exhaustive query == exact brute force
     "q158_ivf_index_lifecycle": _Q33_SQL,
+    "q159_pq_index_lifecycle": _Q33_SQL,
     # exhaustive shortlist + exact re-rank == exact brute force
     "q94_pq_exhaustive_topk": _Q33_SQL,
     "q96_ngram_novelty": _Q96_SQL,

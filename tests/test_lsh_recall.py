@@ -484,6 +484,142 @@ def test_ivf_index_rebuild_retrains_over_accreted_corpus(
         _drop_ivf_tables(spark, table)
 
 
+def _drop_pq_tables(spark, table):
+    for t in (table, f"{table}__codebooks"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pq_index_append_equals_same_codebook_union(spark, sf_dir, tmp_path):
+    """PQ accretion contract (the IVF pin's ADC analogue): appending an
+    increment must produce EXACTLY the index that encoding the union
+    corpus against the same (fixed) codebooks would — pinned at a
+    PARTIAL shortlist, which is sensitive to the appended rows' codes
+    (an exhaustive shortlist would mask a mis-encoding)."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        PqIndex,
+        _pq_encode,
+        pq_build,
+        pq_index_append,
+        pq_load,
+        pq_query,
+        pq_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(emb.vec_id % 2 == 0)
+    inc = emb.filter(emb.vec_id % 2 == 1)
+    table = "pq_append_test"
+    try:
+        built = pq_build(base, m=8, n_codes=16, iters=1)
+        pq_save(built, table, path=str(tmp_path / "pq"))
+        pq_index_append(inc, table)
+        loaded = pq_load(spark, table)
+        assert np.allclose(loaded.codebooks, built.codebooks)
+
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        union_idx = PqIndex(
+            built.codebooks,
+            _pq_encode(c, built.codebooks, built.id_type),
+            built.id_type,
+        )
+        q = emb.filter(emb.vec_id < 10)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in pq_query(union_idx, q, k=5, shortlist=20).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in pq_query(loaded, q, k=5, shortlist=20).collect()
+        }
+        assert want and got == want
+    finally:
+        _drop_pq_tables(spark, table)
+
+
+def test_pq_index_append_refusals(spark, sf_dir, tmp_path):
+    """Loud refusals on the PQ append path: already-indexed ids and a
+    vector dim differing from the codebooks' m x dsub."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        pq_build,
+        pq_index_append,
+        pq_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "pq_refuse_test"
+    try:
+        built = pq_build(emb.filter(emb.vec_id % 2 == 0), m=8, n_codes=8,
+                         iters=1)
+        pq_save(built, table, path=str(tmp_path / "pq"))
+        with pytest.raises(ValueError, match="already in the index"):
+            pq_index_append(emb.filter(emb.vec_id % 2 == 0), table)
+        short = emb.filter(emb.vec_id % 2 == 1).withColumn(
+            "embedding", F.slice("embedding", 1, 3)
+        )
+        with pytest.raises(ValueError, match="dim"):
+            pq_index_append(short, table)
+    finally:
+        _drop_pq_tables(spark, table)
+
+
+def test_pq_index_register_and_rebuild(spark, sf_dir, tmp_path):
+    """Fresh-catalog register (plain external tables — PQ's read path
+    is a scan, no bucket spec) and the drift-closing rebuild: after
+    accretion, retraining from the persisted corpus alone must satisfy
+    the exhaustive-shortlist == exact-brute-force equality contract
+    over the union corpus."""
+    from flink_note_spark.operators.similarity import (
+        cosine_topk,
+        pq_build,
+        pq_index_append,
+        pq_index_rebuild,
+        pq_index_register,
+        pq_query,
+        pq_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "pq_reg_test"
+    path = str(tmp_path / "pq")
+    try:
+        built = pq_build(emb.filter(emb.vec_id % 2 == 0), m=8, n_codes=16,
+                         iters=1)
+        pq_save(built, table, path=path)
+        pq_index_append(emb.filter(emb.vec_id % 2 == 1), table)
+
+        _drop_pq_tables(spark, table)  # catalog lost; files remain
+        reg = pq_index_register(spark, table, path)
+        assert np.allclose(reg.codebooks, built.codebooks)
+        assert reg.encoded.count() == emb.count()
+
+        rebuilt = pq_index_rebuild(spark, table, iters=1)
+        assert rebuilt.codebooks.shape == built.codebooks.shape
+        # retrained over the union — codebooks move off the base fit
+        assert not np.allclose(rebuilt.codebooks, built.codebooks)
+
+        q = emb.filter(emb.vec_id < 10)
+        exact = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in cosine_topk(q, emb, k=5).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in pq_query(
+                rebuilt, q, k=5, shortlist=1_000_000, refine=True
+            ).collect()
+        }
+        assert exact and got == exact
+    finally:
+        _drop_pq_tables(spark, table)
+
+
 def test_ivf_topk_partial_probe_recall(spark, sf_dir):
     """IVF probing half the cells must recover well MORE than half the
     true top-5 neighbors: chance-level routing (degenerate centroids,

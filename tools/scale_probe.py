@@ -150,7 +150,7 @@ def main() -> None:
     _DOC_OPS = (
         "exact_dedup", "minhash_lsh", "simhash", "components",
         "packing", "language_id", "cosine_topk", "ivf_topk",
-        "ivf_lifecycle", "pq_topk",
+        "ivf_lifecycle", "pq_lifecycle", "pq_topk",
         "corpus", "decontaminate", "tfidf", "corpus_full", "dup_span",
         "enrich",
         "remove_spans", "ccnet_exact", "ccnet_thresholds", "sdecon",
@@ -278,6 +278,25 @@ def main() -> None:
         ivf_index_append(emb.filter(F.col("vec_id") % 2 == 1), table)
         q = emb.filter(F.col("vec_id") < 10)
         return ivf_query(ivf_load(spark, table), q, k=5, n_probe=4)
+
+    def pq_lifecycle_probe(emb, tag):
+        """r13 PQ persisted-index loop end-to-end (the ivf_lifecycle
+        shape for the ADC family): build codebooks on half, save,
+        encode+append the other half, load, partial-shortlist query."""
+        from flink_note_spark.operators.similarity import (
+            pq_build, pq_index_append, pq_load, pq_query, pq_save,
+        )
+
+        table = f"probe_pq_{tag}"
+        for t_ in (table, f"{table}__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+        idx = pq_build(
+            emb.filter(F.col("vec_id") % 2 == 0), m=8, n_codes=16, iters=1
+        )
+        pq_save(idx, table, path=f"{tmp}/pq_{tag}_{time.monotonic_ns()}")
+        pq_index_append(emb.filter(F.col("vec_id") % 2 == 1), table)
+        q = emb.filter(F.col("vec_id") < 10)
+        return pq_query(pq_load(spark, table), q, k=5, shortlist=50)
 
     def pq_probe(emb):
         """PQ/ADC shape: codebook training (1 iter) + encode + ADC
@@ -864,6 +883,10 @@ def main() -> None:
             f"ivf_lifecycle_{tag}",
             lambda e=e, tag=tag: noop(ivf_lifecycle_probe(e, tag)), t,
         )
+        bench(
+            f"pq_lifecycle_{tag}",
+            lambda e=e, tag=tag: noop(pq_lifecycle_probe(e, tag)), t,
+        )
         bench(f"pq_topk_{tag}", lambda e=e: noop(pq_probe(e)), t)
         bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
         bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
@@ -907,7 +930,7 @@ def main() -> None:
             "asof", "sessionize", "sessionize_jvm",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk",
-        "ivf_lifecycle", "pq_topk",
+        "ivf_lifecycle", "pq_lifecycle", "pq_topk",
             "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
             "cep_noskip", "cep_group", "temporal",
