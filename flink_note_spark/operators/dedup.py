@@ -770,7 +770,16 @@ def minhash_index_register(
 def minhash_index_load(spark, table: str) -> MinHashIndex:
     """Rebuild a :class:`MinHashIndex` from :func:`minhash_index_save`
     output — no text rescan, no signature recompute; both frames are
-    the bucketed table scans."""
+    the bucketed table scans. Refreshes the catalog's cached file
+    listings first (r13 — the ``similarity._refresh_tables`` guard):
+    appends from another session — the corpus stream's cloned
+    micro-batch session, a concurrent ingest — invalidate only the
+    writer's own relation cache, so a session that read the index
+    BEFORE the append would otherwise silently probe the stale
+    listing."""
+    from flink_note_spark.operators.similarity import _refresh_tables
+
+    _refresh_tables(spark, table, f"{table}__docs", f"{table}__meta")
     rows = spark.table(f"{table}__meta").collect()
     if len(rows) != 1:
         raise ValueError(

@@ -671,9 +671,16 @@ def ivf_load(spark, table: str) -> IvfIndex:
     """Rebuild an :class:`IvfIndex` from :func:`ivf_save` output —
     no training, no assignment pass; ``assigned`` is the bucketed table
     scan, so downstream ``cell_id`` joins skip the corpus-side
-    exchange."""
+    exchange. Refreshes the catalog's cached file listing first (r13):
+    appends from another session — a streaming query's cloned
+    micro-batch session (:func:`~flink_note_spark.pipelines.
+    ivf_ingest_stream`), a concurrent job — invalidate only the
+    writer's own relation cache, so a session that read the table
+    BEFORE the append would otherwise silently serve the stale
+    listing."""
     import numpy as np
 
+    _refresh_tables(spark, table, f"{table}__centroids")
     rows = spark.table(f"{table}__centroids").collect()
     if not rows:
         raise ValueError(
@@ -688,11 +695,24 @@ def ivf_load(spark, table: str) -> IvfIndex:
     return IvfIndex(cents, assigned, id_type)
 
 
+def _refresh_tables(spark, *tables: str) -> None:
+    """Invalidate the session's cached file listings for ``tables``
+    (those that exist) — the stale-relation-cache guard every index
+    ``*_load`` runs: Spark caches a table's file listing per session,
+    and an append from ANY other session (a streaming clone, a second
+    job) refreshes only the writer's cache. Listing is re-done lazily
+    on the next scan, so the refresh itself is metadata-only."""
+    for t in tables:
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
+
+
 def ivf_index_append(
     increment: DataFrame,
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_conflict: str = "error",
 ) -> None:
     """Accrete an embedding increment into a PERSISTED IVF index IN
     PLACE (r13 — the ``minhash_index_append`` operational loop for the
@@ -714,6 +734,15 @@ def ivf_index_append(
     from the trained centroids (probed on one row — a wrong embedding
     family, the common operational mistake; per-row raggedness inside
     one increment surfaces in the assignment pass).
+
+    ``on_conflict="skip"`` (r13 — the streaming-ingest mode,
+    :func:`~flink_note_spark.pipelines.ivf_ingest_stream`) anti-joins
+    already-indexed ids OUT instead of raising — which makes the
+    append IDEMPOTENT: replaying the same increment converges instead
+    of failing, the property a micro-batch retry needs. Either way the
+    presence check is a column-pruned scan of the index's id column
+    against the broadcast increment ids — no shuffle, no corpus-row
+    read (the ``minhash_index_append`` check's cost shape).
 
     Honest drift caveat (the ``minhash_index_append`` cap caveat's
     analogue): centroids stay FIXED across appends, so if the
@@ -743,26 +772,49 @@ def ivf_index_append(
             f"but the index was trained on dim {dim} — wrong embedding "
             "family (rebuild the index if the family changed)"
         )
-    clash = (
-        idx.assigned.select("neighbor_id")
-        .join(
-            F.broadcast(
-                increment.select(
-                    F.col(id_col).alias("neighbor_id")
-                ).distinct()
-            ),
-            "neighbor_id",
-            "semi",
+    if on_conflict == "skip":
+        present = (
+            idx.assigned.select("neighbor_id")
+            .join(
+                F.broadcast(
+                    increment.select(
+                        F.col(id_col).alias("neighbor_id")
+                    ).distinct()
+                ),
+                "neighbor_id",
+                "semi",
+            )
+            .withColumnRenamed("neighbor_id", id_col)
         )
-        .limit(5)
-        .collect()
-    )
-    if clash:
+        increment = increment.join(F.broadcast(present), id_col, "anti")
+        if increment.select(id_col).first() is None:
+            return  # every increment id already indexed — nothing new
+    elif on_conflict == "error":
+        clash = (
+            idx.assigned.select("neighbor_id")
+            .join(
+                F.broadcast(
+                    increment.select(
+                        F.col(id_col).alias("neighbor_id")
+                    ).distinct()
+                ),
+                "neighbor_id",
+                "semi",
+            )
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                "ivf_index_append: increment ids already in the index "
+                f"(e.g. {[r[0] for r in clash]}) — appending them would "
+                "duplicate their neighbor rows; dedup or re-key the "
+                "increment"
+            )
+    else:
         raise ValueError(
-            "ivf_index_append: increment ids already in the index "
-            f"(e.g. {[r[0] for r in clash]}) — appending them would "
-            "duplicate their neighbor rows; dedup or re-key the "
-            "increment"
+            f"ivf_index_append: on_conflict={on_conflict!r} — "
+            "use 'error' or 'skip'"
         )
     from flink_note_spark.operators.dedup import _table_buckets
     from flink_note_spark.operators.scale import write_bucketed
@@ -1577,9 +1629,12 @@ def pq_save(index: PqIndex, table: str, path: str | None = None) -> None:
 
 def pq_load(spark, table: str) -> PqIndex:
     """Rebuild a :class:`PqIndex` from :func:`pq_save` output — no
-    training, no encode pass."""
+    training, no encode pass. Refreshes the catalog's cached file
+    listing first (the :func:`ivf_load` stale-cache guard — appends
+    from another session invalidate only the writer's own cache)."""
     import numpy as np
 
+    _refresh_tables(spark, table, f"{table}__codebooks")
     rows = spark.table(f"{table}__codebooks").collect()
     if not rows:
         raise ValueError(

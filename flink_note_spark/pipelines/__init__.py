@@ -2,6 +2,7 @@
 library — the way a training-data user actually consumes the engine.
 """
 
+from flink_note_spark.pipelines.embed import ivf_ingest_stream
 from flink_note_spark.pipelines.curate import (
     CurationConfig,
     compact_corpus_output,
@@ -15,6 +16,7 @@ __all__ = [
     "CurationConfig",
     "compact_corpus_output",
     "curate_corpus",
+    "ivf_ingest_stream",
     "prepare_training_corpus",
     "prepare_training_corpus_stream",
     "read_corpus_stream_output",

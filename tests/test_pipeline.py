@@ -1059,3 +1059,169 @@ def test_compact_corpus_output_semantic_refusal(spark, tmp_path):
             spark, str(tmp_path / "nostate"), str(tmp_path / "o"),
             semantic_threshold=0.9,
         )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF-index maintenance (r13 — pipelines/embed.py)
+
+
+def _emb_vec(i: int, dim: int = 8) -> list[float]:
+    """Deterministic non-degenerate embedding for vec_id i."""
+    return [((i * 31 + j * 7) % 17) / 17.0 + 0.01 for j in range(dim)]
+
+
+def _emb_chunks(tmp_path, ids_per_chunk, dim: int = 8, name="emb_chunks"):
+    """Parquet chunk files with strictly increasing mtimes (the file
+    source orders micro-batches by mtime — test-harness doctrine).
+    ``ids_per_chunk``: list of id-lists, one chunk each."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    schema = pa.schema([
+        ("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64())),
+    ])
+    base = time.time() - len(ids_per_chunk) - 60
+    for j, ids in enumerate(ids_per_chunk):
+        t = pa.Table.from_pylist(
+            [{"vec_id": i, "embedding": _emb_vec(i, dim)} for i in ids],
+            schema=schema,
+        )
+        path = str(d / f"c{j:03d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (base + j, base + j))
+    return d
+
+
+EMB_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _run_ivf_stream(spark, chunks, ckpt, index_table, index_path, **kw):
+    from flink_note_spark.pipelines import ivf_ingest_stream
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+    )
+    q = ivf_ingest_stream(
+        stream, checkpoint=str(ckpt), index_table=index_table,
+        index_path=str(index_path), n_cells=4, iters=1,
+        index_buckets=2, **kw,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _drop_ivf(spark, table):
+    for t in (table, f"{table}__centroids", f"{table}__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_ingest_stream_accretes_and_matches_union(spark, tmp_path):
+    """First batch bootstraps (train + save), later batches accrete by
+    assignment against the SAVED centroids — so the final index must
+    EQUAL the union corpus assigned against the loaded centroids,
+    pinned at partial probe (sensitive to appended rows' cells), and
+    hold every id exactly once."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        IvfIndex,
+        _ivf_assign_cells,
+        ivf_load,
+        ivf_query,
+    )
+
+    ids = list(range(24))
+    chunks = _emb_chunks(tmp_path, [ids[:8], ids[8:16], ids[16:]])
+    table = "t_ivf_stream_acc"
+    try:
+        _run_ivf_stream(
+            spark, chunks, tmp_path / "ckpt", table, tmp_path / "idx"
+        )
+        loaded = ivf_load(spark, table)
+        got_ids = [r[0] for r in loaded.assigned.select("neighbor_id").collect()]
+        assert sorted(got_ids) == ids  # every id exactly once
+
+        all_rows = spark.createDataFrame(
+            [(i, _emb_vec(i)) for i in ids], EMB_SCHEMA
+        )
+        c = all_rows.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        union_idx = IvfIndex(
+            loaded.centroids,
+            _ivf_assign_cells(c, loaded.centroids, "__cv")
+            .withColumnRenamed("__cell", "cell_id"),
+            loaded.id_type,
+        )
+        q = all_rows.filter(F.col("vec_id") < 6)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(union_idx, q, k=3, n_probe=2).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivf_query(loaded, q, k=3, n_probe=2).collect()
+        }
+        assert want and got == want
+    finally:
+        _drop_ivf(spark, table)
+
+
+def test_ivf_ingest_stream_restart_reingest_first_write_wins(
+    spark, tmp_path
+):
+    """run → stop → a late chunk lands carrying RE-INGESTED ids (with
+    changed vectors) plus new ids → restart from the SAME checkpoint:
+    ids stay unique, the re-ingested ids keep their ORIGINAL vectors
+    (first-write-wins — the skip-mode guard), the new ids append."""
+    import os
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_note_spark.operators.similarity import ivf_load
+
+    chunks = _emb_chunks(tmp_path, [list(range(8)), list(range(8, 12))])
+    table = "t_ivf_stream_rs"
+    ckpt = tmp_path / "ckpt"
+    try:
+        _run_ivf_stream(spark, chunks, ckpt, table, tmp_path / "idx")
+        assert ivf_load(spark, table).assigned.count() == 12
+
+        schema = pa.schema([
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float64())),
+        ])
+        late = [
+            # id 3 re-ingested with a DIFFERENT vector + two new ids
+            {"vec_id": 3, "embedding": [9.0] * 8},
+            {"vec_id": 12, "embedding": _emb_vec(12)},
+            {"vec_id": 13, "embedding": _emb_vec(13)},
+        ]
+        p = str(chunks / "late.parquet")
+        pq.write_table(pa.Table.from_pylist(late, schema=schema), p)
+        now = time.time()
+        os.utime(p, (now, now))
+
+        _run_ivf_stream(spark, chunks, ckpt, table, tmp_path / "idx")
+        loaded = ivf_load(spark, table)
+        rows = {
+            r["neighbor_id"]: r["__cv"]
+            for r in loaded.assigned.collect()
+        }
+        assert sorted(rows) == list(range(14))  # unique, new ids in
+        # first-write-wins: id 3 kept its original vector
+        assert np.allclose(rows[3], _emb_vec(3))
+        assert np.allclose(rows[12], _emb_vec(12))
+    finally:
+        _drop_ivf(spark, table)
