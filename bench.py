@@ -137,12 +137,12 @@ ENVELOPE_EXTRA = [
     "q155_week_origin_gapfill",
     "q156_match_recognize_sql",
     "q157_cep_group_one_or_more",
-    # q158_ivf_index_lifecycle / q159_pq_index_lifecycle are EXCLUDED:
+    # q158/q159/q160 (*_index_lifecycle) are EXCLUDED:
     # their Spark side is the WRITE-side indexing lifecycle (build +
     # save + append + load) run end-to-end for oracle-checkability,
     # while the DuckDB oracle is the read-side brute-force query — a
     # ratio would compare different work. The read paths they produce
-    # are q57's/q94's (measured); the lifecycles' scale posture is
+    # are q57's/q94's/q97's (measured); the lifecycles' scale posture is
     # probed separately (tools/scale_probe.py ivf_lifecycle /
     # pq_lifecycle — BASELINE.md Round-13).
 ]

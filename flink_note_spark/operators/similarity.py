@@ -707,6 +707,89 @@ def _refresh_tables(spark, *tables: str) -> None:
             spark.catalog.refreshTable(t)
 
 
+def _external_location(spark, table: str) -> "str | None":
+    """The table's storage location when it is EXTERNAL, else None —
+    what the ``*_index_rebuild`` verbs default their ``path`` to, so an
+    in-place retrain keeps the files where a later session's register
+    expects them instead of silently recreating the table MANAGED."""
+    is_ext, loc = False, None
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        key = (r["col_name"] or "").strip()
+        if key == "Type":
+            is_ext = (r["data_type"] or "").strip().upper() == "EXTERNAL"
+        elif key == "Location":
+            loc = r["data_type"]
+    return loc if is_ext else None
+
+
+def _guard_index_increment(
+    increment: DataFrame,
+    indexed_ids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_type: str,
+    dim: int,
+    what: str,
+    on_conflict: str,
+) -> "DataFrame | None":
+    """The shared refusal/skip contract of every persisted-index append
+    (``ivf_index_append`` / ``pq_index_append`` / ``ivfpq_index_append``):
+    id-type mismatch and wrong vector dim refuse loudly; already-indexed
+    ids refuse (``on_conflict="error"``) or anti-join out
+    (``on_conflict="skip"`` — the idempotent streaming-ingest mode).
+    ``indexed_ids`` is the index's single id column (``neighbor_id``) —
+    either presence check is a column-pruned scan against the broadcast
+    increment ids, no shuffle, no corpus-row read. Returns the
+    (possibly filtered) increment, or None when nothing remains to
+    append."""
+    inc_id_type = dict(increment.dtypes)[id_col]
+    if inc_id_type != id_type:
+        raise ValueError(
+            f"{what}: increment id type {inc_id_type!r} != index id "
+            f"type {id_type!r} — appended files would split the corpus "
+            "table's schema"
+        )
+    probe = increment.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:
+        return None  # empty increment — nothing to append
+    if probe["d"] != dim:
+        raise ValueError(
+            f"{what}: increment vectors have dim {probe['d']} but the "
+            f"index quantizes dim {dim} — wrong embedding family "
+            "(rebuild the index if the family changed)"
+        )
+    inc_ids = F.broadcast(
+        increment.select(F.col(id_col).alias("neighbor_id")).distinct()
+    )
+    if on_conflict == "skip":
+        present = (
+            indexed_ids.join(inc_ids, "neighbor_id", "semi")
+            .withColumnRenamed("neighbor_id", id_col)
+        )
+        increment = increment.join(F.broadcast(present), id_col, "anti")
+        if increment.select(id_col).first() is None:
+            return None  # every increment id already indexed
+    elif on_conflict == "error":
+        clash = (
+            indexed_ids.join(inc_ids, "neighbor_id", "semi")
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"{what}: increment ids already in the index "
+                f"(e.g. {[r[0] for r in clash]}) — appending them "
+                "would duplicate their rows; dedup or re-key the "
+                "increment"
+            )
+    else:
+        raise ValueError(
+            f"{what}: on_conflict={on_conflict!r} — use 'error' or "
+            "'skip'"
+        )
+    return increment
+
+
 def ivf_index_append(
     increment: DataFrame,
     table: str,
@@ -755,67 +838,13 @@ def ivf_index_append(
 
     spark = increment.sparkSession
     idx = ivf_load(spark, table)
-    inc_id_type = dict(increment.dtypes)[id_col]
-    if inc_id_type != idx.id_type:
-        raise ValueError(
-            f"ivf_index_append: increment id type {inc_id_type!r} != "
-            f"index id type {idx.id_type!r} — appended files would "
-            "split the corpus table's schema"
-        )
-    probe = increment.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is None:
-        return  # empty increment — nothing to append
-    dim = int(np.asarray(idx.centroids).shape[1])
-    if probe["d"] != dim:
-        raise ValueError(
-            f"ivf_index_append: increment vectors have dim {probe['d']} "
-            f"but the index was trained on dim {dim} — wrong embedding "
-            "family (rebuild the index if the family changed)"
-        )
-    if on_conflict == "skip":
-        present = (
-            idx.assigned.select("neighbor_id")
-            .join(
-                F.broadcast(
-                    increment.select(
-                        F.col(id_col).alias("neighbor_id")
-                    ).distinct()
-                ),
-                "neighbor_id",
-                "semi",
-            )
-            .withColumnRenamed("neighbor_id", id_col)
-        )
-        increment = increment.join(F.broadcast(present), id_col, "anti")
-        if increment.select(id_col).first() is None:
-            return  # every increment id already indexed — nothing new
-    elif on_conflict == "error":
-        clash = (
-            idx.assigned.select("neighbor_id")
-            .join(
-                F.broadcast(
-                    increment.select(
-                        F.col(id_col).alias("neighbor_id")
-                    ).distinct()
-                ),
-                "neighbor_id",
-                "semi",
-            )
-            .limit(5)
-            .collect()
-        )
-        if clash:
-            raise ValueError(
-                "ivf_index_append: increment ids already in the index "
-                f"(e.g. {[r[0] for r in clash]}) — appending them would "
-                "duplicate their neighbor rows; dedup or re-key the "
-                "increment"
-            )
-    else:
-        raise ValueError(
-            f"ivf_index_append: on_conflict={on_conflict!r} — "
-            "use 'error' or 'skip'"
-        )
+    increment = _guard_index_increment(
+        increment, idx.assigned.select("neighbor_id"), id_col, vec_col,
+        idx.id_type, int(np.asarray(idx.centroids).shape[1]),
+        "ivf_index_append", on_conflict,
+    )
+    if increment is None:
+        return
     from flink_note_spark.operators.dedup import _table_buckets
     from flink_note_spark.operators.scale import write_bucketed
 
@@ -934,15 +963,7 @@ def ivf_index_rebuild(
     if buckets is None:
         buckets = _table_buckets(spark, table)
     if path is None:
-        is_ext, loc = False, None
-        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
-            key = (r["col_name"] or "").strip()
-            if key == "Type":
-                is_ext = (r["data_type"] or "").strip().upper() == "EXTERNAL"
-            elif key == "Location":
-                loc = r["data_type"]
-        if is_ext:
-            path = loc
+        path = _external_location(spark, table)
     rebuilt = ivf_build(
         idx.assigned.select("neighbor_id", "__cv"),
         n_cells=n_cells, iters=iters, seed=seed,
@@ -1422,60 +1443,74 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
-    queries: DataFrame,
+def ivfpq_build(
     corpus: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
     m: int = 8,
     n_codes: int = 16,
-    shortlist: int = 50,
     iters: int = 2,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exclude_self: bool = True,
-    max_collect_rows: int | None = 100_000,
-) -> DataFrame:
-    """IVF routing + PQ codes (the canonical billion-scale ANN combo,
-    Jégou et al. 2011 §IV): k-means cells bound the candidate set,
-    per-subspace PQ codes bound the memory per candidate, exact cosine
-    re-ranks the ADC shortlist. Compared to :func:`ivf_topk` the cell
-    scan reads ``m`` int codes instead of the raw vector; compared to
-    :func:`pq_topk` only ``n_probe/n_cells`` of the corpus is scored.
-
-    Candidates meet in a ``cell_id`` equi-join (never a cross join);
-    ADC scoring happens per joined Arrow batch against the broadcast
-    per-query lookup tables. With ``n_probe == n_cells`` AND
-    ``shortlist >= |corpus|`` the pipeline degenerates to exact
-    brute force (the q97 oracle contract).
-
-    Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
-    """
-    import numpy as np
-
+    materialize: bool = True,
+) -> "IvfPqIndex":
+    """Build an IVF-PQ index (r13 build/query split of the former
+    one-shot ``ivfpq_topk`` body): train IVF centroids AND per-subspace
+    PQ codebooks over the same materialized projection (both
+    shuffle-free partial-sum Lloyd), then ONE Arrow pass appending the
+    cell assignment and the ``m`` subspace codes per vector
+    (:func:`_ivfpq_encode`). ``materialize=True`` backs the encoded
+    corpus with executor blocks — BOTH the ADC scoring pass and the
+    ``__cv`` re-rank join read it, so without blocks the encode kernel
+    would run twice per query call (review r6 finding #6)."""
     c = _spread_for_python_stage(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
         )
     )
+    if materialize:
+        c = _computed_once(c)
     id_type = dict(corpus.dtypes)[id_col]
-    empty_schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, cos_sim double, rank int"
-    )
     cents = _ivf_train_centroids(c, n_cells, iters, seed, "neighbor_id", "__cv")
     if cents is None:
-        return queries.sparkSession.createDataFrame([], empty_schema)
+        return IvfPqIndex(None, None, None, id_type)
     books = _pq_train_codebooks(c, m, n_codes, iters, seed,
                                 "neighbor_id", "__cv")
-    n_probe = min(n_probe, len(cents))
+    encoded = _ivfpq_encode(c, cents, books, id_type)
+    if materialize:
+        encoded = _computed_once(encoded)
+    return IvfPqIndex(cents, books, encoded, id_type)
 
-    sc = queries.sparkSession.sparkContext
+
+class IvfPqIndex:
+    """A built (optionally persisted) IVF-PQ index — the canonical
+    billion-scale ANN artifact (Jégou et al. 2011 §IV): IVF centroids
+    bound the candidate set, per-subspace PQ codes bound the memory per
+    candidate. ``encoded``: ``(neighbor_id, __cv, cell_id, __codes)``
+    — the raw vector rides along for the exact re-rank stage."""
+
+    def __init__(self, centroids, codebooks, encoded: "DataFrame | None",
+                 id_type: str):
+        self.centroids = centroids    # np.ndarray | None (empty corpus)
+        self.codebooks = codebooks    # np.ndarray (m, n_codes, dsub) | None
+        self.encoded = encoded
+        self.id_type = id_type
+
+    @property
+    def n_cells(self) -> int:
+        return 0 if self.centroids is None else len(self.centroids)
+
+
+def _ivfpq_encode(c: DataFrame, cents, books, id_type: str) -> DataFrame:
+    """ONE Arrow pass appending cell assignment + PQ codes against the
+    broadcast centroid matrix and codebooks — shared by
+    :func:`ivfpq_build` and :func:`ivfpq_index_append` (an increment
+    MUST assign and encode with the saved parameters)."""
+    import numpy as np
+
+    sc = c.sparkSession.sparkContext
     bc_cents = sc.broadcast(np.asarray(cents))
     bc_books = sc.broadcast(books)
-
-    # one Arrow pass: cell assignment + PQ encode
     enc_schema = (
         f"neighbor_id {id_type}, __cv array<double>, cell_id int, "
         "__codes array<int>"
@@ -1500,14 +1535,48 @@ def ivfpq_topk(
             pdf["__codes"] = list(codes)
             yield pdf
 
-    # materialized: BOTH the ADC scoring pass and the __cv re-rank join
-    # read this frame — without blocks the full encode kernel would run
-    # twice per call (review r6 finding #6)
-    encoded = _computed_once(c.mapInPandas(encode, enc_schema))
+    return c.mapInPandas(encode, enc_schema)
 
-    # query side: guarded collect → ADC tables + probed cells
+
+def ivfpq_query(
+    index: "IvfPqIndex",
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_collect_rows: int | None = 100_000,
+) -> DataFrame:
+    """Query a built :class:`IvfPqIndex`: each query probes its
+    ``n_probe`` nearest cells, candidates are ADC-scored (broadcast
+    per-query lookup tables over the code column only), the shortlist
+    re-ranks by exact cosine. Candidates meet in a ``cell_id``
+    equi-join, never a cross join; the probed cells additionally push
+    down as a ``cell_id IN (...)`` scan filter, so a query batch over a
+    PERSISTED index (:func:`ivfpq_save` — bucketed on ``cell_id``)
+    reads ONLY the probed buckets (bucket pruning), not the corpus.
+
+    Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
+    """
+    import numpy as np
+
+    empty_schema = (
+        f"query_id {index.id_type}, neighbor_id {index.id_type}, "
+        "cos_sim double, rank int"
+    )
+    if index.centroids is None:  # empty corpus: typed empty result
+        return queries.sparkSession.createDataFrame([], empty_schema)
+    cents = index.centroids
+    books = index.codebooks
+    n_probe = min(n_probe, len(cents))
+    encoded = index.encoded
+    sc = queries.sparkSession.sparkContext
+
+    # query side: guarded collect -> ADC tables + probed cells
     _guard_driver_collect(
-        queries, "ivfpq_topk", max_collect_rows,
+        queries, "ivfpq_query", max_collect_rows,
         "batch the query set (per-query ADC tables are driver state)",
     )
     qrows = queries.select(
@@ -1529,15 +1598,21 @@ def ivfpq_topk(
         for cell in probed[i]
     ]
     qp = queries.sparkSession.createDataFrame(
-        probe_rows, f"query_id {id_type}, cell_id int"
+        probe_rows, f"query_id {index.id_type}, cell_id int"
     )
 
-    cand = F.broadcast(qp).join(encoded, "cell_id")
+    # probed-cell pushdown: a filter, not just a join key, so the scan
+    # of a bucketed persisted index prunes to the probed buckets
+    cells = sorted({int(cell) for row in probed for cell in row})
+    cand = F.broadcast(qp).join(
+        encoded.filter(F.col("cell_id").isin(cells)), "cell_id"
+    )
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
 
     adc_schema = (
-        f"query_id {id_type}, neighbor_id {id_type}, __adc double"
+        f"query_id {index.id_type}, neighbor_id {index.id_type}, "
+        "__adc double"
     )
 
     def adc(batches):
@@ -1575,7 +1650,7 @@ def ivfpq_topk(
     )
     qv = queries.sparkSession.createDataFrame(
         [(r["query_id"], [float(x) for x in r["__qv"]]) for r in qrows],
-        f"query_id {id_type}, __qv array<double>",
+        f"query_id {index.id_type}, __qv array<double>",
     )
     rer = (
         short.join(encoded.select("neighbor_id", "__cv"), "neighbor_id")
@@ -1595,6 +1670,50 @@ def ivfpq_topk(
             "query_id", "neighbor_id",
             F.round("__sim", 6).alias("cos_sim"), "rank",
         )
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    max_collect_rows: int | None = 100_000,
+) -> DataFrame:
+    """IVF routing + PQ codes (the canonical billion-scale ANN combo,
+    Jégou et al. 2011 §IV): k-means cells bound the candidate set,
+    per-subspace PQ codes bound the memory per candidate, exact cosine
+    re-ranks the ADC shortlist. Compared to :func:`ivf_topk` the cell
+    scan reads ``m`` int codes instead of the raw vector; compared to
+    :func:`pq_topk` only ``n_probe/n_cells`` of the corpus is scored.
+
+    One-shot convenience over the r13 build/query split — equals
+    ``ivfpq_query(ivfpq_build(corpus, ...), queries, ...)``;
+    batch-querying callers should hold the :class:`IvfPqIndex` (or
+    persist it with :func:`ivfpq_save`) and call :func:`ivfpq_query`
+    per batch. With ``n_probe == n_cells`` AND ``shortlist >= |corpus|``
+    the pipeline degenerates to exact brute force (the q97 oracle
+    contract).
+
+    Output: query_id, neighbor_id, cos_sim (rounded 6), rank.
+    """
+    index = ivfpq_build(
+        corpus, n_cells=n_cells, m=m, n_codes=n_codes, iters=iters,
+        seed=seed, id_col=id_col, vec_col=vec_col, materialize=True,
+    )
+    return ivfpq_query(
+        index, queries, k=k, n_probe=n_probe, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
+        max_collect_rows=max_collect_rows,
     )
 
 
@@ -1657,6 +1776,7 @@ def pq_index_append(
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_conflict: str = "error",
 ) -> None:
     """Accrete an embedding increment into a PERSISTED PQ index IN
     PLACE (r13 — completes the ANN-family accretion story alongside
@@ -1668,8 +1788,10 @@ def pq_index_append(
     file append preserves the read path exactly; the existing corpus
     is never re-encoded and every existing byte is untouched.
 
-    Refusals are loud (the :func:`ivf_index_append` contract): an
-    increment id already in the index, an id type differing from the
+    Refusals are loud (the :func:`ivf_index_append` contract, shared
+    via ``_guard_index_increment``): an increment id already in the
+    index (``on_conflict="skip"`` anti-joins it out instead — the
+    idempotent streaming-ingest mode), an id type differing from the
     saved corpus, and a vector dimensionality differing from
     ``m · dsub`` of the trained codebooks (probed on one row — the
     wrong-embedding-family mistake).
@@ -1684,44 +1806,14 @@ def pq_index_append(
 
     spark = increment.sparkSession
     idx = pq_load(spark, table)
-    inc_id_type = dict(increment.dtypes)[id_col]
-    if inc_id_type != idx.id_type:
-        raise ValueError(
-            f"pq_index_append: increment id type {inc_id_type!r} != "
-            f"index id type {idx.id_type!r} — appended files would "
-            "split the corpus table's schema"
-        )
-    probe = increment.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is None:
-        return  # empty increment — nothing to append
     books = np.asarray(idx.codebooks)
-    dim = int(books.shape[0] * books.shape[2])
-    if probe["d"] != dim:
-        raise ValueError(
-            f"pq_index_append: increment vectors have dim {probe['d']} "
-            f"but the codebooks quantize dim {dim} — wrong embedding "
-            "family (rebuild the index if the family changed)"
-        )
-    clash = (
-        idx.encoded.select("neighbor_id")
-        .join(
-            F.broadcast(
-                increment.select(
-                    F.col(id_col).alias("neighbor_id")
-                ).distinct()
-            ),
-            "neighbor_id",
-            "semi",
-        )
-        .limit(5)
-        .collect()
+    increment = _guard_index_increment(
+        increment, idx.encoded.select("neighbor_id"), id_col, vec_col,
+        idx.id_type, int(books.shape[0] * books.shape[2]),
+        "pq_index_append", on_conflict,
     )
-    if clash:
-        raise ValueError(
-            "pq_index_append: increment ids already in the index "
-            f"(e.g. {[r[0] for r in clash]}) — appending them would "
-            "duplicate their code rows; dedup or re-key the increment"
-        )
+    if increment is None:
+        return
     c = _spread_for_python_stage(
         increment.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -1778,15 +1870,7 @@ def pq_index_rebuild(
     if n_codes is None:
         n_codes = int(idx.codebooks.shape[1])
     if path is None:
-        is_ext, loc = False, None
-        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
-            key = (r["col_name"] or "").strip()
-            if key == "Type":
-                is_ext = (r["data_type"] or "").strip().upper() == "EXTERNAL"
-            elif key == "Location":
-                loc = r["data_type"]
-        if is_ext:
-            path = loc
+        path = _external_location(spark, table)
     rebuilt = pq_build(
         idx.encoded.select("neighbor_id", "__cv"),
         m=m, n_codes=n_codes, iters=iters, seed=seed,
@@ -1794,6 +1878,222 @@ def pq_index_rebuild(
     )
     pq_save(rebuilt, table, path=path)
     return pq_load(spark, table)
+
+
+def ivfpq_save(index: "IvfPqIndex", table: str, buckets: int = 16,
+               path: str | None = None) -> None:
+    """Persist a built IVF-PQ index across sessions — the index a
+    100 TB similarity deployment actually operates: the encoded corpus
+    (id + raw vector + cell + codes) goes to a table BUCKETED on
+    ``cell_id`` (so :func:`ivfpq_query`'s probed-cell pushdown prunes
+    to the probed buckets), centroids and codebooks to tiny side
+    tables, and a ``__meta`` geometry table written LAST (the
+    :func:`ivf_save` crash-window discipline). Always overwrites;
+    incremental growth goes through :func:`ivfpq_index_append`."""
+    from flink_note_spark.operators.scale import write_bucketed
+
+    if index.centroids is None:
+        raise ValueError("ivfpq_save: empty index (corpus had no rows)")
+    spark = index.encoded.sparkSession
+    write_bucketed(
+        index.encoded, table, buckets, ["cell_id"], path=path,
+        mode="overwrite",
+    )
+    cent_rows = [
+        (i, [float(x) for x in row]) for i, row in enumerate(index.centroids)
+    ]
+    w = spark.createDataFrame(
+        cent_rows, "cell_id int, centroid array<double>"
+    ).write.mode("overwrite")
+    if path:
+        w = w.option("path", f"{path}__centroids")
+    w.saveAsTable(f"{table}__centroids")
+    mm, kk, _ = index.codebooks.shape
+    book_rows = [
+        (j, c, [float(x) for x in index.codebooks[j, c]])
+        for j in range(mm)
+        for c in range(kk)
+    ]
+    w2 = spark.createDataFrame(
+        book_rows, "sub int, code int, word array<double>"
+    ).write.mode("overwrite")
+    if path:
+        w2 = w2.option("path", f"{path}__codebooks")
+    w2.saveAsTable(f"{table}__codebooks")
+    meta = spark.createDataFrame(
+        [(int(index.centroids.shape[1]), int(index.n_cells), int(mm),
+          int(kk), int(buckets), index.id_type)],
+        "dim int, n_cells int, m int, n_codes int, table_buckets int, "
+        "id_type string",
+    ).write.mode("overwrite")
+    if path:
+        meta = meta.option("path", f"{path}__meta")
+    meta.saveAsTable(f"{table}__meta")
+
+
+def ivfpq_load(spark, table: str) -> "IvfPqIndex":
+    """Rebuild an :class:`IvfPqIndex` from :func:`ivfpq_save` output —
+    no training, no encode pass; ``encoded`` is the bucketed table
+    scan. Refreshes the catalog's cached file listings first (the
+    :func:`ivf_load` stale-cache guard)."""
+    import numpy as np
+
+    _refresh_tables(
+        spark, table, f"{table}__centroids", f"{table}__codebooks",
+    )
+    crows = spark.table(f"{table}__centroids").collect()
+    if not crows:
+        raise ValueError(
+            f"ivfpq_load: centroid table {table}__centroids is empty — "
+            "not an ivfpq_save output (or the save was interrupted)"
+        )
+    cents = np.empty(
+        (len(crows), len(crows[0]["centroid"])), dtype=np.float64
+    )
+    for r in crows:
+        cents[r["cell_id"]] = r["centroid"]
+    brows = spark.table(f"{table}__codebooks").collect()
+    mm = max(r["sub"] for r in brows) + 1
+    kk = max(r["code"] for r in brows) + 1
+    dd = len(brows[0]["word"])
+    books = np.empty((mm, kk, dd), dtype=np.float64)
+    for r in brows:
+        books[r["sub"], r["code"]] = r["word"]
+    encoded = spark.table(table)
+    id_type = dict(encoded.dtypes)["neighbor_id"]
+    return IvfPqIndex(cents, books, encoded, id_type)
+
+
+def ivfpq_index_append(
+    increment: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_conflict: str = "error",
+) -> None:
+    """Accrete an embedding increment into a PERSISTED IVF-PQ index IN
+    PLACE — assign AND encode against the SAVED centroids/codebooks
+    (one Arrow pass over the increment only, ``_ivfpq_encode``) and
+    append bucketed files; the existing corpus is never rescanned.
+    Same refusal/skip contract as :func:`ivf_index_append`
+    (``_guard_index_increment``), same drift caveat on BOTH fixed
+    parameter sets (cells imbalance AND quantization error grow with
+    distribution drift) — :func:`ivfpq_index_rebuild` closes it."""
+    spark = increment.sparkSession
+    idx = ivfpq_load(spark, table)
+    increment = _guard_index_increment(
+        increment, idx.encoded.select("neighbor_id"), id_col, vec_col,
+        idx.id_type, int(idx.centroids.shape[1]),
+        "ivfpq_index_append", on_conflict,
+    )
+    if increment is None:
+        return
+    from flink_note_spark.operators.dedup import _table_buckets
+    from flink_note_spark.operators.scale import write_bucketed
+
+    c = _spread_for_python_stage(
+        increment.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    write_bucketed(
+        _ivfpq_encode(c, idx.centroids, idx.codebooks, idx.id_type),
+        table, _table_buckets(spark, table), ["cell_id"], mode="append",
+    )
+
+
+def ivfpq_index_register(
+    spark, table: str, path: str, buckets: int | None = None
+) -> "IvfPqIndex":
+    """Re-register a persisted :func:`ivfpq_save` layout in a FRESH
+    session's catalog (the :func:`ivf_index_register` doctrine) —
+    without it the bucketed files still read, but the probed-cell
+    pushdown loses its bucket pruning. Reads the geometry from
+    ``{path}__meta``; ``buckets`` overrides only for meta-less saves."""
+    try:
+        rows = spark.read.parquet(f"{path}__meta").collect()
+    except Exception:
+        rows = None
+    if rows is not None:
+        if len(rows) != 1:
+            raise ValueError(
+                f"ivfpq_index_register: {path}__meta has {len(rows)} "
+                "rows — not an ivfpq_save layout"
+            )
+        b = rows[0]["table_buckets"]
+    elif buckets:
+        b = buckets
+    else:
+        raise ValueError(
+            f"ivfpq_index_register: no meta at {path}__meta — pass "
+            "buckets= with the ORIGINAL save-time count (a wrong count "
+            "silently mis-buckets the layout), or re-save"
+        )
+
+    def _ddl_cols(p: str) -> str:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(p).schema.fields
+        )
+
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({_ddl_cols(path)}) USING PARQUET "
+            f"CLUSTERED BY (cell_id) INTO {int(b)} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    for suffix in ("__centroids", "__codebooks"):
+        if not spark.catalog.tableExists(f"{table}{suffix}"):
+            spark.sql(
+                f"CREATE TABLE {table}{suffix} USING PARQUET "
+                f"LOCATION '{path}{suffix}'"
+            )
+    if rows is not None and not spark.catalog.tableExists(f"{table}__meta"):
+        spark.sql(
+            f"CREATE TABLE {table}__meta USING PARQUET "
+            f"LOCATION '{path}__meta'"
+        )
+    return ivfpq_load(spark, table)
+
+
+def ivfpq_index_rebuild(
+    spark,
+    table: str,
+    path: str | None = None,
+    n_cells: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    iters: int = 2,
+    seed: int = 42,
+    buckets: int | None = None,
+) -> "IvfPqIndex":
+    """Retrain a persisted IVF-PQ index from its own corpus (the raw
+    ``__cv`` column rides along exactly for this) and swap it in place
+    — closes the drift caveat on both fixed parameter sets (the
+    :func:`ivf_index_rebuild` pattern and discipline: offline verb,
+    lineage severed by materialization before the overwrite, ``path``
+    defaults to the external location). Geometry defaults to the saved
+    index's."""
+    from flink_note_spark.operators.dedup import _table_buckets
+
+    idx = ivfpq_load(spark, table)
+    if n_cells is None:
+        n_cells = idx.n_cells
+    if m is None:
+        m = int(idx.codebooks.shape[0])
+    if n_codes is None:
+        n_codes = int(idx.codebooks.shape[1])
+    if buckets is None:
+        buckets = _table_buckets(spark, table)
+    if path is None:
+        path = _external_location(spark, table)
+    rebuilt = ivfpq_build(
+        idx.encoded.select("neighbor_id", "__cv"),
+        n_cells=n_cells, m=m, n_codes=n_codes, iters=iters, seed=seed,
+        id_col="neighbor_id", vec_col="__cv", materialize=True,
+    )
+    ivfpq_save(rebuilt, table, buckets=buckets, path=path)
+    return ivfpq_load(spark, table)
 
 
 def semantic_dedup_pairs(

@@ -94,6 +94,18 @@ def ivf_ingest_stream(
         if have and not spark.catalog.tableExists(f"{index_table}__meta"):
             ivf_index_register(spark, index_table, index_path)
         if not have:
+            n_rows = b.count()
+            if n_rows < n_cells:
+                raise ValueError(
+                    f"ivf_ingest_stream: the bootstrap batch has "
+                    f"{n_rows} distinct vectors but n_cells={n_cells} "
+                    "— training would silently produce a smaller index "
+                    "(and a tiny batch trains unrepresentative "
+                    "centroids anyway); lower n_cells, batch more data "
+                    "into the first trigger, or pre-seed the index "
+                    "with a batch ivf_build + ivf_save before starting "
+                    "the stream"
+                )
             idx = ivf_build(
                 b, n_cells=n_cells, iters=iters, seed=seed,
                 id_col=id_col, vec_col=vec_col,

@@ -625,6 +625,51 @@ def q97_ivfpq_exhaustive_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumnRenamed("rank", "rnk")
 
 
+def q160_ivfpq_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-IVF-PQ-index operational lifecycle (r13 — the q158/
+    q159 shape for the composed billion-scale index, the configuration
+    a 100 TB similarity deployment actually persists): build over HALF
+    the corpus (even vec_ids), ``ivfpq_save`` bucketed on ``cell_id``,
+    accrete the other half via ``ivfpq_index_append`` (assign + encode
+    against the SAVED centroids AND codebooks, one Arrow pass, no
+    retraining), ``ivfpq_load``, query with ``n_probe == n_cells`` and
+    an exhaustive shortlist — both approximations degenerate, so the
+    result must EQUAL exact brute force over the UNION corpus (the q97
+    trick). Partial-probe/partial-shortlist accretion equality,
+    refusals, register and rebuild are pytest-gated
+    (tests/test_lsh_recall.py)."""
+    import tempfile
+
+    from flink_note_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_index_append,
+        ivfpq_load,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    table = "q160_ivfpq_idx"
+    for t in (table, f"{table}__centroids", f"{table}__codebooks",
+              f"{table}__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    path = tempfile.mkdtemp(prefix="q160_ivfpq_") + "/idx"
+    idx = ivfpq_build(
+        e.filter(F.col("vec_id") % 2 == 0), n_cells=8, m=8, n_codes=16,
+        iters=1, id_col="vec_id", vec_col="embedding",
+    )
+    ivfpq_save(idx, table, buckets=4, path=path)
+    ivfpq_index_append(
+        e.filter(F.col("vec_id") % 2 == 1), table,
+        id_col="vec_id", vec_col="embedding",
+    )
+    loaded = ivfpq_load(spark, table)
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_query(
+        loaded, q, k=5, n_probe=8, shortlist=1_000_000
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q96_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document n-gram novelty (share of 3-gram shingles unique to
     the doc) — the corpus-pressure signal that decides which documents
@@ -2373,6 +2418,7 @@ QUERIES = {
     "q57_ivf_exhaustive_topk": q57_ivf_exhaustive_topk,
     "q158_ivf_index_lifecycle": q158_ivf_index_lifecycle,
     "q159_pq_index_lifecycle": q159_pq_index_lifecycle,
+    "q160_ivfpq_index_lifecycle": q160_ivfpq_index_lifecycle,
     "q94_pq_exhaustive_topk": q94_pq_exhaustive_topk,
     "q95_pq_topk": q95_pq_topk,
     "q96_ngram_novelty": q96_ngram_novelty,
@@ -2443,6 +2489,7 @@ ORACLES = {
     # save -> append -> load -> exhaustive query == exact brute force
     "q158_ivf_index_lifecycle": _Q33_SQL,
     "q159_pq_index_lifecycle": _Q33_SQL,
+    "q160_ivfpq_index_lifecycle": _Q33_SQL,
     # exhaustive shortlist + exact re-rank == exact brute force
     "q94_pq_exhaustive_topk": _Q33_SQL,
     "q96_ngram_novelty": _Q96_SQL,

@@ -869,3 +869,131 @@ def test_semantic_dedup_clustered_recall(spark, sf_dir):
     }
     assert want  # the planted copies really are ≥ 0.95
     assert len(got & want) / len(want) >= 0.95
+
+
+def _drop_ivfpq_tables(spark, table):
+    for t in (table, f"{table}__centroids", f"{table}__codebooks",
+              f"{table}__meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_index_append_equals_same_params_union(spark, sf_dir, tmp_path):
+    """IVF-PQ accretion contract: appending an increment must produce
+    EXACTLY the index that assigning+encoding the union corpus against
+    the same (fixed) centroids AND codebooks would — pinned at partial
+    probe and partial shortlist, both sensitive to the appended rows'
+    cells and codes."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        IvfPqIndex,
+        _ivfpq_encode,
+        ivfpq_build,
+        ivfpq_index_append,
+        ivfpq_load,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(emb.vec_id % 2 == 0)
+    inc = emb.filter(emb.vec_id % 2 == 1)
+    table = "ivfpq_append_test"
+    try:
+        built = ivfpq_build(base, n_cells=8, m=8, n_codes=16, iters=1)
+        ivfpq_save(built, table, buckets=4, path=str(tmp_path / "ivfpq"))
+        ivfpq_index_append(inc, table)
+        loaded = ivfpq_load(spark, table)
+        assert np.allclose(loaded.centroids, built.centroids)
+        assert np.allclose(loaded.codebooks, built.codebooks)
+
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        union_idx = IvfPqIndex(
+            built.centroids, built.codebooks,
+            _ivfpq_encode(c, built.centroids, built.codebooks,
+                          built.id_type),
+            built.id_type,
+        )
+        q = emb.filter(emb.vec_id < 10)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivfpq_query(
+                union_idx, q, k=5, n_probe=2, shortlist=20
+            ).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivfpq_query(
+                loaded, q, k=5, n_probe=2, shortlist=20
+            ).collect()
+        }
+        assert want and got == want
+    finally:
+        _drop_ivfpq_tables(spark, table)
+
+
+def test_ivfpq_index_register_rebuild_and_refusals(spark, sf_dir, tmp_path):
+    """Fresh-catalog register keeps the bucket spec; rebuild retrains
+    BOTH parameter sets from the persisted corpus alone and still
+    satisfies exhaustive == exact brute force over the union; the
+    shared append guard refuses already-indexed ids and wrong dims."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.dedup import _table_buckets
+    from flink_note_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_index_append,
+        ivfpq_index_rebuild,
+        ivfpq_index_register,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = "ivfpq_reg_test"
+    path = str(tmp_path / "ivfpq")
+    try:
+        built = ivfpq_build(
+            emb.filter(emb.vec_id % 2 == 0), n_cells=8, m=8, n_codes=16,
+            iters=1,
+        )
+        ivfpq_save(built, table, buckets=4, path=path)
+        with pytest.raises(ValueError, match="already in the index"):
+            ivfpq_index_append(emb.filter(emb.vec_id % 2 == 0), table)
+        with pytest.raises(ValueError, match="dim"):
+            ivfpq_index_append(
+                emb.filter(emb.vec_id % 2 == 1).withColumn(
+                    "embedding", F.slice("embedding", 1, 3)
+                ),
+                table,
+            )
+        ivfpq_index_append(emb.filter(emb.vec_id % 2 == 1), table)
+
+        _drop_ivfpq_tables(spark, table)  # catalog lost; files remain
+        reg = ivfpq_index_register(spark, table, path)
+        assert _table_buckets(spark, table) == 4
+        assert np.allclose(reg.centroids, built.centroids)
+        assert reg.encoded.count() == emb.count()
+
+        rebuilt = ivfpq_index_rebuild(spark, table, iters=1)
+        assert rebuilt.n_cells == 8
+        assert not np.allclose(rebuilt.centroids, built.centroids)
+
+        q = emb.filter(emb.vec_id < 10)
+        exact = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in cosine_topk(q, emb, k=5).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivfpq_query(
+                rebuilt, q, k=5, n_probe=8, shortlist=1_000_000
+            ).collect()
+        }
+        assert exact and got == exact
+    finally:
+        _drop_ivfpq_tables(spark, table)

@@ -1225,3 +1225,23 @@ def test_ivf_ingest_stream_restart_reingest_first_write_wins(
         assert np.allclose(rows[12], _emb_vec(12))
     finally:
         _drop_ivf(spark, table)
+
+
+def test_ivf_ingest_stream_refuses_tiny_bootstrap(spark, tmp_path):
+    """A bootstrap batch smaller than n_cells refuses loudly instead of
+    silently training a smaller (and unrepresentative) index."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    chunks = _emb_chunks(tmp_path, [[0, 1]])  # 2 rows < n_cells=4
+    table = "t_ivf_stream_tiny"
+    try:
+        with _pytest.raises(
+            StreamingQueryException, match="bootstrap batch"
+        ):
+            _run_ivf_stream(
+                spark, chunks, tmp_path / "ckpt", table, tmp_path / "idx"
+            )
+    finally:
+        _drop_ivf(spark, table)

@@ -150,7 +150,7 @@ def main() -> None:
     _DOC_OPS = (
         "exact_dedup", "minhash_lsh", "simhash", "components",
         "packing", "language_id", "cosine_topk", "ivf_topk",
-        "ivf_lifecycle", "pq_lifecycle", "pq_topk",
+        "ivf_lifecycle", "pq_lifecycle", "ivfpq_lifecycle", "pq_topk",
         "corpus", "decontaminate", "tfidf", "corpus_full", "dup_span",
         "enrich",
         "remove_spans", "ccnet_exact", "ccnet_thresholds", "sdecon",
@@ -297,6 +297,30 @@ def main() -> None:
         pq_index_append(emb.filter(F.col("vec_id") % 2 == 1), table)
         q = emb.filter(F.col("vec_id") < 10)
         return pq_query(pq_load(spark, table), q, k=5, shortlist=50)
+
+    def ivfpq_lifecycle_probe(emb, tag):
+        """r13 IVF-PQ persisted-index loop end-to-end: build on half,
+        save bucketed, assign+encode+append the other half, load,
+        partial-probe partial-shortlist query."""
+        from flink_note_spark.operators.similarity import (
+            ivfpq_build, ivfpq_index_append, ivfpq_load, ivfpq_query,
+            ivfpq_save,
+        )
+
+        table = f"probe_ivfpq_{tag}"
+        for t_ in (table, f"{table}__centroids", f"{table}__codebooks",
+                   f"{table}__meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_}")
+        idx = ivfpq_build(
+            emb.filter(F.col("vec_id") % 2 == 0), n_cells=16, m=8,
+            n_codes=16, iters=1,
+        )
+        ivfpq_save(idx, table, buckets=8,
+                   path=f"{tmp}/ivfpq_{tag}_{time.monotonic_ns()}")
+        ivfpq_index_append(emb.filter(F.col("vec_id") % 2 == 1), table)
+        q = emb.filter(F.col("vec_id") < 10)
+        return ivfpq_query(ivfpq_load(spark, table), q, k=5, n_probe=4,
+                           shortlist=50)
 
     def pq_probe(emb):
         """PQ/ADC shape: codebook training (1 iter) + encode + ADC
@@ -887,6 +911,10 @@ def main() -> None:
             f"pq_lifecycle_{tag}",
             lambda e=e, tag=tag: noop(pq_lifecycle_probe(e, tag)), t,
         )
+        bench(
+            f"ivfpq_lifecycle_{tag}",
+            lambda e=e, tag=tag: noop(ivfpq_lifecycle_probe(e, tag)), t,
+        )
         bench(f"pq_topk_{tag}", lambda e=e: noop(pq_probe(e)), t)
         bench(f"corpus_{tag}", lambda d=d: noop(corpus_probe(d)), t)
         bench(f"decontaminate_{tag}", lambda d=d: noop(decontaminate_probe(d)), t)
@@ -930,7 +958,7 @@ def main() -> None:
             "asof", "sessionize", "sessionize_jvm",
             "exact_dedup", "minhash_lsh", "simhash", "components",
             "packing", "language_id", "cosine_topk", "ivf_topk",
-        "ivf_lifecycle", "pq_lifecycle", "pq_topk",
+        "ivf_lifecycle", "pq_lifecycle", "ivfpq_lifecycle", "pq_topk",
             "corpus",
             "decontaminate", "cep_strict", "cep_relaxed", "cep_mixed",
             "cep_noskip", "cep_group", "temporal",
