@@ -2,7 +2,11 @@
 library — the way a training-data user actually consumes the engine.
 """
 
-from flink_note_spark.pipelines.embed import ivf_ingest_stream
+from flink_note_spark.pipelines.embed import (
+    ivf_ingest_stream,
+    ivfpq_ingest_stream,
+    pq_ingest_stream,
+)
 from flink_note_spark.pipelines.curate import (
     CurationConfig,
     compact_corpus_output,
@@ -17,6 +21,8 @@ __all__ = [
     "compact_corpus_output",
     "curate_corpus",
     "ivf_ingest_stream",
+    "ivfpq_ingest_stream",
+    "pq_ingest_stream",
     "prepare_training_corpus",
     "prepare_training_corpus_stream",
     "read_corpus_stream_output",

@@ -1245,3 +1245,133 @@ def test_ivf_ingest_stream_refuses_tiny_bootstrap(spark, tmp_path):
             )
     finally:
         _drop_ivf(spark, table)
+
+
+def test_pq_ingest_stream_accretes_and_matches_union(spark, tmp_path):
+    """PQ streaming twin: first batch trains codebooks, later batches
+    encode against them — the final index must EQUAL the union corpus
+    encoded against the loaded codebooks, pinned at a partial
+    shortlist."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        PqIndex,
+        _pq_encode,
+        pq_load,
+        pq_query,
+    )
+    from flink_note_spark.pipelines import pq_ingest_stream
+
+    ids = list(range(24))
+    chunks = _emb_chunks(tmp_path, [ids[:8], ids[8:16], ids[16:]])
+    table = "t_pq_stream_acc"
+    try:
+        stream = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks))
+        )
+        q = pq_ingest_stream(
+            stream, checkpoint=str(tmp_path / "ckpt"), index_table=table,
+            index_path=str(tmp_path / "idx"), m=4, n_codes=4, iters=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        loaded = pq_load(spark, table)
+        got_ids = [r[0] for r in loaded.encoded.select("neighbor_id").collect()]
+        assert sorted(got_ids) == ids
+
+        all_rows = spark.createDataFrame(
+            [(i, _emb_vec(i)) for i in ids], EMB_SCHEMA
+        )
+        c = all_rows.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        union_idx = PqIndex(
+            loaded.codebooks,
+            _pq_encode(c, loaded.codebooks, loaded.id_type),
+            loaded.id_type,
+        )
+        qf = all_rows.filter(F.col("vec_id") < 6)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in pq_query(union_idx, qf, k=3, shortlist=8).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in pq_query(loaded, qf, k=3, shortlist=8).collect()
+        }
+        assert want and got == want
+    finally:
+        for t in (table, f"{table}__codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfpq_ingest_stream_accretes_and_matches_union(spark, tmp_path):
+    """IVF-PQ streaming twin: the final index must EQUAL the union
+    corpus assigned+encoded against the loaded centroids AND codebooks,
+    pinned at partial probe + partial shortlist."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.similarity import (
+        IvfPqIndex,
+        _ivfpq_encode,
+        ivfpq_load,
+        ivfpq_query,
+    )
+    from flink_note_spark.pipelines import ivfpq_ingest_stream
+
+    ids = list(range(24))
+    chunks = _emb_chunks(tmp_path, [ids[:8], ids[8:16], ids[16:]])
+    table = "t_ivfpq_stream_acc"
+    try:
+        stream = (
+            spark.readStream.schema(EMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks))
+        )
+        q = ivfpq_ingest_stream(
+            stream, checkpoint=str(tmp_path / "ckpt"), index_table=table,
+            index_path=str(tmp_path / "idx"), n_cells=4, m=4, n_codes=4,
+            iters=1, index_buckets=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        loaded = ivfpq_load(spark, table)
+        got_ids = [r[0] for r in loaded.encoded.select("neighbor_id").collect()]
+        assert sorted(got_ids) == ids
+
+        all_rows = spark.createDataFrame(
+            [(i, _emb_vec(i)) for i in ids], EMB_SCHEMA
+        )
+        c = all_rows.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cv"),
+        )
+        union_idx = IvfPqIndex(
+            loaded.centroids, loaded.codebooks,
+            _ivfpq_encode(c, loaded.centroids, loaded.codebooks,
+                          loaded.id_type),
+            loaded.id_type,
+        )
+        qf = all_rows.filter(F.col("vec_id") < 6)
+        want = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivfpq_query(
+                union_idx, qf, k=3, n_probe=2, shortlist=8
+            ).collect()
+        }
+        got = {
+            (int(r.query_id), int(r.neighbor_id), int(r.rank))
+            for r in ivfpq_query(
+                loaded, qf, k=3, n_probe=2, shortlist=8
+            ).collect()
+        }
+        assert want and got == want
+    finally:
+        for t in (table, f"{table}__centroids", f"{table}__codebooks",
+                  f"{table}__meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
