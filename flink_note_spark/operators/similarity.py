@@ -648,23 +648,18 @@ def ivf_save(index: IvfIndex, table: str, buckets: int = 16,
         index.assigned, table, buckets, ["cell_id"], path=path,
         mode="overwrite",
     )
-    cent_rows = [
-        (i, [float(x) for x in row]) for i, row in enumerate(index.centroids)
-    ]
-    writer = spark.createDataFrame(
-        cent_rows, "cell_id int, centroid array<double>"
-    ).write.mode("overwrite")
-    if path:
-        writer = writer.option("path", f"{path}__centroids")
-    writer.saveAsTable(f"{table}__centroids")
-    meta = spark.createDataFrame(
+    _write_small_table(
+        spark, _centroid_rows(index.centroids),
+        "cell_id int, centroid array<double>", f"{table}__centroids",
+        f"{path}__centroids" if path else None,
+    )
+    _write_small_table(
+        spark,
         [(int(index.centroids.shape[1]), int(index.n_cells), int(buckets),
           index.id_type)],
         "dim int, n_cells int, table_buckets int, id_type string",
-    ).write.mode("overwrite")
-    if path:
-        meta = meta.option("path", f"{path}__meta")
-    meta.saveAsTable(f"{table}__meta")
+        f"{table}__meta", f"{path}__meta" if path else None,
+    )
 
 
 def ivf_load(spark, table: str) -> IvfIndex:
@@ -722,6 +717,90 @@ def _external_location(spark, table: str) -> "str | None":
     return loc if is_ext else None
 
 
+def _write_small_table(spark, rows, schema: str, table: str,
+                       path: "str | None") -> None:
+    """Overwrite a tiny driver-built side table (centroids, codebooks,
+    meta), external at ``path`` when given — the shared writer of every
+    index save verb."""
+    w = spark.createDataFrame(rows, schema).write.mode("overwrite")
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def _centroid_rows(centroids) -> list:
+    return [
+        (i, [float(x) for x in row]) for i, row in enumerate(centroids)
+    ]
+
+
+def _codebook_rows(books) -> list:
+    mm, kk, _ = books.shape
+    return [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(mm)
+        for c in range(kk)
+    ]
+
+
+def _register_clustered_layout(
+    spark, table: str, path: str, what: str,
+    plain_suffixes: "tuple[str, ...]", buckets: "int | None",
+):
+    """Shared body of ``ivf_index_register``/``ivfpq_index_register``:
+    read the bucket count from ``{path}__meta`` (``buckets`` overrides
+    only for meta-less saves — a WRONG count would silently mis-bucket
+    every future co-located join, so absent both it refuses), declare
+    the corpus table ``CLUSTERED BY (cell_id)`` over the existing files
+    (Spark's bucketed file names carry their bucket ids, so declared
+    metadata is exact), and declare each plain side table. Idempotent
+    per session: already-registered tables are left alone."""
+    try:
+        rows = spark.read.parquet(f"{path}__meta").collect()
+    except Exception:
+        rows = None
+    if rows is not None:
+        if len(rows) != 1:
+            raise ValueError(
+                f"{what}: {path}__meta has {len(rows)} rows — not a "
+                "saved index layout"
+            )
+        b = rows[0]["table_buckets"]
+    elif buckets:
+        b = buckets
+    else:
+        raise ValueError(
+            f"{what}: no meta at {path}__meta — pass buckets= with the "
+            "ORIGINAL save-time count (a wrong count silently "
+            "mis-buckets every future co-located join), or re-save "
+            "with the current save verb"
+        )
+
+    def _ddl_cols(p: str) -> str:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(p).schema.fields
+        )
+
+    if not spark.catalog.tableExists(table):
+        spark.sql(
+            f"CREATE TABLE {table} ({_ddl_cols(path)}) USING PARQUET "
+            f"CLUSTERED BY (cell_id) INTO {int(b)} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    for suffix in plain_suffixes:
+        if not spark.catalog.tableExists(f"{table}{suffix}"):
+            spark.sql(
+                f"CREATE TABLE {table}{suffix} USING PARQUET "
+                f"LOCATION '{path}{suffix}'"
+            )
+    if rows is not None and not spark.catalog.tableExists(f"{table}__meta"):
+        spark.sql(
+            f"CREATE TABLE {table}__meta USING PARQUET "
+            f"LOCATION '{path}__meta'"
+        )
+
+
 def _guard_index_increment(
     increment: DataFrame,
     indexed_ids: DataFrame,
@@ -766,7 +845,13 @@ def _guard_index_increment(
             indexed_ids.join(inc_ids, "neighbor_id", "semi")
             .withColumnRenamed("neighbor_id", id_col)
         )
-        increment = increment.join(F.broadcast(present), id_col, "anti")
+        # eager blocks: the anti-join's broadcast side is an index
+        # id-column scan — without materialization the append's write
+        # would re-run it a second time, and the emptiness probe a
+        # third (review r13 finding)
+        increment = increment.join(
+            F.broadcast(present), id_col, "anti"
+        ).localCheckpoint(eager=True)
         if increment.select(id_col).first() is None:
             return None  # every increment id already indexed
     elif on_conflict == "error":
@@ -880,49 +965,10 @@ def ivf_index_register(
     co-located join, so absent both it refuses.
 
     Idempotent per session: already-registered tables are left alone."""
-    try:
-        rows = spark.read.parquet(f"{path}__meta").collect()
-    except Exception:
-        rows = None
-    if rows is not None:
-        if len(rows) != 1:
-            raise ValueError(
-                f"ivf_index_register: {path}__meta has {len(rows)} rows "
-                "— not an ivf_save layout"
-            )
-        b = rows[0]["table_buckets"]
-    elif buckets:
-        b = buckets
-    else:
-        raise ValueError(
-            f"ivf_index_register: no meta at {path}__meta (pre-r13 "
-            "save) — pass buckets= with the ORIGINAL save-time count "
-            "(a wrong count silently mis-buckets every future "
-            "co-located join), or re-save with the current ivf_save"
-        )
-
-    def _ddl_cols(p: str) -> str:
-        return ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in spark.read.parquet(p).schema.fields
-        )
-
-    if not spark.catalog.tableExists(table):
-        spark.sql(
-            f"CREATE TABLE {table} ({_ddl_cols(path)}) USING PARQUET "
-            f"CLUSTERED BY (cell_id) INTO {int(b)} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-    if not spark.catalog.tableExists(f"{table}__centroids"):
-        spark.sql(
-            f"CREATE TABLE {table}__centroids USING PARQUET "
-            f"LOCATION '{path}__centroids'"
-        )
-    if rows is not None and not spark.catalog.tableExists(f"{table}__meta"):
-        spark.sql(
-            f"CREATE TABLE {table}__meta USING PARQUET "
-            f"LOCATION '{path}__meta'"
-        )
+    _register_clustered_layout(
+        spark, table, path, "ivf_index_register", ("__centroids",),
+        buckets,
+    )
     return ivf_load(spark, table)
 
 
@@ -1732,18 +1778,11 @@ def pq_save(index: PqIndex, table: str, path: str | None = None) -> None:
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
-    mm, kk, _ = index.codebooks.shape
-    rows = [
-        (j, c, [float(x) for x in index.codebooks[j, c]])
-        for j in range(mm)
-        for c in range(kk)
-    ]
-    w2 = spark.createDataFrame(
-        rows, "sub int, code int, word array<double>"
-    ).write.mode("overwrite")
-    if path:
-        w2 = w2.option("path", f"{path}__codebooks")
-    w2.saveAsTable(f"{table}__codebooks")
+    _write_small_table(
+        spark, _codebook_rows(index.codebooks),
+        "sub int, code int, word array<double>", f"{table}__codebooks",
+        f"{path}__codebooks" if path else None,
+    )
 
 
 def pq_load(spark, table: str) -> PqIndex:
@@ -1899,36 +1938,25 @@ def ivfpq_save(index: "IvfPqIndex", table: str, buckets: int = 16,
         index.encoded, table, buckets, ["cell_id"], path=path,
         mode="overwrite",
     )
-    cent_rows = [
-        (i, [float(x) for x in row]) for i, row in enumerate(index.centroids)
-    ]
-    w = spark.createDataFrame(
-        cent_rows, "cell_id int, centroid array<double>"
-    ).write.mode("overwrite")
-    if path:
-        w = w.option("path", f"{path}__centroids")
-    w.saveAsTable(f"{table}__centroids")
+    _write_small_table(
+        spark, _centroid_rows(index.centroids),
+        "cell_id int, centroid array<double>", f"{table}__centroids",
+        f"{path}__centroids" if path else None,
+    )
     mm, kk, _ = index.codebooks.shape
-    book_rows = [
-        (j, c, [float(x) for x in index.codebooks[j, c]])
-        for j in range(mm)
-        for c in range(kk)
-    ]
-    w2 = spark.createDataFrame(
-        book_rows, "sub int, code int, word array<double>"
-    ).write.mode("overwrite")
-    if path:
-        w2 = w2.option("path", f"{path}__codebooks")
-    w2.saveAsTable(f"{table}__codebooks")
-    meta = spark.createDataFrame(
+    _write_small_table(
+        spark, _codebook_rows(index.codebooks),
+        "sub int, code int, word array<double>", f"{table}__codebooks",
+        f"{path}__codebooks" if path else None,
+    )
+    _write_small_table(
+        spark,
         [(int(index.centroids.shape[1]), int(index.n_cells), int(mm),
           int(kk), int(buckets), index.id_type)],
         "dim int, n_cells int, m int, n_codes int, table_buckets int, "
         "id_type string",
-    ).write.mode("overwrite")
-    if path:
-        meta = meta.option("path", f"{path}__meta")
-    meta.saveAsTable(f"{table}__meta")
+        f"{table}__meta", f"{path}__meta" if path else None,
+    )
 
 
 def ivfpq_load(spark, table: str) -> "IvfPqIndex":
@@ -1953,6 +1981,11 @@ def ivfpq_load(spark, table: str) -> "IvfPqIndex":
     for r in crows:
         cents[r["cell_id"]] = r["centroid"]
     brows = spark.table(f"{table}__codebooks").collect()
+    if not brows:
+        raise ValueError(
+            f"ivfpq_load: codebook table {table}__codebooks is empty — "
+            "not an ivfpq_save output (or the save was interrupted)"
+        )
     mm = max(r["sub"] for r in brows) + 1
     kk = max(r["code"] for r in brows) + 1
     dd = len(brows[0]["word"])
@@ -2010,49 +2043,10 @@ def ivfpq_index_register(
     without it the bucketed files still read, but the probed-cell
     pushdown loses its bucket pruning. Reads the geometry from
     ``{path}__meta``; ``buckets`` overrides only for meta-less saves."""
-    try:
-        rows = spark.read.parquet(f"{path}__meta").collect()
-    except Exception:
-        rows = None
-    if rows is not None:
-        if len(rows) != 1:
-            raise ValueError(
-                f"ivfpq_index_register: {path}__meta has {len(rows)} "
-                "rows — not an ivfpq_save layout"
-            )
-        b = rows[0]["table_buckets"]
-    elif buckets:
-        b = buckets
-    else:
-        raise ValueError(
-            f"ivfpq_index_register: no meta at {path}__meta — pass "
-            "buckets= with the ORIGINAL save-time count (a wrong count "
-            "silently mis-buckets the layout), or re-save"
-        )
-
-    def _ddl_cols(p: str) -> str:
-        return ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in spark.read.parquet(p).schema.fields
-        )
-
-    if not spark.catalog.tableExists(table):
-        spark.sql(
-            f"CREATE TABLE {table} ({_ddl_cols(path)}) USING PARQUET "
-            f"CLUSTERED BY (cell_id) INTO {int(b)} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-    for suffix in ("__centroids", "__codebooks"):
-        if not spark.catalog.tableExists(f"{table}{suffix}"):
-            spark.sql(
-                f"CREATE TABLE {table}{suffix} USING PARQUET "
-                f"LOCATION '{path}{suffix}'"
-            )
-    if rows is not None and not spark.catalog.tableExists(f"{table}__meta"):
-        spark.sql(
-            f"CREATE TABLE {table}__meta USING PARQUET "
-            f"LOCATION '{path}__meta'"
-        )
+    _register_clustered_layout(
+        spark, table, path, "ivfpq_index_register",
+        ("__centroids", "__codebooks"), buckets,
+    )
     return ivfpq_load(spark, table)
 
 

@@ -404,7 +404,21 @@ def _digest_store_read(
             spark.read.parquet(f"{state_dir}/{_DG_BASE}/gen={gen}")
             .select("digest", "id", "bucket")
         )
-    try:
+    # presence probed explicitly (r13 review: a blanket except here
+    # made real read failures — IO errors, corrupt footers, a mixed
+    # layout — indistinguishable from "no epoch dirs yet" and silently
+    # shrank the ownership store; now only genuine absence skips, and
+    # a real failure fails the micro-batch so Spark retries it). An
+    # epoch dir with no bucket= children is an all-duplicates epoch
+    # that wrote zero rows — data-free, so it can't feed the union
+    # (and all-empty dirs fail schema inference).
+    if any(
+        d.startswith("epoch=") and any(
+            b.startswith("bucket=")
+            for b in _fs_list(spark, f"{state_dir}/{_DG_EPOCHS}/{d}")
+        )
+        for d in _fs_list(spark, f"{state_dir}/{_DG_EPOCHS}")
+    ):
         ep = spark.read.parquet(f"{state_dir}/{_DG_EPOCHS}")
         cond = F.col("epoch") > F.lit(fence)
         if before_epoch is not None:
@@ -412,10 +426,6 @@ def _digest_store_read(
         parts.append(
             ep.filter(cond).select("digest", "id", "bucket")
         )
-    except Exception:
-        # no epoch dirs yet (fresh store, or everything folded into
-        # the base and removed) — the base alone is the store
-        pass
     if not parts:
         return None
     out = parts[0]
@@ -450,6 +460,17 @@ def compact_digest_store(spark, state_dir: str) -> dict:
     if not _fs_exists(spark, f"{state_dir}/{_DG_META}"):
         return {"epochs_folded": 0, "files_folded": 0}
     gen, fence, nb = _digest_meta(spark, state_dir)
+    # sweep orphans from a crash between a PRIOR compaction's meta flip
+    # and its deletions (r13 review): epochs at or below the fence and
+    # non-current gen dirs are already invisible to the reader, but
+    # without this sweep nothing ever removes them and the listing
+    # growth compaction exists to bound accumulates across crashes
+    for d in _fs_list(spark, f"{state_dir}/{_DG_EPOCHS}"):
+        if d.startswith("epoch=") and int(d.split("=", 1)[1]) <= fence:
+            _fs_delete(spark, f"{state_dir}/{_DG_EPOCHS}/{d}")
+    for d in _fs_list(spark, f"{state_dir}/{_DG_BASE}"):
+        if d.startswith("gen=") and int(d.split("=", 1)[1]) != gen:
+            _fs_delete(spark, f"{state_dir}/{_DG_BASE}/{d}")
     epochs = sorted(
         int(d.split("=", 1)[1])
         for d in _fs_list(spark, f"{state_dir}/{_DG_EPOCHS}")
@@ -499,7 +520,7 @@ def compact_digest_store(spark, state_dir: str) -> dict:
 
 
 #: bloom exact-dedup state sub-paths (r13 — VERDICT r12 #8)
-_BL_EPOCHS, _BL_META = "bloom", "bloom_meta"
+_BL_EPOCHS, _BL_META, _BL_GEOM = "bloom", "bloom_meta", "bloom_geom"
 
 
 def _bloom_prev_filters(
@@ -535,6 +556,106 @@ def _bloom_prev_filters(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _validate_exact_dedup_state(
+    spark, state_dir: str, exact_dedup: str, bp: dict
+) -> None:
+    """Start-time guard over the durable exact-dedup state (r13 review
+    findings #1/#2): the layout and — for Bloom — the filter GEOMETRY
+    are properties of the persisted state, not of the resuming caller,
+    and every mismatch is a silent-wrong-results mode, so each refuses
+    loudly before the stream starts.
+
+    - Mode flips (store state present with ``exact_dedup="bloom"`` or
+      vice versa) refuse: neither state can be interpreted by the
+      other path, and ignoring it would re-admit every document ever
+      seen.
+    - A pre-r13 FLAT digest store (``digests/*.parquet`` files, no
+      ``digests_meta``) refuses with migration guidance — the bucketed
+      reader would silently ignore it (and then choke on the mixed
+      layout its own epoch dirs create).
+    - Bloom geometry (n_shards, bits_per_shard, n_hashes) persists to
+      ``bloom_geom`` on first start; a resume MUST hash with identical
+      geometry or probes read the wrong bits — larger filters crash,
+      smaller or re-sharded ones silently break the no-false-negative
+      contract. Bloom state predating the geometry file also refuses
+      (blessing the caller's parameters could silently bless wrong
+      ones)."""
+    have_store_meta = _fs_exists(spark, f"{state_dir}/{_DG_META}")
+    flat_files = [
+        d for d in _fs_list(spark, f"{state_dir}/{_DG_EPOCHS}")
+        if not d.startswith("epoch=") and not d.startswith("_")
+    ]
+    have_store = have_store_meta or bool(flat_files)
+    have_bloom = _fs_exists(spark, f"{state_dir}/{_BL_META}") or _fs_exists(
+        spark, f"{state_dir}/{_BL_GEOM}"
+    )
+    if exact_dedup == "store":
+        if have_bloom:
+            raise ValueError(
+                "prepare_training_corpus_stream: exact_dedup='store' "
+                f"but {state_dir} holds BLOOM state — a filter cannot "
+                "be read back as an ownership store; resume with "
+                "exact_dedup='bloom' or point at a fresh state_dir"
+            )
+        if flat_files and not have_store_meta:
+            raise ValueError(
+                "prepare_training_corpus_stream: "
+                f"{state_dir}/{_DG_EPOCHS} holds a pre-r13 FLAT digest "
+                f"store (e.g. {flat_files[:3]}) with no {_DG_META} — "
+                "the bucketed reader would silently ignore all prior "
+                "ownership; migrate by reading the flat files and "
+                "re-ingesting into a fresh state_dir (or re-run the "
+                "stream from scratch)"
+            )
+    else:  # bloom
+        if have_store:
+            raise ValueError(
+                "prepare_training_corpus_stream: exact_dedup='bloom' "
+                f"but {state_dir} holds an ownership STORE — the "
+                "filter path cannot read it and every document ever "
+                "seen would be re-admitted; resume with "
+                "exact_dedup='store' or point at a fresh state_dir"
+            )
+        geom_path = f"{state_dir}/{_BL_GEOM}"
+        if _fs_exists(spark, geom_path):
+            rows = spark.read.parquet(geom_path).collect()
+            if len(rows) != 1:
+                raise ValueError(
+                    f"{geom_path} has {len(rows)} rows — not a bloom "
+                    "geometry record"
+                )
+            saved = rows[0].asDict()
+            diffs = {
+                k: (saved[k], bp[k])
+                for k in ("n_shards", "bits_per_shard", "n_hashes")
+                if saved[k] != bp[k]
+            }
+            if diffs:
+                raise ValueError(
+                    "prepare_training_corpus_stream: bloom geometry "
+                    f"mismatch vs the persisted state {diffs} "
+                    "(saved, requested) — probes would read the wrong "
+                    "bits/shards, silently breaking the "
+                    "no-false-negative contract; resume with the "
+                    "saved geometry or start a fresh state_dir"
+                )
+        elif _fs_exists(spark, f"{state_dir}/{_BL_META}"):
+            raise ValueError(
+                "prepare_training_corpus_stream: bloom state at "
+                f"{state_dir} predates the geometry record "
+                f"({_BL_GEOM}) — blessing the caller's parameters "
+                "could silently bless wrong ones; write "
+                f"{geom_path} manually with the ORIGINAL n_shards/"
+                "bits_per_shard/n_hashes, or start a fresh state_dir"
+            )
+        else:
+            spark.createDataFrame(
+                [(int(bp["n_shards"]), int(bp["bits_per_shard"]),
+                  int(bp["n_hashes"]))],
+                "n_shards int, bits_per_shard int, n_hashes int",
+            ).write.mode("overwrite").parquet(geom_path)
 
 
 def compact_bloom_state(spark, state_dir: str) -> dict:
@@ -893,6 +1014,7 @@ def prepare_training_corpus_stream(
         raise ValueError("bloom bits_per_shard must be a power of two >= 8")
     corpus_path = os.path.join(state_dir, "corpus")
     index_path = os.path.join(state_dir, "index")
+    _validate_exact_dedup_state(docs.sparkSession, state_dir, exact_dedup, bp)
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         import time as _time

@@ -1290,6 +1290,7 @@ class StatementSet:
     def __init__(self, t_env: TableEnvironment):
         self._t_env = t_env
         self._stmts: list[str] = []
+        self._views: list[str] = []
 
     def add_insert_sql(self, sql: str) -> "StatementSet":
         if not _INSERT_RE.match(sql):
@@ -1311,6 +1312,7 @@ class StatementSet:
         df = table._df if isinstance(table, Table) else table
         view = f"__stmtset_src_{id(self)}_{len(self._stmts)}"
         df.createOrReplaceTempView(view)
+        self._views.append(view)
         verb = "OVERWRITE" if overwrite else "INTO"
         self._stmts.append(
             f"INSERT {verb} {target_path} SELECT * FROM {view}"
@@ -1329,13 +1331,21 @@ class StatementSet:
                 "StatementSet.execute: no statements added"
             )
         stmts, self._stmts = self._stmts, []
-        for i, s in enumerate(stmts):
-            try:
-                self._t_env.execute_sql(s)
-            except Exception as e:
-                raise RuntimeError(
-                    f"StatementSet.execute: statement {i + 1} of "
-                    f"{len(stmts)} failed after {i} committed "
-                    f"(no cross-statement atomicity — see class "
-                    f"docstring): {s!r}"
-                ) from e
+        views, self._views = self._views, []
+        try:
+            for i, s in enumerate(stmts):
+                try:
+                    self._t_env.execute_sql(s)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"StatementSet.execute: statement {i + 1} of "
+                        f"{len(stmts)} failed after {i} committed "
+                        f"(no cross-statement atomicity — see class "
+                        f"docstring): {s!r}"
+                    ) from e
+        finally:
+            # the set's private source views are scoped to this submit
+            # (r13 review: a long-lived environment otherwise leaks one
+            # view per add_insert forever, pinning the frames' plans)
+            for v in views:
+                self._t_env.spark.catalog.dropTempView(v)

@@ -1375,3 +1375,85 @@ def test_ivfpq_ingest_stream_accretes_and_matches_union(spark, tmp_path):
         for t in (table, f"{table}__centroids", f"{table}__codebooks",
                   f"{table}__meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# ---------------------------------------------------------------------------
+# r13 review fixes: durable-state guards + compaction orphan sweep
+
+
+def test_corpus_stream_state_guards(spark, tmp_path):
+    """Start-time refusals over the durable exact-dedup state: bloom
+    geometry persists and a mismatched resume refuses; mode flips
+    (store<->bloom) refuse; a pre-r13 flat digest layout refuses."""
+    chunks = _doc_chunks(tmp_path, STREAM_DOCS[:4], per=2)
+    state = tmp_path / "state_bl"
+    _run_corpus_stream(
+        spark, chunks, state, tmp_path / "ckpt_bl",
+        index_table="t_guard_bl", exact_dedup="bloom",
+    )
+    assert (state / "bloom_geom").exists()  # geometry persisted
+
+    def rerun(**kw):
+        _run_corpus_stream(
+            spark, chunks, state, tmp_path / "ckpt_bl",
+            index_table="t_guard_bl", **kw,
+        )
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        rerun(exact_dedup="bloom",
+              bloom_params={"bits_per_shard": 1 << 22})
+    with pytest.raises(ValueError, match="BLOOM state"):
+        rerun(exact_dedup="store")
+
+    # store state refuses a bloom resume
+    state2 = tmp_path / "state_st"
+    _run_corpus_stream(
+        spark, chunks, state2, tmp_path / "ckpt_st",
+        index_table="t_guard_st",
+    )
+    with pytest.raises(ValueError, match="ownership STORE"):
+        _run_corpus_stream(
+            spark, chunks, state2, tmp_path / "ckpt_st",
+            index_table="t_guard_st", exact_dedup="bloom",
+        )
+
+    # pre-r13 flat digest layout refuses with migration guidance
+    state3 = tmp_path / "state_flat"
+    (state3 / "digests").mkdir(parents=True)
+    (state3 / "digests" / "part-00000.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="FLAT digest"):
+        _run_corpus_stream(
+            spark, chunks, state3, tmp_path / "ckpt_flat",
+            index_table="t_guard_flat",
+        )
+
+
+def test_compact_digest_store_sweeps_crash_orphans(spark, tmp_path):
+    """A crash between a compaction's meta flip and its deletions
+    leaves folded epoch dirs (<= fence) and a superseded gen dir that
+    the reader ignores but nothing removed — the next compaction now
+    sweeps them, bounding listing growth across crashes."""
+    from flink_note_spark.pipelines.curate import (
+        _digest_meta,
+        compact_digest_store,
+    )
+
+    chunks = _doc_chunks(tmp_path, STREAM_DOCS, per=2)
+    state = tmp_path / "state"
+    _run_corpus_stream(
+        spark, chunks, state, tmp_path / "ckpt",
+        index_table="t_sweep_idx", digest_compact_every=2,
+    )
+    gen, fence, _nb = _digest_meta(spark, str(state))
+    assert gen >= 0 and fence >= 0  # a compaction ran
+
+    orphan_ep = state / "digests" / f"epoch={fence}" / "bucket=0"
+    orphan_ep.mkdir(parents=True)
+    (orphan_ep / "stale.parquet").write_bytes(b"x")
+    orphan_gen = state / "digests_base" / f"gen={gen + 7}"
+    orphan_gen.mkdir(parents=True)
+    (orphan_gen / "stale.parquet").write_bytes(b"x")
+
+    compact_digest_store(spark, str(state))
+    assert not (state / "digests" / f"epoch={fence}").exists()
+    assert not orphan_gen.exists()

@@ -1022,3 +1022,40 @@ def test_match_recognize_sql_multi_column_partition(spark, t_env, sf_dir):
     )
     want = sorted(tuple(r) for r in packed.collect())
     assert got == want and len(got) > 0
+
+
+def test_statement_set_drops_source_views(t_env, spark, tmp_path):
+    """r13 review: add_insert's private source views are scoped to the
+    submit — execute() drops them (success AND failure paths), so a
+    long-lived environment doesn't leak one view per add_insert."""
+    src = tmp_path / "ssv_src"
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(
+        str(src)
+    )
+    for name, path in [("ssv_src_t", src), ("ssv_a_t", tmp_path / "ssv_a")]:
+        t_env.execute_sql(f"""
+            CREATE TABLE {name} (id BIGINT, v DOUBLE) WITH (
+                'connector' = 'filesystem',
+                'path' = '{path}',
+                'format' = 'parquet'
+            )
+        """)
+
+    def stmtset_views():
+        return [
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("__stmtset_src_")
+        ]
+
+    ss = t_env.create_statement_set()
+    ss.add_insert("ssv_a_t", t_env.sql_query("SELECT id, v FROM ssv_src_t"))
+    assert stmtset_views()
+    ss.execute()
+    assert not stmtset_views()
+
+    bad = t_env.create_statement_set()
+    bad.add_insert("ssv_a_t", t_env.sql_query("SELECT id, v FROM ssv_src_t"))
+    bad.add_insert_sql("INSERT INTO ghost_ssv_t SELECT 1 AS x")
+    with pytest.raises(RuntimeError, match="statement 2"):
+        bad.execute()
+    assert not stmtset_views()
