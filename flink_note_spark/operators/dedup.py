@@ -521,6 +521,21 @@ def minhash_lsh_pairs(
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
+    # Score BEFORE the pair dedup: est_jaccard is a pure function of the
+    # two signatures, so every duplicate (d1, d2) collision row (one per
+    # matching band, ≤ ``bands``) carries the identical value, and the
+    # dedup can run on (d1, d2, est) — 24 fixed-width bytes — instead of
+    # dragging both 8·num_hashes-byte signature arrays through it. The
+    # old shape's ``first(sig)`` buffers are non-fixed-width, which
+    # forces SortAggregate (full sort of the wide collision rows on BOTH
+    # sides of the exchange); with only primitive columns the dedup is a
+    # map-side-combining HashAggregate and the exchange shuffles ~5% of
+    # the bytes (guide §2.3/§2.4 — measured in OPTIMIZATION_r13.md).
+    est = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
     cand = (
         a.join(
             b,
@@ -534,14 +549,9 @@ def minhash_lsh_pairs(
             F.col("a.signature").alias("sig1"),
             F.col("b.signature").alias("sig2"),
         )
+        .select("d1", "d2", F.round(est, 6).alias("est_jaccard"))
         .dropDuplicates(["d1", "d2"])
     )
-    est = F.aggregate(
-        F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(num_hashes))
-    cand = cand.select("d1", "d2", F.round(est, 6).alias("est_jaccard"))
 
     if not verify:
         return cand

@@ -256,7 +256,26 @@ def lsh_embedding_near_dup_pairs(
     # (localCheckpoint blocks, freed on GC — no CacheManager entry).
     banded = _computed_once(banded.join(hot, ["table_id", "bucket_key"], "left_anti"))
 
-    x, y = banded.alias("x"), banded.alias("y")
+    # Decide with small rows, move big rows once (guide §8). The old
+    # shape self-joined the FULL banded rows (id + 64-dim vector ≈
+    # 0.5 KB/row), so every bucket-collision row carried two vectors
+    # (~1 KB) into a dropDuplicates whose ``first(array)`` buffers force
+    # SortAggregate — the collision stream (duplication factor ≈ the
+    # expected shared-table count, ×6 on the fixture) was sorted at
+    # full width on both sides of the pair exchange. Scoring before the
+    # dedup instead was ALSO measured (+70%: cos_sim over 64-dim
+    # vectors is an interpreted zip_with/aggregate chain, and the
+    # duplication factor multiplies it). The shape that wins: the
+    # self-join and the pair dedup see ONLY the 16-byte id pair
+    # (HashAggregate, map-side combining — the collision stream
+    # collapses to distinct pairs before it is ever shuffled), and the
+    # vectors are attached ONCE per surviving pair from the n-sized
+    # corpus frame (AQE broadcasts it when small; never forced).
+    # Per-id norms ride the same attach (``l2_norm_sq`` evaluated
+    # n times instead of 2× per pair — identical expression on
+    # identical arrays, so cos_sim stays bit-exact).
+    bandk = banded.select("table_id", "bucket_key", "__id")
+    x, y = bandk.alias("x"), bandk.alias("y")
     cand = (
         x.join(
             y,
@@ -264,15 +283,30 @@ def lsh_embedding_near_dup_pairs(
             & (F.col("x.bucket_key") == F.col("y.bucket_key"))
             & (F.col("x.__id") < F.col("y.__id")),
         )
-        .select(
-            F.col("x.__id").alias("d1"),
-            F.col("y.__id").alias("d2"),
-            F.col("x.__v").alias("v1"),
-            F.col("y.__v").alias("v2"),
-        )
+        .select(F.col("x.__id").alias("d1"), F.col("y.__id").alias("d2"))
         .dropDuplicates(["d1", "d2"])
     )
-    sim = vec_dot("v1", "v2") / (F.sqrt(l2_norm_sq("v1")) * F.sqrt(l2_norm_sq("v2")))
+    vecs = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .dropDuplicates(["__id"])
+        .withColumn("__nsq", l2_norm_sq("__v"))
+    )
+    cand = cand.join(
+        vecs.select(
+            F.col("__id").alias("d1"),
+            F.col("__v").alias("v1"),
+            F.col("__nsq").alias("nsq1"),
+        ),
+        "d1",
+    ).join(
+        vecs.select(
+            F.col("__id").alias("d2"),
+            F.col("__v").alias("v2"),
+            F.col("__nsq").alias("nsq2"),
+        ),
+        "d2",
+    )
+    sim = vec_dot("v1", "v2") / (F.sqrt(F.col("nsq1")) * F.sqrt(F.col("nsq2")))
     return (
         cand.withColumn("cos_sim", F.round(sim, 6))
         .filter(F.col("cos_sim") >= threshold)
@@ -428,17 +462,22 @@ def lsh_cosine_topk(
 
     qb = with_buckets(queries, "query_id")
     cb = with_buckets(corpus, "neighbor_id")
-    cand = (
-        cb.join(broadcast(qb), ["table_id", "bucket_key"])
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    if exclude_self:
-        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-
+    # Score BEFORE the candidate dedup (same restructure as
+    # dedup.minhash_lsh_pairs — see the note there): __sim is a pure
+    # function of the two vectors, identical on every duplicate
+    # (query, neighbor) table collision, so the dedup aggregates three
+    # fixed-width columns (HashAggregate) instead of sorting collision
+    # rows that carry both embedding vectors.
     sim = vec_dot("__v_query_id", "__v_neighbor_id") / (
         F.sqrt(l2_norm_sq("__v_query_id")) * F.sqrt(l2_norm_sq("__v_neighbor_id"))
     )
-    scored = cand.select("query_id", "neighbor_id", sim.alias("__sim"))
+    scored = (
+        cb.join(broadcast(qb), ["table_id", "bucket_key"])
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
     )

@@ -1613,7 +1613,8 @@ def q73_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     bench = d.filter(F.pmod("doc_id", F.lit(50)) == 0).select("doc_id", "text")
     return (
-        decontaminate(d, bench, n=5)
+        decontaminate(d, bench, n=5,
+                      ids_unique=True)  # doc_id is the table's primary key
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -1652,7 +1653,8 @@ def q77_split_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("train")
     )
     out = decontaminate_splits(
-        d.withColumn("split", split), split_col="split", n=5
+        d.withColumn("split", split), split_col="split", n=5,
+        ids_unique=True,  # doc_id is the table's primary key
     )
     return (
         out.groupBy("split")

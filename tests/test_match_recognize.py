@@ -564,7 +564,7 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -637,7 +637,7 @@ def test_match_recognize_stream_plus_survives_restart(spark, tmp_path):
             .option("checkpointLocation", str(ckpt))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
 
     # run 1: anchor + first half of the DOWN run — no match yet
     chunk("c1.parquet", [
@@ -751,7 +751,7 @@ def test_match_recognize_stream_payload_via_foreach_batch(
         .option("checkpointLocation", str(tmp_path / "mr_payload_ck"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = sorted(
         (r["user_id"], int(r["start_ts"]), r["start_val"], r["up_val"])
         for r in spark.read.parquet(str(sink)).collect()
@@ -979,7 +979,7 @@ def test_match_recognize_stream_greedy_equals_batch(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"gck_{tag}"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1031,7 +1031,7 @@ def test_match_recognize_stream_greedy_backtracks(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "gb_ck"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     us = lambda m: int(
         t(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
     )
@@ -1102,7 +1102,7 @@ def test_match_recognize_stream_greedy_survives_restart(
             .option("checkpointLocation", str(ckpt))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
 
     # run 1: anchor + ambiguous B prefix — window still open
     chunk("c1.parquet", [
@@ -1304,7 +1304,7 @@ def test_aggregate_measures_stream(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "aggck"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = sorted(
         tuple(_norm(x) for x in r)
         for r in spark.sql(
@@ -1336,7 +1336,7 @@ def test_aggregate_measures_stream(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "aggck2"))
         .trigger(availableNow=True).start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "stream did not finish in 600s"
     got2 = sorted(
         tuple(_norm(x) for x in r)
         for r in spark.sql(
@@ -1507,7 +1507,7 @@ def test_reluctant_stream_equals_batch(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"rck_{tag}"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1596,7 +1596,7 @@ def test_match_recognize_stream_greedy_skip_strategies(
             .option("checkpointLocation", str(tmp_path / f"sck_{i}"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1692,7 +1692,7 @@ def test_match_recognize_stream_variant_routing(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"vck_{i}"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1843,7 +1843,7 @@ def test_match_recognize_stream_iterative_greedy(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ick_{i}"))
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not finish in 600s"
         got = sorted(
             tuple(_norm(x) for x in r)
             for r in spark.sql(
@@ -1987,7 +1987,7 @@ def test_prev_navigation_stream(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "pck"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = sorted(
         tuple(_norm(x) for x in r)
         for r in spark.sql(
@@ -2323,7 +2323,7 @@ def test_mr_subset_stream_equals_batch(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck_subset"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     us = lambda v: (  # noqa: E731
         dt.datetime.fromtimestamp(v / 1e6, dt.timezone.utc)
         .replace(tzinfo=None) if isinstance(v, int) else v
@@ -2465,7 +2465,7 @@ def test_mr_subset_avg_and_count_col_stream(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck_cntcol"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     us = lambda v: (  # noqa: E731
         dt.datetime.fromtimestamp(v / 1e6, dt.timezone.utc)
         .replace(tzinfo=None) if isinstance(v, int) else v

@@ -123,7 +123,7 @@ def test_kafka_round_trip(spark, tmp_path):
         .option("checkpointLocation", out)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = {
         (r.k, r.v)
         for r in spark.sql(f"SELECT * FROM kafka_rt_{topic}").collect()

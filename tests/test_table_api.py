@@ -556,7 +556,7 @@ def test_ddl_watermark_streams(t_env, spark, tmp_path):
         agg.writeStream.format("memory").queryName("ddl_wm_agg")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(600), "stream did not finish in 600s"
     got = sorted(
         float(r["s"])
         for r in t_env.spark.sql("SELECT * FROM ddl_wm_agg").collect()
