@@ -457,6 +457,98 @@ def _band_rows(
     ).select(id_col, "signature", "band.band_id", "band.band_key")
 
 
+class MinhashFrames:
+    """Precomputed per-document MinHash frames shared across the
+    operators of ONE logical pass over ONE corpus snapshot (r13
+    optimization round). The streaming ingest pipeline runs
+    :func:`minhash_lsh_pairs` (in-batch pairs), then
+    :func:`dedup_against_index` (probe of the survivors), then
+    :func:`minhash_index_build` (increment) over nested subsets of the
+    same micro-batch — without sharing, the batch's text is shingled,
+    32-way min-hashed and set-aggregated THREE times per epoch, and
+    that work is the pipeline's only batch-proportional stage.
+
+    ``shingles`` (id, shingle long), ``signatures`` (id, signature),
+    ``sets`` (id, S, sz) are lazily localCheckpointed: the first job
+    that touches them materializes the blocks, every later operator
+    reads blocks. Per-document values are independent of the rest of
+    the corpus (``max_df`` MUST be None — document frequency is
+    corpus-dependent, and consumers refuse otherwise), so an operator
+    running on a SUBSET of the frames' corpus semi-joins down to its
+    own ids and gets bit-identical frames to a recompute.
+
+    Contract: every consumer's input must be a subset (by ``id_col``)
+    of the frame corpus with the same text values, and must hash with
+    the same (n, num_hashes, seed) — consumers validate the params and
+    refuse loudly on mismatch.
+    """
+
+    def __init__(
+        self, shingles: DataFrame, signatures: DataFrame,
+        sets: DataFrame, params: dict, id_col: str,
+    ) -> None:
+        self.shingles = shingles
+        self.signatures = signatures
+        self.sets = sets
+        self.params = params
+        self.id_col = id_col
+
+    def check(self, n: int, num_hashes: int, seed: int,
+              max_df: "int | None", caller: str) -> None:
+        if max_df is not None:
+            raise ValueError(
+                f"{caller}: precomputed MinhashFrames cannot honor "
+                "max_df (document frequency is corpus-dependent) — "
+                "pass frames=None or max_df=None"
+            )
+        want = {"n": n, "num_hashes": num_hashes, "seed": seed}
+        have = {k: self.params[k] for k in want}
+        if want != have:
+            raise ValueError(
+                f"{caller}: MinhashFrames built with {have}, "
+                f"operator called with {want} — signatures would not "
+                "correspond"
+            )
+
+    def for_ids(self, ids: DataFrame, id_col: str):
+        """(shingles, signatures, sets) semi-joined to ``ids``."""
+        return (
+            self.shingles.join(ids, id_col, "semi"),
+            self.signatures.join(ids, id_col, "semi"),
+            self.sets.join(ids, id_col, "semi"),
+        )
+
+
+def minhash_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    ids_unique: bool = False,
+) -> MinhashFrames:
+    """Build :class:`MinhashFrames` for a corpus snapshot (one Python
+    shingle pass, one 32-way min-hash aggregation, one set
+    aggregation — everything the pair/probe/build trio needs, computed
+    once). All three frames are lazy localCheckpoints: no job runs
+    here; the first consuming action materializes them."""
+    dfr = _one_row_per_id(df, id_col, text_col, ids_unique)
+    sh = _shingle_rows(dfr, id_col, text_col, n, None).localCheckpoint(
+        eager=False
+    )
+    sig = minhash_signatures(
+        dfr, id_col, text_col, n, num_hashes, seed, None, shingles=sh
+    ).localCheckpoint(eager=False)
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("S"), F.count(F.lit(1)).alias("sz")
+    ).localCheckpoint(eager=False)
+    return MinhashFrames(
+        sh, sig, sets,
+        {"n": n, "num_hashes": num_hashes, "seed": seed}, id_col,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -470,6 +562,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 1000,
     verify: bool = True,
     ids_unique: bool = False,
+    frames: "MinhashFrames | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -479,25 +572,35 @@ def minhash_lsh_pairs(
     pairs ≥ threshold. Buckets larger than ``max_bucket`` are discarded
     (near-identical boilerplate floods; the cap converts O(n²) blowup into
     an explicit, logged policy). Output: d1, d2, est_jaccard[, jaccard].
+
+    ``frames`` (r13): precomputed :class:`MinhashFrames` over a
+    superset of ``df`` — skips this operator's shingle/signature/set
+    passes entirely (the streaming-ingest sharing story; see the class
+    docstring for the contract).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     df = _one_row_per_id(df, id_col, text_col, ids_unique)
-    # One shingle scan for the whole operator: signatures, doc sizes and
-    # the verification join all read this materialized frame (previously
-    # the explode+distinct ran twice — ~2× of q31's wall time). LAZY
-    # checkpoint (r5): with max_df set, _shingle_rows has already
-    # materialized the raw hash rows eagerly, so these anti-joined rows
-    # persist as a side effect of the band-rows materialization job
-    # that first reads them — an eager checkpoint here was a third
-    # sequential job barrier for the same blocks.
-    sh = _shingle_rows(df, id_col, text_col, n, max_df)
-    if verify:
-        sh = sh.localCheckpoint(eager=False)
-    sig = minhash_signatures(
-        df, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
-    )
+    if frames is not None:
+        frames.check(n, num_hashes, seed, max_df, "minhash_lsh_pairs")
+        sh, sig, pre_sets = frames.for_ids(df.select(id_col), id_col)
+    else:
+        pre_sets = None
+        # One shingle scan for the whole operator: signatures, doc sizes and
+        # the verification join all read this materialized frame (previously
+        # the explode+distinct ran twice — ~2× of q31's wall time). LAZY
+        # checkpoint (r5): with max_df set, _shingle_rows has already
+        # materialized the raw hash rows eagerly, so these anti-joined rows
+        # persist as a side effect of the band-rows materialization job
+        # that first reads them — an eager checkpoint here was a third
+        # sequential job barrier for the same blocks.
+        sh = _shingle_rows(df, id_col, text_col, n, max_df)
+        if verify:
+            sh = sh.localCheckpoint(eager=False)
+        sig = minhash_signatures(
+            df, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
+        )
 
     band_rows = _band_rows(sig, bands, r, id_col)
 
@@ -564,7 +667,7 @@ def minhash_lsh_pairs(
     # candidates × shingles explode-join + re-aggregate (two shuffles
     # whose fan-out grows with document length; this shape's verify cost
     # is O(|candidates| · doc_len) flat).
-    sets = sh.groupBy(id_col).agg(
+    sets = pre_sets if pre_sets is not None else sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("S"), F.count(F.lit(1)).alias("sz")
     )
     s1 = sets.select(
@@ -626,6 +729,7 @@ def minhash_index_build(
     max_df: int | None = None,
     max_bucket: int = 1000,
     ids_unique: bool = False,
+    frames: "MinhashFrames | None" = None,
 ) -> MinHashIndex:
     """Build a :class:`MinHashIndex` from a corpus: one shingle scan
     feeds the signature aggregation, the band explode, and the per-doc
@@ -639,16 +743,25 @@ def minhash_index_build(
     corpus; an increment's df is computed over the increment alone
     (the index does not rescan on ingest). With ``max_df=None``
     (default) increment-vs-index pairs are bit-identical to the
-    one-shot pipeline's cross-set pairs (pinned in pytest)."""
+    one-shot pipeline's cross-set pairs (pinned in pytest).
+
+    ``frames`` (r13): precomputed :class:`MinhashFrames` over a
+    superset of ``corpus`` — skips the shingle/signature/set passes
+    (see the class docstring for the contract)."""
     dfr = _one_row_per_id(corpus, id_col, text_col, ids_unique)
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sh = _shingle_rows(dfr, id_col, text_col, n, max_df)
-    sh = sh.localCheckpoint(eager=False)
-    sig = minhash_signatures(
-        dfr, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
-    )
+    if frames is not None:
+        frames.check(n, num_hashes, seed, max_df, "minhash_index_build")
+        sh, sig, pre_sets = frames.for_ids(dfr.select(id_col), id_col)
+    else:
+        pre_sets = None
+        sh = _shingle_rows(dfr, id_col, text_col, n, max_df)
+        sh = sh.localCheckpoint(eager=False)
+        sig = minhash_signatures(
+            dfr, id_col, text_col, n, num_hashes, seed, max_df, shingles=sh
+        )
     band_rows = _band_rows(sig, bands, r, id_col)
     hot = (
         band_rows.groupBy("band_id", "band_key")
@@ -659,7 +772,7 @@ def minhash_index_build(
     band_rows = band_rows.join(
         hot, ["band_id", "band_key"], "left_anti"
     ).select(id_col, "band_id", "band_key")
-    sets = sh.groupBy(id_col).agg(
+    sets = pre_sets if pre_sets is not None else sh.groupBy(id_col).agg(
         F.collect_set("shingle").alias("S"),
         F.count(F.lit(1)).alias("sz"),
     )
@@ -886,6 +999,7 @@ def dedup_against_index(
     verify: bool = True,
     max_bucket: int | None = None,
     ids_unique: bool = False,
+    frames: "MinhashFrames | None" = None,
 ) -> DataFrame:
     """Near-duplicate pairs between an INCREMENT and a persisted
     corpus index — the operational ingest-time shape: the corpus never
@@ -910,13 +1024,20 @@ def dedup_against_index(
     cap = max_bucket if max_bucket is not None else p["max_bucket"]
 
     inc = _one_row_per_id(increment, id_col, text_col, ids_unique)
-    sh = _shingle_rows(inc, id_col, text_col, p["n"], p["max_df"])
-    if verify:
-        sh = sh.localCheckpoint(eager=False)
-    sig = minhash_signatures(
-        inc, id_col, text_col, p["n"], n_h, p["seed"], p["max_df"],
-        shingles=sh,
-    )
+    if frames is not None:
+        frames.check(
+            p["n"], n_h, p["seed"], p["max_df"], "dedup_against_index"
+        )
+        sh, sig, pre_sets2 = frames.for_ids(inc.select(id_col), id_col)
+    else:
+        pre_sets2 = None
+        sh = _shingle_rows(inc, id_col, text_col, p["n"], p["max_df"])
+        if verify:
+            sh = sh.localCheckpoint(eager=False)
+        sig = minhash_signatures(
+            inc, id_col, text_col, p["n"], n_h, p["seed"], p["max_df"],
+            shingles=sh,
+        )
     inc_bands = _band_rows(sig, bands, r, id_col)
     hot = (
         inc_bands.groupBy("band_id", "band_key")
@@ -944,9 +1065,15 @@ def dedup_against_index(
         F.col("S").alias("S1"),
         F.col("sz").alias("sz1"),
     )
-    sets2 = sh.groupBy(id_col).agg(
-        F.collect_set("shingle").alias("S2"),
-        F.count(F.lit(1)).alias("sz2"),
+    sets2 = (
+        pre_sets2.select(
+            id_col, F.col("S").alias("S2"), F.col("sz").alias("sz2")
+        )
+        if pre_sets2 is not None
+        else sh.groupBy(id_col).agg(
+            F.collect_set("shingle").alias("S2"),
+            F.count(F.lit(1)).alias("sz2"),
+        )
     )
     docs2 = sig.join(sets2, id_col).select(
         F.col(id_col).alias("d2"),

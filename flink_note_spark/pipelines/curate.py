@@ -1149,12 +1149,26 @@ def prepare_training_corpus_stream(
         # persisted-index probe (order matters: within-batch chains
         # must collapse to their minimum before the index sees them)
         if near_dup_threshold is not None:
+            from flink_note_spark.operators.dedup import minhash_frames
+
+            # ONE shingle/signature/set pass per epoch (r13 optimization
+            # round): the in-batch pair stage, the index probe and the
+            # increment build below run over nested subsets of this
+            # batch — without sharing, the batch's text is shingled and
+            # min-hashed three times per epoch (measured: the pipeline's
+            # only batch-proportional stage). Lazy checkpoints: the pair
+            # stage's job materializes the frames, the probe and the
+            # build read blocks and semi-filter to their own ids.
+            frames = minhash_frames(
+                cur, id_col, text_col, n=mh["n"],
+                num_hashes=mh["num_hashes"], seed=seed, ids_unique=True,
+            )
             pairs = minhash_lsh_pairs(
                 cur, id_col, text_col,
                 n=mh["n"], num_hashes=mh["num_hashes"],
                 bands=mh["bands"], threshold=near_dup_threshold,
                 seed=seed, max_bucket=mh["max_bucket"],
-                ids_unique=True,
+                ids_unique=True, frames=frames,
             )
             cur = canonical_docs(cur, pairs, id_col)
             # the meta dir is minhash_index_save's LAST write: its
@@ -1180,7 +1194,8 @@ def prepare_training_corpus_stream(
             if have_index:
                 dup = dedup_against_index(
                     cur, idx, threshold=near_dup_threshold,
-                    text_col=text_col, verify=True,
+                    text_col=text_col, verify=True, ids_unique=True,
+                    frames=frames,
                 ).select(F.col("d2").alias(id_col)).distinct()
                 cur = cur.join(dup, id_col, "anti")
             # accrete the survivors (pre-decontamination — the batch
@@ -1193,6 +1208,7 @@ def prepare_training_corpus_stream(
                 n=mh["n"], num_hashes=mh["num_hashes"],
                 bands=mh["bands"], seed=seed,
                 max_bucket=mh["max_bucket"], ids_unique=True,
+                frames=frames,
             )
             if not have_index:
                 minhash_index_save(

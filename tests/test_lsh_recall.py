@@ -997,3 +997,65 @@ def test_ivfpq_index_register_rebuild_and_refusals(spark, sf_dir, tmp_path):
         assert exact and got == exact
     finally:
         _drop_ivfpq_tables(spark, table)
+
+
+def test_minhash_frames_equivalence(spark, sf_dir):
+    """r13 optimization round: the shared-frames path (one
+    shingle/signature/set pass reused by pairs + index probe + index
+    build) must be value-identical to the unshared path, including on
+    SUBSETS of the frame corpus (the streaming pipeline's nested-use
+    contract), and must refuse loudly on parameter mismatch / max_df."""
+    from pyspark.sql import functions as F
+
+    from flink_note_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_frames,
+        minhash_index_build,
+        minhash_lsh_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    frames = minhash_frames(docs, "doc_id", "text", ids_unique=True)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # 1) pairs on the full corpus
+    kw = dict(threshold=0.4, ids_unique=True)
+    assert rows(
+        minhash_lsh_pairs(docs, "doc_id", "text", frames=frames, **kw)
+    ) == rows(minhash_lsh_pairs(docs, "doc_id", "text", **kw))
+
+    # 2) index build on a SUBSET (the pipeline's survivors shape)
+    subset = docs.filter(F.pmod("doc_id", F.lit(3)) != 0)
+    idx_f = minhash_index_build(
+        subset, "doc_id", "text", ids_unique=True, frames=frames
+    )
+    idx_p = minhash_index_build(subset, "doc_id", "text", ids_unique=True)
+    assert rows(idx_f.bands) == rows(idx_p.bands)
+    assert rows(
+        idx_f.docs.select("doc_id", "signature", F.array_sort("S"), "sz")
+    ) == rows(
+        idx_p.docs.select("doc_id", "signature", F.array_sort("S"), "sz")
+    )
+
+    # 3) probe of a DIFFERENT subset against that index
+    inc = docs.filter(F.pmod("doc_id", F.lit(3)) == 0)
+    probe_kw = dict(threshold=0.4, verify=True, ids_unique=True)
+    assert rows(
+        dedup_against_index(inc, idx_p, frames=frames, **probe_kw)
+    ) == rows(dedup_against_index(inc, idx_p, **probe_kw))
+
+    # 4) loud refusals: param mismatch and max_df
+    with pytest.raises(ValueError, match="would not correspond"):
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", seed=7, frames=frames, **kw
+        )
+    with pytest.raises(ValueError, match="max_df"):
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", max_df=50, frames=frames, **kw
+        )
