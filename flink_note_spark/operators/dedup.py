@@ -1531,6 +1531,13 @@ def _positional_dup_rows(
         )
         .select(id_col, "pos", F.xxhash64("shingle").alias("shingle"))
     )
+    # Both the corpus-wide count and the join's left side read these
+    # rows — materialize once (24-byte longs) so the Python shingler
+    # runs ONCE, not once per plan branch (r13 optimization round: the
+    # unshared plan carried two identical MapInPandas nodes over the
+    # same scan — the exact shape the r5 q31 fix removed there; paired
+    # A/B in OPTIMIZATION_r13.md).
+    pg = _computed_once(pg)
     cnt = pg.groupBy("shingle").agg(F.count(F.lit(1)).alias("__c"))
     return pg.join(
         cnt.filter(F.col("__c") >= min_count).select("shingle"),
