@@ -476,9 +476,13 @@ def ngram_novelty(
 
     PRECONDITION (inherited from the kernel): one row per ``id_col``.
     """
-    from flink_note_spark.operators.dedup import _shingle_rows
+    from flink_note_spark.operators.dedup import _computed_once, _shingle_rows
 
-    sh = _shingle_rows(df, id_col, text_col, n, None)
+    # Both the document-frequency agg and the join's left side read the
+    # shingle rows — materialize once (16-byte longs) so the Python
+    # shingle kernel runs ONCE, not once per plan branch (r13
+    # optimization round — the _positional_dup_rows fix, same class).
+    sh = _computed_once(_shingle_rows(df, id_col, text_col, n, None))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     per_doc = (
         sh.join(dfreq, "shingle")
