@@ -107,6 +107,18 @@ HEADLINE = [
     # scanned once) — same caveat.
     "q144_gapfill_locf",
     "q146_rollup_cascade",
+    # New in round 13 (optimization round): the five rows this round's
+    # operator work moved most — LSH embedding near-dup (−47% paired),
+    # positional-span stats/removal (−14/−13%), n-gram novelty (−16%),
+    # split decontamination (−7%) — added so the driver's instrument
+    # measures them; same cross-round totals caveat as earlier
+    # additions (per-query deltas and --compare pairs are comparable,
+    # totals are not).
+    "q52_lsh_embedding_near_dup",
+    "q77_split_decontaminate",
+    "q96_ngram_novelty",
+    "q117_dup_spans",
+    "q139_remove_dup_spans",
     # q50_udf_udaf is EXCLUDED by design: it exists to exercise the
     # Python UDF/UDAF interop surface, and timing it measures CPython,
     # not the engine (measured at sf0.1: arrow row-UDF 1.08 s vs the
