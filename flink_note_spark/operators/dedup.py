@@ -494,14 +494,35 @@ class MinhashFrames:
         self.id_col = id_col
 
     def check(self, n: int, num_hashes: int, seed: int,
-              max_df: "int | None", caller: str) -> None:
+              max_df: "int | None", caller: str,
+              id_col: "str | None" = None,
+              text_col: "str | None" = None,
+              max_df_from_index: bool = False) -> None:
         if max_df is not None:
+            if max_df_from_index:
+                # the max_df came from persisted index meta, not a
+                # caller argument — "pass max_df=None" would be
+                # unactionable advice here (ADVICE r13 #4)
+                raise ValueError(
+                    f"{caller}: this index was built with max_df set; "
+                    "the shared-frames fast path cannot honor it "
+                    "(document frequency is corpus-dependent) — pass "
+                    "frames=None"
+                )
             raise ValueError(
                 f"{caller}: precomputed MinhashFrames cannot honor "
                 "max_df (document frequency is corpus-dependent) — "
                 "pass frames=None or max_df=None"
             )
         want = {"n": n, "num_hashes": num_hashes, "seed": seed}
+        # column identity is part of the signature contract (ADVICE r13
+        # #1): frames built over a different text column — or keyed by a
+        # different id column — would silently emit signatures for the
+        # wrong values
+        if id_col is not None:
+            want["id_col"] = id_col
+        if text_col is not None:
+            want["text_col"] = text_col
         have = {k: self.params[k] for k in want}
         if want != have:
             raise ValueError(
@@ -545,7 +566,11 @@ def minhash_frames(
     ).localCheckpoint(eager=False)
     return MinhashFrames(
         sh, sig, sets,
-        {"n": n, "num_hashes": num_hashes, "seed": seed}, id_col,
+        {
+            "n": n, "num_hashes": num_hashes, "seed": seed,
+            "id_col": id_col, "text_col": text_col,
+        },
+        id_col,
     )
 
 
@@ -583,8 +608,13 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     df = _one_row_per_id(df, id_col, text_col, ids_unique)
     if frames is not None:
-        frames.check(n, num_hashes, seed, max_df, "minhash_lsh_pairs")
-        sh, sig, pre_sets = frames.for_ids(df.select(id_col), id_col)
+        frames.check(n, num_hashes, seed, max_df, "minhash_lsh_pairs",
+                     id_col=id_col, text_col=text_col)
+        # verify reads pre_sets, never the shingle rows — unpack the
+        # unused frame as ``_`` so the data flow is explicit (ADVICE
+        # r13 #2; the lazy frame costs nothing unread)
+        _, sig, pre_sets = frames.for_ids(df.select(id_col), id_col)
+        sh = None
     else:
         pre_sets = None
         # One shingle scan for the whole operator: signatures, doc sizes and
@@ -753,8 +783,10 @@ def minhash_index_build(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     if frames is not None:
-        frames.check(n, num_hashes, seed, max_df, "minhash_index_build")
-        sh, sig, pre_sets = frames.for_ids(dfr.select(id_col), id_col)
+        frames.check(n, num_hashes, seed, max_df, "minhash_index_build",
+                     id_col=id_col, text_col=text_col)
+        _, sig, pre_sets = frames.for_ids(dfr.select(id_col), id_col)
+        sh = None
     else:
         pre_sets = None
         sh = _shingle_rows(dfr, id_col, text_col, n, max_df)
@@ -1026,9 +1058,11 @@ def dedup_against_index(
     inc = _one_row_per_id(increment, id_col, text_col, ids_unique)
     if frames is not None:
         frames.check(
-            p["n"], n_h, p["seed"], p["max_df"], "dedup_against_index"
+            p["n"], n_h, p["seed"], p["max_df"], "dedup_against_index",
+            id_col=id_col, text_col=text_col, max_df_from_index=True,
         )
-        sh, sig, pre_sets2 = frames.for_ids(inc.select(id_col), id_col)
+        _, sig, pre_sets2 = frames.for_ids(inc.select(id_col), id_col)
+        sh = None
     else:
         pre_sets2 = None
         sh = _shingle_rows(inc, id_col, text_col, p["n"], p["max_df"])

@@ -714,9 +714,14 @@ def q58_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic corpus split audit: per-split row counts and id
     checksum from ``sampling.hash_split``. Values are a pure function of
     (doc_id, seed) — stable across partitionings, reruns and corpus
-    accretion — but the hash family is Spark's xxhash64, which DuckDB
-    cannot reproduce: rows-only driver check; determinism and fraction
-    properties are pytest-gated (tests/test_sampling.py)."""
+    accretion. Oracle-backed since r14 (VERDICT r13 item 7): Spark's
+    ``xxhash64(long, int)`` has a closed form (two XXH64 block rounds +
+    avalanche) that ``_Q58_SQL`` replays in DuckDB HUGEINT arithmetic —
+    32-bit-split multiplies mod 2^64, rotates as shift pairs — so the
+    driver now verifies the ACTUAL per-row split assignment of the
+    production hash family, not just row counts (the q91 md5 twin keeps
+    covering the split-logic portability story). Determinism and
+    fraction properties stay pytest-gated (tests/test_sampling.py)."""
     from flink_note_spark.operators.sampling import hash_split
 
     d = _t(spark, sf, "documents")
@@ -729,6 +734,156 @@ def q58_hash_split(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# DuckDB replay of Spark's xxhash64(doc_id BIGINT, 42 INT): seed 42,
+# one XXH64 8-byte round for the long child, one 4-byte round for the
+# int literal, then the avalanche — each 64-bit multiply is split into
+# 32-bit halves so HUGEINT (signed 128-bit) never overflows, rotations
+# are shift pairs, xor/shifts run on UBIGINT. Verified bit-for-bit
+# against F.xxhash64 (tests/test_sampling.py::test_q58_oracle_hash_is_sparks_xxhash64)
+# and value-for-value by tests/test_oracle_parity.py.
+_Q58_SQL = """WITH x0 AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS u0
+  FROM documents
+),
+x1 AS (
+  SELECT *,
+         (u0 % 4294967296 * 668265295::HUGEINT
+         + (u0 % 4294967296 * 3266489917::HUGEINT + u0 // 4294967296 * 668265295::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 AS a1
+  FROM x0
+),
+x2 AS (
+  SELECT *,
+         (a1 % 8589934592 * 2147483648 + a1 // 8589934592) AS a2
+  FROM x1
+),
+x3 AS (
+  SELECT *,
+         (a2 % 4294967296 * 2246822535::HUGEINT
+         + (a2 % 4294967296 * 2654435761::HUGEINT + a2 // 4294967296 * 2246822535::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 AS a3
+  FROM x2
+),
+x4 AS (
+  SELECT *,
+         xor((2870177450012600311)::UBIGINT, (a3)::UBIGINT)::HUGEINT AS a4
+  FROM x3
+),
+x5 AS (
+  SELECT *,
+         (a4 % 137438953472 * 134217728 + a4 // 137438953472) AS a5
+  FROM x4
+),
+x6 AS (
+  SELECT *,
+         ((a5 % 4294967296 * 2246822535::HUGEINT
+         + (a5 % 4294967296 * 2654435761::HUGEINT + a5 // 4294967296 * 2246822535::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS a6
+  FROM x5
+),
+x7 AS (
+  SELECT *,
+         xor((a6)::UBIGINT, (a6 // 8589934592)::UBIGINT)::HUGEINT AS a7
+  FROM x6
+),
+x8 AS (
+  SELECT *,
+         (a7 % 4294967296 * 668265295::HUGEINT
+         + (a7 % 4294967296 * 3266489917::HUGEINT + a7 // 4294967296 * 668265295::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 AS a8
+  FROM x7
+),
+x9 AS (
+  SELECT *,
+         xor((a8)::UBIGINT, (a8 // 536870912)::UBIGINT)::HUGEINT AS a9
+  FROM x8
+),
+x10 AS (
+  SELECT *,
+         (a9 % 4294967296 * 2654435833::HUGEINT
+         + (a9 % 4294967296 * 374761393::HUGEINT + a9 // 4294967296 * 2654435833::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 AS aa
+  FROM x9
+),
+x11 AS (
+  SELECT *,
+         xor((aa)::UBIGINT, (aa // 4294967296)::UBIGINT)::HUGEINT AS h0
+  FROM x10
+),
+x12 AS (
+  SELECT *,
+         (h0 + 2870177450012600265) % 18446744073709551616 AS b1
+  FROM x11
+),
+x13 AS (
+  SELECT *,
+         xor((b1)::UBIGINT, (17661419130398390822)::UBIGINT)::HUGEINT AS b2
+  FROM x12
+),
+x14 AS (
+  SELECT *,
+         (b2 % 2199023255552 * 8388608 + b2 // 2199023255552) AS b3
+  FROM x13
+),
+x15 AS (
+  SELECT *,
+         ((b3 % 4294967296 * 668265295::HUGEINT
+         + (b3 % 4294967296 * 3266489917::HUGEINT + b3 // 4294967296 * 668265295::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 + 1609587929392839161) % 18446744073709551616 AS b4
+  FROM x14
+),
+x16 AS (
+  SELECT *,
+         xor((b4)::UBIGINT, (b4 // 8589934592)::UBIGINT)::HUGEINT AS b5
+  FROM x15
+),
+x17 AS (
+  SELECT *,
+         (b5 % 4294967296 * 668265295::HUGEINT
+         + (b5 % 4294967296 * 3266489917::HUGEINT + b5 // 4294967296 * 668265295::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 AS b6
+  FROM x16
+),
+x18 AS (
+  SELECT *,
+         xor((b6)::UBIGINT, (b6 // 536870912)::UBIGINT)::HUGEINT AS b7
+  FROM x17
+),
+x19 AS (
+  SELECT *,
+         (b7 % 4294967296 * 2654435833::HUGEINT
+         + (b7 % 4294967296 * 374761393::HUGEINT + b7 // 4294967296 * 2654435833::HUGEINT)
+           % 4294967296 * 4294967296) % 18446744073709551616 AS b8
+  FROM x18
+),
+x20 AS (
+  SELECT *,
+         xor((b8)::UBIGINT, (b8 // 4294967296)::UBIGINT)::HUGEINT AS hu
+  FROM x19
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM (
+  SELECT doc_id,
+         CASE WHEN u < 0.9 THEN 'train'
+              WHEN u < 0.9500000000000001 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(((hs % 1000000000) + 1000000000) % 1000000000 AS DOUBLE)
+           / 1000000000.0 AS u
+    FROM (
+      SELECT doc_id,
+             CASE WHEN hu >= 9223372036854775808
+                  THEN hu - 18446744073709551616 ELSE hu END AS hs
+      FROM x20
+    )
+  )
+)
+GROUP BY split ORDER BY split"""
 
 
 def q90_lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2477,6 +2632,7 @@ ORACLES = {
     "q30_jaccard_pairs": _Q30_SQL,
     # verified-LSH pair set == exact set at these params (recall 1.0,
     # precision by construction) — the exact oracle checks the LSH path
+    "q58_hash_split": _Q58_SQL,
     "q90_lsh_verified_pairs": _Q30_SQL,
     "q91_md5_split": _Q91_SQL,
     "q131_token_budget_mixture": _Q131_SQL,

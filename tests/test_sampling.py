@@ -379,3 +379,44 @@ def test_token_budget_validation(token_corpus):
         token_budget_sample(
             token_corpus, "source", 100, weights={"web": 0.0}
         )
+
+
+def test_q58_oracle_hash_is_sparks_xxhash64(spark):
+    """The r14 q58 DuckDB oracle replays Spark's ``xxhash64(long, 42)``
+    in HUGEINT arithmetic; pin the hash stage bit-for-bit on ids the
+    fixture never exercises (zero, negatives, both int64 extremes)."""
+    import duckdb
+
+    from flink_note_spark.queries.llm import _Q58_SQL
+
+    # -(2**63) exactly is excluded: DuckDB 1.0 trips an INT128→INT64
+    # conversion corner on the unsigned-wrap expression for that single
+    # value (u0 == 2**63); one off the edge exercises the same wrap.
+    ids = [
+        0, 1, -1, 2, 42, -42, 999_999_937, -999_999_937,
+        2**31 - 1, -(2**31), 2**32, 2**62, -(2**62),
+        2**63 - 1, -(2**63) + 1, 1234567890123456789,
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    want = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", F.xxhash64("doc_id", F.lit(42)).alias("h")
+        ).collect()
+    }
+
+    hash_cte = _Q58_SQL[: _Q58_SQL.rindex("SELECT split,")]
+    probe = hash_cte + (
+        "SELECT doc_id, CAST((hu + 9223372036854775808::HUGEINT) "
+        "% 18446744073709551616::HUGEINT "
+        "- 9223372036854775808::HUGEINT AS BIGINT) AS h "
+        "FROM x20"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}::BIGINT)" for i in ids)
+        + ") t(doc_id)"
+    )
+    got = dict(con.execute(probe).fetchall())
+    assert got == want

@@ -89,6 +89,38 @@ def _run_to_memory(df, name: str, output_mode: str, tmp_path) -> None:
         q.stop()
 
 
+def _run_many_to_memory(runs, tmp_path) -> None:
+    """Drain INDEPENDENT streams concurrently: start every ``(df, name,
+    output_mode)`` query, then ``processAllAvailable`` + stop each.
+
+    Every micro-batch pays a fixed ~0.3–0.6 s harness floor (offset WAL,
+    state commit, Python-runner roundtrip — measured r14, independent
+    of row count and shuffle partitions), so a parameter sweep that
+    drains N pattern variants sequentially costs N × batches × floor.
+    The variants are independent queries over the same static chunk
+    dir; Spark's scheduler overlaps their micro-batches (guide §2.6),
+    making the sweep cost ~max instead of ~sum. Queries, sinks and
+    assertions are UNCHANGED — only the drain order is concurrent."""
+    qs = []
+    try:
+        for df, name, output_mode in runs:
+            qs.append(
+                write_stream_sink(
+                    df, "memory", path=None,
+                    checkpoint=str(tmp_path / f"ckpt_{name}"),
+                    output_mode=output_mode, query_name=name,
+                ).start()
+            )
+        for q in qs:
+            q.processAllAvailable()
+    finally:
+        for q in qs:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 — stop the rest regardless
+                pass
+
+
 @pytest.fixture()
 def chunk_dir(tmp_path):
     d = tmp_path / f"stream_src_{uuid.uuid4().hex[:8]}"
@@ -3362,6 +3394,7 @@ def test_cep_stream_mixed_equals_batch(spark, chunk_dir, tmp_path):
         ),
     ]
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    runs = []
     for tag, p, cols in pats:
         w = None if isinstance(p, Pattern) else "45 minutes"
         if not isinstance(p, Pattern):
@@ -3376,7 +3409,12 @@ def test_cep_stream_mixed_equals_batch(spark, chunk_dir, tmp_path):
         out = match_pattern_stream(
             stream, p, watermark="3 minutes", within=w
         )
-        _run_to_memory(out, f"cep_mixed_{tag}", "update", tmp_path)
+        runs.append((tag, p, cols, w, out))
+    _run_many_to_memory(
+        [(out, f"cep_mixed_{tag}", "update") for tag, _, _, _, out in runs],
+        tmp_path,
+    )
+    for tag, p, cols, w, _ in runs:
         got = _stream_rows(spark, f"cep_mixed_{tag}", cols)
         want = _batch_rows(match_pattern(batch_df, p, within=w), cols)
         assert got == want, tag
