@@ -545,14 +545,12 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
     def _key(t):
         return tuple((v is None, v if v is not None else 0) for v in t)
 
+    # start every clause's drain, then await them all: the independent
+    # availableNow queries overlap in the scheduler, so the sweep costs
+    # ~max instead of ~sum of the per-micro-batch harness floor (same
+    # rationale as test_streaming._run_many_to_memory)
+    started = []
     for tag, kw in clauses:
-        want = sorted(
-            (
-                tuple(_norm(v) for v in r)
-                for r in match_recognize(batch_df, **kw).collect()
-            ),
-            key=_key,
-        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -564,7 +562,17 @@ def test_match_recognize_stream_equals_batch(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
             .trigger(availableNow=True).start()
         )
-        assert q.awaitTermination(600), "stream did not finish in 600s"
+        started.append((tag, kw, out, q))
+    for tag, _, _, q in started:
+        assert q.awaitTermination(600), f"{tag}: stream did not finish in 600s"
+    for tag, kw, out, _ in started:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -960,14 +968,8 @@ def test_match_recognize_stream_greedy_equals_batch(spark, tmp_path):
     def _key(t):
         return tuple((v is None, v if v is not None else 0) for v in t)
 
+    started = []
     for tag, kw in clauses:
-        want = sorted(
-            (
-                tuple(_norm(v) for v in r)
-                for r in match_recognize(batch_df, **kw).collect()
-            ),
-            key=_key,
-        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -979,7 +981,17 @@ def test_match_recognize_stream_greedy_equals_batch(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"gck_{tag}"))
             .trigger(availableNow=True).start()
         )
-        assert q.awaitTermination(600), "stream did not finish in 600s"
+        started.append((tag, kw, out, q))
+    for tag, _, _, q in started:
+        assert q.awaitTermination(600), f"{tag}: stream did not finish in 600s"
+    for tag, kw, out, _ in started:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1488,14 +1500,8 @@ def test_reluctant_stream_equals_batch(spark, tmp_path):
     def _key(t):
         return tuple((v is None, v if v is not None else 0) for v in t)
 
+    started = []
     for tag, kw in clauses:
-        want = sorted(
-            (
-                tuple(_norm(v) for v in r)
-                for r in match_recognize(batch_df, **kw).collect()
-            ),
-            key=_key,
-        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -1507,7 +1513,17 @@ def test_reluctant_stream_equals_batch(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"rck_{tag}"))
             .trigger(availableNow=True).start()
         )
-        assert q.awaitTermination(600), "stream did not finish in 600s"
+        started.append((tag, kw, out, q))
+    for tag, _, _, q in started:
+        assert q.awaitTermination(600), f"{tag}: stream did not finish in 600s"
+    for tag, kw, out, _ in started:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1574,17 +1590,11 @@ def test_match_recognize_stream_greedy_skip_strategies(
     def _key(t):
         return tuple((v is None, v if v is not None else 0) for v in t)
 
+    started = []
     for i, am in enumerate([
         "skip past last row", "skip to first B", "skip to last B",
     ]):
         kw = dict(base, after_match=am)
-        want = sorted(
-            (
-                tuple(_norm(v) for v in r)
-                for r in match_recognize(batch_df, **kw).collect()
-            ),
-            key=_key,
-        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -1596,7 +1606,17 @@ def test_match_recognize_stream_greedy_skip_strategies(
             .option("checkpointLocation", str(tmp_path / f"sck_{i}"))
             .trigger(availableNow=True).start()
         )
-        assert q.awaitTermination(600), "stream did not finish in 600s"
+        started.append((i, am, kw, out, q))
+    for i, am, _, _, q in started:
+        assert q.awaitTermination(600), f"{am}: stream did not finish in 600s"
+    for i, am, kw, out, _ in started:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1671,16 +1691,10 @@ def test_match_recognize_stream_variant_routing(spark, tmp_path):
     def _key(t):
         return tuple((v is None, v if v is not None else 0) for v in t)
 
+    started = []
     for i, shape in enumerate(shapes):
         kw = dict(partition_by="user_id", order_by="ts",
                   within="30 minutes", **shape)
-        want = sorted(
-            (
-                tuple(_norm(v) for v in r)
-                for r in match_recognize(batch_df, **kw).collect()
-            ),
-            key=_key,
-        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -1692,7 +1706,17 @@ def test_match_recognize_stream_variant_routing(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"vck_{i}"))
             .trigger(availableNow=True).start()
         )
-        assert q.awaitTermination(600), "stream did not finish in 600s"
+        started.append((i, shape, kw, out, q))
+    for i, shape, _, _, q in started:
+        assert q.awaitTermination(600), f"{shape['pattern']}: not finished in 600s"
+    for i, shape, kw, out, _ in started:
+        want = sorted(
+            (
+                tuple(_norm(v) for v in r)
+                for r in match_recognize(batch_df, **kw).collect()
+            ),
+            key=_key,
+        )
         got = sorted(
             (
                 tuple(_norm(x) for x in r)
@@ -1825,13 +1849,10 @@ def test_match_recognize_stream_iterative_greedy(spark, tmp_path):
             return round(v, 6)
         return int(v)
 
+    started = []
     for i, shape in enumerate(shapes):
         kw = dict(partition_by="user_id", order_by="ts",
                   within="30 minutes", **shape)
-        want = sorted(
-            tuple(_norm(v) for v in r)
-            for r in match_recognize(batch_df, **kw).collect()
-        )
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1).parquet(str(d))
@@ -1843,7 +1864,14 @@ def test_match_recognize_stream_iterative_greedy(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / f"ick_{i}"))
             .trigger(availableNow=True).start()
         )
-        assert q.awaitTermination(600), "stream did not finish in 600s"
+        started.append((i, shape, kw, out, q))
+    for i, shape, _, _, q in started:
+        assert q.awaitTermination(600), f"{shape['pattern']}: not finished in 600s"
+    for i, shape, kw, out, _ in started:
+        want = sorted(
+            tuple(_norm(v) for v in r)
+            for r in match_recognize(batch_df, **kw).collect()
+        )
         got = sorted(
             tuple(_norm(x) for x in r)
             for r in spark.sql(

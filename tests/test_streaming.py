@@ -1930,13 +1930,16 @@ def test_cep_stream_general_random_soup_equals_batch(spark, chunk_dir, tmp_path)
         "neg": ["user_id", "ts_1", "ts_2"],
         "loop": ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"],
     }
+    runs = []
     for name, p in pats.items():
         stream = read_file_stream(
             spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
             max_files_per_trigger=1,
         )
         out = match_pattern_stream(stream, p, watermark="3 minutes")
-        _run_to_memory(out, f"cep_soup_{name}", "update", tmp_path)
+        runs.append((out, f"cep_soup_{name}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    for name, p in pats.items():
         got = _stream_rows(spark, f"cep_soup_{name}", cols[name])
         batch = match_pattern(
             spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir)), p
@@ -2189,13 +2192,15 @@ def test_cep_stream_skip_strategies_equal_batch(spark, chunk_dir, tmp_path):
     )
     cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "n_2", "ts_3"]
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
-    for tag, strat in (
+    strategies = (
         ("noskip", "no_skip"),
         ("stonext", "skip_to_next"),
         ("sple", "skip_past_last_event"),
         ("stofirst", ("skip_to_first", 2)),
         ("stolast", ("skip_to_last", 2)),
-    ):
+    )
+    runs = []
+    for tag, strat in strategies:
         stream = read_file_stream(
             spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
             max_files_per_trigger=1,
@@ -2203,7 +2208,9 @@ def test_cep_stream_skip_strategies_equal_batch(spark, chunk_dir, tmp_path):
         out = match_pattern_stream(
             stream, p, watermark="3 minutes", skip_strategy=strat
         )
-        _run_to_memory(out, f"cep_skip_{tag}", "update", tmp_path)
+        runs.append((out, f"cep_skip_{tag}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    for tag, strat in strategies:
         got = _stream_rows(spark, f"cep_skip_{tag}", cols)
         want = _batch_rows(
             match_pattern(batch_df, p, skip_strategy=strat), cols
@@ -2276,28 +2283,35 @@ def test_cep_stream_strict_skip_strategies_equal_batch(
             ["no_skip", "skip_to_next", "skip_past_last_event"],
         ),
     ]
-    for shape, pat, cols, strats in cases:
-        for strat in strats:
-            tag = f"{shape}_{strat if isinstance(strat, str) else strat[0]}"
-            stream = read_file_stream(
-                spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
-                max_files_per_trigger=1,
-            )
-            out = match_pattern_stream(
-                stream, pat, contiguity="strict", within="45 minutes",
-                watermark="3 minutes", skip_strategy=strat,
-            )
-            _run_to_memory(out, f"cep_sskip_{tag}", "update", tmp_path)
-            got = _stream_rows(spark, f"cep_sskip_{tag}", cols)
-            want = _batch_rows(
-                match_pattern(
-                    batch_df, pat, contiguity="strict",
-                    within="45 minutes", skip_strategy=strat,
-                    ),
-                cols,
-            )
-            assert got == want, tag
-            assert got, tag
+    flat = [
+        (f"{shape}_{strat if isinstance(strat, str) else strat[0]}",
+         pat, cols, strat)
+        for shape, pat, cols, strats in cases
+        for strat in strats
+    ]
+    runs = []
+    for tag, pat, cols, strat in flat:
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, pat, contiguity="strict", within="45 minutes",
+            watermark="3 minutes", skip_strategy=strat,
+        )
+        runs.append((out, f"cep_sskip_{tag}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    for tag, pat, cols, strat in flat:
+        got = _stream_rows(spark, f"cep_sskip_{tag}", cols)
+        want = _batch_rows(
+            match_pattern(
+                batch_df, pat, contiguity="strict",
+                within="45 minutes", skip_strategy=strat,
+                ),
+            cols,
+        )
+        assert got == want, tag
+        assert got, tag
 
 
 def test_cep_stream_strict_no_skip_equals_batch(spark, chunk_dir, tmp_path):
@@ -2804,13 +2818,16 @@ def test_cep_stream_where_equals_batch(spark, chunk_dir, tmp_path):
         ),
     ]
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    runs = []
     for tag, p, cols in pats:
         stream = read_file_stream(
             spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
             max_files_per_trigger=1,
         )
         out = match_pattern_stream(stream, p, watermark="3 minutes")
-        _run_to_memory(out, f"cep_where_{tag}", "update", tmp_path)
+        runs.append((out, f"cep_where_{tag}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    for tag, p, cols in pats:
         got = _stream_rows(spark, f"cep_where_{tag}", cols)
         want = _batch_rows(match_pattern(batch_df, p), cols)
         assert got == want, tag
@@ -3271,13 +3288,16 @@ def test_cep_stream_iterative_equals_batch(spark, chunk_dir, tmp_path):
         ),
     ]
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    runs = []
     for tag, p, cols in pats:
         stream = read_file_stream(
             spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
             max_files_per_trigger=1,
         )
         out = match_pattern_stream(stream, p, watermark="3 minutes")
-        _run_to_memory(out, f"cep_iter_{tag}", "update", tmp_path)
+        runs.append((out, f"cep_iter_{tag}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    for tag, p, cols in pats:
         got = _stream_rows(spark, f"cep_iter_{tag}", cols)
         want = _batch_rows(match_pattern(batch_df, p), cols)
         assert got == want, tag
@@ -3822,13 +3842,16 @@ def test_cep_stream_followed_by_any_equals_batch(spark, chunk_dir,
         ),
     ]
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    runs = []
     for tag, p, cols in pats:
         stream = read_file_stream(
             spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
             max_files_per_trigger=1,
         )
         out = match_pattern_stream(stream, p, watermark="3 minutes")
-        _run_to_memory(out, f"cep_any_{tag}", "update", tmp_path)
+        runs.append((out, f"cep_any_{tag}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    for tag, p, cols in pats:
         got = _stream_rows(spark, f"cep_any_{tag}", cols)
         want = _batch_rows(match_pattern(batch_df, p), cols)
         assert got == want, tag
@@ -3845,21 +3868,26 @@ def test_cep_stream_any_with_skip_strategy_equals_batch(
 
     _variant_soup(chunk_dir, seed=72)
     cols = ["user_id", "ts_1", "ts_2"]
-    for strat in ("no_skip", "skip_to_next", "skip_past_last_event"):
+    strats = ("no_skip", "skip_to_next", "skip_past_last_event")
+    pats = {}
+    runs = []
+    for strat in strats:
         p = (
             Pattern.begin("V").followed_by_any("C")
             .within("45 minutes").skip(strat)
         )
+        pats[strat] = p
         stream = read_file_stream(
             spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
             max_files_per_trigger=1,
         )
         out = match_pattern_stream(stream, p, watermark="3 minutes")
-        _run_to_memory(out, f"cep_any_skip_{strat}", "update", tmp_path)
+        runs.append((out, f"cep_any_skip_{strat}", "update"))
+    _run_many_to_memory(runs, tmp_path)
+    batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
+    for strat in strats:
         got = _stream_rows(spark, f"cep_any_skip_{strat}", cols)
-        want = _batch_rows(match_pattern(batch_df := spark.read
-                           .schema(EVENT_SCHEMA).parquet(str(chunk_dir)),
-                           p), cols)
+        want = _batch_rows(match_pattern(batch_df, pats[strat]), cols)
         assert got == want, strat
         assert got, strat
 
@@ -4982,27 +5010,44 @@ def test_upsert_latest_stream_restart_resumes_state(spark, chunk_dir, tmp_path):
 
 def _variants_skip_case(spark, chunk_dir, tmp_path, tag, pattern,
                         cols, strategy, watermark="3 minutes"):
+    return _variants_skip_cases(
+        spark, chunk_dir, tmp_path,
+        [(tag, pattern, cols, strategy)], watermark,
+    )[0]
+
+
+def _variants_skip_cases(spark, chunk_dir, tmp_path, cases,
+                         watermark="3 minutes"):
+    """Drain every (tag, pattern, cols, strategy) case concurrently
+    (see _run_many_to_memory), then assert each against batch. Same
+    queries and assertions as the one-at-a-time shape."""
     from flink_note_spark.operators.cep import match_pattern
     from flink_note_spark.streaming.ops import match_pattern_stream
 
+    runs = []
+    for tag, pattern, _cols, strategy in cases:
+        stream = read_file_stream(
+            spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
+            max_files_per_trigger=1,
+        )
+        out = match_pattern_stream(
+            stream, pattern, watermark=watermark, skip_strategy=strategy,
+        )
+        runs.append((out, f"cep_vskip_{tag}", "update"))
+    _run_many_to_memory(runs, tmp_path)
     batch_df = spark.read.schema(EVENT_SCHEMA).parquet(str(chunk_dir))
-    want = _rows_nullable(
-        match_pattern(batch_df, pattern, skip_strategy=strategy)
-        .toPandas(), cols,
-    )
-    stream = read_file_stream(
-        spark, "parquet", str(chunk_dir), EVENT_SCHEMA,
-        max_files_per_trigger=1,
-    )
-    out = match_pattern_stream(
-        stream, pattern, watermark=watermark, skip_strategy=strategy,
-    )
-    _run_to_memory(out, f"cep_vskip_{tag}", "update", tmp_path)
-    got = _rows_nullable(
-        spark.sql(f"SELECT * FROM cep_vskip_{tag}").toPandas(), cols
-    )
-    assert got == want, (tag, strategy)
-    return got
+    gots = []
+    for tag, pattern, cols, strategy in cases:
+        want = _rows_nullable(
+            match_pattern(batch_df, pattern, skip_strategy=strategy)
+            .toPandas(), cols,
+        )
+        got = _rows_nullable(
+            spark.sql(f"SELECT * FROM cep_vskip_{tag}").toPandas(), cols
+        )
+        assert got == want, (tag, strategy)
+        gots.append(got)
+    return gots
 
 
 def test_cep_stream_variants_skip_relaxed_equals_batch(
@@ -5023,17 +5068,14 @@ def test_cep_stream_variants_skip_relaxed_equals_batch(
         .within("45 minutes")
     )
     cols = ["user_id", "ts_1", "ts_2", "ts_3"]
-    nonempty = 0
-    for strategy in (
-        "no_skip", "skip_to_next", "skip_past_last_event",
-        "skip_to_first:1", "skip_to_last:2",
-    ):
-        tag = strategy.replace(":", "_")
-        got = _variants_skip_case(
-            spark, chunk_dir, tmp_path, f"rx_{tag}", p, cols, strategy
+    gots = _variants_skip_cases(spark, chunk_dir, tmp_path, [
+        (f"rx_{strategy.replace(':', '_')}", p, cols, strategy)
+        for strategy in (
+            "no_skip", "skip_to_next", "skip_past_last_event",
+            "skip_to_first:1", "skip_to_last:2",
         )
-        nonempty += bool(got)
-    assert nonempty >= 4  # the soup exercises every strategy
+    ])
+    assert sum(bool(g) for g in gots) >= 4  # the soup exercises every strategy
 
 
 def test_cep_stream_variants_skip_times_range(spark, chunk_dir, tmp_path):
@@ -5050,12 +5092,11 @@ def test_cep_stream_variants_skip_times_range(spark, chunk_dir, tmp_path):
         .within("60 minutes")
     )
     cols = ["user_id", "ts_1", "ts_2", "ts_2_last", "ts_3"]
-    for strategy in ("skip_to_next", "skip_past_last_event"):
-        got = _variants_skip_case(
-            spark, chunk_dir, tmp_path,
-            f"tr_{strategy.replace(':', '_')}", p, cols, strategy,
-        )
-        assert got
+    gots = _variants_skip_cases(spark, chunk_dir, tmp_path, [
+        (f"tr_{strategy.replace(':', '_')}", p, cols, strategy)
+        for strategy in ("skip_to_next", "skip_past_last_event")
+    ])
+    assert all(gots)
 
 
 def test_cep_stream_variants_skip_strict(spark, chunk_dir, tmp_path):
@@ -5082,12 +5123,11 @@ def test_cep_stream_variants_skip_strict(spark, chunk_dir, tmp_path):
         .within("90 minutes")
     )
     cols = ["user_id", "ts_1", "ts_2", "ts_3"]
-    for strategy in ("skip_to_next", "skip_past_last_event"):
-        got = _variants_skip_case(
-            spark, chunk_dir, tmp_path,
-            f"st_{strategy.replace(':', '_')}", p, cols, strategy,
-        )
-        assert got
+    gots = _variants_skip_cases(spark, chunk_dir, tmp_path, [
+        (f"st_{strategy.replace(':', '_')}", p, cols, strategy)
+        for strategy in ("skip_to_next", "skip_past_last_event")
+    ])
+    assert all(gots)
 
 
 def test_cep_stream_variants_skip_restart(spark, chunk_dir, tmp_path):
