@@ -256,16 +256,23 @@ def lsh_embedding_near_dup_pairs(
         id_out="__id",
     )
 
+    # Materialize the RAW bucket rows BEFORE the hot cap (r14, same
+    # restructure as minhash_lsh_pairs — see the note there): the cap
+    # anti-join over the unmaterialized frame ran the SRP matmul kernel
+    # TWICE inside the checkpoint job (hot side + left side; runtime
+    # plan showed no exchange reuse). Blocks first — the kernel runs
+    # once, and with vec_out gone the stored rows are 24-byte triples.
+    banded = _computed_once(banded)
     hot = (
         banded.groupBy("table_id", "bucket_key")
         .agg(F.count(F.lit(1)).alias("__bsz"))
         .filter(F.col("__bsz") > max_bucket)
         .select("table_id", "bucket_key")
     )
-    # unhinted anti-join: AQE broadcasts the hot set only when it is
-    # actually small; computed once because both self-join sides read it
-    # (localCheckpoint blocks, freed on GC — no CacheManager entry).
-    banded = _computed_once(banded.join(hot, ["table_id", "bucket_key"], "left_anti"))
+    # unhinted anti-join, LAZY over the blocks: AQE broadcasts the hot
+    # set only when it is actually small; each self-join side re-runs
+    # only a block scan + the combine-shrunk count + the anti-join.
+    banded = banded.join(hot, ["table_id", "bucket_key"], "left_anti")
 
     # Decide with small rows, move big rows once (guide §8). The old
     # shape self-joined the FULL banded rows (id + 64-dim vector ≈

@@ -1055,6 +1055,14 @@ def test_minhash_frames_equivalence(spark, sf_dir):
         minhash_lsh_pairs(
             docs, "doc_id", "text", seed=7, frames=frames, **kw
         )
+    # r14 (ADVICE r13 #1): column identity is part of the contract —
+    # frames built over a different text column must refuse, not emit
+    # signatures for the wrong values
+    with pytest.raises(ValueError, match="would not correspond"):
+        minhash_lsh_pairs(
+            docs.withColumnRenamed("text", "body"), "doc_id", "body",
+            frames=frames, **kw
+        )
     with pytest.raises(ValueError, match="max_df"):
         minhash_lsh_pairs(
             docs, "doc_id", "text", max_df=50, frames=frames, **kw
